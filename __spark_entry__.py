@@ -1,38 +1,172 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+north-star extensions); each takes (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — matching DuckDB SQL per query key (same parquet
+tables registered as views). Column names/aliases match exactly; float
+scores are double-math + ROUND(6) on both sides (see
+``ydb_vector_search_simple_api_spark/oracles.py``).
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ydb_vector_search_simple_api_spark import oracles
+from ydb_vector_search_simple_api_spark.config import STRATEGIES
+from ydb_vector_search_simple_api_spark.operators.search import exact_search, knn_join
+from ydb_vector_search_simple_api_spark.operators import index as ivf
+from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+ROUND = oracles.ROUND_DIGITS
+
+_QVEC_CACHE: dict[str, list[float]] = {}
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The deterministic query vector: stored embedding of vec_id=0
+    (query-by-example; same row the oracle SQL selects)."""
+    if sf_dir not in _QVEC_CACHE:
+        from pyspark.sql import functions as F
+
+        row = (
+            load_embeddings(spark, sf_dir)
+            .filter(F.col("vec_id") == oracles.QUERY_VEC_ID)
+            .select("embedding")
+            .head()
+        )
+        _QVEC_CACHE[sf_dir] = [float(x) for x in row.embedding]
+    return _QVEC_CACHE[sf_dir]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: top-k cosine search over the sf0.001 store
+    (SURVEY.md §7.1 — the reference's default config path)."""
+    sf_dir = "/root/testdata/sf0.001"
+    return exact_search(
+        spark, sf_dir, _query_vec(spark, sf_dir), k=10,
+        strategy="CosineSimilarity", round_digits=ROUND,
+    )
+
+
+# ---------------------------------------------------------------- helpers
+
+_IVF_CACHE: dict[str, ivf.IvfIndex] = {}
+IVF_CLUSTERS = 8
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> ivf.IvfIndex:
+    key = sf_dir
+    if key not in _IVF_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(), f"svs_ivf_{tag}_k{IVF_CLUSTERS}")
+        marker = os.path.join(out, "_ivf_centroids.json")
+        if os.path.exists(marker):
+            _IVF_CACHE[key] = ivf.load_ivf_index(out)
+        else:
+            from pyspark.sql import functions as F
+
+            embs = load_embeddings(spark, sf_dir).select(
+                F.col("vec_id").alias("id"), "embedding"
+            )
+            _IVF_CACHE[key] = ivf.build_ivf_index(
+                spark, embs, out, n_clusters=IVF_CLUSTERS, seed=42
+            )
+    return _IVF_CACHE[key]
+
+
+def _mk_topk(strategy: str, k: int, filter: dict | None = None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return exact_search(
+            spark, sf_dir, _query_vec(spark, sf_dir), k=k,
+            strategy=strategy, filter=filter, round_digits=ROUND,
+        )
+
+    return run
+
+
+def _mk_knn_join(strategy: str, k: int, n_queries: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        embs = load_embeddings(spark, sf_dir)
+        queries_df = embs.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
+        return knn_join(
+            spark, queries_df, corpus, k=k, strategy=strategy, round_digits=ROUND
+        )
+
+    return run
+
+
+def _mk_ivf(strategy: str, k: int, width: int | None):
+    """width=None -> full width (all clusters; exact, strong oracle)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _ivf_index(spark, sf_dir)
+        return ivf.ivf_search(
+            spark, idx, _query_vec(spark, sf_dir), k=k, strategy=strategy,
+            search_top_size=width or idx.n_clusters, round_digits=ROUND,
+        )
+
+    return run
+
+
+# ---------------------------------------------------------------- contract
+
+_STRAT_KEY = {
+    "CosineSimilarity": "cosine",
+    "InnerProductSimilarity": "inner_product",
+    "CosineDistance": "cosine_distance",
+    "EuclideanDistance": "euclidean",
+    "ManhattanDistance": "manhattan",
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    # O1/O4/O5/O8/O9: exact top-k for every strategy
+    for strat, key in _STRAT_KEY.items():
+        q[f"topk_{key}"] = _mk_topk(strat, k=10)
+    # O6: conjunctive equality filter (vendor == lang column)
+    q["topk_cosine_filtered"] = _mk_topk(
+        "CosineSimilarity", k=10, filter={"vendor": "fr"}
+    )
+    q["topk_cosine_filtered2"] = _mk_topk(
+        "CosineSimilarity", k=10, filter={"vendor": "de", "title": "src3"}
+    )
+    # default-k path (k=4, reference default app.py:363)
+    q["topk_cosine_default_k"] = _mk_topk("CosineSimilarity", k=4)
+    # batch kNN join (extension: similarity search at scale)
+    q["knn_join_cosine"] = _mk_knn_join("CosineSimilarity", k=5, n_queries=8)
+    # O2/O3: IVF index at full search width == exact (strong oracle)
+    q["ivf_cosine_full_width"] = _mk_ivf("CosineSimilarity", k=10, width=None)
+    # O2/O3: pruned width (approximate; rows-only check, recall tested in pytest)
+    q["ivf_cosine_width2"] = _mk_ivf("CosineSimilarity", k=10, width=2)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    for strat, key in _STRAT_KEY.items():
+        o[f"topk_{key}"] = oracles.topk_sql(strat, k=10)
+    o["topk_cosine_filtered"] = oracles.topk_sql(
+        "CosineSimilarity", k=10, filter_sql="lang = 'fr'"
+    )
+    o["topk_cosine_filtered2"] = oracles.topk_sql(
+        "CosineSimilarity", k=10, filter_sql="lang = 'de' AND source = 'src3'"
+    )
+    o["topk_cosine_default_k"] = oracles.topk_sql("CosineSimilarity", k=4)
+    o["knn_join_cosine"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
+    o["ivf_cosine_full_width"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
+    # ivf_cosine_width2 intentionally has no oracle: approximate search
+    # (rows-only check; recall contract verified in tests/test_index.py)
+    return o

@@ -1,0 +1,157 @@
+"""IVF (inverted-file) ANN index: the Spark-native replacement for the
+reference's YDB ``vector_kmeans_tree`` secondary index.
+
+Reference semantics being reproduced (SURVEY.md §2 O2/O3):
+
+* ``FROM {table} VIEW {INDEX_NAME}`` — approximate search through a
+  k-means clustering instead of a full scan
+  (``/root/reference/app.py:193-196``).
+* ``PRAGMA ydb.KMeansTreeSearchTopSize = N`` — how many nearest
+  clusters the search reads; the recall/latency knob
+  (``app.py:186-191``, default 10 at ``app.py:60``).
+
+Spark-native design (no custom Catalyst rule needed):
+
+* **Build** (offline job): ``pyspark.ml.clustering.KMeans`` fits
+  centroids over the embedding column; every row gets a ``cluster_id``
+  and the table is rewritten ``partitionBy("cluster_id")`` — the
+  cluster becomes a *physical partition directory*.
+* **Search**: the driver ranks the (tiny) centroid table against the
+  query vector in NumPy, keeps the ``search_top_size`` nearest
+  cluster ids, and reads the table with
+  ``cluster_id IN (...)`` — Catalyst partition-prunes to exactly
+  those directories, so scanned bytes shrink by
+  ~``search_top_size / n_clusters``. Candidates are re-ranked exactly
+  (same TakeOrderedAndProject shape as exact_search).
+* Recall contract (SURVEY.md §4.3): recall is monotone in
+  ``search_top_size`` and the search is EXACT when
+  ``search_top_size >= n_clusters`` (all partitions read).
+
+At 100 TB the build is one shuffle (the partitioned rewrite); the
+per-query cost is proportional to the pruned fraction only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_K, DEFAULT_SEARCH_TOP_SIZE, sort_descending, validate_strategy
+from ..functions.distance import score_expr, vector_lit
+
+_CENTROIDS_FILE = "_ivf_centroids.json"
+
+
+@dataclass(frozen=True)
+class IvfIndex:
+    path: str
+    n_clusters: int
+    centroids: np.ndarray  # (n_clusters, dim) float64
+    id_col: str = "id"
+    vec_col: str = "embedding"
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    n_clusters: int = 16,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> IvfIndex:
+    """Offline index build: KMeans fit -> assign cluster_id -> rewrite
+    partitioned by cluster_id -> persist centroids for driver pruning."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("embedding"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feats)
+    assigned = (
+        model.transform(feats)
+        .select("id", "embedding", F.col("prediction").alias("cluster_id"))
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(out_dir)
+
+    centroids = np.array(
+        [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+    )
+    with open(os.path.join(out_dir, _CENTROIDS_FILE), "w") as f:
+        json.dump(
+            {"n_clusters": n_clusters, "centroids": centroids.tolist()}, f
+        )
+    return IvfIndex(path=out_dir, n_clusters=n_clusters, centroids=centroids)
+
+
+def load_ivf_index(path: str) -> IvfIndex:
+    with open(os.path.join(path, _CENTROIDS_FILE)) as f:
+        meta = json.load(f)
+    return IvfIndex(
+        path=path,
+        n_clusters=meta["n_clusters"],
+        centroids=np.asarray(meta["centroids"], dtype=np.float64),
+    )
+
+
+def _rank_centroids(index: IvfIndex, query_vec: Sequence[float], strategy: str) -> list[int]:
+    """Driver-side: order cluster ids best-first for the query under the
+    given strategy's metric family."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    c = index.centroids
+    if strategy in ("CosineSimilarity", "CosineDistance"):
+        qn = q / (np.linalg.norm(q) or 1.0)
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        sims = cn @ qn
+        order = np.argsort(-sims, kind="stable")
+    elif strategy == "InnerProductSimilarity":
+        order = np.argsort(-(c @ q), kind="stable")
+    else:  # Euclidean / Manhattan: nearest centroids by L2
+        order = np.argsort(np.linalg.norm(c - q, axis=1), kind="stable")
+    return [int(i) for i in order]
+
+
+def ivf_search(
+    spark: SparkSession,
+    index: IvfIndex,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+    search_top_size: int = DEFAULT_SEARCH_TOP_SIZE,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """ANN search: prune to the search_top_size nearest clusters, then
+    exact re-rank within the candidates. Returns (id, score)."""
+    validate_strategy(strategy)
+    if search_top_size < 1:
+        raise ValueError("search_top_size must be a positive integer")
+    keep = _rank_centroids(index, query_vec, strategy)[:search_top_size]
+
+    df = spark.read.parquet(index.path)
+    # partition pruning: cluster_id is a partition column, so this IN
+    # list prunes whole directories at planning time.
+    pruned = df.filter(F.col("cluster_id").isin(keep))
+
+    score = score_expr(strategy, F.col("embedding"), vector_lit(query_vec))
+    if round_digits is not None:
+        score = F.round(score, round_digits) + F.lit(0.0)
+    direction = (
+        F.col("score").desc_nulls_last()
+        if sort_descending(strategy)
+        else F.col("score").asc_nulls_last()
+    )
+    return (
+        pruned.withColumn("score", score)
+        .select("id", "score")
+        .orderBy(direction, F.col("id").asc())
+        .limit(k)
+    )

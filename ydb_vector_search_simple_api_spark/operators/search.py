@@ -1,0 +1,178 @@
+"""Exact vector top-k search — the reference's main query path.
+
+Reproduces ``prepare_search_query`` + ``execute_search``
+(``/root/reference/app.py:165-264``): scan -> [equality filter] ->
+score with Knn strategy -> ORDER BY score -> LIMIT k, projected to
+``id/title/vendor/description/score`` (``app.py:217-227``).
+
+Physical shape (scale-critical, SURVEY.md §4):
+
+* ``ORDER BY score LIMIT k`` compiles to ``TakeOrderedAndProject`` —
+  per-partition heap top-k, driver merges k rows per partition. No
+  global sort, no shuffle of the scored table. This holds at any
+  corpus size.
+* The score is computed over the NARROW ``embeddings`` table only
+  (vec_id + embedding); the wide text columns join in AFTER the top-k,
+  when only k rows remain (broadcast hash join). At 100 TB the
+  alternative — scoring the joined wide table — would drag every
+  document body through the scan for nothing.
+* Equality filters (``app.py:168-184``) live on document columns, so
+  the filtered path semi-joins the id set into the vector table before
+  scoring; Catalyst/AQE broadcasts the id set when small. The filter
+  itself is pushed to the Parquet scan of ``documents``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import (
+    ColumnMap,
+    DEFAULT_K,
+    FILTERABLE_FIELDS,
+    sort_descending,
+    validate_strategy,
+)
+from ..functions.distance import score_expr, vector_lit
+from ..sources.store import load_documents, load_embeddings, load_store_df
+
+# re-export for package __init__
+load_store = load_store_df
+
+
+def _order_cols(strategy: str, id_col: str = "id") -> list[Column]:
+    """Sort by score in the strategy's direction (reference app.py:55,
+    225) with a deterministic id tiebreak so the k-boundary is stable.
+    Nulls (dimension mismatch) sort last either way."""
+    score = F.col("score")
+    direction = (
+        score.desc_nulls_last() if sort_descending(strategy) else score.asc_nulls_last()
+    )
+    return [direction, F.col(id_col).asc()]
+
+
+def _validate_filter(filter: Mapping[str, str] | None) -> dict[str, str]:
+    """Conjunctive equality filter over exactly title/vendor/description
+    (reference app.py:168-184). Values are bound Column comparisons, not
+    interpolated strings — the reference's injection bug is deliberately
+    not reproduced (SURVEY.md §7.4)."""
+    if not filter:
+        return {}
+    bad = set(filter) - set(FILTERABLE_FIELDS)
+    if bad:
+        raise ValueError(
+            f"Unfilterable field(s) {sorted(bad)}; allowed: {FILTERABLE_FIELDS}"
+        )
+    return dict(filter)
+
+
+def exact_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+    filter: Mapping[str, str] | None = None,
+    columns: ColumnMap | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Top-k exact (brute-force) vector search over the store.
+
+    Returns columns ``id, title, vendor, description, score`` —
+    the reference's SELECT list (``app.py:217-222``).
+    """
+    validate_strategy(strategy)
+    if not isinstance(k, int) or k < 1:
+        raise ValueError("k must be a positive integer")  # app.py:368-370
+    m = columns or ColumnMap()
+    flt = _validate_filter(filter)
+
+    embs = load_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), F.col(m.embedding).alias("embedding")
+    )
+    docs = load_documents(spark, sf_dir).select(
+        F.col(m.id).alias("id"),
+        F.col(m.title).alias("title"),
+        F.col(m.vendor).alias("vendor"),
+        F.col(m.description).alias("description"),
+    )
+
+    if flt:
+        cond = None
+        for field, value in flt.items():
+            c = F.col(field) == F.lit(value)
+            cond = c if cond is None else (cond & c)
+        # semi-join the (pushed-down) filtered id set into the narrow
+        # vector table; Catalyst broadcasts it when small.
+        ids = docs.filter(cond).select("id")
+        embs = embs.join(ids, "id", "left_semi")
+
+    target = vector_lit(query_vec)
+    score = score_expr(strategy, F.col("embedding"), target)
+    if round_digits is not None:
+        # + 0.0 canonicalizes IEEE -0.0 to 0.0 (oracle bit-parity)
+        score = F.round(score, round_digits) + F.lit(0.0)
+
+    topk = (
+        embs.withColumn("score", score)
+        .select("id", "score")
+        .orderBy(*_order_cols(strategy))
+        .limit(k)
+    )
+    # metadata joins in AFTER top-k: k rows, broadcast.
+    out = topk.join(F.broadcast(docs).alias("d"), "id", "inner").select(
+        "id", "title", "vendor", "description", "score"
+    )
+    return out.orderBy(*_order_cols(strategy))
+
+
+def knn_join(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "id",
+    corpus_vec: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Batch k-nearest-neighbors join: for every query vector, the top-k
+    corpus rows by the given strategy. Output: (query_id, id, score, rank).
+
+    Scale shape: the query side is broadcast (a query batch is small by
+    construction); scores are computed map-side inside codegen over the
+    corpus scan; only (query_id, id, score) triples — never the wide
+    corpus rows — enter the per-query top-k. The ranked window shuffles
+    |corpus| x |queries| narrow triples; for very large corpora use the
+    IVF index (operators/index.py) to prune the corpus side first.
+    """
+    validate_strategy(strategy)
+    q = queries_df.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
+    )
+    c = corpus_df.select(
+        F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("embedding")
+    )
+    score = score_expr(strategy, F.col("embedding"), F.col("query_vec"))
+    if round_digits is not None:
+        score = F.round(score, round_digits) + F.lit(0.0)
+    scored = c.crossJoin(F.broadcast(q)).withColumn("score", score)
+
+    from pyspark.sql import Window
+
+    direction = (
+        F.col("score").desc_nulls_last()
+        if sort_descending(strategy)
+        else F.col("score").asc_nulls_last()
+    )
+    w = Window.partitionBy("query_id").orderBy(direction, F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )

@@ -1,0 +1,76 @@
+"""Sources: the 5-column vector store and the raw testdata tables.
+
+The reference reads exactly one row table (``FROM {YDB_TABLE}``,
+``/root/reference/app.py:223``). Here the store is Parquet-backed
+(columnar at rest — an upgrade, not a semantic change, SURVEY.md §1.4)
+and the 5-column logical shape (id/title/vendor/description/embedding)
+is reconstructed from the driver testdata ``documents`` +
+``embeddings`` tables joined 1:1 on id.
+
+Scale note: ``load_embeddings`` / ``load_documents`` return raw scans
+so callers can defer/elide the join — the hot vector-search path scores
+the narrow ``embeddings`` table only and joins metadata AFTER top-k
+(k rows, broadcast), rather than dragging text columns through the
+scan. See ``operators/search.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import ColumnMap
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def load_store_df(
+    spark: SparkSession, sf_dir: str, columns: ColumnMap | None = None
+) -> DataFrame:
+    """The reference's store table shape (SURVEY.md §1.1): 5 logical
+    columns id/title/vendor/description/embedding, physical names
+    remapped per ``ColumnMap`` (reference app.py:47-51)."""
+    m = columns or ColumnMap()
+    docs = load_documents(spark, sf_dir)
+    embs = load_embeddings(spark, sf_dir)
+    joined = docs.join(embs, docs["doc_id"] == embs["vec_id"], "inner")
+    return joined.select(
+        F.col(m.id).alias("id"),
+        F.col(m.title).alias("title"),
+        F.col(m.vendor).alias("vendor"),
+        F.col(m.description).alias("description"),
+        F.col(m.embedding).alias("embedding"),
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
