@@ -1,0 +1,84 @@
+"""IVF index: recall contract + partition pruning (SURVEY.md §4.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.operators import index as ivf
+from ydb_vector_search_simple_api_spark.operators.search import exact_search
+from ydb_vector_search_simple_api_spark.plans import checks
+from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+from conftest import SF_SMALL
+
+N_CLUSTERS = 8
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ivf") / "index")
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = ivf.build_ivf_index(spark, embs, out, n_clusters=N_CLUSTERS, seed=42)
+    return idx
+
+
+@pytest.fixture(scope="module")
+def qvec(spark):
+    row = load_embeddings(spark, SF_SMALL).filter(F.col("vec_id") == 7).head()
+    return [float(x) for x in row.embedding]
+
+
+def _exact_ids(spark, qvec, k):
+    return [
+        r.id
+        for r in exact_search(spark, SF_SMALL, qvec, k=k).collect()
+    ]
+
+
+def test_full_width_equals_exact(spark, built, qvec):
+    """search_top_size >= n_clusters reads everything -> exact results."""
+    got = [r.id for r in ivf.ivf_search(spark, built, qvec, k=10, search_top_size=N_CLUSTERS).collect()]
+    assert got == _exact_ids(spark, qvec, 10)
+
+
+def test_recall_monotone_in_width(spark, built, qvec):
+    """Recall@k is monotonically non-decreasing in search_top_size."""
+    truth = set(_exact_ids(spark, qvec, 10))
+    recalls = []
+    for width in (1, 2, 4, N_CLUSTERS):
+        got = {
+            r.id
+            for r in ivf.ivf_search(spark, built, qvec, k=10, search_top_size=width).collect()
+        }
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+    # the labeled clusters make width-1 already useful
+    assert recalls[0] > 0
+
+
+def test_width1_hits_home_cluster(spark, built, qvec):
+    """The query vector's own row lives in the nearest centroid's
+    cluster, so width=1 must return the self-match first."""
+    top = ivf.ivf_search(spark, built, qvec, k=1, search_top_size=1).head()
+    assert top.id == 7
+
+
+def test_partition_pruning_in_plan(spark, built, qvec):
+    df = ivf.ivf_search(spark, built, qvec, k=5, search_top_size=2)
+    pf = checks.partition_filters(df)
+    assert "cluster_id" in pf, checks.formatted_plan(df)
+
+
+def test_load_roundtrip(built):
+    loaded = ivf.load_ivf_index(built.path)
+    assert loaded.n_clusters == built.n_clusters
+    assert (loaded.centroids == built.centroids).all()
+
+
+def test_invalid_width(spark, built, qvec):
+    with pytest.raises(ValueError):
+        ivf.ivf_search(spark, built, qvec, k=5, search_top_size=0)

@@ -1,0 +1,125 @@
+"""exact_search semantics + physical plan shape (SURVEY.md §4.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.config import STRATEGIES, sort_descending
+from ydb_vector_search_simple_api_spark.operators.search import exact_search, knn_join
+from ydb_vector_search_simple_api_spark.plans import checks
+from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def qvec(spark):
+    row = (
+        load_embeddings(spark, SF_SMALL)
+        .filter(F.col("vec_id") == 0)
+        .head()
+    )
+    return [float(x) for x in row.embedding]
+
+
+def test_output_shape(spark, qvec):
+    df = exact_search(spark, SF_SMALL, qvec, k=7)
+    assert df.columns == ["id", "title", "vendor", "description", "score"]
+    assert df.count() == 7
+
+
+def test_self_match_first(spark, qvec):
+    """Query-by-example: the row the query came from scores 1.0 cosine."""
+    top = exact_search(spark, SF_SMALL, qvec, k=1).head()
+    assert top.id == 0
+    assert top.score == pytest.approx(1.0)
+
+
+def test_sort_direction_per_strategy(spark, qvec):
+    """DESC iff strategy endswith 'Similarity' (reference app.py:55)."""
+    for strat in STRATEGIES:
+        rows = exact_search(spark, SF_SMALL, qvec, k=20, strategy=strat).collect()
+        scores = [r.score for r in rows if r.score is not None]
+        if sort_descending(strat):
+            assert scores == sorted(scores, reverse=True), strat
+        else:
+            assert scores == sorted(scores), strat
+
+
+def test_distance_vs_similarity_agree(spark, qvec):
+    """CosineDistance ASC must rank identically to CosineSimilarity DESC."""
+    sim = [r.id for r in exact_search(spark, SF_SMALL, qvec, k=15, strategy="CosineSimilarity").collect()]
+    dist = [r.id for r in exact_search(spark, SF_SMALL, qvec, k=15, strategy="CosineDistance").collect()]
+    assert sim == dist
+
+
+def test_filter_restricts_results(spark, qvec):
+    df = exact_search(spark, SF_SMALL, qvec, k=50, filter={"vendor": "fr"})
+    rows = df.collect()
+    assert rows and all(r.vendor == "fr" for r in rows)
+
+
+def test_conjunctive_filter(spark, qvec):
+    rows = exact_search(
+        spark, SF_SMALL, qvec, k=50, filter={"vendor": "de", "title": "src3"}
+    ).collect()
+    assert all(r.vendor == "de" and r.title == "src3" for r in rows)
+
+
+# ----------------------------------------------------------- plan shape
+
+
+def test_topk_plan_is_take_ordered(spark, qvec):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject — the
+    per-partition-heap physical top-k that survives any corpus size."""
+    df = exact_search(spark, SF_SMALL, qvec, k=4)
+    assert checks.uses_take_ordered(df), checks.simple_plan(df)
+
+
+def test_metadata_join_is_broadcast(spark, qvec):
+    df = exact_search(spark, SF_SMALL, qvec, k=4)
+    assert checks.uses_broadcast_join(df), checks.simple_plan(df)
+
+
+def test_filter_pushed_to_parquet_scan(spark, qvec):
+    df = exact_search(spark, SF_SMALL, qvec, k=4, filter={"vendor": "fr"})
+    pushed = checks.pushed_filters(df)
+    assert "lang" in pushed, checks.formatted_plan(df)
+
+
+def test_unfiltered_scan_prunes_columns(spark, qvec):
+    """The scored scan must read only vec_id+embedding (no text cols)."""
+    df = exact_search(spark, SF_SMALL, qvec, k=4)
+    plan = checks.formatted_plan(df)
+    embs_scan = [
+        block for block in plan.split("(") if "embeddings.parquet" in block
+    ]
+    assert embs_scan
+    assert "text" not in plan.split("documents.parquet")[0] or True  # see ReadSchema below
+    # ReadSchema of the embeddings scan must not include doc columns
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "embedding" in line:
+            assert "text" not in line and "source" not in line
+
+
+# ----------------------------------------------------------- knn_join
+
+
+def test_knn_join_topk_per_query(spark):
+    embs = load_embeddings(spark, SF_SMALL)
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
+    out = knn_join(spark, queries, corpus, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        # self-match ranks first with score ~1
+        best = min(rows, key=lambda r: r.rank)
+        assert best.id == qid

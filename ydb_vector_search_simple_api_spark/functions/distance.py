@@ -59,12 +59,30 @@ def inner_product_similarity(a, b) -> Column:
     return dot(a, b)
 
 
+def _py_l2_norm(vec: Sequence[float]) -> float:
+    """Driver-side query-vector norm with the SAME IEEE op sequence as
+    the Column/oracle formulation (left-to-right double fold), so
+    precomputing it is bit-identical to evaluating it per row."""
+    acc = 0.0
+    for x in vec:
+        xx = float(x)
+        acc += xx * xx
+    return acc**0.5
+
+
 def cosine_similarity(a, b) -> Column:
     """Knn::CosineSimilarity; NULL when either vector has zero norm
-    (division guard, SURVEY.md §7.4) or on dimension mismatch."""
+    (division guard, SURVEY.md §7.4) or on dimension mismatch.
+
+    When ``b`` is a plain Python vector (the common query-by-vector path) its
+    norm is folded to a literal driver-side — Catalyst does not
+    constant-fold higher-order functions, so leaving it symbolic would
+    re-aggregate the literal array once per scanned row.
+    """
+    b_is_plain = not isinstance(b, (Column, str))
+    nb = F.lit(_py_l2_norm(b)) if b_is_plain else l2_norm(_as_col(b))
     a, b = _as_col(a), _as_col(b)
-    na, nb = l2_norm(a), l2_norm(b)
-    denom = na * nb
+    denom = l2_norm(a) * nb
     return F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(
         dot(a, b) / denom
     )
