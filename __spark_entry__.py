@@ -18,11 +18,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ydb_vector_search_simple_api_spark import oracles
+from ydb_vector_search_simple_api_spark import oracles, oracles_text
 from ydb_vector_search_simple_api_spark.config import STRATEGIES
-from ydb_vector_search_simple_api_spark.operators.search import exact_search, knn_join
+from ydb_vector_search_simple_api_spark.operators import dedup, multimodal, textual
 from ydb_vector_search_simple_api_spark.operators import index as ivf
-from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+from ydb_vector_search_simple_api_spark.operators.search import exact_search, knn_join
+from ydb_vector_search_simple_api_spark.sources.store import load_documents, load_embeddings
+from ydb_vector_search_simple_api_spark.streaming import events as streaming_events
 
 ROUND = oracles.ROUND_DIGITS
 
@@ -151,6 +153,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ivf_cosine_full_width"] = _mk_ivf("CosineSimilarity", k=10, width=None)
     # O2/O3: pruned width (approximate; rows-only check, recall tested in pytest)
     q["ivf_cosine_width2"] = _mk_ivf("CosineSimilarity", k=10, width=2)
+
+    # ---- north-star extensions: text analysis over documents
+    q["text_stats"] = textual.text_stats
+    q["lang_profile"] = textual.lang_profile
+    q["token_frequencies"] = textual.token_frequencies
+    q["lang_id"] = textual.lang_id_pred
+    q["fingerprints"] = textual.fingerprints
+    q["quality_filter"] = textual.quality_filter
+
+    # ---- dedup family
+    q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(load_documents(s, d))
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        load_documents(s, d), n=3, threshold=0.8
+    )
+    q["neardup_cosine"] = lambda s, d: dedup.neardup_cosine_pairs(
+        load_embeddings(s, d), threshold=0.4
+    )
+    # approximate variants: no SQL oracle (xxhash64 has no DuckDB twin);
+    # verified against the exact ops in tests/test_dedup.py
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
+        load_documents(s, d), n=3, threshold=0.8
+    )
+    q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
+        load_documents(s, d), max_hamming=3
+    )
+
+    # ---- multimodal payload metadata
+    q["multimodal_meta"] = multimodal.multimodal_meta
+
+    # ---- structured streaming rollup (complete mode == batch result)
+    q["events_hourly_stream"] = streaming_events.hourly_event_counts_stream
     return q
 
 
@@ -169,4 +202,19 @@ def oracle_sql() -> dict[str, str]:
     o["ivf_cosine_full_width"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     # ivf_cosine_width2 intentionally has no oracle: approximate search
     # (rows-only check; recall contract verified in tests/test_index.py)
+
+    o["text_stats"] = oracles_text.TEXT_STATS
+    o["lang_profile"] = oracles_text.LANG_PROFILE
+    o["token_frequencies"] = oracles_text.token_frequencies_sql(25)
+    o["lang_id"] = oracles_text.LANG_ID
+    o["fingerprints"] = oracles_text.FINGERPRINTS
+    o["quality_filter"] = oracles_text.quality_filter_sql(0.8, 16)
+    o["dedup_exact_groups"] = oracles_text.DEDUP_EXACT
+    o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)
+    o["neardup_cosine"] = oracles_text.neardup_cosine_sql(0.4)
+    # dedup_minhash_lsh / dedup_simhash: intentionally no oracle
+    # (xxhash64-based; precision/recall verified against the exact ops
+    # in tests/test_dedup.py)
+    o["multimodal_meta"] = oracles_text.MULTIMODAL_META
+    o["events_hourly_stream"] = oracles_text.EVENTS_HOURLY
     return o

@@ -1,0 +1,109 @@
+"""Dedup operators: planted near-dups must be found; approximate ops
+are verified against their exact twins (SURVEY.md §5.2 model)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.operators import dedup
+from ydb_vector_search_simple_api_spark.sources.store import load_documents, load_embeddings
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_documents(spark, SF_SMALL)
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, docs):
+    rows = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    return {(r.id_a, r.id_b): r.jaccard for r in rows}
+
+
+def test_planted_near_dups_found(exact_pairs):
+    """The driver testdata plants high-Jaccard document pairs."""
+    assert len(exact_pairs) >= 10
+    assert all(j >= 0.8 for j in exact_pairs.values())
+
+
+def test_exact_dedup_no_false_groups(docs):
+    """No two distinct sf0.001 texts are byte-identical, so every
+    group has exactly one member."""
+    groups = dedup.exact_dup_groups(docs).collect()
+    assert len(groups) == docs.count()
+    assert all(g.n_copies == 1 for g in groups)
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    groups = {g.text_hash: g for g in dedup.exact_dup_groups(df).collect()}
+    assert len(groups) == 2  # normalization merges 1 and 2
+    big = next(g for g in groups.values() if g.n_copies == 2)
+    assert big.keep_id == 1
+
+
+def test_minhash_lsh_matches_exact(docs, exact_pairs):
+    """LSH candidates + exact verification: precision 1.0 by
+    construction; on this data recall is 1.0 too (sigs of 0.98-Jaccard
+    pairs collide in at least one of 8 bands with near-certainty)."""
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert set(got) == set(exact_pairs)
+    for pair, j in got.items():
+        assert j == pytest.approx(exact_pairs[pair])
+
+
+def test_doc_freq_cap_is_subset(docs, exact_pairs):
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8, doc_freq_cap=50).collect()
+    }
+    assert capped <= set(exact_pairs)
+
+
+def test_simhash_identical_and_near(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (3, "a completely unrelated sentence about spark query optimization plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    hashes = {r.id: r.simhash for r in dedup.simhash(df).collect()}
+    assert hashes[1] == hashes[2]
+    assert hashes[1] != hashes[3]
+    pairs = dedup.simhash_pairs(df, max_hamming=3).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} >= {(1, 2)}
+    assert all(p.hamming == 0 for p in pairs if (p.id_a, p.id_b) == (1, 2))
+
+
+def test_neardup_cosine_blocked_subset(spark):
+    """Same-cluster blocking returns a subset of the exact pairs, and
+    within-block pairs carry identical scores."""
+    embs = load_embeddings(spark, SF_SMALL)
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.neardup_cosine_pairs(embs, threshold=0.4).collect()
+    }
+    blocked_input = embs.select(
+        F.col("vec_id").alias("id"), "embedding", F.col("label").alias("cluster")
+    )
+    blocked = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.neardup_cosine_blocked(
+            blocked_input, cluster_col="cluster", threshold=0.4
+        ).collect()
+    }
+    assert set(blocked) <= set(exact)
+    assert len(blocked) > 0
+    for pair, c in blocked.items():
+        assert c == pytest.approx(exact[pair])

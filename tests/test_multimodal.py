@@ -1,0 +1,47 @@
+"""Multimodal plumbing: payload metadata, Arrow-batched featurization,
+stubbed decoders."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ydb_vector_search_simple_api_spark.operators import multimodal as MM
+from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+from conftest import SF_SMALL
+
+
+def test_meta_matches_python(spark):
+    rows = MM.multimodal_meta(spark, SF_SMALL).collect()
+    docs = {r.doc_id: r.text for r in load_documents(spark, SF_SMALL).collect()}
+    assert len(rows) == len(docs)
+    for r in rows[:20]:
+        payload = docs[r.doc_id].encode("utf-8")
+        assert r.n_bytes == len(payload)
+        assert r.payload_md5 == hashlib.md5(payload).hexdigest()
+        assert r.media_type == "text/plain"
+
+
+def test_byte_histograms(spark):
+    df = MM.attach_payload(load_documents(spark, SF_SMALL))
+    hists = MM.byte_histograms(df).collect()
+    assert len(hists) == 500
+    for r in hists[:20]:
+        assert len(r.byte_hist) == MM.HIST_BINS
+        assert sum(r.byte_hist) == pytest.approx(1.0)
+        assert r.n_bytes > 0
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG...")
+
+
+def test_frame_sample_deterministic():
+    payload = bytes(range(256)) * 20  # 5120 bytes -> 20 frames of 256
+    frames = MM.frame_sample(payload, every_n=10)
+    assert frames == MM.frame_sample(payload, every_n=10)
+    assert len(frames) == 2
+    assert all(len(f) == 256 for f in frames)

@@ -1,0 +1,69 @@
+"""Text-analysis functions: language ID on real text, fingerprint
+invariances, quality bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.functions import text as TXT
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], ["text"]).select(col.alias("v")).head().v
+
+
+def test_lang_id_real_sentences(spark):
+    cases = {
+        "the cat is in the house and it is warm": "en",
+        "el perro y el gato en la casa de los abuelos": "es",
+        "der hund und die katze sind in das haus von den kindern": "de",
+        "le chien et le chat dans les maisons des voisins": "fr",
+        "zzz qqq xxx": "und",
+    }
+    for sentence, expected in cases.items():
+        got = _one(spark, sentence, TXT.lang_id(F.col("text")))
+        assert got == expected, f"{sentence!r} -> {got}, want {expected}"
+
+
+def test_token_counts(spark):
+    assert _one(spark, "  Foo bar   baz  ", TXT.token_count(F.col("text"))) == 3
+    assert _one(spark, "a a a b", TXT.distinct_token_count(F.col("text"))) == 2
+
+
+def test_type_token_ratio(spark):
+    assert _one(spark, "a a b b", TXT.type_token_ratio(F.col("text"))) == pytest.approx(0.5)
+
+
+def test_content_fingerprint_normalizes_whitespace_and_case(spark):
+    a = _one(spark, "Hello   World", TXT.content_fingerprint(F.col("text")))
+    b = _one(spark, "hello world", TXT.content_fingerprint(F.col("text")))
+    c = _one(spark, "hello worlds", TXT.content_fingerprint(F.col("text")))
+    assert a == b != c
+
+
+def test_token_set_fingerprint_order_insensitive(spark):
+    a = _one(spark, "alpha beta gamma", TXT.token_set_fingerprint(F.col("text")))
+    b = _one(spark, "gamma alpha beta beta", TXT.token_set_fingerprint(F.col("text")))
+    c = _one(spark, "alpha beta delta", TXT.token_set_fingerprint(F.col("text")))
+    assert a == b != c
+
+
+def test_shingles(spark):
+    got = _one(spark, "a b c d", TXT.shingles(F.col("text"), 3))
+    assert got == ["a b c", "b c d"]
+    assert _one(spark, "a b", TXT.shingles(F.col("text"), 3)) == []
+
+
+def test_quality_bounds(spark):
+    for text in ("a", "the the the the", "a rich and varied vocabulary of many words"):
+        q = _one(spark, text, TXT.quality_score(F.col("text")))
+        assert 0.0 <= q <= 1.0
+    rich = _one(
+        spark,
+        "a rich varied vocabulary containing many distinct informative words "
+        "spread across this reasonably long and diverse example sentence here",
+        TXT.quality_score(F.col("text")),
+    )
+    junk = _one(spark, "the the the the the the", TXT.quality_score(F.col("text")))
+    assert rich > junk

@@ -1,0 +1,156 @@
+"""Text-analysis Column expressions for the training-data pipeline.
+
+All hot-path functions are pure ``pyspark.sql.functions`` compositions
+(JVM-side, codegen-friendly — no Python in the scan). Each has an
+exact DuckDB formulation in ``oracles_text.py`` for the correctness
+gate; that constrains the designs to deterministic, engine-portable
+semantics (md5 for hashing, explicit tie-breaks, double math).
+
+North-star extension scope (BASELINE.json): the reference itself has
+no text operators; these are the operators a 100 TB LLM-data pipeline
+needs (token stats, quality scoring, language ID, fingerprints,
+shingles for dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.trim(F.lower(_c(col))), r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def char_count(col) -> Column:
+    return F.length(_c(col))
+
+
+def avg_token_length(col) -> Column:
+    """Mean token length in double math (NULL for empty docs)."""
+    t = tokens(col)
+    total = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(t) > 0, total / F.size(t).cast("double"))
+
+
+def type_token_ratio(col) -> Column:
+    """Lexical diversity: distinct tokens / tokens (double)."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) > 0,
+        F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double"),
+    )
+
+
+#: tiny built-in stopword profiles for the language-ID heuristic; word
+#: lists are the classic high-frequency function words per language.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "dans", "est", "que"),
+}
+
+
+def stopword_count(col, words: tuple[str, ...]) -> Column:
+    """How many tokens (with multiplicity) fall in the given word set."""
+    t = tokens(col)
+    return F.aggregate(
+        t,
+        F.lit(0),
+        lambda acc, x: acc + F.when(x.isin(*words), 1).otherwise(0),
+    )
+
+
+def stopword_ratio(col, words: tuple[str, ...] | None = None) -> Column:
+    words = words or LANG_STOPWORDS["en"]
+    t = tokens(col)
+    return F.when(
+        F.size(t) > 0,
+        stopword_count(col, words).cast("double") / F.size(t).cast("double"),
+    )
+
+
+def lang_id(col) -> Column:
+    """Heuristic language ID: argmax of per-language stopword counts,
+    ties broken by fixed language order (en, es, de, fr); 'und' when no
+    profile matches at all. Deterministic and SQL-portable by design —
+    the DuckDB oracle uses the same CASE chain."""
+    scores = {lang: stopword_count(col, ws) for lang, ws in LANG_STOPWORDS.items()}
+    en, es, de, fr = scores["en"], scores["es"], scores["de"], scores["fr"]
+    best = F.greatest(en, es, de, fr)
+    return (
+        F.when(best <= 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def normalized_text(col) -> Column:
+    """Canonical form for exact dedup: lowercase, trim, collapse runs
+    of whitespace to single spaces."""
+    return F.regexp_replace(F.trim(F.lower(_c(col))), r"\s+", " ")
+
+
+def content_fingerprint(col) -> Column:
+    """md5 of the normalized text — the exact-dedup key."""
+    return F.md5(normalized_text(col))
+
+
+def token_set_fingerprint(col) -> Column:
+    """md5 over the sorted distinct token set — catches word-order
+    shuffles that exact dedup misses."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(col))), " ")
+    )
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), [] for docs shorter than n.
+    The unit of MinHash / Jaccard near-dup detection."""
+    t = tokens(col)
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(t, i + F.lit(j + 1)) for j in range(n)]
+    )
+    return F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(t) - n), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def distinct_shingles(col, n: int = 3) -> Column:
+    return F.array_distinct(shingles(col, n))
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality heuristic: rewards lexical diversity,
+    mid-range length and a sane stopword rate. Weights are arbitrary
+    but fixed; double math for oracle parity."""
+    t = tokens(col)
+    n = F.size(t).cast("double")
+    ttr = type_token_ratio(col)
+    stop = stopword_ratio(col)
+    len_term = F.when(n >= 32.0, F.lit(1.0)).otherwise(n / 32.0)
+    stop_term = F.when(stop > 0.5, F.lit(0.0)).otherwise(F.lit(1.0) - stop)
+    return F.when(
+        F.size(t) > 0, (ttr + len_term + stop_term) / F.lit(3.0)
+    ).otherwise(F.lit(0.0))

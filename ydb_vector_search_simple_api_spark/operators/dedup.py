@@ -1,0 +1,366 @@
+"""Deduplication operators for the large-scale training-data pipeline.
+
+The reference has no dedup surface; these are north-star extensions
+(BASELINE.json) designed Spark-first for 100 TB corpora:
+
+* **exact**: hash-groupBy on a normalized-text fingerprint. One
+  shuffle on a 32-byte key; map-side partial aggregation does the
+  heavy lifting.
+* **n-gram Jaccard**: inverted-index self-join on distinct word
+  shingles -> exact Jaccard on the co-occurrence counts. The join key
+  is the shingle, so only documents *sharing* a shingle ever meet —
+  no all-pairs blowup. A document-frequency cap drops ubiquitous
+  shingles (stopword phrases), which is both a quality and a skew
+  fix: the hottest keys are exactly the useless ones.
+* **MinHash + LSH banding**: linear-cost candidate generation when
+  even the inverted index is too dense. Signatures via ``xxhash64``
+  (JVM, per-seed salting), OR-of-AND banding, then *exact* Jaccard
+  verification of candidates — output precision is 1.0 by
+  construction; banding only affects recall.
+* **SimHash**: 64-bit near-dup fingerprint via per-bit majority vote
+  over token hashes; pairs within a small Hamming radius. Explode ->
+  sum 64 sign-counters -> pack; all JVM built-ins with map-side
+  partial aggs.
+* **embedding cosine**: exact all-pairs above a similarity threshold
+  (oracle-able); the scale path prunes with the IVF index first
+  (same-cluster blocking) — see ``neardup_cosine_blocked``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..functions.distance import cosine_similarity
+
+
+# --------------------------------------------------------------- exact
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical (normalized) texts: (text_hash, keep_id, n_copies).
+
+    The dedup policy is deterministic: keep the minimum id.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            TXT.content_fingerprint(text_col).alias("text_hash"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ------------------------------------------------- n-gram Jaccard join
+
+
+def shingle_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    doc_freq_cap: int | None = None,
+) -> DataFrame:
+    """(id, shingle) pairs, one row per *distinct* shingle per doc.
+    ``doc_freq_cap`` drops shingles appearing in more than that many
+    docs — skew + quality control for the self-join."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(TXT.distinct_shingles(text_col, n)).alias("shingle"),
+    )
+    if doc_freq_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > doc_freq_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    doc_freq_cap: int | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram-shingle Jaccard similarity.
+
+    Inverted-index self-join: docs meet only through shared shingles;
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from the co-occurrence count and
+    per-doc distinct-shingle counts. Output (id_a, id_b, jaccard),
+    id_a < id_b.
+    """
+    sh = shingle_table(df, id_col, text_col, n, doc_freq_cap)
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    if round_digits is not None:
+        jac = F.round(jac, round_digits) + F.lit(0.0)
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ----------------------------------------------------- MinHash + LSH
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — per-seed min of salted xxhash64 over
+    the doc's distinct shingles. All JVM expressions: the shingle array
+    is transformed+aggregated per seed inside codegen."""
+    sh = TXT.distinct_shingles(text_col, n)
+    sig = F.array(
+        *[
+            F.aggregate(
+                F.transform(sh, lambda s, seed=i: F.xxhash64(F.concat(F.lit(f"mh{seed}:"), s))),
+                F.lit(None).cast("bigint"),
+                lambda acc, x: F.when(acc.isNull() | (x < acc), x).otherwise(acc),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """LSH-banded candidate generation + exact Jaccard verification.
+
+    Candidates: docs agreeing on ALL rows of at least one band
+    (band key = hash of that slice of the signature). Verification
+    joins back the distinct-shingle sets and computes exact Jaccard,
+    so every emitted pair truly clears ``threshold`` (precision 1.0;
+    banding affects recall only). Output (id_a, id_b, jaccard).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+
+    band_rows = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.col("sig")[b * rows + r] for r in range(rows)])
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    shing = df.select(
+        F.col(id_col).alias("id"), TXT.distinct_shingles(text_col, n).alias("sh")
+    )
+    sa = shing.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shing.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    if round_digits is not None:
+        jac = F.round(jac, round_digits) + F.lit(0.0)
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ SimHash
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash: per-bit majority vote over xxhash64 of the doc's
+    distinct tokens. Explode -> 64 conditional-sum aggregates (map-side
+    partial agg, pure JVM) -> pack bits with shiftleft/bitwise-or.
+    Output (id, simhash: bigint, n_tokens)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(TXT.tokens(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ],
+    )
+    packed = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return votes.select("id", packed.alias("simhash"), "n_tokens")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit hash into 4 16-bit bands; by pigeonhole,
+    any pair within Hamming distance 3 agrees exactly on at least one
+    band, so the self-join on (band, band_value) finds all such pairs
+    without an all-pairs comparison. Output (id_a, id_b, hamming).
+    """
+    sh = simhash(df, id_col, text_col)
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit(mask).cast("bigint"))
+                        .alias("bval"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------- embedding cosine near-dup
+
+
+def neardup_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact all-pairs embedding similarity above threshold
+    (id_a < id_b). Quadratic — the correctness baseline / oracle twin;
+    use :func:`neardup_cosine_blocked` for large corpora."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits) + F.lit(0.0)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def neardup_cosine_blocked(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Scale path: compare only pairs in the same (IVF) cluster —
+    the join key blocks the quadratic explosion to within-cluster.
+    Recall depends on cluster granularity; exact within each block."""
+    a = df.select(
+        F.col(cluster_col).alias("c"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(cluster_col).alias("c"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits) + F.lit(0.0)
+    return (
+        a.join(b, "c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

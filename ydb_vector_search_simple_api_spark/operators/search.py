@@ -172,7 +172,7 @@ def knn_join(
     )
     w = Window.partitionBy("query_id").orderBy(direction, F.col("id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "score", "rank")
     )

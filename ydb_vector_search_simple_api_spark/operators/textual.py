@@ -1,0 +1,104 @@
+"""Text-analysis queries over the ``documents`` table.
+
+North-star extension scope: token statistics, quality scoring,
+language ID, fingerprints — the per-document metrics a training-data
+pipeline computes in its first pass. Everything is a single
+projection/aggregation over the scan (no UDFs, no extra shuffles
+beyond the aggregations themselves).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..sources.store import load_documents
+
+ROUND = 6
+
+
+def _r(col):
+    return F.round(col, ROUND) + F.lit(0.0)
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: lengths, token counts, diversity, stopword
+    rate, composite quality. One pass over the scan."""
+    d = load_documents(spark, sf_dir)
+    return d.select(
+        F.col("doc_id"),
+        TXT.char_count("text").alias("n_chars_calc"),
+        TXT.token_count("text").alias("n_tokens"),
+        TXT.distinct_token_count("text").alias("n_types"),
+        _r(TXT.avg_token_length("text")).alias("avg_token_len"),
+        _r(TXT.type_token_ratio("text")).alias("ttr"),
+        _r(TXT.stopword_ratio("text")).alias("stop_ratio"),
+        _r(TXT.quality_score("text")).alias("quality"),
+    )
+
+
+def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language: doc counts and exact integer sums
+    (averages derived by one division — order-independent, unlike
+    floating AVG, so the result is bit-stable under any partitioning)."""
+    d = load_documents(spark, sf_dir)
+    per_doc = d.select(
+        "lang",
+        TXT.token_count("text").alias("n_tokens"),
+        F.col("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        _r(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_chars"),
+    )
+
+
+def token_frequencies(spark: SparkSession, sf_dir: str, top_n: int = 25) -> DataFrame:
+    """Global token frequency table, top-N with deterministic
+    (count DESC, token ASC) cut."""
+    d = load_documents(spark, sf_dir)
+    return (
+        d.select(F.explode(TXT.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_n)
+    )
+
+
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID per document (stopword-profile argmax)."""
+    d = load_documents(spark, sf_dir)
+    return d.select("doc_id", TXT.lang_id("text").alias("predicted_lang"))
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup keys per document: normalized-content md5 and
+    order-insensitive token-set md5."""
+    d = load_documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TXT.content_fingerprint("text").alias("content_hash"),
+        TXT.token_set_fingerprint("text").alias("token_set_hash"),
+    )
+
+
+def quality_filter(
+    spark: SparkSession, sf_dir: str, min_quality: float = 0.8, min_tokens: int = 16
+) -> DataFrame:
+    """The pipeline's keep-list: docs passing quality gates."""
+    d = load_documents(spark, sf_dir)
+    q = TXT.quality_score("text")
+    return (
+        d.select(
+            "doc_id",
+            TXT.token_count("text").alias("n_tokens"),
+            _r(q).alias("quality"),
+        )
+        .filter((F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens))
+    )

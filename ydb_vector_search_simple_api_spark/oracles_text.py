@@ -1,0 +1,206 @@
+"""DuckDB oracle SQL for the text / dedup / events / multimodal
+queries — exact twins of the Spark plans in ``operators/textual.py``,
+``operators/dedup.py``, ``operators/multimodal.py`` and
+``streaming/events.py``.
+
+Parity rules (same as ``oracles.py``): double math with identical
+operation order, ``ROUND(x, 6) + 0.0``, md5 for any hashing (identical
+hex in both engines), integer outputs as BIGINT (Spark side casts),
+deterministic tie-breaks, DECIMAL sums for floating aggregations
+(order-independent, then one cast to DOUBLE).
+"""
+
+from __future__ import annotations
+
+from .functions.text import LANG_STOPWORDS
+
+#: DuckDB expression for the Spark tokens() helper.
+TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+
+def _in_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _stop_count(words) -> str:
+    return (
+        f"list_sum(list_transform(t, x -> CASE WHEN x IN ({_in_list(words)}) "
+        f"THEN 1 ELSE 0 END))"
+    )
+
+
+def _shingles(n: int) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j + 1}]" for j in range(n))
+    return (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_transform(range(0, len(t)-{n}+1), i -> {gram}) "
+        f"ELSE [] END"
+    )
+
+
+TEXT_STATS = f"""
+WITH toks AS (SELECT doc_id, text, {TOKS} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars_calc,
+         len(t)::BIGINT AS n_tokens,
+         len(list_distinct(t))::BIGINT AS n_types,
+         list_sum(list_transform(t, x -> length(x)::DOUBLE)) AS tot_len,
+         len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS ttr_raw,
+         {_stop_count(LANG_STOPWORDS["en"])}::DOUBLE / len(t)::DOUBLE AS stop_raw,
+         len(t)::DOUBLE AS n
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, n_chars_calc, n_tokens, n_types,
+       ROUND(tot_len / n, 6) + 0.0 AS avg_token_len,
+       ROUND(ttr_raw, 6) + 0.0 AS ttr,
+       ROUND(stop_raw, 6) + 0.0 AS stop_ratio,
+       ROUND((ttr_raw
+              + (CASE WHEN n >= 32.0 THEN 1.0 ELSE n / 32.0 END)
+              + (CASE WHEN stop_raw > 0.5 THEN 0.0 ELSE 1.0 - stop_raw END)
+             ) / 3.0, 6) + 0.0 AS quality
+FROM m
+"""
+
+
+LANG_PROFILE = f"""
+WITH toks AS (SELECT lang, n_chars, len({TOKS})::BIGINT AS n_tokens FROM documents)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum(n_chars)::BIGINT AS total_chars,
+       ROUND(sum(n_chars)::DOUBLE / count(*)::DOUBLE, 6) + 0.0 AS avg_chars
+FROM toks GROUP BY lang
+"""
+
+
+def token_frequencies_sql(top_n: int = 25) -> str:
+    return f"""
+WITH toks AS (SELECT unnest({TOKS}) AS token FROM documents)
+SELECT token, count(*)::BIGINT AS cnt
+FROM toks GROUP BY token
+ORDER BY cnt DESC, token ASC LIMIT {top_n}
+"""
+
+
+def _lang_id_case() -> str:
+    scores = {lang: _stop_count(ws) for lang, ws in LANG_STOPWORDS.items()}
+    best = f"greatest({scores['en']}, {scores['es']}, {scores['de']}, {scores['fr']})"
+    return (
+        f"CASE WHEN {best} <= 0 THEN 'und' "
+        f"WHEN {scores['en']} = {best} THEN 'en' "
+        f"WHEN {scores['es']} = {best} THEN 'es' "
+        f"WHEN {scores['de']} = {best} THEN 'de' "
+        f"ELSE 'fr' END"
+    )
+
+
+LANG_ID = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents)
+SELECT doc_id, {_lang_id_case()} AS predicted_lang FROM toks
+"""
+
+
+FINGERPRINTS = f"""
+WITH toks AS (SELECT doc_id, text, {TOKS} AS t FROM documents)
+SELECT doc_id,
+       md5({NORM}) AS content_hash,
+       md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS token_set_hash
+FROM toks
+"""
+
+
+def quality_filter_sql(min_quality: float = 0.8, min_tokens: int = 16) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+m AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens,
+         len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS ttr_raw,
+         {_stop_count(LANG_STOPWORDS["en"])}::DOUBLE / len(t)::DOUBLE AS stop_raw,
+         len(t)::DOUBLE AS n
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, n_tokens,
+       ROUND((ttr_raw
+              + (CASE WHEN n >= 32.0 THEN 1.0 ELSE n / 32.0 END)
+              + (CASE WHEN stop_raw > 0.5 THEN 0.0 ELSE 1.0 - stop_raw END)
+             ) / 3.0, 6) + 0.0 AS quality
+FROM m
+WHERE ROUND((ttr_raw
+             + (CASE WHEN n >= 32.0 THEN 1.0 ELSE n / 32.0 END)
+             + (CASE WHEN stop_raw > 0.5 THEN 0.0 ELSE 1.0 - stop_raw END)
+            ) / 3.0, 6) + 0.0 >= {min_quality}
+  AND n_tokens >= {min_tokens}
+"""
+
+
+DEDUP_EXACT = f"""
+SELECT md5({NORM}) AS text_hash,
+       min(doc_id) AS keep_id,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def ngram_jaccard_sql(n: int = 3, threshold: float = 0.8) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct({_shingles(n)})) AS shingle FROM toks),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b,
+         ROUND(n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common)::DOUBLE, 6) + 0.0 AS jaccard
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+"""
+
+
+def neardup_cosine_sql(threshold: float = 0.4) -> str:
+    dot = (
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+    )
+    norm = lambda side: (
+        f"sqrt(list_sum(list_transform(list_zip({side}.embedding, {side}.embedding), "
+        f"x -> x[1]::DOUBLE * x[2]::DOUBLE)))"
+    )
+    sim = (
+        f"CASE WHEN {norm('a')} * {norm('b')} = 0 THEN NULL "
+        f"ELSE {dot} / ({norm('a')} * {norm('b')}) END"
+    )
+    return f"""
+WITH s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({sim}, 6) + 0.0 AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM s WHERE cosine >= {threshold}
+"""
+
+
+MULTIMODAL_META = """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS payload_md5,
+       'text/plain' AS media_type
+FROM documents
+"""
+
+
+EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(value::DECIMAL(18,6)) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""

@@ -51,6 +51,19 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with a proper TimestampType ``ts``.
+
+    The source parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects outright; ``nanosAsLong`` reads it as raw
+    nanos and we convert (truncating ns -> us, Spark's native
+    precision). This is the standard ingest-normalization step a real
+    pipeline would run once at the edge."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = load_table(spark, sf_dir, "events")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load_store_df(
     spark: SparkSession, sf_dir: str, columns: ColumnMap | None = None
 ) -> DataFrame:
@@ -73,4 +86,9 @@ def load_store_df(
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for the SQL surface."""
     for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        df = (
+            load_events(spark, sf_dir)
+            if name == "events"
+            else load_table(spark, sf_dir, name)
+        )
+        df.createOrReplaceTempView(name)

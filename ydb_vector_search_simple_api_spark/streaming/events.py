@@ -1,0 +1,117 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §2, deliberately
+absent); this is north-star extension scope. The operator is the
+classic event-time hourly rollup:
+
+``readStream(parquet) -> [withWatermark] -> groupBy(window(ts, 1h),
+event_type) -> count/sum -> memory sink``
+
+Two run modes:
+
+* :func:`hourly_event_counts_stream` — **complete** output mode with
+  ``availableNow`` (batch-over-stream): processes the whole table as a
+  stream and emits every window, so the result is comparable 1:1 with
+  the batch twin / DuckDB oracle.
+* :func:`hourly_event_counts_append` — **append** mode with a real
+  watermark: only windows the watermark has closed are emitted; the
+  tail window stays in state. This is the production shape for
+  unbounded sources (late data dropped after the lateness bound);
+  tested as a subset-relation against the batch result.
+
+``sum(value)`` goes through DECIMAL(18,6): decimal addition is exact
+and order-independent, so the result is bit-stable under any
+partitioning/trigger schedule — a floating sum would not be.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql import types as T
+
+from ..sources.store import load_events, table_path
+
+#: the on-disk shape with ts as raw nanos (see sources.store.load_events)
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the streaming file source wants a directory; glob-filter to the
+    # events file so sibling tables in sf_dir are not picked up
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _hourly_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the hourly rollup as a stream (availableNow, complete mode)
+    and return the materialized result."""
+    name = f"events_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        _hourly_agg(_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def hourly_event_counts_append(
+    spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
+) -> DataFrame:
+    """Production shape: watermarked append mode. Emits only closed
+    windows; the final window(s) within the lateness bound are retained
+    in state and not in the output."""
+    name = f"events_hourly_append_{uuid.uuid4().hex[:8]}"
+    events = _events_stream(spark, sf_dir).withWatermark("ts", lateness)
+    q = (
+        _hourly_agg(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def hourly_event_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming rollup (same plan, batch source)."""
+    return _hourly_agg(load_events(spark, sf_dir))
