@@ -1,0 +1,156 @@
+"""API-behavior parity: the validation matrix of app.py:314-390
+(SURVEY.md §5.2 item 6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark import api
+from ydb_vector_search_simple_api_spark.config import SearchConfig
+from ydb_vector_search_simple_api_spark.operators import index as ivf
+from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def qvec(spark):
+    row = load_embeddings(spark, SF_SMALL).filter(F.col("vec_id") == 0).head()
+    return [float(x) for x in row.embedding]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return api.VectorSearchEngine(spark, SF_SMALL)
+
+
+def test_health():
+    assert api.health() == ({"status": "ok"}, 200)
+
+
+def test_engine_probe(engine):
+    assert engine.healthy()
+
+
+def test_config_echo(engine):
+    payload, code = api.config_echo(engine)
+    assert code == 200
+    assert payload["search_strategy"] == "CosineSimilarity"
+    assert payload["index_enabled"] is False
+
+
+def test_empty_body(engine):
+    for body in (None, {}):
+        payload, code = api.search_request(engine, body)
+        assert code == 400 and payload["error"] == "Request body is required"
+
+
+def test_neither_embedding_nor_query(engine):
+    payload, code = api.search_request(engine, {"k": 4})
+    assert code == 400
+    assert payload["error"] == "Either 'embedding' or 'query' field is required"
+
+
+def test_both_embedding_and_query(engine, qvec):
+    payload, code = api.search_request(engine, {"embedding": qvec, "query": "hi"})
+    assert code == 400
+    assert payload["error"] == "Provide either 'embedding' or 'query', not both"
+
+
+def test_embedding_must_be_list(engine):
+    payload, code = api.search_request(engine, {"embedding": "not-a-list"})
+    assert code == 400 and "must be a list" in payload["error"]
+
+
+def test_query_must_be_nonempty(engine):
+    for q in ("", "   ", 42):
+        payload, code = api.search_request(engine, {"query": q})
+        assert code == 400 and payload["error"] == "query must be a non-empty string"
+
+
+def test_k_validation(engine, qvec):
+    for k in (0, -1, 2.5, "4", True):
+        payload, code = api.search_request(engine, {"embedding": qvec, "k": k})
+        assert code == 400 and payload["error"] == "k must be a positive integer"
+
+
+def test_top_size_validation(engine, qvec):
+    payload, code = api.search_request(
+        engine, {"embedding": qvec, "index_tree_search_top_size": 0}
+    )
+    assert code == 400
+    assert payload["error"] == "index_tree_search_top_size must be a positive integer"
+
+
+def test_query_without_embedding_url_is_501(engine):
+    payload, code = api.search_request(engine, {"query": "find me"})
+    assert code == 501 and "EMBEDDING_API_URL is not configured" in payload["error"]
+
+
+def test_query_with_failing_api_is_502(spark):
+    eng = api.VectorSearchEngine(
+        spark,
+        SF_SMALL,
+        embed_fn=lambda q: (_ for _ in ()).throw(RuntimeError("Embedding API request failed: boom")),
+    )
+    payload, code = api.search_request(eng, {"query": "find me"})
+    assert code == 502 and "Embedding API request failed" in payload["error"]
+
+
+def test_successful_search_default_k(engine, qvec):
+    payload, code = api.search_request(engine, {"embedding": qvec})
+    assert code == 200
+    assert payload["count"] == 4  # default k (app.py:363)
+    assert payload["search_time_ms"] > 0
+    top = payload["results"][0]
+    assert set(top) == {"id", "title", "vendor", "description", "score"}
+    assert top["id"] == 0 and top["score"] == pytest.approx(1.0)
+
+
+def test_search_with_filter(engine, qvec):
+    payload, code = api.search_request(
+        engine, {"embedding": qvec, "k": 5, "filter": {"vendor": "fr"}}
+    )
+    assert code == 200
+    assert all(r["vendor"] == "fr" for r in payload["results"])
+
+
+def test_filter_with_index_rejected_in_strict_mode(spark, qvec, tmp_path):
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = ivf.build_ivf_index(spark, embs, str(tmp_path / "ivf"), n_clusters=4)
+    eng = api.VectorSearchEngine(
+        spark, SF_SMALL, config=SearchConfig(index_enabled=True), index=idx
+    )
+    payload, code = api.search_request(
+        eng, {"embedding": qvec, "filter": {"vendor": "fr"}}
+    )
+    # reference: ValueError escapes to the catch-all -> 500 (app.py:170-172, 388-390)
+    assert code == 500
+    assert payload["error"] == "Unable to use filter with enabled vector index."
+
+
+def test_index_engine_searches(spark, qvec, tmp_path):
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = ivf.build_ivf_index(spark, embs, str(tmp_path / "ivf2"), n_clusters=4)
+    eng = api.VectorSearchEngine(
+        spark, SF_SMALL, config=SearchConfig(index_enabled=True), index=idx
+    )
+    payload, code = api.search_request(
+        eng, {"embedding": qvec, "k": 3, "index_tree_search_top_size": 4}
+    )
+    assert code == 200 and payload["count"] == 3
+    assert payload["results"][0]["id"] == 0
+
+
+def test_unknown_filter_keys_silently_ignored(engine, qvec):
+    """Reference reads only title/vendor/description from the filter
+    object and ignores other keys (app.py:176-181)."""
+    payload, code = api.search_request(
+        engine, {"embedding": qvec, "k": 2, "filter": {"bogus": "x"}}
+    )
+    assert code == 200 and payload["count"] == 2

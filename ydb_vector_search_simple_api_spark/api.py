@@ -1,0 +1,214 @@
+"""API façade: the reference's HTTP surface re-expressed as an
+engine-backed library (O13/O14/O15/O16/O17/O18).
+
+``search_request`` reproduces the validation matrix and response shape
+of ``POST /search`` (``/root/reference/app.py:281-390``) — same error
+messages, same status codes, same defaults — over the Spark engine
+instead of YDB. HTTP framing itself is deliberately out of the core
+(SURVEY.md §7.0: library-first; any web framework can wrap these
+functions in a dozen lines).
+
+Status mapping (app.py:330-338, 349-354, 368-375, 388-390):
+  400 validation, 501 embedding URL unset, 502 embedding API failure,
+  500 anything else (including the filter x index rejection of
+  app.py:170-172 in strict compat mode).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.error
+import urllib.request
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_SEARCH_TOP_SIZE, SearchConfig
+from .operators import index as ivf_mod
+from .operators.search import exact_search
+from .sources.store import load_documents
+
+
+def get_query_embedding(
+    query: str, api_url: str | None = None, timeout: float = 30.0
+) -> list[float]:
+    """Text -> embedding via external HTTP API (O13; app.py:105-154).
+
+    Same contract: POST ``{"TextSegments": {"query": q}}``, expect
+    ``{"Embedding": [...]}``; ValueError if the URL is unconfigured,
+    RuntimeError on transport/response failures.
+    """
+    url = api_url or os.environ.get("EMBEDDING_API_URL", "")
+    if not url:
+        raise ValueError(
+            "EMBEDDING_API_URL is not configured. "
+            "Please set it in .env file or provide 'embedding' parameter directly."
+        )
+    payload = json.dumps({"TextSegments": {"query": query}}).encode()
+    req = urllib.request.Request(
+        url, data=payload, headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            data = json.loads(resp.read())
+    except (urllib.error.URLError, OSError, json.JSONDecodeError) as e:
+        raise RuntimeError(f"Embedding API request failed: {e}") from e
+    embedding = data.get("Embedding")
+    if embedding is None:
+        raise RuntimeError("API response does not contain 'Embedding' key")
+    if not isinstance(embedding, list):
+        raise RuntimeError(f"Expected embedding to be a list, got {type(embedding)}")
+    return embedding
+
+
+@dataclass
+class VectorSearchEngine:
+    """The engine behind the API: exact search by default, IVF-pruned
+    when ``config.index_enabled`` and an index is attached."""
+
+    spark: SparkSession
+    sf_dir: str
+    config: SearchConfig = field(default_factory=SearchConfig)
+    index: ivf_mod.IvfIndex | None = None
+    #: pluggable text embedder (tests inject a fake; prod uses O13)
+    embed_fn: Callable[[str], list[float]] | None = None
+
+    def embed(self, query: str) -> list[float]:
+        fn = self.embed_fn or get_query_embedding
+        return fn(query)
+
+    def search(
+        self,
+        embedding: list[float],
+        k: int,
+        filter: dict | None = None,
+        search_top_size: int | None = None,
+    ):
+        """Returns (results: list[dict], seconds). Mirrors
+        execute_search (app.py:230-264) incl. the strict-mode
+        filter x index rejection (app.py:170-172)."""
+        t0 = time.perf_counter()
+        if self.config.index_enabled and self.index is not None:
+            if filter and self.config.strict_filter_index_exclusion:
+                raise ValueError("Unable to use filter with enabled vector index.")
+            topk = ivf_mod.ivf_search(
+                self.spark,
+                self.index,
+                embedding,
+                k=k,
+                strategy=self.config.strategy,
+                search_top_size=search_top_size or self.config.search_top_size,
+            )
+            m = self.config.columns
+            docs = load_documents(self.spark, self.sf_dir).select(
+                F.col(m.id).alias("id"),
+                F.col(m.title).alias("title"),
+                F.col(m.vendor).alias("vendor"),
+                F.col(m.description).alias("description"),
+            )
+            df = topk.join(F.broadcast(docs), "id", "inner").select(
+                "id", "title", "vendor", "description", "score"
+            )
+        else:
+            df = exact_search(
+                self.spark,
+                self.sf_dir,
+                embedding,
+                k=k,
+                strategy=self.config.strategy,
+                filter=filter,
+                columns=self.config.columns,
+            )
+        results = [r.asDict() for r in df.collect()]
+        return results, time.perf_counter() - t0
+
+    def healthy(self) -> bool:
+        """Connectivity probe: SELECT 1 (O16; app.py:89-102)."""
+        try:
+            return self.spark.sql("SELECT 1 AS test").collect()[0].test == 1
+        except Exception:
+            return False
+
+
+def health() -> tuple[dict, int]:
+    """GET /health (app.py:274-278) — static, does not re-probe."""
+    return {"status": "ok"}, 200
+
+
+def config_echo(engine: VectorSearchEngine) -> tuple[dict, int]:
+    """GET /config (app.py:393-405)."""
+    c = engine.config
+    return (
+        {
+            "source": engine.sf_dir,
+            "table": "documents+embeddings",
+            "search_strategy": c.strategy,
+            "index_enabled": c.index_enabled,
+            "search_top_size": c.search_top_size,
+            "columns": c.columns.__dict__,
+        },
+        200,
+    )
+
+
+def search_request(engine: VectorSearchEngine, data: dict | None) -> tuple[dict, int]:
+    """POST /search semantics, exactly as app.py:314-390."""
+    try:
+        if not data:
+            return {"error": "Request body is required"}, 400
+
+        has_embedding = "embedding" in data
+        has_query = "query" in data
+        if not has_embedding and not has_query:
+            return {"error": "Either 'embedding' or 'query' field is required"}, 400
+        if has_embedding and has_query:
+            return {"error": "Provide either 'embedding' or 'query', not both"}, 400
+
+        if has_query:
+            query_text = data["query"]
+            if not isinstance(query_text, str) or not query_text.strip():
+                return {"error": "query must be a non-empty string"}, 400
+            try:
+                embedding = engine.embed(query_text)
+            except ValueError as e:
+                return {"error": str(e)}, 501
+            except RuntimeError as e:
+                return {"error": str(e)}, 502
+        else:
+            embedding = data["embedding"]
+            if not isinstance(embedding, list):
+                return {"error": "embedding must be a list of floats"}, 400
+
+        k = data.get("k", 4)
+        top_size = data.get("index_tree_search_top_size", DEFAULT_SEARCH_TOP_SIZE)
+        filter_params = data.get("filter", None)
+        if filter_params:
+            # the reference reads only these three keys and silently
+            # ignores the rest (app.py:176-181); the engine itself is
+            # strict, so mirror the lenient HTTP semantics here
+            filter_params = {
+                key: v
+                for key, v in filter_params.items()
+                if key in ("title", "vendor", "description")
+            } or None
+
+        if not isinstance(k, int) or isinstance(k, bool) or k <= 0:
+            return {"error": "k must be a positive integer"}, 400
+        if not isinstance(top_size, int) or isinstance(top_size, bool) or top_size <= 0:
+            return {"error": "index_tree_search_top_size must be a positive integer"}, 400
+
+        results, seconds = engine.search(embedding, k, filter_params, top_size)
+        return (
+            {
+                "results": results,
+                "count": len(results),
+                "search_time_ms": seconds * 1000,
+            },
+            200,
+        )
+    except Exception as e:  # catch-all -> 500 (app.py:388-390)
+        return {"error": str(e)}, 500
