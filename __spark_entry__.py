@@ -18,9 +18,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ydb_vector_search_simple_api_spark import oracles, oracles_text
+from ydb_vector_search_simple_api_spark import oracles, oracles_rel, oracles_text
 from ydb_vector_search_simple_api_spark.config import STRATEGIES
-from ydb_vector_search_simple_api_spark.operators import dedup, multimodal, textual
+from ydb_vector_search_simple_api_spark.operators import dedup, multimodal, relational, textual
 from ydb_vector_search_simple_api_spark.operators import index as ivf
 from ydb_vector_search_simple_api_spark.operators.search import exact_search, knn_join
 from ydb_vector_search_simple_api_spark.sources.store import load_documents, load_embeddings
@@ -184,6 +184,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- structured streaming rollup (complete mode == batch result)
     q["events_hourly_stream"] = streaming_events.hourly_event_counts_stream
+
+    # ---- relational coverage (joins/agg/window/rollup/anti/semi)
+    q["pricing_summary"] = relational.pricing_summary
+    q["revenue_by_nation"] = relational.revenue_by_nation
+    q["top_customers_per_nation"] = relational.top_customers_per_nation
+    q["orders_rollup"] = relational.orders_rollup
+    q["customers_without_orders"] = relational.customers_without_orders
+    q["parts_ordered_by_brand"] = relational.parts_ordered_by_brand
     return q
 
 
@@ -217,4 +225,11 @@ def oracle_sql() -> dict[str, str]:
     # in tests/test_dedup.py)
     o["multimodal_meta"] = oracles_text.MULTIMODAL_META
     o["events_hourly_stream"] = oracles_text.EVENTS_HOURLY
+
+    o["pricing_summary"] = oracles_rel.PRICING_SUMMARY
+    o["revenue_by_nation"] = oracles_rel.REVENUE_BY_NATION
+    o["top_customers_per_nation"] = oracles_rel.top_customers_sql(3)
+    o["orders_rollup"] = oracles_rel.ORDERS_ROLLUP
+    o["customers_without_orders"] = oracles_rel.CUSTOMERS_WITHOUT_ORDERS
+    o["parts_ordered_by_brand"] = oracles_rel.PARTS_ORDERED_BY_BRAND
     return o

@@ -1,0 +1,61 @@
+"""Relational coverage: results sanity + scale-shape plan assertions."""
+
+from __future__ import annotations
+
+import pytest
+
+from ydb_vector_search_simple_api_spark.operators import relational as R
+from ydb_vector_search_simple_api_spark.plans import checks
+
+from conftest import SF_SMALL
+
+
+def test_pricing_summary_groups(spark):
+    rows = R.pricing_summary(spark, SF_SMALL).collect()
+    flags = {(r.l_returnflag, r.l_linestatus) for r in rows}
+    assert len(rows) == len(flags) > 0
+    for r in rows:
+        assert r.count_order > 0
+        assert r.sum_disc_price <= r.sum_base_price
+        assert r.sum_charge >= r.sum_disc_price
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    df = R.revenue_by_nation(spark, SF_SMALL)
+    plan = checks.simple_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_revenue_partition_totals(spark):
+    rows = R.revenue_by_nation(spark, SF_SMALL).collect()
+    assert sum(r.n_lineitems for r in rows) > 0
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_top_customers_rank_bounds(spark):
+    rows = R.top_customers_per_nation(spark, SF_SMALL, top=3).collect()
+    per_nation = {}
+    for r in rows:
+        per_nation.setdefault(r.n_name, []).append(r.rank)
+    for ranks in per_nation.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert max(ranks) <= 3
+
+
+def test_rollup_grand_total(spark):
+    rows = R.orders_rollup(spark, SF_SMALL).collect()
+    grand = [r for r in rows if r.o_orderstatus is None and r.o_orderpriority is None]
+    assert len(grand) == 1
+    leaf_total = sum(
+        r.n_orders
+        for r in rows
+        if r.o_orderstatus is not None and r.o_orderpriority is not None
+    )
+    assert grand[0].n_orders == leaf_total
+
+
+def test_anti_and_semi_join_partition(spark):
+    without = R.customers_without_orders(spark, SF_SMALL).count()
+    brands = R.parts_ordered_by_brand(spark, SF_SMALL).collect()
+    assert without >= 0
+    assert sum(b.n_supplied_parts for b in brands) > 0

@@ -1,0 +1,136 @@
+"""Relational operator coverage over the TPC-H-ish tables.
+
+The reference deliberately has no joins/aggregations/windows
+(SURVEY.md §2, "deliberately absent"); these queries are extension
+scope proving the engine's relational surface with stock Spark
+operators, shaped for scale:
+
+* dimension joins are broadcast (nation/region/customer vs lineitem);
+* floating aggregations go through DECIMAL(18,6) per-row casts so the
+  sums are exact and order-independent — bit-stable under any
+  partitioning (a double sum is neither);
+* derived averages are one division of exact sums, not AVG();
+* windows partition by a bounded key (nation), never unpartitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.store import load_table
+
+DEC = "decimal(18,6)"
+
+
+def _dsum(col) -> F.Column:
+    """Exact, order-independent sum of a double column (via decimal),
+    surfaced back as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate over lineitem with exact
+    decimal sums; avgs derived from sums (deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = revenue * (F.lit(1.0) + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(revenue).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (F.round(_dsum("l_quantity") / n.cast("double"), 6) + F.lit(0.0)).alias("avg_qty"),
+            (F.round(_dsum("l_discount") / n.cast("double"), 6) + F.lit(0.0)).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem ⋈ nation ⋈ region: the classic
+    star join. Dimensions (nation, region, customer at these SFs) are
+    broadcast; the single shuffle is the final groupBy(n_name)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dsum(F.col("rev")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str, top: int = 3) -> DataFrame:
+    """Window coverage: rank customers by exact total spend within each
+    nation, keep the top N (ties broken by custkey)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(_dsum("o_totalprice").alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("total_spend").desc(), F.col("o_custkey").asc()
+    )
+    return (
+        spend.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top)
+        .select(
+            "n_name",
+            F.col("o_custkey").alias("custkey"),
+            "total_spend",
+            "n_orders",
+            "rank",
+        )
+    )
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP coverage: order counts by (status, priority) with
+    subtotals and a grand total; exact decimal price sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("total_price"),
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage: NOT EXISTS as a left_anti join."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def parts_ordered_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join coverage: parts with at least one lineitem (EXISTS),
+    counted per brand."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    supplied = part.join(
+        li, part["p_partkey"] == li["l_partkey"], "left_semi"
+    )
+    return supplied.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_supplied_parts")
+    )

@@ -1,0 +1,88 @@
+"""DuckDB oracle SQL twins for ``operators/relational.py``.
+
+Same parity rules as the other oracle modules; floating sums go
+through ``DECIMAL(18,6)`` per-row casts in BOTH engines so the
+aggregation is exact and order-independent (binary doubles essentially
+never land on exact decimal rounding ties, so the double->decimal cast
+is deterministic and identical across engines).
+"""
+
+from __future__ import annotations
+
+
+def _dsum(expr: str) -> str:
+    return f"CAST(sum(({expr})::DECIMAL(18,6)) AS DOUBLE)"
+
+
+PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum("l_quantity")} AS sum_qty,
+       {_dsum("l_extendedprice")} AS sum_base_price,
+       {_dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       {_dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       ROUND({_dsum("l_quantity")} / count(*)::DOUBLE, 6) + 0.0 AS avg_qty,
+       ROUND({_dsum("l_discount")} / count(*)::DOUBLE, 6) + 0.0 AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+REVENUE_BY_NATION = f"""
+SELECT r_name, n_name,
+       {_dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       count(*)::BIGINT AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def top_customers_sql(top: int = 3) -> str:
+    return f"""
+WITH spend AS (
+  SELECT o_custkey,
+         {_dsum("o_totalprice")} AS total_spend,
+         count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT n_name, o_custkey AS custkey, total_spend, n_orders,
+         ROW_NUMBER() OVER (
+           PARTITION BY n_name ORDER BY total_spend DESC, o_custkey ASC
+         ) AS rank
+  FROM spend
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+SELECT n_name, custkey, total_spend, n_orders, rank
+FROM ranked WHERE rank <= {top}
+"""
+
+
+ORDERS_ROLLUP = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       {_dsum("o_totalprice")} AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+PARTS_ORDERED_BY_BRAND = """
+SELECT p_brand, count(*)::BIGINT AS n_supplied_parts
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+"""
