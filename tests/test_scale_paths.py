@@ -1,0 +1,68 @@
+"""Scale-path variants must agree with their exact/declarative twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.operators import enrich
+from ydb_vector_search_simple_api_spark.operators.search import knn_join, knn_join_blocked
+from ydb_vector_search_simple_api_spark.sources.store import load_documents, load_embeddings
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def qc(spark):
+    embs = load_embeddings(spark, SF_SMALL)
+    queries = embs.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
+    return queries, corpus
+
+
+# Euclidean uses the ||a||^2 - 2ab + ||b||^2 BLAS expansion, which
+# loses ~sqrt(eps) to cancellation near zero distance — wider abs tol.
+@pytest.mark.parametrize(
+    "strategy,tol",
+    [
+        ("CosineSimilarity", 1e-9),
+        ("InnerProductSimilarity", 1e-9),
+        ("EuclideanDistance", 1e-6),
+        ("ManhattanDistance", 1e-9),
+    ],
+)
+def test_blocked_knn_matches_window_knn(spark, qc, strategy, tol):
+    queries, corpus = qc
+    exact = {
+        (r.query_id, r.rank): (r.id, r.score)
+        for r in knn_join(spark, queries, corpus, k=5, strategy=strategy).collect()
+    }
+    blocked = {
+        (r.query_id, r.rank): (r.id, r.score)
+        for r in knn_join_blocked(spark, queries, corpus, k=5, strategy=strategy).collect()
+    }
+    assert set(exact) == set(blocked)
+    for key, (eid, escore) in exact.items():
+        bid, bscore = blocked[key]
+        assert bid == eid, (key, strategy)
+        assert bscore == pytest.approx(escore, abs=tol)
+
+
+def test_embed_column_plumbing(spark):
+    docs = load_documents(spark, SF_SMALL).limit(50)
+    out = enrich.embed_column(docs, dim=32)
+    rows = out.collect()
+    assert out.columns == docs.columns + ["embedding"]
+    assert len(rows) == 50
+    import numpy as np
+
+    for r in rows[:10]:
+        v = np.array(r.embedding)
+        assert v.shape == (32,)
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+    # determinism: same text -> same vector across runs
+    again = {r.doc_id: r.embedding for r in enrich.embed_column(docs, dim=32).collect()}
+    for r in rows:
+        assert again[r.doc_id] == r.embedding

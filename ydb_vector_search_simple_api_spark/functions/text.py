@@ -124,17 +124,34 @@ def token_set_fingerprint(col) -> Column:
     )
 
 
+def shingles_from_tokens(tok_col, n: int = 3) -> Column:
+    """Word n-gram shingles from a token-array column.
+
+    Built as a zip_with/slice chain — gram i is grown by zipping the
+    array with itself shifted j places — so the token input is
+    referenced only ~n times TOTAL, not n times PER GRAM. This matters
+    because Catalyst has no let-binding: optimizer rewrites (projection
+    collapse, inferred-filter pushdown through exchanges) re-inline the
+    input expression at every reference, and with per-gram element_at
+    references one shingling used to re-run the regex split O(grams*n)
+    times per row. With this shape a full re-inline costs ~n extra
+    splits per row — bounded no matter where Catalyst moves it."""
+    t = _c(tok_col)
+    acc = t
+    for j in range(1, n):
+        shifted = F.slice(t, j + 1, F.greatest(F.size(t) - j, F.lit(0)))
+        # zip_with pads the shorter side with NULL and concat_ws skips
+        # NULLs, so tail entries hold partial grams — sliced off below
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(acc, 1, F.greatest(F.size(t) - (n - 1), F.lit(0)))
+
+
 def shingles(col, n: int = 3) -> Column:
     """Word n-gram shingles (space-joined), [] for docs shorter than n.
-    The unit of MinHash / Jaccard near-dup detection."""
-    t = tokens(col)
-    gram = lambda i: F.concat_ws(
-        " ", *[F.element_at(t, i + F.lit(j + 1)) for j in range(n)]
-    )
-    return F.when(
-        F.size(t) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(t) - n), gram),
-    ).otherwise(F.array().cast("array<string>"))
+    The unit of MinHash / Jaccard near-dup detection. Convenience form
+    over raw text — for bulk pipelines prefer
+    :func:`shingles_from_tokens` over a materialized token column."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def distinct_shingles(col, n: int = 3) -> Column:

@@ -32,7 +32,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
-from ..functions.distance import cosine_similarity
+from ..functions.distance import dot, l2_norm
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Heavy per-row compute (shingling, signatures, pair scoring) is
+    bounded by the scan's split count. A 100 TB corpus scans as
+    thousands of splits (no-op here); a small local file scans as ONE,
+    serializing everything downstream — repartition up to the cluster's
+    parallelism in that case."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def shingled_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sh: array<string>) with the shingle array built from a
+    token array MATERIALIZED behind one shuffle barrier.
+
+    Two scale facts force this shape: (a) Catalyst has no let-binding,
+    so an expression referenced k times is evaluated k times — the
+    regex tokenization would otherwise re-run per element_at reference
+    (O(grams x n) splits per row) and again per MinHash seed;
+    (b) projections collapse, so only a physical barrier (the
+    repartition exchange) pins the token array to be computed exactly
+    once. One linear shuffle of tokenized rows buys k-fold reuse
+    downstream — the right trade at any scale. The same exchange is
+    shared by every consumer of this table in one query
+    (ReusedExchange), e.g. LSH banding + verification self-joins."""
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    toks = df.select(
+        F.col(id_col).alias("id"), TXT.tokens(text_col).alias("toks")
+    ).repartition(target, "id")
+    return toks.select(
+        "id",
+        F.array_distinct(TXT.shingles_from_tokens(F.col("toks"), n)).alias("sh"),
+    )
 
 
 # --------------------------------------------------------------- exact
@@ -69,9 +112,8 @@ def shingle_table(
     """(id, shingle) pairs, one row per *distinct* shingle per doc.
     ``doc_freq_cap`` drops shingles appearing in more than that many
     docs — skew + quality control for the self-join."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(TXT.distinct_shingles(text_col, n)).alias("shingle"),
+    sh = shingled_table(df, id_col, text_col, n).select(
+        "id", F.explode("sh").alias("shingle")
     )
     if doc_freq_cap is not None:
         hot = (
@@ -129,6 +171,13 @@ def ngram_jaccard_pairs(
 # ----------------------------------------------------- MinHash + LSH
 
 
+def _sig_element(sh, seed: int):
+    """min over the doc's shingles of the seed-salted xxhash64."""
+    return F.array_min(
+        F.transform(sh, lambda s: F.xxhash64(F.concat(F.lit(f"mh{seed}:"), s)))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -137,20 +186,13 @@ def minhash_signatures(
     num_hashes: int = 16,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — per-seed min of salted xxhash64 over
-    the doc's distinct shingles. All JVM expressions: the shingle array
-    is transformed+aggregated per seed inside codegen."""
-    sh = TXT.distinct_shingles(text_col, n)
-    sig = F.array(
-        *[
-            F.aggregate(
-                F.transform(sh, lambda s, seed=i: F.xxhash64(F.concat(F.lit(f"mh{seed}:"), s))),
-                F.lit(None).cast("bigint"),
-                lambda acc, x: F.when(acc.isNull() | (x < acc), x).otherwise(acc),
-            )
-            for i in range(num_hashes)
-        ]
-    )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    the doc's distinct shingles. All JVM expressions; the shingle array
+    is materialized ONCE (:func:`shingled_table`) and each of the
+    ``num_hashes`` transforms reads the stored array instead of
+    re-tokenizing the text."""
+    shingled = shingled_table(df, id_col, text_col, n)
+    sig = F.array(*[_sig_element(F.col("sh"), i) for i in range(num_hashes)])
+    return shingled.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -174,9 +216,14 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # ONE materialized shingle table feeds signatures, banding AND
+    # verification — identical subplans below the exchange become
+    # ReusedExchange instead of recomputing the tokenization.
+    shingled = shingled_table(df, id_col, text_col, n)
 
-    band_rows = sigs.select(
+    # each signature element belongs to exactly one band, so inlining
+    # the sig expressions into the band structs duplicates no work
+    band_rows = shingled.select(
         "id",
         F.explode(
             F.array(
@@ -184,7 +231,13 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(",", *[F.col("sig")[b * rows + r] for r in range(rows)])
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    _sig_element(F.col("sh"), b * rows + r)
+                                    for r in range(rows)
+                                ],
+                            )
                         ).alias("bkey"),
                     )
                     for b in range(bands)
@@ -205,11 +258,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    shing = df.select(
-        F.col(id_col).alias("id"), TXT.distinct_shingles(text_col, n).alias("sh")
-    )
-    sa = shing.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = shing.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sa = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union.cast("double")
@@ -237,7 +287,7 @@ def simhash(
     distinct tokens. Explode -> 64 conditional-sum aggregates (map-side
     partial agg, pure JVM) -> pack bits with shiftleft/bitwise-or.
     Output (id, simhash: bigint, n_tokens)."""
-    toks = df.select(
+    toks = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(TXT.tokens(text_col))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
@@ -323,10 +373,27 @@ def neardup_cosine_pairs(
 ) -> DataFrame:
     """Exact all-pairs embedding similarity above threshold
     (id_a < id_b). Quadratic — the correctness baseline / oracle twin;
-    use :func:`neardup_cosine_blocked` for large corpora."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    use :func:`neardup_cosine_blocked` for large corpora.
+
+    Norms are computed once per ROW before the join (n folds), not once
+    per PAIR (n^2 folds) — same IEEE op sequence as
+    ``cosine_similarity`` (l2_norm(a)*l2_norm(b) denominator), so oracle
+    parity is preserved while per-pair work drops to one dot product."""
+    src = _ensure_parallelism(df)
+    a = src.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = src.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
+    denom = F.col("na") * F.col("nb")
+    sim = F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(
+        dot(F.col("va"), F.col("vb")) / denom
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits) + F.lit(0.0)
     return (
@@ -348,13 +415,23 @@ def neardup_cosine_blocked(
     """Scale path: compare only pairs in the same (IVF) cluster —
     the join key blocks the quadratic explosion to within-cluster.
     Recall depends on cluster granularity; exact within each block."""
-    a = df.select(
-        F.col(cluster_col).alias("c"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    src = _ensure_parallelism(df)
+    a = src.select(
+        F.col(cluster_col).alias("c"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
     )
-    b = df.select(
-        F.col(cluster_col).alias("c"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    b = src.select(
+        F.col(cluster_col).alias("c"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
     )
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    denom = F.col("na") * F.col("nb")
+    sim = F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(
+        dot(F.col("va"), F.col("vb")) / denom
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits) + F.lit(0.0)
     return (

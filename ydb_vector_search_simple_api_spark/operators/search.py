@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import (
@@ -163,8 +163,6 @@ def knn_join(
         score = F.round(score, round_digits) + F.lit(0.0)
     scored = c.crossJoin(F.broadcast(q)).withColumn("score", score)
 
-    from pyspark.sql import Window
-
     direction = (
         F.col("score").desc_nulls_last()
         if sort_descending(strategy)
@@ -173,6 +171,109 @@ def knn_join(
     w = Window.partitionBy("query_id").orderBy(direction, F.col("id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )
+
+
+def knn_join_blocked(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Scale-path batch kNN join: NumPy-blocked scoring + two-level
+    top-k. Same results as :func:`knn_join` (modulo last-ulp float
+    ties), radically less shuffle.
+
+    Stage 1 (map-side, zero shuffle): the query matrix is broadcast;
+    each Arrow batch of the corpus is scored as ONE matrix product
+    (BLAS) and reduced to the local top-k per query — so only
+    ``n_queries x k`` candidate triples leave each partition instead
+    of ``n_queries x batch_rows``.
+    Stage 2: a ranked window over the surviving
+    ``n_queries x n_partitions x k`` candidates — the per-group
+    analogue of TakeOrderedAndProject.
+
+    Output: (query_id, id, score, rank), score as float64 from BLAS
+    (summation order differs from the sequential-fold Column
+    expressions in the last ulp — hence no SQL oracle; equivalence to
+    :func:`knn_join` is asserted in tests).
+    """
+    import numpy as np
+    import pandas as pd
+
+    validate_strategy(strategy)
+    q_rows = (
+        queries_df.select(
+            F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+        )
+        .collect()
+    )
+    qids = np.array([r.qid for r in q_rows])
+    Q = np.array([r.qv for r in q_rows], dtype=np.float64)  # (nq, d)
+    desc = sort_descending(strategy)
+    bc = spark.sparkContext.broadcast((qids, Q, strategy, desc, k))
+
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def score_block(batches):
+        qids_, Q_, strat, desc_, k_ = bc.value
+        Qn = Q_ / np.maximum(np.linalg.norm(Q_, axis=1, keepdims=True), 1e-300)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)  # (m, d)
+            if strat == "InnerProductSimilarity":
+                S = E @ Q_.T
+            elif strat in ("CosineSimilarity", "CosineDistance"):
+                En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
+                S = En @ Qn.T
+                if strat == "CosineDistance":
+                    S = 1.0 - S
+            elif strat == "EuclideanDistance":
+                d2 = (
+                    (E * E).sum(axis=1)[:, None]
+                    - 2.0 * (E @ Q_.T)
+                    + (Q_ * Q_).sum(axis=1)[None, :]
+                )
+                S = np.sqrt(np.maximum(d2, 0.0))
+            else:  # ManhattanDistance
+                S = np.abs(E[:, None, :] - Q_[None, :, :]).sum(axis=2)
+            m = len(ids)
+            kk = min(k_, m)
+            order = np.argsort(-S if desc_ else S, axis=0, kind="stable")[:kk]
+            rows = []
+            for j, qid in enumerate(qids_):
+                sel = order[:, j]
+                rows.extend(zip([int(qid)] * kk, ids[sel].tolist(), S[sel, j].tolist()))
+            yield pd.DataFrame(rows, columns=["query_id", "id", "score"])
+
+    corpus = corpus_df.select(
+        F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("embedding")
+    )
+    candidates = corpus.mapInPandas(score_block, schema=out_schema)
+
+    direction = (
+        F.col("score").desc_nulls_last() if desc else F.col("score").asc_nulls_last()
+    )
+    w = Window.partitionBy("query_id").orderBy(direction, F.col("id").asc())
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "score", "rank")
     )
