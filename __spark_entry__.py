@@ -25,6 +25,7 @@ from ydb_vector_search_simple_api_spark.operators import index as ivf
 from ydb_vector_search_simple_api_spark.operators.search import exact_search, knn_join
 from ydb_vector_search_simple_api_spark.sources.store import load_documents, load_embeddings
 from ydb_vector_search_simple_api_spark.streaming import events as streaming_events
+from ydb_vector_search_simple_api_spark.streaming import sessions as streaming_sessions
 
 ROUND = oracles.ROUND_DIGITS
 
@@ -109,6 +110,22 @@ def _mk_knn_join(strategy: str, k: int, n_queries: int):
     return run
 
 
+def _mk_knn_join_blocked(strategy: str, k: int, n_queries: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ydb_vector_search_simple_api_spark.operators.search import knn_join_blocked
+
+        embs = load_embeddings(spark, sf_dir)
+        queries_df = embs.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
+        return knn_join_blocked(spark, queries_df, corpus, k=k, strategy=strategy)
+
+    return run
+
+
 def _mk_ivf(strategy: str, k: int, width: int | None):
     """width=None -> full width (all clusters; exact, strong oracle)."""
 
@@ -133,6 +150,16 @@ _STRAT_KEY = {
 }
 
 
+def _embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import enrich
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    out = enrich.embed_column(docs, text_col="text", out_col="embedding", dim=32)
+    return out.select("doc_id", F.size("embedding").alias("dim"), "embedding")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     # O1/O4/O5/O8/O9: exact top-k for every strategy
@@ -149,6 +176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["topk_cosine_default_k"] = _mk_topk("CosineSimilarity", k=4)
     # batch kNN join (extension: similarity search at scale)
     q["knn_join_cosine"] = _mk_knn_join("CosineSimilarity", k=5, n_queries=8)
+    # blocked BLAS variant: same results, map-side top-k (rows-only
+    # check: BLAS summation order differs in the last ulp; equivalence
+    # to knn_join is asserted in tests/test_scale_paths.py)
+    q["knn_join_blocked"] = _mk_knn_join_blocked("CosineSimilarity", k=5, n_queries=8)
     # O2/O3: IVF index at full search width == exact (strong oracle)
     q["ivf_cosine_full_width"] = _mk_ivf("CosineSimilarity", k=10, width=None)
     # O2/O3: pruned width (approximate; rows-only check, recall tested in pytest)
@@ -181,9 +212,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- multimodal payload metadata
     q["multimodal_meta"] = multimodal.multimodal_meta
+    # Arrow-batched binary featurization (rows-only: no SQL twin for
+    # the histogram; plumbing verified in tests/test_multimodal.py)
+    q["multimodal_byte_hist"] = lambda s, d: multimodal.byte_histograms(
+        multimodal.attach_payload(load_documents(s, d))
+    )
+    # batch embedding enrichment (deterministic fake embedder — the
+    # mapInPandas plumbing is the operator; rows-only check)
+    q["embed_documents"] = lambda s, d: _embed_documents(s, d)
 
     # ---- structured streaming rollup (complete mode == batch result)
     q["events_hourly_stream"] = streaming_events.hourly_event_counts_stream
+    # ---- sessionization (built-in session_window; lag/cumsum oracle)
+    q["session_rollup"] = streaming_sessions.session_rollup_batch
+    # ---- custom stateful op (applyInPandasWithState, exact-int oracle)
+    q["user_running_totals"] = streaming_sessions.user_running_totals_stream
 
     # ---- relational coverage (joins/agg/window/rollup/anti/semi)
     q["pricing_summary"] = relational.pricing_summary
@@ -225,6 +268,8 @@ def oracle_sql() -> dict[str, str]:
     # in tests/test_dedup.py)
     o["multimodal_meta"] = oracles_text.MULTIMODAL_META
     o["events_hourly_stream"] = oracles_text.EVENTS_HOURLY
+    o["session_rollup"] = oracles_text.SESSION_ROLLUP
+    o["user_running_totals"] = oracles_text.RUNNING_TOTALS
 
     o["pricing_summary"] = oracles_rel.PRICING_SUMMARY
     o["revenue_by_nation"] = oracles_rel.REVENUE_BY_NATION

@@ -204,3 +204,41 @@ SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# Session semantics: a new session starts when the event-time gap to
+# the user's previous event is >= 30 min (Spark session_window's
+# half-open [start, last+gap) convention); session_end = last + gap.
+# ts is cast TIMESTAMP_NS -> TIMESTAMP (us) to match Spark's precision.
+SESSION_ROLLUP = """
+WITH e AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, SUM(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS sid FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(value::DECIMAL(18,6)) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# Exact integer micro-unit running sums: ROUND(value*1e6) is the same
+# double product + ties-away rounding as the operator's NumPy path, so
+# the window cumsum matches the stateful operator bit-for-bit.
+RUNNING_TOTALS = """
+SELECT user_id, event_id,
+       (COUNT(*) OVER w - 1)::BIGINT AS n_prior,
+       CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) OVER w AS BIGINT) AS total_micros
+FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""

@@ -1,0 +1,165 @@
+"""Sessionization + custom stateful streaming over ``events``.
+
+The reference has no streaming surface (SURVEY.md §2); north-star
+extension scope. Two operators:
+
+* **Session rollup** — per-user sessions separated by a 30-minute
+  event-time gap. Spark-first: the built-in ``F.session_window``
+  (batch AND streaming with watermark; state-store-backed merge at
+  scale) — not a hand-rolled lag/cumsum. The DuckDB oracle *is* the
+  lag/cumsum formulation, which doubles as an independent semantic
+  check of the session-merge rule (new session iff the gap to the
+  previous event is >= 30 min).
+* **Running user history** — a genuinely custom stateful operator via
+  ``applyInPandasWithState``: every event is enriched with the count
+  and exact running sum of that user's history so far (classic
+  stateful feature backfill for training data). State per user is two
+  longs; sums are kept in integer micro-units so the result is exact
+  and order-stable — bit-identical to a SQL window cumsum oracle, no
+  float drift.
+
+Aggregated money-ish sums go through DECIMAL(18,6) (exact,
+order-independent) like the hourly rollup in ``events.py``.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.store import load_events
+from .events import _events_stream
+
+SESSION_GAP = "30 minutes"
+
+
+def _session_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_rollup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min-gap sessions (batch). ``session_end`` is the
+    built-in convention: last event ts + gap."""
+    return _session_agg(load_events(spark, sf_dir))
+
+
+def session_rollup_append(
+    spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
+) -> DataFrame:
+    """Streaming shape: watermarked session windows, append mode —
+    only sessions the watermark has closed are emitted (the tail
+    sessions stay in the state store). Tested as a subset-relation
+    against the batch twin."""
+    name = f"sessions_append_{uuid.uuid4().hex[:8]}"
+    events = _events_stream(spark, sf_dir).withWatermark("ts", lateness)
+    q = (
+        _session_agg(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ------------------------------------------------ custom stateful op
+
+_RUNNING_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("n_prior", T.LongType()),
+        T.StructField("total_micros", T.LongType()),
+    ]
+)
+
+#: per-user state: events seen, exact sum in micro-units
+_RUNNING_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("sum_micros", T.LongType())]
+)
+
+
+def _to_micros(values: np.ndarray) -> np.ndarray:
+    """round(value * 1e6) half-away-from-zero — same double product and
+    rounding rule as the DuckDB oracle's ROUND(value * 1e6), so the
+    integer running sums are bit-identical across engines."""
+    scaled = values * 1e6
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+
+
+def _running_update(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    n, sum_micros = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        micros = _to_micros(pdf["value"].to_numpy(dtype=np.float64))
+        cum = sum_micros + np.cumsum(micros)
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(len(pdf), user_id, dtype=np.int64),
+                "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+                "n_prior": n + np.arange(len(pdf), dtype=np.int64),
+                "total_micros": cum,
+            }
+        )
+        n += len(pdf)
+        sum_micros = int(cum[-1])
+        yield out
+    state.update((n, sum_micros))
+
+
+def user_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich every event with its user's running history:
+    (user_id, event_id, n_prior, total_micros including this event).
+
+    ``applyInPandasWithState``: state = two longs per user, carried
+    across micro-batches; every event is emitted immediately (no
+    holdback, so no timeout machinery needed). Within a batch, a
+    user's rows are processed in (ts, event_id) order; across batches
+    the totals are prefix-correct under event-time-ordered arrival —
+    exact for backfill (availableNow over a static table), the mode
+    the oracle checks."""
+    name = f"running_totals_{uuid.uuid4().hex[:8]}"
+    out = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_update,
+            _RUNNING_OUT,
+            _RUNNING_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
