@@ -1,0 +1,90 @@
+"""CSV/JSON sources, partitioned/bucketed sinks, salted skew join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.operators.skew import salted_join
+from ydb_vector_search_simple_api_spark.sources import io as sio
+from ydb_vector_search_simple_api_spark.sources.store import load_store_df, load_table
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    return load_store_df(spark, SF_SMALL)
+
+
+def _as_map(rows):
+    return {r.id: (r.title, r.vendor, r.description, list(r.embedding)) for r in rows}
+
+
+def test_csv_roundtrip(spark, store, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("io") / "store_csv")
+    sio.write_store_csv(store, path)
+    back = sio.read_store_csv(spark, path)
+    assert back.schema["embedding"].dataType.simpleString() == "array<float>"
+    a, b = _as_map(store.collect()), _as_map(back.collect())
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k][:3] == b[k][:3]
+        assert a[k][3] == pytest.approx(b[k][3], rel=1e-6)
+
+
+def test_json_roundtrip(spark, store, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("io") / "store_json")
+    store.write.json(path)
+    back = sio.read_store_json(spark, path)
+    assert _as_map(store.collect()) == _as_map(back.collect())
+
+
+def test_partitioned_write_prunes(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("io") / "docs_part")
+    docs = load_table(spark, SF_SMALL, "documents")
+    sio.write_partitioned(docs, path, ["lang"])
+    back = spark.read.parquet(path).filter(F.col("lang") == "fr")
+    from ydb_vector_search_simple_api_spark.plans.checks import partition_filters
+
+    assert "lang" in partition_filters(back)
+    expect = docs.filter(F.col("lang") == "fr").count()
+    assert back.count() == expect
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang")
+    spark.sql("DROP TABLE IF EXISTS docs_bucketed")
+    sio.write_bucketed(docs, "docs_bucketed", "doc_id", n_buckets=8)
+    left = spark.table("docs_bucketed")
+    right = spark.table("docs_bucketed").withColumnRenamed("lang", "lang2")
+    joined = left.join(right, "doc_id")
+    from ydb_vector_search_simple_api_spark.plans.checks import simple_plan
+
+    plan = simple_plan(joined)
+    # co-located join: sort-merge with no shuffle exchange on either side
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert joined.count() == docs.count()
+
+
+def test_salted_join_matches_plain_join(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang", "n_chars")
+    profile = (
+        load_table(spark, SF_SMALL, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("lang_docs"))
+    )
+    plain = docs.join(profile, "lang").select("doc_id", "lang", "lang_docs")
+    salted = salted_join(docs, profile, on="lang").select("doc_id", "lang", "lang_docs")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    anti_plain = docs.join(profile.filter(F.col("lang") == "fr"), "lang", "left_anti")
+    anti_salted = salted_join(
+        docs, profile.filter(F.col("lang") == "fr"), on="lang", how="left_anti"
+    )
+    assert sorted(r.doc_id for r in anti_plain.collect()) == sorted(
+        r.doc_id for r in anti_salted.collect()
+    )
+
+    with pytest.raises(ValueError):
+        salted_join(docs, profile, on="lang", how="full")

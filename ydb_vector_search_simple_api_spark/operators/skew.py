@@ -1,0 +1,54 @@
+"""Skewed-key join mitigation: salting.
+
+First resort at scale is AQE's skew-join handling
+(``spark.sql.adaptive.skewJoin.enabled``, on by default here), which
+splits oversized partitions at runtime. Salting is the explicit
+fallback for when AQE can't help: e.g. a single key so hot that even a
+split partition's build side overflows, or a non-AQE environment.
+
+Shape: the big (skewed) side gets a deterministic per-row salt in
+[0, n_salt); the medium side (too big to broadcast, small enough to
+replicate n_salt times) is exploded once per salt value. The join key
+becomes (key, salt), so one hot key's rows spread over n_salt tasks.
+Row-for-row identical output to the unsalted join for inner/left/
+left_semi/left_anti joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SUPPORTED = {"inner", "left", "left_outer", "leftouter", "left_semi", "left_anti"}
+
+
+def salted_join(
+    big: DataFrame,
+    medium: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Join ``big`` (skewed) with ``medium`` on equi-key(s), salted.
+
+    ``medium`` is replicated ``n_salt`` times — size the salt so
+    n_salt * |medium| stays shuffle-friendly. The salt on the big side
+    is a deterministic hash of the whole row (stable under task
+    retries, unlike rand()); duplicate rows share a salt, which only
+    matters if a hot key's rows are all byte-identical.
+    """
+    if how not in _SUPPORTED:
+        raise ValueError(
+            f"salted_join supports {sorted(_SUPPORTED)}; replicating the "
+            f"right side breaks {how!r} semantics"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salt))
+    )
+    salted_med = medium.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    joined = salted_big.join(salted_med, keys + ["__salt"], how)
+    return joined.drop("__salt")

@@ -1,0 +1,100 @@
+"""Ingest/export beyond the driver's parquet: CSV/JSON sources, and
+partitioned / bucketed parquet sinks.
+
+The reference reads exactly one YDB row table (`FROM {YDB_TABLE}`,
+``/root/reference/app.py:223``) and has no export surface at all; this
+module is extension scope so the engine is a complete standalone
+pipeline citizen:
+
+* **Sources**: CSV / JSON with an EXPLICIT store schema. At 100 TB,
+  schema inference means a full extra pass over the data — never
+  infer in production paths. Embeddings in text formats arrive as a
+  JSON-array string column and are decoded JVM-side (`from_json`),
+  not in Python.
+* **Sinks**: plain parquet, hive-style partitioned parquet
+  (partition pruning for free on the partition column — the layout
+  the IVF index path relies on), and bucketed tables
+  (``bucketBy(key)`` + sorted within buckets) so repeated large-large
+  joins on the bucket key skip their shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: the 5-column logical store shape (SURVEY.md §1.1) with the embedding
+#: carried as a JSON array string — the only portable text encoding
+STORE_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("vendor", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("embedding_json", T.StringType()),
+    ]
+)
+
+
+def _decode_embedding(df: DataFrame) -> DataFrame:
+    """JSON-array string -> array<float>, entirely JVM-side."""
+    return df.withColumn(
+        "embedding",
+        F.from_json("embedding_json", T.ArrayType(T.FloatType())),
+    ).drop("embedding_json")
+
+
+def read_store_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV store ingest with the explicit schema (no inference pass)."""
+    raw = spark.read.schema(STORE_TEXT_SCHEMA).option("header", "true").csv(path)
+    return _decode_embedding(raw)
+
+
+def read_store_json(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines store ingest. The embedding may be carried natively
+    as a JSON array (preferred) or as the string encoding."""
+    native = T.StructType(
+        [f for f in STORE_TEXT_SCHEMA if f.name != "embedding_json"]
+        + [T.StructField("embedding", T.ArrayType(T.FloatType()))]
+    )
+    return spark.read.schema(native).json(path)
+
+
+def write_store_csv(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Export the store to CSV, embedding JSON-encoded (to_json)."""
+    out = df.withColumn("embedding_json", F.to_json("embedding")).drop("embedding")
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "error"
+) -> None:
+    """Hive-style layout: one directory level per partition column.
+    Readers filtering on those columns get partition PRUNING (no file
+    even opened) — the mechanism the IVF index layout uses for
+    cluster_id (operators/index.py)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    mode: str = "error",
+) -> None:
+    """Bucketed + sorted table: co-locates rows by hash(bucket_col) at
+    WRITE time, so every subsequent join/aggregation on that key skips
+    its shuffle (plan shows no Exchange on the bucketed side). This is
+    the 100 TB answer for a fact table joined repeatedly on one key —
+    pay the shuffle once at ingest, never again. Requires a metastore
+    table (saveAsTable); plain .parquet(path) cannot carry bucket
+    metadata."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
