@@ -82,10 +82,10 @@ def cosine_similarity(a, b) -> Column:
     b_is_plain = not isinstance(b, (Column, str))
     nb = F.lit(_py_l2_norm(b)) if b_is_plain else l2_norm(_as_col(b))
     a, b = _as_col(a), _as_col(b)
-    denom = l2_norm(a) * nb
-    return F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(
-        dot(a, b) / denom
-    )
+    # try_divide == NULL on zero divisor: the division-by-zero guard
+    # WITHOUT a CASE WHEN that would re-evaluate the norm folds (no
+    # let-binding in Catalyst; HOF folds are the per-row hot cost)
+    return F.try_divide(dot(a, b), l2_norm(a) * nb)
 
 
 def cosine_distance(a, b) -> Column:

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_K, DEFAULT_SEARCH_TOP_SIZE, sort_descending, validate_strategy
-from ..functions.distance import score_expr, vector_lit
+from ..functions.distance import score_expr
 
 _CENTROIDS_FILE = "_ivf_centroids.json"
 
@@ -141,7 +141,8 @@ def ivf_search(
     # list prunes whole directories at planning time.
     pruned = df.filter(F.col("cluster_id").isin(keep))
 
-    score = score_expr(strategy, F.col("embedding"), vector_lit(query_vec))
+    # plain vector (not vector_lit) so cosine's query-norm literal fold applies
+    score = score_expr(strategy, F.col("embedding"), query_vec)
     if round_digits is not None:
         score = F.round(score, round_digits) + F.lit(0.0)
     direction = (

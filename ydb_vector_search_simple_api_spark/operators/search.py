@@ -36,7 +36,7 @@ from ..config import (
     sort_descending,
     validate_strategy,
 )
-from ..functions.distance import score_expr, vector_lit
+from ..functions.distance import score_expr
 from ..sources.store import load_documents, load_embeddings, load_store_df
 
 # re-export for package __init__
@@ -110,8 +110,10 @@ def exact_search(
         ids = docs.filter(cond).select("id")
         embs = embs.join(ids, "id", "left_semi")
 
-    target = vector_lit(query_vec)
-    score = score_expr(strategy, F.col("embedding"), target)
+    # pass the PLAIN vector so cosine folds the query norm to a literal
+    # driver-side (Catalyst won't constant-fold a HOF over a literal
+    # array, so handing it a Column would re-fold the norm per row)
+    score = score_expr(strategy, F.col("embedding"), query_vec)
     if round_digits is not None:
         # + 0.0 canonicalizes IEEE -0.0 to 0.0 (oracle bit-parity)
         score = F.round(score, round_digits) + F.lit(0.0)
