@@ -126,6 +126,23 @@ def _mk_knn_join_blocked(strategy: str, k: int, n_queries: int):
     return run
 
 
+def _mk_ivf_knn_join(strategy: str, k: int, n_queries: int, width: int | None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        idx = _ivf_index(spark, sf_dir)
+        embs = load_embeddings(spark, sf_dir)
+        queries_df = embs.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return ivf.ivf_knn_join(
+            spark, idx, queries_df, k=k, strategy=strategy,
+            search_top_size=width or idx.n_clusters, round_digits=ROUND,
+        )
+
+    return run
+
+
 def _mk_ivf(strategy: str, k: int, width: int | None):
     """width=None -> full width (all clusters; exact, strong oracle)."""
 
@@ -184,6 +201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ivf_cosine_full_width"] = _mk_ivf("CosineSimilarity", k=10, width=None)
     # O2/O3: pruned width (approximate; rows-only check, recall tested in pytest)
     q["ivf_cosine_width2"] = _mk_ivf("CosineSimilarity", k=10, width=2)
+    # batch ANN join: full width == exact, shares knn_join's oracle;
+    # pruned width is approximate (rows-only; recall in tests)
+    q["ivf_knn_join_full"] = _mk_ivf_knn_join("CosineSimilarity", k=5, n_queries=8, width=None)
+    q["ivf_knn_join_width2"] = _mk_ivf_knn_join("CosineSimilarity", k=5, n_queries=8, width=2)
 
     # ---- north-star extensions: text analysis over documents
     q["text_stats"] = textual.text_stats
@@ -223,6 +244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- structured streaming rollup (complete mode == batch result)
     q["events_hourly_stream"] = streaming_events.hourly_event_counts_stream
+    # streaming stateful dedup (set-equal to batch DISTINCT)
+    q["events_distinct_pairs"] = streaming_events.distinct_user_event_pairs_stream
     # ---- sessionization (built-in session_window; lag/cumsum oracle)
     q["session_rollup"] = streaming_sessions.session_rollup_batch
     # ---- custom stateful op (applyInPandasWithState, exact-int oracle)
@@ -250,6 +273,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["topk_cosine_default_k"] = oracles.topk_sql("CosineSimilarity", k=4)
     o["knn_join_cosine"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
+    # full-width ANN join is exact: same result set as the exact kNN join
+    o["ivf_knn_join_full"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
+    # ivf_knn_join_width2 intentionally has no oracle (approximate)
     o["ivf_cosine_full_width"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     # ivf_cosine_width2 intentionally has no oracle: approximate search
     # (rows-only check; recall contract verified in tests/test_index.py)
@@ -268,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
     # in tests/test_dedup.py)
     o["multimodal_meta"] = oracles_text.MULTIMODAL_META
     o["events_hourly_stream"] = oracles_text.EVENTS_HOURLY
+    o["events_distinct_pairs"] = "SELECT DISTINCT user_id, event_type FROM events"
     o["session_rollup"] = oracles_text.SESSION_ROLLUP
     o["user_running_totals"] = oracles_text.RUNNING_TOTALS
 

@@ -82,3 +82,49 @@ def test_load_roundtrip(built):
 def test_invalid_width(spark, built, qvec):
     with pytest.raises(ValueError):
         ivf.ivf_search(spark, built, qvec, k=5, search_top_size=0)
+
+
+@pytest.fixture(scope="module")
+def qbatch(spark):
+    embs = load_embeddings(spark, SF_SMALL)
+    return embs.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ivf_knn_join_full_width_equals_exact(spark, built, qbatch):
+    from ydb_vector_search_simple_api_spark.operators.search import knn_join
+
+    embs = load_embeddings(spark, SF_SMALL)
+    corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
+    exact = {
+        (r.query_id, r.rank): r.id
+        for r in knn_join(spark, qbatch, corpus, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rank): r.id
+        for r in ivf.ivf_knn_join(
+            spark, built, qbatch, k=5, search_top_size=N_CLUSTERS
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ivf_knn_join_recall_monotone(spark, built, qbatch):
+    from ydb_vector_search_simple_api_spark.operators.search import knn_join
+
+    embs = load_embeddings(spark, SF_SMALL)
+    corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
+    truth = {}
+    for r in knn_join(spark, qbatch, corpus, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.id)
+    recalls = []
+    for width in (1, 2, N_CLUSTERS):
+        got = {}
+        for r in ivf.ivf_knn_join(spark, built, qbatch, k=5, search_top_size=width).collect():
+            got.setdefault(r.query_id, set()).add(r.id)
+        hit = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        recalls.append(hit / sum(len(t) for t in truth.values()))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+    assert recalls[0] > 0

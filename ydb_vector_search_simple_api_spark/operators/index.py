@@ -156,3 +156,85 @@ def ivf_search(
         .orderBy(direction, F.col("id").asc())
         .limit(k)
     )
+
+
+def ivf_knn_join(
+    spark: SparkSession,
+    index: IvfIndex,
+    queries_df: DataFrame,
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+    search_top_size: int = DEFAULT_SEARCH_TOP_SIZE,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Batch ANN join through the IVF index: every query is matched
+    only against its ``search_top_size`` nearest clusters.
+
+    The 100 TB shape for "embed a query batch, find neighbors for all
+    of them": per-query candidate clusters are ranked driver-side
+    against the tiny centroid table, the corpus scan is statically
+    pruned to the UNION of needed cluster partitions, and the
+    (query, cluster) assignment is broadcast so each corpus row is
+    scored only against the queries that probe its cluster — work is
+    ~``search_top_size / n_clusters`` of the exact knn_join. Exact
+    (== knn_join) when ``search_top_size >= n_clusters``.
+
+    Output: (query_id, id, score, rank); rank in the strategy's
+    direction, deterministic id tie-break.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    validate_strategy(strategy)
+    if search_top_size < 1:
+        raise ValueError("search_top_size must be a positive integer")
+
+    q_rows = queries_df.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
+    ).collect()
+
+    assign_rows = []
+    for r in q_rows:
+        clusters = _rank_centroids(index, r.query_vec, strategy)[:search_top_size]
+        vec = [float(x) for x in r.query_vec]
+        assign_rows.extend(
+            {"query_id": r.query_id, "cluster_id": c, "query_vec": vec}
+            for c in clusters
+        )
+    assign_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("query_vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    assignment = spark.createDataFrame(assign_rows, schema=assign_schema)
+    needed = sorted({a["cluster_id"] for a in assign_rows})
+
+    corpus = spark.read.parquet(index.path).filter(
+        F.col("cluster_id").isin(needed)  # static partition pruning
+    )
+    scored = corpus.join(
+        F.broadcast(assignment), "cluster_id", "inner"
+    ).withColumn(
+        "score", score_expr(strategy, F.col("embedding"), F.col("query_vec"))
+    )
+    score = F.col("score")
+    if round_digits is not None:
+        scored = scored.withColumn(
+            "score", F.round(score, round_digits) + F.lit(0.0)
+        )
+    direction = (
+        F.col("score").desc_nulls_last()
+        if sort_descending(strategy)
+        else F.col("score").asc_nulls_last()
+    )
+    w = Window.partitionBy("query_id").orderBy(direction, F.col("id").asc())
+    return (
+        scored.select("query_id", "id", "score")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )

@@ -115,3 +115,25 @@ def hourly_event_counts_append(
 def hourly_event_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming rollup (same plan, batch source)."""
     return _hourly_agg(load_events(spark, sf_dir))
+
+
+def distinct_user_event_pairs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup: first occurrence of every
+    (user_id, event_type) pair, via the built-in ``dropDuplicates`` on
+    a stream (state-store-backed exact dedup — the streaming twin of
+    exact_dup_groups). Projected to the key columns, the emitted SET
+    equals batch DISTINCT regardless of which occurrence arrived
+    first, so it has a strong SQL oracle."""
+    name = f"events_distinct_{uuid.uuid4().hex[:8]}"
+    q = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
