@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = textual.lang_id_pred
     q["fingerprints"] = textual.fingerprints
     q["quality_filter"] = textual.quality_filter
+    q["token_budget"] = textual.token_budget
+    q["winnowing_fingerprints"] = textual.winnowing_fingerprints
 
     # ---- dedup family
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(load_documents(s, d))
@@ -286,6 +288,8 @@ def oracle_sql() -> dict[str, str]:
     o["lang_id"] = oracles_text.LANG_ID
     o["fingerprints"] = oracles_text.FINGERPRINTS
     o["quality_filter"] = oracles_text.quality_filter_sql(0.8, 16)
+    o["token_budget"] = oracles_text.TOKEN_BUDGET
+    o["winnowing_fingerprints"] = oracles_text.winnowing_sql(8, 4)
     o["dedup_exact_groups"] = oracles_text.DEDUP_EXACT
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)
     o["neardup_cosine"] = oracles_text.neardup_cosine_sql(0.4)

@@ -67,3 +67,44 @@ def test_quality_bounds(spark):
     )
     junk = _one(spark, "the the the the the the", TXT.quality_score(F.col("text")))
     assert rich > junk
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length
+    >= k + window - 1 share at least one fingerprint."""
+    from ydb_vector_search_simple_api_spark.functions import text as TXT
+    from pyspark.sql import functions as F
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "cccc dddd " + shared + " eeee"),
+        (3, "completely unrelated content with zero overlap at all 123"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hashed = df.select(
+        "doc_id", TXT.char_kgram_hashes("text", k).alias("h")
+    ).repartition(2, "doc_id")
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in hashed.select(
+            "doc_id", TXT.winnow_mins(F.col("h"), w).alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared substring must yield a shared fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
+def test_bpe_ish_token_count_examples(spark):
+    from ydb_vector_search_simple_api_spark.functions import text as TXT
+
+    rows = [(1, "don't stop"), (2, "abc123 x-y"), (3, "hello,  world!")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", TXT.bpe_ish_token_count("text").alias("n")).collect()
+    }
+    # don / 't / ' stop' ; 'abc' / '123' / ' x' / '-' / 'y' ; 'hello' / ',' / ' ' / ' world' / '!'
+    assert got == {1: 3, 2: 5, 3: 5}

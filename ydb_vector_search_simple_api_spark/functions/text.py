@@ -171,3 +171,53 @@ def quality_score(col) -> Column:
     return F.when(
         F.size(t) > 0, (ttr + len_term + stop_term) / F.lit(3.0)
     ).otherwise(F.lit(0.0))
+
+
+#: BPE-ish pre-tokenization pattern (GPT-2-style, ASCII-simplified,
+#: lowercased input): contraction suffixes, space-prefixed letter runs,
+#: digit runs, punctuation runs, residual whitespace. RE2-safe (no
+#: lookaround) so the DuckDB oracle can run the IDENTICAL pattern.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|'|\s+"
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Subword-ish token count: number of BPE-style pre-token matches.
+    The real BPE merge step is vocabulary-dependent; pre-tokenization
+    count is the standard cheap proxy a pipeline uses for budgeting."""
+    return F.regexp_count(F.lower(_c(col)), F.lit(BPE_ISH_PATTERN))
+
+
+def char_kgram_hashes(col, k: int = 8) -> Column:
+    """md5 of every overlapping character k-gram (the rolling-hash
+    layer of winnowing). ``col`` should be a MATERIALIZED string
+    column: each element references it once (cheap attribute read)."""
+    t = _c(col)
+    return F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - k + 1),
+            lambda i: F.md5(F.substring(t, i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_mins(hashes_col, window: int = 4) -> Column:
+    """Winnowing (Schleimer et al., SIGMOD'03): the distinct minima of
+    every sliding window over the k-gram hash sequence — the document
+    fingerprint set. Guarantees any shared substring of length
+    >= k + window - 1 yields a shared fingerprint. ``hashes_col`` must
+    be a MATERIALIZED array column (every window slices it; Catalyst
+    has no let-binding, so an unmaterialized expression would re-hash
+    the document once per window)."""
+    h = _c(hashes_col)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(h) - window + 1),
+        lambda j: F.array_min(F.slice(h, j, window)),
+    )
+    return F.sort_array(
+        F.array_distinct(
+            F.when(F.size(h) >= window, mins)
+            .when(F.size(h) > 0, F.array(F.array_min(h)))
+            .otherwise(F.array().cast("array<string>"))
+        )
+    )

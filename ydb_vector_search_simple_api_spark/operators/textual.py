@@ -102,3 +102,38 @@ def quality_filter(
         )
         .filter((F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens))
     )
+
+
+def token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count budgeting per document: whitespace tokens vs a
+    BPE-ish pre-tokenization count (the proxy pipelines use to budget
+    LLM training tokens before running a real tokenizer)."""
+    d = load_documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TXT.token_count("text").alias("n_ws_tokens"),
+        TXT.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing): per doc, the
+    sorted distinct minima of a sliding window over char-k-gram md5s.
+    Any shared substring of length >= k+window-1 between two docs
+    yields a shared fingerprint — the copy-detection primitive.
+
+    The k-gram hash array is materialized behind a repartition barrier
+    before windowing: each of the ~len(text) window slices references
+    the array, and without the barrier Catalyst's expression inlining
+    would re-hash the document once per window (no let-binding).
+    Output: (doc_id, fps array<string>); arrays sorted for stable
+    comparison."""
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    sc = spark.sparkContext
+    target = max(sc.defaultParallelism, d.rdd.getNumPartitions())
+    hashed = d.select(
+        "doc_id", TXT.char_kgram_hashes("text", k).alias("h")
+    ).repartition(target, "doc_id")
+    return hashed.select("doc_id", TXT.winnow_mins(F.col("h"), window).alias("fps"))

@@ -12,7 +12,7 @@ deterministic tie-breaks, DECIMAL sums for floating aggregations
 
 from __future__ import annotations
 
-from .functions.text import LANG_STOPWORDS
+from .functions.text import BPE_ISH_PATTERN, LANG_STOPWORDS
 
 #: DuckDB expression for the Spark tokens() helper.
 TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
@@ -241,4 +241,40 @@ SELECT user_id, event_id,
        CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) OVER w AS BIGINT) AS total_micros
 FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+# Identical pattern object as functions.text.BPE_ISH_PATTERN (RE2-safe,
+# no lookaround), SQL-escaped; both engines count leftmost matches over
+# lowercased text.
+_BPE_SQL = BPE_ISH_PATTERN.replace("'", "''")
+
+TOKEN_BUDGET = f"""
+SELECT doc_id,
+       len({TOKS})::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{_BPE_SQL}'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
+def winnowing_sql(k: int = 8, window: int = 4) -> str:
+    """Winnowing twin: char-k-gram md5s, sliding-window minima,
+    sorted distinct list per doc. Mirrors the Spark edge cases:
+    len(text) < k -> [], fewer hashes than the window -> [min]."""
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= {k}
+              THEN [md5(substr(text, i, {k})) FOR i IN range(1, length(text) - {k} + 2)]
+              ELSE [] END AS hashes
+  FROM documents
+)
+SELECT doc_id,
+       list_sort(list_distinct(
+         CASE WHEN len(hashes) >= {window}
+              THEN [list_aggregate(hashes[j : j + {window} - 1], 'min')
+                    FOR j IN range(1, len(hashes) - {window} + 2)]
+              WHEN len(hashes) > 0 THEN [list_aggregate(hashes, 'min')]
+              ELSE [] END)) AS fps
+FROM h
 """
