@@ -260,6 +260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_rollup"] = relational.orders_rollup
     q["customers_without_orders"] = relational.customers_without_orders
     q["parts_ordered_by_brand"] = relational.parts_ordered_by_brand
+    # as-of join (union+window formulation; DuckDB native ASOF oracle)
+    from ydb_vector_search_simple_api_spark.operators import asof
+
+    q["purchase_attribution"] = asof.purchase_attribution
     return q
 
 
@@ -308,4 +312,5 @@ def oracle_sql() -> dict[str, str]:
     o["orders_rollup"] = oracles_rel.ORDERS_ROLLUP
     o["customers_without_orders"] = oracles_rel.CUSTOMERS_WITHOUT_ORDERS
     o["parts_ordered_by_brand"] = oracles_rel.PARTS_ORDERED_BY_BRAND
+    o["purchase_attribution"] = oracles_text.PURCHASE_ATTRIBUTION
     return o

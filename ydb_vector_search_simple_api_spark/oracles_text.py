@@ -278,3 +278,17 @@ SELECT doc_id,
               ELSE [] END)) AS fps
 FROM h
 """
+
+
+# DuckDB's native ASOF JOIN is the oracle for the hand-built Spark
+# as-of join (union+window). ts cast to us precision on BOTH sides
+# before the inequality so truncation can't flip the >= comparison.
+PURCHASE_ATTRIBUTION = """
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS click_ts, c.value AS click_value
+FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+                WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
