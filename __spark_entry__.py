@@ -18,7 +18,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ydb_vector_search_simple_api_spark import oracles, oracles_rel, oracles_text
+from ydb_vector_search_simple_api_spark import (
+    oracles,
+    oracles_rel,
+    oracles_temporal,
+    oracles_text,
+)
 from ydb_vector_search_simple_api_spark.config import STRATEGIES
 from ydb_vector_search_simple_api_spark.operators import dedup, multimodal, relational, textual
 from ydb_vector_search_simple_api_spark.operators import index as ivf
@@ -264,6 +269,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ydb_vector_search_simple_api_spark.operators import asof
 
     q["purchase_attribution"] = asof.purchase_attribution
+
+    # ---- temporal: gaps-and-islands, bucketed range join, gap-fill+LOCF
+    from ydb_vector_search_simple_api_spark.operators import stats, temporal
+
+    q["surge_windows"] = temporal.surge_windows
+    q["events_in_surges"] = temporal.events_in_surges
+    q["hourly_locf"] = temporal.hourly_locf
+    # ---- distribution stats + set-op cohorts
+    q["value_percentiles"] = stats.value_percentiles
+    # sketch variants (rows-only: engine-specific estimates; accuracy
+    # asserted vs the exact forms in tests/test_temporal_stats.py)
+    q["approx_value_percentiles"] = stats.approx_value_percentiles
+    q["approx_distinct_users"] = stats.approx_distinct_users
+    q["distinct_users_by_type"] = stats.distinct_users_by_type
+    q["retention_cohorts"] = stats.retention_cohorts
     return q
 
 
@@ -313,4 +333,13 @@ def oracle_sql() -> dict[str, str]:
     o["customers_without_orders"] = oracles_rel.CUSTOMERS_WITHOUT_ORDERS
     o["parts_ordered_by_brand"] = oracles_rel.PARTS_ORDERED_BY_BRAND
     o["purchase_attribution"] = oracles_text.PURCHASE_ATTRIBUTION
+
+    o["surge_windows"] = oracles_temporal.SURGE_WINDOWS
+    o["events_in_surges"] = oracles_temporal.EVENTS_IN_SURGES
+    o["hourly_locf"] = oracles_temporal.HOURLY_LOCF
+    o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
+    o["distinct_users_by_type"] = oracles_temporal.DISTINCT_USERS_BY_TYPE
+    o["retention_cohorts"] = oracles_temporal.RETENTION_COHORTS
+    # approx_value_percentiles / approx_distinct_users: intentionally
+    # no oracle (sketch estimates are engine-specific by design)
     return o

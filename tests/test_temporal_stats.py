@@ -1,0 +1,177 @@
+"""Temporal (gaps-and-islands, range join, LOCF) and distribution
+stats (percentiles, HLL, set-op cohorts) — results sanity, sketch
+accuracy vs the exact forms, and scale-shape plan assertions.
+
+Extension scope: the reference has no aggregation/time-series surface
+(SURVEY.md §2, app.py:212-227 is its only query); these are the
+profiling and resampling primitives a pipeline needs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.operators import stats, temporal
+from ydb_vector_search_simple_api_spark.plans import checks
+
+from conftest import SF_SMALL
+
+BUCKET_S = temporal.BUCKET_S
+
+
+# ---------------------------------------------------------------- temporal
+
+
+def test_surge_windows_are_disjoint_and_aligned(spark):
+    rows = temporal.surge_windows(spark, SF_SMALL).collect()
+    assert rows, "no surge windows found at sf0.001"
+    spans = sorted((r.window_start, r.window_end) for r in rows)
+    for start, end in spans:
+        assert start < end
+        assert int(start.timestamp()) % BUCKET_S == 0
+        assert int((end - start).total_seconds()) % BUCKET_S == 0
+    # maximal islands: consecutive windows never touch (a touching
+    # pair would have been merged into one island)
+    for (_, e1), (s2, _) in zip(spans, spans[1:]):
+        assert e1 < s2
+    for r in rows:
+        dur = int((r.window_end - r.window_start).total_seconds())
+        assert r.n_buckets == dur // BUCKET_S
+        assert r.n_events >= r.n_buckets  # surge buckets are nonempty
+
+
+def test_events_in_surges_matches_inequality_join(spark):
+    """The bucketed broadcast equi-join must equal the naive
+    point-in-interval inequality join it replaces."""
+    fast = {
+        (r.window_start, r.window_end): (r.n_events, r.total_value)
+        for r in temporal.events_in_surges(spark, SF_SMALL).collect()
+    }
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+    ev = load_events(spark, SF_SMALL)
+    sw = temporal.surge_windows(spark, SF_SMALL).select(
+        "window_start", "window_end"
+    )
+    naive = (
+        ev.join(
+            sw,
+            (ev.ts >= sw.window_start) & (ev.ts < sw.window_end),
+        )
+        .groupBy("window_start", "window_end")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert {(r.window_start, r.window_end): r.n_events for r in naive} == {
+        k: v[0] for k, v in fast.items()
+    }
+
+
+def test_events_in_surges_broadcasts_intervals(spark):
+    df = temporal.events_in_surges(spark, SF_SMALL)
+    plan = checks.simple_plan(df)
+    # the fact-side join must be an equi-join on the bucket key with
+    # the exploded intervals broadcast — never a nested loop over
+    # (event, interval) pairs
+    assert "BroadcastHashJoin [bucket" in plan, plan
+    # the only NLJ allowed is the 1-row scalar `totals` cross-join
+    # (builds on bucket rows, not facts); the threshold filter rides it
+    nlj = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line
+    ]
+    assert all("n_buckets" in line or "total" in line for line in nlj), plan
+
+
+def test_hourly_locf_grid_complete_and_carried(spark):
+    rows = temporal.hourly_locf(spark, SF_SMALL).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    # full calendar grid: every type spans the same hour range
+    spans = {
+        (min(v, key=lambda r: r.hour).hour, max(v, key=lambda r: r.hour).hour)
+        for v in by_type.values()
+    }
+    assert len(spans) == 1
+    h0, h1 = spans.pop()
+    n_hours = int((h1 - h0).total_seconds()) // 3600 + 1
+    for t, v in by_type.items():
+        assert len(v) == n_hours, t
+        v.sort(key=lambda r: r.hour)
+        # LOCF: once a value appears it never goes null again
+        seen = False
+        for r in v:
+            assert r.n_events >= 0
+            if r.n_events > 0:
+                seen = True
+                assert r.avg_value_locf is not None
+            elif seen:
+                assert r.avg_value_locf is not None
+
+
+# ------------------------------------------------------------------ stats
+
+
+def test_percentiles_ordered_and_bounded(spark):
+    rows = stats.value_percentiles(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.p50 <= r.p90 <= r.p99
+        assert r.n > 0
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """approx_percentile guarantees a RANK error bound, not a value
+    bound — on a heavy tail a tiny rank slip moves the value a lot.
+    So the check is a rank band: the estimate must fall between the
+    exact percentiles at p±eps."""
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+    eps = 0.02
+    band_pcts = []
+    for p in stats.PCTS:
+        band_pcts += [max(0.0, p - eps), min(1.0, p + eps)]
+    ev = load_events(spark, SF_SMALL)
+    bands = {
+        r.event_type: r.band
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile("value", F.lit(band_pcts)).alias("band"))
+        .collect()
+    }
+    approx = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in stats.approx_value_percentiles(spark, SF_SMALL).collect()
+    }
+    assert bands.keys() == approx.keys()
+    for t, vals in approx.items():
+        for i, a in enumerate(vals):
+            lo, hi = bands[t][2 * i], bands[t][2 * i + 1]
+            assert lo - 1e-6 <= a <= hi + 1e-6, (t, stats.PCTS[i], lo, a, hi)
+
+
+def test_hll_distinct_within_rsd(spark):
+    rows = stats.approx_distinct_users(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_users_exact > 0
+        # rsd=0.01 → generous 5% envelope for small groups
+        assert r.rel_err <= 0.05, (r.event_type, r.rel_err)
+
+
+def test_retention_cohorts_partition_users(spark):
+    rows = stats.retention_cohorts(spark, SF_SMALL).collect()
+    seen = {}
+    for r in rows:
+        # retained/churned partition week-1 users; new is disjoint
+        key = (r.user_id, r.cohort in ("retained", "churned"))
+        assert (r.user_id, r.cohort) not in seen
+        seen[(r.user_id, r.cohort)] = True
+    cohorts = {r.cohort for r in rows}
+    assert cohorts <= {"retained", "churned", "new"}
+    retained = {r.user_id for r in rows if r.cohort == "retained"}
+    churned = {r.user_id for r in rows if r.cohort == "churned"}
+    new = {r.user_id for r in rows if r.cohort == "new"}
+    assert not (retained & churned)
+    assert not (retained & new) and not (churned & new)

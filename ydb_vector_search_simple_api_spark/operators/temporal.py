@@ -1,0 +1,190 @@
+"""Temporal operators over the ``events`` table: gaps-and-islands,
+point-in-interval range join, and gap-filled resampling with LOCF.
+
+Extension scope (the reference has no time-series surface —
+SURVEY.md §2 "deliberately absent"); these are the interval/resample
+primitives a time-series or attribution pipeline needs, each shaped
+for scale:
+
+* Bucket aggregation is a plain groupBy — map-side combinable, one
+  shuffle keyed by (calendar-bounded) bucket.
+* The islands / grid windows run over BUCKET rows, never raw events:
+  their cardinality is bounded by the calendar span (buckets per
+  month), not by data volume, so the unpartitioned sort stays O(kB)
+  at 100 TB of events.
+* The range join has NO equality key — the naive Spark plan is a
+  BroadcastNestedLoopJoin over every (event, interval) pair. The
+  scale path quantizes: explode each interval into its covered
+  buckets (intervals are bucket-aligned), broadcast that tiny table,
+  and equi-join on the event's bucket. Facts never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.store import load_events
+
+BUCKET_S = 600  # 10-minute buckets
+
+DEC = "decimal(18,6)"
+
+
+def _bucket(ts_col) -> F.Column:
+    """Floor a timestamp to the 10-minute bucket boundary via integer
+    epoch math (identical formulation in the DuckDB oracle — no
+    engine-specific truncation semantics in play)."""
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.timestamp_seconds(
+        (F.unix_timestamp(c) - F.unix_timestamp(c) % BUCKET_S)
+    )
+
+
+def surge_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal high-activity intervals: 10-minute buckets whose event
+    count exceeds 2x the mean nonempty-bucket count, merged into
+    contiguous islands (gaps-and-islands via lag + running sum).
+
+    The surge test is exact integer arithmetic
+    (``cnt * n_buckets > 2 * total``) — no float threshold to drift
+    between engines. Output: one row per island with its half-open
+    [window_start, window_end) extent."""
+    ev = load_events(spark, sf_dir)
+    buckets = ev.groupBy(_bucket("ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.sum("cnt").alias("total")
+    )
+    surge = (
+        buckets.crossJoin(F.broadcast(totals))
+        .filter(F.col("cnt") * F.col("n_buckets") > 2 * F.col("total"))
+        .select("bucket", "cnt")
+    )
+    # islands: a window over surge buckets only — cardinality bounded
+    # by the calendar (<= 4464 buckets/month), safe unpartitioned
+    w_ord = Window.orderBy("bucket")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = surge.select(
+        "bucket",
+        "cnt",
+        F.when(
+            F.col("bucket") - F.expr(f"interval {BUCKET_S} seconds")
+            == F.lag("bucket").over(w_ord),
+            0,
+        )
+        .otherwise(1)
+        .alias("brk"),
+    )
+    islands = flagged.select(
+        "bucket", "cnt", F.sum("brk").over(w_run).alias("island")
+    )
+    return (
+        islands.groupBy("island")
+        .agg(
+            F.min("bucket").alias("window_start"),
+            (
+                F.max("bucket") + F.expr(f"interval {BUCKET_S} seconds")
+            ).alias("window_end"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("cnt").alias("n_events"),
+        )
+        .drop("island")
+    )
+
+
+def events_in_surges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: every event landing inside a
+    surge window, aggregated per window.
+
+    There is no equality key — logically this is
+    ``e.ts >= s.window_start AND e.ts < s.window_end`` (the oracle
+    runs exactly that). Executing the inequality join directly is a
+    nested-loop; instead each interval is exploded into its covered
+    10-minute buckets (intervals are bucket-aligned by construction),
+    the exploded table is broadcast, and events equi-join on their
+    own bucket. The fact scan never shuffles; one map-side-combinable
+    groupBy produces the per-window rollup."""
+    surges = surge_windows(spark, sf_dir)
+    expl = surges.select(
+        "window_start",
+        "window_end",
+        F.explode(
+            F.expr(
+                "sequence(window_start,"
+                f" window_end - interval {BUCKET_S} seconds,"
+                f" interval {BUCKET_S} seconds)"
+            )
+        ).alias("bucket"),
+    )
+    ev = load_events(spark, sf_dir).select(
+        _bucket("ts").alias("bucket"), "ts", "value"
+    )
+    joined = ev.join(F.broadcast(expl), "bucket").filter(
+        (F.col("ts") >= F.col("window_start"))
+        & (F.col("ts") < F.col("window_end"))
+    )
+    return joined.groupBy("window_start", "window_end").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("total_value"),
+    )
+
+
+def hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample per event_type: every (type, hour)
+    cell of the full calendar grid, zero-filled counts, and the hourly
+    mean value carried forward over empty hours (LOCF).
+
+    The grid is generated (types x sequence(min_hour..max_hour)), so
+    empty hours exist as rows — a plain groupBy can't produce them.
+    Both the grid and the LOCF window scale with calendar-hours x
+    types, not with event volume; the only full-data pass is the
+    map-side-combinable hourly aggregation. Mean is an exact decimal
+    sum divided by the count, rounded BEFORE the carry — the oracle
+    (DuckDB, ``last_value IGNORE NULLS``) rounds identically, so
+    carried values compare bit-equal."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (
+            F.round(
+                F.sum(F.col("value").cast(DEC)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("avg_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(h0, h1, interval 1 hour)")
+            ).alias("hour"),
+        )
+    )
+    filled = grid.join(F.broadcast(hourly), ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("n_events"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+    )

@@ -1,0 +1,106 @@
+"""DuckDB oracle SQL for the temporal + stats operators.
+
+Parity rules (same as oracles.py): integer epoch math for bucketing
+(no engine-specific truncation), exact DECIMAL(18,6) sums surfaced as
+ROUND(...,6)+0.0 doubles, ts cast to microsecond precision on both
+sides before any comparison.
+"""
+
+# 10-minute bucket + surge threshold as exact integer arithmetic,
+# islands via lag + running sum — the classic gaps-and-islands.
+_SURGE_CTE = """
+WITH b AS (
+  SELECT to_timestamp((epoch_us(ts::TIMESTAMP) // 600000000) * 600)::TIMESTAMP AS bucket,
+         count(*) AS cnt
+  FROM events GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_buckets, sum(cnt) AS total FROM b),
+surge AS (SELECT bucket, cnt FROM b, tot WHERE cnt * n_buckets > 2 * total),
+flag AS (
+  SELECT bucket, cnt,
+         CASE WHEN bucket - LAG(bucket) OVER (ORDER BY bucket) = INTERVAL 10 MINUTE
+              THEN 0 ELSE 1 END AS brk
+  FROM surge
+),
+isl AS (
+  SELECT bucket, cnt,
+         SUM(brk) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flag
+)
+"""
+
+SURGE_WINDOWS = _SURGE_CTE + """
+SELECT min(bucket) AS window_start,
+       max(bucket) + INTERVAL 10 MINUTE AS window_end,
+       count(*) AS n_buckets,
+       sum(cnt) AS n_events
+FROM isl GROUP BY island
+"""
+
+# The range join stated directly as the inequality join the Spark
+# side avoids (bucketed broadcast equi-join) — same result.
+EVENTS_IN_SURGES = _SURGE_CTE + """,
+sw AS (
+  SELECT min(bucket) AS window_start,
+         max(bucket) + INTERVAL 10 MINUTE AS window_end
+  FROM isl GROUP BY island
+)
+SELECT s.window_start, s.window_end,
+       count(*) AS n_events,
+       ROUND(SUM(CAST(e.value AS DECIMAL(18,6)))::DOUBLE, 6) + 0.0 AS total_value
+FROM (SELECT ts::TIMESTAMP AS ts, value FROM events) e
+JOIN sw s ON e.ts >= s.window_start AND e.ts < s.window_end
+GROUP BY s.window_start, s.window_end
+"""
+
+HOURLY_LOCF = """
+WITH e AS (SELECT event_type, ts::TIMESTAMP AS ts, value FROM events),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt,
+         ROUND(SUM(CAST(value AS DECIMAL(18,6)))::DOUBLE / count(*), 6) + 0.0 AS avg_value
+  FROM e GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM e
+),
+grid AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds) g
+)
+SELECT g.event_type, g.hour,
+       COALESCE(h.cnt, 0) AS n_events,
+       LAST_VALUE(h.avg_value IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_locf
+FROM grid g
+LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hour = h.hour
+"""
+
+# quantile_cont == Spark's exact percentile: linear interpolation at
+# rank (n-1)*p over the sorted values.
+VALUE_PERCENTILES = """
+SELECT event_type,
+       count(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) + 0.0 AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) + 0.0 AS p99
+FROM events GROUP BY event_type
+"""
+
+DISTINCT_USERS_BY_TYPE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+RETENTION_COHORTS = """
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+w1 AS (SELECT DISTINCT user_id FROM e WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+w4 AS (SELECT DISTINCT user_id FROM e WHERE ts >= TIMESTAMP '2024-01-24 00:00:00')
+SELECT user_id, 'retained' AS cohort FROM (SELECT * FROM w1 INTERSECT SELECT * FROM w4)
+UNION ALL
+SELECT user_id, 'churned' AS cohort FROM (SELECT * FROM w1 EXCEPT SELECT * FROM w4)
+UNION ALL
+SELECT user_id, 'new' AS cohort FROM (SELECT * FROM w4 EXCEPT SELECT * FROM w1)
+"""
