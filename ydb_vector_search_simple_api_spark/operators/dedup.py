@@ -277,6 +277,24 @@ def minhash_lsh_pairs(
 # ------------------------------------------------------------ SimHash
 
 
+def _simhash_pack_expr(bits: int) -> str:
+    """Fold the token-hash array ``hs`` straight to the packed SimHash:
+    per-token, vote on every bit with one zip_with pass over a 64-long
+    accumulator; then pack the winning bits. Nested higher-order
+    lambdas go through ``F.expr`` — the SQL parser accepts them, the
+    Python lambda builder does not."""
+    votes = (
+        f"aggregate(hs, array_repeat(0L, {bits}), (acc, h) -> "
+        f"zip_with(acc, sequence(0, {bits - 1}), "
+        "(a, b) -> a + IF(((h >> b) & 1) = 1, 1L, -1L)))"
+    )
+    return (
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        "(v, b) -> IF(v > 0, shiftleft(1L, b), 0L)), "
+        "0L, (acc, x) -> acc | x)"
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -284,29 +302,29 @@ def simhash(
     bits: int = 64,
 ) -> DataFrame:
     """64-bit SimHash: per-bit majority vote over xxhash64 of the doc's
-    distinct tokens. Explode -> 64 conditional-sum aggregates (map-side
-    partial agg, pure JVM) -> pack bits with shiftleft/bitwise-or.
-    Output (id, simhash: bigint, n_tokens)."""
-    toks = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(TXT.tokens(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = toks.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(bits)
-        ],
-    )
-    packed = None
-    for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
-            F.lit(0).cast("bigint")
+    distinct tokens. SimHash is a per-document reduction, so it runs as
+    a NARROW map — higher-order array folds over the token hashes,
+    no explode, no shuffle (the earlier explode+64-aggregate version
+    shuffled the whole token table; this one scans and emits).
+    Output (id, simhash: bigint, n_tokens); docs with no tokens are
+    dropped (same as the groupBy formulation, which had no rows for
+    them)."""
+    dd = (
+        _ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(TXT.tokens(text_col)).alias("toks"),
         )
-        packed = bit if packed is None else packed.bitwiseOR(bit)
-    return votes.select("id", packed.alias("simhash"), "n_tokens")
+        .filter(F.size("toks") > 0)
+        .select(
+            "id",
+            F.size("toks").alias("n_tokens"),
+            F.transform("toks", lambda t: F.xxhash64(t)).alias("hs"),
+        )
+    )
+    return dd.select(
+        "id", F.expr(_simhash_pack_expr(bits)).alias("simhash"), "n_tokens"
+    )
 
 
 def simhash_pairs(

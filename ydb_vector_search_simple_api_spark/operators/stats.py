@@ -92,13 +92,24 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB path: fixed-size mergeable state instead of a
     per-group hash set. Rows-only in the driver gate (HLL estimates
     are engine-specific); the rel_err column makes accuracy
-    self-evident."""
+    self-evident.
+
+    Formulation: aggregate over the pre-distinct (event_type, user_id)
+    pairs — HLL over a deduped input yields the identical estimate
+    (the sketch only sees the distinct hash set), the exact count
+    becomes a plain count, and mixing distinct + non-distinct
+    aggregates in one groupBy (which forces a double-phase plan) is
+    avoided. rsd=0.02: register count scales 1/rsd², so 0.02 is a 4x
+    smaller sketch than 0.01 while staying well inside the 5% test
+    envelope."""
     ev = load_events(spark, sf_dir)
     return (
-        ev.groupBy("event_type")
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_hll"),
-            F.count_distinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_hll"),
+            F.count(F.lit(1)).alias("n_users_exact"),
         )
         .select(
             "event_type",
