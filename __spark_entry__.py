@@ -25,7 +25,13 @@ from ydb_vector_search_simple_api_spark import (
     oracles_text,
 )
 from ydb_vector_search_simple_api_spark.config import STRATEGIES
-from ydb_vector_search_simple_api_spark.operators import dedup, multimodal, relational, textual
+from ydb_vector_search_simple_api_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    sampling,
+    textual,
+)
 from ydb_vector_search_simple_api_spark.operators import index as ivf
 from ydb_vector_search_simple_api_spark.operators.search import exact_search, knn_join
 from ydb_vector_search_simple_api_spark.sources.store import load_documents, load_embeddings
@@ -219,6 +225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprints"] = textual.fingerprints
     q["quality_filter"] = textual.quality_filter
     q["token_budget"] = textual.token_budget
+    # deterministic md5-threshold train/valid/test assignment
+    q["document_splits"] = sampling.document_splits
+    q["split_sizes"] = sampling.split_sizes
     q["winnowing_fingerprints"] = textual.winnowing_fingerprints
 
     # ---- dedup family
@@ -265,6 +274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_rollup"] = relational.orders_rollup
     q["customers_without_orders"] = relational.customers_without_orders
     q["parts_ordered_by_brand"] = relational.parts_ordered_by_brand
+    q["orders_cube"] = relational.orders_cube
+    # set operations (INTERSECT / EXCEPT over yearly customer sets)
+    q["repeat_customers"] = relational.repeat_customers
+    q["lapsed_customers"] = relational.lapsed_customers
     # as-of join (union+window formulation; DuckDB native ASOF oracle)
     from ydb_vector_search_simple_api_spark.operators import asof
 
@@ -313,6 +326,8 @@ def oracle_sql() -> dict[str, str]:
     o["fingerprints"] = oracles_text.FINGERPRINTS
     o["quality_filter"] = oracles_text.quality_filter_sql(0.8, 16)
     o["token_budget"] = oracles_text.TOKEN_BUDGET
+    o["document_splits"] = sampling.splits_sql(0.8, 0.1)
+    o["split_sizes"] = sampling.split_sizes_sql(0.8, 0.1)
     o["winnowing_fingerprints"] = oracles_text.winnowing_sql(8, 4)
     o["dedup_exact_groups"] = oracles_text.DEDUP_EXACT
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)
@@ -332,6 +347,9 @@ def oracle_sql() -> dict[str, str]:
     o["orders_rollup"] = oracles_rel.ORDERS_ROLLUP
     o["customers_without_orders"] = oracles_rel.CUSTOMERS_WITHOUT_ORDERS
     o["parts_ordered_by_brand"] = oracles_rel.PARTS_ORDERED_BY_BRAND
+    o["orders_cube"] = oracles_rel.ORDERS_CUBE
+    o["repeat_customers"] = oracles_rel.repeat_customers_sql(1995, 1996)
+    o["lapsed_customers"] = oracles_rel.lapsed_customers_sql(1995, 1996)
     o["purchase_attribution"] = oracles_text.PURCHASE_ATTRIBUTION
 
     o["surge_windows"] = oracles_temporal.SURGE_WINDOWS

@@ -59,3 +59,27 @@ def test_anti_and_semi_join_partition(spark):
     brands = R.parts_ordered_by_brand(spark, SF_SMALL).collect()
     assert without >= 0
     assert sum(b.n_supplied_parts for b in brands) > 0
+
+
+def test_cube_covers_all_grouping_sets(spark):
+    rows = R.orders_cube(spark, SF_SMALL).collect()
+    rollup = R.orders_rollup(spark, SF_SMALL).collect()
+    # cube = rollup's sets + the (priority-only) slice
+    prio_only = [
+        r for r in rows if r.o_orderstatus is None and r.o_orderpriority is not None
+    ]
+    assert len(rows) == len(rollup) + len(prio_only)
+    grand = [r for r in rows if r.o_orderstatus is None and r.o_orderpriority is None]
+    assert len(grand) == 1
+    assert sum(r.n_orders for r in prio_only) == grand[0].n_orders
+
+
+def test_set_ops_partition_year_a_customers(spark):
+    both = {r.custkey for r in R.repeat_customers(spark, SF_SMALL).collect()}
+    only_a = {r.custkey for r in R.lapsed_customers(spark, SF_SMALL).collect()}
+    assert both.isdisjoint(only_a)
+    year_a = {
+        r.o_custkey for r in R._custkeys_of_year(spark, SF_SMALL, 1995).collect()
+    }
+    # INTERSECT ∪ EXCEPT exactly reconstructs the distinct year-A set
+    assert both | only_a == year_a

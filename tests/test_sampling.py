@@ -1,0 +1,49 @@
+"""Deterministic hash sampling / splitting (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from ydb_vector_search_simple_api_spark.operators import sampling as S
+from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_threshold_hex_bounds():
+    assert S._threshold_hex(0.0) == "000000"
+    assert S._threshold_hex(0.5) == "800000"
+    # frac=1.0 must sort above every 6-char hex draw ("ffffff" < "g")
+    assert "ffffff" < S._threshold_hex(1.0)
+
+
+def test_split_assignment_matches_python_md5(spark):
+    rows = S.document_splits(spark, SF_SMALL).collect()
+    t1, t2 = S._threshold_hex(0.8), S._threshold_hex(0.9)
+    for r in rows:
+        draw = hashlib.md5(str(r.doc_id).encode()).hexdigest()[: S.PREFIX_HEX]
+        expect = "train" if draw < t1 else ("valid" if draw < t2 else "test")
+        assert r.split == expect, (r.doc_id, draw)
+
+
+def test_splits_partition_the_corpus(spark):
+    n_docs = load_documents(spark, SF_SMALL).count()
+    sizes = {r.split: r.n_docs for r in S.split_sizes(spark, SF_SMALL).collect()}
+    assert sum(sizes.values()) == n_docs
+    # rough uniformity at 500+ docs: train well above the others
+    assert sizes.get("train", 0) > sizes.get("valid", 0)
+    assert sizes.get("train", 0) > sizes.get("test", 0)
+
+
+def test_hash_sample_stable_and_proportional(spark):
+    docs = load_documents(spark, SF_SMALL)
+    s1 = {r.doc_id for r in S.hash_sample(docs, "doc_id", 0.25).select("doc_id").collect()}
+    s2 = {r.doc_id for r in S.hash_sample(docs, "doc_id", 0.25).select("doc_id").collect()}
+    assert s1 == s2  # rerun-stable, unlike df.sample
+    n = docs.count()
+    assert 0.15 * n < len(s1) < 0.35 * n
+    # monotone: a bigger fraction strictly contains a smaller one
+    s_half = {
+        r.doc_id for r in S.hash_sample(docs, "doc_id", 0.5).select("doc_id").collect()
+    }
+    assert s1 <= s_half

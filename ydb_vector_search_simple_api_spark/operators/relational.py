@@ -134,3 +134,45 @@ def parts_ordered_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supplied.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_supplied_parts")
     )
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE coverage: counts + exact decimal sums over every subset of
+    (status, priority) — rollup's superset (adds the priority-only
+    slice and runs all groupings off ONE shuffle via Expand, not four
+    scans)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("total_price"),
+    )
+
+
+def _custkeys_of_year(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == year)
+        .select("o_custkey")
+    )
+
+
+def repeat_customers(
+    spark: SparkSession, sf_dir: str, year_a: int = 1995, year_b: int = 1996
+) -> DataFrame:
+    """Set-op coverage (INTERSECT): customers ordering in both years.
+    Compiles to partial-distinct aggregates + a left-semi hash join on
+    the key — map-side dedup before the shuffle, so the exchanged rows
+    are bounded by distinct customers, not orders."""
+    a = _custkeys_of_year(spark, sf_dir, year_a)
+    b = _custkeys_of_year(spark, sf_dir, year_b)
+    return a.intersect(b).select(F.col("o_custkey").alias("custkey"))
+
+
+def lapsed_customers(
+    spark: SparkSession, sf_dir: str, year_a: int = 1995, year_b: int = 1996
+) -> DataFrame:
+    """Set-op coverage (EXCEPT DISTINCT): ordered in year A but never
+    in year B — same shuffle shape as INTERSECT with a left-anti join."""
+    a = _custkeys_of_year(spark, sf_dir, year_a)
+    b = _custkeys_of_year(spark, sf_dir, year_b)
+    return a.subtract(b).select(F.col("o_custkey").alias("custkey"))

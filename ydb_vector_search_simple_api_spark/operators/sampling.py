@@ -1,0 +1,105 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+Extension scope (north star): a 100 TB corpus needs reproducible
+train/valid/test assignment that is a pure function of the row key —
+no RNG state, no global pass, no coordination. Assignment is a NARROW
+per-row map (one md5 over the key), so it composes with any scan,
+survives re-partitioning, and re-runs to the identical split on any
+cluster size. The hash is md5 (not xxhash64) so the DuckDB oracle can
+reproduce the values bit-for-bit.
+
+Mechanism: the first 6 hex digits of ``md5(key)`` are a uniform draw
+from [0, 16^6); fraction thresholds become fixed hex strings compared
+lexicographically (lowercase hex sorts by value in ASCII — identical
+in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.store import load_documents
+
+#: hex digits of the md5 prefix used as the uniform draw; 16^6 ≈ 16.8M
+#: buckets keeps fraction granularity ~6e-8 while staying far inside
+#: exact-integer range.
+PREFIX_HEX = 6
+
+
+def _threshold_hex(frac: float) -> str:
+    """Cumulative fraction -> fixed hex threshold (floor, so a split
+    gets at most its exact share of buckets)."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"fraction out of [0,1]: {frac}")
+    n = int(frac * 16**PREFIX_HEX)
+    if n >= 16**PREFIX_HEX:
+        # 'g' sorts above every hex digit, so the comparison keeps all
+        # rows (a 7-digit "1000000" would sort BELOW most 6-char draws)
+        return "g"
+    return format(n, f"0{PREFIX_HEX}x")
+
+
+def _draw(key: Column) -> Column:
+    return F.substring(F.md5(key.cast("string")), 1, PREFIX_HEX)
+
+
+def split_assign(key: Column, train: float = 0.8, valid: float = 0.1) -> Column:
+    """'train' | 'valid' | 'test' as a pure function of the key."""
+    d = _draw(key)
+    return (
+        F.when(d < F.lit(_threshold_hex(train)), F.lit("train"))
+        .when(d < F.lit(_threshold_hex(train + valid)), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, frac: float) -> DataFrame:
+    """Deterministic ~frac sample: keep rows whose draw falls below the
+    threshold. Unlike ``df.sample`` this is stable across runs, plans
+    and partitionings — the property a reproducible pipeline needs."""
+    return df.filter(_draw(F.col(key_col)) < F.lit(_threshold_hex(frac)))
+
+
+def document_splits(
+    spark: SparkSession, sf_dir: str, train: float = 0.8, valid: float = 0.1
+) -> DataFrame:
+    """Per-document split assignment over ``documents``."""
+    d = load_documents(spark, sf_dir)
+    return d.select(
+        "doc_id", split_assign(F.col("doc_id"), train, valid).alias("split")
+    )
+
+
+def split_sizes(
+    spark: SparkSession, sf_dir: str, train: float = 0.8, valid: float = 0.1
+) -> DataFrame:
+    """Split cardinalities — the sanity check that the hash draw is
+    uniform enough at the corpus's size."""
+    return (
+        document_splits(spark, sf_dir, train, valid)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def splits_sql(train: float = 0.8, valid: float = 0.1) -> str:
+    """DuckDB oracle twin of :func:`document_splits`."""
+    t1, t2 = _threshold_hex(train), _threshold_hex(train + valid)
+    return f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, {PREFIX_HEX}) < '{t1}'
+              THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, {PREFIX_HEX}) < '{t2}'
+              THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def split_sizes_sql(train: float = 0.8, valid: float = 0.1) -> str:
+    return f"""
+SELECT split, count(*)::BIGINT AS n_docs
+FROM ({splits_sql(train, valid)})
+GROUP BY split
+"""

@@ -86,3 +86,27 @@ FROM part
 WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
 GROUP BY p_brand
 """
+
+ORDERS_CUBE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       {_dsum("o_totalprice")} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def repeat_customers_sql(year_a: int = 1995, year_b: int = 1996) -> str:
+    return f"""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = {year_a}
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = {year_b}
+"""
+
+
+def lapsed_customers_sql(year_a: int = 1995, year_b: int = 1996) -> str:
+    return f"""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = {year_a}
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = {year_b}
+"""
