@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deterministic md5-threshold train/valid/test assignment
     q["document_splits"] = sampling.document_splits
     q["split_sizes"] = sampling.split_sizes
+    # context-length chunking (training-sequence packing prep)
+    q["chunk_documents"] = textual.chunk_documents
     q["winnowing_fingerprints"] = textual.winnowing_fingerprints
 
     # ---- dedup family
@@ -328,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
     o["token_budget"] = oracles_text.TOKEN_BUDGET
     o["document_splits"] = sampling.splits_sql(0.8, 0.1)
     o["split_sizes"] = sampling.split_sizes_sql(0.8, 0.1)
+    o["chunk_documents"] = oracles_text.chunk_documents_sql(64, 48)
     o["winnowing_fingerprints"] = oracles_text.winnowing_sql(8, 4)
     o["dedup_exact_groups"] = oracles_text.DEDUP_EXACT
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from ydb_vector_search_simple_api_spark.functions import text as TXT
 
+SF_SMALL = "/root/testdata/sf0.001"
+
 
 def _one(spark, text, col):
     return spark.createDataFrame([(text,)], ["text"]).select(col.alias("v")).head().v
@@ -108,3 +110,31 @@ def test_bpe_ish_token_count_examples(spark):
     }
     # don / 't / ' stop' ; 'abc' / '123' / ' x' / '-' / 'y' ; 'hello' / ',' / ' ' / ' world' / '!'
     assert got == {1: 3, 2: 5, 3: 5}
+
+
+def test_chunking_covers_and_overlaps(spark):
+    from ydb_vector_search_simple_api_spark.operators import textual as T
+
+    C, S = 16, 12
+    chunks = T.chunk_documents(spark, SF_SMALL, chunk_size=C, stride=S).collect()
+    stats = {
+        r.doc_id: r.n_tokens
+        for r in T.text_stats(spark, SF_SMALL).collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(stats)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        n = stats[doc_id]
+        # chunk grid: ids 0..floor((n-1)/S); all full-size except maybe tail
+        assert [r.chunk_id for r in rows] == list(range((n - 1) // S + 1))
+        for r in rows:
+            start = r.chunk_id * S
+            assert r.n_chunk_tokens == min(C, n - start)
+        # consecutive chunks overlap by C - S tokens
+        for a, b in zip(rows, rows[1:]):
+            ta, tb = a.chunk_text.split(" "), b.chunk_text.split(" ")
+            if len(ta) == C:
+                assert ta[S:] == tb[: C - S]

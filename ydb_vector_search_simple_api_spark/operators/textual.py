@@ -137,3 +137,37 @@ def winnowing_fingerprints(
         "doc_id", TXT.char_kgram_hashes("text", k).alias("h")
     ).repartition(target, "doc_id")
     return hashed.select("doc_id", TXT.winnow_mins(F.col("h"), window).alias("fps"))
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, chunk_size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Context-length chunking: cut each document's token stream into
+    fixed-size chunks every ``stride`` tokens (overlap = chunk_size −
+    stride) — the packing prep step before sequences meet a trainer.
+
+    Narrow map: chunk starts come from one ``sequence`` over the token
+    count, each chunk is a ``slice`` of the token array, then one
+    ``posexplode``. The token array appears twice in the expression
+    tree (size + slice), so a Catalyst re-inline costs at most one
+    extra split per row — bounded, same containment argument as
+    ``shingles_from_tokens``. Output: (doc_id, chunk_id, chunk_text,
+    n_chunk_tokens); tail chunks may be shorter than chunk_size."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    toks = TXT.tokens("text")
+    n_chunks = (F.floor((F.size(toks) - 1) / F.lit(stride)) + 1).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_size),
+    )
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "ch"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array_join("ch", " ").alias("chunk_text"),
+            F.size("ch").alias("n_chunk_tokens"),
+        )
+    )

@@ -292,3 +292,28 @@ ASOF LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
                 WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
+
+
+def chunk_documents_sql(chunk_size: int = 64, stride: int = 48) -> str:
+    """Twin of ``textual.chunk_documents`` — same start grid
+    (0, stride, 2*stride, … while start < n_tokens) and the same
+    end-clamped slices."""
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+exploded AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, (len(t) - 1) // {stride} + 1),
+           i -> struct_pack(
+             chunk_id := i,
+             ch := list_slice(t, i * {stride} + 1, i * {stride} + {chunk_size})
+           )
+         )) AS u
+  FROM toks
+)
+SELECT doc_id,
+       CAST(u.chunk_id AS INT) AS chunk_id,
+       array_to_string(u.ch, ' ') AS chunk_text,
+       CAST(len(u.ch) AS INT) AS n_chunk_tokens
+FROM exploded
+"""
