@@ -83,3 +83,20 @@ def test_set_ops_partition_year_a_customers(spark):
     }
     # INTERSECT ∪ EXCEPT exactly reconstructs the distinct year-A set
     assert both | only_a == year_a
+
+
+def test_cube_plan_is_one_expand_one_shuffle(spark):
+    plan = checks.simple_plan(R.orders_cube(spark, SF_SMALL))
+    assert plan.count("Expand") == 1, plan  # all 4 grouping sets, one scan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_set_op_plans_dedup_before_join(spark):
+    for fn, join_kind in (
+        (R.repeat_customers, "LeftSemi"),
+        (R.lapsed_customers, "LeftAnti"),
+    ):
+        plan = checks.simple_plan(fn(spark, SF_SMALL))
+        assert join_kind in plan, plan
+        # distinct aggregate runs before the join (map-side partial)
+        assert "HashAggregate" in plan, plan
