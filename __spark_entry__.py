@@ -256,6 +256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_byte_hist"] = lambda s, d: multimodal.byte_histograms(
         multimodal.attach_payload(load_documents(s, d))
     )
+    # 1:N frame fan-out through mapInPandas (rows-only: binary frames
+    # have no SQL twin; invariants pinned in tests/test_multimodal.py)
+    q["multimodal_frames"] = lambda s, d: multimodal.sample_frames(
+        multimodal.attach_payload(load_documents(s, d))
+    ).select("doc_id", "frame_id", "n_frame_bytes")
     # batch embedding enrichment (deterministic fake embedder — the
     # mapInPandas plumbing is the operator; rows-only check)
     q["embed_documents"] = lambda s, d: _embed_documents(s, d)

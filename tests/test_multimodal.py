@@ -45,3 +45,24 @@ def test_frame_sample_deterministic():
     assert frames == MM.frame_sample(payload, every_n=10)
     assert len(frames) == 2
     assert all(len(f) == 256 for f in frames)
+
+
+def test_sample_frames_spark_fanout(spark):
+    df = MM.attach_payload(load_documents(spark, SF_SMALL))
+    frames = MM.sample_frames(df, every_n=2).collect()
+    texts = {r.doc_id: r.text for r in load_documents(spark, SF_SMALL).collect()}
+    by_doc: dict = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.frame_id)
+        assert [r.frame_id for r in rows] == list(range(len(rows)))
+        payload = texts[doc_id].encode()
+        expect = MM.frame_sample(payload, every_n=2)
+        assert [bytes(r.frame) for r in rows] == expect
+        assert all(r.n_frame_bytes == len(bytes(r.frame)) for r in rows)
+
+
+def test_resize_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.resize_image(b"\x89PNG...", 64, 64)

@@ -101,3 +101,52 @@ def frame_sample(payload: bytes, every_n: int = 10) -> list[bytes]:
     frame_size = 256
     frames = [payload[i : i + frame_size] for i in range(0, len(payload), frame_size)]
     return frames[::every_n]
+
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling as a Spark stage: Arrow-batched ``mapInPandas``
+    fan-out of one payload row into its kept frames — the 1:N shape a
+    video sampler produces (no shuffle; output partitioning follows the
+    scan). Frame extraction itself is the deterministic fake
+    (:func:`frame_sample`); a real codec drops into the same loop."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for fid, fr in enumerate(frame_sample(bytes(payload), every_n)):
+                    rows.append((int(doc_id), fid, fr, len(fr)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_id", "frame", "n_frame_bytes"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema=_FRAMES_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB: image resize requires an imaging library not present in
+    this container (same gate as :func:`decode_image`); the Spark-side
+    batch plumbing for any per-payload transform is demonstrated by
+    :func:`byte_histograms` / :func:`sample_frames`."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image resize requires Pillow, which is not installed"
+        ) from exc
+    raise NotImplementedError("wire Image.open(BytesIO(payload)).resize() here")
