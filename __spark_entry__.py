@@ -248,6 +248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
         load_documents(s, d), max_hamming=3
     )
+    # cosine LSH (sign-random-projection banding; precision exact by
+    # verification, recall vs the exact op pinned in tests/test_dedup.py)
+    q["neardup_cosine_lsh"] = lambda s, d: dedup.srp_cosine_pairs(
+        load_embeddings(s, d), threshold=0.9, dim=64
+    )
 
     # ---- multimodal payload metadata
     q["multimodal_meta"] = multimodal.multimodal_meta

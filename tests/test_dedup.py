@@ -107,3 +107,33 @@ def test_neardup_cosine_blocked_subset(spark):
     assert len(blocked) > 0
     for pair, c in blocked.items():
         assert c == pytest.approx(exact[pair])
+
+
+def test_srp_cosine_pairs_matches_exact_on_neardups(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    rows = []
+    vid = 0
+    for _ in range(12):  # 12 clusters of 3 near-identical vectors
+        base = rng.randn(32)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + rng.randn(32) * 0.02
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.neardup_cosine_pairs(df, threshold=0.95).collect()
+    }
+    lsh_rows = dedup.srp_cosine_pairs(df, threshold=0.95, dim=32).collect()
+    lsh = {(r.id_a, r.id_b) for r in lsh_rows}
+    # verification makes precision exact; banding makes recall ~1 here
+    assert lsh <= exact
+    assert len(lsh) >= 0.9 * len(exact) > 0
+    # determinism: same seed, same buckets, same result
+    again = {
+        (r.id_a, r.id_b) for r in dedup.srp_cosine_pairs(df, threshold=0.95, dim=32).collect()
+    }
+    assert again == lsh

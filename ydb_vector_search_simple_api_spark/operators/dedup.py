@@ -459,3 +459,100 @@ def neardup_cosine_blocked(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------- sign-random-projection (cosine LSH)
+
+
+def _srp_hyperplanes(dim: int, bits: int, seed: int) -> "list[list[float]]":
+    """Deterministic Gaussian hyperplanes (driver-side constants, a few
+    KB — they travel inside the plan as literals, no broadcast var
+    needed)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim).tolist()
+
+
+def srp_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 32,
+    band_bits: int = 4,
+    seed: int = 7,
+    dim: int | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Embedding near-dup via sign-random-projection LSH (Charikar'02):
+    the angle-preserving twin of text SimHash. Each row gets ``bits``
+    sign bits (one dot per fixed Gaussian hyperplane, all JVM-side
+    folds); bits split into bands; candidate pairs share a band value;
+    candidates are verified with the EXACT cosine, so precision is 1.0
+    by construction and only recall is approximate.
+
+    Scale shape: signatures are a narrow map; the shuffle carries
+    (band, bval, id) rows — docs x n_bands, never pairs. Per-pair work
+    happens only inside buckets. Recall: a pair at cosine s agrees on
+    one bit w.p. 1 - arccos(s)/pi, so high-similarity pairs (the
+    near-dup regime, s >= ~0.9) survive banding w.h.p. while distant
+    pairs rarely collide; more/narrower bands raise recall at the cost
+    of more candidates. Defaults (32 bits, 8 bands of 4) put the miss
+    rate for s >= 0.95 below ~2e-4 per pair.
+
+    Output (id_a, id_b, cosine) — same schema as
+    :func:`neardup_cosine_pairs`, whose exact result is this
+    operator's recall oracle in tests."""
+    if bits % band_bits != 0:
+        raise ValueError("bits must divide into band_bits bands")
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _srp_hyperplanes(dim, bits, seed)
+    src = _ensure_parallelism(df)
+
+    def bit(b: int):
+        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
+        return F.when(dot(F.col(vec_col), plane) > 0.0, 1).otherwise(0)
+
+    n_bands = bits // band_bits
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                sum(
+                    (bit(band * band_bits + j) * (1 << j) for j in range(1, band_bits)),
+                    start=bit(band * band_bits),
+                ).alias("bval"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    sig = src.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        F.explode(bands).alias("bk"),
+    ).select("id", "v", "nrm", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    a, b = sig.alias("a"), sig.alias("b")
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    sim = F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(
+        dot(F.col("a.v"), F.col("b.v")) / denom
+    )
+    if round_digits is not None:
+        sim = F.round(sim, round_digits) + F.lit(0.0)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )
