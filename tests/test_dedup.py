@@ -137,3 +137,19 @@ def test_srp_cosine_pairs_matches_exact_on_neardups(spark):
         (r.id_a, r.id_b) for r in dedup.srp_cosine_pairs(df, threshold=0.95, dim=32).collect()
     }
     assert again == lsh
+
+
+def test_srp_dim_is_required(spark):
+    df = load_documents(spark, SF_SMALL)  # lazy; never executed
+    with pytest.raises(ValueError, match="dim is required"):
+        dedup.srp_cosine_pairs(df.selectExpr("doc_id AS vec_id", "array(1.0) AS embedding"))
+
+
+def test_simhash_pigeonhole_guard(spark):
+    df = load_documents(spark, SF_SMALL)  # lazy; never executed
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(df, max_hamming=4, band_bits=16)
+    with pytest.raises(ValueError, match="divide 64"):
+        dedup.simhash_pairs(df, max_hamming=3, band_bits=24)
+    # max_hamming=4 works with narrower bands (8 bands of 8 bits)
+    dedup.simhash_pairs(df, max_hamming=4, band_bits=8)

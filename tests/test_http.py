@@ -1,0 +1,187 @@
+"""The runnable HTTP façade (O17): the reference's four routes served
+over real HTTP (``/root/reference/app.py:267-441``), with the
+400/501/502/500 matrix asserted end-to-end through a socket — not just
+at the library layer (that's tests/test_api.py)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from ydb_vector_search_simple_api_spark import api, http_server
+from ydb_vector_search_simple_api_spark.config import SearchConfig
+from ydb_vector_search_simple_api_spark.operators import index as ivf
+from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+
+@pytest.fixture(scope="module")
+def served(spark):
+    """One engine + live server for the module; embed_fn raises the
+    transport error so the 502 path is reachable without a network."""
+    eng = api.VectorSearchEngine(
+        spark,
+        SF_SMALL,
+        embed_fn=lambda q: (_ for _ in ()).throw(
+            RuntimeError("Embedding API request failed: boom")
+        ),
+    )
+    srv = http_server.serve(eng, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, eng
+    srv.shutdown()
+    srv.server_close()
+
+
+def _get(url: str):
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return r.status, r.read(), r.headers.get("Content-Type", "")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type", "")
+
+
+def _post(url: str, body: bytes | None):
+    req = urllib.request.Request(
+        url, data=body or b"", headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def qvec(spark):
+    row = (
+        load_embeddings(spark, SF_SMALL)
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row.embedding]
+
+
+def test_health_route(served):
+    code, body, ctype = _get(served[0] + "/health")
+    assert code == 200 and json.loads(body) == {"status": "ok"}
+    assert ctype.startswith("application/json")
+
+
+def test_config_route(served):
+    code, body, _ = _get(served[0] + "/config")
+    cfg = json.loads(body)
+    assert code == 200
+    assert cfg["search_strategy"] == "CosineSimilarity"
+    assert cfg["index_enabled"] is False
+
+
+def test_index_page_served(served):
+    code, body, ctype = _get(served[0] + "/")
+    assert code == 200 and ctype.startswith("text/html")
+    assert b"/search" in body  # the form posts to the API
+
+
+def test_unknown_route_404(served):
+    code, body, _ = _get(served[0] + "/nope")
+    assert code == 404
+
+
+def test_search_empty_body_400(served):
+    code, payload = _post(served[0] + "/search", None)
+    assert code == 400 and payload["error"] == "Request body is required"
+
+
+def test_search_malformed_json_400(served):
+    code, payload = _post(served[0] + "/search", b"{not json")
+    assert code == 400 and "JSON" in payload["error"]
+
+
+def test_search_neither_field_400(served):
+    code, payload = _post(served[0] + "/search", json.dumps({"k": 2}).encode())
+    assert code == 400
+    assert payload["error"] == "Either 'embedding' or 'query' field is required"
+
+
+def test_search_both_fields_400(served, qvec):
+    code, payload = _post(
+        served[0] + "/search",
+        json.dumps({"embedding": qvec, "query": "x"}).encode(),
+    )
+    assert code == 400
+    assert payload["error"] == "Provide either 'embedding' or 'query', not both"
+
+
+def test_query_unconfigured_embedder_501(served, spark):
+    # a second engine w/o embed_fn on the same server port is overkill;
+    # spin a dedicated one-shot server for the 501 shape
+    eng = api.VectorSearchEngine(spark, SF_SMALL)
+    srv = http_server.serve(eng, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        code, payload = _post(
+            f"http://127.0.0.1:{srv.server_address[1]}/search",
+            json.dumps({"query": "find me"}).encode(),
+        )
+        assert code == 501
+        assert "EMBEDDING_API_URL is not configured" in payload["error"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_query_failing_embedder_502(served):
+    code, payload = _post(
+        served[0] + "/search", json.dumps({"query": "find me"}).encode()
+    )
+    assert code == 502 and "Embedding API request failed" in payload["error"]
+
+
+def test_filter_with_index_500_over_http(spark, qvec, tmp_path):
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = ivf.build_ivf_index(spark, embs, str(tmp_path / "ivf_http"), n_clusters=4)
+    eng = api.VectorSearchEngine(
+        spark, SF_SMALL, config=SearchConfig(index_enabled=True), index=idx
+    )
+    srv = http_server.serve(eng, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        code, payload = _post(
+            base + "/search",
+            json.dumps({"embedding": qvec, "filter": {"vendor": "fr"}}).encode(),
+        )
+        assert code == 500
+        assert payload["error"] == "Unable to use filter with enabled vector index."
+        # strictness applies to the RAW dict: unknown-key-only filters
+        # also reject, matching the reference's check order
+        code2, payload2 = _post(
+            base + "/search",
+            json.dumps({"embedding": qvec, "filter": {"foo": "bar"}}).encode(),
+        )
+        assert code2 == 500
+        assert payload2["error"] == "Unable to use filter with enabled vector index."
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_successful_search_over_http(served, qvec):
+    code, payload = _post(
+        served[0] + "/search", json.dumps({"embedding": qvec, "k": 3}).encode()
+    )
+    assert code == 200 and payload["count"] == 3
+    assert payload["results"][0]["id"] == 0
+    assert payload["search_time_ms"] > 0

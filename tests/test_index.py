@@ -128,3 +128,54 @@ def test_ivf_knn_join_recall_monotone(spark, built, qbatch):
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0
     assert recalls[0] > 0
+
+
+def test_ivf_knn_join_distributed_full_width_equals_exact(spark, built, qbatch):
+    from ydb_vector_search_simple_api_spark.operators.search import knn_join
+
+    embs = load_embeddings(spark, SF_SMALL)
+    corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
+    for strategy in ("CosineSimilarity", "EuclideanDistance"):
+        exact = {
+            (r.query_id, r.rank): r.id
+            for r in knn_join(spark, qbatch, corpus, k=5, strategy=strategy).collect()
+        }
+        got = {
+            (r.query_id, r.rank): r.id
+            for r in ivf.ivf_knn_join_distributed(
+                spark, built, qbatch, k=5, strategy=strategy,
+                search_top_size=N_CLUSTERS,
+            ).collect()
+        }
+        assert got == exact, strategy
+
+
+def test_ivf_knn_join_distributed_matches_driver_variant_pruned(spark, built, qbatch):
+    """Same cluster-assignment order as the driver-side ranking loop
+    (rank key drops per-query constants only), so pruned-width results
+    agree with ivf_knn_join, not just full-width."""
+    for width in (1, 2):
+        drv = {
+            (r.query_id, r.rank): r.id
+            for r in ivf.ivf_knn_join(
+                spark, built, qbatch, k=5, search_top_size=width
+            ).collect()
+        }
+        dist = {
+            (r.query_id, r.rank): r.id
+            for r in ivf.ivf_knn_join_distributed(
+                spark, built, qbatch, k=5, search_top_size=width
+            ).collect()
+        }
+        assert dist == drv, width
+
+
+def test_ivf_knn_join_distributed_no_driver_collect(spark, built, qbatch):
+    """The query side must stay distributed: no LocalTableScan /
+    ExistingRDD (the signature of a collect+createDataFrame round
+    trip) anywhere in the plan."""
+    plan = ivf.ivf_knn_join_distributed(
+        spark, built, qbatch, k=5, search_top_size=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
+    assert "ExistingRDD" not in plan

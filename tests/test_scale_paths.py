@@ -66,3 +66,26 @@ def test_embed_column_plumbing(spark):
     again = {r.doc_id: r.embedding for r in enrich.embed_column(docs, dim=32).collect()}
     for r in rows:
         assert again[r.doc_id] == r.embedding
+
+
+def test_blocked_knn_string_ids_and_zero_norm_nulls(spark):
+    """Id output types follow the input schemas (not hardcoded long),
+    and zero-norm vectors under cosine score NULL, ranked last —
+    knn_join's documented semantics."""
+    queries = spark.createDataFrame(
+        [("qa", [1.0, 0.0]), ("qz", [0.0, 0.0])], ["query_id", "query_vec"]
+    )
+    corpus = spark.createDataFrame(
+        [("d1", [1.0, 0.0]), ("d2", [0.0, 1.0]), ("d0", [0.0, 0.0])],
+        ["id", "embedding"],
+    )
+    out = knn_join_blocked(spark, queries, corpus, k=3, strategy="CosineSimilarity")
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["id"] == "string"
+    rows = {(r.query_id, r.id): r for r in out.collect()}
+    assert rows[("qa", "d1")].score == pytest.approx(1.0)
+    # zero-norm corpus row: NULL score, ranked last for qa
+    assert rows[("qa", "d0")].score is None
+    assert rows[("qa", "d0")].rank == 3
+    # zero-norm query: every score NULL
+    assert all(r.score is None for (q, _), r in rows.items() if q == "qz")

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .config import DEFAULT_SEARCH_TOP_SIZE, SearchConfig
+from .config import DEFAULT_SEARCH_TOP_SIZE, SearchConfig, sort_descending
 from .operators import index as ivf_mod
 from .operators.search import exact_search
 from .sources.store import load_documents
@@ -110,8 +110,18 @@ class VectorSearchEngine:
                 F.col(m.vendor).alias("vendor"),
                 F.col(m.description).alias("description"),
             )
-            df = topk.join(F.broadcast(docs), "id", "inner").select(
-                "id", "title", "vendor", "description", "score"
+            direction = (
+                F.col("score").desc_nulls_last()
+                if sort_descending(self.config.strategy)
+                else F.col("score").asc_nulls_last()
+            )
+            # re-sort after the metadata join (k rows, trivial):
+            # ranked order must not rely on the join preserving
+            # stream-side order — mirrors exact_search
+            df = (
+                topk.join(F.broadcast(docs), "id", "inner")
+                .select("id", "title", "vendor", "description", "score")
+                .orderBy(direction, F.col("id").asc())
             )
         else:
             df = exact_search(
@@ -187,6 +197,16 @@ def search_request(engine: VectorSearchEngine, data: dict | None) -> tuple[dict,
         top_size = data.get("index_tree_search_top_size", DEFAULT_SEARCH_TOP_SIZE)
         filter_params = data.get("filter", None)
         if filter_params:
+            # strict rejection happens on the RAW filter dict: the
+            # reference raises (-> 500) for ANY truthy filter when the
+            # index is enabled, even one holding only unknown keys
+            # (app.py:170-172 runs before the key read at 176-181)
+            if (
+                engine.config.index_enabled
+                and engine.index is not None
+                and engine.config.strict_filter_index_exclusion
+            ):
+                return {"error": "Unable to use filter with enabled vector index."}, 500
             # the reference reads only these three keys and silently
             # ignores the rest (app.py:176-181); the engine itself is
             # strict, so mirror the lenient HTTP semantics here

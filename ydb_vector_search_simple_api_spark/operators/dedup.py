@@ -43,7 +43,16 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     parallelism in that case."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Catalyst's size estimate (file sizes for parquet scans) is a
+    # driver-side metadata read — unlike df.rdd.getNumPartitions(),
+    # it does not force physical planning / RDD materialization.
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df.repartition(target)
+    # under ~4 MB/core the scan almost certainly has fewer splits than
+    # cores; above it the source's own split count is adequate.
+    if size < target * 4 * 1024 * 1024:
         return df.repartition(target)
     return df
 
@@ -340,7 +349,20 @@ def simhash_pairs(
     any pair within Hamming distance 3 agrees exactly on at least one
     band, so the self-join on (band, band_value) finds all such pairs
     without an all-pairs comparison. Output (id_a, id_b, hamming).
+
+    Full recall needs ``max_hamming <= 64 // band_bits - 1`` (a pair
+    with one differing bit per band never agrees on any band) — a
+    violating combination raises rather than silently missing pairs.
     """
+    if 64 % band_bits:
+        raise ValueError("band_bits must divide 64")
+    if max_hamming >= 64 // band_bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} with band_bits={band_bits} gives only "
+            f"{64 // band_bits} bands; pigeonhole blocking guarantees recall "
+            f"only for max_hamming <= {64 // band_bits - 1}. "
+            "Use narrower bands (smaller band_bits)."
+        )
     sh = simhash(df, id_col, text_col)
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
@@ -503,11 +525,17 @@ def srp_cosine_pairs(
 
     Output (id_a, id_b, cosine) — same schema as
     :func:`neardup_cosine_pairs`, whose exact result is this
-    operator's recall oracle in tests."""
+    operator's recall oracle in tests.
+
+    ``dim`` is required (array columns carry no length in the schema,
+    and inferring it would cost a hidden driver-side action)."""
     if bits % band_bits != 0:
         raise ValueError("bits must divide into band_bits bands")
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "dim is required: pass the embedding dimensionality explicitly "
+            "(schema arrays are unsized; inference would cost a driver action)"
+        )
     planes = _srp_hyperplanes(dim, bits, seed)
     src = _ensure_parallelism(df)
 
@@ -528,31 +556,46 @@ def srp_cosine_pairs(
             for band in range(n_bands)
         ]
     )
+    # the banded table carries ONLY (id, band, bval): the exchange
+    # moves docs x n_bands skinny rows, never vector payloads. Vectors
+    # rejoin by id AFTER candidate dedup — same pattern as
+    # minhash_lsh_pairs' shingle verification join.
     sig = src.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-        F.explode(bands).alias("bk"),
-    ).select("id", "v", "nrm", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+        F.col(id_col).alias("id"), F.explode(bands).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
     a, b = sig.alias("a"), sig.alias("b")
-    denom = F.col("a.nrm") * F.col("b.nrm")
-    sim = F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(
-        dot(F.col("a.v"), F.col("b.v")) / denom
-    )
-    if round_digits is not None:
-        sim = F.round(sim, round_digits) + F.lit(0.0)
-    return (
+    candidates = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            sim.alias("cosine"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+    vecs = src.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    va = vecs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("nrm_a")
+    )
+    vb = vecs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("nrm_b")
+    )
+    denom = F.col("nrm_a") * F.col("nrm_b")
+    sim = F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(
+        dot(F.col("v_a"), F.col("v_b")) / denom
+    )
+    if round_digits is not None:
+        sim = F.round(sim, round_digits) + F.lit(0.0)
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", sim)
         .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

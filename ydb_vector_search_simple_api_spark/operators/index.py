@@ -158,6 +158,106 @@ def ivf_search(
     )
 
 
+def ivf_knn_join_distributed(
+    spark: SparkSession,
+    index: IvfIndex,
+    queries_df: DataFrame,
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+    search_top_size: int = DEFAULT_SEARCH_TOP_SIZE,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Batch ANN join with NO driver-side query collect: the scale
+    path for the large-query-batch regime (embed 10^6+ rows, find
+    neighbors for all of them), where :func:`ivf_knn_join`'s
+    driver-side centroid ranking loop would bottleneck.
+
+    The centroid matrix (n_clusters x dim, a few KB) travels inside
+    the plan as literals; each query ranks every cluster JVM-side
+    (one dot per centroid), keeps the ``search_top_size`` best via
+    ``array_sort`` over (rank_key, cluster_id) structs — the same
+    best-first order, ties broken by cluster id, as the driver-side
+    ``_rank_centroids`` — and explodes into (query_id, cluster_id)
+    assignments. The corpus joins on ``cluster_id``; AQE picks
+    broadcast when the assignment side is small and a shuffled join
+    when it isn't. Cluster-ranking keys drop per-query constant terms
+    (query norm; ||q||^2), which cannot change the per-query order.
+
+    Unlike :func:`ivf_knn_join`, the scan is not statically pruned to
+    the union of needed partitions (the driver never sees the
+    assignments) — at large batch sizes every cluster is probed anyway,
+    and the join itself discards non-probed clusters. Exact
+    (== knn_join) when ``search_top_size >= n_clusters``.
+
+    Output: (query_id, id, score, rank) — identical to
+    :func:`ivf_knn_join`.
+    """
+    from pyspark.sql import Window
+
+    validate_strategy(strategy)
+    if search_top_size < 1:
+        raise ValueError("search_top_size must be a positive integer")
+
+    c = index.centroids
+    if strategy in ("CosineSimilarity", "CosineDistance"):
+        mat = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        sq = None  # rank by -dot(q, normalized_centroid)
+    elif strategy == "InnerProductSimilarity":
+        mat, sq = c, None  # rank by -dot(q, centroid)
+    else:  # Euclidean / Manhattan family: nearest centroid by L2
+        mat = c
+        sq = (c * c).sum(axis=1)  # ||c||^2 - 2*c.q orders like ||c - q||
+
+    from ..functions.distance import dot as _dot
+
+    qcol = F.col("query_vec")
+
+    def rank_key(i: int):
+        plane = F.array(*[F.lit(float(x)) for x in mat[i]])
+        d = _dot(qcol, plane)
+        if sq is None:
+            return -d
+        return F.lit(float(sq[i])) - 2.0 * d
+
+    structs = F.array(
+        *[
+            F.struct(rank_key(i).alias("rk"), F.lit(i).alias("cluster_id"))
+            for i in range(index.n_clusters)
+        ]
+    )
+    topw = F.slice(F.array_sort(structs), 1, search_top_size)
+    assignment = (
+        queries_df.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
+        )
+        .select("query_id", "query_vec", F.explode(topw).alias("a"))
+        .select("query_id", "query_vec", F.col("a.cluster_id").alias("cluster_id"))
+    )
+
+    corpus = spark.read.parquet(index.path)
+    scored = corpus.join(assignment, "cluster_id", "inner").withColumn(
+        "score", score_expr(strategy, F.col("embedding"), F.col("query_vec"))
+    )
+    if round_digits is not None:
+        scored = scored.withColumn(
+            "score", F.round(F.col("score"), round_digits) + F.lit(0.0)
+        )
+    direction = (
+        F.col("score").desc_nulls_last()
+        if sort_descending(strategy)
+        else F.col("score").asc_nulls_last()
+    )
+    w = Window.partitionBy("query_id").orderBy(direction, F.col("id").asc())
+    return (
+        scored.select("query_id", "id", "score")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )
+
+
 def ivf_knn_join(
     spark: SparkSession,
     index: IvfIndex,

@@ -15,6 +15,7 @@ exercises the exact same plumbing a JPEG decoder would.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -76,6 +77,39 @@ def byte_histograms(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
             yield pd.DataFrame(out, columns=["doc_id", "n_bytes", "byte_hist"])
 
     return df.select(id_col, payload_col).mapInPandas(extract, schema=_HIST_SCHEMA)
+
+
+_DIGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("hist_md5", T.StringType()),
+    ]
+)
+
+
+def byte_histogram_digests(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Gate-friendly scalar projection of :func:`byte_histograms`:
+    md5 over the comma-joined 16 *raw* bin counts (integers — no
+    float-formatting ambiguity), so a SQL oracle can reproduce it from
+    the hex encoding of the payload (``oracles_text.BYTE_HIST_DIGESTS``).
+    Same Arrow-batched plumbing as the featurizer."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(buf >> 4, minlength=HIST_BINS)
+                digest = hashlib.md5(
+                    ",".join(str(int(c)) for c in hist).encode()
+                ).hexdigest()
+                out.append((int(doc_id), int(len(buf)), digest))
+            yield pd.DataFrame(out, columns=["doc_id", "n_bytes", "hist_md5"])
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema=_DIGEST_SCHEMA)
 
 
 def decode_image(payload: bytes) -> "np.ndarray":

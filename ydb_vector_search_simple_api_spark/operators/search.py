@@ -46,7 +46,13 @@ load_store = load_store_df
 def _order_cols(strategy: str, id_col: str = "id") -> list[Column]:
     """Sort by score in the strategy's direction (reference app.py:55,
     225) with a deterministic id tiebreak so the k-boundary is stable.
-    Nulls (dimension mismatch) sort last either way."""
+
+    Documented parity divergence: NULL scores (dimension mismatch)
+    sort LAST in both directions here. YDB treats NULL as smallest, so
+    the reference's ``ORDER BY score ASC`` (distance strategies) would
+    surface mismatched-dimension rows FIRST. Returning garbage rows
+    ahead of real neighbors is an artifact, not a contract, so this
+    engine keeps nulls-last everywhere (see README parity notes)."""
     score = F.col("score")
     direction = (
         score.desc_nulls_last() if sort_descending(strategy) else score.asc_nulls_last()
@@ -205,7 +211,9 @@ def knn_join_blocked(
     Output: (query_id, id, score, rank), score as float64 from BLAS
     (summation order differs from the sequential-fold Column
     expressions in the last ulp — hence no SQL oracle; equivalence to
-    :func:`knn_join` is asserted in tests).
+    :func:`knn_join` is asserted in tests). Id column types follow the
+    input schemas; zero-norm vectors under the cosine strategies score
+    NULL (sorted last), matching :func:`knn_join`.
     """
     import numpy as np
     import pandas as pd
@@ -226,15 +234,16 @@ def knn_join_blocked(
 
     out_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("id", T.LongType()),
+            T.StructField("query_id", queries_df.schema[query_id].dataType),
+            T.StructField("id", corpus_df.schema[corpus_id].dataType),
             T.StructField("score", T.DoubleType()),
         ]
     )
 
     def score_block(batches):
         qids_, Q_, strat, desc_, k_ = bc.value
-        Qn = Q_ / np.maximum(np.linalg.norm(Q_, axis=1, keepdims=True), 1e-300)
+        q_norms = np.linalg.norm(Q_, axis=1)
+        Qn = Q_ / np.maximum(q_norms[:, None], 1e-300)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -243,10 +252,16 @@ def knn_join_blocked(
             if strat == "InnerProductSimilarity":
                 S = E @ Q_.T
             elif strat in ("CosineSimilarity", "CosineDistance"):
-                En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
+                e_norms = np.linalg.norm(E, axis=1)
+                En = E / np.maximum(e_norms[:, None], 1e-300)
                 S = En @ Qn.T
                 if strat == "CosineDistance":
                     S = 1.0 - S
+                # zero-norm rows/queries are undefined cosine -> NaN
+                # (surfaced as NULL below; NaN sorts last under
+                # argsort in both directions, same as nulls_last)
+                S[e_norms == 0.0, :] = np.nan
+                S[:, q_norms == 0.0] = np.nan
             elif strat == "EuclideanDistance":
                 d2 = (
                     (E * E).sum(axis=1)[:, None]
@@ -262,13 +277,22 @@ def knn_join_blocked(
             rows = []
             for j, qid in enumerate(qids_):
                 sel = order[:, j]
-                rows.extend(zip([int(qid)] * kk, ids[sel].tolist(), S[sel, j].tolist()))
+                # qid keeps its native type (int, string, ...) — the
+                # output schema is derived from the input schemas
+                rows.extend(zip([qid] * kk, ids[sel].tolist(), S[sel, j].tolist()))
             yield pd.DataFrame(rows, columns=["query_id", "id", "score"])
 
     corpus = corpus_df.select(
         F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("embedding")
     )
-    candidates = corpus.mapInPandas(score_block, schema=out_schema)
+    candidates = corpus.mapInPandas(score_block, schema=out_schema).withColumn(
+        # Arrow carries NaN, not NULL, through a float64 column —
+        # convert so downstream NULL semantics match knn_join's
+        "score",
+        F.when(F.isnan(F.col("score")), F.lit(None).cast("double")).otherwise(
+            F.col("score")
+        ),
+    )
 
     direction = (
         F.col("score").desc_nulls_last() if desc else F.col("score").asc_nulls_last()

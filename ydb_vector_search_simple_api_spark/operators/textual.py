@@ -139,6 +139,17 @@ def winnowing_fingerprints(
     return hashed.select("doc_id", TXT.winnow_mins(F.col("h"), window).alias("fps"))
 
 
+def winnowing_fingerprints_flat(
+    spark: SparkSession, sf_dir: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Gate-friendly exploded form of :func:`winnowing_fingerprints`:
+    one (doc_id, fp) row per distinct fingerprint. Docs with no
+    fingerprints (len(text) < k) emit no rows — the oracle's ``unnest``
+    over an empty list behaves identically."""
+    arr = winnowing_fingerprints(spark, sf_dir, k=k, window=window)
+    return arr.select("doc_id", F.explode("fps").alias("fp"))
+
+
 def chunk_documents(
     spark: SparkSession, sf_dir: str, chunk_size: int = 64, stride: int = 48
 ) -> DataFrame:

@@ -33,8 +33,8 @@ isl AS (
 SURGE_WINDOWS = _SURGE_CTE + """
 SELECT min(bucket) AS window_start,
        max(bucket) + INTERVAL 10 MINUTE AS window_end,
-       count(*) AS n_buckets,
-       sum(cnt) AS n_events
+       count(*)::BIGINT AS n_buckets,
+       sum(cnt)::BIGINT AS n_events
 FROM isl GROUP BY island
 """
 
@@ -70,7 +70,7 @@ grid AS (
        (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds) g
 )
 SELECT g.event_type, g.hour,
-       COALESCE(h.cnt, 0) AS n_events,
+       COALESCE(h.cnt, 0)::BIGINT AS n_events,
        LAST_VALUE(h.avg_value IGNORE NULLS)
          OVER (PARTITION BY g.event_type ORDER BY g.hour
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_locf

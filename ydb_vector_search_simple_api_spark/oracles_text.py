@@ -280,6 +280,36 @@ FROM h
 """
 
 
+def winnowing_flat_sql(k: int = 8, window: int = 4) -> str:
+    """Exploded twin of :func:`winnowing_sql` — one (doc_id, fp) row
+    per distinct fingerprint (scalar columns; the driver's canonical
+    sort can't order array cells)."""
+    return f"SELECT doc_id, unnest(fps) AS fp FROM ({winnowing_sql(k, window)})"
+
+
+# Byte-histogram digest twin: the high nibble of byte i is the hex
+# digit at (1-based) position 2*i+1 of hex(blob) — so the 16 bin
+# counts of (byte >> 4) are per-digit counts over those positions.
+# md5 over the comma-joined integer counts matches the NumPy side
+# exactly (integers: no float-formatting ambiguity).
+BYTE_HIST_DIGESTS = """
+WITH h AS (
+  SELECT doc_id, encode(text) AS b FROM documents
+), n AS (
+  SELECT doc_id,
+         octet_length(b)::BIGINT AS n_bytes,
+         list_transform(range(0, octet_length(b)::INT),
+                        i -> substr(hex(b), 2 * i::INT + 1, 1)) AS nib
+  FROM h
+)
+SELECT doc_id, n_bytes,
+       md5(array_to_string(list_transform(
+         ['0','1','2','3','4','5','6','7','8','9','A','B','C','D','E','F'],
+         d -> CAST(len(list_filter(nib, x -> x = d)) AS VARCHAR)), ',')) AS hist_md5
+FROM n
+"""
+
+
 # DuckDB's native ASOF JOIN is the oracle for the hand-built Spark
 # as-of join (union+window). ts cast to us precision on BOTH sides
 # before the inequality so truncation can't flip the >= comparison.
