@@ -277,6 +277,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["neardup_cosine"] = lambda s, d: dedup.neardup_cosine_pairs(
         load_embeddings(s, d), threshold=0.4
     )
+    # md5-hashed MinHash+LSH: bit-portable hashing makes the banding
+    # itself (not just the verified output) oracle-checkable
+    q["dedup_minhash_md5"] = lambda s, d: dedup.minhash_lsh_pairs(
+        load_documents(s, d), n=3, threshold=0.8, hasher="md5"
+    )
+    # per-doc top TF-IDF terms (keyword extraction)
+    q["tfidf_top_terms"] = textual.tfidf_top_terms
 
     # ---- multimodal payload metadata + byte-hist digest (hex-nibble
     # oracle reproduces the NumPy bin counts exactly)
@@ -387,6 +394,8 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_exact_groups"] = oracles_text.DEDUP_EXACT
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)
     o["neardup_cosine"] = oracles_text.neardup_cosine_sql(0.4)
+    o["dedup_minhash_md5"] = oracles_text.minhash_lsh_md5_sql(3, 16, 8, 0.8)
+    o["tfidf_top_terms"] = oracles_text.tfidf_sql(3)
     # dedup_minhash_lsh / dedup_simhash: intentionally no oracle
     # (xxhash64-based; precision/recall verified against the exact ops
     # in tests/test_dedup.py)

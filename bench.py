@@ -71,6 +71,7 @@ def main() -> None:
     results: dict[str, float] = {}
     for name, fn in queries.items():
         results[name] = round(timed(lambda: fn(spark, sf_dir).collect()), 4)
+        print(f"  bench {name}: {results[name]:.3f}s", file=sys.stderr, flush=True)
 
     total = round(sum(results.values()), 4)
     print(

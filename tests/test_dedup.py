@@ -153,3 +153,22 @@ def test_simhash_pigeonhole_guard(spark):
         dedup.simhash_pairs(df, max_hamming=3, band_bits=24)
     # max_hamming=4 works with narrower bands (8 bands of 8 bits)
     dedup.simhash_pairs(df, max_hamming=4, band_bits=8)
+
+
+def test_minhash_md5_matches_exact(docs, exact_pairs):
+    """The md5-hashed (engine-portable, oracle-checkable) variant has
+    the same precision/recall contract as the xxhash64 one."""
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs, n=3, threshold=0.8, hasher="md5"
+        ).collect()
+    }
+    assert set(got) == set(exact_pairs)
+    for pair, j in got.items():
+        assert j == pytest.approx(exact_pairs[pair])
+
+
+def test_minhash_unknown_hasher_rejected(docs):
+    with pytest.raises(ValueError, match="unknown hasher"):
+        dedup.minhash_lsh_pairs(docs, hasher="sha1")

@@ -138,3 +138,42 @@ def test_chunking_covers_and_overlaps(spark):
             ta, tb = a.chunk_text.split(" "), b.chunk_text.split(" ")
             if len(ta) == C:
                 assert ta[S:] == tb[: C - S]
+
+
+def test_tfidf_top_terms_contract(spark):
+    from ydb_vector_search_simple_api_spark.operators import textual as T
+
+    rows = T.tfidf_top_terms(spark, SF_SMALL, top_n=3).collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc) > 0
+    for doc_id, rs in per_doc.items():
+        ranks = sorted(r.rk for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 3
+        # ranking follows (tfidf DESC, token ASC)
+        ordered = sorted(rs, key=lambda r: (-r.tfidf, r.token))
+        assert [r.rk for r in ordered] == ranks
+        # a term appearing in every document has idf 0 -> never a top term
+        assert all(r.tfidf > 0 for r in rs)
+
+
+def test_winnowing_flat_keeps_hash_below_barrier_only(spark):
+    """Regression pin: Catalyst's InferFiltersFromGenerate must not
+    push a size(fps)>0 filter below the repartition barrier — that
+    re-inlines the winnowing fold into the scan stage (40x slowdown).
+    Below the Exchange only the k-gram hashing may appear."""
+    from ydb_vector_search_simple_api_spark.operators import textual as T
+
+    plan = (
+        T.winnowing_fingerprints_flat(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" in plan
+    below = plan.split("Exchange", 1)[1]
+    assert "array_min" not in below  # the window-minima fold
+    # physical Filter nodes print as "Filter (cond)"; the scan line's
+    # "PushedFilters: []" labels are not matches
+    assert "Filter (" not in below

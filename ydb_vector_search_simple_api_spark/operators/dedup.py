@@ -77,7 +77,14 @@ def shingled_table(
     shared by every consumer of this table in one query
     (ReusedExchange), e.g. LSH banding + verification self-joins."""
     sc = df.sparkSession.sparkContext
-    target = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    target = sc.defaultParallelism
+    try:
+        # Catalyst size estimate (metadata, no RDD materialization):
+        # keep ~64 MB of source text per partition at scale
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        target = max(target, min(size // (64 << 20), 1 << 16))
+    except Exception:
+        pass
     toks = df.select(
         F.col(id_col).alias("id"), TXT.tokens(text_col).alias("toks")
     ).repartition(target, "id")
@@ -180,11 +187,22 @@ def ngram_jaccard_pairs(
 # ----------------------------------------------------- MinHash + LSH
 
 
-def _sig_element(sh, seed: int):
-    """min over the doc's shingles of the seed-salted xxhash64."""
-    return F.array_min(
-        F.transform(sh, lambda s: F.xxhash64(F.concat(F.lit(f"mh{seed}:"), s)))
-    )
+def _sig_element(sh, seed: int, hasher: str = "xxhash64"):
+    """min over the doc's shingles of the seed-salted hash.
+
+    ``xxhash64`` (default): fastest, JVM-native, but engine-specific —
+    no SQL twin. ``md5``: byte-identical hex in every engine (the min
+    is lexicographic over fixed-length hex), so the whole LSH pipeline
+    becomes oracle-checkable at ~2x the hash cost."""
+    if hasher == "xxhash64":
+        return F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(F.concat(F.lit(f"mh{seed}:"), s)))
+        )
+    if hasher == "md5":
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"mh{seed}:"), s)))
+        )
+    raise ValueError(f"unknown hasher {hasher!r}; use 'xxhash64' or 'md5'")
 
 
 def minhash_signatures(
@@ -193,14 +211,15 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 16,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — per-seed min of salted xxhash64 over
-    the doc's distinct shingles. All JVM expressions; the shingle array
-    is materialized ONCE (:func:`shingled_table`) and each of the
-    ``num_hashes`` transforms reads the stored array instead of
-    re-tokenizing the text."""
+    """(id, sig: array<bigint|string>) — per-seed min of the salted
+    hash over the doc's distinct shingles. All JVM expressions; the
+    shingle array is materialized ONCE (:func:`shingled_table`) and
+    each of the ``num_hashes`` transforms reads the stored array
+    instead of re-tokenizing the text."""
     shingled = shingled_table(df, id_col, text_col, n)
-    sig = F.array(*[_sig_element(F.col("sh"), i) for i in range(num_hashes)])
+    sig = F.array(*[_sig_element(F.col("sh"), i, hasher) for i in range(num_hashes)])
     return shingled.select("id", sig.alias("sig"))
 
 
@@ -213,6 +232,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     round_digits: int | None = 6,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """LSH-banded candidate generation + exact Jaccard verification.
 
@@ -221,10 +241,15 @@ def minhash_lsh_pairs(
     joins back the distinct-shingle sets and computes exact Jaccard,
     so every emitted pair truly clears ``threshold`` (precision 1.0;
     banding affects recall only). Output (id_a, id_b, jaccard).
+
+    ``hasher='md5'`` makes the whole pipeline engine-portable (see
+    :func:`_sig_element`) — the DuckDB twin in
+    ``oracles_text.minhash_lsh_md5_sql`` reproduces it bit-for-bit.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
+    band_hash = F.xxhash64 if hasher == "xxhash64" else F.md5
     # ONE materialized shingle table feeds signatures, banding AND
     # verification — identical subplans below the exchange become
     # ReusedExchange instead of recomputing the tokenization.
@@ -239,11 +264,11 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        band_hash(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    _sig_element(F.col("sh"), b * rows + r)
+                                    _sig_element(F.col("sh"), b * rows + r, hasher)
                                     for r in range(rows)
                                 ],
                             )

@@ -139,15 +139,65 @@ def winnowing_fingerprints(
     return hashed.select("doc_id", TXT.winnow_mins(F.col("h"), window).alias("fps"))
 
 
+def tfidf_top_terms(
+    spark: SparkSession, sf_dir: str, top_n: int = 3
+) -> DataFrame:
+    """Per-document top-N TF-IDF terms — the keyword-extraction /
+    topic-fingerprinting primitive of a corpus pipeline.
+
+    tf = term count within the doc; idf = ln(N_docs / doc_freq);
+    score rounded to 6 BEFORE ranking so the (tfidf DESC, token ASC)
+    cut is deterministic in any engine. Two shuffles (tf groupBy +
+    doc-frequency groupBy, both with map-side partial agg); N_docs and
+    the doc-frequency table ride broadcasts — the fact table never
+    re-shuffles for them. Output (doc_id, token, tf, tfidf, rk)."""
+    from pyspark.sql import Window
+
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(TXT.tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("dfreq")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.col("n_docs") / F.col("dfreq").cast("double")),
+        ROUND,
+    ) + F.lit(0.0)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= top_n)
+        .select("doc_id", "token", "tf", "tfidf", "rk")
+    )
+
+
 def winnowing_fingerprints_flat(
     spark: SparkSession, sf_dir: str, k: int = 8, window: int = 4
 ) -> DataFrame:
     """Gate-friendly exploded form of :func:`winnowing_fingerprints`:
     one (doc_id, fp) row per distinct fingerprint. Docs with no
     fingerprints (len(text) < k) emit no rows — the oracle's ``unnest``
-    over an empty list behaves identically."""
+    over an empty list behaves identically.
+
+    ``explode_outer`` + post-explode NULL filter, NOT plain
+    ``explode``: for the latter, Catalyst's InferFiltersFromGenerate
+    derives ``size(fps) > 0`` and pushes it BELOW the repartition
+    barrier, re-inlining the whole winnowing expression into the scan
+    stage — the O(len^2) re-hashing the barrier exists to prevent
+    (observed 40x slowdown). The NULL filter references the generator
+    output, so it cannot sink below the Generate."""
     arr = winnowing_fingerprints(spark, sf_dir, k=k, window=window)
-    return arr.select("doc_id", F.explode("fps").alias("fp"))
+    return (
+        arr.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
 
 
 def chunk_documents(

@@ -164,6 +164,79 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
 """
 
 
+def minhash_lsh_md5_sql(
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """Bit-exact twin of ``minhash_lsh_pairs(..., hasher='md5')``:
+    per-seed signature = lexicographic min of salted md5 hex over the
+    doc's distinct shingles, band key = md5 of the comma-joined band
+    slice, candidates share a (band, key), verification is exact
+    Jaccard over the shingle sets. md5 hex is identical across
+    engines, so even the banding (the approximate part) matches."""
+    rows = num_hashes // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('mh{i}:' || s)))"
+        for i in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "struct_pack(band := {b}, bkey := md5({key}))".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"sig[{b * rows + r + 1}]" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {TOKS} AS t FROM documents),
+sh AS (SELECT id, list_distinct({_shingles(n)}) AS sh FROM toks),
+sig AS (SELECT id, sh, [{sig_elems}] AS sig FROM sh),
+exploded AS (SELECT id, unnest([{band_structs}]) AS u FROM sig),
+banded AS (SELECT id, u.band AS band, u.bkey AS bkey FROM exploded),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+verified AS (
+  SELECT id_a, id_b,
+         ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE,
+               6) + 0.0 AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.id = cand.id_a
+  JOIN sh sb ON sb.id = cand.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+def tfidf_sql(top_n: int = 3) -> str:
+    """Twin of ``textual.tfidf_top_terms``: tf * ln(N/df), rounded to
+    6 before the (tfidf DESC, token ASC) rank cut."""
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS dfreq FROM toks GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         ROUND(tf.tf::DOUBLE * ln(n.n_docs / dfreq.dfreq::DOUBLE), 6) + 0.0 AS tfidf
+  FROM tf JOIN dfreq USING (token), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+  )::BIGINT AS rk
+  FROM scored
+)
+SELECT doc_id, token, tf, tfidf, rk FROM ranked WHERE rk <= {top_n}
+"""
+
+
 def neardup_cosine_sql(threshold: float = 0.4) -> str:
     dot = (
         "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
