@@ -266,8 +266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["split_sizes"] = sampling.split_sizes
     # context-length chunking (training-sequence packing prep)
     q["chunk_documents"] = textual.chunk_documents
-    # exploded (doc_id, fp) rows — scalar columns for the gate
-    q["winnowing_fingerprints"] = textual.winnowing_fingerprints_flat
+    # per-doc (doc_id, n_fps, fps_md5) digest — scalar columns for the
+    # gate without moving ~len/window rows per doc through collect
+    q["winnowing_fingerprints"] = textual.winnowing_digest
 
     # ---- dedup family (exact forms)
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(load_documents(s, d))
@@ -390,7 +391,7 @@ def oracle_sql() -> dict[str, str]:
     o["document_splits"] = sampling.splits_sql(0.8, 0.1)
     o["split_sizes"] = sampling.split_sizes_sql(0.8, 0.1)
     o["chunk_documents"] = oracles_text.chunk_documents_sql(64, 48)
-    o["winnowing_fingerprints"] = oracles_text.winnowing_flat_sql(8, 4)
+    o["winnowing_fingerprints"] = oracles_text.winnowing_digest_sql(8, 4)
     o["dedup_exact_groups"] = oracles_text.DEDUP_EXACT
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)
     o["neardup_cosine"] = oracles_text.neardup_cosine_sql(0.4)

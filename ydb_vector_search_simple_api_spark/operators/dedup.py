@@ -526,34 +526,43 @@ def srp_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    bits: int = 32,
-    band_bits: int = 4,
+    bits: int = 64,
+    band_bits: int = 8,
     seed: int = 7,
     dim: int | None = None,
     round_digits: int | None = 6,
 ) -> DataFrame:
     """Embedding near-dup via sign-random-projection LSH (Charikar'02):
     the angle-preserving twin of text SimHash. Each row gets ``bits``
-    sign bits (one dot per fixed Gaussian hyperplane, all JVM-side
-    folds); bits split into bands; candidate pairs share a band value;
-    candidates are verified with the EXACT cosine, so precision is 1.0
-    by construction and only recall is approximate.
+    sign bits — one Arrow-batched NumPy matmul against the fixed
+    Gaussian hyperplane matrix, not per-plane Column folds — split
+    into bands; candidate pairs share a band value; candidates are
+    verified with the EXACT cosine, so precision is 1.0 by
+    construction and only recall is approximate.
 
     Scale shape: signatures are a narrow map; the shuffle carries
     (band, bval, id) rows — docs x n_bands, never pairs. Per-pair work
-    happens only inside buckets. Recall: a pair at cosine s agrees on
-    one bit w.p. 1 - arccos(s)/pi, so high-similarity pairs (the
-    near-dup regime, s >= ~0.9) survive banding w.h.p. while distant
-    pairs rarely collide; more/narrower bands raise recall at the cost
-    of more candidates. Defaults (32 bits, 8 bands of 4) put the miss
-    rate for s >= 0.95 below ~2e-4 per pair.
+    happens only inside buckets, so bucket occupancy is the knob that
+    matters: ``band_bits`` buys 2^band_bits buckets per band, and it
+    must grow with the corpus (size it so n_rows / 2^band_bits stays
+    near the bucket size you can afford to pair-scan; 8 bits is right
+    up to ~10^6 rows, use 12-16 beyond). Recall: a pair at cosine s
+    agrees on one bit w.p. 1 - arccos(s)/pi, so the defaults (64 bits,
+    8 bands of 8) give per-pair miss ~1.2e-2 at s = 0.95 and ~8e-4 at
+    s = 0.98; raise ``bits`` (more bands) for more recall, or
+    ``band_bits`` (more selective bands) for fewer candidates.
 
     Output (id_a, id_b, cosine) — same schema as
     :func:`neardup_cosine_pairs`, whose exact result is this
     operator's recall oracle in tests.
 
     ``dim`` is required (array columns carry no length in the schema,
-    and inferring it would cost a hidden driver-side action)."""
+    and inferring it would cost a hidden driver-side action). Rows
+    whose vector is NULL or has a different length are excluded."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     if bits % band_bits != 0:
         raise ValueError("bits must divide into band_bits bands")
     if dim is None:
@@ -561,33 +570,39 @@ def srp_cosine_pairs(
             "dim is required: pass the embedding dimensionality explicitly "
             "(schema arrays are unsized; inference would cost a driver action)"
         )
-    planes = _srp_hyperplanes(dim, bits, seed)
+    planes_np = np.asarray(_srp_hyperplanes(dim, bits, seed))  # (bits, dim)
+    n_bands = bits // band_bits
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
     src = _ensure_parallelism(df)
 
-    def bit(b: int):
-        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
-        return F.when(dot(F.col(vec_col), plane) > 0.0, 1).otherwise(0)
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and PySpark's hint-based inference cannot resolve locals —
+    # the positional returnType registers a plain SCALAR pandas UDF
+    def _band_vals_fn(vecs):
+        n = len(vecs)
+        E = np.zeros((n, dim), dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) == dim:
+                E[i] = v
+                ok[i] = True
+        sign = (E @ planes_np.T) > 0.0  # (n, bits), one BLAS call/batch
+        bvals = sign.reshape(n, n_bands, band_bits) @ weights  # (n, n_bands)
+        return pd.Series(
+            [row.tolist() if k else [] for row, k in zip(bvals, ok)]
+        )
 
-    n_bands = bits // band_bits
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                sum(
-                    (bit(band * band_bits + j) * (1 << j) for j in range(1, band_bits)),
-                    start=bit(band * band_bits),
-                ).alias("bval"),
-            )
-            for band in range(n_bands)
-        ]
-    )
+    _band_vals = F.pandas_udf(_band_vals_fn, T.ArrayType(T.LongType()))
+
     # the banded table carries ONLY (id, band, bval): the exchange
     # moves docs x n_bands skinny rows, never vector payloads. Vectors
     # rejoin by id AFTER candidate dedup — same pattern as
-    # minhash_lsh_pairs' shingle verification join.
+    # minhash_lsh_pairs' shingle verification join. (Mismatched-dim
+    # rows emit an empty band array -> no rows after posexplode.)
     sig = src.select(
-        F.col(id_col).alias("id"), F.explode(bands).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+        F.col(id_col).alias("id"),
+        F.posexplode(_band_vals(F.col(vec_col))).alias("band", "bval"),
+    )
     a, b = sig.alias("a"), sig.alias("b")
     candidates = (
         a.join(

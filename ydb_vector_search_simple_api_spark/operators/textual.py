@@ -200,6 +200,24 @@ def winnowing_fingerprints_flat(
     )
 
 
+def winnowing_digest(
+    spark: SparkSession, sf_dir: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Per-doc digest of :func:`winnowing_fingerprints`: (doc_id,
+    n_fps, fps_md5) where fps_md5 = md5 of the sorted fingerprints
+    concatenated. Carries the full fingerprint computation but emits
+    one scalar row per document — the gate/bench shape (the flat form
+    moves ~len(text)/window rows per doc through collect; the digest
+    proves the same set equality in 1 row). md5('') for docs shorter
+    than k, matching the oracle's array_to_string([]) = ''."""
+    arr = winnowing_fingerprints(spark, sf_dir, k=k, window=window)
+    return arr.select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fps"),
+        F.md5(F.concat_ws("", F.col("fps"))).alias("fps_md5"),
+    )
+
+
 def chunk_documents(
     spark: SparkSession, sf_dir: str, chunk_size: int = 64, stride: int = 48
 ) -> DataFrame:

@@ -360,6 +360,18 @@ def winnowing_flat_sql(k: int = 8, window: int = 4) -> str:
     return f"SELECT doc_id, unnest(fps) AS fp FROM ({winnowing_sql(k, window)})"
 
 
+def winnowing_digest_sql(k: int = 8, window: int = 4) -> str:
+    """Digest twin: fps is already sorted, so md5 over the bare
+    concatenation is deterministic; empty list -> md5('') on both
+    engines."""
+    return f"""
+SELECT doc_id,
+       len(fps)::BIGINT AS n_fps,
+       md5(array_to_string(fps, '')) AS fps_md5
+FROM ({winnowing_sql(k, window)})
+"""
+
+
 # Byte-histogram digest twin: the high nibble of byte i is the hex
 # digit at (1-based) position 2*i+1 of hex(blob) — so the 16 bin
 # counts of (byte >> 4) are per-digit counts over those positions.
