@@ -88,6 +88,16 @@ def test_index_page_served(served):
     code, body, ctype = _get(served[0] + "/")
     assert code == 200 and ctype.startswith("text/html")
     assert b"/search" in body  # the form posts to the API
+    # the reference UI's controls (templates/index.html:244-470):
+    # input-mode toggle, k, width knob, ranked results table
+    for control in (
+        b'name="inputMode"',
+        b'id="k"',
+        b'id="indexTreeSearchTopSize"',
+        b'id="resultsTable"',
+        b"/health",
+    ):
+        assert control in body
 
 
 def test_unknown_route_404(served):

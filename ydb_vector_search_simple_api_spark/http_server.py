@@ -21,29 +21,94 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from . import api
 
-#: Minimal functional stand-in for the reference's web UI
-#: (``templates/index.html``, 471 lines): a form that POSTs to
-#: /search with an embedding or a query string and renders results.
+#: Functional counterpart of the reference's web UI
+#: (``templates/index.html:244-470``): embedding/query input-mode
+#: toggle, k (1..100) and index_tree_search_top_size (1..1000) knobs,
+#: ranked results table (Rank/Score/ID/Title/Vendor/Description),
+#: search-time readout, error banner, /health badge. Same request
+#: body and the same field names; styling is deliberately plain.
 INDEX_HTML = """<!doctype html>
-<html><head><meta charset="utf-8"><title>Vector Search</title></head>
+<html><head><meta charset="utf-8"><title>Vector Search</title>
+<style>
+ body{font-family:sans-serif;max-width:900px;margin:2em auto;padding:0 1em}
+ .row{display:flex;gap:20px} .hidden{display:none}
+ label{display:block;margin:.6em 0 .2em;font-weight:bold}
+ textarea,input[type=text]{width:100%} table{border-collapse:collapse;width:100%;margin-top:1em}
+ th,td{border:1px solid #ccc;padding:4px 8px;text-align:left}
+ #errorMessage{color:#b00;margin-top:1em} #healthBadge{float:right;font-weight:normal}
+</style></head>
 <body>
-<h1>Vector Search</h1>
-<form id="f">
-  <label>Query text <input name="query"></label>
-  <label>or embedding JSON <input name="embedding" placeholder="[0.1, ...]"></label>
-  <label>k <input name="k" type="number" value="4"></label>
-  <button>Search</button>
+<h1>Vector Search <span id="healthBadge">...</span></h1>
+<form id="searchForm">
+  <label>Input Mode</label>
+  <label><input type="radio" name="inputMode" value="embedding" checked> Embedding Vector</label>
+  <label><input type="radio" name="inputMode" value="query"> Text Query</label>
+  <div id="embeddingGroup">
+    <label for="embedding">Embedding (JSON array of numbers)</label>
+    <textarea id="embedding" rows="4" placeholder="[0.1, 0.2, 0.3, ...]"></textarea>
+  </div>
+  <div id="queryGroup" class="hidden">
+    <label for="query">Query Text (converted to embedding via API)</label>
+    <input type="text" id="query" placeholder="Enter search query...">
+  </div>
+  <div class="row">
+    <div><label for="k">Number of Results (k)</label>
+      <input type="number" id="k" value="10" min="1" max="100"></div>
+    <div><label for="indexTreeSearchTopSize">Index Tree Search Top Size</label>
+      <input type="number" id="indexTreeSearchTopSize" value="10" min="1" max="1000"></div>
+  </div>
+  <button type="submit">Search</button>
 </form>
-<pre id="out"></pre>
+<div id="errorMessage" class="hidden"></div>
+<p><span id="searchTime"></span> <span id="resultsCount"></span></p>
+<div id="noResults" class="hidden">No results found</div>
+<table id="resultsTable" class="hidden">
+  <thead><tr><th>Rank</th><th>Score</th><th>ID</th><th>Title</th>
+    <th>Vendor</th><th>Description</th></tr></thead>
+  <tbody id="resultsBody"></tbody>
+</table>
 <script>
-document.getElementById('f').onsubmit = async (e) => {
+const $ = (id) => document.getElementById(id);
+fetch('/health').then(r => r.json())
+  .then(h => $('healthBadge').textContent = h.status === 'ok' ? '\\u2713' : '\\u2717')
+  .catch(() => $('healthBadge').textContent = '\\u2717');
+document.querySelectorAll('input[name=inputMode]').forEach(el =>
+  el.addEventListener('change', (e) => {
+    $('embeddingGroup').classList.toggle('hidden', e.target.value !== 'embedding');
+    $('queryGroup').classList.toggle('hidden', e.target.value !== 'query');
+  }));
+$('searchForm').onsubmit = async (e) => {
   e.preventDefault();
-  const fd = new FormData(e.target), body = {k: parseInt(fd.get('k') || '4')};
-  if (fd.get('query')) body.query = fd.get('query');
-  if (fd.get('embedding')) body.embedding = JSON.parse(fd.get('embedding'));
-  const r = await fetch('/search', {method: 'POST',
-    headers: {'Content-Type': 'application/json'}, body: JSON.stringify(body)});
-  document.getElementById('out').textContent = JSON.stringify(await r.json(), null, 2);
+  $('errorMessage').classList.add('hidden');
+  const body = {k: parseInt($('k').value || '10'),
+    index_tree_search_top_size: parseInt($('indexTreeSearchTopSize').value || '10')};
+  try {
+    const mode = document.querySelector('input[name=inputMode]:checked').value;
+    if (mode === 'embedding') body.embedding = JSON.parse($('embedding').value);
+    else body.query = $('query').value;
+    const r = await fetch('/search', {method: 'POST',
+      headers: {'Content-Type': 'application/json'}, body: JSON.stringify(body)});
+    const data = await r.json();
+    if (!r.ok) throw new Error(data.error || ('HTTP ' + r.status));
+    $('searchTime').textContent = 'Search time: ' + data.search_time_ms.toFixed(1) + ' ms';
+    $('resultsCount').textContent = data.count + ' results';
+    $('noResults').classList.toggle('hidden', data.count > 0);
+    $('resultsTable').classList.toggle('hidden', data.count === 0);
+    $('resultsBody').innerHTML = '';
+    data.results.forEach((row, i) => {
+      const tr = document.createElement('tr');
+      [i + 1, Number(row.score).toFixed(6), row.id, row.title, row.vendor,
+       row.description].forEach(v => {
+        const td = document.createElement('td');
+        td.textContent = v === null || v === undefined ? '' : String(v);
+        tr.appendChild(td);
+      });
+      $('resultsBody').appendChild(tr);
+    });
+  } catch (err) {
+    $('errorMessage').textContent = err.message;
+    $('errorMessage').classList.remove('hidden');
+  }
 };
 </script>
 </body></html>
