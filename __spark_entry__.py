@@ -25,7 +25,9 @@ from ydb_vector_search_simple_api_spark import (
     oracles_text,
 )
 from ydb_vector_search_simple_api_spark.config import STRATEGIES
+from ydb_vector_search_simple_api_spark import oracles_curation
 from ydb_vector_search_simple_api_spark.operators import (
+    curation,
     dedup,
     multimodal,
     relational,
@@ -223,9 +225,12 @@ def _mk_ivf_knn_join_dist(strategy: str, k: int, n_queries: int, width: int | No
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordering contract: the driver checks the FIRST 50 entries, so
-    every oracle-backed query precedes every rows-only (no-oracle)
-    entry; the rows-only tail is covered by pytest instead."""
+    """Ordering contract: the driver checks the FIRST 50 entries.
+    Positions 1-50 hold one oracle-backed query per distinct operator;
+    positions 51+ hold (a) oracle-backed entries whose operator class
+    is already exercised by an in-cap sibling (still validated by the
+    full-suite replica ``tools/check_oracle.py``), then (b) rows-only
+    entries with no SQL twin, covered by pytest."""
     from ydb_vector_search_simple_api_spark.operators import asof, stats, temporal
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -237,9 +242,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # O6: conjunctive equality filter (vendor == lang column)
     q["topk_cosine_filtered"] = _mk_topk(
         "CosineSimilarity", k=10, filter={"vendor": "fr"}
-    )
-    q["topk_cosine_filtered2"] = _mk_topk(
-        "CosineSimilarity", k=10, filter={"vendor": "de", "title": "src3"}
     )
     # default-k path (k=4, reference default app.py:363)
     q["topk_cosine_default_k"] = _mk_topk("CosineSimilarity", k=4)
@@ -255,15 +257,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- north-star extensions: text analysis over documents
     q["text_stats"] = textual.text_stats
-    q["lang_profile"] = textual.lang_profile
-    q["token_frequencies"] = textual.token_frequencies
     q["lang_id"] = textual.lang_id_pred
-    q["fingerprints"] = textual.fingerprints
     q["quality_filter"] = textual.quality_filter
     q["token_budget"] = textual.token_budget
     # deterministic md5-threshold train/valid/test assignment
     q["document_splits"] = sampling.document_splits
-    q["split_sizes"] = sampling.split_sizes
     # context-length chunking (training-sequence packing prep)
     q["chunk_documents"] = textual.chunk_documents
     # per-doc (doc_id, n_fps, fps_md5) digest — scalar columns for the
@@ -285,6 +283,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # per-doc top TF-IDF terms (keyword extraction)
     q["tfidf_top_terms"] = textual.tfidf_top_terms
+
+    # ---- corpus curation (operators/curation.py)
+    # train/eval contamination: shingle containment vs the src0
+    # benchmark set, benchmark side broadcast
+    q["decontaminate"] = curation.decontaminate_documents
+    # token-budget sharding of the chunk stream into training bins
+    q["pack_chunks"] = curation.pack_chunks
+    # language-stratified deterministic sampling (data mixing)
+    q["stratified_sample"] = curation.stratified_sample_stats
+    # Gopher-style repetition quality signals
+    q["repetition_signals"] = curation.repetition_signals
+    # symmetric int8 embedding quantization (digest shape)
+    q["quantize_embeddings"] = curation.quantize_embeddings
+    # kNN label vote over the embeddings table's label column
+    q["knn_classify"] = curation.knn_classify
 
     # ---- multimodal payload metadata + byte-hist digest (hex-nibble
     # oracle reproduces the NumPy bin counts exactly)
@@ -309,7 +322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_rollup"] = relational.orders_rollup
     q["customers_without_orders"] = relational.customers_without_orders
     q["parts_ordered_by_brand"] = relational.parts_ordered_by_brand
-    q["orders_cube"] = relational.orders_cube
     # set operations (INTERSECT / EXCEPT over yearly customer sets)
     q["repeat_customers"] = relational.repeat_customers
     q["lapsed_customers"] = relational.lapsed_customers
@@ -324,6 +336,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["value_percentiles"] = stats.value_percentiles
     q["distinct_users_by_type"] = stats.distinct_users_by_type
     q["retention_cohorts"] = stats.retention_cohorts
+
+    # ======== oracle-backed overflow (past the driver's 50-entry cap;
+    # each has an in-cap sibling exercising the same operator, and all
+    # are validated by tools/check_oracle.py) ========================
+    # sibling: topk_cosine_filtered (same conjunctive-filter path)
+    q["topk_cosine_filtered2"] = _mk_topk(
+        "CosineSimilarity", k=10, filter={"vendor": "de", "title": "src3"}
+    )
+    # sibling: tfidf_top_terms (same tokenize+count path)
+    q["token_frequencies"] = textual.token_frequencies
+    # sibling: dedup_exact_groups (same md5 content fingerprint)
+    q["fingerprints"] = textual.fingerprints
+    # sibling: text_stats (lang_profile aggregates its columns)
+    q["lang_profile"] = textual.lang_profile
+    # sibling: document_splits (split_sizes aggregates it)
+    q["split_sizes"] = sampling.split_sizes
+    # sibling: orders_rollup (same Expand-based grouping-set agg)
+    q["orders_cube"] = relational.orders_cube
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -397,6 +427,16 @@ def oracle_sql() -> dict[str, str]:
     o["neardup_cosine"] = oracles_text.neardup_cosine_sql(0.4)
     o["dedup_minhash_md5"] = oracles_text.minhash_lsh_md5_sql(3, 16, 8, 0.8)
     o["tfidf_top_terms"] = oracles_text.tfidf_sql(3)
+    o["decontaminate"] = oracles_curation.decontaminate_sql(8, 0.3)
+    o["pack_chunks"] = oracles_curation.pack_chunks_sql(
+        oracles_text.chunk_documents_sql(64, 48), 256
+    )
+    o["stratified_sample"] = oracles_curation.stratified_sample_stats_sql(
+        curation.RATES_DEFAULT, 1.0
+    )
+    o["repetition_signals"] = oracles_curation.repetition_signals_sql(3)
+    o["quantize_embeddings"] = oracles_curation.QUANTIZE
+    o["knn_classify"] = oracles_curation.knn_classify_sql(10, 8)
     # dedup_minhash_lsh / dedup_simhash: intentionally no oracle
     # (xxhash64-based; precision/recall verified against the exact ops
     # in tests/test_dedup.py)

@@ -1,0 +1,173 @@
+"""Curation operators: decontamination, packing, stratified sampling,
+repetition signals, quantization, kNN labeling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.operators import curation
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def test_decontaminate_finds_contained_benchmark(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, bench_text, "bench"),
+            # training doc containing the full benchmark passage
+            (2, "prefix words " + bench_text + " suffix words", "train"),
+            # unrelated training doc
+            (3, "totally different content with no overlap at all here", "train"),
+        ],
+        ["doc_id", "text", "kind"],
+    )
+    out = curation.decontaminate(
+        docs, F.col("kind") == "bench", n=8, min_containment=0.5
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    # the 8-token benchmark has exactly one 8-gram, fully contained
+    assert (row.doc_id, row.bench_id, row.n_common) == (2, 1, 1)
+    assert row.containment == 1.0
+
+
+def test_decontaminate_partial_containment(spark):
+    bench_text = "a b c d e f g h i"  # two 8-grams
+    docs = spark.createDataFrame(
+        [
+            (1, bench_text, "bench"),
+            (2, "x y a b c d e f g h z", "train"),  # contains 1 of 2
+        ],
+        ["doc_id", "text", "kind"],
+    )
+    out = curation.decontaminate(
+        docs, F.col("kind") == "bench", n=8, min_containment=0.3
+    ).collect()
+    assert len(out) == 1 and out[0].containment == 0.5
+
+
+def test_pack_chunks_partitions_the_chunk_stream(spark):
+    from ydb_vector_search_simple_api_spark.operators.textual import chunk_documents
+
+    bins = curation.pack_chunks(spark, SF_SMALL, budget=256)
+    chunks = chunk_documents(spark, SF_SMALL)
+    per_doc = (
+        bins.groupBy("doc_id")
+        .agg(
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_bin_tokens").alias("n_tokens"),
+            F.min("bin_id").alias("min_bin"),
+            F.max("bin_id").alias("max_bin"),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
+        .collect()
+    )
+    truth = {
+        r.doc_id: (r.n_chunks, r.n_tokens)
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("n_tokens"),
+        )
+        .collect()
+    }
+    assert len(per_doc) == len(truth)
+    for r in per_doc:
+        # bins exactly partition the doc's chunks and tokens
+        assert (r.n_chunks, r.n_tokens) == truth[r.doc_id]
+        # bin ids are contiguous from 0
+        assert r.min_bin == 0 and r.max_bin == r.n_bins - 1
+
+
+def test_stratified_sample_deterministic_and_consistent(spark):
+    rates = {"en": 0.5, "fr": 0.8}
+    stats = curation.stratified_sample_stats(spark, SF_SMALL, rates).collect()
+    again = curation.stratified_sample_stats(spark, SF_SMALL, rates).collect()
+    assert sorted(map(tuple, stats)) == sorted(map(tuple, again))
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    d = load_documents(spark, SF_SMALL)
+    sampled = curation.stratified_sample(d, "doc_id", "lang", rates)
+    by_lang = {
+        r.lang: r.n
+        for r in sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in stats:
+        assert by_lang.get(r.lang, 0) == r.n_sampled
+        assert 0 <= r.n_sampled <= r.n_docs
+    # the 'en' stratum is actually downsampled
+    en = next(r for r in stats if r.lang == "en")
+    assert 0 < en.n_sampled < en.n_docs
+
+
+def test_repetition_signals_crafted(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z"), (3, "q r")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in curation.repetition_signals_df(docs).collect()}
+    # "a a a a": mode=4/4, 3-grams = [a a a, a a a] -> dup frac 0.5
+    assert rows[1].top_token_frac == 1.0
+    assert rows[1].dup_ngram_frac == 0.5
+    # all-distinct tokens/grams
+    assert rows[2].top_token_frac == 0.25
+    assert rows[2].dup_ngram_frac == 0.0
+    # shorter than n grams -> 0.0 by contract
+    assert rows[3].dup_ngram_frac == 0.0
+
+
+def test_quantize_crafted(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r.vec_id: r for r in curation.quantize_df(docs).collect()}
+    # maxabs=1: codes 127, -127, floor(63.5+0.5)=64
+    assert rows[1].qscale == 1.0
+    assert rows[1].codes_md5 == hashlib.md5(b"127,-127,64").hexdigest()
+    # zero vector -> zero codes, qscale 0
+    assert rows[2].qscale == 0.0
+    assert rows[2].codes_md5 == hashlib.md5(b"0,0,0").hexdigest()
+
+
+def test_knn_classify_labels_clusters(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    rows = []
+    vid = 0
+    centers = [rng.randn(16) for _ in range(2)]
+    for label, c in enumerate(centers):
+        for _ in range(20):
+            v = c + rng.randn(16) * 0.05
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    import tempfile
+
+    sf_dir = tempfile.mkdtemp(prefix="svs_knnc_")
+    df.write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    out = curation.knn_classify(spark, sf_dir, k=5, n_queries=6).collect()
+    assert len(out) == 6
+    for r in out:
+        # queries 0..5 are all in cluster 0; tight clusters -> all
+        # neighbors agree
+        assert r.pred_label == 0 and r.votes == 5

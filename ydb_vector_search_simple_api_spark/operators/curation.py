@@ -1,0 +1,351 @@
+"""Corpus-curation operators for the large-scale training-data
+pipeline: decontamination, token-budget packing, stratified sampling,
+repetition/quality signals, embedding quantization, and label kNN.
+
+The reference has no curation surface; these are north-star
+extensions designed Spark-first for 100 TB corpora. Every operator
+here is oracle-backed (``oracles_curation.py``) — hashing is md5 and
+rounding is ``ROUND(x, 6) + 0.0`` so DuckDB reproduces each value
+bit-for-bit.
+
+Scale shapes at a glance:
+
+* **decontaminate**: the benchmark side is SMALL by construction
+  (eval sets are thousands of docs, the corpus is billions), so its
+  exploded shingle table rides a broadcast — the 100 TB training side
+  never shuffles for the probe; only matched (train, bench) pairs
+  enter the one aggregation shuffle.
+* **pack_chunks**: one window over (doc_id, chunk_id) — the same
+  partitioning the chunker already emits.
+* **stratified_sample**: pure per-row md5 map, zero shuffles,
+  reproducible on any cluster layout (same contract as
+  ``sampling.split_assign``).
+* **repetition_signals**: one (doc_id, token) aggregation with
+  map-side combine for the mode; the n-gram dup ratio is a narrow
+  array fold sharing the same tokenization barrier.
+* **quantize_embeddings**: narrow per-row map (scale + int8 codes).
+* **knn_classify**: exact kNN join (same shape as ``knn_join``), vote
+  aggregation over k·|queries| rows — tiny by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..sources.store import load_documents, load_embeddings
+from . import dedup
+from .sampling import _draw, _threshold_hex
+from .textual import chunk_documents
+
+#: round() precision shared with every oracle (see oracles.py)
+ROUND = 6
+
+
+# ----------------------------------------------------------- decontam
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_pred: Column,
+    n: int = 8,
+    min_containment: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval contamination probe: for every training document,
+    the benchmark documents whose n-gram shingle set it contains
+    above ``min_containment`` (|train ∩ bench| / |bench|) — the
+    overlap direction that matters for eval integrity (a training doc
+    that *contains* the benchmark passage leaks the answer, however
+    much other text surrounds it).
+
+    ``bench_pred`` marks the benchmark rows; the rest are the
+    training side. Inverted-index join on the shingle: documents only
+    meet through a shared n-gram, and the benchmark shingle table is
+    broadcast (eval sets are small by construction; a corpus-sized
+    benchmark would make this a plain shuffle join — drop the hint).
+
+    Output: (doc_id, bench_id, n_common, containment), containment
+    rounded to 6.
+    """
+    bench = docs.filter(bench_pred)
+    train = docs.filter(~bench_pred)
+    bench_sh = (
+        dedup.shingled_table(bench, id_col=id_col, text_col=text_col, n=n)
+        .select(F.col("id").alias("bench_id"), F.explode("sh").alias("shingle"))
+    )
+    bench_sizes = bench_sh.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_bench_sh")
+    )
+    train_sh = dedup.shingled_table(
+        train, id_col=id_col, text_col=text_col, n=n
+    ).select(F.col("id").alias("doc_id"), F.explode("sh").alias("shingle"))
+    common = (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.round(
+        F.col("n_common").cast("double") / F.col("n_bench_sh").cast("double"),
+        ROUND,
+    ) + F.lit(0.0)
+    return (
+        common.join(F.broadcast(bench_sizes), "bench_id")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= min_containment)
+        .select("doc_id", "bench_id", "n_common", "containment")
+    )
+
+
+def decontaminate_documents(
+    spark: SparkSession, sf_dir: str, n: int = 8, min_containment: float = 0.3
+) -> DataFrame:
+    """Gate entry: documents from source 'src0' act as the benchmark
+    set, the rest as the training corpus."""
+    d = load_documents(spark, sf_dir)
+    return decontaminate(
+        d, F.col("source") == "src0", n=n, min_containment=min_containment
+    )
+
+
+# ------------------------------------------------------------ packing
+
+
+def pack_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+    budget: int = 256,
+) -> DataFrame:
+    """Token-budget sharding of the chunk stream into training bins:
+    chunk c (in chunk_id order within its doc) lands in bin
+    ``floor(tokens_before_c / budget)``. Deterministic, one window
+    over the chunker's own (doc_id, chunk_id) ordering, and
+    SQL-expressible — unlike greedy first-fit, whose bin boundaries
+    depend on remainder state. A bin's total may overshoot ``budget``
+    by at most one chunk (bounded by chunk_size), which a trainer
+    absorbs as truncation/padding.
+
+    Output: (doc_id, bin_id, n_chunks, n_bin_tokens).
+    """
+    c = chunk_documents(spark, sf_dir, chunk_size=chunk_size, stride=stride)
+    w = Window.partitionBy("doc_id").orderBy("chunk_id")
+    before = F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")
+    return (
+        c.withColumn("bin_id", F.floor(before / budget))
+        .groupBy("doc_id", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("n_bin_tokens"),
+        )
+    )
+
+
+# ----------------------------------------------------------- sampling
+
+
+def stratified_sample_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Language-stratified deterministic sampling — the data-mixing
+    primitive (downsample dominant languages, keep the tail). A row
+    survives iff its md5 draw (pure function of doc_id, same contract
+    as ``sampling.hash_sample``) falls below its language's rate.
+
+    Gate shape: per-language (lang, n_docs, n_sampled) so the result
+    is small and the rates are auditable; the row-level filter is
+    ``stratified_sample``."""
+    rates = RATES_DEFAULT if rates is None else rates
+    d = load_documents(spark, sf_dir)
+    keep = _keep_col(F.col("doc_id"), F.col("lang"), rates, default_rate)
+    return (
+        d.select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_sampled"),
+        )
+    )
+
+
+#: default mix: halve the head language, keep the tail
+RATES_DEFAULT = {"en": 0.5, "fr": 0.8}
+
+
+def _keep_col(
+    key: Column, lang: Column, rates: dict[str, float], default_rate: float
+) -> Column:
+    draw = _draw(key)
+    expr = F.lit(None).cast("boolean")
+    out = None
+    for lang_val, rate in sorted(rates.items()):
+        cond = draw < F.lit(_threshold_hex(rate))
+        out = (
+            F.when(lang == lang_val, cond)
+            if out is None
+            else out.when(lang == lang_val, cond)
+        )
+    base = draw < F.lit(_threshold_hex(default_rate))
+    return out.otherwise(base) if out is not None else base
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    lang_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Row-level stratified filter (the operator the stats query
+    audits)."""
+    return df.filter(
+        _keep_col(F.col(key_col), F.col(lang_col), rates, default_rate)
+    )
+
+
+# ------------------------------------------------------- rep. signals
+
+
+def repetition_signals(
+    spark: SparkSession, sf_dir: str, n: int = 3
+) -> DataFrame:
+    """Gate entry over ``documents`` — see :func:`repetition_signals_df`."""
+    return repetition_signals_df(
+        load_documents(spark, sf_dir).select("doc_id", "text"), n=n
+    )
+
+
+def repetition_signals_df(d: DataFrame, n: int = 3) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    * ``top_token_frac`` — occurrences of the most frequent token over
+      total tokens (mode via one (doc_id, token) count with map-side
+      combine; ties don't matter, only the max count is read);
+    * ``dup_ngram_frac`` — 1 − distinct/total word n-grams, the
+      boilerplate/loop detector.
+
+    Output: (doc_id, n_tokens, top_token_frac, dup_ngram_frac),
+    fractions rounded to 6. Docs shorter than n grams score 0.0
+    dup_ngram_frac.
+    """
+    toks = d.select("doc_id", TXT.tokens("text").alias("t"))
+    counts = (
+        toks.select("doc_id", F.explode("t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("max_cnt"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    sh = TXT.shingles_from_tokens(F.col("t"), n)
+    grams = toks.select(
+        "doc_id",
+        F.size(sh).alias("n_sh"),
+        F.size(F.array_distinct(sh)).alias("n_sh_distinct"),
+    )
+    top_frac = F.round(
+        F.col("max_cnt").cast("double") / F.col("n_tokens").cast("double"), ROUND
+    ) + F.lit(0.0)
+    dup_frac = F.when(F.col("n_sh") <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            1.0
+            - F.col("n_sh_distinct").cast("double") / F.col("n_sh").cast("double"),
+            ROUND,
+        )
+        + F.lit(0.0)
+    )
+    return (
+        counts.join(grams, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top_frac.alias("top_token_frac"),
+            dup_frac.alias("dup_ngram_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------- quantizing
+
+
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry over ``embeddings`` — see :func:`quantize_df`."""
+    return quantize_df(load_embeddings(spark, sf_dir))
+
+
+def quantize_df(e: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    4-8x memory/bandwidth lever for ANN at 100 TB (codes live where
+    the vectors lived; exact re-scoring fetches fp candidates only).
+
+    Per vector: ``qscale`` = max|x| rounded to 6; code_i =
+    ``floor(x_i * 127 / max|x| + 0.5)`` (round-half-up, exact in
+    IEEE double on both engines — banker's-rounding built-ins are NOT
+    portable and are avoided). Zero vectors quantize to all-zero
+    codes. Gate shape digests the code array: (vec_id, dim, qscale,
+    codes_md5) with codes_md5 = md5 of the comma-joined codes.
+    """
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    code = lambda x: F.floor(x * 127.0 / maxabs + 0.5).cast("bigint")  # noqa: E731
+    codes = F.when(
+        maxabs == 0.0, F.transform(v, lambda x: F.lit(0).cast("bigint"))
+    ).otherwise(F.transform(v, code))
+    return e.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        (F.round(maxabs, ROUND) + F.lit(0.0)).alias("qscale"),
+        F.md5(F.concat_ws(",", codes.cast("array<string>"))).alias("codes_md5"),
+    )
+
+
+# -------------------------------------------------------------- label
+
+
+def knn_classify(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 8,
+) -> DataFrame:
+    """k-nearest-neighbor label vote over the embeddings table (its
+    ``label`` column): for each query vector, the majority label among
+    its k cosine neighbors (self excluded) — the auto-labeling /
+    weak-supervision primitive. Ties break to the smaller label.
+
+    Output: (query_id, pred_label, votes).
+    """
+    from .search import knn_join
+
+    embs = load_embeddings(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
+    # k+1 then drop the self-match: the query IS a corpus row here
+    nn = knn_join(
+        spark, queries_df, corpus, k=k + 1, strategy="CosineSimilarity",
+        round_digits=ROUND,
+    ).filter(F.col("query_id") != F.col("id"))
+    labels = embs.select(F.col("vec_id").alias("id"), "label")
+    votes = (
+        nn.join(F.broadcast(labels), "id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )

@@ -80,9 +80,13 @@ def shingled_table(
     target = sc.defaultParallelism
     try:
         # Catalyst size estimate (metadata, no RDD materialization):
-        # keep ~64 MB of source text per partition at scale
+        # keep ~64 MB of source text per partition at scale. Plans
+        # without stats report the defaultSizeInBytes sentinel
+        # (Long.MaxValue-ish); only trust plausible sizes, else a
+        # 3-row in-memory relation would repartition to 65536.
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        target = max(target, min(size // (64 << 20), 1 << 16))
+        if size < (1 << 50):
+            target = max(target, min(size // (64 << 20), 1 << 16))
     except Exception:
         pass
     toks = df.select(

@@ -1,0 +1,140 @@
+"""DuckDB oracle twins for :mod:`operators.curation`.
+
+Same portability contract as every other oracle module: md5 for
+hashing, ``ROUND(x, 6) + 0.0`` for floats, ``::BIGINT`` on integer
+sums (the HUGEINT->float64 pandas trap), ``floor(x + 0.5)`` for
+half-up rounding (built-in round() half-even behavior differs between
+engines).
+"""
+
+from __future__ import annotations
+
+from .oracles import knn_join_sql
+from .oracles_text import TOKS, _shingles
+from .operators.sampling import _threshold_hex
+
+
+def decontaminate_sql(n: int = 8, min_containment: float = 0.3) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, source, {TOKS} AS t FROM documents),
+bsh AS (
+  SELECT doc_id AS bench_id, unnest(list_distinct({_shingles(n)})) AS shingle
+  FROM toks WHERE source = 'src0'
+),
+bsz AS (SELECT bench_id, count(*) AS n_bench_sh FROM bsh GROUP BY 1),
+tsh AS (
+  SELECT doc_id, unnest(list_distinct({_shingles(n)})) AS shingle
+  FROM toks WHERE source <> 'src0'
+),
+common AS (
+  SELECT t.doc_id AS doc_id, b.bench_id AS bench_id, count(*) AS n_common
+  FROM tsh t JOIN bsh b USING (shingle)
+  GROUP BY 1, 2
+)
+SELECT doc_id, bench_id, n_common::BIGINT AS n_common,
+       ROUND(n_common::DOUBLE / n_bench_sh::DOUBLE, 6) + 0.0 AS containment
+FROM common JOIN bsz USING (bench_id)
+WHERE ROUND(n_common::DOUBLE / n_bench_sh::DOUBLE, 6) + 0.0 >= {min_containment}
+"""
+
+
+def pack_chunks_sql(chunk_sql: str, budget: int = 256) -> str:
+    """``chunk_sql`` is the chunk_documents oracle (must expose
+    doc_id, chunk_id, n_chunk_tokens)."""
+    return f"""
+WITH c AS ({chunk_sql}),
+b AS (
+  SELECT doc_id, chunk_id, n_chunk_tokens,
+         (sum(n_chunk_tokens) OVER (
+            PARTITION BY doc_id ORDER BY chunk_id
+          ) - n_chunk_tokens)::BIGINT AS before
+  FROM c
+)
+SELECT doc_id,
+       floor(before::DOUBLE / {budget})::BIGINT AS bin_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(n_chunk_tokens)::BIGINT AS n_bin_tokens
+FROM b GROUP BY 1, 2
+"""
+
+
+def stratified_sample_stats_sql(
+    rates: dict[str, float], default_rate: float = 1.0
+) -> str:
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN substr(md5(doc_id::VARCHAR), 1, 6) "
+        f"< '{_threshold_hex(rate)}'"
+        for lang, rate in sorted(rates.items())
+    )
+    keep = (
+        f"CASE {arms} ELSE substr(md5(doc_id::VARCHAR), 1, 6) "
+        f"< '{_threshold_hex(default_rate)}' END"
+    )
+    return f"""
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN {keep} THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+FROM documents GROUP BY lang
+"""
+
+
+def repetition_signals_sql(n: int = 3) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+m AS (
+  SELECT doc_id, max(c) AS max_cnt, sum(c)::BIGINT AS n_tokens
+  FROM cnt GROUP BY 1
+),
+g AS (
+  SELECT doc_id, len(sh)::BIGINT AS n_sh,
+         len(list_distinct(sh))::BIGINT AS n_sh_distinct
+  FROM (SELECT doc_id, {_shingles(n)} AS sh FROM toks)
+)
+SELECT m.doc_id AS doc_id, n_tokens,
+       ROUND(max_cnt::DOUBLE / n_tokens::DOUBLE, 6) + 0.0 AS top_token_frac,
+       CASE WHEN n_sh <= 0 THEN 0.0
+            ELSE ROUND(1 - n_sh_distinct::DOUBLE / n_sh::DOUBLE, 6) + 0.0
+       END AS dup_ngram_frac
+FROM m JOIN g ON m.doc_id = g.doc_id
+"""
+
+
+QUANTIZE = """
+WITH m AS (
+  SELECT vec_id, embedding AS v,
+         list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+  FROM embeddings
+)
+SELECT vec_id,
+       len(v) AS dim,
+       ROUND(maxabs, 6) + 0.0 AS qscale,
+       md5(array_to_string(
+         CASE WHEN maxabs = 0
+              THEN list_transform(v, x -> 0::BIGINT)
+              ELSE list_transform(v, x -> floor(x * 127 / maxabs + 0.5)::BIGINT)
+         END, ',')) AS codes_md5
+FROM m
+"""
+
+
+def knn_classify_sql(k: int = 10, n_queries: int = 8) -> str:
+    return f"""
+WITH nn AS ({knn_join_sql("CosineSimilarity", k + 1, n_queries)}),
+flt AS (SELECT query_id, id FROM nn WHERE query_id <> id),
+v AS (
+  SELECT query_id, e.label AS label, count(*) AS votes
+  FROM flt JOIN embeddings e ON e.vec_id = flt.id
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, label, votes,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY votes DESC, label ASC
+         ) AS rk
+  FROM v
+)
+SELECT query_id, label AS pred_label, votes::BIGINT AS votes
+FROM r WHERE rk = 1
+"""
