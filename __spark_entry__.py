@@ -243,8 +243,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["topk_cosine_filtered"] = _mk_topk(
         "CosineSimilarity", k=10, filter={"vendor": "fr"}
     )
-    # default-k path (k=4, reference default app.py:363)
-    q["topk_cosine_default_k"] = _mk_topk("CosineSimilarity", k=4)
     # batch kNN join (extension: similarity search at scale)
     q["knn_join_cosine"] = _mk_knn_join("CosineSimilarity", k=5, n_queries=8)
     # O2/O3: IVF index at full search width == exact (strong oracle)
@@ -298,6 +296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quantize_embeddings"] = curation.quantize_embeddings
     # kNN label vote over the embeddings table's label column
     q["knn_classify"] = curation.knn_classify
+    # near-dup pair graph -> canonical components (hash-min rounds)
+    q["dedup_components"] = curation.dedup_components
+    # per-source token budget enforcement (corpus mixing control)
+    q["source_token_budget"] = curation.source_token_budget
 
     # ---- multimodal payload metadata + byte-hist digest (hex-nibble
     # oracle reproduces the NumPy bin counts exactly)
@@ -322,9 +324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_rollup"] = relational.orders_rollup
     q["customers_without_orders"] = relational.customers_without_orders
     q["parts_ordered_by_brand"] = relational.parts_ordered_by_brand
-    # set operations (INTERSECT / EXCEPT over yearly customer sets)
+    # set operations (INTERSECT; EXCEPT twin in the overflow tail)
     q["repeat_customers"] = relational.repeat_customers
-    q["lapsed_customers"] = relational.lapsed_customers
     # as-of join (union+window formulation; DuckDB native ASOF oracle)
     q["purchase_attribution"] = asof.purchase_attribution
 
@@ -344,6 +345,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["topk_cosine_filtered2"] = _mk_topk(
         "CosineSimilarity", k=10, filter={"vendor": "de", "title": "src3"}
     )
+    # sibling: topk_cosine (same path; the k=4 default contract is
+    # also pinned in tests/test_api.py)
+    q["topk_cosine_default_k"] = _mk_topk("CosineSimilarity", k=4)
+    # sibling: repeat_customers (EXCEPT vs INTERSECT, same partial-
+    # distinct Expand shape)
+    q["lapsed_customers"] = relational.lapsed_customers
     # sibling: tfidf_top_terms (same tokenize+count path)
     q["token_frequencies"] = textual.token_frequencies
     # sibling: dedup_exact_groups (same md5 content fingerprint)
@@ -437,6 +444,10 @@ def oracle_sql() -> dict[str, str]:
     o["repetition_signals"] = oracles_curation.repetition_signals_sql(3)
     o["quantize_embeddings"] = oracles_curation.QUANTIZE
     o["knn_classify"] = oracles_curation.knn_classify_sql(10, 8)
+    o["dedup_components"] = oracles_curation.dedup_components_sql(
+        oracles_text.ngram_jaccard_sql(3, 0.8)
+    )
+    o["source_token_budget"] = oracles_curation.source_token_budget_sql(20000)
     # dedup_minhash_lsh / dedup_simhash: intentionally no oracle
     # (xxhash64-based; precision/recall verified against the exact ops
     # in tests/test_dedup.py)

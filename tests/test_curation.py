@@ -148,6 +148,39 @@ def test_quantize_crafted(spark):
     assert rows[2].codes_md5 == hashlib.md5(b"0,0,0").hexdigest()
 
 
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3 (diameter 2, needs >1 round), pair 10-11, isolated
+    # vertices never appear in pairs and never appear in the output
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {
+        r.doc_id: r.component_id
+        for r in curation.connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_deep_chain_converges(spark):
+    n = 12  # diameter > checkpoint_every exercises the checkpoint path
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    out = curation.connected_components(pairs).collect()
+    assert {r.component_id for r in out} == {0}
+    assert len(out) == n + 1
+
+
+def test_source_token_budget_caps_each_source(spark):
+    out = curation.source_token_budget(spark, SF_SMALL, budget=500).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 < r.n_admitted <= r.n_docs
+    # a tiny budget admits exactly one doc per source (first overflows)
+    one = curation.source_token_budget(spark, SF_SMALL, budget=1).collect()
+    assert all(r.n_admitted == 1 for r in one)
+
+
 def test_knn_classify_labels_clusters(spark):
     import numpy as np
 

@@ -307,6 +307,124 @@ def quantize_df(e: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+# --------------------------------------------------------- components
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Resolve a near-dup pair graph into components: (doc_id,
+    component_id) with component_id = min reachable id — turning
+    pairwise dedup output into the canonical-document assignment a
+    pipeline actually applies (keep component_id, drop the rest).
+
+    Hash-min label propagation: each round every vertex takes the min
+    of its own and its neighbors' labels; rounds = graph diameter,
+    and near-dup graphs are shallow (dup clusters are cliques or
+    stars, diameter ≤ ~2-3). Iterative-algorithm hygiene: the edge
+    table is MATERIALIZED once up front (``localCheckpoint``) —
+    without it every round re-derives the (possibly expensive)
+    pair-finding plan through lineage, turning diameter rounds into
+    diameter × full recomputes — and each round's label table is
+    checkpointed too, both to cut the growing lineage and because the
+    convergence check reads it twice. Converges exactly; raises if
+    ``max_iter`` rounds don't reach the fixpoint.
+
+    For billion-edge graphs the literature's large-star/small-star
+    alternation (Kiveris et al.) halves round count; hash-min is the
+    right baseline and shares its per-round shape. (``checkpoint_every``
+    is retained for API stability but rounds always checkpoint: the
+    label table is vertices-of-the-pair-graph sized, far smaller than
+    the corpus.)
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    lab = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(lab, sym["dst"] == lab["id"]).select(
+            F.col("src").alias("id"), F.col("label")
+        )
+        new = (
+            lab.select("id", "label")
+            .union(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            lab.alias("o")
+            .join(new.alias("n"), "id")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .limit(1)
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab.select(
+                F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+            )
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def dedup_components(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Gate entry: components of the n-gram-Jaccard near-dup graph
+    over ``documents`` — the end-to-end 'which doc survives dedup'
+    answer."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_documents(spark, sf_dir), n=n, threshold=threshold
+    )
+    return connected_components(pairs)
+
+
+# ------------------------------------------------------- token budget
+
+
+def source_token_budget(
+    spark: SparkSession, sf_dir: str, budget: int = 20000
+) -> DataFrame:
+    """Per-source token-budget enforcement — the mixing control that
+    caps how much any one source contributes to a training corpus.
+    Docs are admitted in doc_id order until the source's cumulative
+    whitespace-token count passes ``budget`` (the first overflowing
+    doc is the last admitted).
+
+    One window per source + one aggregation; deterministic given the
+    (source, doc_id) ordering. Output: (source, n_docs, n_admitted,
+    n_admitted_tokens).
+    """
+    d = load_documents(spark, sf_dir).select(
+        "source", "doc_id", TXT.token_count("text").alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    before = F.sum("n_tok").over(w) - F.col("n_tok")
+    return (
+        d.withColumn("admit", (before < budget).cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("admit").cast("bigint").alias("n_admitted"),
+            F.sum(F.col("admit") * F.col("n_tok"))
+            .cast("bigint")
+            .alias("n_admitted_tokens"),
+        )
+    )
+
+
 # -------------------------------------------------------------- label
 
 

@@ -119,6 +119,48 @@ FROM m
 """
 
 
+def dedup_components_sql(jaccard_pairs_sql: str) -> str:
+    """Recursive-CTE twin of ``connected_components`` over the
+    n-gram-Jaccard pair graph: transitive closure with UNION
+    (set-semantics, so it terminates), then min reachable id.
+    Symmetric edges put (src, src) into the closure, but
+    least(src, min(dst)) is safe either way."""
+    return f"""
+WITH RECURSIVE p AS ({jaccard_pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS component_id
+FROM reach GROUP BY src
+"""
+
+
+def source_token_budget_sql(budget: int = 20000) -> str:
+    return f"""
+WITH d AS (SELECT source, doc_id, len({TOKS}) AS n_tok FROM documents),
+b AS (
+  SELECT source, n_tok,
+         (sum(n_tok) OVER (
+            PARTITION BY source ORDER BY doc_id
+          ) - n_tok)::BIGINT AS before
+  FROM d
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN before < {budget} THEN 1 ELSE 0 END)::BIGINT AS n_admitted,
+       sum(CASE WHEN before < {budget} THEN n_tok ELSE 0 END)::BIGINT
+         AS n_admitted_tokens
+FROM b GROUP BY source
+"""
+
+
 def knn_classify_sql(k: int = 10, n_queries: int = 8) -> str:
     return f"""
 WITH nn AS ({knn_join_sql("CosineSimilarity", k + 1, n_queries)}),
