@@ -181,6 +181,40 @@ def test_source_token_budget_caps_each_source(spark):
     assert all(r.n_admitted == 1 for r in one)
 
 
+def test_decontaminate_plan_broadcasts_benchmark_side(spark):
+    """The corpus side must never shuffle for the probe: both the
+    shingle join and the sizes join are broadcasts, and no sort-merge
+    join appears."""
+    out = curation.decontaminate_documents(spark, SF_SMALL)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_chunks_single_exchange_before_agg(spark):
+    """One hash exchange on doc_id serves both the window and the
+    groupBy (same key): no second data-wide shuffle."""
+    plan = (
+        curation.pack_chunks(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_stratified_sample_stats_no_python_boundary(spark):
+    """Pure codegen path: the md5 draw and the CASE tree stay
+    JVM-side (no ArrowEvalPython / BatchEvalPython)."""
+    plan = (
+        curation.stratified_sample_stats(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+
+
 def test_knn_classify_labels_clusters(spark):
     import numpy as np
 

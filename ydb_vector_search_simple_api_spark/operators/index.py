@@ -174,66 +174,76 @@ def ivf_knn_join_distributed(
     neighbors for all of them), where :func:`ivf_knn_join`'s
     driver-side centroid ranking loop would bottleneck.
 
-    The centroid matrix (n_clusters x dim, a few KB) travels inside
-    the plan as literals; each query ranks every cluster JVM-side
-    (one dot per centroid), keeps the ``search_top_size`` best via
-    ``array_sort`` over (rank_key, cluster_id) structs — the same
-    best-first order, ties broken by cluster id, as the driver-side
-    ``_rank_centroids`` — and explodes into (query_id, cluster_id)
-    assignments. The corpus joins on ``cluster_id``; AQE picks
-    broadcast when the assignment side is small and a shuffled join
-    when it isn't. Cluster-ranking keys drop per-query constant terms
-    (query norm; ||q||^2), which cannot change the per-query order.
+    The centroid matrix (n_clusters x dim, a few KB) ships inside an
+    Arrow-batched pandas UDF that replays ``_rank_centroids``'
+    arithmetic per query row — the SAME NumPy expressions, so the
+    best-first cluster order (stable argsort, ties by cluster id)
+    agrees with the driver-side loop bit-for-bit, not just in exact
+    math. (A previous revision ranked clusters with per-centroid
+    Column folds; n_clusters x dim literals made plan analysis and
+    codegen the dominant cost — same lesson as srp_cosine_pairs.)
+    Each query explodes into ``search_top_size`` (query_id,
+    cluster_id) assignments; the corpus joins on ``cluster_id``, and
+    AQE picks broadcast when the assignment side is small and a
+    shuffled join when it isn't.
 
     Unlike :func:`ivf_knn_join`, the scan is not statically pruned to
     the union of needed partitions (the driver never sees the
     assignments) — at large batch sizes every cluster is probed anyway,
     and the join itself discards non-probed clusters. Exact
-    (== knn_join) when ``search_top_size >= n_clusters``.
+    (== knn_join) when ``search_top_size >= n_clusters``. Queries
+    whose vector length differs from the index dimensionality get no
+    cluster assignments and therefore no output rows.
 
     Output: (query_id, id, score, rank) — identical to
     :func:`ivf_knn_join`.
     """
+    import pandas as pd
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     validate_strategy(strategy)
     if search_top_size < 1:
         raise ValueError("search_top_size must be a positive integer")
 
     c = index.centroids
+    dim = c.shape[1]
     if strategy in ("CosineSimilarity", "CosineDistance"):
         mat = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
-        sq = None  # rank by -dot(q, normalized_centroid)
-    elif strategy == "InnerProductSimilarity":
-        mat, sq = c, None  # rank by -dot(q, centroid)
-    else:  # Euclidean / Manhattan family: nearest centroid by L2
+    else:
         mat = c
-        sq = (c * c).sum(axis=1)  # ||c||^2 - 2*c.q orders like ||c - q||
+    w_eff = min(search_top_size, index.n_clusters)
 
-    from ..functions.distance import dot as _dot
+    # no type hints: this module uses `from __future__ import
+    # annotations` (see dedup._band_vals_fn for the full story)
+    def _top_clusters_fn(vecs):
+        out = []
+        for v in vecs:
+            if v is None or len(v) != dim:
+                out.append([])
+                continue
+            q = np.asarray(v, dtype=np.float64)
+            if strategy in ("CosineSimilarity", "CosineDistance"):
+                qn = q / (np.linalg.norm(q) or 1.0)
+                order = np.argsort(-(mat @ qn), kind="stable")
+            elif strategy == "InnerProductSimilarity":
+                order = np.argsort(-(mat @ q), kind="stable")
+            else:  # Euclidean / Manhattan: nearest centroids by L2
+                order = np.argsort(np.linalg.norm(mat - q, axis=1), kind="stable")
+            out.append(order[:w_eff].tolist())
+        return pd.Series(out)
 
-    qcol = F.col("query_vec")
+    _top_clusters = F.pandas_udf(_top_clusters_fn, T.ArrayType(T.IntegerType()))
 
-    def rank_key(i: int):
-        plane = F.array(*[F.lit(float(x)) for x in mat[i]])
-        d = _dot(qcol, plane)
-        if sq is None:
-            return -d
-        return F.lit(float(sq[i])) - 2.0 * d
-
-    structs = F.array(
-        *[
-            F.struct(rank_key(i).alias("rk"), F.lit(i).alias("cluster_id"))
-            for i in range(index.n_clusters)
-        ]
-    )
-    topw = F.slice(F.array_sort(structs), 1, search_top_size)
     assignment = (
         queries_df.select(
             F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
         )
-        .select("query_id", "query_vec", F.explode(topw).alias("a"))
-        .select("query_id", "query_vec", F.col("a.cluster_id").alias("cluster_id"))
+        .select(
+            "query_id",
+            "query_vec",
+            F.explode(_top_clusters(F.col("query_vec"))).alias("cluster_id"),
+        )
     )
 
     corpus = spark.read.parquet(index.path)
