@@ -35,6 +35,7 @@ from ydb_vector_search_simple_api_spark.operators import (
     textual,
 )
 from ydb_vector_search_simple_api_spark.operators import index as ivf
+from ydb_vector_search_simple_api_spark.operators import tree as kmt
 from ydb_vector_search_simple_api_spark.operators.search import exact_search, knn_join
 from ydb_vector_search_simple_api_spark.sources.store import load_documents, load_embeddings
 from ydb_vector_search_simple_api_spark.streaming import events as streaming_events
@@ -95,6 +96,46 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> ivf.IvfIndex:
                 spark, embs, out, n_clusters=IVF_CLUSTERS, seed=42
             )
     return _IVF_CACHE[key]
+
+
+_KMT_CACHE: dict[str, kmt.KmeansTreeIndex] = {}
+KMT_L1 = 4
+KMT_FANOUT = 4
+
+
+def _kmt_index(spark: SparkSession, sf_dir: str) -> kmt.KmeansTreeIndex:
+    key = sf_dir
+    if key not in _KMT_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = os.path.join(
+            tempfile.gettempdir(), f"svs_kmt_{tag}_l{KMT_L1}f{KMT_FANOUT}"
+        )
+        marker = os.path.join(out, "_kmeans_tree.json")
+        if os.path.exists(marker):
+            _KMT_CACHE[key] = kmt.load_kmeans_tree(out)
+        else:
+            from pyspark.sql import functions as F
+
+            embs = load_embeddings(spark, sf_dir).select(
+                F.col("vec_id").alias("id"), "embedding"
+            )
+            _KMT_CACHE[key] = kmt.build_kmeans_tree(
+                spark, embs, out, n_l1=KMT_L1, fanout=KMT_FANOUT, seed=42
+            )
+    return _KMT_CACHE[key]
+
+
+def _mk_tree(strategy: str, k: int, width: int | None):
+    """width=None -> full width both levels (exact, strong oracle)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _kmt_index(spark, sf_dir)
+        return kmt.tree_search(
+            spark, idx, _query_vec(spark, sf_dir), k=k, strategy=strategy,
+            search_top_size=width, round_digits=ROUND,
+        )
+
+    return run
 
 
 def _mk_topk(strategy: str, k: int, filter: dict | None = None):
@@ -247,11 +288,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_join_cosine"] = _mk_knn_join("CosineSimilarity", k=5, n_queries=8)
     # O2/O3: IVF index at full search width == exact (strong oracle)
     q["ivf_cosine_full_width"] = _mk_ivf("CosineSimilarity", k=10, width=None)
-    # batch ANN join at full width == exact (shares knn_join's oracle)
-    q["ivf_knn_join_full"] = _mk_ivf_knn_join("CosineSimilarity", k=5, n_queries=8, width=None)
-    # distributed-assignment variant (no driver collect of the query
-    # side); exact at full width — same oracle as knn_join
+    # distributed-assignment ANN join at full width == exact (no driver
+    # collect of the query side); same oracle as knn_join
     q["ivf_knn_join_dist"] = _mk_ivf_knn_join_dist("CosineSimilarity", k=5, n_queries=8, width=None)
+    # O2/O3: two-level k-means tree (YDB vector_kmeans_tree shape,
+    # reference app.py:186-196) at full width == exact
+    q["kmeans_tree_full"] = _mk_tree("CosineSimilarity", k=10, width=None)
 
     # ---- north-star extensions: text analysis over documents
     q["text_stats"] = textual.text_stats
@@ -341,6 +383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ======== oracle-backed overflow (past the driver's 50-entry cap;
     # each has an in-cap sibling exercising the same operator, and all
     # are validated by tools/check_oracle.py) ========================
+    # sibling: ivf_knn_join_dist (same ANN-join oracle; the driver-side
+    # routing variant is the serving path, dist is the batch path)
+    q["ivf_knn_join_full"] = _mk_ivf_knn_join("CosineSimilarity", k=5, n_queries=8, width=None)
     # sibling: topk_cosine_filtered (same conjunctive-filter path)
     q["topk_cosine_filtered2"] = _mk_topk(
         "CosineSimilarity", k=10, filter={"vendor": "de", "title": "src3"}
@@ -372,6 +417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_join_blocked"] = _mk_knn_join_blocked("CosineSimilarity", k=5, n_queries=8)
     # O2/O3: pruned width (approximate; recall tested in pytest)
     q["ivf_cosine_width2"] = _mk_ivf("CosineSimilarity", k=10, width=2)
+    # tree search at per-level width 2 (approximate; recall contract
+    # pinned in tests/test_tree.py)
+    q["kmeans_tree_width2"] = _mk_tree("CosineSimilarity", k=10, width=2)
     q["ivf_knn_join_width2"] = _mk_ivf_knn_join("CosineSimilarity", k=5, n_queries=8, width=2)
     # approximate dedup (xxhash64 has no DuckDB twin); verified against
     # the exact ops in tests/test_dedup.py
@@ -415,6 +463,8 @@ def oracle_sql() -> dict[str, str]:
     o["ivf_knn_join_dist"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
     # ivf_knn_join_width2 intentionally has no oracle (approximate)
     o["ivf_cosine_full_width"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
+    # tree at full width reads every leaf -> exact (same oracle shape)
+    o["kmeans_tree_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     # ivf_cosine_width2 intentionally has no oracle: approximate search
     # (rows-only check; recall contract verified in tests/test_index.py)
 

@@ -1,0 +1,140 @@
+"""Two-level k-means tree: recall contract, pruning, YDB-shape parity
+(SURVEY.md §4.3; reference app.py:186-196 KMeansTreeSearchTopSize)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.operators import tree as kmt
+from ydb_vector_search_simple_api_spark.operators.search import exact_search
+from ydb_vector_search_simple_api_spark.plans import checks
+from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+from conftest import SF_SMALL
+
+N_L1 = 3
+FANOUT = 3
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kmt") / "index")
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    return kmt.build_kmeans_tree(
+        spark, embs, out, n_l1=N_L1, fanout=FANOUT, seed=42
+    )
+
+
+@pytest.fixture(scope="module")
+def qvec(spark):
+    row = load_embeddings(spark, SF_SMALL).filter(F.col("vec_id") == 7).head()
+    return [float(x) for x in row.embedding]
+
+
+def _exact_ids(spark, qvec, k, strategy="CosineSimilarity"):
+    return [
+        r.id for r in exact_search(spark, SF_SMALL, qvec, k=k, strategy=strategy).collect()
+    ]
+
+
+def test_leaf_partitions_cover_corpus(spark, built):
+    """Every corpus row lands in exactly one leaf directory."""
+    n_src = load_embeddings(spark, SF_SMALL).count()
+    leafed = spark.read.parquet(built.path)
+    assert leafed.count() == n_src
+    assert leafed.select("id").distinct().count() == n_src
+    # leaves in the data agree with the centroid metadata
+    data_leaves = {
+        (r.l1, r.l2)
+        for r in leafed.select("l1", "l2").distinct().collect()
+    }
+    meta_leaves = {
+        (l1, l2)
+        for l1 in range(built.n_l1)
+        for l2 in range(len(built.centroids_l2[l1]))
+    }
+    assert data_leaves <= meta_leaves
+
+
+def test_full_width_equals_exact(spark, built, qvec):
+    """Both widths covering the whole tree -> every leaf read -> exact."""
+    for strategy in ("CosineSimilarity", "EuclideanDistance"):
+        got = [
+            r.id
+            for r in kmt.tree_search(
+                spark, built, qvec, k=10, strategy=strategy
+            ).collect()
+        ]
+        assert got == _exact_ids(spark, qvec, 10, strategy), strategy
+
+
+def test_recall_monotone_in_leaf_width(spark, built, qvec):
+    truth = set(_exact_ids(spark, qvec, 10))
+    recalls = []
+    for w2 in (1, 2, 4, built.n_leaves):
+        got = {
+            r.id
+            for r in kmt.tree_search(
+                spark, built, qvec, k=10, top_l1=built.n_l1, top_l2=w2
+            ).collect()
+        }
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+    assert recalls[0] > 0
+
+
+def test_recall_monotone_in_cell_width(spark, built, qvec):
+    truth = set(_exact_ids(spark, qvec, 10))
+    recalls = []
+    for w1 in (1, 2, N_L1):
+        got = {
+            r.id
+            for r in kmt.tree_search(
+                spark, built, qvec, k=10, top_l1=w1, top_l2=built.n_leaves
+            ).collect()
+        }
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+
+
+def test_single_knob_descends_both_levels(spark, built, qvec):
+    """search_top_size mirrors YDB's per-level knob: width 1 reads the
+    single best leaf of the single best cell and still finds the
+    self-match (the query's own row lives in its home leaf)."""
+    top = kmt.tree_search(spark, built, qvec, k=1, search_top_size=1).head()
+    assert top.id == 7
+
+
+def test_partition_pruning_in_plan(spark, built, qvec):
+    df = kmt.tree_search(spark, built, qvec, k=5, search_top_size=1)
+    pf = checks.partition_filters(df)
+    assert "l1" in pf and "l2" in pf, checks.formatted_plan(df)
+
+
+def test_routing_cost_is_sublinear(built, qvec):
+    """The tree's routing advantage: width-1 routing looks at
+    n_l1 + fanout centroids, not every leaf."""
+    leaves = kmt.route(built, qvec, "CosineSimilarity", top_l1=1, top_l2=1)
+    assert len(leaves) == 1
+    l1, l2 = leaves[0]
+    assert 0 <= l1 < built.n_l1
+    assert 0 <= l2 < len(built.centroids_l2[l1])
+
+
+def test_load_roundtrip(built):
+    loaded = kmt.load_kmeans_tree(built.path)
+    assert loaded.n_l1 == built.n_l1
+    assert loaded.fanout == built.fanout
+    assert (loaded.centroids_l1 == built.centroids_l1).all()
+    for a, b in zip(loaded.centroids_l2, built.centroids_l2):
+        assert (a == b).all()
+
+
+def test_invalid_width(spark, built, qvec):
+    with pytest.raises(ValueError):
+        kmt.tree_search(spark, built, qvec, k=5, search_top_size=0)

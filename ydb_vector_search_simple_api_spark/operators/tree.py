@@ -1,0 +1,305 @@
+"""Two-level k-means tree ANN index: hierarchical parity with the
+reference's YDB ``vector_kmeans_tree`` secondary index.
+
+Reference semantics being reproduced (SURVEY.md §2 O2/O3, §4.3):
+
+* YDB's ``vector_kmeans_tree`` is a *hierarchical* k-means clustering
+  — the index the reference searches through
+  (``/root/reference/app.py:193-196``, ``env.example:20-22``); the
+  single-level IVF in :mod:`.index` flattens it, this module restores
+  the tree shape.
+* ``PRAGMA ydb.KMeansTreeSearchTopSize = N`` (``app.py:186-191``) is
+  applied PER LEVEL: the search descends the best ``N`` level-1 cells,
+  then the best ``N`` leaves among their children.
+
+Spark-native design — the tree is a *directory layout*, not a data
+structure:
+
+* **Build** (offline, three passes, all distributed):
+  1. level-1 coarse clustering via ``pyspark.ml.clustering.KMeans``;
+  2. per-cell level-2 clustering with a deterministic NumPy Lloyd
+     iteration inside ``applyInPandas`` — cells are clustered in
+     parallel, each group fits comfortably in one task (a cell at
+     100 TB is corpus/n_l1; pick n_l1 so cells are task-sized). Only
+     the tiny (n_l1 × fanout × dim) centroid table is collected;
+  3. leaf assignment JVM->Arrow per batch (nearest level-2 centroid
+     within the row's level-1 cell) and a rewrite
+     ``partitionBy("l1", "l2")`` — each leaf is a physical directory.
+* **Search**: the driver ranks level-1 centroids against the query
+  (NumPy, tiny), keeps ``top_l1`` cells, ranks their children, keeps
+  ``top_l2`` leaves, and reads the table with an OR-of-conjunctions
+  over the two partition columns — Catalyst prunes to exactly those
+  leaf directories. Candidates re-rank exactly (same
+  TakeOrderedAndProject shape as exact_search).
+* Recall contract: monotone in both widths; EXACT when both widths
+  cover the whole tree (every leaf read).
+
+Versus flat IVF at 100 TB: routing cost is ``n_l1 + top_l1·fanout``
+centroid distances instead of ``n_clusters`` — the tree keeps the
+routing table tiny even when the leaf count grows to 10^5+, which is
+exactly why YDB shapes the index this way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_K, sort_descending, validate_strategy
+from ..functions.distance import score_expr
+
+_META_FILE = "_kmeans_tree.json"
+
+
+@dataclass(frozen=True)
+class KmeansTreeIndex:
+    path: str
+    n_l1: int
+    fanout: int  # max level-2 children per level-1 cell
+    centroids_l1: np.ndarray  # (n_l1, dim) float64
+    centroids_l2: list[np.ndarray]  # [l1] -> (n_children_l1, dim)
+
+    @property
+    def n_leaves(self) -> int:
+        return sum(len(c) for c in self.centroids_l2)
+
+
+def _lloyd(x: np.ndarray, k: int, n_iter: int = 20) -> np.ndarray:
+    """Deterministic Lloyd k-means (no RNG: init = k rows spread
+    evenly through the cell's rows in their stored order). Empty
+    clusters keep their previous centroid. Returns (k_eff, dim)."""
+    n = len(x)
+    k_eff = min(k, n)
+    if k_eff == 0:
+        return np.empty((0, x.shape[1]))
+    init_idx = np.linspace(0, n - 1, k_eff).astype(int)
+    cent = x[init_idx].astype(np.float64).copy()
+    for _ in range(n_iter):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k_eff):
+            m = assign == j
+            if m.any():
+                cent[j] = x[m].mean(axis=0)
+    return cent
+
+
+def build_kmeans_tree(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    n_l1: int = 4,
+    fanout: int = 4,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> KmeansTreeIndex:
+    """Offline tree build; see module docstring for the three passes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    import pandas as pd
+
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("embedding"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_l1, seed=seed, featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select(
+        "id", "embedding", F.col("prediction").alias("l1")
+    )
+
+    # pass 2: per-cell level-2 centroids (parallel over cells; only
+    # the tiny centroid rows come back)
+    cent_schema = T.StructType(
+        [
+            T.StructField("l1", T.IntegerType()),
+            T.StructField("l2", T.IntegerType()),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _fit_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        # stored order must be deterministic for the Lloyd init
+        pdf = pdf.sort_values("id")
+        x = np.stack(pdf["embedding"].map(np.asarray))
+        cent = _lloyd(x, fanout)
+        l1 = int(pdf["l1"].iloc[0])
+        return pd.DataFrame(
+            {
+                "l1": l1,
+                "l2": range(len(cent)),
+                "centroid": [c.tolist() for c in cent],
+            }
+        )
+
+    cent_rows = (
+        assigned.select("id", "embedding", "l1")
+        .groupBy("l1")
+        .applyInPandas(_fit_cell, schema=cent_schema)
+        .collect()
+    )
+    centroids_l2: list[np.ndarray] = []
+    for l1 in range(n_l1):
+        cell = sorted(
+            ((r.l2, r.centroid) for r in cent_rows if r.l1 == l1)
+        )
+        centroids_l2.append(
+            np.asarray([c for _, c in cell], dtype=np.float64)
+        )
+
+    # pass 3: leaf assignment (nearest L2 centroid within the row's
+    # cell — membership and routing use the SAME centroids) + rewrite
+    cents_bc = spark.sparkContext.broadcast(
+        [c.tolist() for c in centroids_l2]
+    )
+
+    # positional returnType (module has `from __future__ import
+    # annotations`; see dedup._band_vals_fn)
+    def _leaf_fn(l1s, vecs):
+        cents = [np.asarray(c, dtype=np.float64) for c in cents_bc.value]
+        out = []
+        for l1, v in zip(l1s, vecs):
+            c = cents[int(l1)]
+            if len(c) == 0:
+                out.append(0)
+                continue
+            q = np.asarray(v, dtype=np.float64)
+            d2 = ((c - q) ** 2).sum(axis=1)
+            out.append(int(d2.argmin()))
+        return pd.Series(out, dtype="int32")
+
+    _leaf = F.pandas_udf(_leaf_fn, T.IntegerType())
+
+    assigned.withColumn("l2", _leaf(F.col("l1"), F.col("embedding"))).select(
+        "id", "embedding", "l1", "l2"
+    ).write.mode("overwrite").partitionBy("l1", "l2").parquet(out_dir)
+
+    with open(os.path.join(out_dir, _META_FILE), "w") as f:
+        json.dump(
+            {
+                "n_l1": n_l1,
+                "fanout": fanout,
+                "centroids_l1": np.array(
+                    [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+                ).tolist(),
+                "centroids_l2": [c.tolist() for c in centroids_l2],
+            },
+            f,
+        )
+    return load_kmeans_tree(out_dir)
+
+
+def load_kmeans_tree(path: str) -> KmeansTreeIndex:
+    with open(os.path.join(path, _META_FILE)) as f:
+        meta = json.load(f)
+    return KmeansTreeIndex(
+        path=path,
+        n_l1=meta["n_l1"],
+        fanout=meta["fanout"],
+        centroids_l1=np.asarray(meta["centroids_l1"], dtype=np.float64),
+        centroids_l2=[
+            np.asarray(c, dtype=np.float64).reshape(-1, len(meta["centroids_l1"][0]))
+            for c in meta["centroids_l2"]
+        ],
+    )
+
+
+def _rank_rows(mat: np.ndarray, q: np.ndarray, strategy: str) -> np.ndarray:
+    """Best-first row order of ``mat`` for query ``q`` under the
+    strategy's metric family (same mapping as index._rank_centroids)."""
+    if len(mat) == 0:
+        return np.empty(0, dtype=int)
+    if strategy in ("CosineSimilarity", "CosineDistance"):
+        qn = q / (np.linalg.norm(q) or 1.0)
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return np.argsort(-(mn @ qn), kind="stable")
+    if strategy == "InnerProductSimilarity":
+        return np.argsort(-(mat @ q), kind="stable")
+    return np.argsort(np.linalg.norm(mat - q, axis=1), kind="stable")
+
+
+def route(
+    index: KmeansTreeIndex,
+    query_vec: Sequence[float],
+    strategy: str,
+    top_l1: int,
+    top_l2: int,
+) -> list[tuple[int, int]]:
+    """Descend the tree: best ``top_l1`` cells, then best ``top_l2``
+    leaves among their children. Returns (l1, l2) leaf ids,
+    best-first; deterministic (stable sort, ids break ties)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cells = _rank_rows(index.centroids_l1, q, strategy)[:top_l1]
+    cand: list[tuple[int, int]] = []
+    mats = []
+    for l1 in cells:
+        kids = index.centroids_l2[int(l1)]
+        cand.extend((int(l1), l2) for l2 in range(len(kids)))
+        mats.append(kids)
+    if not cand:
+        return []
+    all_kids = np.concatenate(mats, axis=0)
+    order = _rank_rows(all_kids, q, strategy)[:top_l2]
+    return [cand[int(i)] for i in order]
+
+
+def tree_search(
+    spark: SparkSession,
+    index: KmeansTreeIndex,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+    search_top_size: int | None = None,
+    top_l1: int | None = None,
+    top_l2: int | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """ANN search through the tree. ``search_top_size`` mirrors YDB's
+    per-level ``KMeansTreeSearchTopSize`` (used for both levels unless
+    ``top_l1``/``top_l2`` override it); ``None`` = full width (exact).
+    Returns (id, score)."""
+    validate_strategy(strategy)
+    for w in (search_top_size, top_l1, top_l2):
+        if w is not None and w < 1:
+            raise ValueError("search widths must be positive integers")
+    n_leaves = index.n_leaves
+    w1 = top_l1 if top_l1 is not None else (
+        search_top_size if search_top_size is not None else index.n_l1
+    )
+    w2 = top_l2 if top_l2 is not None else (
+        search_top_size if search_top_size is not None else n_leaves
+    )
+
+    leaves = route(index, query_vec, strategy, top_l1=w1, top_l2=w2)
+    df = spark.read.parquet(index.path)
+    # OR of conjunctions over the two partition columns: Catalyst
+    # prunes to exactly the routed leaf directories.
+    cond = None
+    for l1, l2 in leaves:
+        c = (F.col("l1") == l1) & (F.col("l2") == l2)
+        cond = c if cond is None else (cond | c)
+    pruned = df.filter(cond) if cond is not None else df.limit(0)
+
+    score = score_expr(strategy, F.col("embedding"), query_vec)
+    if round_digits is not None:
+        score = F.round(score, round_digits) + F.lit(0.0)
+    direction = (
+        F.col("score").desc_nulls_last()
+        if sort_descending(strategy)
+        else F.col("score").asc_nulls_last()
+    )
+    return (
+        pruned.withColumn("score", score)
+        .select("id", "score")
+        .orderBy(direction, F.col("id").asc())
+        .limit(k)
+    )
