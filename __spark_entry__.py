@@ -286,8 +286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # batch kNN join (extension: similarity search at scale)
     q["knn_join_cosine"] = _mk_knn_join("CosineSimilarity", k=5, n_queries=8)
-    # O2/O3: IVF index at full search width == exact (strong oracle)
-    q["ivf_cosine_full_width"] = _mk_ivf("CosineSimilarity", k=10, width=None)
+    # O2/O3: ANN index at full search width == exact (strong oracle);
+    # the two-level tree is the YDB-shaped index, flat IVF is its
+    # overflow sibling (identical oracle SQL)
     # distributed-assignment ANN join at full width == exact (no driver
     # collect of the query side); same oracle as knn_join
     q["ivf_knn_join_dist"] = _mk_ivf_knn_join_dist("CosineSimilarity", k=5, n_queries=8, width=None)
@@ -342,6 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_components"] = curation.dedup_components
     # per-source token budget enforcement (corpus mixing control)
     q["source_token_budget"] = curation.source_token_budget
+    # PII scrubbing (ordered regex passes over PII-augmented docs)
+    q["pii_redaction"] = curation.pii_redaction
 
     # ---- multimodal payload metadata + byte-hist digest (hex-nibble
     # oracle reproduces the NumPy bin counts exactly)
@@ -383,6 +386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ======== oracle-backed overflow (past the driver's 50-entry cap;
     # each has an in-cap sibling exercising the same operator, and all
     # are validated by tools/check_oracle.py) ========================
+    # sibling: kmeans_tree_full (same full-width == exact oracle; the
+    # flat single-level IVF variant of the same index operator)
+    q["ivf_cosine_full_width"] = _mk_ivf("CosineSimilarity", k=10, width=None)
     # sibling: ivf_knn_join_dist (same ANN-join oracle; the driver-side
     # routing variant is the serving path, dist is the batch path)
     q["ivf_knn_join_full"] = _mk_ivf_knn_join("CosineSimilarity", k=5, n_queries=8, width=None)
@@ -498,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
         oracles_text.ngram_jaccard_sql(3, 0.8)
     )
     o["source_token_budget"] = oracles_curation.source_token_budget_sql(20000)
+    o["pii_redaction"] = oracles_curation.pii_redaction_sql()
     # dedup_minhash_lsh / dedup_simhash: intentionally no oracle
     # (xxhash64-based; precision/recall verified against the exact ops
     # in tests/test_dedup.py)

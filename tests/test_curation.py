@@ -238,3 +238,43 @@ def test_knn_classify_labels_clusters(spark):
         # queries 0..5 are all in cluster 0; tight clusters -> all
         # neighbors agree
         assert r.pred_label == 0 and r.votes == 5
+
+
+def test_redact_pii_counts_and_order(spark):
+    """URL pass runs first, so an address inside a URL is one URL (its
+    embedded dots/digits never reach the email/IP passes)."""
+    from ydb_vector_search_simple_api_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d@e.org now"),
+            (2, "see https://h.example.com/u/1.2.3.4 and 5.6.7.8"),
+            (3, "call +1 555 0100 or +44 555 0199"),
+            (4, "nothing suspicious here"),
+        ],
+        ["doc_id", "pii_text"],
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (rows[1].n_emails, rows[1].n_urls) == (2, 0)
+    assert rows[1].redacted == "mail <EMAIL> and <EMAIL> now"
+    # the URL swallows its embedded dotted quad; the free-standing one counts
+    assert (rows[2].n_urls, rows[2].n_ips) == (1, 1)
+    assert rows[2].redacted == "see <URL> and <IP>"
+    assert rows[3].n_phones == 2
+    assert rows[3].redacted == "call <PHONE> or <PHONE>"
+    assert (
+        rows[4].n_urls, rows[4].n_emails, rows[4].n_ips, rows[4].n_phones
+    ) == (0, 0, 0, 0)
+    assert rows[4].redacted == "nothing suspicious here"
+
+
+def test_pii_redaction_stays_jvm_side(spark):
+    """Regex scrub is pure codegen: no Python boundary in the plan."""
+    plan = (
+        curation.pii_redaction(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan  # narrow map: zero shuffles

@@ -467,3 +467,67 @@ def knn_classify(
         .filter(F.col("rk") == 1)
         .select("query_id", F.col("label").alias("pred_label"), "votes")
     )
+
+
+# ----------------------------------------------------------- PII scrub
+
+#: redaction passes, applied IN ORDER (URLs first so an address inside
+#: a URL is counted once, as a URL). Patterns are deliberately written
+#: in the common subset of Java regex (Spark) and RE2 (DuckDB): no
+#: lookaround, no backreferences, explicit character classes.
+PII_PASSES: list[tuple[str, str, str]] = [
+    ("n_urls", r"https?://[A-Za-z0-9._/-]+", "<URL>"),
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("n_phones", r"\+\d{1,2} \d{3} \d{4}\b", "<PHONE>"),
+]
+
+
+def attach_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic PII augmentation for testing the scrubber: the
+    synthetic corpus contains no addresses, so (same pattern as
+    ``multimodal.attach_payload``) each doc gets a contact footer
+    derived from ``doc_id`` — an email, a URL, an IPv4, and (for every
+    third doc) a phone number. Both the Spark and the DuckDB oracle
+    build the identical string, so the gate exercises the actual
+    regex machinery, not a no-op."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    footer = F.concat(
+        F.lit(" Contact user"), s(i), F.lit("@example.org via http://ex"),
+        s(i % 7), F.lit(".example.com/p"), s(i),
+        F.lit(" at 10."), s(i % 256), F.lit("."), s((i * 7) % 256),
+        F.lit("."), s((i * 13) % 256),
+        F.when(i % 3 == 0, F.concat(
+            F.lit(" or +1 555 "), F.lpad(s((i * 37) % 10000), 4, "0")
+        )).otherwise(F.lit("")),
+    )
+    return df.withColumn("pii_text", F.concat(F.col(text_col), footer))
+
+
+def redact_pii(df: DataFrame, text_col: str = "pii_text") -> DataFrame:
+    """Scrub PII from ``text_col``: per-category match counts plus the
+    redacted text. Pure codegen projections (regexp_count /
+    regexp_replace chains) — zero shuffles, scales as a narrow map.
+    Counts are taken on the SAME intermediate state the corresponding
+    replacement runs on, so count == number of tokens inserted."""
+    t = F.col(text_col)
+    out = df
+    for cnt_col, pat, token in PII_PASSES:
+        out = out.withColumn(cnt_col, F.regexp_count(t, F.lit(pat)).cast("bigint"))
+        out = out.withColumn("_pii_tmp", F.regexp_replace(t, pat, token))
+        t = F.col("_pii_tmp")
+        out = out.withColumn(text_col, t).drop("_pii_tmp")
+        t = F.col(text_col)
+    return out.withColumnRenamed(text_col, "redacted")
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate shape: (doc_id, n_urls, n_emails, n_ips, n_phones,
+    clean_md5) over the PII-augmented documents table."""
+    d = attach_pii(load_documents(spark, sf_dir))
+    r = redact_pii(d.select("doc_id", "pii_text"))
+    return r.select(
+        "doc_id", "n_urls", "n_emails", "n_ips", "n_phones",
+        F.md5(F.col("redacted")).alias("clean_md5"),
+    )

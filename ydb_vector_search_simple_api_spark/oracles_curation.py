@@ -180,3 +180,38 @@ r AS (
 SELECT query_id, label AS pred_label, votes::BIGINT AS votes
 FROM r WHERE rk = 1
 """
+
+
+def pii_redaction_sql() -> str:
+    """Twin of :func:`operators.curation.pii_redaction`: identical
+    footer construction, then the same ordered regex passes (patterns
+    imported from PII_PASSES — single source of truth). DuckDB's
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all; counts via len(regexp_extract_all)."""
+    from .operators.curation import PII_PASSES
+
+    footer = (
+        "' Contact user' || CAST(doc_id AS VARCHAR) || '@example.org via "
+        "http://ex' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p' || "
+        "CAST(doc_id AS VARCHAR) || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) "
+        "|| '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || "
+        "CAST((doc_id * 13) % 256 AS VARCHAR) || CASE WHEN doc_id % 3 = 0 THEN "
+        "' or +1 555 ' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0') "
+        "ELSE '' END"
+    )
+    ctes = [f"aug AS (SELECT doc_id, text || {footer} AS t FROM documents)"]
+    prev = "aug"
+    carried: list[str] = []
+    for i, (cnt_col, pat, token) in enumerate(PII_PASSES, start=1):
+        cols = ", ".join(carried + [
+            f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS {cnt_col}",
+            f"regexp_replace(t, '{pat}', '{token}', 'g') AS t",
+        ])
+        ctes.append(f"p{i} AS (SELECT doc_id, {cols} FROM {prev})")
+        prev = f"p{i}"
+        carried.append(cnt_col)
+    counts = ", ".join(c for c, _, _ in PII_PASSES)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {counts}, md5(t) AS clean_md5 FROM {prev}"
+    )
