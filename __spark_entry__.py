@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["split_sizes"] = sampling.split_sizes
     # sibling: orders_rollup (same Expand-based grouping-set agg)
     q["orders_cube"] = relational.orders_cube
+    # siblings: dedup_exact_groups + chunk_documents (this composes the
+    # two driver-checked pieces: md5-groupBy election at chunk grain)
+    q["chunk_dedup"] = lambda s, d: dedup.chunk_dedup_stats(s, d)
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -486,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
     o["chunk_documents"] = oracles_text.chunk_documents_sql(64, 48)
     o["winnowing_fingerprints"] = oracles_text.winnowing_digest_sql(8, 4)
     o["dedup_exact_groups"] = oracles_text.DEDUP_EXACT
+    o["chunk_dedup"] = oracles_text.chunk_dedup_sql()
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)
     o["neardup_cosine"] = oracles_text.neardup_cosine_sql(0.4)
     o["dedup_minhash_md5"] = oracles_text.minhash_lsh_md5_sql(3, 16, 8, 0.8)

@@ -172,3 +172,46 @@ def test_minhash_md5_matches_exact(docs, exact_pairs):
 def test_minhash_unknown_hasher_rejected(docs):
     with pytest.raises(ValueError, match="unknown hasher"):
         dedup.minhash_lsh_pairs(docs, hasher="sha1")
+
+
+def test_chunk_dedup_first_occurrence_election(spark):
+    """Corpus-wide: a chunk survives only at its smallest
+    (doc_id, chunk_id); later copies are dropped, including copies
+    WITHIN one document."""
+    import hashlib
+
+    from ydb_vector_search_simple_api_spark.operators.dedup import chunk_dedup_df
+
+    ch = spark.createDataFrame(
+        [
+            (1, 0, "alpha beta"),
+            (1, 1, "gamma delta"),
+            (2, 0, "alpha beta"),      # cross-doc copy -> dropped
+            (2, 1, "epsilon zeta"),
+            (3, 0, "alpha beta"),      # dropped
+            (3, 1, "alpha beta"),      # within-doc copy -> dropped too
+        ],
+        ["doc_id", "chunk_id", "chunk_text"],
+    )
+    rows = {r.doc_id: r for r in chunk_dedup_df(ch).collect()}
+    assert (rows[1].n_chunks, rows[1].n_dropped) == (2, 0)
+    assert (rows[2].n_chunks, rows[2].n_dropped) == (2, 1)
+    assert (rows[3].n_chunks, rows[3].n_dropped) == (2, 2)
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert rows[1].clean_md5 == md5("alpha beta gamma delta")
+    assert rows[2].clean_md5 == md5("epsilon zeta")
+    # every chunk dropped -> hash of the empty string (oracle COALESCE)
+    assert rows[3].clean_md5 == md5("")
+
+
+def test_chunk_dedup_finds_real_duplicates(spark):
+    """The synthetic corpus carries duplicate 32-token windows; the
+    operator must drop at least one and conserve chunk counts."""
+    from ydb_vector_search_simple_api_spark.operators.dedup import chunk_dedup_stats
+    from ydb_vector_search_simple_api_spark.operators.textual import chunk_documents
+
+    out = chunk_dedup_stats(spark, SF_SMALL)
+    agg = out.groupBy().sum("n_chunks", "n_dropped").head()
+    n_chunks, n_dropped = agg[0], agg[1]
+    assert n_chunks == chunk_documents(spark, SF_SMALL, 32, 32).count()
+    assert 0 < n_dropped < n_chunks

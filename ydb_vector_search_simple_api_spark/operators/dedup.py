@@ -643,3 +643,66 @@ def srp_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------------- chunk-level dedup
+
+
+def chunk_dedup_stats(
+    spark,
+    sf_dir: str,
+    chunk_size: int = 32,
+    stride: int = 32,
+) -> DataFrame:
+    """Corpus-wide exact dedup at CHUNK granularity: documents are cut
+    into non-overlapping token windows (``textual.chunk_documents``
+    with stride == size), each window is md5-fingerprinted, and only
+    the first occurrence corpus-wide survives (first = smallest
+    (doc_id, chunk_id)). Catches copy-paste blocks shared between
+    otherwise-distinct documents — the granularity doc-level
+    ``exact_dup_groups`` can't see.
+
+    Output per doc: (doc_id, n_chunks, n_dropped, clean_md5) where
+    clean_md5 hashes the surviving chunks joined in chunk order.
+
+    Scale shape: the chunker is a narrow map; first-occurrence
+    election is ONE shuffle on the 32-hex fingerprint (uniform keys —
+    no skew); the per-doc rollup is one more shuffle on doc_id. Both
+    keys are data-sized, neither is all-pairs.
+    """
+    from .textual import chunk_documents
+
+    ch = chunk_documents(spark, sf_dir, chunk_size=chunk_size, stride=stride)
+    return chunk_dedup_df(ch)
+
+
+def chunk_dedup_df(ch: DataFrame) -> DataFrame:
+    """Core of :func:`chunk_dedup_stats` over any (doc_id, chunk_id,
+    chunk_text) stream."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col("chunk_text"))
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_id")
+    ranked = ch.withColumn("h", h).withColumn(
+        "keep", F.row_number().over(w) == 1
+    )
+    kept_struct = F.when(
+        F.col("keep"), F.struct("chunk_id", "chunk_text")
+    )  # null (-> skipped by collect_list) for dropped chunks
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x.chunk_text,
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+        .select("doc_id", "n_chunks", "n_dropped", "clean_md5")
+    )

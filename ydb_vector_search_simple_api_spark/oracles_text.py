@@ -432,3 +432,30 @@ SELECT doc_id,
        CAST(len(u.ch) AS INT) AS n_chunk_tokens
 FROM exploded
 """
+
+
+def chunk_dedup_sql(chunk_size: int = 32, stride: int = 32) -> str:
+    """Twin of ``dedup.chunk_dedup_stats``: same chunk grid, same
+    first-occurrence election (row_number over the md5 fingerprint
+    ordered by (doc_id, chunk_id)), same in-order rejoin of survivors.
+    COALESCE matches Spark's md5('') for a doc whose every chunk was
+    dropped (string_agg skips NULLs -> NULL, array_join -> '')."""
+    return f"""
+WITH chunks AS ({chunk_documents_sql(chunk_size, stride)}),
+ranked AS (
+  SELECT doc_id, chunk_id, chunk_text,
+         row_number() OVER (
+           PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id
+         ) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       md5(COALESCE(
+         string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id),
+         ''
+       )) AS clean_md5
+FROM ranked
+GROUP BY doc_id
+"""
