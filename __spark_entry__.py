@@ -415,6 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # siblings: dedup_exact_groups + chunk_documents (this composes the
     # two driver-checked pieces: md5-groupBy election at chunk grain)
     q["chunk_dedup"] = lambda s, d: dedup.chunk_dedup_stats(s, d)
+    # sibling: quality_filter (same per-doc quality-signal family;
+    # this one is corpus-statistical rather than surface-form)
+    q["unigram_logprob"] = textual.unigram_logprob
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -490,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
     o["winnowing_fingerprints"] = oracles_text.winnowing_digest_sql(8, 4)
     o["dedup_exact_groups"] = oracles_text.DEDUP_EXACT
     o["chunk_dedup"] = oracles_text.chunk_dedup_sql()
+    o["unigram_logprob"] = oracles_text.UNIGRAM_LOGPROB
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)
     o["neardup_cosine"] = oracles_text.neardup_cosine_sql(0.4)
     o["dedup_minhash_md5"] = oracles_text.minhash_lsh_md5_sql(3, 16, 8, 0.8)

@@ -250,3 +250,50 @@ def chunk_documents(
             F.size("ch").alias("n_chunk_tokens"),
         )
     )
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical quality signal: each document's mean unigram
+    log-probability under the corpus's own token distribution (the
+    cheap stand-in for LM-perplexity filtering — docs full of rare
+    tokens score low, formulaic docs score high).
+
+    Float parity contract: per-token ``ln(count/total)`` is rounded to
+    9 places and summed as DECIMAL(28,9) — exact integer arithmetic,
+    so the sum is independent of partitioning/visit order (same trick
+    as ``relational``'s decimal-exact revenue sums); one double
+    division + ROUND(6) at the end.
+
+    Scale shape: token frequencies are one (token)-keyed shuffle with
+    map-side combine; the frequency table is vocabulary-sized, so it
+    rides a broadcast back onto the exploded token stream; the per-doc
+    rollup is one (doc_id)-keyed shuffle. No all-pairs anywhere.
+    """
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # corpus total rides a single-row broadcast cross join (lazy — no
+    # separate driver job; same pattern as temporal's grid totals)
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    logp = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("n_total")), 9
+    ).cast("decimal(28,9)")
+    return (
+        toks.join(F.broadcast(freqs), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(logp).alias("sum_logp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.round(
+                    F.col("sum_logp").cast("double") / F.col("n_tokens"), 6
+                )
+                + F.lit(0.0)
+            ).alias("mean_logprob"),
+        )
+    )

@@ -459,3 +459,20 @@ SELECT doc_id,
 FROM ranked
 GROUP BY doc_id
 """
+
+
+UNIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+),
+freqs AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT count(*)::DOUBLE AS n FROM toks)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       ROUND(
+         CAST(sum(CAST(ROUND(ln(cnt::DOUBLE / total.n), 9) AS DECIMAL(28,9))) AS DOUBLE)
+         / count(*), 6
+       ) + 0.0 AS mean_logprob
+FROM toks JOIN freqs USING (tok), total
+GROUP BY doc_id, total.n
+"""
