@@ -38,7 +38,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = revenue * (F.lit(1.0) + F.col("l_tax"))
     n = F.count(F.lit(1))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum("l_quantity").alias("sum_qty"),

@@ -129,12 +129,12 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     other way (new). One labeled row per (user, cohort)."""
     ev = load_events(spark, sf_dir)
     w1 = (
-        ev.filter(F.col("ts") < F.lit(WEEK1_END).cast("timestamp"))
+        ev.filter(F.col("ts") < F.lit(WEEK1_END).cast("timestamp_ntz"))
         .select("user_id")
         .distinct()
     )
     w4 = (
-        ev.filter(F.col("ts") >= F.lit(WEEK4_START).cast("timestamp"))
+        ev.filter(F.col("ts") >= F.lit(WEEK4_START).cast("timestamp_ntz"))
         .select("user_id")
         .distinct()
     )

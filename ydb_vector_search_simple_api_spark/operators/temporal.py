@@ -38,7 +38,7 @@ def _bucket(ts_col) -> F.Column:
     c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     return F.timestamp_seconds(
         (F.unix_timestamp(c) - F.unix_timestamp(c) % BUCKET_S)
-    )
+    ).cast("timestamp_ntz")
 
 
 def surge_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

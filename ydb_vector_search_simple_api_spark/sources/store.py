@@ -52,16 +52,25 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table with a proper TimestampType ``ts``.
+    """Events table with ``ts`` normalized to TIMESTAMP_NTZ.
 
-    The source parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects outright; ``nanosAsLong`` reads it as raw
-    nanos and we convert (truncating ns -> us, Spark's native
-    precision). This is the standard ingest-normalization step a real
-    pipeline would run once at the edge."""
+    Ingest normalization tolerates both testdata layouts seen across
+    driver rounds: TIMESTAMP(MICROS) parquet (read natively as
+    TIMESTAMP_NTZ) and TIMESTAMP(NANOS) (which Spark's reader rejects
+    unless ``nanosAsLong`` maps it to raw int64 nanos; we then truncate
+    ns -> us). NTZ is the canonical engine type for event time: it is
+    session-timezone-independent and identical to the naive timestamps
+    the DuckDB oracles operate on. Session tz is pinned to UTC so the
+    few epoch-math expressions (``unix_timestamp``) are deterministic
+    regardless of host configuration."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = load_table(spark, sf_dir, "events")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
 
 
 def load_store_df(

@@ -35,29 +35,32 @@ from pyspark.sql import types as T
 
 from ..sources.store import load_events, table_path
 
-#: the on-disk shape with ts as raw nanos (see sources.store.load_events)
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table with ``ts`` normalized to
+    TIMESTAMP_NTZ. The file source needs an explicit schema, which must
+    match the on-disk layout — and that layout has differed across
+    driver rounds (TIMESTAMP(MICROS) vs int64 nanos), so take the
+    authoritative schema from a driver-side batch footer read and apply
+    the same normalization as ``sources.store.load_events``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # the streaming file source wants a directory; glob-filter to the
     # events file so sibling tables in sf_dir are not picked up
     raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # watermarks demand TIMESTAMP (LTZ) event time, so the streaming
+    # surface normalizes to LTZ; with session tz pinned UTC the wall
+    # clock equals the batch side's NTZ values exactly
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _hourly_agg(events: DataFrame) -> DataFrame:
