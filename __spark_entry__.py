@@ -98,6 +98,65 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> ivf.IvfIndex:
     return _IVF_CACHE[key]
 
 
+_PQ_CACHE: dict[str, "pq_mod.PqIndex"] = {}
+PQ_M = 8
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    from ydb_vector_search_simple_api_spark.operators import pq as pq_mod
+
+    key = sf_dir
+    if key not in _PQ_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(), f"svs_pq_{tag}_m{PQ_M}")
+        marker = os.path.join(out, "_pq_meta.json")
+        if os.path.exists(marker):
+            _PQ_CACHE[key] = pq_mod.load_pq_index(out)
+        else:
+            from pyspark.sql import functions as F
+
+            embs = load_embeddings(spark, sf_dir).select(
+                F.col("vec_id").alias("id"), "embedding"
+            )
+            _PQ_CACHE[key] = pq_mod.build_pq_index(
+                spark, embs, out, m=PQ_M, nbits=8, normalize=True
+            )
+    return _PQ_CACHE[key]
+
+
+def _mk_pq_rerank(strategy: str, k: int, shortlist: int | None):
+    """shortlist=None -> full corpus (exact, strong oracle)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ydb_vector_search_simple_api_spark.operators import pq as pq_mod
+
+        idx = _pq_index(spark, sf_dir)
+        embs = load_embeddings(spark, sf_dir).select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+        n = shortlist if shortlist is not None else embs.count()
+        return pq_mod.pq_search_rerank(
+            spark, idx, embs, _query_vec(spark, sf_dir), k=k,
+            strategy=strategy, shortlist=n, round_digits=ROUND,
+        )
+
+    return run
+
+
+def _mk_pq_adc(strategy: str, k: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ydb_vector_search_simple_api_spark.operators import pq as pq_mod
+
+        idx = _pq_index(spark, sf_dir)
+        return pq_mod.pq_adc_topk(
+            spark, idx, _query_vec(spark, sf_dir), k=k, strategy=strategy
+        )
+
+    return run
+
+
 _KMT_CACHE: dict[str, kmt.KmeansTreeIndex] = {}
 KMT_L1 = 4
 KMT_FANOUT = 4
@@ -335,8 +394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stratified_sample"] = curation.stratified_sample_stats
     # Gopher-style repetition quality signals
     q["repetition_signals"] = curation.repetition_signals
-    # symmetric int8 embedding quantization (digest shape)
-    q["quantize_embeddings"] = curation.quantize_embeddings
+    # product quantization: ADC shortlist = whole corpus -> exact
+    # re-rank == exact top-k (strong oracle); the pruned-ADC variant
+    # is in the rows-only tail (operators/pq.py)
+    q["pq_rerank_full"] = _mk_pq_rerank("CosineSimilarity", k=10, shortlist=None)
     # kNN label vote over the embeddings table's label column
     q["knn_classify"] = curation.knn_classify
     # near-dup pair graph -> canonical components (hash-min rounds)
@@ -418,6 +479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: quality_filter (same per-doc quality-signal family;
     # this one is corpus-statistical rather than surface-form)
     q["unigram_logprob"] = textual.unigram_logprob
+    # sibling: pq_rerank_full (embedding-quantization family; int8
+    # symmetric digest beside the PQ codebook path)
+    q["quantize_embeddings"] = curation.quantize_embeddings
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -455,6 +519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the exact forms in tests/test_temporal_stats.py)
     q["approx_value_percentiles"] = stats.approx_value_percentiles
     q["approx_distinct_users"] = stats.approx_distinct_users
+    # pure-ADC PQ top-k (approximate by design; recall and the
+    # lossless-vocabulary property pinned in tests/test_pq.py)
+    q["pq_adc_topk"] = _mk_pq_adc("CosineSimilarity", k=10)
     return q
 
 
@@ -507,6 +574,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["repetition_signals"] = oracles_curation.repetition_signals_sql(3)
     o["quantize_embeddings"] = oracles_curation.QUANTIZE
+    # PQ rerank with a full-corpus shortlist degenerates to exact
+    # top-k over (id, score) — same oracle as the full-width indexes
+    o["pq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     o["knn_classify"] = oracles_curation.knn_classify_sql(10, 8)
     o["dedup_components"] = oracles_curation.dedup_components_sql(
         oracles_text.ngram_jaccard_sql(3, 0.8)

@@ -1,0 +1,163 @@
+"""Product quantization (operators/pq.py): exactness of the full
+rerank path, recall of the pure-ADC path, encode invariants, and the
+lossless-reconstruction property on a bounded subvector vocabulary."""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.operators import pq
+from ydb_vector_search_simple_api_spark.functions.distance import score_expr
+from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+SF = "/root/testdata/sf0.001"
+ROUND = 6
+
+
+def _corpus(spark):
+    return load_embeddings(spark, SF).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+
+
+def _qvec(spark):
+    row = (
+        load_embeddings(spark, SF).filter(F.col("vec_id") == 0).select("embedding").head()
+    )
+    return [float(x) for x in row.embedding]
+
+
+@pytest.fixture(scope="module")
+def pq_norm(spark):
+    out = tempfile.mkdtemp(prefix="svs_pq_norm_")
+    return pq.build_pq_index(
+        spark, _corpus(spark), out, m=8, nbits=8, normalize=True
+    )
+
+
+@pytest.fixture(scope="module")
+def pq_raw(spark):
+    out = tempfile.mkdtemp(prefix="svs_pq_raw_")
+    return pq.build_pq_index(
+        spark, _corpus(spark), out, m=8, nbits=8, normalize=False
+    )
+
+
+def _exact_topk(spark, strategy, k):
+    from ydb_vector_search_simple_api_spark.config import sort_descending
+
+    df = _corpus(spark)
+    score = F.round(score_expr(strategy, F.col("embedding"), _qvec(spark)), ROUND) + F.lit(0.0)
+    direction = (
+        F.col("score").desc_nulls_last()
+        if sort_descending(strategy)
+        else F.col("score").asc_nulls_last()
+    )
+    return (
+        df.withColumn("score", score)
+        .select("id", "score")
+        .orderBy(direction, F.col("id").asc())
+        .limit(k)
+        .collect()
+    )
+
+
+def test_codes_are_m_bytes(spark, pq_norm):
+    row = spark.read.parquet(pq_norm.path).head()
+    assert len(row.codes) == 8
+
+
+def test_rerank_full_is_exact_cosine(spark, pq_norm):
+    n = _corpus(spark).count()
+    got = pq.pq_search_rerank(
+        spark, pq_norm, _corpus(spark), _qvec(spark), k=10,
+        strategy="CosineSimilarity", shortlist=n, round_digits=ROUND,
+    ).collect()
+    want = _exact_topk(spark, "CosineSimilarity", 10)
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+
+
+@pytest.mark.parametrize(
+    "strategy", ["InnerProductSimilarity", "EuclideanDistance", "ManhattanDistance"]
+)
+def test_rerank_full_is_exact_raw(spark, pq_raw, strategy):
+    n = _corpus(spark).count()
+    got = pq.pq_search_rerank(
+        spark, pq_raw, _corpus(spark), _qvec(spark), k=10,
+        strategy=strategy, shortlist=n, round_digits=ROUND,
+    ).collect()
+    want = _exact_topk(spark, strategy, 10)
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+
+
+def test_adc_recall_and_rerank_monotone(spark, pq_norm):
+    exact_ids = {r.id for r in _exact_topk(spark, "CosineSimilarity", 10)}
+    adc_ids = {
+        r.id
+        for r in pq.pq_adc_topk(
+            spark, pq_norm, _qvec(spark), k=10, strategy="CosineSimilarity"
+        ).collect()
+    }
+    recall_adc = len(adc_ids & exact_ids) / 10
+    assert recall_adc >= 0.5, f"pure-ADC recall@10 too low: {recall_adc}"
+
+    def recall_at(shortlist):
+        ids = {
+            r.id
+            for r in pq.pq_search_rerank(
+                spark, pq_norm, _corpus(spark), _qvec(spark), k=10,
+                strategy="CosineSimilarity", shortlist=shortlist,
+            ).collect()
+        }
+        return len(ids & exact_ids) / 10
+
+    r64, r256 = recall_at(64), recall_at(256)
+    assert r64 >= recall_adc
+    assert r256 >= r64
+    assert r256 >= 0.8
+
+
+def test_cosine_requires_normalized_index(spark, pq_raw):
+    with pytest.raises(ValueError, match="normalize=True"):
+        pq.pq_adc_topk(spark, pq_raw, _qvec(spark), k=5, strategy="CosineSimilarity")
+
+
+def test_dim_mismatch_rejected(spark, pq_norm):
+    with pytest.raises(ValueError, match="dim"):
+        pq.pq_adc_topk(spark, pq_norm, [1.0, 2.0], k=5, strategy="InnerProductSimilarity")
+
+
+def test_adc_exact_on_bounded_vocabulary(spark):
+    """When every subvector comes from a vocabulary that fits the
+    codebook, encoding is lossless and ADC == exact inner product."""
+    rng = np.random.default_rng(7)
+    vocab = rng.normal(size=(4, 4))  # 4 patterns per 4-wide subspace
+    picks = rng.integers(0, 4, size=(120, 4))  # 4 subspaces -> dim 16
+    X = np.concatenate([vocab[picks[:, j]] for j in range(4)], axis=1)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))], "id long, embedding array<float>"
+    )
+    out = tempfile.mkdtemp(prefix="svs_pq_vocab_")
+    idx = pq.build_pq_index(spark, df, out, m=4, nbits=8, train_rows=120)
+    q = [float(v) for v in X[0]]
+    # lossless up to float association: the ADC estimate equals the
+    # exact inner product per row (subspace-blocked vs sequential
+    # summation differ only in the last ulps, far below 1e-9)
+    adc = {
+        r.id: r.score
+        for r in pq.pq_adc_topk(
+            spark, idx, q, k=120, strategy="InnerProductSimilarity"
+        ).collect()
+    }
+    exact = {
+        r.id: r.score
+        for r in df.withColumn(
+            "score", score_expr("InnerProductSimilarity", F.col("embedding"), q)
+        ).select("id", "score").collect()
+    }
+    assert set(adc) == set(exact)
+    assert max(abs(adc[i] - exact[i]) for i in adc) < 1e-9

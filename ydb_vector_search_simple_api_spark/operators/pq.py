@@ -1,0 +1,323 @@
+"""Product quantization (PQ) — the memory-side ANN scale path.
+
+Public-knowledge basis: Jégou, Douze, Schmid, "Product Quantization
+for Nearest Neighbor Search" (IEEE TPAMI 2011) — split the vector into
+``m`` subspaces, k-means each subspace into ``2**nbits`` codewords,
+store each vector as ``m`` code bytes, and score queries against codes
+via an Asymmetric Distance Computation (ADC) lookup table.
+
+Why it matters at 100 TB: a float32 corpus at dim 64 is 256 bytes per
+vector; PQ codes at m=8/nbits=8 are 8 bytes — a 32x scan-size
+reduction, and the per-row score is ``m`` table lookups + adds instead
+of ``d`` multiplies. The IVF/tree indexes (operators/index.py,
+operators/tree.py) cut *which rows* are read; PQ cuts *bytes per row*
+— at scale the two compose (classic IVFADC), and each is independently
+useful.
+
+Spark-native shape:
+
+* **Train** (driver, bounded): codebooks are fit on a deterministic
+  hash-sampled subset (size independent of corpus scale — standard PQ
+  practice; the codebook is a tiny model, ~m * 2**nbits * dsub floats).
+  Reuses the deterministic Lloyd iteration from operators/tree.py.
+* **Encode** (distributed, zero shuffle): one ``mapInPandas`` pass,
+  codebooks broadcast, each Arrow batch encoded with one argmin per
+  subspace; codes written as a ``BinaryType`` column (m bytes).
+* **ADC scan** (distributed, zero shuffle): the per-query lookup table
+  (m x 2**nbits float64) is broadcast; each batch scores as ``m``
+  gathers + a row sum, then local top-k, then the global
+  TakeOrdered-style merge — only k rows per partition leave the scan.
+* **Rerank**: ADC shortlist -> broadcast-join the full-precision
+  vectors by id -> exact re-rank (same Column expressions as
+  exact_search). With ``shortlist >= corpus size`` the result is
+  EXACT (the shortlist is everything) — that variant is the oracle
+  gate; pruned shortlists trade recall for the join size, recall
+  contract pinned in tests/test_pq.py.
+
+All five reference strategies (env.example:15-17) are supported: ADC
+tables are additive over subspaces for inner product, squared
+euclidean, and manhattan; cosine rides on inner product over
+pre-normalized encodings (``normalize=True``), with exact cosine
+restored in the rerank stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_K, sort_descending, validate_strategy
+from ..functions.distance import score_expr
+from .tree import _lloyd
+
+_META_FILE = "_pq_meta.json"
+
+
+@dataclass(frozen=True)
+class PqIndex:
+    path: str  # codes parquet directory
+    m: int
+    nbits: int
+    dim: int
+    normalize: bool
+    codebooks: np.ndarray  # (m, 2**nbits_eff, dim//m) float64
+    id_col: str = "id"
+    vec_col: str = "embedding"
+
+    @property
+    def n_codes(self) -> int:
+        return self.codebooks.shape[1]
+
+
+def train_pq_codebooks(
+    x: np.ndarray, m: int, nbits: int = 8, n_iter: int = 20
+) -> np.ndarray:
+    """Fit one codebook per subspace with deterministic Lloyd k-means.
+    ``x``: (n, d) training sample, d divisible by m. Returns
+    (m, k_eff, d//m); k_eff < 2**nbits when the sample has fewer rows."""
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    k = 2**nbits
+    books = [
+        _lloyd(np.ascontiguousarray(x[:, j * dsub : (j + 1) * dsub]), k, n_iter)
+        for j in range(m)
+    ]
+    k_eff = min(len(b) for b in books)
+    return np.stack([b[:k_eff] for b in books])
+
+
+def _encode_batch(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) float -> (n, m) uint8 codes (argmin L2 per subspace)."""
+    n = len(X)
+    m, _, dsub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2 ; ||s||^2 constant per row
+        d2 = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ books[j].T)
+        codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def build_pq_index(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    m: int = 8,
+    nbits: int = 8,
+    train_rows: int = 16384,
+    normalize: bool = False,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> PqIndex:
+    """Offline build: hash-sample a training set, fit codebooks on the
+    driver, encode the corpus distributively, write codes + metadata.
+
+    The training collect is bounded by ``train_rows`` regardless of
+    corpus size (xxhash64 thinning — deterministic for any id type);
+    encoding is one shuffle-free mapInPandas pass.
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("embedding"))
+    n = src.count()
+    mod = max(1, n // max(1, train_rows))
+    train = (
+        src.filter(F.abs(F.xxhash64(F.col("id"))) % mod == 0)
+        .orderBy("id")
+        .limit(train_rows)
+        .collect()
+    )
+    X = np.array([r.embedding for r in train], dtype=np.float64)
+    dim = X.shape[1]
+    if normalize:
+        X = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-300)
+    books = train_pq_codebooks(X, m=m, nbits=nbits)
+    bc = spark.sparkContext.broadcast((books, normalize))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", src.schema["id"].dataType),
+            T.StructField("codes", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        books_, norm_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if norm_:
+                E = E / np.maximum(np.linalg.norm(E, axis=1)[:, None], 1e-300)
+            codes = _encode_batch(E, books_)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "codes": [c.tobytes() for c in codes]}
+            )
+
+    src.mapInPandas(encode, schema=out_schema).write.mode("overwrite").parquet(out_dir)
+    meta = {
+        "m": m,
+        "nbits": nbits,
+        "dim": dim,
+        "normalize": normalize,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "codebooks": books.tolist(),
+    }
+    with open(os.path.join(out_dir, _META_FILE), "w") as f:
+        json.dump(meta, f)
+    return PqIndex(
+        path=out_dir, m=m, nbits=nbits, dim=dim, normalize=normalize,
+        codebooks=books, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def load_pq_index(path: str) -> PqIndex:
+    with open(os.path.join(path, _META_FILE)) as f:
+        meta = json.load(f)
+    return PqIndex(
+        path=path, m=meta["m"], nbits=meta["nbits"], dim=meta["dim"],
+        normalize=meta["normalize"], codebooks=np.array(meta["codebooks"]),
+        id_col=meta["id_col"], vec_col=meta["vec_col"],
+    )
+
+
+def _adc_table(index: PqIndex, query_vec: Sequence[float], strategy: str) -> tuple[np.ndarray, bool]:
+    """Per-query lookup table (m, n_codes); score(codes) =
+    sum_j LUT[j, codes[j]] (+ sqrt for euclidean, applied post-sum).
+    Returns (LUT, needs_sqrt)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != index.dim:
+        raise ValueError(f"query dim {q.shape[0]} != index dim {index.dim}")
+    if strategy in ("CosineSimilarity", "CosineDistance"):
+        if not index.normalize:
+            raise ValueError(
+                "cosine ADC needs an index built with normalize=True "
+                "(codes then quantize unit vectors and inner product "
+                "approximates cosine)"
+            )
+        nq = np.linalg.norm(q)
+        q = q / (nq if nq else 1.0)
+    m, _, dsub = index.codebooks.shape
+    qs = q.reshape(m, dsub)
+    if strategy in ("InnerProductSimilarity", "CosineSimilarity", "CosineDistance"):
+        lut = np.einsum("jd,jkd->jk", qs, index.codebooks)
+        if strategy == "CosineDistance":
+            # 1 - sum(ip) == sum(1/m - ip_j): fold the constant in
+            lut = 1.0 / m - lut
+        return lut, False
+    if strategy == "EuclideanDistance":
+        diff = index.codebooks - qs[:, None, :]
+        return (diff**2).sum(axis=2), True
+    if strategy == "ManhattanDistance":
+        diff = index.codebooks - qs[:, None, :]
+        return np.abs(diff).sum(axis=2), False
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def pq_adc_topk(
+    spark: SparkSession,
+    index: PqIndex,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+) -> DataFrame:
+    """Approximate top-k over PQ codes only (no full vectors touched).
+    Returns (id, score) with the ADC estimate as score. Shuffle-free
+    scan: each partition emits at most k candidate rows."""
+    validate_strategy(strategy)
+    lut, needs_sqrt = _adc_table(index, query_vec, strategy)
+    desc = sort_descending(strategy)
+    bc = spark.sparkContext.broadcast((lut, index.m, desc, k))
+
+    codes_df = spark.read.parquet(index.path)
+    out_schema = T.StructType(
+        [
+            T.StructField("id", codes_df.schema["id"].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        import pandas as pd
+
+        lut_, m_, desc_, k_ = bc.value
+        cols = np.arange(m_)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(len(pdf), m_)
+            s = lut_[cols[None, :], codes].sum(axis=1)
+            kk = min(k_, len(s))
+            # local top-k with the same tie-break as the global merge
+            # (score direction, then id ascending): two stable sorts —
+            # an argpartition would cut ties at the k boundary
+            # arbitrarily and could drop the id the total order keeps
+            ids = pdf["id"].to_numpy()
+            by_id = np.argsort(ids, kind="stable")
+            s_id = s[by_id]
+            part = by_id[
+                np.argsort(-s_id if desc_ else s_id, kind="stable")[:kk]
+            ]
+            yield pd.DataFrame({"id": ids[part], "score": s[part]})
+
+    out = codes_df.mapInPandas(scan, schema=out_schema)
+    if needs_sqrt:
+        out = out.withColumn("score", F.sqrt(F.greatest(F.col("score"), F.lit(0.0))))
+    direction = (
+        F.col("score").desc_nulls_last() if desc else F.col("score").asc_nulls_last()
+    )
+    return out.orderBy(direction, F.col("id").asc()).limit(k)
+
+
+def pq_search_rerank(
+    spark: SparkSession,
+    index: PqIndex,
+    full_df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+    shortlist: int = 100,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """ADC shortlist -> exact re-rank on full-precision vectors.
+
+    ``shortlist >= corpus size`` makes this EXACT (identical to
+    exact_search over (id, score)) — the oracle-gated configuration;
+    smaller shortlists trade recall for the size of the broadcast
+    rescore join. Returns (id, score), score exact per score_expr.
+    """
+    validate_strategy(strategy)
+    cand = pq_adc_topk(spark, index, query_vec, k=shortlist, strategy=strategy)
+    ids = cand.select("id")
+    src = full_df.select(
+        F.col(index.id_col).alias("id"), F.col(index.vec_col).alias("embedding")
+    )
+    # shortlist is small (<= shortlist rows): broadcast the semi-join
+    hit = src.join(F.broadcast(ids), "id", "left_semi")
+    score = score_expr(strategy, F.col("embedding"), list(query_vec))
+    if round_digits is not None:
+        score = F.round(score, round_digits) + F.lit(0.0)
+    direction = (
+        F.col("score").desc_nulls_last()
+        if sort_descending(strategy)
+        else F.col("score").asc_nulls_last()
+    )
+    return (
+        hit.withColumn("score", score)
+        .select("id", "score")
+        .orderBy(direction, F.col("id").asc())
+        .limit(k)
+    )
