@@ -398,8 +398,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-rank == exact top-k (strong oracle); the pruned-ADC variant
     # is in the rows-only tail (operators/pq.py)
     q["pq_rerank_full"] = _mk_pq_rerank("CosineSimilarity", k=10, shortlist=None)
-    # kNN label vote over the embeddings table's label column
-    q["knn_classify"] = curation.knn_classify
+    # stream-stream interval join (purchases x trailing clicks, both
+    # sides watermarked => evictable join state)
+    q["stream_interval_join"] = lambda s, d: streaming_events.purchase_click_interval_join_stream(
+        s, d, lookback_sql="INTERVAL 6 HOUR"
+    )
     # near-dup pair graph -> canonical components (hash-min rounds)
     q["dedup_components"] = curation.dedup_components
     # per-source token budget enforcement (corpus mixing control)
@@ -482,6 +485,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: pq_rerank_full (embedding-quantization family; int8
     # symmetric digest beside the PQ codebook path)
     q["quantize_embeddings"] = curation.quantize_embeddings
+    # sibling: knn_join_cosine (same per-query ranked-window kNN shape;
+    # adds the broadcast label vote)
+    q["knn_classify"] = curation.knn_classify
+    # sibling: events_distinct_pairs (same DISTINCT key-set oracle; this
+    # is the bounded-state dropDuplicatesWithinWatermark variant)
+    q["events_distinct_wm"] = streaming_events.distinct_pairs_within_watermark_stream
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -590,6 +599,14 @@ def oracle_sql() -> dict[str, str]:
     o["multimodal_byte_hist"] = oracles_text.BYTE_HIST_DIGESTS
     o["events_hourly_stream"] = oracles_text.EVENTS_HOURLY
     o["events_distinct_pairs"] = "SELECT DISTINCT user_id, event_type FROM events"
+    o["events_distinct_wm"] = "SELECT DISTINCT user_id, event_type FROM events"
+    o["stream_interval_join"] = """
+SELECT p.user_id AS user_id, p.event_id AS p_event_id, c.event_id AS c_event_id,
+       p.ts AS p_ts, c.ts AS c_ts, c.value AS c_value
+FROM events p JOIN events c ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+"""
     o["session_rollup"] = oracles_text.SESSION_ROLLUP
     o["user_running_totals"] = oracles_text.RUNNING_TOTALS
 

@@ -29,3 +29,50 @@ def test_stream_append_is_closed_window_subset(spark):
     latest_emitted = max(w for (w, _) in append) if append else None
     latest_batch = max(w for (w, _) in batch)
     assert latest_emitted is None or latest_emitted < latest_batch
+
+
+def test_distinct_within_watermark_equals_batch_distinct(spark):
+    """Single availableNow micro-batch: no mid-run state eviction, so
+    the bounded-state dedup's key set equals batch DISTINCT."""
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+    got = {
+        (r.user_id, r.event_type)
+        for r in SE.distinct_pairs_within_watermark_stream(spark, SF_SMALL).collect()
+    }
+    want = {
+        (r.user_id, r.event_type)
+        for r in load_events(spark, SF_SMALL).select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want
+    assert len(want) > 50
+
+
+def test_interval_join_stream_equals_batch_join(spark):
+    """Stream-stream interval join over availableNow == the batch
+    interval join (same predicate, plain DataFrame join)."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+    got = {
+        (r.p_event_id, r.c_event_id)
+        for r in SE.purchase_click_interval_join_stream(spark, SF_SMALL).collect()
+    }
+    ev = load_events(spark, SF_SMALL)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pe"), F.col("ts").alias("pt")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("ce"), F.col("ts").alias("ct")
+    )
+    want = {
+        (r.pe, r.ce)
+        for r in p.join(
+            c,
+            F.expr("pu = cu AND ct >= pt - INTERVAL 1 HOUR AND ct <= pt"),
+            "inner",
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0

@@ -120,6 +120,100 @@ def hourly_event_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hourly_agg(load_events(spark, sf_dir))
 
 
+def distinct_pairs_within_watermark_stream(
+    spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
+) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    keeps one row per (user_id, event_type) while the key's state is
+    younger than the watermark delay, then EVICTS it — unlike plain
+    ``dropDuplicates`` whose state grows with the key universe forever.
+    That eviction bound is what makes streaming dedup survive an
+    unbounded source; over a finite availableNow run (single
+    micro-batch, no mid-batch eviction) the emitted key set equals
+    batch DISTINCT exactly, so the entry keeps a strong SQL oracle.
+    Projected to the key columns for determinism (which physical row
+    survives is arrival-order-dependent; the key set is not)."""
+    name = f"events_distinct_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "event_type", "ts")
+        .withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def purchase_click_interval_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    lateness: str = "1 hour",
+    lookback_sql: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Stream-stream interval join: every purchase joined to the same
+    user's clicks in the trailing lookback window — the streaming twin
+    of the bucketed range join (operators/temporal.py). Both sides are
+    watermarked so the join state is evictable: a buffered click can
+    be dropped once the purchase-side watermark passes
+    ``click ts + lookback`` (the event-time constraint gives Spark the
+    state-cleanup bound; an unconstrained stream-stream join would
+    buffer forever). availableNow over a finite source processes one
+    micro-batch, so the result equals the batch/SQL interval join
+    exactly — hash-gated against the DuckDB twin."""
+    name = f"events_ivjoin_{uuid.uuid4().hex[:8]}"
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", lateness)
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("c_event_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", lateness)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"p_user_id = c_user_id AND "
+            f"c_ts >= p_ts - {lookback_sql} AND c_ts <= p_ts"
+        ),
+        "inner",
+    ).select(
+        F.col("p_user_id").alias("user_id"),
+        "p_event_id",
+        "c_event_id",
+        "p_ts",
+        "c_ts",
+        "c_value",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def distinct_user_event_pairs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful dedup: first occurrence of every
     (user_id, event_type) pair, via the built-in ``dropDuplicates`` on
