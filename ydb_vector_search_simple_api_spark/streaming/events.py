@@ -26,6 +26,7 @@ partitioning/trigger schedule — a floating sum would not be.
 
 from __future__ import annotations
 
+import contextlib
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +35,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.store import load_events, table_path
+
+#: shuffle partitions while a stateful streaming query runs. State
+#: stores are per (operator x shuffle partition) and their open/commit
+#: cost dominates small/medium micro-batches; the right count tracks
+#: key cardinality, not CPU count. Batch queries are unaffected — the
+#: session conf is restored after the stream finishes.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+@contextlib.contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,15 +102,16 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the hourly rollup as a stream (availableNow, complete mode)
     and return the materialized result."""
     name = f"events_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        _hourly_agg(_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            _hourly_agg(_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -103,15 +123,16 @@ def hourly_event_counts_append(
     in state and not in the output."""
     name = f"events_hourly_append_{uuid.uuid4().hex[:8]}"
     events = _events_stream(spark, sf_dir).withWatermark("ts", lateness)
-    q = (
-        _hourly_agg(events)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            _hourly_agg(events)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -134,19 +155,20 @@ def distinct_pairs_within_watermark_stream(
     Projected to the key columns for determinism (which physical row
     survives is arrival-order-dependent; the key set is not)."""
     name = f"events_distinct_wm_{uuid.uuid4().hex[:8]}"
-    q = (
-        _events_stream(spark, sf_dir)
-        .select("user_id", "event_type", "ts")
-        .withWatermark("ts", lateness)
-        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            _events_stream(spark, sf_dir)
+            .select("user_id", "event_type", "ts")
+            .withWatermark("ts", lateness)
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -167,6 +189,8 @@ def purchase_click_interval_join_stream(
     micro-batch, so the result equals the batch/SQL interval join
     exactly — hash-gated against the DuckDB twin."""
     name = f"events_ivjoin_{uuid.uuid4().hex[:8]}"
+    # both sides derive from ONE stream source (a supported self-join):
+    # the file is scanned once per micro-batch instead of twice
     ev = _events_stream(spark, sf_dir)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -178,8 +202,7 @@ def purchase_click_interval_join_stream(
         .withWatermark("p_ts", lateness)
     )
     clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user_id"),
             F.col("event_id").alias("c_event_id"),
@@ -203,14 +226,15 @@ def purchase_click_interval_join_stream(
         "c_ts",
         "c_value",
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -222,15 +246,16 @@ def distinct_user_event_pairs_stream(spark: SparkSession, sf_dir: str) -> DataFr
     equals batch DISTINCT regardless of which occurrence arrived
     first, so it has a strong SQL oracle."""
     name = f"events_distinct_{uuid.uuid4().hex[:8]}"
-    q = (
-        _events_stream(spark, sf_dir)
-        .select("user_id", "event_type")
-        .dropDuplicates(["user_id", "event_type"])
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            _events_stream(spark, sf_dir)
+            .select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

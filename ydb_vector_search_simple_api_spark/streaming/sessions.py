@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..sources.store import load_events
-from .events import _events_stream
+from .events import _events_stream, _stream_shuffle
 
 SESSION_GAP = "30 minutes"
 
@@ -71,15 +71,16 @@ def session_rollup_append(
     against the batch twin."""
     name = f"sessions_append_{uuid.uuid4().hex[:8]}"
     events = _events_stream(spark, sf_dir).withWatermark("ts", lateness)
-    q = (
-        _session_agg(events)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            _session_agg(events)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -154,12 +155,13 @@ def user_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
