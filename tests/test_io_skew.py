@@ -88,3 +88,40 @@ def test_salted_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(docs, profile, on="lang", how="full")
+
+
+def test_orc_roundtrip(spark, store, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("io") / "store_orc")
+    sio.write_store_orc(store, path)
+    back = sio.read_store_orc(spark, path)
+    assert back.schema["embedding"].dataType.simpleString() == "array<float>"
+    a, b = _as_map(store.collect()), _as_map(back.collect())
+    assert a == b  # ORC is binary-exact for float32 (no text decode)
+
+
+def test_raw_text_ingest(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("io") / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha doc\nbeta doc\nalpha doc\n")
+    df = sio.read_raw_text(spark, str(d))
+    rows = df.collect()
+    assert len(rows) == 3
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r.text, set()).add(r.doc_id)
+    # content-derived id: identical lines share the id, distinct differ
+    assert len(by_text["alpha doc"]) == 1
+    assert by_text["alpha doc"] != by_text["beta doc"]
+
+
+def test_binary_files_ingest(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("io") / "media"
+    d.mkdir()
+    (d / "x.bin").write_bytes(b"\x00\x01\x02payload")
+    (d / "y.bin").write_bytes(b"\xff" * 16)
+    (d / "skip.txt").write_text("not media")
+    df = sio.read_binary_files(spark, str(d), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content)) for r in df.collect()}
+    assert set(rows) == {"x.bin", "y.bin"}
+    assert rows["x.bin"] == (10, b"\x00\x01\x02payload")
+    assert rows["y.bin"][0] == 16

@@ -131,8 +131,11 @@ def winnowing_fingerprints(
     Output: (doc_id, fps array<string>); arrays sorted for stable
     comparison."""
     d = load_documents(spark, sf_dir).select("doc_id", "text")
-    sc = spark.sparkContext
-    target = max(sc.defaultParallelism, d.rdd.getNumPartitions())
+    # defaultParallelism alone: a driver-side constant — df.rdd
+    # .getNumPartitions() would materialize the RDD conversion plan
+    # just to read a number that the repartition target never needs
+    # to undercut (the barrier exists for let-binding, not sizing)
+    target = spark.sparkContext.defaultParallelism
     hashed = d.select(
         "doc_id", TXT.char_kgram_hashes("text", k).alias("h")
     ).repartition(target, "doc_id")

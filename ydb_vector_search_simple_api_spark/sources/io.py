@@ -67,6 +67,49 @@ def write_store_csv(df: DataFrame, path: str, mode: str = "error") -> None:
     out.write.mode(mode).option("header", "true").csv(path)
 
 
+def read_store_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC store ingest — ORC carries array<float> natively (no text
+    decode step), with the same predicate-pushdown + column-pruning
+    properties as parquet. Schema enforced, not inferred from footers,
+    so a corrupt/foreign file fails loudly at analysis."""
+    native = T.StructType(
+        [f for f in STORE_TEXT_SCHEMA if f.name != "embedding_json"]
+        + [T.StructField("embedding", T.ArrayType(T.FloatType()))]
+    )
+    return spark.read.schema(native).orc(path)
+
+
+def write_store_orc(df: DataFrame, path: str, mode: str = "error") -> None:
+    """ORC export, embeddings native (round-trips read_store_orc)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_raw_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text-corpus ingest: one document per line -> (doc_id, text),
+    doc_id = xxhash64 of the content (deterministic on any cluster
+    layout — a zip-with-index id would depend on file split order).
+    Identical lines collapse to one id, which is exactly what a dedup
+    pipeline wants from a content-derived key."""
+    return (
+        spark.read.text(path)
+        .select(F.xxhash64("value").alias("doc_id"), F.col("value").alias("text"))
+    )
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Opaque media ingest via the binaryFile source: (path, length,
+    content) per file — the entry point for the multimodal operators
+    (operators/multimodal.py), which treat payloads as binary columns
+    plus typed metadata. ``pathGlobFilter`` prunes by extension at
+    listing time (no file opened)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "length", "content")
+    )
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "error"
 ) -> None:
