@@ -157,6 +157,45 @@ def _mk_pq_adc(strategy: str, k: int):
     return run
 
 
+_IVFPQ_CACHE: dict[str, "pq_mod.PqIndex"] = {}
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    from ydb_vector_search_simple_api_spark.operators import pq as pq_mod
+
+    key = sf_dir
+    if key not in _IVFPQ_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(), f"svs_ivfpq_{tag}_m{PQ_M}")
+        marker = os.path.join(out, "_pq_meta.json")
+        if os.path.exists(marker):
+            _IVFPQ_CACHE[key] = pq_mod.load_pq_index(out)
+        else:
+            _IVFPQ_CACHE[key] = pq_mod.build_ivfpq_index(
+                spark, _ivf_index(spark, sf_dir), out, m=PQ_M, nbits=8,
+                normalize=True,
+            )
+    return _IVFPQ_CACHE[key]
+
+
+def _mk_ivfpq(strategy: str, k: int, width: int | None, rerank: int | None):
+    """width=None -> all clusters. rerank: shortlist size for the
+    full-precision rescore (None = pure ADC)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ydb_vector_search_simple_api_spark.operators import pq as pq_mod
+
+        ivf_idx = _ivf_index(spark, sf_dir)
+        pq_idx = _ivfpq_index(spark, sf_dir)
+        return pq_mod.ivfpq_search(
+            spark, ivf_idx, pq_idx, _query_vec(spark, sf_dir), k=k,
+            strategy=strategy, search_top_size=width or ivf_idx.n_clusters,
+            rerank=rerank,
+        )
+
+    return run
+
+
 _KMT_CACHE: dict[str, kmt.KmeansTreeIndex] = {}
 KMT_L1 = 4
 KMT_FANOUT = 4
@@ -531,6 +570,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pure-ADC PQ top-k (approximate by design; recall and the
     # lossless-vocabulary property pinned in tests/test_pq.py)
     q["pq_adc_topk"] = _mk_pq_adc("CosineSimilarity", k=10)
+    # IVFADC pruned to 2 of 8 clusters with a 64-candidate rerank
+    # (approximate; exactness at full width/rerank and the pruned-plan
+    # shape pinned in tests/test_pq.py)
+    q["ivfpq_topk_width2"] = _mk_ivfpq(
+        "CosineSimilarity", k=10, width=2, rerank=64
+    )
     return q
 
 

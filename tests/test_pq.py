@@ -161,3 +161,33 @@ def test_adc_exact_on_bounded_vocabulary(spark):
     }
     assert set(adc) == set(exact)
     assert max(abs(adc[i] - exact[i]) for i in adc) < 1e-9
+
+
+def test_ivfpq_full_width_full_rerank_is_exact(spark, tmp_path_factory):
+    from ydb_vector_search_simple_api_spark.operators import index as ivf_mod
+
+    base = str(tmp_path_factory.mktemp("ivfpq"))
+    ivf = ivf_mod.build_ivf_index(
+        spark, _corpus(spark), base + "/ivf", n_clusters=4, seed=42
+    )
+    idx = pq.build_ivfpq_index(spark, ivf, base + "/codes", m=8, normalize=True)
+    n = _corpus(spark).count()
+    got = pq.ivfpq_search(
+        spark, ivf, idx, _qvec(spark), k=10, strategy="CosineSimilarity",
+        search_top_size=4, rerank=n, round_digits=ROUND,
+    ).collect()
+    want = _exact_topk(spark, "CosineSimilarity", 10)
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+
+    # pruned read: the codes scan must carry a cluster_id partition
+    # filter (directories pruned at planning time)
+    pruned = pq.ivfpq_search(
+        spark, ivf, idx, _qvec(spark), k=10, strategy="CosineSimilarity",
+        search_top_size=2, rerank=64,
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "cluster_id" in plan
+
+    exact_ids = {r.id for r in want}
+    pruned_ids = {r.id for r in pruned.collect()}
+    assert len(pruned_ids & exact_ids) / 10 >= 0.5

@@ -33,6 +33,11 @@ Spark-native shape:
   EXACT (the shortlist is everything) — that variant is the oracle
   gate; pruned shortlists trade recall for the join size, recall
   contract pinned in tests/test_pq.py.
+* **IVFADC** (:func:`build_ivfpq_index` / :func:`ivfpq_search`): the
+  codes layout is hive-partitioned by the IVF ``cluster_id``; a query
+  reads only the ``search_top_size`` nearest cluster directories
+  (planner-level pruning) and only the m-byte codes inside them —
+  rows-read and bytes-per-row levers multiply.
 
 All five reference strategies (env.example:15-17) are supported: ADC
 tables are additive over subspaces for inner product, squared
@@ -118,6 +123,7 @@ def build_pq_index(
     normalize: bool = False,
     id_col: str = "id",
     vec_col: str = "embedding",
+    partition_col: str | None = None,
 ) -> PqIndex:
     """Offline build: hash-sample a training set, fit codebooks on the
     driver, encode the corpus distributively, write codes + metadata.
@@ -125,12 +131,21 @@ def build_pq_index(
     The training collect is bounded by ``train_rows`` regardless of
     corpus size (xxhash64 thinning — deterministic for any id type);
     encoding is one shuffle-free mapInPandas pass.
+
+    ``partition_col`` (e.g. the IVF ``cluster_id``) is carried through
+    encoding and becomes a hive partition of the codes layout — the
+    IVFADC composition: the index prunes which code directories are
+    read, PQ prunes bytes per row inside them.
     """
-    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("embedding"))
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("embedding")]
+    if partition_col:
+        cols.append(F.col(partition_col).alias(partition_col))
+    src = df.select(*cols)
     n = src.count()
     mod = max(1, n // max(1, train_rows))
     train = (
-        src.filter(F.abs(F.xxhash64(F.col("id"))) % mod == 0)
+        src.select("id", "embedding")
+        .filter(F.abs(F.xxhash64(F.col("id"))) % mod == 0)
         .orderBy("id")
         .limit(train_rows)
         .collect()
@@ -142,12 +157,13 @@ def build_pq_index(
     books = train_pq_codebooks(X, m=m, nbits=nbits)
     bc = spark.sparkContext.broadcast((books, normalize))
 
-    out_schema = T.StructType(
-        [
-            T.StructField("id", src.schema["id"].dataType),
-            T.StructField("codes", T.BinaryType()),
-        ]
-    )
+    fields = [
+        T.StructField("id", src.schema["id"].dataType),
+        T.StructField("codes", T.BinaryType()),
+    ]
+    if partition_col:
+        fields.append(T.StructField(partition_col, src.schema[partition_col].dataType))
+    out_schema = T.StructType(fields)
 
     def encode(batches):
         import pandas as pd
@@ -160,11 +176,15 @@ def build_pq_index(
             if norm_:
                 E = E / np.maximum(np.linalg.norm(E, axis=1)[:, None], 1e-300)
             codes = _encode_batch(E, books_)
-            yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(), "codes": [c.tobytes() for c in codes]}
-            )
+            out = {"id": pdf["id"].to_numpy(), "codes": [c.tobytes() for c in codes]}
+            if partition_col:
+                out[partition_col] = pdf[partition_col].to_numpy()
+            yield pd.DataFrame(out)
 
-    src.mapInPandas(encode, schema=out_schema).write.mode("overwrite").parquet(out_dir)
+    writer = src.mapInPandas(encode, schema=out_schema).write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(out_dir)
     meta = {
         "m": m,
         "nbits": nbits,
@@ -231,16 +251,23 @@ def pq_adc_topk(
     query_vec: Sequence[float],
     k: int = DEFAULT_K,
     strategy: str = "CosineSimilarity",
+    partition_filter=None,
 ) -> DataFrame:
     """Approximate top-k over PQ codes only (no full vectors touched).
     Returns (id, score) with the ADC estimate as score. Shuffle-free
-    scan: each partition emits at most k candidate rows."""
+    scan: each partition emits at most k candidate rows.
+    ``partition_filter`` (a Column over the codes layout's partition
+    column) turns this into the IVFADC read: whole code directories
+    are pruned at planning time before the scan even lists files."""
     validate_strategy(strategy)
     lut, needs_sqrt = _adc_table(index, query_vec, strategy)
     desc = sort_descending(strategy)
     bc = spark.sparkContext.broadcast((lut, index.m, desc, k))
 
     codes_df = spark.read.parquet(index.path)
+    if partition_filter is not None:
+        codes_df = codes_df.filter(partition_filter)
+    codes_df = codes_df.select("id", "codes")
     out_schema = T.StructType(
         [
             T.StructField("id", codes_df.schema["id"].dataType),
@@ -307,6 +334,94 @@ def pq_search_rerank(
     )
     # shortlist is small (<= shortlist rows): broadcast the semi-join
     hit = src.join(F.broadcast(ids), "id", "left_semi")
+    score = score_expr(strategy, F.col("embedding"), list(query_vec))
+    if round_digits is not None:
+        score = F.round(score, round_digits) + F.lit(0.0)
+    direction = (
+        F.col("score").desc_nulls_last()
+        if sort_descending(strategy)
+        else F.col("score").asc_nulls_last()
+    )
+    return (
+        hit.withColumn("score", score)
+        .select("id", "score")
+        .orderBy(direction, F.col("id").asc())
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------- IVFADC
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    ivf_index,
+    out_dir: str,
+    m: int = 8,
+    nbits: int = 8,
+    train_rows: int = 16384,
+    normalize: bool = False,
+) -> PqIndex:
+    """IVFADC build: PQ-encode the IVF index's partitioned layout,
+    keeping ``cluster_id`` as the codes partition column. The returned
+    PqIndex reads ~(search_top_size / n_clusters) of the code bytes
+    when searched through :func:`ivfpq_search`."""
+    src = spark.read.parquet(ivf_index.path).select(
+        F.col(ivf_index.id_col).alias("id"),
+        F.col(ivf_index.vec_col).alias("embedding"),
+        "cluster_id",
+    )
+    return build_pq_index(
+        spark, src, out_dir, m=m, nbits=nbits, train_rows=train_rows,
+        normalize=normalize, partition_col="cluster_id",
+    )
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    ivf_index,
+    pq_index: PqIndex,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+    search_top_size: int = 2,
+    rerank: int | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Classic IVFADC: rank the (tiny) centroid table on the driver,
+    prune the codes layout to the ``search_top_size`` nearest cluster
+    directories, ADC-score only those codes, and optionally re-rank a
+    shortlist against full-precision vectors (read from the IVF
+    layout, pruned to the same clusters). Exact when
+    ``search_top_size >= n_clusters`` and ``rerank >= corpus size``.
+
+    Scan economics at 100 TB: bytes read ~= corpus_bytes x
+    (search_top_size / n_clusters) x (m / 4·dim) — both pruning levers
+    multiply."""
+    from .index import _rank_centroids
+
+    validate_strategy(strategy)
+    keep = _rank_centroids(ivf_index, query_vec, strategy)[:search_top_size]
+    cand = pq_adc_topk(
+        spark, pq_index, query_vec,
+        k=rerank if rerank else k, strategy=strategy,
+        partition_filter=F.col("cluster_id").isin(keep),
+    )
+    if not rerank:
+        if round_digits is not None:
+            cand = cand.withColumn(
+                "score", F.round(F.col("score"), round_digits) + F.lit(0.0)
+            )
+        return cand
+    full = (
+        spark.read.parquet(ivf_index.path)
+        .filter(F.col("cluster_id").isin(keep))
+        .select(
+            F.col(ivf_index.id_col).alias("id"),
+            F.col(ivf_index.vec_col).alias("embedding"),
+        )
+    )
+    hit = full.join(F.broadcast(cand.select("id")), "id", "left_semi")
     score = score_expr(strategy, F.col("embedding"), list(query_vec))
     if round_digits is not None:
         score = F.round(score, round_digits) + F.lit(0.0)
