@@ -157,6 +157,23 @@ def _mk_pq_adc(strategy: str, k: int):
     return run
 
 
+def _mk_pq_knn_join(strategy: str, k: int, n_queries: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ydb_vector_search_simple_api_spark.operators import pq as pq_mod
+
+        idx = _pq_index(spark, sf_dir)
+        queries_df = load_embeddings(spark, sf_dir).filter(
+            F.col("vec_id") < n_queries
+        ).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return pq_mod.pq_knn_join(spark, idx, queries_df, k=k, strategy=strategy)
+
+    return run
+
+
 _IVFPQ_CACHE: dict[str, "pq_mod.PqIndex"] = {}
 
 
@@ -576,6 +593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ivfpq_topk_width2"] = _mk_ivfpq(
         "CosineSimilarity", k=10, width=2, rerank=64
     )
+    # compressed-domain batch ANN join (ADC estimate scores; recall vs
+    # the exact join + determinism pinned in tests/test_pq.py)
+    q["pq_knn_join"] = _mk_pq_knn_join("CosineSimilarity", k=5, n_queries=8)
     return q
 
 

@@ -191,3 +191,25 @@ def test_ivfpq_full_width_full_rerank_is_exact(spark, tmp_path_factory):
     exact_ids = {r.id for r in want}
     pruned_ids = {r.id for r in pruned.collect()}
     assert len(pruned_ids & exact_ids) / 10 >= 0.5
+
+
+def test_pq_knn_join_recall_and_determinism(spark, pq_norm):
+    from ydb_vector_search_simple_api_spark.operators.search import knn_join
+
+    embs = _corpus(spark)
+    queries = embs.filter(F.col("id") < 8).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {}
+    for r in knn_join(spark, queries, embs, k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.id)
+    got = {}
+    out1 = pq.pq_knn_join(spark, pq_norm, queries, k=10).collect()
+    for r in out1:
+        got.setdefault(r.query_id, set()).add(r.id)
+    assert set(got) == set(truth)
+    recall = sum(len(got[q] & truth[q]) for q in truth) / (10 * len(truth))
+    assert recall >= 0.5, f"batch ADC recall too low: {recall}"
+    out2 = pq.pq_knn_join(spark, pq_norm, queries, k=10).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))

@@ -75,6 +75,24 @@ def main():
             f"| {width} | {width}/{N_CLUSTERS} ({width / N_CLUSTERS:.0%}) "
             f"| {hit / denom:.3f} |"
         )
+
+    # PQ compressed-domain batch join: recall of the pure ADC estimate
+    # at several code budgets (m bytes/vector; fp32 baseline = 4*dim)
+    from ydb_vector_search_simple_api_spark.operators import pq as pq_mod
+
+    dim = len(embs.select("embedding").head().embedding)
+    print(f"\n| PQ m (bytes/vec) | compression | ADC recall@{k} |")
+    print("|---|---|---|")
+    for m in (4, 8, 16):
+        pqi = pq_mod.build_pq_index(
+            spark, embs, tempfile.mkdtemp(prefix=f"svs_recall_pq{m}_"),
+            m=m, nbits=8, normalize=True,
+        )
+        got = {}
+        for r in pq_mod.pq_knn_join(spark, pqi, queries, k=k).collect():
+            got.setdefault(r.query_id, set()).add(r.id)
+        hit = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        print(f"| {m} | {4 * dim / m:.0f}x | {hit / denom:.3f} |")
     spark.stop()
 
 

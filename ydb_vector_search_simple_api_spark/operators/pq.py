@@ -350,6 +350,125 @@ def pq_search_rerank(
     )
 
 
+def _adc_tables_batch(
+    index: PqIndex, Q: np.ndarray, strategy: str
+) -> tuple[np.ndarray, bool]:
+    """Vectorized per-query LUTs: (nq, m, n_codes). Same math as
+    :func:`_adc_table` for every row of ``Q``."""
+    if Q.shape[1] != index.dim:
+        raise ValueError(f"query dim {Q.shape[1]} != index dim {index.dim}")
+    if strategy in ("CosineSimilarity", "CosineDistance"):
+        if not index.normalize:
+            raise ValueError(
+                "cosine ADC needs an index built with normalize=True "
+                "(codes then quantize unit vectors and inner product "
+                "approximates cosine)"
+            )
+        Q = Q / np.maximum(np.linalg.norm(Q, axis=1)[:, None], 1e-300)
+    m, _, dsub = index.codebooks.shape
+    Qs = Q.reshape(len(Q), m, dsub)
+    if strategy in ("InnerProductSimilarity", "CosineSimilarity", "CosineDistance"):
+        lut = np.einsum("qjd,jkd->qjk", Qs, index.codebooks)
+        if strategy == "CosineDistance":
+            lut = 1.0 / m - lut
+        return lut, False
+    if strategy == "EuclideanDistance":
+        diff = index.codebooks[None, :, :, :] - Qs[:, :, None, :]
+        return (diff**2).sum(axis=3), True
+    if strategy == "ManhattanDistance":
+        diff = index.codebooks[None, :, :, :] - Qs[:, :, None, :]
+        return np.abs(diff).sum(axis=3), False
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def pq_knn_join(
+    spark: SparkSession,
+    index: PqIndex,
+    queries_df: DataFrame,
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    partition_filter=None,
+) -> DataFrame:
+    """Batch ANN join in the compressed domain: every query's
+    approximate top-k over PQ codes only — the analogue of
+    ``search.knn_join_blocked`` at ~(m / 4·dim) of the scan bytes.
+
+    The query batch is collected and turned into a broadcast LUT
+    tensor (nq x m x n_codes — the serving-path contract shared with
+    knn_join_blocked: the query side is small by construction; for
+    corpus-x-corpus joins use the LSH/blocked dedup operators).
+    Scoring per Arrow batch is ``m`` gathers + adds per query; only
+    ``nq x k`` candidate rows leave each partition, then one ranked
+    window — identical two-level top-k economics to the
+    full-precision blocked join, at 32x fewer input bytes (dim 64,
+    m=8). Output (query_id, id, score, rank); score is the ADC
+    estimate — rerank against full vectors where exactness matters.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    validate_strategy(strategy)
+    q_rows = queries_df.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+    ).collect()
+    qids = np.array([r.qid for r in q_rows])
+    Q = np.array([r.qv for r in q_rows], dtype=np.float64)
+    lut, needs_sqrt = _adc_tables_batch(index, Q, strategy)
+    desc = sort_descending(strategy)
+    bc = spark.sparkContext.broadcast((qids, lut, index.m, desc, k))
+
+    codes_df = spark.read.parquet(index.path)
+    if partition_filter is not None:
+        codes_df = codes_df.filter(partition_filter)
+    codes_df = codes_df.select("id", "codes")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries_df.schema[query_id].dataType),
+            T.StructField("id", codes_df.schema["id"].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        qids_, lut_, m_, desc_, k_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            codes = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(len(pdf), m_)
+            # S: (n_rows, nq) — m gathers of (nq, n_rows) accumulated
+            S = np.zeros((len(ids), len(qids_)))
+            for j in range(m_):
+                S += lut_[:, j, codes[:, j]].T
+            kk = min(k_, len(ids))
+            by_id = np.argsort(ids, kind="stable")
+            S_id = S[by_id, :]
+            order = np.argsort(-S_id if desc_ else S_id, axis=0, kind="stable")[:kk]
+            rows = []
+            for qi, qid in enumerate(qids_):
+                sel = by_id[order[:, qi]]
+                rows.extend(zip([qid] * kk, ids[sel].tolist(), S[sel, qi].tolist()))
+            yield pd.DataFrame(rows, columns=["query_id", "id", "score"])
+
+    cand = codes_df.mapInPandas(scan, schema=out_schema)
+    if needs_sqrt:
+        cand = cand.withColumn("score", F.sqrt(F.greatest(F.col("score"), F.lit(0.0))))
+    direction = (
+        F.col("score").desc_nulls_last() if desc else F.col("score").asc_nulls_last()
+    )
+    w = Window.partitionBy("query_id").orderBy(direction, F.col("id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )
+
+
 # ------------------------------------------------------------- IVFADC
 
 
