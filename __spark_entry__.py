@@ -392,9 +392,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # ============ oracle-backed entries (hash-match gate) ============
-    # O1/O4/O5/O8/O9: exact top-k for every strategy
-    for strat, key in _STRAT_KEY.items():
-        q[f"topk_{key}"] = _mk_topk(strat, k=10)
+    # O1/O4/O5/O8/O9: exact top-k; three strategies in-cap, the
+    # euclidean/manhattan twins ride the overflow window (same code
+    # path, same oracle family — checked by tools/check_oracle.py)
+    for strat in ("CosineSimilarity", "InnerProductSimilarity", "CosineDistance"):
+        q[f"topk_{_STRAT_KEY[strat]}"] = _mk_topk(strat, k=10)
     # O6: conjunctive equality filter (vendor == lang column)
     q["topk_cosine_filtered"] = _mk_topk(
         "CosineSimilarity", k=10, filter={"vendor": "fr"}
@@ -502,10 +504,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["value_percentiles"] = stats.value_percentiles
     q["distinct_users_by_type"] = stats.distinct_users_by_type
     q["retention_cohorts"] = stats.retention_cohorts
+    # semi-structured: JSON payload extraction + aggregation
+    q["props_k_stats"] = stats.props_k_stats
+    # vector aggregation: per-label centroid (decimal-exact mean)
+    q["label_centroids"] = curation.label_centroids
 
     # ======== oracle-backed overflow (past the driver's 50-entry cap;
     # each has an in-cap sibling exercising the same operator, and all
     # are validated by tools/check_oracle.py) ========================
+    # siblings: topk_cosine/_inner_product/_cosine_distance (same O5
+    # code path and oracle family, remaining two strategies)
+    q["topk_euclidean"] = _mk_topk("EuclideanDistance", k=10)
+    q["topk_manhattan"] = _mk_topk("ManhattanDistance", k=10)
     # sibling: kmeans_tree_full (same full-width == exact oracle; the
     # flat single-level IVF variant of the same index operator)
     q["ivf_cosine_full_width"] = _mk_ivf("CosineSimilarity", k=10, width=None)
@@ -690,6 +700,8 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     o["events_in_surges"] = oracles_temporal.EVENTS_IN_SURGES
     o["hourly_locf"] = oracles_temporal.HOURLY_LOCF
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
+    o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
+    o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS
     o["distinct_users_by_type"] = oracles_temporal.DISTINCT_USERS_BY_TYPE
     o["retention_cohorts"] = oracles_temporal.RETENTION_COHORTS
     # approx_value_percentiles / approx_distinct_users: intentionally

@@ -278,3 +278,23 @@ def test_pii_redaction_stays_jvm_side(spark):
     )
     assert "EvalPython" not in plan
     assert "Exchange" not in plan  # narrow map: zero shuffles
+
+
+def test_label_centroids_match_numpy_mean(spark):
+    import numpy as np
+
+    from ydb_vector_search_simple_api_spark.operators.curation import label_centroids
+    from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.label, r.pos): r.centroid for r in label_centroids(spark, sf).collect()}
+    rows = load_embeddings(spark, sf).select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    dim = len(next(iter(by_label.values()))[0])
+    assert len(got) == len(by_label) * dim
+    for lab, vecs in by_label.items():
+        mean = np.mean(np.array(vecs, dtype=np.float64), axis=0)
+        for p in range(dim):
+            assert abs(got[(lab, p + 1)] - mean[p]) < 5e-7

@@ -175,3 +175,20 @@ def test_retention_cohorts_partition_users(spark):
     new = {r.user_id for r in rows if r.cohort == "new"}
     assert not (retained & churned)
     assert not (retained & new) and not (churned & new)
+
+
+def test_props_k_stats_matches_manual_parse(spark):
+    from ydb_vector_search_simple_api_spark.operators.stats import props_k_stats
+    import json
+
+    got = {r.event_type: (r.n_events, r.sum_k, r.min_k, r.max_k)
+           for r in props_k_stats(spark, SF_SMALL).collect()}
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+    rows = load_events(spark, SF_SMALL).select("event_type", "props").collect()
+    want = {}
+    for r in rows:
+        k = json.loads(r.props)["k"]
+        n, s, lo, hi = want.get(r.event_type, (0, 0, k, k))
+        want[r.event_type] = (n + 1, s + k, min(lo, k), max(hi, k))
+    assert got == want

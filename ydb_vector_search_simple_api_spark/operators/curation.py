@@ -531,3 +531,38 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_urls", "n_emails", "n_ips", "n_phones",
         F.md5(F.col("redacted")).alias("clean_md5"),
     )
+
+
+# ------------------------------------------------------- vector agg
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, flat (label, pos, centroid) rows —
+    the class-prototype primitive (centroid init for clustering,
+    per-class drift monitoring, nearest-class-mean labeling).
+
+    Spark-first shape: posexplode -> groupBy(label, pos) with MAP-SIDE
+    partial aggregation, so the shuffle carries at most
+    labels x dim x partitions partial sums, not rows x dim values.
+    Sums run in DECIMAL(28,10) over the float32 values cast via double
+    (exact, order-independent — a float sum would drift between
+    partitionings); the single double division afterwards is
+    deterministic, and an exact half-way tie at 10 decimal places is
+    impossible for binary doubles (5e-11 has no binary representation).
+    ``pyspark.ml.stat.Summarizer.mean`` is the one-pass float
+    alternative when bit-stability across engines is not required.
+    """
+    e = load_embeddings(spark, sf_dir)
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    centroid = (
+        F.round(
+            F.sum(F.col("val").cast("double").cast("decimal(28,10)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            ROUND,
+        )
+        + F.lit(0.0)
+    )
+    return ex.groupBy("label", (F.col("pos") + 1).alias("pos")).agg(
+        centroid.alias("centroid")
+    )

@@ -142,3 +142,20 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     churned = w1.subtract(w4).withColumn("cohort", F.lit("churned"))
     new = w4.subtract(w1).withColumn("cohort", F.lit("new"))
     return retained.unionByName(churned).unionByName(new)
+
+
+def props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``k`` out of the ``props`` JSON
+    column (``get_json_object`` — JVM-side, no Python in the path) and
+    aggregate per event type. The pattern every event pipeline needs:
+    schema-on-read over a JSON payload column without a pre-parse pass.
+    At scale the extraction is a narrow projection fused into the scan;
+    the aggregation shuffles only event_type-many partials."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -104,3 +104,27 @@ SELECT user_id, 'churned' AS cohort FROM (SELECT * FROM w1 EXCEPT SELECT * FROM 
 UNION ALL
 SELECT user_id, 'new' AS cohort FROM (SELECT * FROM w4 EXCEPT SELECT * FROM w1)
 """
+
+PROPS_K_STATS = """
+SELECT event_type,
+       count(*) AS n_events,
+       SUM(CAST(props->>'k' AS INT))::BIGINT AS sum_k,
+       MIN(CAST(props->>'k' AS INT)) AS min_k,
+       MAX(CAST(props->>'k' AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+# exact-decimal element-wise mean: both engines sum DECIMAL(28,10)
+# (order-independent) and divide once in double; generate_subscripts
+# replicates Spark's posexplode position (1-based here on both sides)
+LABEL_CENTROIDS = """
+SELECT label, pos,
+       ROUND(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+             / count(*), 6) + 0.0 AS centroid
+FROM (
+  SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+GROUP BY label, pos
+"""
