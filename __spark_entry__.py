@@ -606,6 +606,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # compressed-domain batch ANN join (ADC estimate scores; recall vs
     # the exact join + determinism pinned in tests/test_pq.py)
     q["pq_knn_join"] = _mk_pq_knn_join("CosineSimilarity", k=5, n_queries=8)
+    # end-to-end raster pipeline: generate -> decode -> channel means
+    # -> nearest-neighbor thumbnail digest (md5-keystream pixels, no
+    # SQL twin; determinism pinned in tests/test_multimodal.py)
+    q["multimodal_raster_stats"] = multimodal.raster_stats
     return q
 
 

@@ -66,3 +66,39 @@ def test_sample_frames_spark_fanout(spark):
 def test_resize_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         MM.resize_image(b"\x89PNG...", 64, 64)
+
+
+def test_raster_codec_roundtrip_and_resize():
+    import numpy as np
+
+    from ydb_vector_search_simple_api_spark.operators import multimodal as MM
+
+    img = (np.arange(12 * 10 * 3) % 256).astype(np.uint8).reshape(12, 10, 3)
+    payload = MM.encode_raster(img)
+    back = MM.decode_raster(payload)
+    assert (back == img).all()
+
+    small = MM.decode_raster(MM.resize_raster(payload, 5, 6))
+    assert small.shape == (6, 5, 3)
+    # nearest-neighbor: every output pixel is some input pixel
+    flat_in = {tuple(p) for p in img.reshape(-1, 3)}
+    assert all(tuple(p) in flat_in for p in small.reshape(-1, 3))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SVSR"):
+        MM.decode_raster(b"JPEG not really")
+    with _pytest.raises(ValueError, match="truncated"):
+        MM.decode_raster(payload[:-5])
+
+
+def test_raster_stats_deterministic(spark):
+    from ydb_vector_search_simple_api_spark.operators import multimodal as MM
+
+    a = {r.doc_id: tuple(r)[1:] for r in MM.raster_stats(spark, SF_SMALL).collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in MM.raster_stats(spark, SF_SMALL).collect()}
+    assert a == b
+    assert len(a) == 500
+    h, w, mr, mg, mb, tm = a[0]
+    assert 8 <= h <= 15 and 8 <= w <= 15
+    assert 0 <= mr <= 255 and len(tm) == 32

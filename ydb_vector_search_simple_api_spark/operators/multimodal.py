@@ -112,11 +112,121 @@ def byte_histogram_digests(
     return df.select(id_col, payload_col).mapInPandas(extract, schema=_DIGEST_SCHEMA)
 
 
+# --------------------------------------------------- raster pipeline
+#
+# A dependency-free raster format so decode -> transform -> featurize
+# runs END-TO-END without an imaging library: header b"SVSR" + height/
+# width/channels (uint16,uint16,uint8, little-endian) + raw uint8
+# pixels in HWC order. Real formats (JPEG/PNG) stay behind the Pillow
+# gate below — they drop into the same mapInPandas loops.
+
+_RASTER_MAGIC = b"SVSR"
+
+
+def encode_raster(arr: "np.ndarray") -> bytes:
+    """(h, w, c) uint8 array -> SVSR payload bytes."""
+    import struct
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3:
+        raise ValueError(f"expected (h, w, c), got shape {a.shape}")
+    h, w, c = a.shape
+    return _RASTER_MAGIC + struct.pack("<HHB", h, w, c) + a.tobytes()
+
+
+def decode_raster(payload: bytes) -> "np.ndarray":
+    """SVSR payload -> (h, w, c) uint8 array. ValueError on a foreign
+    payload (magic mismatch / truncation) — decode errors must be
+    catchable per row, not kill the task."""
+    import struct
+
+    if payload[:4] != _RASTER_MAGIC:
+        raise ValueError("not an SVSR raster payload")
+    h, w, c = struct.unpack("<HHB", payload[4:9])
+    body = payload[9 : 9 + h * w * c]
+    if len(body) != h * w * c:
+        raise ValueError("truncated SVSR raster payload")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
+
+
+def resize_raster(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample — real resize math, no library."""
+    img = decode_raster(payload)
+    h, w, _ = img.shape
+    rows = (np.arange(height) * h // height).clip(0, h - 1)
+    cols = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_raster(img[rows[:, None], cols[None, :], :])
+
+
+def _fake_raster(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic synthetic image per document: dimensions derived
+    from the text length, pixels from an md5 keystream of the id."""
+    h = 8 + (n_chars % 8)
+    w = 8 + ((n_chars // 8) % 8)
+    c = 3
+    need = h * w * c
+    seed = str(doc_id).encode()
+    chunks, i = [], 0
+    while sum(len(x) for x in chunks) < need:
+        chunks.append(hashlib.md5(seed + i.to_bytes(4, "little")).digest())
+        i += 1
+    pix = np.frombuffer(b"".join(chunks)[:need], dtype=np.uint8).reshape(h, w, c)
+    return encode_raster(pix)
+
+
+_RASTER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def raster_stats(spark: SparkSession, sf_dir: str, thumb: int = 8) -> DataFrame:
+    """End-to-end media pipeline over synthetic rasters: generate ->
+    decode -> per-channel means -> nearest-neighbor thumbnail ->
+    digest, one Arrow batch at a time (bytes cross the JVM/Python
+    boundary once per batch). Rows-only by nature (md5-keystream
+    pixels have no SQL twin); determinism + shape pinned in
+    tests/test_multimodal.py."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                payload = _fake_raster(int(doc_id), int(n_chars))
+                img = decode_raster(payload).astype(np.float64)
+                h, w, _ = img.shape
+                means = img.mean(axis=(0, 1))
+                tm = hashlib.md5(resize_raster(payload, thumb, thumb)).hexdigest()
+                rows.append(
+                    (int(doc_id), h, w,
+                     round(float(means[0]), 6), round(float(means[1]), 6),
+                     round(float(means[2]), 6), tm)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "height", "width", "mean_r", "mean_g", "mean_b",
+                    "thumb_md5",
+                ],
+            )
+
+    d = load_documents(spark, sf_dir).select("doc_id", "n_chars")
+    return d.mapInPandas(extract, schema=_RASTER_STATS_SCHEMA)
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """STUB: image decode requires an imaging library not present in
-    this container. The Spark-side pipeline (binary column ->
-    mapInPandas batches) is real; only this per-payload decode is
-    stubbed."""
+    """STUB: real-format (JPEG/PNG) decode requires an imaging library
+    not present in this container; :func:`decode_raster` is the
+    working decode path for the synthetic format. The Spark-side
+    pipeline (binary column -> mapInPandas batches) is real; only this
+    per-payload decode is stubbed."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
