@@ -215,3 +215,16 @@ def test_chunk_dedup_finds_real_duplicates(spark):
     n_chunks, n_dropped = agg[0], agg[1]
     assert n_chunks == chunk_documents(spark, SF_SMALL, 32, 32).count()
     assert 0 < n_dropped < n_chunks
+
+
+def test_simhash_arrow_and_hof_folds_agree(spark):
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    d = load_documents(spark, SF_SMALL)
+    a = {r.id: (r.simhash, r.n_tokens) for r in dedup.simhash(d, impl="arrow").collect()}
+    b = {r.id: (r.simhash, r.n_tokens) for r in dedup.simhash(d, impl="hof").collect()}
+    assert a == b and len(a) == 500
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="impl"):
+        dedup.simhash(d, impl="nope")
