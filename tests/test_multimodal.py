@@ -102,3 +102,25 @@ def test_raster_stats_deterministic(spark):
     h, w, mr, mg, mb, tm = a[0]
     assert 8 <= h <= 15 and 8 <= w <= 15
     assert 0 <= mr <= 255 and len(tm) == 32
+
+
+def test_raster_codec_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from ydb_vector_search_simple_api_spark.operators import multimodal as MM
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        h=st.integers(1, 40), w=st.integers(1, 40), c=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, c, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        assert (MM.decode_raster(MM.encode_raster(img)) == img).all()
+        tw, th = max(1, w // 2), max(1, h // 2)
+        small = MM.decode_raster(MM.resize_raster(MM.encode_raster(img), tw, th))
+        assert small.shape == (th, tw, c)
+
+    check()
