@@ -213,3 +213,29 @@ def test_pq_knn_join_recall_and_determinism(spark, pq_norm):
     out2 = pq.pq_knn_join(spark, pq_norm, queries, k=10).collect()
     key = lambda r: (r.query_id, r.rank)
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_pq_plan_shapes(spark, pq_norm):
+    """Scale contract of the ADC paths: the codes scan pipes straight
+    into the Python batch scorer and the global top-k is
+    TakeOrderedAndProject — no exchange before the local top-k, no
+    global sort anywhere."""
+    from ydb_vector_search_simple_api_spark.plans.checks import (
+        simple_plan,
+        uses_take_ordered,
+    )
+
+    adc = pq.pq_adc_topk(spark, pq_norm, _qvec(spark), k=10,
+                         strategy="CosineSimilarity")
+    plan = simple_plan(adc)
+    assert uses_take_ordered(adc), plan
+    # one MapInPandas over the scan, and no shuffle feeding it
+    scan_to_python = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in scan_to_python, plan
+
+    rerank = pq.pq_search_rerank(
+        spark, pq_norm, _corpus(spark), _qvec(spark), k=10,
+        strategy="CosineSimilarity", shortlist=64,
+    )
+    rplan = simple_plan(rerank)
+    assert "BroadcastHashJoin" in rplan and "LeftSemi" in rplan, rplan
