@@ -610,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -> nearest-neighbor thumbnail digest (md5-keystream pixels, no
     # SQL twin; determinism pinned in tests/test_multimodal.py)
     q["multimodal_raster_stats"] = multimodal.raster_stats
+    # audio twin: PCM decode -> RMS/zero-crossing -> clip digest
+    q["multimodal_pcm_stats"] = multimodal.pcm_stats
     return q
 
 

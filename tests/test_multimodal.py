@@ -124,3 +124,24 @@ def test_raster_codec_roundtrip_property():
         assert small.shape == (th, tw, c)
 
     check()
+
+
+def test_pcm_codec_and_stats(spark):
+    import numpy as np
+
+    from ydb_vector_search_simple_api_spark.operators import multimodal as MM
+
+    x = np.array([0, 1000, -1000, 32767, -32768, 5], dtype="<i2")
+    assert (MM.decode_pcm(x.tobytes()) == x).all()
+    back = np.frombuffer(MM.resample_pcm(x.tobytes(), 3), dtype="<i2")
+    assert len(back) == 3 and set(back).issubset(set(x))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="odd byte"):
+        MM.decode_pcm(b"\x01\x02\x03")
+
+    a = {r.doc_id: tuple(r)[1:] for r in MM.pcm_stats(spark, SF_SMALL).collect()}
+    b = {r.doc_id: tuple(r)[1:] for r in MM.pcm_stats(spark, SF_SMALL).collect()}
+    assert a == b and len(a) == 500
+    n, rms, zc, cm = a[0]
+    assert 64 <= n < 128 and rms > 0 and 0 <= zc < n and len(cm) == 32

@@ -221,6 +221,81 @@ def raster_stats(spark: SparkSession, sf_dir: str, thumb: int = 8) -> DataFrame:
     return d.mapInPandas(extract, schema=_RASTER_STATS_SCHEMA)
 
 
+# ---------------------------------------------------- audio pipeline
+#
+# Raw PCM (int16 little-endian mono) needs no codec at all — decode is
+# np.frombuffer. Real compressed audio (mp3/ogg) would slot into the
+# same batch loop behind a library gate, exactly like JPEG below.
+
+
+def decode_pcm(payload: bytes) -> "np.ndarray":
+    """int16-LE mono PCM bytes -> int16 array. ValueError on odd
+    length (torn sample) — per-row containment, same contract as
+    :func:`decode_raster`."""
+    if len(payload) % 2:
+        raise ValueError("truncated PCM payload (odd byte length)")
+    return np.frombuffer(payload, dtype="<i2")
+
+
+def resample_pcm(payload: bytes, n_out: int) -> bytes:
+    """Nearest-neighbor resample to ``n_out`` samples (the
+    fixed-length normalization step before audio featurization)."""
+    x = decode_pcm(payload)
+    if len(x) == 0:
+        return b"\x00\x00" * n_out
+    idx = (np.arange(n_out) * len(x) // n_out).clip(0, len(x) - 1)
+    return x[idx].astype("<i2").tobytes()
+
+
+def _fake_pcm(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic synthetic waveform per document: md5 keystream as
+    int16 samples, length derived from the text length."""
+    n_samples = 64 + (n_chars % 64)
+    need = n_samples * 2
+    seed = b"pcm" + str(doc_id).encode()
+    chunks, i = [], 0
+    while sum(len(c) for c in chunks) < need:
+        chunks.append(hashlib.md5(seed + i.to_bytes(4, "little")).digest())
+        i += 1
+    return b"".join(chunks)[:need]
+
+
+_PCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+        T.StructField("clip_md5", T.StringType()),
+    ]
+)
+
+
+def pcm_stats(spark: SparkSession, sf_dir: str, clip_len: int = 32) -> DataFrame:
+    """End-to-end audio pipeline over synthetic PCM: generate ->
+    decode -> RMS + zero-crossing features -> fixed-length clip digest,
+    one Arrow batch at a time. Rows-only by nature (md5-keystream
+    samples); determinism pinned in tests/test_multimodal.py."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                payload = _fake_pcm(int(doc_id), int(n_chars))
+                x = decode_pcm(payload).astype(np.float64)
+                rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+                zc = int(((x[:-1] * x[1:]) < 0).sum()) if len(x) > 1 else 0
+                cm = hashlib.md5(resample_pcm(payload, clip_len)).hexdigest()
+                rows.append((int(doc_id), len(x), round(rms, 6), zc, cm))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "rms", "zero_crossings", "clip_md5"],
+            )
+
+    d = load_documents(spark, sf_dir).select("doc_id", "n_chars")
+    return d.mapInPandas(extract, schema=_PCM_STATS_SCHEMA)
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
     """STUB: real-format (JPEG/PNG) decode requires an imaging library
     not present in this container; :func:`decode_raster` is the
