@@ -240,6 +240,24 @@ def _kmt_index(spark: SparkSession, sf_dir: str) -> kmt.KmeansTreeIndex:
     return _KMT_CACHE[key]
 
 
+def _mk_tree_knn_join(strategy: str, k: int, n_queries: int, width: int | None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        idx = _kmt_index(spark, sf_dir)
+        queries_df = load_embeddings(spark, sf_dir).filter(
+            F.col("vec_id") < n_queries
+        ).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return kmt.tree_knn_join_distributed(
+            spark, idx, queries_df, k=k, strategy=strategy,
+            search_top_size=width, round_digits=ROUND,
+        )
+
+    return run
+
+
 def _mk_tree(strategy: str, k: int, width: int | None):
     """width=None -> full width both levels (exact, strong oracle)."""
 
@@ -522,6 +540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: ivf_knn_join_dist (same ANN-join oracle; the driver-side
     # routing variant is the serving path, dist is the batch path)
     q["ivf_knn_join_full"] = _mk_ivf_knn_join("CosineSimilarity", k=5, n_queries=8, width=None)
+    # sibling: ivf_knn_join_dist (same no-driver-collect batch join,
+    # routed through the two-level tree; full width == exact)
+    q["tree_knn_join_full"] = _mk_tree_knn_join("CosineSimilarity", k=5, n_queries=8, width=None)
     # sibling: topk_cosine_filtered (same conjunctive-filter path)
     q["topk_cosine_filtered2"] = _mk_topk(
         "CosineSimilarity", k=10, filter={"vendor": "de", "title": "src3"}
@@ -630,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
     # full-width ANN joins are exact: same result set as the exact kNN join
     o["ivf_knn_join_full"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
     o["ivf_knn_join_dist"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
+    o["tree_knn_join_full"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
     # ivf_knn_join_width2 intentionally has no oracle (approximate)
     o["ivf_cosine_full_width"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     # tree at full width reads every leaf -> exact (same oracle shape)

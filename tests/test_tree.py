@@ -138,3 +138,38 @@ def test_load_roundtrip(built):
 def test_invalid_width(spark, built, qvec):
     with pytest.raises(ValueError):
         kmt.tree_search(spark, built, qvec, k=5, search_top_size=0)
+
+
+def test_tree_knn_join_distributed_exact_at_full_width(spark, built):
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators.search import knn_join
+    from ydb_vector_search_simple_api_spark.operators.tree import (
+        tree_knn_join_distributed,
+    )
+    from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+    embs = load_embeddings(spark, SF_SMALL)
+    queries = embs.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
+    want = {(r.query_id, r.rank): (r.id, round(r.score, 6))
+            for r in knn_join(spark, queries, corpus, k=5, round_digits=6).collect()}
+    got = {(r.query_id, r.rank): (r.id, round(r.score, 6))
+           for r in tree_knn_join_distributed(
+               spark, built, queries, k=5, round_digits=6).collect()}
+    assert got == want
+
+    # pruned width: subset of ids per query, recall sane
+    pruned = tree_knn_join_distributed(
+        spark, built, queries, k=5, search_top_size=2
+    ).collect()
+    per_q = {}
+    for r in pruned:
+        per_q.setdefault(r.query_id, set()).add(r.id)
+    want_ids = {}
+    for (q, _), (i, _) in want.items():
+        want_ids.setdefault(q, set()).add(i)
+    recalls = [len(per_q.get(q, set()) & ids) / len(ids) for q, ids in want_ids.items()]
+    assert sum(recalls) / len(recalls) >= 0.4

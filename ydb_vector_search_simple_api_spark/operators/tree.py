@@ -303,3 +303,92 @@ def tree_search(
         .orderBy(direction, F.col("id").asc())
         .limit(k)
     )
+
+
+def tree_knn_join_distributed(
+    spark: SparkSession,
+    index: KmeansTreeIndex,
+    queries_df: DataFrame,
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+    search_top_size: int | None = None,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Batch ANN join through the tree with NO driver-side query
+    collect — the tree twin of ``index.ivf_knn_join_distributed``.
+
+    Routing replays :func:`route` itself inside an Arrow-batched
+    pandas UDF (the tree's centroid tensors are a few KB and ship in
+    the closure), so the executor-side leaf choice is bit-identical to
+    the driver path, then each query explodes into its routed
+    (l1, l2) leaves and the corpus joins on the two leaf columns.
+    Exact (== knn_join) at full width. Queries with a mismatched
+    vector length route nowhere and emit no rows.
+
+    Output: (query_id, id, score, rank).
+    """
+    import pandas as pd
+
+    validate_strategy(strategy)
+    if search_top_size is not None and search_top_size < 1:
+        raise ValueError("search widths must be positive integers")
+    w1 = search_top_size if search_top_size is not None else index.n_l1
+    w2 = search_top_size if search_top_size is not None else index.n_leaves
+    dim = index.centroids_l1.shape[1]
+
+    def _route_fn(vecs):
+        out = []
+        for v in vecs:
+            if v is None or len(v) != dim:
+                out.append([])
+                continue
+            out.append(
+                [[l1, l2] for l1, l2 in route(index, v, strategy, w1, w2)]
+            )
+        return pd.Series(out)
+
+    _route_udf = F.pandas_udf(
+        _route_fn, T.ArrayType(T.ArrayType(T.IntegerType()))
+    )
+
+    assignment = (
+        queries_df.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
+        )
+        .select(
+            "query_id",
+            "query_vec",
+            F.explode(_route_udf(F.col("query_vec"))).alias("leaf"),
+        )
+        .select(
+            "query_id",
+            "query_vec",
+            F.col("leaf")[0].alias("l1"),
+            F.col("leaf")[1].alias("l2"),
+        )
+    )
+
+    corpus = spark.read.parquet(index.path)
+    scored = corpus.join(assignment, ["l1", "l2"], "inner").withColumn(
+        "score", score_expr(strategy, F.col("embedding"), F.col("query_vec"))
+    )
+    if round_digits is not None:
+        scored = scored.withColumn(
+            "score", F.round(F.col("score"), round_digits) + F.lit(0.0)
+        )
+    from pyspark.sql import Window
+
+    direction = (
+        F.col("score").desc_nulls_last()
+        if sort_descending(strategy)
+        else F.col("score").asc_nulls_last()
+    )
+    w = Window.partitionBy("query_id").orderBy(direction, F.col("id").asc())
+    return (
+        scored.select("query_id", "id", "score")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )
