@@ -563,6 +563,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["split_sizes"] = sampling.split_sizes
     # sibling: orders_rollup (same Expand-based grouping-set agg)
     q["orders_cube"] = relational.orders_cube
+    # siblings: orders_rollup / distinct_users_by_type (conditional-agg
+    # family): pivot to wide per-user counts and the unpivot round-trip
+    q["user_event_pivot"] = relational.user_event_pivot
+    q["user_event_unpivot"] = relational.user_event_unpivot
     # siblings: dedup_exact_groups + chunk_documents (this composes the
     # two driver-checked pieces: md5-groupBy election at chunk grain)
     q["chunk_dedup"] = lambda s, d: dedup.chunk_dedup_stats(s, d)
@@ -720,6 +724,19 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     o["customers_without_orders"] = oracles_rel.CUSTOMERS_WITHOUT_ORDERS
     o["parts_ordered_by_brand"] = oracles_rel.PARTS_ORDERED_BY_BRAND
     o["orders_cube"] = oracles_rel.ORDERS_CUBE
+    o["user_event_pivot"] = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+FROM events GROUP BY user_id
+"""
+    o["user_event_unpivot"] = """
+SELECT user_id, event_type, count(*)::BIGINT AS n
+FROM events GROUP BY user_id, event_type
+"""
     o["repeat_customers"] = oracles_rel.repeat_customers_sql(1995, 1996)
     o["lapsed_customers"] = oracles_rel.lapsed_customers_sql(1995, 1996)
     o["purchase_attribution"] = oracles_text.PURCHASE_ATTRIBUTION

@@ -176,3 +176,45 @@ def lapsed_customers(
     a = _custkeys_of_year(spark, sf_dir, year_a)
     b = _custkeys_of_year(spark, sf_dir, year_b)
     return a.subtract(b).select(F.col("o_custkey").alias("custkey"))
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per user, one count column per event type. The
+    values list is pinned explicitly — an unpinned pivot runs an extra
+    distinct-collect job over the data to discover columns, and the
+    output schema would depend on the data (both wrong at scale).
+    Compiles to ONE aggregation with conditional counts (no join, no
+    second scan)."""
+    from ..sources.store import load_events
+
+    ev = load_events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .select(
+            "user_id", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in types]
+        )
+    )
+
+
+def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the pivot back to (user_id, event_type, n) long
+    form, dropping the zero cells the wide form fabricated — a
+    round-trip with the original per-pair counts. ``unpivot`` is a
+    narrow projection (each row expands in place; no shuffle beyond
+    the pivot's own aggregation)."""
+    wide = user_event_pivot(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"n_{t}" for t in types],
+            "event_type",
+            "n",
+        )
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .filter(F.col("n") > 0)
+    )
