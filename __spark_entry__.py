@@ -24,7 +24,6 @@ from ydb_vector_search_simple_api_spark import (
     oracles_temporal,
     oracles_text,
 )
-from ydb_vector_search_simple_api_spark.config import STRATEGIES
 from ydb_vector_search_simple_api_spark import oracles_curation
 from ydb_vector_search_simple_api_spark.operators import (
     curation,
