@@ -566,6 +566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family): pivot to wide per-user counts and the unpivot round-trip
     q["user_event_pivot"] = relational.user_event_pivot
     q["user_event_unpivot"] = relational.user_event_unpivot
+    # siblings: quality_filter + dedup_exact_groups + decontaminate +
+    # document_splits — the assembled end-to-end curation flow, itself
+    # oracle-checked (the twin chains the same stage SQL as CTEs)
+    q["curate_corpus"] = curation.curate_corpus
     # siblings: dedup_exact_groups + chunk_documents (this composes the
     # two driver-checked pieces: md5-groupBy election at chunk grain)
     q["chunk_dedup"] = lambda s, d: dedup.chunk_dedup_stats(s, d)
@@ -698,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["source_token_budget"] = oracles_curation.source_token_budget_sql(20000)
     o["pii_redaction"] = oracles_curation.pii_redaction_sql()
+    o["curate_corpus"] = oracles_curation.curate_corpus_sql()
     # dedup_minhash_lsh / dedup_simhash: intentionally no oracle
     # (xxhash64-based; precision/recall verified against the exact ops
     # in tests/test_dedup.py)

@@ -298,3 +298,28 @@ def test_label_centroids_match_numpy_mean(spark):
         mean = np.mean(np.array(vecs, dtype=np.float64), axis=0)
         for p in range(dim):
             assert abs(got[(lab, p + 1)] - mean[p]) < 5e-7
+
+
+def test_curate_corpus_respects_stage_constraints(spark):
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import curation, dedup, textual
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.doc_id: r.split for r in curation.curate_corpus(spark, sf).collect()}
+    assert 0 < len(out) < 500
+    assert set(out.values()) <= {"train", "valid", "test"}
+
+    docs = load_documents(spark, sf)
+    quality = {r.doc_id for r in textual.quality_filter(spark, sf).collect()}
+    canonical = {r.keep_id for r in dedup.exact_dup_groups(docs).collect()}
+    bench = {r.doc_id for r in docs.filter(F.col("source") == "src0").collect()}
+    contaminated = {
+        r.doc_id for r in curation.decontaminate_documents(spark, sf).collect()
+    }
+    survivors = set(out)
+    assert survivors <= quality
+    assert survivors <= canonical
+    assert not (survivors & bench)
+    assert not (survivors & contaminated)

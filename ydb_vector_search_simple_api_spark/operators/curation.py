@@ -566,3 +566,55 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("label", (F.col("pos") + 1).alias("pos")).agg(
         centroid.alias("centroid")
     )
+
+
+# ------------------------------------------------ end-to-end pipeline
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = 0.8,
+    min_tokens: int = 16,
+    n: int = 8,
+    min_containment: float = 0.3,
+    train: float = 0.8,
+    valid: float = 0.1,
+) -> DataFrame:
+    """The whole curation flow as ONE verifiable operator: a document
+    survives iff it (a) passes the quality filter, (b) is the
+    canonical copy of its exact-dup group (min doc_id), (c) is not a
+    benchmark document and not contaminated by one (shingle
+    containment), and every survivor gets its deterministic split.
+    Output: (doc_id, split).
+
+    Every stage is itself a gate-checked operator; this composition is
+    ALSO oracle-checked end-to-end (the DuckDB twin chains the same
+    stage SQL as CTEs) — the property a pipeline owner actually needs:
+    not just each step verified in isolation, but the assembled flow.
+    Plan shape: the quality/canonical sides join on doc_id (one
+    shuffle each), the contaminated set rides a broadcast anti-join
+    (it is near-empty by construction), and splits are a pure
+    projection — no operator in the chain re-reads the corpus."""
+    from . import textual
+
+    docs = load_documents(spark, sf_dir)
+    quality_ok = textual.quality_filter(
+        spark, sf_dir, min_quality=min_quality, min_tokens=min_tokens
+    ).select("doc_id")
+    canonical = dedup.exact_dup_groups(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    contaminated = decontaminate_documents(
+        spark, sf_dir, n=n, min_containment=min_containment
+    ).select("doc_id").distinct()
+    from .sampling import document_splits
+
+    splits = document_splits(spark, sf_dir, train=train, valid=valid)
+    return (
+        splits.join(quality_ok, "doc_id", "left_semi")
+        .join(canonical, "doc_id", "left_semi")
+        .join(docs.filter(F.col("source") == "src0").select("doc_id"), "doc_id", "left_anti")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "split")
+    )

@@ -215,3 +215,31 @@ def pii_redaction_sql() -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT doc_id, {counts}, md5(t) AS clean_md5 FROM {prev}"
     )
+
+
+def curate_corpus_sql(
+    min_quality: float = 0.8,
+    min_tokens: int = 16,
+    n: int = 8,
+    min_containment: float = 0.3,
+    train: float = 0.8,
+    valid: float = 0.1,
+) -> str:
+    """End-to-end twin of curation.curate_corpus: the same stage SQL
+    the individual gate entries use, chained as CTEs."""
+    from .oracles_text import quality_filter_sql, DEDUP_EXACT
+    from .operators.sampling import splits_sql
+
+    return f"""
+WITH quality AS ({quality_filter_sql(min_quality, min_tokens)}),
+canon AS ({DEDUP_EXACT}),
+contaminated AS (SELECT DISTINCT doc_id FROM ({decontaminate_sql(n, min_containment)})),
+splits AS ({splits_sql(train, valid)})
+SELECT s.doc_id, s.split
+FROM splits s
+JOIN quality q ON s.doc_id = q.doc_id
+JOIN canon c ON s.doc_id = c.keep_id
+JOIN documents d ON d.doc_id = s.doc_id AND d.source <> 'src0'
+LEFT JOIN contaminated x ON s.doc_id = x.doc_id
+WHERE x.doc_id IS NULL
+"""
