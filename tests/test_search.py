@@ -123,3 +123,38 @@ def test_knn_join_topk_per_query(spark):
         # self-match ranks first with score ~1
         best = min(rows, key=lambda r: r.rank)
         assert best.id == qid
+
+
+def test_k_exceeding_rows_returns_all(spark, qvec):
+    """k > corpus size: every row comes back, still ranked (SURVEY.md
+    §7.4 edge inventory)."""
+    out = exact_search(spark, SF_SMALL, qvec, k=10**6, strategy="CosineSimilarity")
+    rows = out.collect()
+    assert len(rows) == 500
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_empty_source_yields_no_rows(spark, qvec, tmp_path_factory):
+    """Empty store: zero results, schema intact, no errors."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.sources.store import (
+        load_documents,
+        load_embeddings,
+    )
+
+    d = str(tmp_path_factory.mktemp("empty"))
+    load_embeddings(spark, SF_SMALL).limit(0).write.parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    load_documents(spark, SF_SMALL).limit(0).write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = exact_search(spark, d, qvec, k=4, strategy="CosineSimilarity")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "id", "title", "vendor", "description", "score",
+    ]
