@@ -570,6 +570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # document_splits — the assembled end-to-end curation flow, itself
     # oracle-checked (the twin chains the same stage SQL as CTEs)
     q["curate_corpus"] = curation.curate_corpus
+    # siblings: curate_corpus + pack_chunks (bin layout restricted to
+    # the curated survivor set; filtering commutes with packing)
+    q["curated_pack"] = curation.curated_pack
     # siblings: dedup_exact_groups + chunk_documents (this composes the
     # two driver-checked pieces: md5-groupBy election at chunk grain)
     q["chunk_dedup"] = lambda s, d: dedup.chunk_dedup_stats(s, d)
@@ -703,6 +706,9 @@ def oracle_sql() -> dict[str, str]:
     o["source_token_budget"] = oracles_curation.source_token_budget_sql(20000)
     o["pii_redaction"] = oracles_curation.pii_redaction_sql()
     o["curate_corpus"] = oracles_curation.curate_corpus_sql()
+    o["curated_pack"] = oracles_curation.curated_pack_sql(
+        oracles_text.chunk_documents_sql(64, 48), 256
+    )
     # dedup_minhash_lsh / dedup_simhash: intentionally no oracle
     # (xxhash64-based; precision/recall verified against the exact ops
     # in tests/test_dedup.py)

@@ -618,3 +618,21 @@ def curate_corpus(
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .select("doc_id", "split")
     )
+
+
+def curated_pack(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+    budget: int = 256,
+) -> DataFrame:
+    """Training bins over the CURATED corpus only: the bin layout of
+    :func:`pack_chunks` restricted to :func:`curate_corpus` survivors.
+    Bin assignment is computed within each document, so restricting
+    documents commutes with packing — one semi-join, no re-chunking.
+    Output: (doc_id, bin_id, n_chunks, n_bin_tokens)."""
+    survivors = curate_corpus(spark, sf_dir).select("doc_id")
+    return pack_chunks(
+        spark, sf_dir, chunk_size=chunk_size, stride=stride, budget=budget
+    ).join(survivors, "doc_id", "left_semi")

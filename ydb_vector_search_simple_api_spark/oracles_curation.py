@@ -243,3 +243,14 @@ JOIN documents d ON d.doc_id = s.doc_id AND d.source <> 'src0'
 LEFT JOIN contaminated x ON s.doc_id = x.doc_id
 WHERE x.doc_id IS NULL
 """
+
+
+def curated_pack_sql(chunk_sql: str, budget: int = 256) -> str:
+    """Twin of curation.curated_pack: the pack CTE joined to the
+    curated survivor set (bin ids are per-document, so document
+    filtering commutes with packing)."""
+    return f"""
+WITH packed AS ({pack_chunks_sql(chunk_sql, budget)}),
+curated AS ({curate_corpus_sql()})
+SELECT p.* FROM packed p JOIN curated c ON p.doc_id = c.doc_id
+"""
