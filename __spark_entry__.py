@@ -564,6 +564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_cube"] = relational.orders_cube
     # siblings: orders_rollup / distinct_users_by_type (conditional-agg
     # family): pivot to wide per-user counts and the unpivot round-trip
+    # sibling: top_customers_per_nation (window-function family;
+    # ntile bucket assignment over the aggregated customer table)
+    q["customer_revenue_deciles"] = relational.customer_revenue_deciles
     q["user_event_pivot"] = relational.user_event_pivot
     q["user_event_unpivot"] = relational.user_event_unpivot
     # siblings: quality_filter + dedup_exact_groups + decontaminate +
@@ -734,6 +737,12 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     o["customers_without_orders"] = oracles_rel.CUSTOMERS_WITHOUT_ORDERS
     o["parts_ordered_by_brand"] = oracles_rel.PARTS_ORDERED_BY_BRAND
     o["orders_cube"] = oracles_rel.ORDERS_CUBE
+    o["customer_revenue_deciles"] = """
+SELECT o_custkey AS custkey,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) + 0.0 AS revenue,
+       NTILE(10) OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,6))) DESC, o_custkey ASC) AS decile
+FROM orders GROUP BY o_custkey
+"""
     o["user_event_pivot"] = """
 SELECT user_id,
        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,

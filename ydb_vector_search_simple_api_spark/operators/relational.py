@@ -218,3 +218,25 @@ def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("event_type", F.expr("substring(event_type, 3)"))
         .filter(F.col("n") > 0)
     )
+
+
+def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment (ntile) of customers by lifetime revenue —
+    the segmentation primitive. Revenue sums run in DECIMAL so the
+    rank-input is deterministic; the ntile ORDER BY ties on custkey so
+    bucket boundaries cannot drift between engines. One aggregation
+    shuffle + one single-partition window over customer-count rows
+    (the aggregated table, not the fact table — ntile needs a total
+    order, so keep its input pre-aggregated and small)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue_dec")
+    )
+    w = Window.orderBy(F.col("revenue_dec").desc(), F.col("o_custkey").asc())
+    return rev.select(
+        F.col("o_custkey").alias("custkey"),
+        (F.round(F.col("revenue_dec").cast("double"), 2) + F.lit(0.0)).alias("revenue"),
+        F.ntile(10).over(w).alias("decile"),
+    )
