@@ -100,3 +100,20 @@ def test_set_op_plans_dedup_before_join(spark):
         assert join_kind in plan, plan
         # distinct aggregate runs before the join (map-side partial)
         assert "HashAggregate" in plan, plan
+
+
+def test_revenue_deciles_balanced(spark):
+    from collections import Counter
+
+    from ydb_vector_search_simple_api_spark.operators.relational import (
+        customer_revenue_deciles,
+    )
+
+    rows = customer_revenue_deciles(spark, SF_SMALL).collect()
+    sizes = Counter(r.decile for r in rows)
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    by_decile = {}
+    for r in rows:
+        by_decile.setdefault(r.decile, []).append(r.revenue)
+    assert min(by_decile[1]) >= max(by_decile[10])
