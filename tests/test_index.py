@@ -179,3 +179,52 @@ def test_ivf_knn_join_distributed_no_driver_collect(spark, built, qbatch):
     )._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan
     assert "ExistingRDD" not in plan
+
+
+def test_ivf_upsert_appends_and_stays_exact_at_full_width(spark, tmp_path_factory):
+    """Build on the first half, upsert the second; full-width search
+    over the upserted index equals exact search over the union."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import index as ivf_mod
+    from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    first = embs.filter(F.col("id") % 2 == 0)
+    second = embs.filter(F.col("id") % 2 == 1)
+    out = str(tmp_path_factory.mktemp("ivf_upsert") / "idx")
+    idx = ivf_mod.build_ivf_index(spark, first, out, n_clusters=4, seed=42)
+
+    stats = ivf_mod.ivf_upsert(spark, idx, second)
+    assert stats["n_appended"] == second.count()
+    assert sum(stats["per_cluster"].values()) == stats["n_appended"]
+    assert stats["max_assign_l2"] > 0.0
+
+    qrow = embs.filter(F.col("id") == 1).head()
+    qvec = [float(x) for x in qrow.embedding]
+    got = [
+        (r.id, round(r.score, 6))
+        for r in ivf_mod.ivf_search(
+            spark, idx, qvec, k=10, strategy="CosineSimilarity",
+            search_top_size=4, round_digits=6,
+        ).collect()
+    ]
+    from ydb_vector_search_simple_api_spark.functions.distance import score_expr
+
+    score = F.round(score_expr("CosineSimilarity", F.col("embedding"), qvec), 6) + F.lit(0.0)
+    want = [
+        (r.id, r.score)
+        for r in embs.withColumn("score", score)
+        .select("id", "score")
+        .orderBy(F.col("score").desc_nulls_last(), F.col("id").asc())
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
+
+    # mismatched-dimension rows route nowhere and are not appended
+    bad = spark.createDataFrame([(999999, [1.0, 2.0])], "id long, embedding array<float>")
+    s2 = ivf_mod.ivf_upsert(spark, idx, bad)
+    assert s2["n_appended"] == 0
