@@ -228,3 +228,40 @@ def test_ivf_upsert_appends_and_stays_exact_at_full_width(spark, tmp_path_factor
     bad = spark.createDataFrame([(999999, [1.0, 2.0])], "id long, embedding array<float>")
     s2 = ivf_mod.ivf_upsert(spark, idx, bad)
     assert s2["n_appended"] == 0
+
+
+def test_ivf_compact_reduces_files_and_preserves_results(spark, tmp_path_factory):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import index as ivf_mod
+    from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    base = str(tmp_path_factory.mktemp("ivf_compact"))
+    idx = ivf_mod.build_ivf_index(
+        spark, embs.filter(F.col("id") % 2 == 0), base + "/g0", n_clusters=4, seed=42
+    )
+    # churn: several small appends -> many small files
+    for m in (1, 3):
+        ivf_mod.ivf_upsert(spark, idx, embs.filter(F.col("id") % 4 == m))
+
+    def n_files(p):
+        return len(glob.glob(p + "/cluster_id=*/*.parquet"))
+
+    before = n_files(base + "/g0")
+    idx2 = ivf_mod.ivf_compact(spark, idx, base + "/g1", files_per_cluster=1)
+    after = n_files(base + "/g1")
+    assert after < before
+    assert after <= 4 * 1 + 4  # ~files_per_cluster per non-empty cluster
+
+    qrow = embs.filter(F.col("id") == 2).head()
+    qvec = [float(x) for x in qrow.embedding]
+    a = [(r.id, round(r.score, 6)) for r in ivf_mod.ivf_search(
+        spark, idx, qvec, k=10, search_top_size=4, round_digits=6).collect()]
+    b = [(r.id, round(r.score, 6)) for r in ivf_mod.ivf_search(
+        spark, idx2, qvec, k=10, search_top_size=4, round_digits=6).collect()]
+    assert a == b

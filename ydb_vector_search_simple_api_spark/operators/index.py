@@ -428,3 +428,48 @@ def ivf_upsert(
         "per_cluster": per_cluster,
         "max_assign_l2": max((float(r.max_d) for r in stats), default=0.0),
     }
+
+
+def ivf_compact(
+    spark: SparkSession,
+    index: IvfIndex,
+    out_dir: str,
+    files_per_cluster: int = 1,
+) -> IvfIndex:
+    """Compaction: rewrite the (append-churned) cluster layout into a
+    NEW index generation with ``files_per_cluster`` files per
+    directory, centroids carried over unchanged. Many small appends
+    (ivf_upsert) degrade scan efficiency — each file costs a task and
+    a footer read; compaction restores ~one right-sized file per
+    cluster. Generations are immutable: the new directory is written
+    in full, then serving flips its index pointer (no in-place file
+    surgery, readers of the old generation are never disturbed —
+    the standard object-store-friendly pattern).
+
+    ``repartition(files_per_cluster, "cluster_id")``: one shuffle that
+    both co-locates each cluster's rows and bounds the file count.
+    Results are identical by construction (same rows, same layout
+    contract); tests pin file-count reduction + result equality.
+    """
+    df = spark.read.parquet(index.path)
+    (
+        df.repartition(files_per_cluster * index.n_clusters, "cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(out_dir)
+    )
+    with open(os.path.join(out_dir, _CENTROIDS_FILE), "w") as f:
+        json.dump(
+            {
+                "n_clusters": index.n_clusters,
+                "centroids": index.centroids.tolist(),
+            },
+            f,
+        )
+    return IvfIndex(
+        path=out_dir,
+        n_clusters=index.n_clusters,
+        centroids=index.centroids,
+        id_col=index.id_col,
+        vec_col=index.vec_col,
+    )
