@@ -239,3 +239,30 @@ def test_pq_plan_shapes(spark, pq_norm):
     )
     rplan = simple_plan(rerank)
     assert "BroadcastHashJoin" in rplan and "LeftSemi" in rplan, rplan
+
+
+def test_pq_upsert_extends_search_space(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pq_upsert"))
+    embs = _corpus(spark)
+    first = embs.filter(F.col("id") % 2 == 0)
+    second = embs.filter(F.col("id") % 2 == 1)
+    idx = pq.build_pq_index(spark, first, out, m=8, nbits=8, normalize=True)
+
+    n = pq.pq_upsert(spark, idx, second)
+    assert n == second.count()
+    total = spark.read.parquet(idx.path).count()
+    assert total == embs.count()
+
+    # full rerank over the upserted index == exact over the union
+    got = pq.pq_search_rerank(
+        spark, idx, embs, _qvec(spark), k=10,
+        strategy="CosineSimilarity", shortlist=total, round_digits=ROUND,
+    ).collect()
+    want = _exact_topk(spark, "CosineSimilarity", 10)
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+
+    # mismatched dims are dropped, not mis-encoded
+    bad = spark.createDataFrame(
+        [(999999, [1.0, 2.0])], "id long, embedding array<float>"
+    )
+    assert pq.pq_upsert(spark, idx, bad) == 0

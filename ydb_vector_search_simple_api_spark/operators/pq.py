@@ -202,6 +202,52 @@ def build_pq_index(
     )
 
 
+def pq_upsert(
+    spark: SparkSession,
+    index: PqIndex,
+    new_df: DataFrame,
+) -> int:
+    """Incremental code maintenance: encode new vectors against the
+    FROZEN codebooks and append to the codes layout — the PQ twin of
+    ``index.ivf_upsert`` (same production pattern: cheap appends,
+    codebooks retrained only on periodic rebuild, since moving a
+    codeword would silently re-interpret every existing code).
+    Rows whose vector length differs from the index dim are dropped
+    (they cannot be encoded). Returns the number of appended rows."""
+    src = new_df.select(
+        F.col(index.id_col).alias("id"), F.col(index.vec_col).alias("embedding")
+    ).filter(F.size("embedding") == index.dim)
+    bc = spark.sparkContext.broadcast((index.codebooks, index.normalize))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", src.schema["id"].dataType),
+            T.StructField("codes", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        books_, norm_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if norm_:
+                E = E / np.maximum(np.linalg.norm(E, axis=1)[:, None], 1e-300)
+            codes = _encode_batch(E, books_)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "codes": [c.tobytes() for c in codes]}
+            )
+
+    n = src.count()
+    src.mapInPandas(encode, schema=out_schema).write.mode("append").parquet(
+        index.path
+    )
+    return n
+
+
 def load_pq_index(path: str) -> PqIndex:
     with open(os.path.join(path, _META_FILE)) as f:
         meta = json.load(f)
