@@ -170,3 +170,35 @@ def serve(
     """Bind and return the server (port=0 picks a free port; see
     ``server.server_address``). Caller owns the lifecycle."""
     return ThreadingHTTPServer((host, port), make_handler(engine))
+
+
+def main() -> None:
+    """``python -m ydb_vector_search_simple_api_spark.http_server``
+    [sf_dir] [port] — stand up the reference's HTTP surface over a
+    local engine (the reference's startup flow, app.py:408-441:
+    log config, probe connectivity, then serve)."""
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    port = int(sys.argv[2]) if len(sys.argv) > 2 else 8080
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("svs-http")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    engine = api.VectorSearchEngine(spark=spark, sf_dir=sf_dir)
+    if not engine.healthy():  # SELECT 1 probe, reference app.py:421-430
+        print("connectivity probe failed", file=sys.stderr)
+        raise SystemExit(1)
+    server = serve(engine, host="127.0.0.1", port=port)
+    print(f"serving on http://127.0.0.1:{server.server_address[1]} (sf_dir={sf_dir})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
