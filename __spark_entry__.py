@@ -270,6 +270,28 @@ def _mk_tree(strategy: str, k: int, width: int | None):
     return run
 
 
+def _mk_ivf_filtered(strategy: str, k: int, filter: dict, width: int | None = None):
+    """Non-strict filtered ANN (config.py strict_filter_index_exclusion
+    =False): filter semi-joined into the pruned candidates before
+    scoring. width=None -> full width, so == exact filtered search
+    (strong oracle)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ydb_vector_search_simple_api_spark.operators.search import (
+            filtered_doc_ids,
+        )
+
+        idx = _ivf_index(spark, sf_dir)
+        flt_ids = filtered_doc_ids(spark, sf_dir, filter)
+        return ivf.ivf_search(
+            spark, idx, _query_vec(spark, sf_dir), k=k, strategy=strategy,
+            search_top_size=width or idx.n_clusters, round_digits=ROUND,
+            filter_ids=flt_ids,
+        )
+
+    return run
+
+
 def _mk_topk(strategy: str, k: int, filter: dict | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return exact_search(
@@ -409,14 +431,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # ============ oracle-backed entries (hash-match gate) ============
-    # O1/O4/O5/O8/O9: exact top-k; three strategies in-cap, the
-    # euclidean/manhattan twins ride the overflow window (same code
-    # path, same oracle family — checked by tools/check_oracle.py)
-    for strat in ("CosineSimilarity", "InnerProductSimilarity", "CosineDistance"):
-        q[f"topk_{_STRAT_KEY[strat]}"] = _mk_topk(strat, k=10)
+    # O1/O4/O5/O8/O9: exact top-k; cosine in-cap, the other four
+    # strategy twins ride the overflow window (same code path, same
+    # oracle family — checked by tools/check_oracle.py)
+    q["topk_cosine"] = _mk_topk("CosineSimilarity", k=10)
     # O6: conjunctive equality filter (vendor == lang column)
     q["topk_cosine_filtered"] = _mk_topk(
         "CosineSimilarity", k=10, filter={"vendor": "fr"}
+    )
+    # O6+O2: non-strict filtered ANN — the filter applied AFTER cluster
+    # pruning (config.py strict_filter_index_exclusion=False contract);
+    # full width => == exact filtered search
+    q["topk_cosine_filtered_ivf"] = _mk_ivf_filtered(
+        "CosineSimilarity", k=10, filter={"vendor": "fr"}, width=None
     )
     # batch kNN join (extension: similarity search at scale)
     q["knn_join_cosine"] = _mk_knn_join("CosineSimilarity", k=5, n_queries=8)
@@ -463,10 +490,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # train/eval contamination: shingle containment vs the src0
     # benchmark set, benchmark side broadcast
     q["decontaminate"] = curation.decontaminate_documents
-    # token-budget sharding of the chunk stream into training bins
-    q["pack_chunks"] = curation.pack_chunks
-    # language-stratified deterministic sampling (data mixing)
-    q["stratified_sample"] = curation.stratified_sample_stats
+    # the assembled end-to-end curation flow (quality + dedup election
+    # + decontamination + splits), oracle-checked as ONE query — the
+    # flagship composition, promoted in-cap in round 3
+    q["curate_corpus"] = curation.curate_corpus
+    # token-budget packing restricted to the curated survivor set
+    # (covers the pack_chunks operator in composition; the standalone
+    # pack_chunks entry rides the overflow window)
+    q["curated_pack"] = curation.curated_pack
     # Gopher-style repetition quality signals
     q["repetition_signals"] = curation.repetition_signals
     # product quantization: ADC shortlist = whole corpus -> exact
@@ -485,12 +516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PII scrubbing (ordered regex passes over PII-augmented docs)
     q["pii_redaction"] = curation.pii_redaction
 
-    # ---- multimodal payload metadata + byte-hist digest (hex-nibble
-    # oracle reproduces the NumPy bin counts exactly)
+    # ---- multimodal payload metadata (the byte-hist digest twin rides
+    # the overflow window — same attach_payload + Arrow-batch family)
     q["multimodal_meta"] = multimodal.multimodal_meta
-    q["multimodal_byte_hist"] = lambda s, d: multimodal.byte_histogram_digests(
-        multimodal.attach_payload(load_documents(s, d))
-    )
 
     # ---- structured streaming rollup (complete mode == batch result)
     q["events_hourly_stream"] = streaming_events.hourly_event_counts_stream
@@ -510,6 +538,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["parts_ordered_by_brand"] = relational.parts_ordered_by_brand
     # set operations (INTERSECT; EXCEPT twin in the overflow tail)
     q["repeat_customers"] = relational.repeat_customers
+    # ntile bucket assignment over the aggregated customer table
+    # (window-function family flagship, promoted in-cap in round 3)
+    q["customer_revenue_deciles"] = relational.customer_revenue_deciles
+    # pivot to wide per-user counts + the unpivot round-trip
+    q["user_event_pivot"] = relational.user_event_pivot
+    q["user_event_unpivot"] = relational.user_event_unpivot
     # as-of join (union+window formulation; DuckDB native ASOF oracle)
     q["purchase_attribution"] = asof.purchase_attribution
 
@@ -520,7 +554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- distribution stats + set-op cohorts
     q["value_percentiles"] = stats.value_percentiles
     q["distinct_users_by_type"] = stats.distinct_users_by_type
-    q["retention_cohorts"] = stats.retention_cohorts
     # semi-structured: JSON payload extraction + aggregation
     q["props_k_stats"] = stats.props_k_stats
     # vector aggregation: per-label centroid (decimal-exact mean)
@@ -529,10 +562,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ======== oracle-backed overflow (past the driver's 50-entry cap;
     # each has an in-cap sibling exercising the same operator, and all
     # are validated by tools/check_oracle.py) ========================
-    # siblings: topk_cosine/_inner_product/_cosine_distance (same O5
-    # code path and oracle family, remaining two strategies)
+    # siblings: topk_cosine (same O5 code path and oracle family,
+    # remaining four strategies — rotated out in round 3 to make room
+    # for the flagship compositions above)
+    q["topk_inner_product"] = _mk_topk("InnerProductSimilarity", k=10)
+    q["topk_cosine_distance"] = _mk_topk("CosineDistance", k=10)
     q["topk_euclidean"] = _mk_topk("EuclideanDistance", k=10)
     q["topk_manhattan"] = _mk_topk("ManhattanDistance", k=10)
+    # sibling: curated_pack (standalone token-budget packing)
+    q["pack_chunks"] = curation.pack_chunks
+    # sibling: document_splits (same deterministic md5-threshold
+    # sampling family; language-stratified rates)
+    q["stratified_sample"] = curation.stratified_sample_stats
+    # sibling: multimodal_meta (same attach_payload + Arrow family;
+    # hex-nibble oracle reproduces the NumPy bin counts exactly)
+    q["multimodal_byte_hist"] = lambda s, d: multimodal.byte_histogram_digests(
+        multimodal.attach_payload(load_documents(s, d))
+    )
+    # siblings: repeat_customers / distinct_users_by_type (set-op +
+    # conditional-agg family over the events table)
+    q["retention_cohorts"] = stats.retention_cohorts
     # sibling: kmeans_tree_full (same full-width == exact oracle; the
     # flat single-level IVF variant of the same index operator)
     q["ivf_cosine_full_width"] = _mk_ivf("CosineSimilarity", k=10, width=None)
@@ -562,20 +611,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["split_sizes"] = sampling.split_sizes
     # sibling: orders_rollup (same Expand-based grouping-set agg)
     q["orders_cube"] = relational.orders_cube
-    # siblings: orders_rollup / distinct_users_by_type (conditional-agg
-    # family): pivot to wide per-user counts and the unpivot round-trip
-    # sibling: top_customers_per_nation (window-function family;
-    # ntile bucket assignment over the aggregated customer table)
-    q["customer_revenue_deciles"] = relational.customer_revenue_deciles
-    q["user_event_pivot"] = relational.user_event_pivot
-    q["user_event_unpivot"] = relational.user_event_unpivot
-    # siblings: quality_filter + dedup_exact_groups + decontaminate +
-    # document_splits — the assembled end-to-end curation flow, itself
-    # oracle-checked (the twin chains the same stage SQL as CTEs)
-    q["curate_corpus"] = curation.curate_corpus
-    # siblings: curate_corpus + pack_chunks (bin layout restricted to
-    # the curated survivor set; filtering commutes with packing)
-    q["curated_pack"] = curation.curated_pack
     # siblings: dedup_exact_groups + chunk_documents (this composes the
     # two driver-checked pieces: md5-groupBy election at chunk grain)
     q["chunk_dedup"] = lambda s, d: dedup.chunk_dedup_stats(s, d)
@@ -658,6 +693,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["topk_cosine_filtered2"] = oracles.topk_sql(
         "CosineSimilarity", k=10, filter_sql="lang = 'de' AND source = 'src3'"
+    )
+    # non-strict filtered ANN at full width == exact filtered (id, score)
+    o["topk_cosine_filtered_ivf"] = oracles.topk_ids_sql(
+        "CosineSimilarity", k=10, filter_sql="lang = 'fr'"
     )
     o["topk_cosine_default_k"] = oracles.topk_sql("CosineSimilarity", k=4)
     o["knn_join_cosine"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)

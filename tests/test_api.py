@@ -147,6 +147,111 @@ def test_index_engine_searches(spark, qvec, tmp_path):
     assert payload["results"][0]["id"] == 0
 
 
+def _as_tuples(results):
+    return [(r["id"], round(r["score"], 9)) for r in results]
+
+
+@pytest.fixture(scope="module")
+def ivf_engine_nonstrict(spark, tmp_path_factory):
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = ivf.build_ivf_index(
+        spark, embs, str(tmp_path_factory.mktemp("ivf_ns") / "ivf"), n_clusters=4
+    )
+    return api.VectorSearchEngine(
+        spark,
+        SF_SMALL,
+        config=SearchConfig(index_enabled=True, strict_filter_index_exclusion=False),
+        index=idx,
+    )
+
+
+def test_nonstrict_filtered_ivf_full_width_matches_exact(
+    spark, qvec, ivf_engine_nonstrict
+):
+    """config.py's non-strict contract: the filter is APPLIED after
+    cluster pruning (not dropped). At full width filtered-IVF must
+    equal exact_search with the same filter."""
+    eng = ivf_engine_nonstrict
+    flt = {"vendor": "fr"}
+    got, _ = eng.search(qvec, k=5, filter=flt, search_top_size=4)  # full width
+    exact = api.VectorSearchEngine(spark, SF_SMALL)
+    want, _ = exact.search(qvec, k=5, filter=flt)
+    assert _as_tuples(got) == _as_tuples(want)
+    assert all(r["vendor"] == "fr" for r in got)
+
+
+def test_nonstrict_filtered_ivf_pruned_width_honors_filter(
+    qvec, ivf_engine_nonstrict
+):
+    """Even at pruned width (approximate recall), every returned row
+    must pass the filter — the bug was returning UNfiltered top-k."""
+    got, _ = ivf_engine_nonstrict.search(
+        qvec, k=5, filter={"vendor": "fr"}, search_top_size=1
+    )
+    assert all(r["vendor"] == "fr" for r in got)
+
+
+def test_nonstrict_filtered_search_via_http_layer(qvec, ivf_engine_nonstrict):
+    payload, code = api.search_request(
+        ivf_engine_nonstrict,
+        {"embedding": qvec, "k": 3, "filter": {"vendor": "fr"},
+         "index_tree_search_top_size": 4},
+    )
+    assert code == 200
+    assert payload["count"] == 3
+    assert all(r["vendor"] == "fr" for r in payload["results"])
+
+
+@pytest.fixture(scope="module")
+def tree_engine(spark, tmp_path_factory):
+    from ydb_vector_search_simple_api_spark.operators import tree as kmt
+
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = kmt.build_kmeans_tree(
+        spark, embs, str(tmp_path_factory.mktemp("kmt_eng") / "tree"),
+        n_l1=3, fanout=3,
+    )
+    return api.VectorSearchEngine(
+        spark,
+        SF_SMALL,
+        config=SearchConfig(index_enabled=True, strict_filter_index_exclusion=False),
+        index=idx,
+    )
+
+
+def test_tree_engine_searches(spark, qvec, tree_engine):
+    """The engine serves through the two-level tree index (the
+    YDB-shaped one) — full width == exact."""
+    got, _ = tree_engine.search(qvec, k=5, search_top_size=9)  # >= n_leaves
+    want, _ = api.VectorSearchEngine(spark, SF_SMALL).search(qvec, k=5)
+    assert _as_tuples(got) == _as_tuples(want)
+
+
+def test_tree_engine_filtered_full_width_matches_exact(spark, qvec, tree_engine):
+    flt = {"vendor": "fr"}
+    got, _ = tree_engine.search(qvec, k=5, filter=flt, search_top_size=9)
+    want, _ = api.VectorSearchEngine(spark, SF_SMALL).search(qvec, k=5, filter=flt)
+    assert _as_tuples(got) == _as_tuples(want)
+
+
+def test_tree_engine_strict_mode_rejects_filter(spark, qvec, tree_engine):
+    eng = api.VectorSearchEngine(
+        spark,
+        SF_SMALL,
+        config=SearchConfig(index_enabled=True),  # strict default
+        index=tree_engine.index,
+    )
+    payload, code = api.search_request(
+        eng, {"embedding": qvec, "filter": {"vendor": "fr"}}
+    )
+    assert code == 500
+    assert payload["error"] == "Unable to use filter with enabled vector index."
+
+
 def test_unknown_filter_keys_silently_ignored(engine, qvec):
     """Reference reads only title/vendor/description from the filter
     object and ignores other keys (app.py:176-181)."""

@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from .config import DEFAULT_SEARCH_TOP_SIZE, SearchConfig, sort_descending
 from .operators import index as ivf_mod
-from .operators.search import exact_search
+from .operators import tree as tree_mod
+from .operators.search import exact_search, filtered_doc_ids
 from .sources.store import load_documents
 
 
@@ -67,13 +68,17 @@ def get_query_embedding(
 
 @dataclass
 class VectorSearchEngine:
-    """The engine behind the API: exact search by default, IVF-pruned
-    when ``config.index_enabled`` and an index is attached."""
+    """The engine behind the API: exact search by default, index-pruned
+    when ``config.index_enabled`` and an index is attached. Both index
+    shapes serve: the flat IVF (``operators.index.IvfIndex``) and the
+    YDB-shaped two-level k-means tree
+    (``operators.tree.KmeansTreeIndex``, the hierarchy the reference's
+    ``vector_kmeans_tree`` secondary index has — app.py:193-196)."""
 
     spark: SparkSession
     sf_dir: str
     config: SearchConfig = field(default_factory=SearchConfig)
-    index: ivf_mod.IvfIndex | None = None
+    index: ivf_mod.IvfIndex | tree_mod.KmeansTreeIndex | None = None
     #: pluggable text embedder (tests inject a fake; prod uses O13)
     embed_fn: Callable[[str], list[float]] | None = None
 
@@ -95,14 +100,39 @@ class VectorSearchEngine:
         if self.config.index_enabled and self.index is not None:
             if filter and self.config.strict_filter_index_exclusion:
                 raise ValueError("Unable to use filter with enabled vector index.")
-            topk = ivf_mod.ivf_search(
-                self.spark,
-                self.index,
-                embedding,
-                k=k,
-                strategy=self.config.strategy,
-                search_top_size=search_top_size or self.config.search_top_size,
+            # non-strict mode (config.py strict_filter_index_exclusion=
+            # False): the filter IS honored — applied to the pruned
+            # candidate set before scoring, as documented. The filtered
+            # id set semi-joins into the index scan (same pattern as
+            # exact_search's filtered path).
+            flt_ids = (
+                filtered_doc_ids(
+                    self.spark, self.sf_dir, filter, self.config.columns
+                )
+                if filter
+                else None
             )
+            width = search_top_size or self.config.search_top_size
+            if isinstance(self.index, tree_mod.KmeansTreeIndex):
+                topk = tree_mod.tree_search(
+                    self.spark,
+                    self.index,
+                    embedding,
+                    k=k,
+                    strategy=self.config.strategy,
+                    search_top_size=width,
+                    filter_ids=flt_ids,
+                )
+            else:
+                topk = ivf_mod.ivf_search(
+                    self.spark,
+                    self.index,
+                    embedding,
+                    k=k,
+                    strategy=self.config.strategy,
+                    search_top_size=width,
+                    filter_ids=flt_ids,
+                )
             m = self.config.columns
             docs = load_documents(self.spark, self.sf_dir).select(
                 F.col(m.id).alias("id"),

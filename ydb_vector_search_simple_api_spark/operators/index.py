@@ -128,9 +128,17 @@ def ivf_search(
     strategy: str = "CosineSimilarity",
     search_top_size: int = DEFAULT_SEARCH_TOP_SIZE,
     round_digits: int | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN search: prune to the search_top_size nearest clusters, then
-    exact re-rank within the candidates. Returns (id, score)."""
+    exact re-rank within the candidates. Returns (id, score).
+
+    ``filter_ids`` (a 1-column ``id`` DataFrame) restricts candidates
+    AFTER cluster pruning, BEFORE scoring — the non-strict filtered-ANN
+    contract (config.py strict_filter_index_exclusion=False): pruning
+    still shrinks the scan, the semi-join keeps only rows passing the
+    filter, and recall for filtered rows is bounded by the clusters the
+    width admits (exact at full width)."""
     validate_strategy(strategy)
     if search_top_size < 1:
         raise ValueError("search_top_size must be a positive integer")
@@ -140,6 +148,9 @@ def ivf_search(
     # partition pruning: cluster_id is a partition column, so this IN
     # list prunes whole directories at planning time.
     pruned = df.filter(F.col("cluster_id").isin(keep))
+    if filter_ids is not None:
+        # Catalyst/AQE broadcasts the (small) filtered id set
+        pruned = pruned.join(filter_ids, "id", "left_semi")
 
     # plain vector (not vector_lit) so cosine's query-norm literal fold applies
     score = score_expr(strategy, F.col("embedding"), query_vec)

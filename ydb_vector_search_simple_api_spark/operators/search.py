@@ -75,6 +75,41 @@ def _validate_filter(filter: Mapping[str, str] | None) -> dict[str, str]:
     return dict(filter)
 
 
+def _filter_cond(flt: Mapping[str, str]) -> Column:
+    """Conjunctive equality Column over already-validated filter keys."""
+    cond = None
+    for field, value in flt.items():
+        c = F.col(field) == F.lit(value)
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def filtered_doc_ids(
+    spark: SparkSession,
+    sf_dir: str,
+    filter: Mapping[str, str],
+    columns: ColumnMap | None = None,
+) -> DataFrame:
+    """The document-id set matching a conjunctive equality filter
+    (reference app.py:168-184), as a 1-column ``id`` DataFrame.
+
+    The equality predicates are pushed to the ``documents`` Parquet
+    scan; callers semi-join the result into a vector-side scan
+    (exact or index-pruned) BEFORE scoring — the shared filtered-search
+    building block for both the exact path and the non-strict
+    filtered-ANN path (config.py strict_filter_index_exclusion=False).
+    """
+    m = columns or ColumnMap()
+    flt = _validate_filter(filter)
+    docs = load_documents(spark, sf_dir).select(
+        F.col(m.id).alias("id"),
+        F.col(m.title).alias("title"),
+        F.col(m.vendor).alias("vendor"),
+        F.col(m.description).alias("description"),
+    )
+    return docs.filter(_filter_cond(flt)).select("id")
+
+
 def exact_search(
     spark: SparkSession,
     sf_dir: str,
@@ -107,13 +142,9 @@ def exact_search(
     )
 
     if flt:
-        cond = None
-        for field, value in flt.items():
-            c = F.col(field) == F.lit(value)
-            cond = c if cond is None else (cond & c)
         # semi-join the (pushed-down) filtered id set into the narrow
         # vector table; Catalyst broadcasts it when small.
-        ids = docs.filter(cond).select("id")
+        ids = docs.filter(_filter_cond(flt)).select("id")
         embs = embs.join(ids, "id", "left_semi")
 
     # pass the PLAIN vector so cosine folds the query norm to a literal

@@ -262,11 +262,16 @@ def tree_search(
     top_l1: int | None = None,
     top_l2: int | None = None,
     round_digits: int | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN search through the tree. ``search_top_size`` mirrors YDB's
     per-level ``KMeansTreeSearchTopSize`` (used for both levels unless
     ``top_l1``/``top_l2`` override it); ``None`` = full width (exact).
-    Returns (id, score)."""
+    Returns (id, score).
+
+    ``filter_ids`` (1-column ``id`` DataFrame) restricts candidates
+    after leaf pruning, before scoring — same non-strict filtered-ANN
+    contract as ``index.ivf_search``."""
     validate_strategy(strategy)
     for w in (search_top_size, top_l1, top_l2):
         if w is not None and w < 1:
@@ -288,6 +293,8 @@ def tree_search(
         c = (F.col("l1") == l1) & (F.col("l2") == l2)
         cond = c if cond is None else (cond | c)
     pruned = df.filter(cond) if cond is not None else df.limit(0)
+    if filter_ids is not None:
+        pruned = pruned.join(filter_ids, "id", "left_semi")
 
     score = score_expr(strategy, F.col("embedding"), query_vec)
     if round_digits is not None:

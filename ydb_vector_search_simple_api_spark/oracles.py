@@ -87,12 +87,25 @@ FROM topk t JOIN documents d ON d.doc_id = t.id
 """
 
 
-def topk_ids_sql(strategy: str, k: int, round_digits: int = ROUND_DIGITS) -> str:
-    """Oracle for ivf_search at full width (== exact): (id, score) only."""
+def topk_ids_sql(
+    strategy: str,
+    k: int,
+    round_digits: int = ROUND_DIGITS,
+    filter_sql: str | None = None,
+) -> str:
+    """Oracle for ivf_search / tree_search at full width (== exact):
+    (id, score) only. ``filter_sql`` mirrors the non-strict filtered-ANN
+    path (filter applied to candidates before scoring)."""
+    flt = (
+        f"WHERE e.vec_id IN (SELECT doc_id FROM documents WHERE {filter_sql})"
+        if filter_sql
+        else ""
+    )
     return f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
 SELECT e.vec_id AS id, ROUND({score_sql(strategy)}, {round_digits}) + 0.0 AS score
 FROM embeddings e, q
+{flt}
 ORDER BY score {_direction(strategy)} NULLS LAST, id ASC
 LIMIT {k}
 """
