@@ -265,3 +265,87 @@ def test_ivf_compact_reduces_files_and_preserves_results(spark, tmp_path_factory
     b = [(r.id, round(r.score, 6)) for r in ivf_mod.ivf_search(
         spark, idx2, qvec, k=10, search_top_size=4, round_digits=6).collect()]
     assert a == b
+
+
+def test_knn_join_variants_accept_string_query_ids(
+    spark, built, qbatch, tmp_path_factory
+):
+    """Query-id types derive from the input schema in EVERY batch-join
+    variant: string ids must flow through the driver-routed IVF join,
+    the distributed IVF join, the distributed tree join, and the
+    blocked-BLAS join with identical (query_id, rank) -> id results."""
+    from ydb_vector_search_simple_api_spark.operators import tree as kmt
+    from ydb_vector_search_simple_api_spark.operators.search import (
+        knn_join,
+        knn_join_blocked,
+    )
+
+    squeries = qbatch.select(
+        F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("query_id"),
+        "query_vec",
+    )
+    embs = load_embeddings(spark, SF_SMALL)
+    corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
+    exact = {
+        (r.query_id, r.rank): r.id
+        for r in knn_join(spark, squeries, corpus, k=5).collect()
+    }
+    assert all(isinstance(q, str) for q, _ in exact)
+
+    tree_idx = kmt.build_kmeans_tree(
+        spark,
+        corpus,
+        str(tmp_path_factory.mktemp("kmt_sid") / "tree"),
+        n_l1=2,
+        fanout=2,
+    )
+    variants = {
+        "ivf_driver": ivf.ivf_knn_join(
+            spark, built, squeries, k=5, search_top_size=N_CLUSTERS
+        ),
+        "ivf_dist": ivf.ivf_knn_join_distributed(
+            spark, built, squeries, k=5, search_top_size=N_CLUSTERS
+        ),
+        "tree_dist": kmt.tree_knn_join_distributed(
+            spark, tree_idx, squeries, k=5
+        ),
+        "blocked": knn_join_blocked(spark, squeries, corpus, k=5),
+    }
+    for name, df in variants.items():
+        assert dict(df.dtypes)["query_id"] == "string", name
+        got = {(r.query_id, r.rank): r.id for r in df.collect()}
+        assert got == exact, name
+
+
+def test_ivf_compact_files_per_cluster_salting(spark, tmp_path_factory):
+    """files_per_cluster > 1 must actually spread each cluster over
+    that many files (salted repartition), with identical results."""
+    import glob
+
+    from ydb_vector_search_simple_api_spark.operators import index as ivf_mod
+
+    base = str(tmp_path_factory.mktemp("ivf_fpc"))
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = ivf_mod.build_ivf_index(spark, embs, base + "/g0", n_clusters=2, seed=42)
+    idx2 = ivf_mod.ivf_compact(spark, idx, base + "/g2", files_per_cluster=3)
+
+    per_cluster = {}
+    for f in glob.glob(base + "/g2/cluster_id=*/*.parquet"):
+        c = f.split("cluster_id=")[1].split("/")[0]
+        per_cluster[c] = per_cluster.get(c, 0) + 1
+    # each (non-tiny) cluster spread over >1 file, bounded by the knob
+    assert per_cluster and all(1 <= n <= 3 for n in per_cluster.values())
+    assert any(n > 1 for n in per_cluster.values()), per_cluster
+
+    qrow = embs.filter(F.col("id") == 3).head()
+    qv = [float(x) for x in qrow.embedding]
+    a = [(r.id, round(r.score, 6)) for r in ivf_mod.ivf_search(
+        spark, idx, qv, k=10, search_top_size=2, round_digits=6).collect()]
+    b = [(r.id, round(r.score, 6)) for r in ivf_mod.ivf_search(
+        spark, idx2, qv, k=10, search_top_size=2, round_digits=6).collect()]
+    assert a == b
+
+    with pytest.raises(ValueError):
+        ivf_mod.ivf_compact(spark, idx, base + "/g3", files_per_cluster=0)

@@ -266,3 +266,54 @@ def test_pq_upsert_extends_search_space(spark, tmp_path_factory):
         [(999999, [1.0, 2.0])], "id long, embedding array<float>"
     )
     assert pq.pq_upsert(spark, idx, bad) == 0
+
+
+def test_nbits_over_8_rejected(spark):
+    with pytest.raises(ValueError, match="nbits"):
+        pq.train_pq_codebooks(np.random.default_rng(0).normal(size=(64, 8)), m=2, nbits=9)
+    with pytest.raises(ValueError, match="nbits"):
+        pq.build_pq_index(
+            spark, _corpus(spark), tempfile.mkdtemp(prefix="svs_pq_bad_"),
+            m=8, nbits=12,
+        )
+
+
+def test_pq_upsert_partitioned_layout(spark, tmp_path_factory):
+    """IVFADC maintenance: pq_upsert on a partitioned codes layout must
+    route rows to cluster directories (never mix in flat files), and
+    must refuse to append without the routing centroids."""
+    from ydb_vector_search_simple_api_spark.operators import index as ivf_mod
+
+    base = str(tmp_path_factory.mktemp("ivfpq_up"))
+    embs = _corpus(spark)
+    first = embs.filter(F.col("id") % 2 == 0)
+    second = embs.filter(F.col("id") % 2 == 1)
+    ivf = ivf_mod.build_ivf_index(spark, first, base + "/ivf", n_clusters=4, seed=42)
+    idx = pq.build_ivfpq_index(spark, ivf, base + "/codes", m=8, normalize=True)
+    assert idx.partition_col == "cluster_id"
+    assert pq.load_pq_index(idx.path).partition_col == "cluster_id"
+
+    # refuse flat appends into a hive-partitioned directory
+    with pytest.raises(ValueError, match="partitioned"):
+        pq.pq_upsert(spark, idx, second)
+
+    n = pq.pq_upsert(spark, idx, second, ivf_index=ivf)
+    assert n == second.count()
+
+    # partition discovery still intact: every row has a cluster_id and
+    # the count matches the union
+    codes = spark.read.parquet(idx.path)
+    assert codes.count() == embs.count()
+    assert codes.filter(F.col("cluster_id").isNull()).count() == 0
+    # routing agrees with ivf_upsert's nearest-centroid assignment:
+    # pruned ivfpq reads keep working and see the appended rows
+    mask = second.select("id").collect()
+    appended_ids = {r.id for r in mask}
+    seen = {
+        r.id
+        for r in pq.ivfpq_search(
+            spark, ivf, idx, _qvec(spark), k=embs.count(),
+            strategy="CosineSimilarity", search_top_size=4,
+        ).collect()
+    }
+    assert appended_ids <= seen

@@ -324,9 +324,13 @@ def ivf_knn_join(
             {"query_id": r.query_id, "cluster_id": c, "query_vec": vec}
             for c in clusters
         )
+    # query_id keeps its native type (int, string, ...) — the schema is
+    # derived from the input, same as knn_join_blocked (search.py); the
+    # vector is double (values are upcast driver-side above, matching
+    # the double-math scoring in score_expr)
     assign_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
+            T.StructField("query_id", queries_df.schema[query_id].dataType),
             T.StructField("cluster_id", T.IntegerType()),
             T.StructField("query_vec", T.ArrayType(T.DoubleType())),
         ]
@@ -373,6 +377,11 @@ def ivf_upsert(
     UDF closure — a few KB) and APPEND them to the cluster's partition
     directory. No rebuild, no touch of existing files; searches see
     the new rows immediately because pruning is directory-based.
+
+    Routing is nearest-centroid by L2 — consistent with the KMeans
+    build-time objective — for EVERY serving strategy; inner-product
+    serving still routes by L2 here (same row placement the build
+    produced), so upserted rows land where a rebuild would put them.
 
     Centroids are deliberately NOT moved: recall for pre-existing rows
     is untouched, and the approximation only degrades as drift between
@@ -424,15 +433,22 @@ def ivf_upsert(
                 F.col("a.d").alias("d"))
         .filter(F.col("cluster_id").isNotNull())
     )
-    assigned.drop("d").write.mode("append").partitionBy("cluster_id").parquet(
-        index.path
-    )
+    # persist so the write and the stats collect see ONE evaluation of
+    # the assignment: for a non-deterministic new_df (sampled / re-read
+    # source) a recompute could describe different rows than were written
+    assigned.persist()
+    try:
+        assigned.drop("d").write.mode("append").partitionBy("cluster_id").parquet(
+            index.path
+        )
 
-    stats = (
-        assigned.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.max("d").alias("max_d"))
-        .collect()
-    )
+        stats = (
+            assigned.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("d").alias("max_d"))
+            .collect()
+        )
+    finally:
+        assigned.unpersist()
     per_cluster = {int(r.cluster_id): int(r.n) for r in stats}
     return {
         "n_appended": sum(per_cluster.values()),
@@ -457,15 +473,27 @@ def ivf_compact(
     surgery, readers of the old generation are never disturbed —
     the standard object-store-friendly pattern).
 
-    ``repartition(files_per_cluster, "cluster_id")``: one shuffle that
-    both co-locates each cluster's rows and bounds the file count.
-    Results are identical by construction (same rows, same layout
-    contract); tests pin file-count reduction + result equality.
+    One shuffle co-locates each cluster's rows and bounds the file
+    count. Hash-partitioning on cluster_id alone lands each cluster in
+    ONE shuffle partition — so for ``files_per_cluster > 1`` a salt
+    (pmod of the row id hash) spreads every cluster across exactly
+    that many partitions, each of which writes one file into the
+    cluster's directory. Results are identical by construction (same
+    rows, same layout contract); tests pin file-count reduction +
+    result equality.
     """
+    if files_per_cluster < 1:
+        raise ValueError("files_per_cluster must be a positive integer")
     df = spark.read.parquet(index.path)
+    if files_per_cluster == 1:
+        shuffled = df.repartition(index.n_clusters, "cluster_id")
+    else:
+        salt = F.pmod(F.xxhash64(F.col("id")), F.lit(files_per_cluster))
+        shuffled = df.withColumn("_salt", salt).repartition(
+            files_per_cluster * index.n_clusters, "cluster_id", "_salt"
+        ).drop("_salt")
     (
-        df.repartition(files_per_cluster * index.n_clusters, "cluster_id")
-        .write.mode("overwrite")
+        shuffled.write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(out_dir)
     )

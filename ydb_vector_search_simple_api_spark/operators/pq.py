@@ -75,6 +75,10 @@ class PqIndex:
     codebooks: np.ndarray  # (m, 2**nbits_eff, dim//m) float64
     id_col: str = "id"
     vec_col: str = "embedding"
+    #: hive partition column of the codes layout (IVFADC: "cluster_id");
+    #: None for a flat layout. Recorded so maintenance ops (pq_upsert)
+    #: can preserve — not silently break — partition discovery.
+    partition_col: str | None = None
 
     @property
     def n_codes(self) -> int:
@@ -90,6 +94,11 @@ def train_pq_codebooks(
     n, d = x.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    if nbits > 8:
+        # codes are stored as uint8 (1 byte per subspace); a larger
+        # codebook would silently wrap code ids mod 256 in
+        # _encode_batch and decode to the wrong codewords
+        raise ValueError(f"nbits={nbits} > 8 unsupported (uint8 code storage)")
     dsub = d // m
     k = 2**nbits
     books = [
@@ -141,12 +150,13 @@ def build_pq_index(
     if partition_col:
         cols.append(F.col(partition_col).alias(partition_col))
     src = df.select(*cols)
-    n = src.count()
-    mod = max(1, n // max(1, train_rows))
+    # deterministic uniform sample in ONE pass: the train_rows smallest
+    # xxhash64 values (TakeOrdered — per-partition top-k, driver merge;
+    # no count() pre-scan, no shuffle). Hash order is pseudorandom and
+    # id-keyed, so the sample is scale- and partitioning-invariant.
     train = (
         src.select("id", "embedding")
-        .filter(F.abs(F.xxhash64(F.col("id"))) % mod == 0)
-        .orderBy("id")
+        .orderBy(F.abs(F.xxhash64(F.col("id"))).asc(), F.col("id").asc())
         .limit(train_rows)
         .collect()
     )
@@ -192,6 +202,7 @@ def build_pq_index(
         "normalize": normalize,
         "id_col": id_col,
         "vec_col": vec_col,
+        "partition_col": partition_col,
         "codebooks": books.tolist(),
     }
     with open(os.path.join(out_dir, _META_FILE), "w") as f:
@@ -199,6 +210,7 @@ def build_pq_index(
     return PqIndex(
         path=out_dir, m=m, nbits=nbits, dim=dim, normalize=normalize,
         codebooks=books, id_col=id_col, vec_col=vec_col,
+        partition_col=partition_col,
     )
 
 
@@ -206,45 +218,75 @@ def pq_upsert(
     spark: SparkSession,
     index: PqIndex,
     new_df: DataFrame,
+    ivf_index=None,
 ) -> int:
     """Incremental code maintenance: encode new vectors against the
     FROZEN codebooks and append to the codes layout — the PQ twin of
     ``index.ivf_upsert`` (same production pattern: cheap appends,
     codebooks retrained only on periodic rebuild, since moving a
     codeword would silently re-interpret every existing code).
+
+    A partitioned (IVFADC) layout must stay partitioned: appending
+    flat files into a hive-partitioned directory breaks partition
+    discovery and the pruned reads ``ivfpq_search`` depends on. When
+    ``index.partition_col`` is set, pass the owning ``IvfIndex`` so
+    new rows are routed to their nearest centroid and appended with
+    ``partitionBy`` (same routing as ``index.ivf_upsert``); without it
+    this raises instead of corrupting the layout.
+
     Rows whose vector length differs from the index dim are dropped
     (they cannot be encoded). Returns the number of appended rows."""
+    if index.partition_col is not None and ivf_index is None:
+        raise ValueError(
+            f"codes layout is partitioned by {index.partition_col!r} "
+            "(IVFADC); pass ivf_index= so appended rows are routed and "
+            "written with partitionBy, or rebuild via build_ivfpq_index"
+        )
     src = new_df.select(
         F.col(index.id_col).alias("id"), F.col(index.vec_col).alias("embedding")
     ).filter(F.size("embedding") == index.dim)
-    bc = spark.sparkContext.broadcast((index.codebooks, index.normalize))
+    centroids = ivf_index.centroids if ivf_index is not None else None
+    bc = spark.sparkContext.broadcast((index.codebooks, index.normalize, centroids))
 
-    out_schema = T.StructType(
-        [
-            T.StructField("id", src.schema["id"].dataType),
-            T.StructField("codes", T.BinaryType()),
-        ]
-    )
+    fields = [
+        T.StructField("id", src.schema["id"].dataType),
+        T.StructField("codes", T.BinaryType()),
+    ]
+    part_col = index.partition_col
+    if part_col:
+        fields.append(T.StructField(part_col, T.IntegerType()))
+    out_schema = T.StructType(fields)
 
     def encode(batches):
         import pandas as pd
 
-        books_, norm_ = bc.value
+        books_, norm_, cents_ = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             if norm_:
-                E = E / np.maximum(np.linalg.norm(E, axis=1)[:, None], 1e-300)
-            codes = _encode_batch(E, books_)
-            yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(), "codes": [c.tobytes() for c in codes]}
-            )
+                En = E / np.maximum(np.linalg.norm(E, axis=1)[:, None], 1e-300)
+            else:
+                En = E
+            codes = _encode_batch(En, books_)
+            out = {"id": pdf["id"].to_numpy(), "codes": [c.tobytes() for c in codes]}
+            if part_col:
+                # route on the RAW vector (L2 to centroids), matching
+                # ivf_upsert / the KMeans build-time assignment
+                d2 = (
+                    (E**2).sum(axis=1)[:, None]
+                    - 2.0 * (E @ cents_.T)
+                    + (cents_**2).sum(axis=1)[None, :]
+                )
+                out[part_col] = d2.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
 
     n = src.count()
-    src.mapInPandas(encode, schema=out_schema).write.mode("append").parquet(
-        index.path
-    )
+    writer = src.mapInPandas(encode, schema=out_schema).write.mode("append")
+    if part_col:
+        writer = writer.partitionBy(part_col)
+    writer.parquet(index.path)
     return n
 
 
@@ -255,6 +297,8 @@ def load_pq_index(path: str) -> PqIndex:
         path=path, m=meta["m"], nbits=meta["nbits"], dim=meta["dim"],
         normalize=meta["normalize"], codebooks=np.array(meta["codebooks"]),
         id_col=meta["id_col"], vec_col=meta["vec_col"],
+        # metas written before round 3 lack the key (flat layouts only)
+        partition_col=meta.get("partition_col"),
     )
 
 

@@ -66,10 +66,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = load_table(spark, sf_dir, "events")
-    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    elif ts_type != "timestamp_ntz":
+        # a TIMESTAMP(MICROS) with isAdjustedToUTC=true loads as
+        # TIMESTAMP_LTZ; cast explicitly so the NTZ output contract
+        # holds by construction, not via the UTC session-tz pin
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 
