@@ -195,3 +195,80 @@ def test_successful_search_over_http(served, qvec):
     assert code == 200 and payload["count"] == 3
     assert payload["results"][0]["id"] == 0
     assert payload["search_time_ms"] > 0
+
+
+def test_upserted_rows_served_over_http(spark, qvec):
+    """Serving sees ivf_upsert-appended rows immediately (directory-
+    based pruning; each request re-lists the layout) — the index
+    maintenance contract exercised through the real HTTP surface."""
+    import tempfile
+
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    out = tempfile.mkdtemp(prefix="svs_http_upsert_") + "/ivf"
+    # build WITHOUT the query row (vec_id 0): its self-match can't be
+    # served until the upsert lands
+    idx = ivf.build_ivf_index(
+        spark, embs.filter(F.col("id") != 0), out, n_clusters=4
+    )
+    eng = api.VectorSearchEngine(
+        spark, SF_SMALL, config=SearchConfig(index_enabled=True), index=idx
+    )
+    srv = http_server.serve(eng, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        body = json.dumps(
+            {"embedding": qvec, "k": 3, "index_tree_search_top_size": 4}
+        ).encode()
+        code, payload = _post(base + "/search", body)
+        assert code == 200
+        assert 0 not in [r["id"] for r in payload["results"]]
+
+        stats = ivf.ivf_upsert(spark, idx, embs.filter(F.col("id") == 0))
+        assert stats["n_appended"] == 1
+
+        code, payload = _post(base + "/search", body)
+        assert code == 200
+        top = payload["results"][0]
+        assert top["id"] == 0 and top["score"] == pytest.approx(1.0)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_tree_engine_served_over_http(spark, qvec):
+    """The two-level k-means tree index serves through the same HTTP
+    surface as the flat IVF."""
+    import tempfile
+
+    from ydb_vector_search_simple_api_spark.operators import tree as kmt
+
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = kmt.build_kmeans_tree(
+        spark, embs, tempfile.mkdtemp(prefix="svs_http_tree_") + "/t",
+        n_l1=2, fanout=2,
+    )
+    eng = api.VectorSearchEngine(
+        spark, SF_SMALL, config=SearchConfig(index_enabled=True), index=idx
+    )
+    srv = http_server.serve(eng, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, payload = _post(
+            base + "/search",
+            json.dumps(
+                {"embedding": qvec, "k": 3, "index_tree_search_top_size": 4}
+            ).encode(),
+        )
+        assert code == 200 and payload["count"] == 3
+        assert payload["results"][0]["id"] == 0
+    finally:
+        srv.shutdown()
+        srv.server_close()
