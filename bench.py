@@ -1,13 +1,28 @@
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — prints ONE compact JSON line for the driver.
 
 Runs the headline queries from ``__spark_entry__.queries()`` plus
 scale-path extras (IVF at several search widths) at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``.
 
-Per query: one un-timed warmup (JIT, parquet footers), then the best
-of 3 timed runs of the full action (plan + execute + collect) — the
-reference's own metric is per-query wall time (``app.py:245-247``).
+Methodology (tiered so the growing suite doesn't drown the signal):
+
+* **Common tier** — the 60-query suite recorded in BENCH_r01 (33.31 s
+  sum-of-best, the round-1 baseline): one un-timed warmup, then best
+  of 3 timed runs of the full action (plan + execute + collect) — the
+  same procedure round 1 used, so the sums stay comparable.
+* **Extended tier** — everything added since: one warmup + one timed
+  run. These queries are tracked for regressions but kept cheap so
+  shared-JVM pressure (GC, code-cache, plan cache) doesn't inflate the
+  common tier round-over-round.
+
+Output contract (the round-2 capture truncated mid-map, leaving the
+headline unparsed — the per-query map had outgrown the tail window):
+
+* the FULL per-query map is written to ``BENCH_DETAIL.json``;
+* stdout's final line is a compact JSON object: headline metric
+  (sum-of-best over every timed query), the r1-comparable common-tier
+  sum, and a small flagship subset of per-query times.
 """
 
 from __future__ import annotations
@@ -18,6 +33,40 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: The exact query set whose sum-of-best is BENCH_r01's 33.308 s
+#: baseline; timed best-of-3 every round for comparability.
+R1_COMMON_SUITE = frozenset({
+    "approx_distinct_users", "approx_value_percentiles", "chunk_documents",
+    "customers_without_orders", "dedup_exact_groups", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "distinct_users_by_type",
+    "document_splits", "embed_documents", "events_distinct_pairs",
+    "events_hourly_stream", "events_in_surges", "fingerprints",
+    "hourly_locf", "ivf_cosine_full_width", "ivf_cosine_width1",
+    "ivf_cosine_width2", "ivf_cosine_width4", "ivf_knn_join_full",
+    "ivf_knn_join_width2", "knn_join_blocked", "knn_join_cosine",
+    "lang_id", "lang_profile", "lapsed_customers", "multimodal_byte_hist",
+    "multimodal_frames", "multimodal_meta", "neardup_cosine",
+    "neardup_cosine_lsh", "orders_cube", "orders_rollup",
+    "parts_ordered_by_brand", "pricing_summary", "purchase_attribution",
+    "quality_filter", "repeat_customers", "retention_cohorts",
+    "revenue_by_nation", "session_rollup", "split_sizes", "surge_windows",
+    "text_stats", "token_budget", "token_frequencies",
+    "top_customers_per_nation", "topk_cosine", "topk_cosine_default_k",
+    "topk_cosine_distance", "topk_cosine_filtered", "topk_cosine_filtered2",
+    "topk_cosine_k100", "topk_euclidean", "topk_inner_product",
+    "topk_manhattan", "user_running_totals", "value_percentiles",
+    "winnowing_fingerprints",
+})
+
+#: Per-query times surfaced inline on the final stdout line (kept
+#: small so the line never outgrows the driver's capture window).
+FLAGSHIPS = (
+    "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
+    "ivf_cosine_full_width", "kmeans_tree_full", "knn_join_cosine",
+    "ivf_knn_join_dist", "pq_rerank_full", "dedup_minhash_lsh",
+    "curate_corpus", "curated_pack", "dedup_components",
+)
 
 
 def main() -> None:
@@ -41,7 +90,7 @@ def main() -> None:
 
     import __spark_entry__ as E
 
-    def timed(fn, runs: int = 3) -> float:
+    def timed(fn, runs: int) -> float:
         fn()  # warmup
         best = float("inf")
         for _ in range(runs):
@@ -70,19 +119,50 @@ def main() -> None:
 
     results: dict[str, float] = {}
     for name, fn in queries.items():
-        results[name] = round(timed(lambda: fn(spark, sf_dir).collect()), 4)
-        print(f"  bench {name}: {results[name]:.3f}s", file=sys.stderr, flush=True)
+        runs = 3 if name in R1_COMMON_SUITE else 1
+        results[name] = round(timed(lambda: fn(spark, sf_dir).collect(), runs), 4)
+        tier = "common" if name in R1_COMMON_SUITE else "ext"
+        print(
+            f"  bench {name}: {results[name]:.3f}s [{tier}]",
+            file=sys.stderr, flush=True,
+        )
 
     total = round(sum(results.values()), 4)
+    common_sum = round(
+        sum(v for k, v in results.items() if k in R1_COMMON_SUITE), 4
+    )
+    detail = {
+        "metric": "sum_of_best_query_times",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "common_with_r1_sum": common_sum,
+        "n_common": sum(1 for k in results if k in R1_COMMON_SUITE),
+        "n_queries": len(results),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # final line: compact — full map lives in BENCH_DETAIL.json
     print(
         json.dumps(
             {
                 "metric": "sum_of_best_query_times",
                 "value": total,
                 "unit": "sec",
-                "queries": results,
+                "queries": {
+                    k: results[k] for k in FLAGSHIPS if k in results
+                },
                 "sf": sf,
-            }
+                "common_with_r1_sum": common_sum,
+                "n_queries": len(results),
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -272,3 +272,23 @@ def test_tree_engine_served_over_http(spark, qvec):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_apidocs_and_spec_served(served):
+    """The docs surface (flasgger's /apidocs in the reference's stack,
+    requirements.txt:4) — an OpenAPI spec at /apispec.json and a
+    dependency-free HTML renderer at /apidocs."""
+    code, body, ctype = _get(served[0] + "/apispec.json")
+    assert code == 200 and "application/json" in ctype
+    spec = json.loads(body)
+    assert spec["openapi"].startswith("3.")
+    assert set(spec["paths"]) == {"/health", "/config", "/", "/search"}
+    post = spec["paths"]["/search"]["post"]
+    assert set(post["responses"]) == {"200", "400", "500", "501", "502"}
+    props = post["requestBody"]["content"]["application/json"]["schema"]["properties"]
+    assert props["k"]["default"] == 4
+    assert props["index_tree_search_top_size"]["default"] == 10
+
+    code, body, ctype = _get(served[0] + "/apidocs")
+    assert code == 200 and "text/html" in ctype
+    assert b"/apispec.json" in body

@@ -1,0 +1,107 @@
+"""Streaming index ingestion (streaming/index_ingest.py): vectors
+landed as parquet drops flow through foreachBatch -> ivf_upsert into
+the cluster-partitioned layout, and serving sees them immediately."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+from ydb_vector_search_simple_api_spark.operators import index as ivf
+from ydb_vector_search_simple_api_spark.streaming import index_ingest
+from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+
+@pytest.fixture()
+def halves(spark, tmp_path):
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    first = embs.filter(F.col("id") % 2 == 0)
+    second = embs.filter(F.col("id") % 2 == 1)
+    idx = ivf.build_ivf_index(spark, first, str(tmp_path / "ivf"), n_clusters=4)
+    return embs, first, second, idx
+
+
+def test_stream_ingest_appends_and_serves(spark, tmp_path, halves):
+    embs, first, second, idx = halves
+    land = str(tmp_path / "landing")
+    second.write.mode("overwrite").parquet(land)
+
+    mon = index_ingest.IngestMonitor()
+    q = index_ingest.stream_ivf_ingest(
+        spark,
+        idx,
+        index_ingest.parquet_vector_stream(spark, land),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        monitor=mon,
+    )
+    q.awaitTermination(120)
+
+    n_second = second.count()
+    assert mon.n_appended == n_second
+    assert mon.max_assign_l2 > 0.0
+    assert spark.read.parquet(idx.path).count() == embs.count()
+
+    # serving through the upserted index at full width == exact search
+    # over the union — streamed rows are first-class index citizens
+    from ydb_vector_search_simple_api_spark.operators.search import knn_join
+
+    qrow = embs.filter(F.col("id") == 1).head()  # id 1 arrived by stream
+    qvec = [float(x) for x in qrow.embedding]
+    got = [
+        r.id
+        for r in ivf.ivf_search(spark, idx, qvec, k=10, search_top_size=4).collect()
+    ]
+    corpus = embs
+    queries = spark.createDataFrame([(1, qvec)], "query_id long, query_vec array<double>")
+    want = [
+        r.id
+        for r in knn_join(spark, queries, corpus, k=10).orderBy("rank").collect()
+    ]
+    assert got == want
+    assert got[0] == 1  # the streamed row's self-match serves
+
+
+def test_stream_ingest_is_incremental(spark, tmp_path, halves):
+    """A restarted stream over the same landing dir appends nothing new
+    (checkpointed file source); a new drop feeds exactly one batch."""
+    embs, first, second, idx = halves
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    part_a = second.filter(F.col("id") % 4 == 1)
+    part_b = second.filter(F.col("id") % 4 == 3)
+    part_a.write.mode("overwrite").parquet(land)
+
+    mon = index_ingest.IngestMonitor()
+    index_ingest.stream_ivf_ingest(
+        spark, idx, index_ingest.parquet_vector_stream(spark, land),
+        checkpoint_dir=ckpt, monitor=mon,
+    ).awaitTermination(120)
+    assert mon.n_appended == part_a.count()
+
+    # restart with no new files: nothing re-ingested
+    index_ingest.stream_ivf_ingest(
+        spark, idx, index_ingest.parquet_vector_stream(spark, land),
+        checkpoint_dir=ckpt, monitor=mon,
+    ).awaitTermination(120)
+    assert mon.n_appended == part_a.count()
+
+    # drop a new shard: exactly its rows land
+    part_b.write.mode("append").parquet(land)
+    index_ingest.stream_ivf_ingest(
+        spark, idx, index_ingest.parquet_vector_stream(spark, land),
+        checkpoint_dir=ckpt, monitor=mon,
+    ).awaitTermination(120)
+    assert mon.n_appended == part_a.count() + part_b.count()
+    assert spark.read.parquet(idx.path).count() == first.count() + mon.n_appended
+
+
+def test_monitor_rebuild_trigger():
+    mon = index_ingest.IngestMonitor()
+    mon.batches.append({"n_appended": 5, "per_cluster": {0: 5}, "max_assign_l2": 1.0})
+    assert not mon.needs_rebuild(baseline_l2=0.6)  # 1.0 <= 2 * 0.6
+    mon.batches.append({"n_appended": 2, "per_cluster": {1: 2}, "max_assign_l2": 2.5})
+    assert mon.max_assign_l2 == 2.5
+    assert mon.needs_rebuild(baseline_l2=0.6)  # 2.5 > 1.2

@@ -34,9 +34,38 @@ def test_byte_histograms(spark):
         assert r.n_bytes > 0
 
 
-def test_decode_image_is_stubbed():
+def _pillow_installed() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pillow_installed(), reason="Pillow installed")
+def test_decode_image_gated_without_pillow():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG...")
+
+
+def test_decode_and_resize_with_pillow():
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (8, 6), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    arr = MM.decode_image(buf.getvalue())
+    assert arr.shape == (6, 8, 3)
+    assert (arr == (10, 20, 30)).all()
+
+    small = MM.resize_image(buf.getvalue(), 4, 3)
+    arr2 = MM.decode_image(small)
+    assert arr2.shape == (3, 4, 3)
+    assert (arr2 == (10, 20, 30)).all()  # constant image survives resize
 
 
 def test_frame_sample_deterministic():
@@ -63,7 +92,8 @@ def test_sample_frames_spark_fanout(spark):
         assert all(r.n_frame_bytes == len(bytes(r.frame)) for r in rows)
 
 
-def test_resize_image_is_stubbed():
+@pytest.mark.skipif(_pillow_installed(), reason="Pillow installed")
+def test_resize_image_gated_without_pillow():
     with pytest.raises(NotImplementedError):
         MM.resize_image(b"\x89PNG...", 64, 64)
 

@@ -173,3 +173,39 @@ def test_tree_knn_join_distributed_exact_at_full_width(spark, built):
         want_ids.setdefault(q, set()).add(i)
     recalls = [len(per_q.get(q, set()) & ids) / len(ids) for q, ids in want_ids.items()]
     assert sum(recalls) / len(recalls) >= 0.4
+
+
+def test_tree_join_per_level_widths(spark, built):
+    """tree_knn_join_distributed honors per-level (top_l1, top_l2)
+    overrides: recall is monotone in each width with the other held
+    full, and the full-width corner equals the exact join."""
+    from ydb_vector_search_simple_api_spark.operators.search import knn_join
+    from ydb_vector_search_simple_api_spark.operators.tree import (
+        tree_knn_join_distributed,
+    )
+
+    embs = load_embeddings(spark, SF_SMALL)
+    queries = embs.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
+    truth: dict[int, set] = {}
+    for r in knn_join(spark, queries, corpus, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.id)
+    denom = sum(len(t) for t in truth.values())
+    n_leaves = built.n_leaves
+
+    def recall(w1, w2):
+        got: dict[int, set] = {}
+        rows = tree_knn_join_distributed(
+            spark, built, queries, k=5, top_l1=w1, top_l2=w2
+        ).collect()
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.id)
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / denom
+
+    by_w1 = [recall(w1, n_leaves) for w1 in (1, 2, N_L1)]
+    assert by_w1 == sorted(by_w1)
+    by_w2 = [recall(N_L1, w2) for w2 in (1, 3, n_leaves)]
+    assert by_w2 == sorted(by_w2)
+    assert by_w1[-1] == 1.0 and by_w2[-1] == 1.0

@@ -115,6 +115,158 @@ $('searchForm').onsubmit = async (e) => {
 """
 
 
+#: OpenAPI description of the four routes — the counterpart of the
+#: flasgger docs page the reference's stack exposes (its
+#: ``requirements.txt:4`` pulls flasgger, whose default UI lives at
+#: ``/apidocs``). Served as JSON at /apispec.json and rendered by the
+#: dependency-free HTML page at /apidocs.
+API_SPEC: dict = {
+    "openapi": "3.0.0",
+    "info": {
+        "title": "Vector Search API",
+        "description": (
+            "Vector similarity search over the 5-column store "
+            "(id/title/vendor/description/embedding). Same routes, "
+            "defaults, and error matrix as the reference service."
+        ),
+        "version": "1.0.0",
+    },
+    "paths": {
+        "/health": {
+            "get": {
+                "summary": "Liveness probe",
+                "responses": {"200": {"description": '{"status": "ok"}'}},
+            }
+        },
+        "/config": {
+            "get": {
+                "summary": "Engine configuration echo",
+                "responses": {
+                    "200": {
+                        "description": (
+                            "source, table, search_strategy, index_enabled, "
+                            "search_top_size, column mapping"
+                        )
+                    }
+                },
+            }
+        },
+        "/": {
+            "get": {
+                "summary": "Interactive search UI",
+                "responses": {"200": {"description": "HTML page"}},
+            }
+        },
+        "/search": {
+            "post": {
+                "summary": "Vector similarity search",
+                "requestBody": {
+                    "required": True,
+                    "content": {
+                        "application/json": {
+                            "schema": {
+                                "type": "object",
+                                "properties": {
+                                    "embedding": {
+                                        "type": "array",
+                                        "items": {"type": "number"},
+                                        "description": (
+                                            "query vector (mutually exclusive "
+                                            "with 'query')"
+                                        ),
+                                    },
+                                    "query": {
+                                        "type": "string",
+                                        "description": (
+                                            "text to embed via the external "
+                                            "embedding API (mutually exclusive "
+                                            "with 'embedding')"
+                                        ),
+                                    },
+                                    "k": {
+                                        "type": "integer",
+                                        "default": 4,
+                                        "minimum": 1,
+                                        "description": "number of results",
+                                    },
+                                    "index_tree_search_top_size": {
+                                        "type": "integer",
+                                        "default": 10,
+                                        "minimum": 1,
+                                        "description": (
+                                            "ANN search width (clusters/leaves "
+                                            "read; ignored without an index)"
+                                        ),
+                                    },
+                                    "filter": {
+                                        "type": "object",
+                                        "description": (
+                                            "conjunctive equality filter on "
+                                            "title/vendor/description; other "
+                                            "keys are ignored"
+                                        ),
+                                    },
+                                },
+                            }
+                        }
+                    },
+                },
+                "responses": {
+                    "200": {
+                        "description": "results, count, search_time_ms"
+                    },
+                    "400": {"description": "validation error"},
+                    "500": {
+                        "description": (
+                            "engine error (including filter with enabled "
+                            "vector index in strict mode)"
+                        )
+                    },
+                    "501": {"description": "embedding API URL not configured"},
+                    "502": {"description": "embedding API request failed"},
+                },
+            }
+        },
+    },
+}
+
+#: Minimal docs renderer: fetches /apispec.json and lays the routes
+#: out as sections — no external assets (the container has no CDN).
+APIDOCS_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>API docs</title>
+<style>
+ body{font-family:sans-serif;max-width:900px;margin:2em auto;padding:0 1em}
+ .route{border:1px solid #ccc;border-radius:4px;margin:1em 0;padding:.5em 1em}
+ .method{font-weight:bold;text-transform:uppercase;margin-right:.5em}
+ pre{background:#f6f6f6;padding:.5em;overflow-x:auto}
+</style></head>
+<body><h1>Vector Search API</h1><div id="routes">loading...</div>
+<script>
+fetch('/apispec.json').then(r => r.json()).then(spec => {
+  const el = document.getElementById('routes');
+  el.innerHTML = '';
+  for (const [path, methods] of Object.entries(spec.paths)) {
+    for (const [method, op] of Object.entries(methods)) {
+      const div = document.createElement('div');
+      div.className = 'route';
+      const codes = Object.entries(op.responses || {})
+        .map(([c, r]) => c + ': ' + r.description).join('\\n');
+      const body = op.requestBody
+        ? '\\nbody: ' + JSON.stringify(
+            op.requestBody.content['application/json'].schema.properties,
+            null, 2)
+        : '';
+      div.innerHTML = '<p><span class="method">' + method + '</span><code>'
+        + path + '</code> — ' + (op.summary || '') + '</p><pre>'
+        + codes + body + '</pre>';
+      el.appendChild(div);
+    }
+  }
+});
+</script></body></html>
+"""
+
+
 def make_handler(engine: api.VectorSearchEngine) -> type[BaseHTTPRequestHandler]:
     class Handler(BaseHTTPRequestHandler):
         # keep pytest output clean; real deployments override
@@ -134,8 +286,11 @@ def make_handler(engine: api.VectorSearchEngine) -> type[BaseHTTPRequestHandler]
                 self._send_json(*api.health())
             elif self.path == "/config":
                 self._send_json(*api.config_echo(engine))
-            elif self.path in ("/", "/index.html"):
-                body = INDEX_HTML.encode()
+            elif self.path == "/apispec.json":
+                self._send_json(API_SPEC, 200)
+            elif self.path in ("/", "/index.html", "/apidocs"):
+                html = APIDOCS_HTML if self.path == "/apidocs" else INDEX_HTML
+                body = html.encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")
                 self.send_header("Content-Length", str(len(body)))

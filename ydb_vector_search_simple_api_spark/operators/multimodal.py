@@ -297,19 +297,24 @@ def pcm_stats(spark: SparkSession, sf_dir: str, clip_len: int = 32) -> DataFrame
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """STUB: real-format (JPEG/PNG) decode requires an imaging library
-    not present in this container; :func:`decode_raster` is the
-    working decode path for the synthetic format. The Spark-side
-    pipeline (binary column -> mapInPandas batches) is real; only this
-    per-payload decode is stubbed."""
+    """Real-format (JPEG/PNG/...) decode via Pillow when it is
+    installed — returns an (h, w, 3) uint8 RGB array. Pillow is an
+    OPTIONAL dependency (not in this container's baseline):  without
+    it this raises NotImplementedError and :func:`decode_raster`
+    remains the dependency-free decode path for the synthetic format.
+    The Spark-side pipeline (binary column -> mapInPandas batches) is
+    identical either way."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
             "image decode requires Pillow, which is not installed; "
             "byte_histograms() demonstrates the identical plumbing"
         ) from exc
-    raise NotImplementedError("wire Image.open(BytesIO(payload)) here")
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
 def frame_sample(payload: bytes, every_n: int = 10) -> list[bytes]:
@@ -358,14 +363,21 @@ def sample_frames(
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """STUB: image resize requires an imaging library not present in
-    this container (same gate as :func:`decode_image`); the Spark-side
-    batch plumbing for any per-payload transform is demonstrated by
-    :func:`byte_histograms` / :func:`sample_frames`."""
+    """Image resize via Pillow when installed (same optional-dependency
+    gate as :func:`decode_image`): decode -> bilinear resize -> PNG
+    bytes. Without Pillow this raises NotImplementedError; the
+    Spark-side batch plumbing for any per-payload transform is
+    demonstrated by :func:`byte_histograms` / :func:`sample_frames`."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
             "image resize requires Pillow, which is not installed"
         ) from exc
-    raise NotImplementedError("wire Image.open(BytesIO(payload)).resize() here")
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        out = img.convert("RGB").resize((width, height), Image.BILINEAR)
+    buf = io.BytesIO()
+    out.save(buf, format="PNG")
+    return buf.getvalue()

@@ -322,9 +322,13 @@ def tree_knn_join_distributed(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     round_digits: int | None = None,
+    top_l1: int | None = None,
+    top_l2: int | None = None,
 ) -> DataFrame:
     """Batch ANN join through the tree with NO driver-side query
     collect — the tree twin of ``index.ivf_knn_join_distributed``.
+    ``top_l1``/``top_l2`` override ``search_top_size`` per level, the
+    same knob resolution as :func:`tree_search`.
 
     Routing replays :func:`route` itself inside an Arrow-batched
     pandas UDF (the tree's centroid tensors are a few KB and ship in
@@ -339,10 +343,15 @@ def tree_knn_join_distributed(
     import pandas as pd
 
     validate_strategy(strategy)
-    if search_top_size is not None and search_top_size < 1:
-        raise ValueError("search widths must be positive integers")
-    w1 = search_top_size if search_top_size is not None else index.n_l1
-    w2 = search_top_size if search_top_size is not None else index.n_leaves
+    for w in (search_top_size, top_l1, top_l2):
+        if w is not None and w < 1:
+            raise ValueError("search widths must be positive integers")
+    w1 = top_l1 if top_l1 is not None else (
+        search_top_size if search_top_size is not None else index.n_l1
+    )
+    w2 = top_l2 if top_l2 is not None else (
+        search_top_size if search_top_size is not None else index.n_leaves
+    )
     dim = index.centroids_l1.shape[1]
 
     def _route_fn(vecs):

@@ -1,0 +1,129 @@
+"""Continuous ANN-index ingestion: Structured Streaming -> IVF layout.
+
+The reference's store is written by an external loader and its
+``vector_kmeans_tree`` secondary index is maintained by YDB itself as
+rows arrive; this module is the Spark-native counterpart for the
+serving index in :mod:`..operators.index` — a streaming source of
+(id, embedding) rows is routed micro-batch by micro-batch into the
+cluster-partitioned layout via ``ivf_upsert``, so searches see new
+vectors as soon as their batch commits (directory-based pruning
+re-lists files per query; no restart, no rebuild).
+
+Why ``foreachBatch`` and not a streaming sink: the append itself is a
+batch write into a hive-partitioned directory keyed by a model-side
+assignment (nearest centroid), and ``ivf_upsert`` already implements
+exactly that append + drift accounting. ``foreachBatch`` reuses the
+battle-tested batch path and gives exactly-once-per-batch semantics
+through the checkpoint (a replayed batch re-appends — see the dedup
+note below).
+
+Scale posture (100 TB serving):
+
+* per-batch work is one Arrow-batched assignment pass + a partitioned
+  append — no shuffle, no touch of existing files; cost tracks batch
+  size, never index size;
+* drift stats accumulate on the driver (a few floats per batch) and
+  feed the rebuild trigger: when p95 assignment distance trends above
+  the build-time baseline, schedule an offline rebuild and flip the
+  serving pointer (generation pattern, ``ivf_compact``);
+* many small appended files are the known cost of freshness — run
+  ``ivf_compact`` on a cadence (file-count threshold), exactly like
+  any LSM-ish serving store.
+
+Exactly-once caveat: the file-source checkpoint guarantees each input
+file feeds exactly one COMMITTED batch, but a batch that fails after
+its append re-runs and re-appends. Searches tolerate duplicate (id,
+embedding) rows (same vector scores identically; top-k dedups by id
+via the deterministic tie-break only when scores differ), and
+compaction can drop exact duplicate ids. For strict once-only ingest,
+land the stream into a staging directory and ``ivf_upsert`` the
+deduplicated batch — the operator composition is the same.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import index as ivf_mod
+
+
+@dataclass
+class IngestMonitor:
+    """Driver-side accumulation of per-batch upsert stats — the
+    rebuild-trigger feed. A few floats per batch; never row-sized."""
+
+    batches: list = field(default_factory=list)
+
+    @property
+    def n_appended(self) -> int:
+        return sum(b["n_appended"] for b in self.batches)
+
+    @property
+    def max_assign_l2(self) -> float:
+        return max((b["max_assign_l2"] for b in self.batches), default=0.0)
+
+    def needs_rebuild(self, baseline_l2: float, factor: float = 2.0) -> bool:
+        """True when incoming vectors assign further from the frozen
+        centroids than ``factor`` x the build-time baseline — the
+        codebook no longer describes the incoming distribution."""
+        return self.max_assign_l2 > factor * baseline_l2
+
+
+def stream_ivf_ingest(
+    spark: SparkSession,
+    index: ivf_mod.IvfIndex,
+    source: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    monitor: IngestMonitor | None = None,
+    available_now: bool = True,
+):
+    """Wire a streaming (id, embedding) source into the IVF layout.
+
+    Returns the started ``StreamingQuery``; with ``available_now``
+    (default) it drains everything currently available and stops —
+    the testable/batch-backfill mode. Pass ``available_now=False``
+    for an unbounded micro-batch trigger.
+
+    ``monitor`` (optional) collects each batch's ``ivf_upsert`` stats
+    for the rebuild trigger.
+    """
+    mon = monitor if monitor is not None else IngestMonitor()
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        stats = ivf_mod.ivf_upsert(
+            spark, index, batch_df, id_col=id_col, vec_col=vec_col
+        )
+        stats["batch_id"] = batch_id
+        mon.batches.append(stats)
+
+    writer = (
+        source.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def parquet_vector_stream(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming file-source over a directory of (id, embedding)
+    parquet drops — the standard landing-zone shape for embedding
+    pipelines (an upstream job writes a file per shard; the stream
+    picks each up exactly once via the checkpoint). The schema comes
+    from a driver-side footer read, like ``events._events_stream``."""
+    schema = spark.read.parquet(path).select(id_col, vec_col).schema
+    return spark.readStream.schema(schema).parquet(path).select(id_col, vec_col)
