@@ -292,6 +292,25 @@ def _mk_ivf_filtered(strategy: str, k: int, filter: dict, width: int | None = No
     return run
 
 
+def _mk_tree_filtered(strategy: str, k: int, filter: dict, width: int | None = None):
+    """Filtered ANN through the two-level tree (same non-strict
+    contract as _mk_ivf_filtered); width=None -> full width == exact."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ydb_vector_search_simple_api_spark.operators.search import (
+            filtered_doc_ids,
+        )
+
+        idx = _kmt_index(spark, sf_dir)
+        flt_ids = filtered_doc_ids(spark, sf_dir, filter)
+        return kmt.tree_search(
+            spark, idx, _query_vec(spark, sf_dir), k=k, strategy=strategy,
+            search_top_size=width, round_digits=ROUND, filter_ids=flt_ids,
+        )
+
+    return run
+
+
 def _mk_topk(strategy: str, k: int, filter: dict | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return exact_search(
@@ -582,6 +601,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # siblings: repeat_customers / distinct_users_by_type (set-op +
     # conditional-agg family over the events table)
     q["retention_cohorts"] = stats.retention_cohorts
+    # sibling: topk_cosine_filtered_ivf (same non-strict filtered-ANN
+    # contract routed through the two-level tree; full width == exact)
+    q["topk_cosine_filtered_tree"] = _mk_tree_filtered(
+        "CosineSimilarity", k=10, filter={"vendor": "fr"}, width=None
+    )
     # sibling: kmeans_tree_full (same full-width == exact oracle; the
     # flat single-level IVF variant of the same index operator)
     q["ivf_cosine_full_width"] = _mk_ivf("CosineSimilarity", k=10, width=None)
@@ -696,6 +720,9 @@ def oracle_sql() -> dict[str, str]:
     )
     # non-strict filtered ANN at full width == exact filtered (id, score)
     o["topk_cosine_filtered_ivf"] = oracles.topk_ids_sql(
+        "CosineSimilarity", k=10, filter_sql="lang = 'fr'"
+    )
+    o["topk_cosine_filtered_tree"] = oracles.topk_ids_sql(
         "CosineSimilarity", k=10, filter_sql="lang = 'fr'"
     )
     o["topk_cosine_default_k"] = oracles.topk_sql("CosineSimilarity", k=4)

@@ -349,3 +349,22 @@ def test_ivf_compact_files_per_cluster_salting(spark, tmp_path_factory):
 
     with pytest.raises(ValueError):
         ivf_mod.ivf_compact(spark, idx, base + "/g3", files_per_cluster=0)
+
+
+def test_filtered_ivf_plan_shape(spark, built, qvec):
+    """Non-strict filtered ANN keeps BOTH scale levers in the plan:
+    cluster_id partition pruning AND a (broadcast) semi-join of the
+    pushed-down filtered id set, under a TakeOrderedAndProject."""
+    from ydb_vector_search_simple_api_spark.operators.search import (
+        filtered_doc_ids,
+    )
+
+    flt_ids = filtered_doc_ids(spark, SF_SMALL, {"vendor": "fr"})
+    df = ivf.ivf_search(
+        spark, built, qvec, k=5, search_top_size=2, filter_ids=flt_ids
+    )
+    assert "cluster_id" in checks.partition_filters(df), checks.formatted_plan(df)
+    plan = checks.simple_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert checks.uses_take_ordered(df), plan
+    assert "EqualTo(lang,fr)" in checks.pushed_filters(df), checks.formatted_plan(df)

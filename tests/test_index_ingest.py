@@ -105,3 +105,62 @@ def test_monitor_rebuild_trigger():
     mon.batches.append({"n_appended": 2, "per_cluster": {1: 2}, "max_assign_l2": 2.5})
     assert mon.max_assign_l2 == 2.5
     assert mon.needs_rebuild(baseline_l2=0.6)  # 2.5 > 1.2
+
+
+def test_stream_ivfpq_ingest_keeps_layouts_in_lockstep(spark, tmp_path):
+    """One stream feeds both serving layouts: full-precision IVF rows
+    and IVFADC codes arrive together, and ivfpq_search over the
+    upserted pair at full width/rerank stays exact."""
+    from ydb_vector_search_simple_api_spark.operators import pq as pq_mod
+
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    first = embs.filter(F.col("id") % 2 == 0)
+    second = embs.filter(F.col("id") % 2 == 1)
+    ivf_idx = ivf.build_ivf_index(spark, first, str(tmp_path / "ivf"), n_clusters=4)
+    pq_idx = pq_mod.build_ivfpq_index(
+        spark, ivf_idx, str(tmp_path / "codes"), m=8, normalize=True
+    )
+
+    land = str(tmp_path / "landing")
+    second.write.mode("overwrite").parquet(land)
+    mon = index_ingest.IngestMonitor()
+    index_ingest.stream_ivfpq_ingest(
+        spark, ivf_idx, pq_idx,
+        index_ingest.parquet_vector_stream(spark, land),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        monitor=mon,
+    ).awaitTermination(120)
+
+    n_second = second.count()
+    assert mon.n_appended == n_second
+    assert sum(b["n_codes_appended"] for b in mon.batches) == n_second
+    n_total = embs.count()
+    assert spark.read.parquet(ivf_idx.path).count() == n_total
+    codes = spark.read.parquet(pq_idx.path)
+    assert codes.count() == n_total
+    assert codes.filter(F.col("cluster_id").isNull()).count() == 0
+
+    # exactness through the upserted pair (full width + full rerank)
+    qrow = embs.filter(F.col("id") == 1).head()
+    qvec = [float(x) for x in qrow.embedding]
+    got = [
+        (r.id, round(r.score, 6))
+        for r in pq_mod.ivfpq_search(
+            spark, ivf_idx, pq_idx, qvec, k=10, strategy="CosineSimilarity",
+            search_top_size=4, rerank=n_total, round_digits=6,
+        ).collect()
+    ]
+    from ydb_vector_search_simple_api_spark.operators.search import knn_join
+
+    queries = spark.createDataFrame(
+        [(1, qvec)], "query_id long, query_vec array<double>"
+    )
+    want = [
+        (r.id, round(r.score, 6))
+        for r in knn_join(spark, queries, embs, k=10, round_digits=6)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want

@@ -114,6 +114,67 @@ def stream_ivf_ingest(
     return writer.start()
 
 
+def stream_ivfpq_ingest(
+    spark: SparkSession,
+    ivf_index: ivf_mod.IvfIndex,
+    pq_index,
+    source: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    monitor: IngestMonitor | None = None,
+    available_now: bool = True,
+):
+    """Keep BOTH serving layouts fresh from one stream: each batch is
+    (1) routed + appended into the full-precision IVF layout
+    (``ivf_upsert``) and (2) PQ-encoded against the frozen codebooks
+    and appended into the cluster-partitioned IVFADC codes layout
+    (``pq_upsert`` with the same routing centroids) — the pair
+    ``ivfpq_search`` reads (codes for the ADC scan, full vectors for
+    the rerank) stays consistent batch by batch.
+
+    Both appends run inside ONE foreachBatch, so a replayed batch
+    re-appends to both layouts together (never codes without vectors).
+    The batch is persisted across the two appends — one assignment
+    evaluation feeds both writes.
+    """
+    from ..operators import pq as pq_mod
+
+    mon = monitor if monitor is not None else IngestMonitor()
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        batch_df.persist()
+        try:
+            stats = ivf_mod.ivf_upsert(
+                spark, ivf_index, batch_df, id_col=id_col, vec_col=vec_col
+            )
+            n_codes = pq_mod.pq_upsert(
+                spark, pq_index,
+                batch_df.select(
+                    F.col(id_col).alias(pq_index.id_col),
+                    F.col(vec_col).alias(pq_index.vec_col),
+                ),
+                ivf_index=ivf_index if pq_index.partition_col else None,
+            )
+        finally:
+            batch_df.unpersist()
+        stats["batch_id"] = batch_id
+        stats["n_codes_appended"] = n_codes
+        mon.batches.append(stats)
+
+    writer = (
+        source.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def parquet_vector_stream(
     spark: SparkSession,
     path: str,
