@@ -1,0 +1,144 @@
+"""Property-based tests (hypothesis) for the pure-function kernel of
+the engine: the wire codec, the NumPy twins of the distance metrics,
+PQ encoding, and the deterministic Lloyd iteration. These functions
+decide correctness everywhere else (oracles, index routing, dedup),
+so they get randomized coverage beyond the golden-value pytest pins.
+
+Driver-side only — no SparkSession; the distributed paths that wrap
+these kernels are covered by the oracle gate and the plan/behavior
+tests."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ydb_vector_search_simple_api_spark.functions import codec
+
+finite_f32 = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+)
+vectors = st.lists(finite_f32, min_size=1, max_size=64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(vectors)
+def test_codec_roundtrip_is_float32_exact(vec):
+    """encode -> decode reproduces the float32 representation of every
+    element exactly (the codec is the reference's wire format; codec
+    truncation beyond fp32 would silently shift every score)."""
+    raw = codec.vector_to_bytes(vec)
+    back = codec.bytes_to_vector(raw)
+    assert back == [float(np.float32(x)) for x in vec]
+    # tag byte + 4 bytes per element — the reference's layout
+    assert len(raw) == 4 * len(vec) + 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(vectors, vectors)
+def test_numpy_metric_properties(a, b):
+    """Metric-space sanity of the scoring math on random vectors:
+    symmetry, self-distance zero, cosine bounds."""
+    n = min(len(a), len(b))
+    x = np.asarray(a[:n], dtype=np.float64)
+    y = np.asarray(b[:n], dtype=np.float64)
+
+    eu = float(np.sqrt(((x - y) ** 2).sum()))
+    eu_sym = float(np.sqrt(((y - x) ** 2).sum()))
+    assert math.isclose(eu, eu_sym, rel_tol=1e-12, abs_tol=1e-12)
+    assert float(np.sqrt(((x - x) ** 2).sum())) == 0.0
+
+    man = float(np.abs(x - y).sum())
+    assert man >= eu or math.isclose(man, eu, rel_tol=1e-12)  # L1 >= L2
+
+    nx, ny = np.linalg.norm(x), np.linalg.norm(y)
+    if nx > 0 and ny > 0:
+        cos = float((x @ y) / (nx * ny))
+        assert -1.0 - 1e-9 <= cos <= 1.0 + 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=8, max_value=64),
+    st.randoms(use_true_random=False),
+)
+def test_pq_encode_is_nearest_codeword(m, n_rows, rnd):
+    """_encode_batch's argmin-by-expansion must agree with the direct
+    L2 argmin per subspace (the expansion drops ||s||^2 — legal only
+    because it is constant per row; a regression here mis-assigns
+    codes silently)."""
+    from ydb_vector_search_simple_api_spark.operators import pq
+
+    rng = np.random.default_rng(rnd.randint(0, 2**31))
+    dsub = 2
+    d = m * dsub
+    X = rng.normal(size=(n_rows, d))
+    books = np.stack([rng.normal(size=(4, dsub)) for _ in range(m)])
+    codes = pq._encode_batch(X, books)
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        direct = np.linalg.norm(
+            sub[:, None, :] - books[j][None, :, :], axis=2
+        ).argmin(axis=1)
+        assert (codes[:, j] == direct).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=12), st.integers(min_value=1, max_value=40))
+def test_lloyd_deterministic_and_bounded(k, n):
+    """The deterministic Lloyd used by the tree build and PQ training:
+    same input -> identical centroids; k_eff = min(k, n); centroids
+    live inside the data's bounding box (means of subsets)."""
+    from ydb_vector_search_simple_api_spark.operators.tree import _lloyd
+
+    rng = np.random.default_rng(k * 1000 + n)
+    x = rng.normal(size=(n, 3))
+    c1 = _lloyd(x, k)
+    c2 = _lloyd(x, k)
+    assert (c1 == c2).all()
+    assert len(c1) == min(k, n)
+    assert (c1 >= x.min(axis=0) - 1e-12).all()
+    assert (c1 <= x.max(axis=0) + 1e-12).all()
+
+
+hashes64 = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _pack_fn():
+    """The Arrow vote-fold kernel behind dedup.simhash (pandas_udf
+    exposes the wrapped plain function via .func)."""
+    import pandas as pd
+
+    from ydb_vector_search_simple_api_spark.operators.dedup import (
+        _simhash_arrow_udf,
+    )
+
+    pack = _simhash_arrow_udf(64).func
+    return lambda hs: int(pack(pd.Series([np.array(hs, dtype=np.int64)])).iloc[0])
+
+
+@settings(max_examples=100, deadline=None)
+@given(hashes64, st.randoms(use_true_random=False))
+def test_simhash_vote_fold_is_order_invariant(hs, rnd):
+    """The per-bit majority vote is a commutative reduction: permuting
+    the token-hash array must never change the packed signature."""
+    pack = _pack_fn()
+    shuffled = list(hs)
+    rnd.shuffle(shuffled)
+    assert pack(hs) == pack(shuffled)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_simhash_of_single_hash_is_that_hash(h):
+    """With one distinct token, every bit's vote follows that token's
+    hash bit exactly, so the signature IS the hash (bit pattern)."""
+    pack = _pack_fn()
+    assert pack([h]) == h

@@ -40,7 +40,7 @@ def bytes_to_vector(raw: bytes) -> list[float]:
     body = raw[:-1]
     if len(body) % 4:
         raise ValueError("payload length is not a multiple of 4")
-    return struct.unpack("<" + "f" * (len(body) // 4), body)  # type: ignore[return-value]
+    return list(struct.unpack("<" + "f" * (len(body) // 4), body))
 
 
 @F.pandas_udf(ArrayType(FloatType()))
