@@ -368,3 +368,35 @@ def test_filtered_ivf_plan_shape(spark, built, qvec):
     assert "LeftSemi" in plan, plan
     assert checks.uses_take_ordered(df), plan
     assert "EqualTo(lang,fr)" in checks.pushed_filters(df), checks.formatted_plan(df)
+
+
+def test_sampled_fit_build_full_width_exact(spark, tmp_path_factory, qvec):
+    """KMeans fit bounded to a hash-sample (the 100 TB build shape):
+    assignment still covers every row, and full-width search is exact
+    regardless of where the centroids came from."""
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    out = str(tmp_path_factory.mktemp("ivf_sampled") / "index")
+    idx = ivf.build_ivf_index(
+        spark, embs, out, n_clusters=N_CLUSTERS, seed=42, fit_sample_rows=64
+    )
+    assert spark.read.parquet(idx.path).count() == embs.count()
+    got = [
+        r.id
+        for r in ivf.ivf_search(
+            spark, idx, qvec, k=10, search_top_size=N_CLUSTERS
+        ).collect()
+    ]
+    assert got == _exact_ids(spark, qvec, 10)
+    # pruned width still functional (recall > 0, not asserting a curve)
+    narrow = {
+        r.id
+        for r in ivf.ivf_search(spark, idx, qvec, k=10, search_top_size=2).collect()
+    }
+    assert narrow & set(got)
+
+    with pytest.raises(ValueError):
+        ivf.build_ivf_index(
+            spark, embs, out + "_bad", n_clusters=8, fit_sample_rows=4
+        )

@@ -209,3 +209,27 @@ def test_tree_join_per_level_widths(spark, built):
     by_w2 = [recall(N_L1, w2) for w2 in (1, 3, n_leaves)]
     assert by_w2 == sorted(by_w2)
     assert by_w1[-1] == 1.0 and by_w2[-1] == 1.0
+
+
+def test_sampled_fit_tree_full_width_exact(spark, tmp_path_factory, qvec):
+    """Both tree fits (L1 KMeans + per-cell L2 Lloyd) bounded to a
+    hash-sample: leaf assignment covers every row, every cell keeps at
+    least one leaf, and full-width search stays exact."""
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    out = str(tmp_path_factory.mktemp("kmt_sampled") / "tree")
+    idx = kmt.build_kmeans_tree(
+        spark, embs, out, n_l1=N_L1, fanout=FANOUT, seed=42, fit_sample_rows=64
+    )
+    assert spark.read.parquet(idx.path).count() == embs.count()
+    assert all(len(c) >= 1 for c in idx.centroids_l2)
+    got = [
+        r.id for r in kmt.tree_search(spark, idx, qvec, k=10).collect()
+    ]  # width None = full = exact
+    assert got == _exact_ids(spark, qvec, 10, "CosineSimilarity")
+
+    with pytest.raises(ValueError):
+        kmt.build_kmeans_tree(
+            spark, embs, out + "_bad", n_l1=3, fanout=3, fit_sample_rows=5
+        )

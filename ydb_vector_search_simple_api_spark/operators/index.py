@@ -65,9 +65,23 @@ def build_ivf_index(
     id_col: str = "id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_sample_rows: int | None = None,
 ) -> IvfIndex:
     """Offline index build: KMeans fit -> assign cluster_id -> rewrite
-    partitioned by cluster_id -> persist centroids for driver pruning."""
+    partitioned by cluster_id -> persist centroids for driver pruning.
+
+    ``fit_sample_rows`` bounds the ITERATIVE part of the build: KMeans
+    fits on a deterministic hash-sample of that many rows (the
+    TakeOrdered-by-xxhash64 pattern shared with build_pq_index) instead
+    of iterating full corpus scans; the single-pass ``transform``
+    assignment and the partitioned rewrite still cover every row. At
+    100 TB this is the only sane shape — Lloyd iterations over the full
+    corpus re-scan everything per iteration for centroids a large
+    uniform sample pins down just as well (standard IVF practice, same
+    argument as PQ codebook training). None (default) fits on the full
+    input. Full-width search is exact regardless of where the
+    centroids came from — sampling moves the recall-vs-width CURVE,
+    never correctness at full width."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -76,7 +90,15 @@ def build_ivf_index(
         F.col(vec_col).alias("embedding"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feats)
+    fit_input = feats
+    if fit_sample_rows is not None:
+        if fit_sample_rows < n_clusters:
+            raise ValueError("fit_sample_rows must be >= n_clusters")
+        fit_input = (
+            feats.orderBy(F.abs(F.xxhash64(F.col("id"))).asc(), F.col("id").asc())
+            .limit(fit_sample_rows)
+        )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(fit_input)
     assigned = (
         model.transform(feats)
         .select("id", "embedding", F.col("prediction").alias("cluster_id"))

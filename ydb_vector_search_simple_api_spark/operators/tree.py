@@ -100,8 +100,20 @@ def build_kmeans_tree(
     id_col: str = "id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_sample_rows: int | None = None,
 ) -> KmeansTreeIndex:
-    """Offline tree build; see module docstring for the three passes."""
+    """Offline tree build; see module docstring for the three passes.
+
+    ``fit_sample_rows`` bounds BOTH iterative fits to a deterministic
+    hash-sample (the TakeOrdered-by-xxhash64 pattern of
+    ``index.build_ivf_index``): L1 KMeans iterates over the sample
+    only, and each cell's L2 Lloyd sees only the sample's rows — so
+    the per-cell ``applyInPandas`` group is sample/n_l1 rows instead
+    of corpus/n_l1 (the shape that actually survives 100 TB, where a
+    full cell would not fit one task). The leaf-assignment pass and
+    the partitioned rewrite still cover every row; full-width search
+    stays exact regardless (sampling moves the recall-vs-width curve,
+    never full-width correctness)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -112,13 +124,22 @@ def build_kmeans_tree(
         F.col(vec_col).alias("embedding"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_l1, seed=seed, featuresCol="features").fit(feats)
+    fit_input = feats
+    if fit_sample_rows is not None:
+        if fit_sample_rows < n_l1 * fanout:
+            raise ValueError("fit_sample_rows must be >= n_l1 * fanout")
+        fit_input = (
+            feats.orderBy(F.abs(F.xxhash64(F.col("id"))).asc(), F.col("id").asc())
+            .limit(fit_sample_rows)
+        )
+    model = KMeans(k=n_l1, seed=seed, featuresCol="features").fit(fit_input)
     assigned = model.transform(feats).select(
         "id", "embedding", F.col("prediction").alias("l1")
     )
 
     # pass 2: per-cell level-2 centroids (parallel over cells; only
-    # the tiny centroid rows come back)
+    # the tiny centroid rows come back). Fit input is the sample when
+    # bounded — cells of the sample, not of the corpus.
     cent_schema = T.StructType(
         [
             T.StructField("l1", T.IntegerType()),
@@ -141,17 +162,34 @@ def build_kmeans_tree(
             }
         )
 
+    l2_fit = (
+        assigned
+        if fit_sample_rows is None
+        else model.transform(fit_input).select(
+            "id", "embedding", F.col("prediction").alias("l1")
+        )
+    )
     cent_rows = (
-        assigned.select("id", "embedding", "l1")
+        l2_fit.select("id", "embedding", "l1")
         .groupBy("l1")
         .applyInPandas(_fit_cell, schema=cent_schema)
         .collect()
     )
+    l1_centers = [
+        np.asarray(c, dtype=np.float64) for c in model.clusterCenters()
+    ]
     centroids_l2: list[np.ndarray] = []
     for l1 in range(n_l1):
         cell = sorted(
             ((r.l2, r.centroid) for r in cent_rows if r.l1 == l1)
         )
+        if not cell:
+            # a cell the (sampled) fit never saw still gets one leaf —
+            # its own L1 centroid — so corpus rows assigned there are
+            # routable (full-width exactness must not depend on the
+            # sample covering every cell)
+            centroids_l2.append(l1_centers[l1][None, :])
+            continue
         centroids_l2.append(
             np.asarray([c for _, c in cell], dtype=np.float64)
         )
