@@ -400,3 +400,33 @@ def test_sampled_fit_build_full_width_exact(spark, tmp_path_factory, qvec):
         ivf.build_ivf_index(
             spark, embs, out + "_bad", n_clusters=8, fit_sample_rows=4
         )
+
+
+def test_ivf_compact_dedup_ids(spark, tmp_path_factory):
+    """Replay duplicates (same rows appended twice) fold away under
+    dedup_ids=True with identical search results."""
+    from ydb_vector_search_simple_api_spark.operators import index as ivf_mod
+
+    base = str(tmp_path_factory.mktemp("ivf_dedup"))
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = ivf_mod.build_ivf_index(spark, embs, base + "/g0", n_clusters=4, seed=42)
+    dup = embs.filter(F.col("id") % 5 == 0)
+    ivf_mod.ivf_upsert(spark, idx, dup)  # replayed batch: duplicates
+    assert spark.read.parquet(idx.path).count() == embs.count() + dup.count()
+
+    idx2 = ivf_mod.ivf_compact(spark, idx, base + "/g1", dedup_ids=True)
+    assert spark.read.parquet(idx2.path).count() == embs.count()
+    assert spark.read.parquet(idx2.path).select("id").distinct().count() == embs.count()
+
+    qrow = embs.filter(F.col("id") == 5).head()
+    qv = [float(x) for x in qrow.embedding]
+    a = [(r.id, round(r.score, 6)) for r in ivf_mod.ivf_search(
+        spark, idx2, qv, k=10, search_top_size=4, round_digits=6).collect()]
+    # duplicate-free generation reproduces exact search results
+    from ydb_vector_search_simple_api_spark.operators.search import exact_search
+
+    b = [(r.id, round(r.score, 6)) for r in exact_search(
+        spark, SF_SMALL, qv, k=10, round_digits=6).collect()]
+    assert a == b

@@ -484,6 +484,7 @@ def ivf_compact(
     index: IvfIndex,
     out_dir: str,
     files_per_cluster: int = 1,
+    dedup_ids: bool = False,
 ) -> IvfIndex:
     """Compaction: rewrite the (append-churned) cluster layout into a
     NEW index generation with ``files_per_cluster`` files per
@@ -503,10 +504,18 @@ def ivf_compact(
     cluster's directory. Results are identical by construction (same
     rows, same layout contract); tests pin file-count reduction +
     result equality.
+
+    ``dedup_ids=True`` additionally keeps one row per id (replayed
+    streaming batches can re-append rows — see
+    streaming/index_ingest.py); dedup rides the SAME shuffle the
+    compaction already pays (dropDuplicates partial-aggregates
+    map-side on the id key before the exchange).
     """
     if files_per_cluster < 1:
         raise ValueError("files_per_cluster must be a positive integer")
     df = spark.read.parquet(index.path)
+    if dedup_ids:
+        df = df.dropDuplicates(["id"])
     if files_per_cluster == 1:
         shuffled = df.repartition(index.n_clusters, "cluster_id")
     else:

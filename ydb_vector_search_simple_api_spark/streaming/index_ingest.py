@@ -32,11 +32,12 @@ Scale posture (100 TB serving):
 
 Exactly-once caveat: the file-source checkpoint guarantees each input
 file feeds exactly one COMMITTED batch, but a batch that fails after
-its append re-runs and re-appends. Searches tolerate duplicate (id,
-embedding) rows (same vector scores identically; top-k dedups by id
-via the deterministic tie-break only when scores differ), and
-compaction can drop exact duplicate ids. For strict once-only ingest,
-land the stream into a staging directory and ``ivf_upsert`` the
+its append re-runs and re-appends — duplicate (id, embedding) rows.
+A duplicated row scores identically, so result QUALITY is unaffected,
+but it occupies an extra top-k slot until removed; run
+``ivf_compact(..., dedup_ids=True)`` on the usual compaction cadence
+to fold replay duplicates away, or for strict once-only ingest land
+the stream into a staging directory and ``ivf_upsert`` the
 deduplicated batch — the operator composition is the same.
 """
 
