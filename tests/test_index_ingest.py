@@ -164,3 +164,41 @@ def test_stream_ivfpq_ingest_keeps_layouts_in_lockstep(spark, tmp_path):
         .collect()
     ]
     assert got == want
+
+
+def test_parquet_vector_stream_empty_dir_needs_schema(spark, tmp_path, halves):
+    """Wiring the stream before the first shard lands: schema
+    inference fails with a clear error, an explicit schema works."""
+    from pyspark.sql import types as T
+
+    embs, first, second, idx = halves
+    land = str(tmp_path / "empty_landing")
+
+    with pytest.raises(ValueError, match="schema"):
+        index_ingest.parquet_vector_stream(spark, land)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    import os
+
+    os.makedirs(land, exist_ok=True)
+    src = index_ingest.parquet_vector_stream(spark, land, schema=schema)
+    mon = index_ingest.IngestMonitor()
+    # stream starts and drains an (empty) landing dir without error
+    index_ingest.stream_ivf_ingest(
+        spark, idx, src, checkpoint_dir=str(tmp_path / "ckpt"), monitor=mon
+    ).awaitTermination(120)
+    assert mon.n_appended == 0
+
+    # first shard lands after wiring: picked up on the next drain
+    second.write.mode("append").parquet(land)
+    index_ingest.stream_ivf_ingest(
+        spark, idx,
+        index_ingest.parquet_vector_stream(spark, land, schema=schema),
+        checkpoint_dir=str(tmp_path / "ckpt"), monitor=mon,
+    ).awaitTermination(120)
+    assert mon.n_appended == second.count()

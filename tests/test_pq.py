@@ -317,3 +317,36 @@ def test_pq_upsert_partitioned_layout(spark, tmp_path_factory):
         ).collect()
     }
     assert appended_ids <= seen
+
+
+def test_pq_compact_dedup_and_partitioning(spark, tmp_path_factory):
+    """pq_compact folds replay duplicates out of the codes layout and
+    preserves the IVFADC hive partitioning across generations."""
+    from ydb_vector_search_simple_api_spark.operators import index as ivf_mod
+
+    base = str(tmp_path_factory.mktemp("pq_compact"))
+    embs = _corpus(spark)
+    ivf = ivf_mod.build_ivf_index(spark, embs, base + "/ivf", n_clusters=4, seed=42)
+    idx = pq.build_ivfpq_index(spark, ivf, base + "/codes", m=8, normalize=True)
+    n = embs.count()
+
+    dup = embs.filter(F.col("id") % 5 == 0)
+    pq.pq_upsert(spark, idx, dup, ivf_index=ivf)  # replayed batch
+    assert spark.read.parquet(idx.path).count() == n + dup.count()
+
+    idx2 = pq.pq_compact(spark, idx, base + "/codes_g1", dedup_ids=True)
+    codes = spark.read.parquet(idx2.path)
+    assert codes.count() == n
+    assert idx2.partition_col == "cluster_id"
+    assert "cluster_id" in codes.columns  # partition discovery intact
+    assert pq.load_pq_index(idx2.path).partition_col == "cluster_id"
+
+    # ADC results over the deduped generation == over the pre-dup index
+    a = [(r.id, round(r.score, 9)) for r in pq.pq_adc_topk(
+        spark, idx2, _qvec(spark), k=10).collect()]
+    # compare against a fresh dup-free build
+    ivf2 = ivf_mod.build_ivf_index(spark, embs, base + "/ivf2", n_clusters=4, seed=42)
+    clean = pq.build_ivfpq_index(spark, ivf2, base + "/codes_clean", m=8, normalize=True)
+    b = [(r.id, round(r.score, 9)) for r in pq.pq_adc_topk(
+        spark, clean, _qvec(spark), k=10).collect()]
+    assert a == b

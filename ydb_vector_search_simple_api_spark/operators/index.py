@@ -507,9 +507,14 @@ def ivf_compact(
 
     ``dedup_ids=True`` additionally keeps one row per id (replayed
     streaming batches can re-append rows — see
-    streaming/index_ingest.py); dedup rides the SAME shuffle the
-    compaction already pays (dropDuplicates partial-aggregates
-    map-side on the id key before the exchange).
+    streaming/index_ingest.py). This costs a SECOND exchange (the
+    dedup aggregate hashes on id, the compaction repartition on
+    cluster_id[+salt]) — accepted for an offline generation rewrite
+    because it makes dedup unconditional: it collapses same-id rows
+    even if two versions carry different vectors and were routed to
+    different clusters, which any single-shuffle per-partition scheme
+    keyed on (cluster_id, id) could not. Map-side partial aggregation
+    still shrinks the dedup exchange to distinct ids.
     """
     if files_per_cluster < 1:
         raise ValueError("files_per_cluster must be a positive integer")

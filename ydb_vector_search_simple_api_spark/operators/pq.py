@@ -282,12 +282,60 @@ def pq_upsert(
                 out[part_col] = d2.argmin(axis=1).astype(np.int32)
             yield pd.DataFrame(out)
 
-    n = src.count()
-    writer = src.mapInPandas(encode, schema=out_schema).write.mode("append")
-    if part_col:
-        writer = writer.partitionBy(part_col)
-    writer.parquet(index.path)
+    # persist so the count and the write see ONE evaluation (same
+    # non-deterministic-source hazard ivf_upsert guards against)
+    src.persist()
+    try:
+        n = src.count()
+        writer = src.mapInPandas(encode, schema=out_schema).write.mode("append")
+        if part_col:
+            writer = writer.partitionBy(part_col)
+        writer.parquet(index.path)
+    finally:
+        src.unpersist()
     return n
+
+
+def pq_compact(
+    spark: SparkSession,
+    index: PqIndex,
+    out_dir: str,
+    dedup_ids: bool = False,
+) -> PqIndex:
+    """Compaction for the CODES layout — the PQ twin of
+    ``index.ivf_compact``: rewrite the (append-churned) codes into a
+    NEW immutable generation, preserving the hive partitioning when
+    the layout has one (IVFADC), then flip the serving pointer.
+
+    ``dedup_ids=True`` keeps one row per id — the mitigation for
+    streaming replay duplicates (``stream_ivfpq_ingest``'s foreachBatch
+    re-appends on recovery); without it a duplicated id occupies two
+    of the k slots in pure-ADC results forever. Run alongside
+    ``ivf_compact(dedup_ids=True)`` so the vector and codes
+    generations stay consistent."""
+    df = spark.read.parquet(index.path)
+    if dedup_ids:
+        df = df.dropDuplicates(["id"])
+    part_col = index.partition_col
+    if part_col:
+        shuffled = df.repartition(F.col(part_col))
+        writer = shuffled.write.mode("overwrite").partitionBy(part_col)
+    else:
+        writer = df.coalesce(
+            max(1, spark.sparkContext.defaultParallelism)
+        ).write.mode("overwrite")
+    writer.parquet(out_dir)
+    import shutil
+
+    shutil.copyfile(
+        os.path.join(index.path, _META_FILE), os.path.join(out_dir, _META_FILE)
+    )
+    return PqIndex(
+        path=out_dir, m=index.m, nbits=index.nbits, dim=index.dim,
+        normalize=index.normalize, codebooks=index.codebooks,
+        id_col=index.id_col, vec_col=index.vec_col,
+        partition_col=part_col,
+    )
 
 
 def load_pq_index(path: str) -> PqIndex:

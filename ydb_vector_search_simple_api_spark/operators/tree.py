@@ -128,9 +128,13 @@ def build_kmeans_tree(
     if fit_sample_rows is not None:
         if fit_sample_rows < n_l1 * fanout:
             raise ValueError("fit_sample_rows must be >= n_l1 * fanout")
+        # persist the sample: the TakeOrdered sampling pass scans the
+        # corpus once; without the persist both the L1 KMeans fit and
+        # the L2 per-cell fit below would re-run that scan
         fit_input = (
             feats.orderBy(F.abs(F.xxhash64(F.col("id"))).asc(), F.col("id").asc())
             .limit(fit_sample_rows)
+            .persist()
         )
     model = KMeans(k=n_l1, seed=seed, featuresCol="features").fit(fit_input)
     assigned = model.transform(feats).select(
@@ -169,12 +173,16 @@ def build_kmeans_tree(
             "id", "embedding", F.col("prediction").alias("l1")
         )
     )
-    cent_rows = (
-        l2_fit.select("id", "embedding", "l1")
-        .groupBy("l1")
-        .applyInPandas(_fit_cell, schema=cent_schema)
-        .collect()
-    )
+    try:
+        cent_rows = (
+            l2_fit.select("id", "embedding", "l1")
+            .groupBy("l1")
+            .applyInPandas(_fit_cell, schema=cent_schema)
+            .collect()
+        )
+    finally:
+        if fit_sample_rows is not None:
+            fit_input.unpersist()
     l1_centers = [
         np.asarray(c, dtype=np.float64) for c in model.clusterCenters()
     ]

@@ -35,10 +35,12 @@ file feeds exactly one COMMITTED batch, but a batch that fails after
 its append re-runs and re-appends — duplicate (id, embedding) rows.
 A duplicated row scores identically, so result QUALITY is unaffected,
 but it occupies an extra top-k slot until removed; run
-``ivf_compact(..., dedup_ids=True)`` on the usual compaction cadence
-to fold replay duplicates away, or for strict once-only ingest land
-the stream into a staging directory and ``ivf_upsert`` the
-deduplicated batch — the operator composition is the same.
+``ivf_compact(..., dedup_ids=True)`` — and, for the IVFADC pair,
+``pq.pq_compact(..., dedup_ids=True)`` over the codes layout — on the
+usual compaction cadence to fold replay duplicates away, or for
+strict once-only ingest land the stream into a staging directory and
+``ivf_upsert`` the deduplicated batch — the operator composition is
+the same.
 """
 
 from __future__ import annotations
@@ -181,11 +183,26 @@ def parquet_vector_stream(
     path: str,
     id_col: str = "id",
     vec_col: str = "embedding",
+    schema=None,
 ) -> DataFrame:
     """Streaming file-source over a directory of (id, embedding)
     parquet drops — the standard landing-zone shape for embedding
     pipelines (an upstream job writes a file per shard; the stream
-    picks each up exactly once via the checkpoint). The schema comes
-    from a driver-side footer read, like ``events._events_stream``."""
-    schema = spark.read.parquet(path).select(id_col, vec_col).schema
+    picks each up exactly once via the checkpoint).
+
+    Without ``schema`` the schema comes from a driver-side footer read
+    (like ``events._events_stream``) — which requires at least one
+    shard to already exist. To wire the stream BEFORE the first drop
+    lands (the usual deployment order), pass the schema explicitly,
+    e.g. ``T.StructType([T.StructField("id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType()))])``."""
+    if schema is None:
+        try:
+            schema = spark.read.parquet(path).select(id_col, vec_col).schema
+        except Exception as exc:
+            raise ValueError(
+                f"cannot infer the stream schema from {path!r} (missing or "
+                "empty landing directory); pass schema= to start the stream "
+                "before the first shard lands"
+            ) from exc
     return spark.readStream.schema(schema).parquet(path).select(id_col, vec_col)
