@@ -292,6 +292,36 @@ def _mk_ivf_filtered(strategy: str, k: int, filter: dict, width: int | None = No
     return run
 
 
+def _mk_ivf_knn_join_filtered(
+    strategy: str, k: int, n_queries: int, filter: dict, width: int | None = None
+):
+    """Filtered batch ANN join (distributed routing): neighbors only
+    among corpus rows passing the filter. width=None -> full width, so
+    == filtered exact knn_join (strong oracle)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ydb_vector_search_simple_api_spark.operators.search import (
+            filtered_doc_ids,
+        )
+
+        idx = _ivf_index(spark, sf_dir)
+        flt_ids = filtered_doc_ids(spark, sf_dir, filter)
+        queries_df = load_embeddings(spark, sf_dir).filter(
+            F.col("vec_id") < n_queries
+        ).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return ivf.ivf_knn_join_distributed(
+            spark, idx, queries_df, k=k, strategy=strategy,
+            search_top_size=width or idx.n_clusters, round_digits=ROUND,
+            filter_ids=flt_ids,
+        )
+
+    return run
+
+
 def _mk_tree_filtered(strategy: str, k: int, filter: dict, width: int | None = None):
     """Filtered ANN through the two-level tree (same non-strict
     contract as _mk_ivf_filtered); width=None -> full width == exact."""
@@ -606,6 +636,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["topk_cosine_filtered_tree"] = _mk_tree_filtered(
         "CosineSimilarity", k=10, filter={"vendor": "fr"}, width=None
     )
+    # siblings: ivf_knn_join_dist + topk_cosine_filtered_ivf (the
+    # filtered BATCH ANN join: corpus restricted to the filter's id
+    # set before the assignment join; full width == filtered knn_join)
+    q["ivf_knn_join_filtered"] = _mk_ivf_knn_join_filtered(
+        "CosineSimilarity", k=5, n_queries=8, filter={"vendor": "fr"}, width=None
+    )
     # sibling: kmeans_tree_full (same full-width == exact oracle; the
     # flat single-level IVF variant of the same index operator)
     q["ivf_cosine_full_width"] = _mk_ivf("CosineSimilarity", k=10, width=None)
@@ -724,6 +760,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["topk_cosine_filtered_tree"] = oracles.topk_ids_sql(
         "CosineSimilarity", k=10, filter_sql="lang = 'fr'"
+    )
+    o["ivf_knn_join_filtered"] = oracles.knn_join_sql(
+        "CosineSimilarity", k=5, n_queries=8, filter_sql="lang = 'fr'"
     )
     o["topk_cosine_default_k"] = oracles.topk_sql("CosineSimilarity", k=4)
     o["knn_join_cosine"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)

@@ -233,3 +233,66 @@ def test_sampled_fit_tree_full_width_exact(spark, tmp_path_factory, qvec):
         kmt.build_kmeans_tree(
             spark, embs, out + "_bad", n_l1=3, fanout=3, fit_sample_rows=5
         )
+
+
+def test_tree_upsert_appends_and_stays_exact(spark, tmp_path_factory):
+    """tree_upsert routes new vectors to build-consistent leaves;
+    full-width search over the upserted tree == exact over the union,
+    and the self-match of an upserted row serves immediately."""
+    base = str(tmp_path_factory.mktemp("kmt_upsert"))
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    first = embs.filter(F.col("id") % 2 == 0)
+    second = embs.filter(F.col("id") % 2 == 1)
+    idx = kmt.build_kmeans_tree(
+        spark, first, base + "/tree", n_l1=N_L1, fanout=FANOUT, seed=42
+    )
+    stats = kmt.tree_upsert(spark, idx, second)
+    assert stats["n_appended"] == second.count()
+    assert stats["max_assign_l2"] > 0.0
+    assert sum(stats["per_leaf"].values()) == stats["n_appended"]
+    assert spark.read.parquet(idx.path).count() == embs.count()
+
+    qrow = embs.filter(F.col("id") == 1).head()
+    qv = [float(x) for x in qrow.embedding]
+    got = [r.id for r in kmt.tree_search(spark, idx, qv, k=10).collect()]
+    assert got == _exact_ids(spark, qv, 10, "CosineSimilarity")
+    assert got[0] == 1
+
+    # mismatched dims dropped, not mis-routed
+    bad = spark.createDataFrame(
+        [(999999, [1.0, 2.0])], "id long, embedding array<float>"
+    )
+    assert kmt.tree_upsert(spark, idx, bad)["n_appended"] == 0
+
+
+def test_tree_compact_dedups_and_preserves_results(spark, tmp_path_factory):
+    import glob
+
+    base = str(tmp_path_factory.mktemp("kmt_compact"))
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = kmt.build_kmeans_tree(
+        spark, embs, base + "/g0", n_l1=N_L1, fanout=FANOUT, seed=42
+    )
+    dup = embs.filter(F.col("id") % 3 == 0)
+    for _ in range(2):  # churn + replay duplicates
+        kmt.tree_upsert(spark, idx, dup)
+    n_files_before = len(glob.glob(base + "/g0/l1=*/l2=*/*.parquet"))
+
+    idx2 = kmt.tree_compact(spark, idx, base + "/g1", dedup_ids=True)
+    n_files_after = len(glob.glob(base + "/g1/l1=*/l2=*/*.parquet"))
+    assert n_files_after < n_files_before
+    assert spark.read.parquet(idx2.path).count() == embs.count()
+
+    qrow = embs.filter(F.col("id") == 3).head()
+    qv = [float(x) for x in qrow.embedding]
+    a = [(r.id, round(r.score, 6)) for r in kmt.tree_search(
+        spark, idx2, qv, k=10, round_digits=6).collect()]
+    b = [(r.id, round(r.score, 6)) for r in kmt.tree_search(
+        spark, kmt.build_kmeans_tree(
+            spark, embs, base + "/clean", n_l1=N_L1, fanout=FANOUT, seed=42
+        ), qv, k=10, round_digits=6).collect()]
+    assert a == b

@@ -201,11 +201,17 @@ def ivf_knn_join_distributed(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     round_digits: int | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch ANN join with NO driver-side query collect: the scale
     path for the large-query-batch regime (embed 10^6+ rows, find
     neighbors for all of them), where :func:`ivf_knn_join`'s
     driver-side centroid ranking loop would bottleneck.
+
+    ``filter_ids`` (1-column ``id`` DataFrame) restricts the CORPUS
+    side before the assignment join — "neighbors among documents
+    passing the filter", the batch twin of the non-strict filtered
+    serving path. Exact (== filtered knn_join) at full width.
 
     The centroid matrix (n_clusters x dim, a few KB) ships inside an
     Arrow-batched pandas UDF that replays ``_rank_centroids``'
@@ -280,6 +286,8 @@ def ivf_knn_join_distributed(
     )
 
     corpus = spark.read.parquet(index.path)
+    if filter_ids is not None:
+        corpus = corpus.join(filter_ids, "id", "left_semi")
     scored = corpus.join(assignment, "cluster_id", "inner").withColumn(
         "score", score_expr(strategy, F.col("embedding"), F.col("query_vec"))
     )
@@ -311,9 +319,12 @@ def ivf_knn_join(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     round_digits: int | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch ANN join through the IVF index: every query is matched
     only against its ``search_top_size`` nearest clusters.
+    ``filter_ids`` restricts the corpus side after partition pruning
+    (same contract as :func:`ivf_knn_join_distributed`).
 
     The 100 TB shape for "embed a query batch, find neighbors for all
     of them": per-query candidate clusters are ranked driver-side
@@ -363,6 +374,8 @@ def ivf_knn_join(
     corpus = spark.read.parquet(index.path).filter(
         F.col("cluster_id").isin(needed)  # static partition pruning
     )
+    if filter_ids is not None:
+        corpus = corpus.join(filter_ids, "id", "left_semi")
     scored = corpus.join(
         F.broadcast(assignment), "cluster_id", "inner"
     ).withColumn(

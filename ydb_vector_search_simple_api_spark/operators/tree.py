@@ -358,6 +358,127 @@ def tree_search(
     )
 
 
+def tree_upsert(
+    spark: SparkSession,
+    index: KmeansTreeIndex,
+    new_df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental tree maintenance — the tree twin of
+    ``index.ivf_upsert``: route each new vector down the FROZEN tree
+    (nearest L1 centroid by L2, then nearest L2 centroid within that
+    cell — the same membership rule the build's assignment pass used)
+    and APPEND into the (l1, l2) leaf directory. One Arrow pass
+    computes the leaf and the assignment distance; searches see new
+    rows immediately (leaf pruning is directory-based).
+
+    Centroids stay frozen; the returned stats (per-leaf counts +
+    ``max_assign_l2``) feed the rebuild trigger, exactly as for the
+    flat index. Rows with a mismatched vector length are dropped.
+    Returns {"n_appended", "per_leaf", "max_assign_l2"}.
+    """
+    import pandas as pd
+
+    c1 = index.centroids_l1
+    c2 = index.centroids_l2
+    dim = c1.shape[1]
+
+    def _route_fn(vecs):
+        l1s, l2s, ds = [], [], []
+        for v in vecs:
+            if v is None or len(v) != dim:
+                l1s.append(None)
+                l2s.append(None)
+                ds.append(None)
+                continue
+            q = np.asarray(v, dtype=np.float64)
+            d1 = ((c1 - q) ** 2).sum(axis=1)
+            l1 = int(d1.argmin())
+            kids = c2[l1]
+            if len(kids) == 0:
+                l2, d = 0, float(np.sqrt(d1[l1]))
+            else:
+                d2 = ((kids - q) ** 2).sum(axis=1)
+                l2 = int(d2.argmin())
+                d = float(np.sqrt(d2[l2]))
+            l1s.append(l1)
+            l2s.append(l2)
+            ds.append(d)
+        return pd.DataFrame({"l1": l1s, "l2": l2s, "d": ds})
+
+    _route_udf = F.pandas_udf(
+        _route_fn,
+        T.StructType(
+            [
+                T.StructField("l1", T.IntegerType()),
+                T.StructField("l2", T.IntegerType()),
+                T.StructField("d", T.DoubleType()),
+            ]
+        ),
+    )
+
+    assigned = (
+        new_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("embedding"))
+        .withColumn("a", _route_udf(F.col("embedding")))
+        .select(
+            "id", "embedding",
+            F.col("a.l1").alias("l1"), F.col("a.l2").alias("l2"),
+            F.col("a.d").alias("d"),
+        )
+        .filter(F.col("l1").isNotNull())
+    )
+    # one evaluation feeds both the write and the stats (ivf_upsert's
+    # non-deterministic-source guard)
+    assigned.persist()
+    try:
+        assigned.drop("d").write.mode("append").partitionBy("l1", "l2").parquet(
+            index.path
+        )
+        stats = (
+            assigned.groupBy("l1", "l2")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("d").alias("max_d"))
+            .collect()
+        )
+    finally:
+        assigned.unpersist()
+    per_leaf = {(int(r.l1), int(r.l2)): int(r.n) for r in stats}
+    return {
+        "n_appended": sum(per_leaf.values()),
+        "per_leaf": per_leaf,
+        "max_assign_l2": max((float(r.max_d) for r in stats), default=0.0),
+    }
+
+
+def tree_compact(
+    spark: SparkSession,
+    index: KmeansTreeIndex,
+    out_dir: str,
+    dedup_ids: bool = False,
+) -> KmeansTreeIndex:
+    """Generation-based compaction for the tree layout — the tree twin
+    of ``index.ivf_compact``: rewrite append churn into a NEW immutable
+    generation (~one file per leaf directory), centroids carried over,
+    serving flips the pointer. ``dedup_ids=True`` keeps one row per id
+    (streaming replay duplicates; costs its own exchange, same
+    unconditional-dedup argument as ivf_compact)."""
+    import shutil
+
+    df = spark.read.parquet(index.path)
+    if dedup_ids:
+        df = df.dropDuplicates(["id"])
+    (
+        df.repartition(max(1, index.n_leaves), "l1", "l2")
+        .write.mode("overwrite")
+        .partitionBy("l1", "l2")
+        .parquet(out_dir)
+    )
+    shutil.copyfile(
+        os.path.join(index.path, _META_FILE), os.path.join(out_dir, _META_FILE)
+    )
+    return load_kmeans_tree(out_dir)
+
+
 def tree_knn_join_distributed(
     spark: SparkSession,
     index: KmeansTreeIndex,
@@ -370,11 +491,14 @@ def tree_knn_join_distributed(
     round_digits: int | None = None,
     top_l1: int | None = None,
     top_l2: int | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch ANN join through the tree with NO driver-side query
     collect — the tree twin of ``index.ivf_knn_join_distributed``.
     ``top_l1``/``top_l2`` override ``search_top_size`` per level, the
-    same knob resolution as :func:`tree_search`.
+    same knob resolution as :func:`tree_search`. ``filter_ids``
+    restricts the corpus side before the leaf join (the filtered
+    batch ANN contract shared with the IVF joins).
 
     Routing replays :func:`route` itself inside an Arrow-batched
     pandas UDF (the tree's centroid tensors are a few KB and ship in
@@ -433,6 +557,8 @@ def tree_knn_join_distributed(
     )
 
     corpus = spark.read.parquet(index.path)
+    if filter_ids is not None:
+        corpus = corpus.join(filter_ids, "id", "left_semi")
     scored = corpus.join(assignment, ["l1", "l2"], "inner").withColumn(
         "score", score_expr(strategy, F.col("embedding"), F.col("query_vec"))
     )

@@ -116,8 +116,16 @@ def knn_join_sql(
     k: int,
     n_queries: int,
     round_digits: int = ROUND_DIGITS,
+    filter_sql: str | None = None,
 ) -> str:
-    """Oracle for knn_join: per-query top-k via a ranked window."""
+    """Oracle for knn_join: per-query top-k via a ranked window.
+    ``filter_sql`` restricts the CORPUS side (the filtered batch ANN
+    join contract: neighbors only among documents passing the filter)."""
+    flt = (
+        f"WHERE e.vec_id IN (SELECT doc_id FROM documents WHERE {filter_sql})"
+        if filter_sql
+        else ""
+    )
     return f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}
@@ -126,6 +134,7 @@ scored AS (
   SELECT q.query_id AS query_id, e.vec_id AS id,
          ROUND({score_sql(strategy)}, {round_digits}) + 0.0 AS score
   FROM embeddings e, q
+  {flt}
 ),
 ranked AS (
   SELECT query_id, id, score,
