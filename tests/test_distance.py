@@ -5,7 +5,6 @@ from __future__ import annotations
 import math
 
 import pytest
-from pyspark.sql import functions as F
 
 from ydb_vector_search_simple_api_spark.functions import distance as D
 

@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import pytest
-
 from ydb_vector_search_simple_api_spark.operators import relational as R
 from ydb_vector_search_simple_api_spark.plans import checks
 
