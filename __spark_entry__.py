@@ -97,6 +97,50 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> ivf.IvfIndex:
     return _IVF_CACHE[key]
 
 
+_BQ_CACHE: dict[str, "bq_mod.BqIndex"] = {}
+
+
+def _bq_index(spark: SparkSession, sf_dir: str):
+    from ydb_vector_search_simple_api_spark.operators import bq as bq_mod
+
+    key = sf_dir
+    if key not in _BQ_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(), f"svs_bq_{tag}")
+        marker = os.path.join(out, "_bq_meta.json")
+        if os.path.exists(marker):
+            _BQ_CACHE[key] = bq_mod.load_bq_index(out)
+        else:
+            from pyspark.sql import functions as F
+
+            embs = load_embeddings(spark, sf_dir).select(
+                F.col("vec_id").alias("id"), "embedding"
+            )
+            _BQ_CACHE[key] = bq_mod.build_bq_index(spark, embs, out)
+    return _BQ_CACHE[key]
+
+
+def _mk_bq_rerank(strategy: str, k: int, shortlist: int | None):
+    """Sign-bit Hamming shortlist -> exact rerank (operators/bq.py);
+    shortlist=None keeps every row => exact (strong oracle)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ydb_vector_search_simple_api_spark.operators import bq as bq_mod
+
+        idx = _bq_index(spark, sf_dir)
+        src = load_embeddings(spark, sf_dir).select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+        return bq_mod.bq_search_rerank(
+            spark, idx, src, _query_vec(spark, sf_dir), k=k,
+            strategy=strategy, shortlist=shortlist, round_digits=ROUND,
+        )
+
+    return run
+
+
 _PQ_CACHE: dict[str, "pq_mod.PqIndex"] = {}
 PQ_M = 8
 
@@ -351,6 +395,21 @@ def _mk_topk(strategy: str, k: int, filter: dict | None = None):
     return run
 
 
+def _mk_sql_topk(strategy: str, k: int, filter: dict | None = None):
+    """Top-k through the SQL-string surface (sql_surface.py): same
+    oracle family as the library-path topk entries."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ydb_vector_search_simple_api_spark import sql_surface
+
+        return sql_surface.sql_search(
+            spark, sf_dir, _query_vec(spark, sf_dir), k=k,
+            strategy=strategy, filter=filter, round_digits=ROUND,
+        )
+
+    return run
+
+
 def _mk_knn_join(strategy: str, k: int, n_queries: int):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -590,9 +649,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ntile bucket assignment over the aggregated customer table
     # (window-function family flagship, promoted in-cap in round 3)
     q["customer_revenue_deciles"] = relational.customer_revenue_deciles
-    # pivot to wide per-user counts + the unpivot round-trip
+    # pivot to wide per-user counts (the unpivot round-trip twin rides
+    # the overflow window — same melt/stack family)
     q["user_event_pivot"] = relational.user_event_pivot
-    q["user_event_unpivot"] = relational.user_event_unpivot
+    # the SQL-string query surface: the reference's YQL template twin
+    # (app.py:165-227) through Spark 4 SQL scalar UDFs (knn_* namespace)
+    # + parameterized spark.sql binding — result-identical to the
+    # library path, distinct execution surface (sql_surface.py)
+    q["sql_topk_cosine"] = _mk_sql_topk("CosineSimilarity", k=10)
     # as-of join (union+window formulation; DuckDB native ASOF oracle)
     q["purchase_attribution"] = asof.purchase_attribution
 
@@ -671,6 +735,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["split_sizes"] = sampling.split_sizes
     # sibling: orders_rollup (same Expand-based grouping-set agg)
     q["orders_cube"] = relational.orders_cube
+    # sibling: user_event_pivot (the unpivot/melt round-trip twin —
+    # rotated out of the cap in round 3 for the SQL-surface entry)
+    q["user_event_unpivot"] = relational.user_event_unpivot
+    # sibling: sql_topk_cosine (same SQL-string surface, filtered
+    # template branch + filter-value parameter binding)
+    q["sql_topk_filtered"] = _mk_sql_topk(
+        "CosineSimilarity", k=10, filter={"vendor": "fr"}
+    )
+    # sibling: pq_rerank_full (same shortlist->exact-rerank family;
+    # this one's first pass is the pure-codegen sign-bit Hamming scan,
+    # operators/bq.py — full shortlist == exact)
+    q["bq_rerank_full"] = _mk_bq_rerank("CosineSimilarity", k=10, shortlist=None)
     # siblings: dedup_exact_groups + chunk_documents (this composes the
     # two driver-checked pieces: md5-groupBy election at chunk grain)
     q["chunk_dedup"] = lambda s, d: dedup.chunk_dedup_stats(s, d)
@@ -732,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ivfpq_topk_width2"] = _mk_ivfpq(
         "CosineSimilarity", k=10, width=2, rerank=64
     )
+    # sign-bit Hamming shortlist at 1/5 of the corpus, exact rerank
+    # (approximate; recall contract pinned in tests/test_bq.py)
+    q["bq_topk_shortlist"] = _mk_bq_rerank("CosineSimilarity", k=10, shortlist=100)
     # compressed-domain batch ANN join (ADC estimate scores; recall vs
     # the exact join + determinism pinned in tests/test_pq.py)
     q["pq_knn_join"] = _mk_pq_knn_join("CosineSimilarity", k=5, n_queries=8)
@@ -751,6 +830,12 @@ def oracle_sql() -> dict[str, str]:
     o["topk_cosine_filtered"] = oracles.topk_sql(
         "CosineSimilarity", k=10, filter_sql="lang = 'fr'"
     )
+    # SQL-string surface: result-identical to the library topk path,
+    # so it shares the same oracle family
+    o["sql_topk_cosine"] = oracles.topk_sql("CosineSimilarity", k=10)
+    o["sql_topk_filtered"] = oracles.topk_sql(
+        "CosineSimilarity", k=10, filter_sql="lang = 'fr'"
+    )
     o["topk_cosine_filtered2"] = oracles.topk_sql(
         "CosineSimilarity", k=10, filter_sql="lang = 'de' AND source = 'src3'"
     )
@@ -761,6 +846,8 @@ def oracle_sql() -> dict[str, str]:
     o["topk_cosine_filtered_tree"] = oracles.topk_ids_sql(
         "CosineSimilarity", k=10, filter_sql="lang = 'fr'"
     )
+    # BQ full shortlist == exact (id, score) top-k
+    o["bq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     o["ivf_knn_join_filtered"] = oracles.knn_join_sql(
         "CosineSimilarity", k=5, n_queries=8, filter_sql="lang = 'fr'"
     )

@@ -1,0 +1,226 @@
+"""Binary quantization (BQ) — 1-bit-per-dimension ANN scale path.
+
+Public-knowledge basis: sign-bit quantization / binary hashing for
+angular similarity (Charikar, "Similarity Estimation Techniques from
+Rounding Algorithms", STOC 2002: the sign pattern of a vector is an
+LSH family for cosine; Hamming distance between sign patterns
+estimates the angle). The identity-projection special case used here
+(sign of each coordinate) is the standard "binary quantization" of
+vector databases.
+
+Why it matters at 100 TB: a float32 corpus at dim 64 is 256 bytes per
+vector; sign bits are 8 bytes — a 32x scan-size cut like PQ
+(operators/pq.py) but with a *pure-JVM* query path: Hamming distance
+is ``bit_count(a XOR b)`` over packed 64-bit words, a whole-stage
+codegen expression. No Python boundary, no broadcast lookup table —
+the cheapest possible first-pass filter, at the cost of a coarser
+approximation than PQ's ADC (1 bit vs 8 bits per subdimension).
+
+Spark-native shape:
+
+* **Encode** (distributed, zero shuffle): one Arrow-batched
+  ``mapInPandas`` pass packs ``sign(x) > 0`` bits into
+  ``array<bigint>`` words (NumPy packbits). Build-time only.
+* **Hamming scan** (distributed, zero shuffle, zero Python): the query
+  word array is a literal; per-row distance is
+  ``aggregate(zip_with(bits, qbits, (x, y) -> bit_count(x ^ y)), 0, +)``
+  — all inside codegen over the narrow (id, bits) table.
+* **Shortlist**: ``ORDER BY hamming LIMIT shortlist`` compiles to
+  TakeOrderedAndProject (per-partition heap; only ``shortlist`` rows
+  per partition reach the driver merge).
+* **Rerank**: shortlist ids semi-join back into the full-precision
+  vector table (broadcast — a shortlist is small by construction) and
+  the exact strategy score re-ranks (same Column expressions as
+  exact_search). With ``shortlist >= corpus`` the result is EXACT for
+  every strategy — the oracle-gate variant; pruned shortlists trade
+  recall for scan width, recall contract pinned in tests/test_bq.py.
+
+The Hamming pre-filter approximates ANGULAR closeness: it is a strong
+proxy for Cosine/InnerProduct (and exact-rerank fixes ranking); for
+Euclidean/Manhattan on non-normalized data it is weaker — documented,
+and the full-shortlist path stays exact regardless.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import validate_strategy
+from ..functions.distance import score_expr
+from .search import _order_cols
+
+
+@dataclass(frozen=True)
+class BqIndex:
+    """A persisted (id, bits) sign-bit table beside its source."""
+
+    path: str
+    dim: int
+    n_words: int
+    n_rows: int
+
+
+def _pack_bits(X: np.ndarray) -> np.ndarray:
+    """Sign bits of (n, dim) float rows packed into (n, n_words) int64
+    words, big-endian within each word. NaN packs as 0 (not > 0)."""
+    n, dim = X.shape
+    bits = (X > 0).astype(np.uint8)
+    pad = (-dim) % 64
+    if pad:
+        bits = np.concatenate([bits, np.zeros((n, pad), dtype=np.uint8)], axis=1)
+    by = np.packbits(bits, axis=1)  # (n, (dim+pad)/8) big-endian bytes
+    by = by.reshape(n, -1, 8).astype(np.uint64)
+    words = np.zeros((n, by.shape[1]), dtype=np.uint64)
+    for j in range(8):
+        words |= by[:, :, j] << np.uint64(8 * (7 - j))
+    return words.view(np.int64)
+
+
+def pack_query_bits(vec: Sequence[float]) -> list[int]:
+    """Driver-side sign-bit packing of a single query vector."""
+    return [int(w) for w in _pack_bits(np.asarray([vec], dtype=np.float64))[0]]
+
+
+def n_words_for(dim: int) -> int:
+    return (dim + 63) // 64
+
+
+def encode_binary(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "id", dim: int | None = None
+) -> DataFrame:
+    """Distributed sign-bit encode: (id, bits array<bigint>).
+
+    ``dim`` is required knowledge for the word count; when omitted it
+    is taken from the first row (one tiny driver action) — pass it
+    explicitly in pipelines (same no-hidden-driver-action rule as the
+    SRP LSH operator, operators/dedup.py)."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = int(first["d"])
+    nw = n_words_for(dim)
+    out_schema = f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, bits array<bigint>"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]], dtype=np.float64
+            )
+            words = _pack_bits(X)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "bits": [list(r) for r in words]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
+
+
+def build_bq_index(
+    spark: SparkSession,
+    src: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    dim: int | None = None,
+) -> BqIndex:
+    """Encode + persist the narrow (id, bits) table. One pass over the
+    source, no shuffle, no driver collect of data rows."""
+    if dim is None:
+        first = src.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot build a BQ index over an empty source")
+        dim = int(first["d"])
+    bits_df = encode_binary(src, vec_col=vec_col, id_col=id_col, dim=dim)
+    bits_df.write.mode("overwrite").parquet(os.path.join(path, "bits"))
+    n_rows = spark.read.parquet(os.path.join(path, "bits")).count()
+    meta = {"dim": dim, "n_words": n_words_for(dim), "n_rows": n_rows, "id_col": id_col}
+    with open(os.path.join(path, "_bq_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return BqIndex(path=path, dim=dim, n_words=n_words_for(dim), n_rows=n_rows)
+
+
+def load_bq_index(path: str) -> BqIndex:
+    with open(os.path.join(path, "_bq_meta.json")) as f:
+        meta = json.load(f)
+    return BqIndex(
+        path=path, dim=meta["dim"], n_words=meta["n_words"], n_rows=meta["n_rows"]
+    )
+
+
+def hamming_expr(bits_col, query_words: Sequence[int]) -> Column:
+    """``popcount(bits XOR qbits)`` summed over words — pure codegen."""
+    q = F.array(*[F.lit(int(w)).cast("long") for w in query_words])
+    col = F.col(bits_col) if isinstance(bits_col, str) else bits_col
+    per_word = F.zip_with(col, q, lambda x, y: F.bit_count(x.bitwiseXOR(y)))
+    return F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
+
+
+def bq_shortlist(
+    spark: SparkSession,
+    index: BqIndex,
+    query_vec: Sequence[float],
+    shortlist: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Top-``shortlist`` ids by Hamming distance to the query's sign
+    bits (ascending, id tiebreak). Narrow scan, TakeOrderedAndProject."""
+    if len(query_vec) != index.dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {index.dim}")
+    bits = spark.read.parquet(os.path.join(index.path, "bits"))
+    qw = pack_query_bits(query_vec)
+    return (
+        bits.withColumn("hamming", hamming_expr("bits", qw))
+        .select(id_col, "hamming")
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(int(shortlist))
+    )
+
+
+def bq_search_rerank(
+    spark: SparkSession,
+    index: BqIndex,
+    src: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    strategy: str = "CosineSimilarity",
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Hamming shortlist -> exact re-rank -> (id, score) top-k.
+
+    ``shortlist=None`` (or >= corpus) keeps every row: the Hamming
+    pass is then a no-op filter and the result is EXACT top-k for any
+    strategy — the oracle-gate configuration. Pruned shortlists cut
+    the rerank join to ``shortlist`` rows (recall tested)."""
+    validate_strategy(strategy)
+    if not isinstance(k, int) or k < 1:
+        raise ValueError("k must be a positive integer")
+    n_short = index.n_rows if shortlist is None else int(shortlist)
+
+    cand = bq_shortlist(spark, index, query_vec, n_short, id_col=id_col)
+    vecs = src.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+    # shortlist rows are few by construction: broadcast them into the
+    # vector table so the rerank reads only matching row groups
+    joined = vecs.join(F.broadcast(cand.select(id_col)), id_col, "inner")
+
+    score = score_expr(strategy, F.col(vec_col), query_vec)
+    if round_digits is not None:
+        score = F.round(score, round_digits) + F.lit(0.0)
+    return (
+        joined.withColumn("score", score)
+        .select(F.col(id_col).alias("id"), "score")
+        .orderBy(*_order_cols(strategy))
+        .limit(k)
+    )
