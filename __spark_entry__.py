@@ -141,6 +141,26 @@ def _mk_bq_rerank(strategy: str, k: int, shortlist: int | None):
     return run
 
 
+def _mk_bq_knn_join(strategy: str, k: int, n_queries: int, shortlist: int | None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ydb_vector_search_simple_api_spark.operators import bq as bq_mod
+
+        idx = _bq_index(spark, sf_dir)
+        embs = load_embeddings(spark, sf_dir)
+        src = embs.select(F.col("vec_id").alias("id"), "embedding")
+        queries_df = embs.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return bq_mod.bq_knn_join(
+            spark, idx, src, queries_df, k=k, strategy=strategy,
+            shortlist=shortlist, round_digits=ROUND,
+        )
+
+    return run
+
+
 _PQ_CACHE: dict[str, "pq_mod.PqIndex"] = {}
 PQ_M = 8
 
@@ -747,6 +767,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this one's first pass is the pure-codegen sign-bit Hamming scan,
     # operators/bq.py — full shortlist == exact)
     q["bq_rerank_full"] = _mk_bq_rerank("CosineSimilarity", k=10, shortlist=None)
+    # sibling: knn_join_cosine (batch join through the sign-bit domain;
+    # full shortlist == the exact kNN join)
+    q["bq_knn_join_full"] = _mk_bq_knn_join(
+        "CosineSimilarity", k=5, n_queries=8, shortlist=None
+    )
     # siblings: dedup_exact_groups + chunk_documents (this composes the
     # two driver-checked pieces: md5-groupBy election at chunk grain)
     q["chunk_dedup"] = lambda s, d: dedup.chunk_dedup_stats(s, d)
@@ -846,8 +871,11 @@ def oracle_sql() -> dict[str, str]:
     o["topk_cosine_filtered_tree"] = oracles.topk_ids_sql(
         "CosineSimilarity", k=10, filter_sql="lang = 'fr'"
     )
-    # BQ full shortlist == exact (id, score) top-k
+    # BQ full shortlist == exact (id, score) top-k / exact kNN join
     o["bq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
+    o["bq_knn_join_full"] = oracles.knn_join_sql(
+        "CosineSimilarity", k=5, n_queries=8
+    )
     o["ivf_knn_join_filtered"] = oracles.knn_join_sql(
         "CosineSimilarity", k=5, n_queries=8, filter_sql="lang = 'fr'"
     )

@@ -133,3 +133,63 @@ def test_compression_ratio(spark, bq_index):
     assert bq_index.n_words == 1
     assert bq_index.dim // (bq_index.n_words * 64) == 1
     assert bq_index.n_rows == 500
+
+
+def test_bq_knn_join_full_matches_exact_join(spark, bq_index):
+    from ydb_vector_search_simple_api_spark.operators.search import knn_join
+
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = bq.bq_knn_join(
+        spark, bq_index, _src(spark), queries, k=5, shortlist=None, round_digits=6
+    ).collect()
+    want = knn_join(spark, queries, _src(spark), k=5, round_digits=6).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_bq_knn_join_pruned_recall(spark, bq_index):
+    from ydb_vector_search_simple_api_spark.operators.search import knn_join
+
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = bq.bq_knn_join(spark, bq_index, _src(spark), queries, k=5, shortlist=100).collect()
+    want = knn_join(spark, queries, _src(spark), k=5).collect()
+    exact = {}
+    for r in want:
+        exact.setdefault(r.query_id, set()).add(r.id)
+    hit = sum(1 for r in got if r.id in exact[r.query_id])
+    assert hit / len(want) >= 0.7
+
+
+def test_bq_upsert_and_compact(spark, tmp_path):
+    src = _src(spark)
+    head = src.filter(F.col("id") < 400)
+    tail = src.filter(F.col("id") >= 400)
+    path = str(tmp_path / "bq_up")
+    idx = bq.build_bq_index(spark, head, path, dim=64)
+    assert idx.n_rows == 400
+    idx = bq.bq_upsert(spark, idx, tail)
+    assert idx.n_rows == 500
+    q = _qvec(spark)
+    got = bq.bq_search_rerank(
+        spark, idx, src, q, k=10, shortlist=None, round_digits=6
+    ).collect()
+    want = exact_search(spark, SF_SMALL, q, k=10, round_digits=6).collect()
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+    # replayed append -> duplicate ids; compact with dedup restores 1/row
+    idx2 = bq.bq_upsert(spark, idx, tail)
+    assert idx2.n_rows == 600
+    out = str(tmp_path / "bq_gen2")
+    idx3 = bq.bq_compact(spark, idx2, out, n_files=1, dedup_ids=True)
+    assert idx3.n_rows == 500
+    got2 = bq.bq_search_rerank(
+        spark, idx3, src, q, k=10, shortlist=None, round_digits=6
+    ).collect()
+    assert [(r.id, r.score) for r in got2] == [(r.id, r.score) for r in want]
+    import glob
+
+    assert len(glob.glob(f"{out}/bits/part-*.parquet")) == 1

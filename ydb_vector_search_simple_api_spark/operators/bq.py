@@ -186,6 +186,147 @@ def bq_shortlist(
     )
 
 
+def bq_upsert(
+    spark: SparkSession,
+    index: BqIndex,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+) -> BqIndex:
+    """Incremental maintenance: encode new rows and APPEND to the bits
+    table — same append-generation pattern as ``ivf_upsert``
+    (operators/index.py). No rebuild, no touch of existing files;
+    searches see the new rows on the next scan. Replayed/duplicate ids
+    are folded at the next ``bq_compact(dedup_ids=True)``."""
+    bits_df = encode_binary(new_df, vec_col=vec_col, id_col=id_col, dim=index.dim)
+    bits_df.persist()
+    try:
+        n_new = bits_df.count()
+        bits_df.write.mode("append").parquet(os.path.join(index.path, "bits"))
+    finally:
+        bits_df.unpersist()
+    out = BqIndex(
+        path=index.path, dim=index.dim, n_words=index.n_words,
+        n_rows=index.n_rows + n_new,
+    )
+    meta = {
+        "dim": out.dim, "n_words": out.n_words, "n_rows": out.n_rows,
+        "id_col": id_col,
+    }
+    with open(os.path.join(index.path, "_bq_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return out
+
+
+def bq_compact(
+    spark: SparkSession,
+    index: BqIndex,
+    out_dir: str,
+    n_files: int = 1,
+    dedup_ids: bool = False,
+    id_col: str = "id",
+) -> BqIndex:
+    """Generation rewrite: coalesce the append-churned bits table into
+    ``n_files`` files (immutable new generation, pointer flip — same
+    contract as ``ivf_compact``). ``dedup_ids=True`` keeps one row per
+    id (streaming replay hygiene; one extra keyed exchange)."""
+    if n_files < 1:
+        raise ValueError("n_files must be a positive integer")
+    df = spark.read.parquet(os.path.join(index.path, "bits"))
+    if dedup_ids:
+        df = df.dropDuplicates([id_col])
+    df.repartition(n_files).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "bits")
+    )
+    n_rows = spark.read.parquet(os.path.join(out_dir, "bits")).count()
+    meta = {
+        "dim": index.dim, "n_words": index.n_words, "n_rows": n_rows,
+        "id_col": id_col,
+    }
+    with open(os.path.join(out_dir, "_bq_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return BqIndex(
+        path=out_dir, dim=index.dim, n_words=index.n_words, n_rows=n_rows
+    )
+
+
+def bq_knn_join(
+    spark: SparkSession,
+    index: BqIndex,
+    src: DataFrame,
+    queries_df: DataFrame,
+    k: int,
+    strategy: str = "CosineSimilarity",
+    shortlist: int | None = None,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Batch ANN join through the sign-bit domain: for every query,
+    Hamming-shortlist candidates over the compressed bits table, then
+    exact-rerank the survivors. Output (query_id, id, score, rank) —
+    the contract of ``search.knn_join``; ``shortlist=None`` keeps
+    every candidate, making the result EXACT (oracle-gate variant).
+
+    Scale shape: the query side is encoded distributedly
+    (mapInPandas) then broadcast — both bits (8 bytes/64 dims) and
+    vectors, small by construction for a serving batch. The corpus
+    side is ONE scan of the bits table for ALL queries (codegen
+    bit_count over the broadcast-joined pairs); only
+    (query_id, id, hamming) int triples enter the per-query shortlist
+    window, and only ``nq x shortlist`` ids reach the full-precision
+    rerank join. Compare ``pq_knn_join`` (8-bit codes + Python ADC
+    gathers) vs this (1-bit codes, zero Python in the scan)."""
+    from pyspark.sql import Window
+
+    validate_strategy(strategy)
+    if not isinstance(k, int) or k < 1:
+        raise ValueError("k must be a positive integer")
+    n_short = index.n_rows if shortlist is None else int(shortlist)
+
+    qbits = encode_binary(queries_df, vec_col=query_vec, id_col=query_id, dim=index.dim)
+    bits = spark.read.parquet(os.path.join(index.path, "bits"))
+    pairs = bits.join(
+        F.broadcast(qbits.select(F.col(query_id).alias("query_id"), F.col("bits").alias("qbits")))
+    )
+    per_word = F.zip_with(
+        F.col("bits"), F.col("qbits"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
+    )
+    hamming = F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        pairs.withColumn("hamming", hamming)
+        .select("query_id", id_col, "hamming")
+        .withColumn("hrank", F.row_number().over(w_short))
+        .filter(F.col("hrank") <= n_short)
+        .select("query_id", id_col)
+    )
+
+    vecs = src.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+    qv = queries_df.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("query_vec")
+    )
+    scored = (
+        cand.join(vecs, id_col, "inner")
+        .join(F.broadcast(qv), "query_id", "inner")
+        .withColumn("score", score_expr(strategy, F.col(vec_col), F.col("query_vec")))
+    )
+    if round_digits is not None:
+        scored = scored.withColumn(
+            "score", F.round(F.col("score"), round_digits) + F.lit(0.0)
+        )
+    return (
+        scored.select("query_id", F.col(id_col).alias("id"), "score")
+        .withColumn("rank", F.row_number().over(Window.partitionBy("query_id").orderBy(*_order_cols(strategy))))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def bq_search_rerank(
     spark: SparkSession,
     index: BqIndex,
