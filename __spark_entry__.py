@@ -751,6 +751,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprints"] = textual.fingerprints
     # sibling: text_stats (lang_profile aggregates its columns)
     q["lang_profile"] = textual.lang_profile
+    # sibling: pii_redaction (same deterministic-augment + ordered
+    # regex-pass family: HTML/entity/case/whitespace normalization)
+    q["normalize_markup"] = textual.normalize_markup
+    # sibling: pii_redaction (regex extraction over the augmented
+    # corpus — the link-inventory primitive)
+    q["extract_urls"] = textual.extract_urls
     # sibling: document_splits (split_sizes aggregates it)
     q["split_sizes"] = sampling.split_sizes
     # sibling: orders_rollup (same Expand-based grouping-set agg)
@@ -928,6 +934,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["source_token_budget"] = oracles_curation.source_token_budget_sql(20000)
     o["pii_redaction"] = oracles_curation.pii_redaction_sql()
+    o["normalize_markup"] = oracles_text.normalize_markup_sql()
+    o["extract_urls"] = oracles_text.extract_urls_sql()
     o["curate_corpus"] = oracles_curation.curate_corpus_sql()
     o["curated_pack"] = oracles_curation.curated_pack_sql(
         oracles_text.chunk_documents_sql(64, 48), 256

@@ -32,3 +32,44 @@ def test_unigram_logprob_plan_broadcasts_freq_table(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the single-row total
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_normalize_markup_roundtrip(spark):
+    # tags/entities/case/whitespace removed; modulo spaces the cleaned
+    # text equals original + the deterministic tail (a tag boundary can
+    # split a word, so compare space-insensitively)
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import textual
+
+    d = textual.attach_markup(
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    )
+    norm = d.select(
+        "doc_id", "text",
+        textual.normalize_text_expr(F.col("raw_html")).alias("norm"),
+    )
+    expected = F.concat(
+        F.col("text"), F.lit(" & tail"),
+        (F.col("doc_id") % 97).cast("string"), F.lit(" <eof>"),
+    )
+    bad = norm.filter(
+        F.translate(F.col("norm"), " ", "") != F.translate(expected, " ", "")
+    ).count()
+    assert bad == 0
+    # no entities / uppercase / runs-of-space survive (note: "<eof>"
+    # DOES survive — it is decoded &lt;eof&gt; CONTENT, not markup)
+    assert (
+        norm.filter(
+            F.col("norm").rlike("&[a-z]+;|[A-Z]|  |<div|<b>|<br")
+        ).count()
+        == 0
+    )
+
+
+def test_extract_urls_one_per_doc(spark):
+    from ydb_vector_search_simple_api_spark.operators import textual
+
+    u = textual.extract_urls(spark, SF_SMALL).collect()
+    assert len(u) == 500
+    assert all(r.url == f"http://ex{r.doc_id % 7}.example.com/p{r.doc_id}" for r in u)

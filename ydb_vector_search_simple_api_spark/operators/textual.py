@@ -300,3 +300,81 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+# ------------------------------------------- markup normalization
+
+def attach_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic markup/noise augmentation for testing the
+    normalizer: the synthetic corpus is already clean (lowercase, no
+    tags, single spaces), so — same pattern as ``curation.attach_pii``
+    — each doc is wrapped in HTML-ish structure with entities, mixed
+    case and messy whitespace, all derived from ``doc_id``. Both Spark
+    and the DuckDB oracle build the identical string, so the gate
+    exercises the actual normalization passes, not a no-op."""
+    i = F.col("doc_id")
+    return df.withColumn(
+        "raw_html",
+        F.concat(
+            F.lit('<div class="c'), (i % 5).cast("string"), F.lit('">\t '),
+            F.lit("<b>"), F.upper(F.substring(F.col(text_col), 1, 10)),
+            F.lit("</b>"), F.substring(F.col(text_col), 11, 1000000),
+            F.lit("  &amp; tail"), (i % 97).cast("string"),
+            F.lit("&nbsp;&lt;eof&gt;<br/>\r\n</div>"),
+        ),
+    )
+
+
+#: ordered normalization passes: (pattern, replacement) — tag strip
+#: first, then entity decode, then whitespace collapse. Anchored to
+#: what both Java regex (Spark) and RE2 (DuckDB) interpret identically
+#: (explicit ASCII whitespace class, no lookaround).
+MARKUP_PASSES: tuple[tuple[str, str], ...] = (
+    (r"<[^>]*>", " "),      # strip tags (replaced by space: word boundary)
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"[ \t\r\n]+", " "),   # collapse runs of whitespace
+)
+
+
+def normalize_text_expr(col) -> "F.Column":
+    """lower → ordered regex passes → trim, as one codegen expression
+    chain (narrow map; zero shuffles — the 100 TB preprocessing shape)."""
+    t = F.lower(col if not isinstance(col, str) else F.col(col))
+    for pat, repl in MARKUP_PASSES:
+        t = F.regexp_replace(t, pat, repl)
+    return F.trim(t)
+
+
+def normalize_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate shape: (doc_id, n_chars_raw, n_chars_norm, clean_md5) over
+    the markup-augmented documents. The normalized text round-trips to
+    the original corpus text (tags/entities/case/whitespace noise all
+    removed) — asserted in tests/test_textual.py."""
+    d = attach_markup(load_documents(spark, sf_dir))
+    norm = normalize_text_expr(F.col("raw_html"))
+    return d.select(
+        "doc_id",
+        F.length("raw_html").alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("clean_md5"),
+    )
+
+
+def extract_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL inventory over the PII-augmented corpus: one row per
+    (doc_id, url) via regexp_extract_all + explode — the link-graph /
+    crawl-frontier primitive. Narrow map + explode, no shuffle."""
+    from .curation import attach_pii
+
+    d = attach_pii(load_documents(spark, sf_dir))
+    urls = F.regexp_extract_all(
+        F.col("pii_text"), F.lit(r"https?://[^ \t\r\n]+"), 0
+    )
+    return (
+        d.select("doc_id", F.explode(urls).alias("url"))
+        .orderBy("doc_id", "url")
+    )

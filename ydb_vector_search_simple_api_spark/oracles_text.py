@@ -476,3 +476,61 @@ SELECT doc_id,
 FROM toks JOIN freqs USING (tok), total
 GROUP BY doc_id, total.n
 """
+
+
+_AUG_HTML = (
+    "'<div class=\"c' || CAST(doc_id % 5 AS VARCHAR) || '\">' || chr(9) || ' <b>' || "
+    "upper(substr(text, 1, 10)) || '</b>' || substr(text, 11) || "
+    "'  &amp; tail' || CAST(doc_id % 97 AS VARCHAR) || "
+    "'&nbsp;&lt;eof&gt;<br/>' || chr(13) || chr(10) || '</div>'"
+)
+
+
+def normalize_markup_sql() -> str:
+    """Twin of :func:`operators.textual.normalize_markup`: identical
+    deterministic augmentation and the same ordered passes — DuckDB's
+    regexp_replace needs the 'g' flag for replace-all (Spark's default)."""
+    clean = "lower(raw_html)"
+    for pat, repl in (
+        (r"<[^>]*>", " "),
+        (r"&nbsp;", " "),
+        (r"&amp;", "&"),
+        (r"&lt;", "<"),
+        (r"&gt;", ">"),
+        (r"&quot;", '"'),
+        (r"[ \t\r\n]+", " "),
+    ):
+        repl_sql = repl.replace("'", "''").replace('"', '"')
+        clean = f"regexp_replace({clean}, '{pat}', '{repl_sql}', 'g')"
+    return f"""
+WITH aug AS (SELECT doc_id, {_AUG_HTML} AS raw_html FROM documents),
+norm AS (SELECT doc_id, raw_html, trim({clean}) AS clean FROM aug)
+SELECT doc_id,
+       CAST(length(raw_html) AS BIGINT) AS n_chars_raw,
+       CAST(length(clean) AS BIGINT) AS n_chars_norm,
+       md5(clean) AS clean_md5
+FROM norm ORDER BY doc_id
+"""
+
+
+def extract_urls_sql() -> str:
+    """Twin of :func:`operators.textual.extract_urls` over the same
+    attach_pii augmentation used by pii_redaction_sql."""
+    return r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.org via http://ex'
+      || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p' || CAST(doc_id AS VARCHAR)
+      || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' or +1 555 ' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS pii_text
+  FROM documents
+)
+SELECT doc_id, u.url AS url
+FROM aug, LATERAL (
+  SELECT unnest(regexp_extract_all(pii_text, 'https?://[^ \t\r\n]+')) AS url
+) u
+ORDER BY doc_id, url
+"""
