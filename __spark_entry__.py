@@ -38,6 +38,7 @@ from ydb_vector_search_simple_api_spark.operators import tree as kmt
 from ydb_vector_search_simple_api_spark.operators.search import exact_search, knn_join
 from ydb_vector_search_simple_api_spark.sources.store import load_documents, load_embeddings
 from ydb_vector_search_simple_api_spark.streaming import events as streaming_events
+from ydb_vector_search_simple_api_spark.streaming import serve as streaming_serve
 from ydb_vector_search_simple_api_spark.streaming import sessions as streaming_sessions
 
 ROUND = oracles.ROUND_DIGITS
@@ -793,6 +794,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: events_distinct_pairs (same DISTINCT key-set oracle; this
     # is the bounded-state dropDuplicatesWithinWatermark variant)
     q["events_distinct_wm"] = streaming_events.distinct_pairs_within_watermark_stream
+    # siblings: ivf_knn_join_dist + events_hourly_stream (streaming
+    # query SERVING: checkpointed query-shard stream -> foreachBatch
+    # distributed ANN join -> results table; drained == exact batch
+    # kNN join, so it carries a full SQL oracle — streaming/serve.py)
+    q["knn_serve_stream"] = lambda s, d: streaming_serve.knn_serve_stream(
+        s, d, k=5, n_queries=8
+    )
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -889,6 +897,7 @@ def oracle_sql() -> dict[str, str]:
     o["knn_join_cosine"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
     # full-width ANN joins are exact: same result set as the exact kNN join
     o["ivf_knn_join_full"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
+    o["knn_serve_stream"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
     o["ivf_knn_join_dist"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
     o["tree_knn_join_full"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
     # ivf_knn_join_width2 intentionally has no oracle (approximate)
