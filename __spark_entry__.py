@@ -142,6 +142,29 @@ def _mk_bq_rerank(strategy: str, k: int, shortlist: int | None):
     return run
 
 
+def _mk_ivfbq(strategy: str, k: int, width: int, shortlist: int | None):
+    _IVFBQ_CACHE: dict[str, object] = {}
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ydb_vector_search_simple_api_spark.operators import bq as bq_mod
+
+        ivf_idx = _ivf_index(spark, sf_dir)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(), f"svs_ivfbq_{tag}")
+        if sf_dir not in _IVFBQ_CACHE:
+            if os.path.exists(os.path.join(out, "_bq_meta.json")):
+                _IVFBQ_CACHE[sf_dir] = bq_mod.load_bq_index(out)
+            else:
+                _IVFBQ_CACHE[sf_dir] = bq_mod.build_ivfbq_index(spark, ivf_idx, out)
+        return bq_mod.ivfbq_search(
+            spark, ivf_idx, _IVFBQ_CACHE[sf_dir], _query_vec(spark, sf_dir),
+            k=k, strategy=strategy, search_top_size=width,
+            shortlist=shortlist, round_digits=ROUND,
+        )
+
+    return run
+
+
 def _mk_bq_knn_join(strategy: str, k: int, n_queries: int, shortlist: int | None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -850,6 +873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sign-bit Hamming shortlist at 1/5 of the corpus, exact rerank
     # (approximate; recall contract pinned in tests/test_bq.py)
     q["bq_topk_shortlist"] = _mk_bq_rerank("CosineSimilarity", k=10, shortlist=100)
+    # IVFxBQ: cluster-directory pruning x 32x bit compression (the BQ
+    # analogue of IVFADC; exactness at full width + pruned plan shape
+    # pinned in tests/test_bq.py)
+    q["ivfbq_topk_width2"] = _mk_ivfbq("CosineSimilarity", k=10, width=2, shortlist=64)
     # compressed-domain batch ANN join (ADC estimate scores; recall vs
     # the exact join + determinism pinned in tests/test_pq.py)
     q["pq_knn_join"] = _mk_pq_knn_join("CosineSimilarity", k=5, n_queries=8)

@@ -259,3 +259,52 @@ def test_unknown_filter_keys_silently_ignored(engine, qvec):
         engine, {"embedding": qvec, "k": 2, "filter": {"bogus": "x"}}
     )
     assert code == 200 and payload["count"] == 2
+
+
+@pytest.fixture(scope="module")
+def bq_engine(spark, tmp_path_factory):
+    from ydb_vector_search_simple_api_spark.operators import bq as bq_mod
+
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = bq_mod.build_bq_index(
+        spark, embs, str(tmp_path_factory.mktemp("bq_eng") / "bq")
+    )
+    return api.VectorSearchEngine(
+        spark,
+        SF_SMALL,
+        config=SearchConfig(index_enabled=True, strict_filter_index_exclusion=False),
+        index=idx,
+    )
+
+
+def test_bq_engine_full_shortlist_matches_exact(spark, qvec, bq_engine):
+    """Third index shape behind the engine: the sign-bit table. Its
+    width knob is the Hamming shortlist; >= corpus => exact."""
+    got, _ = bq_engine.search(qvec, k=5, search_top_size=500)
+    want, _ = api.VectorSearchEngine(spark, SF_SMALL).search(qvec, k=5)
+    assert _as_tuples(got) == _as_tuples(want)
+
+
+def test_bq_engine_filtered_full_shortlist_matches_exact(spark, qvec, bq_engine):
+    flt = {"vendor": "fr"}
+    got, _ = bq_engine.search(qvec, k=5, filter=flt, search_top_size=500)
+    want, _ = api.VectorSearchEngine(spark, SF_SMALL).search(qvec, k=5, filter=flt)
+    assert _as_tuples(got) == _as_tuples(want)
+    assert all(r["vendor"] == "fr" for r in got)
+
+
+def test_bq_engine_pruned_shortlist_honors_filter(qvec, bq_engine):
+    got, _ = bq_engine.search(qvec, k=5, filter={"vendor": "fr"}, search_top_size=50)
+    assert all(r["vendor"] == "fr" for r in got)
+
+
+def test_bq_engine_strict_mode_rejects_filter(spark, qvec, bq_engine):
+    import dataclasses
+
+    strict = dataclasses.replace(
+        bq_engine, config=SearchConfig(index_enabled=True)
+    )
+    with pytest.raises(ValueError, match="Unable to use filter"):
+        strict.search(qvec, k=3, filter={"vendor": "fr"})

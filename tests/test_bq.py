@@ -193,3 +193,28 @@ def test_bq_upsert_and_compact(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{out}/bits/part-*.parquet")) == 1
+
+
+def test_ivfbq_exact_at_full_width_and_pruned_plan(spark, tmp_path):
+    import __spark_entry__ as E
+    from ydb_vector_search_simple_api_spark.plans.checks import partition_filters
+
+    ivf_idx = E._ivf_index(spark, SF_SMALL)
+    out = str(tmp_path / "ivfbq")
+    bidx = bq.build_ivfbq_index(spark, ivf_idx, out)
+    assert bidx.n_rows == 500
+    q = _qvec(spark)
+    got = bq.ivfbq_search(
+        spark, ivf_idx, bidx, q, k=10,
+        search_top_size=ivf_idx.n_clusters, shortlist=None, round_digits=6,
+    ).collect()
+    want = exact_search(spark, SF_SMALL, q, k=10, round_digits=6).collect()
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+    # pruned width: planner-level partition pruning on cluster_id
+    pruned = bq.ivfbq_search(
+        spark, ivf_idx, bidx, q, k=10, search_top_size=2, shortlist=64
+    )
+    pf = partition_filters(pruned)
+    assert "cluster_id" in pf
+    # pruned result still ranks a nonempty candidate set
+    assert 0 < len(pruned.collect()) <= 10

@@ -28,6 +28,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .config import DEFAULT_SEARCH_TOP_SIZE, SearchConfig, sort_descending
+from .operators import bq as bq_mod
 from .operators import index as ivf_mod
 from .operators import tree as tree_mod
 from .operators.search import exact_search, filtered_doc_ids
@@ -73,12 +74,15 @@ class VectorSearchEngine:
     shapes serve: the flat IVF (``operators.index.IvfIndex``) and the
     YDB-shaped two-level k-means tree
     (``operators.tree.KmeansTreeIndex``, the hierarchy the reference's
-    ``vector_kmeans_tree`` secondary index has — app.py:193-196)."""
+    ``vector_kmeans_tree`` secondary index has — app.py:193-196) —
+    plus the sign-bit binary-quantization table
+    (``operators.bq.BqIndex``), whose width knob is the Hamming
+    shortlist size (documented divergence: not a cluster count)."""
 
     spark: SparkSession
     sf_dir: str
     config: SearchConfig = field(default_factory=SearchConfig)
-    index: ivf_mod.IvfIndex | tree_mod.KmeansTreeIndex | None = None
+    index: ivf_mod.IvfIndex | tree_mod.KmeansTreeIndex | bq_mod.BqIndex | None = None
     #: pluggable text embedder (tests inject a fake; prod uses O13)
     embed_fn: Callable[[str], list[float]] | None = None
 
@@ -113,7 +117,26 @@ class VectorSearchEngine:
                 else None
             )
             width = search_top_size or self.config.search_top_size
-            if isinstance(self.index, tree_mod.KmeansTreeIndex):
+            if isinstance(self.index, bq_mod.BqIndex):
+                # for a BQ index the search width IS the Hamming
+                # shortlist (>= corpus => exact); candidates rerank
+                # against the full-precision store vectors
+                from .sources.store import load_embeddings
+
+                src = load_embeddings(self.spark, self.sf_dir).select(
+                    F.col("vec_id").alias("id"), "embedding"
+                )
+                topk = bq_mod.bq_search_rerank(
+                    self.spark,
+                    self.index,
+                    src,
+                    embedding,
+                    k=k,
+                    strategy=self.config.strategy,
+                    shortlist=width,
+                    filter_ids=flt_ids,
+                )
+            elif isinstance(self.index, tree_mod.KmeansTreeIndex):
                 topk = tree_mod.tree_search(
                     self.spark,
                     self.index,

@@ -94,21 +94,28 @@ def n_words_for(dim: int) -> int:
 
 
 def encode_binary(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "id", dim: int | None = None
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    dim: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Distributed sign-bit encode: (id, bits array<bigint>).
+    """Distributed sign-bit encode: (id, bits array<bigint>[, extras]).
 
     ``dim`` is required knowledge for the word count; when omitted it
     is taken from the first row (one tiny driver action) — pass it
     explicitly in pipelines (same no-hidden-driver-action rule as the
-    SRP LSH operator, operators/dedup.py)."""
+    SRP LSH operator, operators/dedup.py). ``extra_cols`` pass through
+    untouched (e.g. ``cluster_id`` for the IVF-partitioned layout)."""
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None:
             raise ValueError("cannot infer dim from an empty DataFrame")
         dim = int(first["d"])
-    nw = n_words_for(dim)
-    out_schema = f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, bits array<bigint>"
+    fields = [f"`{id_col}` {df.schema[id_col].dataType.simpleString()}", "bits array<bigint>"]
+    for c in extra_cols:
+        fields.append(f"`{c}` {df.schema[c].dataType.simpleString()}")
+    out_schema = ", ".join(fields)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -118,11 +125,12 @@ def encode_binary(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]], dtype=np.float64
             )
             words = _pack_bits(X)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].values, "bits": [list(r) for r in words]}
-            )
+            out = {id_col: pdf[id_col].values, "bits": [list(r) for r in words]}
+            for c in extra_cols:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
+    return df.select(id_col, vec_col, *extra_cols).mapInPandas(encode, schema=out_schema)
 
 
 def build_bq_index(
@@ -338,19 +346,41 @@ def bq_search_rerank(
     vec_col: str = "embedding",
     id_col: str = "id",
     round_digits: int | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Hamming shortlist -> exact re-rank -> (id, score) top-k.
 
     ``shortlist=None`` (or >= corpus) keeps every row: the Hamming
     pass is then a no-op filter and the result is EXACT top-k for any
     strategy — the oracle-gate configuration. Pruned shortlists cut
-    the rerank join to ``shortlist`` rows (recall tested)."""
+    the rerank join to ``shortlist`` rows (recall tested).
+
+    ``filter_ids`` (1-column ``id`` DataFrame) restricts candidates
+    BEFORE the Hamming shortlist — the non-strict filtered-ANN
+    contract shared with ``ivf_search``/``tree_search``: the shortlist
+    budget is then spent entirely on rows passing the filter, so
+    full-shortlist filtered results equal exact filtered search."""
     validate_strategy(strategy)
     if not isinstance(k, int) or k < 1:
         raise ValueError("k must be a positive integer")
     n_short = index.n_rows if shortlist is None else int(shortlist)
 
-    cand = bq_shortlist(spark, index, query_vec, n_short, id_col=id_col)
+    if len(query_vec) != index.dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {index.dim}")
+    bits = spark.read.parquet(os.path.join(index.path, "bits"))
+    if filter_ids is not None:
+        bits = bits.join(
+            filter_ids.select(F.col(filter_ids.columns[0]).alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+    qw = pack_query_bits(query_vec)
+    cand = (
+        bits.withColumn("hamming", hamming_expr("bits", qw))
+        .select(id_col, "hamming")
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(int(n_short))
+    )
     vecs = src.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
     # shortlist rows are few by construction: broadcast them into the
     # vector table so the rerank reads only matching row groups
@@ -362,6 +392,102 @@ def bq_search_rerank(
     return (
         joined.withColumn("score", score)
         .select(F.col(id_col).alias("id"), "score")
+        .orderBy(*_order_cols(strategy))
+        .limit(k)
+    )
+
+
+# ----------------------------------------------- IVF x BQ composition
+
+
+def build_ivfbq_index(spark: SparkSession, ivf_index, out_dir: str) -> BqIndex:
+    """IVF-partitioned sign-bit layout — the BQ analogue of IVFADC
+    (operators/pq.py:build_ivfpq_index): encode the IVF index's rows
+    and keep ``cluster_id`` as the bits partition column, so a query
+    reads ~(search_top_size / n_clusters) of the bit words AND pays
+    1/32 of the bytes per row it does read. Rows-read and
+    bytes-per-row levers multiply; the Hamming scan stays pure
+    codegen."""
+    src = spark.read.parquet(ivf_index.path).select(
+        F.col(ivf_index.id_col).alias("id"),
+        F.col(ivf_index.vec_col).alias("embedding"),
+        "cluster_id",
+    )
+    first = src.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        raise ValueError("cannot build over an empty IVF layout")
+    dim = int(first["d"])
+    bits_df = encode_binary(src, dim=dim, extra_cols=("cluster_id",))
+    (
+        bits_df.write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(os.path.join(out_dir, "bits"))
+    )
+    n_rows = spark.read.parquet(os.path.join(out_dir, "bits")).count()
+    meta = {
+        "dim": dim, "n_words": n_words_for(dim), "n_rows": n_rows,
+        "id_col": "id", "partition_col": "cluster_id",
+    }
+    with open(os.path.join(out_dir, "_bq_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return BqIndex(
+        path=out_dir, dim=dim, n_words=n_words_for(dim), n_rows=n_rows
+    )
+
+
+def ivfbq_search(
+    spark: SparkSession,
+    ivf_index,
+    bq_index: BqIndex,
+    query_vec: Sequence[float],
+    k: int,
+    strategy: str = "CosineSimilarity",
+    search_top_size: int = 2,
+    shortlist: int | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Rank centroids on the driver -> prune the bits layout to the
+    ``search_top_size`` nearest cluster directories (planner-level
+    partition pruning) -> Hamming-shortlist inside them -> exact
+    rerank against the full-precision vectors of the SAME pruned
+    clusters. Exact when ``search_top_size >= n_clusters`` and
+    ``shortlist=None`` (full)."""
+    from .index import _rank_centroids
+
+    validate_strategy(strategy)
+    if not isinstance(k, int) or k < 1:
+        raise ValueError("k must be a positive integer")
+    if len(query_vec) != bq_index.dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {bq_index.dim}")
+    keep = _rank_centroids(ivf_index, query_vec, strategy)[:search_top_size]
+
+    bits = spark.read.parquet(os.path.join(bq_index.path, "bits")).filter(
+        F.col("cluster_id").isin(keep)
+    )
+    qw = pack_query_bits(query_vec)
+    n_short = bq_index.n_rows if shortlist is None else int(shortlist)
+    cand = (
+        bits.withColumn("hamming", hamming_expr("bits", qw))
+        .select("id", "hamming")
+        .orderBy(F.col("hamming").asc(), F.col("id").asc())
+        .limit(n_short)
+    )
+
+    vecs = (
+        spark.read.parquet(ivf_index.path)
+        .filter(F.col("cluster_id").isin(keep))
+        .select(
+            F.col(ivf_index.id_col).alias("id"),
+            F.col(ivf_index.vec_col).alias("embedding"),
+        )
+    )
+    joined = vecs.join(F.broadcast(cand.select("id")), "id", "inner")
+    score = score_expr(strategy, F.col("embedding"), query_vec)
+    if round_digits is not None:
+        score = F.round(score, round_digits) + F.lit(0.0)
+    return (
+        joined.withColumn("score", score)
+        .select("id", "score")
         .orderBy(*_order_cols(strategy))
         .limit(k)
     )
