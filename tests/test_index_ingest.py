@@ -202,3 +202,39 @@ def test_parquet_vector_stream_empty_dir_needs_schema(spark, tmp_path, halves):
         checkpoint_dir=str(tmp_path / "ckpt"), monitor=mon,
     ).awaitTermination(120)
     assert mon.n_appended == second.count()
+
+
+def test_stream_bq_ingest_appends_and_search_is_exact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import bq
+    from ydb_vector_search_simple_api_spark.operators.search import exact_search
+    from ydb_vector_search_simple_api_spark.streaming.index_ingest import (
+        parquet_vector_stream,
+        stream_bq_ingest,
+    )
+
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = bq.build_bq_index(
+        spark, embs.filter(F.col("id") < 300), str(tmp_path / "bq"), dim=64
+    )
+    landing = str(tmp_path / "landing")
+    embs.filter(F.col("id") >= 300).repartition(2).write.parquet(landing)
+    q = stream_bq_ingest(
+        spark,
+        idx,
+        parquet_vector_stream(spark, landing),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    idx2 = bq.load_bq_index(str(tmp_path / "bq"))
+    assert idx2.n_rows == 500
+    row = embs.filter(F.col("id") == 0).first()
+    qv = [float(x) for x in row.embedding]
+    got = bq.bq_search_rerank(
+        spark, idx2, embs, qv, k=10, shortlist=None, round_digits=6
+    ).collect()
+    want = exact_search(spark, SF_SMALL, qv, k=10, round_digits=6).collect()
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]

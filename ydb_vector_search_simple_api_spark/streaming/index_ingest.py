@@ -206,3 +206,42 @@ def parquet_vector_stream(
                 "before the first shard lands"
             ) from exc
     return spark.readStream.schema(schema).parquet(path).select(id_col, vec_col)
+
+
+def stream_bq_ingest(
+    spark: SparkSession,
+    bq_index,
+    source: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Keep the sign-bit table fresh from a vector stream: each batch
+    is packed to bit words and appended (``bq_upsert``) — the BQ twin
+    of :func:`stream_ivf_ingest`. Per-batch cost is one Arrow encode
+    pass + a flat append (no routing needed: the flat bits layout has
+    no partition key); replayed ids fold at the next
+    ``bq_compact(dedup_ids=True)``. The returned query's progress is
+    observable through the landing checkpoint exactly like the IVF
+    variant (each shard ingested once across restarts)."""
+    from ..operators import bq as bq_mod
+
+    state = {"index": bq_index}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        state["index"] = bq_mod.bq_upsert(
+            spark, state["index"], batch_df, id_col=id_col, vec_col=vec_col
+        )
+
+    writer = (
+        source.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
