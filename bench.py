@@ -66,6 +66,7 @@ FLAGSHIPS = (
     "ivf_cosine_full_width", "kmeans_tree_full", "knn_join_cosine",
     "ivf_knn_join_dist", "pq_rerank_full", "dedup_minhash_lsh",
     "curate_corpus", "curated_pack", "dedup_components",
+    "sql_topk_cosine", "bq_rerank_full",
 )
 
 
@@ -117,8 +118,16 @@ def main() -> None:
         s, d, qvec, k=100, strategy="CosineSimilarity"
     )
 
+    # Common tier runs FIRST: those queries are compared round-over-
+    # round against BENCH_r01, which measured them in a 60-query JVM.
+    # Interleaving them with the (growing) extended tier makes them
+    # absorb late-JVM code-cache/GC pressure the r1 numbers never saw —
+    # observed as a uniform ~1.2-2x drift on sub-second queries.
+    ordered = sorted(
+        queries.items(), key=lambda kv: (kv[0] not in R1_COMMON_SUITE,)
+    )
     results: dict[str, float] = {}
-    for name, fn in queries.items():
+    for name, fn in ordered:
         runs = 3 if name in R1_COMMON_SUITE else 1
         results[name] = round(timed(lambda: fn(spark, sf_dir).collect(), runs), 4)
         tier = "common" if name in R1_COMMON_SUITE else "ext"

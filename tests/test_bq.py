@@ -218,3 +218,32 @@ def test_ivfbq_exact_at_full_width_and_pruned_plan(spark, tmp_path):
     assert "cluster_id" in pf
     # pruned result still ranks a nonempty candidate set
     assert 0 < len(pruned.collect()) <= 10
+
+
+def test_partitioned_layout_maintenance_guards(spark, tmp_path):
+    import __spark_entry__ as E
+
+    ivf_idx = E._ivf_index(spark, SF_SMALL)
+    out = str(tmp_path / "ivfbq_m")
+    bidx = bq.build_ivfbq_index(spark, ivf_idx, out)
+    assert bidx.partition_col == "cluster_id"
+    # reload preserves the layout record
+    assert bq.load_bq_index(out).partition_col == "cluster_id"
+    # flat append into a hive-partitioned tree must be refused
+    tail = _src(spark).filter(F.col("id") < 10)
+    with pytest.raises(ValueError, match="partitioned"):
+        bq.bq_upsert(spark, bidx, tail)
+    # compaction preserves the partition directories
+    import glob
+
+    gen2 = str(tmp_path / "ivfbq_gen2")
+    c = bq.bq_compact(spark, bidx, gen2, n_files=1)
+    assert c.partition_col == "cluster_id"
+    assert len(glob.glob(f"{gen2}/bits/cluster_id=*")) == ivf_idx.n_clusters
+    q = _qvec(spark)
+    got = bq.ivfbq_search(
+        spark, ivf_idx, c, q, k=10,
+        search_top_size=ivf_idx.n_clusters, shortlist=None, round_digits=6,
+    ).collect()
+    want = exact_search(spark, SF_SMALL, q, k=10, round_digits=6).collect()
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]

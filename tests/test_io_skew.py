@@ -125,3 +125,37 @@ def test_binary_files_ingest(spark, tmp_path_factory):
     assert set(rows) == {"x.bin", "y.bin"}
     assert rows["x.bin"] == (10, b"\x00\x01\x02payload")
     assert rows["y.bin"][0] == 16
+
+
+def test_optimize_layout_tightens_file_ranges(spark, tmp_path):
+    from ydb_vector_search_simple_api_spark.sources.io import (
+        file_skipping_stats,
+        optimize_layout,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    # random layout: every file spans the whole doc_id domain
+    messy = str(tmp_path / "messy")
+    docs.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(8).write.parquet(messy)
+    # range-clustered rewrite
+    tidy = str(tmp_path / "tidy")
+    optimize_layout(spark.read.parquet(messy), tidy, ["doc_id"], n_files=8)
+
+    pred = "doc_id BETWEEN 100 AND 120"
+    before = file_skipping_stats(spark, messy, pred)
+    after = file_skipping_stats(spark, tidy, pred)
+    assert before["n_files"] == 8 and after["n_files"] == 8
+    # messy layout: the narrow range hits (almost) every file; tidy
+    # layout: it lives in at most 2 range files
+    assert before["n_candidate_files"] >= 6
+    assert after["n_candidate_files"] <= 2
+    # rewrite is lossless
+    assert spark.read.parquet(tidy).count() == docs.count()
+
+
+def test_optimize_layout_validates_cols(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    from ydb_vector_search_simple_api_spark.sources.io import optimize_layout
+
+    with pytest.raises(ValueError):
+        optimize_layout(docs, str(tmp_path / "x"), [])

@@ -60,12 +60,18 @@ from .search import _order_cols
 
 @dataclass(frozen=True)
 class BqIndex:
-    """A persisted (id, bits) sign-bit table beside its source."""
+    """A persisted (id, bits) sign-bit table beside its source.
+
+    ``partition_col`` records whether the bits layout is
+    hive-partitioned (the IVF x BQ composition partitions by
+    ``cluster_id``); maintenance ops honor or reject it so flat files
+    are never mixed into a partitioned directory."""
 
     path: str
     dim: int
     n_words: int
     n_rows: int
+    partition_col: str | None = None
 
 
 def _pack_bits(X: np.ndarray) -> np.ndarray:
@@ -161,7 +167,8 @@ def load_bq_index(path: str) -> BqIndex:
     with open(os.path.join(path, "_bq_meta.json")) as f:
         meta = json.load(f)
     return BqIndex(
-        path=path, dim=meta["dim"], n_words=meta["n_words"], n_rows=meta["n_rows"]
+        path=path, dim=meta["dim"], n_words=meta["n_words"],
+        n_rows=meta["n_rows"], partition_col=meta.get("partition_col"),
     )
 
 
@@ -205,7 +212,19 @@ def bq_upsert(
     table — same append-generation pattern as ``ivf_upsert``
     (operators/index.py). No rebuild, no touch of existing files;
     searches see the new rows on the next scan. Replayed/duplicate ids
-    are folded at the next ``bq_compact(dedup_ids=True)``."""
+    are folded at the next ``bq_compact(dedup_ids=True)``.
+
+    Raises for an IVF-partitioned layout (build_ivfbq_index): flat
+    appends would break cluster_id partition discovery/pruning — route
+    new rows through ``ivf_upsert`` + a bits rebuild of the touched
+    clusters instead (same contract as pq_upsert's partition guard)."""
+    if index.partition_col is not None:
+        raise ValueError(
+            f"bq_upsert on a layout partitioned by {index.partition_col!r} "
+            "would mix unpartitioned files into the directory tree; "
+            "rebuild via build_ivfbq_index (or ingest through ivf_upsert "
+            "and re-encode the touched clusters)"
+        )
     bits_df = encode_binary(new_df, vec_col=vec_col, id_col=id_col, dim=index.dim)
     bits_df.persist()
     try:
@@ -237,24 +256,35 @@ def bq_compact(
     """Generation rewrite: coalesce the append-churned bits table into
     ``n_files`` files (immutable new generation, pointer flip — same
     contract as ``ivf_compact``). ``dedup_ids=True`` keeps one row per
-    id (streaming replay hygiene; one extra keyed exchange)."""
+    id (streaming replay hygiene; one extra keyed exchange). A
+    partitioned (IVF x BQ) layout compacts partition-aware: one file
+    per cluster directory, layout contract preserved."""
     if n_files < 1:
         raise ValueError("n_files must be a positive integer")
     df = spark.read.parquet(os.path.join(index.path, "bits"))
     if dedup_ids:
         df = df.dropDuplicates([id_col])
-    df.repartition(n_files).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "bits")
-    )
+    if index.partition_col is not None:
+        # hash on the partition key: each cluster's rows land in one
+        # shuffle partition => exactly one file per cluster directory
+        shaped = df.repartition(n_files, index.partition_col)
+        shaped.write.mode("overwrite").partitionBy(index.partition_col).parquet(
+            os.path.join(out_dir, "bits")
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "bits")
+        )
     n_rows = spark.read.parquet(os.path.join(out_dir, "bits")).count()
     meta = {
         "dim": index.dim, "n_words": index.n_words, "n_rows": n_rows,
-        "id_col": id_col,
+        "id_col": id_col, "partition_col": index.partition_col,
     }
     with open(os.path.join(out_dir, "_bq_meta.json"), "w") as f:
         json.dump(meta, f)
     return BqIndex(
-        path=out_dir, dim=index.dim, n_words=index.n_words, n_rows=n_rows
+        path=out_dir, dim=index.dim, n_words=index.n_words, n_rows=n_rows,
+        partition_col=index.partition_col,
     )
 
 
@@ -431,7 +461,8 @@ def build_ivfbq_index(spark: SparkSession, ivf_index, out_dir: str) -> BqIndex:
     with open(os.path.join(out_dir, "_bq_meta.json"), "w") as f:
         json.dump(meta, f)
     return BqIndex(
-        path=out_dir, dim=dim, n_words=n_words_for(dim), n_rows=n_rows
+        path=out_dir, dim=dim, n_words=n_words_for(dim), n_rows=n_rows,
+        partition_col="cluster_id",
     )
 
 

@@ -141,3 +141,60 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def optimize_layout(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "error",
+) -> None:
+    """Range-clustered parquet rewrite: ``repartitionByRange`` on
+    ``sort_cols`` + ``sortWithinPartitions`` before the write, so each
+    output file owns a tight, disjoint range of the sort key and every
+    row group's parquet min/max statistics become selective.
+
+    Why it matters at 100 TB: predicate pushdown (which this engine
+    leans on everywhere) only SKIPS data when the footer statistics
+    are tight — on a randomly laid-out table every row group spans the
+    whole key domain and min/max filtering skips nothing. One offline
+    rewrite turns `ts BETWEEN ...` / `doc_id = ...` scans from
+    full-table reads into a handful of files. This is the same lever
+    as Delta/Iceberg OPTIMIZE ... ZORDER for the single-key case,
+    expressed with stock Spark (range partitioning = 1 exchange with a
+    sampled range boundary pass).
+
+    ``n_files`` bounds the output file count (defaults to Spark's
+    choice); clustering quality is per-file either way.
+    """
+    if not sort_cols:
+        raise ValueError("sort_cols must name at least one column")
+    cols = [F.col(c) for c in sort_cols]
+    if n_files is not None:
+        shaped = df.repartitionByRange(int(n_files), *cols)
+    else:
+        shaped = df.repartitionByRange(*cols)
+    shaped.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def file_skipping_stats(
+    spark: SparkSession, path: str, predicate: str
+) -> dict:
+    """Measure layout quality: how many files of ``path`` could serve
+    rows for ``predicate`` (via per-file min/max of the predicate's
+    column read from footers through per-file scans). Returns
+    {"n_files": total, "n_candidate_files": matching}. Diagnostic
+    only — the real skipping happens inside the parquet reader."""
+    import glob as _glob
+    import os as _os
+
+    files = sorted(
+        _glob.glob(_os.path.join(path, "part-*.parquet"))
+        + _glob.glob(_os.path.join(path, "*", "part-*.parquet"))
+    )
+    n_candidates = 0
+    for f in files:
+        if spark.read.parquet(f).filter(predicate).head(1):
+            n_candidates += 1
+    return {"n_files": len(files), "n_candidate_files": n_candidates}
