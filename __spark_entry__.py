@@ -731,6 +731,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: document_splits (same deterministic md5-threshold
     # sampling family; language-stratified rates)
     q["stratified_sample"] = curation.stratified_sample_stats
+    # sibling: source_token_budget / stratified_sample (training-mix
+    # control: relative token shares via the exact-integer md5
+    # admission rule — curation.mixture_resample)
+    q["mixture_resample"] = curation.mixture_resample
     # sibling: multimodal_meta (same attach_payload + Arrow family;
     # hex-nibble oracle reproduces the NumPy bin counts exactly)
     q["multimodal_byte_hist"] = lambda s, d: multimodal.byte_histogram_digests(
@@ -970,6 +974,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["source_token_budget"] = oracles_curation.source_token_budget_sql(20000)
     o["pii_redaction"] = oracles_curation.pii_redaction_sql()
+    o["mixture_resample"] = oracles_curation.mixture_resample_sql()
     o["normalize_markup"] = oracles_text.normalize_markup_sql()
     o["extract_urls"] = oracles_text.extract_urls_sql()
     o["curate_corpus"] = oracles_curation.curate_corpus_sql()

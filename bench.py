@@ -118,11 +118,13 @@ def main() -> None:
         s, d, qvec, k=100, strategy="CosineSimilarity"
     )
 
-    # Common tier runs FIRST: those queries are compared round-over-
-    # round against BENCH_r01, which measured them in a 60-query JVM.
-    # Interleaving them with the (growing) extended tier makes them
-    # absorb late-JVM code-cache/GC pressure the r1 numbers never saw —
-    # observed as a uniform ~1.2-2x drift on sub-second queries.
+    # Common tier runs FIRST so the r1-comparable queries always see a
+    # fresh JVM, like BENCH_r01's 60-query suite did. Measured note
+    # (round 3): moving them first did NOT close the ~1.2x uniform
+    # drift vs r1 on this host (41.1s interleaved vs 42.7s fronted —
+    # within run-to-run variance), so the drift is environmental
+    # (host/testdata generation), not suite-position; the ordering is
+    # kept because it removes suite growth as a confound going forward.
     ordered = sorted(
         queries.items(), key=lambda kv: (kv[0] not in R1_COMMON_SUITE,)
     )

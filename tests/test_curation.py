@@ -323,3 +323,35 @@ def test_curate_corpus_respects_stage_constraints(spark):
     assert survivors <= canonical
     assert not (survivors & bench)
     assert not (survivors & contaminated)
+
+
+def test_mixture_resample_shares_and_determinism(spark):
+    from ydb_vector_search_simple_api_spark.operators import curation
+
+    out = {r.source: r for r in curation.mixture_resample(spark, SF_SMALL).collect()}
+    # only weighted sources appear
+    assert set(out) == set(curation.MIX_WEIGHTS)
+    total = sum(r.tokens_admitted for r in out.values())
+    assert total > 0
+    # achieved token shares track the target mix (hash-draw noise on a
+    # 25-doc/source corpus is large; just require ordering + bounds)
+    shares = {s: out[s].tokens_admitted / total for s in out}
+    assert shares["src0"] == max(shares.values())
+    for s, w in curation.MIX_WEIGHTS.items():
+        assert abs(shares[s] - w / 100) < 0.25
+    # admitted never exceeds input
+    for r in out.values():
+        assert 0 <= r.n_admitted <= r.n_docs
+        assert 0 <= r.tokens_admitted <= r.tokens_in
+    # deterministic: identical on re-run
+    again = {r.source: r for r in curation.mixture_resample(spark, SF_SMALL).collect()}
+    assert {s: tuple(r) for s, r in out.items()} == {s: tuple(r) for s, r in again.items()}
+
+
+def test_mixture_resample_validates_weights(spark):
+    from ydb_vector_search_simple_api_spark.operators import curation
+
+    with pytest.raises(ValueError):
+        curation.mixture_resample(spark, SF_SMALL, weights={"src0": 101})
+    with pytest.raises(ValueError):
+        curation.mixture_resample(spark, SF_SMALL, weights={"src0": 0})

@@ -636,3 +636,84 @@ def curated_pack(
     return pack_chunks(
         spark, sf_dir, chunk_size=chunk_size, stride=stride, budget=budget
     ).join(survivors, "doc_id", "left_semi")
+
+
+# ------------------------------------------------- mixture resampling
+
+#: default target mix (integer percents, must sum <= 100; sources not
+#: listed are excluded). Integer weights keep the admission rule exact.
+MIX_WEIGHTS: dict[str, int] = {"src0": 50, "src1": 25, "src2": 15, "src3": 10}
+
+
+def mixture_resample(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Resample the corpus so each source's TOKEN share matches a
+    target mix — the training-mixture control (distinct from
+    ``source_token_budget``'s per-source cap: here shares are relative
+    and the binding source sets the achievable total).
+
+    Exact-arithmetic formulation (no float thresholds, so the DuckDB
+    twin matches bit-for-bit and results are partitioning-invariant):
+
+    * ``tok_s`` = whitespace tokens per source; ``w_s`` = integer
+      percent weights.
+    * feasible total ``N = min_s (100 * tok_s) div w_s`` — the largest
+      token count whose mix the binding (argmin) source can satisfy.
+    * doc admission: deterministic md5 draw (sampling.py contract),
+      admit iff ``draw * 100 * tok_s < w_s * N * 16^6`` — the integer
+      cross-multiplied form of ``draw/16^6 < (w_s*N)/(100*tok_s)``.
+      All terms are int64; safe while ``tok_s`` < ~5e11 (past that,
+      cast the products to decimal).
+
+    Output (gate shape): per-source (source, n_docs, tokens_in,
+    n_admitted, tokens_admitted) — the achieved token mix is
+    ``tokens_admitted / sum`` ≈ ``w_s`` / 100, binding source exact up
+    to hash-draw noise.
+    """
+    w = weights or MIX_WEIGHTS
+    if sum(w.values()) > 100 or any(v < 1 for v in w.values()):
+        raise ValueError("weights must be positive integer percents summing <= 100")
+    w_df = F.broadcast(
+        spark.createDataFrame(
+            [(s, int(v)) for s, v in sorted(w.items())], "source string, w int"
+        )
+    )
+    d = (
+        load_documents(spark, sf_dir)
+        .select("source", "doc_id", TXT.token_count("text").alias("n_tok"))
+        .join(w_df, "source", "inner")
+    )
+    tok = d.groupBy("source", "w").agg(
+        F.sum("n_tok").cast("bigint").alias("tok_s"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    n_feasible = tok.select(
+        F.min(F.expr("(100 * tok_s) DIV w")).cast("bigint").alias("n_total")
+    )
+    draw_int = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "bigint"
+    )
+    admitted = (
+        d.join(F.broadcast(tok.select("source", "tok_s")), "source")
+        .crossJoin(F.broadcast(n_feasible))
+        .withColumn(
+            "admit",
+            (
+                draw_int * F.lit(100) * F.col("tok_s")
+                < F.col("w").cast("bigint") * F.col("n_total") * F.lit(16**6)
+            ).cast("int"),
+        )
+    )
+    return (
+        admitted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens_in"),
+            F.sum("admit").cast("bigint").alias("n_admitted"),
+            F.sum(F.col("admit") * F.col("n_tok")).cast("bigint").alias("tokens_admitted"),
+        )
+        .orderBy("source")
+    )

@@ -254,3 +254,43 @@ WITH packed AS ({pack_chunks_sql(chunk_sql, budget)}),
 curated AS ({curate_corpus_sql()})
 SELECT p.* FROM packed p JOIN curated c ON p.doc_id = c.doc_id
 """
+
+
+def mixture_resample_sql(weights: dict[str, int] | None = None) -> str:
+    """Twin of :func:`operators.curation.mixture_resample` — the same
+    exact-integer admission rule; the md5 draw decodes to an int via
+    list_transform/list_reduce (DuckDB has no hex-to-int cast)."""
+    from .oracles_text import TOKS
+    from .operators.curation import MIX_WEIGHTS
+
+    w = weights or MIX_WEIGHTS
+    vals = ", ".join(f"('{s}', {int(v)})" for s, v in sorted(w.items()))
+    return f"""
+WITH wt(source, w) AS (VALUES {vals}),
+d AS (
+  SELECT doc.source, doc.doc_id, len({TOKS})::BIGINT AS n_tok, wt.w
+  FROM documents doc JOIN wt ON doc.source = wt.source
+),
+tok AS (
+  SELECT source, w, sum(n_tok)::BIGINT AS tok_s, count(*)::BIGINT AS n_docs
+  FROM d GROUP BY source, w
+),
+nf AS (SELECT min((100 * tok_s) // w)::BIGINT AS n_total FROM tok),
+adm AS (
+  SELECT d.source, d.n_tok,
+    CASE WHEN
+      list_reduce(
+        list_transform(generate_series(1, 6),
+          i -> strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), i, 1)) - 1),
+        (acc, dig) -> acc * 16 + dig)::BIGINT * 100 * t.tok_s
+      < d.w::BIGINT * nf.n_total * {16**6}
+    THEN 1 ELSE 0 END AS admit
+  FROM d JOIN tok t ON d.source = t.source CROSS JOIN nf
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS tokens_in,
+       sum(admit)::BIGINT AS n_admitted,
+       sum(admit * n_tok)::BIGINT AS tokens_admitted
+FROM adm GROUP BY source ORDER BY source
+"""
