@@ -247,3 +247,23 @@ def test_partitioned_layout_maintenance_guards(spark, tmp_path):
     ).collect()
     want = exact_search(spark, SF_SMALL, q, k=10, round_digits=6).collect()
     assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+
+
+def test_bq_knn_join_blocked_identical_to_window_path(spark, bq_index):
+    # integer Hamming + (hamming, id) tiebreak: the blocked Arrow path
+    # must reproduce the pure-codegen pair-join result EXACTLY, at
+    # both pruned and full shortlists
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for sl in (37, 100, None):
+        a = bq.bq_knn_join(
+            spark, bq_index, _src(spark), queries, k=5,
+            shortlist=sl, round_digits=6, blocked=False,
+        ).collect()
+        b = bq.bq_knn_join(
+            spark, bq_index, _src(spark), queries, k=5,
+            shortlist=sl, round_digits=6, blocked=True,
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]

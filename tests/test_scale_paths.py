@@ -13,6 +13,13 @@ from conftest import SF_SMALL
 
 
 @pytest.fixture(scope="module")
+def ivf_idx(spark):
+    import __spark_entry__ as E
+
+    return E._ivf_index(spark, SF_SMALL)
+
+
+@pytest.fixture(scope="module")
 def qc(spark):
     embs = load_embeddings(spark, SF_SMALL)
     queries = embs.filter(F.col("vec_id") < 6).select(
@@ -89,3 +96,44 @@ def test_blocked_knn_string_ids_and_zero_norm_nulls(spark):
     assert rows[("qa", "d0")].rank == 3
     # zero-norm query: every score NULL
     assert all(r.score is None for (q, _), r in rows.items() if q == "qz")
+
+
+def test_ivf_knn_join_routed_blocked_matches_distributed(spark, ivf_idx):
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import index as ivf
+
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for width in (2, ivf_idx.n_clusters):
+        a = ivf.ivf_knn_join_routed_blocked(
+            spark, ivf_idx, queries, k=5, search_top_size=width
+        ).collect()
+        b = ivf.ivf_knn_join_distributed(
+            spark, ivf_idx, queries, k=5, search_top_size=width
+        ).collect()
+        # same candidate ids and ranks; scores agree to float tolerance
+        assert [(r.query_id, r.id, r.rank) for r in a] == [
+            (r.query_id, r.id, r.rank) for r in b
+        ]
+        for ra, rb in zip(a, b):
+            assert ra.score == pytest.approx(rb.score, abs=1e-9)
+
+
+def test_ivf_routed_blocked_prunes_partitions(spark, ivf_idx):
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import index as ivf
+    from ydb_vector_search_simple_api_spark.plans.checks import formatted_plan
+
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = ivf.ivf_knn_join_routed_blocked(
+        spark, ivf_idx, queries, k=3, search_top_size=1
+    )
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "cluster_id" in plan

@@ -288,6 +288,104 @@ def bq_compact(
     )
 
 
+def _hamming_block(Qw, W, pop8):
+    """(nq, m) Hamming counts: XOR the packed words, popcount bytes."""
+    x = Qw[:, None, :] ^ W[None, :, :]
+    return pop8[x.view(np.uint8)].reshape(Qw.shape[0], W.shape[0], -1).sum(
+        axis=2, dtype=np.int64
+    )
+
+
+def _topn_by_hamming_id(ham, ids, top):
+    """Indices of the true top-``top`` by (hamming ASC, id ASC) —
+    argpartition for O(n), exact id tiebreak at the boundary (a plain
+    argpartition keeps ARBITRARY members of a tied boundary, which
+    would diverge from the SQL window's ordering)."""
+    n = len(ids)
+    if n <= top:
+        return np.arange(n)
+    part = np.argpartition(ham, top - 1)[:top]
+    boundary = ham[part].max()
+    sure = np.nonzero(ham < boundary)[0]
+    tied = np.nonzero(ham == boundary)[0]
+    need = top - len(sure)
+    tied_keep = tied[np.argsort(ids[tied], kind="stable")[:need]]
+    return np.concatenate([sure, tied_keep])
+
+
+def _blocked_hamming_topn(
+    spark: SparkSession,
+    bits: DataFrame,
+    queries_df: DataFrame,
+    n_short: int,
+    query_id: str,
+    query_vec: str,
+    id_col: str,
+    dim: int,
+) -> DataFrame:
+    """Arrow-blocked Hamming scoring with PARTITION-level top-n: the
+    packed query-bit matrix rides a broadcast; every batch of a
+    partition is XOR'd + popcounted against all queries in NumPy, and
+    a per-query running top-``n_short`` accumulates ACROSS the
+    partition's batches — one emit per partition, so the downstream
+    window merges partitions x nq x n_short rows (not batches x ...,
+    which for a large corpus and shortlist is itself a flood).
+
+    Integer arithmetic + the (hamming, id) boundary tiebreak make this
+    bit-identical to the pure-codegen pair-join formulation; equality
+    is pinned in tests/test_bq.py."""
+    q_rows = queries_df.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+    ).collect()
+    qids = np.array([r.qid for r in q_rows])
+    Qw = _pack_bits(
+        np.asarray([np.asarray(r.qv, dtype=np.float64) for r in q_rows])
+    ).astype(np.uint64)  # (nq, n_words)
+    qid_dtype = queries_df.schema[query_id].dataType.simpleString()
+    id_dtype = bits.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_dtype}, `{id_col}` {id_dtype}, hamming int"
+    popcount8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((qids, Qw, popcount8, int(n_short)))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Qw_, pop8, top = bc.value
+        nq = len(qids_)
+        # running candidates per query: (ham, id) arrays, re-pruned
+        # whenever they outgrow 4x the target
+        acc_h = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        # (np.concatenate upcasts to object dtype for string ids)
+        acc_i = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            W = np.asarray(
+                [np.asarray(w, dtype=np.int64) for w in pdf["bits"]]
+            ).astype(np.uint64)
+            ham = _hamming_block(Qw_, W, pop8)  # (nq, m)
+            for qi in range(nq):
+                keep = _topn_by_hamming_id(ham[qi], ids, top)
+                acc_h[qi] = np.concatenate([acc_h[qi], ham[qi][keep]])
+                acc_i[qi] = np.concatenate([acc_i[qi], ids[keep]])
+            for qi in range(nq):
+                if len(acc_h[qi]) > 4 * top:
+                    k2 = _topn_by_hamming_id(acc_h[qi], acc_i[qi], top)
+                    acc_h[qi] = acc_h[qi][k2]
+                    acc_i[qi] = acc_i[qi][k2]
+        out_q, out_i, out_h = [], [], []
+        for qi in range(nq):
+            if len(acc_h[qi]) > top:
+                k2 = _topn_by_hamming_id(acc_h[qi], acc_i[qi], top)
+                acc_h[qi], acc_i[qi] = acc_h[qi][k2], acc_i[qi][k2]
+            out_q.extend([qids_[qi]] * len(acc_i[qi]))
+            out_i.extend(acc_i[qi].tolist())
+            out_h.extend(acc_h[qi].tolist())
+        if out_q:
+            yield pd.DataFrame({"query_id": out_q, id_col: out_i, "hamming": out_h})
+
+    return bits.select(id_col, "bits").mapInPandas(scan, schema=out_schema)
+
+
 def bq_knn_join(
     spark: SparkSession,
     index: BqIndex,
@@ -301,6 +399,7 @@ def bq_knn_join(
     vec_col: str = "embedding",
     id_col: str = "id",
     round_digits: int | None = None,
+    blocked: bool = False,
 ) -> DataFrame:
     """Batch ANN join through the sign-bit domain: for every query,
     Hamming-shortlist candidates over the compressed bits table, then
@@ -308,15 +407,24 @@ def bq_knn_join(
     the contract of ``search.knn_join``; ``shortlist=None`` keeps
     every candidate, making the result EXACT (oracle-gate variant).
 
-    Scale shape: the query side is encoded distributedly
-    (mapInPandas) then broadcast — both bits (8 bytes/64 dims) and
-    vectors, small by construction for a serving batch. The corpus
-    side is ONE scan of the bits table for ALL queries (codegen
-    bit_count over the broadcast-joined pairs); only
-    (query_id, id, hamming) int triples enter the per-query shortlist
-    window, and only ``nq x shortlist`` ids reach the full-precision
-    rerank join. Compare ``pq_knn_join`` (8-bit codes + Python ADC
-    gathers) vs this (1-bit codes, zero Python in the scan)."""
+    Two shortlist engines, IDENTICAL results (Hamming is integer
+    arithmetic with an id tiebreak — no float divergence):
+
+    * ``blocked=False``: pure-codegen — broadcast-join the query bits,
+      ``bit_count(xor)`` per pair, one ranked window. Zero Python, but
+      the window shuffles |corpus| x n_queries int triples: right for
+      small corpora or few queries.
+    * ``blocked=True`` (the scale path): one Arrow pass over the bits
+      table with the packed query-bit matrix in the closure; per batch
+      NumPy XOR + popcount scores ALL queries against the block and
+      emits only each block's per-query top-``shortlist`` — the window
+      then merges batches x n_queries x shortlist rows, independent of
+      corpus size (the ``knn_join_blocked`` economics; measured 30x on
+      a 4M-row corpus in tools/scale_probe.py).
+
+    Either way only ``nq x shortlist`` ids reach the full-precision
+    rerank join, and the rerank scoring is the same Column fold — so
+    ``blocked`` cannot change the final rows."""
     from pyspark.sql import Window
 
     validate_strategy(strategy)
@@ -324,21 +432,36 @@ def bq_knn_join(
         raise ValueError("k must be a positive integer")
     n_short = index.n_rows if shortlist is None else int(shortlist)
 
-    qbits = encode_binary(queries_df, vec_col=query_vec, id_col=query_id, dim=index.dim)
     bits = spark.read.parquet(os.path.join(index.path, "bits"))
-    pairs = bits.join(
-        F.broadcast(qbits.select(F.col(query_id).alias("query_id"), F.col("bits").alias("qbits")))
-    )
-    per_word = F.zip_with(
-        F.col("bits"), F.col("qbits"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
-    )
-    hamming = F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("hamming").asc(), F.col(id_col).asc()
     )
+    if blocked:
+        cand_scored = _blocked_hamming_topn(
+            spark, bits, queries_df, n_short,
+            query_id=query_id, query_vec=query_vec,
+            id_col=id_col, dim=index.dim,
+        )
+    else:
+        qbits = encode_binary(
+            queries_df, vec_col=query_vec, id_col=query_id, dim=index.dim
+        )
+        pairs = bits.join(
+            F.broadcast(
+                qbits.select(
+                    F.col(query_id).alias("query_id"), F.col("bits").alias("qbits")
+                )
+            )
+        )
+        per_word = F.zip_with(
+            F.col("bits"), F.col("qbits"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        )
+        hamming = F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
+        cand_scored = pairs.withColumn("hamming", hamming).select(
+            "query_id", id_col, "hamming"
+        )
     cand = (
-        pairs.withColumn("hamming", hamming)
-        .select("query_id", id_col, "hamming")
+        cand_scored
         .withColumn("hrank", F.row_number().over(w_short))
         .filter(F.col("hrank") <= n_short)
         .select("query_id", id_col)

@@ -215,6 +215,39 @@ def knn_join(
     )
 
 
+def _blas_block_scores(E, Q, strategy):  # noqa: ANN001 — numpy arrays
+    """Score one corpus block against the query matrix with BLAS —
+    the shared kernel of the blocked batch joins. Returns (m, nq)
+    float64; NaN marks undefined cosine (zero-norm row or query),
+    surfaced as NULL by callers. Summation order differs from the
+    sequential-fold Column expressions in the last ulp — blocked
+    variants therefore pin equivalence in tests instead of carrying a
+    SQL oracle."""
+    import numpy as np
+
+    if strategy == "InnerProductSimilarity":
+        return E @ Q.T
+    if strategy in ("CosineSimilarity", "CosineDistance"):
+        q_norms = np.linalg.norm(Q, axis=1)
+        Qn = Q / np.maximum(q_norms[:, None], 1e-300)
+        e_norms = np.linalg.norm(E, axis=1)
+        En = E / np.maximum(e_norms[:, None], 1e-300)
+        S = En @ Qn.T
+        if strategy == "CosineDistance":
+            S = 1.0 - S
+        S[e_norms == 0.0, :] = np.nan
+        S[:, q_norms == 0.0] = np.nan
+        return S
+    if strategy == "EuclideanDistance":
+        d2 = (
+            (E * E).sum(axis=1)[:, None]
+            - 2.0 * (E @ Q.T)
+            + (Q * Q).sum(axis=1)[None, :]
+        )
+        return np.sqrt(np.maximum(d2, 0.0))
+    return np.abs(E[:, None, :] - Q[None, :, :]).sum(axis=2)
+
+
 def knn_join_blocked(
     spark: SparkSession,
     queries_df: DataFrame,
@@ -273,35 +306,12 @@ def knn_join_blocked(
 
     def score_block(batches):
         qids_, Q_, strat, desc_, k_ = bc.value
-        q_norms = np.linalg.norm(Q_, axis=1)
-        Qn = Q_ / np.maximum(q_norms[:, None], 1e-300)
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf["id"].to_numpy()
             E = np.array(pdf["embedding"].tolist(), dtype=np.float64)  # (m, d)
-            if strat == "InnerProductSimilarity":
-                S = E @ Q_.T
-            elif strat in ("CosineSimilarity", "CosineDistance"):
-                e_norms = np.linalg.norm(E, axis=1)
-                En = E / np.maximum(e_norms[:, None], 1e-300)
-                S = En @ Qn.T
-                if strat == "CosineDistance":
-                    S = 1.0 - S
-                # zero-norm rows/queries are undefined cosine -> NaN
-                # (surfaced as NULL below; NaN sorts last under
-                # argsort in both directions, same as nulls_last)
-                S[e_norms == 0.0, :] = np.nan
-                S[:, q_norms == 0.0] = np.nan
-            elif strat == "EuclideanDistance":
-                d2 = (
-                    (E * E).sum(axis=1)[:, None]
-                    - 2.0 * (E @ Q_.T)
-                    + (Q_ * Q_).sum(axis=1)[None, :]
-                )
-                S = np.sqrt(np.maximum(d2, 0.0))
-            else:  # ManhattanDistance
-                S = np.abs(E[:, None, :] - Q_[None, :, :]).sum(axis=2)
+            S = _blas_block_scores(E, Q_, strat)
             m = len(ids)
             kk = min(k_, m)
             order = np.argsort(-S if desc_ else S, axis=0, kind="stable")[:kk]
