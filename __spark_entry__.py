@@ -554,6 +554,22 @@ def _embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mk_tree_knn_join_routed(strategy: str, k: int, n_queries: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        idx = _kmt_index(spark, sf_dir)
+        embs = load_embeddings(spark, sf_dir)
+        queries_df = embs.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return kmt.tree_knn_join_routed_blocked(
+            spark, idx, queries_df, k=k, strategy=strategy
+        )
+
+    return run
+
+
 def _mk_ivf_knn_join_routed(strategy: str, k: int, n_queries: int):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -858,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (equivalence to ivf_knn_join_distributed pinned in
     # tests/test_scale_paths.py; measured 25x in tools/scale_probe.py)
     q["ivf_knn_join_routed"] = _mk_ivf_knn_join_routed("CosineSimilarity", k=5, n_queries=8)
+    # the tree twin of the routed-blocked serving join
+    q["tree_knn_join_routed"] = _mk_tree_knn_join_routed("CosineSimilarity", k=5, n_queries=8)
     # O2/O3: pruned width (approximate; recall tested in pytest)
     q["ivf_cosine_width2"] = _mk_ivf("CosineSimilarity", k=10, width=2)
     # tree search at per-level width 2 (approximate; recall contract

@@ -296,3 +296,29 @@ def test_tree_compact_dedups_and_preserves_results(spark, tmp_path_factory):
             spark, embs, base + "/clean", n_l1=N_L1, fanout=FANOUT, seed=42
         ), qv, k=10, round_digits=6).collect()]
     assert a == b
+
+
+def test_tree_routed_blocked_matches_distributed(spark, built):
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators.tree import (
+        tree_knn_join_distributed,
+        tree_knn_join_routed_blocked,
+    )
+
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for widths in ({"search_top_size": None}, {"top_l1": 2, "top_l2": 4}):
+        a = tree_knn_join_routed_blocked(
+            spark, built, queries, k=5, **widths
+        ).collect()
+        b = tree_knn_join_distributed(
+            spark, built, queries, k=5, **widths
+        ).collect()
+        assert [(r.query_id, r.id, r.rank) for r in a] == [
+            (r.query_id, r.id, r.rank) for r in b
+        ]
+        for ra, rb in zip(a, b):
+            assert ra.score == pytest.approx(rb.score, abs=1e-9)

@@ -580,3 +580,127 @@ def tree_knn_join_distributed(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "score", "rank")
     )
+
+
+def tree_knn_join_routed_blocked(
+    spark: SparkSession,
+    index: KmeansTreeIndex,
+    queries_df: DataFrame,
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+    search_top_size: int | None = None,
+    top_l1: int | None = None,
+    top_l2: int | None = None,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Batch ANN join through the tree for the SERVING regime:
+    driver routing (the per-level width contract of :func:`route`) x
+    BLAS block scoring — the tree twin of
+    ``index.ivf_knn_join_routed_blocked`` (same measured rationale,
+    tools/scale_probe.py: the pair-join + fold formulation pays a
+    per-score constant factor BLAS removes).
+
+    The query batch is collected driver-side (serving contract);
+    the scan statically prunes to the union of routed (l1, l2) leaf
+    directories; each Arrow batch scores its rows against only the
+    queries routed to that leaf as one matrix product. Exact candidate
+    set (== knn_join) at full width; BLAS ulp note as in
+    ``knn_join_blocked`` (id-set equivalence pinned in tests)."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from .search import _blas_block_scores
+
+    validate_strategy(strategy)
+    n_leaves = index.n_leaves
+    w1 = top_l1 if top_l1 is not None else (
+        search_top_size if search_top_size is not None else index.n_l1
+    )
+    w2 = top_l2 if top_l2 is not None else (
+        search_top_size if search_top_size is not None else n_leaves
+    )
+
+    q_rows = queries_df.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qv")
+    ).collect()
+    qids = np.array([r.qid for r in q_rows])
+    dim = index.centroids_l1.shape[1]
+    leaf_queries: dict[tuple[int, int], list[int]] = {}
+    Q = np.full((len(q_rows), dim), np.nan, dtype=np.float64)
+    for qi, r in enumerate(q_rows):
+        if r.qv is None or len(r.qv) != dim:
+            continue
+        Q[qi] = np.asarray(r.qv, dtype=np.float64)
+        for leaf in route(index, Q[qi], strategy, top_l1=w1, top_l2=w2):
+            leaf_queries.setdefault(leaf, []).append(qi)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries_df.schema[query_id].dataType),
+            T.StructField(
+                "id", spark.read.parquet(index.path).schema["id"].dataType
+            ),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    if not leaf_queries:
+        empty = out_schema.add(T.StructField("rank", T.LongType()))
+        return spark.createDataFrame([], empty)
+
+    desc = sort_descending(strategy)
+    bc = spark.sparkContext.broadcast((qids, Q, leaf_queries, strategy, desc, k))
+
+    def score_block(batches):
+        qids_, Q_, lq, strat, desc_, k_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frames = []
+            for (l1, l2), grp in pdf.groupby(["l1", "l2"]):
+                q_idx = lq.get((int(l1), int(l2)))
+                if not q_idx:
+                    continue
+                ids = grp["id"].to_numpy()
+                E = np.array(grp["embedding"].tolist(), dtype=np.float64)
+                S = _blas_block_scores(E, Q_[q_idx], strat)
+                kk = min(k_, len(ids))
+                order = np.argsort(-S if desc_ else S, axis=0, kind="stable")[:kk]
+                for j, qi in enumerate(q_idx):
+                    sel = order[:, j]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": [qids_[qi]] * kk,
+                                "id": ids[sel],
+                                "score": S[sel, j],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cond = None
+    for l1, l2 in sorted(leaf_queries):
+        c = (F.col("l1") == l1) & (F.col("l2") == l2)
+        cond = c if cond is None else (cond | c)
+    corpus = (
+        spark.read.parquet(index.path)
+        .filter(cond)
+        .select("l1", "l2", "id", "embedding")
+    )
+    candidates = corpus.mapInPandas(score_block, schema=out_schema).withColumn(
+        "score",
+        F.when(F.isnan(F.col("score")), F.lit(None).cast("double")).otherwise(
+            F.col("score")
+        ),
+    )
+    direction = (
+        F.col("score").desc_nulls_last() if desc else F.col("score").asc_nulls_last()
+    )
+    w = Window.partitionBy("query_id").orderBy(direction, F.col("id").asc())
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )
