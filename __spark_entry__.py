@@ -33,6 +33,7 @@ from ydb_vector_search_simple_api_spark.operators import (
     sampling,
     textual,
 )
+from ydb_vector_search_simple_api_spark.operators import enrich as enrich_mod
 from ydb_vector_search_simple_api_spark.operators import index as ivf
 from ydb_vector_search_simple_api_spark.operators import tree as kmt
 from ydb_vector_search_simple_api_spark.operators.search import exact_search, knn_join
@@ -845,6 +846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: quality_filter (same per-doc quality-signal family;
     # this one is corpus-statistical rather than surface-form)
     q["unigram_logprob"] = textual.unigram_logprob
+    # sibling: unigram_logprob (the sequence-aware bigram step-up)
+    q["bigram_logprob"] = textual.bigram_logprob
     # sibling: pq_rerank_full (embedding-quantization family; int8
     # symmetric digest beside the PQ codebook path)
     q["quantize_embeddings"] = curation.quantize_embeddings
@@ -866,6 +869,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # batch embedding enrichment (deterministic fake embedder — the
     # mapInPandas plumbing is the operator); scalar digest shape
     q["embed_documents"] = lambda s, d: _embed_documents(s, d)
+    # long-doc pattern: chunk -> embed -> decimal-exact mean-pool back
+    # to one vector per doc (numpy-replay pinned in tests)
+    q["pool_chunk_embeddings"] = lambda s, d: enrich_mod.pool_chunk_embeddings(
+        s, d, dim=32
+    )
     # blocked BLAS variant: same results as knn_join, map-side top-k
     # (BLAS summation order differs in the last ulp; equivalence is
     # asserted in tests/test_scale_paths.py)
@@ -991,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_exact_groups"] = oracles_text.DEDUP_EXACT
     o["chunk_dedup"] = oracles_text.chunk_dedup_sql()
     o["unigram_logprob"] = oracles_text.UNIGRAM_LOGPROB
+    o["bigram_logprob"] = oracles_text.BIGRAM_LOGPROB
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)
     o["neardup_cosine"] = oracles_text.neardup_cosine_sql(0.4)
     o["dedup_minhash_md5"] = oracles_text.minhash_lsh_md5_sql(3, 16, 8, 0.8)

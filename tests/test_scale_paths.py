@@ -137,3 +137,45 @@ def test_ivf_routed_blocked_prunes_partitions(spark, ivf_idx):
     )
     plan = formatted_plan(df)
     assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
+def test_pool_chunk_embeddings_matches_numpy_replay(spark):
+    import hashlib
+
+    import numpy as np
+
+    from ydb_vector_search_simple_api_spark.operators import enrich
+    from ydb_vector_search_simple_api_spark.operators.textual import chunk_documents
+
+    out = {
+        r.doc_id: r
+        for r in enrich.pool_chunk_embeddings(spark, SF_SMALL, dim=16).collect()
+    }
+    assert len(out) == 500
+    # driver-side replay on a handful of docs: same chunker output,
+    # same fake embedder, plain float mean (decimal-exact Spark mean
+    # agrees to float tolerance), same digest recipe
+    chunks = (
+        chunk_documents(spark, SF_SMALL)
+        .filter(F.col("doc_id") < 5)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    emb = enrich.deterministic_fake_embedder(16)
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r.chunk_text)
+    for doc_id, texts in by_doc.items():
+        V = emb(texts).astype(np.float64)
+        pooled = np.round(V.mean(axis=0), 6) + 0.0
+        want_norm = round(float(np.sqrt((pooled * pooled).sum())), 6) + 0.0
+        row = out[doc_id]
+        assert row.n_chunks == len(texts)
+        assert row.dim == 16
+        assert row.pooled_norm == pytest.approx(want_norm, abs=2e-6)
+    # determinism across runs
+    again = {
+        r.doc_id: r.pooled_md5
+        for r in enrich.pool_chunk_embeddings(spark, SF_SMALL, dim=16).collect()
+    }
+    assert {d: r.pooled_md5 for d, r in out.items()} == again

@@ -73,3 +73,25 @@ def test_extract_urls_one_per_doc(spark):
     u = textual.extract_urls(spark, SF_SMALL).collect()
     assert len(u) == 500
     assert all(r.url == f"http://ex{r.doc_id % 7}.example.com/p{r.doc_id}" for r in u)
+
+
+def test_bigram_logprob_counts(spark):
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.functions import text as TXT
+    from ydb_vector_search_simple_api_spark.operators import textual
+
+    out = {r.doc_id: r for r in textual.bigram_logprob(spark, SF_SMALL).collect()}
+    toks = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", F.size(TXT.tokens("text")).alias("n"))
+        .collect()
+    }
+    for doc_id, n in toks.items():
+        if n >= 2:
+            assert out[doc_id].n_bigrams == n - 1
+            # conditional log-probs are <= 0
+            assert out[doc_id].mean_bigram_logprob <= 0.0
+        else:
+            assert doc_id not in out

@@ -71,3 +71,72 @@ def embed_column(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def pool_chunk_embeddings(
+    spark,
+    sf_dir: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+    dim: int = 32,
+    embedder: Embedder | None = None,
+):
+    """Long-document embedding: chunk -> embed each chunk -> mean-pool
+    back to one vector per document — the standard pattern when texts
+    outrun the embedder's context window.
+
+    Scale shape: chunking is a narrow map (textual.chunk_documents),
+    embedding is one Arrow batch call per block (embed_column), and
+    the pool is posexplode -> groupBy(doc_id, pos) with MAP-SIDE
+    partial aggregation in DECIMAL(28,10) (order-independent, exact —
+    the label_centroids contract) -> one array_sort rebuild. Shuffle
+    carries docs x dim partial sums, never chunk texts.
+
+    Gate shape (rows-only: the fake embedder has no SQL twin): one row
+    per doc — (doc_id, n_chunks, dim, pooled_norm, pooled_md5) where
+    pooled_md5 digests the 6-rounded pooled vector. Pinned against a
+    driver-side NumPy replay in tests/test_scale_paths.py.
+    """
+    from .textual import chunk_documents
+
+    chunks = chunk_documents(spark, sf_dir, chunk_size=chunk_size, stride=stride)
+    embedded = embed_column(
+        chunks.select("doc_id", "chunk_id", F.col("chunk_text").alias("text")),
+        text_col="text",
+        out_col="emb",
+        embedder=embedder,
+        dim=dim,
+    )
+    ex = embedded.select(
+        "doc_id", "chunk_id", F.posexplode("emb").alias("pos", "val")
+    )
+    pooled_val = (
+        F.round(
+            F.sum(F.col("val").cast("double").cast("decimal(28,10)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    per_pos = ex.groupBy("doc_id", "pos").agg(
+        pooled_val.alias("v"),
+        F.countDistinct("chunk_id").alias("n_chunks"),
+    )
+    vec = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+    )
+    norm = F.aggregate(
+        F.col("pooled"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return (
+        per_pos.groupBy("doc_id")
+        .agg(vec.alias("pooled"), F.max("n_chunks").alias("n_chunks"))
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.size("pooled").alias("dim"),
+            (F.round(F.sqrt(norm), 6) + F.lit(0.0)).alias("pooled_norm"),
+            F.md5(F.to_json(F.struct("pooled"))).alias("pooled_md5"),
+        )
+    )

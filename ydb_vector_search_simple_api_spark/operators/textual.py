@@ -378,3 +378,56 @@ def extract_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(urls).alias("url"))
         .orderBy("doc_id", "url")
     )
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-aware quality signal: each document's mean bigram
+    conditional log-probability ``ln(c(prev,cur)/c(prev,*))`` under
+    the corpus's own statistics — one step up from
+    :func:`unigram_logprob` toward LM-perplexity filtering (catches
+    shuffled/boilerplate token streams a unigram model scores well).
+
+    Same float-parity contract as the unigram: per-bigram log rounded
+    to 9 places, summed as DECIMAL(28,9) (partitioning-invariant),
+    one double division + ROUND(6) at the end.
+
+    Scale shape: bigram extraction is a narrow transform (no
+    self-join); the bigram table is one keyed shuffle with map-side
+    combine. The count tables join back onto the bigram stream by key
+    — broadcast while they fit (vocabulary², usually MBs after
+    combine), AQE picks a shuffled join past that. Docs with < 2
+    tokens emit no bigrams and are absent from the output (same in
+    the oracle)."""
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    t = TXT.tokens("text")
+    pairs_arr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("prev"), F.element_at(t, i + 1).alias("cur")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = d.select("doc_id", F.explode(pairs_arr).alias("p")).select(
+        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    cnt2 = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    logp = F.round(
+        F.log(F.col("c2").cast("double") / F.col("c1").cast("double")), 9
+    ).cast("decimal(28,9)")
+    return (
+        pairs.join(F.broadcast(cnt2), ["prev", "cur"])
+        .join(F.broadcast(cnt1), "prev")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(logp).alias("s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6)
+                + F.lit(0.0)
+            ).alias("mean_bigram_logprob"),
+        )
+    )

@@ -534,3 +534,24 @@ FROM aug, LATERAL (
 ) u
 ORDER BY doc_id, url
 """
+
+
+BIGRAM_LOGPROB = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_slice(toks, 1, len(toks) - 1)) AS prev,
+         unnest(list_slice(toks, 2, len(toks))) AS cur
+  FROM t WHERE len(toks) >= 2
+),
+c2 AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY prev, cur),
+c1 AS (SELECT prev, count(*) AS c1 FROM pairs GROUP BY prev)
+SELECT doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       ROUND(
+         CAST(sum(CAST(ROUND(ln(c2.c2::DOUBLE / c1.c1::DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE)
+         / count(*), 6
+       ) + 0.0 AS mean_bigram_logprob
+FROM pairs JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+GROUP BY doc_id
+"""
