@@ -440,6 +440,20 @@ def _mk_topk(strategy: str, k: int, filter: dict | None = None):
     return run
 
 
+def _sql_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_documents through the SQL table-function surface."""
+    from ydb_vector_search_simple_api_spark import sql_surface
+
+    sql_surface.register_table_functions(spark)
+    load_documents(spark, sf_dir).createOrReplaceTempView("documents_sqlsurf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_chunk_tokens
+        FROM documents_sqlsurf d, LATERAL chunk_text(d.text, 64, 48) c
+        """
+    )
+
+
 def _mk_sql_topk(strategy: str, k: int, filter: dict | None = None):
     """Top-k through the SQL-string surface (sql_surface.py): same
     oracle family as the library-path topk entries."""
@@ -831,6 +845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sql_topk_filtered"] = _mk_sql_topk(
         "CosineSimilarity", k=10, filter={"vendor": "fr"}
     )
+    # sibling: chunk_documents (same chunk grid through the SQL
+    # surface's Python UDTF — LATERAL chunk_text(...); sql_surface.py)
+    q["sql_chunk_documents"] = _sql_chunk_documents
     # sibling: pq_rerank_full (same shortlist->exact-rerank family;
     # this one's first pass is the pure-codegen sign-bit Hamming scan,
     # operators/bq.py — full shortlist == exact)
@@ -953,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
     o["sql_topk_filtered"] = oracles.topk_sql(
         "CosineSimilarity", k=10, filter_sql="lang = 'fr'"
     )
+    o["sql_chunk_documents"] = oracles_text.chunk_documents_sql(64, 48)
     o["topk_cosine_filtered2"] = oracles.topk_sql(
         "CosineSimilarity", k=10, filter_sql="lang = 'de' AND source = 'src3'"
     )

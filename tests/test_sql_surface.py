@@ -123,3 +123,25 @@ def test_null_semantics_dim_mismatch_and_zero_norm(spark):
     assert rows[2].cos is None  # try_divide zero-norm guard
     assert rows[3].cos == pytest.approx(24.0 / 25.0)
     assert rows[3].manh == pytest.approx(2.0)
+
+
+def test_chunk_text_udtf_matches_library_chunker(spark):
+    from ydb_vector_search_simple_api_spark.operators.textual import chunk_documents
+
+    sql_surface.register_table_functions(spark)
+    spark.read.parquet(f"{SF_SMALL}/documents.parquet").createOrReplaceTempView(
+        "docs_udtf"
+    )
+    got = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_chunk_tokens
+        FROM docs_udtf d, LATERAL chunk_text(d.text, 64, 48) c
+        ORDER BY d.doc_id, c.chunk_id
+        """
+    ).collect()
+    want = (
+        chunk_documents(spark, SF_SMALL, chunk_size=64, stride=48)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

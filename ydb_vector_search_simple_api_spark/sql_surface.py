@@ -215,3 +215,37 @@ __all__ = [
     "register_store_view",
     "sql_search",
 ]
+
+
+def register_table_functions(spark: SparkSession) -> None:
+    """Register the table-function half of the SQL surface (Spark 4
+    Python UDTFs, Arrow-optimized): ``chunk_text(text, chunk_size,
+    stride)`` — the SQL-callable twin of
+    ``operators.textual.chunk_documents`` (same tokenizer: whitespace
+    runs over trim(lower(text)); same chunk grid: a chunk every
+    ``stride`` tokens, ``chunk_size`` long, tail chunks shorter).
+
+    A UDTF is the compat/exploration path: rows cross into Python per
+    invocation (Arrow-batched, but still off the JVM). The library
+    operator's pure-codegen slice grid remains the 100 TB hot path —
+    result-identical, pinned in tests/test_sql_surface.py."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_id int, chunk_text string, n_chunk_tokens int",
+        useArrow=True,
+    )
+    class ChunkText:
+        def eval(self, text: str, chunk_size: int, stride: int):
+            if text is None or chunk_size is None or stride is None:
+                return
+            if chunk_size < 1 or stride < 1:
+                return
+            toks = text.strip().lower().split()
+            if not toks:
+                return
+            for cid, start in enumerate(range(0, len(toks), stride)):
+                ch = toks[start : start + chunk_size]
+                yield cid, " ".join(ch), len(ch)
+
+    spark.udtf.register("chunk_text", ChunkText)
