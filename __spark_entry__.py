@@ -34,6 +34,7 @@ from ydb_vector_search_simple_api_spark.operators import (
     textual,
 )
 from ydb_vector_search_simple_api_spark.operators import enrich as enrich_mod
+from ydb_vector_search_simple_api_spark.operators import graph as graph_mod
 from ydb_vector_search_simple_api_spark.operators import index as ivf
 from ydb_vector_search_simple_api_spark.operators import tree as kmt
 from ydb_vector_search_simple_api_spark.operators.search import exact_search, knn_join
@@ -898,6 +899,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # routed-blocked serving join: pruned cluster dirs x BLAS blocks
     # (equivalence to ivf_knn_join_distributed pinned in
     # tests/test_scale_paths.py; measured 25x in tools/scale_probe.py)
+    # iterative centrality over the near-dup graph (Pregel-style
+    # DataFrame loop; numpy replay + regular-graph fixpoint pinned in
+    # tests/test_graph.py)
+    q["neardup_pagerank"] = lambda s, d: graph_mod.neardup_pagerank(s, d)
     q["ivf_knn_join_routed"] = _mk_ivf_knn_join_routed("CosineSimilarity", k=5, n_queries=8)
     # the tree twin of the routed-blocked serving join
     q["tree_knn_join_routed"] = _mk_tree_knn_join_routed("CosineSimilarity", k=5, n_queries=8)

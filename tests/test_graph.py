@@ -1,0 +1,66 @@
+"""PageRank: numpy replay on a non-regular graph, fixpoint property on
+the regular dup-clique graph, determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.operators import graph
+
+from conftest import SF_SMALL
+
+
+def _numpy_pagerank(edges, iters=10, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    deg = np.zeros(N)
+    for u, _ in edges:
+        deg[idx[u]] += 1
+    r = np.full(N, 1.0 / N)
+    for _ in range(iters):
+        nxt = np.full(N, (1.0 - d) / N)
+        for u, v in edges:
+            nxt[idx[v]] += round(d * r[idx[u]] / deg[idx[u]], 12)
+        r = nxt
+    return {n: round(r[idx[n]], 6) for n in nodes}
+
+
+def test_pagerank_star_graph_matches_numpy(spark):
+    # star: center 0 <-> leaves 1..4 (non-regular: center deg 4, leaves 1)
+    und = [(0, i) for i in range(1, 5)]
+    edges = und + [(v, u) for u, v in und]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in graph.pagerank(spark, edf, iters=10).collect()}
+    want = _numpy_pagerank(edges)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=2e-6)
+    # center dominates
+    assert got[0] == max(got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_neardup_pagerank_regular_components_are_uniform(spark):
+    out = graph.neardup_pagerank(spark, SF_SMALL).collect()
+    assert len(out) > 0
+    n = len(out)
+    # the synthetic dup graph is a union of cliques (all members of a
+    # dup group pair with each other) => regular components => the
+    # uniform vector is the exact fixpoint
+    for r in out:
+        assert r.rank == pytest.approx(1.0 / n, abs=2e-6)
+        assert r.degree >= 1
+    # determinism
+    again = graph.neardup_pagerank(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_pagerank_validation(spark):
+    edf = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        graph.pagerank(spark, edf, iters=0)
+    with pytest.raises(ValueError):
+        graph.pagerank(spark, edf, damping=1.0)

@@ -1,0 +1,129 @@
+"""Iterative graph analytics over document-similarity graphs.
+
+Public-knowledge basis: PageRank (Brin & Page 1998) with the standard
+damping formulation; the Spark shape is the classic Pregel-style
+DataFrame loop (join ranks to edges, aggregate contributions,
+re-join), the same iterate-with-`localCheckpoint` hygiene as
+``curation.dedup_components``.
+
+Use in a data pipeline: rank documents by centrality inside a
+near-duplicate cluster graph — the high-rank member is the canonical
+"hub" copy worth keeping/inspecting, low-rank satellites are fringe
+variants; also a building block for citation/link-graph corpus
+weighting once `textual.extract_urls` feeds real edges.
+
+Determinism contract: per-edge contributions are rounded to 12
+decimals and summed as DECIMAL(28,12) — partitioning/visit-order
+invariant, so results are stable across runs and cluster layouts
+(the ``label_centroids`` trick applied to an iterative fixpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.store import load_documents
+from . import dedup
+
+ROUND = 6
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list (pass both
+    directions for an undirected graph). Returns (node, rank) with
+    rank rounded to 6; ranks over the graph's nodes sum to ~1.
+
+    Scale shape per iteration: one join of the (node, rank) table onto
+    the edge list + one keyed aggregation — 2 shuffles, both on node
+    ids; the rank table is nodes-sized (narrow), edges are never
+    mutated. ``localCheckpoint`` every iteration truncates the lineage
+    (same rationale as ``dedup_components``). Degrees are computed
+    once. No dangling-mass correction: every node in ``edges`` has
+    out-degree >= 1 by construction of a similarity graph (undirected
+    edges are passed both ways)."""
+    if iters < 1:
+        raise ValueError("iters must be a positive integer")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return spark.createDataFrame([], "node long, rank double")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e.join(deg, "src").persist()
+    e_deg.count()
+
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    try:
+        for _ in range(iters):
+            contrib = (
+                e_deg.join(
+                    ranks.withColumnRenamed("node", "src"), "src"
+                )
+                # per-edge contribution rounded, then DECIMAL-summed:
+                # the sum is exact integer arithmetic -> independent of
+                # partitioning and join order
+                .withColumn(
+                    "c",
+                    F.round(
+                        F.lit(damping) * F.col("rank") / F.col("deg"), 12
+                    ).cast("decimal(28,12)"),
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        e_deg.unpersist()
+    return ranks.select(
+        "node", (F.round(F.col("rank"), ROUND) + F.lit(0.0)).alias("rank")
+    ).orderBy("node")
+
+
+def neardup_pagerank(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Gate entry: PageRank over the undirected n-gram-Jaccard
+    near-dup graph (``dedup.ngram_jaccard_pairs`` edges, both
+    directions). Output (doc_id, rank, degree) for every doc in the
+    graph — the canonical-copy centrality signal."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_documents(spark, sf_dir), n=n, threshold=threshold
+    ).select("id_a", "id_b")
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").union(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    pr = pagerank(spark, edges, iters=10, damping=0.85)
+    deg = (
+        edges.distinct()
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        pr.join(deg, "node")
+        .select(F.col("node").alias("doc_id"), "rank", "degree")
+        .orderBy("doc_id")
+    )
