@@ -1,0 +1,119 @@
+"""Tombstone deletes: reads exclude, upsert resurrects, compaction
+folds — across the IVF and BQ layouts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.operators import bq
+from ydb_vector_search_simple_api_spark.operators import index as ivf
+from ydb_vector_search_simple_api_spark.operators import tombstones
+from ydb_vector_search_simple_api_spark.operators.search import exact_search
+
+from conftest import SF_SMALL
+
+
+def _src(spark):
+    return (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), "embedding")
+    )
+
+
+def _qvec(spark):
+    row = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .first()
+    )
+    return [float(x) for x in row.embedding]
+
+
+def _exact_ids(spark, q, k=10):
+    return [r.id for r in exact_search(spark, SF_SMALL, q, k=k).collect()]
+
+
+def test_ivf_delete_search_upsert_compact(spark, tmp_path):
+    idx = ivf.build_ivf_index(
+        spark, _src(spark), str(tmp_path / "ivf"), n_clusters=4, seed=42
+    )
+    q = _qvec(spark)
+    top = _exact_ids(spark, q)
+    victims = top[:2]  # delete the top-2 hits
+    n = tombstones.delete_ids(spark, idx.path, victims)
+    assert n == 2
+    got = [
+        r.id
+        for r in ivf.ivf_search(
+            spark, idx, q, k=10, search_top_size=4
+        ).collect()
+    ]
+    assert not set(victims) & set(got)
+    assert got == [i for i in _exact_ids(spark, q, k=12) if i not in victims][:10]
+    # batch joins honor tombstones too
+    queries = _src(spark).filter(F.col("id") < 2).selectExpr(
+        "id AS query_id", "embedding AS query_vec"
+    )
+    jj = ivf.ivf_knn_join_distributed(
+        spark, idx, queries, k=5, search_top_size=4
+    ).collect()
+    assert not set(victims) & {r.id for r in jj}
+    rb = ivf.ivf_knn_join_routed_blocked(
+        spark, idx, queries, k=5, search_top_size=4
+    ).collect()
+    assert not set(victims) & {r.id for r in rb}
+    # upsert resurrects the first victim
+    back = _src(spark).filter(F.col("id") == victims[0])
+    ivf.ivf_upsert(spark, idx, back)
+    got2 = {
+        r.id
+        for r in ivf.ivf_search(spark, idx, q, k=10, search_top_size=4).collect()
+    }
+    assert victims[0] in got2 and victims[1] not in got2
+    # compaction folds the remaining tombstone permanently
+    idx2 = ivf.ivf_compact(spark, idx, str(tmp_path / "gen2"), dedup_ids=True)
+    assert not tombstones.has_tombstones(idx2.path)
+    remaining = spark.read.parquet(idx2.path)
+    assert remaining.filter(F.col("id") == victims[1]).count() == 0
+    assert remaining.filter(F.col("id") == victims[0]).count() == 1
+
+
+def test_bq_delete_and_compact(spark, tmp_path):
+    idx = bq.build_bq_index(spark, _src(spark), str(tmp_path / "bq"), dim=64)
+    q = _qvec(spark)
+    top = _exact_ids(spark, q)
+    victims = top[:2]
+    tombstones.delete_ids(spark, idx.path, victims)
+    got = [
+        r.id
+        for r in bq.bq_search_rerank(
+            spark, idx, _src(spark), q, k=10, shortlist=None
+        ).collect()
+    ]
+    assert not set(victims) & set(got)
+    assert got == [i for i in _exact_ids(spark, q, k=12) if i not in victims][:10]
+    # blocked batch join honors tombstones (shared bits scan)
+    queries = _src(spark).filter(F.col("id") < 2).selectExpr(
+        "id AS query_id", "embedding AS query_vec"
+    )
+    jj = bq.bq_knn_join(
+        spark, idx, _src(spark), queries, k=5, shortlist=None, blocked=True
+    ).collect()
+    assert not set(victims) & {r.id for r in jj}
+    # compact folds; counts drop
+    idx2 = bq.bq_compact(spark, idx, str(tmp_path / "bq_gen2"))
+    assert idx2.n_rows == 498
+    assert not tombstones.has_tombstones(idx2.path)
+
+
+def test_tombstone_dir_invisible_to_layout_scan(spark, tmp_path):
+    # the underscore-prefixed dir must not pollute the hive layout read
+    idx = ivf.build_ivf_index(
+        spark, _src(spark), str(tmp_path / "ivf"), n_clusters=4, seed=42
+    )
+    before = spark.read.parquet(idx.path).count()
+    tombstones.delete_ids(spark, idx.path, [1, 2, 3])
+    after = spark.read.parquet(idx.path).count()
+    assert before == after  # raw scan unchanged; filtering is read-path logic
+    assert tombstones.load_tombstones(spark, idx.path).count() == 3

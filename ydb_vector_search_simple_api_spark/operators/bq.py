@@ -53,6 +53,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import tombstones
 from ..config import validate_strategy
 from ..functions.distance import score_expr
 from .search import _order_cols
@@ -191,7 +192,10 @@ def bq_shortlist(
     bits (ascending, id tiebreak). Narrow scan, TakeOrderedAndProject."""
     if len(query_vec) != index.dim:
         raise ValueError(f"query dim {len(query_vec)} != index dim {index.dim}")
-    bits = spark.read.parquet(os.path.join(index.path, "bits"))
+    bits = tombstones.apply_tombstones(
+        spark, index.path, spark.read.parquet(os.path.join(index.path, "bits")),
+        id_col=id_col,
+    )
     qw = pack_query_bits(query_vec)
     return (
         bits.withColumn("hamming", hamming_expr("bits", qw))
@@ -228,6 +232,7 @@ def bq_upsert(
     bits_df = encode_binary(new_df, vec_col=vec_col, id_col=id_col, dim=index.dim)
     bits_df.persist()
     try:
+        tombstones.resurrect_ids(spark, index.path, bits_df, id_col)
         n_new = bits_df.count()
         bits_df.write.mode("append").parquet(os.path.join(index.path, "bits"))
     finally:
@@ -261,7 +266,10 @@ def bq_compact(
     per cluster directory, layout contract preserved."""
     if n_files < 1:
         raise ValueError("n_files must be a positive integer")
-    df = spark.read.parquet(os.path.join(index.path, "bits"))
+    df = tombstones.apply_tombstones(
+        spark, index.path, spark.read.parquet(os.path.join(index.path, "bits")),
+        id_col=id_col,
+    )
     if dedup_ids:
         df = df.dropDuplicates([id_col])
     if index.partition_col is not None:
@@ -432,7 +440,10 @@ def bq_knn_join(
         raise ValueError("k must be a positive integer")
     n_short = index.n_rows if shortlist is None else int(shortlist)
 
-    bits = spark.read.parquet(os.path.join(index.path, "bits"))
+    bits = tombstones.apply_tombstones(
+        spark, index.path, spark.read.parquet(os.path.join(index.path, "bits")),
+        id_col=id_col,
+    )
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("hamming").asc(), F.col(id_col).asc()
     )
@@ -520,7 +531,10 @@ def bq_search_rerank(
 
     if len(query_vec) != index.dim:
         raise ValueError(f"query dim {len(query_vec)} != index dim {index.dim}")
-    bits = spark.read.parquet(os.path.join(index.path, "bits"))
+    bits = tombstones.apply_tombstones(
+        spark, index.path, spark.read.parquet(os.path.join(index.path, "bits")),
+        id_col=id_col,
+    )
     if filter_ids is not None:
         bits = bits.join(
             filter_ids.select(F.col(filter_ids.columns[0]).alias(id_col)),
@@ -615,8 +629,12 @@ def ivfbq_search(
         raise ValueError(f"query dim {len(query_vec)} != index dim {bq_index.dim}")
     keep = _rank_centroids(ivf_index, query_vec, strategy)[:search_top_size]
 
-    bits = spark.read.parquet(os.path.join(bq_index.path, "bits")).filter(
-        F.col("cluster_id").isin(keep)
+    bits = tombstones.apply_tombstones(
+        spark,
+        bq_index.path,
+        spark.read.parquet(os.path.join(bq_index.path, "bits")).filter(
+            F.col("cluster_id").isin(keep)
+        ),
     )
     qw = pack_query_bits(query_vec)
     n_short = bq_index.n_rows if shortlist is None else int(shortlist)

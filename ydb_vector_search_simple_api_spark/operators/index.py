@@ -42,6 +42,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import tombstones
 from ..config import DEFAULT_K, DEFAULT_SEARCH_TOP_SIZE, sort_descending, validate_strategy
 from ..functions.distance import score_expr
 
@@ -170,6 +171,7 @@ def ivf_search(
     # partition pruning: cluster_id is a partition column, so this IN
     # list prunes whole directories at planning time.
     pruned = df.filter(F.col("cluster_id").isin(keep))
+    pruned = tombstones.apply_tombstones(spark, index.path, pruned)
     if filter_ids is not None:
         # Catalyst/AQE broadcasts the (small) filtered id set
         pruned = pruned.join(filter_ids, "id", "left_semi")
@@ -285,7 +287,9 @@ def ivf_knn_join_distributed(
         )
     )
 
-    corpus = spark.read.parquet(index.path)
+    corpus = tombstones.apply_tombstones(
+        spark, index.path, spark.read.parquet(index.path)
+    )
     if filter_ids is not None:
         corpus = corpus.join(filter_ids, "id", "left_semi")
     scored = corpus.join(assignment, "cluster_id", "inner").withColumn(
@@ -371,8 +375,12 @@ def ivf_knn_join(
     assignment = spark.createDataFrame(assign_rows, schema=assign_schema)
     needed = sorted({a["cluster_id"] for a in assign_rows})
 
-    corpus = spark.read.parquet(index.path).filter(
-        F.col("cluster_id").isin(needed)  # static partition pruning
+    corpus = tombstones.apply_tombstones(
+        spark,
+        index.path,
+        spark.read.parquet(index.path).filter(
+            F.col("cluster_id").isin(needed)  # static partition pruning
+        ),
     )
     if filter_ids is not None:
         corpus = corpus.join(filter_ids, "id", "left_semi")
@@ -473,6 +481,10 @@ def ivf_upsert(
     # source) a recompute could describe different rows than were written
     assigned.persist()
     try:
+        # upsert-wins: a previously tombstoned id that arrives again is
+        # resurrected (the tiny tombstone set is rewritten minus these
+        # ids) BEFORE the append, so readers never see it flicker
+        tombstones.resurrect_ids(spark, index.path, assigned, "id")
         assigned.drop("d").write.mode("append").partitionBy("cluster_id").parquet(
             index.path
         )
@@ -531,7 +543,9 @@ def ivf_compact(
     """
     if files_per_cluster < 1:
         raise ValueError("files_per_cluster must be a positive integer")
-    df = spark.read.parquet(index.path)
+    df = tombstones.apply_tombstones(
+        spark, index.path, spark.read.parquet(index.path)
+    )
     if dedup_ids:
         df = df.dropDuplicates(["id"])
     if files_per_cluster == 1:
@@ -683,12 +697,13 @@ def ivf_knn_join_routed_blocked(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    corpus = (
+    corpus = tombstones.apply_tombstones(
+        spark,
+        index.path,
         spark.read.parquet(index.path)
         # static partition pruning: the driver knows the needed dirs
-        .filter(F.col("cluster_id").isin(sorted(cluster_queries)))
-        .select("cluster_id", "id", "embedding")
-    )
+        .filter(F.col("cluster_id").isin(sorted(cluster_queries))),
+    ).select("cluster_id", "id", "embedding")
     candidates = corpus.mapInPandas(score_block, schema=out_schema).withColumn(
         "score",
         F.when(F.isnan(F.col("score")), F.lit(None).cast("double")).otherwise(
