@@ -117,3 +117,48 @@ def test_tombstone_dir_invisible_to_layout_scan(spark, tmp_path):
     after = spark.read.parquet(idx.path).count()
     assert before == after  # raw scan unchanged; filtering is read-path logic
     assert tombstones.load_tombstones(spark, idx.path).count() == 3
+
+
+def test_tree_delete_and_resurrect(spark, tmp_path):
+    from ydb_vector_search_simple_api_spark.operators import tree as kmt
+
+    idx = kmt.build_kmeans_tree(
+        spark, _src(spark), str(tmp_path / "tree"), n_l1=3, fanout=3
+    )
+    q = _qvec(spark)
+    top = _exact_ids(spark, q)
+    victims = top[:2]
+    tombstones.delete_ids(spark, idx.path, victims)
+    got = [r.id for r in kmt.tree_search(spark, idx, q, k=10).collect()]
+    assert not set(victims) & set(got)
+    assert got == [i for i in _exact_ids(spark, q, k=12) if i not in victims][:10]
+    # batch joins honor tombstones
+    queries = _src(spark).filter(F.col("id") < 2).selectExpr(
+        "id AS query_id", "embedding AS query_vec"
+    )
+    rb = kmt.tree_knn_join_routed_blocked(spark, idx, queries, k=5).collect()
+    assert not set(victims) & {r.id for r in rb}
+    # upsert resurrects
+    kmt.tree_upsert(spark, idx, _src(spark).filter(F.col("id") == victims[0]))
+    got2 = {r.id for r in kmt.tree_search(spark, idx, q, k=10).collect()}
+    assert victims[0] in got2 and victims[1] not in got2
+
+
+def test_pq_delete_excluded_from_adc_and_rerank(spark, tmp_path):
+    from ydb_vector_search_simple_api_spark.operators import pq as pqm
+
+    idx = pqm.build_pq_index(
+        spark, _src(spark), str(tmp_path / "pq"), m=8, nbits=8, normalize=True
+    )
+    q = _qvec(spark)
+    top = _exact_ids(spark, q)
+    victims = top[:2]
+    tombstones.delete_ids(spark, idx.path, victims)
+    got = [
+        r.id
+        for r in pqm.pq_search_rerank(
+            spark, idx, _src(spark), q, k=10, shortlist=500
+        ).collect()
+    ]
+    assert not set(victims) & set(got)
+    assert got == [i for i in _exact_ids(spark, q, k=12) if i not in victims][:10]

@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import tombstones
 from ..config import DEFAULT_K, sort_descending, validate_strategy
 from ..functions.distance import score_expr
 from .tree import _lloyd
@@ -286,6 +287,7 @@ def pq_upsert(
     # non-deterministic-source hazard ivf_upsert guards against)
     src.persist()
     try:
+        tombstones.resurrect_ids(spark, index.path, src, index.id_col)
         n = src.count()
         writer = src.mapInPandas(encode, schema=out_schema).write.mode("append")
         if part_col:
@@ -313,7 +315,9 @@ def pq_compact(
     of the k slots in pure-ADC results forever. Run alongside
     ``ivf_compact(dedup_ids=True)`` so the vector and codes
     generations stay consistent."""
-    df = spark.read.parquet(index.path)
+    df = tombstones.apply_tombstones(
+        spark, index.path, spark.read.parquet(index.path)
+    )
     if dedup_ids:
         df = df.dropDuplicates(["id"])
     part_col = index.partition_col
@@ -402,7 +406,9 @@ def pq_adc_topk(
     desc = sort_descending(strategy)
     bc = spark.sparkContext.broadcast((lut, index.m, desc, k))
 
-    codes_df = spark.read.parquet(index.path)
+    codes_df = tombstones.apply_tombstones(
+        spark, index.path, spark.read.parquet(index.path)
+    )
     if partition_filter is not None:
         codes_df = codes_df.filter(partition_filter)
     codes_df = codes_df.select("id", "codes")
@@ -557,7 +563,9 @@ def pq_knn_join(
     desc = sort_descending(strategy)
     bc = spark.sparkContext.broadcast((qids, lut, index.m, desc, k))
 
-    codes_df = spark.read.parquet(index.path)
+    codes_df = tombstones.apply_tombstones(
+        spark, index.path, spark.read.parquet(index.path)
+    )
     if partition_filter is not None:
         codes_df = codes_df.filter(partition_filter)
     codes_df = codes_df.select("id", "codes")
@@ -671,8 +679,14 @@ def ivfpq_search(
             )
         return cand
     full = (
-        spark.read.parquet(ivf_index.path)
-        .filter(F.col("cluster_id").isin(keep))
+        tombstones.apply_tombstones(
+            spark,
+            ivf_index.path,
+            spark.read.parquet(ivf_index.path).filter(
+                F.col("cluster_id").isin(keep)
+            ),
+            id_col=ivf_index.id_col,
+        )
         .select(
             F.col(ivf_index.id_col).alias("id"),
             F.col(ivf_index.vec_col).alias("embedding"),

@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import tombstones
 from ..config import DEFAULT_K, sort_descending, validate_strategy
 from ..functions.distance import score_expr
 
@@ -331,7 +332,9 @@ def tree_search(
     )
 
     leaves = route(index, query_vec, strategy, top_l1=w1, top_l2=w2)
-    df = spark.read.parquet(index.path)
+    df = tombstones.apply_tombstones(
+        spark, index.path, spark.read.parquet(index.path)
+    )
     # OR of conjunctions over the two partition columns: Catalyst
     # prunes to exactly the routed leaf directories.
     cond = None
@@ -432,6 +435,7 @@ def tree_upsert(
     # non-deterministic-source guard)
     assigned.persist()
     try:
+        tombstones.resurrect_ids(spark, index.path, assigned, "id")
         assigned.drop("d").write.mode("append").partitionBy("l1", "l2").parquet(
             index.path
         )
@@ -464,7 +468,9 @@ def tree_compact(
     unconditional-dedup argument as ivf_compact)."""
     import shutil
 
-    df = spark.read.parquet(index.path)
+    df = tombstones.apply_tombstones(
+        spark, index.path, spark.read.parquet(index.path)
+    )
     if dedup_ids:
         df = df.dropDuplicates(["id"])
     (
@@ -556,7 +562,9 @@ def tree_knn_join_distributed(
         )
     )
 
-    corpus = spark.read.parquet(index.path)
+    corpus = tombstones.apply_tombstones(
+        spark, index.path, spark.read.parquet(index.path)
+    )
     if filter_ids is not None:
         corpus = corpus.join(filter_ids, "id", "left_semi")
     scored = corpus.join(assignment, ["l1", "l2"], "inner").withColumn(
@@ -684,11 +692,9 @@ def tree_knn_join_routed_blocked(
     for l1, l2 in sorted(leaf_queries):
         c = (F.col("l1") == l1) & (F.col("l2") == l2)
         cond = c if cond is None else (cond | c)
-    corpus = (
-        spark.read.parquet(index.path)
-        .filter(cond)
-        .select("l1", "l2", "id", "embedding")
-    )
+    corpus = tombstones.apply_tombstones(
+        spark, index.path, spark.read.parquet(index.path).filter(cond)
+    ).select("l1", "l2", "id", "embedding")
     candidates = corpus.mapInPandas(score_block, schema=out_schema).withColumn(
         "score",
         F.when(F.isnan(F.col("score")), F.lit(None).cast("double")).otherwise(
