@@ -80,6 +80,10 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("svs-bench")
+        # local mode: driver heap IS the executor heap. The default 1g
+        # OOM'd once the suite passed ~100 queries in one JVM (round-3
+        # incident: heap death at query 101, no headline line emitted)
+        .config("spark.driver.memory", os.environ.get("SVS_BENCH_DRIVER_MEM", "16g"))
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
