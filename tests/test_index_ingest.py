@@ -238,3 +238,40 @@ def test_stream_bq_ingest_appends_and_search_is_exact(spark, tmp_path):
     ).collect()
     want = exact_search(spark, SF_SMALL, qv, k=10, round_digits=6).collect()
     assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+
+
+def test_stream_tree_ingest_appends_and_search_is_exact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import tree as kmt
+    from ydb_vector_search_simple_api_spark.operators.search import exact_search
+    from ydb_vector_search_simple_api_spark.streaming.index_ingest import (
+        IngestMonitor,
+        parquet_vector_stream,
+        stream_tree_ingest,
+    )
+
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = kmt.build_kmeans_tree(
+        spark, embs.filter(F.col("id") < 300), str(tmp_path / "tree"),
+        n_l1=3, fanout=3,
+    )
+    landing = str(tmp_path / "landing")
+    embs.filter(F.col("id") >= 300).repartition(2).write.parquet(landing)
+    mon = IngestMonitor()
+    q = stream_tree_ingest(
+        spark,
+        idx,
+        parquet_vector_stream(spark, landing),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        monitor=mon,
+    )
+    q.awaitTermination()
+    assert mon.n_appended == 200
+    row = embs.filter(F.col("id") == 0).first()
+    qv = [float(x) for x in row.embedding]
+    got = kmt.tree_search(spark, idx, qv, k=10, round_digits=6).collect()
+    want = exact_search(spark, SF_SMALL, qv, k=10, round_digits=6).collect()
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]

@@ -245,3 +245,43 @@ def stream_bq_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_tree_ingest(
+    spark: SparkSession,
+    tree_index,
+    source: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    monitor: IngestMonitor | None = None,
+    available_now: bool = True,
+):
+    """Keep the two-level tree layout fresh from a vector stream: each
+    batch routes through the frozen tree (``tree_upsert`` — leaf
+    assignment in one Arrow pass, partitioned append into the (l1, l2)
+    directories) — completing the ingest surface across all index
+    shapes (IVF, IVF+IVFADC lockstep, BQ, tree). Per-batch drift stats
+    feed the same rebuild-trigger monitor as the IVF variant."""
+    from ..operators import tree as tree_mod
+
+    mon = monitor if monitor is not None else IngestMonitor()
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        stats = tree_mod.tree_upsert(
+            spark, tree_index, batch_df, id_col=id_col, vec_col=vec_col
+        )
+        stats["batch_id"] = batch_id
+        mon.batches.append(stats)
+
+    writer = (
+        source.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
