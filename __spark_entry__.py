@@ -934,6 +934,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the exact forms in tests/test_temporal_stats.py)
     q["approx_value_percentiles"] = stats.approx_value_percentiles
     q["approx_distinct_users"] = stats.approx_distinct_users
+    # count-min sketch: fixed-memory token frequencies at a tight
+    # width vs exact counts (upper-bound + depth-tightens properties
+    # pinned in tests/test_temporal_stats.py)
+    q["token_cms_accuracy"] = lambda s, d: stats.token_cms_accuracy(
+        s, d, width=16, depth=4
+    )
     # pure-ADC PQ top-k (approximate by design; recall and the
     # lossless-vocabulary property pinned in tests/test_pq.py)
     q["pq_adc_topk"] = _mk_pq_adc("CosineSimilarity", k=10)

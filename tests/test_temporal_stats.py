@@ -192,3 +192,46 @@ def test_props_k_stats_matches_manual_parse(spark):
         n, s, lo, hi = want.get(r.event_type, (0, 0, k, k))
         want[r.event_type] = (n + 1, s + k, min(lo, k), max(hi, k))
     assert got == want
+
+
+def test_cms_upper_bound_and_depth_improves(spark):
+    from ydb_vector_search_simple_api_spark.operators import stats as st
+
+    # tight width forces collisions (31-token vocabulary)
+    d2 = {r.tok: r for r in st.token_cms_accuracy(spark, SF_SMALL, width=16, depth=2).collect()}
+    d4 = {r.tok: r for r in st.token_cms_accuracy(spark, SF_SMALL, width=16, depth=4).collect()}
+    assert len(d2) == len(d4) > 0
+    # CMS never undercounts
+    assert all(r.est_cnt >= r.true_cnt for r in d2.values())
+    assert all(r.est_cnt >= r.true_cnt for r in d4.values())
+    # more hash rows -> estimates can only tighten (min over a superset)
+    for tok in d2:
+        assert d4[tok].est_cnt <= d2[tok].est_cnt
+    # with collisions present, depth actually helps on this corpus
+    assert sum(r.overcount for r in d4.values()) < sum(r.overcount for r in d2.values())
+    # wide sketch: no collisions at this vocabulary -> exact
+    wide = st.token_cms_accuracy(spark, SF_SMALL, width=1024, depth=4).collect()
+    assert all(r.overcount == 0 for r in wide)
+
+
+def test_cms_build_is_cells_sized_and_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import stats as st
+
+    toks = spark.createDataFrame(
+        [(w,) for w in "a b a c a b".split()], "tok string"
+    )
+    sk = st.cms_build(toks, "tok", width=8, depth=3)
+    assert sk.count() <= 8 * 3
+    # cell-wise merge of two half-sketches == sketch of the union
+    part1 = spark.createDataFrame([(w,) for w in "a b a".split()], "tok string")
+    part2 = spark.createDataFrame([(w,) for w in "c a b".split()], "tok string")
+    h1 = st.cms_build(part1, "tok", width=8, depth=3)
+    h2 = st.cms_build(part2, "tok", width=8, depth=3)
+    merged = (
+        h1.unionByName(h2).groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r.d, r.w): r.cnt for r in sk.collect()}
+    b = {(r.d, r.w): r.cnt for r in merged.collect()}
+    assert a == b

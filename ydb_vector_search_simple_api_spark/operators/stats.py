@@ -159,3 +159,95 @@ def props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# ------------------------------------------- count-min sketch
+
+def cms_build(
+    items: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a plain
+    aggregated table: depth x width counters, cell (d, w) = number of
+    items whose seeded hash lands in bucket w under hash d.
+
+    Fixed-memory frequency estimation for unbounded key universes —
+    the lever when even the combined (token, count) table outgrows
+    memory budgets (billions of distinct keys): the sketch is
+    depth x width rows REGARDLESS of cardinality, mergeable across
+    shards/days by cell-wise addition, and the estimate is an upper
+    bound with error <= e/width * N at ~1 - (1/2)^depth probability.
+
+    Spark shape: one narrow map (depth seeded xxhash64 buckets per
+    item via explode over a literal seed array) + ONE keyed shuffle
+    with map-side combine on (d, w) — cells, not items, cross the
+    wire. Estimation (:func:`cms_estimate`) is a broadcast join of the
+    tiny sketch onto the probe keys + a min over depth."""
+    if width < 2 or depth < 1:
+        raise ValueError("width must be >= 2 and depth >= 1")
+    seeds = F.array(*[F.lit(i) for i in range(depth)])
+    cells = items.select(
+        F.explode(seeds).alias("d"),
+        F.pmod(
+            F.xxhash64(F.col(item_col), F.col("d")), F.lit(width)
+        ).alias("w"),
+    )
+    # F.explode before pmod: `d` must be a column before hashing with it
+    return cells.groupBy("d", "w").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch for each probe key: est = min over the
+    depth rows of the key's bucket counters (0 when a bucket row is
+    absent — an empty cell). Output: probes + ``est_cnt``.
+    est_cnt >= true count always (over-approximation only)."""
+    seeds = F.array(*[F.lit(i) for i in range(depth)])
+    keyed = probes.select(
+        F.col(item_col),
+        F.explode(seeds).alias("d"),
+    ).withColumn(
+        "w", F.pmod(F.xxhash64(F.col(item_col), F.col("d")), F.lit(width))
+    )
+    return (
+        keyed.join(F.broadcast(sketch), ["d", "w"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_cnt"))
+    )
+
+
+def token_cms_accuracy(
+    spark: SparkSession, sf_dir: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Gate entry (rows-only): sketch the corpus token stream at a
+    deliberately tight width, then compare estimates against exact
+    counts for every distinct token — (token, true_cnt, est_cnt,
+    overcount). Properties pinned in tests: est >= true for ALL
+    tokens; mean overcount tracks the e/width * N bound."""
+    from ..functions import text as TXT
+    from ..sources.store import load_documents
+
+    toks = (
+        load_documents(spark, sf_dir)
+        .select(F.explode(TXT.tokens("text")).alias("tok"))
+    )
+    sketch = cms_build(toks, "tok", width=width, depth=depth)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(sketch, exact.select("tok"), "tok", width=width, depth=depth)
+    return (
+        exact.join(est, "tok")
+        .select(
+            "tok",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy("tok")
+    )
