@@ -142,3 +142,60 @@ def test_simhash_of_single_hash_is_that_hash(h):
     hash bit exactly, so the signature IS the hash (bit pattern)."""
     pack = _pack_fn()
     assert pack([h]) == h
+
+
+# ---------------------------------------------------------- BQ kernels
+
+_float_rows = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=130,
+    ),
+    min_size=1,
+    max_size=8,
+).filter(lambda rows: len({len(r) for r in rows}) == 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_float_rows)
+def test_pack_bits_roundtrip_popcount(rows):
+    """Packed words carry exactly the >0 bits: per-row popcount equals
+    the count of strictly positive entries, and Hamming between two
+    packed rows equals the sign-pattern disagreement count."""
+    import numpy as np
+
+    from ydb_vector_search_simple_api_spark.operators.bq import _pack_bits
+
+    X = np.asarray(rows, dtype=np.float64)
+    W = _pack_bits(X).astype(np.uint64)
+    pop = np.array(
+        [bin(int(w)).count("1") for row in W for w in row]
+    ).reshape(W.shape)
+    assert (pop.sum(axis=1) == (X > 0).sum(axis=1)).all()
+    if len(rows) >= 2:
+        want = int(((X[0] > 0) != (X[1] > 0)).sum())
+        got = sum(bin(int(a ^ b)).count("1") for a, b in zip(W[0], W[1]))
+        assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=64), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=60),
+)
+def test_topn_by_hamming_id_matches_sorted(hams, top):
+    """The argpartition + boundary-tie selection must equal the brute
+    sort by (hamming, id) prefix — including ties at the boundary."""
+    import numpy as np
+
+    from ydb_vector_search_simple_api_spark.operators.bq import _topn_by_hamming_id
+
+    ham = np.asarray(hams, dtype=np.int64)
+    ids = np.arange(100, 100 + len(hams))  # distinct, ascending
+    keep = _topn_by_hamming_id(ham, ids, top)
+    got = sorted(zip(ham[keep], ids[keep]))
+    want = sorted(zip(ham, ids))[: min(top, len(hams))]
+    assert got == want

@@ -54,3 +54,13 @@ def test_stream_serve_appends_results_per_batch(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "results"))
     assert out.count() == 12
     assert set(r.query_id for r in out.collect()) == {0, 1, 2, 3}
+
+
+def test_knn_serve_stream_fast_engine_same_ids_and_ranks(spark):
+    a = serve.knn_serve_stream(spark, SF_SMALL, k=5, n_queries=6).collect()
+    b = serve.knn_serve_stream(
+        spark, SF_SMALL, k=5, n_queries=6, engine="routed_blocked"
+    ).collect()
+    assert [(r.query_id, r.id, r.rank) for r in a] == [
+        (r.query_id, r.id, r.rank) for r in b
+    ]

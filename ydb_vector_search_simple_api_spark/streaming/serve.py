@@ -45,23 +45,41 @@ def stream_knn_serve(
     query_vec: str = "query_vec",
     round_digits: int | None = None,
     available_now: bool = True,
+    engine: str = "distributed",
 ):
     """Answer a streaming query source against an IVF index.
 
-    Each micro-batch: distributed cluster routing (Arrow-batched) →
-    pruned candidate join → per-query top-k → append to
-    ``results_dir`` (parquet). Returns the started StreamingQuery;
-    ``available_now`` drains-and-stops (test/backfill mode)."""
+    Each micro-batch: cluster routing → pruned candidate join →
+    per-query top-k → append to ``results_dir`` (parquet). Returns the
+    started StreamingQuery; ``available_now`` drains-and-stops
+    (test/backfill mode).
+
+    ``engine`` picks the per-batch join:
+
+    * ``"distributed"`` (default): ``ivf_knn_join_distributed`` —
+      fold-scored, bit-exact with the SQL oracle (the gate path).
+    * ``"routed_blocked"``: ``ivf_knn_join_routed_blocked`` — the
+      measured serving fast path (25x, tools/scale_probe.py); BLAS
+      scores differ in the last ulp, so this variant is pinned by
+      id/rank equality tests rather than the value-hash oracle."""
     width = search_top_size or index.n_clusters
+    if engine not in ("distributed", "routed_blocked"):
+        raise ValueError("engine must be 'distributed' or 'routed_blocked'")
 
     def _answer(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        out = ivf_mod.ivf_knn_join_distributed(
-            spark, index, batch_df, k=k, strategy=strategy,
-            search_top_size=width, query_id=query_id, query_vec=query_vec,
-            round_digits=round_digits,
-        )
+        if engine == "routed_blocked":
+            out = ivf_mod.ivf_knn_join_routed_blocked(
+                spark, index, batch_df, k=k, strategy=strategy,
+                search_top_size=width, query_id=query_id, query_vec=query_vec,
+            )
+        else:
+            out = ivf_mod.ivf_knn_join_distributed(
+                spark, index, batch_df, k=k, strategy=strategy,
+                search_top_size=width, query_id=query_id, query_vec=query_vec,
+                round_digits=round_digits,
+            )
         out.write.mode("append").parquet(results_dir)
 
     writer = (
@@ -92,7 +110,8 @@ def query_shard_stream(
 
 
 def knn_serve_stream(
-    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 8
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 8,
+    engine: str = "distributed",
 ) -> DataFrame:
     """Gate entry: drop the first ``n_queries`` embedding rows as 3
     query shards, drain them through :func:`stream_knn_serve` at full
@@ -126,6 +145,7 @@ def knn_serve_stream(
             k=k,
             search_top_size=idx.n_clusters,
             round_digits=6,
+            engine=engine,
         )
         q.awaitTermination()
     return spark.read.parquet(results).orderBy("query_id", "rank")
