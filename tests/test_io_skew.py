@@ -159,3 +159,49 @@ def test_optimize_layout_validates_cols(spark, tmp_path):
 
     with pytest.raises(ValueError):
         optimize_layout(docs, str(tmp_path / "x"), [])
+
+
+def test_zorder_layout_skips_in_both_dimensions(spark, tmp_path):
+    from ydb_vector_search_simple_api_spark.sources.io import (
+        file_skipping_stats,
+        optimize_layout,
+        optimize_layout_zorder,
+    )
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    n_files = 16
+    # single-key sorts: perfect on their key, random on the other
+    by_u = str(tmp_path / "by_u")
+    optimize_layout(events, by_u, ["user_id"], n_files=n_files)
+    by_v = str(tmp_path / "by_v")
+    optimize_layout(events, by_v, ["value"], n_files=n_files)
+    # z-order on (user_id, value)
+    zpath = str(tmp_path / "z")
+    optimize_layout_zorder(events, zpath, ("user_id", "value"), n_files=n_files)
+
+    vals = sorted(r.value for r in events.select("value").collect())
+    users = sorted(r.user_id for r in events.select("user_id").collect())
+    pred_v = f"value BETWEEN {vals[len(vals)//10]} AND {vals[2*len(vals)//10]}"
+    pred_u = f"user_id BETWEEN {users[len(users)//10]} AND {users[2*len(users)//10]}"
+
+    # each single-key layout is blind on the OTHER key (touches ~all
+    # files); the z-order layout must skip meaningfully on BOTH
+    blind_v = file_skipping_stats(spark, by_u, pred_v)["n_candidate_files"]
+    blind_u = file_skipping_stats(spark, by_v, pred_u)["n_candidate_files"]
+    assert blind_v >= n_files - 2 and blind_u >= n_files - 2
+    zv = file_skipping_stats(spark, zpath, pred_v)["n_candidate_files"]
+    zu = file_skipping_stats(spark, zpath, pred_u)["n_candidate_files"]
+    assert zv < blind_v and zu < blind_u
+    assert zv <= n_files * 3 // 4 and zu <= n_files * 3 // 4
+    # rewrite is lossless
+    assert spark.read.parquet(zpath).count() == events.count()
+
+
+def test_zorder_validates_bits(spark, tmp_path):
+    from ydb_vector_search_simple_api_spark.sources.io import optimize_layout_zorder
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    with pytest.raises(ValueError):
+        optimize_layout_zorder(events, str(tmp_path / "x"), ("user_id", "value"), bits=0)

@@ -198,3 +198,62 @@ def file_skipping_stats(
         if spark.read.parquet(f).filter(predicate).head(1):
             n_candidates += 1
     return {"n_files": len(files), "n_candidate_files": n_candidates}
+
+
+def optimize_layout_zorder(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "error",
+) -> None:
+    """Two-dimensional layout clustering: interleave the bits of two
+    numeric columns' rank positions (Morton / Z-order) and range-write
+    on the resulting code, so files are tight in BOTH dimensions at
+    once — the multi-column generalization of :func:`optimize_layout`
+    (which clusters one key perfectly and leaves the other random).
+
+    This is the lakehouse OPTIMIZE ... ZORDER BY (a, b) pattern on
+    stock Spark: per-column ``percent_rank`` (order statistics make
+    the interleave robust to skewed value distributions) quantized to
+    ``bits`` levels, interleaved JVM-side with shift/or folds (no
+    Python in the path), then ``repartitionByRange`` +
+    ``sortWithinPartitions`` on the code. Queries filtering either or
+    both columns skip ~sqrt-proportionally more files than a single-
+    key sort allows on the second column.
+
+    One extra window per column (global rank) — acceptable for an
+    offline rewrite; pass pre-quantized integer columns directly via
+    ``optimize_layout`` when ranks are not needed.
+    """
+    from pyspark.sql import Window
+
+    if bits < 1 or bits > 21:
+        raise ValueError("bits must be in [1, 21] (2*bits-bit codes)")
+    c1, c2 = cols
+    levels = (1 << bits) - 1
+    q1 = F.floor(
+        F.percent_rank().over(Window.orderBy(F.col(c1))) * levels
+    ).cast("long")
+    q2 = F.floor(
+        F.percent_rank().over(Window.orderBy(F.col(c2))) * levels
+    ).cast("long")
+    # interleave: bit i of q1 -> bit 2i+1, bit i of q2 -> bit 2i
+    def spread(col):
+        acc = F.lit(0).cast("long")
+        for i in range(bits):
+            acc = acc.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(col, i).bitwiseAND(F.lit(1)), 2 * i
+                )
+            )
+        return acc
+
+    z = F.shiftleft(spread(q1), 1).bitwiseOR(spread(q2))
+    shaped = df.withColumn("_z", z)
+    if n_files is not None:
+        shaped = shaped.repartitionByRange(int(n_files), F.col("_z"))
+    else:
+        shaped = shaped.repartitionByRange(F.col("_z"))
+    shaped.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(path)
