@@ -455,6 +455,18 @@ def _sql_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mk_sql_topk_narrow(strategy: str, k: int, filter: dict | None = None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ydb_vector_search_simple_api_spark import sql_surface
+
+        return sql_surface.sql_search_narrow(
+            spark, sf_dir, _query_vec(spark, sf_dir), k=k,
+            strategy=strategy, filter=filter, round_digits=ROUND,
+        )
+
+    return run
+
+
 def _mk_sql_topk(strategy: str, k: int, filter: dict | None = None):
     """Top-k through the SQL-string surface (sql_surface.py): same
     oracle family as the library-path topk entries."""
@@ -846,6 +858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sql_topk_filtered"] = _mk_sql_topk(
         "CosineSimilarity", k=10, filter={"vendor": "fr"}
     )
+    # sibling: sql_topk_cosine (the scale-shaped CTE template: narrow
+    # score -> top-k -> metadata join, same plan as the library path)
+    q["sql_topk_narrow"] = _mk_sql_topk_narrow("CosineSimilarity", k=10)
     # sibling: chunk_documents (same chunk grid through the SQL
     # surface's Python UDTF — LATERAL chunk_text(...); sql_surface.py)
     q["sql_chunk_documents"] = _sql_chunk_documents
@@ -981,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
     o["sql_topk_filtered"] = oracles.topk_sql(
         "CosineSimilarity", k=10, filter_sql="lang = 'fr'"
     )
+    o["sql_topk_narrow"] = oracles.topk_sql("CosineSimilarity", k=10)
     o["sql_chunk_documents"] = oracles_text.chunk_documents_sql(64, 48)
     o["topk_cosine_filtered2"] = oracles.topk_sql(
         "CosineSimilarity", k=10, filter_sql="lang = 'de' AND source = 'src3'"

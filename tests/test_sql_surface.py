@@ -145,3 +145,32 @@ def test_chunk_text_udtf_matches_library_chunker(spark):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_narrow_template_matches_flat_and_library(spark):
+    vec = _query_vec(spark)
+    for flt in (None, {"vendor": "fr"}):
+        narrow = sql_surface.sql_search_narrow(
+            spark, SF_SMALL, vec, k=7, filter=flt, round_digits=6
+        ).collect()
+        flat = sql_surface.sql_search(
+            spark, SF_SMALL, vec, k=7, filter=flt, round_digits=6
+        ).collect()
+        lib = exact_search(
+            spark, SF_SMALL, vec, k=7, filter=flt, round_digits=6
+        ).collect()
+        assert [tuple(r) for r in narrow] == [tuple(r) for r in flat]
+        assert [tuple(r) for r in narrow] == [tuple(r) for r in lib]
+
+
+def test_narrow_template_plan_takes_topk_before_join(spark):
+    from ydb_vector_search_simple_api_spark.plans.checks import uses_broadcast_join
+
+    vec = _query_vec(spark)
+    df = sql_surface.sql_search_narrow(spark, SF_SMALL, vec, k=5)
+    plan = formatted_plan(df)
+    # top-k happens on the narrow scan (TakeOrderedAndProject present)
+    # and the metadata join is a broadcast of/onto k rows
+    assert "TakeOrderedAndProject" in plan
+    assert uses_broadcast_join(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -32,14 +32,13 @@ Parity divergences (deliberate, same policy as the library path):
   is not expressible as a SQL string here; index-backed search stays on
   the library API (``operators/index.py`` / ``tree.py``).
 
-Scale note: the flat template scores the wide ``store`` view, so the
-documents⋈embeddings join runs BEFORE top-k — fine for the reference's
-single-table deployment shape (the scan is the scan), but on the split
-testdata layout the library path (``operators/search.py:exact_search``)
-is strictly better: it scores the narrow vector table and joins
-metadata after the top-k, moving k rows instead of every text column.
-The SQL surface is the compatibility/exploration layer, not the 100 TB
-hot path.
+Scale note: the flat template scores the wide ``store`` view (the
+reference-literal shape); :func:`prepare_search_query_narrow` is the
+scale-shaped alternative — a CTE that scores the narrow vector table,
+takes top-k, and joins metadata on k rows, compiling to the SAME
+physical plan as the library path (TakeOrderedAndProject on the
+narrow scan + broadcast join; plan-asserted). Result-identical to
+both the flat template and ``exact_search``.
 """
 
 from __future__ import annotations
@@ -249,3 +248,76 @@ def register_table_functions(spark: SparkSession) -> None:
                 yield cid, " ".join(ch), len(ch)
 
     spark.udtf.register("chunk_text", ChunkText)
+
+
+def prepare_search_query_narrow(
+    strategy: str = "CosineSimilarity",
+    k: int = DEFAULT_K,
+    filter: Mapping[str, str] | None = None,
+    round_digits: int | None = None,
+) -> str:
+    """The SCALE-SHAPED template: score the narrow vector table, top-k
+    FIRST, then join document metadata — the same physical plan as the
+    library path (``operators/search.py:exact_search``), expressed as
+    pure SQL over the physical ``documents``/``embeddings`` views
+    (``sources.store.register_views``). This removes the flat
+    template's one scale caveat (wide-row scoring); results are
+    identical to :func:`prepare_search_query` (tested)."""
+    validate_strategy(strategy)
+    if not isinstance(k, int) or isinstance(k, bool) or k < 1:
+        raise ValueError("k must be a positive integer")
+    flt = dict(filter or {})
+    bad = set(flt) - set(FILTERABLE_FIELDS)
+    if bad:
+        raise ValueError(
+            f"Unfilterable field(s) {sorted(bad)}; allowed: {FILTERABLE_FIELDS}"
+        )
+    score = f"{KNN_FUNCTION_NAMES[strategy]}(embedding, :TargetEmbedding)"
+    if round_digits is not None:
+        score = f"ROUND({score}, {int(round_digits)}) + 0.0D"
+    # logical filter fields -> physical documents columns (ColumnMap
+    # defaults; the view carries physical names)
+    phys = {"title": "source", "vendor": "lang", "description": "text"}
+    where = ""
+    if flt:
+        conds = " AND ".join(f"{phys[f]} = :f_{f}" for f in sorted(flt))
+        where = (
+            f"\n  WHERE vec_id IN (SELECT doc_id FROM documents WHERE {conds})"
+        )
+    direction = "DESC" if sort_descending(strategy) else "ASC"
+    return (
+        "WITH topk AS (\n"
+        f"  SELECT vec_id AS id, {score} AS score\n"
+        f"  FROM embeddings{where}\n"
+        f"  ORDER BY score {direction} NULLS LAST, id ASC\n"
+        f"  LIMIT {k}\n"
+        ")\n"
+        "SELECT t.id AS id, d.source AS title, d.lang AS vendor,\n"
+        "       d.text AS description, t.score AS score\n"
+        "FROM topk t JOIN documents d ON d.doc_id = t.id\n"
+        f"ORDER BY t.score {direction} NULLS LAST, t.id ASC"
+    )
+
+
+def sql_search_narrow(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+    filter: Mapping[str, str] | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Execute the scale-shaped SQL template (see
+    :func:`prepare_search_query_narrow`)."""
+    from .sources.store import register_views
+
+    register_knn_functions(spark)
+    register_views(spark, sf_dir)
+    query = prepare_search_query_narrow(
+        strategy=strategy, k=k, filter=filter, round_digits=round_digits
+    )
+    args: dict[str, object] = {"TargetEmbedding": [float(x) for x in query_vec]}
+    for field, value in (filter or {}).items():
+        args[f"f_{field}"] = value
+    return spark.sql(query, args=args)
