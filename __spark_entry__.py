@@ -792,6 +792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: document_splits (same deterministic md5-threshold
     # sampling family; language-stratified rates)
     q["stratified_sample"] = curation.stratified_sample_stats
+    # sibling: document_splits / quality_filter (importance sampling:
+    # keep-probability = quality^2 via the exact-integer md5 rule)
+    q["quality_weighted_sample"] = sampling.quality_weighted_sample
     # sibling: source_token_budget / stratified_sample (training-mix
     # control: relative token shares via the exact-integer md5
     # admission rule — curation.mixture_resample)
@@ -1068,6 +1071,7 @@ def oracle_sql() -> dict[str, str]:
     o["source_token_budget"] = oracles_curation.source_token_budget_sql(20000)
     o["pii_redaction"] = oracles_curation.pii_redaction_sql()
     o["mixture_resample"] = oracles_curation.mixture_resample_sql()
+    o["quality_weighted_sample"] = oracles_text.quality_weighted_sample_sql()
     o["normalize_markup"] = oracles_text.normalize_markup_sql()
     o["extract_urls"] = oracles_text.extract_urls_sql()
     o["curate_corpus"] = oracles_curation.curate_corpus_sql()

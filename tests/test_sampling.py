@@ -47,3 +47,19 @@ def test_hash_sample_stable_and_proportional(spark):
         r.doc_id for r in S.hash_sample(docs, "doc_id", 0.5).select("doc_id").collect()
     }
     assert s1 <= s_half
+
+
+def test_quality_weighted_sample_rate_tracks_quality(spark):
+    from ydb_vector_search_simple_api_spark.operators import sampling
+
+    out = sampling.quality_weighted_sample(spark, SF_SMALL).collect()
+    assert len(out) == 500
+    hi = [r for r in out if r.quality >= 0.9]
+    lo = [r for r in out if r.quality < 0.7]
+    if hi and lo:
+        rate_hi = sum(r.admitted for r in hi) / len(hi)
+        rate_lo = sum(r.admitted for r in lo) / len(lo)
+        assert rate_hi > rate_lo
+    # admission is a pure function of (doc_id, quality): re-run identical
+    again = sampling.quality_weighted_sample(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]

@@ -103,3 +103,34 @@ SELECT split, count(*)::BIGINT AS n_docs
 FROM ({splits_sql(train, valid)})
 GROUP BY split
 """
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality: each document is kept with
+    probability quality² (squaring sharpens the preference for clean
+    docs — the standard quality-weighted mixture move when downsampling
+    a web-scale corpus without a hard cutoff's cliff).
+
+    Deterministic and engine-portable: the draw is the md5-prefix
+    integer (the splits contract), the rate is the 6-rounded quality
+    squared — one double multiply, identical IEEE result in Spark and
+    DuckDB — and admission compares integers:
+    ``draw < floor(q6 * q6 * 16^6)``.
+
+    Output: (doc_id, quality, admitted) for every doc — the keep-list
+    plus the audit trail (admitted=1 rows are the sample)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import text as TXT
+
+    d = load_documents(spark, sf_dir)
+    q6 = F.round(TXT.quality_score("text"), 6) + F.lit(0.0)
+    draw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, PREFIX_HEX), 16, 10
+    ).cast("bigint")
+    threshold = F.floor(q6 * q6 * F.lit(float(16**PREFIX_HEX))).cast("bigint")
+    return d.select(
+        "doc_id",
+        q6.alias("quality"),
+        (draw < threshold).cast("int").alias("admitted"),
+    ).orderBy("doc_id")

@@ -555,3 +555,39 @@ SELECT doc_id,
 FROM pairs JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
 GROUP BY doc_id
 """
+
+
+def quality_weighted_sample_sql() -> str:
+    """Twin of sampling.quality_weighted_sample: identical quality
+    formula, md5-prefix integer draw (list_reduce hex decode), and
+    integer admission rule."""
+    draw = (
+        "list_reduce(list_transform(generate_series(1, 6), "
+        "i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1), "
+        "(acc, d) -> acc * 16 + d)::BIGINT"
+    )
+    q = (
+        "ROUND((ttr_raw + (CASE WHEN n >= 32.0 THEN 1.0 ELSE n / 32.0 END) "
+        "+ (CASE WHEN stop_raw > 0.5 THEN 0.0 ELSE 1.0 - stop_raw END)) / 3.0, 6) + 0.0"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE len(list_distinct(t))::DOUBLE / len(t)::DOUBLE END AS ttr_raw,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE {_stop_count(LANG_STOPWORDS["en"])}::DOUBLE / len(t)::DOUBLE END AS stop_raw,
+         len(t)::DOUBLE AS n
+  FROM toks
+),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN 0.0 ELSE {q} END AS quality
+  FROM m
+)
+SELECT doc_id, quality,
+       CASE WHEN {draw} < CAST(floor(quality * quality * 16777216.0) AS BIGINT)
+            THEN 1 ELSE 0 END AS admitted
+FROM scored ORDER BY doc_id
+"""
