@@ -980,6 +980,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # end-to-end raster pipeline: generate -> decode -> channel means
     # -> nearest-neighbor thumbnail digest (md5-keystream pixels, no
     # SQL twin; determinism pinned in tests/test_multimodal.py)
+    # keyframe/shot-boundary selection over the frame fan-out
+    # (histogram-distance lag window; numpy replay + monotone-threshold
+    # tests in tests/test_multimodal.py)
+    q["multimodal_keyframes"] = multimodal.multimodal_keyframes
     q["multimodal_raster_stats"] = multimodal.raster_stats
     # audio twin: PCM decode -> RMS/zero-crossing -> clip digest
     q["multimodal_pcm_stats"] = multimodal.pcm_stats

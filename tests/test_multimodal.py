@@ -175,3 +175,38 @@ def test_pcm_codec_and_stats(spark):
     assert a == b and len(a) == 500
     n, rms, zc, cm = a[0]
     assert 64 <= n < 128 and rms > 0 and 0 <= zc < n and len(cm) == 32
+
+
+def test_keyframe_select_matches_numpy_replay(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id") < 20
+    )
+    frames = mm.sample_frames(mm.attach_payload(docs), every_n=7)
+    out = mm.keyframe_select(frames, threshold=0.25).collect()
+    assert len(out) == frames.count()
+    # frame 0 of every doc is a keyframe with NULL distance
+    for r in out:
+        if r.frame_id == 0:
+            assert r.dist_prev is None and r.is_keyframe == 1
+    # numpy replay on one doc
+    sample = [r for r in frames.collect() if r.doc_id == out[0].doc_id]
+    sample.sort(key=lambda r: r.frame_id)
+    hists = []
+    for r in sample:
+        b = np.frombuffer(bytes(r.frame), dtype=np.uint8)
+        h = np.bincount(b, minlength=256).astype(np.float64) / max(len(b), 1)
+        hists.append(h)
+    by_key = {(r.doc_id, r.frame_id): r for r in out}
+    for i in range(1, len(hists)):
+        want = round(float(np.abs(hists[i] - hists[i - 1]).sum() / 2.0), 6)
+        got = by_key[(sample[i].doc_id, sample[i].frame_id)].dist_prev
+        assert got == pytest.approx(want, abs=2e-6)
+    # threshold monotonicity: higher threshold keeps fewer frames
+    k_lo = sum(r.is_keyframe for r in mm.keyframe_select(frames, threshold=0.1).collect())
+    k_hi = sum(r.is_keyframe for r in mm.keyframe_select(frames, threshold=0.6).collect())
+    assert k_hi <= k_lo

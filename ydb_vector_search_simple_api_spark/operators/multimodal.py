@@ -381,3 +381,81 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     buf = io.BytesIO()
     out.save(buf, format="PNG")
     return buf.getvalue()
+
+
+def keyframe_select(
+    frames: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "doc_id",
+    frame_id_col: str = "frame_id",
+    frame_col: str = "frame",
+) -> DataFrame:
+    """Shot-boundary keyframe selection: a frame is a keyframe when
+    its byte-histogram distance to the PREVIOUS frame exceeds
+    ``threshold`` (frame 0 always is) — the standard cheap
+    keyframe/scene-cut pass of a video curation pipeline (keep one
+    representative frame per shot instead of every Nth).
+
+    Distance = half the L1 distance between the frames' normalized
+    256-bin byte histograms (in [0, 1]; invariant to frame length).
+    Two stages, both scale-friendly: one Arrow pass computes per-frame
+    histograms (narrow, 1:1), then a window ``lag`` per doc orders the
+    comparison — the only shuffle keys on doc_id, carrying 256 doubles
+    per frame, never the frame bytes.
+
+    Output: (doc_id, frame_id, dist_prev, is_keyframe)."""
+    from pyspark.sql import Window
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, fid, fr in zip(
+                pdf[id_col], pdf[frame_id_col], pdf[frame_col]
+            ):
+                b = np.frombuffer(bytes(fr), dtype=np.uint8)
+                h = np.bincount(b, minlength=256).astype(np.float64)
+                h = h / max(len(b), 1)
+                rows.append((int(doc_id), int(fid), h.tolist()))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_id", "hist"])
+
+    hists = frames.select(id_col, frame_id_col, frame_col).mapInPandas(
+        hist, schema="doc_id bigint, frame_id int, hist array<double>"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    prev = F.lag("hist").over(w)
+    l1_half = F.aggregate(
+        F.zip_with(F.col("hist"), prev, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(2.0)
+    return (
+        hists.withColumn(
+            "dist_prev",
+            F.when(prev.isNull(), F.lit(None).cast("double")).otherwise(
+                F.round(l1_half, 6) + F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "is_keyframe",
+            (F.col("dist_prev").isNull() | (F.col("dist_prev") > threshold)).cast(
+                "int"
+            ),
+        )
+        .select("doc_id", "frame_id", "dist_prev", "is_keyframe")
+        .orderBy("doc_id", "frame_id")
+    )
+
+
+def multimodal_keyframes(
+    spark: SparkSession, sf_dir: str, every_n: int = 7, threshold: float = 0.25
+) -> DataFrame:
+    """Gate entry (rows-only): frame fan-out -> keyframe selection over
+    the deterministic fake payloads. Selection properties (frame 0
+    kept, threshold monotonicity, numpy histogram replay) are pinned
+    in tests/test_multimodal.py."""
+    from ..sources.store import load_documents
+
+    frames = sample_frames(
+        attach_payload(load_documents(spark, sf_dir)), every_n=every_n
+    )
+    return keyframe_select(frames, threshold=threshold)
