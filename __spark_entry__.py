@@ -983,7 +983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keyframe/shot-boundary selection over the frame fan-out
     # (histogram-distance lag window; numpy replay + monotone-threshold
     # tests in tests/test_multimodal.py)
-    q["multimodal_keyframes"] = multimodal.multimodal_keyframes
+    q["multimodal_keyframes"] = lambda s, d: multimodal.multimodal_keyframes(
+        s, d, every_n=2
+    )
     q["multimodal_raster_stats"] = multimodal.raster_stats
     # audio twin: PCM decode -> RMS/zero-crossing -> clip digest
     q["multimodal_pcm_stats"] = multimodal.pcm_stats

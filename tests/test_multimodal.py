@@ -179,22 +179,24 @@ def test_pcm_codec_and_stats(spark):
 
 def test_keyframe_select_matches_numpy_replay(spark):
     import numpy as np
-    from pyspark.sql import functions as F
 
     from ydb_vector_search_simple_api_spark.operators import multimodal as mm
 
-    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
-        F.col("doc_id") < 20
-    )
-    frames = mm.sample_frames(mm.attach_payload(docs), every_n=7)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    frames = mm.sample_frames(mm.attach_payload(docs), every_n=2)
     out = mm.keyframe_select(frames, threshold=0.25).collect()
     assert len(out) == frames.count()
     # frame 0 of every doc is a keyframe with NULL distance
     for r in out:
         if r.frame_id == 0:
             assert r.dist_prev is None and r.is_keyframe == 1
-    # numpy replay on one doc
-    sample = [r for r in frames.collect() if r.doc_id == out[0].doc_id]
+    # numpy replay on a doc that actually has multiple frames
+    counts = {}
+    for r in frames.collect():
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+    multi = [d for d, c in counts.items() if c >= 2]
+    assert multi, "need a multi-frame doc to exercise the lag path"
+    sample = [r for r in frames.collect() if r.doc_id == multi[0]]
     sample.sort(key=lambda r: r.frame_id)
     hists = []
     for r in sample:
@@ -210,3 +212,20 @@ def test_keyframe_select_matches_numpy_replay(spark):
     k_lo = sum(r.is_keyframe for r in mm.keyframe_select(frames, threshold=0.1).collect())
     k_hi = sum(r.is_keyframe for r in mm.keyframe_select(frames, threshold=0.6).collect())
     assert k_hi <= k_lo
+
+
+def test_keyframe_select_synthetic_shot_boundary(spark):
+    from ydb_vector_search_simple_api_spark.operators import multimodal as mm
+
+    # three frames: two near-identical, then a hard content switch
+    f0 = bytes([1, 2, 3, 4] * 64)
+    f1 = bytes([1, 2, 3, 4] * 63 + [1, 2, 3, 5])
+    f2 = bytes([200, 201] * 128)
+    frames = spark.createDataFrame(
+        [(1, 0, f0), (1, 1, f1), (1, 2, f2)],
+        "doc_id long, frame_id int, frame binary",
+    )
+    out = {r.frame_id: r for r in mm.keyframe_select(frames, threshold=0.25).collect()}
+    assert out[0].is_keyframe == 1 and out[0].dist_prev is None
+    assert out[1].is_keyframe == 0 and out[1].dist_prev < 0.05
+    assert out[2].is_keyframe == 1 and out[2].dist_prev > 0.9
