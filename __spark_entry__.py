@@ -989,6 +989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_raster_stats"] = multimodal.raster_stats
     # audio twin: PCM decode -> RMS/zero-crossing -> clip digest
     q["multimodal_pcm_stats"] = multimodal.pcm_stats
+    # energy-based audio segmentation (islands over frame RMS; numpy
+    # replay + well-formedness in tests/test_multimodal.py)
+    q["multimodal_pcm_segments"] = lambda s, d: multimodal.pcm_segments(s, d)
     return q
 
 

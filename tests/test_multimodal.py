@@ -229,3 +229,44 @@ def test_keyframe_select_synthetic_shot_boundary(spark):
     assert out[0].is_keyframe == 1 and out[0].dist_prev is None
     assert out[1].is_keyframe == 0 and out[1].dist_prev < 0.05
     assert out[2].is_keyframe == 1 and out[2].dist_prev > 0.9
+
+
+def test_pcm_segments_islands_are_wellformed(spark):
+    import numpy as np
+
+    from ydb_vector_search_simple_api_spark.operators import multimodal as mm
+
+    out = mm.pcm_segments(spark, SF_SMALL, window=16).collect()
+    assert out
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.seg_id)
+        for i, r in enumerate(rows):
+            assert r.seg_id == i
+            assert r.start_frame <= r.end_frame
+            assert r.n_frames == r.end_frame - r.start_frame + 1
+            if i:
+                assert r.start_frame > rows[i - 1].end_frame + 1  # gap between islands
+    # numpy replay for one clip
+    doc_id = out[0].doc_id
+    n_chars = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .filter(f"doc_id = {doc_id}")
+        .first()
+        .n_chars
+    )
+    x = mm.decode_pcm(mm._fake_pcm(doc_id, n_chars)).astype(np.float64)
+    nf = len(x) // 16
+    fr = x[: nf * 16].reshape(nf, 16)
+    rms = np.sqrt((fr * fr).mean(axis=1))
+    active = rms > rms.mean()
+    want_active = {int(i) for i in np.nonzero(active)[0]}
+    got_active = set()
+    for r in by_doc[doc_id]:
+        got_active |= set(range(r.start_frame, r.end_frame + 1))
+    assert got_active == want_active
+    # determinism
+    again = mm.pcm_segments(spark, SF_SMALL, window=16).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]

@@ -459,3 +459,70 @@ def multimodal_keyframes(
         attach_payload(load_documents(spark, sf_dir)), every_n=every_n
     )
     return keyframe_select(frames, threshold=threshold)
+
+
+def pcm_segments(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = 16,
+    rel_threshold: float = 1.0,
+) -> DataFrame:
+    """Energy-based segmentation (VAD-ish): split each clip's sample
+    stream into ``window``-sample frames, mark frames whose RMS
+    exceeds ``rel_threshold`` x the clip's mean frame RMS as active,
+    and merge consecutive active frames into segments — the
+    silence-trim / utterance-split primitive of an audio curation
+    pipeline.
+
+    Two stages: one Arrow pass computes per-frame RMS and the
+    in-clip active runs (gaps-and-islands on the frame sequence,
+    resolved with NumPy inside the batch — a clip's frames never span
+    batches because the fan-out happens inside the pass), emitting one
+    row per segment. No shuffle at all; output partitioning follows
+    the scan. Output: (doc_id, seg_id, start_frame, end_frame,
+    n_frames, seg_rms)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                x = decode_pcm(_fake_pcm(int(doc_id), int(n_chars))).astype(
+                    np.float64
+                )
+                n_frames = len(x) // window
+                if n_frames == 0:
+                    continue
+                fr = x[: n_frames * window].reshape(n_frames, window)
+                rms = np.sqrt((fr * fr).mean(axis=1))
+                active = rms > rel_threshold * rms.mean()
+                # islands: segment id = cumsum of starts, on active rows
+                starts = np.diff(np.concatenate([[0], active.view(np.int8)])) == 1
+                seg_ids = np.cumsum(starts) - 1
+                for seg in range(seg_ids[active].max() + 1 if active.any() else 0):
+                    idx = np.nonzero(active & (seg_ids == seg))[0]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            int(seg),
+                            int(idx[0]),
+                            int(idx[-1]),
+                            len(idx),
+                            round(float(rms[idx].mean()), 6),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "seg_id", "start_frame", "end_frame",
+                    "n_frames", "seg_rms",
+                ],
+            )
+
+    d = load_documents(spark, sf_dir).select("doc_id", "n_chars")
+    return d.mapInPandas(
+        extract,
+        schema=(
+            "doc_id bigint, seg_id int, start_frame int, end_frame int,"
+            " n_frames int, seg_rms double"
+        ),
+    ).orderBy("doc_id", "seg_id")
