@@ -853,6 +853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["split_sizes"] = sampling.split_sizes
     # sibling: orders_rollup (same Expand-based grouping-set agg)
     q["orders_cube"] = relational.orders_cube
+    # sibling: surge_windows (local-context rolling z-score variant of
+    # the same bucket series; exact-integer window sums)
+    q["bucket_anomalies"] = temporal.bucket_anomalies
     # sibling: user_event_pivot (the unpivot/melt round-trip twin —
     # rotated out of the cap in round 3 for the SQL-surface entry)
     q["user_event_unpivot"] = relational.user_event_unpivot
@@ -1138,6 +1141,7 @@ FROM events GROUP BY user_id, event_type
     o["surge_windows"] = oracles_temporal.SURGE_WINDOWS
     o["events_in_surges"] = oracles_temporal.EVENTS_IN_SURGES
     o["hourly_locf"] = oracles_temporal.HOURLY_LOCF
+    o["bucket_anomalies"] = oracles_temporal.BUCKET_ANOMALIES
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

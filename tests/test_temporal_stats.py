@@ -235,3 +235,16 @@ def test_cms_build_is_cells_sized_and_mergeable(spark):
     a = {(r.d, r.w): r.cnt for r in sk.collect()}
     b = {(r.d, r.w): r.cnt for r in merged.collect()}
     assert a == b
+
+
+def test_bucket_anomalies_contract(spark):
+    from ydb_vector_search_simple_api_spark.operators import temporal as tp
+
+    out = tp.bucket_anomalies(spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        if r.z6 is not None:
+            assert r.is_anomaly == (1 if abs(r.z6) > 3.0 else 0)
+    # determinism (exact-integer window sums -> identical reruns)
+    again = tp.bucket_anomalies(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]

@@ -29,6 +29,7 @@ from ..sources.store import load_events
 BUCKET_S = 600  # 10-minute buckets
 
 DEC = "decimal(18,6)"
+ROUND = 6
 
 
 def _bucket(ts_col) -> F.Column:
@@ -187,4 +188,52 @@ def hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         F.coalesce(F.col("cnt"), F.lit(0)).alias("n_events"),
         F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+    )
+
+
+def bucket_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the 10-minute event-count
+    series: each bucket scored against the TRAILING 6 buckets
+    (excluded current), flagged when |z| > 3 — the ops-monitoring twin
+    of ``surge_windows``' global threshold (local context instead of a
+    corpus constant, so level shifts don't mask local spikes).
+
+    Engine-exact float contract: the window aggregates are INTEGER
+    sums (Σc, Σc²), so mean/variance derive from exact integers with
+    one explicit double expression each — no accumulation-order drift
+    between Spark and DuckDB window implementations. z's numerator is
+    the exact integer ``6·cnt − Σc``. The ordered window is over
+    calendar-bounded nonempty buckets (same cardinality argument as
+    surge_windows). Output: (bucket, cnt, z6, is_anomaly) for buckets
+    with a full 6-bucket history."""
+    ev = load_events(spark, sf_dir)
+    buckets = ev.groupBy(_bucket("ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("bucket").rowsBetween(-6, -1)
+    s1 = F.sum("cnt").over(w)
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    # exact-integer variance numerator: 6*Σc² − (Σc)²; /30 = n*(n−1)
+    var = (F.lit(6) * s2 - s1 * s1).cast("double") / F.lit(30.0)
+    sigma = F.sqrt(var)
+    z = F.when(
+        sigma > 0.0,
+        (F.lit(6) * F.col("cnt") - s1).cast("double") / (F.lit(6.0) * sigma),
+    )
+    return (
+        buckets.select(
+            "bucket",
+            "cnt",
+            n.alias("n_hist"),
+            (F.round(z, ROUND) + F.lit(0.0)).alias("z6"),
+        )
+        .filter(F.col("n_hist") == 6)
+        .select(
+            "bucket",
+            "cnt",
+            "z6",
+            F.when(F.abs(F.col("z6")) > 3.0, 1).otherwise(0).alias("is_anomaly"),
+        )
+        .orderBy("bucket")
     )

@@ -128,3 +128,31 @@ FROM (
 )
 GROUP BY label, pos
 """
+
+
+BUCKET_ANOMALIES = """
+WITH b AS (
+  SELECT to_timestamp((epoch_us(ts::TIMESTAMP) // 600000000) * 600)::TIMESTAMP AS bucket,
+         count(*) AS cnt
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT bucket, cnt,
+         count(*)        OVER win AS n_hist,
+         sum(cnt)        OVER win AS s1,
+         sum(cnt * cnt)  OVER win AS s2
+  FROM b
+  WINDOW win AS (ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT bucket, cnt, n_hist,
+         CASE WHEN (6 * s2 - s1 * s1)::DOUBLE / 30.0 > 0.0
+              THEN ROUND((6 * cnt - s1)::DOUBLE
+                         / (6.0 * sqrt((6 * s2 - s1 * s1)::DOUBLE / 30.0)), 6) + 0.0
+         END AS z6
+  FROM w
+)
+SELECT bucket, cnt, z6,
+       CASE WHEN abs(z6) > 3.0 THEN 1 ELSE 0 END AS is_anomaly
+FROM z WHERE n_hist = 6 ORDER BY bucket
+"""
