@@ -162,3 +162,28 @@ def test_pq_delete_excluded_from_adc_and_rerank(spark, tmp_path):
     ]
     assert not set(victims) & set(got)
     assert got == [i for i in _exact_ids(spark, q, k=12) if i not in victims][:10]
+
+
+def test_generation_pointer_flip_serves_compacted_index(spark, tmp_path):
+    """The compaction story end-to-end: gen1 serves, delete + compact
+    into gen2, FLIP the pointer — the loader then serves gen2 (deleted
+    row gone, tombstones folded) while gen1 stays intact on disk."""
+    root = str(tmp_path / "serving")
+    gen1 = str(tmp_path / "gen1")
+    idx1 = ivf.build_ivf_index(spark, _src(spark), gen1, n_clusters=4, seed=42)
+    tombstones.set_serving_generation(root, gen1)
+    assert tombstones.current_generation(root) == gen1
+
+    q = _qvec(spark)
+    victim = _exact_ids(spark, q)[0]
+    tombstones.delete_ids(spark, idx1.path, [victim])
+    gen2 = str(tmp_path / "gen2")
+    ivf.ivf_compact(spark, idx1, gen2)
+    tombstones.set_serving_generation(root, gen2)
+
+    served = ivf.load_ivf_index(tombstones.current_generation(root))
+    got = {r.id for r in ivf.ivf_search(spark, served, q, k=10, search_top_size=4).collect()}
+    assert victim not in got
+    # old generation untouched (rollback still possible)
+    assert spark.read.parquet(gen1).filter(F.col("id") == victim).count() == 1
+    assert tombstones.has_tombstones(gen1)

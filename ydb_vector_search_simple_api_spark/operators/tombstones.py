@@ -96,3 +96,36 @@ def clear_tombstones(index_path: str) -> None:
     import shutil
 
     shutil.rmtree(tombstone_path(index_path), ignore_errors=True)
+
+
+# ------------------------------------------------ generation pointer
+
+_POINTER = "_serving_pointer.json"
+
+
+def set_serving_generation(root: str, generation_path: str) -> None:
+    """Atomically flip which index generation serves: write the
+    pointer to a temp file and rename over the old one (rename is
+    atomic on POSIX; object stores use their conditional-put
+    equivalent). Compaction writes a NEW generation directory in full,
+    then this flip makes it live — readers of the old generation are
+    never disturbed and a crash between write and rename leaves the
+    old pointer intact."""
+    import json as _json
+
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        _json.dump({"generation": generation_path}, f)
+    os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def current_generation(root: str) -> str | None:
+    """The serving generation path, or None before the first flip."""
+    import json as _json
+
+    p = os.path.join(root, _POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _json.load(f)["generation"]
