@@ -893,6 +893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: knn_join_cosine (same per-query ranked-window kNN shape;
     # adds the broadcast label vote)
     q["knn_classify"] = curation.knn_classify
+    # sibling: knn_join_cosine / knn_classify (contrastive-training
+    # prep: top-k nearest with a DIFFERENT label — hard negatives)
+    q["hard_negatives"] = lambda s, d: curation.hard_negatives(s, d, k=5, n_queries=8)
     # sibling: events_distinct_pairs (same DISTINCT key-set oracle; this
     # is the bounded-state dropDuplicatesWithinWatermark variant)
     q["events_distinct_wm"] = streaming_events.distinct_pairs_within_watermark_stream
@@ -1077,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
     # top-k over (id, score) — same oracle as the full-width indexes
     o["pq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     o["knn_classify"] = oracles_curation.knn_classify_sql(10, 8)
+    o["hard_negatives"] = oracles_curation.hard_negatives_sql(5, 8)
     o["dedup_components"] = oracles_curation.dedup_components_sql(
         oracles_text.ngram_jaccard_sql(3, 0.8)
     )

@@ -355,3 +355,34 @@ def test_mixture_resample_validates_weights(spark):
         curation.mixture_resample(spark, SF_SMALL, weights={"src0": 101})
     with pytest.raises(ValueError):
         curation.mixture_resample(spark, SF_SMALL, weights={"src0": 0})
+
+
+def test_hard_negatives_exclude_anchor_label(spark):
+    from ydb_vector_search_simple_api_spark.operators import curation
+
+    out = curation.hard_negatives(spark, SF_SMALL, k=5, n_queries=6).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    assert len(out) == 30
+    for r in out:
+        assert labels[r.id] != labels[r.query_id]
+        assert 1 <= r.rank <= 5
+    # negatives are the nearest CROSS-label rows: any same-rank exact
+    # kNN hit with a different label must appear here too
+    from ydb_vector_search_simple_api_spark.operators.search import knn_join
+    from pyspark.sql import functions as F
+
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    c = embs.select(F.col("vec_id").alias("id"), "embedding")
+    allk = knn_join(spark, q, c, k=5, round_digits=6).collect()
+    neg_ids = {(r.query_id, r.id) for r in out}
+    for r in allk:
+        if labels[r.id] != labels[r.query_id]:
+            assert (r.query_id, r.id) in neg_ids

@@ -717,3 +717,57 @@ def mixture_resample(
         )
         .orderBy("source")
     )
+
+
+def hard_negatives(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 8,
+    strategy: str = "CosineSimilarity",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor vector, the top-k most similar corpus vectors with a
+    DIFFERENT label — the negatives that actually teach the margin
+    (random negatives are trivially far; same-label near rows are
+    positives, excluded here).
+
+    Same economics as ``search.knn_join``: the anchor batch is
+    broadcast, scoring is map-side codegen over the corpus scan, the
+    label-mismatch predicate filters BEFORE the ranked window, so only
+    cross-label (query_id, id, score) triples shuffle. At larger
+    anchor batches, route through the blocked/IVF join variants first
+    and post-filter labels on the k'-deep shortlist (k' > k to survive
+    the filter). Output: (query_id, id, score, rank)."""
+    from pyspark.sql import Window
+
+    from ..functions.distance import score_expr
+    from .search import _order_cols
+
+    e = load_embeddings(spark, sf_dir)
+    anchors = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("id"), "embedding", F.col("label").alias("label")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("query_label"))
+        .withColumn(
+            "score",
+            F.round(
+                score_expr(strategy, F.col("embedding"), F.col("query_vec")), ROUND
+            )
+            + F.lit(0.0),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(*_order_cols(strategy))
+    return (
+        scored.select("query_id", "id", "score")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -294,3 +294,31 @@ SELECT source,
        sum(admit * n_tok)::BIGINT AS tokens_admitted
 FROM adm GROUP BY source ORDER BY source
 """
+
+
+def hard_negatives_sql(k: int = 5, n_queries: int = 8) -> str:
+    """Twin of curation.hard_negatives (cosine): label-mismatch filter
+    before the ranked window, same score formulation as knn_join_sql."""
+    from .oracles import score_sql
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id,
+         ROUND({score_sql("CosineSimilarity")}, 6) + 0.0 AS score
+  FROM embeddings e, q
+  WHERE e.label <> q.qlabel
+),
+ranked AS (
+  SELECT query_id, id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC NULLS LAST, id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, id, score, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
