@@ -856,6 +856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: surge_windows (local-context rolling z-score variant of
     # the same bucket series; exact-integer window sums)
     q["bucket_anomalies"] = temporal.bucket_anomalies
+    # sibling: retention_cohorts (ordered event-sequence analytics:
+    # the signup->view->click->purchase conversion funnel)
+    q["funnel_conversion"] = temporal.funnel_conversion
     # sibling: user_event_pivot (the unpivot/melt round-trip twin —
     # rotated out of the cap in round 3 for the SQL-surface entry)
     q["user_event_unpivot"] = relational.user_event_unpivot
@@ -1146,6 +1149,7 @@ FROM events GROUP BY user_id, event_type
     o["events_in_surges"] = oracles_temporal.EVENTS_IN_SURGES
     o["hourly_locf"] = oracles_temporal.HOURLY_LOCF
     o["bucket_anomalies"] = oracles_temporal.BUCKET_ANOMALIES
+    o["funnel_conversion"] = oracles_temporal.funnel_sql()
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

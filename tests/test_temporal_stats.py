@@ -248,3 +248,14 @@ def test_bucket_anomalies_contract(spark):
     # determinism (exact-integer window sums -> identical reruns)
     again = tp.bucket_anomalies(spark, SF_SMALL).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_funnel_conversion_ordering_constraint(spark):
+    from ydb_vector_search_simple_api_spark.operators import temporal as tp
+
+    out = {r.step: r for r in tp.funnel_conversion(spark, SF_SMALL).collect()}
+    assert list(out) == list(tp.FUNNEL_STEPS)
+    # monotone: each step's user count can only shrink
+    counts = [out[s].n_users for s in tp.FUNNEL_STEPS]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert out["signup"].conversion == 1.0

@@ -237,3 +237,76 @@ def bucket_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+FUNNEL_STEPS: tuple[str, ...] = ("signup", "view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how many users complete each prefix of
+    signup → view → click → purchase IN ORDER (each step strictly
+    after the previous one's first qualifying occurrence — the
+    standard product-analytics conversion funnel).
+
+    Shape: one conditional-min aggregation per user computes the
+    earliest qualifying timestamp per step via an iterated
+    min-over-filter (step i's candidates are events after the user's
+    step-i−1 time) — expressed as a sequence of per-user scalar
+    aggregations on ONE grouped pass (no joins, no window): step times
+    are derived inside a single ``groupBy(user_id)`` using min(CASE)
+    chains over collected (type, ts) structs. Per-user state is the
+    event multiset — bounded by user activity, Arrow-free. Output: one
+    row per funnel prefix (step, n_users, conversion_pct vs step 1).
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    # per user: earliest ts of step0; then earliest later ts of step1; ...
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_type", "ts")).alias("evs")
+    )
+    # chained selects: t_i references t_{i-1} as a materialized column
+    # (a lambda can reference an OUTER attribute, but not another HOF
+    # expression from the same projection — no let-binding in Catalyst)
+    def _step_pred(st, prev_col):
+        # factory: PySpark derives the lambda ARITY from the Python
+        # signature, so closures must come from an enclosing scope,
+        # never default args
+        if prev_col is None:
+            return lambda s: s.event_type == F.lit(st)
+        return lambda s: (s.event_type == F.lit(st)) & (s.ts > prev_col)
+
+    wide = per_user
+    for i, step in enumerate(FUNNEL_STEPS):
+        prev = None if i == 0 else F.col(f"t{i - 1}")
+        cand = F.filter(F.col("evs"), _step_pred(step, prev))
+        wide = wide.withColumn(
+            f"t{i}", F.array_min(F.transform(cand, lambda s: s.ts))
+        )
+    wide = wide.select("user_id", *[f"t{i}" for i in range(len(FUNNEL_STEPS))])
+    rows = []
+    for i, step in enumerate(FUNNEL_STEPS):
+        rows.append(
+            wide.agg(
+                F.lit(i + 1).alias("step_no"),
+                F.lit(step).alias("step"),
+                F.count(F.col(f"t{i}")).cast("bigint").alias("n_users"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    base = wide.agg(F.count("t0").alias("n0"))
+    return (
+        out.crossJoin(F.broadcast(base))
+        .select(
+            "step_no",
+            "step",
+            "n_users",
+            (
+                F.round(
+                    F.col("n_users").cast("double") / F.col("n0").cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("conversion"),
+        )
+        .orderBy("step_no")
+    )

@@ -156,3 +156,31 @@ SELECT bucket, cnt, z6,
        CASE WHEN abs(z6) > 3.0 THEN 1 ELSE 0 END AS is_anomaly
 FROM z WHERE n_hist = 6 ORDER BY bucket
 """
+
+
+def funnel_sql(steps=("signup", "view", "click", "purchase")) -> str:
+    """Twin of temporal.funnel_conversion: iterated earliest-after
+    aggregations, one CTE per funnel step."""
+    ctes = ["ev AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events)"]
+    for i, st in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"t0 AS (SELECT user_id, min(ts) AS t FROM ev "
+                f"WHERE event_type = '{st}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"t{i} AS (SELECT ev.user_id, min(ev.ts) AS t FROM ev "
+                f"JOIN t{i-1} p ON ev.user_id = p.user_id "
+                f"WHERE ev.event_type = '{st}' AND ev.ts > p.t "
+                f"GROUP BY ev.user_id)"
+            )
+    selects = []
+    for i, st in enumerate(steps):
+        selects.append(
+            f"SELECT {i+1} AS step_no, '{st}' AS step, "
+            f"(SELECT count(*) FROM t{i})::BIGINT AS n_users, "
+            f"ROUND((SELECT count(*) FROM t{i})::DOUBLE / "
+            f"(SELECT count(*) FROM t0)::DOUBLE, 6) + 0.0 AS conversion"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY step_no"
