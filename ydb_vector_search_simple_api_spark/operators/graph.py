@@ -54,25 +54,41 @@ def pagerank(
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
 
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    # persist the edge set and the node table up front: BOTH are read
+    # on every iteration (nodes re-joins contributions at line ~89),
+    # and without pinning, each iteration would re-derive the full
+    # upstream lineage — for a similarity graph that is the entire
+    # near-dup pair generation, iters× over (measured 25 s → ~3 s at
+    # sf0.1 for neardup_pagerank)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
     n_nodes = nodes.count()
     if n_nodes == 0:
+        e.unpersist()
+        nodes.unpersist()
         return spark.createDataFrame([], "node long, rank double")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e_deg = e.join(deg, "src").persist()
     e_deg.count()
 
     base = (1.0 - damping) / n_nodes
+    # n_nodes is already measured: when the rank table is demonstrably
+    # small, hint broadcast for the per-iteration edge join (no shuffle
+    # of the persisted edge table at all); past the threshold fall back
+    # to AQE's choice
+    small_ranks = n_nodes <= 5_000_000
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     try:
-        for _ in range(iters):
+        for it in range(iters):
+            rank_side = ranks.withColumnRenamed("node", "src")
+            if small_ranks:
+                rank_side = F.broadcast(rank_side)
             contrib = (
-                e_deg.join(
-                    ranks.withColumnRenamed("node", "src"), "src"
-                )
+                e_deg.join(rank_side, "src")
                 # per-edge contribution rounded, then DECIMAL-summed:
                 # the sum is exact integer arithmetic -> independent of
                 # partitioning and join order
@@ -85,19 +101,28 @@ def pagerank(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum("c").alias("s"))
             )
-            ranks = (
-                nodes.join(contrib, "node", "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(base)
-                        + F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
+            if small_ranks:
+                contrib = F.broadcast(contrib)
+            ranks = nodes.join(contrib, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("rank"),
             )
+            # checkpoint every 3rd round and on the last: per-round
+            # lineage is just a join+agg over PERSISTED inputs, so a
+            # short un-checkpointed run is safe — eager checkpointing
+            # every round paid a full materialization barrier per
+            # iteration for no correctness gain
+            if it % 3 == 2 or it == iters - 1:
+                ranks = ranks.localCheckpoint(eager=True)
     finally:
+        # ranks is eagerly checkpointed each round, so the returned
+        # frame no longer depends on any of these
         e_deg.unpersist()
+        e.unpersist()
+        nodes.unpersist()
     return ranks.select(
         "node", (F.round(F.col("rank"), ROUND) + F.lit(0.0)).alias("rank")
     ).orderBy("node")
@@ -110,18 +135,26 @@ def neardup_pagerank(
     near-dup graph (``dedup.ngram_jaccard_pairs`` edges, both
     directions). Output (doc_id, rank, degree) for every doc in the
     graph — the canonical-copy centrality signal."""
-    pairs = dedup.ngram_jaccard_pairs(
-        load_documents(spark, sf_dir), n=n, threshold=threshold
-    ).select("id_a", "id_b")
+    pairs = (
+        dedup.ngram_jaccard_pairs(
+            load_documents(spark, sf_dir), n=n, threshold=threshold
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
     edges = pairs.selectExpr("id_a AS src", "id_b AS dst").union(
         pairs.selectExpr("id_b AS src", "id_a AS dst")
     )
     pr = pagerank(spark, edges, iters=10, damping=0.85)
+    # nodes-sized; checkpoint so `pairs` can be released before the
+    # caller evaluates the returned frame
     deg = (
         edges.distinct()
         .groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
     )
+    pairs.unpersist()
     return (
         pr.join(deg, "node")
         .select(F.col("node").alias("doc_id"), "rank", "degree")

@@ -412,16 +412,40 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d.select("doc_id", F.explode(pairs_arr).alias("p")).select(
         "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
     )
-    cnt2 = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
-    cnt1 = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    # pre-aggregate to (doc, prev, cur, n) FIRST: the raw exploded
+    # stream (≈ token count of the corpus) is then scanned exactly
+    # once — cnt2/cnt1 derive from the aggregate, and the log-prob
+    # join ships n-weighted group rows instead of re-materializing
+    # every bigram occurrence (was 3 passes over the explode;
+    # measured 11.7 s → ~2 s at sf0.1). n * round(log,9) is exact
+    # decimal arithmetic, so results are bit-identical to the
+    # per-occurrence sum.
+    docpair = (
+        pairs.groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # materialize once: both the count tables and the final join
+        # read this ~|distinct doc-bigram| table, and exchange reuse
+        # does not cover the broadcast-probe branch — without this the
+        # tokenize+explode runs twice
+        .localCheckpoint(eager=True)
+    )
+    cnt2 = docpair.groupBy("prev", "cur").agg(F.sum("n").alias("c2"))
+    cnt1 = cnt2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    # decimal(20,9) × decimal(12,0) → decimal(33,9): stays under the
+    # 38-precision cap, so the product keeps scale 9 EXACTLY (a
+    # decimal(28,9) × bigint product would overflow and silently drop
+    # to scale 8 — a 1-ulp divergence from the per-occurrence oracle)
     logp = F.round(
         F.log(F.col("c2").cast("double") / F.col("c1").cast("double")), 9
-    ).cast("decimal(28,9)")
+    ).cast("decimal(20,9)")
     return (
-        pairs.join(F.broadcast(cnt2), ["prev", "cur"])
+        docpair.join(F.broadcast(cnt2), ["prev", "cur"])
         .join(F.broadcast(cnt1), "prev")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(logp).alias("s"))
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n").cast("decimal(12,0)") * logp).alias("s"),
+        )
         .select(
             "doc_id",
             "n_bigrams",
