@@ -910,6 +910,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, k=5, n_queries=8
     )
 
+    # sibling: pricing_summary / revenue_by_nation (TPC-H Q3 shape:
+    # date-bounded star join with broadcast dims + TakeOrdered)
+    q["shipping_priority"] = relational.shipping_priority
+    # sibling: revenue_by_nation (TPC-H Q10 shape: returns-loss
+    # ranking with the customer dimension broadcast)
+    q["returned_items"] = relational.returned_items
+    # sibling: revenue_by_nation (TPC-H Q9 shape: five-way join,
+    # every dimension broadcast, yearly profit rollup)
+    q["supplier_profit"] = relational.supplier_profit
+    # sibling: funnel_conversion (ordered event-sequence analytics:
+    # first-order Markov transition probabilities per event type)
+    q["event_transitions"] = temporal.event_transitions
+    # sibling: text_stats / quality_filter (surface-form readability
+    # scoring — Flesch proxy, pure codegen projection)
+    q["readability"] = textual.readability
+
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
     # mapInPandas plumbing is the operator); scalar digest shape
@@ -1143,6 +1159,9 @@ FROM events GROUP BY user_id, event_type
 """
     o["repeat_customers"] = oracles_rel.repeat_customers_sql(1995, 1996)
     o["lapsed_customers"] = oracles_rel.lapsed_customers_sql(1995, 1996)
+    o["shipping_priority"] = oracles_rel.shipping_priority_sql()
+    o["returned_items"] = oracles_rel.returned_items_sql()
+    o["supplier_profit"] = oracles_rel.supplier_profit_sql()
     o["purchase_attribution"] = oracles_text.PURCHASE_ATTRIBUTION
 
     o["surge_windows"] = oracles_temporal.SURGE_WINDOWS
@@ -1150,6 +1169,8 @@ FROM events GROUP BY user_id, event_type
     o["hourly_locf"] = oracles_temporal.HOURLY_LOCF
     o["bucket_anomalies"] = oracles_temporal.BUCKET_ANOMALIES
     o["funnel_conversion"] = oracles_temporal.funnel_sql()
+    o["event_transitions"] = oracles_temporal.EVENT_TRANSITIONS
+    o["readability"] = oracles_text.READABILITY
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

@@ -115,3 +115,37 @@ def test_revenue_deciles_balanced(spark):
     for r in rows:
         by_decile.setdefault(r.decile, []).append(r.revenue)
     assert min(by_decile[1]) >= max(by_decile[10])
+
+
+def test_shipping_priority_contract(spark):
+    rows = R.shipping_priority(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    import datetime
+    cutoff = datetime.datetime(1998, 6, 1)
+    assert all(r.o_orderdate < cutoff for r in rows)
+
+
+def test_shipping_priority_broadcasts(spark):
+    from ydb_vector_search_simple_api_spark.plans import checks
+    plan = checks.simple_plan(R.shipping_priority(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_returned_items_top_slice(spark):
+    rows = R.returned_items(spark, SF_SMALL, top=20).collect()
+    assert 0 < len(rows) <= 20
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_supplier_profit_consistency(spark):
+    rows = R.supplier_profit(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    assert all(1995 <= r.o_year <= 2001 for r in rows)
+    assert all(r.n_lineitems > 0 for r in rows)
+    # every (nation, year) appears once
+    keys = [(r.nation, r.o_year) for r in rows]
+    assert len(keys) == len(set(keys))

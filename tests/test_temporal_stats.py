@@ -259,3 +259,31 @@ def test_funnel_conversion_ordering_constraint(spark):
     counts = [out[s].n_users for s in tp.FUNNEL_STEPS]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert out["signup"].conversion == 1.0
+
+
+def test_event_transitions_probabilities(spark):
+    from ydb_vector_search_simple_api_spark.operators import temporal as T
+
+    rows = T.event_transitions(spark, SF_SMALL).collect()
+    assert rows
+    by_cur = {}
+    for r in rows:
+        by_cur.setdefault(r.cur_type, []).append(r)
+    for cur, rs in by_cur.items():
+        # conditional distribution sums to 1 up to per-pair rounding
+        assert abs(sum(x.p for x in rs) - 1.0) < 1e-5 * len(rs) + 1e-9
+        tot = sum(x.n_trans for x in rs)
+        for x in rs:
+            assert abs(x.p - round(x.n_trans / tot, 6)) < 1e-12
+
+
+def test_event_transitions_count_conservation(spark):
+    from ydb_vector_search_simple_api_spark.operators import temporal as T
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+    rows = T.event_transitions(spark, SF_SMALL).collect()
+    ev = load_events(spark, SF_SMALL)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # each user with k events contributes k-1 transitions
+    assert sum(r.n_trans for r in rows) == n_events - n_users

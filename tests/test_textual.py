@@ -95,3 +95,19 @@ def test_bigram_logprob_counts(spark):
             assert out[doc_id].mean_bigram_logprob <= 0.0
         else:
             assert doc_id not in out
+
+
+def test_readability_formula_replay(spark):
+    from ydb_vector_search_simple_api_spark.operators import textual as TX
+
+    rows = TX.readability(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.n_words > 0 and r.n_sentences >= 1
+        expect = round(
+            206.835
+            - 1.015 * (r.n_words / r.n_sentences)
+            - 84.6 * (r.n_syllables / r.n_words),
+            6,
+        )
+        assert abs(r.flesch - expect) < 1e-9

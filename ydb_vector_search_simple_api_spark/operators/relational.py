@@ -240,3 +240,109 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("revenue_dec").cast("double"), 2) + F.lit(0.0)).alias("revenue"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+def shipping_priority(
+    spark: SparkSession, sf_dir: str, segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+) -> DataFrame:
+    """TPC-H Q3 shape: revenue of not-yet-shipped lineitems for one
+    market segment's orders placed before the cutoff — top 10 by
+    revenue. The two dimension sides (filtered customer, then the
+    pre-filtered orders⋈customer result) broadcast into the lineitem
+    scan; both date predicates push down to the parquet scans, so at
+    100 TB the fact read is bounded by the cutoff partition range.
+    Output (l_orderkey, revenue, o_orderdate, o_orderpriority)."""
+    cut = F.lit(cutoff).cast("timestamp_ntz")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == segment)
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cut)
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum("rev").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def returned_items(spark: SparkSession, sf_dir: str, top: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returned
+    lineitems (l_returnflag = 'R'). The returnflag predicate pushes to
+    the fact scan; customer is the broadcast dimension; one groupBy
+    shuffle on custkey, then TakeOrdered for the top slice.
+    Output (c_custkey, c_name, revenue, c_acctbal, c_mktsegment)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(_dsum("rev").alias("revenue"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(top)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "c_mktsegment")
+    )
+
+
+def supplier_profit(
+    spark: SparkSession, sf_dir: str, part_word: str = "red"
+) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table in this schema): yearly
+    profit per supplier nation for parts whose name contains
+    ``part_word``. Five-way join where every dimension (filtered part,
+    supplier, nation) broadcasts; orders joins on the already-grouped
+    key side. Profit = extendedprice*(1-discount) summed in DECIMAL.
+    Output (nation, o_year, profit, n_lineitems)."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(part_word))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            _dsum("rev").alias("profit"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -310,3 +310,42 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step_no")
     )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table over each user's event
+    stream: for every (event_type -> next event_type) pair, the
+    transition count and its conditional probability P(next | cur).
+
+    The behavioral-modeling primitive (session synthesis, anomaly
+    priors, next-action features for training data). One window pass
+    partitioned by user (lead over (ts, event_id) — event_id breaks
+    timestamp ties deterministically), one keyed aggregation, then the
+    per-cur totals broadcast back. The fact table shuffles once on
+    user_id; the pair aggregation's map-side combine makes the second
+    exchange |types|^2-sized. Output (cur_type, next_type, n_trans,
+    p) with p = ROUND(n/total, 6)."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("cur_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    totals = pairs.groupBy("cur_type").agg(F.sum("n_trans").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "cur_type")
+        .select(
+            "cur_type",
+            "next_type",
+            "n_trans",
+            (
+                F.round(F.col("n_trans").cast("double") / F.col("tot").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("p"),
+        )
+    )

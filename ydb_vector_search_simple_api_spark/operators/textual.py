@@ -455,3 +455,42 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_bigram_logprob"),
         )
     )
+
+
+def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease proxy per document: words = whitespace
+    tokens, sentences = runs of ``[.!?]`` (floored at 1), syllables =
+    vowel-group count (``[aeiouy]+`` over the lowercased text) — the
+    standard dependency-free approximation. Score =
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    rounded to 6. Empty docs (0 tokens) are excluded on both sides.
+
+    Pure codegen projection — three regexp counts and one arithmetic
+    expression, zero shuffles; the 100 TB shape is a narrow map over
+    the corpus scan. Output (doc_id, n_words, n_sentences,
+    n_syllables, flesch)."""
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    n_words = F.size(TXT.tokens("text"))
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    n_syl = F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+    return (
+        d.filter(n_words > 0)
+        .select(
+            "doc_id",
+            n_words.cast("bigint").alias("n_words"),
+            n_sent.cast("bigint").alias("n_sentences"),
+            n_syl.cast("bigint").alias("n_syllables"),
+            (
+                F.round(
+                    F.lit(206.835)
+                    - F.lit(1.015)
+                    * (n_words.cast("double") / n_sent.cast("double"))
+                    - F.lit(84.6) * (n_syl.cast("double") / n_words.cast("double")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("flesch"),
+        )
+    )

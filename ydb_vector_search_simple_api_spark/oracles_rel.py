@@ -110,3 +110,52 @@ SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = {year_a}
 EXCEPT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = {year_b}
 """
+
+
+def shipping_priority_sql(segment: str = "BUILDING", cutoff: str = "1998-06-01") -> str:
+    return f"""
+SELECT l_orderkey,
+       {_dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       o_orderdate, o_orderpriority
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < TIMESTAMP '{cutoff} 00:00:00'
+  AND l_shipdate  > TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def returned_items_sql(top: int = 20) -> str:
+    return f"""
+WITH lost AS (
+  SELECT o_custkey,
+         {_dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, revenue, c_acctbal, c_mktsegment
+FROM lost JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {top}
+"""
+
+
+def supplier_profit_sql(part_word: str = "red") -> str:
+    return f"""
+SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       {_dsum("l_extendedprice * (1.0 - l_discount)")} AS profit,
+       count(*)::BIGINT AS n_lineitems
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{part_word}%'
+GROUP BY n_name, year(o_orderdate)
+"""

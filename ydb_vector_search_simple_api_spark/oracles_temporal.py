@@ -184,3 +184,23 @@ def funnel_sql(steps=("signup", "view", "click", "purchase")) -> str:
             f"(SELECT count(*) FROM t0)::DOUBLE, 6) + 0.0 AS conversion"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY step_no"
+
+
+EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS cur_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT cur_type, next_type, count(*)::BIGINT AS n_trans
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY cur_type, next_type
+)
+SELECT cur_type, next_type, n_trans,
+       ROUND(n_trans::DOUBLE
+             / sum(n_trans) OVER (PARTITION BY cur_type)::DOUBLE, 6) + 0.0 AS p
+FROM pairs
+"""

@@ -591,3 +591,19 @@ SELECT doc_id, quality,
             THEN 1 ELSE 0 END AS admitted
 FROM scored ORDER BY doc_id
 """
+
+
+READABILITY = f"""
+WITH m AS (
+  SELECT doc_id,
+         len({TOKS})::BIGINT AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ROUND(206.835
+             - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+             - 84.6  * (n_syllables::DOUBLE / n_words::DOUBLE), 6) + 0.0 AS flesch
+FROM m WHERE n_words > 0
+"""
