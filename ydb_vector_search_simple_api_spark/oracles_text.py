@@ -607,3 +607,43 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
              - 84.6  * (n_syllables::DOUBLE / n_words::DOUBLE), 6) + 0.0 AS flesch
 FROM m WHERE n_words > 0
 """
+
+
+def incremental_dedup_sql(
+    existing_frac: float = 0.9, k: int = 8, window: int = 4
+) -> str:
+    """Twin of dedup.incremental_dedup: md5-draw side split, exact
+    content-hash membership, shared-winnowing-fp counts."""
+    from .operators.sampling import PREFIX_HEX, _threshold_hex
+
+    thr = _threshold_hex(existing_frac)
+    draw = f"substr(md5(CAST(doc_id AS VARCHAR)), 1, {PREFIX_HEX})"
+    return f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+         CASE WHEN {draw} < '{thr}' THEN 'existing' ELSE 'incoming' END AS side
+  FROM documents
+),
+hashes AS (
+  SELECT doc_id, side, md5({NORM}) AS content_hash FROM tagged
+),
+wfps AS (
+  SELECT f.doc_id, t.side, f.fp
+  FROM ({winnowing_flat_sql(k, window)}) f
+  JOIN tagged t ON f.doc_id = t.doc_id
+),
+shared AS (
+  SELECT i.doc_id, count(DISTINCT i.fp)::BIGINT AS n_shared_fps
+  FROM wfps i
+  WHERE i.side = 'incoming'
+    AND i.fp IN (SELECT fp FROM wfps WHERE side = 'existing')
+  GROUP BY i.doc_id
+)
+SELECT h.doc_id,
+       h.content_hash IN (
+         SELECT content_hash FROM hashes WHERE side = 'existing'
+       ) AS is_exact_dup,
+       COALESCE(s.n_shared_fps, 0)::BIGINT AS n_shared_fps
+FROM hashes h LEFT JOIN shared s ON h.doc_id = s.doc_id
+WHERE h.side = 'incoming'
+"""
