@@ -35,6 +35,7 @@ from ydb_vector_search_simple_api_spark.operators import (
 )
 from ydb_vector_search_simple_api_spark.operators import enrich as enrich_mod
 from ydb_vector_search_simple_api_spark.operators import graph as graph_mod
+from ydb_vector_search_simple_api_spark.operators import skew as skew_mod
 from ydb_vector_search_simple_api_spark.operators import index as ivf
 from ydb_vector_search_simple_api_spark.operators import tree as kmt
 from ydb_vector_search_simple_api_spark.operators.search import exact_search, knn_join
@@ -930,6 +931,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the existing corpus by content-hash membership + shared
     # winnowing fingerprints — inverted-index joins, never all-pairs)
     q["incremental_dedup"] = lambda s, d: dedup.incremental_dedup(s, d)
+    # sibling: document_splits (the per-epoch reproducible global
+    # shuffle: md5(doc:epoch) mod n_shards, balance audit shape)
+    q["epoch_shards"] = sampling.epoch_shards
+    # sibling: document_splits / tfidf (deterministic per-group
+    # inspection sample via md5-draw rank)
+    q["per_source_examples"] = sampling.per_source_examples
+    # sibling: token_frequencies (BPE tokenizer training step 1:
+    # adjacent char-pair frequencies inside tokens)
+    q["bpe_pair_counts"] = textual.bpe_pair_counts
+    # sibling: distinct_users_by_type (heavy-hitter share report on
+    # the shuffle key — the pre-salting skew diagnosis)
+    q["key_skew_report"] = lambda s, d: skew_mod.key_skew_report(s, d)
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1177,6 +1190,10 @@ FROM events GROUP BY user_id, event_type
     o["event_transitions"] = oracles_temporal.EVENT_TRANSITIONS
     o["readability"] = oracles_text.READABILITY
     o["incremental_dedup"] = oracles_text.incremental_dedup_sql()
+    o["epoch_shards"] = oracles_text.epoch_shards_sql()
+    o["per_source_examples"] = oracles_text.per_source_examples_sql()
+    o["bpe_pair_counts"] = oracles_text.bpe_pair_counts_sql()
+    o["key_skew_report"] = oracles_text.KEY_SKEW_REPORT
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

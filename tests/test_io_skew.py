@@ -205,3 +205,14 @@ def test_zorder_validates_bits(spark, tmp_path):
     events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
     with pytest.raises(ValueError):
         optimize_layout_zorder(events, str(tmp_path / "x"), ("user_id", "value"), bits=0)
+
+
+def test_key_skew_report_shares(spark):
+    from ydb_vector_search_simple_api_spark.operators import skew as SK
+    from conftest import SF_SMALL
+
+    rows = SK.key_skew_report(spark, SF_SMALL, top_n=20).collect()
+    assert 0 < len(rows) <= 20
+    assert sum(r.share for r in rows) <= 1.0 + 1e-6
+    ns = [r.n_events for r in rows]
+    assert ns == sorted(ns, reverse=True)

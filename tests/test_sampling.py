@@ -63,3 +63,37 @@ def test_quality_weighted_sample_rate_tracks_quality(spark):
     # admission is a pure function of (doc_id, quality): re-run identical
     again = sampling.quality_weighted_sample(spark, SF_SMALL).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_epoch_shards_balance_and_epoch_variation(spark):
+    from ydb_vector_search_simple_api_spark.operators import sampling as S
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    r0 = S.epoch_shards(spark, SF_SMALL, n_shards=8, epoch=0).collect()
+    n_docs = load_documents(spark, SF_SMALL).count()
+    assert sum(r.n_docs for r in r0) == n_docs
+    assert len(r0) == 8
+    # roughly balanced (within 3x of ideal on the small corpus)
+    ideal = n_docs / 8
+    assert all(ideal / 3 < r.n_docs < ideal * 3 for r in r0)
+    # a different epoch permutes the assignment
+    r1 = S.epoch_shards(spark, SF_SMALL, n_shards=8, epoch=1).collect()
+    assert [r.n_docs for r in r0] != [r.n_docs for r in r1] or [
+        r.n_tokens for r in r0
+    ] != [r.n_tokens for r in r1]
+    # determinism: same epoch -> identical result
+    r0b = S.epoch_shards(spark, SF_SMALL, n_shards=8, epoch=0).collect()
+    assert r0 == r0b
+
+
+def test_per_source_examples_deterministic_k(spark):
+    from ydb_vector_search_simple_api_spark.operators import sampling as S
+
+    rows = S.per_source_examples(spark, SF_SMALL, k=3).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r.rk)
+    for rks in per_src.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert max(rks) <= 3
+    assert rows == S.per_source_examples(spark, SF_SMALL, k=3).collect()

@@ -111,3 +111,14 @@ def test_readability_formula_replay(spark):
             6,
         )
         assert abs(r.flesch - expect) < 1e-9
+
+
+def test_bpe_pair_counts_top_ranked(spark):
+    from ydb_vector_search_simple_api_spark.operators import textual as TX
+
+    rows = TX.bpe_pair_counts(spark, SF_SMALL, top_n=30).collect()
+    assert 0 < len(rows) <= 30
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(len(r.pair) == 2 for r in rows)
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))

@@ -16,7 +16,7 @@ in Spark and DuckDB).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.store import load_documents
@@ -134,3 +134,67 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6.alias("quality"),
         (draw < threshold).cast("int").alias("admitted"),
     ).orderBy("doc_id")
+
+
+def epoch_shards(
+    spark: SparkSession, sf_dir: str, n_shards: int = 8, epoch: int = 0
+) -> DataFrame:
+    """Deterministic training-epoch shard assignment: shard =
+    md5(doc_id ':' epoch) mod n_shards — a reproducible global
+    shuffle whose permutation changes per epoch but never per run.
+    The write path is ``df.repartition(n_shards, 'shard')`` straight
+    to per-shard files; the gate shape audits the balance: per-shard
+    doc count, token total, and distinct-source coverage (a healthy
+    shuffle spreads every source across every shard).
+
+    Scale shape: one narrow projection + one groupBy(shard) with
+    map-side combine — no joins, no windows; at 100 TB the only
+    exchange is |n_shards| aggregation groups. Output (shard, n_docs,
+    n_tokens, n_sources)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be a positive integer")
+    from ..functions import text as TXT
+
+    d = load_documents(spark, sf_dir)
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(epoch)))),
+            1,
+            PREFIX_HEX,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.select(
+            (draw % n_shards).alias("shard"),
+            TXT.token_count("text").alias("n_tok"),
+            "source",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("shard")
+    )
+
+
+def per_source_examples(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Deterministic per-group sample: the k docs per source with the
+    lowest md5 draw — the corpus-inspection primitive (same k rows
+    every run, every engine, every partitioning; ``df.sample`` is
+    none of those). One window over (source) ranked by (draw,
+    doc_id); sources are bounded, so the partition key is safe at any
+    corpus size. Output (source, doc_id, rk)."""
+    d = load_documents(spark, sf_dir).select("source", "doc_id")
+    draw = _draw(F.col("doc_id"))
+    w = Window.partitionBy("source").orderBy(draw.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("source", "doc_id", "rk")
+    )

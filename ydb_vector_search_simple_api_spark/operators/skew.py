@@ -52,3 +52,36 @@ def salted_join(
     )
     joined = salted_big.join(salted_med, keys + ["__salt"], how)
     return joined.drop("__salt")
+
+
+def key_skew_report(spark, sf_dir: str, top_n: int = 20):
+    """Shuffle-skew diagnosis over the events fact table: the heavy
+    hitters of the natural join/agg key (user_id) with their share of
+    total rows — the table you read before deciding to salt a join.
+
+    One keyed count with map-side combine; the share/rank pass runs
+    on the aggregated (distinct keys)-sized table with the scalar
+    total broadcast. Output (user_id, n_events, share, rk) for the
+    ``top_n`` heaviest keys, share = ROUND(n/total, 6)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.store import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = counts.agg(F.sum("n_events").alias("tot"))
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            (
+                F.round(F.col("n_events").cast("double") / F.col("tot").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("share"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= top_n)
+    )

@@ -494,3 +494,39 @@ def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flesch"),
         )
     )
+
+
+def bpe_pair_counts(
+    spark: SparkSession, sf_dir: str, top_n: int = 30
+) -> DataFrame:
+    """The first step of BPE tokenizer training at corpus scale: the
+    ``top_n`` most frequent adjacent character pairs inside tokens
+    (merging the argmax pair is one BPE iteration; running the count
+    over the merged stream is the next). Pairs never cross token
+    boundaries, matching standard BPE pre-tokenization.
+
+    Scale shape: tokenize + per-token pair fan-out are narrow
+    (explode, no joins); one keyed count with map-side combine —
+    |alphabet|² groups — then a single-partition top-N over the tiny
+    aggregate. Output (pair, n, rk) by (n DESC, pair ASC)."""
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    tok = d.select(F.explode(TXT.tokens("text")).alias("t")).filter(
+        F.length("t") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    from pyspark.sql import Window
+
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= top_n)
+        .select("pair", "n", "rk")
+    )

@@ -647,3 +647,75 @@ SELECT h.doc_id,
 FROM hashes h LEFT JOIN shared s ON h.doc_id = s.doc_id
 WHERE h.side = 'incoming'
 """
+
+
+def epoch_shards_sql(n_shards: int = 8, epoch: int = 0) -> str:
+    """Twin of sampling.epoch_shards (md5 hex prefix -> int via the
+    list_reduce decode, mod n_shards)."""
+    from .operators.sampling import PREFIX_HEX
+
+    decode = (
+        f"list_reduce(list_transform(generate_series(1, {PREFIX_HEX}), "
+        f"i -> strpos('0123456789abcdef', "
+        f"substr(md5(CAST(doc_id AS VARCHAR) || ':' || '{epoch}'), i, 1)) - 1), "
+        f"(acc, dig) -> acc * 16 + dig)::BIGINT"
+    )
+    return f"""
+SELECT ({decode} % {n_shards}) AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(len({TOKS}))::BIGINT AS n_tokens,
+       count(DISTINCT source)::BIGINT AS n_sources
+FROM documents
+GROUP BY 1
+"""
+
+
+def per_source_examples_sql(k: int = 3) -> str:
+    from .operators.sampling import PREFIX_HEX
+
+    return f"""
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, {PREFIX_HEX}) ASC,
+                    doc_id ASC
+         )::BIGINT AS rk
+  FROM documents
+) WHERE rk <= {k}
+"""
+
+
+def bpe_pair_counts_sql(top_n: int = 30) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest({TOKS}) AS t FROM documents
+),
+pairs AS (
+  SELECT unnest([substr(t, i, 2) FOR i IN range(1, length(t))]) AS pair
+  FROM toks WHERE length(t) >= 2
+),
+counts AS (
+  SELECT pair, count(*)::BIGINT AS n FROM pairs GROUP BY pair
+)
+SELECT pair, n, rk FROM (
+  SELECT pair, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC)::BIGINT AS rk
+  FROM counts
+) WHERE rk <= {top_n}
+"""
+
+
+KEY_SKEW_REPORT = """
+WITH counts AS (
+  SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY user_id
+),
+tot AS (SELECT sum(n_events)::BIGINT AS tot FROM counts)
+SELECT user_id, n_events,
+       ROUND(n_events::DOUBLE / tot::DOUBLE, 6) + 0.0 AS share, rk
+FROM (
+  SELECT user_id, n_events, tot,
+         ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id ASC)::BIGINT AS rk
+  FROM counts CROSS JOIN tot
+) WHERE rk <= 20
+"""
