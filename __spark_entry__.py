@@ -35,6 +35,7 @@ from ydb_vector_search_simple_api_spark.operators import (
 )
 from ydb_vector_search_simple_api_spark.operators import enrich as enrich_mod
 from ydb_vector_search_simple_api_spark.operators import graph as graph_mod
+from ydb_vector_search_simple_api_spark.operators import ranking as ranking_mod
 from ydb_vector_search_simple_api_spark.operators import skew as skew_mod
 from ydb_vector_search_simple_api_spark.operators import index as ivf
 from ydb_vector_search_simple_api_spark.operators import tree as kmt
@@ -943,6 +944,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: distinct_users_by_type (heavy-hitter share report on
     # the shuffle key — the pre-salting skew diagnosis)
     q["key_skew_report"] = lambda s, d: skew_mod.key_skew_report(s, d)
+    # sibling: tfidf_top_terms (lexical retrieval: BM25 with
+    # decimal-summed per-term contributions — the text half of hybrid
+    # search the reference's vector-only surface lacks)
+    q["bm25_topk"] = lambda s, d: ranking_mod.bm25_topk(s, d)
+    # siblings: bm25_topk + topk_cosine (reciprocal-rank fusion of the
+    # lexical and vector top-50 lists — the hybrid retrieval stack)
+    q["hybrid_rrf"] = lambda s, d: ranking_mod.hybrid_rrf_topk(
+        s, d, _query_vec(s, d)
+    )
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1194,6 +1204,8 @@ FROM events GROUP BY user_id, event_type
     o["per_source_examples"] = oracles_text.per_source_examples_sql()
     o["bpe_pair_counts"] = oracles_text.bpe_pair_counts_sql()
     o["key_skew_report"] = oracles_text.KEY_SKEW_REPORT
+    o["bm25_topk"] = oracles_text.bm25_topk_sql(ranking_mod.QUERY_TERMS)
+    o["hybrid_rrf"] = oracles_text.hybrid_rrf_sql(ranking_mod.QUERY_TERMS)
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

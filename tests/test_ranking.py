@@ -1,0 +1,65 @@
+"""BM25 + hybrid RRF: formula replay, fusion invariants."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.operators import ranking as RK
+from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+from conftest import SF_SMALL
+
+
+def test_bm25_replay_single_doc(spark):
+    """Replay the BM25 formula in Python for one matched doc."""
+    docs = load_documents(spark, SF_SMALL)
+    scored = {r.doc_id: r.score for r in RK.bm25_scores(docs, RK.QUERY_TERMS).collect()}
+    assert scored, "query terms must match the synthetic corpus"
+
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r.doc_id: r.text.lower().strip().split() for r in rows}
+    n_docs = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    terms = sorted(set(RK.QUERY_TERMS))
+    df = {
+        t: sum(1 for tk in toks.values() if t in tk) for t in terms
+    }
+    # pick an arbitrary scored doc and replay
+    doc_id = next(iter(scored))
+    tk = toks[doc_id]
+    s = 0.0
+    for t in terms:
+        tf = tk.count(t)
+        if tf == 0:
+            continue
+        idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+        tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
+        s += round(idf * tfn, 9)
+    assert abs(scored[doc_id] - round(s, 6)) < 1e-9
+
+
+def test_bm25_topk_ordering(spark):
+    rows = RK.bm25_topk(spark, SF_SMALL, k=10).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_hybrid_rrf_bounds_and_membership(spark, qvec=None):
+    import __spark_entry__ as E
+
+    qv = E._query_vec(spark, SF_SMALL)
+    fused = RK.hybrid_rrf_topk(spark, SF_SMALL, qv, k=10, pool=50).collect()
+    assert 0 < len(fused) <= 10
+    # rrf of a doc in both lists is bounded by 2/(60+1); single-list
+    # membership by 1/(60+1)
+    for r in fused:
+        assert 0.0 < r.rrf <= 2.0 / 61.0 + 1e-9
+    # the fused list must contain at least one member of each source
+    # list's head (fusion actually mixes, not copies)
+    bm_head = {r.doc_id for r in RK.bm25_topk(spark, SF_SMALL, k=3).collect()}
+    fused_ids = {r.doc_id for r in fused}
+    assert bm_head & fused_ids

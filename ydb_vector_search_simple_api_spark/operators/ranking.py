@@ -1,0 +1,191 @@
+"""Lexical ranking + hybrid fusion — the retrieval surface a vector
+store alone lacks.
+
+The reference serves pure vector top-k (``app.py:212-227``); real
+retrieval stacks pair that with lexical BM25 and fuse the two ranked
+lists. Public-knowledge basis: Robertson/Spärck Jones BM25 with the
+Lucene idf form ``ln(1 + (N - df + 0.5)/(df + 0.5))``, and reciprocal
+rank fusion (Cormack, Clarke & Buettcher 2009): ``score(d) =
+Σ 1/(kk + rank_i(d))``.
+
+Determinism contract (same as the decimal-sum operators): per-term
+BM25 contributions are rounded to 9 decimals and summed as
+DECIMAL(20,9), so document scores are independent of aggregation
+order; the final score rounds to 6. The RRF sum is two doubles in a
+fixed expression order.
+
+Scale shape: the term table is a broadcast literal, so tf extraction
+is a narrow explode + broadcast-semi-join; the only corpus-sized
+shuffles are the per-(doc, term) count and the per-doc sum. The
+corpus-global scalars (N, avgdl) and the per-term document
+frequencies ride broadcasts. The rank-fusion join moves 2 x pool
+rows, never the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import sort_descending
+from ..functions import text as TXT
+from ..functions.distance import score_expr
+from ..sources.store import load_documents, load_embeddings
+
+#: deterministic gate query (terms present in the synthetic corpus)
+QUERY_TERMS: tuple[str, ...] = ("vector", "hash", "stream")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 score per document for a fixed bag of query terms.
+    Documents matching no term are absent (score would be 0).
+    Output: (doc_id, score)."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TXT.tokens(text_col)).alias("token"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    qt = F.broadcast(
+        spark.createDataFrame([(t,) for t in sorted(set(terms))], "token string")
+    )
+    tf = (
+        toks.join(qt, "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    # constants pre-folded in Python so both engines parse the exact
+    # same double literals (k1+1, 1-b)
+    tfn = (
+        F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+            )
+        )
+    )
+    contrib = F.round(idf * tfn, 9).cast("decimal(20,9)")
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("s"))
+        .select(
+            "doc_id",
+            (F.round(F.col("s").cast("double"), 6) + F.lit(0.0)).alias("score"),
+        )
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: Sequence[str] = QUERY_TERMS,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Gate entry: top-k documents by BM25 for the fixed query terms.
+    Output (doc_id, score, rk)."""
+    scored = bm25_scores(load_documents(spark, sf_dir), terms, k1=k1, b=b)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "score", "rk")
+    )
+
+
+def hybrid_rrf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: Sequence[float],
+    terms: Sequence[str] = QUERY_TERMS,
+    k: int = 10,
+    pool: int = 50,
+    kk: int = 60,
+    strategy: str = "CosineSimilarity",
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 top-``pool``
+    and the vector top-``pool`` lists. rrf = 1/(kk + r_bm25) +
+    1/(kk + r_vec), missing list membership contributes 0; ties broken
+    by doc_id. Output (doc_id, rrf, rk).
+
+    The fusion join moves 2·pool rows; each candidate list is produced
+    by its native top-k machinery (decimal-summed BM25; codegen vector
+    scoring + TakeOrdered), so the hybrid inherits both scale paths."""
+    bm = bm25_topk(spark, sf_dir, terms, k=pool).select(
+        "doc_id", F.col("rk").alias("r_bm")
+    )
+    score = F.round(
+        score_expr(strategy, F.col("embedding"), list(query_vec)), 9
+    )
+    direction = (
+        F.col("vscore").desc_nulls_last()
+        if sort_descending(strategy)
+        else F.col("vscore").asc_nulls_last()
+    )
+    vec = (
+        load_embeddings(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"), score.alias("vscore"))
+        .orderBy(direction, F.col("doc_id").asc())
+        .limit(pool)
+    )
+    wv = Window.orderBy(direction, F.col("doc_id").asc())
+    vec = vec.withColumn("r_vec", F.row_number().over(wv).cast("bigint")).select(
+        "doc_id", "r_vec"
+    )
+    fused = (
+        bm.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.round(
+                    F.coalesce(
+                        F.lit(1.0) / (F.lit(float(kk)) + F.col("r_bm").cast("double")),
+                        F.lit(0.0),
+                    )
+                    + F.coalesce(
+                        F.lit(1.0) / (F.lit(float(kk)) + F.col("r_vec").cast("double")),
+                        F.lit(0.0),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("rrf"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "rrf", "rk")
+    )

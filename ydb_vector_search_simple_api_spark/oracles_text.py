@@ -719,3 +719,94 @@ FROM (
   FROM counts CROSS JOIN tot
 ) WHERE rk <= 20
 """
+
+
+def _bm25_cte(terms, k1: float = 1.2, b: float = 0.75) -> str:
+    """Shared BM25 CTE chain ending in ``bm(doc_id, score)``."""
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+toks AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM toks WHERE token IN ({tl}) GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+contrib AS (
+  SELECT tf.doc_id,
+         ROUND(
+           ln(1.0 + (s.n_docs - d.df::DOUBLE + 0.5) / (d.df::DOUBLE + 0.5))
+           * (tf.tf::DOUBLE * {k1 + 1.0}
+              / (tf.tf::DOUBLE
+                 + {k1} * ({1.0 - b} + {b} * dl.dl::DOUBLE / s.avgdl))),
+           9)::DECIMAL(20,9) AS c
+  FROM tf
+  JOIN dfreq d USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+bm AS (
+  SELECT doc_id, ROUND(CAST(sum(c) AS DOUBLE), 6) + 0.0 AS score
+  FROM contrib GROUP BY doc_id
+)"""
+
+
+def bm25_topk_sql(terms, k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH {_bm25_cte(terms, k1, b)}
+SELECT doc_id, score, rk FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rk
+  FROM bm
+) WHERE rk <= {k}
+"""
+
+
+def hybrid_rrf_sql(
+    terms, k: int = 10, pool: int = 50, kk: int = 60,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    from .oracles import QUERY_VEC_ID, score_sql
+
+    return f"""
+WITH {_bm25_cte(terms, k1, b)},
+bmranked AS (
+  SELECT doc_id, rk AS r_bm FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rk
+    FROM bm
+  ) WHERE rk <= {pool}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+vscored AS (
+  SELECT e.vec_id AS doc_id, ROUND({score_sql("CosineSimilarity")}, 9) AS vscore
+  FROM embeddings e, q
+),
+vranked AS (
+  SELECT doc_id, rk AS r_vec FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY vscore DESC NULLS LAST, doc_id ASC
+           )::BIGINT AS rk
+    FROM vscored
+  ) WHERE rk <= {pool}
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         ROUND(
+           COALESCE(1.0 / ({kk}.0 + b.r_bm::DOUBLE), 0.0)
+           + COALESCE(1.0 / ({kk}.0 + v.r_vec::DOUBLE), 0.0),
+           6) + 0.0 AS rrf
+  FROM bmranked b FULL OUTER JOIN vranked v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, rrf, rk FROM (
+  SELECT doc_id, rrf,
+         ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC)::BIGINT AS rk
+  FROM fused
+) WHERE rk <= {k}
+"""
