@@ -953,6 +953,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hybrid_rrf"] = lambda s, d: ranking_mod.hybrid_rrf_topk(
         s, d, _query_vec(s, d)
     )
+    # sibling: events_hourly_stream (sliding windows — overlapping
+    # size>slide state, vs the tumbling rollup; drained == batch)
+    q["events_sliding_stream"] = streaming_events.sliding_type_counts_stream
+    # sibling: dedup_exact_groups / ivf_upsert's batch twin (SCD-1
+    # MERGE: base ∪ update batch, max-version survivor per key)
+    q["cdc_merge"] = lambda s, d: curation.cdc_merge_snapshot(s, d)
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1045,6 +1051,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # energy-based audio segmentation (islands over frame RMS; numpy
     # replay + well-formedness in tests/test_multimodal.py)
     q["multimodal_pcm_segments"] = lambda s, d: multimodal.pcm_segments(s, d)
+    # MMR diversification of the vector top-pool (greedy loop over the
+    # k-bound candidate block is inherently sequential — serving-path
+    # contract; selection invariants pinned in tests/test_ranking.py)
+    q["mmr_rerank"] = lambda s, d: ranking_mod.mmr_rerank(s, d, _query_vec(s, d))
     return q
 
 
@@ -1206,6 +1216,18 @@ FROM events GROUP BY user_id, event_type
     o["key_skew_report"] = oracles_text.KEY_SKEW_REPORT
     o["bm25_topk"] = oracles_text.bm25_topk_sql(ranking_mod.QUERY_TERMS)
     o["hybrid_rrf"] = oracles_text.hybrid_rrf_sql(ranking_mod.QUERY_TERMS)
+    # each event belongs to size/slide = 2 sliding windows: duplicate
+    # into both hour-aligned starts, then group (Spark windows align
+    # to the epoch, so date_trunc('hour') IS the window boundary)
+    o["events_sliding_stream"] = """
+SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
+  SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, event_type
+  FROM events
+) GROUP BY window_start, event_type
+"""
+    o["cdc_merge"] = oracles_curation.cdc_merge_sql()
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

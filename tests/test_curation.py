@@ -386,3 +386,25 @@ def test_hard_negatives_exclude_anchor_label(spark):
     for r in allk:
         if labels[r.id] != labels[r.query_id]:
             assert (r.query_id, r.id) in neg_ids
+
+
+def test_cdc_merge_latest_version_wins(spark):
+    from ydb_vector_search_simple_api_spark.operators import curation as C
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+    from pyspark.sql import functions as F
+
+    snap = C.cdc_merge_snapshot(spark, SF_SMALL, frac=0.2).collect()
+    docs = load_documents(spark, SF_SMALL)
+    assert len(snap) == docs.count()  # one row per key after merge
+    v2 = [r for r in snap if r.version == 2]
+    v1 = [r for r in snap if r.version == 1]
+    assert v2 and v1
+    # ~frac of docs revised (hash-draw noise tolerated)
+    assert 0.05 < len(v2) / len(snap) < 0.4
+    # a revised doc's digest equals md5(text + marker)
+    upd = C.attach_updates(docs, frac=0.2)
+    want = {
+        r.doc_id: r.m for r in upd.select("doc_id", F.md5("text").alias("m")).collect()
+    }
+    for r in v2:
+        assert want[r.doc_id] == r.text_md5

@@ -63,3 +63,37 @@ def test_hybrid_rrf_bounds_and_membership(spark, qvec=None):
     bm_head = {r.doc_id for r in RK.bm25_topk(spark, SF_SMALL, k=3).collect()}
     fused_ids = {r.doc_id for r in fused}
     assert bm_head & fused_ids
+
+
+def test_mmr_selection_invariants(spark):
+    import __spark_entry__ as E
+
+    qv = E._query_vec(spark, SF_SMALL)
+    mmr = RK.mmr_rerank(spark, SF_SMALL, qv, k=10, pool=50).collect()
+    assert len(mmr) == 10
+    assert [r.rk for r in mmr] == list(range(1, 11))
+    # first pick is pure relevance: must equal the top-1 vector hit
+    from ydb_vector_search_simple_api_spark.operators.search import exact_search
+
+    top1 = exact_search(spark, SF_SMALL, qv, k=1, round_digits=6).collect()[0]
+    assert mmr[0].doc_id == top1.id
+    # determinism
+    again = RK.mmr_rerank(spark, SF_SMALL, qv, k=10, pool=50).collect()
+    assert mmr == again
+    # lambda=1 degenerates to plain relevance ranking of the pool
+    pure = RK.mmr_rerank(spark, SF_SMALL, qv, k=10, pool=50, lam=1.0).collect()
+    ids_pure = [r.doc_id for r in pure]
+    exact_ids = [r.id for r in exact_search(spark, SF_SMALL, qv, k=10, round_digits=6).collect()]
+    assert ids_pure == exact_ids
+
+
+def test_mmr_diversifies_duplicate_pool(spark):
+    """With lam<1 MMR must not pick two identical vectors back-to-back
+    when a distinct alternative exists — checked on the real corpus by
+    asserting the penalty actually reorders vs pure relevance."""
+    import __spark_entry__ as E
+
+    qv = E._query_vec(spark, SF_SMALL)
+    lo = RK.mmr_rerank(spark, SF_SMALL, qv, k=10, pool=50, lam=0.2).collect()
+    hi = RK.mmr_rerank(spark, SF_SMALL, qv, k=10, pool=50, lam=1.0).collect()
+    assert [r.doc_id for r in lo] != [r.doc_id for r in hi]

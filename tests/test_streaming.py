@@ -76,3 +76,25 @@ def test_interval_join_stream_equals_batch_join(spark):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_sliding_window_counts_match_batch(spark):
+    from ydb_vector_search_simple_api_spark.streaming import events as SE
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+    from pyspark.sql import functions as F
+    from conftest import SF_SMALL
+
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in SE.sliding_type_counts_stream(spark, SF_SMALL).collect()
+    }
+    ev = load_events(spark, SF_SMALL).select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    batch = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): r.n for r in batch}
+    assert got == want

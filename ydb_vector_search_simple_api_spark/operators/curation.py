@@ -771,3 +771,55 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def attach_updates(
+    df: DataFrame, frac: float = 0.2, marker: str = " [rev2]"
+) -> DataFrame:
+    """Deterministic synthetic CDC batch: docs whose md5 draw falls
+    below ``frac`` get a revised text (``marker`` appended) at
+    version 2. Returns (doc_id, text, version) — the update side of
+    :func:`cdc_merge_snapshot`. Pure per-row map (derives from the
+    corpus the same way attach_pii does, so the gate needs no extra
+    input table)."""
+    from .sampling import _draw, _threshold_hex
+
+    return (
+        df.filter(_draw(F.col("doc_id")) < F.lit(_threshold_hex(frac)))
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(marker)).alias("text"),
+            F.lit(2).alias("version"),
+        )
+    )
+
+
+def cdc_merge_snapshot(
+    spark: SparkSession, sf_dir: str, frac: float = 0.2
+) -> DataFrame:
+    """MERGE/SCD-1 upsert in batch: the base corpus (version 1) merged
+    with an update batch (version 2 revisions of ~frac of the docs);
+    the snapshot keeps the highest version per key — the warehouse
+    MERGE primitive a continuously-refreshed corpus needs (the index
+    upsert operators are the vector-side twin of this).
+
+    Scale shape: union + one window (or max-version semi-join) keyed
+    on doc_id — a single shuffle of (id, version, text-digest); the
+    update batch is delta-sized. Output (doc_id, version, text_md5)
+    — the digest proves which revision survived without hauling full
+    text through the gate."""
+    base = load_documents(spark, sf_dir).select(
+        "doc_id", "text", F.lit(1).alias("version")
+    )
+    updates = attach_updates(load_documents(spark, sf_dir), frac=frac)
+    merged = base.unionByName(updates)
+    w = Window.partitionBy("doc_id").orderBy(F.col("version").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("version").cast("bigint").alias("version"),
+            F.md5("text").alias("text_md5"),
+        )
+    )

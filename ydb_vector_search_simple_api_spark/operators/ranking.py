@@ -189,3 +189,79 @@ def hybrid_rrf_topk(
         .filter(F.col("rk") <= k)
         .select("doc_id", "rrf", "rk")
     )
+
+
+def mmr_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    strategy: str = "CosineSimilarity",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998) of the vector top-``pool``: greedily pick
+    ``argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` so near-duplicate
+    hits don't crowd the result page.
+
+    Serving-path shape (same contract as the documented query-batch
+    joins): the cluster computes the top-``pool`` candidates —
+    codegen scoring + TakeOrderedAndProject, corpus-sized work stays
+    distributed — and only the k-bound candidate block (``pool`` rows
+    of id/score/vector) crosses to the driver for the inherently
+    sequential greedy loop, which is O(pool²·dim) on ≤50 rows. Ties
+    break by doc_id; scores round to 6 first so selection is
+    partition-invariant. Output (doc_id, mmr, rk)."""
+    import numpy as np
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    score = F.round(
+        score_expr(strategy, F.col("embedding"), list(query_vec)), 6
+    ) + F.lit(0.0)
+    direction = (
+        F.col("rel").desc_nulls_last()
+        if sort_descending(strategy)
+        else F.col("rel").asc_nulls_last()
+    )
+    cand = (
+        load_embeddings(spark, sf_dir)
+        .select(
+            F.col("vec_id").alias("doc_id"), score.alias("rel"), "embedding"
+        )
+        .orderBy(direction, F.col("doc_id").asc())
+        .limit(pool)
+        .collect()
+    )
+    if not cand:
+        return spark.createDataFrame([], "doc_id long, mmr double, rk long")
+    ids = [r.doc_id for r in cand]
+    rel = np.array([r.rel if r.rel is not None else -np.inf for r in cand])
+    V = np.array([r.embedding for r in cand], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = np.inf  # zero vectors: similarity 0 to everything
+    Vn = V / norms[:, None]
+    sim = Vn @ Vn.T  # pairwise cosine over the pool
+
+    selected: list[int] = []
+    remaining = list(range(len(ids)))
+    out = []
+    while remaining and len(selected) < k:
+        best_i, best_val = None, None
+        for i in remaining:
+            penalty = max((sim[i, j] for j in selected), default=0.0)
+            val = round(lam * rel[i] - (1.0 - lam) * penalty, 9)
+            # deterministic: strictly-greater wins; ties keep the
+            # lowest doc_id (remaining is scanned in doc_id-free pool
+            # order, so compare explicitly)
+            if (
+                best_val is None
+                or val > best_val
+                or (val == best_val and ids[i] < ids[best_i])
+            ):
+                best_i, best_val = i, val
+        selected.append(best_i)
+        remaining.remove(best_i)
+        out.append((ids[best_i], float(best_val), len(selected)))
+    return spark.createDataFrame(out, "doc_id long, mmr double, rk long")

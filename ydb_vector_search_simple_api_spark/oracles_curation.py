@@ -322,3 +322,22 @@ ranked AS (
 SELECT query_id, id, score, rank FROM ranked
 WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+def cdc_merge_sql(frac: float = 0.2, marker: str = " [rev2]") -> str:
+    """Twin of curation.cdc_merge_snapshot."""
+    from .operators.sampling import PREFIX_HEX, _threshold_hex
+
+    thr = _threshold_hex(frac)
+    draw = f"substr(md5(CAST(doc_id AS VARCHAR)), 1, {PREFIX_HEX})"
+    return f"""
+WITH merged AS (
+  SELECT doc_id, text, 1 AS version FROM documents
+  UNION ALL
+  SELECT doc_id, text || '{marker}' AS text, 2 AS version
+  FROM documents WHERE {draw} < '{thr}'
+)
+SELECT doc_id, max(version)::BIGINT AS version,
+       arg_max(md5(text), version) AS text_md5
+FROM merged GROUP BY doc_id
+"""

@@ -259,3 +259,37 @@ def distinct_user_event_pairs_stream(spark: SparkSession, sf_dir: str) -> DataFr
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def sliding_type_counts_stream(
+    spark: SparkSession, sf_dir: str, size: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding-window event counts (size > slide ⇒ overlapping
+    windows; each event belongs to size/slide of them) — the trending
+    / rate-monitoring shape, distinct from the tumbling hourly rollup.
+    availableNow + complete mode, so the drained stream equals the
+    batch sliding aggregation exactly (oracle: each event duplicated
+    into its size/slide windows, then grouped).
+
+    State per key is (n_windows_open x |event_type|) counters; with a
+    watermark (production append mode) the open set is bounded by
+    size + lateness. Output (window_start, event_type, n_events)."""
+    name = f"events_sliding_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            _events_stream(spark, sf_dir)
+            .groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
