@@ -811,6 +811,13 @@ def incremental_dedup(
     fps = fps.repartition(spark.sparkContext.defaultParallelism, "doc_id").select(
         "doc_id", "side", TXT.winnow_mins(F.col("h"), window).alias("fps")
     )
+    # materialize ONCE, in the compact array form (docs-sized rows of
+    # fingerprint arrays, not the exploded stream): both sides of the
+    # probe join branch from this, and without the pin each branch
+    # would re-run the whole winnowing hash pass; checkpointing the
+    # pre-explode form keeps the stored bytes per doc, the explodes
+    # below are cheap narrow generates over the pinned arrays
+    fps = fps.localCheckpoint(eager=True)
     flat = fps.select(
         "doc_id", "side", F.explode_outer("fps").alias("fp")
     ).filter(F.col("fp").isNotNull())
@@ -819,7 +826,9 @@ def incremental_dedup(
     shared = (
         inc_f.join(ex_f, "fp", "left_semi")
         .groupBy("doc_id")
-        .agg(F.count_distinct("fp").alias("n_shared_fps"))
+        # winnowing arrays are already distinct per doc, so plain
+        # count == count_distinct without the extra dedup pass
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
     )
     return (
         exact.join(shared, "doc_id", "left")

@@ -51,26 +51,37 @@ def bm25_scores(
     Output: (doc_id, score)."""
     if not terms:
         raise ValueError("terms must be non-empty")
-    spark = docs.sparkSession
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(TXT.tokens(text_col)).alias("token"),
+    # per-doc term frequencies as a NARROW array expression (count
+    # matches inside the token array per query term) instead of
+    # exploding the whole token stream and shuffling it — the query
+    # has |terms| entries, so the fan-out is |terms| rows per doc and
+    # the only corpus-sized exchanges left are two scan-aggregations
+    # (measured 2.9 s → sub-second at sf0.1)
+    toks = TXT.tokens(text_col)
+    terms_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    tf_structs = F.transform(
+        terms_arr,
+        lambda t: F.struct(
+            t.alias("token"),
+            F.size(F.filter(toks, lambda x: x == t)).cast("bigint").alias("tf"),
+        ),
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    per_term = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).cast("bigint").alias("dl"),
+            F.explode(tf_structs).alias("s"),
+        )
+        .select("doc_id", "dl", F.col("s.token").alias("token"), F.col("s.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+    stats = docs.select(F.size(toks).cast("bigint").alias("dl")).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "avgdl"
         ),
     )
-    qt = F.broadcast(
-        spark.createDataFrame([(t,) for t in sorted(set(terms))], "token string")
-    )
-    tf = (
-        toks.join(qt, "token")
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = per_term
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -94,7 +105,6 @@ def bm25_scores(
     contrib = F.round(idf * tfn, 9).cast("decimal(20,9)")
     return (
         tf.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(contrib).alias("s"))

@@ -510,20 +510,29 @@ def bpe_pair_counts(
     |alphabet|² groups — then a single-partition top-N over the tiny
     aggregate. Output (pair, n, rk) by (n DESC, pair ASC)."""
     d = load_documents(spark, sf_dir).select("doc_id", "text")
-    tok = d.select(F.explode(TXT.tokens("text")).alias("t")).filter(
-        F.length("t") >= 2
+    # the standard BPE formulation: count the VOCABULARY first (one
+    # corpus-sized keyed count with map-side combine), then fan pairs
+    # out over distinct tokens weighted by their frequency — the pair
+    # explode runs over |vocab| rows, not every token occurrence
+    # (measured 6.4 s → ~1 s at sf0.1; same counts exactly)
+    vocab = (
+        d.select(F.explode(TXT.tokens("text")).alias("t"))
+        .filter(F.length("t") >= 2)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
     )
-    pairs = tok.select(
+    pairs = vocab.select(
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.length("t") - 1),
                 lambda i: F.col("t").substr(i, F.lit(2)),
             )
-        ).alias("pair")
+        ).alias("pair"),
+        "n_tok",
     )
     from pyspark.sql import Window
 
-    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    counts = pairs.groupBy("pair").agg(F.sum("n_tok").alias("n"))
     w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
     return (
         counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
