@@ -959,6 +959,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: dedup_exact_groups / ivf_upsert's batch twin (SCD-1
     # MERGE: base ∪ update batch, max-version survivor per key)
     q["cdc_merge"] = lambda s, d: curation.cdc_merge_snapshot(s, d)
+    # sibling: user_running_totals (two-phase salted groupBy == direct
+    # groupBy — the skewed-aggregation rewrite, gate-proven safe)
+    q["salted_user_rollup"] = lambda s, d: skew_mod.salted_user_rollup(s, d)
+    # sibling: user_running_totals / bucket_anomalies (point-in-time
+    # trailing RANGE-frame features per event — no future leakage)
+    q["user_trailing_features"] = temporal.user_trailing_features
+    # sibling: text_stats (column-level ingest-QA profile of a whole
+    # table in one scan + unpivot)
+    q["table_profile"] = lambda s, d: stats.table_profile(s, d)
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1228,6 +1237,9 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
 ) GROUP BY window_start, event_type
 """
     o["cdc_merge"] = oracles_curation.cdc_merge_sql()
+    o["salted_user_rollup"] = oracles_temporal.SALTED_USER_ROLLUP
+    o["user_trailing_features"] = oracles_temporal.USER_TRAILING_FEATURES
+    o["table_profile"] = oracles_temporal.TABLE_PROFILE_EVENTS
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

@@ -216,3 +216,26 @@ def test_key_skew_report_shares(spark):
     assert sum(r.share for r in rows) <= 1.0 + 1e-6
     ns = [r.n_events for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_salted_rollup_equals_direct(spark):
+    from pyspark.sql import functions as F
+    from ydb_vector_search_simple_api_spark.operators import skew as SK
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+    from conftest import SF_SMALL
+
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in SK.salted_user_rollup(spark, SF_SMALL, n_salt=8).collect()
+    }
+    direct = (
+        load_events(spark, SF_SMALL)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6) + F.lit(0.0)).alias("v"),
+        )
+        .collect()
+    )
+    want = {r.user_id: (r.n, r.v) for r in direct}
+    assert got == want

@@ -287,3 +287,47 @@ def test_event_transitions_count_conservation(spark):
     n_users = ev.select("user_id").distinct().count()
     # each user with k events contributes k-1 transitions
     assert sum(r.n_trans for r in rows) == n_events - n_users
+
+
+def test_user_trailing_features_replay(spark):
+    from ydb_vector_search_simple_api_spark.operators import temporal as T
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+    rows = T.user_trailing_features(spark, SF_SMALL).collect()
+    ev = load_events(spark, SF_SMALL).select("event_id", "user_id", "ts", "value").collect()
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    # replay a few users in Python
+    import decimal
+    checked = 0
+    got = {r.event_id: r for r in rows}
+    for uid, evs in list(by_user.items())[:5]:
+        evs.sort(key=lambda e: e.ts)
+        for e in evs:
+            sec = e.ts.timestamp()
+            n1 = sum(1 for x in evs if sec - 3600 <= x.ts.timestamp() <= sec)
+            v24 = sum(
+                (decimal.Decimal(repr(x.value)).quantize(decimal.Decimal("0.000001"))
+                 for x in evs if sec - 86400 <= x.ts.timestamp() <= sec),
+                decimal.Decimal(0),
+            )
+            r = got[e.event_id]
+            assert r.n_1h == n1
+            assert abs(r.v_24h - float(round(v24, 6))) < 1e-6
+            checked += 1
+    assert checked > 10
+
+
+def test_table_profile_shapes(spark):
+    from ydb_vector_search_simple_api_spark.operators import stats as S
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+    rows = {r.column: r for r in S.table_profile(spark, SF_SMALL).collect()}
+    assert set(rows) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    ev = load_events(spark, SF_SMALL)
+    n = ev.count()
+    assert rows["event_id"].n_distinct == n  # event_id is a key
+    assert rows["event_id"].n_nulls == 0
+    assert rows["event_type"].min_str is not None and rows["event_type"].min_num is None
+    assert rows["value"].min_num is not None and rows["value"].min_str is None

@@ -85,3 +85,36 @@ def key_skew_report(spark, sf_dir: str, top_n: int = 20):
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= top_n)
     )
+
+
+def salted_user_rollup(spark, sf_dir: str, n_salt: int = 8):
+    """Two-phase (salted) aggregation — the skewed-GROUP-BY mitigation:
+    phase 1 aggregates on (key, salt) so one hot key's rows spread over
+    ``n_salt`` reducers; phase 2 merges the ≤ n_salt partials per key.
+    Decimal partial sums make the merge exact, so the result is
+    row-identical to the direct groupBy (which is exactly what the
+    oracle runs — the gate proves the rewrite safe).
+
+    Spark's hash aggregate already does map-side partials; explicit
+    salting matters when a single reducer key still overflows (the
+    1-billion-events-one-user case). Output (user_id, n_events,
+    sum_value)."""
+    from ..sources.store import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "value")
+    salt = F.pmod(F.xxhash64("user_id", "value"), F.lit(n_salt))
+    phase1 = (
+        ev.withColumn("_salt", salt)
+        .groupBy("user_id", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        )
+    )
+    return (
+        phase1.groupBy("user_id")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            (F.round(F.sum("pv").cast("double"), 6) + F.lit(0.0)).alias("sum_value"),
+        )
+    )

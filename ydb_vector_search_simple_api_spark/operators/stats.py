@@ -251,3 +251,65 @@ def token_cms_accuracy(
         )
         .orderBy("tok")
     )
+
+
+def table_profile(spark: SparkSession, sf_dir: str, table: str = "events") -> DataFrame:
+    """Column-level data profile — the ingest-QA primitive run before
+    a table joins the pipeline: per column, null count, exact distinct
+    count, and min/max (numeric/timestamp columns as doubles — rounded
+    6, timestamps as epoch seconds — string columns as strings).
+
+    One scan computes all null counts and min/max; the exact distinct
+    counts add one Expand pass (the gate shape — at 100 TB swap in
+    approx_count_distinct, same plan minus the Expand). The per-column
+    rows are unpivoted from a single aggregation row, so the fact
+    table is read once, not once per column. Output (column, n_nulls,
+    n_distinct, min_num, max_num, min_str, max_str)."""
+    from ..sources.store import load_events, load_table
+
+    df = (
+        load_events(spark, sf_dir)
+        if table == "events"
+        else load_table(spark, sf_dir, table)
+    )
+    import pyspark.sql.types as T
+
+    aggs = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        aggs.append(F.sum(c.isNull().cast("bigint")).alias(f"{f.name}__nulls"))
+        aggs.append(F.count_distinct(c).alias(f"{f.name}__nd"))
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            # cast-to-double keeps fractional seconds (unix_timestamp
+            # truncates, diverging from DuckDB's epoch())
+            num = c.cast("timestamp").cast("double")
+        elif isinstance(f.dataType, T.StringType):
+            num = None
+        else:
+            num = c.cast("double")
+        if num is not None:
+            aggs.append((F.round(F.min(num), 6) + F.lit(0.0)).alias(f"{f.name}__minn"))
+            aggs.append((F.round(F.max(num), 6) + F.lit(0.0)).alias(f"{f.name}__maxn"))
+            aggs.append(F.lit(None).cast("string").alias(f"{f.name}__mins"))
+            aggs.append(F.lit(None).cast("string").alias(f"{f.name}__maxs"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{f.name}__minn"))
+            aggs.append(F.lit(None).cast("double").alias(f"{f.name}__maxn"))
+            aggs.append(F.min(c).alias(f"{f.name}__mins"))
+            aggs.append(F.max(c).alias(f"{f.name}__maxs"))
+    row = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(f.name).alias("column"),
+                F.col(f"{f.name}__nulls").alias("n_nulls"),
+                F.col(f"{f.name}__nd").alias("n_distinct"),
+                F.col(f"{f.name}__minn").alias("min_num"),
+                F.col(f"{f.name}__maxn").alias("max_num"),
+                F.col(f"{f.name}__mins").alias("min_str"),
+                F.col(f"{f.name}__maxs").alias("max_str"),
+            )
+            for f in df.schema.fields
+        ]
+    )
+    return row.select(F.explode(structs).alias("p")).select("p.*")

@@ -349,3 +349,44 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
     )
+
+
+def user_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-window features — the point-in-time-correct
+    feature-engineering primitive (each row sees only its own past, so
+    a model trained on these never leaks the future): for every event,
+    the same user's event count in the trailing 1 hour and value sum
+    in the trailing 24 hours, both windows inclusive of the current
+    row.
+
+    One window pass per user ordered by epoch seconds with RANGE
+    frames (range, not rows: simultaneous events all see the same
+    state). Value sums run in DECIMAL inside the frame so results are
+    order-invariant. Shuffles once on user_id. Output (event_id,
+    user_id, n_1h, v_24h)."""
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "value",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+    )
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    w24 = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-86400, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w1).cast("bigint").alias("n_1h"),
+        (
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).over(w24).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("v_24h"),
+    )

@@ -204,3 +204,64 @@ SELECT cur_type, next_type, n_trans,
              / sum(n_trans) OVER (PARTITION BY cur_type)::DOUBLE, 6) + 0.0 AS p
 FROM pairs
 """
+
+
+SALTED_USER_ROLLUP = """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       ROUND(CAST(sum(value::DECIMAL(18,6)) AS DOUBLE), 6) + 0.0 AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+USER_TRAILING_FEATURES = """
+SELECT event_id, user_id,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+       )::BIGINT AS n_1h,
+       ROUND(CAST(sum(value::DECIMAL(18,6)) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+         RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 6) + 0.0 AS v_24h
+FROM events
+"""
+
+
+TABLE_PROFILE_EVENTS = """
+WITH p AS (
+  SELECT 'event_id' AS column, sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         count(DISTINCT event_id)::BIGINT AS n_distinct,
+         ROUND(min(event_id)::DOUBLE, 6) + 0.0 AS min_num, ROUND(max(event_id)::DOUBLE, 6) + 0.0 AS max_num,
+         NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+  FROM events
+  UNION ALL
+  SELECT 'ts', sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT ts)::BIGINT,
+         ROUND(epoch(min(ts))::DOUBLE, 6) + 0.0, ROUND(epoch(max(ts))::DOUBLE, 6) + 0.0,
+         NULL::VARCHAR, NULL::VARCHAR
+  FROM events
+  UNION ALL
+  SELECT 'user_id', sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT user_id)::BIGINT,
+         ROUND(min(user_id)::DOUBLE, 6) + 0.0, ROUND(max(user_id)::DOUBLE, 6) + 0.0,
+         NULL::VARCHAR, NULL::VARCHAR
+  FROM events
+  UNION ALL
+  SELECT 'event_type', sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT event_type)::BIGINT,
+         NULL::DOUBLE, NULL::DOUBLE, min(event_type), max(event_type)
+  FROM events
+  UNION ALL
+  SELECT 'value', sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT value)::BIGINT,
+         ROUND(min(value), 6) + 0.0, ROUND(max(value), 6) + 0.0,
+         NULL::VARCHAR, NULL::VARCHAR
+  FROM events
+  UNION ALL
+  SELECT 'props', sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT props)::BIGINT,
+         NULL::DOUBLE, NULL::DOUBLE, min(props), max(props)
+  FROM events
+)
+SELECT * FROM p
+"""
