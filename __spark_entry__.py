@@ -674,9 +674,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- north-star extensions: text analysis over documents
     q["text_stats"] = textual.text_stats
-    q["lang_id"] = textual.lang_id_pred
     q["quality_filter"] = textual.quality_filter
-    q["token_budget"] = textual.token_budget
+    # hybrid retrieval flagship (BM25 ⊕ vector RRF) — rotated in-cap
+    # round 3 in place of lang_id (same tokenize+classify family as
+    # text_stats/quality_filter, now in the overflow window)
+    q["hybrid_rrf"] = lambda s, d: ranking_mod.hybrid_rrf_topk(
+        s, d, _query_vec(s, d)
+    )
+    # incremental-ingest dedup composition — rotated in-cap round 3 in
+    # place of token_budget (sibling of in-cap source_token_budget)
+    q["incremental_dedup"] = lambda s, d: dedup.incremental_dedup(s, d)
     # deterministic md5-threshold train/valid/test assignment
     q["document_splits"] = sampling.document_splits
     # context-length chunking (training-sequence packing prep)
@@ -927,11 +934,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: text_stats / quality_filter (surface-form readability
     # scoring — Flesch proxy, pure codegen projection)
     q["readability"] = textual.readability
-    # siblings: dedup_exact_groups + winnowing_fingerprints (the
-    # incremental-ingest composition: screen an incoming batch against
-    # the existing corpus by content-hash membership + shared
-    # winnowing fingerprints — inverted-index joins, never all-pairs)
-    q["incremental_dedup"] = lambda s, d: dedup.incremental_dedup(s, d)
+    # sibling: text_stats (same tokenize+classify family; rotated out
+    # of the cap round 3 for hybrid_rrf)
+    q["lang_id"] = textual.lang_id_pred
+    # sibling: source_token_budget (rotated out of the cap round 3
+    # for incremental_dedup)
+    q["token_budget"] = textual.token_budget
     # sibling: document_splits (the per-epoch reproducible global
     # shuffle: md5(doc:epoch) mod n_shards, balance audit shape)
     q["epoch_shards"] = sampling.epoch_shards
@@ -948,11 +956,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # decimal-summed per-term contributions — the text half of hybrid
     # search the reference's vector-only surface lacks)
     q["bm25_topk"] = lambda s, d: ranking_mod.bm25_topk(s, d)
-    # siblings: bm25_topk + topk_cosine (reciprocal-rank fusion of the
-    # lexical and vector top-50 lists — the hybrid retrieval stack)
-    q["hybrid_rrf"] = lambda s, d: ranking_mod.hybrid_rrf_topk(
-        s, d, _query_vec(s, d)
-    )
     # sibling: events_hourly_stream (sliding windows — overlapping
     # size>slide state, vs the tumbling rollup; drained == batch)
     q["events_sliding_stream"] = streaming_events.sliding_type_counts_stream
