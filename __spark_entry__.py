@@ -975,6 +975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of the near-dup graph: oriented wedge-close triangle counting +
     # global clustering coefficient)
     q["graph_stats"] = lambda s, d: graph_mod.graph_stats(s, d)
+    # sibling: bucket_anomalies (metric-drift analytics: closed-form
+    # least-squares trend per event type from integer-exact sums)
+    q["type_value_trends"] = stats.type_value_trends
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1248,6 +1251,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["user_trailing_features"] = oracles_temporal.USER_TRAILING_FEATURES
     o["table_profile"] = oracles_temporal.TABLE_PROFILE_EVENTS
     o["graph_stats"] = oracles_text.graph_stats_sql()
+    o["type_value_trends"] = oracles_temporal.TYPE_VALUE_TRENDS
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

@@ -331,3 +331,30 @@ def test_table_profile_shapes(spark):
     assert rows["event_id"].n_nulls == 0
     assert rows["event_type"].min_str is not None and rows["event_type"].min_num is None
     assert rows["value"].min_num is not None and rows["value"].min_str is None
+
+
+def test_type_value_trends_replay(spark):
+    """Replay the closed-form regression in numpy for one type."""
+    import numpy as np
+    from ydb_vector_search_simple_api_spark.operators import stats as S
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+    rows = {r.event_type: r for r in S.type_value_trends(spark, SF_SMALL).collect()}
+    ev = load_events(spark, SF_SMALL).select("event_type", "ts", "value").collect()
+    t0 = min(e.ts for e in ev)
+    import math
+    for etype in list(rows)[:2]:
+        xs, ys = [], []
+        for e in ev:
+            if e.event_type != etype:
+                continue
+            xs.append(int((math.floor(e.ts.timestamp()) - math.floor(t0.timestamp())) // 600))
+            ys.append(round(e.value * 1e6))
+        x = np.array(xs, dtype=object); y = np.array(ys, dtype=object)
+        n = len(xs)
+        cov = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        varx = n * int((x * x).sum()) - int(x.sum()) ** 2
+        slope = float(cov) / float(varx)
+        r = rows[etype]
+        assert r.n == n
+        assert abs(r.slope - round(slope, 6)) < 1e-9

@@ -313,3 +313,60 @@ def table_profile(spark: SparkSession, sf_dir: str, table: str = "events") -> Da
         ]
     )
     return row.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def type_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of ``value`` over time —
+    closed-form regression via aggregation (the OLAP way to ask "is
+    this metric drifting"): slope and intercept of value ~ hours since
+    the first event, plus Pearson r².
+
+    Everything derives from five exact sums (n, Σx, Σy, Σxy, Σx²,
+    Σy²) computed in one map-side-combinable groupBy — x is quantized
+    to the 10-minute bucket index (exact integers), y to micro-units
+    (ROUND(value·1e6), the running-totals contract), so every sum is
+    integer-exact and the three final divisions are the only float
+    ops. One shuffle, |event types| groups. Output (event_type, n,
+    slope, intercept, r2) rounded to 6."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value"),
+    )
+    bounds = ev.agg(F.min("ts").alias("t0"))
+    # x: 10-minute buckets since the corpus start (exact int);
+    # y: micro-units (exact int via the established rounding contract)
+    x = (
+        (F.unix_timestamp("ts") - F.unix_timestamp("t0"))
+        / F.lit(600)
+    ).cast("bigint")
+    y = F.round(F.col("value") * F.lit(1e6)).cast("bigint")
+    base = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type", x.alias("x"), y.alias("y")
+    )
+    # products fit int64 per-row, but their SUMS can pass 2^63
+    # (y ~ 1e9 micro-units squared) — sum in DECIMAL(38,0), still
+    # exact integer arithmetic (DuckDB's BIGINT sums widen to HUGEINT
+    # for the same reason)
+    g = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    varx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vary = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    slope = cov / varx  # micro-units per 10-min bucket
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / nd
+    r2 = (cov * cov) / (varx * vary)
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
+    )

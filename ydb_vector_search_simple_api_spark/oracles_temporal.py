@@ -265,3 +265,28 @@ WITH p AS (
 )
 SELECT * FROM p
 """
+
+
+TYPE_VALUE_TRENDS = """
+WITH b AS (SELECT min(ts::TIMESTAMP) AS t0 FROM events),
+base AS (
+  SELECT event_type,
+         ((floor(epoch(ts::TIMESTAMP))::BIGINT - floor(epoch(t0))::BIGINT) // 600)::BIGINT AS x,
+         ROUND(value * 1000000.0)::BIGINT AS y
+  FROM events CROSS JOIN b
+),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y) AS sy,
+         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+             / (n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE), 6) + 0.0 AS slope,
+       ROUND((sy::DOUBLE - ((n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+             / (n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE)) * sx::DOUBLE) / n::DOUBLE, 6) + 0.0 AS intercept,
+       ROUND(((n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE) * (n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE))
+             / ((n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE) * (n::DOUBLE*syy::DOUBLE - sy::DOUBLE*sy::DOUBLE)), 6) + 0.0 AS r2
+FROM g
+"""
