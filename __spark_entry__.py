@@ -978,6 +978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: bucket_anomalies (metric-drift analytics: closed-form
     # least-squares trend per event type from integer-exact sums)
     q["type_value_trends"] = stats.type_value_trends
+    # sibling: session_rollup + event_transitions (sequence mining:
+    # top 3-step event-type paths within 30-min-gap sessions)
+    q["session_paths"] = temporal.session_paths
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1252,6 +1255,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["table_profile"] = oracles_temporal.TABLE_PROFILE_EVENTS
     o["graph_stats"] = oracles_text.graph_stats_sql()
     o["type_value_trends"] = oracles_temporal.TYPE_VALUE_TRENDS
+    o["session_paths"] = oracles_temporal.session_paths_sql()
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

@@ -358,3 +358,24 @@ def test_type_value_trends_replay(spark):
         r = rows[etype]
         assert r.n == n
         assert abs(r.slope - round(slope, 6)) < 1e-9
+
+
+def test_session_paths_well_formed(spark):
+    from ydb_vector_search_simple_api_spark.operators import temporal as T
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+    rows = T.session_paths(spark, SF_SMALL, top_n=20).collect()
+    assert rows
+    types = {
+        r.event_type
+        for r in load_events(spark, SF_SMALL).select("event_type").distinct().collect()
+    }
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        parts = r.path.split(">")
+        assert len(parts) == 3
+        assert all(p in types for p in parts)
+    # trigram conservation: total trigrams == sum over sessions of
+    # max(len-2, 0); spot-check > 0
+    assert sum(ns) > 0

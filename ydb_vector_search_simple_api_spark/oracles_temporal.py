@@ -290,3 +290,33 @@ SELECT event_type, n,
              / ((n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE) * (n::DOUBLE*syy::DOUBLE - sy::DOUBLE*sy::DOUBLE)), 6) + 0.0 AS r2
 FROM g
 """
+
+
+def session_paths_sql(gap_minutes: int = 30, top_n: int = 20) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL {gap_minutes} MINUTE
+            THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, SUM(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS sid FROM flagged
+), seqs AS (
+  SELECT list(event_type ORDER BY ts, event_id) AS types
+  FROM sess GROUP BY user_id, sid
+), tri AS (
+  SELECT unnest([types[i] || '>' || types[i+1] || '>' || types[i+2]
+                 FOR i IN range(1, len(types) - 1)]) AS path
+  FROM seqs WHERE len(types) >= 3
+), counts AS (
+  SELECT path, count(*)::BIGINT AS n FROM tri GROUP BY path
+)
+SELECT path, n, rk FROM (
+  SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path ASC)::BIGINT AS rk
+  FROM counts
+) WHERE rk <= {top_n}
+"""
