@@ -981,6 +981,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: session_rollup + event_transitions (sequence mining:
     # top 3-step event-type paths within 30-min-gap sessions)
     q["session_paths"] = temporal.session_paths
+    # sibling: lang_id / quality_filter (weak supervision: regex
+    # labeling-function panel, majority vote + agreement diagnostics)
+    q["weak_labels"] = textual.weak_labels
+    # sibling: document_splits (deterministic augmentation: md5-drawn
+    # token dropout, digest output)
+    q["augment_dropout"] = lambda s, d: textual.augment_token_dropout(s, d)
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1256,6 +1262,8 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["graph_stats"] = oracles_text.graph_stats_sql()
     o["type_value_trends"] = oracles_temporal.TYPE_VALUE_TRENDS
     o["session_paths"] = oracles_temporal.session_paths_sql()
+    o["weak_labels"] = oracles_text.weak_labels_sql()
+    o["augment_dropout"] = oracles_text.augment_token_dropout_sql()
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

@@ -122,3 +122,43 @@ def test_bpe_pair_counts_top_ranked(spark):
     assert ns == sorted(ns, reverse=True)
     assert all(len(r.pair) == 2 for r in rows)
     assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_weak_labels_majority_and_agreement(spark):
+    from ydb_vector_search_simple_api_spark.operators import textual as TX
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+    import re
+
+    rows = {r.doc_id: r for r in TX.weak_labels(spark, SF_SMALL).collect()}
+    docs = load_documents(spark, SF_SMALL).select("doc_id", "text").collect()
+    rules = TX.WEAK_LABEL_RULES
+    checked = 0
+    for d in docs[:100]:
+        votes = [lab for _, pat, lab in rules if re.search(pat, d.text.lower())]
+        r = rows[d.doc_id]
+        assert r.n_votes == len(votes)
+        if votes:
+            from collections import Counter
+
+            c = Counter(votes)
+            best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            assert r.label == best[0]
+            assert abs(r.agreement - round(best[1] / len(votes), 6)) < 1e-9
+        else:
+            assert r.label is None and r.agreement == 0.0
+        checked += 1
+    assert checked == 100
+
+
+def test_augment_dropout_deterministic_and_bounded(spark):
+    from ydb_vector_search_simple_api_spark.operators import textual as TX
+
+    a = TX.augment_token_dropout(spark, SF_SMALL, rate=0.15).collect()
+    b = TX.augment_token_dropout(spark, SF_SMALL, rate=0.15).collect()
+    assert a == b  # deterministic
+    drop_total = sum(r.n_tokens - r.n_kept for r in a)
+    tok_total = sum(r.n_tokens for r in a)
+    assert 0.10 < drop_total / tok_total < 0.20  # ~rate
+    # rate=0 keeps everything
+    z = TX.augment_token_dropout(spark, SF_SMALL, rate=0.0).collect()
+    assert all(r.n_kept == r.n_tokens for r in z)

@@ -539,3 +539,113 @@ def bpe_pair_counts(
         .filter(F.col("rk") <= top_n)
         .select("pair", "n", "rk")
     )
+
+
+#: Snorkel-style labeling functions: (name, regex, label) — a rule
+#: votes its label when the regex matches, else abstains.
+WEAK_LABEL_RULES: tuple[tuple[str, str, str], ...] = (
+    ("has_query", r"\bquery\b", "db"),
+    ("has_join", r"\bjoin\b", "db"),
+    ("has_stream", r"\bstream\b", "infra"),
+    ("has_batch", r"\bbatch\b", "infra"),
+    ("has_vector", r"\bvector\b", "ml"),
+)
+
+
+def weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak supervision (Snorkel-style): a panel of regex labeling
+    functions votes on every document; the doc gets the majority label
+    (ties broken alphabetically), plus coverage diagnostics — the
+    standard way to bootstrap training labels without annotators.
+
+    Pure codegen: |rules| regexp tests per row as one array of vote
+    structs, aggregated per row with filter/size — no shuffle at all
+    for the labeling itself (the gate shape adds nothing); at 100 TB
+    this is a scan-bound narrow map that fuses into whatever reads the
+    corpus next. Output (doc_id, n_votes, label, agreement) where
+    agreement = votes_for_label / n_votes (docs with zero votes get
+    label NULL, agreement 0)."""
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    votes = F.array(
+        *[
+            F.when(
+                F.lower(F.col("text")).rlike(pat), F.lit(label)
+            ).otherwise(F.lit(None).cast("string"))
+            for _, pat, label in WEAK_LABEL_RULES
+        ]
+    )
+    cast_votes = F.filter(votes, lambda v: v.isNotNull())
+    labels = sorted({label for _, _, label in WEAK_LABEL_RULES})
+    counts = F.array(
+        *[
+            F.struct(
+                F.lit(lab).alias("lab"),
+                F.size(F.filter(cast_votes, lambda v: v == F.lit(lab))).alias("c"),
+            )
+            for lab in labels
+        ]
+    )
+    # majority with alphabetical tie-break: array_max over (c, NEGATIVE
+    # lexical order) — simpler: sort by (c DESC, lab ASC) via
+    # array_sort comparator-free trick: build (−c, lab) keys? Spark's
+    # array_sort on structs orders by fields ascending — so sort by
+    # (negated count, lab) and take element 1.
+    ordered = F.array_sort(
+        F.transform(
+            counts,
+            lambda s: F.struct((-s["c"]).alias("negc"), s["lab"].alias("lab"), s["c"].alias("c")),
+        )
+    )
+    best = F.element_at(ordered, 1)
+    n_votes = F.size(cast_votes)
+    return d.select(
+        "doc_id",
+        n_votes.cast("bigint").alias("n_votes"),
+        F.when(n_votes > 0, best["lab"]).alias("label"),
+        (
+            F.when(
+                n_votes > 0,
+                F.round(best["c"].cast("double") / n_votes.cast("double"), 6)
+                + F.lit(0.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("agreement"),
+    )
+
+
+def augment_token_dropout(
+    spark: SparkSession, sf_dir: str, rate: float = 0.15
+) -> DataFrame:
+    """Deterministic data augmentation: drop ~``rate`` of each
+    document's tokens, chosen by a pure hash of (doc_id, position) —
+    the reproducible twin of random token dropout (same augmented
+    corpus on every run/engine, so training runs are comparable).
+
+    Narrow map: per token position an md5 draw against the rate
+    threshold filters the token array; no shuffle. The gate shape
+    returns digests (kept/dropped counts + md5 of the augmented text)
+    instead of hauling full augmented text. Output (doc_id, n_tokens,
+    n_kept, aug_md5)."""
+    if not 0.0 <= rate < 1.0:
+        raise ValueError("rate must be in [0, 1)")
+    from .sampling import PREFIX_HEX, _threshold_hex
+
+    thr = _threshold_hex(rate)
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    toks = TXT.tokens("text")
+    idx = F.sequence(F.lit(1), F.size(toks))
+    kept = F.filter(
+        F.zip_with(toks, idx, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), s["i"].cast("string"))),
+            1,
+            PREFIX_HEX,
+        )
+        >= F.lit(thr),
+    )
+    aug = F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.md5(aug).alias("aug_md5"),
+    )

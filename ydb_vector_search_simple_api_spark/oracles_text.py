@@ -845,3 +845,54 @@ SELECT n_nodes, n_edges, n_triangles,
             ELSE 0.0 END AS clustering
 FROM nw CROSS JOIN tri CROSS JOIN ne
 """
+
+
+def weak_labels_sql() -> str:
+    from .operators.textual import WEAK_LABEL_RULES
+
+    vote_items = ", ".join(
+        f"CASE WHEN regexp_matches(lower(text), '{pat}') THEN '{label}' END"
+        for _, pat, label in WEAK_LABEL_RULES
+    )
+    labels = sorted({label for _, _, label in WEAK_LABEL_RULES})
+    count_structs = ", ".join(
+        "{'negc': -len(list_filter(cv, x -> x = '%s'))::BIGINT, "
+        "'lab': '%s', 'c': len(list_filter(cv, x -> x = '%s'))::BIGINT}"
+        % (lab, lab, lab)
+        for lab in labels
+    )
+    return f"""
+WITH v AS (
+  SELECT doc_id, list_filter([{vote_items}], x -> x IS NOT NULL) AS cv
+  FROM documents
+),
+m AS (
+  SELECT doc_id, cv, list_sort([{count_structs}])[1] AS best
+  FROM v
+)
+SELECT doc_id, len(cv)::BIGINT AS n_votes,
+       CASE WHEN len(cv) > 0 THEN best.lab END AS label,
+       CASE WHEN len(cv) > 0
+            THEN ROUND(best.c::DOUBLE / len(cv)::DOUBLE, 6) + 0.0
+            ELSE 0.0 END AS agreement
+FROM m
+"""
+
+
+def augment_token_dropout_sql(rate: float = 0.15) -> str:
+    from .operators.sampling import PREFIX_HEX, _threshold_hex
+
+    thr = _threshold_hex(rate)
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+k AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         [toks[i] FOR i IN range(1, len(toks) + 1)
+          IF substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                    1, {PREFIX_HEX}) >= '{thr}'] AS kept
+  FROM t
+)
+SELECT doc_id, n_tokens, len(kept)::BIGINT AS n_kept,
+       md5(array_to_string(kept, ' ')) AS aug_md5
+FROM k
+"""
