@@ -199,3 +199,54 @@ def test_topn_by_hamming_id_matches_sorted(hams, top):
     got = sorted(zip(ham[keep], ids[keep]))
     want = sorted(zip(ham, ids))[: min(top, len(hams))]
     assert got == want
+
+
+# ---------------------------------------------------------------- MMR
+def _mmr_greedy(rel, sim, k, lam):
+    """Reference MMR greedy (mirrors operators.ranking.mmr_rerank's
+    driver loop: strictly-greater wins, ties keep the lower index)."""
+    selected, remaining, order = [], list(range(len(rel))), []
+    while remaining and len(selected) < k:
+        best_i, best_val = None, None
+        for i in remaining:
+            pen = max((sim[i][j] for j in selected), default=0.0)
+            val = round(lam * rel[i] - (1.0 - lam) * pen, 9)
+            if best_val is None or val > best_val:
+                best_i, best_val = i, val
+        selected.append(best_i)
+        remaining.remove(best_i)
+        order.append(best_i)
+    return order
+
+
+@given(
+    st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False), min_size=2, max_size=12),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_mmr_lambda_one_is_relevance_order(rel, rnd):
+    n = len(rel)
+    sim = [[rnd.uniform(-1, 1) for _ in range(n)] for _ in range(n)]
+    order = _mmr_greedy(rel, sim, k=n, lam=1.0)
+    # lam=1: pure relevance; ties keep lower index (stable)
+    expect = sorted(range(n), key=lambda i: (-round(rel[i], 9), i))
+    assert order == expect
+
+
+@given(
+    st.integers(min_value=3, max_value=10),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_mmr_penalizes_duplicates(n, rnd):
+    """Two identical max-relevance items: with lam<1 and a distinct
+    third item of near relevance, the duplicate must NOT be picked
+    second."""
+    rel = [1.0, 1.0, 0.9] + [0.0] * (n - 3)
+    sim = [[0.0] * n for _ in range(n)]
+    for i in range(n):
+        sim[i][i] = 1.0
+    sim[0][1] = sim[1][0] = 1.0  # items 0 and 1 identical
+    order = _mmr_greedy(rel, sim, k=3, lam=0.5)
+    assert order[0] == 0
+    assert order[1] == 2  # the diverse item beats the duplicate
