@@ -928,6 +928,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: revenue_by_nation (TPC-H Q9 shape: five-way join,
     # every dimension broadcast, yearly profit rollup)
     q["supplier_profit"] = relational.supplier_profit
+    # sibling: pricing_summary (TPC-H Q12: conditional counts after a
+    # date-pruned fact⋈orders join)
+    q["shipmode_priority"] = relational.shipmode_priority
+    # sibling: pricing_summary (TPC-H Q14: conditional revenue ratio)
+    q["promo_revenue_share"] = relational.promo_revenue_share
+    # sibling: top_customers_per_nation (TPC-H Q2 shape: correlated
+    # min decorrelated into one window over the aggregated table)
+    q["cheapest_supplier_per_part"] = relational.cheapest_supplier_per_part
     # sibling: funnel_conversion (ordered event-sequence analytics:
     # first-order Markov transition probabilities per event type)
     q["event_transitions"] = temporal.event_transitions
@@ -1228,6 +1236,9 @@ FROM events GROUP BY user_id, event_type
     o["shipping_priority"] = oracles_rel.shipping_priority_sql()
     o["returned_items"] = oracles_rel.returned_items_sql()
     o["supplier_profit"] = oracles_rel.supplier_profit_sql()
+    o["shipmode_priority"] = oracles_rel.SHIPMODE_PRIORITY
+    o["promo_revenue_share"] = oracles_rel.PROMO_REVENUE_SHARE
+    o["cheapest_supplier_per_part"] = oracles_rel.cheapest_supplier_sql()
     o["purchase_attribution"] = oracles_text.PURCHASE_ATTRIBUTION
 
     o["surge_windows"] = oracles_temporal.SURGE_WINDOWS

@@ -149,3 +149,24 @@ def test_supplier_profit_consistency(spark):
     # every (nation, year) appears once
     keys = [(r.nation, r.o_year) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_shipmode_priority_counts_partition(spark):
+    rows = R.shipmode_priority(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.high_line_count >= 0 and r.low_line_count >= 0
+        assert r.high_line_count + r.low_line_count > 0
+
+
+def test_promo_revenue_share_bounds(spark):
+    r = R.promo_revenue_share(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r.promo_share <= 1.0
+    assert r.promo_revenue <= r.total_revenue
+
+
+def test_cheapest_supplier_one_per_part(spark):
+    rows = R.cheapest_supplier_per_part(spark, SF_SMALL, top=25).collect()
+    keys = [r.p_partkey for r in rows]
+    assert len(keys) == len(set(keys)) > 0
+    assert all(r.unit_price > 0 for r in rows)

@@ -346,3 +346,114 @@ def supplier_profit(
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per return-flag class, how many high-priority
+    vs low-priority orders shipped in 1999 — conditional aggregation
+    after one fact⋈orders join (orders projected to two columns, the
+    join key and the priority; the year predicate pushes to the
+    lineitem scan). Output (l_returnflag, high_line_count,
+    low_line_count)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("bigint")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the share of one month's revenue earned by
+    ECONOMY-type parts — the conditional-revenue-ratio pattern. The
+    part dimension broadcasts; sums are decimal-exact so the single
+    final division is deterministic. Output one row
+    (promo_revenue, total_revenue, promo_share)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1999-06-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1999-07-01").cast("timestamp_ntz"))
+        )
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "ECONOMY", F.col("rev")).otherwise(F.lit(0.0))
+    return j.agg(
+        _dsum(promo).alias("promo_revenue"),
+        _dsum("rev").alias("total_revenue"),
+    ).select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.round(F.col("promo_revenue") / F.col("total_revenue"), 6) + F.lit(0.0)
+        ).alias("promo_share"),
+    )
+
+
+def cheapest_supplier_per_part(
+    spark: SparkSession, sf_dir: str, top: int = 25
+) -> DataFrame:
+    """TPC-H Q2 shape (correlated-subquery pattern, window form): for
+    each part, the supplier that sold it cheapest (min avg unit price
+    over that part's lineitems; supplier acctbal breaks exact ties,
+    then s_suppkey). The correlated ``price = (SELECT min ...)``
+    becomes one window over the aggregated (part, supplier) table —
+    the standard decorrelation. Top ``top`` parts by part key for a
+    bounded gate output. Output (p_partkey, s_suppkey, s_name,
+    unit_price)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                    / F.sum(F.col("l_quantity").cast(DEC)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("unit_price")
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_price").asc(),
+        F.col("s_acctbal").desc(),
+        F.col("s_suppkey").asc(),
+    )
+    return (
+        ps.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "unit_price",
+        )
+        .orderBy("p_partkey")
+        .limit(top)
+    )

@@ -159,3 +159,54 @@ JOIN orders   ON l_orderkey = o_orderkey
 WHERE p_name LIKE '%{part_word}%'
 GROUP BY n_name, year(o_orderdate)
 """
+
+
+SHIPMODE_PRIORITY = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+PROMO_REVENUE_SHARE = f"""
+WITH j AS (
+  SELECT l_extendedprice * (1.0 - l_discount) AS rev, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1999-06-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1999-07-01 00:00:00'
+),
+s AS (
+  SELECT {_dsum("CASE WHEN p_type = 'ECONOMY' THEN rev ELSE 0.0 END")} AS promo_revenue,
+         {_dsum("rev")} AS total_revenue
+  FROM j
+)
+SELECT promo_revenue, total_revenue,
+       ROUND(promo_revenue / total_revenue, 6) + 0.0 AS promo_share
+FROM s
+"""
+
+
+def cheapest_supplier_sql(top: int = 25) -> str:
+    return f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND(CAST(sum(l_extendedprice::DECIMAL(18,6)) AS DOUBLE)
+               / CAST(sum(l_quantity::DECIMAL(18,6)) AS DOUBLE), 6) + 0.0 AS unit_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+ranked AS (
+  SELECT ps.l_partkey AS p_partkey, s.s_suppkey, s.s_name, ps.unit_price,
+         ROW_NUMBER() OVER (
+           PARTITION BY ps.l_partkey
+           ORDER BY ps.unit_price ASC, s.s_acctbal DESC, s.s_suppkey ASC
+         ) AS rn
+  FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+)
+SELECT p_partkey, s_suppkey, s_name, unit_price
+FROM ranked WHERE rn = 1
+ORDER BY p_partkey LIMIT {top}
+"""
