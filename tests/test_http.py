@@ -292,3 +292,46 @@ def test_apidocs_and_spec_served(served):
     code, body, ctype = _get(served[0] + "/apidocs")
     assert code == 200 and "text/html" in ctype
     assert b"/apispec.json" in body
+
+
+def test_hybrid_search_over_http(served, qvec):
+    """EXTENSION behavior: hybrid_terms switches to BM25+vector RRF;
+    results keep the reference's 5-column shape with score=RRF."""
+    code, data = _post(
+        served[0] + "/search",
+        json.dumps(
+            {"embedding": qvec, "k": 5, "hybrid_terms": ["vector", "hash", "stream"]}
+        ).encode(),
+    )
+    assert code == 200
+    assert data["count"] == len(data["results"]) == 5
+    scores = [r["score"] for r in data["results"]]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 < x <= 2.0 / 61.0 + 1e-9 for x in scores)
+    assert set(data["results"][0]) == {"id", "title", "vendor", "description", "score"}
+
+
+def test_hybrid_terms_validation(served, qvec):
+    for bad in ([], ["", "x"], "vector", [1, 2]):
+        code, data = _post(
+            served[0] + "/search",
+            json.dumps({"embedding": qvec, "k": 2, "hybrid_terms": bad}).encode(),
+        )
+        assert code == 400, (bad, data)
+    code, data = _post(
+        served[0] + "/search",
+        json.dumps(
+            {
+                "embedding": qvec,
+                "k": 2,
+                "hybrid_terms": ["vector"],
+                "filter": {"vendor": "fr"},
+            }
+        ).encode(),
+    )
+    assert code == 400
+    # absence of the field leaves the reference path untouched
+    code, data = _post(
+        served[0] + "/search", json.dumps({"embedding": qvec, "k": 2}).encode()
+    )
+    assert code == 200 and data["count"] == 2

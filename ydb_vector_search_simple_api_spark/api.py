@@ -189,6 +189,55 @@ class VectorSearchEngine:
         results = [r.asDict() for r in df.collect()]
         return results, time.perf_counter() - t0
 
+    def search_hybrid(
+        self,
+        embedding: list[float],
+        terms: list[str],
+        k: int,
+        pool: int = 50,
+        kk: int = 60,
+    ):
+        """EXTENSION (not in the reference's surface): hybrid retrieval
+        — reciprocal-rank fusion of BM25 over the documents' text and
+        the engine's vector top-k (operators/ranking.py). Returns the
+        reference's 5-column rows with ``score`` = the RRF score.
+        Exact search only (index knobs don't apply to the lexical
+        half); strict/non-strict filter semantics are unchanged — the
+        hybrid path takes no filter."""
+        from .operators import ranking as ranking_mod
+
+        t0 = time.perf_counter()
+        fused = ranking_mod.hybrid_rrf_topk(
+            self.spark,
+            self.sf_dir,
+            embedding,
+            terms=terms,
+            k=k,
+            pool=pool,
+            kk=kk,
+            strategy=self.config.strategy,
+        )
+        m = self.config.columns
+        docs = load_documents(self.spark, self.sf_dir).select(
+            F.col(m.id).alias("doc_id"),
+            F.col(m.title).alias("title"),
+            F.col(m.vendor).alias("vendor"),
+            F.col(m.description).alias("description"),
+        )
+        df = (
+            fused.join(F.broadcast(docs), "doc_id", "inner")
+            .select(
+                F.col("doc_id").alias("id"),
+                "title",
+                "vendor",
+                "description",
+                F.col("rrf").alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+        )
+        results = [r.asDict() for r in df.collect()]
+        return results, time.perf_counter() - t0
+
     def healthy(self) -> bool:
         """Connectivity probe: SELECT 1 (O16; app.py:89-102)."""
         try:
@@ -273,6 +322,31 @@ def search_request(engine: VectorSearchEngine, data: dict | None) -> tuple[dict,
             return {"error": "k must be a positive integer"}, 400
         if not isinstance(top_size, int) or isinstance(top_size, bool) or top_size <= 0:
             return {"error": "index_tree_search_top_size must be a positive integer"}, 400
+
+        # EXTENSION field (absent from the reference; ignored-if-absent
+        # so the reference's whole request surface is unchanged):
+        # "hybrid_terms": [str, ...] switches to BM25⊕vector RRF.
+        hybrid_terms = data.get("hybrid_terms")
+        if hybrid_terms is not None:
+            if (
+                not isinstance(hybrid_terms, list)
+                or not hybrid_terms
+                or not all(isinstance(t, str) and t.strip() for t in hybrid_terms)
+            ):
+                return {
+                    "error": "hybrid_terms must be a non-empty list of non-empty strings"
+                }, 400
+            if filter_params:
+                return {"error": "hybrid_terms cannot be combined with filter"}, 400
+            results, seconds = engine.search_hybrid(embedding, hybrid_terms, k)
+            return (
+                {
+                    "results": results,
+                    "count": len(results),
+                    "search_time_ms": seconds * 1000,
+                },
+                200,
+            )
 
         results, seconds = engine.search(embedding, k, filter_params, top_size)
         return (

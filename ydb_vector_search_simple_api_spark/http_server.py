@@ -206,6 +206,16 @@ API_SPEC: dict = {
                                             "keys are ignored"
                                         ),
                                     },
+                                    "hybrid_terms": {
+                                        "type": "array",
+                                        "items": {"type": "string"},
+                                        "description": (
+                                            "EXTENSION: non-empty => BM25 + "
+                                            "vector reciprocal-rank fusion; "
+                                            "score becomes the RRF score "
+                                            "(mutually exclusive with filter)"
+                                        ),
+                                    },
                                 },
                             }
                         }
