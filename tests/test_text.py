@@ -177,3 +177,63 @@ def test_winnowing_flat_keeps_hash_below_barrier_only(spark):
     # physical Filter nodes print as "Filter (cond)"; the scan line's
     # "PushedFilters: []" labels are not matches
     assert "Filter (" not in below
+
+
+def test_winnowing64_shared_substring_guarantee(spark):
+    """The winnowing guarantee is hash-agnostic: the xxhash64 variant
+    must also yield a shared fingerprint for a shared substring of
+    length >= k + window - 1."""
+    from pyspark.sql import functions as F
+
+    k, w = 8, 4
+    shared = "abcdefghijklmnop"  # len 16 >= k + w - 1 = 11
+    df = spark.createDataFrame(
+        [(1, "xxxx " + shared + " yyyy"), (2, "zz " + shared + " qqqq")],
+        "doc_id long, text string",
+    )
+    hashed = df.select("doc_id", TXT.char_kgram_hashes64("text", k).alias("h")).repartition(2, "doc_id")
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in hashed.select(
+            "doc_id", TXT.winnow_mins(F.col("h"), w).alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2]
+
+
+def test_winnowing64_digest_shape(spark):
+    from ydb_vector_search_simple_api_spark.operators import textual as TX
+
+    a = TX.winnowing_digest(spark, SF_SMALL).collect()
+    b = TX.winnowing_digest64(spark, SF_SMALL).collect()
+    na = {r.doc_id: r.n_fps for r in a}
+    nb = {r.doc_id: r.n_fps for r in b}
+    assert set(na) == set(nb)
+    # fingerprint-count distributions are comparable (same winnowing
+    # geometry; different hash only perturbs which minima are distinct)
+    import statistics
+
+    assert abs(statistics.mean(na.values()) - statistics.mean(nb.values())) < 0.1 * max(
+        1, statistics.mean(na.values())
+    )
+
+
+def test_winnowing_arrow_guarantee_and_speed_shape(spark):
+    """Arrow winnowing: same guarantee, same n_fps GEOMETRY as the
+    expression form (count of distinct window minima depends only on
+    hash-tie structure; distinct hashes => identical counts with
+    overwhelming probability on real text)."""
+    from ydb_vector_search_simple_api_spark.operators import textual as TX
+
+    a = {r.doc_id: r.n_fps for r in TX.winnowing_digest(spark, SF_SMALL).collect()}
+    c = {r.doc_id: r.n_fps for r in TX.winnowing_digest_arrow(spark, SF_SMALL).collect()}
+    assert set(a) == set(c)
+    import statistics
+
+    assert abs(statistics.mean(a.values()) - statistics.mean(c.values())) < 0.1 * max(
+        1, statistics.mean(a.values())
+    )
+    # determinism
+    c2 = {r.doc_id: r.fps_md5 for r in TX.winnowing_digest_arrow(spark, SF_SMALL).collect()}
+    c3 = {r.doc_id: r.fps_md5 for r in TX.winnowing_digest_arrow(spark, SF_SMALL).collect()}
+    assert c2 == c3

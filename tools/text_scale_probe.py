@@ -1,0 +1,146 @@
+"""Measured scale evidence for the TEXT family: amplify the sf0.1
+documents to N rows (deterministic replicas with a per-replica suffix
+so content hashes differ but the token distribution is preserved),
+write them as parquet once, then time the corpus-pass operators at a
+size where the shapes matter:
+
+* text_stats-style narrow projection (the scan-bound floor)
+* bm25_scores for a 3-term query (narrow-array formulation)
+* exact_dup_groups (1 keyed shuffle on the content md5)
+* winnowing digest (hash + window minima behind the barrier)
+* bpe_pair_counts (vocab-aggregate-first formulation)
+* weak_labels (regex panel, pure codegen)
+
+Each time is best-of-2 after a warmup, whole action. Writes a
+markdown table to stdout (recorded in SCALING.md §"Measured text
+probe").
+
+Usage: python tools/text_scale_probe.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def timed(fn, runs: int = 2) -> float:
+    fn()
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    sf_dir = "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.functions import text as TXT
+    from ydb_vector_search_simple_api_spark.operators import dedup, ranking, textual
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("text-scale-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = load_documents(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    n_base = base.count()
+    reps = (n_docs + n_base - 1) // n_base
+    tmp = tempfile.mkdtemp(prefix="svs_textprobe_")
+    t0 = time.perf_counter()
+    (
+        base.crossJoin(
+            spark.range(reps).select(F.col("id").alias("rep"))
+        )
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_base).alias("doc_id"),
+            # per-replica suffix: distinct content hashes, same token mass
+            F.concat_ws(" ", "text", F.concat(F.lit("rep"), F.col("rep"))).alias(
+                "text"
+            ),
+            "lang",
+            "source",
+        )
+        .limit(n_docs)
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/documents.parquet")
+    )
+    gen_s = time.perf_counter() - t0
+    corpus = f"{tmp}"
+    n_actual = spark.read.parquet(f"{corpus}/documents.parquet").count()
+    tok_total = (
+        spark.read.parquet(f"{corpus}/documents.parquet")
+        .select(F.sum(F.size(TXT.tokens("text"))).alias("s"))
+        .head()
+        .s
+    )
+
+    rows = []
+
+    def probe(name, fn):
+        sec = timed(fn)
+        rows.append((name, sec, n_actual / sec / 1e6))
+
+    probe(
+        "narrow text_stats projection",
+        lambda: textual.text_stats(spark, corpus).agg(F.sum("n_tokens")).collect(),
+    )
+    probe(
+        "bm25_scores (3 terms)",
+        lambda: ranking.bm25_scores(
+            load_documents(spark, corpus), ranking.QUERY_TERMS
+        ).agg(F.sum("score")).collect(),
+    )
+    probe(
+        "exact_dup_groups",
+        lambda: dedup.exact_dup_groups(load_documents(spark, corpus))
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
+    probe(
+        "winnowing digest",
+        lambda: textual.winnowing_digest(spark, corpus).agg(F.sum("n_fps")).collect(),
+    )
+    probe(
+        "winnowing digest (arrow)",
+        lambda: textual.winnowing_digest_arrow(spark, corpus)
+        .agg(F.sum("n_fps"))
+        .collect(),
+    )
+    probe(
+        "bpe_pair_counts",
+        lambda: textual.bpe_pair_counts(spark, corpus, top_n=30).collect(),
+    )
+    probe(
+        "weak_labels",
+        lambda: textual.weak_labels(spark, corpus).agg(F.sum("n_votes")).collect(),
+    )
+
+    print(f"\nText probe: {n_actual:,} docs / {tok_total:,} tokens "
+          f"(generated in {gen_s:.1f}s, local[32])\n")
+    print("| operator | best wall (s) | M docs/s |")
+    print("|---|---|---|")
+    for name, sec, mps in rows:
+        print(f"| {name} | {sec:.2f} | {mps:.2f} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
