@@ -634,6 +634,44 @@ def _mk_ivf_knn_join_dist(strategy: str, k: int, n_queries: int, width: int | No
     return run
 
 
+
+def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate entry: recall@10 of the pruned IVF widths
+    against exact cosine, over 8 stored queries — the knob contract
+    (README's measured table) as a machine-checked surface. Driver
+    work is bounded: 8 query vectors + k-row result sets."""
+    from pyspark.sql import functions as F
+
+    idx = _ivf_index(spark, sf_dir)
+    k = 10
+    qrows = (
+        load_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    exact_ids = {}
+    for r in qrows:
+        hits = exact_search(
+            spark, sf_dir, [float(x) for x in r.embedding], k=k,
+            strategy="CosineSimilarity", round_digits=ROUND,
+        ).select("id").collect()
+        exact_ids[r.vec_id] = {h.id for h in hits}
+    out = []
+    for width in (1, 2, 4, idx.n_clusters):
+        tot = 0.0
+        for r in qrows:
+            got = ivf.ivf_search(
+                spark, idx, [float(x) for x in r.embedding], k=k,
+                strategy="CosineSimilarity", search_top_size=width,
+                round_digits=ROUND,
+            ).select("id").collect()
+            got_ids = {g.id for g in got}
+            tot += len(got_ids & exact_ids[r.vec_id]) / float(k)
+        out.append((int(width), round(tot / len(qrows), 6)))
+    return spark.createDataFrame(out, "width int, recall double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver checks the FIRST 50 entries.
     Positions 1-50 hold one oracle-backed query per distinct operator;
@@ -1099,6 +1137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at 1M docs vs the expression form; guarantee + determinism
     # pinned in tests/test_text.py)
     q["winnowing_arrow"] = textual.winnowing_digest_arrow
+    # the ANN width-knob contract as a machine-checked surface:
+    # recall@10 of pruned IVF widths vs exact, 8 stored queries
+    # (monotonicity + exact-at-full-width pinned in tests/test_index.py)
+    q["ann_recall_report"] = _ann_recall_report
     return q
 
 

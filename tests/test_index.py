@@ -430,3 +430,17 @@ def test_ivf_compact_dedup_ids(spark, tmp_path_factory):
     b = [(r.id, round(r.score, 6)) for r in exact_search(
         spark, SF_SMALL, qv, k=10, round_digits=6).collect()]
     assert a == b
+
+
+def test_ann_recall_report_contract(spark):
+    import __spark_entry__ as E
+    from conftest import SF_SMALL
+
+    rows = sorted(
+        E._ann_recall_report(spark, SF_SMALL).collect(), key=lambda r: r.width
+    )
+    recalls = [r.recall for r in rows]
+    # monotone non-decreasing in width, exact at full width
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+    assert all(0.0 <= x <= 1.0 for x in recalls)
