@@ -308,3 +308,30 @@ def test_bq_engine_strict_mode_rejects_filter(spark, qvec, bq_engine):
     )
     with pytest.raises(ValueError, match="Unable to use filter"):
         strict.search(qvec, k=3, filter={"vendor": "fr"})
+
+
+def test_hybrid_plus_filter_is_400_even_in_strict_index_mode(spark, qvec):
+    """Review finding: the strict filter×index 500 must NOT shadow the
+    hybrid+filter 400 (the hybrid path never touches the index)."""
+    from ydb_vector_search_simple_api_spark import api
+    from ydb_vector_search_simple_api_spark.config import SearchConfig
+
+    eng = api.VectorSearchEngine(
+        spark,
+        SF_SMALL,
+        config=SearchConfig(index_enabled=True, strict_filter_index_exclusion=True),
+        index=object.__new__(type("FakeIdx", (), {})),  # truthy placeholder
+    )
+    # engine.index must satisfy isinstance checks only if search runs;
+    # the 400 must short-circuit before any engine call
+    payload, code = api.search_request(
+        eng,
+        {
+            "embedding": qvec,
+            "k": 2,
+            "hybrid_terms": ["vector"],
+            "filter": {"vendor": "fr"},
+        },
+    )
+    assert code == 400
+    assert "hybrid_terms cannot be combined with filter" in payload["error"]

@@ -97,3 +97,19 @@ def test_mmr_diversifies_duplicate_pool(spark):
     lo = RK.mmr_rerank(spark, SF_SMALL, qv, k=10, pool=50, lam=0.2).collect()
     hi = RK.mmr_rerank(spark, SF_SMALL, qv, k=10, pool=50, lam=1.0).collect()
     assert [r.doc_id for r in lo] != [r.doc_id for r in hi]
+
+
+def test_mmr_distance_strategy_top1_is_nearest(spark):
+    """For a distance strategy the greedy must still put the NEAREST
+    doc first (the review-found inversion: rel had to be negated)."""
+    import __spark_entry__ as E
+    from ydb_vector_search_simple_api_spark.operators.search import exact_search
+
+    qv = E._query_vec(spark, SF_SMALL)
+    mmr = RK.mmr_rerank(
+        spark, SF_SMALL, qv, k=5, pool=50, lam=1.0, strategy="EuclideanDistance"
+    ).collect()
+    exact = exact_search(
+        spark, SF_SMALL, qv, k=5, strategy="EuclideanDistance", round_digits=6
+    ).collect()
+    assert [r.doc_id for r in mmr] == [r.id for r in exact]

@@ -298,6 +298,11 @@ def search_request(engine: VectorSearchEngine, data: dict | None) -> tuple[dict,
         k = data.get("k", 4)
         top_size = data.get("index_tree_search_top_size", DEFAULT_SEARCH_TOP_SIZE)
         filter_params = data.get("filter", None)
+        if filter_params and data.get("hybrid_terms") is not None:
+            # the extension combination is rejected BEFORE the strict
+            # filter×index check: the hybrid path never touches the
+            # index, so the reference's 500 would be wrong here
+            return {"error": "hybrid_terms cannot be combined with filter"}, 400
         if filter_params:
             # strict rejection happens on the RAW filter dict: the
             # reference raises (-> 500) for ANY truthy filter when the

@@ -79,8 +79,10 @@ def pagerank(
     # n_nodes is already measured: when the rank table is demonstrably
     # small, hint broadcast for the per-iteration edge join (no shuffle
     # of the persisted edge table at all); past the threshold fall back
-    # to AQE's choice
-    small_ranks = n_nodes <= 5_000_000
+    # to AQE's choice. 1M (node, rank) rows ≈ 16 MB serialized — safe
+    # on any driver; the hint bypasses autoBroadcastJoinThreshold, so
+    # the cap must stay conservative (it is collected 2x per iteration)
+    small_ranks = n_nodes <= 1_000_000
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     try:
         for it in range(iters):
@@ -206,6 +208,10 @@ def graph_stats(
         pairs.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
     )
     n_tri = tri.count()
+    # nodes_wedges still derives from the persisted pairs — pin its
+    # single row BEFORE unpersisting, or the caller's collect re-runs
+    # the whole near-dup pair generation uncached
+    nodes_wedges = nodes_wedges.localCheckpoint(eager=True)
     pairs.unpersist()
     return (
         nodes_wedges.select(

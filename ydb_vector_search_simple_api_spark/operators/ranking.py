@@ -248,6 +248,11 @@ def mmr_rerank(
         return spark.createDataFrame([], "doc_id long, mmr double, rk long")
     ids = [r.doc_id for r in cand]
     rel = np.array([r.rel if r.rel is not None else -np.inf for r in cand])
+    # the greedy maximizes lam*rel − penalty, which assumes HIGHER rel
+    # = more relevant; for the distance strategies lower is better, so
+    # negate (the pool was already selected in the right direction)
+    if not sort_descending(strategy):
+        rel = np.where(np.isfinite(rel), -rel, rel)
     V = np.array([r.embedding for r in cand], dtype=np.float64)
     norms = np.linalg.norm(V, axis=1)
     norms[norms == 0] = np.inf  # zero vectors: similarity 0 to everything

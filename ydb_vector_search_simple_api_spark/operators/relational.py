@@ -273,8 +273,12 @@ def shipping_priority(
             (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
         )
     )
+    # NO broadcast hint on the orders side: it scales with the orders
+    # FACT table (one segment, pre-cutoff — still ~15-20% of orders),
+    # not with a bounded dimension; AQE broadcasts it while it fits
+    # and falls back to a shuffle join past the threshold
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum("rev").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())

@@ -216,11 +216,11 @@ FROM events GROUP BY user_id
 USER_TRAILING_FEATURES = """
 SELECT event_id, user_id,
        count(*) OVER (
-         PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+         PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
        )::BIGINT AS n_1h,
        ROUND(CAST(sum(value::DECIMAL(18,6)) OVER (
-         PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+         PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
          RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
        ) AS DOUBLE), 6) + 0.0 AS v_24h
 FROM events
