@@ -1033,6 +1033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: document_splits (deterministic augmentation: md5-drawn
     # token dropout, digest output)
     q["augment_dropout"] = lambda s, d: textual.augment_token_dropout(s, d)
+    # sibling: tfidf_top_terms (dictionary-NER: broadcast gazetteer
+    # join onto the token stream, keyed count)
+    q["gazetteer_entities"] = textual.gazetteer_entities
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1137,6 +1140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at 1M docs vs the expression form; guarantee + determinism
     # pinned in tests/test_text.py)
     q["winnowing_arrow"] = textual.winnowing_digest_arrow
+    # Arrow-fingerprint incremental dedup (production twin of the
+    # in-cap md5 form; cross-variant agreement in tests/test_dedup.py)
+    q["incremental_dedup_arrow"] = lambda s, d: dedup.incremental_dedup_arrow(s, d)
     # the ANN width-knob contract as a machine-checked surface:
     # recall@10 of pruned IVF widths vs exact, 8 stored queries
     # (monotonicity + exact-at-full-width pinned in tests/test_index.py)
@@ -1325,6 +1331,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["session_paths"] = oracles_temporal.session_paths_sql()
     o["weak_labels"] = oracles_text.weak_labels_sql()
     o["augment_dropout"] = oracles_text.augment_token_dropout_sql()
+    o["gazetteer_entities"] = oracles_text.gazetteer_sql()
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

@@ -252,3 +252,22 @@ def test_incremental_dedup_planted_duplicate(spark):
     # must find SOME near-dup evidence or the operator is vacuous
     assert near, "expected shared fingerprints in the synthetic corpus"
     assert all(r.n_shared_fps > 0 for r in exact if r.n_shared_fps is not None)
+
+
+def test_incremental_dedup_arrow_agrees_with_md5_form(spark):
+    from ydb_vector_search_simple_api_spark.operators import dedup as D
+
+    a = {r.doc_id: r for r in D.incremental_dedup(spark, SF_SMALL).collect()}
+    b = {r.doc_id: r for r in D.incremental_dedup_arrow(spark, SF_SMALL).collect()}
+    assert set(a) == set(b)
+    for did in a:
+        # exact-dup path is hash-independent => identical
+        assert a[did].is_exact_dup == b[did].is_exact_dup
+        # near-dup evidence: presence/absence agrees (which minima are
+        # distinct can differ by hash, counts stay in the same regime)
+        assert (a[did].n_shared_fps > 0) == (b[did].n_shared_fps > 0)
+    # determinism
+    b2 = {r.doc_id: r for r in D.incremental_dedup_arrow(spark, SF_SMALL).collect()}
+    assert {k: (v.is_exact_dup, v.n_shared_fps) for k, v in b.items()} == {
+        k: (v.is_exact_dup, v.n_shared_fps) for k, v in b2.items()
+    }

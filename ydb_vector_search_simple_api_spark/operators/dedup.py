@@ -838,3 +838,98 @@ def incremental_dedup(
             F.coalesce(F.col("n_shared_fps"), F.lit(0)).cast("bigint").alias("n_shared_fps"),
         )
     )
+
+
+def incremental_dedup_arrow(
+    spark: "SparkSession",
+    sf_dir: str,
+    existing_frac: float = 0.9,
+    k: int = 8,
+    window: int = 4,
+) -> "DataFrame":
+    """Production twin of :func:`incremental_dedup`: the fingerprint
+    layer is the Arrow rolling-hash winnowing kernel
+    (``textual.winnowing_digest_arrow``'s math — numpy uint64
+    polynomial hash + stride-tricks sliding minima, ~15x the md5
+    expression form), emitted as an exploded (doc, fp) stream straight
+    from ``mapInPandas``. Join topology is identical: content-hash
+    membership for exact dups, fingerprint left-semi for near-dup
+    evidence. Rows-only in the gate (the md5 form carries the oracle);
+    cross-variant agreement pinned in tests/test_dedup.py."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from ..sources.store import load_documents
+    from .sampling import _draw, _threshold_hex
+
+    P = np.uint64(1099511628211)
+
+    def batch(it):
+        pw = P ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        for pdf in it:
+            ids, sides, fps_out = [], [], []
+            for doc_id, side, text in zip(pdf["doc_id"], pdf["side"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(
+                    np.uint64
+                )
+                L = len(b) - k + 1
+                if L <= 0:
+                    continue
+                H = np.zeros(L, dtype=np.uint64)
+                for j in range(k):
+                    H += b[j : j + L] * pw[j]
+                if L >= window:
+                    sw = np.lib.stride_tricks.sliding_window_view(H, window)
+                    fps = np.unique(sw.min(axis=1))
+                else:
+                    fps = np.unique([H.min()])
+                n = len(fps)
+                ids.extend([doc_id] * n)
+                sides.extend([side] * n)
+                # int64 reinterpret: Spark has no uint64
+                fps_out.extend(fps.astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": ids, "side": sides, "fp": fps_out})
+
+    thr = _threshold_hex(existing_frac)
+    side = F.when(
+        _draw(F.col("doc_id")) < F.lit(thr), F.lit("existing")
+    ).otherwise(F.lit("incoming"))
+    tagged = load_documents(spark, sf_dir).select("doc_id", "text").withColumn(
+        "side", side
+    )
+
+    hashes = tagged.select(
+        "doc_id", "side", TXT.content_fingerprint("text").alias("content_hash")
+    )
+    inc_h = hashes.filter(F.col("side") == "incoming").select("doc_id", "content_hash")
+    ex_h = (
+        hashes.filter(F.col("side") == "existing")
+        .select("content_hash")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    exact = inc_h.join(ex_h, "content_hash", "left").select(
+        "doc_id", F.col("seen").isNotNull().alias("is_exact_dup")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("side", T.StringType()),
+            T.StructField("fp", T.LongType()),
+        ]
+    )
+    flat = tagged.mapInPandas(batch, schema=schema).localCheckpoint(eager=True)
+    inc_f = flat.filter(F.col("side") == "incoming").select("doc_id", "fp")
+    ex_f = flat.filter(F.col("side") == "existing").select("fp").distinct()
+    shared = (
+        inc_f.join(ex_f, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    return exact.join(shared, "doc_id", "left").select(
+        "doc_id",
+        "is_exact_dup",
+        F.coalesce(F.col("n_shared_fps"), F.lit(0)).cast("bigint").alias("n_shared_fps"),
+    )

@@ -733,3 +733,37 @@ def winnowing_digest_arrow(
     )
     d = load_documents(spark, sf_dir).select("doc_id", "text")
     return d.mapInPandas(batch, schema=schema)
+
+
+#: gazetteer: surface form -> canonical entity (the dictionary-NER
+#: primitive; real pipelines load this from a reference table)
+GAZETTEER: tuple[tuple[str, str], ...] = (
+    ("spark", "ENGINE"),
+    ("query", "QUERY"),
+    ("table", "TABLE"),
+    ("vector", "VECTOR"),
+    ("stream", "STREAM"),
+    ("customer", "CUSTOMER"),
+)
+
+
+def gazetteer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based entity extraction (gazetteer matching): count
+    per document how many tokens hit each entity class — the NER-lite
+    pass a curation pipeline runs to tag domain entities without a
+    model. The dictionary joins as a broadcast onto the token stream;
+    with a token-array formulation for small dictionaries this would
+    be narrow (the BM25 trick), but the general gazetteer is a TABLE
+    (millions of surface forms at production scale), so the canonical
+    shape is explode + broadcast-hash-join + keyed count, shown here.
+    Output (doc_id, entity, n_mentions)."""
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    gaz = F.broadcast(
+        spark.createDataFrame(list(GAZETTEER), "token string, entity string")
+    )
+    toks = d.select("doc_id", F.explode(TXT.tokens("text")).alias("token"))
+    return (
+        toks.join(gaz, "token")
+        .groupBy("doc_id", "entity")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )

@@ -896,3 +896,16 @@ SELECT doc_id, n_tokens, len(kept)::BIGINT AS n_kept,
        md5(array_to_string(kept, ' ')) AS aug_md5
 FROM k
 """
+
+
+def gazetteer_sql() -> str:
+    from .operators.textual import GAZETTEER
+
+    vals = ", ".join(f"('{t}', '{e}')" for t, e in GAZETTEER)
+    return f"""
+WITH gaz(token, entity) AS (VALUES {vals}),
+toks AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents)
+SELECT doc_id, entity, count(*)::BIGINT AS n_mentions
+FROM toks JOIN gaz USING (token)
+GROUP BY doc_id, entity
+"""
