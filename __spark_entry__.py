@@ -42,6 +42,7 @@ from ydb_vector_search_simple_api_spark.operators import tree as kmt
 from ydb_vector_search_simple_api_spark.operators.search import exact_search, knn_join
 from ydb_vector_search_simple_api_spark.sources.store import load_documents, load_embeddings
 from ydb_vector_search_simple_api_spark.streaming import events as streaming_events
+from ydb_vector_search_simple_api_spark.streaming import curation_ingest as streaming_curing
 from ydb_vector_search_simple_api_spark.streaming import serve as streaming_serve
 from ydb_vector_search_simple_api_spark.streaming import sessions as streaming_sessions
 
@@ -1002,6 +1003,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # decimal-summed per-term contributions — the text half of hybrid
     # search the reference's vector-only surface lacks)
     q["bm25_topk"] = lambda s, d: ranking_mod.bm25_topk(s, d)
+    # siblings: curate_corpus + events_distinct_pairs (CONTINUOUS
+    # curation: per-micro-batch quality gate + dedup-on-arrival vs the
+    # accumulated hash table; drained == the batch first-occurrence
+    # election, full SQL oracle — streaming/curation_ingest.py)
+    q["stream_curation_ingest"] = lambda s, d: streaming_curing.stream_curation_ingest(
+        s, d
+    )
     # sibling: events_hourly_stream (sliding windows — overlapping
     # size>slide state, vs the tumbling rollup; drained == batch)
     q["events_sliding_stream"] = streaming_events.sliding_type_counts_stream
@@ -1332,6 +1340,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["weak_labels"] = oracles_text.weak_labels_sql()
     o["augment_dropout"] = oracles_text.augment_token_dropout_sql()
     o["gazetteer_entities"] = oracles_text.gazetteer_sql()
+    o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

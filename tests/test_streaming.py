@@ -98,3 +98,31 @@ def test_sliding_window_counts_match_batch(spark):
     )
     want = {(r.w.start, r.event_type): r.n for r in batch}
     assert got == want
+
+
+def test_curation_ingest_equals_batch_election(spark):
+    """Drained continuous curation == batch quality + first-occurrence
+    election; no duplicate hashes survive; later-arriving dup is
+    rejected by the accumulated state."""
+    from pyspark.sql import functions as F
+    from ydb_vector_search_simple_api_spark.functions import text as TXT
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+    from ydb_vector_search_simple_api_spark.streaming import curation_ingest as CI
+    from conftest import SF_SMALL
+
+    got = {
+        (r.doc_id, r.content_hash)
+        for r in CI.stream_curation_ingest(spark, SF_SMALL, n_shards=4).collect()
+    }
+    d = load_documents(spark, SF_SMALL)
+    passing = d.filter(
+        (F.round(TXT.quality_score("text"), 6) + F.lit(0.0) >= 0.8)
+        & (TXT.token_count("text") >= 16)
+    ).select("doc_id", TXT.content_fingerprint("text").alias("h"))
+    want = {
+        (r.doc_id, r.h)
+        for r in passing.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select("doc_id", "h").collect()
+    }
+    assert got == want
+    hashes = [h for _, h in got]
+    assert len(hashes) == len(set(hashes))

@@ -909,3 +909,18 @@ SELECT doc_id, entity, count(*)::BIGINT AS n_mentions
 FROM toks JOIN gaz USING (token)
 GROUP BY doc_id, entity
 """
+
+
+def curation_ingest_sql(min_quality: float = 0.8, min_tokens: int = 16) -> str:
+    """Twin of streaming.curation_ingest.stream_curation_ingest:
+    first (min-doc_id) quality-passing occurrence per content hash —
+    what the in-order drained stream admits."""
+    return f"""
+WITH passing AS (
+  SELECT p.doc_id, md5({NORM.replace('text', 'd.text')}) AS content_hash
+  FROM ({quality_filter_sql(min_quality, min_tokens)}) p
+  JOIN documents d ON d.doc_id = p.doc_id
+)
+SELECT min(doc_id)::BIGINT AS doc_id, content_hash
+FROM passing GROUP BY content_hash
+"""

@@ -1,0 +1,106 @@
+"""Continuous corpus curation: quality-gate + dedup-on-arrival.
+
+The batch curation flow (``operators/curation.py``) assumes the corpus
+is at rest; a production pipeline ingests it as shard drops. This
+stream admits each micro-batch through the quality gate, then dedups
+it against EVERYTHING admitted so far — a content-hash anti-join
+versus the accumulated hash table — and appends survivors. State is a
+parquet table of 32-byte hashes (not documents), so the stream's
+working set is fingerprint-sized regardless of corpus bytes.
+
+Determinism contract: shards are written (and picked up —
+``maxFilesPerTrigger=1`` processes files in drop order) in ascending
+doc_id ranges, and the within-batch election keeps the minimum
+doc_id, so the drained result equals the BATCH rule "first
+(min-doc_id) quality-passing occurrence of each content hash" — which
+is exactly the SQL the DuckDB oracle runs. ``foreachBatch`` because
+the sink is two coordinated appends (survivors + hash table); a
+replayed batch re-derives the same survivors (the anti-join sees the
+hashes it already appended, so duplicates cannot re-enter).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..sources.store import load_documents
+
+
+def stream_curation_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = 4,
+    min_quality: float = 0.8,
+    min_tokens: int = 16,
+) -> DataFrame:
+    """Drain the documents table through the curation stream in
+    ``n_shards`` arrival batches; returns the admitted survivors
+    (doc_id, content_hash). Equal to the batch first-occurrence
+    election over the quality-passing set."""
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"svs_curing_{run}")
+    landing = os.path.join(base, "landing")
+    out_dir = os.path.join(base, "admitted")
+    seen_dir = os.path.join(base, "seen_hashes")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    ids.sort()
+    per = (len(ids) + n_shards - 1) // n_shards
+    # ascending doc_id ranges, one file per shard, written in order so
+    # the file source's drop-order pickup matches the batch election
+    for i in range(n_shards):
+        lo = ids[i * per] if i * per < len(ids) else None
+        if lo is None:
+            break
+        hi = ids[min((i + 1) * per, len(ids)) - 1]
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(landing, f"shard={i}"))
+        )
+
+    schema = docs.schema
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        q = batch_df.filter(
+            (F.round(TXT.quality_score("text"), 6) + F.lit(0.0) >= min_quality)
+            & (TXT.token_count("text") >= min_tokens)
+        ).select("doc_id", TXT.content_fingerprint("text").alias("content_hash"))
+        # within-batch election: keep the minimum doc_id per hash
+        q = (
+            q.groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "content_hash")
+        )
+        try:
+            seen = batch_df.sparkSession.read.parquet(seen_dir)
+            fresh = q.join(seen, "content_hash", "left_anti")
+        except Exception:
+            fresh = q
+        fresh = fresh.localCheckpoint(eager=True)  # two appends, one eval
+        fresh.select("doc_id", "content_hash").write.mode("append").parquet(out_dir)
+        fresh.select("content_hash").write.mode("append").parquet(seen_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "shard=*"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)
