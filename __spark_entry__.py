@@ -638,38 +638,36 @@ def _mk_ivf_knn_join_dist(strategy: str, k: int, n_queries: int, width: int | No
 
 def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only gate entry: recall@10 of the pruned IVF widths
-    against exact cosine, over 8 stored queries — the knob contract
-    (README's measured table) as a machine-checked surface. Driver
-    work is bounded: 8 query vectors + k-row result sets."""
+    against exact cosine over 8 stored queries — the knob contract
+    (README's measured table) as a machine-checked surface. Fully
+    batch-shaped: ONE exact kNN join + one pruned ivf_knn_join per
+    width; recall is a Spark-side semi-join count (no per-query
+    driver loop)."""
     from pyspark.sql import functions as F
 
+    from ydb_vector_search_simple_api_spark.operators.search import knn_join
+
     idx = _ivf_index(spark, sf_dir)
-    k = 10
-    qrows = (
-        load_embeddings(spark, sf_dir)
-        .filter(F.col("vec_id") < 8)
-        .select("vec_id", "embedding")
-        .collect()
+    k, n_q = 10, 8
+    embs = load_embeddings(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    exact_ids = {}
-    for r in qrows:
-        hits = exact_search(
-            spark, sf_dir, [float(x) for x in r.embedding], k=k,
-            strategy="CosineSimilarity", round_digits=ROUND,
-        ).select("id").collect()
-        exact_ids[r.vec_id] = {h.id for h in hits}
+    corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
+    exact = (
+        knn_join(spark, queries_df, corpus, k=k, strategy="CosineSimilarity",
+                 round_digits=ROUND)
+        .select("query_id", "id")
+        .localCheckpoint(eager=True)
+    )
     out = []
     for width in (1, 2, 4, idx.n_clusters):
-        tot = 0.0
-        for r in qrows:
-            got = ivf.ivf_search(
-                spark, idx, [float(x) for x in r.embedding], k=k,
-                strategy="CosineSimilarity", search_top_size=width,
-                round_digits=ROUND,
-            ).select("id").collect()
-            got_ids = {g.id for g in got}
-            tot += len(got_ids & exact_ids[r.vec_id]) / float(k)
-        out.append((int(width), round(tot / len(qrows), 6)))
+        got = ivf.ivf_knn_join(
+            spark, idx, queries_df, k=k, strategy="CosineSimilarity",
+            search_top_size=width, round_digits=ROUND,
+        ).select("query_id", "id")
+        hits = got.join(exact, ["query_id", "id"], "left_semi").count()
+        out.append((int(width), round(hits / float(k * n_q), 6)))
     return spark.createDataFrame(out, "width int, recall double")
 
 
