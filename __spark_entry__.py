@@ -1042,6 +1042,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: tfidf_top_terms (dictionary-NER: broadcast gazetteer
     # join onto the token stream, keyed count)
     q["gazetteer_entities"] = textual.gazetteer_entities
+    # sibling: gazetteer_entities (association mining: document-level
+    # entity pair support + lift)
+    q["entity_cooccurrence"] = textual.entity_cooccurrence
+    # sibling: type_value_trends (co-movement: hourly-volume Pearson
+    # correlation per type pair from integer-exact sums)
+    q["type_correlations"] = stats.type_correlations
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1338,6 +1344,8 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["weak_labels"] = oracles_text.weak_labels_sql()
     o["augment_dropout"] = oracles_text.augment_token_dropout_sql()
     o["gazetteer_entities"] = oracles_text.gazetteer_sql()
+    o["entity_cooccurrence"] = oracles_text.entity_cooccurrence_sql()
+    o["type_correlations"] = oracles_temporal.TYPE_CORRELATIONS
     o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS

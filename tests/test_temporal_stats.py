@@ -379,3 +379,34 @@ def test_session_paths_well_formed(spark):
     # trigram conservation: total trigrams == sum over sessions of
     # max(len-2, 0); spot-check > 0
     assert sum(ns) > 0
+
+
+def test_type_correlations_replay(spark):
+    import numpy as np
+    from collections import defaultdict
+    from ydb_vector_search_simple_api_spark.operators import stats as S
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+    rows = {(r.type_a, r.type_b): r.r for r in S.type_correlations(spark, SF_SMALL).collect()}
+    assert rows
+    ev = load_events(spark, SF_SMALL).select("event_type", "ts").collect()
+    import datetime
+    series = defaultdict(lambda: defaultdict(int))
+    hours = set()
+    for e in ev:
+        h = e.ts.replace(minute=0, second=0, microsecond=0)
+        series[e.event_type][h] += 1
+        hours.add(h)
+    h0, h1 = min(hours), max(hours)
+    grid = []
+    h = h0
+    while h <= h1:
+        grid.append(h)
+        h += datetime.timedelta(hours=1)
+    types = sorted(series)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            x = np.array([series[ta].get(h, 0) for h in grid], dtype=float)
+            y = np.array([series[tb].get(h, 0) for h in grid], dtype=float)
+            r = float(np.corrcoef(x, y)[0, 1])
+            assert abs(rows[(ta, tb)] - round(r, 6)) < 1e-5, (ta, tb)

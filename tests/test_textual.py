@@ -162,3 +162,15 @@ def test_augment_dropout_deterministic_and_bounded(spark):
     # rate=0 keeps everything
     z = TX.augment_token_dropout(spark, SF_SMALL, rate=0.0).collect()
     assert all(r.n_kept == r.n_tokens for r in z)
+
+
+def test_entity_cooccurrence_bounds(spark):
+    from ydb_vector_search_simple_api_spark.operators import textual as TX
+
+    rows = TX.entity_cooccurrence(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.entity_a < r.entity_b
+        assert r.n_both > 0 and r.lift > 0
+    keys = [(r.entity_a, r.entity_b) for r in rows]
+    assert len(keys) == len(set(keys))

@@ -370,3 +370,64 @@ def type_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
         (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
     )
+
+
+def type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-movement of event types: Pearson correlation between every
+    pair of types' HOURLY volume series — "do errors spike with
+    purchases". The series grid is (calendar hours × |types|) rows —
+    bounded by time, not data volume — with missing hours zero-filled
+    (a type absent in a busy hour is signal, not a gap).
+
+    One fact-table pass (hourly keyed count); the pair correlation
+    derives from integer-exact sums (Σx, Σy, Σxy, Σx², Σy², n) via a
+    self-join of the tiny grid on the hour. Output (type_a, type_b, r)
+    with type_a < type_b, r rounded to 6."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    filled = (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = filled.alias("a")
+    b = filled.alias("b")
+    g = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.c").alias("sx"),
+            F.sum("b.c").alias("sy"),
+            F.sum(F.col("a.c") * F.col("b.c")).alias("sxy"),
+            F.sum(F.col("a.c") * F.col("a.c")).alias("sxx"),
+            F.sum(F.col("b.c") * F.col("b.c")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    varx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vary = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    r = F.round(cov / F.sqrt(varx * vary), 6) + F.lit(0.0)
+    return g.select("type_a", "type_b", "n", r.alias("r"))

@@ -767,3 +767,46 @@ def gazetteer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "entity")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
     )
+
+
+def entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over the gazetteer entities: for every
+    unordered entity pair, the number of documents mentioning both
+    (support) and the lift ``N·supp(ab)/(supp(a)·supp(b))`` — the
+    market-basket signal over document-level co-occurrence.
+
+    Per-doc DISTINCT entity sets self-join on doc_id (each side ≤
+    |entity classes| rows per doc, so the pair fan-out is bounded by
+    |classes|² per doc, not by text length); supports aggregate with
+    map-side combine and the tiny per-entity table broadcasts back.
+    Output (entity_a, entity_b, n_both, lift) with entity_a <
+    entity_b, lift rounded to 6."""
+    per_doc = gazetteer_entities(spark, sf_dir).select("doc_id", "entity").distinct()
+    n_docs = load_documents(spark, sf_dir).count()
+    singles = per_doc.groupBy("entity").agg(F.count(F.lit(1)).alias("n_ent"))
+    a = per_doc.alias("a")
+    b = per_doc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.entity") < F.col("b.entity")),
+        )
+        .groupBy(
+            F.col("a.entity").alias("entity_a"), F.col("b.entity").alias("entity_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(F.col("entity").alias("entity_a"), F.col("n_ent").alias("n_a"))
+    sb = singles.select(F.col("entity").alias("entity_b"), F.col("n_ent").alias("n_b"))
+    lift = F.round(
+        F.lit(float(n_docs))
+        * F.col("n_both").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        6,
+    ) + F.lit(0.0)
+    return (
+        pairs.join(F.broadcast(sa), "entity_a")
+        .join(F.broadcast(sb), "entity_b")
+        .select("entity_a", "entity_b", "n_both", lift.alias("lift"))
+    )

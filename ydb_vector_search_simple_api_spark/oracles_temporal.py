@@ -320,3 +320,39 @@ SELECT path, n, rk FROM (
   FROM counts
 ) WHERE rk <= {top_n}
 """
+
+
+TYPE_CORRELATIONS = """
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h FROM events
+),
+hourly AS (
+  SELECT event_type, h, count(*)::BIGINT AS c FROM e GROUP BY event_type, h
+),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM e) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+  ) g
+),
+filled AS (
+  SELECT grid.event_type, grid.h, COALESCE(hourly.c, 0)::BIGINT AS c
+  FROM grid LEFT JOIN hourly USING (event_type, h)
+),
+g AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n,
+         sum(a.c)::BIGINT AS sx, sum(b.c)::BIGINT AS sy,
+         sum(a.c * b.c)::BIGINT AS sxy,
+         sum(a.c * a.c)::BIGINT AS sxx, sum(b.c * b.c)::BIGINT AS syy
+  FROM filled a JOIN filled b ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n,
+       ROUND((n::DOUBLE*sxy::DOUBLE - sx::DOUBLE*sy::DOUBLE)
+             / sqrt((n::DOUBLE*sxx::DOUBLE - sx::DOUBLE*sx::DOUBLE)
+                    * (n::DOUBLE*syy::DOUBLE - sy::DOUBLE*sy::DOUBLE)), 6) + 0.0 AS r
+FROM g
+"""

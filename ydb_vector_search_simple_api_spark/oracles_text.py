@@ -924,3 +924,25 @@ WITH passing AS (
 SELECT min(doc_id)::BIGINT AS doc_id, content_hash
 FROM passing GROUP BY content_hash
 """
+
+
+def entity_cooccurrence_sql() -> str:
+    return f"""
+WITH ent AS (
+  SELECT DISTINCT doc_id, entity FROM ({gazetteer_sql()})
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+singles AS (SELECT entity, count(*)::BIGINT AS n_ent FROM ent GROUP BY entity),
+pairs AS (
+  SELECT a.entity AS entity_a, b.entity AS entity_b, count(*)::BIGINT AS n_both
+  FROM ent a JOIN ent b ON a.doc_id = b.doc_id AND a.entity < b.entity
+  GROUP BY 1, 2
+)
+SELECT entity_a, entity_b, n_both,
+       ROUND(n.n_docs::DOUBLE * n_both::DOUBLE
+             / (sa.n_ent::DOUBLE * sb.n_ent::DOUBLE), 6) + 0.0 AS lift
+FROM pairs
+JOIN singles sa ON sa.entity = entity_a
+JOIN singles sb ON sb.entity = entity_b
+CROSS JOIN n
+"""
