@@ -1048,6 +1048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: type_value_trends (co-movement: hourly-volume Pearson
     # correlation per type pair from integer-exact sums)
     q["type_correlations"] = stats.type_correlations
+    # sibling: lang_profile (the dataset card: the one-row corpus
+    # summary a pipeline publishes with a training set)
+    q["dataset_card"] = curation.dataset_card
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1346,6 +1349,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["gazetteer_entities"] = oracles_text.gazetteer_sql()
     o["entity_cooccurrence"] = oracles_text.entity_cooccurrence_sql()
     o["type_correlations"] = oracles_temporal.TYPE_CORRELATIONS
+    o["dataset_card"] = oracles_curation.dataset_card_sql()
     o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS

@@ -408,3 +408,16 @@ def test_cdc_merge_latest_version_wins(spark):
     }
     for r in v2:
         assert want[r.doc_id] == r.text_md5
+
+
+def test_dataset_card_sanity(spark):
+    from ydb_vector_search_simple_api_spark.operators import curation as C
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    r = C.dataset_card(spark, SF_SMALL).collect()[0]
+    n = load_documents(spark, SF_SMALL).count()
+    assert r.n_docs == n
+    assert r.n_tokens > r.n_docs  # multi-token docs
+    assert 0.0 <= r.dup_rate < 1.0
+    assert 0.0 < r.mean_quality <= 1.0
+    assert r.n_langs >= 1 and r.n_sources >= 1

@@ -823,3 +823,46 @@ def cdc_merge_snapshot(
             F.md5("text").alias("text_md5"),
         )
     )
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary row a pipeline publishes with a
+    training corpus: size, token mass, language/source breadth, exact
+    duplicate rate, and mean quality — one aggregated row, assembled
+    from two corpus passes (a narrow stats aggregation and the
+    content-hash distinct count) plus scalar broadcasts.
+
+    Means are exact integer/decimal sums divided once; the dup rate is
+    1 − distinct_hashes/docs, rounded 6. Output (n_docs, n_tokens,
+    n_langs, n_sources, dup_rate, mean_quality)."""
+    d = load_documents(spark, sf_dir)
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TXT.token_count("text")).cast("bigint").alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum(
+            (F.round(TXT.quality_score("text"), 6) + F.lit(0.0)).cast("decimal(18,6)")
+        ).alias("q_sum"),
+    )
+    hashes = d.select(TXT.content_fingerprint("text").alias("h")).agg(
+        F.count_distinct("h").alias("n_distinct")
+    )
+    return base.crossJoin(F.broadcast(hashes)).select(
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "n_sources",
+        (
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_rate"),
+        (
+            F.round(F.col("q_sum").cast("double") / F.col("n_docs").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("mean_quality"),
+    )

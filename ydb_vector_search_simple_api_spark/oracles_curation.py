@@ -341,3 +341,34 @@ SELECT doc_id, max(version)::BIGINT AS version,
        arg_max(md5(text), version) AS text_md5
 FROM merged GROUP BY doc_id
 """
+
+
+def dataset_card_sql() -> str:
+    from .oracles_text import NORM, TOKS, quality_filter_sql  # noqa: F401
+
+    # quality for ALL docs (no filter): reuse the quality expression
+    # shape from quality_filter_sql's CTE inline
+    from .oracles_text import LANG_STOPWORDS, _stop_count
+
+    return f"""
+WITH toks AS (SELECT doc_id, text, lang, source, {TOKS} AS t FROM documents),
+m AS (
+  SELECT doc_id, lang, source, len(t)::BIGINT AS n_tok,
+         ROUND((len(list_distinct(t))::DOUBLE / len(t)::DOUBLE
+                + (CASE WHEN len(t)::DOUBLE >= 32.0 THEN 1.0 ELSE len(t)::DOUBLE / 32.0 END)
+                + (CASE WHEN {_stop_count(LANG_STOPWORDS["en"])}::DOUBLE / len(t)::DOUBLE > 0.5
+                        THEN 0.0
+                        ELSE 1.0 - {_stop_count(LANG_STOPWORDS["en"])}::DOUBLE / len(t)::DOUBLE END)
+               ) / 3.0, 6) + 0.0 AS q
+  FROM toks
+),
+h AS (SELECT count(DISTINCT md5({NORM})) AS n_distinct FROM documents)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS n_tokens,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       ROUND(1.0 - h.n_distinct::DOUBLE / count(*)::DOUBLE, 6) + 0.0 AS dup_rate,
+       ROUND(CAST(sum(q::DECIMAL(18,6)) AS DOUBLE) / count(*)::DOUBLE, 6) + 0.0 AS mean_quality
+FROM m CROSS JOIN h
+GROUP BY h.n_distinct
+"""
