@@ -1,0 +1,46 @@
+"""Driver-gate contract guards: the first 50 queries() entries are the
+hash-checked surface — their set and order must not drift by accident,
+and every one must carry an oracle."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+EXPECTED_IN_CAP = [
+    "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
+    "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
+    "text_stats", "quality_filter", "hybrid_rrf", "incremental_dedup",
+    "document_splits", "chunk_documents", "winnowing_fingerprints",
+    "dedup_exact_groups", "dedup_ngram_jaccard", "neardup_cosine",
+    "dedup_minhash_md5", "tfidf_top_terms", "decontaminate",
+    "curate_corpus", "curated_pack", "repetition_signals",
+    "pq_rerank_full", "stream_interval_join", "dedup_components",
+    "source_token_budget", "pii_redaction", "multimodal_meta",
+    "events_hourly_stream", "events_distinct_pairs", "session_rollup",
+    "user_running_totals", "pricing_summary", "revenue_by_nation",
+    "top_customers_per_nation", "orders_rollup",
+    "customers_without_orders", "parts_ordered_by_brand",
+    "repeat_customers", "customer_revenue_deciles", "user_event_pivot",
+    "sql_topk_cosine", "purchase_attribution", "surge_windows",
+    "events_in_surges", "hourly_locf", "value_percentiles",
+    "distinct_users_by_type", "props_k_stats", "label_centroids",
+]
+
+
+def test_in_cap_order_is_pinned():
+    got = list(E.queries().keys())[:50]
+    assert got == EXPECTED_IN_CAP
+
+
+def test_every_in_cap_entry_has_an_oracle():
+    qs = list(E.queries().keys())[:50]
+    oracles = E.oracle_sql()
+    assert [k for k in qs if k not in oracles] == []
+
+
+def test_no_duplicate_entries_and_no_orphan_oracles():
+    qs = E.queries()
+    names = list(qs.keys())
+    assert len(names) == len(set(names))
+    orphans = set(E.oracle_sql()) - set(names)
+    assert orphans == set()
