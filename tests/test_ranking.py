@@ -113,3 +113,23 @@ def test_mmr_distance_strategy_top1_is_nearest(spark):
         spark, SF_SMALL, qv, k=5, strategy="EuclideanDistance", round_digits=6
     ).collect()
     assert [r.doc_id for r in mmr] == [r.id for r in exact]
+
+
+def test_bm25_plan_has_no_token_stream_shuffle(spark):
+    """The narrow-array formulation must not explode the corpus token
+    stream: the only Generate in the plan fans out |terms| structs,
+    and no Exchange carries a 'token'-keyed hash partitioning of the
+    raw stream (the aggregate exchanges group on doc_id / token of
+    the |terms|-sized side)."""
+    from ydb_vector_search_simple_api_spark.plans import checks
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    df = RK.bm25_scores(load_documents(spark, SF_SMALL), RK.QUERY_TERMS)
+    plan = checks.simple_plan(df)
+    # every Generate must be the |terms| fan-out (the dfreq branch
+    # repeats it) — a token-stream explode would Generate over the
+    # bare tokens() split with no terms literal in sight
+    gens = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gens, plan
+    terms_literal = "[" + ",".join(sorted(set(RK.QUERY_TERMS))) + "]"
+    assert all(terms_literal in ln for ln in gens), plan

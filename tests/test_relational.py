@@ -170,3 +170,19 @@ def test_cheapest_supplier_one_per_part(spark):
     keys = [r.p_partkey for r in rows]
     assert len(keys) == len(set(keys)) > 0
     assert all(r.unit_price > 0 for r in rows)
+
+
+def test_shipping_priority_pushes_date_filters(spark):
+    from ydb_vector_search_simple_api_spark.plans import checks
+
+    df = R.shipping_priority(spark, SF_SMALL)
+    pushed = checks.pushed_filters(df)
+    # both date predicates reach the parquet scans
+    assert "l_shipdate" in pushed and "o_orderdate" in pushed, pushed
+
+
+def test_supplier_profit_broadcasts_all_dimensions(spark):
+    from ydb_vector_search_simple_api_spark.plans import checks
+
+    plan = checks.simple_plan(R.supplier_profit(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
