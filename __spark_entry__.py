@@ -973,6 +973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: top_customers_per_nation (TPC-H Q2 shape: correlated
     # min decorrelated into one window over the aggregated table)
     q["cheapest_supplier_per_part"] = relational.cheapest_supplier_per_part
+    # sibling: customers_without_orders (TPC-H Q4 shape: EXISTS as a
+    # left-semi join, both predicates pushed)
+    q["priority_with_returns"] = relational.priority_with_returns
     # sibling: funnel_conversion (ordered event-sequence analytics:
     # first-order Markov transition probabilities per event type)
     q["event_transitions"] = temporal.event_transitions
@@ -1310,6 +1313,7 @@ FROM events GROUP BY user_id, event_type
     o["shipmode_priority"] = oracles_rel.SHIPMODE_PRIORITY
     o["promo_revenue_share"] = oracles_rel.PROMO_REVENUE_SHARE
     o["cheapest_supplier_per_part"] = oracles_rel.cheapest_supplier_sql()
+    o["priority_with_returns"] = oracles_rel.priority_with_returns_sql()
     o["purchase_attribution"] = oracles_text.PURCHASE_ATTRIBUTION
 
     o["surge_windows"] = oracles_temporal.SURGE_WINDOWS

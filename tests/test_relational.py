@@ -186,3 +186,15 @@ def test_supplier_profit_broadcasts_all_dimensions(spark):
 
     plan = checks.simple_plan(R.supplier_profit(spark, SF_SMALL))
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_priority_with_returns_semi_join_shape(spark):
+    from ydb_vector_search_simple_api_spark.plans import checks
+
+    df = R.priority_with_returns(spark, SF_SMALL)
+    rows = df.collect()
+    assert rows and all(r.n_orders > 0 for r in rows)
+    plan = checks.simple_plan(df)
+    assert "LeftSemi" in plan, plan
+    pushed = checks.pushed_filters(df)
+    assert "o_orderdate" in pushed and "l_returnflag" in pushed, pushed

@@ -461,3 +461,32 @@ def cheapest_supplier_per_part(
         .orderBy("p_partkey")
         .limit(top)
     )
+
+
+def priority_with_returns(
+    spark: SparkSession, sf_dir: str, q_start: str = "1999-01-01", q_end: str = "1999-04-01"
+) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS subquery): per order priority, how many
+    of one quarter's orders have at least one returned lineitem. The
+    EXISTS compiles to a left-semi join — the date predicate pushes to
+    the orders scan, the returnflag predicate to the lineitem scan,
+    and the semi join ships only l_orderkey from the fact side.
+    Output (o_orderpriority, n_orders)."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(q_start).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(q_end).cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -210,3 +210,17 @@ SELECT p_partkey, s_suppkey, s_name, unit_price
 FROM ranked WHERE rn = 1
 ORDER BY p_partkey LIMIT {top}
 """
+
+
+def priority_with_returns_sql(q_start: str = "1999-01-01", q_end: str = "1999-04-01") -> str:
+    return f"""
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{q_start} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{q_end} 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
