@@ -1011,6 +1011,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_curation_ingest"] = lambda s, d: streaming_curing.stream_curation_ingest(
         s, d
     )
+    # sibling: user_running_totals (the second applyInPandasWithState
+    # operator — session NUMBERING whose (last_ts, n_sessions) state
+    # genuinely spans micro-batches via one-shard-per-trigger arrival;
+    # drained == batch lag/cumsum sessionization at event grain)
+    q["user_session_numbers"] = lambda s, d: streaming_sessions.user_session_numbers_stream(
+        s, d
+    )
     # sibling: events_hourly_stream (sliding windows — overlapping
     # size>slide state, vs the tumbling rollup; drained == batch)
     q["events_sliding_stream"] = streaming_events.sliding_type_counts_stream
@@ -1355,6 +1362,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["type_correlations"] = oracles_temporal.TYPE_CORRELATIONS
     o["dataset_card"] = oracles_curation.dataset_card_sql()
     o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()
+    o["user_session_numbers"] = oracles_text.SESSION_NUMBERS
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS
     o["label_centroids"] = oracles_temporal.LABEL_CENTROIDS

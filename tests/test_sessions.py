@@ -83,3 +83,42 @@ def test_running_totals_match_window_cumsum(spark):
     assert len(twin) == len(got)
     for r in twin:
         assert got[r.event_id] == (r.user_id, r.n_prior, r.total_micros), r.event_id
+
+
+def test_session_numbers_state_spans_batches(spark):
+    """With 4 one-file triggers, a user's numbering must CONTINUE
+    across batch boundaries (state carry), and the drained result must
+    equal the batch lag/cumsum sessionization."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+    from ydb_vector_search_simple_api_spark.streaming import sessions as SS
+    from conftest import SF_SMALL
+
+    got = {
+        (r.user_id, r.event_id): r.session_no
+        for r in SS.user_session_numbers_stream(spark, SF_SMALL, n_shards=4).collect()
+    }
+    ev = load_events(spark, SF_SMALL).select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) >= F.expr("interval 30 minutes")),
+        1,
+    ).otherwise(0)
+    want = {
+        (r.user_id, r.event_id): r.sn
+        for r in ev.withColumn("n", new_s)
+        .withColumn("sn", F.sum("n").over(run))
+        .collect()
+    }
+    assert got == want
+    # numbering starts at 1 and is contiguous per user
+    by_user = {}
+    for (u, _), sn in got.items():
+        by_user.setdefault(u, set()).add(sn)
+    for sns in by_user.values():
+        assert min(sns) == 1 and max(sns) == len(sns)

@@ -946,3 +946,20 @@ JOIN singles sa ON sa.entity = entity_a
 JOIN singles sb ON sb.entity = entity_b
 CROSS JOIN n
 """
+
+
+SESSION_NUMBERS = """
+WITH e AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       SUM(new_s) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+       )::BIGINT AS session_no
+FROM flagged
+"""

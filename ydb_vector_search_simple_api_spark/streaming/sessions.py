@@ -165,3 +165,108 @@ def user_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+_SESSNO_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("session_no", T.LongType()),
+    ]
+)
+
+#: per-user state: last event time (micros; -1 = none) and sessions so far
+_SESSNO_STATE = T.StructType(
+    [T.StructField("last_micros", T.LongType()), T.StructField("n_sessions", T.LongType())]
+)
+
+_SESSION_GAP_MICROS = 30 * 60 * 1_000_000
+
+
+def _sessno_update(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    last, n = state.get if state.exists else (-1, 0)
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        micros = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        prev = np.concatenate(([last], micros[:-1]))
+        new_flag = (prev < 0) | (micros - prev >= _SESSION_GAP_MICROS)
+        sess_no = n + np.cumsum(new_flag.astype(np.int64))
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(pdf), user_id, dtype=np.int64),
+                "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+                "session_no": sess_no,
+            }
+        )
+        last = int(micros[-1])
+        n = int(sess_no[-1])
+    state.update((last, n))
+
+
+def user_session_numbers_stream(
+    spark: SparkSession, sf_dir: str, n_shards: int = 4
+) -> DataFrame:
+    """Second custom stateful operator: per-user SESSION NUMBERING
+    across micro-batches. Unlike the running totals (whose backfill
+    drains in one batch), the events land as ``n_shards`` time-ordered
+    shard drops picked up one per trigger — so the (last_ts,
+    n_sessions) state genuinely carries across batches: a session can
+    START in one batch and CONTINUE in the next, and the 30-minute gap
+    test at each batch boundary reads the previous batch's state.
+
+    Drained result == the batch lag/cumsum sessionization at event
+    grain (the oracle runs exactly that), provided arrival is
+    time-ordered — which the ascending-ts sharding guarantees. Output
+    (user_id, event_id, session_no), session_no counting per user
+    from 1."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+    from ..sources.store import load_events
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"svs_sessno_{run}")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing, exist_ok=True)
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    n_rows = ev.count()
+    per = (n_rows + n_shards - 1) // n_shards
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).localCheckpoint(eager=True)
+    for i in range(n_shards):
+        shard = ranked.filter(
+            (F.col("rn") > i * per) & (F.col("rn") <= (i + 1) * per)
+        ).drop("rn")
+        if not shard.head(1):
+            break
+        shard.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(landing, f"shard={i}")
+        )
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "shard=*"))
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _sessno_update, _SESSNO_OUT, _SESSNO_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+    name = f"sessno_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
