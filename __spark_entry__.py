@@ -1061,6 +1061,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: lang_profile (the dataset card: the one-row corpus
     # summary a pipeline publishes with a training set)
     q["dataset_card"] = curation.dataset_card
+    # sibling: value_percentiles (the DETERMINISTIC mergeable-quantile
+    # path: fixed-width histogram + cumulative readout — bit-stable
+    # where sketches are engine-specific, so this one carries a full
+    # SQL oracle)
+    q["histogram_quantiles"] = stats.histogram_quantiles
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1361,6 +1366,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["entity_cooccurrence"] = oracles_text.entity_cooccurrence_sql()
     o["type_correlations"] = oracles_temporal.TYPE_CORRELATIONS
     o["dataset_card"] = oracles_curation.dataset_card_sql()
+    o["histogram_quantiles"] = oracles_temporal.histogram_quantiles_sql()
     o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()
     o["user_session_numbers"] = oracles_text.SESSION_NUMBERS
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES

@@ -410,3 +410,35 @@ def test_type_correlations_replay(spark):
             y = np.array([series[tb].get(h, 0) for h in grid], dtype=float)
             r = float(np.corrcoef(x, y)[0, 1])
             assert abs(rows[(ta, tb)] - round(r, 6)) < 1e-5, (ta, tb)
+
+
+def test_histogram_quantiles_rank_accuracy(spark):
+    """Rank-space accuracy: the number of values <= the histogram
+    estimate must bracket p*n within one order statistic plus the
+    bucket discretization (value-space tolerance is meaningless in a
+    sparse tail, where adjacent order stats can be far apart)."""
+    from ydb_vector_search_simple_api_spark.operators import stats as S
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+    import math
+
+    got = {r.event_type: r for r in S.histogram_quantiles(spark, SF_SMALL).collect()}
+    ev = load_events(spark, SF_SMALL).select("event_type", "value").collect()
+    by_type = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(e.value)
+    lo = min(v for vs in by_type.values() for v in vs)
+    hi = max(v for vs in by_type.values() for v in vs)
+    width = (hi - lo) / 1000.0
+    for t, r in got.items():
+        vals = sorted(by_type[t])
+        n = len(vals)
+        assert r.p50 <= r.p90 <= r.p99
+        for p, est in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            # est is the LOWER edge of the target bucket: every value
+            # strictly below it ranks below the target order stat; the
+            # target value itself lies within [est, est + width]
+            n_below = sum(1 for v in vals if v < est)
+            target = math.ceil(p * n)
+            assert n_below <= target, (t, p, n_below, target)
+            n_at_or_below_upper = sum(1 for v in vals if v <= est + width + 1e-9)
+            assert n_at_or_below_upper >= target, (t, p)

@@ -26,7 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.store import load_events
@@ -431,3 +431,71 @@ def type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     vary = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
     r = F.round(cov / F.sqrt(varx * vary), 6) + F.lit(0.0)
     return g.select("type_a", "type_b", "n", r.alias("r"))
+
+
+def histogram_quantiles(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 1000
+) -> DataFrame:
+    """Deterministic approximate quantiles from a fixed-width
+    histogram — the MERGEABLE way to do percentiles at 100 TB when
+    sketch nondeterminism is unacceptable: bucket counts are exact
+    integers (shard-mergeable by addition, one keyed shuffle with
+    map-side combine), and the quantile readout takes the lower edge
+    of the first bucket whose cumulative count crosses p·n. Unlike
+    KLL/t-digest the result is bit-stable across runs, partitionings
+    and engines — which is why this variant carries a full SQL oracle
+    while ``approx_value_percentiles`` is rows-only.
+
+    Error bound: one bucket width = (max−min)/n_buckets. Output
+    (event_type, n, p50, p90, p99)."""
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    hist = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type", "b", F.sum("c").over(w).alias("cum"),
+    )
+    totals = hist.groupBy("event_type").agg(F.sum("c").alias("n"))
+
+    def q_edge(p: float):
+        # lower edge of the first bucket with cum >= ceil(p * n)
+        need = F.ceil(F.lit(p) * F.col("n"))
+        return F.min(F.when(F.col("cum") >= need, F.col("b")))
+
+    g = (
+        cum.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            q_edge(0.5).alias("b50"),
+            q_edge(0.9).alias("b90"),
+            q_edge(0.99).alias("b99"),
+        )
+    )
+
+    def edge(bcol):
+        return (
+            F.round(F.col("lo") + F.col(bcol).cast("double") * width, 6) + F.lit(0.0)
+        )
+
+    return g.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        edge("b50").alias("p50"),
+        edge("b90").alias("p90"),
+        edge("b99").alias("p99"),
+    )

@@ -356,3 +356,38 @@ SELECT type_a, type_b, n,
                     * (n::DOUBLE*syy::DOUBLE - sy::DOUBLE*sy::DOUBLE)), 6) + 0.0 AS r
 FROM g
 """
+
+
+def histogram_quantiles_sql(n_buckets: int = 1000) -> str:
+    return f"""
+WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+hist AS (
+  SELECT event_type,
+         least(floor((value - lo) / ((hi - lo) / {float(n_buckets)}))::INT,
+               {n_buckets - 1}) AS b,
+         count(*)::BIGINT AS c
+  FROM events CROSS JOIN bounds
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, b,
+         SUM(c) OVER (
+           PARTITION BY event_type ORDER BY b ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM hist
+),
+totals AS (SELECT event_type, sum(c)::BIGINT AS n FROM hist GROUP BY event_type),
+g AS (
+  SELECT cum.event_type, totals.n,
+         min(CASE WHEN cum >= ceil(0.5 * n) THEN b END) AS b50,
+         min(CASE WHEN cum >= ceil(0.9 * n) THEN b END) AS b90,
+         min(CASE WHEN cum >= ceil(0.99 * n) THEN b END) AS b99
+  FROM cum JOIN totals ON cum.event_type = totals.event_type
+  GROUP BY cum.event_type, totals.n
+)
+SELECT event_type, n,
+       ROUND(lo + b50::DOUBLE * ((hi - lo) / {float(n_buckets)}), 6) + 0.0 AS p50,
+       ROUND(lo + b90::DOUBLE * ((hi - lo) / {float(n_buckets)}), 6) + 0.0 AS p90,
+       ROUND(lo + b99::DOUBLE * ((hi - lo) / {float(n_buckets)}), 6) + 0.0 AS p99
+FROM g CROSS JOIN bounds
+"""
