@@ -1066,6 +1066,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # where sketches are engine-specific, so this one carries a full
     # SQL oracle)
     q["histogram_quantiles"] = stats.histogram_quantiles
+    # siblings: chunk_documents + hard_negatives (self-supervised
+    # pair construction: adjacent-chunk positives + prime-shift
+    # derangement negatives, ids-only join)
+    q["contrastive_pairs"] = lambda s, d: curation.contrastive_pairs(s, d)
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1367,6 +1371,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["type_correlations"] = oracles_temporal.TYPE_CORRELATIONS
     o["dataset_card"] = oracles_curation.dataset_card_sql()
     o["histogram_quantiles"] = oracles_temporal.histogram_quantiles_sql()
+    o["contrastive_pairs"] = oracles_curation.contrastive_pairs_sql()
     o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()
     o["user_session_numbers"] = oracles_text.SESSION_NUMBERS
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES

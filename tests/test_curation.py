@@ -421,3 +421,18 @@ def test_dataset_card_sanity(spark):
     assert 0.0 <= r.dup_rate < 1.0
     assert 0.0 < r.mean_quality <= 1.0
     assert r.n_langs >= 1 and r.n_sources >= 1
+
+
+def test_contrastive_pairs_structure(spark):
+    from ydb_vector_search_simple_api_spark.operators import curation as C
+
+    rows = C.contrastive_pairs(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.pos_chunk_id == r.chunk_id + 1
+        assert (r.neg_doc_id, r.neg_chunk_id) != (r.doc_id, r.chunk_id)
+    # negatives overwhelmingly cross-document
+    same = sum(1 for r in rows if r.neg_same_doc)
+    assert same / len(rows) < 0.05
+    # deterministic
+    assert rows == C.contrastive_pairs(spark, SF_SMALL).collect()

@@ -866,3 +866,57 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("mean_quality"),
     )
+
+
+def contrastive_pairs(
+    spark: SparkSession, sf_dir: str, shift: int = 7919
+) -> DataFrame:
+    """Self-supervised training-pair construction over the chunk grid:
+    anchor = chunk i, positive = chunk i+1 of the SAME document
+    (adjacent text is the standard weak positive), negative = the
+    chunk ``shift`` positions away in the global (doc_id, chunk_id)
+    ordering — a fixed prime-shift derangement, so negatives are
+    deterministic, uniformly spread, and (for shift > max chunks/doc)
+    virtually never same-document; the rare same-doc collision is
+    kept and flagged rather than resampled (resampling would need
+    data-dependent iteration).
+
+    One chunking pass + one global row_number + one self-join on the
+    shifted rank — the join moves (rank, ids) triples, not text.
+    Output (doc_id, chunk_id, pos_chunk_id, neg_doc_id, neg_chunk_id,
+    neg_same_doc)."""
+    from .textual import chunk_documents
+
+    c = chunk_documents(spark, sf_dir).select("doc_id", "chunk_id")
+    w = Window.orderBy("doc_id", "chunk_id")
+    ranked = c.withColumn("rn", F.row_number().over(w)).localCheckpoint(eager=True)
+    total = ranked.count()
+    anchors = (
+        ranked.alias("a")
+        .join(
+            ranked.select(
+                F.col("doc_id").alias("p_doc"), F.col("chunk_id").alias("p_chunk")
+            ).alias("p"),
+            (F.col("a.doc_id") == F.col("p_doc"))
+            & (F.col("a.chunk_id") + 1 == F.col("p_chunk")),
+        )
+        .select("a.doc_id", "a.chunk_id", F.col("p_chunk").alias("pos_chunk_id"), "a.rn")
+    )
+    shifted = F.pmod(F.col("rn") - 1 + F.lit(shift), F.lit(total)) + 1
+    negs = ranked.select(
+        F.col("rn").alias("neg_rn"),
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("chunk_id").alias("neg_chunk_id"),
+    )
+    return (
+        anchors.withColumn("neg_rn", shifted)
+        .join(negs, "neg_rn")
+        .select(
+            "doc_id",
+            "chunk_id",
+            "pos_chunk_id",
+            "neg_doc_id",
+            "neg_chunk_id",
+            (F.col("neg_doc_id") == F.col("doc_id")).alias("neg_same_doc"),
+        )
+    )

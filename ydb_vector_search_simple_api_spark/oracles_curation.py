@@ -372,3 +372,30 @@ SELECT count(*)::BIGINT AS n_docs,
 FROM m CROSS JOIN h
 GROUP BY h.n_distinct
 """
+
+
+def contrastive_pairs_sql(shift: int = 7919) -> str:
+    from .oracles_text import chunk_documents_sql
+
+    return f"""
+WITH chunks AS (
+  SELECT doc_id, chunk_id FROM ({chunk_documents_sql()})
+),
+ranked AS (
+  SELECT doc_id, chunk_id,
+         ROW_NUMBER() OVER (ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks
+),
+total AS (SELECT count(*)::BIGINT AS n FROM ranked),
+anchors AS (
+  SELECT a.doc_id, a.chunk_id, p.chunk_id AS pos_chunk_id, a.rn
+  FROM ranked a
+  JOIN ranked p ON p.doc_id = a.doc_id AND p.chunk_id = a.chunk_id + 1
+)
+SELECT a.doc_id, a.chunk_id, a.pos_chunk_id,
+       n2.doc_id AS neg_doc_id, n2.chunk_id AS neg_chunk_id,
+       (n2.doc_id = a.doc_id) AS neg_same_doc
+FROM anchors a
+CROSS JOIN total t
+JOIN ranked n2 ON n2.rn = ((a.rn - 1 + {shift}) % t.n) + 1
+"""
