@@ -976,6 +976,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: customers_without_orders (TPC-H Q4 shape: EXISTS as a
     # left-semi join, both predicates pushed)
     q["priority_with_returns"] = relational.priority_with_returns
+    # sibling: pricing_summary (TPC-H Q11 shape: HAVING vs a broadcast
+    # scalar subquery)
+    q["important_parts"] = relational.important_parts
+    # sibling: hourly_locf (gap-filled trailing moving average over
+    # the calendar grid)
+    q["revenue_moving_avg"] = relational.revenue_moving_avg
     # sibling: funnel_conversion (ordered event-sequence analytics:
     # first-order Markov transition probabilities per event type)
     q["event_transitions"] = temporal.event_transitions
@@ -1330,6 +1336,8 @@ FROM events GROUP BY user_id, event_type
     o["promo_revenue_share"] = oracles_rel.PROMO_REVENUE_SHARE
     o["cheapest_supplier_per_part"] = oracles_rel.cheapest_supplier_sql()
     o["priority_with_returns"] = oracles_rel.priority_with_returns_sql()
+    o["important_parts"] = oracles_rel.important_parts_sql()
+    o["revenue_moving_avg"] = oracles_rel.revenue_moving_avg_sql()
     o["purchase_attribution"] = oracles_text.PURCHASE_ATTRIBUTION
 
     o["surge_windows"] = oracles_temporal.SURGE_WINDOWS

@@ -198,3 +198,21 @@ def test_priority_with_returns_semi_join_shape(spark):
     assert "LeftSemi" in plan, plan
     pushed = checks.pushed_filters(df)
     assert "o_orderdate" in pushed and "l_returnflag" in pushed, pushed
+
+
+def test_important_parts_threshold(spark):
+    rows = R.important_parts(spark, SF_SMALL).collect()
+    assert rows
+    vals = [r.part_value for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_revenue_moving_avg_window(spark):
+    rows = sorted(R.revenue_moving_avg(spark, SF_SMALL).collect(), key=lambda r: r.day)
+    assert rows
+    # replay the trailing-7 mean over the returned daily series
+    revs = [r.revenue for r in rows]
+    for i, r in enumerate(rows):
+        lo = max(0, i - 6)
+        window = revs[lo : i + 1]
+        assert abs(r.moving_avg - round(sum(window) / len(window), 6)) < 1e-6

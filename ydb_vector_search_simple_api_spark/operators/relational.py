@@ -490,3 +490,63 @@ def priority_with_returns(
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+def important_parts(
+    spark: SparkSession, sf_dir: str, fraction: float = 0.0006
+) -> DataFrame:
+    """TPC-H Q11 shape (HAVING against a scalar subquery): parts whose
+    total ordered value exceeds ``fraction`` of the grand total. The
+    scalar total is a one-row aggregate broadcast into the HAVING
+    filter — the standard decorrelation; the per-part aggregation is
+    one keyed shuffle with map-side combine. Output (l_partkey,
+    part_value) by value DESC, partkey ASC."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    )
+    per_part = li.groupBy("l_partkey").agg(_dsum("rev").alias("part_value"))
+    total = per_part.agg(F.sum(F.col("part_value").cast(DEC)).cast("double").alias("tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("tot") * F.lit(fraction))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+def revenue_moving_avg(spark: SparkSession, sf_dir: str, days: int = 7) -> DataFrame:
+    """Reporting shape: daily revenue with its trailing ``days``-day
+    moving average over the gap-filled calendar grid (missing days
+    count as zero revenue — a quiet day must drag the average down,
+    not vanish). The grid is calendar-bounded, so the window runs over
+    date-count rows, never the fact table; daily sums are
+    decimal-exact. Output (day, revenue, moving_avg)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("DAY", "o_orderdate").alias("day"),
+        F.col("o_totalprice"),
+    )
+    daily = o.groupBy("day").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec")
+    )
+    bounds = o.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    filled = grid.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("rev_dec"), F.lit(0).cast(DEC)).alias("rev_dec"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(days - 1), Window.currentRow)
+    return filled.select(
+        "day",
+        (F.round(F.col("rev_dec").cast("double"), 6) + F.lit(0.0)).alias("revenue"),
+        (
+            F.round(
+                F.sum("rev_dec").over(w).cast("double")
+                / F.count(F.lit(1)).over(w).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("moving_avg"),
+    )

@@ -224,3 +224,45 @@ WHERE o_orderdate >= TIMESTAMP '{q_start} 00:00:00'
   )
 GROUP BY o_orderpriority
 """
+
+
+def important_parts_sql(fraction: float = 0.0006) -> str:
+    return f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         {_dsum("l_extendedprice * (1.0 - l_discount)")} AS part_value
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (
+  SELECT CAST(sum(part_value::DECIMAL(18,6)) AS DOUBLE) AS tot FROM per_part
+)
+SELECT l_partkey, part_value
+FROM per_part CROSS JOIN total
+WHERE part_value > tot * {fraction}
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+def revenue_moving_avg_sql(days: int = 7) -> str:
+    return f"""
+WITH o AS (
+  SELECT date_trunc('day', o_orderdate) AS day, o_totalprice FROM orders
+),
+daily AS (
+  SELECT day, sum(o_totalprice::DECIMAL(18,6)) AS rev_dec FROM o GROUP BY day
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+grid AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+),
+filled AS (
+  SELECT grid.day, COALESCE(daily.rev_dec, 0::DECIMAL(18,6)) AS rev_dec
+  FROM grid LEFT JOIN daily ON grid.day = daily.day
+)
+SELECT day,
+       ROUND(rev_dec::DOUBLE, 6) + 0.0 AS revenue,
+       ROUND(CAST(sum(rev_dec) OVER w AS DOUBLE)
+             / count(*) OVER w::DOUBLE, 6) + 0.0 AS moving_avg
+FROM filled
+WINDOW w AS (ORDER BY day ROWS BETWEEN {days - 1} PRECEDING AND CURRENT ROW)
+"""
