@@ -282,7 +282,7 @@ def test_apidocs_and_spec_served(served):
     assert code == 200 and "application/json" in ctype
     spec = json.loads(body)
     assert spec["openapi"].startswith("3.")
-    assert set(spec["paths"]) == {"/health", "/config", "/", "/search"}
+    assert set(spec["paths"]) == {"/health", "/config", "/", "/search", "/stats"}
     post = spec["paths"]["/search"]["post"]
     assert set(post["responses"]) == {"200", "400", "500", "501", "502"}
     props = post["requestBody"]["content"]["application/json"]["schema"]["properties"]
@@ -335,3 +335,13 @@ def test_hybrid_terms_validation(served, qvec):
         served[0] + "/search", json.dumps({"embedding": qvec, "k": 2}).encode()
     )
     assert code == 200 and data["count"] == 2
+
+
+def test_stats_route_serves_dataset_card(served):
+    code, body, ctype = _get(served[0] + "/stats")
+    assert code == 200 and "json" in ctype
+    data = json.loads(body)
+    assert set(data) == {
+        "n_docs", "n_tokens", "n_langs", "n_sources", "dup_rate", "mean_quality"
+    }
+    assert data["n_docs"] > 0 and 0.0 <= data["dup_rate"] < 1.0

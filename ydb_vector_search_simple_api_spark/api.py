@@ -364,3 +364,16 @@ def search_request(engine: VectorSearchEngine, data: dict | None) -> tuple[dict,
         )
     except Exception as e:  # catch-all -> 500 (app.py:388-390)
         return {"error": str(e)}, 500
+
+
+def corpus_stats(engine: VectorSearchEngine) -> tuple[dict, int]:
+    """GET /stats (EXTENSION — not a reference route): the dataset-card
+    summary of the corpus behind the engine
+    (``operators.curation.dataset_card``)."""
+    from .operators.curation import dataset_card
+
+    try:
+        row = dataset_card(engine.spark, engine.sf_dir).collect()[0]
+        return row.asDict(), 200
+    except Exception as e:  # mirror the catch-all contract
+        return {"error": str(e)}, 500

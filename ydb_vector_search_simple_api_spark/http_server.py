@@ -157,6 +157,19 @@ API_SPEC: dict = {
                 "responses": {"200": {"description": "HTML page"}},
             }
         },
+        "/stats": {
+            "get": {
+                "summary": "EXTENSION: dataset-card corpus summary",
+                "responses": {
+                    "200": {
+                        "description": (
+                            "n_docs, n_tokens, n_langs, n_sources, "
+                            "dup_rate, mean_quality"
+                        )
+                    }
+                },
+            }
+        },
         "/search": {
             "post": {
                 "summary": "Vector similarity search",
@@ -298,6 +311,8 @@ def make_handler(engine: api.VectorSearchEngine) -> type[BaseHTTPRequestHandler]
                 self._send_json(*api.config_echo(engine))
             elif self.path == "/apispec.json":
                 self._send_json(API_SPEC, 200)
+            elif self.path == "/stats":
+                self._send_json(*api.corpus_stats(engine))
             elif self.path in ("/", "/index.html", "/apidocs"):
                 html = APIDOCS_HTML if self.path == "/apidocs" else INDEX_HTML
                 body = html.encode()
