@@ -1076,6 +1076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair construction: adjacent-chunk positives + prime-shift
     # derangement negatives, ids-only join)
     q["contrastive_pairs"] = lambda s, d: curation.contrastive_pairs(s, d)
+    # sibling: document_splits (the SINK: (split, source)-partitioned
+    # parquet write, manifest read BACK from the written files —
+    # round-trip proven, directory-prunable by trainers)
+    q["export_curated"] = lambda s, d: curation.export_curated(s, d)
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1380,6 +1384,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["dataset_card"] = oracles_curation.dataset_card_sql()
     o["histogram_quantiles"] = oracles_temporal.histogram_quantiles_sql()
     o["contrastive_pairs"] = oracles_curation.contrastive_pairs_sql()
+    o["export_curated"] = oracles_curation.export_manifest_sql()
     o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()
     o["user_session_numbers"] = oracles_text.SESSION_NUMBERS
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES

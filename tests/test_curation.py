@@ -436,3 +436,26 @@ def test_contrastive_pairs_structure(spark):
     assert same / len(rows) < 0.05
     # deterministic
     assert rows == C.contrastive_pairs(spark, SF_SMALL).collect()
+
+
+def test_export_curated_partition_layout(spark, tmp_path):
+    import os
+    from ydb_vector_search_simple_api_spark.operators import curation as C
+
+    out = str(tmp_path / "export")
+    manifest = {
+        (r.split, r.source): r.n_docs
+        for r in C.export_curated(spark, SF_SMALL, out_dir=out).collect()
+    }
+    assert manifest
+    # hive layout exists and every manifest cell has a directory
+    for (split, source) in manifest:
+        assert os.path.isdir(os.path.join(out, f"split={split}", f"source={source}"))
+    # directory pruning: reading one partition returns exactly its count
+    some_split, some_source = next(iter(manifest))
+    n = (
+        spark.read.parquet(out)
+        .filter(f"split = '{some_split}' AND source = '{some_source}'")
+        .count()
+    )
+    assert n == manifest[(some_split, some_source)]

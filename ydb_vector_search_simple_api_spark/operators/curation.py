@@ -920,3 +920,45 @@ def contrastive_pairs(
             (F.col("neg_doc_id") == F.col("doc_id")).alias("neg_same_doc"),
         )
     )
+
+
+def export_curated(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """The sink side of the pipeline: write the corpus as the
+    training-ready layout — parquet partitioned by (split, source) —
+    and return the manifest read BACK from the written files
+    (round-trip proof, not a promise): per partition, doc and token
+    counts. Readers prune by split/source directory, so a trainer
+    touching train/src0 reads exactly those files.
+
+    The write shuffles once on the partition keys (repartition before
+    partitionBy, so each partition directory gets one file per
+    shuffle partition rather than one per input task). Output (split,
+    source, n_docs, n_tokens) from the round-trip read."""
+    import os
+    import tempfile
+    import uuid
+
+    from .sampling import split_assign
+
+    out = out_dir or os.path.join(
+        tempfile.gettempdir(), f"svs_export_{uuid.uuid4().hex[:8]}"
+    )
+    d = load_documents(spark, sf_dir).withColumn(
+        "split", split_assign(F.col("doc_id"))
+    )
+    (
+        d.repartition("split", "source")
+        .write.mode("overwrite")
+        .partitionBy("split", "source")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TXT.token_count("text")).cast("bigint").alias("n_tokens"),
+        )
+    )

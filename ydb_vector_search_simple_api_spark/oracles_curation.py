@@ -399,3 +399,21 @@ FROM anchors a
 CROSS JOIN total t
 JOIN ranked n2 ON n2.rn = ((a.rn - 1 + {shift}) % t.n) + 1
 """
+
+
+def export_manifest_sql() -> str:
+    from .oracles_text import TOKS
+    from .operators.sampling import PREFIX_HEX, _threshold_hex
+
+    t1, t2 = _threshold_hex(0.8), _threshold_hex(0.9)
+    draw = f"substr(md5(CAST(doc_id AS VARCHAR)), 1, {PREFIX_HEX})"
+    return f"""
+SELECT CASE WHEN {draw} < '{t1}' THEN 'train'
+            WHEN {draw} < '{t2}' THEN 'valid'
+            ELSE 'test' END AS split,
+       source,
+       count(*)::BIGINT AS n_docs,
+       sum(len({TOKS}))::BIGINT AS n_tokens
+FROM documents
+GROUP BY 1, 2
+"""
