@@ -1049,6 +1049,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: session_rollup + event_transitions (sequence mining:
     # top 3-step event-type paths within 30-min-gap sessions)
     q["session_paths"] = temporal.session_paths
+    # sibling: session_rollup + funnel_conversion (supervised label
+    # generation: purchase-within-horizon after each session — the
+    # leak-free propensity training-set shape)
+    q["session_labels"] = temporal.session_labels
     # sibling: lang_id / quality_filter (weak supervision: regex
     # labeling-function panel, majority vote + agreement diagnostics)
     q["weak_labels"] = textual.weak_labels
@@ -1376,6 +1380,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["graph_stats"] = oracles_text.graph_stats_sql()
     o["type_value_trends"] = oracles_temporal.TYPE_VALUE_TRENDS
     o["session_paths"] = oracles_temporal.session_paths_sql()
+    o["session_labels"] = oracles_temporal.session_labels_sql()
     o["weak_labels"] = oracles_text.weak_labels_sql()
     o["augment_dropout"] = oracles_text.augment_token_dropout_sql()
     o["gazetteer_entities"] = oracles_text.gazetteer_sql()

@@ -442,3 +442,25 @@ def test_histogram_quantiles_rank_accuracy(spark):
             assert n_below <= target, (t, p, n_below, target)
             n_at_or_below_upper = sum(1 for v in vals if v <= est + width + 1e-9)
             assert n_at_or_below_upper >= target, (t, p)
+
+
+def test_session_labels_no_leakage_and_horizon(spark):
+    """Label=1 sessions must have a purchase strictly AFTER their last
+    event and within 24h; label=0 sessions must have none."""
+    import datetime
+    from collections import defaultdict
+    from ydb_vector_search_simple_api_spark.operators import temporal as T
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+    rows = T.session_labels(spark, SF_SMALL).collect()
+    assert rows and any(r.label == 1 for r in rows) and any(r.label == 0 for r in rows)
+    purch = defaultdict(list)
+    for e in load_events(spark, SF_SMALL).filter("event_type = 'purchase'").collect():
+        purch[e.user_id].append(e.ts)
+    H = datetime.timedelta(hours=24)
+    for r in rows:
+        hits = [
+            t for t in purch.get(r.user_id, [])
+            if r.session_end_last < t <= r.session_end_last + H
+        ]
+        assert (len(hits) > 0) == (r.label == 1), r

@@ -457,3 +457,58 @@ def session_paths(
         .filter(F.col("rk") <= top_n)
         .select("path", "n", "rk")
     )
+
+
+def session_labels(
+    spark: SparkSession, sf_dir: str, horizon_hours: int = 24
+) -> DataFrame:
+    """Supervised-label generation: every user session labeled 1 iff
+    the user makes a ``purchase`` within ``horizon_hours`` AFTER the
+    session's last event — the propensity-model training-set shape
+    (features come from the session, the label strictly from the
+    future, so there is no leakage by construction).
+
+    Sessionization is the lag/cumsum pass; the label probe joins each
+    session to the user's purchase timestamps once (per-user keyed
+    join, purchases only — a small fraction of events), with the
+    half-open (last_ts, last_ts + horizon] window evaluated in the
+    join condition. Output (user_id, session_start, session_end_last,
+    n_events, label)."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) >= F.expr("interval 30 minutes")),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("n", new_s)
+        .withColumn("sid", F.sum("n").over(run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end_last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    probe = sess.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("session_end_last"))
+        & (
+            F.col("p_ts")
+            <= F.col("session_end_last") + F.expr(f"interval {horizon_hours} hours")
+        ),
+        "left",
+    )
+    return (
+        probe.groupBy("user_id", "session_start", "session_end_last", "n_events")
+        .agg(F.max(F.col("p_ts").isNotNull().cast("int")).cast("int").alias("label"))
+    )

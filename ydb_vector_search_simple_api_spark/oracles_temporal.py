@@ -391,3 +391,32 @@ SELECT event_type, n,
        ROUND(lo + b99::DOUBLE * ((hi - lo) / {float(n_buckets)}), 6) + 0.0 AS p99
 FROM g CROSS JOIN bounds
 """
+
+
+def session_labels_sql(horizon_hours: int = 24) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess_rows AS (
+  SELECT *, SUM(new_s) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS sid FROM flagged
+), sess AS (
+  SELECT user_id, sid, MIN(ts) AS session_start,
+         MAX(ts) AS session_end_last, COUNT(*)::BIGINT AS n_events
+  FROM sess_rows GROUP BY user_id, sid
+)
+SELECT s.user_id, s.session_start, s.session_end_last, s.n_events,
+       CASE WHEN EXISTS (
+         SELECT 1 FROM e p
+         WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+           AND p.ts > s.session_end_last
+           AND p.ts <= s.session_end_last + INTERVAL {horizon_hours} HOUR
+       ) THEN 1 ELSE 0 END AS label
+FROM sess s
+"""
