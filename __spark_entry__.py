@@ -1076,6 +1076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # where sketches are engine-specific, so this one carries a full
     # SQL oracle)
     q["histogram_quantiles"] = stats.histogram_quantiles
+    # sibling: type_value_trends (experimentation analytics: md5-arm
+    # split + Welch's t from exact per-arm sums)
+    q["ab_test_report"] = stats.ab_test_report
     # siblings: chunk_documents + hard_negatives (self-supervised
     # pair construction: adjacent-chunk positives + prime-shift
     # derangement negatives, ids-only join)
@@ -1388,6 +1391,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["type_correlations"] = oracles_temporal.TYPE_CORRELATIONS
     o["dataset_card"] = oracles_curation.dataset_card_sql()
     o["histogram_quantiles"] = oracles_temporal.histogram_quantiles_sql()
+    o["ab_test_report"] = oracles_temporal.ab_test_report_sql()
     o["contrastive_pairs"] = oracles_curation.contrastive_pairs_sql()
     o["export_curated"] = oracles_curation.export_manifest_sql()
     o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()

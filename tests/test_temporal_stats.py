@@ -464,3 +464,34 @@ def test_session_labels_no_leakage_and_horizon(spark):
             if r.session_end_last < t <= r.session_end_last + H
         ]
         assert (len(hits) > 0) == (r.label == 1), r
+
+
+def test_ab_test_report_replay(spark):
+    """Replay one event type's Welch t in numpy."""
+    import numpy as np
+    from ydb_vector_search_simple_api_spark.operators import stats as S
+    from ydb_vector_search_simple_api_spark.operators.sampling import (
+        PREFIX_HEX,
+        _threshold_hex,
+    )
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+    import hashlib
+
+    rows = {r.event_type: r for r in S.ab_test_report(spark, SF_SMALL).collect()}
+    ev = load_events(spark, SF_SMALL).select("event_type", "user_id", "value").collect()
+    thr = _threshold_hex(0.5)
+    etype = next(iter(rows))
+    arms = {"c": [], "t": []}
+    for e in ev:
+        if e.event_type != etype:
+            continue
+        d = hashlib.md5(str(e.user_id).encode()).hexdigest()[:PREFIX_HEX]
+        arms["c" if d < thr else "t"].append(round(e.value * 1e6))
+    c = np.array(arms["c"], dtype=np.float64) / 1e6
+    t = np.array(arms["t"], dtype=np.float64) / 1e6
+    r = rows[etype]
+    assert r.n_c == len(c) and r.n_t == len(t)
+    assert abs(r.mean_c - round(c.mean(), 6)) < 1e-6
+    diff = t.mean() - c.mean()
+    se = (c.var(ddof=1) / len(c) + t.var(ddof=1) / len(t)) ** 0.5
+    assert abs(r.t_stat - diff / se) < 1e-3

@@ -499,3 +499,78 @@ def histogram_quantiles(
         edge("b90").alias("p90"),
         edge("b99").alias("p99"),
     )
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation primitive: users deterministically split
+    into control/treatment by md5 draw (the sampling.py contract — a
+    real assignment service does exactly this hash-bucket split), then
+    per event_type a difference-in-means report on ``value`` with
+    Welch's t statistic.
+
+    Everything derives from exact per-arm sums (n, Σy, Σy² in
+    micro-units) in ONE map-side-combinable groupBy over the fact
+    table; the t statistic is a handful of scalar float ops on the
+    5×2-row aggregate. Output (event_type, n_c, n_t, mean_c, mean_t,
+    diff, t_stat) rounded to 6."""
+    from .sampling import PREFIX_HEX, _threshold_hex
+
+    thr = _threshold_hex(0.5)
+    ev = load_events(spark, sf_dir).select("event_type", "user_id", "value")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, PREFIX_HEX)
+        < F.lit(thr),
+        F.lit("c"),
+    ).otherwise(F.lit("t"))
+    y = F.round(F.col("value") * F.lit(1e6)).cast("long")
+    g = (
+        ev.select("event_type", arm.alias("arm"), y.alias("y"))
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("decimal(38,0)").alias("sy"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        )
+    )
+    c = g.filter(F.col("arm") == "c").select(
+        "event_type",
+        F.col("n").alias("n_c"), F.col("sy").alias("sy_c"), F.col("syy").alias("syy_c"),
+    )
+    t = g.filter(F.col("arm") == "t").select(
+        "event_type",
+        F.col("n").alias("n_t"), F.col("sy").alias("sy_t"), F.col("syy").alias("syy_t"),
+    )
+    j = c.join(t, "event_type")
+    # means/variances in VALUE units (micro-units / 1e6)
+    mean_c = F.col("sy_c").cast("double") / F.col("n_c").cast("double") / 1e6
+    mean_t = F.col("sy_t").cast("double") / F.col("n_t").cast("double") / 1e6
+    # sample variance: (Σy² − (Σy)²/n) / (n−1), micro² → value²
+    # x*x, not pow(x, 2): pow can differ from the multiply in the last
+    # ulp across libm implementations, and the oracle multiplies
+    var_c = (
+        (
+            F.col("syy_c").cast("double")
+            - F.col("sy_c").cast("double") * F.col("sy_c").cast("double") / F.col("n_c").cast("double")
+        )
+        / (F.col("n_c").cast("double") - 1.0)
+        / 1e12
+    )
+    var_t = (
+        (
+            F.col("syy_t").cast("double")
+            - F.col("sy_t").cast("double") * F.col("sy_t").cast("double") / F.col("n_t").cast("double")
+        )
+        / (F.col("n_t").cast("double") - 1.0)
+        / 1e12
+    )
+    se = F.sqrt(var_c / F.col("n_c").cast("double") + var_t / F.col("n_t").cast("double"))
+    diff = mean_t - mean_c
+    return j.select(
+        "event_type",
+        F.col("n_c").cast("bigint").alias("n_c"),
+        F.col("n_t").cast("bigint").alias("n_t"),
+        (F.round(mean_c, 6) + F.lit(0.0)).alias("mean_c"),
+        (F.round(mean_t, 6) + F.lit(0.0)).alias("mean_t"),
+        (F.round(diff, 6) + F.lit(0.0)).alias("diff"),
+        (F.round(diff / se, 6) + F.lit(0.0)).alias("t_stat"),
+    )

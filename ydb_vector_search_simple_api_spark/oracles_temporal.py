@@ -420,3 +420,39 @@ SELECT s.user_id, s.session_start, s.session_end_last, s.n_events,
        ) THEN 1 ELSE 0 END AS label
 FROM sess s
 """
+
+
+def ab_test_report_sql() -> str:
+    from .operators.sampling import PREFIX_HEX, _threshold_hex
+
+    thr = _threshold_hex(0.5)
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, {PREFIX_HEX}) < '{thr}'
+              THEN 'c' ELSE 't' END AS arm,
+         ROUND(value * 1000000.0)::BIGINT AS y
+  FROM events
+),
+g AS (
+  SELECT event_type, arm, count(*)::BIGINT AS n,
+         sum(y) AS sy, sum(y*y) AS syy
+  FROM base GROUP BY event_type, arm
+),
+j AS (
+  SELECT c.event_type,
+         c.n AS n_c, c.sy::DOUBLE AS sy_c, c.syy::DOUBLE AS syy_c,
+         t.n AS n_t, t.sy::DOUBLE AS sy_t, t.syy::DOUBLE AS syy_t
+  FROM g c JOIN g t ON c.event_type = t.event_type
+  WHERE c.arm = 'c' AND t.arm = 't'
+)
+SELECT event_type, n_c, n_t,
+       ROUND(sy_c / n_c::DOUBLE / 1e6, 6) + 0.0 AS mean_c,
+       ROUND(sy_t / n_t::DOUBLE / 1e6, 6) + 0.0 AS mean_t,
+       ROUND(sy_t / n_t::DOUBLE / 1e6 - sy_c / n_c::DOUBLE / 1e6, 6) + 0.0 AS diff,
+       ROUND((sy_t / n_t::DOUBLE / 1e6 - sy_c / n_c::DOUBLE / 1e6)
+             / sqrt(((syy_c - sy_c*sy_c / n_c::DOUBLE) / (n_c::DOUBLE - 1.0) / 1e12) / n_c::DOUBLE
+                    + ((syy_t - sy_t*sy_t / n_t::DOUBLE) / (n_t::DOUBLE - 1.0) / 1e12) / n_t::DOUBLE),
+             6) + 0.0 AS t_stat
+FROM j
+"""
