@@ -1194,6 +1194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Arrow-fingerprint incremental dedup (production twin of the
     # in-cap md5 form; cross-variant agreement in tests/test_dedup.py)
     q["incremental_dedup_arrow"] = lambda s, d: dedup.incremental_dedup_arrow(s, d)
+    # the MAINTAINED-STATE path: screen against the on-disk
+    # fingerprint store (built once, upserted per batch — the
+    # ivf_upsert pattern for dedup state); must equal the recompute
+    # form, so it shares incremental_dedup's oracle SQL
+    q["incremental_dedup_store"] = lambda s, d: dedup.incremental_dedup_store(s, d)
     # the ANN width-knob contract as a machine-checked surface:
     # recall@10 of pruned IVF widths vs exact, 8 stored queries
     # (monotonicity + exact-at-full-width pinned in tests/test_index.py)
@@ -1392,6 +1397,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["dataset_card"] = oracles_curation.dataset_card_sql()
     o["histogram_quantiles"] = oracles_temporal.histogram_quantiles_sql()
     o["ab_test_report"] = oracles_temporal.ab_test_report_sql()
+    o["incremental_dedup_store"] = oracles_text.incremental_dedup_sql()
     o["contrastive_pairs"] = oracles_curation.contrastive_pairs_sql()
     o["export_curated"] = oracles_curation.export_manifest_sql()
     o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()

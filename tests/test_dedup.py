@@ -271,3 +271,27 @@ def test_incremental_dedup_arrow_agrees_with_md5_form(spark):
     assert {k: (v.is_exact_dup, v.n_shared_fps) for k, v in b.items()} == {
         k: (v.is_exact_dup, v.n_shared_fps) for k, v in b2.items()
     }
+
+
+def test_fingerprint_store_upsert_extends_membership(spark, tmp_path):
+    """After upserting a batch, its docs screen as exact dups; before,
+    they don't. The store path must equal the recompute path."""
+    from pyspark.sql import functions as F
+    from ydb_vector_search_simple_api_spark.operators import dedup as D
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    d = load_documents(spark, SF_SMALL).select("doc_id", "text")
+    first = d.filter(F.col("doc_id") < 300)
+    batch = d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+    store = str(tmp_path / "store")
+    D.build_fingerprint_store(spark, first, store)
+
+    pre = {r.doc_id: r for r in D.screen_against_store(spark, batch, store).collect()}
+    # most of the new batch should not be exact dups of the first 300
+    assert sum(1 for r in pre.values() if not r.is_exact_dup) > 0
+
+    D.fingerprint_store_upsert(spark, batch, store)
+    post = {r.doc_id: r for r in D.screen_against_store(spark, batch, store).collect()}
+    # after upsert, every batch doc's own hash is in the store
+    assert all(r.is_exact_dup for r in post.values())
+    assert all(r.n_shared_fps > 0 for r in post.values() if r.n_shared_fps is not None)

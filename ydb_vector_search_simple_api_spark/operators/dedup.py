@@ -933,3 +933,145 @@ def incremental_dedup_arrow(
         "is_exact_dup",
         F.coalesce(F.col("n_shared_fps"), F.lit(0)).cast("bigint").alias("n_shared_fps"),
     )
+
+
+def build_fingerprint_store(
+    spark: "SparkSession",
+    docs_df: DataFrame,
+    path: str,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Materialize the dedup state as an on-disk STORE — the
+    production form of :func:`incremental_dedup`'s 'existing side'
+    (which recomputes fingerprints per call): two parquet tables under
+    ``path``, ``hashes`` (distinct content md5s) and ``fps`` (distinct
+    winnowing fingerprints). New batches screen against the store
+    without touching the original corpus; admissions append via
+    :func:`fingerprint_store_upsert` — the same maintained-state
+    pattern as ivf_upsert. Returns counts."""
+    d = docs_df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    hashes = d.select(TXT.content_fingerprint("text").alias("content_hash")).distinct()
+    hashes.write.mode("overwrite").parquet(f"{path}/hashes")
+    target = d.sparkSession.sparkContext.defaultParallelism
+    fps = (
+        d.select("doc_id", TXT.char_kgram_hashes("text", k).alias("h"))
+        .repartition(target, "doc_id")
+        .select(TXT.winnow_mins(F.col("h"), window).alias("fps"))
+        .select(F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )
+    fps.write.mode("overwrite").parquet(f"{path}/fps")
+    spark_ = d.sparkSession
+    return {
+        "n_hashes": spark_.read.parquet(f"{path}/hashes").count(),
+        "n_fps": spark_.read.parquet(f"{path}/fps").count(),
+    }
+
+
+def screen_against_store(
+    spark: "SparkSession",
+    new_df: DataFrame,
+    path: str,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Screen a new batch against a fingerprint store: same output
+    contract as :func:`incremental_dedup` — (doc_id, is_exact_dup,
+    n_shared_fps) — but the existing side is the store's parquet,
+    never the original documents. The delta drives both keyed joins;
+    store reads are columnar scans of hash/fp columns only."""
+    d = new_df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    ex_h = spark.read.parquet(f"{path}/hashes").withColumn("seen", F.lit(1))
+    inc_h = d.select("doc_id", TXT.content_fingerprint("text").alias("content_hash"))
+    exact = inc_h.join(ex_h, "content_hash", "left").select(
+        "doc_id", F.col("seen").isNotNull().alias("is_exact_dup")
+    )
+    target = spark.sparkContext.defaultParallelism
+    inc_f = (
+        d.select("doc_id", TXT.char_kgram_hashes("text", k).alias("h"))
+        .repartition(target, "doc_id")
+        .select("doc_id", TXT.winnow_mins(F.col("h"), window).alias("fps"))
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    ex_f = spark.read.parquet(f"{path}/fps")
+    shared = (
+        inc_f.join(ex_f, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    return exact.join(shared, "doc_id", "left").select(
+        "doc_id",
+        "is_exact_dup",
+        F.coalesce(F.col("n_shared_fps"), F.lit(0)).cast("bigint").alias("n_shared_fps"),
+    )
+
+
+def fingerprint_store_upsert(
+    spark: "SparkSession",
+    admitted_df: DataFrame,
+    path: str,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append an admitted batch's hashes and fingerprints to the
+    store (duplicate rows are harmless for membership semantics; a
+    periodic compaction rewrites DISTINCT, the ivf_compact pattern).
+    Returns the number of appended fingerprint rows."""
+    d = admitted_df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    d.select(TXT.content_fingerprint("text").alias("content_hash")).distinct().write.mode(
+        "append"
+    ).parquet(f"{path}/hashes")
+    target = spark.sparkContext.defaultParallelism
+    fps = (
+        d.select("doc_id", TXT.char_kgram_hashes("text", k).alias("h"))
+        .repartition(target, "doc_id")
+        .select(TXT.winnow_mins(F.col("h"), window).alias("fps"))
+        .select(F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = fps.count()
+    fps.write.mode("append").parquet(f"{path}/fps")
+    return n
+
+
+def incremental_dedup_store(
+    spark: "SparkSession", sf_dir: str, existing_frac: float = 0.9
+) -> DataFrame:
+    """Gate entry: the store-backed screen must equal
+    :func:`incremental_dedup` exactly (same oracle SQL) — the
+    maintained-state path producing the identical answer. Builds the
+    store from the 'existing' split into a deterministic temp dir,
+    then screens the 'incoming' split against it."""
+    import hashlib as _hashlib
+    import os
+    import tempfile
+
+    from ..sources.store import load_documents
+    from .sampling import _draw, _threshold_hex
+
+    thr = _threshold_hex(existing_frac)
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    existing = d.filter(_draw(F.col("doc_id")) < F.lit(thr))
+    incoming = d.filter(~(_draw(F.col("doc_id")) < F.lit(thr)))
+    tag = _hashlib.md5(f"{sf_dir}:{existing_frac}".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"svs_fpstore_{tag}")
+    if not os.path.exists(os.path.join(path, "fps")):
+        build_fingerprint_store(spark, existing, path)
+    return screen_against_store(spark, incoming, path)
