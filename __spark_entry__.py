@@ -982,6 +982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: hourly_locf (gap-filled trailing moving average over
     # the calendar grid)
     q["revenue_moving_avg"] = relational.revenue_moving_avg
+    # sibling: table_profile (pre-join sanity: per-side keys, coverage
+    # and actual join cardinality)
+    q["join_cardinality_report"] = relational.join_cardinality_report
     # sibling: funnel_conversion (ordered event-sequence analytics:
     # first-order Markov transition probabilities per event type)
     q["event_transitions"] = temporal.event_transitions
@@ -1354,6 +1357,7 @@ FROM events GROUP BY user_id, event_type
     o["priority_with_returns"] = oracles_rel.priority_with_returns_sql()
     o["important_parts"] = oracles_rel.important_parts_sql()
     o["revenue_moving_avg"] = oracles_rel.revenue_moving_avg_sql()
+    o["join_cardinality_report"] = oracles_rel.JOIN_CARDINALITY_REPORT
     o["purchase_attribution"] = oracles_text.PURCHASE_ATTRIBUTION
 
     o["surge_windows"] = oracles_temporal.SURGE_WINDOWS

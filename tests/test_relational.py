@@ -216,3 +216,12 @@ def test_revenue_moving_avg_window(spark):
         lo = max(0, i - 6)
         window = revs[lo : i + 1]
         assert abs(r.moving_avg - round(sum(window) / len(window), 6)) < 1e-6
+
+
+def test_join_cardinality_invariants(spark):
+    r = R.join_cardinality_report(spark, SF_SMALL).collect()[0]
+    assert r.n_order_keys <= r.n_orders
+    assert r.n_matched_keys <= min(r.n_order_keys, r.n_lineitem_keys)
+    # orderkey is unique in orders, so the join cannot exceed lineitems
+    assert r.n_join_rows <= r.n_lineitems
+    assert r.n_join_rows > 0

@@ -550,3 +550,43 @@ def revenue_moving_avg(spark: SparkSession, sf_dir: str, days: int = 7) -> DataF
             + F.lit(0.0)
         ).alias("moving_avg"),
     )
+
+
+def join_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join sanity diagnostic for the orders⋈lineitem equi-join:
+    per-side row and distinct-key counts, key-coverage (how many of
+    each side's keys appear on the other), and the ACTUAL join
+    cardinality — the numbers an engineer checks before shipping a
+    join that might explode (a many-to-many key would make
+    actual >> max(rows)). One aggregation per side plus the join
+    count; all map-side combinable. Output one row (n_orders,
+    n_lineitems, n_order_keys, n_lineitem_keys, n_matched_keys,
+    n_join_rows)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o_stats = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_orderkey").alias("n_order_keys"),
+    )
+    li_stats = li.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.count_distinct("l_orderkey").alias("n_lineitem_keys"),
+    )
+    matched = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .distinct()
+        .join(o.select(F.col("o_orderkey").alias("k")).distinct(), "k", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_matched_keys"))
+    )
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_join_rows")
+    )
+    return (
+        o_stats.crossJoin(F.broadcast(li_stats))
+        .crossJoin(F.broadcast(matched))
+        .crossJoin(F.broadcast(joined))
+        .select(
+            "n_orders", "n_lineitems", "n_order_keys",
+            "n_lineitem_keys", "n_matched_keys", "n_join_rows",
+        )
+    )

@@ -266,3 +266,15 @@ SELECT day,
 FROM filled
 WINDOW w AS (ORDER BY day ROWS BETWEEN {days - 1} PRECEDING AND CURRENT ROW)
 """
+
+
+JOIN_CARDINALITY_REPORT = """
+SELECT
+  (SELECT count(*) FROM orders)::BIGINT AS n_orders,
+  (SELECT count(*) FROM lineitem)::BIGINT AS n_lineitems,
+  (SELECT count(DISTINCT o_orderkey) FROM orders)::BIGINT AS n_order_keys,
+  (SELECT count(DISTINCT l_orderkey) FROM lineitem)::BIGINT AS n_lineitem_keys,
+  (SELECT count(DISTINCT l_orderkey) FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders))::BIGINT AS n_matched_keys,
+  (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey)::BIGINT AS n_join_rows
+"""
