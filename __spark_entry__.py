@@ -1082,6 +1082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: type_value_trends (experimentation analytics: md5-arm
     # split + Welch's t from exact per-arm sums)
     q["ab_test_report"] = stats.ab_test_report
+    # sibling: ab_test_report (CUPED variance reduction: pre-period
+    # covariate adjustment, decimal-exact moments)
+    q["ab_test_cuped"] = stats.ab_test_cuped
     # siblings: chunk_documents + hard_negatives (self-supervised
     # pair construction: adjacent-chunk positives + prime-shift
     # derangement negatives, ids-only join)
@@ -1090,6 +1093,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # parquet write, manifest read BACK from the written files —
     # round-trip proven, directory-prunable by trainers)
     q["export_curated"] = lambda s, d: curation.export_curated(s, d)
+    # sibling: quality_filter + dedup_exact_groups (calibration: does
+    # the quality signal anticorrelate with duplication)
+    q["quality_vs_dup_rate"] = curation.quality_vs_dup_rate
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1401,9 +1407,11 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["dataset_card"] = oracles_curation.dataset_card_sql()
     o["histogram_quantiles"] = oracles_temporal.histogram_quantiles_sql()
     o["ab_test_report"] = oracles_temporal.ab_test_report_sql()
+    o["ab_test_cuped"] = oracles_temporal.ab_test_cuped_sql()
     o["incremental_dedup_store"] = oracles_text.incremental_dedup_sql()
     o["contrastive_pairs"] = oracles_curation.contrastive_pairs_sql()
     o["export_curated"] = oracles_curation.export_manifest_sql()
+    o["quality_vs_dup_rate"] = oracles_curation.quality_vs_dup_rate_sql()
     o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()
     o["user_session_numbers"] = oracles_text.SESSION_NUMBERS
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES

@@ -459,3 +459,15 @@ def test_export_curated_partition_layout(spark, tmp_path):
         .count()
     )
     assert n == manifest[(some_split, some_source)]
+
+
+def test_quality_vs_dup_rate_partitions(spark):
+    from ydb_vector_search_simple_api_spark.operators import curation as C
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    rows = C.quality_vs_dup_rate(spark, SF_SMALL).collect()
+    assert rows
+    assert sum(r.n_docs for r in rows) == load_documents(spark, SF_SMALL).count()
+    for r in rows:
+        assert 0 <= r.q_bucket <= 9
+        assert 0.0 <= r.dup_rate <= 1.0

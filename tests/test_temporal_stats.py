@@ -495,3 +495,14 @@ def test_ab_test_report_replay(spark):
     diff = t.mean() - c.mean()
     se = (c.var(ddof=1) / len(c) + t.var(ddof=1) / len(t)) ** 0.5
     assert abs(r.t_stat - diff / se) < 1e-3
+
+
+def test_ab_test_cuped_reduces_variance(spark):
+    from ydb_vector_search_simple_api_spark.operators import stats as S
+
+    r = S.ab_test_cuped(spark, SF_SMALL).collect()[0]
+    assert r.n_users > 0
+    # CUPED cannot increase variance when theta is the OLS slope
+    assert 0.0 < r.var_ratio <= 1.0 + 1e-6
+    # adjusted and plain estimates agree in order of magnitude
+    assert abs(r.diff_cuped - r.diff_plain) < 10.0

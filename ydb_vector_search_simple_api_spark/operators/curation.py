@@ -962,3 +962,39 @@ def export_curated(
             F.sum(TXT.token_count("text")).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def quality_vs_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-calibration diagnostic: does the quality score actually
+    anticorrelate with duplication? Docs bucket by floor(quality·10)
+    (fixed-width — no global sort, unlike ntile) and each bucket
+    reports its exact-duplicate share (docs whose content hash appears
+    more than once in the corpus). Output (q_bucket, n_docs, n_dups,
+    dup_rate)."""
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    per_doc = d.select(
+        "doc_id",
+        F.least(
+            F.floor((F.round(TXT.quality_score("text"), 6) + F.lit(0.0)) * 10).cast("int"),
+            F.lit(9),
+        ).alias("q_bucket"),
+        TXT.content_fingerprint("text").alias("h"),
+    )
+    counts = per_doc.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        per_doc.join(counts, "h")
+        .groupBy("q_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_copies") > 1).cast("bigint")).alias("n_dups"),
+        )
+        .select(
+            "q_bucket",
+            "n_docs",
+            "n_dups",
+            (
+                F.round(F.col("n_dups").cast("double") / F.col("n_docs").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("dup_rate"),
+        )
+    )

@@ -574,3 +574,127 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(diff, 6) + F.lit(0.0)).alias("diff"),
         (F.round(diff / se, 6) + F.lit(0.0)).alias("t_stat"),
     )
+
+
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) on the
+    deterministic A/B split: each user's PRE-period mean value (first
+    half of the event range) is the covariate; the post-period metric
+    is adjusted as ``y − θ·(x − x̄)`` with ``θ = cov(x,y)/var(x)``
+    estimated pooled. Reports the plain and CUPED-adjusted
+    treatment-effect estimates plus the variance-reduction ratio —
+    the standard online-experimentation speedup.
+
+    Shape: two keyed aggregations (per-user pre and post means), a
+    per-user join, then scalar moments over the user table (all
+    map-side combinable). User means round to 6 before the moment
+    pass so θ is engine-portable. Output one row (n_users, theta,
+    diff_plain, diff_cuped, var_ratio) rounded to 6."""
+    from .sampling import PREFIX_HEX, _threshold_hex
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    mid = ev.agg(
+        F.timestamp_seconds(
+            (
+                F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))
+            )
+            / 2
+        ).alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid))
+    mean6 = lambda c: F.round(  # noqa: E731
+        F.sum(F.col(c).cast("decimal(18,6)")).cast("double")
+        / F.count(F.lit(1)).cast("double"),
+        6,
+    ) + F.lit(0.0)
+    pre = (
+        tagged.filter(F.col("ts") < F.col("mid"))
+        .groupBy("user_id")
+        .agg(mean6("value").alias("x"))
+    )
+    post = (
+        tagged.filter(F.col("ts") >= F.col("mid"))
+        .groupBy("user_id")
+        .agg(mean6("value").alias("y"))
+    )
+    thr = _threshold_hex(0.5)
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, PREFIX_HEX)
+        < F.lit(thr),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    u = pre.join(post, "user_id").select("user_id", "x", "y", arm.alias("t"))
+    # every floating sum goes through decimal so the moments are
+    # aggregation-order invariant (x, y are 6-decimal; products round
+    # to 12 identically in both engines before the exact sum)
+    m = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    theta = (
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+        / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+    )
+    adj = u.crossJoin(F.broadcast(m)).select(
+        "t",
+        "y",
+        # y_adj rounds to 9 so its moment sums are decimal-exact
+        (
+            F.round(
+                F.col("y") - theta * (F.col("x") - F.col("sx") / F.col("n")), 9
+            )
+            + F.lit(0.0)
+        ).alias("y_adj"),
+        theta.alias("theta"),
+    )
+    g = adj.groupBy("t").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("y").cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("y") * F.col("y"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("y_adj").cast("decimal(28,9)")).cast("double").alias("sa"),
+        F.sum(F.round(F.col("y_adj") * F.col("y_adj"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("saa"),
+        F.first("theta").alias("theta"),
+    )
+    c = g.filter(F.col("t") == 0).select(
+        F.col("n").alias("n0"), F.col("sy").alias("sy0"), F.col("syy").alias("syy0"),
+        F.col("sa").alias("sa0"), F.col("saa").alias("saa0"), "theta",
+    )
+    t = g.filter(F.col("t") == 1).select(
+        F.col("n").alias("n1"), F.col("sy").alias("sy1"), F.col("syy").alias("syy1"),
+        F.col("sa").alias("sa1"), F.col("saa").alias("saa1"),
+    )
+    j = c.crossJoin(t)
+    var_plain = (
+        (F.col("syy0") - F.col("sy0") * F.col("sy0") / F.col("n0")) / (F.col("n0") - 1)
+        + (F.col("syy1") - F.col("sy1") * F.col("sy1") / F.col("n1")) / (F.col("n1") - 1)
+    )
+    var_adj = (
+        (F.col("saa0") - F.col("sa0") * F.col("sa0") / F.col("n0")) / (F.col("n0") - 1)
+        + (F.col("saa1") - F.col("sa1") * F.col("sa1") / F.col("n1")) / (F.col("n1") - 1)
+    )
+    return j.select(
+        (F.col("n0") + F.col("n1")).cast("bigint").alias("n_users"),
+        (F.round(F.col("theta"), 6) + F.lit(0.0)).alias("theta"),
+        (
+            F.round(F.col("sy1") / F.col("n1") - F.col("sy0") / F.col("n0"), 6)
+            + F.lit(0.0)
+        ).alias("diff_plain"),
+        (
+            F.round(F.col("sa1") / F.col("n1") - F.col("sa0") / F.col("n0"), 6)
+            + F.lit(0.0)
+        ).alias("diff_cuped"),
+        (F.round(var_adj / var_plain, 6) + F.lit(0.0)).alias("var_ratio"),
+    )

@@ -417,3 +417,30 @@ SELECT CASE WHEN {draw} < '{t1}' THEN 'train'
 FROM documents
 GROUP BY 1, 2
 """
+
+
+def quality_vs_dup_rate_sql() -> str:
+    from .oracles_text import LANG_STOPWORDS, NORM, TOKS, _stop_count
+
+    q_expr = f"""ROUND((len(list_distinct(t))::DOUBLE / len(t)::DOUBLE
+        + (CASE WHEN len(t)::DOUBLE >= 32.0 THEN 1.0 ELSE len(t)::DOUBLE / 32.0 END)
+        + (CASE WHEN {_stop_count(LANG_STOPWORDS["en"])}::DOUBLE / len(t)::DOUBLE > 0.5
+                THEN 0.0
+                ELSE 1.0 - {_stop_count(LANG_STOPWORDS["en"])}::DOUBLE / len(t)::DOUBLE END)
+       ) / 3.0, 6) + 0.0"""
+    return f"""
+WITH toks AS (SELECT doc_id, text, {TOKS} AS t FROM documents),
+per_doc AS (
+  SELECT doc_id,
+         least(floor(({q_expr}) * 10)::INT, 9) AS q_bucket,
+         md5({NORM}) AS h
+  FROM toks
+),
+counts AS (SELECT h, count(*)::BIGINT AS n_copies FROM per_doc GROUP BY h)
+SELECT q_bucket, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+       ROUND(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) + 0.0 AS dup_rate
+FROM per_doc JOIN counts USING (h)
+GROUP BY q_bucket
+"""

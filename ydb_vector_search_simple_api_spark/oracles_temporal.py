@@ -456,3 +456,70 @@ SELECT event_type, n_c, n_t,
              6) + 0.0 AS t_stat
 FROM j
 """
+
+
+def ab_test_cuped_sql() -> str:
+    from .operators.sampling import PREFIX_HEX, _threshold_hex
+
+    thr = _threshold_hex(0.5)
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+),
+mid AS (
+  SELECT to_timestamp((floor(epoch(min(ts)))::BIGINT
+                       + floor(epoch(max(ts)))::BIGINT) / 2) AS mid
+  FROM ev
+),
+pre AS (
+  SELECT user_id,
+         ROUND(CAST(sum(value::DECIMAL(18,6)) AS DOUBLE) / count(*)::DOUBLE, 6) + 0.0 AS x
+  FROM ev CROSS JOIN mid WHERE ts < mid GROUP BY user_id
+),
+post AS (
+  SELECT user_id,
+         ROUND(CAST(sum(value::DECIMAL(18,6)) AS DOUBLE) / count(*)::DOUBLE, 6) + 0.0 AS y
+  FROM ev CROSS JOIN mid WHERE ts >= mid GROUP BY user_id
+),
+u AS (
+  SELECT pre.user_id, x, y,
+         CASE WHEN substr(md5(CAST(pre.user_id AS VARCHAR)), 1, {PREFIX_HEX}) < '{thr}'
+              THEN 0 ELSE 1 END AS t
+  FROM pre JOIN post ON pre.user_id = post.user_id
+),
+m AS (
+  SELECT count(*)::DOUBLE AS n,
+         CAST(sum(x::DECIMAL(18,6)) AS DOUBLE) AS sx,
+         CAST(sum(y::DECIMAL(18,6)) AS DOUBLE) AS sy,
+         CAST(sum(ROUND(x*y, 12)::DECIMAL(28,12)) AS DOUBLE) AS sxy,
+         CAST(sum(ROUND(x*x, 12)::DECIMAL(28,12)) AS DOUBLE) AS sxx
+  FROM u
+),
+adj AS (
+  SELECT t, y,
+         ROUND(y - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * (x - sx/n), 9) + 0.0 AS y_adj,
+         (sxy - sx*sy/n) / (sxx - sx*sx/n) AS theta
+  FROM u CROSS JOIN m
+),
+g AS (
+  SELECT t, count(*)::DOUBLE AS n,
+         CAST(sum(y::DECIMAL(18,6)) AS DOUBLE) AS sy,
+         CAST(sum(ROUND(y*y, 12)::DECIMAL(28,12)) AS DOUBLE) AS syy,
+         CAST(sum(y_adj::DECIMAL(28,9)) AS DOUBLE) AS sa,
+         CAST(sum(ROUND(y_adj*y_adj, 12)::DECIMAL(38,12)) AS DOUBLE) AS saa,
+         any_value(theta) AS theta
+  FROM adj GROUP BY t
+),
+j AS (
+  SELECT c.n AS n0, c.sy AS sy0, c.syy AS syy0, c.sa AS sa0, c.saa AS saa0, c.theta,
+         t.n AS n1, t.sy AS sy1, t.syy AS syy1, t.sa AS sa1, t.saa AS saa1
+  FROM g c JOIN g t ON c.t = 0 AND t.t = 1
+)
+SELECT (n0 + n1)::BIGINT AS n_users,
+       ROUND(theta, 6) + 0.0 AS theta,
+       ROUND(sy1/n1 - sy0/n0, 6) + 0.0 AS diff_plain,
+       ROUND(sa1/n1 - sa0/n0, 6) + 0.0 AS diff_cuped,
+       ROUND(((saa0 - sa0*sa0/n0)/(n0-1) + (saa1 - sa1*sa1/n1)/(n1-1))
+             / ((syy0 - sy0*sy0/n0)/(n0-1) + (syy1 - sy1*sy1/n1)/(n1-1)), 6) + 0.0 AS var_ratio
+FROM j
+"""
