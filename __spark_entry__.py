@@ -1074,6 +1074,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: lang_profile (the dataset card: the one-row corpus
     # summary a pipeline publishes with a training set)
     q["dataset_card"] = curation.dataset_card
+    # sibling: lang_profile (corpus-mix cross-tab: language x quality
+    # bucket with per-language shares)
+    q["lang_quality_matrix"] = textual.lang_quality_matrix
+    # sibling: retention_cohorts (engagement stickiness: exact DAU /
+    # trailing-7-day WAU from the user-day grain)
+    q["dau_wau"] = stats.dau_wau
     # sibling: value_percentiles (the DETERMINISTIC mergeable-quantile
     # path: fixed-width histogram + cumulative readout — bit-stable
     # where sketches are engine-specific, so this one carries a full
@@ -1405,6 +1411,8 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["entity_cooccurrence"] = oracles_text.entity_cooccurrence_sql()
     o["type_correlations"] = oracles_temporal.TYPE_CORRELATIONS
     o["dataset_card"] = oracles_curation.dataset_card_sql()
+    o["lang_quality_matrix"] = oracles_text.lang_quality_matrix_sql()
+    o["dau_wau"] = oracles_temporal.DAU_WAU
     o["histogram_quantiles"] = oracles_temporal.histogram_quantiles_sql()
     o["ab_test_report"] = oracles_temporal.ab_test_report_sql()
     o["ab_test_cuped"] = oracles_temporal.ab_test_cuped_sql()

@@ -506,3 +506,13 @@ def test_ab_test_cuped_reduces_variance(spark):
     assert 0.0 < r.var_ratio <= 1.0 + 1e-6
     # adjusted and plain estimates agree in order of magnitude
     assert abs(r.diff_cuped - r.diff_plain) < 10.0
+
+
+def test_dau_wau_bounds(spark):
+    from ydb_vector_search_simple_api_spark.operators import stats as S
+
+    rows = S.dau_wau(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.dau <= r.wau
+        assert 0.0 < r.stickiness <= 1.0

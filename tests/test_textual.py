@@ -174,3 +174,16 @@ def test_entity_cooccurrence_bounds(spark):
         assert r.n_both > 0 and r.lift > 0
     keys = [(r.entity_a, r.entity_b) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_lang_quality_matrix_shares(spark):
+    from collections import defaultdict
+    from ydb_vector_search_simple_api_spark.operators import textual as TX
+
+    rows = TX.lang_quality_matrix(spark, SF_SMALL).collect()
+    assert rows
+    per_lang = defaultdict(float)
+    for r in rows:
+        per_lang[r.lang] += r.lang_share
+    for lang, tot in per_lang.items():
+        assert abs(tot - 1.0) < 1e-4, lang

@@ -698,3 +698,44 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("diff_cuped"),
         (F.round(var_adj / var_plain, 6) + F.lit(0.0)).alias("var_ratio"),
     )
+
+
+def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness: per calendar day, the distinct active
+    users that day (DAU), in the trailing 7 days (WAU), and their
+    ratio. Exact trailing distinct counts come from the (user, day)
+    grain joined to the day grid within a 6-day lookback — user-day
+    rows, not raw events, drive the join, and the grid is
+    calendar-bounded. Output (day, dau, wau, stickiness)."""
+    ev = load_events(spark, sf_dir).select(
+        F.date_trunc("DAY", F.col("ts").cast("timestamp")).alias("day"), "user_id"
+    )
+    user_days = ev.distinct()
+    daily = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("g_day")
+    )
+    wau = (
+        user_days.join(
+            F.broadcast(grid),
+            (F.col("day") <= F.col("g_day"))
+            & (F.col("day") > F.col("g_day") - F.expr("interval 7 days")),
+        )
+        .select("g_day", "user_id")
+        .distinct()
+        .groupBy("g_day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        daily.join(wau, daily["day"] == wau["g_day"])
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (
+                F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("stickiness"),
+        )
+    )

@@ -810,3 +810,32 @@ def entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "entity_b")
         .select("entity_a", "entity_b", "n_both", lift.alias("lift"))
     )
+
+
+def lang_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab of language × quality bucket (floor(q·10), capped at
+    9) with per-cell share of the language's docs — the corpus-mix
+    report reviewers read before training. One narrow projection + one
+    keyed count; language totals broadcast back. Output (lang,
+    q_bucket, n_docs, lang_share)."""
+    d = load_documents(spark, sf_dir)
+    per = d.select(
+        "lang",
+        F.least(
+            F.floor((F.round(TXT.quality_score("text"), 6) + F.lit(0.0)) * 10).cast(
+                "int"
+            ),
+            F.lit(9),
+        ).alias("q_bucket"),
+    )
+    cells = per.groupBy("lang", "q_bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "q_bucket",
+        "n_docs",
+        (
+            F.round(F.col("n_docs").cast("double") / F.col("n_lang").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("lang_share"),
+    )

@@ -523,3 +523,23 @@ SELECT (n0 + n1)::BIGINT AS n_users,
              / ((syy0 - sy0*sy0/n0)/(n0-1) + (syy1 - sy1*sy1/n1)/(n1-1)), 6) + 0.0 AS var_ratio
 FROM j
 """
+
+
+DAU_WAU = """
+WITH ud AS (
+  SELECT DISTINCT date_trunc('day', ts::TIMESTAMP) AS day, user_id FROM events
+),
+daily AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+grid AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS g_day FROM bounds
+),
+wau AS (
+  SELECT g_day, count(DISTINCT user_id)::BIGINT AS wau
+  FROM ud JOIN grid ON day <= g_day AND day > g_day - INTERVAL 7 DAY
+  GROUP BY g_day
+)
+SELECT daily.day, dau, wau,
+       ROUND(dau::DOUBLE / wau::DOUBLE, 6) + 0.0 AS stickiness
+FROM daily JOIN wau ON daily.day = wau.g_day
+"""

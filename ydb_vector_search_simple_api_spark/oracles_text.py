@@ -963,3 +963,27 @@ SELECT user_id, event_id,
        )::BIGINT AS session_no
 FROM flagged
 """
+
+
+def lang_quality_matrix_sql() -> str:
+    from .oracles_text import LANG_STOPWORDS as _LS  # self-import safe
+
+    q_expr = f"""ROUND((len(list_distinct(t))::DOUBLE / len(t)::DOUBLE
+        + (CASE WHEN len(t)::DOUBLE >= 32.0 THEN 1.0 ELSE len(t)::DOUBLE / 32.0 END)
+        + (CASE WHEN {_stop_count(LANG_STOPWORDS["en"])}::DOUBLE / len(t)::DOUBLE > 0.5
+                THEN 0.0
+                ELSE 1.0 - {_stop_count(LANG_STOPWORDS["en"])}::DOUBLE / len(t)::DOUBLE END)
+       ) / 3.0, 6) + 0.0"""
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {TOKS} AS t FROM documents),
+per AS (
+  SELECT lang, least(floor(({q_expr}) * 10)::INT, 9) AS q_bucket FROM toks
+),
+cells AS (
+  SELECT lang, q_bucket, count(*)::BIGINT AS n_docs FROM per GROUP BY lang, q_bucket
+),
+totals AS (SELECT lang, sum(n_docs)::BIGINT AS n_lang FROM cells GROUP BY lang)
+SELECT lang, q_bucket, n_docs,
+       ROUND(n_docs::DOUBLE / n_lang::DOUBLE, 6) + 0.0 AS lang_share
+FROM cells JOIN totals USING (lang)
+"""
