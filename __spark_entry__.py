@@ -985,6 +985,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: table_profile (pre-join sanity: per-side keys, coverage
     # and actual join cardinality)
     q["join_cardinality_report"] = relational.join_cardinality_report
+    # sibling: revenue_moving_avg (growth reporting: weekly revenue
+    # with lag-based percent change)
+    q["revenue_wow_change"] = relational.revenue_wow_change
+    # sibling: table_profile (temporal data-quality drift: null rates
+    # first half vs second half per probed column)
+    q["null_rate_drift"] = stats.null_rate_drift
     # sibling: funnel_conversion (ordered event-sequence analytics:
     # first-order Markov transition probabilities per event type)
     q["event_transitions"] = temporal.event_transitions
@@ -1370,6 +1376,8 @@ FROM events GROUP BY user_id, event_type
     o["important_parts"] = oracles_rel.important_parts_sql()
     o["revenue_moving_avg"] = oracles_rel.revenue_moving_avg_sql()
     o["join_cardinality_report"] = oracles_rel.JOIN_CARDINALITY_REPORT
+    o["revenue_wow_change"] = oracles_rel.REVENUE_WOW_CHANGE
+    o["null_rate_drift"] = oracles_temporal.NULL_RATE_DRIFT
     o["purchase_attribution"] = oracles_text.PURCHASE_ATTRIBUTION
 
     o["surge_windows"] = oracles_temporal.SURGE_WINDOWS

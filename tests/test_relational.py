@@ -225,3 +225,12 @@ def test_join_cardinality_invariants(spark):
     # orderkey is unique in orders, so the join cannot exceed lineitems
     assert r.n_join_rows <= r.n_lineitems
     assert r.n_join_rows > 0
+
+
+def test_revenue_wow_change_replay(spark):
+    rows = sorted(R.revenue_wow_change(spark, SF_SMALL).collect(), key=lambda r: r.week)
+    assert rows
+    assert rows[0].pct_change is None
+    for prev, cur in zip(rows, rows[1:]):
+        want = round((cur.revenue - prev.revenue) / prev.revenue * 100.0, 6)
+        assert abs(cur.pct_change - want) < 1e-4

@@ -516,3 +516,13 @@ def test_dau_wau_bounds(spark):
     for r in rows:
         assert 0 < r.dau <= r.wau
         assert 0.0 < r.stickiness <= 1.0
+
+
+def test_null_rate_drift_shape(spark):
+    from ydb_vector_search_simple_api_spark.operators import stats as S
+
+    rows = {r.column: r for r in S.null_rate_drift(spark, SF_SMALL).collect()}
+    assert set(rows) == {"props_k", "value", "event_type", "user_id"}
+    for r in rows.values():
+        assert 0.0 <= r.rate_first <= 1.0 and 0.0 <= r.rate_second <= 1.0
+        assert abs(r.drift - round(r.rate_second - r.rate_first, 6)) < 1e-4

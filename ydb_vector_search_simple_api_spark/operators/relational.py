@@ -590,3 +590,32 @@ def join_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lineitem_keys", "n_matched_keys", "n_join_rows",
         )
     )
+
+
+def revenue_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth report: weekly order revenue and its
+    percent change vs the previous calendar week (lag over the weekly
+    aggregate — date_trunc('week') keeps both engines on ISO Monday
+    boundaries). First week reports NULL change. Output (week,
+    revenue, pct_change)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("WEEK", "o_orderdate").alias("week"), "o_totalprice"
+    )
+    weekly = o.groupBy("week").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec")
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("rev_dec").over(w)
+    return weekly.select(
+        "week",
+        (F.round(F.col("rev_dec").cast("double"), 6) + F.lit(0.0)).alias("revenue"),
+        (
+            F.round(
+                (F.col("rev_dec").cast("double") - prev.cast("double"))
+                / prev.cast("double")
+                * 100.0,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("pct_change"),
+    )

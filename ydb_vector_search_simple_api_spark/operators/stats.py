@@ -739,3 +739,53 @@ def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+def null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality drift probe: per column of ``events``, the
+    JSON-extraction success/null rates in the FIRST vs SECOND half of
+    the time range (``props.k`` plus each raw column) — the check that
+    catches an upstream schema change mid-stream. One scan computes
+    every half×column cell. Output (column, rate_first, rate_second,
+    drift) with rates rounded to 6."""
+    ev = load_events(spark, sf_dir)
+    mid = ev.agg(
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2
+        ).alias("mid")
+    )
+    probes = {
+        "props_k": F.get_json_object("props", "$.k").isNull(),
+        "value": F.col("value").isNull(),
+        "event_type": F.col("event_type").isNull(),
+        "user_id": F.col("user_id").isNull(),
+    }
+    tagged = ev.crossJoin(F.broadcast(mid)).withColumn(
+        "half", (F.col("ts").cast("timestamp") >= F.col("mid")).cast("int")
+    )
+    aggs = []
+    for name, isnull in probes.items():
+        for h in (0, 1):
+            aggs.append(
+                (
+                    F.sum(
+                        (isnull & (F.col("half") == h)).cast("bigint")
+                    ).cast("double")
+                    / F.sum((F.col("half") == h).cast("bigint")).cast("double")
+                ).alias(f"{name}__{h}")
+            )
+    row = tagged.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column"),
+                (F.round(F.col(f"{name}__0"), 6) + F.lit(0.0)).alias("rate_first"),
+                (F.round(F.col(f"{name}__1"), 6) + F.lit(0.0)).alias("rate_second"),
+                (
+                    F.round(F.col(f"{name}__1") - F.col(f"{name}__0"), 6) + F.lit(0.0)
+                ).alias("drift"),
+            )
+            for name in probes
+        ]
+    )
+    return row.select(F.explode(structs).alias("p")).select("p.*")

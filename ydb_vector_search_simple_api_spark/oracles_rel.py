@@ -278,3 +278,17 @@ SELECT
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders))::BIGINT AS n_matched_keys,
   (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey)::BIGINT AS n_join_rows
 """
+
+
+REVENUE_WOW_CHANGE = """
+WITH weekly AS (
+  SELECT date_trunc('week', o_orderdate) AS week,
+         sum(o_totalprice::DECIMAL(18,6)) AS rev_dec
+  FROM orders GROUP BY week
+)
+SELECT week,
+       ROUND(rev_dec::DOUBLE, 6) + 0.0 AS revenue,
+       ROUND((rev_dec::DOUBLE - lag(rev_dec) OVER (ORDER BY week)::DOUBLE)
+             / lag(rev_dec) OVER (ORDER BY week)::DOUBLE * 100.0, 6) + 0.0 AS pct_change
+FROM weekly
+"""

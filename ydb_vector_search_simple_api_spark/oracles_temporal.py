@@ -543,3 +543,48 @@ SELECT daily.day, dau, wau,
        ROUND(dau::DOUBLE / wau::DOUBLE, 6) + 0.0 AS stickiness
 FROM daily JOIN wau ON daily.day = wau.g_day
 """
+
+
+NULL_RATE_DRIFT = """
+WITH mid AS (
+  SELECT to_timestamp((floor(epoch(min(ts::TIMESTAMP)))::BIGINT
+                       + floor(epoch(max(ts::TIMESTAMP)))::BIGINT) / 2) AS mid
+  FROM events
+),
+tagged AS (
+  SELECT *, CASE WHEN ts::TIMESTAMP >= mid THEN 1 ELSE 0 END AS half
+  FROM events CROSS JOIN mid
+),
+m AS (
+  SELECT
+    sum(CASE WHEN json_extract_string(props, '$.k') IS NULL AND half = 0 THEN 1 ELSE 0 END)::DOUBLE
+      / sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::DOUBLE AS props_k_0,
+    sum(CASE WHEN json_extract_string(props, '$.k') IS NULL AND half = 1 THEN 1 ELSE 0 END)::DOUBLE
+      / sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::DOUBLE AS props_k_1,
+    sum(CASE WHEN value IS NULL AND half = 0 THEN 1 ELSE 0 END)::DOUBLE
+      / sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::DOUBLE AS value_0,
+    sum(CASE WHEN value IS NULL AND half = 1 THEN 1 ELSE 0 END)::DOUBLE
+      / sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::DOUBLE AS value_1,
+    sum(CASE WHEN event_type IS NULL AND half = 0 THEN 1 ELSE 0 END)::DOUBLE
+      / sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::DOUBLE AS event_type_0,
+    sum(CASE WHEN event_type IS NULL AND half = 1 THEN 1 ELSE 0 END)::DOUBLE
+      / sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::DOUBLE AS event_type_1,
+    sum(CASE WHEN user_id IS NULL AND half = 0 THEN 1 ELSE 0 END)::DOUBLE
+      / sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::DOUBLE AS user_id_0,
+    sum(CASE WHEN user_id IS NULL AND half = 1 THEN 1 ELSE 0 END)::DOUBLE
+      / sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::DOUBLE AS user_id_1
+  FROM tagged
+)
+SELECT 'props_k' AS column, ROUND(props_k_0, 6) + 0.0 AS rate_first,
+       ROUND(props_k_1, 6) + 0.0 AS rate_second,
+       ROUND(props_k_1 - props_k_0, 6) + 0.0 AS drift FROM m
+UNION ALL
+SELECT 'value', ROUND(value_0, 6) + 0.0, ROUND(value_1, 6) + 0.0,
+       ROUND(value_1 - value_0, 6) + 0.0 FROM m
+UNION ALL
+SELECT 'event_type', ROUND(event_type_0, 6) + 0.0, ROUND(event_type_1, 6) + 0.0,
+       ROUND(event_type_1 - event_type_0, 6) + 0.0 FROM m
+UNION ALL
+SELECT 'user_id', ROUND(user_id_0, 6) + 0.0, ROUND(user_id_1, 6) + 0.0,
+       ROUND(user_id_1 - user_id_0, 6) + 0.0 FROM m
+"""
