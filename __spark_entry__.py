@@ -1086,6 +1086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: retention_cohorts (engagement stickiness: exact DAU /
     # trailing-7-day WAU from the user-day grain)
     q["dau_wau"] = stats.dau_wau
+    # sibling: events_hourly_stream's batch family (diurnal profile)
+    q["hour_of_day_profile"] = stats.hour_of_day_profile
+    # sibling: token_frequencies (grouped per-language top-k)
+    q["top_tokens_per_lang"] = textual.top_tokens_per_lang
     # sibling: value_percentiles (the DETERMINISTIC mergeable-quantile
     # path: fixed-width histogram + cumulative readout — bit-stable
     # where sketches are engine-specific, so this one carries a full
@@ -1421,6 +1425,8 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["dataset_card"] = oracles_curation.dataset_card_sql()
     o["lang_quality_matrix"] = oracles_text.lang_quality_matrix_sql()
     o["dau_wau"] = oracles_temporal.DAU_WAU
+    o["hour_of_day_profile"] = oracles_temporal.HOUR_OF_DAY_PROFILE
+    o["top_tokens_per_lang"] = oracles_text.top_tokens_per_lang_sql()
     o["histogram_quantiles"] = oracles_temporal.histogram_quantiles_sql()
     o["ab_test_report"] = oracles_temporal.ab_test_report_sql()
     o["ab_test_cuped"] = oracles_temporal.ab_test_cuped_sql()

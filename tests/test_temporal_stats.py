@@ -526,3 +526,12 @@ def test_null_rate_drift_shape(spark):
     for r in rows.values():
         assert 0.0 <= r.rate_first <= 1.0 and 0.0 <= r.rate_second <= 1.0
         assert abs(r.drift - round(r.rate_second - r.rate_first, 6)) < 1e-4
+
+
+def test_hour_of_day_profile_covers_all_events(spark):
+    from ydb_vector_search_simple_api_spark.operators import stats as S
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+    rows = S.hour_of_day_profile(spark, SF_SMALL).collect()
+    assert sum(r.n_events for r in rows) == load_events(spark, SF_SMALL).count()
+    assert all(0 <= r.hod <= 23 for r in rows)

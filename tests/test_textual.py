@@ -187,3 +187,16 @@ def test_lang_quality_matrix_shares(spark):
         per_lang[r.lang] += r.lang_share
     for lang, tot in per_lang.items():
         assert abs(tot - 1.0) < 1e-4, lang
+
+
+def test_top_tokens_per_lang_ranks(spark):
+    from collections import defaultdict
+    from ydb_vector_search_simple_api_spark.operators import textual as TX
+
+    rows = TX.top_tokens_per_lang(spark, SF_SMALL, top_n=5).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r.lang].append(r.rk)
+    for lang, rks in per.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert max(rks) <= 5

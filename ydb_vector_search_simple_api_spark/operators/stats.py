@@ -789,3 +789,28 @@ def null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return row.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: per hour-of-day (0–23) and event type, the
+    event count and decimal-exact mean value — the diurnal-pattern
+    report behind load forecasting and anomaly baselines. One
+    map-side-combinable groupBy. Output (event_type, hod, n_events,
+    avg_value)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type", F.hour(F.col("ts").cast("timestamp")).alias("hod")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_value"),
+        )
+    )

@@ -839,3 +839,27 @@ def lang_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("lang_share"),
     )
+
+
+def top_tokens_per_lang(
+    spark: SparkSession, sf_dir: str, top_n: int = 5
+) -> DataFrame:
+    """Grouped top-k over text: each language's ``top_n`` most
+    frequent tokens — the per-slice vocabulary snapshot (the global
+    variant is ``token_frequencies``). One keyed count (map-side
+    combine) then a window over the aggregated (lang, token) table.
+    Output (lang, token, cnt, rk)."""
+    from pyspark.sql import Window
+
+    d = load_documents(spark, sf_dir).select("lang", "text")
+    counts = (
+        d.select("lang", F.explode(TXT.tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= top_n)
+        .select("lang", "token", "cnt", "rk")
+    )

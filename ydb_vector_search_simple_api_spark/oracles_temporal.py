@@ -588,3 +588,11 @@ UNION ALL
 SELECT 'user_id', ROUND(user_id_0, 6) + 0.0, ROUND(user_id_1, 6) + 0.0,
        ROUND(user_id_1 - user_id_0, 6) + 0.0 FROM m
 """
+
+
+HOUR_OF_DAY_PROFILE = """
+SELECT event_type, hour(ts::TIMESTAMP)::INT AS hod,
+       count(*)::BIGINT AS n_events,
+       ROUND(CAST(sum(value::DECIMAL(18,6)) AS DOUBLE) / count(*)::DOUBLE, 6) + 0.0 AS avg_value
+FROM events GROUP BY event_type, hod
+"""

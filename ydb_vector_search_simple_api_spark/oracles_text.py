@@ -987,3 +987,19 @@ SELECT lang, q_bucket, n_docs,
        ROUND(n_docs::DOUBLE / n_lang::DOUBLE, 6) + 0.0 AS lang_share
 FROM cells JOIN totals USING (lang)
 """
+
+
+def top_tokens_per_lang_sql(top_n: int = 5) -> str:
+    return f"""
+WITH counts AS (
+  SELECT lang, unnest({TOKS}) AS token FROM documents
+),
+g AS (SELECT lang, token, count(*)::BIGINT AS cnt FROM counts GROUP BY lang, token)
+SELECT lang, token, cnt, rk FROM (
+  SELECT lang, token, cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY cnt DESC, token ASC
+         )::BIGINT AS rk
+  FROM g
+) WHERE rk <= {top_n}
+"""
