@@ -126,6 +126,26 @@ def _bq_index(spark: SparkSession, sf_dir: str):
     return _BQ_CACHE[key]
 
 
+_LEX_CACHE: dict[str, object] = {}
+
+
+def _lex_index(spark: SparkSession, sf_dir: str):
+    """Cached persisted BM25 postings/stats (the serving-path lexical
+    index — operators/ranking.py build_lexical_index)."""
+    key = sf_dir
+    if key not in _LEX_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(), f"svs_lex_{tag}")
+        marker = os.path.join(out, "_lexical_meta.json")
+        if os.path.exists(marker):
+            _LEX_CACHE[key] = ranking_mod.load_lexical_index(out)
+        else:
+            _LEX_CACHE[key] = ranking_mod.build_lexical_index(
+                spark, load_documents(spark, sf_dir), out
+            )
+    return _LEX_CACHE[key]
+
+
 def _mk_bq_rerank(strategy: str, k: int, shortlist: int | None):
     """Sign-bit Hamming shortlist -> exact rerank (operators/bq.py);
     shortlist=None keeps every row => exact (strong oracle)."""
@@ -1019,6 +1039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # decimal-summed per-term contributions — the text half of hybrid
     # search the reference's vector-only surface lacks)
     q["bm25_topk"] = lambda s, d: ranking_mod.bm25_topk(s, d)
+    # sibling: bm25_topk (the SERVING path: persisted postings/stats
+    # index, no per-request corpus scan; bit-identical => same oracle)
+    q["bm25_topk_indexed"] = lambda s, d: ranking_mod.bm25_topk_indexed(
+        s, _lex_index(s, d)
+    )
     # siblings: curate_corpus + events_distinct_pairs (CONTINUOUS
     # curation: per-micro-batch quality gate + dedup-on-arrival vs the
     # accumulated hash table; drained == the batch first-occurrence
@@ -1397,6 +1422,8 @@ FROM events GROUP BY user_id, event_type
     o["bpe_pair_counts"] = oracles_text.bpe_pair_counts_sql()
     o["key_skew_report"] = oracles_text.KEY_SKEW_REPORT
     o["bm25_topk"] = oracles_text.bm25_topk_sql(ranking_mod.QUERY_TERMS)
+    # the indexed serving path is bit-identical to the recompute form
+    o["bm25_topk_indexed"] = oracles_text.bm25_topk_sql(ranking_mod.QUERY_TERMS)
     o["hybrid_rrf"] = oracles_text.hybrid_rrf_sql(ranking_mod.QUERY_TERMS)
     # each event belongs to size/slide = 2 sliding windows: duplicate
     # into both hour-aligned starts, then group (Spark windows align

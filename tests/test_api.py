@@ -335,3 +335,56 @@ def test_hybrid_plus_filter_is_400_even_in_strict_index_mode(spark, qvec):
     )
     assert code == 400
     assert "hybrid_terms cannot be combined with filter" in payload["error"]
+
+
+# ------------------------------------------- serving broadcast build side
+
+
+def _assert_metadata_build_side_is_topk(df):
+    """The metadata join's broadcast BUILD side must be the k-row
+    result side; the documents table (the 100 TB side) must never be a
+    broadcast build input reading its wide columns. The title column
+    (`source`) is read ONLY by the metadata projection, so a broadcast
+    scan of documents shipping `source` == the corpus on the wire."""
+    from ydb_vector_search_simple_api_spark.plans import checks
+
+    subs = checks.broadcast_subtree_details(df)
+    assert subs, checks.formatted_plan(df)
+    for block in checks.broadcast_scan_blocks(df, "documents.parquet"):
+        assert "source" not in block, block
+
+
+def test_ivf_engine_metadata_build_side(qvec, ivf_engine_nonstrict):
+    _assert_metadata_build_side_is_topk(
+        ivf_engine_nonstrict.search_df(qvec, k=5, search_top_size=4)
+    )
+
+
+def test_ivf_engine_filtered_metadata_build_side(qvec, ivf_engine_nonstrict):
+    _assert_metadata_build_side_is_topk(
+        ivf_engine_nonstrict.search_df(
+            qvec, k=5, filter={"vendor": "fr"}, search_top_size=4
+        )
+    )
+
+
+def test_tree_engine_metadata_build_side(qvec, tree_engine):
+    _assert_metadata_build_side_is_topk(
+        tree_engine.search_df(qvec, k=5, search_top_size=9)
+    )
+
+
+def test_bq_engine_metadata_build_side(qvec, bq_engine):
+    _assert_metadata_build_side_is_topk(
+        bq_engine.search_df(qvec, k=5, search_top_size=500)
+    )
+
+
+def test_exact_engine_metadata_build_side(engine, qvec):
+    _assert_metadata_build_side_is_topk(engine.search_df(qvec, k=5))
+
+
+def test_hybrid_metadata_build_side(engine, qvec):
+    _assert_metadata_build_side_is_topk(
+        engine.search_hybrid_df(qvec, ["vector", "hash"], k=5)
+    )

@@ -133,3 +133,112 @@ def test_bm25_plan_has_no_token_stream_shuffle(spark):
     assert gens, plan
     terms_literal = "[" + ",".join(sorted(set(RK.QUERY_TERMS))) + "]"
     assert all(terms_literal in ln for ln in gens), plan
+
+
+# ----------------------------------------------------- lexical index
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def lex_index(spark, tmp_path_factory):
+    return RK.build_lexical_index(
+        spark,
+        load_documents(spark, SF_SMALL),
+        str(tmp_path_factory.mktemp("lex") / "lexical"),
+    )
+
+
+def test_indexed_bm25_equals_recompute_bit_for_bit(spark, lex_index):
+    """The serving contract: the persisted-postings path must equal the
+    full-recompute path exactly — same doubles, same order."""
+    docs = load_documents(spark, SF_SMALL)
+    for terms in (RK.QUERY_TERMS, ("vector",), ("hash", "stream", "zzz_absent")):
+        want = sorted(
+            (r.doc_id, r.score) for r in RK.bm25_scores(docs, terms).collect()
+        )
+        got = sorted(
+            (r.doc_id, r.score)
+            for r in RK.bm25_scores_indexed(spark, lex_index, terms).collect()
+        )
+        assert got == want
+
+
+def test_indexed_topk_equals_recompute(spark, lex_index):
+    want = [tuple(r) for r in RK.bm25_topk(spark, SF_SMALL, k=10).collect()]
+    got = [
+        tuple(r)
+        for r in RK.bm25_topk_indexed(spark, lex_index, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_indexed_load_roundtrip(lex_index, spark):
+    loaded = RK.load_lexical_index(lex_index.path)
+    assert loaded == lex_index
+    got = [tuple(r) for r in RK.bm25_topk_indexed(spark, loaded, k=5).collect()]
+    assert len(got) == 5
+
+
+def test_indexed_plan_reads_postings_not_corpus(spark, lex_index):
+    """Serving cost contract: the indexed path scans the postings
+    parquet with the term IN-filter PUSHED, and never touches the
+    documents table."""
+    from ydb_vector_search_simple_api_spark.plans import checks
+
+    df = RK.bm25_topk_indexed(spark, lex_index, k=10)
+    plan = checks.formatted_plan(df)
+    assert "documents.parquet" not in plan
+    pushed = checks.pushed_filters(df)
+    assert "token" in pushed, plan
+
+
+def test_hybrid_with_index_equals_recompute(spark, lex_index):
+    from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+    qv = [
+        float(x)
+        for x in load_embeddings(spark, SF_SMALL)
+        .filter(F.col("vec_id") == 0)
+        .head()
+        .embedding
+    ]
+    want = [
+        tuple(r) for r in RK.hybrid_rrf_topk(spark, SF_SMALL, qv, k=10).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in RK.hybrid_rrf_topk(
+            spark, SF_SMALL, qv, k=10, lexical_index=lex_index
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_engine_hybrid_serves_through_index(spark, lex_index):
+    """HTTP-layer twin: an engine holding a lexical index answers
+    hybrid requests identically to the recompute engine, without a
+    corpus scan in its hybrid plan's BM25 half."""
+    from ydb_vector_search_simple_api_spark import api
+
+    qv = [
+        float(x)
+        for x in __import__(
+            "ydb_vector_search_simple_api_spark.sources.store", fromlist=["x"]
+        )
+        .load_embeddings(spark, SF_SMALL)
+        .filter(F.col("vec_id") == 0)
+        .head()
+        .embedding
+    ]
+    plain = api.VectorSearchEngine(spark, SF_SMALL)
+    indexed = api.VectorSearchEngine(spark, SF_SMALL, lexical_index=lex_index)
+    body = {"embedding": qv, "k": 5, "hybrid_terms": list(RK.QUERY_TERMS)}
+    p1, c1 = api.search_request(plain, body)
+    p2, c2 = api.search_request(indexed, body)
+    assert c1 == c2 == 200
+    strip = lambda p: [  # noqa: E731
+        {k: v for k, v in r.items()} for r in p["results"]
+    ]
+    assert strip(p1) == strip(p2)

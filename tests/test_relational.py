@@ -234,3 +234,39 @@ def test_revenue_wow_change_replay(spark):
     for prev, cur in zip(rows, rows[1:]):
         want = round((cur.revenue - prev.revenue) / prev.revenue * 100.0, 6)
         assert abs(cur.pct_change - want) < 1e-4
+
+
+def test_broadcast_hint_is_size_gated(spark):
+    """hints.broadcast_if_small: under the byte threshold the dimension
+    is force-hinted (broadcast even when AQE's own threshold would say
+    no); past it the hint is withheld so AQE keeps its runtime veto.
+    Proven by disabling autoBroadcastJoinThreshold: then the ONLY way a
+    BroadcastHashJoin appears is our hint."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators.hints import (
+        broadcast_if_small,
+        plan_size_bytes,
+    )
+    from ydb_vector_search_simple_api_spark.sources.store import load_table
+
+    cust = load_table(spark, SF_SMALL, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, SF_SMALL, "orders").select("o_custkey", "o_totalprice")
+    assert plan_size_bytes(cust) > 0
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = orders.join(
+            broadcast_if_small(cust, max_bytes=1 << 30),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert checks.uses_broadcast_join(hinted), checks.simple_plan(hinted)
+
+        gated = orders.join(
+            broadcast_if_small(cust, max_bytes=0),  # "dimension grew 100x"
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert not checks.uses_broadcast_join(gated), checks.simple_plan(gated)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

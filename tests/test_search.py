@@ -82,6 +82,33 @@ def test_metadata_join_is_broadcast(spark, qvec):
     assert checks.uses_broadcast_join(df), checks.simple_plan(df)
 
 
+def test_metadata_join_build_side_is_topk(spark, qvec):
+    """The BUILD side of the post-top-k metadata join must be the
+    k-row top-k result; the documents table is the 100 TB side and
+    must stay the streamed probe. uses_broadcast_join passes either
+    way — this pins WHICH relation is broadcast."""
+    df = exact_search(spark, SF_SMALL, qvec, k=4)
+    subs = checks.broadcast_subtree_details(df)
+    assert subs, checks.formatted_plan(df)
+    # the broadcast build subtree is the top-k computation itself
+    assert any("TakeOrderedAndProject" in s for s in subs), subs
+    # and no broadcast build side scans the documents table at all in
+    # the unfiltered path (the metadata scan is probe-side only)
+    assert not checks.broadcast_scan_blocks(df, "documents.parquet"), subs
+
+
+def test_filtered_metadata_join_never_broadcasts_wide_docs(spark, qvec):
+    """The filtered path broadcasts the (narrow, pushed-down) id set —
+    fine. What must never happen is the WIDE metadata scan (the one
+    reading the title column `source`) riding a broadcast."""
+    df = exact_search(spark, SF_SMALL, qvec, k=4, filter={"vendor": "fr"})
+    doc_scans = checks.broadcast_scan_blocks(df, "documents.parquet")
+    for block in doc_scans:
+        assert "source" not in block, block
+    assert any("TakeOrderedAndProject" in s
+               for s in checks.broadcast_subtree_details(df))
+
+
 def test_filter_pushed_to_parquet_scan(spark, qvec):
     df = exact_search(spark, SF_SMALL, qvec, k=4, filter={"vendor": "fr"})
     pushed = checks.pushed_filters(df)

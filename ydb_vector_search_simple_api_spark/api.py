@@ -85,6 +85,11 @@ class VectorSearchEngine:
     index: ivf_mod.IvfIndex | tree_mod.KmeansTreeIndex | bq_mod.BqIndex | None = None
     #: pluggable text embedder (tests inject a fake; prod uses O13)
     embed_fn: Callable[[str], list[float]] | None = None
+    #: persisted BM25 postings/stats for the hybrid path; when set,
+    #: POST /search with hybrid_terms reads the index instead of
+    #: recomputing corpus statistics per request
+    #: (operators.ranking.build_lexical_index)
+    lexical_index: object | None = None
 
     def embed(self, query: str) -> list[float]:
         fn = self.embed_fn or get_query_embedding
@@ -101,6 +106,20 @@ class VectorSearchEngine:
         execute_search (app.py:230-264) incl. the strict-mode
         filter x index rejection (app.py:170-172)."""
         t0 = time.perf_counter()
+        df = self.search_df(embedding, k, filter, search_top_size)
+        results = [r.asDict() for r in df.collect()]
+        return results, time.perf_counter() - t0
+
+    def search_df(
+        self,
+        embedding: list[float],
+        k: int,
+        filter: dict | None = None,
+        search_top_size: int | None = None,
+    ):
+        """The un-collected DataFrame behind :meth:`search` — exposed so
+        the serving plan shape (broadcast build side = the k-row top-k,
+        never the corpus metadata) can be asserted in tests."""
         if self.config.index_enabled and self.index is not None:
             if filter and self.config.strict_filter_index_exclusion:
                 raise ValueError("Unable to use filter with enabled vector index.")
@@ -170,9 +189,12 @@ class VectorSearchEngine:
             )
             # re-sort after the metadata join (k rows, trivial):
             # ranked order must not rely on the join preserving
-            # stream-side order — mirrors exact_search
+            # stream-side order — mirrors exact_search. Broadcast the
+            # k-row TOP-K side; the documents table is the 100 TB side
+            # and stays the streamed probe (plan-asserted in
+            # tests/test_api.py).
             df = (
-                topk.join(F.broadcast(docs), "id", "inner")
+                F.broadcast(topk).join(docs, "id", "inner")
                 .select("id", "title", "vendor", "description", "score")
                 .orderBy(direction, F.col("id").asc())
             )
@@ -186,8 +208,7 @@ class VectorSearchEngine:
                 filter=filter,
                 columns=self.config.columns,
             )
-        results = [r.asDict() for r in df.collect()]
-        return results, time.perf_counter() - t0
+        return df
 
     def search_hybrid(
         self,
@@ -204,9 +225,22 @@ class VectorSearchEngine:
         Exact search only (index knobs don't apply to the lexical
         half); strict/non-strict filter semantics are unchanged — the
         hybrid path takes no filter."""
+        t0 = time.perf_counter()
+        df = self.search_hybrid_df(embedding, terms, k, pool=pool, kk=kk)
+        results = [r.asDict() for r in df.collect()]
+        return results, time.perf_counter() - t0
+
+    def search_hybrid_df(
+        self,
+        embedding: list[float],
+        terms: list[str],
+        k: int,
+        pool: int = 50,
+        kk: int = 60,
+    ):
+        """The un-collected DataFrame behind :meth:`search_hybrid`."""
         from .operators import ranking as ranking_mod
 
-        t0 = time.perf_counter()
         fused = ranking_mod.hybrid_rrf_topk(
             self.spark,
             self.sf_dir,
@@ -216,6 +250,7 @@ class VectorSearchEngine:
             pool=pool,
             kk=kk,
             strategy=self.config.strategy,
+            lexical_index=self.lexical_index,
         )
         m = self.config.columns
         docs = load_documents(self.spark, self.sf_dir).select(
@@ -224,8 +259,10 @@ class VectorSearchEngine:
             F.col(m.vendor).alias("vendor"),
             F.col(m.description).alias("description"),
         )
-        df = (
-            fused.join(F.broadcast(docs), "doc_id", "inner")
+        # broadcast the k-row fused list, stream the corpus metadata
+        # (same build-side contract as search_df)
+        return (
+            F.broadcast(fused).join(docs, "doc_id", "inner")
             .select(
                 F.col("doc_id").alias("id"),
                 "title",
@@ -235,8 +272,6 @@ class VectorSearchEngine:
             )
             .orderBy(F.col("score").desc(), F.col("id").asc())
         )
-        results = [r.asDict() for r in df.collect()]
-        return results, time.perf_counter() - t0
 
     def healthy(self) -> bool:
         """Connectivity probe: SELECT 1 (O16; app.py:89-102)."""

@@ -24,7 +24,10 @@ rows, never the corpus.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Sequence
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -115,6 +118,159 @@ def bm25_scores(
     )
 
 
+_LEX_META_FILE = "_lexical_meta.json"
+
+
+@dataclass(frozen=True)
+class LexicalIndex:
+    """Persisted BM25 state: a postings table + corpus stats, built
+    once offline so the serving path never rescans the corpus (the
+    ``build_ivf_index`` pattern applied to the lexical half).
+
+    Layout under ``path``:
+      * ``postings/`` — (token, doc_id, tf, dl) parquet, range-
+        partitioned and sorted by token so a term lookup prunes to a
+        handful of row groups via min/max stats + the pushed
+        ``token IN (...)`` filter;
+      * ``dfreq/`` — (token, df) parquet, same layout;
+      * ``_lexical_meta.json`` — k1/b and the corpus scalars
+        (n_docs, avgdl) the scoring formula needs.
+    """
+
+    path: str
+    k1: float
+    b: float
+    n_docs: float
+    avgdl: float
+
+
+def build_lexical_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> LexicalIndex:
+    """Offline lexical-index build: tokenize once, persist postings +
+    document frequencies + corpus stats. ``bm25_scores_indexed`` over
+    the result is bit-for-bit equal to the recompute ``bm25_scores``
+    (asserted in tests/test_ranking.py and by the shared SQL oracle).
+
+    Scale shape: ONE corpus tokenize (the explode is the build cost,
+    paid once), one (doc, token) count shuffle, one per-token count;
+    serving reads only the query terms' row groups."""
+    toks = TXT.tokens(text_col)
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("bigint").alias("dl"),
+        toks.alias("toks"),
+    )
+    postings = (
+        per_doc.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .repartitionByRange(F.col("token"))
+        .sortWithinPartitions("token", "doc_id")
+    )
+    postings.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+    dfreq = (
+        spark.read.parquet(os.path.join(out_dir, "postings"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .repartitionByRange(F.col("token"))
+        .sortWithinPartitions("token")
+    )
+    dfreq.write.mode("overwrite").parquet(os.path.join(out_dir, "dfreq"))
+    # the same stats aggregation bm25_scores computes inline — the
+    # doubles stored here are the exact doubles the recompute path sees
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    ).collect()[0]
+    meta = {
+        "k1": k1,
+        "b": b,
+        "n_docs": float(stats.n_docs),
+        "avgdl": float(stats.avgdl),
+    }
+    with open(os.path.join(out_dir, _LEX_META_FILE), "w") as f:
+        json.dump(meta, f)
+    return LexicalIndex(path=out_dir, **meta)
+
+
+def load_lexical_index(path: str) -> LexicalIndex:
+    with open(os.path.join(path, _LEX_META_FILE)) as f:
+        meta = json.load(f)
+    return LexicalIndex(path=path, **meta)
+
+
+def bm25_scores_indexed(
+    spark: SparkSession, index: LexicalIndex, terms: Sequence[str]
+) -> DataFrame:
+    """BM25 from the persisted postings — the serving path. Reads only
+    the query terms' postings (pushed IN-filter over the token-sorted
+    parquet); corpus scalars come from the index metadata, so no
+    corpus-sized scan happens per request. Output (doc_id, score),
+    bit-for-bit equal to :func:`bm25_scores` on the indexed corpus."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    uniq = sorted(set(terms))
+    post = spark.read.parquet(os.path.join(index.path, "postings")).filter(
+        F.col("token").isin(uniq)
+    )
+    dfreq = spark.read.parquet(os.path.join(index.path, "dfreq")).filter(
+        F.col("token").isin(uniq)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(index.n_docs) - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfn = (
+        F.col("tf").cast("double")
+        * F.lit(index.k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(index.k1)
+            * (
+                F.lit(1.0 - index.b)
+                + F.lit(index.b) * F.col("dl").cast("double") / F.lit(index.avgdl)
+            )
+        )
+    )
+    contrib = F.round(idf * tfn, 9).cast("decimal(20,9)")
+    return (
+        post.join(F.broadcast(dfreq), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("s"))
+        .select(
+            "doc_id",
+            (F.round(F.col("s").cast("double"), 6) + F.lit(0.0)).alias("score"),
+        )
+    )
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    index: LexicalIndex,
+    terms: Sequence[str] = QUERY_TERMS,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 through the persisted index. Output
+    (doc_id, score, rk) — same contract as :func:`bm25_topk`."""
+    scored = bm25_scores_indexed(spark, index, terms)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "score", "rk")
+    )
+
+
 def bm25_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -143,6 +299,7 @@ def hybrid_rrf_topk(
     pool: int = 50,
     kk: int = 60,
     strategy: str = "CosineSimilarity",
+    lexical_index: LexicalIndex | None = None,
 ) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 top-``pool``
     and the vector top-``pool`` lists. rrf = 1/(kk + r_bm25) +
@@ -151,10 +308,18 @@ def hybrid_rrf_topk(
 
     The fusion join moves 2·pool rows; each candidate list is produced
     by its native top-k machinery (decimal-summed BM25; codegen vector
-    scoring + TakeOrdered), so the hybrid inherits both scale paths."""
-    bm = bm25_topk(spark, sf_dir, terms, k=pool).select(
-        "doc_id", F.col("rk").alias("r_bm")
-    )
+    scoring + TakeOrdered), so the hybrid inherits both scale paths.
+    With ``lexical_index`` set, the BM25 half reads the persisted
+    postings instead of rescanning the corpus — the serving contract
+    (bit-identical lists, so the fusion is unchanged)."""
+    if lexical_index is not None:
+        bm = bm25_topk_indexed(spark, lexical_index, terms, k=pool).select(
+            "doc_id", F.col("rk").alias("r_bm")
+        )
+    else:
+        bm = bm25_topk(spark, sf_dir, terms, k=pool).select(
+            "doc_id", F.col("rk").alias("r_bm")
+        )
     score = F.round(
         score_expr(strategy, F.col("embedding"), list(query_vec)), 9
     )

@@ -5,7 +5,10 @@ The reference deliberately has no joins/aggregations/windows
 scope proving the engine's relational surface with stock Spark
 operators, shaped for scale:
 
-* dimension joins are broadcast (nation/region/customer vs lineitem);
+* dimension joins are broadcast (nation/region/customer vs lineitem),
+  but the hint is SIZE-GATED (hints.broadcast_if_small): a forced hint
+  bypasses AQE's threshold check, so a 100x-grown dimension must fall
+  back to AQE's runtime choice instead of OOMing the driver;
 * floating aggregations go through DECIMAL(18,6) per-row casts so the
   sums are exact and order-independent — bit-stable under any
   partitioning (a double sum is neither);
@@ -18,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .hints import broadcast_if_small as bcast_dim
 from ..sources.store import load_table
 
 DEC = "decimal(18,6)"
@@ -65,9 +69,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(bcast_dim(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast_dim(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(bcast_dim(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
             _dsum(F.col("rev")).alias("revenue"),
@@ -85,8 +89,8 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str, top: int = 3) -> 
     spend = (
         orders.groupBy("o_custkey")
         .agg(_dsum("o_totalprice").alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(bcast_dim(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast_dim(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     w = Window.partitionBy("n_name").orderBy(
         F.col("total_spend").desc(), F.col("o_custkey").asc()
@@ -263,7 +267,7 @@ def shipping_priority(
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") < cut)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast_dim(cust), F.col("o_custkey") == F.col("c_custkey"))
     )
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -309,7 +313,7 @@ def returned_items(spark: SparkSession, sf_dir: str, top: int = 20) -> DataFrame
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(_dsum("rev").alias("revenue"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast_dim(cust), F.col("o_custkey") == F.col("c_custkey"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(top)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "c_mktsegment")
@@ -340,9 +344,9 @@ def supplier_profit(
         (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        li.join(bcast_dim(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bcast_dim(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(bcast_dim(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), "o_year")
         .agg(
@@ -399,7 +403,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(bcast_dim(part), F.col("l_partkey") == F.col("p_partkey"))
     promo = F.when(F.col("p_type") == "ECONOMY", F.col("rev")).otherwise(F.lit(0.0))
     return j.agg(
         _dsum(promo).alias("promo_revenue"),
@@ -449,7 +453,7 @@ def cheapest_supplier_per_part(
         F.col("s_suppkey").asc(),
     )
     return (
-        ps.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        ps.join(bcast_dim(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(

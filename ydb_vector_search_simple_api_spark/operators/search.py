@@ -161,8 +161,12 @@ def exact_search(
         .orderBy(*_order_cols(strategy))
         .limit(k)
     )
-    # metadata joins in AFTER top-k: k rows, broadcast.
-    out = topk.join(F.broadcast(docs).alias("d"), "id", "inner").select(
+    # metadata joins in AFTER top-k: the BROADCAST side is the k-row
+    # top-k result, never the documents table — at 100 TB the corpus
+    # metadata is the big side and must stay the streamed probe side
+    # (the build side of the metadata join is plan-asserted in
+    # tests/test_search.py via plans.checks.broadcast_subtree_details)
+    out = F.broadcast(topk).join(docs, "id", "inner").select(
         "id", "title", "vendor", "description", "score"
     )
     return out.orderBy(*_order_cols(strategy))
