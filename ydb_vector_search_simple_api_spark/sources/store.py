@@ -39,8 +39,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+#: (applicationId, path) -> scan DataFrame. ``spark.read.parquet``
+#: re-lists the directory and re-reads footers on EVERY call (~0.3 s
+#: for the embeddings table) — measurable driver latency on a serving
+#: path that builds a fresh query plan per request. The store is
+#: immutable at rest (testdata contract), so the analyzed scan relation
+#: is reusable for the life of the Spark application; plans derived
+#: from it are still built fresh per query.
+_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    key = (spark.sparkContext.applicationId, table_path(sf_dir, name))
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        _SCAN_CACHE[key] = df
+    return df
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

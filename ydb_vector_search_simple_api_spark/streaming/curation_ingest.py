@@ -52,18 +52,32 @@ def stream_curation_ingest(
     os.makedirs(landing, exist_ok=True)
 
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    ids = [r.doc_id for r in docs.select("doc_id").collect()]
-    ids.sort()
-    per = (len(ids) + n_shards - 1) // n_shards
+    # shard boundaries from a quantile sketch: n_shards-1 cut scalars
+    # reach the driver instead of the whole doc_id column (a data-sized
+    # collect has no 100 TB twin). The drained result is boundary-
+    # invariant — any ascending-range partition processed in order
+    # yields the batch min-doc_id first-occurrence election — so the
+    # sketch's approximation error only moves shard SIZES, never rows.
+    probs = [i / n_shards for i in range(1, n_shards)]
+    cuts = (
+        list(
+            docs.select(
+                F.percentile_approx("doc_id", probs, 10_000).alias("c")
+            ).head().c
+        )
+        if probs
+        else []
+    )
     # ascending doc_id ranges, one file per shard, written in order so
     # the file source's drop-order pickup matches the batch election
-    for i in range(n_shards):
-        lo = ids[i * per] if i * per < len(ids) else None
-        if lo is None:
-            break
-        hi = ids[min((i + 1) * per, len(ids)) - 1]
+    for i, (lo, hi) in enumerate(zip([None, *cuts], [*cuts, None])):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("doc_id") > F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col("doc_id") <= F.lit(hi))
         (
-            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+            docs.filter(cond)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(os.path.join(landing, f"shard={i}"))
