@@ -6,24 +6,27 @@ from __future__ import annotations
 
 import __spark_entry__ as E
 
+# round-4 rotation: bm25_topk, cdc_merge, export_curated, graph_stats,
+# histogram_quantiles, ab_test_report promoted in-cap (VERDICT r3 #3);
+# their family siblings moved to the oracle-backed overflow window.
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
     "text_stats", "quality_filter", "hybrid_rrf", "incremental_dedup",
     "document_splits", "chunk_documents", "winnowing_fingerprints",
-    "dedup_exact_groups", "dedup_ngram_jaccard", "neardup_cosine",
-    "dedup_minhash_md5", "tfidf_top_terms", "decontaminate",
-    "curate_corpus", "curated_pack", "repetition_signals",
+    "dedup_exact_groups", "cdc_merge", "neardup_cosine",
+    "dedup_minhash_md5", "bm25_topk", "decontaminate",
+    "curate_corpus", "export_curated", "repetition_signals",
     "pq_rerank_full", "stream_interval_join", "dedup_components",
-    "source_token_budget", "pii_redaction", "multimodal_meta",
-    "events_hourly_stream", "events_distinct_pairs", "session_rollup",
-    "user_running_totals", "pricing_summary", "revenue_by_nation",
-    "top_customers_per_nation", "orders_rollup",
-    "customers_without_orders", "parts_ordered_by_brand",
+    "graph_stats", "source_token_budget", "pii_redaction",
+    "multimodal_meta", "events_hourly_stream", "events_distinct_pairs",
+    "session_rollup", "user_running_totals", "pricing_summary",
+    "revenue_by_nation", "top_customers_per_nation", "orders_rollup",
+    "customers_without_orders",
     "repeat_customers", "customer_revenue_deciles", "user_event_pivot",
     "sql_topk_cosine", "purchase_attribution", "surge_windows",
-    "events_in_surges", "hourly_locf", "value_percentiles",
-    "distinct_users_by_type", "props_k_stats", "label_centroids",
+    "events_in_surges", "hourly_locf", "histogram_quantiles",
+    "ab_test_report", "props_k_stats", "label_centroids",
 ]
 
 

@@ -345,3 +345,42 @@ def test_stats_route_serves_dataset_card(served):
         "n_docs", "n_tokens", "n_langs", "n_sources", "dup_rate", "mean_quality"
     }
     assert data["n_docs"] > 0 and 0.0 <= data["dup_rate"] < 1.0
+
+
+def test_hybrid_served_through_lexical_index_over_http(spark, qvec):
+    """Serving contract of the persisted BM25 index: an engine holding
+    a lexical_index answers POST /search hybrid requests over real
+    HTTP with byte-identical results to the recompute engine."""
+    from ydb_vector_search_simple_api_spark.operators import ranking as RK
+
+    import tempfile
+
+    lex = RK.build_lexical_index(
+        spark,
+        __import__(
+            "ydb_vector_search_simple_api_spark.sources.store", fromlist=["x"]
+        ).load_documents(spark, SF_SMALL),
+        tempfile.mkdtemp(prefix="svs_lex_http_") + "/lex",
+    )
+    results = {}
+    for name, eng in (
+        ("recompute", api.VectorSearchEngine(spark, SF_SMALL)),
+        ("indexed", api.VectorSearchEngine(spark, SF_SMALL, lexical_index=lex)),
+    ):
+        srv = http_server.serve(eng, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            code, data = _post(
+                f"http://127.0.0.1:{srv.server_address[1]}/search",
+                json.dumps(
+                    {"embedding": qvec, "k": 5,
+                     "hybrid_terms": ["vector", "hash", "stream"]}
+                ).encode(),
+            )
+        finally:
+            srv.shutdown()
+            srv.server_close()
+        assert code == 200, data
+        results[name] = data["results"]
+    assert results["indexed"] == results["recompute"]

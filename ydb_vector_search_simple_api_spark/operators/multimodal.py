@@ -297,19 +297,26 @@ def pcm_stats(spark: SparkSession, sf_dir: str, clip_len: int = 32) -> DataFrame
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real-format (JPEG/PNG/...) decode via Pillow when it is
-    installed — returns an (h, w, 3) uint8 RGB array. Pillow is an
-    OPTIONAL dependency (not in this container's baseline):  without
-    it this raises NotImplementedError and :func:`decode_raster`
-    remains the dependency-free decode path for the synthetic format.
-    The Spark-side pipeline (binary column -> mapInPandas batches) is
-    identical either way."""
+    """Real-format image decode -> (h, w, 3) uint8 RGB array.
+
+    Pillow handles every format when installed (optional dependency —
+    not in this container's baseline). Without Pillow, PNG decodes
+    through the vendored spec-subset codec (``functions/png.py``:
+    8-bit non-interlaced gray/RGB/alpha, all 5 scanline filters), so
+    the REAL decode path runs dependency-free; JPEG and other
+    entropy-coded formats stay behind the Pillow gate and raise
+    NotImplementedError honestly. The Spark-side pipeline (binary
+    column -> mapInPandas batches) is identical either way."""
     try:
         from PIL import Image
     except ImportError as exc:
+        from ..functions import png as _png
+
+        if bytes(payload[:8]) == _png.PNG_SIGNATURE:
+            return _png.decode_png(bytes(payload))
         raise NotImplementedError(
-            "image decode requires Pillow, which is not installed; "
-            "byte_histograms() demonstrates the identical plumbing"
+            "non-PNG image decode requires Pillow, which is not "
+            "installed; PNG decodes via the vendored functions/png.py"
         ) from exc
     import io
 
@@ -363,16 +370,22 @@ def sample_frames(
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Image resize via Pillow when installed (same optional-dependency
-    gate as :func:`decode_image`): decode -> bilinear resize -> PNG
-    bytes. Without Pillow this raises NotImplementedError; the
-    Spark-side batch plumbing for any per-payload transform is
-    demonstrated by :func:`byte_histograms` / :func:`sample_frames`."""
+    """Image resize: decode -> bilinear resize -> PNG bytes. Pillow
+    when installed; without it, PNG payloads run through the vendored
+    codec + NumPy bilinear kernel (``functions/png.py`` — same
+    half-pixel-aligned sampling grid as Pillow's BILINEAR), and
+    non-PNG formats raise NotImplementedError (same gate as
+    :func:`decode_image`)."""
     try:
         from PIL import Image
     except ImportError as exc:
+        from ..functions import png as _png
+
+        if bytes(payload[:8]) == _png.PNG_SIGNATURE:
+            arr = _png.decode_png(bytes(payload))
+            return _png.encode_png(_png.resize_bilinear(arr, width, height))
         raise NotImplementedError(
-            "image resize requires Pillow, which is not installed"
+            "non-PNG image resize requires Pillow, which is not installed"
         ) from exc
     import io
 
