@@ -33,6 +33,7 @@ from ydb_vector_search_simple_api_spark.operators import (
     sampling,
     textual,
 )
+from ydb_vector_search_simple_api_spark.operators import clustering as clustering_mod
 from ydb_vector_search_simple_api_spark.operators import enrich as enrich_mod
 from ydb_vector_search_simple_api_spark.operators import graph as graph_mod
 from ydb_vector_search_simple_api_spark.operators import ranking as ranking_mod
@@ -1150,6 +1151,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: quality_filter + dedup_exact_groups (calibration: does
     # the quality signal anticorrelate with duplication)
     q["quality_vs_dup_rate"] = curation.quality_vs_dup_rate
+    # siblings: label_centroids / knn_classify (seeded nearest-anchor
+    # assignment — pure relational math over the store, so the
+    # clustering itself is oracle-checkable; operators/clustering.py)
+    q["cluster_assign"] = lambda s, d: clustering_mod.cluster_assign(s, d)
+    # sibling: cluster_assign (occupancy + cohesion profile per
+    # cluster — the mixture-balancing readout)
+    q["cluster_profile"] = lambda s, d: clustering_mod.cluster_profile(s, d)
+    # siblings: cluster_assign + tfidf_top_terms (class-based c-TF-IDF
+    # top terms per cluster — the topic-audit readout)
+    q["cluster_topics"] = lambda s, d: clustering_mod.cluster_topics(s, d)
+    # sibling: table_profile (vector-store ingest QA: per-label norm
+    # stats, dimension drift, zero vectors — the pre-index sanity sweep)
+    q["embedding_qa_report"] = lambda s, d: clustering_mod.embedding_qa_report(s, d)
+    # siblings: topk_cosine + curated_pack (RAG context assembly:
+    # top-k retrieval -> greedy token-budget cut in rank order — the
+    # serving step that turns retrieval into an LLM prompt)
+    q["rag_context"] = lambda s, d: ranking_mod.rag_context(
+        s, d, _query_vec(s, d)
+    )
 
     # ============ rows-only entries (no SQL twin; pytest-covered) ====
     # batch embedding enrichment (deterministic fake embedder — the
@@ -1474,6 +1494,11 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["contrastive_pairs"] = oracles_curation.contrastive_pairs_sql()
     o["export_curated"] = oracles_curation.export_manifest_sql()
     o["quality_vs_dup_rate"] = oracles_curation.quality_vs_dup_rate_sql()
+    o["cluster_assign"] = oracles.cluster_assign_sql()
+    o["cluster_profile"] = oracles.cluster_profile_sql()
+    o["cluster_topics"] = oracles.cluster_topics_sql()
+    o["embedding_qa_report"] = oracles.embedding_qa_sql()
+    o["rag_context"] = oracles.rag_context_sql()
     o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()
     o["user_session_numbers"] = oracles_text.SESSION_NUMBERS
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES

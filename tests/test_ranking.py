@@ -242,3 +242,53 @@ def test_engine_hybrid_serves_through_index(spark, lex_index):
         {k: v for k, v in r.items()} for r in p["results"]
     ]
     assert strip(p1) == strip(p2)
+
+
+# ----------------------------------------------------- rag context
+
+
+def test_rag_context_budget_cut(spark):
+    from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+    qv = [
+        float(x)
+        for x in load_embeddings(spark, SF_SMALL)
+        .filter(F.col("vec_id") == 0)
+        .head()
+        .embedding
+    ]
+    rows = sorted(
+        RK.rag_context(spark, SF_SMALL, qv, k=10, budget_tokens=256).collect(),
+        key=lambda r: r.rk,
+    )
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    # running total is consistent and the cut is a rank prefix
+    cum = 0
+    for r in rows:
+        cum += r.n_tokens
+        assert r.cum_tokens == cum
+        assert r.included == (1 if cum <= 256 else 0)
+    flags = [r.included for r in rows]
+    assert flags == sorted(flags, reverse=True)  # prefix property
+    # ranked best-first by score
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rag_context_plan_shape(spark):
+    """Retrieval half must stay the flagship plan: TakeOrdered top-k,
+    k-row broadcast build side, text read only for k rows."""
+    from ydb_vector_search_simple_api_spark.plans import checks
+    from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+    qv = [
+        float(x)
+        for x in load_embeddings(spark, SF_SMALL)
+        .filter(F.col("vec_id") == 0)
+        .head()
+        .embedding
+    ]
+    df = RK.rag_context(spark, SF_SMALL, qv, k=10)
+    assert checks.uses_take_ordered(df), checks.simple_plan(df)
+    for block in checks.broadcast_scan_blocks(df, "documents.parquet"):
+        assert "source" not in block, block

@@ -32,7 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..config import sort_descending
+from ..config import sort_descending, validate_strategy
 from ..functions import text as TXT
 from ..functions.distance import score_expr
 from ..sources.store import load_documents, load_embeddings
@@ -445,3 +445,61 @@ def mmr_rerank(
         remaining.remove(best_i)
         out.append((ids[best_i], float(best_val), len(selected)))
     return spark.createDataFrame(out, "doc_id long, mmr double, rk long")
+
+
+def rag_context(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    budget_tokens: int = 256,
+    strategy: str = "CosineSimilarity",
+) -> DataFrame:
+    """RAG context assembly: vector top-k -> greedy token-budget cut in
+    rank order — the serving-side step that turns retrieval into an
+    LLM prompt context. Output (rk, doc_id, score, n_tokens,
+    cum_tokens, included): every top-k candidate with its running
+    token total; ``included=1`` marks the prefix that fits the budget
+    (whole-document greedy, no mid-doc truncation — the packing twin
+    chunks first when that matters; see curation.pack_chunks).
+
+    Scale shape: scoring + top-k is the flagship plan (codegen fold +
+    TakeOrderedAndProject); the text column is read for exactly k rows
+    via the k-row-broadcast metadata join; the running sum windows
+    over k rows."""
+    from ..sources.store import load_documents
+
+    validate_strategy(strategy)
+    score = F.round(
+        score_expr(strategy, F.col("embedding"), list(query_vec)), 6
+    ) + F.lit(0.0)
+    direction = (
+        F.col("score").desc_nulls_last()
+        if sort_descending(strategy)
+        else F.col("score").asc_nulls_last()
+    )
+    topk = (
+        load_embeddings(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"), score.alias("score"))
+        .orderBy(direction, F.col("doc_id").asc())
+        .limit(k)
+    )
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", TXT.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    # k-row broadcast build side, corpus probe side (the serving
+    # contract shared with exact_search's metadata join)
+    joined = F.broadcast(topk).join(docs, "doc_id", "inner")
+    w = Window.orderBy(direction, F.col("doc_id").asc())
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn("cum_tokens", cum.cast("bigint"))
+        .withColumn(
+            "included",
+            (F.col("cum_tokens") <= F.lit(budget_tokens)).cast("int"),
+        )
+        .select("rk", "doc_id", "score", "n_tokens", "cum_tokens", "included")
+    )

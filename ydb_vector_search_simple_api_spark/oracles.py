@@ -146,3 +146,155 @@ ranked AS (
 )
 SELECT query_id, id, score, rank FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------- seeded clustering
+
+def _cluster_assign_cte(k: int) -> str:
+    """Shared CTEs for the seeded-anchor assignment
+    (operators/clustering.py): nearest of the first k stored vectors
+    by rounded cosine distance, ties to the smaller anchor id;
+    undefined cosine (zero norm) maps to the 9.0 sentinel."""
+    cosdist = score_sql("CosineDistance", "e.embedding", "s.seed")
+    return f"""
+seeds AS (
+  SELECT vec_id AS cluster_id, embedding AS seed
+  FROM embeddings WHERE vec_id < {k}
+),
+pairs AS (
+  SELECT e.vec_id AS doc_id, s.cluster_id,
+         COALESCE(ROUND({cosdist}, 6) + 0.0, 9.0) AS dist
+  FROM embeddings e CROSS JOIN seeds s
+),
+assign AS (
+  SELECT doc_id, cluster_id, dist
+  FROM (
+    SELECT doc_id, cluster_id, dist,
+           ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY dist ASC, cluster_id ASC
+           ) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)"""
+
+
+def cluster_assign_sql(k: int = 8) -> str:
+    return f"""
+WITH {_cluster_assign_cte(k)}
+SELECT doc_id, cluster_id, dist FROM assign ORDER BY doc_id
+"""
+
+
+def cluster_profile_sql(k: int = 8) -> str:
+    return f"""
+WITH {_cluster_assign_cte(k)},
+tot AS (SELECT count(*)::DOUBLE AS n FROM assign)
+SELECT cluster_id,
+       count(*)::BIGINT AS n_docs,
+       ROUND(count(*)::DOUBLE / (SELECT n FROM tot), 6) + 0.0 AS share,
+       ROUND(SUM(CAST(dist AS DECIMAL(20,6)))::DOUBLE / count(*), 6) + 0.0
+         AS avg_dist
+FROM assign GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+def cluster_topics_sql(k: int = 8, top_terms: int = 5) -> str:
+    toks = r"string_split_regex(trim(lower(d.text)), '\s+')"
+    return f"""
+WITH {_cluster_assign_cte(k)},
+toks AS (
+  SELECT a.cluster_id, unnest({toks}) AS term
+  FROM documents d JOIN assign a ON d.doc_id = a.doc_id
+),
+tf AS (
+  SELECT cluster_id, term, count(*)::BIGINT AS tf
+  FROM toks GROUP BY cluster_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.cluster_id, t.term, t.tf,
+         ROUND(t.tf::DOUBLE * ln({float(k)} / df::DOUBLE), 6) + 0.0 AS score
+  FROM tf t JOIN dfreq USING (term)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster_id
+    ORDER BY score DESC, tf DESC, term ASC
+  ) AS rk
+  FROM scored
+)
+SELECT cluster_id, term, tf, score, rk::BIGINT AS rk
+FROM ranked WHERE rk <= {top_terms}
+ORDER BY cluster_id, rk
+"""
+
+
+def embedding_qa_sql() -> str:
+    norm = (
+        "ROUND(sqrt(list_sum(list_transform(embedding, "
+        "x -> x::DOUBLE * x::DOUBLE))), 6) + 0.0"
+    )
+    return f"""
+WITH ref AS (
+  SELECT len(embedding) AS dim FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+m AS (
+  SELECT label, {norm} AS norm,
+         CASE WHEN len(embedding) != (SELECT dim FROM ref)
+              THEN 1 ELSE 0 END AS bad_dim
+  FROM embeddings
+)
+SELECT label,
+       count(*)::BIGINT AS n_vecs,
+       SUM(bad_dim)::BIGINT AS n_dims_bad,
+       SUM(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
+       MIN(norm) AS min_norm,
+       MAX(norm) AS max_norm,
+       ROUND(SUM(CAST(norm AS DECIMAL(20,6)))::DOUBLE / count(*), 6) + 0.0
+         AS avg_norm
+FROM m GROUP BY label ORDER BY label
+"""
+
+
+def rag_context_sql(
+    k: int = 10,
+    budget_tokens: int = 256,
+    strategy: str = "CosineSimilarity",
+    round_digits: int = ROUND_DIGITS,
+) -> str:
+    """Oracle for ranking.rag_context: vector top-k, then a running
+    token total in rank order with the greedy budget cut."""
+    toks = r"string_split_regex(trim(lower(text)), '\s+')"
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND({score_sql(strategy)}, {round_digits}) + 0.0 AS score
+  FROM embeddings e, q
+),
+topk AS (
+  SELECT doc_id, score FROM scored
+  ORDER BY score {_direction(strategy)} NULLS LAST, doc_id ASC
+  LIMIT {k}
+),
+with_tokens AS (
+  SELECT t.doc_id, t.score, len({toks})::BIGINT AS n_tokens
+  FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+),
+ranked AS (
+  SELECT doc_id, score, n_tokens,
+         ROW_NUMBER() OVER (
+           ORDER BY score {_direction(strategy)} NULLS LAST, doc_id ASC
+         )::BIGINT AS rk,
+         SUM(n_tokens) OVER (
+           ORDER BY score {_direction(strategy)} NULLS LAST, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS cum_tokens
+  FROM with_tokens
+)
+SELECT rk, doc_id, score, n_tokens, cum_tokens,
+       (CASE WHEN cum_tokens <= {budget_tokens} THEN 1 ELSE 0 END)::INT
+         AS included
+FROM ranked ORDER BY rk
+"""
