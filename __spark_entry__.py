@@ -1075,6 +1075,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: events_hourly_stream (sliding windows — overlapping
     # size>slide state, vs the tumbling rollup; drained == batch)
     q["events_sliding_stream"] = streaming_events.sliding_type_counts_stream
+    # sibling: events_hourly_stream + revenue_by_nation (STREAM-STATIC
+    # join: the event stream enriched with the customer->nation
+    # dimension per micro-batch; drained == batch join+rollup)
+    q["stream_static_enrich"] = streaming_events.enriched_nation_counts_stream
     # sibling: dedup_minhash_md5 (in-cap; the exact n-gram Jaccard
     # verification the MinHash bands estimate; rotated out round 4
     # for cdc_merge)
@@ -1164,6 +1168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: table_profile (vector-store ingest QA: per-label norm
     # stats, dimension drift, zero vectors — the pre-index sanity sweep)
     q["embedding_qa_report"] = lambda s, d: clustering_mod.embedding_qa_report(s, d)
+    # siblings: dedup_exact_groups + quality_filter (quality-aware
+    # canonical election: keep the BEST duplicate, not the first —
+    # the production-default election rule)
+    q["dedup_best_quality"] = lambda s, d: dedup.best_quality_election(s, d)
     # siblings: topk_cosine + curated_pack (RAG context assembly:
     # top-k retrieval -> greedy token-budget cut in rank order — the
     # serving step that turns retrieval into an LLM prompt)
@@ -1388,6 +1396,7 @@ def oracle_sql() -> dict[str, str]:
     o["multimodal_meta"] = oracles_text.MULTIMODAL_META
     o["multimodal_byte_hist"] = oracles_text.BYTE_HIST_DIGESTS
     o["events_hourly_stream"] = oracles_text.EVENTS_HOURLY
+    o["stream_static_enrich"] = oracles_text.EVENTS_ENRICHED_NATION
     o["events_distinct_pairs"] = "SELECT DISTINCT user_id, event_type FROM events"
     o["events_distinct_wm"] = "SELECT DISTINCT user_id, event_type FROM events"
     o["stream_interval_join"] = """
@@ -1499,6 +1508,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["cluster_topics"] = oracles.cluster_topics_sql()
     o["embedding_qa_report"] = oracles.embedding_qa_sql()
     o["rag_context"] = oracles.rag_context_sql()
+    o["dedup_best_quality"] = oracles_text.best_quality_election_sql()
     o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()
     o["user_session_numbers"] = oracles_text.SESSION_NUMBERS
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES

@@ -295,3 +295,31 @@ def test_fingerprint_store_upsert_extends_membership(spark, tmp_path):
     # after upsert, every batch doc's own hash is in the store
     assert all(r.is_exact_dup for r in post.values())
     assert all(r.n_shared_fps > 0 for r in post.values() if r.n_shared_fps is not None)
+
+
+def test_best_quality_election(spark):
+    """Per exact-content group: the survivor has max quality (tie min
+    doc_id), counts cover the corpus, and the election is a hash
+    aggregation (no window)."""
+    from ydb_vector_search_simple_api_spark.functions import text as TXT
+    from ydb_vector_search_simple_api_spark.plans import checks
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    df = dedup.best_quality_election(spark, SF_SMALL)
+    rows = df.collect()
+    docs = load_documents(spark, SF_SMALL).select(
+        "doc_id",
+        TXT.content_fingerprint("text").alias("h"),
+        (F.round(TXT.quality_score("text"), 6) + F.lit(0.0)).alias("q"),
+    ).collect()
+    by_hash: dict = {}
+    for r in docs:
+        by_hash.setdefault(r.h, []).append((r.q, r.doc_id))
+    assert sum(r.group_size for r in rows) == len(docs)
+    assert len(rows) == len(by_hash)
+    for r in rows:
+        grp = by_hash[r.content_hash]
+        want = max(grp, key=lambda t: (t[0], -t[1]))
+        assert (r.quality, r.doc_id) == want
+        assert r.group_size == len(grp)
+    assert "Window" not in checks.simple_plan(df)

@@ -126,3 +126,52 @@ def test_curation_ingest_equals_batch_election(spark):
     assert got == want
     hashes = [h for _, h in got]
     assert len(hashes) == len(set(hashes))
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    """Drained stream-static join == the batch join+rollup; unmatched
+    users keep NULL nation (left-join contract)."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.sources.store import (
+        load_events,
+        load_table,
+    )
+    from ydb_vector_search_simple_api_spark.streaming import events as SE
+
+    got = sorted(
+        tuple(r)
+        for r in SE.enriched_nation_counts_stream(spark, SF_SMALL).collect()
+    )
+    dim = (
+        load_table(spark, SF_SMALL, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            load_table(spark, SF_SMALL, "nation").select(
+                "n_nationkey", "n_name"
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    want = sorted(
+        tuple(r)
+        for r in load_events(spark, SF_SMALL)
+        .join(dim, F.col("user_id") == F.col("c_custkey"), "left")
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                F.round(
+                    F.sum(
+                        F.round(F.col("value"), 6).cast("decimal(20,6)")
+                    ).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("total_value"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0

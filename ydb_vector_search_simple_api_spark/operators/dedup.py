@@ -1075,3 +1075,38 @@ def incremental_dedup_store(
     if not os.path.exists(os.path.join(path, "fps")):
         build_fingerprint_store(spark, existing, path)
     return screen_against_store(spark, incoming, path)
+
+
+def best_quality_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical election: per exact-content group keep
+    the HIGHEST-quality copy (ties to the smaller doc_id) — real
+    pipelines keep the best duplicate, not the first-seen one (the
+    min-doc_id election used by curate_corpus is the arrival-order
+    twin). Output (content_hash, doc_id, quality, group_size).
+
+    Scale shape: one groupBy(content_hash) with a max(struct)
+    aggregation — partial-aggregatable, no window sort; quality is a
+    rounded codegen projection, so the election key is deterministic
+    under any partitioning."""
+    from ..sources.store import load_documents
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    per = docs.select(
+        "doc_id",
+        TXT.content_fingerprint("text").alias("content_hash"),
+        (F.round(TXT.quality_score("text"), 6) + F.lit(0.0)).alias("quality"),
+    )
+    # max(struct(quality, -doc_id)) == (max quality, then MIN doc_id):
+    # stays a hash aggregation instead of a per-group window
+    best = per.groupBy("content_hash").agg(
+        F.max(
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+    )
+    return best.select(
+        "content_hash",
+        (-F.col("b.neg_id")).cast("bigint").alias("doc_id"),
+        F.col("b.quality").alias("quality"),
+        "group_size",
+    )

@@ -1003,3 +1003,56 @@ SELECT lang, token, cnt, rk FROM (
   FROM g
 ) WHERE rk <= {top_n}
 """
+
+
+def best_quality_election_sql() -> str:
+    """Oracle for dedup.best_quality_election: per exact-content group
+    the max-quality (tie: min doc_id) survivor, with group size.
+    Quality mirrors quality_score over ALL docs (empty-token docs
+    score 0.0, no filter)."""
+    return f"""
+WITH toks AS (SELECT doc_id, md5({NORM}) AS content_hash, {TOKS} AS t
+              FROM documents),
+m AS (
+  SELECT doc_id, content_hash,
+         CASE WHEN len(t) > 0 THEN
+           ROUND((len(list_distinct(t))::DOUBLE / len(t)::DOUBLE
+                  + (CASE WHEN len(t)::DOUBLE >= 32.0 THEN 1.0
+                          ELSE len(t)::DOUBLE / 32.0 END)
+                  + (CASE WHEN {_stop_count(LANG_STOPWORDS["en"])}::DOUBLE
+                               / len(t)::DOUBLE > 0.5 THEN 0.0
+                          ELSE 1.0 - {_stop_count(LANG_STOPWORDS["en"])}::DOUBLE
+                               / len(t)::DOUBLE END)
+                 ) / 3.0, 6) + 0.0
+         ELSE 0.0 END AS quality
+  FROM toks
+),
+ranked AS (
+  SELECT content_hash, doc_id, quality,
+         ROW_NUMBER() OVER (
+           PARTITION BY content_hash ORDER BY quality DESC, doc_id ASC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY content_hash)::BIGINT AS group_size
+  FROM m
+)
+SELECT content_hash, doc_id::BIGINT AS doc_id, quality, group_size
+FROM ranked WHERE rn = 1 ORDER BY content_hash
+"""
+
+
+# Stream-static enrichment: events LEFT JOIN customer->nation on
+# user_id = c_custkey, rolled up per (nation, event_type). value is
+# rounded per row before the DECIMAL sum — order-independent, so the
+# streamed (per-micro-batch) aggregation equals the batch rollup.
+EVENTS_ENRICHED_NATION = """
+WITH dim AS (
+  SELECT c_custkey, n_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT d.n_name, e.event_type,
+       count(*)::BIGINT AS n_events,
+       ROUND(CAST(sum(ROUND(e.value, 6)::DECIMAL(20,6)) AS DOUBLE), 6) + 0.0
+         AS total_value
+FROM events e LEFT JOIN dim d ON e.user_id = d.c_custkey
+GROUP BY d.n_name, e.event_type
+"""

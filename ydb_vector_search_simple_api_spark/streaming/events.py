@@ -293,3 +293,55 @@ def sliding_type_counts_stream(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def enriched_nation_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the event stream enriched with the customer
+    -> nation dimension (user_id = c_custkey), rolled up per (nation,
+    event_type). Events with no matching customer keep a NULL nation
+    (left join — real click streams always carry unknown users).
+    Output (n_name, event_type, n_events, total_value).
+
+    Scale shape: the static side is a dimension (size-gated broadcast
+    would apply at the engine layer; here it is joined per micro-batch
+    by Catalyst — the stream-static join re-plans each batch, so AQE
+    sizes it fresh). State is only the aggregation (bounded by
+    |nations| x |event types|), never the join. Drained == the batch
+    join+rollup, so this carries a full SQL oracle."""
+    from ..sources.store import load_table
+
+    name = f"events_enriched_{uuid.uuid4().hex[:8]}"
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    enriched = _events_stream(spark, sf_dir).join(
+        dim, F.col("user_id") == F.col("c_custkey"), "left"
+    )
+    agg = enriched.groupBy("n_name", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (
+            F.round(
+                F.sum(F.round(F.col("value"), 6).cast("decimal(20,6)")).cast(
+                    "double"
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("total_value"),
+    )
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
