@@ -33,6 +33,7 @@ from ydb_vector_search_simple_api_spark.operators import (
     sampling,
     textual,
 )
+from ydb_vector_search_simple_api_spark.operators import bpe as bpe_mod
 from ydb_vector_search_simple_api_spark.operators import clustering as clustering_mod
 from ydb_vector_search_simple_api_spark.operators import enrich as enrich_mod
 from ydb_vector_search_simple_api_spark.operators import graph as graph_mod
@@ -1290,6 +1291,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_upsert pattern for dedup state); must equal the recompute
     # form, so it shares incremental_dedup's oracle SQL
     q["incremental_dedup_store"] = lambda s, d: dedup.incremental_dedup_store(s, d)
+    # BPE tokenizer TRAINING (full Sennrich loop over the distinct-word
+    # table; iterative, so rows-only — pure-Python replay pinned in
+    # tests/test_bpe.py; sibling of bpe_pair_counts, its single step)
+    q["bpe_train"] = lambda s, d: bpe_mod.bpe_train(s, d, n_merges=10)
+    # BPE ENCODE digest with the learned merges (Arrow-batched greedy
+    # lowest-rank-first merge; replay-pinned beside bpe_train)
+    q["bpe_encode"] = lambda s, d: bpe_mod.bpe_encode_digest(s, d, n_merges=10)
     # the ANN width-knob contract as a machine-checked surface:
     # recall@10 of pruned IVF widths vs exact, 8 stored queries
     # (monotonicity + exact-at-full-width pinned in tests/test_index.py)
