@@ -23,6 +23,7 @@ from ydb_vector_search_simple_api_spark import (
     oracles_rel,
     oracles_temporal,
     oracles_text,
+    sql_surface,
 )
 from ydb_vector_search_simple_api_spark import oracles_curation
 from ydb_vector_search_simple_api_spark.operators import (
@@ -955,6 +956,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: chunk_documents (same chunk grid through the SQL
     # surface's Python UDTF — LATERAL chunk_text(...); sql_surface.py)
     q["sql_chunk_documents"] = _sql_chunk_documents
+    # sibling: bm25_topk (the extension op through the PURE SQL-string
+    # surface with bound term parameters — bit-identical, same oracle)
+    q["sql_bm25_topk"] = lambda s, d: sql_surface.sql_bm25_topk(
+        s, d, ranking_mod.QUERY_TERMS
+    )
     # sibling: pq_rerank_full (same shortlist->exact-rerank family;
     # this one's first pass is the pure-codegen sign-bit Hamming scan,
     # operators/bq.py — full shortlist == exact)
@@ -1266,6 +1272,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, every_n=2
     )
     q["multimodal_raster_stats"] = multimodal.raster_stats
+    # the REAL-format sibling: same pixels wrapped as spec-conforming
+    # PNG, decoded through decode_image (vendored codec / Pillow) —
+    # means equal raster_stats' (lossless), pinned in tests
+    q["multimodal_png_stats"] = multimodal.png_stats
     # audio twin: PCM decode -> RMS/zero-crossing -> clip digest
     q["multimodal_pcm_stats"] = multimodal.pcm_stats
     # energy-based audio segmentation (islands over frame RMS; numpy
@@ -1474,6 +1484,7 @@ FROM events GROUP BY user_id, event_type
     o["bm25_topk"] = oracles_text.bm25_topk_sql(ranking_mod.QUERY_TERMS)
     # the indexed serving path is bit-identical to the recompute form
     o["bm25_topk_indexed"] = oracles_text.bm25_topk_sql(ranking_mod.QUERY_TERMS)
+    o["sql_bm25_topk"] = oracles_text.bm25_topk_sql(ranking_mod.QUERY_TERMS)
     o["hybrid_rrf"] = oracles_text.hybrid_rrf_sql(ranking_mod.QUERY_TERMS)
     # each event belongs to size/slide = 2 sliding windows: duplicate
     # into both hour-aligned starts, then group (Spark windows align

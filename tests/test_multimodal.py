@@ -357,3 +357,22 @@ def test_pcm_segments_islands_are_wellformed(spark):
     # determinism
     again = mm.pcm_segments(spark, SF_SMALL, window=16).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_png_stats_real_decode_pipeline(spark):
+    """The real-format pipeline: PNG-encoded keystream pixels decoded
+    through decode_image inside Spark; means must equal raster_stats'
+    (identical pixels, lossless codec), digests deterministic."""
+    png_rows = {r.doc_id: r for r in MM.png_stats(spark, SF_SMALL).collect()}
+    raster_rows = {r.doc_id: r for r in MM.raster_stats(spark, SF_SMALL).collect()}
+    assert set(png_rows) == set(raster_rows)
+    for doc_id, pr in list(png_rows.items())[:50]:
+        rr = raster_rows[doc_id]
+        assert (pr.height, pr.width) == (rr.height, rr.width)
+        assert (pr.mean_r, pr.mean_g, pr.mean_b) == (
+            rr.mean_r, rr.mean_g, rr.mean_b
+        )
+    again = {r.doc_id: r for r in MM.png_stats(spark, SF_SMALL).collect()}
+    assert {d: r.thumb_md5 for d, r in again.items()} == {
+        d: r.thumb_md5 for d, r in png_rows.items()
+    }

@@ -174,3 +174,24 @@ def test_narrow_template_plan_takes_topk_before_join(spark):
     assert "TakeOrderedAndProject" in plan
     assert uses_broadcast_join(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sql_bm25_matches_library(spark):
+    """The extension BM25 through the pure SQL-string surface (bound
+    term params) is bit-identical to ranking.bm25_topk."""
+    from ydb_vector_search_simple_api_spark import sql_surface
+    from ydb_vector_search_simple_api_spark.operators import ranking as RK
+
+    got = [
+        tuple(r)
+        for r in sql_surface.sql_bm25_topk(
+            spark, SF_SMALL, RK.QUERY_TERMS, k=10
+        ).collect()
+    ]
+    want = [tuple(r) for r in RK.bm25_topk(spark, SF_SMALL, k=10).collect()]
+    assert got == want
+    # terms are parameters: a quote in a term must bind, not break
+    rows = sql_surface.sql_bm25_topk(
+        spark, SF_SMALL, ["vector", "o'brien;--"], k=5
+    ).collect()
+    assert len(rows) == 5

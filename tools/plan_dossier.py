@@ -65,6 +65,19 @@ HEADLINERS = {
     "incremental_dedup": "one pinned winnowing pass (localCheckpoint of "
     "the compact array form); both probes are keyed joins — exact "
     "hash membership and a left-semi on the fingerprint",
+    "cluster_assign": "k anchors ride a broadcast nested-loop; the "
+    "argmin is min(struct(dist, cluster_id)) with partial_ (map-side) "
+    "aggregation — no per-doc window sort",
+    "rag_context": "retrieval half keeps the flagship shape "
+    "(TakeOrderedAndProject); the BroadcastExchange BUILD side is the "
+    "k-row top-k, the documents scan streams probe-side; the running "
+    "token sum windows over k rows only",
+    "dedup_best_quality": "quality election as one hash aggregation "
+    "(max of (quality, -doc_id) struct) — partial_ before the "
+    "exchange, no window",
+    "bm25_topk_indexed": "serving path reads ONLY the query terms' "
+    "postings (PushedFilters: In(token, ...)) — no documents scan "
+    "anywhere in the plan",
 }
 
 

@@ -539,3 +539,43 @@ def pcm_segments(
             " n_frames int, seg_rms double"
         ),
     ).orderBy("doc_id", "seg_id")
+
+
+def png_stats(spark: SparkSession, sf_dir: str, thumb: int = 8) -> DataFrame:
+    """End-to-end pipeline over a REAL image format: the md5-keystream
+    pixels are wrapped as spec-conforming PNG payloads, then run
+    through :func:`decode_image` — Pillow when installed, the vendored
+    ``functions/png.py`` codec otherwise, so the real-format decode
+    path executes everywhere — then per-channel means + a bilinear
+    thumbnail digest. Same Arrow-batch shape as :func:`raster_stats`
+    (its synthetic-format sibling); rows-only by nature, pinned in
+    tests/test_multimodal.py including a codec round-trip check."""
+    from ..functions import png as _png
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                pix = decode_raster(_fake_raster(int(doc_id), int(n_chars)))
+                payload = _png.encode_png(pix)
+                img = decode_image(payload)  # the REAL decode path
+                h, w, _ = img.shape
+                means = img.astype(np.float64).mean(axis=(0, 1))
+                tm = hashlib.md5(
+                    _png.resize_bilinear(img, thumb, thumb).tobytes()
+                ).hexdigest()
+                rows.append(
+                    (int(doc_id), h, w,
+                     round(float(means[0]), 6), round(float(means[1]), 6),
+                     round(float(means[2]), 6), tm)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "height", "width", "mean_r", "mean_g", "mean_b",
+                    "thumb_md5",
+                ],
+            )
+
+    d = load_documents(spark, sf_dir).select("doc_id", "n_chars")
+    return d.mapInPandas(extract, schema=_RASTER_STATS_SCHEMA)

@@ -321,3 +321,78 @@ def sql_search_narrow(
     for field, value in (filter or {}).items():
         args[f"f_{field}"] = value
     return spark.sql(query, args=args)
+
+
+def prepare_bm25_query(n_terms: int, k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """BM25 top-k as PURE Spark SQL over the ``documents`` view — the
+    SQL-surface twin of ``operators.ranking.bm25_topk`` (same narrow
+    per-term array-count formulation, same decimal-summed
+    contributions, bit-identical results — tested and sharing the
+    bm25 oracle family). Terms are BOUND parameters ``:t0..:tN``
+    (values, never interpolated — the injection-safe contract of the
+    whole SQL surface)."""
+    if n_terms < 1:
+        raise ValueError("n_terms must be >= 1")
+    if not isinstance(k, int) or isinstance(k, bool) or k < 1:
+        raise ValueError("k must be a positive integer")
+    terms_arr = "array(" + ", ".join(f":t{i}" for i in range(n_terms)) + ")"
+    # constants folded in Python so the SQL carries the exact doubles
+    # the library path uses (k1+1, 1-b)
+    idf = "ln(1.0D + (s.n_docs - CAST(df AS DOUBLE) + 0.5D) / (CAST(df AS DOUBLE) + 0.5D))"
+    tfn = (
+        f"CAST(tf AS DOUBLE) * {k1 + 1.0!r}D / "
+        f"(CAST(tf AS DOUBLE) + {k1!r}D * "
+        f"({1.0 - b!r}D + {b!r}D * CAST(dl AS DOUBLE) / s.avgdl))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS t FROM documents
+),
+per_term AS (
+  SELECT doc_id, dl, s.token AS token, s.tf AS tf FROM (
+    SELECT doc_id, CAST(size(t) AS BIGINT) AS dl,
+           explode(transform(array_sort(array_distinct({terms_arr})),
+                             x -> named_struct(
+                               'token', x,
+                               'tf', CAST(size(filter(t, y -> y = x)) AS BIGINT))))
+             AS s
+    FROM toks)
+  WHERE s.tf > 0
+),
+stats AS (
+  SELECT CAST(count(1) AS DOUBLE) AS n_docs,
+         CAST(sum(size(t)) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS avgdl
+  FROM toks
+),
+dfreq AS (SELECT token, count(1) AS df FROM per_term GROUP BY token),
+scored AS (
+  SELECT p.doc_id,
+         ROUND(CAST(sum(CAST(ROUND({idf} * {tfn}, 9) AS DECIMAL(20,9)))
+                    AS DOUBLE), 6) + 0.0D AS score
+  FROM per_term p JOIN dfreq USING (token) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def sql_bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Execute the BM25 SQL template with bound term parameters."""
+    from .sources.store import register_views
+
+    register_views(spark, sf_dir)
+    uniq = sorted(set(terms))
+    query = prepare_bm25_query(len(uniq), k=k, k1=k1, b=b)
+    args = {f"t{i}": t for i, t in enumerate(uniq)}
+    return spark.sql(query, args=args)
