@@ -388,3 +388,61 @@ def test_hybrid_metadata_build_side(engine, qvec):
     _assert_metadata_build_side_is_topk(
         engine.search_hybrid_df(qvec, ["vector", "hash"], k=5)
     )
+
+
+# ------------------------------------------------------- batch search
+
+
+def test_search_batch_matches_single_searches(spark, engine):
+    embs_df = load_embeddings(spark, SF_SMALL).filter(F.col("vec_id") < 3)
+    batch = [[float(x) for x in r.embedding] for r in embs_df.collect()]
+    got, _ = engine.search_batch(batch, k=5)
+    assert len(got) == 3
+    for qv, rows in zip(batch, got):
+        single, _ = engine.search(qv, k=5)
+        assert [(r["id"], r["score"]) for r in rows] == [
+            (r["id"], round(r["score"], 10) and r["score"]) for r in single
+        ]
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert set(rows[0]) == {
+            "id", "title", "vendor", "description", "score", "rank"
+        }
+
+
+def test_search_batch_through_ivf_engine(spark, qvec, ivf_engine_nonstrict):
+    """Indexed engine routes the batch through the pruned routed-
+    blocked join; at full width it equals the exact batch."""
+    got, _ = ivf_engine_nonstrict.search_batch([qvec, qvec], k=5,
+                                               search_top_size=4)
+    exact, _ = api.VectorSearchEngine(spark, SF_SMALL).search_batch(
+        [qvec, qvec], k=5
+    )
+    assert [[r["id"] for r in q] for q in got] == [
+        [r["id"] for r in q] for q in exact
+    ]
+
+
+def test_search_batch_request_validation(engine, qvec):
+    cases = [
+        (None, "Request body is required"),
+        ({}, "Request body is required"),
+        ({"embeddings": []}, "non-empty list"),
+        ({"embeddings": "x"}, "non-empty list"),
+        ({"embeddings": [[]]}, "non-empty list"),
+        ({"embeddings": [qvec], "k": 0}, "positive integer"),
+        ({"embeddings": [qvec], "k": True}, "positive integer"),
+        ({"embeddings": [qvec], "filter": {"vendor": "fr"}}, "not supported"),
+        (
+            {"embeddings": [qvec] * (api.MAX_BATCH_QUERIES + 1)},
+            "at most",
+        ),
+    ]
+    for body, frag in cases:
+        payload, code = api.search_batch_request(engine, body)
+        assert code == 400 and frag in payload["error"], (body, payload)
+    payload, code = api.search_batch_request(
+        engine, {"embeddings": [qvec, qvec], "k": 2}
+    )
+    assert code == 200 and payload["count"] == 2
+    assert all(len(q) == 2 for q in payload["results"])
+    assert payload["search_time_ms"] > 0

@@ -384,3 +384,26 @@ def test_hybrid_served_through_lexical_index_over_http(spark, qvec):
         assert code == 200, data
         results[name] = data["results"]
     assert results["indexed"] == results["recompute"]
+
+
+def test_search_batch_over_http(served, qvec):
+    """EXTENSION route: POST /search_batch serves many queries through
+    the batch ANN machinery in one request."""
+    code, data = _post(
+        served[0] + "/search_batch",
+        json.dumps({"embeddings": [qvec, qvec], "k": 3}).encode(),
+    )
+    assert code == 200
+    assert data["count"] == 2
+    for rows in data["results"]:
+        assert len(rows) == 3
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        assert set(rows[0]) == {
+            "id", "title", "vendor", "description", "score", "rank"
+        }
+    # the two identical queries get identical answers
+    assert data["results"][0] == data["results"][1]
+    code, data = _post(
+        served[0] + "/search_batch", json.dumps({"embeddings": []}).encode()
+    )
+    assert code == 400

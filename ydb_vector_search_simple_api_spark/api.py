@@ -32,7 +32,7 @@ from .operators import bq as bq_mod
 from .operators import index as ivf_mod
 from .operators import tree as tree_mod
 from .operators.search import exact_search, filtered_doc_ids
-from .sources.store import load_documents
+from .sources.store import load_documents, load_embeddings
 
 
 def get_query_embedding(
@@ -273,6 +273,96 @@ class VectorSearchEngine:
             .orderBy(F.col("score").desc(), F.col("id").asc())
         )
 
+    def search_batch(
+        self,
+        embeddings: list[list[float]],
+        k: int,
+        search_top_size: int | None = None,
+    ):
+        """EXTENSION: one request, many query vectors — routed through
+        the BATCH ANN machinery instead of N sequential top-k scans
+        (the corpus is read once for the whole batch). Returns
+        (results: list[list[dict]] aligned with the input order,
+        seconds). No filter on the batch surface; the library layer
+        has the filtered batch join (index.ivf_knn_join_filtered)."""
+        t0 = time.perf_counter()
+        df = self.search_batch_df(embeddings, k, search_top_size)
+        by_q: dict[int, list[dict]] = {i: [] for i in range(len(embeddings))}
+        for r in df.collect():
+            by_q[r.query_id].append(
+                {
+                    "id": r.id,
+                    "title": r.title,
+                    "vendor": r.vendor,
+                    "description": r.description,
+                    "score": r.score,
+                    "rank": r.rank,
+                }
+            )
+        results = [
+            sorted(by_q[i], key=lambda d: d["rank"])
+            for i in range(len(embeddings))
+        ]
+        return results, time.perf_counter() - t0
+
+    def search_batch_df(
+        self,
+        embeddings: list[list[float]],
+        k: int,
+        search_top_size: int | None = None,
+    ):
+        """The un-collected (query_id, id, title, vendor, description,
+        score, rank) DataFrame behind :meth:`search_batch`. IVF-indexed
+        engines route through the pruned routed-blocked join; otherwise
+        the exact ranked join runs. Metadata joins in AFTER the per-
+        query top-k with the (n_queries x k)-row side broadcast — the
+        same build-side contract as the single-query path."""
+        from .operators.search import knn_join
+
+        queries_df = self.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(embeddings)],
+            "query_id bigint, query_vec array<double>",
+        )
+        corpus = load_embeddings(self.spark, self.sf_dir).select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+        if (
+            self.config.index_enabled
+            and self.index is not None
+            and isinstance(self.index, ivf_mod.IvfIndex)
+        ):
+            width = search_top_size or self.config.search_top_size
+            res = ivf_mod.ivf_knn_join_routed_blocked(
+                self.spark,
+                self.index,
+                queries_df,
+                k=k,
+                strategy=self.config.strategy,
+                search_top_size=width,
+            )
+        else:
+            res = knn_join(
+                self.spark,
+                queries_df,
+                corpus,
+                k=k,
+                strategy=self.config.strategy,
+            )
+        m = self.config.columns
+        docs = load_documents(self.spark, self.sf_dir).select(
+            F.col(m.id).alias("id"),
+            F.col(m.title).alias("title"),
+            F.col(m.vendor).alias("vendor"),
+            F.col(m.description).alias("description"),
+        )
+        return (
+            F.broadcast(res).join(docs, "id", "inner")
+            .select(
+                "query_id", "id", "title", "vendor", "description",
+                "score", "rank",
+            )
+        )
+
     def healthy(self) -> bool:
         """Connectivity probe: SELECT 1 (O16; app.py:89-102)."""
         try:
@@ -398,6 +488,50 @@ def search_request(engine: VectorSearchEngine, data: dict | None) -> tuple[dict,
             200,
         )
     except Exception as e:  # catch-all -> 500 (app.py:388-390)
+        return {"error": str(e)}, 500
+
+
+MAX_BATCH_QUERIES = 256
+
+
+def search_batch_request(
+    engine: VectorSearchEngine, data: dict | None
+) -> tuple[dict, int]:
+    """POST /search_batch (EXTENSION — not a reference route): many
+    query embeddings in one request, served by the batch ANN join so
+    the corpus is scanned once per request, not once per query.
+    Validation mirrors /search's style; the batch surface takes no
+    filter and no text queries (embedding-only)."""
+    try:
+        if not data:
+            return {"error": "Request body is required"}, 400
+        embs = data.get("embeddings")
+        if not isinstance(embs, list) or not embs:
+            return {"error": "embeddings must be a non-empty list of vectors"}, 400
+        if len(embs) > MAX_BATCH_QUERIES:
+            return {
+                "error": f"at most {MAX_BATCH_QUERIES} embeddings per request"
+            }, 400
+        if not all(isinstance(v, list) and v for v in embs):
+            return {"error": "each embedding must be a non-empty list"}, 400
+        if "filter" in data and data["filter"]:
+            return {"error": "filter is not supported on the batch surface"}, 400
+        k = data.get("k", 4)
+        if not isinstance(k, int) or isinstance(k, bool) or k <= 0:
+            return {"error": "k must be a positive integer"}, 400
+        top_size = data.get("index_tree_search_top_size", DEFAULT_SEARCH_TOP_SIZE)
+        if not isinstance(top_size, int) or isinstance(top_size, bool) or top_size <= 0:
+            return {"error": "index_tree_search_top_size must be a positive integer"}, 400
+        results, seconds = engine.search_batch(embs, k, top_size)
+        return (
+            {
+                "results": results,
+                "count": len(results),
+                "search_time_ms": seconds * 1000,
+            },
+            200,
+        )
+    except Exception as e:  # same catch-all contract as /search
         return {"error": str(e)}, 500
 
 

@@ -250,6 +250,59 @@ API_SPEC: dict = {
                 },
             }
         },
+        "/search_batch": {
+            "post": {
+                "summary": (
+                    "EXTENSION: batch vector search — many query embeddings "
+                    "served by one batch ANN join (corpus scanned once per "
+                    "request, not once per query)"
+                ),
+                "requestBody": {
+                    "required": True,
+                    "content": {
+                        "application/json": {
+                            "schema": {
+                                "type": "object",
+                                "properties": {
+                                    "embeddings": {
+                                        "type": "array",
+                                        "items": {
+                                            "type": "array",
+                                            "items": {"type": "number"},
+                                        },
+                                        "description": (
+                                            "1..256 query vectors; results "
+                                            "align with input order"
+                                        ),
+                                    },
+                                    "k": {
+                                        "type": "integer",
+                                        "default": 4,
+                                        "minimum": 1,
+                                    },
+                                    "index_tree_search_top_size": {
+                                        "type": "integer",
+                                        "default": 10,
+                                        "minimum": 1,
+                                    },
+                                },
+                                "required": ["embeddings"],
+                            }
+                        }
+                    },
+                },
+                "responses": {
+                    "200": {
+                        "description": (
+                            "results (list of per-query result lists), "
+                            "count, search_time_ms"
+                        )
+                    },
+                    "400": {"description": "validation error"},
+                    "500": {"description": "engine error"},
+                },
+            }
+        },
     },
 }
 
@@ -325,7 +378,7 @@ def make_handler(engine: api.VectorSearchEngine) -> type[BaseHTTPRequestHandler]
                 self._send_json({"error": "Not found"}, 404)
 
         def do_POST(self) -> None:  # noqa: N802
-            if self.path != "/search":
+            if self.path not in ("/search", "/search_batch"):
                 self._send_json({"error": "Not found"}, 404)
                 return
             length = int(self.headers.get("Content-Length") or 0)
@@ -339,7 +392,10 @@ def make_handler(engine: api.VectorSearchEngine) -> type[BaseHTTPRequestHandler]
                     # Flask's get_json() failure path -> 400
                     self._send_json({"error": "Request body must be valid JSON"}, 400)
                     return
-            self._send_json(*api.search_request(engine, data))
+            if self.path == "/search_batch":
+                self._send_json(*api.search_batch_request(engine, data))
+            else:
+                self._send_json(*api.search_request(engine, data))
 
     return Handler
 
