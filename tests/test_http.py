@@ -282,7 +282,9 @@ def test_apidocs_and_spec_served(served):
     assert code == 200 and "application/json" in ctype
     spec = json.loads(body)
     assert spec["openapi"].startswith("3.")
-    assert set(spec["paths"]) == {"/health", "/config", "/", "/search", "/stats"}
+    assert set(spec["paths"]) == {
+        "/health", "/config", "/", "/search", "/stats", "/search_batch",
+    }
     post = spec["paths"]["/search"]["post"]
     assert set(post["responses"]) == {"200", "400", "500", "501", "502"}
     props = post["requestBody"]["content"]["application/json"]["schema"]["properties"]
