@@ -187,3 +187,45 @@ def test_generation_pointer_flip_serves_compacted_index(spark, tmp_path):
     # old generation untouched (rollback still possible)
     assert spark.read.parquet(gen1).filter(F.col("id") == victim).count() == 1
     assert tombstones.has_tombstones(gen1)
+
+
+def test_lexical_index_tombstones(spark, tmp_path):
+    """The 5th tombstoned layout: deletes anti-join out of the BM25
+    postings — a tombstoned doc disappears from indexed lexical
+    results and equals recompute over the corpus minus that doc;
+    resurrection restores the original ranking."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import ranking as RK
+    from ydb_vector_search_simple_api_spark.operators import tombstones as TS
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    lex = RK.build_lexical_index(
+        spark, load_documents(spark, SF_SMALL), str(tmp_path / "lex")
+    )
+    before = [tuple(r) for r in RK.bm25_topk_indexed(spark, lex, k=5).collect()]
+    victim = before[0][0]
+
+    TS.delete_ids(spark, lex.path, [victim])
+    after = [tuple(r) for r in RK.bm25_topk_indexed(spark, lex, k=5).collect()]
+    assert victim not in [r[0] for r in after]
+    want = [
+        tuple(r)
+        for r in RK.bm25_topk(
+            spark,
+            SF_SMALL,
+            k=6,  # pull one extra, drop the victim, re-rank
+        ).collect()
+        if r.doc_id != victim
+    ][:5]
+    # scores must match the recompute ranking minus the victim; ranks
+    # renumber 1..5 on the indexed side
+    assert [(d, s) for d, s, _ in after] == [(d, s) for d, s, _ in want]
+    assert [rk for _, _, rk in after] == [1, 2, 3, 4, 5]
+
+    TS.resurrect_ids(
+        spark, lex.path,
+        spark.createDataFrame([(victim,)], "doc_id long"), "doc_id",
+    )
+    restored = [tuple(r) for r in RK.bm25_topk_indexed(spark, lex, k=5).collect()]
+    assert restored == before

@@ -218,10 +218,21 @@ def bm25_scores_indexed(
     bit-for-bit equal to :func:`bm25_scores` on the indexed corpus."""
     if not terms:
         raise ValueError("terms must be non-empty")
+    from . import tombstones
+
     uniq = sorted(set(terms))
     post = spark.read.parquet(os.path.join(index.path, "postings")).filter(
         F.col("token").isin(uniq)
     )
+    # deletes flow through the same tombstone machinery as the vector
+    # layouts (operators/tombstones.py): the doc-id set is anti-joined
+    # out of the term postings before scoring, so a taken-down document
+    # disappears from lexical/hybrid serving without a postings rewrite.
+    # Corpus stats (n_docs/avgdl/df) stay FROZEN until a rebuild — the
+    # standard LSM trade (deletes are small by contract); surviving
+    # docs keep their exact pre-delete scores (pinned in
+    # tests/test_tombstones.py).
+    post = tombstones.apply_tombstones(spark, index.path, post, id_col="doc_id")
     dfreq = spark.read.parquet(os.path.join(index.path, "dfreq")).filter(
         F.col("token").isin(uniq)
     )
