@@ -446,3 +446,52 @@ def test_search_batch_request_validation(engine, qvec):
     assert code == 200 and payload["count"] == 2
     assert all(len(q) == 2 for q in payload["results"])
     assert payload["search_time_ms"] > 0
+
+
+# --------------------------------------------------- result cache
+
+
+def test_result_cache_hits_and_evicts(spark, qvec):
+    eng = api.VectorSearchEngine(spark, SF_SMALL, result_cache_size=2)
+    calls = {"n": 0}
+    orig = eng.search_df
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    eng.search_df = counting
+    r1, _ = eng.search(qvec, k=3)
+    r2, _ = eng.search(qvec, k=3)  # hit
+    assert calls["n"] == 1 and r2 == r1
+    # mutating a returned result must not poison the cache
+    r2[0]["title"] = "mutated"
+    r3, _ = eng.search(qvec, k=3)
+    assert calls["n"] == 1 and r3 == r1
+    # different k misses
+    eng.search(qvec, k=4)
+    assert calls["n"] == 2
+    # capacity 2: a third distinct key evicts the LRU entry (k=3)
+    eng.search(qvec, k=5)
+    assert calls["n"] == 3
+    eng.search(qvec, k=3)
+    assert calls["n"] == 4
+    # clear drops everything
+    eng.clear_result_cache()
+    eng.search(qvec, k=5)
+    assert calls["n"] == 5
+
+
+def test_result_cache_disabled_by_default(spark, qvec):
+    eng = api.VectorSearchEngine(spark, SF_SMALL)
+    calls = {"n": 0}
+    orig = eng.search_df
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    eng.search_df = counting
+    eng.search(qvec, k=3)
+    eng.search(qvec, k=3)
+    assert calls["n"] == 2

@@ -16,11 +16,13 @@ Status mapping (app.py:330-338, 349-354, 368-375, 388-390):
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import time
 import urllib.error
 import urllib.request
+from collections import OrderedDict
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -90,6 +92,14 @@ class VectorSearchEngine:
     #: recomputing corpus statistics per request
     #: (operators.ranking.build_lexical_index)
     lexical_index: object | None = None
+    #: >0 enables an LRU memo of (embedding, k, filter, width) ->
+    #: results for repeated hot queries (the store is immutable per
+    #: engine instance by contract; call clear_result_cache() after
+    #: upserts/deletes or build a fresh engine)
+    result_cache_size: int = 0
+    _result_cache: OrderedDict = field(
+        default_factory=OrderedDict, init=False, repr=False
+    )
 
     def embed(self, query: str) -> list[float]:
         fn = self.embed_fn or get_query_embedding
@@ -106,9 +116,31 @@ class VectorSearchEngine:
         execute_search (app.py:230-264) incl. the strict-mode
         filter x index rejection (app.py:170-172)."""
         t0 = time.perf_counter()
+        key = None
+        if self.result_cache_size > 0:
+            key = (
+                tuple(float(x) for x in embedding),
+                k,
+                tuple(sorted((filter or {}).items())),
+                search_top_size,
+            )
+            hit = self._result_cache.get(key)
+            if hit is not None:
+                self._result_cache.move_to_end(key)
+                # deep copy: callers may mutate the result dicts
+                return copy.deepcopy(hit), time.perf_counter() - t0
         df = self.search_df(embedding, k, filter, search_top_size)
         results = [r.asDict() for r in df.collect()]
+        if key is not None:
+            self._result_cache[key] = copy.deepcopy(results)
+            while len(self._result_cache) > self.result_cache_size:
+                self._result_cache.popitem(last=False)
         return results, time.perf_counter() - t0
+
+    def clear_result_cache(self) -> None:
+        """Drop the memoized results — call after upserts/deletes
+        change what a query should return."""
+        self._result_cache.clear()
 
     def search_df(
         self,
