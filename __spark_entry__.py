@@ -46,6 +46,7 @@ from ydb_vector_search_simple_api_spark.operators.search import exact_search, kn
 from ydb_vector_search_simple_api_spark.sources.store import load_documents, load_embeddings
 from ydb_vector_search_simple_api_spark.streaming import events as streaming_events
 from ydb_vector_search_simple_api_spark.streaming import curation_ingest as streaming_curing
+from ydb_vector_search_simple_api_spark.streaming import index_ingest as streaming_ingest
 from ydb_vector_search_simple_api_spark.streaming import serve as streaming_serve
 from ydb_vector_search_simple_api_spark.streaming import sessions as streaming_sessions
 
@@ -1065,6 +1066,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk_indexed"] = lambda s, d: ranking_mod.bm25_topk_indexed(
         s, _lex_index(s, d)
     )
+    # siblings: bm25_topk_indexed + stream_curation_ingest (CONTINUOUS
+    # lexical-index ingest: per-batch postings appends + sealed stats;
+    # the streamed generation is bit-identical to the offline build,
+    # so querying it carries the full bm25 oracle)
+    q["stream_lexical_ingest"] = lambda s, d: ranking_mod.bm25_topk_indexed(
+        s, streaming_ingest.stream_lexical_ingest(s, d)
+    )
     # siblings: curate_corpus + events_distinct_pairs (CONTINUOUS
     # curation: per-micro-batch quality gate + dedup-on-arrival vs the
     # accumulated hash table; drained == the batch first-occurrence
@@ -1485,6 +1493,7 @@ FROM events GROUP BY user_id, event_type
     # the indexed serving path is bit-identical to the recompute form
     o["bm25_topk_indexed"] = oracles_text.bm25_topk_sql(ranking_mod.QUERY_TERMS)
     o["sql_bm25_topk"] = oracles_text.bm25_topk_sql(ranking_mod.QUERY_TERMS)
+    o["stream_lexical_ingest"] = oracles_text.bm25_topk_sql(ranking_mod.QUERY_TERMS)
     o["hybrid_rrf"] = oracles_text.hybrid_rrf_sql(ranking_mod.QUERY_TERMS)
     # each event belongs to size/slide = 2 sliding windows: duplicate
     # into both hour-aligned starts, then group (Spark windows align

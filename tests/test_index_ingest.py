@@ -275,3 +275,33 @@ def test_stream_tree_ingest_appends_and_search_is_exact(spark, tmp_path):
     got = kmt.tree_search(spark, idx, qv, k=10, round_digits=6).collect()
     want = exact_search(spark, SF_SMALL, qv, k=10, round_digits=6).collect()
     assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+
+
+def test_stream_lexical_ingest_equals_offline_build(spark, tmp_path):
+    """The streamed lexical generation is bit-identical to the offline
+    build: same meta scalars, same per-doc scores, same top-k."""
+    from ydb_vector_search_simple_api_spark.operators import ranking as RK
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+    from ydb_vector_search_simple_api_spark.streaming import (
+        index_ingest as II,
+    )
+
+    streamed = II.stream_lexical_ingest(
+        spark, SF_SMALL, out_dir=str(tmp_path / "lexing"), n_shards=3
+    )
+    offline = RK.build_lexical_index(
+        spark, load_documents(spark, SF_SMALL), str(tmp_path / "lexoff")
+    )
+    assert (streamed.k1, streamed.b, streamed.n_docs, streamed.avgdl) == (
+        offline.k1, offline.b, offline.n_docs, offline.avgdl
+    )
+    for terms in (RK.QUERY_TERMS, ("vector",)):
+        got = sorted(
+            tuple(r)
+            for r in RK.bm25_scores_indexed(spark, streamed, terms).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in RK.bm25_scores_indexed(spark, offline, terms).collect()
+        )
+        assert got == want

@@ -32,6 +32,46 @@ from ..functions import text as TXT
 from ..sources.store import load_documents
 
 
+def write_shard_landing(
+    df: DataFrame,
+    landing: str,
+    n_shards: int,
+    order_col: str = "doc_id",
+) -> None:
+    """Write ``df`` as ``n_shards`` arrival-ordered files for a file-
+    source stream harness. Shard boundaries come from a quantile
+    sketch: n_shards-1 cut SCALARS reach the driver instead of the
+    whole key column (a data-sized collect has no 100 TB twin); the
+    sketch's approximation error only moves shard SIZES, never rows —
+    any ascending-range partition processed in drop order yields the
+    same drained result for order-insensitive sinks and the batch
+    min-key election for first-occurrence sinks."""
+    probs = [i / n_shards for i in range(1, n_shards)]
+    cuts = (
+        list(
+            df.select(
+                F.percentile_approx(order_col, probs, 10_000).alias("c")
+            ).head().c
+        )
+        if probs
+        else []
+    )
+    # ascending key ranges, one file per shard, written in order so
+    # the file source's drop-order pickup is deterministic
+    for i, (lo, hi) in enumerate(zip([None, *cuts], [*cuts, None])):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(order_col) > F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(order_col) <= F.lit(hi))
+        (
+            df.filter(cond)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(landing, f"shard={i}"))
+        )
+
+
 def stream_curation_ingest(
     spark: SparkSession,
     sf_dir: str,
@@ -52,36 +92,7 @@ def stream_curation_ingest(
     os.makedirs(landing, exist_ok=True)
 
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    # shard boundaries from a quantile sketch: n_shards-1 cut scalars
-    # reach the driver instead of the whole doc_id column (a data-sized
-    # collect has no 100 TB twin). The drained result is boundary-
-    # invariant — any ascending-range partition processed in order
-    # yields the batch min-doc_id first-occurrence election — so the
-    # sketch's approximation error only moves shard SIZES, never rows.
-    probs = [i / n_shards for i in range(1, n_shards)]
-    cuts = (
-        list(
-            docs.select(
-                F.percentile_approx("doc_id", probs, 10_000).alias("c")
-            ).head().c
-        )
-        if probs
-        else []
-    )
-    # ascending doc_id ranges, one file per shard, written in order so
-    # the file source's drop-order pickup matches the batch election
-    for i, (lo, hi) in enumerate(zip([None, *cuts], [*cuts, None])):
-        cond = F.lit(True)
-        if lo is not None:
-            cond = cond & (F.col("doc_id") > F.lit(lo))
-        if hi is not None:
-            cond = cond & (F.col("doc_id") <= F.lit(hi))
-        (
-            docs.filter(cond)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(landing, f"shard={i}"))
-        )
+    write_shard_landing(docs, landing, n_shards)
 
     schema = docs.schema
 

@@ -45,6 +45,8 @@ the same.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -285,3 +287,111 @@ def stream_tree_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_lexical_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    n_shards: int = 4,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Continuous ingest for the LEXICAL index (the 5th serving
+    layout): the documents table drains through ``n_shards`` arrival
+    micro-batches; each batch tokenizes ONLY its own rows and appends
+    its postings (token, doc_id, tf, dl) plus one (n_docs, sum_dl)
+    partial-stats row; finalize seals dfreq + the corpus scalars into
+    the serving generation. The sealed index is bit-identical to an
+    offline ``build_lexical_index`` over the same corpus — partial
+    bigint sums fold exactly, and BM25's per-term decimal contributions
+    are aggregation-order independent — so the gate entry shares the
+    bm25 oracle (the strongest check a streaming op can carry).
+
+    Per-batch cost tracks BATCH size (tokenize + one keyed count over
+    the batch); existing postings files are never touched. Appends are
+    not globally token-sorted — run the offline build (== compaction)
+    on a cadence to restore the row-group-pruning layout; correctness
+    never depends on it (the IN-filter still prunes by row-group
+    min/max within each appended file)."""
+    import json
+    import tempfile
+    import uuid
+
+    from ..functions import text as TXT
+    from ..operators import ranking as ranking_mod
+    from .curation_ingest import write_shard_landing
+
+    run = uuid.uuid4().hex[:8]
+    base = out_dir or os.path.join(tempfile.gettempdir(), f"svs_lexing_{run}")
+    landing = os.path.join(base, "landing")
+    idx_dir = os.path.join(base, "lexical")
+    parts_dir = os.path.join(idx_dir, "_stats_parts")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    docs = load_documents_for_lexical(spark, sf_dir)
+    write_shard_landing(docs, landing, n_shards)
+    schema = docs.schema
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        toks = TXT.tokens("text")
+        per_doc = batch_df.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("dl"),
+            toks.alias("toks"),
+        )
+        postings = (
+            per_doc.select("doc_id", "dl", F.explode("toks").alias("token"))
+            .groupBy("token", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+            .sortWithinPartitions("token", "doc_id")
+        )
+        postings.write.mode("append").parquet(os.path.join(idx_dir, "postings"))
+        per_doc.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        ).write.mode("append").parquet(parts_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "shard=*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # ---- finalize: seal dfreq + corpus scalars (the generation flip)
+    dfreq = (
+        spark.read.parquet(os.path.join(idx_dir, "postings"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .repartitionByRange(F.col("token"))
+        .sortWithinPartitions("token")
+    )
+    dfreq.write.mode("overwrite").parquet(os.path.join(idx_dir, "dfreq"))
+    tot = spark.read.parquet(parts_dir).agg(
+        F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("dl")
+    ).collect()[0]
+    meta = {
+        "k1": k1,
+        "b": b,
+        # identical double arithmetic to build_lexical_index's
+        # sum(dl)::double / count::double (exact bigint totals first)
+        "n_docs": float(tot.n),
+        "avgdl": float(tot.dl) / float(tot.n),
+    }
+    with open(os.path.join(idx_dir, "_lexical_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return ranking_mod.LexicalIndex(path=idx_dir, **meta)
+
+
+def load_documents_for_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.store import load_documents
+
+    return load_documents(spark, sf_dir).select("doc_id", "text")
