@@ -42,6 +42,7 @@ from ydb_vector_search_simple_api_spark.operators import ranking as ranking_mod
 from ydb_vector_search_simple_api_spark.operators import skew as skew_mod
 from ydb_vector_search_simple_api_spark.operators import index as ivf
 from ydb_vector_search_simple_api_spark.operators import tree as kmt
+from ydb_vector_search_simple_api_spark.operators import search as search_mod
 from ydb_vector_search_simple_api_spark.operators.search import exact_search, knn_join
 from ydb_vector_search_simple_api_spark.sources.store import load_documents, load_embeddings
 from ydb_vector_search_simple_api_spark.streaming import events as streaming_events
@@ -1183,6 +1184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: table_profile (vector-store ingest QA: per-label norm
     # stats, dimension drift, zero vectors — the pre-index sanity sweep)
     q["embedding_qa_report"] = lambda s, d: clustering_mod.embedding_qa_report(s, d)
+    # sibling: topk_cosine (the radius-query twin: every row clearing
+    # the score threshold — "all near-duplicates of this item" lookups
+    # where k is unknown; codegen predicate, no heap unless bounded)
+    q["range_search_cosine"] = lambda s, d: search_mod.range_search(
+        s, d, _query_vec(s, d), threshold=0.2
+    )
     # siblings: dedup_exact_groups + quality_filter (quality-aware
     # canonical election: keep the BEST duplicate, not the first —
     # the production-default election rule)
@@ -1537,6 +1544,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["embedding_qa_report"] = oracles.embedding_qa_sql()
     o["rag_context"] = oracles.rag_context_sql()
     o["dedup_best_quality"] = oracles_text.best_quality_election_sql()
+    o["range_search_cosine"] = oracles.range_search_sql(0.2)
     o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()
     o["user_session_numbers"] = oracles_text.SESSION_NUMBERS
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES

@@ -185,3 +185,22 @@ def test_empty_source_yields_no_rows(spark, qvec, tmp_path_factory):
     assert [f.name for f in out.schema.fields] == [
         "id", "title", "vendor", "description", "score",
     ]
+
+
+def test_range_search_threshold_semantics(spark, qvec):
+    from ydb_vector_search_simple_api_spark.operators.search import range_search
+
+    rows = range_search(spark, SF_SMALL, qvec, threshold=0.2).collect()
+    assert rows, "threshold 0.2 should match something"
+    assert all(r.score is not None and r.score >= 0.2 for r in rows)
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # distance direction flips the comparison
+    d = range_search(
+        spark, SF_SMALL, qvec, threshold=0.8, strategy="CosineDistance"
+    ).collect()
+    assert all(r.score <= 0.8 for r in d)
+    # bounded variant keeps the TakeOrdered heap
+    bounded = range_search(spark, SF_SMALL, qvec, threshold=0.2, max_rows=5)
+    assert len(bounded.collect()) <= 5
+    assert checks.uses_take_ordered(bounded), checks.simple_plan(bounded)

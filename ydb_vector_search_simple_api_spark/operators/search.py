@@ -348,3 +348,44 @@ def knn_join_blocked(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "score", "rank")
     )
+
+
+def range_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: Sequence[float],
+    threshold: float,
+    strategy: str = "CosineSimilarity",
+    max_rows: int | None = None,
+    columns: ColumnMap | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """RANGE search: every stored vector whose score clears
+    ``threshold`` (>= for similarity strategies, <= for distance) —
+    the radius-query twin of the top-k path, used for "all
+    near-duplicates of this item" style lookups where k is unknown.
+    Output (id, score), best-first.
+
+    Scale shape: the threshold is a codegen predicate on the scored
+    narrow scan — no shuffle at all when unbounded; result size is
+    DATA-dependent, so ``max_rows`` (when set) bounds it with the same
+    TakeOrderedAndProject heap as top-k. NULL scores (dimension
+    mismatch / zero norm) never pass the threshold."""
+    validate_strategy(strategy)
+    m = columns or ColumnMap()
+    embs = load_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), F.col(m.embedding).alias("embedding")
+    )
+    score = score_expr(strategy, F.col("embedding"), list(query_vec))
+    if round_digits is not None:
+        score = F.round(score, round_digits) + F.lit(0.0)
+    scored = embs.withColumn("score", score).select("id", "score")
+    cond = (
+        F.col("score") >= F.lit(float(threshold))
+        if sort_descending(strategy)
+        else F.col("score") <= F.lit(float(threshold))
+    )
+    out = scored.filter(cond)
+    if max_rows is not None:
+        return out.orderBy(*_order_cols(strategy)).limit(max_rows)
+    return out.orderBy(*_order_cols(strategy))

@@ -298,3 +298,23 @@ SELECT rk, doc_id, score, n_tokens, cum_tokens,
          AS included
 FROM ranked ORDER BY rk
 """
+
+
+def range_search_sql(
+    threshold: float,
+    strategy: str = "CosineSimilarity",
+    round_digits: int = ROUND_DIGITS,
+) -> str:
+    """Oracle for search.range_search: every row clearing the score
+    threshold (NULL scores never pass), best-first."""
+    op = ">=" if strategy.endswith("Similarity") else "<="
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id AS id, ROUND({score_sql(strategy)}, {round_digits}) + 0.0 AS score
+  FROM embeddings e, q
+)
+SELECT id, score FROM scored
+WHERE score {op} {threshold!r}
+ORDER BY score {_direction(strategy)} NULLS LAST, id ASC
+"""
