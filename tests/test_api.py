@@ -495,3 +495,13 @@ def test_result_cache_disabled_by_default(spark, qvec):
     eng.search(qvec, k=3)
     eng.search(qvec, k=3)
     assert calls["n"] == 2
+
+
+def test_search_batch_through_tree_engine(spark, qvec, tree_engine):
+    """Tree-indexed engines route the batch through the tree's
+    routed-blocked join; at full width == exact batch."""
+    got, _ = tree_engine.search_batch([qvec], k=5, search_top_size=9)
+    exact, _ = api.VectorSearchEngine(spark, SF_SMALL).search_batch(
+        [qvec], k=5
+    )
+    assert [r["id"] for r in got[0]] == [r["id"] for r in exact[0]]

@@ -250,3 +250,57 @@ def test_mmr_penalizes_duplicates(n, rnd):
     order = _mmr_greedy(rel, sim, k=3, lam=0.5)
     assert order[0] == 0
     assert order[1] == 2  # the diverse item beats the duplicate
+
+
+# --------------------------------------------- round-4 codec properties
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from ydb_vector_search_simple_api_spark.functions import png as png_mod
+
+    arr = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert (png_mod.decode_png(png_mod.encode_png(arr)) == arr).all()
+    # identity resize is exact (pixel-center grid hits every source pixel)
+    assert (png_mod.resize_bilinear(arr, w, h) == arr).all()
+
+
+@given(
+    word=st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=104),
+        min_size=1,
+        max_size=12,
+    ),
+    n_ranks=st.integers(0, 10),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_encode_invariants(word, n_ranks, seed):
+    """encode_word: concatenation is lossless, token count within
+    [1, len(word)], and encoding is deterministic."""
+    import random
+
+    from ydb_vector_search_simple_api_spark.operators.bpe import encode_word
+
+    rng = random.Random(seed)
+    letters = "abcdefgh"
+    ranks = {}
+    for i in range(n_ranks):
+        pair = (
+            "".join(rng.choice(letters) for _ in range(rng.randint(1, 2))),
+            "".join(rng.choice(letters) for _ in range(rng.randint(1, 2))),
+        )
+        ranks.setdefault(pair, i)
+    toks = encode_word(word, ranks)
+    assert "".join(toks) == word
+    assert 1 <= len(toks) <= len(word)
+    assert encode_word(word, ranks) == toks

@@ -372,6 +372,20 @@ class VectorSearchEngine:
                 strategy=self.config.strategy,
                 search_top_size=width,
             )
+        elif (
+            self.config.index_enabled
+            and self.index is not None
+            and isinstance(self.index, tree_mod.KmeansTreeIndex)
+        ):
+            width = search_top_size or self.config.search_top_size
+            res = tree_mod.tree_knn_join_routed_blocked(
+                self.spark,
+                self.index,
+                queries_df,
+                k=k,
+                strategy=self.config.strategy,
+                search_top_size=width,
+            )
         else:
             res = knn_join(
                 self.spark,
