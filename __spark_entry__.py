@@ -151,6 +151,23 @@ def _lex_index(spark: SparkSession, sf_dir: str):
     return _LEX_CACHE[key]
 
 
+_BPE_MERGES_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 10) -> list:
+    key = f"{sf_dir}:{n_merges}"
+    if key not in _BPE_MERGES_CACHE:
+        from ydb_vector_search_simple_api_spark.operators import bpe as bpe_mod
+
+        _BPE_MERGES_CACHE[key] = [
+            (r.left, r.right)
+            for r in bpe_mod.bpe_train(spark, sf_dir, n_merges=n_merges)
+            .orderBy("rank")
+            .collect()
+        ]
+    return _BPE_MERGES_CACHE[key]
+
+
 def _mk_bq_rerank(strategy: str, k: int, shortlist: int | None):
     """Sign-bit Hamming shortlist -> exact rerank (operators/bq.py);
     shortlist=None keeps every row => exact (strong oracle)."""
@@ -1321,8 +1338,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_bpe.py; sibling of bpe_pair_counts, its single step)
     q["bpe_train"] = lambda s, d: bpe_mod.bpe_train(s, d, n_merges=10)
     # BPE ENCODE digest with the learned merges (Arrow-batched greedy
-    # lowest-rank-first merge; replay-pinned beside bpe_train)
-    q["bpe_encode"] = lambda s, d: bpe_mod.bpe_encode_digest(s, d, n_merges=10)
+    # lowest-rank-first merge; replay-pinned beside bpe_train). The
+    # merge table is cached per sf_dir so this entry times the ENCODE,
+    # not a re-train (the _lex_index pattern).
+    q["bpe_encode"] = lambda s, d: bpe_mod.bpe_encode_digest(
+        s, d, merges=_bpe_merges(s, d)
+    )
     # the ANN width-knob contract as a machine-checked surface:
     # recall@10 of pruned IVF widths vs exact, 8 stored queries
     # (monotonicity + exact-at-full-width pinned in tests/test_index.py)
