@@ -1040,6 +1040,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: pricing_summary (TPC-H Q11 shape: HAVING vs a broadcast
     # scalar subquery)
     q["important_parts"] = relational.important_parts
+    # sibling: important_parts (TPC-H Q15 shape: revenue view + scalar
+    # max equality on decimal-summed doubles)
+    q["top_supplier_revenue"] = relational.top_supplier_revenue
+    # sibling: orders_rollup (TPC-H Q18 shape: HAVING on the grouped
+    # fact first, dimensions joined only for qualifying orders)
+    q["large_volume_customers"] = relational.large_volume_customers
+    # sibling: customers_without_orders (TPC-H Q22 shape: scalar-avg
+    # subquery + anti join + rollup; nation keys the group — the
+    # testdata has no phone column)
+    q["idle_high_balance_customers"] = relational.idle_high_balance_customers
     # sibling: hourly_locf (gap-filled trailing moving average over
     # the calendar grid)
     q["revenue_moving_avg"] = relational.revenue_moving_avg
@@ -1499,6 +1509,9 @@ FROM events GROUP BY user_id, event_type
     o["cheapest_supplier_per_part"] = oracles_rel.cheapest_supplier_sql()
     o["priority_with_returns"] = oracles_rel.priority_with_returns_sql()
     o["important_parts"] = oracles_rel.important_parts_sql()
+    o["top_supplier_revenue"] = oracles_rel.top_supplier_revenue_sql()
+    o["large_volume_customers"] = oracles_rel.large_volume_customers_sql()
+    o["idle_high_balance_customers"] = oracles_rel.idle_high_balance_customers_sql()
     o["revenue_moving_avg"] = oracles_rel.revenue_moving_avg_sql()
     o["join_cardinality_report"] = oracles_rel.JOIN_CARDINALITY_REPORT
     o["revenue_wow_change"] = oracles_rel.REVENUE_WOW_CHANGE

@@ -270,3 +270,33 @@ def test_broadcast_hint_is_size_gated(spark):
         assert not checks.uses_broadcast_join(gated), checks.simple_plan(gated)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q15_q18_q22_shapes(spark):
+    """Round-4 TPC-H additions: scalar-max equality (Q15), grouped-fact
+    HAVING before dimension joins (Q18), scalar-avg + anti join (Q22)."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.sources.store import load_table
+
+    top = R.top_supplier_revenue(spark, SF_SMALL).collect()
+    assert top, "some supplier has quarter revenue"
+    assert len({r.total_revenue for r in top}) == 1  # all tied at max
+
+    big = R.large_volume_customers(spark, SF_SMALL, qty_threshold=150.0).collect()
+    assert all(r.sum_qty > 150.0 for r in big)
+    qtys = [r.sum_qty for r in big]
+    assert qtys == sorted(qtys, reverse=True)
+
+    idle = R.idle_high_balance_customers(spark, SF_SMALL).collect()
+    # replay: threshold + anti-join semantics
+    cust = load_table(spark, SF_SMALL, "customer").collect()
+    pos = [c.c_acctbal for c in cust if c.c_acctbal > 0.0]
+    import decimal
+
+    avg = round(
+        float(sum(decimal.Decimal(str(round(b, 6))) for b in pos)) / len(pos), 4
+    )
+    assert sum(r.numcust for r in idle) <= sum(
+        1 for c in cust if c.c_acctbal > avg - 1e-3
+    )

@@ -623,3 +623,104 @@ def revenue_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("pct_change"),
     )
+
+
+def top_supplier_revenue(
+    spark: SparkSession, sf_dir: str,
+    q_start: str = "1996-01-01", q_end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape (view + scalar max): per-supplier revenue over a
+    quarter, keeping the supplier(s) that hit the maximum. The max is
+    a one-row aggregate broadcast into the filter; equality is safe
+    because both sides compare the same decimal-summed, rounded
+    double. Output (s_suppkey, s_name, total_revenue)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(q_start).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(q_end).cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(bcast_dim(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def large_volume_customers(
+    spark: SparkSession, sf_dir: str, qty_threshold: float = 150.0
+) -> DataFrame:
+    """TPC-H Q18 shape (HAVING on a grouped fact, then enrich): orders
+    whose total quantity clears the threshold, joined back to customer
+    and order headers. The heavy aggregation happens FIRST on the
+    narrow fact (map-side combine); only qualifying orders join the
+    dimensions. Output (c_custkey, c_name, o_orderkey, o_orderdate,
+    o_totalprice, sum_qty)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(float(qty_threshold)))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(bcast_dim(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+    )
+
+
+def idle_high_balance_customers(
+    spark: SparkSession, sf_dir: str, idle_year: int = 1998
+) -> DataFrame:
+    """TPC-H Q22 shape (scalar-avg subquery + anti join + rollup; the
+    phone-prefix grouping keys on nation here — the testdata carries no
+    phone column): customers with above-average positive balance and
+    no orders in ``idle_year`` (every synthetic customer has SOME
+    order, so the all-time anti-join would be vacuously empty),
+    counted per nation. Output (c_nationkey, numcust, totacctbal)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_bal")
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == idle_year)
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            _dsum("c_acctbal").alias("totacctbal"),
+        )
+    )

@@ -292,3 +292,57 @@ SELECT week,
              / lag(rev_dec) OVER (ORDER BY week)::DOUBLE * 100.0, 6) + 0.0 AS pct_change
 FROM weekly
 """
+
+
+def top_supplier_revenue_sql(
+    q_start: str = "1996-01-01", q_end: str = "1996-04-01"
+) -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {_dsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{q_start} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{q_end} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def large_volume_customers_sql(qty_threshold: float = 150.0) -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, {_dsum("l_quantity")} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {_dsum("l_quantity")} > {qty_threshold!r}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey ASC
+"""
+
+
+def idle_high_balance_customers_sql(idle_year: int = 1998) -> str:
+    return f"""
+WITH avg_bal AS (
+  SELECT ROUND(CAST(sum(c_acctbal::DECIMAL(18,6)) AS DOUBLE)
+               / count(*)::DOUBLE, 6) + 0.0 AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       count(*)::BIGINT AS numcust,
+       {_dsum("c_acctbal")} AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE year(o_orderdate) = {idle_year}
+  )
+GROUP BY c_nationkey
+"""
