@@ -1050,6 +1050,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # subquery + anti join + rollup; nation keys the group — the
     # testdata has no phone column)
     q["idle_high_balance_customers"] = relational.idle_high_balance_customers
+    # sibling: revenue_by_nation (TPC-H Q5 shape: the full cyclic
+    # local-supplier join chain with the co-nationality predicate)
+    q["local_supplier_revenue"] = relational.local_supplier_revenue
+    # sibling: pricing_summary (TPC-H Q6 shape: join-free what-if
+    # filter-aggregate, all predicates pushed to the scan)
+    q["forecast_revenue_change"] = relational.forecast_revenue_change
+    # sibling: revenue_by_nation (TPC-H Q7 shape: bilateral
+    # supplier-nation × customer-nation trade volume by year)
+    q["volume_shipping"] = relational.volume_shipping
+    # sibling: promo_revenue_share (TPC-H Q8 shape: conditional-sum /
+    # total-sum market-share ratio in one aggregation pass)
+    q["national_market_share"] = relational.national_market_share
+    # sibling: customers_without_orders (TPC-H Q13 shape: left join
+    # keeps zero-order customers, double aggregation histogram)
+    q["customer_order_distribution"] = relational.customer_order_distribution
+    # sibling: important_parts (TPC-H Q17 shape: correlated per-part
+    # AVG decorrelated into an aggregate joined back to the fact)
+    q["small_quantity_revenue"] = relational.small_quantity_revenue
+    # sibling: pricing_summary (TPC-H Q19 shape: OR of AND-group
+    # branches across the part ⋈ lineitem join)
+    q["disjunctive_branch_revenue"] = relational.disjunctive_branch_revenue
+    # sibling: large_volume_customers (TPC-H Q21 shape: the
+    # EXISTS / NOT-EXISTS self-join pair collapsed into one
+    # groupBy(orderkey) pass — see the docstring's 100 TB argument)
+    q["waiting_suppliers"] = relational.waiting_suppliers
     # sibling: hourly_locf (gap-filled trailing moving average over
     # the calendar grid)
     q["revenue_moving_avg"] = relational.revenue_moving_avg
@@ -1512,6 +1537,14 @@ FROM events GROUP BY user_id, event_type
     o["top_supplier_revenue"] = oracles_rel.top_supplier_revenue_sql()
     o["large_volume_customers"] = oracles_rel.large_volume_customers_sql()
     o["idle_high_balance_customers"] = oracles_rel.idle_high_balance_customers_sql()
+    o["local_supplier_revenue"] = oracles_rel.local_supplier_revenue_sql()
+    o["forecast_revenue_change"] = oracles_rel.forecast_revenue_change_sql()
+    o["volume_shipping"] = oracles_rel.volume_shipping_sql()
+    o["national_market_share"] = oracles_rel.national_market_share_sql()
+    o["customer_order_distribution"] = oracles_rel.customer_order_distribution_sql()
+    o["small_quantity_revenue"] = oracles_rel.small_quantity_revenue_sql()
+    o["disjunctive_branch_revenue"] = oracles_rel.DISJUNCTIVE_BRANCH_REVENUE
+    o["waiting_suppliers"] = oracles_rel.waiting_suppliers_sql()
     o["revenue_moving_avg"] = oracles_rel.revenue_moving_avg_sql()
     o["join_cardinality_report"] = oracles_rel.JOIN_CARDINALITY_REPORT
     o["revenue_wow_change"] = oracles_rel.REVENUE_WOW_CHANGE

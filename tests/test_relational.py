@@ -300,3 +300,40 @@ def test_q15_q18_q22_shapes(spark):
     assert sum(r.numcust for r in idle) <= sum(
         1 for c in cust if c.c_acctbal > avg - 1e-3
     )
+
+
+def test_remaining_tpch_shapes(spark):
+    """Round-4 completion of the TPC-H set expressible on this schema
+    (Q5/Q6/Q7/Q8/Q13/Q17/Q19/Q21; Q16/Q20 need the absent partsupp):
+    pin the semantic invariants each shape exists to test. Value
+    parity vs DuckDB is the oracle gate's job."""
+    q5 = R.local_supplier_revenue(spark, SF_SMALL).collect()
+    assert q5 and all(r.revenue > 0 for r in q5)
+    # co-nationality restricts to nations of the chosen region: ASIA
+    # holds 5 of the 25 round-robin nations
+    assert len(q5) <= 5
+
+    q6 = R.forecast_revenue_change(spark, SF_SMALL).collect()
+    assert len(q6) == 1 and q6[0].promo_revenue > 0
+
+    q7 = R.volume_shipping(spark, SF_SMALL).collect()
+    assert {r.supp_nation for r in q7} <= {"NATION_1", "NATION_2"}
+    assert all(r.supp_nation != r.cust_nation for r in q7)
+
+    q8 = R.national_market_share(spark, SF_SMALL).collect()
+    assert q8 and all(0.0 <= r.mkt_share <= 1.0 for r in q8)
+
+    q13 = R.customer_order_distribution(spark, SF_SMALL).collect()
+    n_cust = R.load_table(spark, SF_SMALL, "customer").count()
+    assert sum(r.custdist for r in q13) == n_cust  # partition of customers
+
+    q17 = R.small_quantity_revenue(spark, SF_SMALL).collect()
+    assert len(q17) == 1 and q17[0].avg_yearly >= 0.0
+
+    q19 = R.disjunctive_branch_revenue(spark, SF_SMALL).collect()
+    assert len(q19) == 1 and q19[0].n_lines >= 0
+
+    q21 = R.waiting_suppliers(spark, SF_SMALL).collect()
+    waits = [r.numwait for r in q21]
+    assert waits == sorted(waits, reverse=True)
+    assert len(q21) <= 25

@@ -724,3 +724,326 @@ def idle_high_balance_customers(
             _dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+def local_supplier_revenue(
+    spark: SparkSession, sf_dir: str,
+    region: str = "ASIA", y_start: int = 1996, y_end: int = 1997,
+) -> DataFrame:
+    """TPC-H Q5 shape (the full local-supplier join chain): revenue per
+    nation from lineitems whose supplier and ordering customer share a
+    nation, restricted to one region and an order-date window. Unlike
+    ``revenue_by_nation`` (the customer-only star), this adds the
+    supplier leg and the co-nationality equi-predicate, so the join
+    graph is cyclic — Catalyst resolves it as fact ⋈ broadcast dims
+    with the extra equality as a post-join filter. The only shuffle is
+    the final groupBy(n_name)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") >= y_start) & (F.year("o_orderdate") < y_end)
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region_df = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == region
+    ).select("r_regionkey")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(bcast_dim(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(bcast_dim(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(bcast_dim(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(bcast_dim(region_df), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_dsum("rev").alias("revenue"))
+    )
+
+
+def forecast_revenue_change(
+    spark: SparkSession, sf_dir: str,
+    y_start: int = 1996, d_lo: float = 0.05, d_hi: float = 0.07, q_max: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue scan — one tight
+    filter-aggregate over lineitem, no joins. All three predicates
+    (ship year, discount band, quantity cap) push down to the parquet
+    scan; the aggregate is a single map-side-combined decimal sum.
+    Output is one row (promo_revenue)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == y_start)
+            & (F.col("l_discount") >= d_lo) & (F.col("l_discount") <= d_hi)
+            & (F.col("l_quantity") < q_max)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("promo_revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+def volume_shipping(
+    spark: SparkSession, sf_dir: str,
+    nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+    y_start: int = 1995, y_end: int = 1998,
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — lineitems shipped
+    between two specific nations (supplier in one, ordering customer
+    in the other, both directions), bucketed by ship year. The nation
+    filter lands on the two broadcast dimension legs BEFORE the fact
+    join, so only qualifying customers/suppliers reach the probe side.
+    Output (supp_nation, cust_nation, l_year, revenue)."""
+    pair = [nation_a, nation_b]
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(pair)
+    ).select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(bcast_dim(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        .join(bcast_dim(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") >= y_start) & (F.year("l_shipdate") < y_end)
+    ).select(
+        "l_orderkey", "l_suppkey",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(bcast_dim(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(bcast_dim(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_dsum("rev").alias("revenue"))
+    )
+
+
+def national_market_share(
+    spark: SparkSession, sf_dir: str,
+    target_nation: str = "NATION_2", region: str = "ASIA", p_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8 shape: a nation's market share — of all ``p_type``
+    parts sold to customers in ``region``, what fraction of the
+    revenue (per order year) came from suppliers in ``target_nation``.
+    The share is a conditional-sum / total-sum ratio computed in one
+    aggregation pass (no second scan); both sums are exact decimal
+    folds and the division is rounded for cross-engine parity.
+    Output (o_year, mkt_share, total_revenue)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == p_type
+    ).select("p_partkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region_df = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == region
+    ).select("r_regionkey")
+    cust_in_region = (
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        .join(
+            bcast_dim(
+                nation.join(
+                    bcast_dim(region_df),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(
+            bcast_dim(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    target_rev = F.when(F.col("supp_nation") == target_nation, F.col("rev"))
+    return (
+        li.join(bcast_dim(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(bcast_dim(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            bcast_dim(cust_in_region),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.round(
+                    F.coalesce(F.sum(target_rev.cast(DEC)), F.lit(0).cast(DEC))
+                    .cast("double")
+                    / F.sum(F.col("rev").cast(DEC)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mkt_share"),
+            _dsum("rev").alias("total_revenue"),
+        )
+    )
+
+
+def customer_order_distribution(
+    spark: SparkSession, sf_dir: str, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13 shape: the customer-by-order-count histogram. A left
+    join keeps zero-order customers in the distribution (the whole
+    point of Q13); the excluded-priority predicate stands in for the
+    reference's comment NOT LIKE filter (this schema has no comment
+    column). Two aggregations: per-customer count, then the histogram
+    over counts. Output (c_count, custdist)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != exclude_priority
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+def small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#12", frac: float = 0.2
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — for
+    one brand's parts, lineitems whose quantity is under ``frac`` of
+    that part's average order quantity. The correlated per-part AVG
+    subquery decorrelates into one aggregate over lineitem joined back
+    to the fact; the per-part threshold uses an exact decimal
+    sum/count so both engines compare the same double. Output is one
+    row (avg_yearly, n_small_lines)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == brand
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).join(bcast_dim(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    per_part = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    ).select(F.col("l_partkey").alias("t_partkey"), "avg_qty")
+    return (
+        li.join(bcast_dim(per_part), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.lit(frac) * F.col("avg_qty"))
+        .agg(
+            (
+                F.round(
+                    F.coalesce(
+                        F.sum(F.col("l_extendedprice").cast(DEC)),
+                        F.lit(0).cast(DEC),
+                    ).cast("double")
+                    / F.lit(7.0),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_small_lines"),
+        )
+    )
+
+
+def disjunctive_branch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue matched by three disjunctive
+    brand/size/quantity branches (OR of AND-groups across the
+    part ⋈ lineitem join). The shared predicate (open linestatus —
+    standing in for the reference's shipmode/shipinstruct columns this
+    schema lacks) and the per-branch quantity bounds push to the scan;
+    the branch disjunction evaluates post-join in one codegen stage.
+    Output is one row (revenue, n_lines)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linestatus") == "O"
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    joined = li.join(bcast_dim(part), F.col("l_partkey") == F.col("p_partkey"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1.0, 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20.0, 30.0)
+        )
+    )
+    return joined.filter(branch).agg(
+        _dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+def waiting_suppliers(
+    spark: SparkSession, sf_dir: str, top: int = 25
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who single-handedly held up
+    multi-supplier orders. The reference phrases this as
+    EXISTS(another supplier) AND NOT EXISTS(another FAILING supplier)
+    via two lineitem self-joins; at 100 TB two self-joins of the fact
+    are two extra fact-sized shuffles, so this computes the same
+    predicate with ONE groupBy(l_orderkey) pass — per finalized order,
+    the distinct-supplier count and the distinct-failing-supplier
+    count (returnflag 'R' marks the failing line; this schema has no
+    commit/receipt dates) — and joins the k-byte qualifying-order set
+    back to the failing lines. Output (s_suppkey, s_name, numwait),
+    top ``top`` by numwait."""
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fail"),
+    )
+    qualifying = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_fail") == 1)
+    ).select(F.col("l_orderkey").alias("q_orderkey"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(bcast_dim(qualifying), F.col("l_orderkey") == F.col("q_orderkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").cast("bigint").alias("numwait"))
+        .join(bcast_dim(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(top)
+    )

@@ -346,3 +346,157 @@ WHERE c_acctbal > avg_bal
   )
 GROUP BY c_nationkey
 """
+
+
+def local_supplier_revenue_sql(
+    region: str = "ASIA", y_start: int = 1996, y_end: int = 1997
+) -> str:
+    return f"""
+SELECT n_name, {_dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{region}'
+  AND year(o_orderdate) >= {y_start} AND year(o_orderdate) < {y_end}
+GROUP BY n_name
+"""
+
+
+def forecast_revenue_change_sql(
+    y_start: int = 1996, d_lo: float = 0.05, d_hi: float = 0.07, q_max: float = 24.0
+) -> str:
+    return f"""
+SELECT {_dsum("l_extendedprice * l_discount")} AS promo_revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE year(l_shipdate) = {y_start}
+  AND l_discount >= {d_lo!r} AND l_discount <= {d_hi!r}
+  AND l_quantity < {q_max!r}
+"""
+
+
+def volume_shipping_sql(
+    nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+    y_start: int = 1995, y_end: int = 1998,
+) -> str:
+    return f"""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       {_dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('{nation_a}', '{nation_b}')
+  AND nc.n_name IN ('{nation_a}', '{nation_b}')
+  AND ns.n_name <> nc.n_name
+  AND year(l_shipdate) >= {y_start} AND year(l_shipdate) < {y_end}
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def national_market_share_sql(
+    target_nation: str = "NATION_2", region: str = "ASIA", p_type: str = "PROMO"
+) -> str:
+    return f"""
+SELECT year(o_orderdate)::BIGINT AS o_year,
+       ROUND(
+         CAST(COALESCE(sum(CASE WHEN ns.n_name = '{target_nation}'
+               THEN (l_extendedprice * (1.0 - l_discount))::DECIMAL(18,6) END),
+             0::DECIMAL(18,6)) AS DOUBLE)
+         / {_dsum("l_extendedprice * (1.0 - l_discount)")},
+         6) + 0.0 AS mkt_share,
+       {_dsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = '{p_type}')
+  AND o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation nr ON c_nationkey = nr.n_nationkey
+    JOIN region ON nr.n_regionkey = r_regionkey
+    WHERE r_name = '{region}'
+  )
+GROUP BY o_year
+"""
+
+
+def customer_order_distribution_sql(exclude_priority: str = "1-URGENT") -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority <> '{exclude_priority}'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+def small_quantity_revenue_sql(brand: str = "Brand#12", frac: float = 0.2) -> str:
+    return f"""
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = '{brand}')
+), per_part AS (
+  SELECT l_partkey AS t_partkey,
+         CAST(sum(l_quantity::DECIMAL(18,6)) AS DOUBLE) / count(*)::DOUBLE AS avg_qty
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT ROUND(CAST(COALESCE(sum(l_extendedprice::DECIMAL(18,6)), 0::DECIMAL(18,6))
+             AS DOUBLE) / 7.0, 6) + 0.0 AS avg_yearly,
+       count(*)::BIGINT AS n_small_lines
+FROM brand_li JOIN per_part ON l_partkey = t_partkey
+WHERE l_quantity < {frac!r} * avg_qty
+"""
+
+
+DISJUNCTIVE_BRANCH_REVENUE = f"""
+SELECT {_dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_linestatus = 'O'
+  AND (
+    (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+     AND l_quantity BETWEEN 1.0 AND 11.0)
+    OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 10.0 AND 20.0)
+    OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 20.0 AND 30.0)
+  )
+"""
+
+
+def waiting_suppliers_sql(top: int = 25) -> str:
+    return f"""
+WITH li_f AS (
+  SELECT l_orderkey, l_suppkey, l_returnflag
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_fail
+  FROM li_f GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name,
+       count(DISTINCT li_f.l_orderkey)::BIGINT AS numwait
+FROM li_f
+JOIN per_order ON li_f.l_orderkey = per_order.l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_returnflag = 'R' AND n_supp > 1 AND n_fail = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT {top}
+"""
