@@ -816,6 +816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # near-dup pair graph -> canonical components (hash-min rounds)
     q["dedup_components"] = curation.dedup_components
+    # sibling: dedup_components + document_splits (leakage-safe split:
+    # hash of the near-dup COMPONENT, so near-duplicates can never
+    # straddle the train/test fence)
+    q["leakage_safe_splits"] = curation.leakage_safe_splits
     # structural audit of the near-dup graph (wedge-close triangles +
     # clustering coefficient) — rotated in-cap round 4 in place of
     # parts_ordered_by_brand (join+agg family stays covered by
@@ -1467,6 +1471,9 @@ def oracle_sql() -> dict[str, str]:
     o["knn_classify"] = oracles_curation.knn_classify_sql(10, 8)
     o["hard_negatives"] = oracles_curation.hard_negatives_sql(5, 8)
     o["dedup_components"] = oracles_curation.dedup_components_sql(
+        oracles_text.ngram_jaccard_sql(3, 0.8)
+    )
+    o["leakage_safe_splits"] = oracles_curation.leakage_safe_splits_sql(
         oracles_text.ngram_jaccard_sql(3, 0.8)
     )
     o["source_token_budget"] = oracles_curation.source_token_budget_sql(20000)

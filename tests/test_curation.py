@@ -471,3 +471,29 @@ def test_quality_vs_dup_rate_partitions(spark):
     for r in rows:
         assert 0 <= r.q_bucket <= 9
         assert 0.0 <= r.dup_rate <= 1.0
+
+
+def test_leakage_safe_splits_no_component_straddles(spark):
+    """The invariant the operator exists for: every near-dup component
+    lands wholly inside one split, and the assignment covers every
+    document exactly once."""
+    from ydb_vector_search_simple_api_spark.operators import curation as C
+
+    rows = C.leakage_safe_splits(spark, SF_SMALL).collect()
+    n_docs = len({r.doc_id for r in rows})
+    assert n_docs == len(rows)  # one row per doc
+
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_comp.values())
+
+    # and it genuinely uses components: at least one component holds
+    # several docs at these thresholds (the synthetic corpus carries
+    # planted near-dups)
+    from collections import Counter
+
+    sizes = Counter()
+    for r in rows:
+        sizes[r.component_id] += 1
+    assert max(sizes.values()) > 1

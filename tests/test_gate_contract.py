@@ -9,6 +9,9 @@ import __spark_entry__ as E
 # round-4 rotation: bm25_topk, cdc_merge, export_curated, graph_stats,
 # histogram_quantiles, ab_test_report promoted in-cap (VERDICT r3 #3);
 # their family siblings moved to the oracle-backed overflow window.
+# Late round 4: leakage_safe_splits promoted in-cap (new flagship
+# composition — components + component-keyed split); label_centroids
+# (driver-green in r03) rotated to overflow.
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
@@ -18,6 +21,7 @@ EXPECTED_IN_CAP = [
     "dedup_minhash_md5", "bm25_topk", "decontaminate",
     "curate_corpus", "export_curated", "repetition_signals",
     "pq_rerank_full", "stream_interval_join", "dedup_components",
+    "leakage_safe_splits",
     "graph_stats", "source_token_budget", "pii_redaction",
     "multimodal_meta", "events_hourly_stream", "events_distinct_pairs",
     "session_rollup", "user_running_totals", "pricing_summary",
@@ -26,7 +30,7 @@ EXPECTED_IN_CAP = [
     "repeat_customers", "customer_revenue_deciles", "user_event_pivot",
     "sql_topk_cosine", "purchase_attribution", "surge_windows",
     "events_in_surges", "hourly_locf", "histogram_quantiles",
-    "ab_test_report", "props_k_stats", "label_centroids",
+    "ab_test_report", "props_k_stats",
 ]
 
 

@@ -998,3 +998,38 @@ def quality_vs_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+def leakage_safe_splits(
+    spark: SparkSession, sf_dir: str,
+    n: int = 3, threshold: float = 0.8,
+    train: float = 0.8, valid: float = 0.1,
+) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: the split is a hash
+    of the near-dup COMPONENT id, not the document id, so two
+    near-duplicate documents can never land on opposite sides of the
+    train/test fence (the classic eval-contamination failure that
+    per-doc hash splits — ``document_splits`` — cannot prevent).
+
+    Components come from the same n-gram-Jaccard graph the dedup
+    pipeline resolves; singleton docs (no near-dup edge) are their own
+    component. One banded pair join + the label-propagation fixpoint +
+    one broadcast-sized left join back to the corpus — the component
+    table is ``O(duplicated docs)``, far smaller than the corpus, so
+    the join back is a broadcast at any scale where dedup itself is
+    feasible. Output (doc_id, component_id, split).
+    """
+    from .sampling import split_assign
+
+    docs = load_documents(spark, sf_dir).select("doc_id")
+    comp = dedup_components(spark, sf_dir, n=n, threshold=threshold).select(
+        F.col("doc_id").alias("c_doc_id"), "component_id"
+    )
+    return (
+        docs.join(comp, docs["doc_id"] == F.col("c_doc_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
+        )
+        .withColumn("split", split_assign(F.col("component_id"), train, valid))
+    )

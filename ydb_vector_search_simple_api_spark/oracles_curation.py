@@ -444,3 +444,28 @@ SELECT q_bucket, count(*)::BIGINT AS n_docs,
 FROM per_doc JOIN counts USING (h)
 GROUP BY q_bucket
 """
+
+
+def leakage_safe_splits_sql(
+    jaccard_pairs_sql: str, train: float = 0.8, valid: float = 0.1
+) -> str:
+    """Recursive-closure components + component-keyed hash split —
+    the twin of ``curation.leakage_safe_splits``."""
+    from .operators.sampling import PREFIX_HEX, _threshold_hex
+
+    t1, t2 = _threshold_hex(train), _threshold_hex(train + valid)
+    comp = dedup_components_sql(jaccard_pairs_sql)
+    return f"""
+WITH comp AS ({comp}),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, component_id,
+       CASE WHEN substr(md5(CAST(component_id AS VARCHAR)), 1, {PREFIX_HEX}) < '{t1}'
+              THEN 'train'
+            WHEN substr(md5(CAST(component_id AS VARCHAR)), 1, {PREFIX_HEX}) < '{t2}'
+              THEN 'valid'
+            ELSE 'test' END AS split
+FROM alldocs
+"""
