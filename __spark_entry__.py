@@ -996,6 +996,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # siblings: dedup_exact_groups + chunk_documents (this composes the
     # two driver-checked pieces: md5-groupBy election at chunk grain)
     q["chunk_dedup"] = lambda s, d: dedup.chunk_dedup_stats(s, d)
+    # sibling: winnowing_fingerprints (same k-gram machinery, but this
+    # one answers "WHICH token spans are verbatim duplicates" — the
+    # suffix-array-style exact-substring dedup report)
+    q["duplicate_spans"] = lambda s, d: dedup.duplicate_spans(
+        load_documents(s, d)
+    )
     # sibling: quality_filter (same per-doc quality-signal family;
     # this one is corpus-statistical rather than surface-form)
     q["unigram_logprob"] = textual.unigram_logprob
@@ -1450,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
     o["winnowing_fingerprints"] = oracles_text.winnowing_digest_sql(8, 4)
     o["dedup_exact_groups"] = oracles_text.DEDUP_EXACT
     o["chunk_dedup"] = oracles_text.chunk_dedup_sql()
+    o["duplicate_spans"] = oracles_text.duplicate_spans_sql(8)
     o["unigram_logprob"] = oracles_text.UNIGRAM_LOGPROB
     o["bigram_logprob"] = oracles_text.BIGRAM_LOGPROB
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)

@@ -323,3 +323,39 @@ def test_best_quality_election(spark):
         assert (r.quality, r.doc_id) == want
         assert r.group_size == len(grp)
     assert "Window" not in checks.simple_plan(df)
+
+
+def test_duplicate_spans_planted(spark):
+    """Plant a verbatim 10-token passage in two docs and a clean doc;
+    with k=8 the island must cover exactly the 10 shared tokens in
+    both carriers and nothing in the clean doc."""
+    passage = " ".join(f"p{i}" for i in range(10))  # 10 unique tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {passage} a4 a5"),
+            (2, f"b1 b2 {passage} b3 b4 b5 b6"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.duplicate_spans(docs, k=8).collect()}
+    assert out[1].n_dup_spans == 1 and out[1].dup_tokens == 10
+    assert out[2].n_dup_spans == 1 and out[2].dup_tokens == 10
+    assert out[3].n_dup_spans == 0 and out[3].dup_tokens == 0
+    assert out[1].total_tokens == 15 and out[1].dup_frac == round(10 / 15, 6)
+
+    # within-doc repetition also counts (total occurrences >= 2)
+    rep = spark.createDataFrame(
+        [(7, f"{passage} x1 x2 x3 {passage}")],
+        "doc_id long, text string",
+    )
+    r7 = dedup.duplicate_spans(rep, k=8).collect()[0]
+    assert r7.n_dup_spans == 2 and r7.dup_tokens == 20
+
+    # spans shorter than k are invisible — the documented approximation
+    short = spark.createDataFrame(
+        [(8, "s1 s2 q1 q2 q3 q4 q5 s3"), (9, "t1 q1 q2 q3 q4 q5 t2 t3")],
+        "doc_id long, text string",
+    )
+    for r in dedup.duplicate_spans(short, k=8).collect():
+        assert r.n_dup_spans == 0

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -1109,4 +1109,112 @@ def best_quality_election(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.neg_id")).cast("bigint").alias("doc_id"),
         F.col("b.quality").alias("quality"),
         "group_size",
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring duplicate detection (the token-level analogue
+    of suffix-array dedup à la "Deduplicating Training Data Makes
+    Language Models Better"): find, per document, the maximal token
+    spans covered by some ``k``-token window that appears at least
+    twice in the corpus (across docs OR repeated within one doc).
+
+    Pipeline: k-token shingles with positions → md5 per shingle →
+    shingle hashes with total occurrence ≥ 2 ("hot") → semi-join
+    positions to hot hashes → merge overlapping/adjacent [i, i+k)
+    windows into islands per doc (gaps-and-islands window) → per-doc
+    rollup.
+
+    100 TB shape: the only corpus-sized structures are the shingle
+    stream (narrow: id + int + 32-byte hash, NOT the text) and its
+    hash-keyed count with map-side combine; the hot-hash set is
+    ``O(duplicated shingles)`` and the island merge is one window per
+    doc over already-filtered rows. No self-join, no all-pairs.
+    A full suffix array finds arbitrary-length duplicates; fixed-k
+    windows find exactly the spans ≥ k tokens (shorter repeats are
+    invisible, longer ones merge into one island) — the standard
+    scalable approximation.
+
+    Output: (doc_id, total_tokens, n_dup_spans, dup_tokens, dup_frac)
+    for every input document (zero rows included).
+    """
+    t = TXT.tokens(text_col)
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("toks"),
+        F.size(t).alias("total_tokens"),
+    )
+    # (doc_id, start, hash) for every k-window; 1-based starts
+    sh = d.filter(F.col("total_tokens") >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("total_tokens") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, k))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.start").alias("start"), F.col("s.h").alias("h"))
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("h")
+    )
+    dup = sh.join(hot, "h", "left_semi").withColumn(
+        "end", F.col("start") + F.lit(k - 1)
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        dup.withColumn("prev_max_end", F.max("end").over(w))
+        .withColumn(
+            "new_island",
+            (
+                F.col("prev_max_end").isNull()
+                | (F.col("start") > F.col("prev_max_end") + 1)
+            ).cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                Window.partitionBy("doc_id").orderBy("start")
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg((F.max("end") - F.min("start") + 1).alias("span_len"))
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum("span_len").cast("bigint").alias("dup_tokens"),
+    )
+    return (
+        d.select("doc_id", "total_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            (
+                F.round(
+                    F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                    / F.col("total_tokens").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dup_frac"),
+        )
     )

@@ -1056,3 +1056,65 @@ SELECT d.n_name, e.event_type,
 FROM events e LEFT JOIN dim d ON e.user_id = d.c_custkey
 GROUP BY d.n_name, e.event_type
 """
+
+
+def duplicate_spans_sql(k: int = 8) -> str:
+    """Twin of ``dedup.duplicate_spans``: token k-window md5s with
+    positions, hot-hash filter (total occurrences ≥ 2), per-doc
+    gaps-and-islands merge of overlapping/adjacent [i, i+k) windows,
+    per-doc rollup with zero-span docs kept."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, {TOKS} AS toks, len({TOKS})::BIGINT AS total_tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(toks[i : i + {k} - 1], ' ')) AS h
+  FROM d, LATERAL unnest(range(1, total_tokens - {k} + 2)) AS t(i)
+  WHERE total_tokens >= {k}
+),
+hot AS (
+  SELECT h FROM sh GROUP BY h HAVING count(*) >= 2
+),
+dup AS (
+  SELECT doc_id, start, start + {k} - 1 AS "end"
+  FROM sh WHERE h IN (SELECT h FROM hot)
+),
+marked AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN max("end") OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR start > max("end") OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup
+),
+islands AS (
+  SELECT doc_id,
+         sum(new_island) OVER (
+           PARTITION BY doc_id ORDER BY start
+         ) AS island,
+         start, "end"
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, island, max("end") - min(start) + 1 AS span_len
+  FROM islands GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+         sum(span_len)::BIGINT AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, d.total_tokens,
+       COALESCE(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       COALESCE(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+       ROUND(COALESCE(p.dup_tokens, 0)::DOUBLE / d.total_tokens::DOUBLE, 6)
+         + 0.0 AS dup_frac
+FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
