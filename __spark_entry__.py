@@ -1002,6 +1002,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["duplicate_spans"] = lambda s, d: dedup.duplicate_spans(
         load_documents(s, d)
     )
+    # sibling: duplicate_spans (the actionable form: strip everything
+    # but the corpus-wide first occurrence, digest the cleaned stream)
+    q["remove_duplicate_spans"] = lambda s, d: dedup.remove_duplicate_spans(
+        load_documents(s, d)
+    )
     # sibling: quality_filter (same per-doc quality-signal family;
     # this one is corpus-statistical rather than surface-form)
     q["unigram_logprob"] = textual.unigram_logprob
@@ -1457,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_exact_groups"] = oracles_text.DEDUP_EXACT
     o["chunk_dedup"] = oracles_text.chunk_dedup_sql()
     o["duplicate_spans"] = oracles_text.duplicate_spans_sql(8)
+    o["remove_duplicate_spans"] = oracles_text.remove_duplicate_spans_sql(8)
     o["unigram_logprob"] = oracles_text.UNIGRAM_LOGPROB
     o["bigram_logprob"] = oracles_text.BIGRAM_LOGPROB
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)

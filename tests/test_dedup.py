@@ -359,3 +359,36 @@ def test_duplicate_spans_planted(spark):
     )
     for r in dedup.duplicate_spans(short, k=8).collect():
         assert r.n_dup_spans == 0
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    """Keep-first semantics: the lower doc_id retains the passage
+    verbatim, the higher one loses exactly the shared window; a
+    cleaned doc's digest equals md5 of its expected surviving text."""
+    import hashlib
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {passage} a4 a5"),
+            (2, f"b1 b2 {passage} b3 b4 b5 b6"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.remove_duplicate_spans(docs, k=8).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 1 is canonical everywhere -> untouched
+    assert out[1].removed_tokens == 0
+    assert out[1].kept_md5 == md5(f"a1 a2 a3 {passage} a4 a5")
+    # doc 2 loses the 10 shared tokens, keeps its frame
+    assert out[2].removed_tokens == 10
+    assert out[2].kept_md5 == md5("b1 b2 b3 b4 b5 b6")
+
+    # within-doc repeat: second copy stripped, first kept
+    rep = spark.createDataFrame(
+        [(7, f"{passage} x1 x2 x3 {passage}")],
+        "doc_id long, text string",
+    )
+    r7 = dedup.remove_duplicate_spans(rep, k=8).collect()[0]
+    assert r7.removed_tokens == 10
+    assert r7.kept_md5 == md5(f"{passage} x1 x2 x3")

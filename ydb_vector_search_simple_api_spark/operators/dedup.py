@@ -1218,3 +1218,125 @@ def duplicate_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """The actionable form of :func:`duplicate_spans`: strip every
+    duplicated k-token window EXCEPT its corpus-wide first occurrence
+    (canonical = minimal (doc_id, start) per shingle hash — the same
+    keep-first rule the exact-dedup election uses), and emit a digest
+    of the cleaned token stream.
+
+    Per doc, the removed region is the union (island merge) of its
+    non-canonical hot windows; tokens outside it survive in order.
+    A doc whose every token sits under removed windows cleans to the
+    empty string (md5('') — same on both engines).
+
+    Scale shape: identical to :func:`duplicate_spans` (narrow shingle
+    stream, hash-keyed count, no self-join) plus one min-aggregate per
+    hot hash and a per-doc spans array (``O(spans)``, bounded by
+    total_tokens/k per doc) applied to the token array in pure codegen
+    — no Python boundary, no re-tokenize.
+
+    Output: (doc_id, total_tokens, removed_tokens, kept_md5).
+    """
+    t = TXT.tokens(text_col)
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("toks"),
+        F.size(t).alias("total_tokens"),
+    )
+    sh = d.filter(F.col("total_tokens") >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("total_tokens") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, k))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.start").alias("start"), F.col("s.h").alias("h"))
+    # canonical occurrence per hot hash = min (doc_id, start)
+    per_hash = sh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "start")).alias("canon"),
+    )
+    # no broadcast hint: the hot-hash table is O(duplicated shingles)
+    # — tiny on clean corpora, corpus-sized on pathological ones — so
+    # AQE's runtime size check picks the strategy
+    removable = (
+        sh.join(per_hash.filter(F.col("n_occ") >= 2), "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("canon.doc_id"))
+                & (F.col("start") == F.col("canon.start"))
+            )
+        )
+        .select("doc_id", "start", (F.col("start") + F.lit(k - 1)).alias("end"))
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        removable.withColumn("prev_max_end", F.max("end").over(w_prev))
+        .withColumn(
+            "new_island",
+            (
+                F.col("prev_max_end").isNull()
+                | (F.col("start") > F.col("prev_max_end") + 1)
+            ).cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                Window.partitionBy("doc_id").orderBy("start")
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("start").alias("s"), F.max("end").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    joined = d.join(spans, "doc_id", "left").withColumn(
+        "spans",
+        F.coalesce(
+            "spans", F.array().cast("array<struct<s:int,e:int>>")
+        ),
+    )
+    idx = F.transform(
+        F.sequence(F.lit(1), F.col("total_tokens")),
+        lambda i: F.struct(
+            i.alias("i"), F.element_at(F.col("toks"), i).alias("tok")
+        ),
+    )
+    kept = F.filter(
+        idx,
+        lambda p: ~F.exists(
+            F.col("spans"),
+            lambda sp: (p["i"] >= sp["s"]) & (p["i"] <= sp["e"]),
+        ),
+    )
+    removed_len = F.aggregate(
+        F.col("spans"),
+        F.lit(0),
+        lambda acc, sp: acc + (sp["e"] - sp["s"] + F.lit(1)),
+    )
+    return joined.select(
+        "doc_id",
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        removed_len.cast("bigint").alias("removed_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.transform(kept, lambda p: p["tok"]))
+        ).alias("kept_md5"),
+    )

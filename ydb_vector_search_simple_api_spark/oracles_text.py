@@ -1118,3 +1118,76 @@ SELECT d.doc_id, d.total_tokens,
          + 0.0 AS dup_frac
 FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
+
+
+def remove_duplicate_spans_sql(k: int = 8) -> str:
+    """Twin of ``dedup.remove_duplicate_spans``: canonical occurrence
+    (min (doc_id, start) per hot hash) survives; islands of the
+    remaining hot windows are stripped; kept_md5 digests the surviving
+    token stream in order."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, {TOKS} AS toks, len({TOKS})::BIGINT AS total_tokens
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(toks[i : i + {k} - 1], ' ')) AS h
+  FROM d, LATERAL unnest(range(1, total_tokens - {k} + 2)) AS t(i)
+  WHERE total_tokens >= {k}
+),
+ranked AS (
+  SELECT doc_id, start, h,
+         count(*) OVER (PARTITION BY h) AS n_occ,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+  FROM sh
+),
+removable AS (
+  SELECT doc_id, start, start + {k} - 1 AS "end"
+  FROM ranked WHERE n_occ >= 2 AND rn > 1
+),
+marked AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN max("end") OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR start > max("end") OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM removable
+),
+spans AS (
+  SELECT doc_id,
+         min(start) AS s, max("end") AS e
+  FROM (
+    SELECT doc_id, start, "end",
+           sum(new_island) OVER (PARTITION BY doc_id ORDER BY start) AS island
+    FROM marked
+  ) GROUP BY doc_id, island
+),
+tok_pos AS (
+  SELECT doc_id, i, toks[i] AS tok
+  FROM d, LATERAL unnest(range(1, total_tokens + 1)) AS t(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.i, tp.tok
+  FROM tok_pos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans r
+    WHERE r.doc_id = tp.doc_id AND tp.i BETWEEN r.s AND r.e
+  )
+),
+removed AS (
+  SELECT doc_id, sum(e - s + 1)::BIGINT AS removed_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, d.total_tokens,
+       COALESCE(r.removed_tokens, 0)::BIGINT AS removed_tokens,
+       md5(COALESCE(
+         (SELECT string_agg(tok, ' ' ORDER BY i)
+          FROM kept WHERE kept.doc_id = d.doc_id), '')) AS kept_md5
+FROM d LEFT JOIN removed r ON d.doc_id = r.doc_id
+"""
