@@ -200,3 +200,32 @@ def test_top_tokens_per_lang_ranks(spark):
     for lang, rks in per.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
         assert max(rks) <= 5
+
+
+def test_perplexity_buckets_tile_invariants(spark):
+    """Per-source tiling: tile sizes within a source differ by at most
+    one; bucket 1 holds the most fluent docs (scores are
+    non-increasing across bucket boundaries); keep == bucket < 3."""
+    from collections import Counter
+
+    from ydb_vector_search_simple_api_spark.operators import textual as T
+
+    rows = T.perplexity_buckets(spark, SF_SMALL).collect()
+    assert rows
+    sizes = Counter((r.source, r.bucket) for r in rows)
+    by_src = {}
+    for (src, b), n in sizes.items():
+        by_src.setdefault(src, {})[b] = n
+    for src, buckets in by_src.items():
+        assert set(buckets) == {1, 2, 3}
+        assert max(buckets.values()) - min(buckets.values()) <= 1
+    for src in by_src:
+        per = sorted(
+            (r for r in rows if r.source == src),
+            key=lambda r: (r.bucket, -r.mean_bigram_logprob),
+        )
+        scores_by_bucket = {}
+        for r in per:
+            scores_by_bucket.setdefault(r.bucket, []).append(r.mean_bigram_logprob)
+        assert min(scores_by_bucket[1]) >= max(scores_by_bucket[3])
+    assert all(r.keep == (r.bucket < 3) for r in rows)

@@ -9,7 +9,7 @@ beyond the aggregations themselves).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -862,4 +862,36 @@ def top_tokens_per_lang(
         counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= top_n)
         .select("lang", "token", "cnt", "rk")
+    )
+
+
+def perplexity_buckets(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 3
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank documents by their own
+    corpus's bigram LM score WITHIN each source and cut into
+    ``n_buckets`` equal tiles (head = most fluent, tail = least);
+    the keep flag implements the standard head+middle admission.
+
+    Per-source tiling (CCNet tiles per language-model domain) stops a
+    fluent source from crowding a noisy one out of the kept set — the
+    mixing property a cross-corpus global cut destroys. One window
+    over the per-doc score table (corpus-sized but 3 columns); the
+    score itself reuses :func:`bigram_logprob`'s aggregation pipeline.
+    Ties break on doc_id, so the tiling is deterministic on both
+    engines. Docs with < 2 tokens have no bigram score and are absent
+    (they carry no LM evidence either way).
+
+    Output: (doc_id, source, mean_bigram_logprob, bucket, keep).
+    """
+    lp = bigram_logprob(spark, sf_dir).select("doc_id", "mean_bigram_logprob")
+    d = load_documents(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.col("mean_bigram_logprob").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.join(lp, "doc_id")
+        .withColumn("bucket", F.ntile(n_buckets).over(w).cast("bigint"))
+        .withColumn("keep", (F.col("bucket") < n_buckets).cast("boolean"))
+        .select("doc_id", "source", "mean_bigram_logprob", "bucket", "keep")
     )

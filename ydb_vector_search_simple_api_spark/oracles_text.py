@@ -1191,3 +1191,21 @@ SELECT d.doc_id, d.total_tokens,
           FROM kept WHERE kept.doc_id = d.doc_id), '')) AS kept_md5
 FROM d LEFT JOIN removed r ON d.doc_id = r.doc_id
 """
+
+
+def perplexity_buckets_sql(n_buckets: int = 3) -> str:
+    """Twin of ``textual.perplexity_buckets`` over the shared
+    BIGRAM_LOGPROB score pipeline."""
+    return f"""
+WITH lp AS ({BIGRAM_LOGPROB})
+SELECT d.doc_id, d.source, lp.mean_bigram_logprob,
+       ntile({n_buckets}) OVER (
+         PARTITION BY d.source
+         ORDER BY lp.mean_bigram_logprob DESC, d.doc_id ASC
+       )::BIGINT AS bucket,
+       (ntile({n_buckets}) OVER (
+         PARTITION BY d.source
+         ORDER BY lp.mean_bigram_logprob DESC, d.doc_id ASC
+       ) < {n_buckets}) AS keep
+FROM documents d JOIN lp ON d.doc_id = lp.doc_id
+"""
