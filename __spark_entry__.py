@@ -1013,6 +1013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: bigram_logprob (CCNet-style per-source perplexity tiles
     # over the same LM score; head+middle admission flag)
     q["perplexity_buckets"] = textual.perplexity_buckets
+    # sibling: tfidf_top_terms (corpus-statistics family; this one is
+    # the source×source JS-divergence matrix for mixture design)
+    q["source_divergence"] = textual.source_divergence
     # sibling: unigram_logprob (the sequence-aware bigram step-up)
     q["bigram_logprob"] = textual.bigram_logprob
     # sibling: pq_rerank_full (embedding-quantization family; int8
@@ -1469,6 +1472,7 @@ def oracle_sql() -> dict[str, str]:
     o["unigram_logprob"] = oracles_text.UNIGRAM_LOGPROB
     o["bigram_logprob"] = oracles_text.BIGRAM_LOGPROB
     o["perplexity_buckets"] = oracles_text.perplexity_buckets_sql(3)
+    o["source_divergence"] = oracles_text.SOURCE_DIVERGENCE
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)
     o["neardup_cosine"] = oracles_text.neardup_cosine_sql(0.4)
     o["dedup_minhash_md5"] = oracles_text.minhash_lsh_md5_sql(3, 16, 8, 0.8)

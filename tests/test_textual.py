@@ -229,3 +229,37 @@ def test_perplexity_buckets_tile_invariants(spark):
             scores_by_bucket.setdefault(r.bucket, []).append(r.mean_bigram_logprob)
         assert min(scores_by_bucket[1]) >= max(scores_by_bucket[3])
     assert all(r.keep == (r.bucket < 3) for r in rows)
+
+
+def test_source_divergence_bounds_and_extremes(spark):
+    """JS is 0 for identical distributions, ln 2 for disjoint ones,
+    and in [0, ln 2] on the real corpus."""
+    import math
+
+    from ydb_vector_search_simple_api_spark.operators import textual as T
+
+    rows = T.source_divergence(spark, SF_SMALL).collect()
+    assert rows
+    ln2 = math.log(2.0)
+    assert all(-1e-9 <= r.js_divergence <= ln2 + 1e-9 for r in rows)
+    assert all(r.source_a < r.source_b for r in rows)
+
+    # planted extremes via a temp parquet corpus
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [
+                (1, "x y z x", "en", "same_a", 7),
+                (2, "x y z x", "en", "same_b", 7),
+                (3, "q r s t", "en", "other", 7),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {
+            (r.source_a, r.source_b): r.js_divergence
+            for r in T.source_divergence(spark, d).collect()
+        }
+        assert abs(out[("same_a", "same_b")]) < 1e-6
+        assert abs(out[("other", "same_a")] - ln2) < 1e-6

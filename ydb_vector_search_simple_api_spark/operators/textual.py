@@ -895,3 +895,71 @@ def perplexity_buckets(
         .withColumn("keep", (F.col("bucket") < n_buckets).cast("boolean"))
         .select("doc_id", "source", "mean_bigram_logprob", "bucket", "keep")
     )
+
+
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the sources' unigram
+    token distributions — the domain-similarity matrix a data-mixing
+    policy (DoReMi-style domain weighting, dedup-across-sources
+    decisions) starts from. JS is symmetric and bounded by ln 2, so
+    the numbers are comparable across pairs.
+
+    Shape: one groupBy builds (source, tok, p); the pair table is a
+    token-keyed join of that narrow distribution against itself
+    (sources × vocabulary, NOT documents), with a full-outer per pair
+    so single-sided tokens contribute their ``0.5·p·ln 2`` mass.
+    Float parity follows the logprob contract: per-term contribution
+    rounded to 9 places, decimal-summed (order-invariant), one final
+    ROUND(6).
+
+    Output: (source_a, source_b, n_terms, js_divergence), a < b.
+    """
+    toks = load_documents(spark, sf_dir).select(
+        "source", F.explode(TXT.tokens("text")).alias("tok")
+    )
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    dist = cnt.join(F.broadcast(tot), "source").select(
+        "source", "tok", (F.col("cnt").cast("double") / F.col("tot").cast("double")).alias("p")
+    )
+    # explicit pair dimension (broadcast-sized: sources², not docs),
+    # then a full outer per (pair, token) so single-sided terms
+    # surface with the other side's mass at 0 — a bare token-keyed
+    # self-join would silently drop them
+    srcs = tot.select("source")
+    pairs_dim = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    left = (
+        F.broadcast(pairs_dim)
+        .join(dist, F.col("source") == F.col("source_a"))
+        .select("source_a", "source_b", "tok", F.col("p").alias("pa"))
+    )
+    right = (
+        F.broadcast(pairs_dim)
+        .join(dist, F.col("source") == F.col("source_b"))
+        .select("source_a", "source_b", "tok", F.col("p").alias("pb"))
+    )
+    pairs = left.join(right, ["source_a", "source_b", "tok"], "full")
+    pa = F.coalesce("pa", F.lit(0.0))
+    pb = F.coalesce("pb", F.lit(0.0))
+    m = (pa + pb) / F.lit(2.0)
+    contrib = F.lit(0.5) * (
+        F.when(pa > 0.0, pa * F.log(pa / m)).otherwise(F.lit(0.0))
+        + F.when(pb > 0.0, pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        pairs.select(
+            "source_a", "source_b",
+            F.round(contrib, 9).cast("decimal(28,9)").alias("c"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            (F.round(F.sum("c").cast("double"), 6) + F.lit(0.0)).alias(
+                "js_divergence"
+            ),
+        )
+    )

@@ -1209,3 +1209,47 @@ SELECT d.doc_id, d.source, lp.mean_bigram_logprob,
        ) < {n_buckets}) AS keep
 FROM documents d JOIN lp ON d.doc_id = lp.doc_id
 """
+
+
+SOURCE_DIVERGENCE = f"""
+WITH toks AS (
+  SELECT source, unnest({TOKS}) AS tok FROM documents
+),
+cnt AS (
+  SELECT source, tok, count(*) AS cnt FROM toks GROUP BY source, tok
+),
+tot AS (
+  SELECT source, count(*) AS tot FROM toks GROUP BY source
+),
+dist AS (
+  SELECT c.source, c.tok, c.cnt::DOUBLE / t.tot::DOUBLE AS p
+  FROM cnt c JOIN tot t ON c.source = t.source
+),
+pairs_dim AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM tot a, tot b WHERE a.source < b.source
+),
+lhs AS (
+  SELECT source_a, source_b, tok, p AS pa
+  FROM pairs_dim JOIN dist ON dist.source = source_a
+),
+rhs AS (
+  SELECT source_a, source_b, tok, p AS pb
+  FROM pairs_dim JOIN dist ON dist.source = source_b
+),
+merged AS (
+  SELECT COALESCE(lhs.source_a, rhs.source_a) AS source_a,
+         COALESCE(lhs.source_b, rhs.source_b) AS source_b,
+         COALESCE(pa, 0.0) AS pa, COALESCE(pb, 0.0) AS pb
+  FROM lhs FULL OUTER JOIN rhs
+    ON lhs.source_a = rhs.source_a AND lhs.source_b = rhs.source_b
+   AND lhs.tok = rhs.tok
+)
+SELECT source_a, source_b,
+       count(*)::BIGINT AS n_terms,
+       ROUND(CAST(sum(ROUND(
+         0.5 * (CASE WHEN pa > 0.0 THEN pa * ln(pa / ((pa + pb) / 2.0)) ELSE 0.0 END
+              + CASE WHEN pb > 0.0 THEN pb * ln(pb / ((pa + pb) / 2.0)) ELSE 0.0 END),
+         9)::DECIMAL(28,9)) AS DOUBLE), 6) + 0.0 AS js_divergence
+FROM merged GROUP BY source_a, source_b
+"""
