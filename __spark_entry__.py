@@ -108,6 +108,51 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> ivf.IvfIndex:
     return _IVF_CACHE[key]
 
 
+_SQ_CACHE: dict[str, object] = {}
+
+
+def _sq_index(spark: SparkSession, sf_dir: str):
+    from ydb_vector_search_simple_api_spark.operators import sq as sq_mod
+
+    key = sf_dir
+    if key not in _SQ_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(), f"svs_sq_{tag}")
+        marker = os.path.join(out, "_sq_meta.json")
+        if os.path.exists(marker):
+            _SQ_CACHE[key] = sq_mod.load_sq_index(out)
+        else:
+            from pyspark.sql import functions as F
+
+            embs = load_embeddings(spark, sf_dir).select(
+                F.col("vec_id").alias("id"), "embedding"
+            )
+            _SQ_CACHE[key] = sq_mod.build_sq_index(spark, embs, out)
+    return _SQ_CACHE[key]
+
+
+def _mk_sq_rerank(strategy: str, k: int, shortlist: int | None):
+    """Int8 dequantized-approx shortlist -> exact rerank
+    (operators/sq.py); shortlist=None keeps every row => exact
+    (strong oracle)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ydb_vector_search_simple_api_spark.operators import sq as sq_mod
+
+        idx = _sq_index(spark, sf_dir)
+        src = load_embeddings(spark, sf_dir).select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+        return sq_mod.sq_search_rerank(
+            spark, idx, src, _query_vec(spark, sf_dir), k=k,
+            strategy=strategy, shortlist=shortlist, round_digits=ROUND,
+        )
+
+    return run
+
+
 _BQ_CACHE: dict[str, "bq_mod.BqIndex"] = {}
 
 
@@ -988,6 +1033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this one's first pass is the pure-codegen sign-bit Hamming scan,
     # operators/bq.py — full shortlist == exact)
     q["bq_rerank_full"] = _mk_bq_rerank("CosineSimilarity", k=10, shortlist=None)
+    # sibling: bq_rerank_full (the 8-bit rung of the compression
+    # ladder: stateless int8 encode, dequantized codegen shortlist,
+    # exact rerank; full shortlist == exact)
+    q["sq_rerank_full"] = _mk_sq_rerank("CosineSimilarity", k=10, shortlist=None)
     # sibling: knn_join_cosine (batch join through the sign-bit domain;
     # full shortlist == the exact kNN join)
     q["bq_knn_join_full"] = _mk_bq_knn_join(
@@ -1434,6 +1483,7 @@ def oracle_sql() -> dict[str, str]:
     )
     # BQ full shortlist == exact (id, score) top-k / exact kNN join
     o["bq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
+    o["sq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     o["bq_knn_join_full"] = oracles.knn_join_sql(
         "CosineSimilarity", k=5, n_queries=8
     )

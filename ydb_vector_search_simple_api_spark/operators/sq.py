@@ -1,0 +1,175 @@
+"""Scalar quantization (SQ8) — 8-bit-per-dimension ANN scale path.
+
+Public-knowledge basis: per-vector symmetric int8 quantization
+(codes = round(x · 127 / max|x|)), the "SQ" layout every mainstream
+vector store ships beside PQ and binary codes (e.g. faiss
+ScalarQuantizer QT_8bit). It completes this repo's compression
+ladder: BQ (1 bit, 32×, coarsest) — **SQ8 (8 bits, ~4×, near-exact)**
+— PQ (codebook ADC, 8-32×, lookup-table scans).
+
+Why it matters at 100 TB: a float32 corpus at dim 64 scans 256 bytes
+per vector; int8 codes + one scale scan ~72 — a ~3.5× scan-byte cut
+with reconstruction error ≤ max|x|/254 per coordinate, so the
+approximate ranking is already close and a short exact rerank
+restores precision. Unlike PQ there is no training pass and no
+broadcast codebook: encode is stateless per row, which also makes
+upserts trivial (encode the delta, append).
+
+Spark-native shape:
+
+* **Encode** (distributed, zero shuffle, zero Python): pure Column
+  expressions — ``array_max(transform(v, abs))`` for the scale,
+  ``transform(v, x -> floor(x·127/s + 0.5))`` for the codes (the
+  exact scheme of the ``quantize_embeddings`` gate entry, so the two
+  surfaces agree bit-for-bit). One narrow parquet table
+  (id, codes, qscale).
+* **Approximate scan**: codes dequantize in codegen
+  (``transform(codes, c -> c·s/127)``) and feed the SAME strategy
+  Column expressions as exact search — one code path for all five
+  KNN strategies, whole-stage codegen throughout, no Python.
+* **Shortlist**: ``ORDER BY approx score LIMIT shortlist`` compiles
+  to TakeOrderedAndProject.
+* **Rerank**: shortlist ids broadcast-join back into the
+  full-precision table; exact strategy score re-ranks. With
+  ``shortlist >= corpus`` the result is EXACT for every strategy —
+  the oracle-gate variant; pruned shortlists trade recall for scan
+  bytes (recall contract pinned in tests/test_sq.py).
+
+Reference parity: extends the reference's ANN surface
+(app.py:267-405 exposes flat search only); cited for the shared
+strategy vocabulary (app.py:120-131).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import tombstones
+from ..config import validate_strategy
+from ..functions.distance import score_expr
+from .search import _order_cols
+
+
+@dataclass(frozen=True)
+class SqIndex:
+    """A persisted (id, codes, qscale) int8-code table."""
+
+    path: str
+    dim: int
+    n_rows: int
+
+
+def encode_sq(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "id"
+) -> DataFrame:
+    """(id, codes array<int>, qscale double) — pure codegen, no
+    Python boundary. Zero vectors encode to all-zero codes with
+    qscale 0 (dequantize reproduces the zero vector)."""
+    v = F.col(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    codes = F.transform(
+        v,
+        lambda x: F.when(maxabs == 0.0, F.lit(0)).otherwise(
+            F.floor(x.cast("double") * 127.0 / maxabs + 0.5).cast("int")
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias(id_col),
+        codes.alias("codes"),
+        maxabs.alias("qscale"),
+    )
+
+
+def build_sq_index(
+    spark: SparkSession,
+    src: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+) -> SqIndex:
+    """Encode + persist. One pass, no shuffle, no driver collect."""
+    first = src.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot build an SQ index over an empty source")
+    dim = int(first["d"])
+    encode_sq(src, vec_col=vec_col, id_col=id_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+    n_rows = spark.read.parquet(os.path.join(path, "codes")).count()
+    with open(os.path.join(path, "_sq_meta.json"), "w") as f:
+        json.dump({"dim": dim, "n_rows": n_rows, "id_col": id_col}, f)
+    return SqIndex(path=path, dim=dim, n_rows=n_rows)
+
+
+def load_sq_index(path: str) -> SqIndex:
+    with open(os.path.join(path, "_sq_meta.json")) as f:
+        meta = json.load(f)
+    return SqIndex(path=path, dim=meta["dim"], n_rows=meta["n_rows"])
+
+
+def dequant_expr(codes_col="codes", scale_col="qscale") -> Column:
+    """array<double> reconstruction: c · s / 127."""
+    s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
+    c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    return F.transform(c, lambda x: x.cast("double") * s / F.lit(127.0))
+
+
+def sq_search_rerank(
+    spark: SparkSession,
+    index: SqIndex,
+    src: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    strategy: str = "CosineSimilarity",
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    round_digits: int | None = None,
+    filter_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Dequantized-approx shortlist -> exact re-rank -> (id, score)
+    top-k. ``shortlist=None`` keeps every row (exact for any strategy
+    — the oracle-gate configuration); ``filter_ids`` restricts
+    candidates BEFORE the shortlist (the shared non-strict filtered
+    contract), so full-shortlist filtered == exact filtered."""
+    validate_strategy(strategy)
+    if not isinstance(k, int) or k < 1:
+        raise ValueError("k must be a positive integer")
+    if len(query_vec) != index.dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {index.dim}")
+    n_short = index.n_rows if shortlist is None else int(shortlist)
+
+    codes = tombstones.apply_tombstones(
+        spark, index.path, spark.read.parquet(os.path.join(index.path, "codes")),
+        id_col=id_col,
+    )
+    if filter_ids is not None:
+        codes = codes.join(
+            filter_ids.select(F.col(filter_ids.columns[0]).alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+    approx = score_expr(strategy, dequant_expr(), list(query_vec))
+    cand = (
+        codes.withColumn("score", approx)
+        .select(id_col, "score")
+        .orderBy(*_order_cols(strategy, id_col=id_col))
+        .limit(int(n_short))
+    )
+    vecs = src.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+    joined = vecs.join(F.broadcast(cand.select(id_col)), id_col, "inner")
+    score = score_expr(strategy, F.col(vec_col), list(query_vec))
+    if round_digits is not None:
+        score = F.round(score, round_digits) + F.lit(0.0)
+    return (
+        joined.withColumn("score", score)
+        .select(F.col(id_col).alias("id"), "score")
+        .orderBy(*_order_cols(strategy))
+        .limit(k)
+    )
