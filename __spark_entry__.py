@@ -1365,6 +1365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["neardup_cosine_lsh"] = lambda s, d: dedup.srp_cosine_pairs(
         load_embeddings(s, d), threshold=0.9, dim=64
     )
+    # sibling: neardup_cosine + dedup_components (SemDeDup: one
+    # representative per embedding-space component)
+    q["semantic_dedup"] = curation.semantic_dedup
     # 1:N frame fan-out through mapInPandas (binary frames have no SQL
     # twin; invariants pinned in tests/test_multimodal.py)
     q["multimodal_frames"] = lambda s, d: multimodal.sample_frames(
@@ -1546,6 +1549,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["leakage_safe_splits"] = oracles_curation.leakage_safe_splits_sql(
         oracles_text.ngram_jaccard_sql(3, 0.8)
+    )
+    o["semantic_dedup"] = oracles_curation.semantic_dedup_sql(
+        oracles_text.neardup_cosine_sql(0.4)
     )
     o["source_token_budget"] = oracles_curation.source_token_budget_sql(20000)
     o["pii_redaction"] = oracles_curation.pii_redaction_sql()

@@ -497,3 +497,20 @@ def test_leakage_safe_splits_no_component_straddles(spark):
     for r in rows:
         sizes[r.component_id] += 1
     assert max(sizes.values()) > 1
+
+
+def test_semantic_dedup_election(spark):
+    """Every vector resolves to one keeper; keepers keep themselves;
+    each component's keeper is its minimum id; duplicates exist at
+    this threshold on the synthetic corpus."""
+    from ydb_vector_search_simple_api_spark.operators import curation as C
+
+    rows = C.semantic_dedup(spark, SF_SMALL, threshold=0.4).collect()
+    assert len({r.vec_id for r in rows}) == len(rows)
+    by_keep = {}
+    for r in rows:
+        by_keep.setdefault(r.keep_id, []).append(r)
+    for keep_id, members in by_keep.items():
+        assert keep_id == min(m.vec_id for m in members)
+        assert sum(1 for m in members if m.keep) == 1
+    assert any(not r.keep for r in rows)  # threshold 0.4 finds pairs

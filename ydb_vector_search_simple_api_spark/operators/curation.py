@@ -1033,3 +1033,38 @@ def leakage_safe_splits(
         )
         .withColumn("split", split_assign(F.col("component_id"), train, valid))
     )
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embedding space:
+    vectors whose cosine similarity clears ``threshold`` form a
+    near-dup graph; each connected component keeps exactly one
+    representative (min id — the same deterministic election every
+    dedup path here uses) and marks the rest as semantic duplicates.
+
+    This is dedup by MEANING (paraphrases, re-encodings, translations
+    that embed together) — the layer surface-form dedup (exact md5,
+    n-gram Jaccard, MinHash) cannot see. Composition: cosine pair
+    graph (exact here — the oracle baseline; swap in
+    ``neardup_cosine_blocked``'s IVF-bucketed pairs at corpus scale) →
+    label-propagation components → one broadcast-sized join back.
+
+    Output: (vec_id, keep_id, keep) for every vector; singletons keep
+    themselves.
+    """
+    embs = load_embeddings(spark, sf_dir)
+    pairs = dedup.neardup_cosine_pairs(embs, threshold=threshold)
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("c_vec_id"), "component_id"
+    )
+    return (
+        embs.select("vec_id")
+        .join(comp, F.col("vec_id") == F.col("c_vec_id"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component_id"), F.col("vec_id")).alias("keep_id"),
+        )
+        .withColumn("keep", (F.col("vec_id") == F.col("keep_id")).cast("boolean"))
+    )

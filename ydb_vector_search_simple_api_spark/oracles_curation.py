@@ -469,3 +469,17 @@ SELECT doc_id, component_id,
             ELSE 'test' END AS split
 FROM alldocs
 """
+
+
+def semantic_dedup_sql(cosine_pairs_sql: str) -> str:
+    """Components of the cosine near-dup graph + min-id election, the
+    twin of ``curation.semantic_dedup`` (pairs SQL keys on vec_id)."""
+    comp = dedup_components_sql(cosine_pairs_sql)
+    return f"""
+WITH comp AS ({comp}),
+allv AS (
+  SELECT e.vec_id, COALESCE(c.component_id, e.vec_id) AS keep_id
+  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.doc_id
+)
+SELECT vec_id, keep_id, (vec_id = keep_id) AS keep FROM allv
+"""
