@@ -1056,6 +1056,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["remove_duplicate_spans"] = lambda s, d: dedup.remove_duplicate_spans(
         load_documents(s, d)
     )
+    # sibling: duplicate_spans (Arrow factorize+rolling-hash shingling
+    # — same winnowing-style fast/oracle split; rows-only because the
+    # 64-bit hash differs from the md5 twin by design, equality with
+    # the md5 form pinned in tests/test_dedup.py)
+    q["duplicate_spans_arrow"] = lambda s, d: dedup.duplicate_spans_arrow(
+        load_documents(s, d)
+    )
     # sibling: quality_filter (same per-doc quality-signal family;
     # this one is corpus-statistical rather than surface-form)
     q["unigram_logprob"] = textual.unigram_logprob
@@ -1368,6 +1375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: neardup_cosine + dedup_components (SemDeDup: one
     # representative per embedding-space component)
     q["semantic_dedup"] = curation.semantic_dedup
+    # sibling: leakage_safe_splits (the audit that justifies it:
+    # cross-fence near-dup pair counts, per split policy)
+    q["split_leakage_audit"] = curation.split_leakage_audit
     # 1:N frame fan-out through mapInPandas (binary frames have no SQL
     # twin; invariants pinned in tests/test_multimodal.py)
     q["multimodal_frames"] = lambda s, d: multimodal.sample_frames(
@@ -1552,6 +1562,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["semantic_dedup"] = oracles_curation.semantic_dedup_sql(
         oracles_text.neardup_cosine_sql(0.4)
+    )
+    o["split_leakage_audit"] = oracles_curation.split_leakage_audit_sql(
+        oracles_text.ngram_jaccard_sql(3, 0.8)
     )
     o["source_token_budget"] = oracles_curation.source_token_budget_sql(20000)
     o["pii_redaction"] = oracles_curation.pii_redaction_sql()

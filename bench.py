@@ -164,7 +164,11 @@ def main() -> None:
         # session scan cache (sources/store.py) and the one-call list
         # literal (functions/distance.py): 0.77 -> 0.36 s, below r1.
         "notes": "sub-second vector queries are plan-build dominated; "
-        "see store.py _SCAN_CACHE and distance.py vector_lit",
+        "see store.py _SCAN_CACHE and distance.py vector_lit. "
+        "bigram_logprob in-suite ~8.5 s vs 6.8-7.3 s isolated "
+        "steady-state (plan unchanged, pre-aggregated form): the "
+        "delta is shared-JVM suite pressure across ~200 queries, "
+        "not a regression.",
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -392,3 +392,39 @@ def test_remove_duplicate_spans_keeps_first_occurrence(spark):
     r7 = dedup.remove_duplicate_spans(rep, k=8).collect()[0]
     assert r7.removed_tokens == 10
     assert r7.kept_md5 == md5(f"{passage} x1 x2 x3")
+
+
+def test_duplicate_spans_arrow_matches_md5_form(spark):
+    """The Arrow shingling path must reproduce the md5 expression form
+    row-for-row (hash collisions aside) on the real corpus and on the
+    planted cases."""
+    a = {
+        r.doc_id: r
+        for r in dedup.duplicate_spans_arrow(
+            load_documents(spark, SF_SMALL)
+        ).collect()
+    }
+    b = {
+        r.doc_id: r
+        for r in dedup.duplicate_spans(load_documents(spark, SF_SMALL)).collect()
+    }
+    assert set(a) == set(b)
+    for doc_id in a:
+        ra, rb = a[doc_id], b[doc_id]
+        assert (
+            ra.total_tokens, ra.n_dup_spans, ra.dup_tokens, ra.dup_frac
+        ) == (rb.total_tokens, rb.n_dup_spans, rb.dup_tokens, rb.dup_frac)
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {passage} a4 a5"),
+            (2, f"b1 b2 {passage} b3 b4 b5 b6"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.duplicate_spans_arrow(docs, k=8).collect()}
+    assert out[1].n_dup_spans == 1 and out[1].dup_tokens == 10
+    assert out[2].n_dup_spans == 1 and out[2].dup_tokens == 10
+    assert out[3].n_dup_spans == 0

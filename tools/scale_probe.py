@@ -6,6 +6,7 @@ other at a size where index economics actually show:
 * exact_search-shape scan (brute force, the baseline)
 * ivf_search at width 1/4/full (rows-read lever)
 * bq_search_rerank at shortlist 1k (bytes-per-row lever)
+* sq_search_rerank at shortlist 1k (8-bit codes, pure-codegen path)
 * pq_search_rerank at shortlist 1k (bytes-per-row, Arrow ADC path)
 * ivfbq_search width 4 (both levers)
 
@@ -139,6 +140,23 @@ def main():
         )
     )
 
+    from ydb_vector_search_simple_api_spark.operators import sq as sq_mod
+
+    t0 = time.perf_counter()
+    sq_idx = sq_mod.build_sq_index(spark, big, f"{work}/sq")
+    t_build_sq = time.perf_counter() - t0
+    results.append(
+        (
+            "sq_search_rerank shortlist=1024",
+            timed(
+                lambda: sq_mod.sq_search_rerank(
+                    spark, sq_idx, big, qvec, k=10, shortlist=1024
+                ).collect()
+            ),
+            "~1/3.5 bytes, codegen dequant score + 1k-row rerank",
+        )
+    )
+
     t_build_pq = float("nan")
     if n <= 300_000:  # the Arrow encode pass dominates at larger N
         t0 = time.perf_counter()
@@ -248,7 +266,7 @@ def main():
         print(f"| {name} | {t:.2f} s | {n_q/t:.0f} | {note} |")
     print(
         f"\nbuild times: ivf {t_build_ivf:.1f}s, bq {t_build_bq:.1f}s, "
-        f"pq {t_build_pq:.1f}s, ivfbq {t_build_ivfbq:.1f}s"
+        f"sq {t_build_sq:.1f}s, pq {t_build_pq:.1f}s, ivfbq {t_build_ivfbq:.1f}s"
     )
 
 

@@ -132,6 +132,18 @@ def main():
         "weak_labels",
         lambda: textual.weak_labels(spark, corpus).agg(F.sum("n_votes")).collect(),
     )
+    probe(
+        "duplicate_spans (k=8)",
+        lambda: dedup.duplicate_spans(load_documents(spark, corpus))
+        .agg(F.sum("dup_tokens"))
+        .collect(),
+    )
+    probe(
+        "duplicate_spans_arrow (k=8)",
+        lambda: dedup.duplicate_spans_arrow(load_documents(spark, corpus))
+        .agg(F.sum("dup_tokens"))
+        .collect(),
+    )
 
     print(f"\nText probe: {n_actual:,} docs / {tok_total:,} tokens "
           f"(generated in {gen_s:.1f}s, local[32])\n")

@@ -1068,3 +1068,56 @@ def semantic_dedup(
         )
         .withColumn("keep", (F.col("vec_id") == F.col("keep_id")).cast("boolean"))
     )
+
+
+def split_leakage_audit(
+    spark: SparkSession, sf_dir: str,
+    n: int = 3, threshold: float = 0.8,
+    train: float = 0.8, valid: float = 0.1,
+) -> DataFrame:
+    """Quantified eval-contamination audit: for each split-assignment
+    policy (plain per-doc hash vs component-keyed leakage-safe), how
+    many near-dup pairs straddle a split fence. The component policy
+    is zero BY CONSTRUCTION — this op measures the risk the per-doc
+    policy actually carries on this corpus, which is the number that
+    justifies paying for components before splitting.
+
+    One pair table + two broadcast-sized assignment joins per policy.
+    Output: (policy, n_pairs, n_cross_split), one row per policy.
+    """
+    from .dedup import ngram_jaccard_pairs
+    from .sampling import split_assign
+
+    docs = load_documents(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold).select(
+        "id_a", "id_b"
+    )
+
+    def audit(assign_df: DataFrame, policy: str) -> DataFrame:
+        a = assign_df.select(
+            F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+        )
+        b = assign_df.select(
+            F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+        )
+        return (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.sum(
+                    (F.col("split_a") != F.col("split_b")).cast("int")
+                ).cast("bigint").alias("n_cross_split"),
+            )
+            .select(F.lit(policy).alias("policy"), "n_pairs", "n_cross_split")
+        )
+
+    per_doc = docs.select(
+        "doc_id", split_assign(F.col("doc_id"), train, valid).alias("split")
+    )
+    safe = leakage_safe_splits(
+        spark, sf_dir, n=n, threshold=threshold, train=train, valid=valid
+    ).select("doc_id", "split")
+    return audit(per_doc, "per_doc_hash").unionByName(
+        audit(safe, "component_keyed")
+    )

@@ -1164,6 +1164,21 @@ def duplicate_spans(
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.start").alias("start"), F.col("s.h").alias("h"))
+    return _rollup_hot_spans(d.select("doc_id", "total_tokens"), sh, k)
+
+
+def _rollup_hot_spans(d: DataFrame, sh: DataFrame, k: int) -> DataFrame:
+    """Shared tail of the duplicate-span ops: hot-hash filter (total
+    occurrences >= 2) -> per-doc island merge of [start, start+k)
+    windows -> per-doc rollup. ``d`` = (doc_id, total_tokens);
+    ``sh`` = (doc_id, start, h) with any hash type.
+
+    The island merge deliberately uses two windows over the SAME
+    (doc_id, start) ordering: Spark plans them over one shared sort of
+    the hot-row stream. The tempting groupBy + collect_list +
+    sort_array + codegen-fold alternative was measured 40% SLOWER on
+    a worst-case corpus (every shingle hot) — the per-group list
+    materialization costs more than the second window pass saves."""
     hot = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -1201,8 +1216,7 @@ def duplicate_spans(
         F.sum("span_len").cast("bigint").alias("dup_tokens"),
     )
     return (
-        d.select("doc_id", "total_tokens")
-        .join(per_doc, "doc_id", "left")
+        d.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.col("total_tokens").cast("bigint").alias("total_tokens"),
@@ -1218,6 +1232,84 @@ def duplicate_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def duplicate_spans_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`duplicate_spans` — the 100 TB
+    shingling path (the same fast/oracle split as winnowing: md5
+    expression form carries the SQL oracle, this one carries the
+    throughput). The expression form pays O(n_tok · k) per doc in
+    array slices + string concat + md5; here each Arrow batch (a)
+    factorizes the batch's tokens so every DISTINCT token is hashed
+    once (FNV-1a), then (b) combines k-token windows as 8 vectorized
+    uint64 slice-multiply-adds (polynomial rolling hash, wraparound
+    mod 2^64) — O(n_tok) per doc at C speed, and the shingle stream
+    ships 8-byte ints instead of 32-char md5 strings. Hot-filter,
+    island merge and rollup are the SHARED DataFrame tail
+    (:func:`_rollup_hot_spans`), so results are identical to the md5
+    form absent a 64-bit hash collision (pinned in tests).
+    Output: (doc_id, total_tokens, n_dup_spans, dup_tokens, dup_frac).
+    """
+    from itertools import chain
+
+    t = TXT.tokens(text_col)
+    d = df.select(
+        F.col(id_col).alias("doc_id"), F.size(t).alias("total_tokens")
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"doc_id {id_type}, start int, h long"
+    P = np.uint64(1099511628211)  # FNV prime; wraparound mod 2^64
+
+    def fnv1a(b: bytes) -> np.uint64:
+        h = np.uint64(14695981039346656037)
+        for byte in b:
+            h = (h ^ np.uint64(byte)) * P
+        return h
+
+    def batches(it):
+        pw = P ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        import warnings
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            toks_per_doc = [t.strip().lower().split() for t in pdf[text_col]]
+            lens = np.array([len(ts) for ts in toks_per_doc])
+            flat = list(chain.from_iterable(toks_per_doc))
+            out_doc, out_start, out_h = [], [], []
+            if flat:
+                codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")  # uint64 overflow is the modulus
+                    uh = np.array(
+                        [fnv1a(u.encode("utf-8")) for u in uniques],
+                        dtype=np.uint64,
+                    )
+                    th_all = uh[codes]
+                    offset = 0
+                    for doc_id, n in zip(pdf[id_col], lens):
+                        th = th_all[offset : offset + n]
+                        offset += n
+                        L = n - k + 1
+                        if L <= 0:
+                            continue
+                        H = np.zeros(L, dtype=np.uint64)
+                        for j in range(k):
+                            H += th[j : j + L] * pw[j]
+                        out_doc.extend([doc_id] * L)
+                        out_start.extend(range(1, L + 1))
+                        out_h.extend(H.view(np.int64))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "start": out_start, "h": out_h}
+            )
+
+    sh = df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+    return _rollup_hot_spans(d, sh, k)
 
 
 def remove_duplicate_spans(

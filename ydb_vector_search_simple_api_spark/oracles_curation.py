@@ -483,3 +483,47 @@ allv AS (
 )
 SELECT vec_id, keep_id, (vec_id = keep_id) AS keep FROM allv
 """
+
+
+def split_leakage_audit_sql(
+    jaccard_pairs_sql: str, train: float = 0.8, valid: float = 0.1
+) -> str:
+    from .operators.sampling import PREFIX_HEX, _threshold_hex
+
+    t1, t2 = _threshold_hex(train), _threshold_hex(train + valid)
+
+    def assign(key: str) -> str:
+        return f"""CASE WHEN substr(md5(CAST({key} AS VARCHAR)), 1, {PREFIX_HEX}) < '{t1}'
+              THEN 'train'
+            WHEN substr(md5(CAST({key} AS VARCHAR)), 1, {PREFIX_HEX}) < '{t2}'
+              THEN 'valid'
+            ELSE 'test' END"""
+
+    comp = dedup_components_sql(jaccard_pairs_sql)
+    return f"""
+WITH pairs AS ({jaccard_pairs_sql}),
+comp AS ({comp}),
+perdoc AS (
+  SELECT doc_id, {assign("doc_id")} AS split FROM documents
+),
+safe AS (
+  SELECT d.doc_id,
+         {assign("COALESCE(c.component_id, d.doc_id)")} AS split
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT 'per_doc_hash' AS policy,
+       count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)::BIGINT
+         AS n_cross_split
+FROM pairs p
+JOIN perdoc a ON p.id_a = a.doc_id
+JOIN perdoc b ON p.id_b = b.doc_id
+UNION ALL
+SELECT 'component_keyed' AS policy,
+       count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)::BIGINT
+         AS n_cross_split
+FROM pairs p
+JOIN safe a ON p.id_a = a.doc_id
+JOIN safe b ON p.id_b = b.doc_id
+"""
