@@ -153,7 +153,7 @@ def main():
                     spark, sq_idx, big, qvec, k=10, shortlist=1024
                 ).collect()
             ),
-            "~1/3.5 bytes, codegen dequant score + 1k-row rerank",
+            "~1/2 parquet bytes, 1-fold codegen score + 1k-row rerank",
         )
     )
 

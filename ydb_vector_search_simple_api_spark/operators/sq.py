@@ -23,12 +23,16 @@ Spark-native shape:
   the two surfaces agree bit-for-bit). One narrow parquet table
   (id, codes array<tinyint>, qscale).
 * **Approximate scan** (zero Python): strategy-specialized codegen
-  over the raw codes — cosine scores the int8 codes directly (the
-  per-vector scale cancels), inner product folds the integer dot
-  once and multiplies by one scalar, the distance metrics fold
-  ``c·s/127 − q`` in a single zip_with pass. One array traversal
-  per row, whole-stage codegen throughout (see ``_approx_score``
-  for why the obvious dequant-then-score form is wrong).
+  over the raw codes — cosine divides the integer dot by the STORED
+  code norm (the per-vector scale cancels; one fold per row),
+  Euclidean uses the ``||v−q||² = ||v||² − 2⟨v,q⟩ + ||q||²``
+  identity (one fold), inner product folds the dot and multiplies
+  by one scalar. ONE array traversal per row is the design rule:
+  the HOF fold's per-element lambda is the hot cost, so the naive
+  dequant-then-score form (3 traversals) measured SLOWER than the
+  brute-force float scan; this form measures 1.4× faster at 4M
+  rows CPU-bound, plus the ~2× parquet byte cut when scan-bound
+  (see ``_approx_score``).
 * **Shortlist**: ``ORDER BY approx score LIMIT shortlist`` compiles
   to TakeOrderedAndProject.
 * **Rerank**: shortlist ids broadcast-join back into the
@@ -70,10 +74,15 @@ class SqIndex:
 def encode_sq(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "id"
 ) -> DataFrame:
-    """(id, codes array<tinyint>, qscale double) via one Arrow-batched
-    numpy pass (the BQ build pattern — a pure-Column encode would
-    re-evaluate the ``max|x|`` subexpression per element because
-    Catalyst has no let-binding: measured 84 s vs ~4 s at 4M rows).
+    """(id, codes array<tinyint>, qscale double, cnorm double) via one
+    Arrow-batched numpy pass (the BQ build pattern — a pure-Column
+    encode would re-evaluate the ``max|x|`` subexpression per element
+    because Catalyst has no let-binding: measured 84 s vs ~4 s at 4M
+    rows). ``cnorm`` is the L2 norm of the integer codes, precomputed
+    so the query-time cosine/Euclidean costs ONE array fold per row
+    instead of two (the fold over 64 lambda evaluations is the hot
+    cost; measured below brute-force without it). It only ranks the
+    approximate shortlist, so numpy's summation order is fine.
     Build-time only; the query path stays entirely JVM-side. Zero
     vectors encode to all-zero codes with qscale 0 (dequantize
     reproduces the zero vector)."""
@@ -82,7 +91,10 @@ def encode_sq(
     from collections.abc import Iterator
 
     id_type = df.schema[id_col].dataType.simpleString()
-    out_schema = f"`{id_col}` {id_type}, codes array<tinyint>, qscale double"
+    out_schema = (
+        f"`{id_col}` {id_type}, codes array<tinyint>, "
+        "qscale double, cnorm double"
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -103,6 +115,9 @@ def encode_sq(
                     id_col: pdf[id_col].values,
                     "codes": [list(r) for r in C],
                     "qscale": s,
+                    "cnorm": np.sqrt(
+                        (C.astype(np.float64) ** 2).sum(axis=1)
+                    ),
                 }
             )
 
@@ -157,28 +172,39 @@ def _approx_score(strategy: str, q: Sequence[float]) -> Column:
     inner product is the integer dot times one per-row scalar; the
     distance metrics fold ``c·s/127 − q_i`` in a single zip_with
     pass. All pure codegen, one array traversal each."""
-    from ..functions.distance import dot, l2_norm
+    from ..functions.distance import _py_l2_norm, dot
 
     qlist = [float(x) for x in q]
-    qcol = F.lit(qlist).cast("array<double>")
     codes = F.col("codes")
     scale = F.col("qscale") / F.lit(127.0)
     if strategy in ("CosineSimilarity", "CosineDistance"):
-        denom = l2_norm(codes) * l2_norm(qcol)
-        cos = F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(
-            dot(codes, qcol) / denom
+        # scale-invariant (the per-vector s/127 cancels), and the row
+        # norm is the stored cnorm — ONE dot fold per row; try_divide
+        # nulls zero vectors like the library cosine
+        cos = F.try_divide(
+            dot(codes, qlist), F.col("cnorm") * F.lit(_py_l2_norm(qlist))
         )
         return F.lit(1.0) - cos if strategy == "CosineDistance" else cos
     if strategy == "InnerProductSimilarity":
-        return dot(codes, qcol) * scale
+        return dot(codes, qlist) * scale
+    if strategy == "EuclideanDistance":
+        # ||v - q||² = ||v||² − 2⟨v,q⟩ + ||q||² with v = codes·s/127:
+        # one dot fold + stored norms (max(0,·) absorbs rounding)
+        qn = _py_l2_norm(qlist)
+        vnorm = F.col("cnorm") * scale
+        return F.sqrt(
+            F.greatest(
+                vnorm * vnorm
+                - F.lit(2.0) * scale * dot(codes, qlist)
+                + F.lit(qn * qn),
+                F.lit(0.0),
+            )
+        )
+    # ManhattanDistance: no norm identity — a single zip_with fold
+    qcol = F.lit(qlist).cast("array<double>")
     diffs = F.zip_with(
         codes, qcol, lambda c, qx: c.cast("double") * scale - qx
     )
-    if strategy == "EuclideanDistance":
-        return F.sqrt(
-            F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x * x)
-        )
-    # ManhattanDistance
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + F.abs(x))
 
 
