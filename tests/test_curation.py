@@ -514,3 +514,16 @@ def test_semantic_dedup_election(spark):
         assert keep_id == min(m.vec_id for m in members)
         assert sum(1 for m in members if m.keep) == 1
     assert any(not r.keep for r in rows)  # threshold 0.4 finds pairs
+
+
+def test_split_leakage_audit_property(spark):
+    """The component policy must report ZERO cross-fence near-dup
+    pairs (by construction); the per-doc policy's count is >= 0 and
+    both see the same pair set."""
+    from ydb_vector_search_simple_api_spark.operators import curation as C
+
+    rows = {r.policy: r for r in C.split_leakage_audit(spark, SF_SMALL).collect()}
+    assert set(rows) == {"per_doc_hash", "component_keyed"}
+    assert rows["component_keyed"].n_cross_split == 0
+    assert rows["per_doc_hash"].n_pairs == rows["component_keyed"].n_pairs
+    assert rows["per_doc_hash"].n_cross_split >= 0
