@@ -138,3 +138,36 @@ def test_tombstoned_delete(spark, tmp_path):
     after = [r.id for r in sq.sq_search_rerank(spark, idx, _src(spark), q, k=5).collect()]
     assert victim not in after
     assert after[:4] == before[1:5]
+
+
+def test_upsert_and_compact(spark, tmp_path):
+    """Append-generation maintenance: upserted rows are searchable;
+    compact folds tombstones + duplicate ids into a fresh generation
+    that searches identically."""
+    src = _src(spark)
+    half = src.filter(F.col("id") < 300)
+    rest = src.filter(F.col("id") >= 300)
+    path = str(tmp_path / "sq_up")
+    idx = sq.build_sq_index(spark, half, path)
+    idx = sq.sq_upsert(spark, idx, rest)
+    assert idx.n_rows == src.count()
+    q = _qvec(spark)
+    full = sq.build_sq_index(spark, src, str(tmp_path / "sq_full"))
+    got = [r.id for r in sq.sq_search_rerank(spark, idx, src, q, k=10).collect()]
+    want = [r.id for r in sq.sq_search_rerank(spark, full, src, q, k=10).collect()]
+    assert got == want
+
+    # delete one id, re-upsert it (resurrection), then compact with
+    # dedup: exactly one surviving row per id, same search results
+    victim = got[0]
+    tombstones.delete_ids(spark, path, [victim])
+    idx = sq.sq_upsert(spark, idx, src.filter(F.col("id") == victim))
+    compacted = sq.sq_compact(
+        spark, idx, str(tmp_path / "sq_gen2"), dedup_ids=True
+    )
+    assert compacted.n_rows == src.count()
+    after = [
+        r.id
+        for r in sq.sq_search_rerank(spark, compacted, src, q, k=10).collect()
+    ]
+    assert after == want

@@ -261,3 +261,59 @@ def sq_search_rerank(
         .orderBy(*_order_cols(strategy))
         .limit(k)
     )
+
+
+def sq_upsert(
+    spark: SparkSession,
+    index: SqIndex,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+) -> SqIndex:
+    """Incremental maintenance: encode new rows (stateless — SQ has no
+    trained state to go stale, unlike PQ's codebooks) and APPEND to
+    the codes table; same append-generation pattern as ``bq_upsert``.
+    Re-inserted ids are resurrected from the tombstone set; duplicate
+    ids fold at the next ``sq_compact(dedup_ids=True)``."""
+    codes_df = encode_sq(new_df, vec_col=vec_col, id_col=id_col)
+    codes_df.persist()
+    try:
+        tombstones.resurrect_ids(spark, index.path, codes_df, id_col)
+        n_new = codes_df.count()
+        codes_df.write.mode("append").parquet(os.path.join(index.path, "codes"))
+    finally:
+        codes_df.unpersist()
+    out = SqIndex(path=index.path, dim=index.dim, n_rows=index.n_rows + n_new)
+    with open(os.path.join(index.path, "_sq_meta.json"), "w") as f:
+        json.dump({"dim": out.dim, "n_rows": out.n_rows, "id_col": id_col}, f)
+    return out
+
+
+def sq_compact(
+    spark: SparkSession,
+    index: SqIndex,
+    out_dir: str,
+    n_files: int = 1,
+    dedup_ids: bool = False,
+    id_col: str = "id",
+) -> SqIndex:
+    """Generation rewrite: fold tombstones and append churn into
+    ``n_files`` files (immutable new generation, pointer flip — the
+    shared ``ivf_compact``/``bq_compact`` contract). ``dedup_ids=True``
+    keeps one row per id for streaming replay hygiene."""
+    if n_files < 1:
+        raise ValueError("n_files must be a positive integer")
+    df = tombstones.apply_tombstones(
+        spark, index.path,
+        spark.read.parquet(os.path.join(index.path, "codes")),
+        id_col=id_col,
+    )
+    if dedup_ids:
+        df = df.dropDuplicates([id_col])
+    df.repartition(n_files).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "codes")
+    )
+    n_rows = spark.read.parquet(os.path.join(out_dir, "codes")).count()
+    with open(os.path.join(out_dir, "_sq_meta.json"), "w") as f:
+        json.dump({"dim": index.dim, "n_rows": n_rows, "id_col": id_col}, f)
+    return SqIndex(path=out_dir, dim=index.dim, n_rows=n_rows)
