@@ -257,6 +257,29 @@ def _mk_ivfbq(strategy: str, k: int, width: int, shortlist: int | None):
     return run
 
 
+def _mk_ivfsq(strategy: str, k: int, width: int, shortlist: int | None):
+    _IVFSQ_CACHE: dict[str, object] = {}
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ydb_vector_search_simple_api_spark.operators import sq as sq_mod
+
+        ivf_idx = _ivf_index(spark, sf_dir)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(), f"svs_ivfsq_{tag}")
+        if sf_dir not in _IVFSQ_CACHE:
+            if os.path.exists(os.path.join(out, "_sq_meta.json")):
+                _IVFSQ_CACHE[sf_dir] = sq_mod.load_sq_index(out)
+            else:
+                _IVFSQ_CACHE[sf_dir] = sq_mod.build_ivfsq_index(spark, ivf_idx, out)
+        return sq_mod.ivfsq_search(
+            spark, ivf_idx, _IVFSQ_CACHE[sf_dir], _query_vec(spark, sf_dir),
+            k=k, strategy=strategy, search_top_size=width,
+            shortlist=shortlist, round_digits=ROUND,
+        )
+
+    return run
+
+
 def _mk_bq_knn_join(strategy: str, k: int, n_queries: int, shortlist: int | None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -1409,6 +1432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # analogue of IVFADC; exactness at full width + pruned plan shape
     # pinned in tests/test_bq.py)
     q["ivfbq_topk_width2"] = _mk_ivfbq("CosineSimilarity", k=10, width=2, shortlist=64)
+    # IVFxSQ at FULL width + full shortlist == exact top-k (strong
+    # oracle; the int8 rung of the composition matrix — pruned widths
+    # + maintenance guards pinned in tests/test_sq.py)
+    q["ivfsq_rerank_full"] = _mk_ivfsq(
+        "CosineSimilarity", k=10, width=IVF_CLUSTERS, shortlist=None
+    )
     # compressed-domain batch ANN join (ADC estimate scores; recall vs
     # the exact join + determinism pinned in tests/test_pq.py)
     q["pq_knn_join"] = _mk_pq_knn_join("CosineSimilarity", k=5, n_queries=8)
@@ -1497,6 +1526,7 @@ def oracle_sql() -> dict[str, str]:
     # BQ full shortlist == exact (id, score) top-k / exact kNN join
     o["bq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     o["sq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
+    o["ivfsq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     o["bq_knn_join_full"] = oracles.knn_join_sql(
         "CosineSimilarity", k=5, n_queries=8
     )

@@ -171,3 +171,50 @@ def test_upsert_and_compact(spark, tmp_path):
         for r in sq.sq_search_rerank(spark, compacted, src, q, k=10).collect()
     ]
     assert after == want
+
+
+def test_ivfsq_composition(spark, tmp_path):
+    """Directory pruning x int8 codes: exact at full width + full
+    shortlist; pruned widths are recall-monotone; the flat-append
+    guard refuses the partitioned layout."""
+    from ydb_vector_search_simple_api_spark.operators import index as ivf_mod
+
+    src = _src(spark)
+    ivf_idx = ivf_mod.build_ivf_index(
+        spark, src, str(tmp_path / "ivf"), n_clusters=8, seed=42
+    )
+    sq_idx = sq.build_ivfsq_index(spark, ivf_idx, str(tmp_path / "ivfsq"))
+    assert sq_idx.partition_col == "cluster_id"
+    q = _qvec(spark)
+
+    exact = [
+        r.id
+        for r in sq.sq_search_rerank(
+            spark,
+            sq.build_sq_index(spark, src, str(tmp_path / "sq_flat")),
+            src, q, k=10,
+        ).collect()
+    ]
+    full = [
+        r.id
+        for r in sq.ivfsq_search(
+            spark, ivf_idx, sq_idx, q, k=10, search_top_size=8
+        ).collect()
+    ]
+    assert full == exact
+
+    rec = {}
+    for w in (1, 4, 8):
+        ids = {
+            r.id
+            for r in sq.ivfsq_search(
+                spark, ivf_idx, sq_idx, q, k=10, search_top_size=w
+            ).collect()
+        }
+        rec[w] = len(ids & set(exact)) / 10.0
+    assert rec[8] == 1.0 and rec[8] >= rec[4] >= rec[1]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partitioned"):
+        sq.sq_upsert(spark, sq_idx, src.limit(5))

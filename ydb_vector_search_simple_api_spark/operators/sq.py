@@ -64,15 +64,22 @@ from .search import _order_cols
 
 @dataclass(frozen=True)
 class SqIndex:
-    """A persisted (id, codes, qscale) int8-code table."""
+    """A persisted (id, codes, qscale, cnorm) int8-code table.
+    ``partition_col`` marks the IVF-partitioned composition layout
+    (build_ivfsq_index) — maintenance ops guard on it so flat appends
+    never mix into a partitioned directory tree."""
 
     path: str
     dim: int
     n_rows: int
+    partition_col: str | None = None
 
 
 def encode_sq(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "id"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, codes array<tinyint>, qscale double, cnorm double) via one
     Arrow-batched numpy pass (the BQ build pattern — a pure-Column
@@ -91,10 +98,13 @@ def encode_sq(
     from collections.abc import Iterator
 
     id_type = df.schema[id_col].dataType.simpleString()
-    out_schema = (
-        f"`{id_col}` {id_type}, codes array<tinyint>, "
-        "qscale double, cnorm double"
-    )
+    fields = [
+        f"`{id_col}` {id_type}", "codes array<tinyint>",
+        "qscale double", "cnorm double",
+    ]
+    for c in extra_cols:
+        fields.append(f"`{c}` {df.schema[c].dataType.simpleString()}")
+    out_schema = ", ".join(fields)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -110,18 +120,19 @@ def encode_sq(
             # quantize_embeddings gate entry bit-for-bit
             C = np.floor(X * (127.0 / safe[:, None]) + 0.5).astype(np.int8)
             C[s == 0.0] = 0
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "codes": [list(r) for r in C],
-                    "qscale": s,
-                    "cnorm": np.sqrt(
-                        (C.astype(np.float64) ** 2).sum(axis=1)
-                    ),
-                }
-            )
+            out = {
+                id_col: pdf[id_col].values,
+                "codes": [list(r) for r in C],
+                "qscale": s,
+                "cnorm": np.sqrt((C.astype(np.float64) ** 2).sum(axis=1)),
+            }
+            for c in extra_cols:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(encode, schema=out_schema)
+    return df.select(id_col, vec_col, *extra_cols).mapInPandas(
+        encode, schema=out_schema
+    )
 
 
 def build_sq_index(
@@ -148,7 +159,10 @@ def build_sq_index(
 def load_sq_index(path: str) -> SqIndex:
     with open(os.path.join(path, "_sq_meta.json")) as f:
         meta = json.load(f)
-    return SqIndex(path=path, dim=meta["dim"], n_rows=meta["n_rows"])
+    return SqIndex(
+        path=path, dim=meta["dim"], n_rows=meta["n_rows"],
+        partition_col=meta.get("partition_col"),
+    )
 
 
 def dequant_expr(codes_col="codes", scale_col="qscale") -> Column:
@@ -274,7 +288,19 @@ def sq_upsert(
     trained state to go stale, unlike PQ's codebooks) and APPEND to
     the codes table; same append-generation pattern as ``bq_upsert``.
     Re-inserted ids are resurrected from the tombstone set; duplicate
-    ids fold at the next ``sq_compact(dedup_ids=True)``."""
+    ids fold at the next ``sq_compact(dedup_ids=True)``.
+
+    Raises for an IVF-partitioned layout (build_ivfsq_index): flat
+    appends would break cluster_id partition discovery/pruning —
+    route new rows through ``ivf_upsert`` and re-encode the touched
+    clusters (the shared pq_upsert/bq_upsert partition guard)."""
+    if index.partition_col is not None:
+        raise ValueError(
+            f"sq_upsert on a layout partitioned by {index.partition_col!r} "
+            "would mix unpartitioned files into the directory tree; "
+            "rebuild via build_ivfsq_index (or ingest through ivf_upsert "
+            "and re-encode the touched clusters)"
+        )
     codes_df = encode_sq(new_df, vec_col=vec_col, id_col=id_col)
     codes_df.persist()
     try:
@@ -317,3 +343,102 @@ def sq_compact(
     with open(os.path.join(out_dir, "_sq_meta.json"), "w") as f:
         json.dump({"dim": index.dim, "n_rows": n_rows, "id_col": id_col}, f)
     return SqIndex(path=out_dir, dim=index.dim, n_rows=n_rows)
+
+
+# ----------------------------------------------- IVF x SQ composition
+
+
+def build_ivfsq_index(spark: SparkSession, ivf_index, out_dir: str) -> SqIndex:
+    """IVF-partitioned int8 layout — the SQ analogue of IVFADC/IVFBQ:
+    encode the IVF index's rows keeping ``cluster_id`` as the codes
+    partition column, so a query reads ~(search_top_size / n_clusters)
+    of the rows AND ~1/2 of the parquet bytes per row it does read,
+    with near-exact codes (tight shortlists; see the recall contract
+    in tests/test_sq.py)."""
+    src = spark.read.parquet(ivf_index.path).select(
+        F.col(ivf_index.id_col).alias("id"),
+        F.col(ivf_index.vec_col).alias("embedding"),
+        "cluster_id",
+    )
+    first = src.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        raise ValueError("cannot build over an empty IVF layout")
+    dim = int(first["d"])
+    codes_df = encode_sq(src, extra_cols=("cluster_id",))
+    (
+        codes_df.write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(os.path.join(out_dir, "codes"))
+    )
+    n_rows = spark.read.parquet(os.path.join(out_dir, "codes")).count()
+    with open(os.path.join(out_dir, "_sq_meta.json"), "w") as f:
+        json.dump(
+            {
+                "dim": dim, "n_rows": n_rows, "id_col": "id",
+                "partition_col": "cluster_id",
+            },
+            f,
+        )
+    return SqIndex(
+        path=out_dir, dim=dim, n_rows=n_rows, partition_col="cluster_id"
+    )
+
+
+def ivfsq_search(
+    spark: SparkSession,
+    ivf_index,
+    sq_index: SqIndex,
+    query_vec: Sequence[float],
+    k: int,
+    strategy: str = "CosineSimilarity",
+    search_top_size: int = 2,
+    shortlist: int | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Rank centroids on the driver -> prune the codes layout to the
+    ``search_top_size`` nearest cluster directories (planner-level
+    partition pruning) -> one-fold approx shortlist inside them ->
+    exact rerank against the full-precision vectors of the SAME
+    pruned clusters. Exact when ``search_top_size >= n_clusters`` and
+    ``shortlist=None``."""
+    from .index import _rank_centroids
+
+    validate_strategy(strategy)
+    if not isinstance(k, int) or k < 1:
+        raise ValueError("k must be a positive integer")
+    if len(query_vec) != sq_index.dim:
+        raise ValueError(f"query dim {len(query_vec)} != index dim {sq_index.dim}")
+    keep = _rank_centroids(ivf_index, query_vec, strategy)[:search_top_size]
+
+    codes = tombstones.apply_tombstones(
+        spark,
+        sq_index.path,
+        spark.read.parquet(os.path.join(sq_index.path, "codes")).filter(
+            F.col("cluster_id").isin(keep)
+        ),
+    )
+    n_short = sq_index.n_rows if shortlist is None else int(shortlist)
+    cand = (
+        codes.withColumn("score", _approx_score(strategy, list(query_vec)))
+        .select("id", "score")
+        .orderBy(*_order_cols(strategy))
+        .limit(int(n_short))
+    )
+    vecs = (
+        spark.read.parquet(ivf_index.path)
+        .filter(F.col("cluster_id").isin(keep))
+        .select(
+            F.col(ivf_index.id_col).alias("id"),
+            F.col(ivf_index.vec_col).alias("embedding"),
+        )
+    )
+    joined = vecs.join(F.broadcast(cand.select("id")), "id", "inner")
+    score = score_expr(strategy, F.col("embedding"), list(query_vec))
+    if round_digits is not None:
+        score = F.round(score, round_digits) + F.lit(0.0)
+    return (
+        joined.withColumn("score", score)
+        .select("id", "score")
+        .orderBy(*_order_cols(strategy))
+        .limit(k)
+    )
