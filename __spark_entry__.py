@@ -1175,6 +1175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # EXISTS / NOT-EXISTS self-join pair collapsed into one
     # groupBy(orderkey) pass — see the docstring's 100 TB argument)
     q["waiting_suppliers"] = relational.waiting_suppliers
+    # sibling: parts_ordered_by_brand (TPC-H Q16 shape: distinct-count
+    # over the OBSERVED part-supplier bridge with NOT IN exclusions —
+    # no partsupp table in this schema)
+    q["parts_supplier_relationship"] = relational.parts_supplier_relationship
     # sibling: hourly_locf (gap-filled trailing moving average over
     # the calendar grid)
     q["revenue_moving_avg"] = relational.revenue_moving_avg
@@ -1672,6 +1676,7 @@ FROM events GROUP BY user_id, event_type
     o["small_quantity_revenue"] = oracles_rel.small_quantity_revenue_sql()
     o["disjunctive_branch_revenue"] = oracles_rel.DISJUNCTIVE_BRANCH_REVENUE
     o["waiting_suppliers"] = oracles_rel.waiting_suppliers_sql()
+    o["parts_supplier_relationship"] = oracles_rel.parts_supplier_relationship_sql()
     o["revenue_moving_avg"] = oracles_rel.revenue_moving_avg_sql()
     o["join_cardinality_report"] = oracles_rel.JOIN_CARDINALITY_REPORT
     o["revenue_wow_change"] = oracles_rel.REVENUE_WOW_CHANGE

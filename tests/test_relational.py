@@ -337,3 +337,13 @@ def test_remaining_tpch_shapes(spark):
     waits = [r.numwait for r in q21]
     assert waits == sorted(waits, reverse=True)
     assert len(q21) <= 25
+
+
+def test_q16_shape(spark):
+    """Q16 invariants: excluded brand/type never appear; supplier
+    counts are positive and bounded by the supplier table."""
+    rows = R.parts_supplier_relationship(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r.p_brand != "Brand#12" and r.p_type != "PROMO" for r in rows)
+    n_supp = R.load_table(spark, SF_SMALL, "supplier").count()
+    assert all(0 < r.supplier_cnt <= n_supp for r in rows)

@@ -1047,3 +1047,35 @@ def waiting_suppliers(
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(top)
     )
+
+
+def parts_supplier_relationship(
+    spark: SparkSession, sf_dir: str,
+    exclude_brand: str = "Brand#12", exclude_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q16 shape (distinct-count over a many-to-many bridge with
+    NOT IN exclusions): how many distinct suppliers offer each
+    (brand, type, size), excluding one brand, one type and suppliers
+    in bad standing (negative balance — the complaints-comment
+    stand-in; this schema also has no partsupp table, so the bridge
+    is the OBSERVED distinct (l_partkey, l_suppkey) pairs from
+    lineitem). The bridge dedup is the only fact-sized shuffle; part
+    dims broadcast; the excluded-supplier set is an anti join.
+    Output (p_brand, p_type, p_size, supplier_cnt)."""
+    bridge = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != exclude_brand) & (F.col("p_type") != exclude_type)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        bridge.join(bcast_dim(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(bcast_dim(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )

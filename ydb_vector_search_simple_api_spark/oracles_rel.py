@@ -500,3 +500,21 @@ GROUP BY s_suppkey, s_name
 ORDER BY numwait DESC, s_suppkey ASC
 LIMIT {top}
 """
+
+
+def parts_supplier_relationship_sql(
+    exclude_brand: str = "Brand#12", exclude_type: str = "PROMO"
+) -> str:
+    return f"""
+WITH bridge AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM bridge
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{exclude_brand}'
+  AND p_type <> '{exclude_type}'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
