@@ -305,3 +305,39 @@ def test_stream_lexical_ingest_equals_offline_build(spark, tmp_path):
             for r in RK.bm25_scores_indexed(spark, offline, terms).collect()
         )
         assert got == want
+
+
+def test_stream_sq_ingest_appends_and_search_is_exact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import sq
+    from ydb_vector_search_simple_api_spark.operators.search import exact_search
+    from ydb_vector_search_simple_api_spark.streaming.index_ingest import (
+        parquet_vector_stream,
+        stream_sq_ingest,
+    )
+
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = sq.build_sq_index(
+        spark, embs.filter(F.col("id") < 300), str(tmp_path / "sq")
+    )
+    landing = str(tmp_path / "landing")
+    embs.filter(F.col("id") >= 300).repartition(2).write.parquet(landing)
+    q = stream_sq_ingest(
+        spark,
+        idx,
+        parquet_vector_stream(spark, landing),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    idx2 = sq.load_sq_index(str(tmp_path / "sq"))
+    assert idx2.n_rows == 500
+    row = embs.filter(F.col("id") == 0).first()
+    qv = [float(x) for x in row.embedding]
+    got = sq.sq_search_rerank(
+        spark, idx2, embs, qv, k=10, shortlist=None, round_digits=6
+    ).collect()
+    want = exact_search(spark, SF_SMALL, qv, k=10, round_digits=6).collect()
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]

@@ -395,3 +395,41 @@ def load_documents_for_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.store import load_documents
 
     return load_documents(spark, sf_dir).select("doc_id", "text")
+
+
+def stream_sq_ingest(
+    spark: SparkSession,
+    sq_index,
+    source: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Keep the int8 codes table fresh from a vector stream: each
+    batch is quantized and appended (``sq_upsert``) — the SQ twin of
+    :func:`stream_bq_ingest`, and the layout where streaming ingest
+    is CHEAPEST: SQ has no trained state (no codebooks, no centroids)
+    so the encode can never go stale regardless of drift — no rebuild
+    trigger needed, unlike the IVF/PQ monitors. Replayed ids fold at
+    the next ``sq_compact(dedup_ids=True)``."""
+    from ..operators import sq as sq_mod
+
+    state = {"index": sq_index}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        state["index"] = sq_mod.sq_upsert(
+            spark, state["index"], batch_df, id_col=id_col, vec_col=vec_col
+        )
+
+    writer = (
+        source.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
