@@ -78,6 +78,11 @@ HEADLINERS = {
     "bm25_topk_indexed": "serving path reads ONLY the query terms' "
     "postings (PushedFilters: In(token, ...)) — no documents scan "
     "anywhere in the plan",
+    "sq_rerank_full": "int8-codes shortlist: narrow (id, codes, "
+    "qscale, cnorm) scan, the ONE-fold approx score inside "
+    "whole-stage codegen (no Python eval nodes), "
+    "TakeOrderedAndProject for the shortlist, BroadcastExchange "
+    "BUILD side = the shortlist ids (not the vector table)",
 }
 
 
