@@ -11,7 +11,11 @@ import __spark_entry__ as E
 # their family siblings moved to the oracle-backed overflow window.
 # Late round 4: leakage_safe_splits promoted in-cap (new flagship
 # composition — components + component-keyed split); label_centroids
-# (driver-green in r03) rotated to overflow.
+# (driver-green in r03) rotated to overflow. Second late-round-4
+# rotation: local_supplier_revenue (full Q5), duplicate_spans,
+# sq_rerank_full, source_divergence promoted; orders_rollup,
+# repeat_customers, user_event_pivot, props_k_stats (all driver-green
+# r3/r4) rotated to overflow.
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
@@ -25,12 +29,12 @@ EXPECTED_IN_CAP = [
     "graph_stats", "source_token_budget", "pii_redaction",
     "multimodal_meta", "events_hourly_stream", "events_distinct_pairs",
     "session_rollup", "user_running_totals", "pricing_summary",
-    "revenue_by_nation", "top_customers_per_nation", "orders_rollup",
-    "customers_without_orders",
-    "repeat_customers", "customer_revenue_deciles", "user_event_pivot",
+    "revenue_by_nation", "top_customers_per_nation",
+    "local_supplier_revenue", "customers_without_orders",
+    "duplicate_spans", "customer_revenue_deciles", "sq_rerank_full",
     "sql_topk_cosine", "purchase_attribution", "surge_windows",
     "events_in_surges", "hourly_locf", "histogram_quantiles",
-    "ab_test_report", "props_k_stats",
+    "ab_test_report", "source_divergence",
 ]
 
 
