@@ -1089,8 +1089,13 @@ def split_leakage_audit(
     from .sampling import split_assign
 
     docs = load_documents(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold).select(
-        "id_a", "id_b"
+    # ONE materialization of the (expensive) pair graph feeds the
+    # component resolution AND both audit joins — without the barrier
+    # the inverted-index self-join would re-run three times
+    pairs = (
+        ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
 
     def audit(assign_df: DataFrame, policy: str) -> DataFrame:
@@ -1115,9 +1120,19 @@ def split_leakage_audit(
     per_doc = docs.select(
         "doc_id", split_assign(F.col("doc_id"), train, valid).alias("split")
     )
-    safe = leakage_safe_splits(
-        spark, sf_dir, n=n, threshold=threshold, train=train, valid=valid
-    ).select("doc_id", "split")
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("c_doc_id"), "component_id"
+    )
+    safe = (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("c_doc_id"), "left")
+        .select(
+            "doc_id",
+            split_assign(
+                F.coalesce(F.col("component_id"), F.col("doc_id")), train, valid
+            ).alias("split"),
+        )
+    )
     return audit(per_doc, "per_doc_hash").unionByName(
         audit(safe, "component_keyed")
     )
