@@ -527,3 +527,23 @@ def test_split_leakage_audit_property(spark):
     assert rows["component_keyed"].n_cross_split == 0
     assert rows["per_doc_hash"].n_pairs == rows["component_keyed"].n_pairs
     assert rows["per_doc_hash"].n_cross_split >= 0
+
+
+def test_connected_components_distributed_matches_union_find(spark):
+    """small_graph_max=0 forces the label-propagation loop; results
+    must be identical to the driver-side union-find fast path on a
+    graph with a chain, a clique and islands."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    fast = {
+        (r.doc_id, r.component_id)
+        for r in curation.connected_components(pairs).collect()
+    }
+    dist = {
+        (r.doc_id, r.component_id)
+        for r in curation.connected_components(pairs, small_graph_max=0).collect()
+    }
+    assert fast == dist
+    assert {c for _, c in fast} == {1, 10, 20}

@@ -316,6 +316,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 50,
     checkpoint_every: int = 5,
+    small_graph_max: int = 1_000_000,
 ) -> DataFrame:
     """Resolve a near-dup pair graph into components: (doc_id,
     component_id) with component_id = min reachable id — turning
@@ -347,6 +348,47 @@ def connected_components(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    # near-dup graphs are O(duplicated docs) — usually TINY next to
+    # the corpus. Below ``small_graph_max`` edges, resolve driver-side
+    # with union-find: identical output (min reachable id), one
+    # bounded collect (≤ ~16 MB at the default bound — the same
+    # bounded-driver-collect contract as PQ training / centroid
+    # tables), ZERO fixpoint rounds. The distributed loop's ~4 Spark
+    # jobs per round cost more than this entire resolution for small
+    # graphs (measured: 8 s of round overhead on a 920-edge graph).
+    n_sym = sym.count()
+    if n_sym <= 2 * small_graph_max:
+        rows = sym.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = r.src, r.dst
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict = {}
+        for v in parent:
+            r = find(v)
+            if r not in comp_min or v < comp_min[r]:
+                comp_min[r] = v
+        out = [(v, comp_min[find(v)]) for v in parent]
+        spark = pairs.sparkSession
+        id_type = pairs.schema[id_a].dataType.simpleString()
+        return spark.createDataFrame(
+            out, f"doc_id {id_type}, component_id {id_type}"
+        )
     lab = (
         sym.select(F.col("src").alias("id"))
         .distinct()
