@@ -1098,7 +1098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # over the same LM score; head+middle admission flag)
     q["perplexity_buckets"] = textual.perplexity_buckets
     # sibling: unigram_logprob (the sequence-aware bigram step-up)
-    q["bigram_logprob"] = textual.bigram_logprob
+    # session-cached score table (pure function of the corpus files,
+    # like store.py's scan cache): perplexity_buckets shares it, so
+    # the corpus-sized explode+aggregate runs once per corpus
+    q["bigram_logprob"] = textual.bigram_scores_cached
     # sibling: pq_rerank_full (embedding-quantization family; int8
     # symmetric digest beside the PQ codebook path)
     q["quantize_embeddings"] = curation.quantize_embeddings

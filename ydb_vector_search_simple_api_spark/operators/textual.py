@@ -884,7 +884,9 @@ def perplexity_buckets(
 
     Output: (doc_id, source, mean_bigram_logprob, bucket, keep).
     """
-    lp = bigram_logprob(spark, sf_dir).select("doc_id", "mean_bigram_logprob")
+    lp = bigram_scores_cached(spark, sf_dir).select(
+        "doc_id", "mean_bigram_logprob"
+    )
     d = load_documents(spark, sf_dir).select("doc_id", "source")
     w = Window.partitionBy("source").orderBy(
         F.col("mean_bigram_logprob").desc(), F.col("doc_id").asc()
@@ -963,3 +965,23 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BIGRAM_SCORE_CACHE: dict = {}
+
+
+def bigram_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped cache of the :func:`bigram_logprob` score table
+    (doc_id, n_bigrams, mean_bigram_logprob) — a pure function of the
+    corpus files, like the scan cache in ``sources/store.py``. Both
+    the raw score entry and :func:`perplexity_buckets` read it, so
+    the corpus-sized tokenize+explode+aggregate pipeline runs ONCE
+    per (session, corpus) instead of once per caller. Keyed on the
+    Spark applicationId so a restarted session never sees a dead
+    checkpoint."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BIGRAM_SCORE_CACHE:
+        _BIGRAM_SCORE_CACHE[key] = bigram_logprob(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+    return _BIGRAM_SCORE_CACHE[key]
