@@ -505,3 +505,38 @@ def test_search_batch_through_tree_engine(spark, qvec, tree_engine):
         [qvec], k=5
     )
     assert [r["id"] for r in got[0]] == [r["id"] for r in exact[0]]
+
+
+@pytest.fixture(scope="module")
+def sq_engine(spark, tmp_path_factory):
+    from ydb_vector_search_simple_api_spark.operators import sq as sq_mod
+
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = sq_mod.build_sq_index(
+        spark, embs, str(tmp_path_factory.mktemp("sq_eng") / "sq")
+    )
+    return api.VectorSearchEngine(
+        spark,
+        SF_SMALL,
+        config=SearchConfig(index_enabled=True, strict_filter_index_exclusion=False),
+        index=idx,
+    )
+
+
+def test_sq_engine_full_shortlist_matches_exact(spark, qvec, sq_engine):
+    """Fourth index shape behind the engine: the int8 code table. Its
+    width knob is the rerank shortlist; >= corpus => exact."""
+    got, _ = sq_engine.search(qvec, k=5, search_top_size=500)
+    want, _ = api.VectorSearchEngine(spark, SF_SMALL).search(qvec, k=5)
+    assert _as_tuples(got) == _as_tuples(want)
+
+
+def test_sq_engine_filtered_and_pruned(spark, qvec, sq_engine):
+    flt = {"vendor": "fr"}
+    got, _ = sq_engine.search(qvec, k=5, filter=flt, search_top_size=500)
+    want, _ = api.VectorSearchEngine(spark, SF_SMALL).search(qvec, k=5, filter=flt)
+    assert _as_tuples(got) == _as_tuples(want)
+    pruned, _ = sq_engine.search(qvec, k=5, filter=flt, search_top_size=50)
+    assert all(r["vendor"] == "fr" for r in pruned)

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from .config import DEFAULT_SEARCH_TOP_SIZE, SearchConfig, sort_descending
 from .operators import bq as bq_mod
+from .operators import sq as sq_mod
 from .operators import index as ivf_mod
 from .operators import tree as tree_mod
 from .operators.search import exact_search, filtered_doc_ids
@@ -77,14 +78,21 @@ class VectorSearchEngine:
     YDB-shaped two-level k-means tree
     (``operators.tree.KmeansTreeIndex``, the hierarchy the reference's
     ``vector_kmeans_tree`` secondary index has — app.py:193-196) —
-    plus the sign-bit binary-quantization table
-    (``operators.bq.BqIndex``), whose width knob is the Hamming
+    plus the compressed-code tables — sign-bit BQ
+    (``operators.bq.BqIndex``) and int8 SQ
+    (``operators.sq.SqIndex``) — whose width knob is the rerank
     shortlist size (documented divergence: not a cluster count)."""
 
     spark: SparkSession
     sf_dir: str
     config: SearchConfig = field(default_factory=SearchConfig)
-    index: ivf_mod.IvfIndex | tree_mod.KmeansTreeIndex | bq_mod.BqIndex | None = None
+    index: (
+        ivf_mod.IvfIndex
+        | tree_mod.KmeansTreeIndex
+        | bq_mod.BqIndex
+        | sq_mod.SqIndex
+        | None
+    ) = None
     #: pluggable text embedder (tests inject a fake; prod uses O13)
     embed_fn: Callable[[str], list[float]] | None = None
     #: persisted BM25 postings/stats for the hybrid path; when set,
@@ -168,16 +176,22 @@ class VectorSearchEngine:
                 else None
             )
             width = search_top_size or self.config.search_top_size
-            if isinstance(self.index, bq_mod.BqIndex):
-                # for a BQ index the search width IS the Hamming
-                # shortlist (>= corpus => exact); candidates rerank
-                # against the full-precision store vectors
+            if isinstance(self.index, (bq_mod.BqIndex, sq_mod.SqIndex)):
+                # for the compressed-code tables (BQ sign bits, SQ
+                # int8) the search width IS the rerank shortlist
+                # (>= corpus => exact); candidates rerank against the
+                # full-precision store vectors
                 from .sources.store import load_embeddings
 
                 src = load_embeddings(self.spark, self.sf_dir).select(
                     F.col("vec_id").alias("id"), "embedding"
                 )
-                topk = bq_mod.bq_search_rerank(
+                rerank = (
+                    sq_mod.sq_search_rerank
+                    if isinstance(self.index, sq_mod.SqIndex)
+                    else bq_mod.bq_search_rerank
+                )
+                topk = rerank(
                     self.spark,
                     self.index,
                     src,
