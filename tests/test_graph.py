@@ -105,3 +105,22 @@ def test_graph_stats_corpus_row(spark):
     assert 0.0 <= row.clustering <= 1.0
     # near-dup graphs are clique-heavy: triangles should exist
     assert row.n_triangles >= 0
+
+
+def test_pagerank_driver_path_matches_distributed(spark):
+    """small_graph_max=0 forces the distributed loop; the driver
+    union-replay must reproduce its doubles bit-for-bit (the
+    order-independent round-12/decimal-sum arithmetic is the shared
+    contract)."""
+    from ydb_vector_search_simple_api_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (1, 3), (3, 1)],
+        "src long, dst long",
+    )
+    fast = {(r.node, r.rank) for r in pagerank(spark, pairs).collect()}
+    dist = {
+        (r.node, r.rank)
+        for r in pagerank(spark, pairs, small_graph_max=0).collect()
+    }
+    assert fast == dist

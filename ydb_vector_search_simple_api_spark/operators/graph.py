@@ -36,6 +36,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    small_graph_max: int = 200_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list (pass both
     directions for an undirected graph). Returns (node, rank) with
@@ -71,6 +72,56 @@ def pagerank(
         e.unpersist()
         nodes.unpersist()
         return spark.createDataFrame([], "node long, rank double")
+    # similarity graphs are O(duplicated docs): below ``small_graph_max``
+    # edges, iterate driver-side. The arithmetic is REPLICABLE exactly
+    # because the distributed path was built order-independent: per-edge
+    # contributions round to 12 places (Spark's HALF_UP over the
+    # shortest-repr BigDecimal — Decimal(repr(x)) matches) and sum as
+    # exact decimals, so the driver loop reproduces the cluster's
+    # doubles bit-for-bit (pinned in tests). Ten rounds of join+agg
+    # over a persisted tiny edge set otherwise cost ~6 s of fixed
+    # per-round job overhead.
+    n_edges = e.count()
+    if n_edges <= small_graph_max:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        rows = e.collect()
+        out_deg: dict = {}
+        for r in rows:
+            out_deg[r.src] = out_deg.get(r.src, 0) + 1
+        node_list = sorted({r.src for r in rows})
+        base = (1.0 - damping) / n_nodes
+        rank = {v: 1.0 / n_nodes for v in node_list}
+        q12 = Decimal("1e-12")
+        for _ in range(iters):
+            sums: dict = {}
+            for r in rows:
+                c = Decimal(repr(damping * rank[r.src] / out_deg[r.src]))
+                c = c.quantize(q12, rounding=ROUND_HALF_UP)
+                sums[r.dst] = sums.get(r.dst, Decimal(0)) + c
+            rank = {
+                v: base + float(sums[v]) if v in sums else base
+                for v in node_list
+            }
+        e.unpersist()
+        nodes.unpersist()
+        q6 = Decimal("1e-6")
+        out = [
+            (
+                v,
+                float(
+                    Decimal(repr(rank[v])).quantize(
+                        q6, rounding=ROUND_HALF_UP
+                    )
+                )
+                + 0.0,
+            )
+            for v in node_list
+        ]
+        id_type = edges.schema[src_col].dataType.simpleString()
+        return spark.createDataFrame(
+            out, f"node {id_type}, rank double"
+        ).orderBy("node")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e_deg = e.join(deg, "src").persist()
     e_deg.count()
