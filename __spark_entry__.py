@@ -1501,6 +1501,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recall@10 of pruned IVF widths vs exact, 8 stored queries
     # (monotonicity + exact-at-full-width pinned in tests/test_index.py)
     q["ann_recall_report"] = _ann_recall_report
+    # Bloom-sketch admission + exact verify twin of decontaminate:
+    # bit-identical output (no false negatives in the sketch, exact
+    # join on the admitted candidates), so it shares the oracle
+    q["decontaminate_bloom"] = curation.decontaminate_bloom_documents
     return q
 
 
@@ -1577,6 +1581,8 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_minhash_md5"] = oracles_text.minhash_lsh_md5_sql(3, 16, 8, 0.8)
     o["tfidf_top_terms"] = oracles_text.tfidf_sql(3)
     o["decontaminate"] = oracles_curation.decontaminate_sql(8, 0.3)
+    # the Bloom-admission scale path verifies exactly -> same oracle
+    o["decontaminate_bloom"] = oracles_curation.decontaminate_sql(8, 0.3)
     o["pack_chunks"] = oracles_curation.pack_chunks_sql(
         oracles_text.chunk_documents_sql(64, 48), 256
     )

@@ -62,6 +62,49 @@ def test_decontaminate_partial_containment(spark):
     assert len(out) == 1 and out[0].containment == 0.5
 
 
+def test_decontaminate_bloom_matches_exact(spark):
+    """The Bloom-admission twin is bit-identical to the exact path on
+    the real corpus: the sketch has no false negatives and false
+    positives die in the exact verify join."""
+    exact = sorted(
+        curation.decontaminate_documents(spark, SF_SMALL).collect(),
+        key=lambda r: (r.doc_id, r.bench_id),
+    )
+    bloom = sorted(
+        curation.decontaminate_bloom_documents(spark, SF_SMALL).collect(),
+        key=lambda r: (r.doc_id, r.bench_id),
+    )
+    assert bloom == exact and len(exact) > 0
+
+
+def test_decontaminate_bloom_synthetic(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, bench_text, "bench"),
+            (2, "prefix words " + bench_text + " suffix words", "train"),
+            (3, "totally different content with no overlap at all here", "train"),
+        ],
+        ["doc_id", "text", "kind"],
+    )
+    out = curation.decontaminate_bloom(
+        docs, F.col("kind") == "bench", n=8, min_containment=0.5
+    ).collect()
+    assert len(out) == 1
+    assert (out[0].doc_id, out[0].bench_id, out[0].containment) == (2, 1, 1.0)
+
+
+def test_decontaminate_bloom_empty_benchmark(spark):
+    docs = spark.createDataFrame(
+        [(1, "some training text here only", "train")],
+        ["doc_id", "text", "kind"],
+    )
+    out = curation.decontaminate_bloom(
+        docs, F.col("kind") == "bench", n=3, min_containment=0.3
+    ).collect()
+    assert out == []
+
+
 def test_pack_chunks_partitions_the_chunk_stream(spark):
     from ydb_vector_search_simple_api_spark.operators.textual import chunk_documents
 

@@ -144,6 +144,32 @@ def main():
         .agg(F.sum("dup_tokens"))
         .collect(),
     )
+    # decontamination at the 100 TB asymmetry: benchmark = the src0
+    # ORIGINALS only (fixed size), training side = the multiplied
+    # corpus. Replicas of bench docs contain their shingles, so this
+    # is a contamination-heavy worst case — the verify join is
+    # identical for both paths; the delta isolates the admission
+    # mechanics (exploded string hash-join vs packed-array bitset
+    # probe).
+    from ydb_vector_search_simple_api_spark.operators import curation
+
+    bench_pred = (F.col("source") == "src0") & (F.col("doc_id") < n_base)
+    probe(
+        "decontaminate exact (bench=src0 originals)",
+        lambda: curation.decontaminate(
+            load_documents(spark, corpus), bench_pred, n=8, min_containment=0.3
+        )
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
+    probe(
+        "decontaminate_bloom (same bench)",
+        lambda: curation.decontaminate_bloom(
+            load_documents(spark, corpus), bench_pred, n=8, min_containment=0.3
+        )
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
 
     print(f"\nText probe: {n_actual:,} docs / {tok_total:,} tokens "
           f"(generated in {gen_s:.1f}s, local[32])\n")

@@ -110,6 +110,141 @@ def decontaminate_documents(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    bench_pred: Column,
+    n: int = 8,
+    min_containment: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Scale path for :func:`decontaminate`: Bloom-sketch admission,
+    exact verification — identical output (shares the oracle).
+
+    The exact path broadcasts the benchmark's exploded shingle-string
+    table and hash-joins every training shingle against it. That is
+    already shuffle-free on the corpus side, but at 100 TB the probe
+    itself is the cost: every training shingle string enters a join
+    against a multi-hundred-MB broadcast hash map. This variant
+    compresses the membership structure to a Bloom bitset (~10 bits
+    per benchmark shingle at fpp=1%) and probes it with a vectorized
+    numpy kernel over packed int64 shingle-hash arrays — no explode,
+    no string hash-join, no aggregation shuffle for the non-candidate
+    ~all of the corpus. Only admitted docs (any-shingle-hit; a strict
+    superset of the true contaminated set, since Bloom filters have
+    no false negatives) re-enter the exact inverted-index join, whose
+    input is now benchmark-sized, not corpus-sized.
+
+    Both sides hash shingles with Spark's ``xxhash64`` (seed 42), so
+    bench build and train probe agree bit-for-bit; the k bit indices
+    derive from the one 64-bit hash via Kirsch–Mitzenmacher
+    ``(h_lo + i*h_hi) mod m``. The bitset rides a SparkContext
+    broadcast (m/8 bytes — ~1.2 MB for 1M benchmark shingles), not a
+    pickled closure.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bench = docs.filter(bench_pred)
+    train = docs.filter(~bench_pred)
+
+    # -- build: collect the benchmark's DISTINCT shingle hashes (the
+    # benchmark side is small by the same construction that lets the
+    # exact path broadcast it; the collect is bench-sized, never
+    # corpus-sized) and set k bits per hash in a driver-built bitset.
+    bench_hashes = [
+        r[0]
+        for r in (
+            dedup.shingled_table(bench, id_col=id_col, text_col=text_col, n=n)
+            .select(F.explode("sh").alias("shingle"))
+            .select(F.xxhash64("shingle").alias("h"))
+            .distinct()
+            .collect()
+        )
+    ]
+    n_items = max(len(bench_hashes), 1)
+    m = max(64, int(-n_items * math.log(fpp) / (math.log(2.0) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, int(round(m / n_items * math.log(2.0))))
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    if bench_hashes:
+        h = np.asarray(bench_hashes, dtype=np.int64).astype(np.uint64)
+        h_lo = h & np.uint64(0xFFFFFFFF)
+        h_hi = h >> np.uint64(32)
+        for i in range(k):
+            idx = (h_lo + np.uint64(i) * h_hi) % np.uint64(m)
+            np.bitwise_or.at(
+                bits,
+                (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+    bc = docs.sparkSession.sparkContext.broadcast(bits)
+    kk, mm = k, m
+
+    def _any_hit_fn(hash_arrays):
+        bitset = bc.value
+        out = np.zeros(len(hash_arrays), dtype=bool)
+        for row_i, arr in enumerate(hash_arrays):
+            if arr is None or len(arr) == 0:
+                continue
+            hh = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            lo = hh & np.uint64(0xFFFFFFFF)
+            hi = hh >> np.uint64(32)
+            hit = np.ones(len(hh), dtype=bool)
+            for i in range(kk):
+                idx = (lo + np.uint64(i) * hi) % np.uint64(mm)
+                word = bitset[(idx >> np.uint64(6)).astype(np.int64)]
+                hit &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+                if not hit.any():
+                    break
+            out[row_i] = bool(hit.any())
+        return pd.Series(out)
+
+    _any_hit = F.pandas_udf(_any_hit_fn, T.BooleanType())
+
+    # -- admit: packed int64 hash array per doc (no explode), one
+    # Arrow-batched bit probe; candidates ⊇ true contaminated docs.
+    train_sh = dedup.shingled_table(train, id_col=id_col, text_col=text_col, n=n)
+    cand_ids = (
+        train_sh.withColumn("shh", F.transform("sh", lambda x: F.xxhash64(x)))
+        .filter(_any_hit("shh"))
+        .select(F.col("id").alias(id_col))
+    )
+
+    # -- verify: the exact inverted-index join, restricted to the
+    # admitted (benchmark-scale) candidate set — false positives from
+    # the sketch die here, so the output is bit-identical to the
+    # exact path. No broadcast hint: the candidate set is usually
+    # tiny but not bounded by construction (a corpus that wholesale
+    # duplicates the benchmark admits millions of docs) — AQE picks
+    # broadcast at runtime when it fits (repo hint contract).
+    cand_docs = docs.join(cand_ids, id_col, "left_semi")
+    sub = bench.unionByName(cand_docs)
+    return decontaminate(
+        sub,
+        bench_pred,
+        n=n,
+        min_containment=min_containment,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def decontaminate_bloom_documents(
+    spark: SparkSession, sf_dir: str, n: int = 8, min_containment: float = 0.3
+) -> DataFrame:
+    """Gate entry: the Bloom-admission twin of ``decontaminate`` —
+    same benchmark convention (source 'src0'), same oracle."""
+    d = load_documents(spark, sf_dir)
+    return decontaminate_bloom(
+        d, F.col("source") == "src0", n=n, min_containment=min_containment
+    )
+
+
 # ------------------------------------------------------------ packing
 
 
