@@ -221,8 +221,13 @@ def bm25_scores_indexed(
     from . import tombstones
 
     uniq = sorted(set(terms))
-    post = spark.read.parquet(os.path.join(index.path, "postings")).filter(
-        F.col("token").isin(uniq)
+    # explicit projection: streaming-built generations carry a
+    # batch_id partition dir (idempotent replay layout) that serving
+    # must not leak into the scoring schema
+    post = (
+        spark.read.parquet(os.path.join(index.path, "postings"))
+        .filter(F.col("token").isin(uniq))
+        .select("token", "doc_id", "tf", "dl")
     )
     # deletes flow through the same tombstone machinery as the vector
     # layouts (operators/tombstones.py): the doc-id set is anti-joined

@@ -301,6 +301,13 @@ def sq_upsert(
             "rebuild via build_ivfsq_index (or ingest through ivf_upsert "
             "and re-encode the touched clusters)"
         )
+    # dim guard: a mis-dimensioned batch would append codes that score
+    # NULL through zip_with padding and silently sink in results
+    bad = new_df.filter(F.size(F.col(vec_col)) != index.dim).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"sq_upsert batch has vectors whose length != index dim {index.dim}"
+        )
     codes_df = encode_sq(new_df, vec_col=vec_col, id_col=id_col)
     codes_df.persist()
     try:
@@ -326,7 +333,11 @@ def sq_compact(
     """Generation rewrite: fold tombstones and append churn into
     ``n_files`` files (immutable new generation, pointer flip — the
     shared ``ivf_compact``/``bq_compact`` contract). ``dedup_ids=True``
-    keeps one row per id for streaming replay hygiene."""
+    keeps one row per id for streaming replay hygiene. A partitioned
+    (IVF x SQ) layout compacts partition-aware — one file per cluster
+    directory, ``partition_col`` preserved in the meta — so
+    ``ivfsq_search`` keeps cluster-directory pruning and the
+    ``sq_upsert`` partition guard keeps rejecting flat appends."""
     if n_files < 1:
         raise ValueError("n_files must be a positive integer")
     df = tombstones.apply_tombstones(
@@ -336,13 +347,26 @@ def sq_compact(
     )
     if dedup_ids:
         df = df.dropDuplicates([id_col])
-    df.repartition(n_files).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "codes")
-    )
+    if index.partition_col is not None:
+        # hash on the partition key: each cluster's rows land in one
+        # shuffle partition => exactly one file per cluster directory
+        df.repartition(n_files, index.partition_col).write.mode(
+            "overwrite"
+        ).partitionBy(index.partition_col).parquet(os.path.join(out_dir, "codes"))
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "codes")
+        )
     n_rows = spark.read.parquet(os.path.join(out_dir, "codes")).count()
     with open(os.path.join(out_dir, "_sq_meta.json"), "w") as f:
-        json.dump({"dim": index.dim, "n_rows": n_rows, "id_col": id_col}, f)
-    return SqIndex(path=out_dir, dim=index.dim, n_rows=n_rows)
+        json.dump({
+            "dim": index.dim, "n_rows": n_rows, "id_col": id_col,
+            "partition_col": index.partition_col,
+        }, f)
+    return SqIndex(
+        path=out_dir, dim=index.dim, n_rows=n_rows,
+        partition_col=index.partition_col,
+    )
 
 
 # ----------------------------------------------- IVF x SQ composition

@@ -335,6 +335,12 @@ def stream_lexical_ingest(
     schema = docs.schema
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a replayed micro-batch must
+        # not double-append postings/stats (tf/df/n_docs/avgdl would
+        # silently inflate). Each batch owns a batch_id-keyed
+        # partition directory written with OVERWRITE — a retry
+        # rewrites its own directory instead of appending a second
+        # copy. Readers project the batch_id partition column away.
         toks = TXT.tokens("text")
         per_doc = batch_df.select(
             "doc_id",
@@ -347,11 +353,15 @@ def stream_lexical_ingest(
             .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
             .sortWithinPartitions("token", "doc_id")
         )
-        postings.write.mode("append").parquet(os.path.join(idx_dir, "postings"))
+        postings.write.mode("overwrite").parquet(
+            os.path.join(idx_dir, "postings", f"batch_id={batch_id}")
+        )
         per_doc.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("dl").cast("bigint").alias("sum_dl"),
-        ).write.mode("append").parquet(parts_dir)
+        ).write.mode("overwrite").parquet(
+            os.path.join(parts_dir, f"batch_id={batch_id}")
+        )
 
     stream = (
         spark.readStream.schema(schema)
@@ -369,6 +379,7 @@ def stream_lexical_ingest(
     # ---- finalize: seal dfreq + corpus scalars (the generation flip)
     dfreq = (
         spark.read.parquet(os.path.join(idx_dir, "postings"))
+        .select("token", "doc_id")  # project the batch_id partition away
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .repartitionByRange(F.col("token"))
