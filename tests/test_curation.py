@@ -559,6 +559,44 @@ def test_semantic_dedup_election(spark):
     assert any(not r.keep for r in rows)  # threshold 0.4 finds pairs
 
 
+def test_semantic_dedup_blocked_matches_exact(spark):
+    """The IVF-multi-probe blocked form elects the SAME keepers as the
+    exact O(n^2) baseline at the gate's corpus/centroid shape (probes=3
+    over 8 clusters), and its pair recall vs exact is pinned — the
+    contract that lets the gate entry share the exact oracle."""
+    from ydb_vector_search_simple_api_spark.operators import curation as C
+    from ydb_vector_search_simple_api_spark.operators import dedup
+    from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+    import __spark_entry__ as E
+
+    cents = E._ivf_index(spark, SF_SMALL).centroids.tolist()
+    exact = {
+        (r.vec_id, r.keep_id, r.keep)
+        for r in C.semantic_dedup(spark, SF_SMALL, threshold=0.4).collect()
+    }
+    blocked = {
+        (r.vec_id, r.keep_id, r.keep)
+        for r in C.semantic_dedup_blocked(
+            spark, SF_SMALL, centroids=cents, threshold=0.4, probes=3
+        ).collect()
+    }
+    assert blocked == exact
+
+    embs = load_embeddings(spark, SF_SMALL)
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.neardup_cosine_pairs(embs, threshold=0.4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.neardup_cosine_multiprobe(
+            embs, cents, threshold=0.4, probes=3
+        ).collect()
+    }
+    assert got <= exact_pairs  # precision 1.0 by construction
+    assert len(got) >= 0.95 * len(exact_pairs)  # recall pin
+
+
 def test_split_leakage_audit_property(spark):
     """The component policy must report ZERO cross-fence near-dup
     pairs (by construction); the per-doc policy's count is >= 0 and

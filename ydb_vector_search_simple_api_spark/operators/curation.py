@@ -1247,6 +1247,60 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_blocked(
+    spark: SparkSession, sf_dir: str,
+    centroids=None,
+    threshold: float = 0.4,
+    probes: int = 2,
+    n_clusters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path of :func:`semantic_dedup`: the pair graph comes from
+    IVF-multi-probe blocking (``dedup.neardup_cosine_multiprobe`` —
+    each vector probes its ``probes`` nearest centroids; candidates
+    share a probed cluster and are verified with the exact cosine)
+    instead of the exact all-pairs baseline. Same components, same
+    deterministic min-id election, same output schema.
+
+    This is the form that survives 100x: candidate generation is a
+    skinny (cluster, id) exchange of rows x probes, the quadratic work
+    is confined within clusters, and the election joins are component-
+    sized. Recall vs the exact form is pinned in
+    ``tests/test_curation.py``; at the gate's corpus/centroid shape
+    the two elections are identical, so this entry shares
+    ``semantic_dedup``'s exact oracle.
+
+    ``centroids`` (k x dim) normally come from the persisted IVF index
+    so search and dedup share one clustering; when None, a
+    deterministic KMeans fit over the embeddings supplies them.
+    """
+    embs = load_embeddings(spark, sf_dir)
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = embs.select(
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+        )
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feats)
+        centroids = [c.tolist() for c in model.clusterCenters()]
+    pairs = dedup.neardup_cosine_multiprobe(
+        embs, centroids, threshold=threshold, probes=probes
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("c_vec_id"), "component_id"
+    )
+    return (
+        embs.select("vec_id")
+        .join(comp, F.col("vec_id") == F.col("c_vec_id"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component_id"), F.col("vec_id")).alias("keep_id"),
+        )
+        .withColumn("keep", (F.col("vec_id") == F.col("keep_id")).cast("boolean"))
+    )
+
+
 def split_leakage_audit(
     spark: SparkSession, sf_dir: str,
     n: int = 3, threshold: float = 0.8,

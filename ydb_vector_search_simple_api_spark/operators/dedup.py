@@ -551,6 +551,106 @@ def neardup_cosine_blocked(
     )
 
 
+def neardup_cosine_multiprobe(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    probes: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF-multi-probe blocked cosine pairs: each vector is assigned to
+    its ``probes`` nearest centroids (euclidean — the same assignment
+    the IVF build uses), candidate pairs share at least one probed
+    cluster, and candidates are verified with the EXACT cosine — so,
+    like the LSH paths, precision is 1.0 by construction and only
+    recall depends on the blocking.
+
+    Multi-probe is what closes the recall gap of single-cluster
+    blocking (:func:`neardup_cosine_blocked`): a near-dup pair split
+    by a Voronoi boundary still meets as long as one of the two
+    probes crosses it. Recall grows with ``probes`` and reaches 1.0
+    at ``probes == n_clusters`` (every pair shares every cluster).
+
+    Scale shape: the probe table carries ONLY (cluster, id) — the
+    exchange moves rows x probes skinny rows, never vector payloads
+    or pairs; the quadratic work happens strictly within clusters,
+    and vectors rejoin by id AFTER candidate dedup (the
+    ``srp_cosine_pairs`` pattern). Centroids are driver-side
+    constants (k x dim, a few KB) shipped inside the UDF closure.
+
+    Output (id_a, id_b, cosine) — same schema as
+    :func:`neardup_cosine_pairs`, whose exact result is this
+    operator's recall oracle in tests."""
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    k, dim = C.shape
+    p = min(int(probes), k)
+    c_sq = (C * C).sum(axis=1)  # (k,)
+    src = _ensure_parallelism(df)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and PySpark's hint-based inference cannot resolve locals
+    def _probe_fn(vecs):
+        n = len(vecs)
+        E = np.zeros((n, dim), dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) == dim:
+                E[i] = v
+                ok[i] = True
+        # argpartition over ||e-c||^2 = ||e||^2 - 2 e.c + ||c||^2;
+        # the ||e||^2 term is constant per row -> drop it
+        d2 = c_sq[None, :] - 2.0 * (E @ C.T)  # (n, k)
+        near = np.argpartition(d2, p - 1, axis=1)[:, :p]
+        return pd.Series(
+            [row.tolist() if o else [] for row, o in zip(near, ok)]
+        )
+
+    _probe = F.pandas_udf(_probe_fn, T.ArrayType(T.IntegerType()))
+
+    sig = src.select(
+        F.col(id_col).alias("id"),
+        F.explode(_probe(F.col(vec_col))).alias("c"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    vecs = src.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    va = vecs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("nrm_a")
+    )
+    vb = vecs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("nrm_b")
+    )
+    denom = F.col("nrm_a") * F.col("nrm_b")
+    sim = F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(
+        dot(F.col("v_a"), F.col("v_b")) / denom
+    )
+    if round_digits is not None:
+        sim = F.round(sim, round_digits) + F.lit(0.0)
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # ------------------------------- sign-random-projection (cosine LSH)
 
 
@@ -1271,6 +1371,15 @@ def duplicate_spans_arrow(
             h = (h ^ np.uint64(byte)) * P
         return h
 
+    # tokenizer parity with the md5 twin (TXT.tokens = Spark
+    # trim/lower + '\s+' split): Spark's trim strips SPACES only and
+    # Java \s is ASCII [ \t\n\x0B\f\r] — Python str.strip()/.split()
+    # would also eat Unicode whitespace and could disagree on exotic
+    # inputs, breaking the 'identical to the md5 form' contract
+    import re
+
+    _ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
     def batches(it):
         pw = P ** np.arange(k - 1, -1, -1, dtype=np.uint64)
         import warnings
@@ -1278,7 +1387,9 @@ def duplicate_spans_arrow(
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            toks_per_doc = [t.strip().lower().split() for t in pdf[text_col]]
+            toks_per_doc = [
+                _ws.split(t.strip(" ").lower()) for t in pdf[text_col]
+            ]
             lens = np.array([len(ts) for ts in toks_per_doc])
             flat = list(chain.from_iterable(toks_per_doc))
             out_doc, out_start, out_h = [], [], []
