@@ -95,14 +95,20 @@ def main() -> None:
 
     import __spark_entry__ as E
 
-    def timed(fn, runs: int) -> float:
+    def timed(fn, runs: int) -> tuple[float, float]:
+        # the warmup IS the cold pass — timed so session-cached
+        # entries (scan cache, bigram score table, index caches)
+        # can't flatter: BENCH_DETAIL carries (cold_s, best) per
+        # query and the headline stays best-of for r1 comparability
+        t0 = time.perf_counter()
         fn()  # warmup
+        cold = time.perf_counter() - t0
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
             fn()
             best = min(best, time.perf_counter() - t0)
-        return best
+        return cold, best
 
     queries = dict(E.queries())
 
@@ -133,12 +139,15 @@ def main() -> None:
         queries.items(), key=lambda kv: (kv[0] not in R1_COMMON_SUITE,)
     )
     results: dict[str, float] = {}
+    cold_s: dict[str, float] = {}
     for name, fn in ordered:
         runs = 3 if name in R1_COMMON_SUITE else 1
-        results[name] = round(timed(lambda: fn(spark, sf_dir).collect(), runs), 4)
+        cold, best = timed(lambda: fn(spark, sf_dir).collect(), runs)
+        results[name] = round(best, 4)
+        cold_s[name] = round(cold, 4)
         tier = "common" if name in R1_COMMON_SUITE else "ext"
         print(
-            f"  bench {name}: {results[name]:.3f}s [{tier}]",
+            f"  bench {name}: {results[name]:.3f}s (cold {cold:.3f}s) [{tier}]",
             file=sys.stderr, flush=True,
         )
 
@@ -151,6 +160,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": results,
+        # first-execution (warmup) wall per query: for session-cached
+        # entries this is the cold number best-of can't show
+        "cold_s": cold_s,
         "sf": sf,
         "common_with_r1_sum": common_sum,
         "n_common": sum(1 for k in results if k in R1_COMMON_SUITE),
@@ -169,7 +181,8 @@ def main() -> None:
         "score table (textual.bigram_scores_cached — a pure function "
         "of the corpus files, same contract as the scan cache), so "
         "their best-of times reflect the shared-pass serving shape; "
-        "the cold corpus pass is ~7 s once per session.",
+        "the once-per-session cold pass is recorded per query in "
+        "cold_s (the warmup wall).",
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -39,6 +39,7 @@ def timed(fn, runs: int = 2) -> float:
 
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    only = sys.argv[2] if len(sys.argv) > 2 else None  # substring filter
     sf_dir = "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession
@@ -95,6 +96,8 @@ def main():
     rows = []
 
     def probe(name, fn):
+        if only and only not in name:
+            return
         sec = timed(fn)
         rows.append((name, sec, n_actual / sec / 1e6))
 
