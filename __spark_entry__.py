@@ -38,6 +38,7 @@ from ydb_vector_search_simple_api_spark.operators import bpe as bpe_mod
 from ydb_vector_search_simple_api_spark.operators import clustering as clustering_mod
 from ydb_vector_search_simple_api_spark.operators import enrich as enrich_mod
 from ydb_vector_search_simple_api_spark.operators import graph as graph_mod
+from ydb_vector_search_simple_api_spark.operators import graphann as gann_mod
 from ydb_vector_search_simple_api_spark.operators import ranking as ranking_mod
 from ydb_vector_search_simple_api_spark.operators import skew as skew_mod
 from ydb_vector_search_simple_api_spark.operators import index as ivf
@@ -413,6 +414,30 @@ def _mk_ivfpq(strategy: str, k: int, width: int | None, rerank: int | None):
         )
 
     return run
+
+
+_GANN_CACHE: dict[str, gann_mod.GraphAnnIndex] = {}
+GANN_M = 8
+
+
+def _gann_index(spark: SparkSession, sf_dir: str) -> gann_mod.GraphAnnIndex:
+    key = sf_dir
+    if key not in _GANN_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(), f"svs_gann_{tag}_m{GANN_M}")
+        marker = os.path.join(out, "_graphann_meta.json")
+        if os.path.exists(marker):
+            _GANN_CACHE[key] = gann_mod.load_graph_index(out)
+        else:
+            from pyspark.sql import functions as F
+
+            embs = load_embeddings(spark, sf_dir).select(
+                F.col("vec_id").alias("id"), "embedding"
+            )
+            _GANN_CACHE[key] = gann_mod.build_knn_graph(
+                spark, embs, out, m=GANN_M
+            )
+    return _GANN_CACHE[key]
 
 
 _KMT_CACHE: dict[str, kmt.KmeansTreeIndex] = {}
@@ -1404,6 +1429,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: neardup_cosine + dedup_components (SemDeDup: one
     # representative per embedding-space component)
     q["semantic_dedup"] = curation.semantic_dedup
+    # scale path: IVF-multi-probe blocked pairs -> same components ->
+    # same election; shares the exact oracle (elections identical at
+    # this corpus/centroid shape; recall pinned in tests/test_curation)
+    q["semantic_dedup_blocked"] = lambda s, d: curation.semantic_dedup_blocked(
+        s, d, centroids=_ivf_index(s, d).centroids.tolist(), probes=3
+    )
     # sibling: leakage_safe_splits (the audit that justifies it:
     # cross-fence near-dup pair counts, per split policy)
     q["split_leakage_audit"] = curation.split_leakage_audit
@@ -1444,6 +1475,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ivfsq_rerank_full"] = _mk_ivfsq(
         "CosineSimilarity", k=10, width=IVF_CLUSTERS, shortlist=None
     )
+    # graph ANN (5th index shape: k-NN graph + beam search). Full beam
+    # traverses the ENTIRE graph (visited==n_rows asserted — a live
+    # connectivity check) then exact-reranks, so the exact top-k
+    # oracle applies; the finite-beam twin's recall-vs-beam curve is
+    # pinned in tests/test_graphann.py (no SQL twin for traversal)
+    def _mk_gann(strategy: str, k: int, beam: int | None):
+        def run(s: SparkSession, d: str) -> DataFrame:
+            from pyspark.sql import functions as F
+
+            idx = _gann_index(s, d)
+            src = load_embeddings(s, d).select(
+                F.col("vec_id").alias("id"), "embedding"
+            )
+            return gann_mod.graphann_search(
+                s, idx, src, _query_vec(s, d), k=k, strategy=strategy,
+                beam=beam, round_digits=ROUND,
+            )
+        return run
+
+    q["graphann_rerank_full"] = _mk_gann("CosineSimilarity", k=10, beam=None)
+    q["graphann_beam32"] = _mk_gann("CosineSimilarity", k=10, beam=32)
     # compressed-domain batch ANN join (ADC estimate scores; recall vs
     # the exact join + determinism pinned in tests/test_pq.py)
     q["pq_knn_join"] = _mk_pq_knn_join("CosineSimilarity", k=5, n_queries=8)
@@ -1537,6 +1589,8 @@ def oracle_sql() -> dict[str, str]:
     o["bq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     o["sq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     o["ivfsq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
+    # full-beam graph traversal == exact top-k (connectivity-asserted)
+    o["graphann_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     o["bq_knn_join_full"] = oracles.knn_join_sql(
         "CosineSimilarity", k=5, n_queries=8
     )
@@ -1605,6 +1659,10 @@ def oracle_sql() -> dict[str, str]:
     o["semantic_dedup"] = oracles_curation.semantic_dedup_sql(
         oracles_text.neardup_cosine_sql(0.4)
     )
+    # blocked twin: bit-identical election at this shape (multi-probe
+    # recall closes the Voronoi-boundary gap), so one exact oracle
+    # serves both — the decontaminate/decontaminate_bloom pattern
+    o["semantic_dedup_blocked"] = o["semantic_dedup"]
     o["split_leakage_audit"] = oracles_curation.split_leakage_audit_sql(
         oracles_text.ngram_jaccard_sql(3, 0.8)
     )

@@ -238,6 +238,39 @@ def test_tree_engine_filtered_full_width_matches_exact(spark, qvec, tree_engine)
     assert _as_tuples(got) == _as_tuples(want)
 
 
+@pytest.fixture(scope="module")
+def gann_engine(spark, tmp_path_factory):
+    from ydb_vector_search_simple_api_spark.operators import graphann as gann
+
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = gann.build_knn_graph(
+        spark, embs, str(tmp_path_factory.mktemp("gann_eng") / "graph"), m=8
+    )
+    return api.VectorSearchEngine(
+        spark,
+        SF_SMALL,
+        config=SearchConfig(index_enabled=True, strict_filter_index_exclusion=False),
+        index=idx,
+    )
+
+
+def test_gann_engine_searches(spark, qvec, gann_engine):
+    """The engine serves through the graph-ANN index (5th shape) —
+    the width knob is the beam; beam >= corpus == exact."""
+    got, _ = gann_engine.search(qvec, k=5, search_top_size=500)
+    want, _ = api.VectorSearchEngine(spark, SF_SMALL).search(qvec, k=5)
+    assert _as_tuples(got) == _as_tuples(want)
+
+
+def test_gann_engine_filtered_full_beam_matches_exact(spark, qvec, gann_engine):
+    flt = {"vendor": "fr"}
+    got, _ = gann_engine.search(qvec, k=5, filter=flt, search_top_size=500)
+    want, _ = api.VectorSearchEngine(spark, SF_SMALL).search(qvec, k=5, filter=flt)
+    assert _as_tuples(got) == _as_tuples(want)
+
+
 def test_tree_engine_strict_mode_rejects_filter(spark, qvec, tree_engine):
     eng = api.VectorSearchEngine(
         spark,

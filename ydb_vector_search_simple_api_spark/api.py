@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from .config import DEFAULT_SEARCH_TOP_SIZE, SearchConfig, sort_descending
 from .operators import bq as bq_mod
+from .operators import graphann as gann_mod
 from .operators import sq as sq_mod
 from .operators import index as ivf_mod
 from .operators import tree as tree_mod
@@ -81,7 +82,9 @@ class VectorSearchEngine:
     plus the compressed-code tables — sign-bit BQ
     (``operators.bq.BqIndex``) and int8 SQ
     (``operators.sq.SqIndex``) — whose width knob is the rerank
-    shortlist size (documented divergence: not a cluster count)."""
+    shortlist size (documented divergence: not a cluster count) — and
+    the graph-ANN k-NN-graph (``operators.graphann.GraphAnnIndex``),
+    whose width knob is the beam width."""
 
     spark: SparkSession
     sf_dir: str
@@ -91,6 +94,7 @@ class VectorSearchEngine:
         | tree_mod.KmeansTreeIndex
         | bq_mod.BqIndex
         | sq_mod.SqIndex
+        | gann_mod.GraphAnnIndex
         | None
     ) = None
     #: pluggable text embedder (tests inject a fake; prod uses O13)
@@ -199,6 +203,25 @@ class VectorSearchEngine:
                     k=k,
                     strategy=self.config.strategy,
                     shortlist=width,
+                    filter_ids=flt_ids,
+                )
+            elif isinstance(self.index, gann_mod.GraphAnnIndex):
+                # graph shape: the width knob is the BEAM (>= corpus
+                # => exact, the shared O3 contract); candidates
+                # re-rank exactly against the store vectors
+                from .sources.store import load_embeddings
+
+                src = load_embeddings(self.spark, self.sf_dir).select(
+                    F.col("vec_id").alias("id"), "embedding"
+                )
+                topk = gann_mod.graphann_search(
+                    self.spark,
+                    self.index,
+                    src,
+                    embedding,
+                    k=k,
+                    strategy=self.config.strategy,
+                    beam=width,
                     filter_ids=flt_ids,
                 )
             elif isinstance(self.index, tree_mod.KmeansTreeIndex):
