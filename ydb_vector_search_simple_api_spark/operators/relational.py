@@ -1049,6 +1049,81 @@ def waiting_suppliers(
     )
 
 
+def excess_supply_suppliers(
+    spark: SparkSession, sf_dir: str,
+    name_prefix: str = "red", year: int = 1996,
+    nation: str = "NATION_3",
+) -> DataFrame:
+    """TPC-H Q20 shape (suppliers whose stock of a part family exceeds
+    half a year's shipments): this schema has no partsupp table, so —
+    the same OBSERVED-bridge convention as Q16 — partsupp is the
+    distinct (l_partkey, l_suppkey) pairs from lineitem, and
+    ``ps_availqty`` is derived DETERMINISTICALLY from the pair key
+    (1 + md5-hex6 % 9999 — TPC-H's own availqty domain; the md5 draw
+    is the engine's established cross-engine-exact randomness,
+    ``sampling.py``). A supplier qualifies if for some part named
+    ``{prefix}%`` its availqty exceeds half the quantity it shipped
+    of that part in ``year``; restricted to one nation.
+
+    Plan shape: ONE fact-sized shuffle — the (partkey, suppkey)
+    aggregation computes the bridge AND the in-year shipped quantity
+    in the same pass (conditional sum), part/supplier/nation dims
+    broadcast. Output (s_suppkey, s_name) ordered by name.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    in_year = (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp")
+    )
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in_year, F.col("l_quantity")).otherwise(F.lit(0.0)))
+            .alias("qty_year")
+        )
+        .withColumn(
+            "availqty",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("l_partkey").cast("string"),
+                            F.col("l_suppkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 9999
+            + 1,
+        )
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(name_prefix)
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == nation
+    ).select("n_nationkey")
+    qual = (
+        ps.join(bcast_dim(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("availqty").cast("double") > F.lit(0.5) * F.col("qty_year"))
+        .select(F.col("l_suppkey").alias("qs_suppkey"))
+        .distinct()
+    )
+    return (
+        supp.join(bcast_dim(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qual, F.col("s_suppkey") == F.col("qs_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
 def parts_supplier_relationship(
     spark: SparkSession, sf_dir: str,
     exclude_brand: str = "Brand#12", exclude_type: str = "PROMO",

@@ -502,6 +502,42 @@ LIMIT {top}
 """
 
 
+def excess_supply_suppliers_sql(
+    name_prefix: str = "red", year: int = 1996, nation: str = "NATION_3"
+) -> str:
+    """Twin of :func:`operators.relational.excess_supply_suppliers`
+    (TPC-H Q20 over the observed bridge). availqty decodes the md5
+    hex draw via list_transform/list_reduce (no hex-to-int cast in
+    DuckDB) — integer-exact on both engines."""
+    return f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CASE WHEN l_shipdate >= '{year}-01-01'
+                   AND l_shipdate < '{year + 1}-01-01'
+              THEN l_quantity ELSE 0.0 END) AS qty_year,
+         list_reduce(
+           list_transform(generate_series(1, 6),
+             i -> strpos('0123456789abcdef',
+                    substr(md5(CAST(l_partkey AS VARCHAR) || '|' ||
+                               CAST(l_suppkey AS VARCHAR)), i, 1)) - 1),
+           (acc, dig) -> acc * 16 + dig)::BIGINT % 9999 + 1 AS availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+qual AS (
+  SELECT DISTINCT ps.l_suppkey
+  FROM ps JOIN part ON ps.l_partkey = p_partkey
+  WHERE p_name LIKE '{name_prefix}%'
+    AND availqty::DOUBLE > 0.5 * qty_year
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN qual ON s_suppkey = qual.l_suppkey
+WHERE n_name = '{nation}'
+ORDER BY s_name, s_suppkey
+"""
+
+
 def parts_supplier_relationship_sql(
     exclude_brand: str = "Brand#12", exclude_type: str = "PROMO"
 ) -> str:
