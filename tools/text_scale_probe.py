@@ -173,6 +173,32 @@ def main():
         .agg(F.count(F.lit(1)))
         .collect(),
     )
+    # the REALISTIC regime: contamination is rare (train side excludes
+    # the benchmark's replicas, so almost nothing is admitted). This
+    # is the case the Bloom admission exists for — the exact path
+    # still pays the corpus-sized explode+join+agg, the sketch path
+    # shingles+probes and verifies ~nothing. The worst case above
+    # (every 4th doc a benchmark replica) shows the flip side: when
+    # admission approaches the corpus, verify dominates both paths.
+    sparse = load_documents(spark, corpus).filter(
+        ~((F.col("source") == "src0") & (F.col("doc_id") >= n_base))
+    )
+    probe(
+        "decontaminate exact (sparse contamination)",
+        lambda: curation.decontaminate(
+            sparse, bench_pred, n=8, min_containment=0.3
+        )
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
+    probe(
+        "decontaminate_bloom (sparse contamination)",
+        lambda: curation.decontaminate_bloom(
+            sparse, bench_pred, n=8, min_containment=0.3
+        )
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
 
     print(f"\nText probe: {n_actual:,} docs / {tok_total:,} tokens "
           f"(generated in {gen_s:.1f}s, local[32])\n")

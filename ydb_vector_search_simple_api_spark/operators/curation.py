@@ -72,6 +72,24 @@ def decontaminate(
     """
     bench = docs.filter(bench_pred)
     train = docs.filter(~bench_pred)
+    return _decontaminate_pair(
+        bench, train, n=n, min_containment=min_containment,
+        id_col=id_col, text_col=text_col,
+    )
+
+
+def _decontaminate_pair(
+    bench: DataFrame,
+    train: DataFrame,
+    n: int = 8,
+    min_containment: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The containment join on an explicit (bench, train) split —
+    shared by the exact path and the Bloom path's verify stage (which
+    must NOT re-derive its candidate set through a union re-filter:
+    each filter pass would replay the whole admission scan)."""
     bench_sh = (
         dedup.shingled_table(bench, id_col=id_col, text_col=text_col, n=n)
         .select(F.col("id").alias("bench_id"), F.explode("sh").alias("shingle"))
@@ -139,9 +157,19 @@ def decontaminate_bloom(
     Both sides hash shingles with Spark's ``xxhash64`` (seed 42), so
     bench build and train probe agree bit-for-bit; the k bit indices
     derive from the one 64-bit hash via Kirsch–Mitzenmacher
-    ``(h_lo + i*h_hi) mod m``. The bitset rides a SparkContext
-    broadcast (m/8 bytes — ~1.2 MB for 1M benchmark shingles), not a
-    pickled closure.
+    ``(h_lo + i*h_hi) mod m``.
+
+    The bitset rides a SparkContext broadcast (m/8 bytes — ~1 MB per
+    1M benchmark shingles) into an Arrow-batched numpy probe that
+    flattens each batch's hash arrays and segment-reduces the bit
+    tests (``bitwise_or.reduceat``) — k big-array gathers per batch,
+    never a per-row Python loop. Two rejected designs, measured at 1M
+    docs: a per-row numpy loop (tiny-array dispatch dominates) and a
+    pure-JVM ``exists``+``element_at`` probe over an array<bigint>
+    literal — PySpark's ``F.lit`` on a 120k-element list costs ~50 s
+    of driver plan-build alone and ``element_at`` against it
+    evaluates at ~5 us/op, losing to this kernel's vectorized gather
+    by orders of magnitude.
     """
     import math
 
@@ -186,28 +214,43 @@ def decontaminate_bloom(
     kk, mm = k, m
 
     def _any_hit_fn(hash_arrays):
+        # ONE flattened pass per Arrow batch: concatenate the batch's
+        # hash arrays, k vectorized gathers against the broadcast
+        # bitset, then a segment OR (reduceat) back to per-row flags
         bitset = bc.value
-        out = np.zeros(len(hash_arrays), dtype=bool)
-        for row_i, arr in enumerate(hash_arrays):
-            if arr is None or len(arr) == 0:
-                continue
-            hh = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            lo = hh & np.uint64(0xFFFFFFFF)
-            hi = hh >> np.uint64(32)
-            hit = np.ones(len(hh), dtype=bool)
-            for i in range(kk):
-                idx = (lo + np.uint64(i) * hi) % np.uint64(mm)
-                word = bitset[(idx >> np.uint64(6)).astype(np.int64)]
-                hit &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
-                if not hit.any():
-                    break
-            out[row_i] = bool(hit.any())
+        n_rows = len(hash_arrays)
+        out = np.zeros(n_rows, dtype=bool)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in hash_arrays),
+            dtype=np.int64,
+            count=n_rows,
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in hash_arrays
+             if a is not None and len(a)]
+        ).astype(np.uint64)
+        lo = flat & np.uint64(0xFFFFFFFF)
+        hi = flat >> np.uint64(32)
+        hit = np.ones(total, dtype=bool)
+        for i in range(kk):
+            idx = (lo + np.uint64(i) * hi) % np.uint64(mm)
+            word = bitset[(idx >> np.uint64(6)).astype(np.int64)]
+            hit &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        nz = lens > 0
+        bounds = np.concatenate(
+            ([0], np.cumsum(lens[nz])[:-1])
+        ).astype(np.int64)
+        out[nz] = np.bitwise_or.reduceat(hit, bounds)
         return pd.Series(out)
 
     _any_hit = F.pandas_udf(_any_hit_fn, T.BooleanType())
 
     # -- admit: packed int64 hash array per doc (no explode), one
-    # Arrow-batched bit probe; candidates ⊇ true contaminated docs.
+    # Arrow-batched bit probe; candidates ⊇ true contaminated docs
+    # (Bloom filters have no false negatives).
     train_sh = dedup.shingled_table(train, id_col=id_col, text_col=text_col, n=n)
     cand_ids = (
         train_sh.withColumn("shh", F.transform("sh", lambda x: F.xxhash64(x)))
@@ -215,18 +258,26 @@ def decontaminate_bloom(
         .select(F.col("id").alias(id_col))
     )
 
-    # -- verify: the exact inverted-index join, restricted to the
-    # admitted (benchmark-scale) candidate set — false positives from
-    # the sketch die here, so the output is bit-identical to the
-    # exact path. No broadcast hint: the candidate set is usually
-    # tiny but not bounded by construction (a corpus that wholesale
-    # duplicates the benchmark admits millions of docs) — AQE picks
-    # broadcast at runtime when it fits (repo hint contract).
-    cand_docs = docs.join(cand_ids, id_col, "left_semi")
-    sub = bench.unionByName(cand_docs)
-    return decontaminate(
-        sub,
-        bench_pred,
+    # materialize the admitted id set ONCE: the verify stage reads it
+    # from two subtrees (semi-join + shingle side), and without the
+    # barrier each read would replay the full admission scan through
+    # lineage — measured 101 s vs the exact path's 40 s at 1M docs
+    # (2x admission + union re-filters); with it the corpus is
+    # shingled exactly once. Contamination is rare by contract, so
+    # the checkpoint is small; a wholesale-duplicated benchmark makes
+    # it corpus-sized — the same failure mode the exact path's
+    # verify join has, no new cliff.
+    cand_ids = cand_ids.localCheckpoint(eager=True)
+
+    # -- verify: the exact inverted-index join on the explicit
+    # (bench, admitted-train) pair — false positives from the sketch
+    # die here, so the output is bit-identical to the exact path. No
+    # broadcast hint on the candidate side: AQE picks broadcast at
+    # runtime when it fits (repo hint contract).
+    cand_docs = train.join(cand_ids, id_col, "left_semi")
+    return _decontaminate_pair(
+        bench,
+        cand_docs,
         n=n,
         min_containment=min_containment,
         id_col=id_col,
@@ -254,6 +305,7 @@ def pack_chunks(
     chunk_size: int = 64,
     stride: int = 48,
     budget: int = 256,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Token-budget sharding of the chunk stream into training bins:
     chunk c (in chunk_id order within its doc) lands in bin
@@ -264,9 +316,14 @@ def pack_chunks(
     by at most one chunk (bounded by chunk_size), which a trainer
     absorbs as truncation/padding.
 
+    ``doc_filter`` (a doc_id set) pushes below the chunker — bin
+    assignment is within-document, so restriction commutes.
     Output: (doc_id, bin_id, n_chunks, n_bin_tokens).
     """
-    c = chunk_documents(spark, sf_dir, chunk_size=chunk_size, stride=stride)
+    c = chunk_documents(
+        spark, sf_dir, chunk_size=chunk_size, stride=stride,
+        doc_filter=doc_filter,
+    )
     w = Window.partitionBy("doc_id").orderBy("chunk_id")
     before = F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")
     return (
@@ -807,12 +864,16 @@ def curated_pack(
     """Training bins over the CURATED corpus only: the bin layout of
     :func:`pack_chunks` restricted to :func:`curate_corpus` survivors.
     Bin assignment is computed within each document, so restricting
-    documents commutes with packing — one semi-join, no re-chunking.
+    documents commutes with packing — and the survivor semi-join is
+    pushed BELOW the chunker (``doc_filter``): only surviving docs
+    are tokenized and sliced, instead of chunking the whole corpus
+    and discarding the cut rows afterwards.
     Output: (doc_id, bin_id, n_chunks, n_bin_tokens)."""
     survivors = curate_corpus(spark, sf_dir).select("doc_id")
     return pack_chunks(
-        spark, sf_dir, chunk_size=chunk_size, stride=stride, budget=budget
-    ).join(survivors, "doc_id", "left_semi")
+        spark, sf_dir, chunk_size=chunk_size, stride=stride, budget=budget,
+        doc_filter=survivors,
+    )
 
 
 # ------------------------------------------------- mixture resampling

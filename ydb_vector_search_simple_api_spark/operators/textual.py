@@ -222,7 +222,8 @@ def winnowing_digest(
 
 
 def chunk_documents(
-    spark: SparkSession, sf_dir: str, chunk_size: int = 64, stride: int = 48
+    spark: SparkSession, sf_dir: str, chunk_size: int = 64, stride: int = 48,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Context-length chunking: cut each document's token stream into
     fixed-size chunks every ``stride`` tokens (overlap = chunk_size −
@@ -238,6 +239,12 @@ def chunk_documents(
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
     d = load_documents(spark, sf_dir).select("doc_id", "text")
+    if doc_filter is not None:
+        # chunking is per-document, so restricting docs commutes with
+        # it — callers with a survivor set (curated_pack) push the
+        # semi-join BELOW the tokenize/slice work instead of chunking
+        # the whole corpus and discarding
+        d = d.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
     toks = TXT.tokens("text")
     n_chunks = (F.floor((F.size(toks) - 1) / F.lit(stride)) + 1).cast("int")
     chunks = F.transform(
