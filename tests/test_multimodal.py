@@ -44,11 +44,18 @@ def _pillow_installed() -> bool:
 
 
 @pytest.mark.skipif(_pillow_installed(), reason="Pillow installed")
-def test_decode_image_jpeg_gated_without_pillow():
-    """Entropy-coded formats stay behind the Pillow gate; PNG no
-    longer does (vendored codec)."""
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\xff\xd8\xff\xe0...fake-jpeg")
+def test_decode_image_unknown_format_gated_without_pillow():
+    """PNG and baseline JPEG decode via the vendored codecs; other
+    formats stay behind the Pillow gate (a JPEG-signature payload
+    that is garbage raises ValueError from the codec, an unknown
+    signature raises NotImplementedError honestly)."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            MM.decode_image(b"GIF89a...fake-gif")
+        with pytest.raises(ValueError):
+            MM.decode_image(b"\xff\xd8\xff\xe0...fake-jpeg")
 
 
 def test_decode_and_resize_real_png():
@@ -69,6 +76,68 @@ def test_decode_and_resize_real_png():
     arr2 = MM.decode_image(small)
     assert arr2.shape == (3, 4, 3)
     assert (arr2 == (10, 20, 30)).all()  # constant image survives resize
+
+
+def test_decode_and_resize_real_jpeg():
+    """The REAL JPEG path (baseline T.81 bytes -> RGB -> resize),
+    runnable in every environment via the vendored functions/jpeg.py
+    codec — 0 skips. Lossy round-trip accuracy pinned by PSNR."""
+    import numpy as np
+
+    from ydb_vector_search_simple_api_spark.functions import jpeg as jpeg_mod
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.dstack(
+        [xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (h + w)]
+    ).astype(np.uint8)
+    payload = jpeg_mod.encode_jpeg(img)
+    assert payload[:2] == jpeg_mod.JPEG_SIGNATURE
+
+    arr = MM.decode_image(payload)
+    assert arr.shape == (h, w, 3) and arr.dtype == np.uint8
+    err = arr.astype(float) - img.astype(float)
+    psnr = 10 * np.log10(255**2 / (err**2).mean())
+    assert psnr > 30.0  # smooth content decodes faithfully
+
+    out = MM.resize_image(payload, 10, 6)
+    arr2 = MM.decode_image(out)
+    assert arr2.shape == (6, 10, 3)
+
+
+def test_jpeg_gray_and_odd_sizes():
+    """Grayscale replicates to RGB; non-multiple-of-8 dims crop
+    exactly; decoder and encoder agree on edge-padded blocks."""
+    import numpy as np
+
+    from ydb_vector_search_simple_api_spark.functions import jpeg as jpeg_mod
+
+    g = np.tile(np.arange(33, dtype=np.uint8) * 7, (13, 1))
+    dec = jpeg_mod.decode_jpeg(jpeg_mod.encode_jpeg(g))
+    assert dec.shape == (13, 33, 3)
+    assert (dec[..., 0] == dec[..., 1]).all() and (dec[..., 1] == dec[..., 2]).all()
+    err = dec[..., 0].astype(float) - g.astype(float)
+    assert 10 * np.log10(255**2 / ((err**2).mean() + 1e-12)) > 30.0
+
+
+def test_jpeg_codec_scope_gates():
+    """Progressive (SOF2) and truncated streams raise ValueError;
+    non-JPEG payloads raise on the signature."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ydb_vector_search_simple_api_spark.functions import jpeg as jpeg_mod
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = bytearray(jpeg_mod.encode_jpeg(img))
+    sof = bytes(data).find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with _pytest.raises(ValueError, match="baseline"):
+        jpeg_mod.decode_jpeg(bytes(data))
+    with _pytest.raises(ValueError):
+        jpeg_mod.decode_jpeg(jpeg_mod.encode_jpeg(img)[:-20] )
+    with _pytest.raises(ValueError, match="SOI"):
+        jpeg_mod.decode_jpeg(b"nope")
 
 
 def _png_with_filters(arr, filters):
@@ -180,9 +249,13 @@ def test_sample_frames_spark_fanout(spark):
 
 
 @pytest.mark.skipif(_pillow_installed(), reason="Pillow installed")
-def test_resize_image_jpeg_gated_without_pillow():
-    with pytest.raises(NotImplementedError):
+def test_resize_image_unknown_format_gated_without_pillow():
+    """JPEG now resizes via the vendored codec (garbage JPEG bytes
+    raise ValueError from it); unknown formats stay NotImplemented."""
+    with pytest.raises(ValueError):
         MM.resize_image(b"\xff\xd8\xff\xe0...fake-jpeg", 64, 64)
+    with pytest.raises(NotImplementedError):
+        MM.resize_image(b"GIF89a...fake-gif", 64, 64)
 
 
 def test_raster_codec_roundtrip_and_resize():

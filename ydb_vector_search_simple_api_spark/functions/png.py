@@ -15,9 +15,8 @@ gray replicated) — the contract ``decode_image`` documents. The
 encoder writes filter-0 RGB, which every PNG reader (including
 Pillow) accepts; round-trip is bit-exact.
 
-JPEG remains Pillow-only: a baseline-JPEG entropy decoder is out of
-scope for a vendored fallback, and the gate in ``decode_image``
-says so explicitly.
+Baseline JPEG has its own vendored codec (``functions/jpeg.py``);
+the ``decode_image`` gate dispatches on the payload signature.
 """
 
 from __future__ import annotations

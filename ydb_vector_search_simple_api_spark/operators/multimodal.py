@@ -302,21 +302,28 @@ def decode_image(payload: bytes) -> "np.ndarray":
     Pillow handles every format when installed (optional dependency —
     not in this container's baseline). Without Pillow, PNG decodes
     through the vendored spec-subset codec (``functions/png.py``:
-    8-bit non-interlaced gray/RGB/alpha, all 5 scanline filters), so
-    the REAL decode path runs dependency-free; JPEG and other
-    entropy-coded formats stay behind the Pillow gate and raise
-    NotImplementedError honestly. The Spark-side pipeline (binary
-    column -> mapInPandas batches) is identical either way."""
+    8-bit non-interlaced gray/RGB/alpha, all 5 scanline filters) and
+    baseline JPEG through the vendored T.81 codec
+    (``functions/jpeg.py``: SOF0 Huffman sequential, 4:4:4/4:2:2/
+    4:2:0, restart markers), so the REAL decode paths run
+    dependency-free; progressive JPEG and other formats stay behind
+    the Pillow gate and raise NotImplementedError honestly. The
+    Spark-side pipeline (binary column -> mapInPandas batches) is
+    identical either way."""
     try:
         from PIL import Image
     except ImportError as exc:
+        from ..functions import jpeg as _jpeg
         from ..functions import png as _png
 
         if bytes(payload[:8]) == _png.PNG_SIGNATURE:
             return _png.decode_png(bytes(payload))
+        if bytes(payload[:2]) == _jpeg.JPEG_SIGNATURE:
+            return _jpeg.decode_jpeg(bytes(payload))
         raise NotImplementedError(
-            "non-PNG image decode requires Pillow, which is not "
-            "installed; PNG decodes via the vendored functions/png.py"
+            "image decode without Pillow handles PNG (functions/png.py) "
+            "and baseline JPEG (functions/jpeg.py); other formats "
+            "require Pillow, which is not installed"
         ) from exc
     import io
 
@@ -379,13 +386,18 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     try:
         from PIL import Image
     except ImportError as exc:
+        from ..functions import jpeg as _jpeg
         from ..functions import png as _png
 
         if bytes(payload[:8]) == _png.PNG_SIGNATURE:
             arr = _png.decode_png(bytes(payload))
             return _png.encode_png(_png.resize_bilinear(arr, width, height))
+        if bytes(payload[:2]) == _jpeg.JPEG_SIGNATURE:
+            arr = _jpeg.decode_jpeg(bytes(payload))
+            return _png.encode_png(_png.resize_bilinear(arr, width, height))
         raise NotImplementedError(
-            "non-PNG image resize requires Pillow, which is not installed"
+            "image resize without Pillow handles PNG and baseline JPEG "
+            "payloads; other formats require Pillow"
         ) from exc
     import io
 
