@@ -281,6 +281,21 @@ def _mk_ivfsq(strategy: str, k: int, width: int, shortlist: int | None):
     return run
 
 
+def _mk_gann(strategy: str, k: int, beam: int | None):
+    def run(s: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        idx = _gann_index(s, d)
+        src = load_embeddings(s, d).select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+        return gann_mod.graphann_search(
+            s, idx, src, _query_vec(s, d), k=k, strategy=strategy,
+            beam=beam, round_digits=ROUND,
+        )
+    return run
+
+
 def _mk_bq_knn_join(strategy: str, k: int, n_queries: int, shortlist: int | None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -847,22 +862,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- north-star extensions: text analysis over documents
     q["text_stats"] = textual.text_stats
     q["quality_filter"] = textual.quality_filter
-    # hybrid retrieval flagship (BM25 ⊕ vector RRF) — rotated in-cap
-    # round 3 in place of lang_id (same tokenize+classify family as
-    # text_stats/quality_filter, now in the overflow window)
-    q["hybrid_rrf"] = lambda s, d: ranking_mod.hybrid_rrf_topk(
-        s, d, _query_vec(s, d)
+    # round-5 rotation: served-from-postings BM25 (the persisted
+    # lexical index path) promoted in-cap in place of hybrid_rrf
+    # (driver-green r3/r4; overflow keeps the fusion covered)
+    q["bm25_topk_indexed"] = lambda s, d: ranking_mod.bm25_topk_indexed(
+        s, _lex_index(s, d), k=10
     )
     # incremental-ingest dedup composition — rotated in-cap round 3 in
     # place of token_budget (sibling of in-cap source_token_budget)
     q["incremental_dedup"] = lambda s, d: dedup.incremental_dedup(s, d)
-    # deterministic md5-threshold train/valid/test assignment
-    q["document_splits"] = sampling.document_splits
+    # round-5 rotation: the quantified leakage audit (cross-fence
+    # near-dup pair counts per split policy) in place of
+    # document_splits (driver-green r1-r4; split family stays covered
+    # in-cap by leakage_safe_splits)
+    q["split_leakage_audit"] = curation.split_leakage_audit
     # context-length chunking (training-sequence packing prep)
     q["chunk_documents"] = textual.chunk_documents
-    # per-doc (doc_id, n_fps, fps_md5) digest — scalar columns for the
-    # gate without moving ~len/window rows per doc through collect
-    q["winnowing_fingerprints"] = textual.winnowing_digest
+    # round-5 rotation: CCNet-style perplexity tiles (bigram LM + NLL
+    # tertiles) in place of winnowing_fingerprints (driver-green
+    # r1-r4; fingerprint family covered by duplicate_spans in-cap)
+    q["perplexity_buckets"] = textual.perplexity_buckets
 
     # ---- dedup family (exact forms)
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(load_documents(s, d))
@@ -944,16 +963,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-cap late round 4; orders_rollup (driver-green r3/r4) rotated
     # to overflow, rollup/cube family still covered there
     q["local_supplier_revenue"] = relational.local_supplier_revenue
-    q["customers_without_orders"] = relational.customers_without_orders
+    # round-5 rotation: TPC-H Q20 (the last missing TPC-H shape;
+    # observed bridge + deterministic availqty, TESTDATA.md) in place
+    # of customers_without_orders (driver-green r1-r4; anti-join
+    # family stays covered in overflow)
+    q["excess_supply_suppliers"] = relational.excess_supply_suppliers
     # exact-substring duplicate spans (Lee et al. style) — promoted
     # in-cap late round 4; repeat_customers (driver-green r3/r4)
     # rotated to overflow, set-op family still covered there
     q["duplicate_spans"] = lambda s, d: dedup.duplicate_spans(
         load_documents(s, d)
     )
-    # ntile bucket assignment over the aggregated customer table
-    # (window-function family flagship, promoted in-cap in round 3)
-    q["customer_revenue_deciles"] = relational.customer_revenue_deciles
+    # round-5 rotation: IVF x SQ composition at full width+shortlist
+    # (partition pruning AND int8 codes in one layout; == exact) in
+    # place of customer_revenue_deciles (driver-green r3/r4; window
+    # family stays covered by user_running_totals in-cap)
+    q["ivfsq_rerank_full"] = _mk_ivfsq(
+        "CosineSimilarity", k=10, width=IVF_CLUSTERS, shortlist=None
+    )
     # SQ8 exact-at-full-shortlist (the int8 compression rung) —
     # promoted in-cap late round 4; user_event_pivot (driver-green
     # r3/r4) rotated to overflow beside its unpivot twin
@@ -963,12 +990,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # + parameterized spark.sql binding — result-identical to the
     # library path, distinct execution surface (sql_surface.py)
     q["sql_topk_cosine"] = _mk_sql_topk("CosineSimilarity", k=10)
-    # as-of join (union+window formulation; DuckDB native ASOF oracle)
-    q["purchase_attribution"] = asof.purchase_attribution
-
-    # ---- temporal: gaps-and-islands, bucketed range join, gap-fill+LOCF
-    q["surge_windows"] = temporal.surge_windows
-    q["events_in_surges"] = temporal.events_in_surges
+    # round-5 rotation: the IVF-multi-probe blocked SemDeDup (the
+    # scale path now executed by the gate; bit-identical election =>
+    # shares the exact oracle) in place of purchase_attribution
+    # (driver-green r3/r4; as-of family covered in overflow)
+    q["semantic_dedup_blocked"] = lambda s, d: curation.semantic_dedup_blocked(
+        s, d, centroids=_ivf_index(s, d).centroids.tolist(), probes=3
+    )
+    # round-5 rotation: graph-ANN full-beam (5th index shape; whole-
+    # graph traversal asserted + exact rerank) in place of
+    # surge_windows (driver-green r2-r4; temporal family keeps
+    # hourly_locf in-cap)
+    q["graphann_rerank_full"] = _mk_gann("CosineSimilarity", k=10, beam=None)
+    # round-5 rotation: Bloom-sketch decontamination admission
+    # (vectorized bitset probe; bit-identical => shared oracle) in
+    # place of events_in_surges (driver-green r2-r4; range-join family
+    # covered in overflow)
+    q["decontaminate_bloom"] = curation.decontaminate_bloom_documents
+    # ---- temporal: gap-fill + LOCF
     q["hourly_locf"] = temporal.hourly_locf
     # ---- distribution stats + set-op cohorts
     # deterministic mergeable-quantile path (fixed-width histogram +
@@ -1119,9 +1158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: quality_filter (same per-doc quality-signal family;
     # this one is corpus-statistical rather than surface-form)
     q["unigram_logprob"] = textual.unigram_logprob
-    # sibling: bigram_logprob (CCNet-style per-source perplexity tiles
-    # over the same LM score; head+middle admission flag)
-    q["perplexity_buckets"] = textual.perplexity_buckets
+    # sibling: perplexity_buckets (in-cap round 5) — per-doc winnowing
+    # digest, rotated to overflow (driver-green r1-r4)
+    q["winnowing_fingerprints"] = textual.winnowing_digest
     # sibling: unigram_logprob (the sequence-aware bigram step-up)
     # session-cached score table (pure function of the corpus files,
     # like store.py's scan cache): perplexity_buckets shares it, so
@@ -1206,6 +1245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # over the OBSERVED part-supplier bridge with NOT IN exclusions —
     # no partsupp table in this schema)
     q["parts_supplier_relationship"] = relational.parts_supplier_relationship
+    # sibling: excess_supply_suppliers (in-cap round 5) — NOT EXISTS
+    # anti-join shape, rotated to overflow (driver-green r1-r4)
+    q["customers_without_orders"] = relational.customers_without_orders
     # sibling: hourly_locf (gap-filled trailing moving average over
     # the calendar grid)
     q["revenue_moving_avg"] = relational.revenue_moving_avg
@@ -1245,10 +1287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: bm25_topk (in-cap; per-doc top TF-IDF terms — same
     # tokenize + document-frequency family; rotated out round 4)
     q["tfidf_top_terms"] = textual.tfidf_top_terms
-    # sibling: bm25_topk (the SERVING path: persisted postings/stats
-    # index, no per-request corpus scan; bit-identical => same oracle)
-    q["bm25_topk_indexed"] = lambda s, d: ranking_mod.bm25_topk_indexed(
-        s, _lex_index(s, d)
+    # sibling: bm25_topk_indexed (in-cap round 5) — the BM25 ⊕ vector
+    # reciprocal-rank fusion, rotated to overflow (driver-green r3/r4)
+    q["hybrid_rrf"] = lambda s, d: ranking_mod.hybrid_rrf_topk(
+        s, d, _query_vec(s, d)
     )
     # siblings: bm25_topk_indexed + stream_curation_ingest (CONTINUOUS
     # lexical-index ingest: per-batch postings appends + sealed stats;
@@ -1429,15 +1471,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: neardup_cosine + dedup_components (SemDeDup: one
     # representative per embedding-space component)
     q["semantic_dedup"] = curation.semantic_dedup
-    # scale path: IVF-multi-probe blocked pairs -> same components ->
-    # same election; shares the exact oracle (elections identical at
-    # this corpus/centroid shape; recall pinned in tests/test_curation)
-    q["semantic_dedup_blocked"] = lambda s, d: curation.semantic_dedup_blocked(
-        s, d, centroids=_ivf_index(s, d).centroids.tolist(), probes=3
-    )
-    # sibling: leakage_safe_splits (the audit that justifies it:
-    # cross-fence near-dup pair counts, per split policy)
-    q["split_leakage_audit"] = curation.split_leakage_audit
+    # sibling: semantic_dedup_blocked (in-cap round 5) — the as-of
+    # attribution join, rotated to overflow (driver-green r3/r4)
+    q["purchase_attribution"] = asof.purchase_attribution
+    # sibling: split_leakage_audit (in-cap round 5) — per-doc md5
+    # split assignment, rotated to overflow (driver-green r1-r4)
+    q["document_splits"] = sampling.document_splits
     # 1:N frame fan-out through mapInPandas (binary frames have no SQL
     # twin; invariants pinned in tests/test_multimodal.py)
     q["multimodal_frames"] = lambda s, d: multimodal.sample_frames(
@@ -1469,32 +1508,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # analogue of IVFADC; exactness at full width + pruned plan shape
     # pinned in tests/test_bq.py)
     q["ivfbq_topk_width2"] = _mk_ivfbq("CosineSimilarity", k=10, width=2, shortlist=64)
-    # IVFxSQ at FULL width + full shortlist == exact top-k (strong
-    # oracle; the int8 rung of the composition matrix — pruned widths
-    # + maintenance guards pinned in tests/test_sq.py)
-    q["ivfsq_rerank_full"] = _mk_ivfsq(
-        "CosineSimilarity", k=10, width=IVF_CLUSTERS, shortlist=None
-    )
+    # sibling: ivfsq_rerank_full (in-cap round 5) — ntile deciles over
+    # the aggregated customer table, rotated to overflow (r3/r4 green)
+    q["customer_revenue_deciles"] = relational.customer_revenue_deciles
     # graph ANN (5th index shape: k-NN graph + beam search). Full beam
     # traverses the ENTIRE graph (visited==n_rows asserted — a live
     # connectivity check) then exact-reranks, so the exact top-k
     # oracle applies; the finite-beam twin's recall-vs-beam curve is
     # pinned in tests/test_graphann.py (no SQL twin for traversal)
-    def _mk_gann(strategy: str, k: int, beam: int | None):
-        def run(s: SparkSession, d: str) -> DataFrame:
-            from pyspark.sql import functions as F
-
-            idx = _gann_index(s, d)
-            src = load_embeddings(s, d).select(
-                F.col("vec_id").alias("id"), "embedding"
-            )
-            return gann_mod.graphann_search(
-                s, idx, src, _query_vec(s, d), k=k, strategy=strategy,
-                beam=beam, round_digits=ROUND,
-            )
-        return run
-
-    q["graphann_rerank_full"] = _mk_gann("CosineSimilarity", k=10, beam=None)
     q["graphann_beam32"] = _mk_gann("CosineSimilarity", k=10, beam=32)
     # compressed-domain batch ANN join (ADC estimate scores; recall vs
     # the exact join + determinism pinned in tests/test_pq.py)
@@ -1553,10 +1574,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recall@10 of pruned IVF widths vs exact, 8 stored queries
     # (monotonicity + exact-at-full-width pinned in tests/test_index.py)
     q["ann_recall_report"] = _ann_recall_report
-    # Bloom-sketch admission + exact verify twin of decontaminate:
-    # bit-identical output (no false negatives in the sketch, exact
-    # join on the admitted candidates), so it shares the oracle
-    q["decontaminate_bloom"] = curation.decontaminate_bloom_documents
+    # siblings: decontaminate_bloom + graphann_rerank_full (in-cap
+    # round 5) — the temporal gaps-and-islands pair, rotated to
+    # overflow (driver-green r2-r4)
+    q["surge_windows"] = temporal.surge_windows
+    q["events_in_surges"] = temporal.events_in_surges
     return q
 
 
@@ -1743,6 +1765,7 @@ FROM events GROUP BY user_id, event_type
     o["disjunctive_branch_revenue"] = oracles_rel.DISJUNCTIVE_BRANCH_REVENUE
     o["waiting_suppliers"] = oracles_rel.waiting_suppliers_sql()
     o["parts_supplier_relationship"] = oracles_rel.parts_supplier_relationship_sql()
+    o["excess_supply_suppliers"] = oracles_rel.excess_supply_suppliers_sql()
     o["revenue_moving_avg"] = oracles_rel.revenue_moving_avg_sql()
     o["join_cardinality_report"] = oracles_rel.JOIN_CARDINALITY_REPORT
     o["revenue_wow_change"] = oracles_rel.REVENUE_WOW_CHANGE

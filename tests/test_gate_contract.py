@@ -16,13 +16,21 @@ import __spark_entry__ as E
 # sq_rerank_full, source_divergence promoted; orders_rollup,
 # repeat_customers, user_event_pivot, props_k_stats (all driver-green
 # r3/r4) rotated to overflow.
+# Round-5 rotation (VERDICT r4 #5 + new flagships): bm25_topk_indexed,
+# split_leakage_audit, perplexity_buckets, excess_supply_suppliers
+# (Q20), ivfsq_rerank_full, semantic_dedup_blocked,
+# graphann_rerank_full (5th index shape), decontaminate_bloom
+# promoted; hybrid_rrf, document_splits, winnowing_fingerprints,
+# customers_without_orders, customer_revenue_deciles,
+# purchase_attribution, surge_windows, events_in_surges (all
+# driver-green r3/r4) rotated to overflow.
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
-    "text_stats", "quality_filter", "hybrid_rrf", "incremental_dedup",
-    "document_splits", "chunk_documents", "winnowing_fingerprints",
-    "dedup_exact_groups", "cdc_merge", "neardup_cosine",
-    "dedup_minhash_md5", "bm25_topk", "decontaminate",
+    "text_stats", "quality_filter", "bm25_topk_indexed",
+    "incremental_dedup", "split_leakage_audit", "chunk_documents",
+    "perplexity_buckets", "dedup_exact_groups", "cdc_merge",
+    "neardup_cosine", "dedup_minhash_md5", "bm25_topk", "decontaminate",
     "curate_corpus", "export_curated", "repetition_signals",
     "pq_rerank_full", "stream_interval_join", "dedup_components",
     "leakage_safe_splits",
@@ -30,10 +38,10 @@ EXPECTED_IN_CAP = [
     "multimodal_meta", "events_hourly_stream", "events_distinct_pairs",
     "session_rollup", "user_running_totals", "pricing_summary",
     "revenue_by_nation", "top_customers_per_nation",
-    "local_supplier_revenue", "customers_without_orders",
-    "duplicate_spans", "customer_revenue_deciles", "sq_rerank_full",
-    "sql_topk_cosine", "purchase_attribution", "surge_windows",
-    "events_in_surges", "hourly_locf", "histogram_quantiles",
+    "local_supplier_revenue", "excess_supply_suppliers",
+    "duplicate_spans", "ivfsq_rerank_full", "sq_rerank_full",
+    "sql_topk_cosine", "semantic_dedup_blocked", "graphann_rerank_full",
+    "decontaminate_bloom", "hourly_locf", "histogram_quantiles",
     "ab_test_report", "source_divergence",
 ]
 
