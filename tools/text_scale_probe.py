@@ -173,28 +173,36 @@ def main():
         .agg(F.count(F.lit(1)))
         .collect(),
     )
-    # the REALISTIC regime: contamination is rare (train side excludes
-    # the benchmark's replicas, so almost nothing is admitted). This
-    # is the case the Bloom admission exists for — the exact path
-    # still pays the corpus-sized explode+join+agg, the sketch path
-    # shingles+probes and verifies ~nothing. The worst case above
-    # (every 4th doc a benchmark replica) shows the flip side: when
-    # admission approaches the corpus, verify dominates both paths.
-    sparse = load_documents(spark, corpus).filter(
-        ~((F.col("source") == "src0") & (F.col("doc_id") >= n_base))
-    )
+    # the REALISTIC regime: the benchmark is its OWN small table
+    # (bench_df — eval sets live in a separate store in production,
+    # not scattered through the corpus, so neither path pays a
+    # corpus-wide scan just to read the benchmark) and contamination
+    # is rare (train side excludes the benchmark's replicas). This is
+    # the case the Bloom admission exists for — the exact path still
+    # pays the corpus-sized explode+join+distinct, the sketch path
+    # shingles+probes map-side and verifies ~nothing. The worst case
+    # above (every 4th doc a benchmark replica) shows the flip side:
+    # when admission approaches the corpus, verify dominates both.
+    bench_dir = f"{tmp}/bench.parquet"
+    load_documents(spark, corpus).filter(bench_pred).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(bench_dir)
+    bench_docs = spark.read.parquet(bench_dir)
+    sparse_train = load_documents(spark, corpus).filter(F.col("source") != "src0")
     probe(
-        "decontaminate exact (sparse contamination)",
+        "decontaminate exact (sparse, separate bench table)",
         lambda: curation.decontaminate(
-            sparse, bench_pred, n=8, min_containment=0.3
+            sparse_train, F.lit(False), n=8, min_containment=0.3,
+            bench_df=bench_docs,
         )
         .agg(F.count(F.lit(1)))
         .collect(),
     )
     probe(
-        "decontaminate_bloom (sparse contamination)",
+        "decontaminate_bloom (sparse, separate bench table)",
         lambda: curation.decontaminate_bloom(
-            sparse, bench_pred, n=8, min_containment=0.3
+            sparse_train, F.lit(False), n=8, min_containment=0.3,
+            bench_df=bench_docs,
         )
         .agg(F.count(F.lit(1)))
         .collect(),

@@ -53,6 +53,7 @@ def decontaminate(
     min_containment: float = 0.3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bench_df: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval contamination probe: for every training document,
     the benchmark documents whose n-gram shingle set it contains
@@ -67,11 +68,22 @@ def decontaminate(
     broadcast (eval sets are small by construction; a corpus-sized
     benchmark would make this a plain shuffle join — drop the hint).
 
+    ``bench_df`` supplies the benchmark as its OWN table (the
+    production shape: eval sets live in a small separate store, not
+    scattered through the corpus) — then ``docs`` is the whole
+    training side and ``bench_pred`` is ignored. Without it the
+    benchmark is carved out of ``docs`` by predicate, which costs a
+    corpus-wide text scan per benchmark read when the rows are
+    scattered (fine at gate scale, measured in text_scale_probe).
+
     Output: (doc_id, bench_id, n_common, containment), containment
     rounded to 6.
     """
-    bench = docs.filter(bench_pred)
-    train = docs.filter(~bench_pred)
+    if bench_df is not None:
+        bench, train = bench_df, docs
+    else:
+        bench = docs.filter(bench_pred)
+        train = docs.filter(~bench_pred)
     return _decontaminate_pair(
         bench, train, n=n, min_containment=min_containment,
         id_col=id_col, text_col=text_col,
@@ -136,15 +148,23 @@ def decontaminate_bloom(
     id_col: str = "doc_id",
     text_col: str = "text",
     fpp: float = 0.01,
+    bench_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Scale path for :func:`decontaminate`: Bloom-sketch admission,
-    exact verification — identical output (shares the oracle).
+    """LARGE-BENCHMARK path for :func:`decontaminate`: Bloom-sketch
+    admission, exact verification — identical output (shares the
+    oracle). Measured crossover (SCALING.md round-5): with a small
+    eval set (~10^4 shingles) the exact broadcast join is faster and
+    remains the default; at ~5M benchmark shingles this path wins
+    1.6× at 1M docs, and at 10^8 shingles (suite-scale
+    decontamination) the exact path's broadcast hash map (~50-100
+    B/shingle, 5-10 GB) stops fitting executors at all while the
+    bitset (~10 bits/shingle, ~120 MB) still broadcasts.
 
     The exact path broadcasts the benchmark's exploded shingle-string
     table and hash-joins every training shingle against it. That is
-    already shuffle-free on the corpus side, but at 100 TB the probe
-    itself is the cost: every training shingle string enters a join
-    against a multi-hundred-MB broadcast hash map. This variant
+    already shuffle-free on the corpus side, but with a big benchmark
+    the probe itself is the cost: every training shingle string enters
+    a join against a multi-hundred-MB broadcast hash map. This variant
     compresses the membership structure to a Bloom bitset (~10 bits
     per benchmark shingle at fpp=1%) and probes it with a vectorized
     numpy kernel over packed int64 shingle-hash arrays — no explode,
@@ -177,29 +197,32 @@ def decontaminate_bloom(
     import pandas as pd
     from pyspark.sql import types as T
 
-    bench = docs.filter(bench_pred)
-    train = docs.filter(~bench_pred)
+    if bench_df is not None:
+        bench, train = bench_df, docs
+    else:
+        bench = docs.filter(bench_pred)
+        train = docs.filter(~bench_pred)
 
     # -- build: collect the benchmark's DISTINCT shingle hashes (the
     # benchmark side is small by the same construction that lets the
     # exact path broadcast it; the collect is bench-sized, never
     # corpus-sized) and set k bits per hash in a driver-built bitset.
-    bench_hashes = [
-        r[0]
-        for r in (
-            dedup.shingled_table(bench, id_col=id_col, text_col=text_col, n=n)
-            .select(F.explode("sh").alias("shingle"))
-            .select(F.xxhash64("shingle").alias("h"))
-            .distinct()
-            .collect()
-        )
-    ]
+    # Arrow (toPandas), not row collect: py4j row decode measured 11 s
+    # vs 7.6 s on the same 12k-hash pull at 500k docs.
+    bench_hashes = (
+        dedup.shingled_table(bench, id_col=id_col, text_col=text_col, n=n)
+        .select(F.explode("sh").alias("shingle"))
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+        .toPandas()["h"]
+        .to_numpy()
+    )
     n_items = max(len(bench_hashes), 1)
     m = max(64, int(-n_items * math.log(fpp) / (math.log(2.0) ** 2)))
     m = ((m + 63) // 64) * 64
     k = max(1, int(round(m / n_items * math.log(2.0))))
     bits = np.zeros(m // 64, dtype=np.uint64)
-    if bench_hashes:
+    if len(bench_hashes):
         h = np.asarray(bench_hashes, dtype=np.int64).astype(np.uint64)
         h_lo = h & np.uint64(0xFFFFFFFF)
         h_hi = h >> np.uint64(32)
@@ -250,31 +273,32 @@ def decontaminate_bloom(
 
     # -- admit: packed int64 hash array per doc (no explode), one
     # Arrow-batched bit probe; candidates ⊇ true contaminated docs
-    # (Bloom filters have no false negatives).
-    train_sh = dedup.shingled_table(train, id_col=id_col, text_col=text_col, n=n)
-    cand_ids = (
+    # (Bloom filters have no false negatives). The text column rides
+    # the shingle exchange (extra_cols) so admission emits complete
+    # candidate ROWS — re-fetching them by id would cost a second
+    # full corpus scan (measured ~10 s of the 35 s total at 1M docs).
+    train_sh = dedup.shingled_table(
+        train, id_col=id_col, text_col=text_col, n=n, extra_cols=(text_col,)
+    )
+    cand_docs = (
         train_sh.withColumn("shh", F.transform("sh", lambda x: F.xxhash64(x)))
         .filter(_any_hit("shh"))
-        .select(F.col("id").alias(id_col))
+        .select(F.col("id").alias(id_col), text_col)
     )
 
-    # materialize the admitted id set ONCE: the verify stage reads it
-    # from two subtrees (semi-join + shingle side), and without the
-    # barrier each read would replay the full admission scan through
-    # lineage — measured 101 s vs the exact path's 40 s at 1M docs
-    # (2x admission + union re-filters); with it the corpus is
-    # shingled exactly once. Contamination is rare by contract, so
-    # the checkpoint is small; a wholesale-duplicated benchmark makes
-    # it corpus-sized — the same failure mode the exact path's
-    # verify join has, no new cliff.
-    cand_ids = cand_ids.localCheckpoint(eager=True)
+    # materialize the admitted rows ONCE: the verify stage reads them
+    # from two subtrees, and without the barrier each read would
+    # replay the full admission scan through lineage — measured 101 s
+    # vs the exact path's 40 s at 1M docs before the fix.
+    # Contamination is rare by contract, so the checkpoint is small;
+    # a wholesale-duplicated benchmark makes it corpus-sized — the
+    # same failure mode the exact path's verify join has, no new
+    # cliff.
+    cand_docs = cand_docs.localCheckpoint(eager=True)
 
     # -- verify: the exact inverted-index join on the explicit
     # (bench, admitted-train) pair — false positives from the sketch
-    # die here, so the output is bit-identical to the exact path. No
-    # broadcast hint on the candidate side: AQE picks broadcast at
-    # runtime when it fits (repo hint contract).
-    cand_docs = train.join(cand_ids, id_col, "left_semi")
+    # die here, so the output is bit-identical to the exact path.
     return _decontaminate_pair(
         bench,
         cand_docs,
@@ -864,16 +888,20 @@ def curated_pack(
     """Training bins over the CURATED corpus only: the bin layout of
     :func:`pack_chunks` restricted to :func:`curate_corpus` survivors.
     Bin assignment is computed within each document, so restricting
-    documents commutes with packing — and the survivor semi-join is
-    pushed BELOW the chunker (``doc_filter``): only surviving docs
-    are tokenized and sliced, instead of chunking the whole corpus
-    and discarding the cut rows afterwards.
+    documents commutes with packing — one semi-join AFTER the pack,
+    no re-chunking. Measured A/B (round 5, sf0.1 isolated best-of-3):
+    pushing the survivor semi-join below the chunker
+    (``pack_chunks(doc_filter=...)``) ran 4.04 s vs 2.74 s for this
+    post-join form — chunking the whole corpus is cheap (0.48 s)
+    while the filter side carries the full curation chain, and the
+    in-chunker join re-shuffles the stream the pack window then
+    re-partitions. ``doc_filter`` stays available for callers whose
+    filter set is a cheap precomputed id list.
     Output: (doc_id, bin_id, n_chunks, n_bin_tokens)."""
     survivors = curate_corpus(spark, sf_dir).select("doc_id")
     return pack_chunks(
-        spark, sf_dir, chunk_size=chunk_size, stride=stride, budget=budget,
-        doc_filter=survivors,
-    )
+        spark, sf_dir, chunk_size=chunk_size, stride=stride, budget=budget
+    ).join(survivors, "doc_id", "left_semi")
 
 
 # ------------------------------------------------- mixture resampling

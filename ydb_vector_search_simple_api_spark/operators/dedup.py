@@ -64,6 +64,7 @@ def shingled_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, sh: array<string>) with the shingle array built from a
     token array MATERIALIZED behind one shuffle barrier.
@@ -91,11 +92,17 @@ def shingled_table(
             target = max(target, min(size // (64 << 20), 1 << 16))
     except Exception:
         pass
+    # extra_cols ride along (e.g. the text itself, so an admission
+    # filter can emit full candidate ROWS without a second corpus
+    # scan to re-fetch them — the decontaminate_bloom verify shape)
     toks = df.select(
-        F.col(id_col).alias("id"), TXT.tokens(text_col).alias("toks")
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        TXT.tokens(text_col).alias("toks"),
     ).repartition(target, "id")
     return toks.select(
         "id",
+        *extra_cols,
         F.array_distinct(TXT.shingles_from_tokens(F.col("toks"), n)).alias("sh"),
     )
 
