@@ -162,6 +162,71 @@ def test_nn_descent_noop_on_exact_bootstrap(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_upsert_then_compact_preserves_search(spark):
+    """LSM maintenance contract: after graphann_upsert the full-beam
+    search is exact over the GROWN corpus (new nodes reachable via
+    delta reverse edges — the connectivity assertion still passes);
+    graphann_compact folds the delta into a new generation with
+    identical results; finite beam can actually find an inserted
+    near-duplicate of the query."""
+    import numpy as np
+
+    base_out = tempfile.mkdtemp(prefix="svs_test_gann_up_")
+    compact_out = tempfile.mkdtemp(prefix="svs_test_gann_cp_")
+    shutil.rmtree(base_out, ignore_errors=True)
+    shutil.rmtree(compact_out, ignore_errors=True)
+    try:
+        embs = load_embeddings(spark, SF_SMALL).select(
+            F.col("vec_id").alias("id"), "embedding"
+        ).filter(F.col("id") < 400)
+        idx = G.build_knn_graph(spark, embs, base_out, m=6)
+        q = _qvec(spark)
+        # new batch: ids 10000+, one of them = the query vector itself
+        new_rows = [(10000, q)] + [
+            (10001 + i, [float(x) + 0.5 * (i + 1) for x in q]) for i in range(3)
+        ]
+        new_df = spark.createDataFrame(new_rows, ["id", "embedding"])
+        idx2 = G.graphann_upsert(spark, idx, new_df)
+        assert idx2.n_rows == 404
+
+        grown = embs.unionByName(new_df)
+        got = G.graphann_search(
+            spark, idx2, grown, q, k=5, strategy="CosineSimilarity",
+            beam=None, round_digits=6,
+        ).collect()
+        # exact over the grown corpus (brute force in numpy for truth)
+        rows = grown.collect()
+        qn = np.asarray(q)
+        sims = []
+        for r in rows:
+            v = np.asarray(r.embedding, dtype=float)
+            denom = np.linalg.norm(v) * np.linalg.norm(qn)
+            sims.append((round(float(v @ qn / denom), 6), r.id))
+        want_ids = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:5]]
+        assert [r.id for r in got] == want_ids
+        # the inserted exact duplicate scores 1.0 (id 3 — the query's
+        # own stored row — wins the tie by the deterministic id order)
+        assert {r.id for r in got if r.score == 1.0} == {3, 10000}
+
+        # finite beam reaches the inserted near-dup through delta links
+        got_b = G.graphann_search(
+            spark, idx2, grown, q, k=5, strategy="CosineSimilarity", beam=32,
+        ).collect()
+        assert 10000 in {r.id for r in got_b}
+
+        idx3 = G.graphann_compact(spark, idx2, compact_out)
+        assert idx3.n_rows == 404
+        assert not os.path.isdir(os.path.join(compact_out, "delta"))
+        got_c = G.graphann_search(
+            spark, idx3, grown, q, k=5, strategy="CosineSimilarity",
+            beam=None, round_digits=6,
+        ).collect()
+        assert [(r.id, r.score) for r in got_c] == [(r.id, r.score) for r in got]
+    finally:
+        shutil.rmtree(base_out, ignore_errors=True)
+        shutil.rmtree(compact_out, ignore_errors=True)
+
+
 def test_filter_ids_restrict_after_traversal(spark, gann):
     q = _qvec(spark)
     flt = spark.createDataFrame([(i,) for i in range(0, 500, 2)], ["id"])

@@ -240,6 +240,42 @@ def test_stream_bq_ingest_appends_and_search_is_exact(spark, tmp_path):
     assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
 
 
+def test_stream_graphann_ingest_appends_and_search_is_exact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import graphann as G
+    from ydb_vector_search_simple_api_spark.operators.search import exact_search
+    from ydb_vector_search_simple_api_spark.streaming.index_ingest import (
+        parquet_vector_stream,
+        stream_graphann_ingest,
+    )
+
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = G.build_knn_graph(
+        spark, embs.filter(F.col("id") < 300), str(tmp_path / "gann"), m=6
+    )
+    landing = str(tmp_path / "landing")
+    embs.filter(F.col("id") >= 300).repartition(2).write.parquet(landing)
+    q = stream_graphann_ingest(
+        spark,
+        idx,
+        parquet_vector_stream(spark, landing),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    idx2 = G.load_graph_index(str(tmp_path / "gann"))
+    assert idx2.n_rows == 500
+    row = embs.filter(F.col("id") == 0).first()
+    qv = [float(x) for x in row.embedding]
+    got = G.graphann_search(
+        spark, idx2, embs, qv, k=10, beam=None, round_digits=6
+    ).collect()
+    want = exact_search(spark, SF_SMALL, qv, k=10, round_digits=6).collect()
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+
+
 def test_stream_tree_ingest_appends_and_search_is_exact(spark, tmp_path):
     from pyspark.sql import functions as F
 

@@ -260,18 +260,183 @@ def load_graph_index(path: str) -> GraphAnnIndex:
     return GraphAnnIndex(path=path, **meta)
 
 
+# --------------------------------------------------- maintenance (LSM)
+
+
+def graphann_upsert(
+    spark: SparkSession,
+    index: GraphAnnIndex,
+    new_df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    strategy: str = "CosineSimilarity",
+) -> GraphAnnIndex:
+    """Incremental maintenance, the append-generation pattern every
+    other shape uses (``ivf_upsert``/``bq_upsert``) adapted to a
+    graph: each new node's m nearest EXISTING nodes come from one
+    blocked BLAS kNN join (new side broadcast — an ingest batch is
+    small by construction), the new rows append to ``adjacency/``
+    with those forward links, and the REVERSE links (existing ->
+    new, what keeps the graph navigable toward fresh nodes and the
+    full-beam connectivity assertion true) append to a ``delta/``
+    directory instead of rewriting existing rows — adjacency files
+    stay immutable. Search merges delta neighbor lists on load;
+    ``graphann_compact`` folds them into the next generation.
+
+    Degree grows by at most one per inserted neighbor link between
+    compactions (the LSM trade: churn cost moves to the background
+    rewrite, exactly like ivf/bq/sq appends)."""
+    from .search import knn_join_blocked
+
+    validate_strategy(strategy)
+    adj = spark.read.parquet(os.path.join(index.path, "adjacency")).select(
+        "id", "embedding"
+    )
+    # appended files must carry the EXISTING schema (a double-typed
+    # batch against a float store poisons every later scan with a
+    # parquet type mismatch) and the index dim (the sq_upsert guard)
+    bad = new_df.filter(F.size(F.col(vec_col)) != index.dim).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"graphann_upsert batch has vectors whose length != index dim {index.dim}"
+        )
+    src = new_df.select(
+        F.col(id_col).cast(adj.schema["id"].dataType).alias("id"),
+        F.col(vec_col).cast(adj.schema["embedding"].dataType).alias("embedding"),
+    )
+    pairs = knn_join_blocked(
+        spark,
+        src.select(F.col("id").alias("query_id"), F.col("embedding").alias("query_vec")),
+        adj,
+        k=index.m,
+        strategy=strategy,
+    ).select("query_id", "id")
+    fwd = (
+        pairs.groupBy("query_id")
+        .agg(F.array_sort(F.collect_set("id")).alias("neighbors"))
+        .select(F.col("query_id").alias("id"), "neighbors")
+    )
+    new_rows = src.join(fwd, "id", "left").select(
+        "id",
+        "embedding",
+        F.coalesce(F.col("neighbors"), F.array().cast("array<long>")).alias(
+            "neighbors"
+        ),
+    )
+    new_rows.write.mode("append").parquet(os.path.join(index.path, "adjacency"))
+    rev = (
+        pairs.groupBy("id")
+        .agg(F.array_sort(F.collect_set("query_id")).alias("neighbors"))
+    )
+    rev.write.mode("append").parquet(os.path.join(index.path, "delta"))
+    n_new = src.count()
+    meta = {
+        "dim": index.dim,
+        "n_rows": index.n_rows + n_new,
+        "m": index.m,
+        "entry_point": index.entry_point,
+        "medoid": index.medoid,
+        "id_col": index.id_col,
+        "vec_col": index.vec_col,
+    }
+    with open(os.path.join(index.path, _META_FILE), "w") as f:
+        json.dump(meta, f)
+    return GraphAnnIndex(path=index.path, **meta)
+
+
+def graphann_compact(
+    spark: SparkSession, index: GraphAnnIndex, out_dir: str, n_files: int = 1
+) -> GraphAnnIndex:
+    """Generation rewrite (immutable new generation, pointer flip —
+    the shared ``ivf_compact``/``bq_compact`` contract): fold the
+    reverse-edge ``delta/`` into the adjacency rows, dedup neighbor
+    lists, and restore the id-sorted range-partitioned layout the
+    per-hop lookups prune against."""
+    if n_files < 1:
+        raise ValueError("n_files must be a positive integer")
+    adj = spark.read.parquet(os.path.join(index.path, "adjacency"))
+    delta_path = os.path.join(index.path, "delta")
+    if os.path.isdir(delta_path):
+        delta = spark.read.parquet(delta_path)
+        merged = (
+            adj.select("id", F.explode_outer("neighbors").alias("nb"))
+            .unionByName(delta.select("id", F.explode("neighbors").alias("nb")))
+            .groupBy("id")
+            .agg(
+                F.array_sort(
+                    F.filter(F.collect_set("nb"), lambda x: x.isNotNull())
+                ).alias("neighbors")
+            )
+            .join(adj.select("id", "embedding"), "id")
+            .select("id", "embedding", "neighbors")
+        )
+    else:
+        merged = adj
+    (
+        merged.repartitionByRange(max(1, n_files), F.col("id"))
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "adjacency"))
+    )
+    n_rows = spark.read.parquet(os.path.join(out_dir, "adjacency")).count()
+    meta = {
+        "dim": index.dim,
+        "n_rows": n_rows,
+        "m": index.m,
+        "entry_point": index.entry_point,
+        "medoid": index.medoid,
+        "id_col": index.id_col,
+        "vec_col": index.vec_col,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _META_FILE), "w") as f:
+        json.dump(meta, f)
+    return GraphAnnIndex(path=out_dir, **meta)
+
+
 # --------------------------------------------------------- search side
 
-#: session cache of (ids, vectors, CSR neighbors) per index path — a
-#: pure function of the persisted generation (same contract as
-#: sources/store.py _SCAN_CACHE); rebuilt indexes use new paths.
-_GRAPH_CACHE: dict[str, tuple] = {}
+#: session cache of (ids, vectors, CSR neighbors) per index
+#: generation — a pure function of the persisted files (the
+#: _SCAN_CACHE contract); the key includes n_rows so an upsert
+#: (which bumps the meta) invalidates instead of serving stale.
+_GRAPH_CACHE: dict[tuple, tuple] = {}
+
+
+def _adjacency_with_delta(spark: SparkSession, index: GraphAnnIndex) -> DataFrame:
+    """Adjacency rows with any LSM delta's reverse edges merged in
+    (neighbor-list union per id) — the read-side half of the
+    graphann_upsert contract."""
+    adj = spark.read.parquet(os.path.join(index.path, "adjacency"))
+    delta_path = os.path.join(index.path, "delta")
+    if not os.path.isdir(delta_path):
+        return adj
+    delta = (
+        spark.read.parquet(delta_path)
+        .groupBy("id")
+        .agg(F.array_sort(F.array_distinct(F.flatten(F.collect_list("neighbors")))).alias("d_nb"))
+    )
+    return (
+        adj.join(delta, "id", "left")
+        .select(
+            "id",
+            "embedding",
+            F.when(
+                F.col("d_nb").isNull(), F.col("neighbors")
+            ).otherwise(
+                F.array_sort(
+                    F.array_distinct(F.concat(F.col("neighbors"), F.col("d_nb")))
+                )
+            ).alias("neighbors"),
+        )
+    )
 
 
 def _load_graph_numpy(spark: SparkSession, index: GraphAnnIndex):
-    if index.path not in _GRAPH_CACHE:
+    key = (index.path, index.n_rows)
+    if key not in _GRAPH_CACHE:
         pdf = (
-            spark.read.parquet(os.path.join(index.path, "adjacency"))
+            _adjacency_with_delta(spark, index)
             .select("id", "embedding", "neighbors")
             .toPandas()
         )
@@ -290,8 +455,8 @@ def _load_graph_numpy(spark: SparkSession, index: GraphAnnIndex):
         indices = (
             np.concatenate(flat) if flat else np.zeros(0, dtype=np.int64)
         )
-        _GRAPH_CACHE[index.path] = (ids, vecs, indptr, indices)
-    return _GRAPH_CACHE[index.path]
+        _GRAPH_CACHE[key] = (ids, vecs, indptr, indices)
+    return _GRAPH_CACHE[key]
 
 
 def _np_scores(strategy: str, V: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -449,7 +614,7 @@ def _beam_search_distributed(
 
     from ..config import sort_descending
 
-    adj = spark.read.parquet(os.path.join(index.path, "adjacency"))
+    adj = _adjacency_with_delta(spark, index)
     sgn = 1.0 if sort_descending(strategy) else -1.0
     score = score_expr(strategy, F.col("embedding"), list(query_vec))
 

@@ -289,6 +289,44 @@ def stream_tree_ingest(
     return writer.start()
 
 
+def stream_graphann_ingest(
+    spark: SparkSession,
+    graph_index,
+    source: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Keep the k-NN graph fresh from a vector stream: each batch
+    links in through ``graphann_upsert`` (blocked kNN against the
+    existing nodes -> forward links appended to the adjacency,
+    reverse links to the LSM delta), so full-beam searches stay exact
+    over the grown corpus between compactions. The graph twin of
+    :func:`stream_sq_ingest`; batch cost is one blocked kNN join of
+    batch x index, and churn folds at the next ``graphann_compact``."""
+    from ..operators import graphann as gann_mod
+
+    state = {"index": graph_index}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        state["index"] = gann_mod.graphann_upsert(
+            spark, state["index"], batch_df, id_col=id_col, vec_col=vec_col
+        )
+
+    writer = (
+        source.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_lexical_ingest(
     spark: SparkSession,
     sf_dir: str,
