@@ -35,6 +35,8 @@ from ydb_vector_search_simple_api_spark.operators import (
     textual,
 )
 from ydb_vector_search_simple_api_spark.operators import bpe as bpe_mod
+from ydb_vector_search_simple_api_spark.operators import classify as classify_mod
+from ydb_vector_search_simple_api_spark.operators import embstats as embstats_mod
 from ydb_vector_search_simple_api_spark.operators import clustering as clustering_mod
 from ydb_vector_search_simple_api_spark.operators import enrich as enrich_mod
 from ydb_vector_search_simple_api_spark.operators import graph as graph_mod
@@ -784,6 +786,20 @@ def _mk_ivf_knn_join_dist(strategy: str, k: int, n_queries: int, width: int | No
 
     return run
 
+
+
+def _embedding_pca_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate wrapper: pca_project with the k=8 component array
+    flattened to scalar columns (driver canonicalization sorts rows
+    by every column and cannot order array cells)."""
+    from pyspark.sql import functions as F
+
+    k = 8
+    out = embstats_mod.pca_project(spark, sf_dir, n_components=k)
+    return out.select(
+        "vec_id",
+        *[F.col("proj")[i].alias(f"proj_{i}") for i in range(k)],
+    )
 
 
 def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1579,6 +1595,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # overflow (driver-green r2-r4)
     q["surge_windows"] = temporal.surge_windows
     q["events_in_surges"] = temporal.events_in_surges
+    # trained-filter step of the curation pipeline (round 5): weak
+    # rules -> distributed multinomial NB -> score every doc; the
+    # report is the rules-vs-model confusion audit
+    q["nb_classify_docs"] = classify_mod.nb_classify_docs
+    q["nb_label_report"] = classify_mod.nb_label_report
+    # embedding-space QA (round 5): decimal-exact covariance cells
+    # (oracle twin) + cross-source exact-dup overlap matrix
+    q["embedding_covariance"] = embstats_mod.embedding_covariance
+    q["source_overlap_matrix"] = lambda s, d: dedup.source_overlap_matrix(
+        load_documents(s, d)
+    )
+    # rows-only: PCA projection production path (mapInPandas moment
+    # partials + driver eigh; moment math pinned against
+    # embedding_covariance and numpy in tests/test_embstats.py).
+    # Gate shape flattens the component array into scalar columns —
+    # the driver's canonical sort can't order array cells.
+    q["embedding_pca"] = _embedding_pca_flat
     return q
 
 
@@ -1842,4 +1875,10 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["retention_cohorts"] = oracles_temporal.RETENTION_COHORTS
     # approx_value_percentiles / approx_distinct_users: intentionally
     # no oracle (sketch estimates are engine-specific by design)
+    o["nb_classify_docs"] = oracles_text.nb_classify_sql()
+    o["nb_label_report"] = oracles_text.nb_label_report_sql()
+    o["embedding_covariance"] = oracles.EMBEDDING_COVARIANCE
+    o["source_overlap_matrix"] = oracles_text.SOURCE_OVERLAP_MATRIX
+    # embedding_pca: rows-only (eigendecomposition has no SQL twin);
+    # moment math shares embedding_covariance's oracle via pytest
     return o

@@ -1,0 +1,265 @@
+"""Distributed multinomial Naive Bayes over weak supervision.
+
+The standard bootstrap for corpus-scale quality/topic filtering
+(CCNet's fastText gate, Snorkel's label-model → discriminative-model
+step): a panel of cheap labeling rules (``textual.weak_labels``)
+supplies noisy labels for a slice of the corpus; a multinomial Naive
+Bayes classifier is TRAINED DISTRIBUTED from those labels and then
+SCORES every document — including the ones no rule fired on. This
+module keeps both halves as pure DataFrame aggregations/joins, so
+training is a token-keyed shuffle (never a driver-side model fit) and
+scoring is a hash join against the model table.
+
+Scale shape (the part that must survive 100 TB):
+
+- **Training is two keyed aggregations.** Token counts per (label,
+  token) with map-side combine, then label totals — the model IS a
+  DataFrame, vocabulary × |labels| rows, never collected to the
+  driver. A 100 TB corpus with a 10M-token vocabulary trains in one
+  shuffle of (label, token) pairs.
+- **Scoring is a join, not a broadcast of doom.** Per-doc term
+  frequencies join the label-complete model table on ``token``; a
+  small vocabulary broadcasts (AQE decides), a huge one hash-joins —
+  either way no per-row Python and no driver round-trip. Per-doc,
+  per-label evidence folds with one (doc_id, label)-keyed aggregation
+  and the argmax is a ``max_by`` struct aggregation (map-side
+  partial, no window sort over the corpus).
+- **Out-of-vocabulary tokens are ignored** (the standard multinomial
+  NB convention) — they contribute no evidence for any label, so
+  dropping them at the scoring join changes no argmax and keeps the
+  join inner/narrow.
+
+Float parity contract (the correctness gate runs DuckDB on the same
+parquet): every ``ln`` is rounded to 9 places and enters a
+DECIMAL(28,9) sum — exact integer arithmetic, independent of
+partitioning/visit order (same trick as ``textual.unigram_logprob``);
+the per-label constants fold into the score with one fixed operation
+order and a final ROUND(6). Ties at the argmax break by label ASC
+via the ``max_by`` ordering struct.
+
+Reference note: the reference engine (app.py) has no classifier
+surface; this is extension scope (SURVEY.md "beyond the reference"),
+the trained-filter step a real LLM-data pipeline runs between weak
+rules and corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..sources.store import load_documents
+
+#: Laplace smoothing mass added per (label, token) cell.
+NB_ALPHA = 1.0
+
+
+def nb_classify_docs(
+    spark: SparkSession, sf_dir: str, alpha: float = NB_ALPHA
+) -> DataFrame:
+    """Train multinomial NB on the weak-labeled slice, score ALL docs.
+
+    Output: (doc_id, predicted_label, score, n_evidence_tokens) for
+    every document. ``predicted_label`` is the argmax of
+
+        prior(l) + Σ_t tf(d,t) · ln P(t | l)
+
+    with Laplace ``alpha``; docs whose tokens are entirely
+    out-of-vocabulary (no overlap with the training slice's token set)
+    get NULL label / NULL score / 0 evidence tokens — they carry no
+    evidence either way, and surfacing them as NULL (rather than
+    defaulting to the prior argmax) is what a curation pipeline wants:
+    route to the "no signal" bucket, don't silently majority-label.
+    """
+    from .textual import weak_labels
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+
+    labels = weak_labels(spark, sf_dir).filter(F.col("label").isNotNull())
+    lab = labels.select("doc_id", "label")
+
+    # ---- train: model = (label, token) counts; one keyed shuffle
+    # with map-side combine. The doc_id join hits the weak-label table
+    # (corpus-sized at worst, rule-coverage-sized in practice).
+    train = toks.join(lab, "doc_id")
+    model = train.groupBy("label", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+    # Per-label constants: token mass and doc prior. All label-sized
+    # (tiny) — they ride broadcasts back onto the scoring join.
+    label_tok_totals = model.groupBy("label").agg(
+        F.sum("c").alias("total_c")
+    )
+    label_doc_counts = lab.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs_l")
+    )
+    # Scalars as 1-row lazy aggregates (broadcast cross join — the
+    # unigram_logprob pattern; no separate driver job).
+    vocab_n = model.select("tok").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("v_size")
+    )
+    n_train = lab.agg(F.count(F.lit(1)).cast("double").alias("n_train"))
+
+    label_consts = (
+        label_tok_totals.join(label_doc_counts, "label")
+        .crossJoin(F.broadcast(vocab_n))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "label",
+            # ln of the per-label denominator (total_l + α·V) and the
+            # doc prior, each rounded to 9 — the only two float
+            # constants that enter the final combine.
+            F.round(
+                F.log(
+                    F.col("total_c").cast("double")
+                    + F.lit(float(alpha)) * F.col("v_size")
+                ),
+                9,
+            ).alias("ln_z"),
+            F.round(
+                F.log(F.col("n_docs_l").cast("double") / F.col("n_train")),
+                9,
+            ).alias("ln_prior"),
+        )
+    )
+
+    # Label-complete model grid: every (vocab token × label) cell, so
+    # a token seen for SOME label still contributes ln(α) − ln_z
+    # evidence to the others. Grid size = vocab × |labels| — the model
+    # table itself, not a corpus blowup.
+    vocab = model.select("tok").distinct()
+    label_list = lab.select("label").distinct()
+    grid = vocab.crossJoin(F.broadcast(label_list))
+    model_full = grid.join(model, ["tok", "label"], "left").select(
+        "tok",
+        "label",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    # Per-cell ln(c + α), rounded and decimal-cast ONCE in the model
+    # table (vocab-sized work, not corpus-sized).
+    # DECIMAL(18,9): |ln| < 1e9 comfortably, and (18,9) × (10,0)
+    # multiplies to (29,9) — inside BOTH engines' 38-digit cap with
+    # no precision-loss rescale, so the product stays exact.
+    model_full = model_full.withColumn(
+        "ln_num",
+        F.round(
+            F.log(F.col("c").cast("double") + F.lit(float(alpha))), 9
+        ).cast("decimal(18,9)"),
+    )
+
+    # ---- score: per-doc tf over in-vocab tokens, join the model,
+    # fold evidence per (doc, label). tf is exact integer; the
+    # decimal × integer product and the decimal sum are exact, so the
+    # aggregate is visit-order-independent.
+    doc_tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    evidence = (
+        doc_tf.join(model_full, "tok")
+        .groupBy("doc_id", "label")
+        .agg(
+            F.sum(
+                F.col("ln_num") * F.col("tf").cast("decimal(10,0)")
+            ).alias("s_num"),
+            F.sum("tf").alias("t_d"),
+        )
+    )
+    scored = evidence.join(F.broadcast(label_consts), "label").select(
+        "doc_id",
+        "label",
+        "t_d",
+        # fixed combine order: decimal-sum → double, minus tf·ln_z,
+        # plus prior, one ROUND(6) (+0.0 kills IEEE −0.0)
+        (
+            F.round(
+                F.col("s_num").cast("double")
+                - F.col("t_d").cast("double") * F.col("ln_z")
+                + F.col("ln_prior"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("score"),
+    )
+
+    # argmax per doc via max_by over (score, reversed-label) — ties at
+    # equal rounded score break toward the alphabetically FIRST label.
+    # struct ordering is field-by-field, so invert the label into a
+    # descending collation key via a unicode-complement trick-free
+    # route: max_by with an explicit ordering struct (score ASC would
+    # lose; label ASC must win ties, so order by (score, neg_rank)).
+    # Simplest deterministic form: take max over struct(score,
+    # label_desc_is_wrong) — instead use min over struct(-score,
+    # label): lexicographic min gives highest score, then smallest
+    # label.
+    best = (
+        scored.select(
+            "doc_id",
+            F.struct(
+                (-F.col("score")).alias("neg_score"),
+                F.col("label").alias("label"),
+                F.col("score").alias("score"),
+                F.col("t_d").alias("t_d"),
+            ).alias("cand"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cand").alias("best"))
+        .select(
+            "doc_id",
+            F.col("best.label").alias("predicted_label"),
+            F.col("best.score").alias("score"),
+            F.col("best.t_d").cast("bigint").alias("n_evidence_tokens"),
+        )
+    )
+
+    # All docs, OOV-only ones carried with NULLs / 0 evidence.
+    return docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        "predicted_label",
+        "score",
+        F.coalesce(F.col("n_evidence_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("n_evidence_tokens"),
+    )
+
+
+def nb_label_report(
+    spark: SparkSession, sf_dir: str, alpha: float = NB_ALPHA
+) -> DataFrame:
+    """Classifier-vs-rules audit: for each (weak rule label →
+    predicted label) cell, how many docs and what mean score — the
+    confusion-style diagnostic that tells a pipeline operator whether
+    the trained model actually generalized the rules or collapsed to
+    a prior. Docs without a rule label land in the rule_label=NULL
+    row (model behavior on the unlabeled pool — the entire point of
+    training a generalizing classifier).
+
+    Scale: one join of two doc-keyed tables + a |labels|²-cell
+    aggregation. Mean score folds as DECIMAL(28,6) of the already-
+    ROUND(6) scores, so the cell means are visit-order-independent.
+    """
+    from .textual import weak_labels
+
+    preds = nb_classify_docs(spark, sf_dir, alpha=alpha)
+    rules = weak_labels(spark, sf_dir).select(
+        "doc_id", F.col("label").alias("rule_label")
+    )
+    return (
+        preds.join(rules, "doc_id", "left")
+        .groupBy("rule_label", "predicted_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.round(
+                    F.sum(F.col("score").cast("decimal(28,6)")).cast(
+                        "double"
+                    )
+                    / F.count("score").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_score"),
+        )
+    )

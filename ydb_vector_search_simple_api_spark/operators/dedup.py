@@ -1550,3 +1550,82 @@ def remove_duplicate_spans(
             F.concat_ws(" ", F.transform(kept, lambda p: p["tok"]))
         ).alias("kept_md5"),
     )
+
+
+# ------------------------------------------- cross-source overlap
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    method: str = "token_set",
+) -> DataFrame:
+    """Which sources duplicate which: for every (unordered) source
+    pair, how many duplicate DOC PAIRS and duplicate GROUPS span it —
+    the crawl-triage diagnostic that tells a pipeline operator
+    whether two feeds are mirrors (drop one wholesale) or merely
+    share boilerplate (keep both, dedup normally). Same-source cells
+    (source_a == source_b) report intra-feed duplication.
+
+    ``method`` picks the duplicate key: ``token_set`` (md5 of the
+    sorted distinct token set — catches word-order shuffles, the
+    duplication mode the synthetic corpus actually contains) or
+    ``exact`` (md5 of normalized text).
+
+    Scale shape — pair counts WITHOUT pair enumeration: aggregate to
+    per-(content_hash, source) group sizes first (one keyed shuffle
+    with map-side combine), then derive pair counts in closed form —
+    C(g, 2) within a source, g_a·g_b across two sources via a
+    hash-keyed self-join of the GROUP-SIZE table (duplicate-group-
+    sized, not corpus-sized). A 10M-copy boilerplate group costs one
+    row per source here, never 10M² join rows; the worst case is the
+    group-size table's hash join, bounded by distinct (hash, source)
+    combinations.
+
+    Output (source_a ≤ source_b, n_pairs, n_groups), cells with at
+    least one pair only.
+    """
+    if method == "token_set":
+        fp = TXT.token_set_fingerprint(text_col)
+    elif method == "exact":
+        fp = TXT.content_fingerprint(text_col)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    sizes = (
+        df.select(
+            fp.alias("text_hash"),
+            F.col(source_col).alias("src"),
+        )
+        .groupBy("text_hash", "src")
+        .agg(F.count(F.lit(1)).alias("g"))
+    )
+    same = sizes.filter(F.col("g") >= 2).select(
+        F.col("src").alias("source_a"),
+        F.col("src").alias("source_b"),
+        "text_hash",
+        (F.col("g") * (F.col("g") - F.lit(1)) / F.lit(2))
+        .cast("bigint")
+        .alias("pairs"),
+    )
+    a = sizes.select("text_hash", F.col("src").alias("source_a"), F.col("g").alias("ga"))
+    b = sizes.select("text_hash", F.col("src").alias("source_b"), F.col("g").alias("gb"))
+    cross = (
+        a.join(b, "text_hash")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "text_hash",
+            (F.col("ga") * F.col("gb")).cast("bigint").alias("pairs"),
+        )
+    )
+    return (
+        same.unionByName(cross)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("pairs").cast("bigint").alias("n_pairs"),
+            F.countDistinct("text_hash").cast("bigint").alias("n_groups"),
+        )
+    )

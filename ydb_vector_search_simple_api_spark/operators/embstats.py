@@ -1,0 +1,210 @@
+"""Second-moment statistics and PCA over the embedding store.
+
+An embedding corpus at pipeline scale needs its own QA/transform
+layer: the covariance spectrum tells you whether the embedding space
+has collapsed (anisotropy — Mu & Viswanath's all-but-the-top
+observation), and a PCA projection is the standard preprocessing for
+IVF/OPQ-style indexing, whitened semantic dedup, and cheap 2-D corpus
+maps. Both operators here compute the SAME statistic two ways, the
+repo's established oracle-twin pattern (``incremental_dedup``):
+
+- :func:`embedding_covariance` — pure Column-expression form whose
+  per-cell sums are ROUND(9)→DECIMAL, so DuckDB replays it
+  bit-for-bit (the correctness-gate entry). Its explode is d²-per-row
+  — the oracle-carrying twin, not the production path.
+- :func:`pca_project` — the production path: ONE ``mapInPandas``
+  pass emits per-partition moment partials (count, Σx, ΣxᵀX — d²
+  doubles PER PARTITION, not per row), the driver folds the
+  partition-sized partials and eigendecomposes the d×d covariance
+  (d=64 ⇒ trivial), and a second Arrow pass projects every vector
+  with one BLAS matmul per batch. At 100 TB the data is read twice,
+  shuffled never; driver traffic is partitions × d² doubles — the
+  exact shape of the IVF builder's centroid statistics.
+
+Reference note: the reference engine (app.py) has no statistics
+surface over its vector store; extension scope (SURVEY.md "beyond
+the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.store import load_embeddings
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular covariance cells (i, j, cov), i ≤ j, of the
+    stored embeddings — the gate-checkable twin of the moment math
+    inside :func:`pca_project`.
+
+    Plan: one narrow explode of per-row (i, j, xᵢ·xⱼ) structs (built
+    with indexed ``transform``, no self-join), then a (i, j)-keyed
+    aggregation with map-side combine — 4096 keys regardless of
+    corpus size. Float parity: products and coordinates are ROUND(9)
+    → DECIMAL(28,9) before summing (visit-order-independent), and the
+    cov combine ``(Sxy − Sx·Sy/n)/n`` runs in one fixed operation
+    order with a final ROUND(6).
+
+    The d²-per-row explode is why this form is the ORACLE twin: the
+    production path (:func:`pca_project`) moves the outer product
+    into numpy at d² per PARTITION.
+    """
+    embs = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    # (i, v) coordinate stream for the first-moment sums
+    coords = embs.select(
+        F.posexplode(emb_d).alias("i", "v")
+    )
+    means = coords.groupBy("i").agg(
+        F.sum(F.round(F.col("v"), 9).cast("decimal(28,9)")).alias("s")
+    )
+    n_rows = embs.agg(F.count(F.lit(1)).cast("double").alias("n_d"))
+
+    # (i, j, product) cells via nested indexed transform — one flat
+    # array of d² structs per row, exploded once; filter to i ≤ j
+    cells = F.flatten(
+        F.transform(
+            emb_d,
+            lambda vi, i: F.transform(
+                emb_d,
+                lambda vj, j: F.struct(
+                    i.alias("i"), j.alias("j"), (vi * vj).alias("p")
+                ),
+            ),
+        )
+    )
+    prods = (
+        embs.select(F.explode(cells).alias("c"))
+        .select("c.i", "c.j", "c.p")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.round(F.col("p"), 9).cast("decimal(28,9)")).alias(
+                "s_xy"
+            )
+        )
+    )
+
+    ma = means.select(F.col("i").alias("i"), F.col("s").alias("s_i"))
+    mb = means.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    return (
+        prods.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            (
+                F.round(
+                    (
+                        F.col("s_xy").cast("double")
+                        - F.col("s_i").cast("double")
+                        * F.col("s_j").cast("double")
+                        / F.col("n_d")
+                    )
+                    / F.col("n_d"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    spark: SparkSession, sf_dir: str, n_components: int = 8
+) -> DataFrame:
+    """Project every stored embedding onto the corpus's top
+    ``n_components`` principal axes. Output (vec_id, proj) with
+    components rounded to 6 places.
+
+    Production-path plan (rows-only gate entry; moment math pinned
+    against :func:`embedding_covariance` and numpy in pytest):
+
+    1. ``mapInPandas`` partials: each partition emits ONE row
+       (pid, count, Σx, flattened ΣXᵀX) — d + d² doubles per
+       partition. No shuffle; the driver pulls partitions × (d²+d)
+       doubles (the same order of driver traffic as the IVF builder's
+       k·d centroids).
+    2. Driver: fold partials in pid order (deterministic float visit
+       order), eigendecompose the d×d covariance, take the top-k
+       eigenvectors, and fix each one's sign so its largest-|·|
+       coordinate is positive (the conventional determinism fix —
+       eigenvectors are otherwise sign-ambiguous).
+    3. Arrow projection pass: the d×k component matrix ships inside
+       the UDF closure (kilobytes); each batch projects with one
+       BLAS matmul. Narrow map, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_components < 1:
+        raise ValueError("n_components must be >= 1")
+
+    embs = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+
+    def _partials(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        s = None
+        ss = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += m.shape[0]
+            s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
+            g = m.T @ m
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "n": [n],
+                    "s": [s.tolist()],
+                    "ss": [ss.ravel().tolist()],
+                }
+            )
+
+    parts = embs.mapInPandas(
+        _partials, schema="pid int, n long, s array<double>, ss array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("empty embedding store")
+    parts.sort(key=lambda r: r["pid"])
+    n = sum(r["n"] for r in parts)
+    d = len(parts[0]["s"])
+    if n_components > d:
+        raise ValueError(f"n_components {n_components} > dim {d}")
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in parts:
+        s += np.asarray(r["s"])
+        ss += np.asarray(r["ss"]).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comp = v[:, ::-1][:, :n_components]  # d × k, top-k first
+    # sign convention: largest-|coordinate| entry of each axis > 0
+    flip = comp[np.abs(comp).argmax(axis=0), np.arange(comp.shape[1])] < 0
+    comp = comp * np.where(flip, -1.0, 1.0)
+    mean_c, comp_c = mean, comp
+
+    def _project(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            p = np.round((m - mean_c) @ comp_c, 6) + 0.0
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "proj": list(p)}
+            )
+
+    return embs.mapInPandas(
+        _project, schema="vec_id long, proj array<double>"
+    )

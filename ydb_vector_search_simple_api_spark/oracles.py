@@ -318,3 +318,31 @@ SELECT id, score FROM scored
 WHERE score {op} {threshold!r}
 ORDER BY score {_direction(strategy)} NULLS LAST, id ASC
 """
+
+
+EMBEDDING_COVARIANCE = """
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+consts AS (SELECT (SELECT count(*) FROM embeddings)::DOUBLE AS n_d),
+means AS (
+  SELECT i, SUM(CAST(ROUND(v, 9) AS DECIMAL(28,9))) AS s
+  FROM x GROUP BY i
+),
+prods AS (
+  SELECT a.i AS i, b.i AS j,
+         SUM(CAST(ROUND(a.v * b.v, 9) AS DECIMAL(28,9))) AS s_xy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT p.i::BIGINT AS i, p.j::BIGINT AS j,
+       ROUND((p.s_xy::DOUBLE - ma.s::DOUBLE * mb.s::DOUBLE / c.n_d) / c.n_d,
+             6) + 0.0 AS cov
+FROM prods p
+JOIN means ma ON ma.i = p.i
+JOIN means mb ON mb.i = p.j
+CROSS JOIN consts c
+"""

@@ -1253,3 +1253,145 @@ SELECT source_a, source_b,
          9)::DECIMAL(28,9)) AS DOUBLE), 6) + 0.0 AS js_divergence
 FROM merged GROUP BY source_a, source_b
 """
+
+
+def _weak_label_ctes() -> str:
+    """Shared CTE prefix: weak-rule labels (NULL-filtered) + token
+    stream — the training inputs of ``classify.nb_classify_docs``."""
+    from .operators.textual import WEAK_LABEL_RULES
+
+    vote_items = ", ".join(
+        f"CASE WHEN regexp_matches(lower(text), '{pat}') THEN '{label}' END"
+        for _, pat, label in WEAK_LABEL_RULES
+    )
+    labels = sorted({label for _, _, label in WEAK_LABEL_RULES})
+    count_structs = ", ".join(
+        "{'negc': -len(list_filter(cv, x -> x = '%s'))::BIGINT, "
+        "'lab': '%s', 'c': len(list_filter(cv, x -> x = '%s'))::BIGINT}"
+        % (lab, lab, lab)
+        for lab in labels
+    )
+    return f"""
+wv AS (
+  SELECT doc_id, list_filter([{vote_items}], x -> x IS NOT NULL) AS cv
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, (list_sort([{count_structs}])[1]).lab AS label
+  FROM wv WHERE len(cv) > 0
+),
+toks AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents)
+"""
+
+
+def _nb_scored_ctes(alpha: float) -> str:
+    """CTE chain producing ``best`` (argmax row per scored doc) —
+    exact twin of the NB train/score plan, decimal-summed."""
+    return f"""
+train AS (SELECT t.tok, l.label FROM toks t JOIN lab l USING (doc_id)),
+model AS (SELECT label, tok, count(*)::BIGINT AS c FROM train GROUP BY 1, 2),
+consts0 AS (
+  SELECT (SELECT count(DISTINCT tok) FROM model)::DOUBLE AS v_size,
+         (SELECT count(*) FROM lab)::DOUBLE AS n_train
+),
+label_consts AS (
+  SELECT m.label,
+         ROUND(ln(m.total_c::DOUBLE + {alpha} * c0.v_size), 9) AS ln_z,
+         ROUND(ln(d.n_docs_l::DOUBLE / c0.n_train), 9) AS ln_prior
+  FROM (SELECT label, sum(c)::BIGINT AS total_c FROM model GROUP BY 1) m
+  JOIN (SELECT label, count(*)::BIGINT AS n_docs_l FROM lab GROUP BY 1) d
+    USING (label)
+  CROSS JOIN consts0 c0
+),
+grid AS (
+  SELECT v.tok, l.label FROM (SELECT DISTINCT tok FROM model) v
+  CROSS JOIN (SELECT DISTINCT label FROM lab) l
+),
+model_full AS (
+  SELECT g.tok, g.label,
+         CAST(ROUND(ln(COALESCE(m.c, 0)::DOUBLE + {alpha}), 9)
+              AS DECIMAL(18,9)) AS ln_num
+  FROM grid g LEFT JOIN model m ON m.tok = g.tok AND m.label = g.label
+),
+doc_tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+evidence AS (
+  SELECT d.doc_id, mf.label,
+         SUM(mf.ln_num * CAST(d.tf AS DECIMAL(10,0))) AS s_num,
+         SUM(d.tf)::BIGINT AS t_d
+  FROM doc_tf d JOIN model_full mf USING (tok)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT e.doc_id, e.label, e.t_d,
+         ROUND(e.s_num::DOUBLE - e.t_d::DOUBLE * lc.ln_z + lc.ln_prior, 6)
+           + 0.0 AS score
+  FROM evidence e JOIN label_consts lc USING (label)
+),
+best AS (
+  SELECT doc_id, label, score, t_d,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rk
+  FROM scored
+)
+"""
+
+
+def nb_classify_sql(alpha: float = 1.0) -> str:
+    return f"""
+WITH {_weak_label_ctes()}, {_nb_scored_ctes(alpha)}
+SELECT d.doc_id,
+       b.label AS predicted_label,
+       b.score AS score,
+       COALESCE(b.t_d, 0)::BIGINT AS n_evidence_tokens
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+"""
+
+
+def nb_label_report_sql(alpha: float = 1.0) -> str:
+    return f"""
+WITH {_weak_label_ctes()}, {_nb_scored_ctes(alpha)},
+pred AS (
+  SELECT d.doc_id,
+         b.label AS predicted_label,
+         b.score AS score
+  FROM documents d
+  LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+),
+rules AS (
+  SELECT wv.doc_id,
+         CASE WHEN len(cv) > 0 THEN l.label END AS rule_label
+  FROM wv LEFT JOIN lab l USING (doc_id)
+)
+SELECT r.rule_label, p.predicted_label,
+       count(*)::BIGINT AS n_docs,
+       ROUND(SUM(CAST(p.score AS DECIMAL(28,6)))::DOUBLE
+             / count(p.score)::DOUBLE, 6) + 0.0 AS mean_score
+FROM pred p LEFT JOIN rules r USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+SOURCE_OVERLAP_MATRIX = f"""
+WITH sizes AS (
+  SELECT md5(array_to_string(list_sort(list_distinct({TOKS})), ' '))
+           AS text_hash,
+         source AS src, count(*)::BIGINT AS g
+  FROM documents GROUP BY 1, 2
+),
+same AS (
+  SELECT src AS source_a, src AS source_b, text_hash,
+         (g * (g - 1) // 2)::BIGINT AS pairs
+  FROM sizes WHERE g >= 2
+),
+crossed AS (
+  SELECT a.src AS source_a, b.src AS source_b, a.text_hash,
+         (a.g * b.g)::BIGINT AS pairs
+  FROM sizes a JOIN sizes b
+    ON a.text_hash = b.text_hash AND a.src < b.src
+)
+SELECT source_a, source_b, SUM(pairs)::BIGINT AS n_pairs,
+       count(DISTINCT text_hash)::BIGINT AS n_groups
+FROM (SELECT * FROM same UNION ALL SELECT * FROM crossed)
+GROUP BY 1, 2
+"""
