@@ -1612,6 +1612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gate shape flattens the component array into scalar columns —
     # the driver's canonical sort can't order array cells.
     q["embedding_pca"] = _embedding_pca_flat
+    # semantic-space counterpart of textual.source_divergence: per-
+    # source centroids + pairwise cosine/L2 drift (oracle-backed)
+    q["source_embedding_drift"] = embstats_mod.source_embedding_drift
     return q
 
 
@@ -1879,6 +1882,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["nb_label_report"] = oracles_text.nb_label_report_sql()
     o["embedding_covariance"] = oracles.EMBEDDING_COVARIANCE
     o["source_overlap_matrix"] = oracles_text.SOURCE_OVERLAP_MATRIX
+    o["source_embedding_drift"] = oracles.SOURCE_EMBEDDING_DRIFT
     # embedding_pca: rows-only (eigendecomposition has no SQL twin);
     # moment math shares embedding_covariance's oracle via pytest
     return o

@@ -152,3 +152,38 @@ def test_source_overlap_matrix_closed_form(spark):
     assert got == {
         k: (v, len(want_groups[k])) for k, v in want_pairs.items()
     }
+
+
+def test_source_embedding_drift_matches_numpy(spark):
+    """Centroid cosine/L2 vs a numpy replay over the joined tables."""
+    from collections import defaultdict
+
+    from ydb_vector_search_simple_api_spark.operators.embstats import (
+        source_embedding_drift,
+    )
+
+    docs = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .selectExpr("doc_id", "source")
+        .collect()
+    }
+    _, m = _load_matrix(spark)
+    ids, _ = _load_matrix(spark)
+    by_src = defaultdict(list)
+    for vid, row in zip(ids, m):
+        if vid in docs:
+            by_src[docs[vid]].append(row)
+    cents = {s: np.mean(np.stack(v), axis=0) for s, v in by_src.items()}
+
+    out = source_embedding_drift(spark, SF_SMALL).collect()
+    srcs = sorted(cents)
+    assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+    for r in out:
+        ca, cb = cents[r.source_a], cents[r.source_b]
+        cos = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+        l2 = float(np.linalg.norm(ca - cb))
+        assert abs(r.cos_centroids - cos) < 1e-4, (r.source_a, r.source_b)
+        assert abs(r.l2_centroids - l2) < 1e-4
+        assert r.n_a == len(by_src[r.source_a])
+        assert r.n_b == len(by_src[r.source_b])

@@ -208,3 +208,104 @@ def pca_project(
     return embs.mapInPandas(
         _project, schema="vec_id long, proj array<double>"
     )
+
+
+def source_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between sources: per-source centroid
+    vectors, then for every (unordered) source pair the cosine
+    similarity and L2 distance of the centroids — the cheap detector
+    for "this crawl snapshot moved" / "these two feeds cover different
+    material" that complements the token-level JS divergence
+    (``textual.source_divergence``) with a semantic-space view.
+
+    Scale shape: one docs⋈embeddings id join (doc_id IS vec_id — the
+    store convention), one (source, position)-keyed aggregation for
+    the centroids (|sources|·d rows — tiny), then a position join of
+    the centroid table with itself over source pairs. Nothing after
+    the first aggregation is corpus-sized.
+
+    Float parity: coordinate sums fold as ROUND(9)→DECIMAL(28,9);
+    centroid means divide once into doubles; pair products ROUND(9)→
+    DECIMAL again, and the final cosine/L2 combine runs in one fixed
+    operation order with ROUND(6). Output (source_a, source_b,
+    cos_centroids, l2_centroids, n_a, n_b).
+    """
+    from ..sources.store import load_documents
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    embs = load_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    coords = docs.join(embs, "doc_id").select(
+        "source",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("i", "v"),
+    )
+    cent = (
+        coords.groupBy("source", "i")
+        .agg(
+            F.sum(F.round(F.col("v"), 9).cast("decimal(28,9)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "source",
+            "i",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "m"
+            ),
+            "n",
+        )
+    )
+    a = cent.select(
+        F.col("source").alias("source_a"),
+        "i",
+        F.col("m").alias("ma"),
+        F.col("n").alias("n_a"),
+    )
+    b = cent.select(
+        F.col("source").alias("source_b"),
+        "i",
+        F.col("m").alias("mb"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = a.join(b, "i").filter(F.col("source_a") < F.col("source_b"))
+    agg = pairs.groupBy("source_a", "source_b").agg(
+        F.sum(
+            F.round(F.col("ma") * F.col("mb"), 9).cast("decimal(28,9)")
+        ).alias("dot"),
+        F.sum(
+            F.round(F.col("ma") * F.col("ma"), 9).cast("decimal(28,9)")
+        ).alias("naq"),
+        F.sum(
+            F.round(F.col("mb") * F.col("mb"), 9).cast("decimal(28,9)")
+        ).alias("nbq"),
+        F.sum(
+            F.round(
+                (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")),
+                9,
+            ).cast("decimal(28,9)")
+        ).alias("d2"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        (
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("naq").cast("double"))
+                    * F.sqrt(F.col("nbq").cast("double"))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cos_centroids"),
+        (
+            F.round(F.sqrt(F.col("d2").cast("double")), 6) + F.lit(0.0)
+        ).alias("l2_centroids"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+    )

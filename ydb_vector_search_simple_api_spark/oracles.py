@@ -346,3 +346,40 @@ JOIN means ma ON ma.i = p.i
 JOIN means mb ON mb.i = p.j
 CROSS JOIN consts c
 """
+
+
+SOURCE_EMBEDDING_DRIFT = """
+WITH coords AS (
+  SELECT d.source,
+         generate_subscripts(e.embedding, 1) - 1 AS i,
+         unnest(e.embedding)::DOUBLE AS v
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+cent AS (
+  SELECT source, i,
+         SUM(CAST(ROUND(v, 9) AS DECIMAL(28,9))) AS s,
+         count(*)::BIGINT AS n
+  FROM coords GROUP BY 1, 2
+),
+cm AS (SELECT source, i, s::DOUBLE / n::DOUBLE AS m, n FROM cent),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.i,
+         a.m AS ma, b.m AS mb, a.n AS n_a, b.n AS n_b
+  FROM cm a JOIN cm b ON a.i = b.i AND a.source < b.source
+),
+agg AS (
+  SELECT source_a, source_b,
+         SUM(CAST(ROUND(ma * mb, 9) AS DECIMAL(28,9))) AS dot,
+         SUM(CAST(ROUND(ma * ma, 9) AS DECIMAL(28,9))) AS naq,
+         SUM(CAST(ROUND(mb * mb, 9) AS DECIMAL(28,9))) AS nbq,
+         SUM(CAST(ROUND((ma - mb) * (ma - mb), 9) AS DECIMAL(28,9))) AS d2,
+         MAX(n_a) AS n_a, MAX(n_b) AS n_b
+  FROM pairs GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       ROUND(dot::DOUBLE / (sqrt(naq::DOUBLE) * sqrt(nbq::DOUBLE)), 6) + 0.0
+         AS cos_centroids,
+       ROUND(sqrt(d2::DOUBLE), 6) + 0.0 AS l2_centroids,
+       n_a::BIGINT AS n_a, n_b::BIGINT AS n_b
+FROM agg
+"""
