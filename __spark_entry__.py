@@ -36,6 +36,7 @@ from ydb_vector_search_simple_api_spark.operators import (
 )
 from ydb_vector_search_simple_api_spark.operators import bpe as bpe_mod
 from ydb_vector_search_simple_api_spark.operators import classify as classify_mod
+from ydb_vector_search_simple_api_spark.operators import dsir as dsir_mod
 from ydb_vector_search_simple_api_spark.operators import embstats as embstats_mod
 from ydb_vector_search_simple_api_spark.operators import clustering as clustering_mod
 from ydb_vector_search_simple_api_spark.operators import enrich as enrich_mod
@@ -1615,6 +1616,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # semantic-space counterpart of textual.source_divergence: per-
     # source centroids + pairwise cosine/L2 drift (oracle-backed)
     q["source_embedding_drift"] = embstats_mod.source_embedding_drift
+    # DSIR (round 5): hashed-n-gram importance weights against the
+    # English target slice + Gumbel top-k resample (Xie et al. 2023);
+    # weights are decimal-exact folds over a broadcast λ table
+    q["dsir_weights"] = dsir_mod.dsir_weights
+    q["dsir_select"] = dsir_mod.dsir_select
     return q
 
 
@@ -1885,4 +1891,6 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["source_embedding_drift"] = oracles.SOURCE_EMBEDDING_DRIFT
     # embedding_pca: rows-only (eigendecomposition has no SQL twin);
     # moment math shares embedding_covariance's oracle via pytest
+    o["dsir_weights"] = oracles_curation.dsir_weights_sql()
+    o["dsir_select"] = oracles_curation.dsir_select_sql()
     return o

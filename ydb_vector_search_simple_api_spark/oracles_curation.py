@@ -527,3 +527,83 @@ FROM pairs p
 JOIN safe a ON p.id_a = a.doc_id
 JOIN safe b ON p.id_b = b.doc_id
 """
+
+
+def _hexint(expr: str) -> str:
+    """md5 6-hex-prefix -> BIGINT (DuckDB has no hex-to-int cast)."""
+    return (
+        "list_reduce(list_transform(generate_series(1, 6), "
+        f"i -> strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1), "
+        "(acc, dig) -> acc * 16 + dig)::BIGINT"
+    )
+
+
+def _dsir_weights_cte(n_buckets: int, alpha: float) -> str:
+    """Shared CTE chain for the DSIR twins: hashed unigram+bigram
+    features -> raw/target bucket counts -> ROUND(ln-ratio, 9) decimal
+    λ table -> per-doc exact decimal fold."""
+    a = float(alpha)
+    ab = a * n_buckets
+    return f"""
+t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+uni AS (SELECT doc_id, lang, unnest(toks) AS f FROM t),
+pairs AS (
+  SELECT doc_id, lang,
+         unnest(list_slice(toks, 1, len(toks) - 1)) AS prev,
+         unnest(list_slice(toks, 2, len(toks))) AS cur
+  FROM t WHERE len(toks) >= 2
+),
+feats AS (
+  SELECT doc_id, lang, f FROM uni
+  UNION ALL
+  SELECT doc_id, lang, prev || ' ' || cur AS f FROM pairs
+),
+fb AS (SELECT doc_id, lang, {_hexint('f')} % {n_buckets} AS b FROM feats),
+raw AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+tgt AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT (SELECT sum(cr) FROM raw)::DOUBLE AS tr,
+         (SELECT sum(ct) FROM tgt)::DOUBLE AS tt
+),
+lam AS (
+  SELECT raw.b,
+         CAST(ROUND(
+           ln((COALESCE(tgt.ct, 0)::DOUBLE + {a}) / (tot.tt + {ab}))
+           - ln((raw.cr::DOUBLE + {a}) / (tot.tr + {ab})), 9)
+         AS DECIMAL(18,9)) AS lam
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+),
+tf AS (SELECT doc_id, b, count(*) AS tf FROM fb GROUP BY doc_id, b),
+w AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_feats,
+         ROUND(CAST(sum(lam * CAST(tf AS DECIMAL(10,0))) AS DOUBLE), 6) + 0.0
+           AS logw
+  FROM tf JOIN lam USING (b) GROUP BY doc_id
+)"""
+
+
+def dsir_weights_sql(n_buckets: int = 1024, alpha: float = 1.0) -> str:
+    """Twin of :func:`operators.dsir.dsir_weights`."""
+    return f"""
+WITH {_dsir_weights_cte(n_buckets, alpha)}
+SELECT doc_id, n_feats, logw FROM w ORDER BY doc_id
+"""
+
+
+def dsir_select_sql(
+    k: int = 64, n_buckets: int = 1024, alpha: float = 1.0
+) -> str:
+    """Twin of :func:`operators.dsir.dsir_select` — Gumbel top-k from
+    the md5('dsir:'||doc_id) uniform, ROUND(g, 9) then ROUND(key, 6)."""
+    g_draw = _hexint("'dsir:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH {_dsir_weights_cte(n_buckets, alpha)},
+sel AS (
+  SELECT doc_id, logw,
+         ROUND(logw + ROUND(-ln(-ln(({g_draw}::DOUBLE * 2 + 1) / {float(2 * 16**6)})), 9), 6) + 0.0
+           AS sel_key
+  FROM w
+)
+SELECT doc_id, logw, sel_key FROM sel
+ORDER BY sel_key DESC, doc_id ASC LIMIT {int(k)}
+"""
