@@ -345,6 +345,46 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return _PQ_CACHE[key]
 
 
+_OPQ_CACHE: dict[str, object] = {}
+
+
+def _opq_index(spark: SparkSession, sf_dir: str):
+    from ydb_vector_search_simple_api_spark.operators import opq as opq_mod
+
+    key = sf_dir
+    if key not in _OPQ_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(), f"svs_opq_{tag}_m{PQ_M}")
+        if os.path.exists(os.path.join(out, "_opq_meta.json")):
+            _OPQ_CACHE[key] = opq_mod.load_opq_index(out)
+        else:
+            from pyspark.sql import functions as F
+
+            embs = load_embeddings(spark, sf_dir).select(
+                F.col("vec_id").alias("id"), "embedding"
+            )
+            _OPQ_CACHE[key] = opq_mod.build_opq_index(
+                spark, embs, out, m=PQ_M, nbits=8, normalize=True
+            )
+    return _OPQ_CACHE[key]
+
+
+def _opq_rerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import opq as opq_mod
+
+    idx = _opq_index(spark, sf_dir)
+    embs = load_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    return opq_mod.opq_search_rerank(
+        spark, idx, embs, _query_vec(spark, sf_dir), k=10,
+        strategy="CosineSimilarity", shortlist=embs.count(),
+        round_digits=ROUND,
+    )
+
+
 def _mk_pq_rerank(strategy: str, k: int, shortlist: int | None):
     """shortlist=None -> full corpus (exact, strong oracle)."""
 
@@ -1621,6 +1661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # weights are decimal-exact folds over a broadcast λ table
     q["dsir_weights"] = dsir_mod.dsir_weights
     q["dsir_select"] = dsir_mod.dsir_select
+    # OPQ (round 5): learned orthogonal rotation (PCA + eigenvalue
+    # allocation, Ge et al. 2013) ahead of the stock PQ coder; full
+    # shortlist -> exact rerank on the ORIGINAL vectors == exact top-k
+    q["opq_rerank_full"] = _opq_rerank_full
     return q
 
 
@@ -1893,4 +1937,5 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     # moment math shares embedding_covariance's oracle via pytest
     o["dsir_weights"] = oracles_curation.dsir_weights_sql()
     o["dsir_select"] = oracles_curation.dsir_select_sql()
+    o["opq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     return o
