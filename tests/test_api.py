@@ -573,3 +573,40 @@ def test_sq_engine_filtered_and_pruned(spark, qvec, sq_engine):
     assert _as_tuples(got) == _as_tuples(want)
     pruned, _ = sq_engine.search(qvec, k=5, filter=flt, search_top_size=50)
     assert all(r["vendor"] == "fr" for r in pruned)
+
+
+@pytest.fixture(scope="module")
+def opq_engine(spark, tmp_path_factory):
+    from ydb_vector_search_simple_api_spark.operators import opq as opq_mod
+
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    idx = opq_mod.build_opq_index(
+        spark, embs, str(tmp_path_factory.mktemp("opq_eng") / "opq"),
+        m=8, nbits=8, normalize=True,
+    )
+    return api.VectorSearchEngine(
+        spark,
+        SF_SMALL,
+        config=SearchConfig(index_enabled=True, strict_filter_index_exclusion=False),
+        index=idx,
+    )
+
+
+def test_opq_engine_full_shortlist_matches_exact(spark, qvec, opq_engine):
+    """Sixth index shape behind the engine: rotated-ADC codes. Width
+    knob is the rerank shortlist (the BQ/SQ contract); >= corpus =>
+    exact because the rerank reads the ORIGINAL vectors."""
+    got, _ = opq_engine.search(qvec, k=5, search_top_size=500)
+    want, _ = api.VectorSearchEngine(spark, SF_SMALL).search(qvec, k=5)
+    assert _as_tuples(got) == _as_tuples(want)
+
+
+def test_opq_engine_filtered_and_pruned(spark, qvec, opq_engine):
+    flt = {"vendor": "fr"}
+    got, _ = opq_engine.search(qvec, k=5, filter=flt, search_top_size=500)
+    want, _ = api.VectorSearchEngine(spark, SF_SMALL).search(qvec, k=5, filter=flt)
+    assert _as_tuples(got) == _as_tuples(want)
+    pruned, _ = opq_engine.search(qvec, k=5, filter=flt, search_top_size=50)
+    assert all(r["vendor"] == "fr" for r in pruned)

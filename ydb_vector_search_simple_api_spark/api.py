@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from .config import DEFAULT_SEARCH_TOP_SIZE, SearchConfig, sort_descending
 from .operators import bq as bq_mod
 from .operators import graphann as gann_mod
+from .operators import opq as opq_mod
 from .operators import sq as sq_mod
 from .operators import index as ivf_mod
 from .operators import tree as tree_mod
@@ -81,7 +82,8 @@ class VectorSearchEngine:
     ``vector_kmeans_tree`` secondary index has — app.py:193-196) —
     plus the compressed-code tables — sign-bit BQ
     (``operators.bq.BqIndex``) and int8 SQ
-    (``operators.sq.SqIndex``) — whose width knob is the rerank
+    (``operators.sq.SqIndex``) and learned-rotation OPQ
+    (``operators.opq.OpqIndex``) — whose width knob is the rerank
     shortlist size (documented divergence: not a cluster count) — and
     the graph-ANN k-NN-graph (``operators.graphann.GraphAnnIndex``),
     whose width knob is the beam width."""
@@ -94,6 +96,7 @@ class VectorSearchEngine:
         | tree_mod.KmeansTreeIndex
         | bq_mod.BqIndex
         | sq_mod.SqIndex
+        | opq_mod.OpqIndex
         | gann_mod.GraphAnnIndex
         | None
     ) = None
@@ -180,7 +183,26 @@ class VectorSearchEngine:
                 else None
             )
             width = search_top_size or self.config.search_top_size
-            if isinstance(self.index, (bq_mod.BqIndex, sq_mod.SqIndex)):
+            if isinstance(self.index, opq_mod.OpqIndex):
+                # rotated-ADC shape: width = rerank shortlist (the
+                # BQ/SQ contract); shortlist in rotated space, exact
+                # rerank on the ORIGINAL store vectors
+                from .sources.store import load_embeddings
+
+                src = load_embeddings(self.spark, self.sf_dir).select(
+                    F.col("vec_id").alias("id"), "embedding"
+                )
+                topk = opq_mod.opq_search_rerank(
+                    self.spark,
+                    self.index,
+                    src,
+                    embedding,
+                    k=k,
+                    strategy=self.config.strategy,
+                    shortlist=width,
+                    filter_ids=flt_ids,
+                )
+            elif isinstance(self.index, (bq_mod.BqIndex, sq_mod.SqIndex)):
                 # for the compressed-code tables (BQ sign bits, SQ
                 # int8) the search width IS the rerank shortlist
                 # (>= corpus => exact); candidates rerank against the

@@ -174,15 +174,19 @@ def opq_search_rerank(
     strategy: str = "CosineSimilarity",
     shortlist: int = 100,
     round_digits: int | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """ADC shortlist in ROTATED space -> exact re-rank on the ORIGINAL
     vectors/query. ``shortlist >= corpus size`` is EXACT (identical to
-    exact_search over (id, score)) — the oracle-gated configuration."""
+    exact_search over (id, score)) — the oracle-gated configuration.
+    ``filter_ids`` restricts candidates BEFORE the shortlist (the
+    shared non-strict filtered-ANN contract)."""
     validate_strategy(strategy)
     q = np.asarray(list(query_vec), dtype=np.float64)
     q_rot = q @ index.rotation
     cand = pq_adc_topk(
-        spark, index.pq, list(q_rot), k=shortlist, strategy=strategy
+        spark, index.pq, list(q_rot), k=shortlist, strategy=strategy,
+        filter_ids=filter_ids,
     )
     ids = cand.select("id")
     src = full_df.select(

@@ -394,13 +394,18 @@ def pq_adc_topk(
     k: int = DEFAULT_K,
     strategy: str = "CosineSimilarity",
     partition_filter=None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k over PQ codes only (no full vectors touched).
     Returns (id, score) with the ADC estimate as score. Shuffle-free
     scan: each partition emits at most k candidate rows.
     ``partition_filter`` (a Column over the codes layout's partition
     column) turns this into the IVFADC read: whole code directories
-    are pruned at planning time before the scan even lists files."""
+    are pruned at planning time before the scan even lists files.
+    ``filter_ids`` (1-column id DataFrame) restricts candidates BEFORE
+    the shortlist — the shared non-strict filtered-ANN contract: the
+    budget is spent on rows passing the filter, so full-shortlist
+    filtered results equal exact filtered search."""
     validate_strategy(strategy)
     lut, needs_sqrt = _adc_table(index, query_vec, strategy)
     desc = sort_descending(strategy)
@@ -411,6 +416,12 @@ def pq_adc_topk(
     )
     if partition_filter is not None:
         codes_df = codes_df.filter(partition_filter)
+    if filter_ids is not None:
+        codes_df = codes_df.join(
+            filter_ids.select(F.col(filter_ids.columns[0]).alias("id")),
+            "id",
+            "left_semi",
+        )
     codes_df = codes_df.select("id", "codes")
     out_schema = T.StructType(
         [
