@@ -236,3 +236,110 @@ def test_filter_ids_restrict_after_traversal(spark, gann):
     ).collect()
     assert all(r.id % 2 == 0 for r in got)
     assert len(got) == 5
+
+
+def test_clustered_bootstrap_build(spark):
+    """Corpus-scale bootstrap: multi-probe cluster-local kNN edges +
+    one NN-descent round produce an index whose FULL-beam search is
+    exact (connectivity augmentation guarantees it regardless of edge
+    quality) and whose finite-beam recall is usable."""
+    from ydb_vector_search_simple_api_spark.operators import index as ivf_mod
+
+    embs = _src(spark)
+    ivf_dir = tempfile.mkdtemp(prefix="svs_test_gboot_ivf_")
+    out = tempfile.mkdtemp(prefix="svs_test_gboot_idx_")
+    try:
+        ivf = ivf_mod.build_ivf_index(spark, embs, ivf_dir, n_clusters=8)
+        edges = G.clustered_bootstrap_edges(spark, ivf, m=8, probes=2)
+        # every node sources edges; per-node degree bounded by m*probes
+        deg = edges.groupBy("query_id").count().collect()
+        assert len(deg) == embs.count()
+        assert max(r["count"] for r in deg) <= 8 * 2
+        idx = G.build_knn_graph(
+            spark, embs, out, m=8, knn_pairs=edges, refine_iters=1
+        )
+        q = _qvec(spark)
+        got = G.graphann_search(
+            spark, idx, embs, q, k=10, beam=None, round_digits=6
+        ).collect()
+        want = exact_search(
+            spark, SF_SMALL, q, k=10, strategy="CosineSimilarity",
+            round_digits=6,
+        ).collect()
+        assert [(r.id, r.score) for r in got] == [
+            (r.id, r.score) for r in want
+        ]
+        # finite beam: recall@10 vs exact at beam=32 on the bootstrap
+        # graph should be high on the fixture corpus
+        got32 = G.graphann_search(
+            spark, idx, embs, q, k=10, beam=32, round_digits=6
+        ).collect()
+        want_ids = {r.id for r in want}
+        assert len({r.id for r in got32} & want_ids) >= 7
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_navigation_seeds_persist_and_search(spark):
+    """Seeds: cluster representatives persist through build -> upsert
+    -> compact metas; searches with seeds stay exact at full beam and
+    the representatives are real stored ids (one per cluster)."""
+    from ydb_vector_search_simple_api_spark.operators import index as ivf_mod
+
+    embs = _src(spark)
+    ivf_dir = tempfile.mkdtemp(prefix="svs_test_gseed_ivf_")
+    out = tempfile.mkdtemp(prefix="svs_test_gseed_idx_")
+    out2 = tempfile.mkdtemp(prefix="svs_test_gseed_cmp_")
+    try:
+        ivf = ivf_mod.build_ivf_index(spark, embs, ivf_dir, n_clusters=8)
+        seeds = G.cluster_representatives(spark, ivf)
+        assert len(seeds) == 8
+        all_ids = {r.id for r in embs.select("id").collect()}
+        assert set(seeds) <= all_ids
+        edges = G.clustered_bootstrap_edges(spark, ivf, m=6, probes=2)
+        idx = G.build_knn_graph(
+            spark, embs, out, m=6, knn_pairs=edges, seed_nodes=seeds
+        )
+        assert list(idx.seeds) == seeds
+        # navigation layer: one stored vector per seed, dim-correct,
+        # and the driver-side router picks a bounded entry set
+        assert len(idx.seed_vecs) == len(seeds)
+        assert all(len(v) == idx.dim for v in idx.seed_vecs)
+        import numpy as np
+
+        q0 = np.asarray(_qvec(spark), dtype=np.float64)
+        entries = G._entry_seed_ids(idx, q0, "CosineSimilarity")
+        assert len(entries) <= G.N_ENTRY_SEEDS + 2
+        assert set(entries) <= set(seeds) | {idx.medoid, idx.entry_point}
+        q = _qvec(spark)
+        got = G.graphann_search(
+            spark, idx, embs, q, k=10, beam=None, round_digits=6
+        ).collect()
+        want = exact_search(
+            spark, SF_SMALL, q, k=10, strategy="CosineSimilarity",
+            round_digits=6,
+        ).collect()
+        assert [(r.id, r.score) for r in got] == [
+            (r.id, r.score) for r in want
+        ]
+        # seeds survive the maintenance cycle
+        n0 = embs.count()
+        batch = embs.filter(F.col("id") < 4).select(
+            (F.col("id") + n0 + 1_000_000).alias("id"), "embedding"
+        )
+        idx2 = G.graphann_upsert(spark, idx, batch)
+        assert list(idx2.seeds) == seeds
+        idx3 = G.graphann_compact(spark, idx2, out2)
+        assert list(idx3.seeds) == seeds
+        src3 = spark.read.parquet(f"{out2}/adjacency").select(
+            "id", "embedding"
+        )
+        got3 = G.graphann_search(
+            spark, idx3, src3, q, k=10, beam=None, round_digits=6
+        ).collect()
+        assert len(got3) == 10
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)

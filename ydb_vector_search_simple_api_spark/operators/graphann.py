@@ -77,6 +77,22 @@ class GraphAnnIndex:
     medoid: int  # id nearest the corpus mean — the search seed
     id_col: str = "id"
     vec_col: str = "embedding"
+    # navigation layer: per-cluster representative node ids + their
+    # vectors (the flat-graph stand-in for HNSW's upper layers / NSG's
+    # navigating node). A pure kNN graph has only SHORT edges, so
+    # best-first search from one entry stalls in the wrong Voronoi
+    # region once the corpus outgrows a few thousand nodes (measured:
+    # recall@10 0.04 at 500k rows from {medoid, entry} alone vs 0.97
+    # at 6k). At query time the driver scores the query against
+    # ``seed_vecs`` (n_clusters × dim floats — centroid-sized, the
+    # same driver-residency contract as IVF centroids) and enters the
+    # graph from the top ``N_ENTRY_SEEDS`` representatives only:
+    # routing picks the right region WITHOUT flooding the beam with
+    # one candidate per cluster (seeds-as-beam-members measured 0.30
+    # recall@10/beam=16 at 100k — the far-cluster seeds crowd out the
+    # true neighborhood). Empty tuples = legacy two-seed behavior.
+    seeds: tuple = ()
+    seed_vecs: tuple = ()
 
 
 def build_knn_graph(
@@ -89,15 +105,19 @@ def build_knn_graph(
     strategy: str = "CosineSimilarity",
     refine_iters: int = 0,
     knn_pairs: DataFrame | None = None,
+    seed_nodes=None,
 ) -> GraphAnnIndex:
     """Offline build: kNN self-join -> per-node m-neighbor adjacency ->
     connectivity augmentation -> persisted (id, embedding, neighbors)
     table + meta. ``knn_pairs`` lets a caller supply approximate
-    bootstrap edges (e.g. ``ivf_knn_join_routed_blocked`` output with
+    bootstrap edges (e.g. ``clustered_bootstrap_edges`` output with
     columns query_id/id) for corpora where the exact blocked join is
     too big; ``refine_iters`` then runs NN-descent rounds (candidates =
     neighbors-of-neighbors, re-scored exactly, top-m kept) to repair
-    bootstrap recall."""
+    bootstrap recall. ``seed_nodes`` (id iterable — one representative
+    per k-means cluster via :func:`cluster_representatives`) persists
+    navigation seeds into the meta; see ``GraphAnnIndex.seeds`` for
+    why a flat kNN graph needs them past a few thousand nodes."""
     from .search import knn_join_blocked
 
     validate_strategy(strategy)
@@ -201,6 +221,21 @@ def build_knn_graph(
         .head()
         .id
     )
+    seeds: list[int] = []
+    seed_vecs: list[list[float]] = []
+    if seed_nodes:
+        # fetch the representatives' vectors with a broadcast semi-join
+        # (NOT an isin literal — n_clusters can be large; the driver
+        # collect stays centroid-sized, the IVF-centroid contract)
+        sdf = spark.createDataFrame(
+            [(int(s),) for s in seed_nodes], schema="id long"
+        )
+        rows = src.join(F.broadcast(sdf), "id", "left_semi").select(
+            "id", "embedding"
+        ).collect()
+        rows.sort(key=lambda r: r.id)
+        seeds = [int(r.id) for r in rows]
+        seed_vecs = [[float(x) for x in r.embedding] for r in rows]
     meta = {
         "dim": dim,
         "n_rows": n_rows,
@@ -209,11 +244,210 @@ def build_knn_graph(
         "medoid": int(medoid),
         "id_col": id_col,
         "vec_col": vec_col,
+        "seeds": seeds,
+        "seed_vecs": seed_vecs,
     }
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _META_FILE), "w") as f:
         json.dump(meta, f)
     return GraphAnnIndex(path=out_dir, **meta)
+
+
+def clustered_bootstrap_edges(
+    spark: SparkSession,
+    ivf_index,
+    m: int = 8,
+    strategy: str = "CosineSimilarity",
+    probes: int = 2,
+    block: int = 1024,
+) -> DataFrame:
+    """CORPUS-SCALE bootstrap for :func:`build_knn_graph`: approximate
+    (query_id, id) kNN edges from LOCAL exact kNN inside each IVF
+    cluster — no driver collect of the corpus, no all-pairs join.
+
+    Why this exists: the exact blocked self-join is O(n²) scores and
+    ``ivf_knn_join_routed_blocked`` collects its query batch to the
+    driver (documented 10²..10⁵ contract) — neither survives
+    corpus-as-queries at 10⁶⁺. This path is the standard
+    cluster-then-local-kNN construction (the k-means counterpart of
+    NN-Descent's partition trick, Dong et al.'11 §: local joins):
+
+    * **multi-probe assignment**: each vector re-assigns to its top-
+      ``probes`` centroids (one Arrow matmul per batch against the
+      broadcast centroid matrix), so near-boundary nodes meet their
+      cross-cluster neighbors inside a shared probe cluster — the
+      same boundary fix ``neardup_cosine_multiprobe`` uses.
+    * **per-cluster local kNN**: ``applyInPandas`` over cluster
+      groups; inside a group, scores are blocked BLAS products
+      (``block`` queries at a time — cluster_size × block doubles
+      live at once, never cluster_size²).
+
+    Edge quality is a bootstrap concern only: full-beam search stays
+    exact regardless (connectivity augmentation + visited==n_rows
+    assertion); finite-beam recall is repaired by NN-descent rounds
+    (``refine_iters``) and measured in tools/graphann_scale_probe.py.
+
+    Scale shape: one narrow scan + one (cluster_id)-keyed shuffle of
+    ``probes``× the corpus; peak task memory is
+    O(max_cluster_size × (dim + block)). Cluster count (chosen at
+    ``build_ivf_index`` time) is the knob that bounds group size —
+    n/4096-ish keeps groups BLAS-friendly.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .search import _blas_block_scores
+
+    validate_strategy(strategy)
+    if m < 1:
+        raise ValueError("m must be a positive integer")
+    probes = max(1, min(int(probes), ivf_index.n_clusters))
+
+    cents = ivf_index.centroids  # (C, d) numpy
+    bc_c = spark.sparkContext.broadcast(cents)
+    store = spark.read.parquet(ivf_index.path).select("id", "embedding")
+
+    def _assign(batches):
+        C = bc_c.value
+        if strategy in ("CosineSimilarity", "CosineDistance"):
+            Cn = C / np.maximum(
+                np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+            )
+        else:
+            Cn = C
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if strategy in ("CosineSimilarity", "CosineDistance"):
+                En = E / np.maximum(
+                    np.linalg.norm(E, axis=1, keepdims=True), 1e-12
+                )
+                S = En @ Cn.T
+            elif strategy == "InnerProductSimilarity":
+                S = E @ Cn.T
+            else:  # euclidean / manhattan route by euclidean
+                S = -(
+                    (E * E).sum(1, keepdims=True)
+                    - 2.0 * (E @ Cn.T)
+                    + (Cn * Cn).sum(1)
+                )
+            top = np.argsort(-S, axis=1, kind="stable")[:, :probes]
+            n_r = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": top.ravel().astype("int32"),
+                    "id": np.repeat(pdf["id"].to_numpy(), probes),
+                    "embedding": [
+                        e for e in pdf["embedding"] for _ in range(probes)
+                    ],
+                }
+            )
+            del E, S, top, n_r
+
+    assigned = store.mapInPandas(
+        _assign,
+        schema="cluster_id int, id long, embedding array<float>",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("id", T.LongType()),
+        ]
+    )
+
+    desc = strategy in ("CosineSimilarity", "InnerProductSimilarity")
+
+    def _local_knn(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"query_id": [], "id": []}).astype(
+                {"query_id": "int64", "id": "int64"}
+            )
+        ids = pdf["id"].to_numpy()
+        E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        kk = min(m + 1, n)
+        srcs, dsts = [], []
+        for lo in range(0, n, block):
+            Q = E[lo : lo + block]
+            S = _blas_block_scores(E, Q, strategy)  # (n, q)
+            order = np.argsort(-S if desc else S, axis=0, kind="stable")[
+                :kk
+            ]
+            for j in range(Q.shape[0]):
+                qi = lo + j
+                sel = order[:, j]
+                sel = sel[sel != qi][: kk - 1]
+                srcs.append(np.full(len(sel), ids[qi], dtype=np.int64))
+                dsts.append(ids[sel].astype(np.int64))
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(srcs),
+                "id": np.concatenate(dsts),
+            }
+        )
+
+    edges = (
+        assigned.groupBy("cluster_id")
+        .applyInPandas(_local_knn, schema=out_schema)
+        .distinct()
+    )
+    return edges
+
+
+def cluster_representatives(
+    spark: SparkSession, ivf_index, strategy: str = "CosineSimilarity"
+) -> list:
+    """One navigation-seed node per IVF cluster: the stored vector
+    most similar to its cluster's centroid (deterministic — ties break
+    to the smaller id). One Arrow pass over the cluster-partitioned
+    store + an n_clusters-row `max_by` aggregation; the collect is
+    centroid-sized (the established driver-traffic contract)."""
+    import pandas as pd
+
+    cents = ivf_index.centroids
+    bc = spark.sparkContext.broadcast(cents)
+    store = spark.read.parquet(ivf_index.path).select(
+        "cluster_id", "id", "embedding"
+    )
+
+    def _sim(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cid = pdf["cluster_id"].to_numpy()
+            Cc = C[cid]
+            if strategy in ("CosineSimilarity", "CosineDistance"):
+                num = (E * Cc).sum(1)
+                den = np.linalg.norm(E, axis=1) * np.maximum(
+                    np.linalg.norm(Cc, axis=1), 1e-12
+                )
+                s = num / np.maximum(den, 1e-12)
+            elif strategy == "InnerProductSimilarity":
+                s = (E * Cc).sum(1)
+            else:
+                s = -np.linalg.norm(E - Cc, axis=1)
+            yield pd.DataFrame(
+                {"cluster_id": cid, "id": pdf["id"], "s": s}
+            )
+
+    scored = store.mapInPandas(
+        _sim, schema="cluster_id int, id long, s double"
+    )
+    rows = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("s"), (-F.col("id")).alias("nid"))
+            ).alias("b")
+        )
+        .select((-F.col("b.nid")).alias("id"))
+        .collect()
+    )
+    return sorted(int(r.id) for r in rows)
 
 
 def _nn_descent_round(
@@ -338,6 +572,8 @@ def graphann_upsert(
         "medoid": index.medoid,
         "id_col": index.id_col,
         "vec_col": index.vec_col,
+        "seeds": list(index.seeds),
+        "seed_vecs": [list(v) for v in index.seed_vecs],
     }
     with open(os.path.join(index.path, _META_FILE), "w") as f:
         json.dump(meta, f)
@@ -387,6 +623,8 @@ def graphann_compact(
         "medoid": index.medoid,
         "id_col": index.id_col,
         "vec_col": index.vec_col,
+        "seeds": list(index.seeds),
+        "seed_vecs": [list(v) for v in index.seed_vecs],
     }
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _META_FILE), "w") as f:
@@ -477,6 +715,30 @@ def _np_scores(strategy: str, V: np.ndarray, q: np.ndarray) -> np.ndarray:
     raise ValueError(strategy)
 
 
+#: entry points taken from the navigation layer per query (the
+#: IVF-probes analogue: enough regions to be robust to routing error,
+#: few enough that the beam stays available for the true neighborhood)
+N_ENTRY_SEEDS = 4
+
+
+def _entry_seed_ids(
+    index: GraphAnnIndex, q: "np.ndarray", strategy: str
+) -> list:
+    """Query-routed entry points: medoid + connectivity root + the
+    ``N_ENTRY_SEEDS`` navigation representatives nearest the query
+    (one numpy matvec over the meta-resident seed vectors). Legacy
+    metas without vectors fall back to all recorded seeds."""
+    out = {int(index.medoid), int(index.entry_point)}
+    if index.seeds and index.seed_vecs:
+        sv = np.asarray(index.seed_vecs, dtype=np.float64)
+        ssim = _np_scores(strategy, sv, q)
+        order = np.argsort(-ssim, kind="stable")[:N_ENTRY_SEEDS]
+        out.update(int(index.seeds[i]) for i in order)
+    elif index.seeds:
+        out.update(int(s) for s in index.seeds)
+    return sorted(out)
+
+
 def _beam_search_driver(
     graph, index: GraphAnnIndex, query_vec: Sequence[float],
     strategy: str, beam: int | None,
@@ -492,13 +754,15 @@ def _beam_search_driver(
     q = np.asarray(list(query_vec), dtype=np.float64)
     sims = _np_scores(strategy, vecs, q)
 
-    seeds = sorted(
-        {
-            int(np.searchsorted(ids, index.medoid)),
-            int(np.searchsorted(ids, index.entry_point)),
-        }
-    )
-    seeds = [s for s in seeds if 0 <= s < n]
+    seed_ids = _entry_seed_ids(index, q, strategy)
+    pos = np.searchsorted(ids, np.asarray(seed_ids, dtype=ids.dtype))
+    # validate position hits (an id absent after compaction/tombstones
+    # lands searchsorted on a DIFFERENT node — skip, don't misseed)
+    seeds = [
+        int(p)
+        for p, sid in zip(pos, seed_ids)
+        if 0 <= p < n and ids[p] == sid
+    ]
     visited = np.zeros(n, dtype=bool)
     cand: list = []  # max-heap via negated sim
     result: list = []  # min-heap of (sim, -pos): worst on top
@@ -626,13 +890,20 @@ def _beam_search_distributed(
         )
         return {int(r.id): (float("-inf") if r.s is None else r.s, [int(x) for x in r.neighbors]) for r in rows}
 
-    seeds = sorted({index.medoid, index.entry_point})
+    seeds = _entry_seed_ids(
+        index, np.asarray(list(query_vec), dtype=np.float64), strategy
+    )
     info = score_ids(seeds)
     visited = set(info)
     result = [(s, -i) for i, (s, _) in info.items()]  # min-heap, worst on top
     heapq.heapify(result)
-    frontier = list(info)
     width = index.n_rows if beam is None else max(1, int(beam))
+    frontier = [
+        i
+        for _, i in sorted(
+            ((s, i) for i, (s, _) in info.items()), reverse=True
+        )[:width]
+    ]
     while len(result) > width:
         heapq.heappop(result)
     for _ in range(max_hops):
