@@ -1665,6 +1665,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # allocation, Ge et al. 2013) ahead of the stock PQ coder; full
     # shortlist -> exact rerank on the ORIGINAL vectors == exact top-k
     q["opq_rerank_full"] = _opq_rerank_full
+    # character-level near-dup (round 5): md5-banded MinHash
+    # candidates -> exact Levenshtein verify (relative to the longer
+    # text) — the template/OCR-noise dedup the shingle Jaccard blurs
+    q["neardup_edit_distance"] = lambda s, d: dedup.neardup_edit_distance(
+        load_documents(s, d)
+    )
     return q
 
 
@@ -1938,4 +1944,5 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["dsir_weights"] = oracles_curation.dsir_weights_sql()
     o["dsir_select"] = oracles_curation.dsir_select_sql()
     o["opq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
+    o["neardup_edit_distance"] = oracles_text.neardup_edit_distance_sql()
     return o

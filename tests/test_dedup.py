@@ -428,3 +428,30 @@ def test_duplicate_spans_arrow_matches_md5_form(spark):
     assert out[1].n_dup_spans == 1 and out[1].dup_tokens == 10
     assert out[2].n_dup_spans == 1 and out[2].dup_tokens == 10
     assert out[3].n_dup_spans == 0
+
+
+def test_neardup_edit_distance_planted_pairs(spark, docs, exact_pairs):
+    """Banded candidates + exact Levenshtein: every emitted pair truly
+    clears the relative-distance cut (precision 1.0 by construction),
+    planted near-dups surface, and a hand-built twin on a tiny frame
+    pins the distance/ratio math."""
+    rows = dedup.neardup_edit_distance(docs, max_rel_dist=0.2).collect()
+    assert rows, "planted near-dups must be found"
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0.0 <= r.rel_dist <= 0.2
+    # near-dup (high-Jaccard) planted pairs with small char edits are
+    # a subset of the banded candidates; most should pass the cut
+    found = {(r.id_a, r.id_b) for r in rows}
+    assert len(found & set(exact_pairs)) >= 0.5 * len(exact_pairs)
+
+    df = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc dddd eeee"), (2, "aaaa bbbb cccc dddd eeeX"),
+         (3, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    got = dedup.neardup_edit_distance(
+        df, n=2, num_hashes=8, bands=8, max_rel_dist=0.3
+    ).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in got] == [(1, 2, 1)]
+    assert got[0].rel_dist == round(1 / 24, 6)

@@ -236,6 +236,108 @@ def minhash_signatures(
     return shingled.select("id", sig.alias("sig"))
 
 
+def lsh_band_candidates(
+    shingled: DataFrame, num_hashes: int, bands: int, hasher: str
+) -> DataFrame:
+    """Banded candidate generation shared by every MinHash consumer:
+    docs agreeing on ALL rows of at least one band (band key = hash of
+    that signature slice) become (id_a, id_b) candidates, id_a < id_b.
+    The shuffle is docs × bands keyed rows — never all-pairs; each
+    signature element belongs to exactly one band, so inlining the sig
+    expressions into the band structs duplicates no work."""
+    rows = num_hashes // bands
+    band_hash = F.xxhash64 if hasher == "xxhash64" else F.md5
+    band_rows = shingled.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_hash(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    _sig_element(F.col("sh"), b * rows + r, hasher)
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def neardup_edit_distance(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_rel_dist: float = 0.2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Edit-distance near-dup pairs: banded MinHash candidates (md5 —
+    engine-portable, the ``minhash_lsh_pairs`` banding) verified by
+    EXACT Levenshtein distance, keeping pairs whose distance is at
+    most ``max_rel_dist`` of the longer text.
+
+    Character-level edit distance catches what token-shingle Jaccard
+    blurs (small in-word edits, OCR noise, boilerplate with counters)
+    and is the classic verify step for template-dup mining. All-pairs
+    Levenshtein is O(n²·len²) — never run raw; here it runs ONLY
+    inside LSH buckets:
+
+    100 TB shape: candidates are the docs × bands keyed shuffle
+    (map-side combined), Levenshtein is a JVM codegen expression over
+    candidate pairs only, and at production lengths the bounded form
+    (``levenshtein(l, r, threshold)`` — early-exit banded DP) caps
+    per-pair cost; the unbounded form is kept here for the DuckDB
+    oracle twin (exact integer distance, identical in both engines).
+
+    Output: (id_a, id_b, dist, rel_dist), id_a < id_b.
+    """
+    shingled = shingled_table(df, id_col, text_col, n)
+    cand = lsh_band_candidates(shingled, num_hashes, bands, "md5")
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"))
+    dist = F.levenshtein(F.col("t_a"), F.col("t_b"))
+    longer = F.greatest(F.length("t_a"), F.length("t_b"))
+    rel = F.when(longer == 0, F.lit(0.0)).otherwise(
+        dist.cast("double") / longer.cast("double")
+    )
+    if round_digits is not None:
+        rel = F.round(rel, round_digits) + F.lit(0.0)
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.alias("dist"),
+            rel.alias("rel_dist"),
+        )
+        .filter(F.col("rel_dist") <= max_rel_dist)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -262,48 +364,11 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    band_hash = F.xxhash64 if hasher == "xxhash64" else F.md5
     # ONE materialized shingle table feeds signatures, banding AND
     # verification — identical subplans below the exchange become
     # ReusedExchange instead of recomputing the tokenization.
     shingled = shingled_table(df, id_col, text_col, n)
-
-    # each signature element belongs to exactly one band, so inlining
-    # the sig expressions into the band structs duplicates no work
-    band_rows = shingled.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_hash(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    _sig_element(F.col("sh"), b * rows + r, hasher)
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-
-    a, b = band_rows.alias("a"), band_rows.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    candidates = lsh_band_candidates(shingled, num_hashes, bands, hasher)
 
     sa = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

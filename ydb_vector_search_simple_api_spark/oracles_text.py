@@ -1395,3 +1395,55 @@ SELECT source_a, source_b, SUM(pairs)::BIGINT AS n_pairs,
 FROM (SELECT * FROM same UNION ALL SELECT * FROM crossed)
 GROUP BY 1, 2
 """
+
+
+def neardup_edit_distance_sql(
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_rel_dist: float = 0.2,
+) -> str:
+    """Twin of ``dedup.neardup_edit_distance``: the md5 banding of
+    ``minhash_lsh_md5_sql`` for candidates, then exact integer
+    Levenshtein (identical algorithm in both engines) with the
+    relative-distance cut against the longer text."""
+    rows = num_hashes // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('mh{i}:' || s)))"
+        for i in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "struct_pack(band := {b}, bkey := md5({key}))".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"sig[{b * rows + r + 1}]" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS id, {TOKS} AS t FROM documents),
+sh AS (SELECT id, list_distinct({_shingles(n)}) AS sh FROM toks),
+sig AS (SELECT id, sh, [{sig_elems}] AS sig FROM sh),
+exploded AS (SELECT id, unnest([{band_structs}]) AS u FROM sig),
+banded AS (SELECT id, u.band AS band, u.bkey AS bkey FROM exploded),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+verified AS (
+  SELECT id_a, id_b,
+         levenshtein(da.text, db.text)::BIGINT AS dist,
+         CASE WHEN greatest(length(da.text), length(db.text)) = 0 THEN 0.0
+              ELSE ROUND(levenshtein(da.text, db.text)::DOUBLE /
+                         greatest(length(da.text), length(db.text))::DOUBLE, 6) + 0.0
+         END AS rel_dist
+  FROM cand
+  JOIN documents da ON da.doc_id = cand.id_a
+  JOIN documents db ON db.doc_id = cand.id_b
+)
+SELECT id_a, id_b, dist, rel_dist FROM verified
+WHERE rel_dist <= {max_rel_dist}
+ORDER BY id_a, id_b
+"""
