@@ -954,15 +954,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_md5"] = lambda s, d: dedup.minhash_lsh_pairs(
         load_documents(s, d), n=3, threshold=0.8, hasher="md5"
     )
-    # lexical retrieval flagship (decimal-summed BM25 top-k) — rotated
-    # in-cap round 4 in place of tfidf_top_terms (same tokenize + df
-    # family, now in the overflow window)
-    q["bm25_topk"] = lambda s, d: ranking_mod.bm25_topk(s, d)
+    # DSIR flagship (round 5, promoted in-cap): hashed-n-gram
+    # importance weights vs the English target slice + Gumbel top-k
+    # weighted sample without replacement (Xie et al. 2023); displaces
+    # bm25_topk (driver-green r4; the lexical family stays in-cap via
+    # bm25_topk_indexed)
+    q["dsir_select"] = dsir_mod.dsir_select
 
     # ---- corpus curation (operators/curation.py)
-    # train/eval contamination: shingle containment vs the src0
-    # benchmark set, benchmark side broadcast
-    q["decontaminate"] = curation.decontaminate_documents
+    # character-level near-dup flagship (round 5, promoted in-cap):
+    # md5-banded MinHash candidates -> exact Levenshtein verify;
+    # displaces decontaminate (driver-green r2-r4; the contamination
+    # family stays in-cap via decontaminate_bloom, bit-identical twin)
+    q["neardup_edit_distance"] = lambda s, d: dedup.neardup_edit_distance(
+        load_documents(s, d)
+    )
     # the assembled end-to-end curation flow (quality + dedup election
     # + decontamination + splits), oracle-checked as ONE query — the
     # flagship composition, promoted in-cap in round 3
@@ -1656,21 +1662,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # semantic-space counterpart of textual.source_divergence: per-
     # source centroids + pairwise cosine/L2 drift (oracle-backed)
     q["source_embedding_drift"] = embstats_mod.source_embedding_drift
-    # DSIR (round 5): hashed-n-gram importance weights against the
-    # English target slice + Gumbel top-k resample (Xie et al. 2023);
-    # weights are decimal-exact folds over a broadcast λ table
+    # DSIR per-doc weights (overflow; the Gumbel top-k selection twin
+    # is in-cap): decimal-exact folds over a broadcast λ table
     q["dsir_weights"] = dsir_mod.dsir_weights
-    q["dsir_select"] = dsir_mod.dsir_select
     # OPQ (round 5): learned orthogonal rotation (PCA + eigenvalue
     # allocation, Ge et al. 2013) ahead of the stock PQ coder; full
     # shortlist -> exact rerank on the ORIGINAL vectors == exact top-k
     q["opq_rerank_full"] = _opq_rerank_full
-    # character-level near-dup (round 5): md5-banded MinHash
-    # candidates -> exact Levenshtein verify (relative to the longer
-    # text) — the template/OCR-noise dedup the shingle Jaccard blurs
-    q["neardup_edit_distance"] = lambda s, d: dedup.neardup_edit_distance(
-        load_documents(s, d)
-    )
+    # displaced by the round-5 in-cap promotions (driver-green r2-r4;
+    # families still in-cap via bm25_topk_indexed / decontaminate_bloom)
+    q["bm25_topk"] = lambda s, d: ranking_mod.bm25_topk(s, d)
+    q["decontaminate"] = curation.decontaminate_documents
     return q
 
 

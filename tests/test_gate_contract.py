@@ -23,14 +23,19 @@ import __spark_entry__ as E
 # promoted; hybrid_rrf, document_splits, winnowing_fingerprints,
 # customers_without_orders, customer_revenue_deciles,
 # purchase_attribution, surge_windows, events_in_surges (all
-# driver-green r3/r4) rotated to overflow.
+# driver-green r3/r4) rotated to overflow. Late round 5: dsir_select
+# (Gumbel top-k importance resample) and neardup_edit_distance
+# (banded Levenshtein near-dup) promoted; bm25_topk and decontaminate
+# (driver-green r2-r4; families in-cap via bm25_topk_indexed /
+# decontaminate_bloom) rotated to overflow.
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
     "text_stats", "quality_filter", "bm25_topk_indexed",
     "incremental_dedup", "split_leakage_audit", "chunk_documents",
     "perplexity_buckets", "dedup_exact_groups", "cdc_merge",
-    "neardup_cosine", "dedup_minhash_md5", "bm25_topk", "decontaminate",
+    "neardup_cosine", "dedup_minhash_md5", "dsir_select",
+    "neardup_edit_distance",
     "curate_corpus", "export_curated", "repetition_signals",
     "pq_rerank_full", "stream_interval_join", "dedup_components",
     "leakage_safe_splits",
