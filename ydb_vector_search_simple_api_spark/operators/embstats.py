@@ -51,7 +51,16 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path (:func:`pca_project`) moves the outer product
     into numpy at d² per PARTITION.
     """
-    embs = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    # the store is a handful of parquet files at gate scale — without
+    # a repartition the d²/2-per-row explode below runs on ONE task;
+    # the shuffle is corpus-narrow (id + vector), the fan-out work is
+    # what needs the cluster (decimal sums are visit-order-independent,
+    # so redistribution cannot change the result)
+    embs = (
+        load_embeddings(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
     # (i, v) coordinate stream for the first-moment sums
@@ -63,15 +72,22 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_rows = embs.agg(F.count(F.lit(1)).cast("double").alias("n_d"))
 
-    # (i, j, product) cells via nested indexed transform — one flat
-    # array of d² structs per row, exploded once; filter to i ≤ j
+    # (i, j, product) cells via nested indexed transform. Generate the
+    # upper triangle DIRECTLY (inner loop = sequence(i, d-1) +
+    # element_at) — d(d+1)/2 structs per row instead of d² filtered
+    # afterwards; same cells, same rounding, same oracle.
     cells = F.flatten(
         F.transform(
             emb_d,
             lambda vi, i: F.transform(
-                emb_d,
-                lambda vj, j: F.struct(
-                    i.alias("i"), j.alias("j"), (vi * vj).alias("p")
+                F.sequence(i, F.size(emb_d) - 1),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        vi
+                        * F.element_at(emb_d, (j + 1).cast("int"))
+                    ).alias("p"),
                 ),
             ),
         )
@@ -79,7 +95,6 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     prods = (
         embs.select(F.explode(cells).alias("c"))
         .select("c.i", "c.j", "c.p")
-        .filter(F.col("i") <= F.col("j"))
         .groupBy("i", "j")
         .agg(
             F.sum(F.round(F.col("p"), 9).cast("decimal(28,9)")).alias(
