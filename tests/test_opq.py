@@ -64,6 +64,23 @@ def test_rotation_is_orthogonal_and_balanced():
     pca_sorted = evecs[:, np.argsort(evals)[::-1]]
     assert spread(X @ R) < spread(X @ pca_sorted)
 
+    # shift-invariance: the production config trains on UNIT-NORM
+    # vectors (every eigenvalue < 1, every log negative) — the naive
+    # min-product greedy degenerates to exactly the contiguous chop
+    # there; the level greedy must not (same allocation as unscaled)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Rn = opq.train_opq_rotation(Xn, m=m)
+    mun = Xn.mean(axis=0)
+    evn, evecn = np.linalg.eigh(
+        (Xn - mun).T @ (Xn - mun) / (len(Xn) - 1)
+    )
+    pca_n = evecn[:, np.argsort(evn)[::-1]]
+    assert not np.allclose(Rn, pca_n)  # not the contiguous chop
+    assert spread(Xn @ Rn) < spread(Xn @ pca_n)
+    # and rescaling the data must not change the allocation decisions
+    R_scaled = opq.train_opq_rotation(Xn * 1000.0, m=m)
+    assert np.allclose(Rn, R_scaled)
+
 
 def test_full_shortlist_rerank_is_exact(spark):
     out = tempfile.mkdtemp(prefix="svs_test_opq_")

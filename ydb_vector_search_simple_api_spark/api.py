@@ -183,30 +183,14 @@ class VectorSearchEngine:
                 else None
             )
             width = search_top_size or self.config.search_top_size
-            if isinstance(self.index, opq_mod.OpqIndex):
-                # rotated-ADC shape: width = rerank shortlist (the
-                # BQ/SQ contract); shortlist in rotated space, exact
-                # rerank on the ORIGINAL store vectors
-                from .sources.store import load_embeddings
-
-                src = load_embeddings(self.spark, self.sf_dir).select(
-                    F.col("vec_id").alias("id"), "embedding"
-                )
-                topk = opq_mod.opq_search_rerank(
-                    self.spark,
-                    self.index,
-                    src,
-                    embedding,
-                    k=k,
-                    strategy=self.config.strategy,
-                    shortlist=width,
-                    filter_ids=flt_ids,
-                )
-            elif isinstance(self.index, (bq_mod.BqIndex, sq_mod.SqIndex)):
+            if isinstance(
+                self.index,
+                (bq_mod.BqIndex, sq_mod.SqIndex, opq_mod.OpqIndex),
+            ):
                 # for the compressed-code tables (BQ sign bits, SQ
-                # int8) the search width IS the rerank shortlist
-                # (>= corpus => exact); candidates rerank against the
-                # full-precision store vectors
+                # int8, rotated-ADC OPQ) the search width IS the
+                # rerank shortlist (>= corpus => exact); candidates
+                # rerank against the full-precision store vectors
                 from .sources.store import load_embeddings
 
                 src = load_embeddings(self.spark, self.sf_dir).select(
@@ -216,6 +200,8 @@ class VectorSearchEngine:
                     sq_mod.sq_search_rerank
                     if isinstance(self.index, sq_mod.SqIndex)
                     else bq_mod.bq_search_rerank
+                    if isinstance(self.index, bq_mod.BqIndex)
+                    else opq_mod.opq_search_rerank
                 )
                 topk = rerank(
                     self.spark,

@@ -245,6 +245,8 @@ def lsh_band_candidates(
     The shuffle is docs × bands keyed rows — never all-pairs; each
     signature element belongs to exactly one band, so inlining the sig
     expressions into the band structs duplicates no work."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
     band_hash = F.xxhash64 if hasher == "xxhash64" else F.md5
     band_rows = shingled.select(
@@ -317,25 +319,34 @@ def neardup_edit_distance(
     cand = lsh_band_candidates(shingled, num_hashes, bands, "md5")
     ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"))
     tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"))
-    dist = F.levenshtein(F.col("t_a"), F.col("t_b"))
-    longer = F.greatest(F.length("t_a"), F.length("t_b"))
-    rel = F.when(longer == 0, F.lit(0.0)).otherwise(
-        dist.cast("double") / longer.cast("double")
-    )
-    if round_digits is not None:
-        rel = F.round(rel, round_digits) + F.lit(0.0)
-    return (
+    # materialize dist/longer as columns FIRST and filter/derive from
+    # the column references: Catalyst has no let-binding, so an
+    # expression referenced in the projection AND the filter runs the
+    # quadratic DP once per reference — the dominant per-pair cost
+    # here. The cut is the exact integer form
+    # (dist <= max_rel_dist·longer ⟺ raw rel <= max_rel_dist).
+    scored = (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
         .select(
             "id_a",
             "id_b",
-            dist.alias("dist"),
-            rel.alias("rel_dist"),
+            F.levenshtein(F.col("t_a"), F.col("t_b")).alias("dist"),
+            F.greatest(F.length("t_a"), F.length("t_b")).alias("longer"),
         )
-        .filter(F.col("rel_dist") <= max_rel_dist)
-        .orderBy("id_a", "id_b")
+        .filter(
+            F.col("dist").cast("double")
+            <= F.lit(float(max_rel_dist)) * F.col("longer").cast("double")
+        )
     )
+    rel = F.when(F.col("longer") == 0, F.lit(0.0)).otherwise(
+        F.col("dist").cast("double") / F.col("longer").cast("double")
+    )
+    if round_digits is not None:
+        rel = F.round(rel, round_digits) + F.lit(0.0)
+    return scored.select(
+        "id_a", "id_b", "dist", rel.alias("rel_dist")
+    ).orderBy("id_a", "id_b")
 
 
 def minhash_lsh_pairs(
@@ -361,12 +372,11 @@ def minhash_lsh_pairs(
     :func:`_sig_element`) — the DuckDB twin in
     ``oracles_text.minhash_lsh_md5_sql`` reproduces it bit-for-bit.
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
-    # ONE materialized shingle table feeds signatures, banding AND
-    # verification — identical subplans below the exchange become
-    # ReusedExchange instead of recomputing the tokenization.
+    # divisibility guard lives in lsh_band_candidates (shared by every
+    # banding consumer). ONE materialized shingle table feeds
+    # signatures, banding AND verification — identical subplans below
+    # the exchange become ReusedExchange instead of recomputing the
+    # tokenization.
     shingled = shingled_table(df, id_col, text_col, n)
     candidates = lsh_band_candidates(shingled, num_hashes, bands, hasher)
 

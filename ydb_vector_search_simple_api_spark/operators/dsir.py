@@ -158,8 +158,11 @@ def dsir_weights(
 ) -> DataFrame:
     """Per-document DSIR log importance weight.
 
-    Output: (doc_id, n_feats, logw) for every document, doc_id ASC.
-    logw = Σ_b tf_b(d) · λ_b — exact decimal fold, ROUND(...,6)+0.0.
+    Output: (doc_id, n_feats, logw), doc_id ASC — one row per
+    document with non-NULL text (empty text still yields one ''
+    unigram and a row; a NULL text tokenizes to NULL and is excluded,
+    identically in the DuckDB twin). logw = Σ_b tf_b(d) · λ_b —
+    exact decimal fold, ROUND(...,6)+0.0.
     """
     docs = load_documents(spark, sf_dir).select("doc_id", "lang", "text")
     feats = _doc_features(docs, n_buckets)

@@ -333,7 +333,6 @@ def clustered_bootstrap_edges(
                     + (Cn * Cn).sum(1)
                 )
             top = np.argsort(-S, axis=1, kind="stable")[:, :probes]
-            n_r = len(pdf)
             yield pd.DataFrame(
                 {
                     "cluster_id": top.ravel().astype("int32"),
@@ -343,7 +342,7 @@ def clustered_bootstrap_edges(
                     ],
                 }
             )
-            del E, S, top, n_r
+            del E, S, top
 
     assigned = store.mapInPandas(
         _assign,

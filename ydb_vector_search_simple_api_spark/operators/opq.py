@@ -77,19 +77,27 @@ def train_opq_rotation(x: np.ndarray, m: int) -> np.ndarray:
         i = int(np.abs(evecs[:, j]).argmax())
         if evecs[i, j] < 0:
             evecs[:, j] = -evecs[:, j]
-    # greedy balanced allocation on log-eigenvalues (Ge et al. §4.1):
-    # assign each principal direction (descending variance) to the
-    # non-full bucket with the smallest accumulated log-product.
+    # balanced allocation on log-eigenvalues (Ge et al. §4.1's goal,
+    # SHIFT-INVARIANT greedy): the naive "assign to the min-product
+    # non-full bucket" degenerates whenever all eigenvalues are < 1
+    # (unit-normalized data: trace(cov) <= 1 so every log is negative
+    # and the bucket just fed keeps being the minimum — it swallows a
+    # contiguous run, reproducing the chop the allocation exists to
+    # beat). Level greedy instead: one direction per bucket per round,
+    # each round handing the largest remaining eigenvalue to the
+    # currently-lightest bucket — comparisons only ever happen between
+    # buckets with EQUAL fill, so a global rescale of the spectrum
+    # (which shifts every log equally per slot) cannot change any
+    # decision. Ties break by bucket index; fully deterministic.
     loads = np.zeros(m)
-    fill = np.zeros(m, dtype=int)
     slots: list[list[int]] = [[] for _ in range(m)]
     logs = np.log(np.maximum(evals, 1e-12))
-    for j in range(d):
-        open_b = [b for b in range(m) if fill[b] < dsub]
-        b = min(open_b, key=lambda i: (loads[i], i))
-        slots[b].append(j)
-        loads[b] += logs[j]
-        fill[b] += 1
+    for level in range(dsub):
+        order = sorted(range(m), key=lambda i: (loads[i], i))
+        for pick, b in enumerate(order):
+            j = level * m + pick
+            slots[b].append(j)
+            loads[b] += logs[j]
     cols = [j for b in range(m) for j in slots[b]]
     return np.ascontiguousarray(evecs[:, cols])
 

@@ -1432,18 +1432,22 @@ cand AS (
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
 ),
-verified AS (
+scored AS (
   SELECT id_a, id_b,
          levenshtein(da.text, db.text)::BIGINT AS dist,
-         CASE WHEN greatest(length(da.text), length(db.text)) = 0 THEN 0.0
-              ELSE ROUND(levenshtein(da.text, db.text)::DOUBLE /
-                         greatest(length(da.text), length(db.text))::DOUBLE, 6) + 0.0
-         END AS rel_dist
+         greatest(length(da.text), length(db.text))::BIGINT AS longer
   FROM cand
   JOIN documents da ON da.doc_id = cand.id_a
   JOIN documents db ON db.doc_id = cand.id_b
+),
+kept AS (
+  -- exact integer cut, same predicate as the Spark side:
+  -- dist <= max_rel_dist * longer  <=>  raw rel <= max_rel_dist
+  SELECT * FROM scored WHERE dist::DOUBLE <= {max_rel_dist} * longer::DOUBLE
 )
-SELECT id_a, id_b, dist, rel_dist FROM verified
-WHERE rel_dist <= {max_rel_dist}
-ORDER BY id_a, id_b
+SELECT id_a, id_b, dist,
+       CASE WHEN longer = 0 THEN 0.0
+            ELSE ROUND(dist::DOUBLE / longer::DOUBLE, 6) + 0.0
+       END AS rel_dist
+FROM kept ORDER BY id_a, id_b
 """
