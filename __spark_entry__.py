@@ -1369,6 +1369,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_curation_ingest"] = lambda s, d: streaming_curing.stream_curation_ingest(
         s, d
     )
+    # contamination flagging ON ARRIVAL (round 5): static benchmark,
+    # per-batch containment join, stateless by construction; drained
+    # == batch decontaminate bit-for-bit (shares its exact oracle)
+    q["stream_decontaminate"] = lambda s, d: streaming_curing.stream_decontaminate_ingest(
+        s, d
+    )
     # sibling: user_running_totals (the second applyInPandasWithState
     # operator — session NUMBERING whose (last_ts, n_sessions) state
     # genuinely spans micro-batches via one-shard-per-trigger arrival;
@@ -1928,6 +1934,9 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["dedup_best_quality"] = oracles_text.best_quality_election_sql()
     o["range_search_cosine"] = oracles.range_search_sql(0.2)
     o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()
+    # drained == batch decontaminate by construction (stateless
+    # per-batch containment against the static benchmark)
+    o["stream_decontaminate"] = oracles_curation.decontaminate_sql(8, 0.3)
     o["user_session_numbers"] = oracles_text.SESSION_NUMBERS
     o["value_percentiles"] = oracles_temporal.VALUE_PERCENTILES
     o["props_k_stats"] = oracles_temporal.PROPS_K_STATS

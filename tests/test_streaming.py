@@ -175,3 +175,27 @@ def test_stream_static_enrich_equals_batch(spark):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_decontaminate_equals_batch(spark):
+    """Drained on-arrival contamination flags == the batch
+    decontaminate output (stateless per batch by construction — the
+    benchmark is static, so each doc's containment is independent of
+    arrival order and batch boundaries)."""
+    from ydb_vector_search_simple_api_spark.operators.curation import (
+        decontaminate_documents,
+    )
+    from ydb_vector_search_simple_api_spark.streaming import curation_ingest as CI
+    from conftest import SF_SMALL
+
+    got = {
+        (r.doc_id, r.bench_id, r.n_common, r.containment)
+        for r in CI.stream_decontaminate_ingest(
+            spark, SF_SMALL, n_shards=3
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.bench_id, r.n_common, r.containment)
+        for r in decontaminate_documents(spark, SF_SMALL).collect()
+    }
+    assert got == want

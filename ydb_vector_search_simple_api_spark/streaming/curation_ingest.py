@@ -129,3 +129,80 @@ def stream_curation_ingest(
     )
     query.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def stream_decontaminate_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = 4,
+    n: int = 8,
+    min_containment: float = 0.3,
+) -> DataFrame:
+    """Contamination flagging ON ARRIVAL: the benchmark (source
+    'src0', the batch ``decontaminate`` convention) is static; the
+    training corpus drains through the stream in ``n_shards`` arrival
+    batches, and each batch pays exactly ITS OWN containment join
+    against the benchmark's broadcast shingle table.
+
+    Why stateless-per-batch is the right shape here (unlike the dedup
+    stream above, which must remember every hash it admitted):
+    containment is a pure function of (one training doc, the static
+    benchmark), so no cross-batch state exists at all — the stream is
+    embarrassingly incremental, the benchmark side is built once and
+    re-broadcast from the same plan each trigger, and a replayed
+    batch rewrites the same flag rows (idempotent per batch content).
+    Drained output == batch ``decontaminate`` bit-for-bit, so this
+    entry shares the exact SQL oracle.
+
+    At 100 TB: per-trigger cost tracks the BATCH's shingle volume,
+    never the accumulated corpus; for suite-scale benchmarks swap the
+    broadcast shingle table for the Bloom bitset admission
+    (``operators.curation.decontaminate_bloom``) inside the same
+    ``foreachBatch`` — the bitset is driver-resident and reusable
+    across triggers unchanged.
+
+    Returns (doc_id, bench_id, n_common, containment) for every
+    flagged pair, read back from the sink.
+    """
+    from ..operators.curation import _decontaminate_pair
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"svs_decon_{run}")
+    landing = os.path.join(base, "landing")
+    out_dir = os.path.join(base, "flagged")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text", "source")
+    bench = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    train = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    write_shard_landing(train, landing, n_shards)
+
+    schema = train.schema
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = _decontaminate_pair(
+            bench, batch_df, n=n, min_containment=min_containment
+        )
+        # idempotence: one overwritten directory per batch id — a
+        # foreachBatch replay rewrites, never double-appends (the
+        # lexical-ingest lesson)
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "shard=*"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(os.path.join(out_dir, "batch=*")).select(
+        "doc_id", "bench_id", "n_common", "containment"
+    )
