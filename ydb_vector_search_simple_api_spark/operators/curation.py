@@ -80,13 +80,28 @@ def decontaminate(
     rounded to 6.
     """
     if bench_df is not None:
-        bench, train = bench_df, docs
-    else:
-        bench = docs.filter(bench_pred)
-        train = docs.filter(~bench_pred)
+        return _decontaminate_pair(
+            bench_df, docs, n=n, min_containment=min_containment,
+            id_col=id_col, text_col=text_col,
+        )
+    # predicate split: shingle the table ONCE (one scan + one
+    # tokenization behind one exchange) and split the SHINGLED rows —
+    # both consumers below read the same exchange (ReusedExchange)
+    # instead of re-scanning and re-tokenizing per side
+    marked = docs.select(
+        F.col(id_col).alias(id_col),
+        F.col(text_col).alias(text_col),
+        bench_pred.alias("__is_bench"),
+    )
+    sh_all = dedup.shingled_table(
+        marked, id_col=id_col, text_col=text_col, n=n,
+        extra_cols=("__is_bench",),
+    )
     return _decontaminate_pair(
-        bench, train, n=n, min_containment=min_containment,
+        None, None, n=n, min_containment=min_containment,
         id_col=id_col, text_col=text_col,
+        bench_shingled=sh_all.filter(F.col("__is_bench")).select("id", "sh"),
+        train_shingled=sh_all.filter(~F.col("__is_bench")).select("id", "sh"),
     )
 
 
@@ -97,21 +112,32 @@ def _decontaminate_pair(
     min_containment: float = 0.3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bench_shingled: DataFrame | None = None,
+    train_shingled: DataFrame | None = None,
 ) -> DataFrame:
     """The containment join on an explicit (bench, train) split —
     shared by the exact path and the Bloom path's verify stage (which
     must NOT re-derive its candidate set through a union re-filter:
     each filter pass would replay the whole admission scan)."""
-    bench_sh = (
-        dedup.shingled_table(bench, id_col=id_col, text_col=text_col, n=n)
-        .select(F.col("id").alias("bench_id"), F.explode("sh").alias("shingle"))
+    bsh_tbl = (
+        bench_shingled
+        if bench_shingled is not None
+        else dedup.shingled_table(bench, id_col=id_col, text_col=text_col, n=n)
+    )
+    bench_sh = bsh_tbl.select(
+        F.col("id").alias("bench_id"), F.explode("sh").alias("shingle")
     )
     bench_sizes = bench_sh.groupBy("bench_id").agg(
         F.count(F.lit(1)).alias("n_bench_sh")
     )
-    train_sh = dedup.shingled_table(
-        train, id_col=id_col, text_col=text_col, n=n
-    ).select(F.col("id").alias("doc_id"), F.explode("sh").alias("shingle"))
+    tsh_tbl = (
+        train_shingled
+        if train_shingled is not None
+        else dedup.shingled_table(train, id_col=id_col, text_col=text_col, n=n)
+    )
+    train_sh = tsh_tbl.select(
+        F.col("id").alias("doc_id"), F.explode("sh").alias("shingle")
+    )
     common = (
         train_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id", "bench_id")
