@@ -1679,6 +1679,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # families still in-cap via bm25_topk_indexed / decontaminate_bloom)
     q["bm25_topk"] = lambda s, d: ranking_mod.bm25_topk(s, d)
     q["decontaminate"] = curation.decontaminate_documents
+    # embedding-level contamination (round 5): cosine vs the broadcast
+    # benchmark vectors — catches paraphrase leakage the 8-gram
+    # shingle probe is blind to; run alongside it, not instead
+    q["semantic_decontaminate"] = curation.semantic_decontaminate
     return q
 
 
@@ -1956,4 +1960,5 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["dsir_select"] = oracles_curation.dsir_select_sql()
     o["opq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     o["neardup_edit_distance"] = oracles_text.neardup_edit_distance_sql()
+    o["semantic_decontaminate"] = oracles_curation.semantic_decontaminate_sql()
     return o

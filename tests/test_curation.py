@@ -628,3 +628,45 @@ def test_connected_components_distributed_matches_union_find(spark):
     }
     assert fast == dist
     assert {c for _, c in fast} == {1, 10, 20}
+
+
+def test_semantic_decontaminate_flags_only_cross_benchmark(spark):
+    """Flags are train-vs-benchmark only (never bench-bench or
+    train-train), every flagged pair truly clears the threshold, and
+    a numpy replay reproduces the pair set exactly."""
+    import numpy as np
+
+    from ydb_vector_search_simple_api_spark.operators.curation import (
+        semantic_decontaminate,
+    )
+    from ydb_vector_search_simple_api_spark.sources.store import (
+        load_documents,
+        load_embeddings,
+    )
+    from conftest import SF_SMALL
+
+    got = semantic_decontaminate(spark, SF_SMALL, threshold=0.4).collect()
+    src = {
+        r.doc_id: r.source
+        for r in load_documents(spark, SF_SMALL).select("doc_id", "source").collect()
+    }
+    for r in got:
+        assert src[r.doc_id] != "src0" and src[r.bench_id] == "src0"
+        assert r.cos_sim >= 0.4
+
+    embs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_embeddings(spark, SF_SMALL).collect()
+        if r.vec_id in src
+    }
+    want = set()
+    for d, vd in embs.items():
+        if src[d] == "src0":
+            continue
+        for b, vb in embs.items():
+            if src[b] != "src0":
+                continue
+            denom = np.linalg.norm(vd) * np.linalg.norm(vb)
+            if denom and round(vd @ vb / denom, 6) >= 0.4:
+                want.add((d, b))
+    assert {(r.doc_id, r.bench_id) for r in got} == want

@@ -1482,3 +1482,61 @@ def split_leakage_audit(
     return audit(per_doc, "per_doc_hash").unionByName(
         audit(safe, "component_keyed")
     )
+
+
+def semantic_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-level contamination probe: training vectors whose
+    cosine similarity to ANY benchmark vector clears ``threshold`` —
+    the paraphrase/translation leak that n-gram shingle containment
+    (:func:`decontaminate`) is blind to (re-worded benchmark items
+    embed together but share no 8-gram). Run BOTH: the shingle probe
+    catches verbatim inclusion with provenance, this one catches
+    meaning-level leakage.
+
+    Benchmark convention matches the shingle probe (source 'src0');
+    vectors attach by the observed doc_id == vec_id identity (the
+    ``source_embedding_drift`` bridge). Composition is one broadcast
+    join: the benchmark side is eval-set-sized by construction, norms
+    are computed once per ROW before the pair join (the
+    ``neardup_cosine_pairs`` contract — n folds, not n²), and the
+    training side streams through without a shuffle. At corpus scale
+    swap the broadcast for the IVF-routed candidate exchange
+    (``neardup_cosine_blocked``'s pattern) — admission only, the
+    threshold test stays exact.
+
+    Output: (doc_id, bench_id, cos_sim) for every flagged pair,
+    ordered (doc_id, bench_id).
+    """
+    from ..functions.distance import dot, l2_norm
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    embs = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    joined = embs.join(
+        docs, embs["vec_id"] == docs["doc_id"], "inner"
+    ).select("vec_id", "source", "embedding")
+    bench = joined.filter(F.col("source") == "src0").select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    train = joined.filter(F.col("source") != "src0").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("va"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    denom = F.col("na") * F.col("nb")
+    sim = F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(
+        dot(F.col("va"), F.col("vb")) / denom
+    )
+    sim = F.round(sim, ROUND) + F.lit(0.0)
+    return (
+        train.join(F.broadcast(bench))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("doc_id", "bench_id", "cos_sim")
+        .orderBy("doc_id", "bench_id")
+    )

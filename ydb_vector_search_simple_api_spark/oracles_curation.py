@@ -607,3 +607,27 @@ sel AS (
 SELECT doc_id, logw, sel_key FROM sel
 ORDER BY sel_key DESC, doc_id ASC LIMIT {int(k)}
 """
+
+
+def semantic_decontaminate_sql(threshold: float = 0.4) -> str:
+    """Twin of :func:`operators.curation.semantic_decontaminate` —
+    same double math and per-row norm factorization as the cosine
+    family (oracles.score_sql semantics)."""
+    from .oracles import _dot, _norm
+
+    sim = (
+        f"CASE WHEN {_norm('t.va')} * {_norm('b.vb')} = 0 THEN NULL "
+        f"ELSE {_dot('t.va', 'b.vb')} / ({_norm('t.va')} * {_norm('b.vb')}) END"
+    )
+    return f"""
+WITH j AS (
+  SELECT e.vec_id, d.source, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+b AS (SELECT vec_id AS bench_id, embedding AS vb FROM j WHERE source = 'src0'),
+t AS (SELECT vec_id AS doc_id, embedding AS va FROM j WHERE source <> 'src0')
+SELECT t.doc_id, b.bench_id, ROUND({sim}, 6) + 0.0 AS cos_sim
+FROM t CROSS JOIN b
+WHERE ROUND({sim}, 6) + 0.0 >= {threshold}
+ORDER BY t.doc_id, b.bench_id
+"""
