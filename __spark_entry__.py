@@ -474,6 +474,39 @@ def _mk_ivfpq(strategy: str, k: int, width: int | None, rerank: int | None):
     return run
 
 
+_IVFOPQ_CACHE: dict[str, object] = {}
+
+
+def _ivfopq_index(spark: SparkSession, sf_dir: str):
+    from ydb_vector_search_simple_api_spark.operators import opq as opq_mod
+
+    key = sf_dir
+    if key not in _IVFOPQ_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        out = os.path.join(tempfile.gettempdir(), f"svs_ivfopq_{tag}_m{PQ_M}")
+        if os.path.exists(os.path.join(out, "_opq_meta.json")):
+            _IVFOPQ_CACHE[key] = opq_mod.load_opq_index(out)
+        else:
+            _IVFOPQ_CACHE[key] = opq_mod.build_ivfopq_index(
+                spark, _ivf_index(spark, sf_dir), out, m=PQ_M, nbits=8,
+                normalize=True,
+            )
+    return _IVFOPQ_CACHE[key]
+
+
+def _ivfopq_rerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ydb_vector_search_simple_api_spark.operators import opq as opq_mod
+
+    ivf_idx = _ivf_index(spark, sf_dir)
+    opq_idx = _ivfopq_index(spark, sf_dir)
+    n = load_embeddings(spark, sf_dir).count()
+    return opq_mod.ivfopq_search(
+        spark, ivf_idx, opq_idx, _query_vec(spark, sf_dir), k=10,
+        strategy="CosineSimilarity",
+        search_top_size=ivf_idx.n_clusters, rerank=n, round_digits=ROUND,
+    )
+
+
 _GANN_CACHE: dict[str, gann_mod.GraphAnnIndex] = {}
 GANN_M = 8
 
@@ -1683,6 +1716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # benchmark vectors — catches paraphrase leakage the 8-gram
     # shingle probe is blind to; run alongside it, not instead
     q["semantic_decontaminate"] = curation.semantic_decontaminate
+    # IVF×OPQ composition (round 5): directory pruning × rotated-ADC
+    # compression; full width + full rerank == exact top-k
+    q["ivfopq_rerank_full"] = _ivfopq_rerank_full
     return q
 
 
@@ -1961,4 +1997,5 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["opq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     o["neardup_edit_distance"] = oracles_text.neardup_edit_distance_sql()
     o["semantic_decontaminate"] = oracles_curation.semantic_decontaminate_sql()
+    o["ivfopq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     return o

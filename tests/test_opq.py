@@ -163,3 +163,33 @@ def test_pruned_shortlist_recall(spark):
         assert len({r.id for r in got} & want) >= 7
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_ivfopq_full_width_full_rerank_is_exact(spark, tmp_path):
+    """IVF×OPQ: all clusters + corpus-sized rerank == exact top-k;
+    pruned width still returns k rows from the pruned directories."""
+    from ydb_vector_search_simple_api_spark.operators import index as ivf_mod
+
+    embs = _corpus(spark)
+    ivf = ivf_mod.build_ivf_index(
+        spark, embs, str(tmp_path / "ivf"), n_clusters=4
+    )
+    idx = opq.build_ivfopq_index(
+        spark, ivf, str(tmp_path / "ivfopq"), m=8, nbits=8, normalize=True
+    )
+    assert idx.pq.partition_col == "cluster_id"
+    q = _qvec(spark)
+    n = embs.count()
+    got = opq.ivfopq_search(
+        spark, ivf, idx, q, k=10, search_top_size=ivf.n_clusters,
+        rerank=n, round_digits=ROUND,
+    ).collect()
+    want = exact_search(
+        spark, SF, q, k=10, strategy="CosineSimilarity", round_digits=ROUND
+    ).collect()
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+    pruned = opq.ivfopq_search(
+        spark, ivf, idx, q, k=10, search_top_size=2, rerank=64,
+        round_digits=ROUND,
+    ).collect()
+    assert len(pruned) == 10

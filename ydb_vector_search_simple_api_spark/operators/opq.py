@@ -27,8 +27,8 @@ Spark shape (all the heavy steps reuse the PQ machinery unchanged):
   same contract as pq/bq/sq_rerank_full).
 
 Reference note: the reference engine (app.py) exposes no compressed
-index; extension scope (SURVEY.md "beyond the reference"), the fifth
-member of the compressed-shape family (PQ, IVFADC, BQ, SQ8, OPQ).
+index; extension scope (SURVEY.md "beyond the reference"), rounding out
+the compressed-shape family (PQ, IVFADC, BQ, SQ8, OPQ, IVF×OPQ).
 """
 
 from __future__ import annotations
@@ -152,10 +152,20 @@ def load_opq_index(path: str) -> OpqIndex:
     )
 
 
-def rotate_df(spark: SparkSession, src: DataFrame, R: np.ndarray) -> DataFrame:
-    """(id, embedding) -> (id, embedding @ R) via one broadcast Arrow
-    matmul batch kernel — no shuffle, no per-row Python."""
+def rotate_df(
+    spark: SparkSession,
+    src: DataFrame,
+    R: np.ndarray,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(id, embedding, *extra) -> (id, embedding @ R, *extra) via one
+    broadcast Arrow matmul batch kernel — no shuffle, no per-row
+    Python. ``extra_cols`` (e.g. the IVF ``cluster_id``) ride the
+    batch untouched so the partitioned layout survives the rotation."""
     bc = spark.sparkContext.broadcast(R)
+    extra_schema = "".join(
+        f", {c} {src.schema[c].dataType.simpleString()}" for c in extra_cols
+    )
 
     def _rot(batches):
         import pandas as pd
@@ -165,12 +175,14 @@ def rotate_df(spark: SparkSession, src: DataFrame, R: np.ndarray) -> DataFrame:
             if not len(pdf):
                 continue
             E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            out = E @ R_
-            yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(), "embedding": list(out)}
-            )
+            out = {"id": pdf["id"].to_numpy(), "embedding": list(E @ R_)}
+            for c in extra_cols:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(_rot, schema="id long, embedding array<double>")
+    return src.mapInPandas(
+        _rot, schema=f"id long, embedding array<double>{extra_schema}"
+    )
 
 
 def opq_search_rerank(
@@ -202,6 +214,119 @@ def opq_search_rerank(
         F.col(index.pq.vec_col).alias("embedding"),
     )
     hit = src.join(F.broadcast(ids), "id", "left_semi")
+    score = score_expr(strategy, F.col("embedding"), [float(v) for v in q])
+    if round_digits is not None:
+        score = F.round(score, round_digits) + F.lit(0.0)
+    direction = (
+        F.col("score").desc_nulls_last()
+        if sort_descending(strategy)
+        else F.col("score").asc_nulls_last()
+    )
+    return (
+        hit.withColumn("score", score)
+        .select("id", "score")
+        .orderBy(direction, F.col("id").asc())
+        .limit(k)
+    )
+
+
+def build_ivfopq_index(
+    spark: SparkSession,
+    ivf_index,
+    out_dir: str,
+    m: int = 8,
+    nbits: int = 8,
+    train_rows: int = 16384,
+    normalize: bool = False,
+) -> OpqIndex:
+    """IVF×OPQ composition (the FAISS ``OPQ..,IVF..,PQ..`` factory
+    string): rotate the IVF index's partitioned layout with the
+    learned R and PQ-encode it keeping ``cluster_id`` as the codes
+    partition column — directory pruning and rotated-ADC byte
+    compression multiply, exactly like IVFADC, with the rotation's
+    lower per-code distortion on top."""
+    src = spark.read.parquet(ivf_index.path).select(
+        F.col(ivf_index.id_col).alias("id"),
+        F.col(ivf_index.vec_col).alias("embedding"),
+        "cluster_id",
+    )
+    train = (
+        src.select("id", "embedding")
+        .orderBy(F.abs(F.xxhash64(F.col("id"))).asc(), F.col("id").asc())
+        .limit(train_rows)
+        .collect()
+    )
+    X = np.array([r.embedding for r in train], dtype=np.float64)
+    if normalize:
+        X = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-300)
+    R = train_opq_rotation(X, m=m)
+    rotated = rotate_df(spark, src, R, extra_cols=("cluster_id",))
+    pq = build_pq_index(
+        spark,
+        rotated,
+        os.path.join(out_dir, "pq"),
+        m=m,
+        nbits=nbits,
+        train_rows=train_rows,
+        normalize=normalize,
+        partition_col="cluster_id",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _META_FILE), "w") as f:
+        json.dump({"rotation": R.tolist()}, f)
+    return OpqIndex(path=out_dir, rotation=R, pq=pq)
+
+
+def ivfopq_search(
+    spark: SparkSession,
+    ivf_index,
+    opq_index: OpqIndex,
+    query_vec: Sequence[float],
+    k: int = 4,
+    strategy: str = "CosineSimilarity",
+    search_top_size: int = 2,
+    rerank: int | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """IVF×OPQ read path: centroids rank against the ORIGINAL query
+    (the IVF layout is unrotated), the pruned code directories
+    ADC-score against the ROTATED query, and the optional shortlist
+    re-ranks against the full-precision IVF vectors with the ORIGINAL
+    query — exact when ``search_top_size >= n_clusters`` and
+    ``rerank >= corpus size`` (the oracle-gated configuration)."""
+    from ..config import sort_descending
+    from .index import _rank_centroids
+    from . import tombstones
+
+    validate_strategy(strategy)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    keep = _rank_centroids(ivf_index, list(q), strategy)[:search_top_size]
+    cand = pq_adc_topk(
+        spark,
+        opq_index.pq,
+        list(q @ opq_index.rotation),
+        k=rerank if rerank else k,
+        strategy=strategy,
+        partition_filter=F.col("cluster_id").isin(keep),
+    )
+    if not rerank:
+        if round_digits is not None:
+            cand = cand.withColumn(
+                "score", F.round(F.col("score"), round_digits) + F.lit(0.0)
+            )
+        return cand
+    full = tombstones.apply_tombstones(
+        spark,
+        ivf_index.path,
+        spark.read.parquet(ivf_index.path).filter(
+            F.col("cluster_id").isin(keep)
+        ),
+        id_col=ivf_index.id_col,
+    ).select(
+        F.col(ivf_index.id_col).alias("id"),
+        F.col(ivf_index.vec_col).alias("embedding"),
+    )
+    hit = full.join(F.broadcast(cand.select("id")), "id", "left_semi")
     score = score_expr(strategy, F.col("embedding"), [float(v) for v in q])
     if round_digits is not None:
         score = F.round(score, round_digits) + F.lit(0.0)
