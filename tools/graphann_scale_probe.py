@@ -116,8 +116,13 @@ def main():
     t0 = time.perf_counter()
     edges = G.clustered_bootstrap_edges(spark, ivf, m=8, probes=2)
     seeds = G.cluster_representatives(spark, ivf)
+    # refine_iters=0: NN-descent converges the edges toward the TRUE
+    # kNN graph, which on weak-gradient data REMOVES the diverse
+    # cross-cluster links navigation depends on (measured at 250k:
+    # recall@10/beam512 0.80 with the raw multi-probe bootstrap vs
+    # 0.41 after one descent round, at +215 s build)
     idx = G.build_knn_graph(
-        spark, big, f"{work}/gann", m=8, knn_pairs=edges, refine_iters=1,
+        spark, big, f"{work}/gann", m=8, knn_pairs=edges, refine_iters=0,
         seed_nodes=seeds,
     )
     t_graph = time.perf_counter() - t0
