@@ -1719,6 +1719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # IVF×OPQ composition (round 5): directory pruning × rotated-ADC
     # compression; full width + full rerank == exact top-k
     q["ivfopq_rerank_full"] = _ivfopq_rerank_full
+    # unicode-script triage (round 5): per-script char counts + fixed
+    # argmax dominant script — the pre-language-ID ingest router
+    q["script_profile"] = textual.script_profile
     return q
 
 
@@ -1998,4 +2001,5 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["neardup_edit_distance"] = oracles_text.neardup_edit_distance_sql()
     o["semantic_decontaminate"] = oracles_curation.semantic_decontaminate_sql()
     o["ivfopq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
+    o["script_profile"] = oracles_text.script_profile_sql()
     return o

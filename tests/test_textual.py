@@ -263,3 +263,35 @@ def test_source_divergence_bounds_and_extremes(spark):
         }
         assert abs(out[("same_a", "same_b")]) < 1e-6
         assert abs(out[("other", "same_a")] - ln2) < 1e-6
+
+
+def test_script_profile_discriminates_scripts(spark):
+    """Real multi-script texts get the right counts and dominant
+    script; no-profiled-script text routes to 'other'."""
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        SCRIPT_CLASSES,
+        script_profile,
+    )
+    import tempfile
+
+    rows = [
+        (1, "Hello plain latin text", "en", "s", 22),
+        (2, "Привет большой мир", "ru", "s", 18),
+        (3, "你好世界你好世界 ok", "zh", "s", 11),
+        (4, "مرحبا بالعالم الكبير", "ar", "s", 20),
+        (5, "12345 !?.", "xx", "s", 9),
+    ]
+    tmp = tempfile.mkdtemp(prefix="svs_script_")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {r.doc_id: r for r in script_profile(spark, tmp).collect()}
+    assert got[1].dominant_script == "latin" and got[1].latin == 19
+    assert got[2].dominant_script == "cyrillic" and got[2].latin == 0
+    assert got[3].dominant_script == "han" and got[3].han == 8
+    assert got[3].latin == 2  # the trailing 'ok'
+    assert got[4].dominant_script == "arabic"
+    assert got[5].dominant_script == "other"
+    assert set(got[1].asDict()) == {
+        "doc_id", "dominant_script", *[n for n, _, _ in SCRIPT_CLASSES]
+    }

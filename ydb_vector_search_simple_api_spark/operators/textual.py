@@ -992,3 +992,62 @@ def bigram_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
     return _BIGRAM_SCORE_CACHE[key]
+
+
+#: Unicode scripts profiled by :func:`script_profile` — (column name,
+#: Java regex script class, RE2/DuckDB script class). Both engines'
+#: regex classes implement the same Unicode Script property, so the
+#: per-script char counts are engine-portable (oracle-gated).
+SCRIPT_CLASSES: tuple[tuple[str, str, str], ...] = (
+    ("latin", "IsLatin", "Latin"),
+    ("cyrillic", "IsCyrillic", "Cyrillic"),
+    ("han", "IsHan", "Han"),
+    ("arabic", "IsArabic", "Arabic"),
+    ("greek", "IsGreek", "Greek"),
+    ("devanagari", "IsDevanagari", "Devanagari"),
+)
+
+
+def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-script character profile + dominant
+    script — the multilingual-ingest triage that runs BEFORE any
+    language model: mixed-script spam, mojibake, and wrong-feed
+    routing all show up as script-count anomalies that byte- or
+    token-level language ID (:func:`lang_id`) scores too late.
+
+    Counts are pure codegen: one ``length(text) − length(strip the
+    script's chars)`` pair per script class — no tokenization, no
+    shuffle; the dominant script is a fixed-order argmax (count DESC,
+    name ASC; 'other' when no profiled script occurs). One narrow
+    projection at any corpus size.
+
+    Output: (doc_id, latin, cyrillic, han, arabic, greek, devanagari,
+    dominant_script), doc_id ASC.
+    """
+    d = load_documents(spark, sf_dir)
+    counts = {
+        name: (
+            F.length("text")
+            - F.length(F.regexp_replace("text", f"\\p{{{java}}}", ""))
+        ).cast("bigint")
+        for name, java, _ in SCRIPT_CLASSES
+    }
+    # argmax via lexicographic MAX over (count, reversed-name rank):
+    # ranks descend in name order so equal counts pick the FIRST name
+    n_scripts = len(SCRIPT_CLASSES)
+    best = F.greatest(
+        *[
+            F.struct(
+                counts[name].alias("c"),
+                F.lit(n_scripts - i).alias("r"),
+                F.lit(name).alias("s"),
+            )
+            for i, (name, _, _) in enumerate(SCRIPT_CLASSES)
+        ]
+    )
+    dominant = F.when(best["c"] == 0, F.lit("other")).otherwise(best["s"])
+    return d.select(
+        "doc_id",
+        *[counts[name].alias(name) for name, _, _ in SCRIPT_CLASSES],
+        dominant.alias("dominant_script"),
+    ).orderBy("doc_id")

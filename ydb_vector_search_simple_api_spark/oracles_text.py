@@ -1451,3 +1451,30 @@ SELECT id_a, id_b, dist,
        END AS rel_dist
 FROM kept ORDER BY id_a, id_b
 """
+
+
+def script_profile_sql() -> str:
+    """Twin of :func:`operators.textual.script_profile` — RE2 script
+    classes mirror Java's Is-prefixed ones (same Unicode property)."""
+    from .operators.textual import SCRIPT_CLASSES
+
+    cnt = {
+        name: (
+            f"(length(text) - length(regexp_replace(text, '\\p{{{re2}}}', '', 'g')))::BIGINT"
+        )
+        for name, _, re2 in SCRIPT_CLASSES
+    }
+    n = len(SCRIPT_CLASSES)
+    # DuckDB's greatest() is scalar-only; list_max over structs gives
+    # the same lexicographic (count, reversed-name-rank) argmax
+    best = "list_max([" + ", ".join(
+        f"struct_pack(c := {cnt[name]}, r := {n - i}, s := '{name}')"
+        for i, (name, _, _) in enumerate(SCRIPT_CLASSES)
+    ) + "])"
+    cols = ", ".join(f"{cnt[name]} AS {name}" for name, _, _ in SCRIPT_CLASSES)
+    return f"""
+SELECT doc_id, {cols},
+       CASE WHEN ({best}).c = 0 THEN 'other'
+            ELSE ({best}).s END AS dominant_script
+FROM documents ORDER BY doc_id
+"""
