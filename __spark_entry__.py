@@ -1722,6 +1722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unicode-script triage (round 5): per-script char counts + fixed
     # argmax dominant script — the pre-language-ID ingest router
     q["script_profile"] = textual.script_profile
+    # rows-only: zlib compression-ratio quality proxy (no SQL twin —
+    # DuckDB has no zlib; monotone-repetition behavior pytest-pinned)
+    q["compression_signals"] = textual.compression_signals
     return q
 
 

@@ -295,3 +295,32 @@ def test_script_profile_discriminates_scripts(spark):
     assert set(got[1].asDict()) == {
         "doc_id", "dominant_script", *[n for n, _, _ in SCRIPT_CLASSES]
     }
+
+
+def test_compression_signals_orders_repetition(spark):
+    """Repetitive text compresses harder (lower ratio) than diverse
+    text; sizes are exact; empty text yields NULL ratio."""
+    import tempfile
+    import zlib
+
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        compression_signals,
+    )
+
+    diverse = "the quick brown fox jumps over a lazy dog near riverbanks"
+    spam = "buy now " * 16
+    rows = [
+        (1, diverse, "en", "s", len(diverse)),
+        (2, spam, "en", "s", len(spam)),
+        (3, "", "en", "s", 0),
+    ]
+    tmp = tempfile.mkdtemp(prefix="svs_zratio_")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {r.doc_id: r for r in compression_signals(spark, tmp).collect()}
+    assert got[2].compression_ratio < got[1].compression_ratio
+    for i, text in ((1, diverse), (2, spam)):
+        assert got[i].n_bytes == len(text.encode())
+        assert got[i].n_zlib_bytes == len(zlib.compress(text.encode(), 6))
+    assert got[3].compression_ratio is None

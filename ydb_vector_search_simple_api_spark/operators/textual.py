@@ -1051,3 +1051,53 @@ def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[counts[name].alias(name) for name, _, _ in SCRIPT_CLASSES],
         dominant.alias("dominant_script"),
     ).orderBy("doc_id")
+
+
+def compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the classic "repetition
+    by proxy" quality gate (used alongside Gopher's explicit
+    repetition rules): boilerplate, keyword stuffing and generated
+    spam compress far below natural prose, and the signal is
+    tokenizer-free, so it catches repetition patterns n-gram rules
+    miss (long-period repeats, structural markup loops).
+
+    Arrow-batched pandas UDF (zlib is per-row CPU; the batch transfer
+    amortizes), one narrow projection — no shuffle at any corpus
+    size. Rows-only gate entry (no SQL twin: DuckDB has no zlib);
+    the ratio's monotone behavior is pytest-pinned instead.
+
+    Output: (doc_id, n_bytes, n_zlib_bytes, compression_ratio), ratio
+    = compressed/raw ROUND(6), doc_id ASC; empty text → ratio NULL.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _zlen_fn(texts):
+        import zlib
+
+        return texts.map(
+            lambda t: None
+            if t is None
+            else len(zlib.compress(t.encode("utf-8"), 6))
+        )
+
+    # explicit returnType (no type hints): postponed annotations would
+    # resolve against module globals, not this closure's locals
+    _zlen = F.pandas_udf(_zlen_fn, T.LongType())
+
+    d = load_documents(spark, sf_dir)
+    n_bytes = F.length(F.encode("text", "utf-8")).cast("bigint")
+    out = d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        _zlen("text").alias("n_zlib_bytes"),
+    )
+    ratio = F.when(F.col("n_bytes") == 0, F.lit(None).cast("double")).otherwise(
+        F.round(
+            F.col("n_zlib_bytes").cast("double")
+            / F.col("n_bytes").cast("double"),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    return out.withColumn("compression_ratio", ratio).orderBy("doc_id")
