@@ -1725,6 +1725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only: zlib compression-ratio quality proxy (no SQL twin —
     # DuckDB has no zlib; monotone-repetition behavior pytest-pinned)
     q["compression_signals"] = textual.compression_signals
+    # curation PROVENANCE (round 5): every gate's verdict per doc —
+    # the "why was this dropped" audit over the same stage operators
+    q["curation_reasons"] = curation.curation_reasons
     return q
 
 
@@ -2005,4 +2008,5 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["semantic_decontaminate"] = oracles_curation.semantic_decontaminate_sql()
     o["ivfopq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     o["script_profile"] = oracles_text.script_profile_sql()
+    o["curation_reasons"] = oracles_curation.curation_reasons_sql()
     return o

@@ -670,3 +670,26 @@ def test_semantic_decontaminate_flags_only_cross_benchmark(spark):
             if denom and round(vd @ vb / denom, 6) >= 0.4:
                 want.add((d, b))
     assert {(r.doc_id, r.bench_id) for r in got} == want
+
+
+def test_curation_reasons_consistent_with_curate_corpus(spark):
+    """The reasons report's admitted set IS the curate_corpus
+    survivor set, splits agree, and every flag is 0/1 with NULL split
+    exactly on the rejected rows."""
+    from ydb_vector_search_simple_api_spark.operators.curation import (
+        curate_corpus,
+        curation_reasons,
+    )
+    from conftest import SF_SMALL
+
+    reasons = curation_reasons(spark, SF_SMALL).collect()
+    survivors = {
+        r.doc_id: r.split for r in curate_corpus(spark, SF_SMALL).collect()
+    }
+    admitted = {r.doc_id: r.split for r in reasons if r.admitted == 1}
+    assert admitted == survivors
+    for r in reasons:
+        for f in ("quality_ok", "is_canonical", "is_benchmark",
+                  "contaminated", "admitted"):
+            assert getattr(r, f) in (0, 1)
+        assert (r.split is None) == (r.admitted == 0)

@@ -1597,3 +1597,76 @@ def semantic_decontaminate(
         .select("doc_id", "bench_id", "cos_sim")
         .orderBy("doc_id", "bench_id")
     )
+
+
+def curation_reasons(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = 0.8,
+    min_tokens: int = 16,
+    n: int = 8,
+    min_containment: float = 0.3,
+    train: float = 0.8,
+    valid: float = 0.1,
+) -> DataFrame:
+    """Per-document curation PROVENANCE: every gate's verdict as a
+    flag, plus the final admission and split — the "why was this
+    document dropped" audit a pipeline owner needs when a corpus
+    shrinks unexpectedly. :func:`curate_corpus` answers WHO survives;
+    this answers WHY, for every input row, admitted or not.
+
+    Same stage operators, same one-pass plan shape: the flag columns
+    are left-semi evidence turned into ints via left joins (each gate
+    table joins once on doc_id), so the report costs the same keyed
+    joins the filter chain already pays — no extra corpus scans.
+
+    Output: (doc_id, quality_ok, is_canonical, is_benchmark,
+    contaminated, admitted, split) — split only for admitted rows
+    (NULL otherwise), doc_id ASC.
+    """
+    from . import textual
+    from .sampling import document_splits
+
+    docs = load_documents(spark, sf_dir)
+    quality_ok = textual.quality_filter(
+        spark, sf_dir, min_quality=min_quality, min_tokens=min_tokens
+    ).select("doc_id", F.lit(1).alias("q_ok"))
+    canonical = dedup.exact_dup_groups(docs).select(
+        F.col("keep_id").alias("doc_id"), F.lit(1).alias("canon")
+    )
+    contaminated = (
+        decontaminate_documents(
+            spark, sf_dir, n=n, min_containment=min_containment
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(1))
+    )
+    splits = document_splits(spark, sf_dir, train=train, valid=valid)
+    base = (
+        docs.select(
+            "doc_id", (F.col("source") == "src0").cast("int").alias("is_benchmark")
+        )
+        .join(quality_ok, "doc_id", "left")
+        .join(canonical, "doc_id", "left")
+        .join(F.broadcast(contaminated), "doc_id", "left")
+        .join(splits, "doc_id", "left")
+    )
+    q = F.coalesce(F.col("q_ok"), F.lit(0))
+    c = F.coalesce(F.col("canon"), F.lit(0))
+    x = F.coalesce(F.col("contam"), F.lit(0))
+    admitted = (
+        (q == 1)
+        & (c == 1)
+        & (F.col("is_benchmark") == 0)
+        & (x == 0)
+    ).cast("int")
+    return base.select(
+        "doc_id",
+        q.alias("quality_ok"),
+        c.alias("is_canonical"),
+        "is_benchmark",
+        x.alias("contaminated"),
+        admitted.alias("admitted"),
+        F.when(admitted == 1, F.col("split")).alias("split"),
+    ).orderBy("doc_id")

@@ -631,3 +631,45 @@ FROM t CROSS JOIN b
 WHERE ROUND({sim}, 6) + 0.0 >= {threshold}
 ORDER BY t.doc_id, b.bench_id
 """
+
+
+def curation_reasons_sql(
+    min_quality: float = 0.8,
+    min_tokens: int = 16,
+    n: int = 8,
+    min_containment: float = 0.3,
+    train: float = 0.8,
+    valid: float = 0.1,
+) -> str:
+    """Twin of :func:`operators.curation.curation_reasons` — the
+    curate_corpus stage CTEs re-chained as per-doc flags."""
+    from .oracles_text import quality_filter_sql, DEDUP_EXACT
+    from .operators.sampling import splits_sql
+
+    return f"""
+WITH quality AS ({quality_filter_sql(min_quality, min_tokens)}),
+canon AS ({DEDUP_EXACT}),
+contaminated AS (SELECT DISTINCT doc_id FROM ({decontaminate_sql(n, min_containment)})),
+splits AS ({splits_sql(train, valid)}),
+flags AS (
+  SELECT d.doc_id,
+         CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END AS quality_ok,
+         CASE WHEN c.keep_id IS NULL THEN 0 ELSE 1 END AS is_canonical,
+         CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS is_benchmark,
+         CASE WHEN x.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated,
+         s.split AS split
+  FROM documents d
+  LEFT JOIN quality q ON d.doc_id = q.doc_id
+  LEFT JOIN canon c ON d.doc_id = c.keep_id
+  LEFT JOIN contaminated x ON d.doc_id = x.doc_id
+  LEFT JOIN splits s ON d.doc_id = s.doc_id
+)
+SELECT doc_id, quality_ok, is_canonical, is_benchmark, contaminated,
+       CASE WHEN quality_ok = 1 AND is_canonical = 1
+                 AND is_benchmark = 0 AND contaminated = 0
+            THEN 1 ELSE 0 END AS admitted,
+       CASE WHEN quality_ok = 1 AND is_canonical = 1
+                 AND is_benchmark = 0 AND contaminated = 0
+            THEN split END AS split
+FROM flags ORDER BY doc_id
+"""
