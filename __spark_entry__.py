@@ -507,6 +507,23 @@ def _ivfopq_rerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefixdim_rerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators.search import (
+        prefix_dim_search_rerank,
+    )
+
+    embs = load_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    return prefix_dim_search_rerank(
+        spark, embs, _query_vec(spark, sf_dir), k=10,
+        strategy="CosineSimilarity", prefix_dims=16,
+        shortlist=embs.count(), round_digits=ROUND,
+    )
+
+
 _GANN_CACHE: dict[str, gann_mod.GraphAnnIndex] = {}
 GANN_M = 8
 
@@ -1728,6 +1745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # curation PROVENANCE (round 5): every gate's verdict per doc —
     # the "why was this dropped" audit over the same stage operators
     q["curation_reasons"] = curation.curation_reasons
+    # Matryoshka-style prefix-dim shortlist -> exact rerank (round 5):
+    # zero-maintenance shortlist family member; full shortlist == exact
+    q["prefixdim_rerank_full"] = _prefixdim_rerank_full
     return q
 
 
@@ -2009,4 +2029,5 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["ivfopq_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     o["script_profile"] = oracles_text.script_profile_sql()
     o["curation_reasons"] = oracles_curation.curation_reasons_sql()
+    o["prefixdim_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
     return o

@@ -204,3 +204,42 @@ def test_range_search_threshold_semantics(spark, qvec):
     bounded = range_search(spark, SF_SMALL, qvec, threshold=0.2, max_rows=5)
     assert len(bounded.collect()) <= 5
     assert checks.uses_take_ordered(bounded), checks.simple_plan(bounded)
+
+
+def test_prefix_dim_rerank_exact_and_monotone(spark):
+    """Full shortlist == exact; recall monotone in shortlist; prefix
+    validation raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators.search import (
+        exact_search,
+        prefix_dim_search_rerank,
+    )
+    from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+    from conftest import SF_SMALL
+
+    embs = load_embeddings(spark, SF_SMALL).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    q = [float(x) for x in embs.filter("id = 0").head().embedding]
+    n = embs.count()
+    want = exact_search(spark, SF_SMALL, q, k=10, round_digits=6).collect()
+    got = prefix_dim_search_rerank(
+        spark, embs, q, k=10, shortlist=n, round_digits=6
+    ).collect()
+    assert [(r.id, r.score) for r in got] == [(r.id, r.score) for r in want]
+    want_ids = {r.id for r in want}
+    recalls = []
+    for s in (32, 128, n):
+        ids = {
+            r.id
+            for r in prefix_dim_search_rerank(
+                spark, embs, q, k=10, shortlist=s, round_digits=6
+            ).collect()
+        }
+        recalls.append(len(ids & want_ids))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 10
+    with pytest.raises(ValueError):
+        prefix_dim_search_rerank(spark, embs, q, k=10, prefix_dims=0)

@@ -389,3 +389,67 @@ def range_search(
     if max_rows is not None:
         return out.orderBy(*_order_cols(strategy)).limit(max_rows)
     return out.orderBy(*_order_cols(strategy))
+
+
+def prefix_dim_search_rerank(
+    spark: SparkSession,
+    src: DataFrame,
+    query_vec: Sequence[float],
+    k: int = DEFAULT_K,
+    strategy: str = "CosineSimilarity",
+    prefix_dims: int = 16,
+    shortlist: int | None = 100,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Matryoshka-style adaptive retrieval (Kusupati et al. 2022): a
+    cheap shortlist scored on only the FIRST ``prefix_dims``
+    coordinates, then an exact re-rank on the full vectors. With
+    MRL-trained embeddings the leading dims carry most of the signal,
+    so the shortlist pass reads/multiplies ``prefix_dims / dim`` of
+    the work (e.g. 16/64 = 4× fewer flops — and with a layout that
+    stores the prefix as its own column/file, 4× fewer bytes); on
+    non-MRL embeddings the prefix is just a random projection and the
+    recall/shortlist curve says how much that costs (pytest-pinned).
+
+    ``shortlist=None`` (or >= corpus) keeps every row — the shortlist
+    pass becomes a no-op filter and the result is EXACT top-k (the
+    oracle-gated configuration shared with pq/bq/sq/opq_rerank_full).
+
+    100 TB shape: both passes are shuffle-free codegen scans ending in
+    TakeOrderedAndProject; the rerank join broadcasts the
+    shortlist-sized id set. No trained state, no index build — the
+    zero-maintenance member of the shortlist family.
+    """
+    validate_strategy(strategy)
+    if not isinstance(k, int) or k < 1:
+        raise ValueError("k must be a positive integer")
+    if prefix_dims < 1 or prefix_dims > len(query_vec):
+        raise ValueError(
+            f"prefix_dims must be in [1, {len(query_vec)}], got {prefix_dims}"
+        )
+    vecs = src.select(F.col(id_col).alias("id"), F.col(vec_col).alias("embedding"))
+    q_full = [float(x) for x in query_vec]
+    n_short = None if shortlist is None else int(shortlist)
+    if n_short is not None:
+        q_pre = q_full[:prefix_dims]
+        pre_score = score_expr(
+            strategy, F.slice(F.col("embedding"), 1, prefix_dims), q_pre
+        )
+        cand = (
+            vecs.select("id", pre_score.alias("score"))
+            .orderBy(*_order_cols(strategy))
+            .limit(n_short)
+            .select("id")
+        )
+        vecs = vecs.join(F.broadcast(cand), "id", "left_semi")
+    score = score_expr(strategy, F.col("embedding"), q_full)
+    if round_digits is not None:
+        score = F.round(score, round_digits) + F.lit(0.0)
+    return (
+        vecs.withColumn("score", score)
+        .select("id", "score")
+        .orderBy(*_order_cols(strategy))
+        .limit(k)
+    )
