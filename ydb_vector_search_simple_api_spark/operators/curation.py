@@ -268,8 +268,6 @@ def decontaminate_bloom(
     evaluates at ~5 us/op, losing to this kernel's vectorized gather
     by orders of magnitude.
     """
-    import math
-
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -280,36 +278,17 @@ def decontaminate_bloom(
         bench = docs.filter(bench_pred)
         train = docs.filter(~bench_pred)
 
-    # -- build: collect the benchmark's DISTINCT shingle hashes (the
-    # benchmark side is small by the same construction that lets the
-    # exact path broadcast it; the collect is bench-sized, never
-    # corpus-sized) and set k bits per hash in a driver-built bitset.
-    # Arrow (toPandas), not row collect: py4j row decode measured 11 s
-    # vs 7.6 s on the same 12k-hash pull at 500k docs.
-    bench_hashes = (
-        dedup.shingled_table(bench, id_col=id_col, text_col=text_col, n=n)
-        .select(F.explode("sh").alias("shingle"))
-        .select(F.xxhash64("shingle").alias("h"))
-        .distinct()
-        .toPandas()["h"]
-        .to_numpy()
+    # -- build (or reuse): the bitset is a pure function of the
+    # benchmark corpus + (n, fpp); serving keeps it resident across
+    # requests (``bloom_admission_state`` + the gate entry's session
+    # cache) instead of re-collecting the benchmark per query
+    bits, k, m = (
+        bloom_state
+        if bloom_state is not None
+        else bloom_admission_state(
+            bench, n=n, fpp=fpp, id_col=id_col, text_col=text_col
+        )
     )
-    n_items = max(len(bench_hashes), 1)
-    m = max(64, int(-n_items * math.log(fpp) / (math.log(2.0) ** 2)))
-    m = ((m + 63) // 64) * 64
-    k = max(1, int(round(m / n_items * math.log(2.0))))
-    bits = np.zeros(m // 64, dtype=np.uint64)
-    if len(bench_hashes):
-        h = np.asarray(bench_hashes, dtype=np.int64).astype(np.uint64)
-        h_lo = h & np.uint64(0xFFFFFFFF)
-        h_hi = h >> np.uint64(32)
-        for i in range(k):
-            idx = (h_lo + np.uint64(i) * h_hi) % np.uint64(m)
-            np.bitwise_or.at(
-                bits,
-                (idx >> np.uint64(6)).astype(np.int64),
-                np.uint64(1) << (idx & np.uint64(63)),
-            )
     bc = docs.sparkSession.sparkContext.broadcast(bits)
     kk, mm = k, m
 

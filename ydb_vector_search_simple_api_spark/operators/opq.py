@@ -288,56 +288,24 @@ def ivfopq_search(
     rerank: int | None = None,
     round_digits: int | None = None,
 ) -> DataFrame:
-    """IVF×OPQ read path: centroids rank against the ORIGINAL query
-    (the IVF layout is unrotated), the pruned code directories
-    ADC-score against the ROTATED query, and the optional shortlist
-    re-ranks against the full-precision IVF vectors with the ORIGINAL
-    query — exact when ``search_top_size >= n_clusters`` and
-    ``rerank >= corpus size`` (the oracle-gated configuration)."""
-    from ..config import sort_descending
-    from .index import _rank_centroids
-    from . import tombstones
+    """IVF×OPQ read path: the stock IVFADC engine
+    (:func:`pq.ivfpq_search`) with one twist — the ADC stage sees the
+    ROTATED query (the codes live in rotated space) while centroid
+    routing and the full-precision rerank stay in the original space.
+    Exact when ``search_top_size >= n_clusters`` and ``rerank >=
+    corpus size`` (the oracle-gated configuration)."""
+    from .pq import ivfpq_search
 
-    validate_strategy(strategy)
     q = np.asarray(list(query_vec), dtype=np.float64)
-    keep = _rank_centroids(ivf_index, list(q), strategy)[:search_top_size]
-    cand = pq_adc_topk(
+    return ivfpq_search(
         spark,
+        ivf_index,
         opq_index.pq,
-        list(q @ opq_index.rotation),
-        k=rerank if rerank else k,
+        [float(v) for v in q],
+        k=k,
         strategy=strategy,
-        partition_filter=F.col("cluster_id").isin(keep),
-    )
-    if not rerank:
-        if round_digits is not None:
-            cand = cand.withColumn(
-                "score", F.round(F.col("score"), round_digits) + F.lit(0.0)
-            )
-        return cand
-    full = tombstones.apply_tombstones(
-        spark,
-        ivf_index.path,
-        spark.read.parquet(ivf_index.path).filter(
-            F.col("cluster_id").isin(keep)
-        ),
-        id_col=ivf_index.id_col,
-    ).select(
-        F.col(ivf_index.id_col).alias("id"),
-        F.col(ivf_index.vec_col).alias("embedding"),
-    )
-    hit = full.join(F.broadcast(cand.select("id")), "id", "left_semi")
-    score = score_expr(strategy, F.col("embedding"), [float(v) for v in q])
-    if round_digits is not None:
-        score = F.round(score, round_digits) + F.lit(0.0)
-    direction = (
-        F.col("score").desc_nulls_last()
-        if sort_descending(strategy)
-        else F.col("score").asc_nulls_last()
-    )
-    return (
-        hit.withColumn("score", score)
-        .select("id", "score")
-        .orderBy(direction, F.col("id").asc())
-        .limit(k)
+        search_top_size=search_top_size,
+        rerank=rerank,
+        round_digits=round_digits,
+        adc_query_vec=[float(v) for v in (q @ opq_index.rotation)],
     )

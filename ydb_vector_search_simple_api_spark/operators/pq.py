@@ -663,6 +663,7 @@ def ivfpq_search(
     search_top_size: int = 2,
     rerank: int | None = None,
     round_digits: int | None = None,
+    adc_query_vec: Sequence[float] | None = None,
 ) -> DataFrame:
     """Classic IVFADC: rank the (tiny) centroid table on the driver,
     prune the codes layout to the ``search_top_size`` nearest cluster
@@ -678,8 +679,12 @@ def ivfpq_search(
 
     validate_strategy(strategy)
     keep = _rank_centroids(ivf_index, query_vec, strategy)[:search_top_size]
+    # adc_query_vec: the query as the CODES see it (OPQ rotates the
+    # coding space; centroid routing and the rerank stay in the
+    # original space) — None means codes and store share one space
     cand = pq_adc_topk(
-        spark, pq_index, query_vec,
+        spark, pq_index,
+        query_vec if adc_query_vec is None else adc_query_vec,
         k=rerank if rerank else k, strategy=strategy,
         partition_filter=F.col("cluster_id").isin(keep),
     )

@@ -148,9 +148,10 @@ def stream_decontaminate_ingest(
     stream above, which must remember every hash it admitted):
     containment is a pure function of (one training doc, the static
     benchmark), so no cross-batch state exists at all — the stream is
-    embarrassingly incremental, the benchmark side is built once and
-    re-broadcast from the same plan each trigger, and a replayed
-    batch rewrites the same flag rows (idempotent per batch content).
+    embarrassingly incremental, the benchmark's SHINGLED table is
+    materialized once (eager localCheckpoint) so each trigger pays
+    only its own batch's tokenization, and a replayed batch rewrites
+    the same flag rows (idempotent per batch content).
     Drained output == batch ``decontaminate`` bit-for-bit, so this
     entry shares the exact SQL oracle.
 
@@ -164,6 +165,7 @@ def stream_decontaminate_ingest(
     Returns (doc_id, bench_id, n_common, containment) for every
     flagged pair, read back from the sink.
     """
+    from ..operators import dedup
     from ..operators.curation import _decontaminate_pair
 
     run = uuid.uuid4().hex[:8]
@@ -177,12 +179,17 @@ def stream_decontaminate_ingest(
     bench = docs.filter(F.col("source") == "src0").select("doc_id", "text")
     train = docs.filter(F.col("source") != "src0").select("doc_id", "text")
     write_shard_landing(train, landing, n_shards)
+    # shingle the static benchmark ONCE; without the barrier every
+    # trigger would re-run the bench scan+tokenization through lineage
+    # (the build_knn_graph lesson)
+    bench_sh = dedup.shingled_table(bench, n=n).localCheckpoint(eager=True)
 
     schema = train.schema
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         flagged = _decontaminate_pair(
-            bench, batch_df, n=n, min_containment=min_containment
+            bench, batch_df, n=n, min_containment=min_containment,
+            bench_shingled=bench_sh,
         )
         # idempotence: one overwritten directory per batch id — a
         # foreachBatch replay rewrites, never double-appends (the
