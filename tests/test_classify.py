@@ -121,11 +121,11 @@ def test_nb_plan_stays_jvm_side_and_broadcasts_consts(spark):
     label-constant join broadcast; the argmax is an aggregation, not
     a window sort."""
     from ydb_vector_search_simple_api_spark.operators.classify import (
-        nb_classify_docs,
+        _nb_classify_plan,
     )
 
     plan = (
-        nb_classify_docs(spark, SF_SMALL)
+        _nb_classify_plan(spark, SF_SMALL)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

@@ -55,7 +55,29 @@ from ..sources.store import load_documents
 NB_ALPHA = 1.0
 
 
+#: (applicationId, sf_dir, alpha) -> materialized scored table. The
+#: classifier is a pure function of the immutable corpus (the
+#: _SCAN_CACHE / bigram-score-table contract): nb_label_report and
+#: repeat scoring calls share one training+scoring pass; bench
+#: reports the cold pass via cold_s.
+_NB_SCORED_CACHE: dict[tuple, DataFrame] = {}
+
+
 def nb_classify_docs(
+    spark: SparkSession, sf_dir: str, alpha: float = NB_ALPHA
+) -> DataFrame:
+    """Session-cached scored table (see ``_NB_SCORED_CACHE``); the
+    lazy plan lives in :func:`_nb_classify_plan` (plan-shape-tested
+    there — a checkpointed result reads back as a plain scan)."""
+    key = (spark.sparkContext.applicationId, sf_dir, float(alpha))
+    if key not in _NB_SCORED_CACHE:
+        _NB_SCORED_CACHE[key] = _nb_classify_plan(
+            spark, sf_dir, alpha
+        ).localCheckpoint(eager=True)
+    return _NB_SCORED_CACHE[key]
+
+
+def _nb_classify_plan(
     spark: SparkSession, sf_dir: str, alpha: float = NB_ALPHA
 ) -> DataFrame:
     """Train multinomial NB on the weak-labeled slice, score ALL docs.
