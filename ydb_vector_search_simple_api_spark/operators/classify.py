@@ -55,26 +55,17 @@ from ..sources.store import load_documents
 NB_ALPHA = 1.0
 
 
-#: (applicationId, sf_dir, alpha) -> materialized scored table. The
-#: classifier is a pure function of the immutable corpus (the
-#: _SCAN_CACHE / bigram-score-table contract): nb_label_report and
-#: repeat scoring calls share one training+scoring pass; bench
-#: reports the cold pass via cold_s.
-_NB_SCORED_CACHE: dict[tuple, DataFrame] = {}
-
-
 def nb_classify_docs(
     spark: SparkSession, sf_dir: str, alpha: float = NB_ALPHA
 ) -> DataFrame:
-    """Session-cached scored table (see ``_NB_SCORED_CACHE``); the
-    lazy plan lives in :func:`_nb_classify_plan` (plan-shape-tested
-    there — a checkpointed result reads back as a plain scan)."""
-    key = (spark.sparkContext.applicationId, sf_dir, float(alpha))
-    if key not in _NB_SCORED_CACHE:
-        _NB_SCORED_CACHE[key] = _nb_classify_plan(
-            spark, sf_dir, alpha
-        ).localCheckpoint(eager=True)
-    return _NB_SCORED_CACHE[key]
+    """LAZY scored table — composable (filters/projections still push
+    below the scoring joins) and recomputable on executor loss. A
+    serving layer that scores the same immutable corpus repeatedly
+    should materialize ONE result and reuse it (the gate/bench entry
+    does exactly that at the contract layer); the library deliberately
+    does not cache, so downstream composition keeps full Catalyst
+    freedom."""
+    return _nb_classify_plan(spark, sf_dir, alpha)
 
 
 def _nb_classify_plan(
@@ -248,7 +239,10 @@ def _nb_classify_plan(
 
 
 def nb_label_report(
-    spark: SparkSession, sf_dir: str, alpha: float = NB_ALPHA
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = NB_ALPHA,
+    preds: DataFrame | None = None,
 ) -> DataFrame:
     """Classifier-vs-rules audit: for each (weak rule label →
     predicted label) cell, how many docs and what mean score — the
@@ -264,7 +258,9 @@ def nb_label_report(
     """
     from .textual import weak_labels
 
-    preds = nb_classify_docs(spark, sf_dir, alpha=alpha)
+    preds = preds if preds is not None else nb_classify_docs(
+        spark, sf_dir, alpha=alpha
+    )
     rules = weak_labels(spark, sf_dir).select(
         "doc_id", F.col("label").alias("rule_label")
     )

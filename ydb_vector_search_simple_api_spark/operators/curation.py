@@ -1398,10 +1398,6 @@ def semantic_dedup(
     )
 
 
-#: (applicationId, sf_dir, k, seed) -> fallback KMeans centroids.
-_SEMDEDUP_CENTROID_CACHE: dict[tuple, list] = {}
-
-
 def semantic_dedup_blocked(
     spark: SparkSession, sf_dir: str,
     centroids=None,
@@ -1431,26 +1427,14 @@ def semantic_dedup_blocked(
     """
     embs = load_embeddings(spark, sf_dir)
     if centroids is None:
-        # the fallback fit is a pure corpus function — session-cache
-        # it (the _SCAN_CACHE contract) so repeat dedup calls don't
-        # re-run a full KMeans job; production passes the persisted
-        # IVF index's centroids anyway
-        ckey = (spark.sparkContext.applicationId, sf_dir, n_clusters, seed)
-        centroids = _SEMDEDUP_CENTROID_CACHE.get(ckey)
-        if centroids is None:
-            from pyspark.ml.clustering import KMeans
-            from pyspark.ml.functions import array_to_vector
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-            feats = embs.select(
-                array_to_vector(
-                    F.col("embedding").cast("array<double>")
-                ).alias("features")
-            )
-            model = KMeans(
-                k=n_clusters, seed=seed, featuresCol="features"
-            ).fit(feats)
-            centroids = [c.tolist() for c in model.clusterCenters()]
-            _SEMDEDUP_CENTROID_CACHE[ckey] = centroids
+        feats = embs.select(
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+        )
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feats)
+        centroids = [c.tolist() for c in model.clusterCenters()]
     pairs = dedup.neardup_cosine_multiprobe(
         embs, centroids, threshold=threshold, probes=probes
     )
