@@ -1834,6 +1834,11 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_exact_groups"] = oracles_text.DEDUP_EXACT
     o["chunk_dedup"] = oracles_text.chunk_dedup_sql()
     o["duplicate_spans"] = oracles_text.duplicate_spans_sql(8)
+    # the Arrow twin's 64-bit rolling hash differs from md5 by design,
+    # but the SPAN ROLLUP it emits depends only on which shingles are
+    # duplicated (collision-free at gate scale, equality pinned in
+    # tests/test_dedup.py) — so it carries the SAME oracle
+    o["duplicate_spans_arrow"] = oracles_text.duplicate_spans_sql(8)
     o["remove_duplicate_spans"] = oracles_text.remove_duplicate_spans_sql(8)
     o["unigram_logprob"] = oracles_text.UNIGRAM_LOGPROB
     o["bigram_logprob"] = oracles_text.BIGRAM_LOGPROB
@@ -1967,6 +1972,11 @@ FROM events GROUP BY user_id, event_type
     o["event_transitions"] = oracles_temporal.EVENT_TRANSITIONS
     o["readability"] = oracles_text.READABILITY
     o["incremental_dedup"] = oracles_text.incremental_dedup_sql()
+    # incremental_dedup_arrow stays rows-only: winnowing SELECTS the
+    # window-minimum hash, so the chosen fingerprints depend on the
+    # hash function itself (rolling-hash picks differ from md5 picks
+    # even with zero collisions) — verified: sharing the md5 oracle
+    # hash-mismatches. Its contract is pinned in pytest instead.
     o["epoch_shards"] = oracles_text.epoch_shards_sql()
     o["per_source_examples"] = oracles_text.per_source_examples_sql()
     o["bpe_pair_counts"] = oracles_text.bpe_pair_counts_sql()
