@@ -1808,6 +1808,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["topk_cosine_default_k"] = oracles.topk_sql("CosineSimilarity", k=4)
     o["knn_join_cosine"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
+    # knn_join_blocked stays rows-only: its scores are BLAS matmul
+    # sums whose IEEE summation order differs from the SQL fold —
+    # same neighbors (pinned), not bit-identical rounded scores
+    # (verified: sharing the fold oracle hash-mismatches).
     # full-width ANN joins are exact: same result set as the exact kNN join
     o["ivf_knn_join_full"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
     o["knn_serve_stream"] = oracles.knn_join_sql("CosineSimilarity", k=5, n_queries=8)
