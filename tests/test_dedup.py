@@ -61,6 +61,28 @@ def test_minhash_lsh_matches_exact(docs, exact_pairs):
         assert j == pytest.approx(exact_pairs[pair])
 
 
+def test_prefix_filter_join_is_lossless(docs, exact_pairs):
+    """Prefix filtering (SSJoin/PPJoin) is exact by construction:
+    identical output to the full inverted-index join, pair for pair,
+    score for score — it prunes the JOIN, never the answer. Also pin
+    a lower threshold, where prefixes are longer and the size filter
+    does more of the work."""
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_prefix_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert got == exact_pairs
+    lo_exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    lo_got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_prefix_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert lo_got == lo_exact
+
+
 def test_doc_freq_cap_is_subset(docs, exact_pairs):
     capped = {
         (r.id_a, r.id_b)

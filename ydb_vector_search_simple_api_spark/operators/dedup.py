@@ -197,6 +197,111 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard, found through
+    **prefix filtering** (SSJoin, Chaudhuri et al. ICDE 2006; PPJoin,
+    Xiao et al. WWW 2008 — public algorithms). LOSSLESS: returns
+    exactly the pairs :func:`ngram_jaccard_pairs` returns — unlike
+    MinHash banding, the filter never drops a true pair, so this is
+    the scale path that still carries the exact oracle.
+
+    Why it prunes: if J(A,B) >= t then |A∩B| >= t*|A|. Order every
+    shingle by a global rarity key (ascending document frequency,
+    shingle as tie-break) and keep only each doc's first
+    ``|A| - ceil(t*|A|) + 1`` shingles (its *prefix*). Two docs whose
+    prefixes are disjoint can share at most ``ceil(t*|A|) - 1 <
+    t*|A|`` shingles, so they cannot reach the threshold — joining
+    prefixes only is safe. Rare-first ordering makes prefixes
+    low-frequency join keys, so candidate fan-out collapses versus
+    the full inverted-index join (which meets docs through their
+    *hottest* shared shingles too).
+
+    Plan shape at 100 TB: one shuffle to attach document frequencies
+    (keyed on shingle), one window per doc for prefix positions, a
+    prefix-only self-join (keys are rare by construction — no skew),
+    size + POSITIONAL filters on the candidate edge (PPJoin's overlap
+    upper bound from the matched prefix positions, plus
+    ``t*max(|A|,|B|) <= min(|A|,|B|)``), then exact verification that
+    touches only candidate pairs.
+    No all-pairs stage anywhere; every join is keyed.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = Window.partitionBy("id").orderBy(F.col("dfreq").asc(), F.col("shingle").asc())
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(counts, "id")
+    )
+    # prefix length |A| - ceil(t*|A|) + 1 (>=1 always)
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+    ).select("id", "shingle", "n_sh", "pos")
+
+    # PPJoin positional filter (Xiao et al. 2008): a match at prefix
+    # positions (pa, pb) caps the achievable overlap at
+    # 1 + min(|A|-pa, |B|-pb), and J >= t needs overlap >=
+    # ceil(t/(1+t) * (|A|+|B|)). The 1e-9 slack keeps the double
+    # product's ceil from rounding an exact integer UP (the filter
+    # must stay lossless, so alpha may only ever round DOWN).
+    ratio = threshold / (1.0 + threshold)
+    alpha = F.ceil(
+        F.lit(ratio) * (F.col("a.n_sh") + F.col("b.n_sh")) - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # size filter: J >= t forces t*max <= min
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+            & (ubound >= alpha),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    # exact verification restricted to candidates: candidate-pair rows
+    # fan out by |A| (join on id_a), land on (id_b, shingle) to count
+    # the intersection — never touches non-candidate docs.
+    sa = sh.select(F.col("id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    if round_digits is not None:
+        jac = F.round(jac, round_digits) + F.lit(0.0)
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ----------------------------------------------------- MinHash + LSH
 
 
