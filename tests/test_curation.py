@@ -693,3 +693,98 @@ def test_curation_reasons_consistent_with_curate_corpus(spark):
                   "contaminated", "admitted"):
             assert getattr(r, f) in (0, 1)
         assert (r.split is None) == (r.admitted == 0)
+
+
+def test_expectations_all_pass_on_clean_corpus(spark):
+    """The driver testdata satisfies every declared constraint; the
+    report carries one row per declaration."""
+    from ydb_vector_search_simple_api_spark.operators.expectations import (
+        DOCUMENT_CHECKS,
+        expectations_report,
+    )
+
+    rows = expectations_report(spark, SF_SMALL).collect()
+    assert len(rows) == len(DOCUMENT_CHECKS)
+    assert {r.check_name for r in rows} == {c[0] for c in DOCUMENT_CHECKS}
+    assert all(r.passed for r in rows)
+
+
+def test_expectations_catch_planted_violations(spark, tmp_path):
+    """Null lang, duplicate doc_id, and an out-of-domain lang each
+    trip exactly the constraints that watch them."""
+    from ydb_vector_search_simple_api_spark.operators import expectations as X
+
+    bad = spark.createDataFrame(
+        [(i, "some text here", "en" if i % 2 else None, "src0", 14) for i in range(150)]
+        + [(0, "dup id row", "xx", "src1", 99)],  # wrong n_chars too
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = str(tmp_path / "documents.parquet")
+    bad.write.parquet(out)
+    verdict = {
+        r.check_name: r.passed
+        for r in X.expectations_report(spark, str(tmp_path)).collect()
+    }
+    assert not verdict["complete_lang"]
+    assert not verdict["unique_doc_id"]
+    assert not verdict["lang_in_domain"]
+    assert not verdict["consistent_n_chars"]  # the planted 99 vs len 10
+    assert verdict["complete_text"] and verdict["nonempty_text"]
+
+
+def test_expectations_single_scan_plan(spark):
+    """All metrics fuse into ONE aggregate over one scan: exactly one
+    parquet scan node in the executed plan, and the bounds side is a
+    broadcast of a local relation."""
+    from ydb_vector_search_simple_api_spark.operators.expectations import (
+        expectations_report,
+    )
+
+    plan = (
+        expectations_report(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+def test_snapshot_diff_classifies_and_roundtrips(spark):
+    """Hand-built snapshots: every change class detected, unchanged
+    docs absent, token deltas signed correctly."""
+    from ydb_vector_search_simple_api_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "s", "a b c"), (2, "s", "same text"), (3, "s", "to be removed")],
+        ["doc_id", "source", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "s", "a b c d e"), (2, "s", "same text"), (4, "s", "brand new doc")],
+        ["doc_id", "source", "text"],
+    )
+    got = {r.doc_id: r for r in snapshot_diff(old, new).collect()}
+    assert set(got) == {1, 3, 4}
+    assert got[1].change == "changed" and got[1].token_delta == 2
+    assert got[3].change == "removed" and got[3].token_delta == -3
+    assert got[4].change == "added" and got[4].token_delta == 3
+
+
+def test_snapshot_versions_deterministic_fracs(spark):
+    """The synthetic snapshot pair is a pure function of doc_id: two
+    derivations are identical, and the event fractions land near the
+    declared rates."""
+    from ydb_vector_search_simple_api_spark.operators.curation import (
+        snapshot_diff_documents,
+    )
+
+    a = sorted(tuple(r) for r in snapshot_diff_documents(spark, SF_SMALL).collect())
+    b = sorted(tuple(r) for r in snapshot_diff_documents(spark, SF_SMALL).collect())
+    assert a == b
+    by_change = {}
+    for _, _, change, _ in a:
+        by_change[change] = by_change.get(change, 0) + 1
+    # 500-doc corpus, fracs 0.10/0.05/0.20 -> wide sanity windows
+    assert 20 <= by_change["added"] <= 90
+    assert 10 <= by_change["removed"] <= 60
+    assert 50 <= by_change["changed"] <= 160

@@ -1153,6 +1153,108 @@ def cdc_merge_snapshot(
     )
 
 
+def _salted_draw(salt: str, key: Column) -> Column:
+    """6-hex md5 draw with a namespace salt — independent uniform
+    draws per salt from the same key (cross-engine exact, same
+    contract as sampling._draw)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + "|"), key.cast("string"))), 1, 6
+    )
+
+
+def snapshot_versions(
+    df: DataFrame,
+    add_frac: float = 0.10,
+    rem_frac: float = 0.05,
+    chg_frac: float = 0.20,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic synthetic snapshot pair derived from one corpus
+    (the gate needs no extra input table, same convention as
+    attach_updates): the OLD snapshot lacks the ~add_frac docs that
+    arrive later; the NEW snapshot lacks the ~rem_frac docs deleted
+    in between and carries revised text for ~chg_frac docs.
+    Independent salted draws, so the three events compose freely."""
+    old = df.filter(
+        _salted_draw("add", F.col("doc_id")) >= F.lit(_threshold_hex(add_frac))
+    ).select("doc_id", "source", "text")
+    new = df.filter(
+        _salted_draw("rem", F.col("doc_id")) >= F.lit(_threshold_hex(rem_frac))
+    ).select(
+        "doc_id",
+        "source",
+        F.when(
+            _salted_draw("chg", F.col("doc_id")) < F.lit(_threshold_hex(chg_frac)),
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return old, new
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Corpus snapshot diff — the audit a versioned 100 TB dataset
+    publishes between releases: which documents were added, removed,
+    or changed, and what each did to the token mass.
+
+    Scale shape: each side collapses to a narrow (doc_id, source,
+    text_md5, n_tokens) projection in its own scan — full text never
+    crosses the shuffle — then ONE full-outer hash join on doc_id
+    classifies every key; unchanged docs (digest equal) drop out.
+    Output (doc_id, source, change, token_delta), change in
+    {added, removed, changed}."""
+    o = old.select(
+        F.col("doc_id").alias("o_id"),
+        F.col("source").alias("o_source"),
+        F.md5("text").alias("o_h"),
+        TXT.token_count("text").cast("bigint").alias("o_n"),
+    )
+    n = new.select(
+        F.col("doc_id").alias("n_id"),
+        F.col("source").alias("n_source"),
+        F.md5("text").alias("n_h"),
+        TXT.token_count("text").cast("bigint").alias("n_n"),
+    )
+    j = o.join(n, F.col("o_id") == F.col("n_id"), "full_outer")
+    change = (
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+        .when(F.col("n_id").isNull(), F.lit("removed"))
+        .when(F.col("o_h") != F.col("n_h"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            F.coalesce("o_id", "n_id").alias("doc_id"),
+            F.coalesce("n_source", "o_source").alias("source"),
+            "change",
+            (F.coalesce("n_n", F.lit(0)) - F.coalesce("o_n", F.lit(0))).alias(
+                "token_delta"
+            ),
+        )
+    )
+
+
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate wrapper: diff the deterministic synthetic snapshot pair."""
+    old, new = snapshot_versions(load_documents(spark, sf_dir))
+    return snapshot_diff(old, new)
+
+
+def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-notes rollup of :func:`snapshot_diff`: per (source,
+    change) document counts and net token delta — the compact view a
+    dataset card links between versions."""
+    return (
+        snapshot_diff_documents(spark, sf_dir)
+        .groupBy("source", "change")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_delta").cast("bigint").alias("token_delta"),
+        )
+    )
+
+
 def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset-card summary row a pipeline publishes with a
     training corpus: size, token mass, language/source breadth, exact

@@ -1,0 +1,100 @@
+"""Declarative data-quality verification over a corpus table —
+unit tests for data, in the style of Deequ (Schelter et al.,
+"Automating Large-Scale Data Quality Verification", VLDB 2018).
+
+The reference has no data-quality surface (its only check is the
+``SELECT 1`` probe, app.py:89-102); this is north-star extension
+scope: before a 100 TB corpus feeds a training run, the pipeline
+asserts completeness / uniqueness / domain-compliance / consistency
+invariants and fails fast with a per-constraint report.
+
+Scale shape: ONE aggregation pass over the table computes every
+metric (Spark fuses the agg expressions into a single partial+final
+hash aggregate — no per-constraint scans, which is the whole Deequ
+point), the single metric row is unpivoted to (check, metric) rows,
+and the declared bounds arrive as a broadcast literal frame. Adding a
+constraint adds an expression, not a scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.store import load_documents
+
+LANG_DOMAIN = ("de", "en", "es", "fr", "zh")
+
+# (check_name, lower_bound, upper_bound) — metric must land inclusive.
+# Fractions are exact integer counts divided once; bounds on means are
+# sanity ranges, not tuned numbers.
+DOCUMENT_CHECKS: tuple[tuple[str, float, float], ...] = (
+    ("size_min", 100.0, float("inf")),
+    ("complete_text", 1.0, 1.0),
+    ("complete_lang", 1.0, 1.0),
+    ("complete_source", 1.0, 1.0),
+    ("unique_doc_id", 1.0, 1.0),
+    ("lang_in_domain", 0.999, 1.0),
+    ("nonempty_text", 1.0, 1.0),
+    ("consistent_n_chars", 1.0, 1.0),
+    ("min_n_chars", 1.0, float("inf")),
+    ("max_n_chars", 0.0, 100000.0),
+    ("mean_n_chars", 10.0, 10000.0),
+)
+
+
+def _frac(cond, n) -> F.Column:
+    """Exact fraction: integer conditional count divided once."""
+    return F.round(
+        F.sum(F.when(cond, 1).otherwise(0)).cast("double") / n.cast("double"), 6
+    ) + F.lit(0.0)
+
+
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the document-table constraint suite.
+
+    Output (check_name, metric, passed) — one row per declared
+    constraint, metric ROUND(6) double, passed = metric within the
+    declared inclusive bounds.
+    """
+    d = load_documents(spark, sf_dir)
+    n = F.count(F.lit(1))
+    metrics = d.agg(
+        n.cast("double").alias("size_min"),
+        _frac(F.col("text").isNotNull(), n).alias("complete_text"),
+        _frac(F.col("lang").isNotNull(), n).alias("complete_lang"),
+        _frac(F.col("source").isNotNull(), n).alias("complete_source"),
+        (
+            F.round(F.count_distinct("doc_id").cast("double") / n.cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("unique_doc_id"),
+        _frac(F.col("lang").isin(*LANG_DOMAIN), n).alias("lang_in_domain"),
+        _frac(F.length("text") > 0, n).alias("nonempty_text"),
+        _frac(F.col("n_chars") == F.length("text"), n).alias("consistent_n_chars"),
+        F.min("n_chars").cast("double").alias("min_n_chars"),
+        F.max("n_chars").cast("double").alias("max_n_chars"),
+        (
+            F.round(F.sum("n_chars").cast("double") / n.cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("mean_n_chars"),
+    )
+    stack_args: list = []
+    for name, _, _ in DOCUMENT_CHECKS:
+        stack_args += [F.lit(name), F.col(name)]
+    long = metrics.select(
+        F.stack(F.lit(len(DOCUMENT_CHECKS)), *stack_args).alias("check_name", "metric")
+    )
+    bounds = spark.createDataFrame(
+        [(name, lo, hi) for name, lo, hi in DOCUMENT_CHECKS],
+        "check_name string, lo double, hi double",
+    )
+    return (
+        long.join(F.broadcast(bounds), "check_name")
+        .select(
+            "check_name",
+            "metric",
+            ((F.col("metric") >= F.col("lo")) & (F.col("metric") <= F.col("hi"))).alias(
+                "passed"
+            ),
+        )
+    )

@@ -673,3 +673,113 @@ SELECT doc_id, quality_ok, is_canonical, is_benchmark, contaminated,
             THEN split END AS split
 FROM flags ORDER BY doc_id
 """
+
+
+def expectations_sql() -> str:
+    """Twin of :func:`operators.expectations.expectations_report` —
+    the bounds come from the SAME declaration table
+    (``expectations.DOCUMENT_CHECKS``), so operator and oracle cannot
+    drift apart."""
+    from .operators.expectations import DOCUMENT_CHECKS, LANG_DOMAIN
+
+    langs = ", ".join(f"'{v}'" for v in LANG_DOMAIN)
+
+    def frac(cond: str) -> str:
+        return (
+            f"ROUND(sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::DOUBLE"
+            " / count(*)::DOUBLE, 6) + 0.0"
+        )
+
+    metric_exprs = {
+        "size_min": "count(*)::DOUBLE",
+        "complete_text": frac("text IS NOT NULL"),
+        "complete_lang": frac("lang IS NOT NULL"),
+        "complete_source": frac("source IS NOT NULL"),
+        "unique_doc_id": (
+            "ROUND(count(DISTINCT doc_id)::DOUBLE / count(*)::DOUBLE, 6) + 0.0"
+        ),
+        "lang_in_domain": frac(f"lang IN ({langs})"),
+        "nonempty_text": frac("length(text) > 0"),
+        "consistent_n_chars": frac("n_chars = length(text)"),
+        "min_n_chars": "min(n_chars)::DOUBLE",
+        "max_n_chars": "max(n_chars)::DOUBLE",
+        "mean_n_chars": (
+            "ROUND(sum(n_chars)::DOUBLE / count(*)::DOUBLE, 6) + 0.0"
+        ),
+    }
+    cols = ",\n       ".join(
+        f"{expr} AS {name}" for name, expr in metric_exprs.items()
+    )
+
+    def bound(v: float) -> str:
+        return "'infinity'::DOUBLE" if v == float("inf") else repr(v)
+
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT '{name}' AS check_name, {name} AS metric,"
+        f" {bound(lo)} AS lo, {bound(hi)} AS hi FROM m"
+        for name, lo, hi in DOCUMENT_CHECKS
+    )
+    return f"""
+WITH m AS (
+  SELECT {cols}
+  FROM documents
+),
+long AS (
+  {arms}
+)
+SELECT check_name, metric, (metric >= lo AND metric <= hi) AS passed
+FROM long
+"""
+
+
+def _snapshot_cte(
+    add_frac: float = 0.10, rem_frac: float = 0.05, chg_frac: float = 0.20
+) -> str:
+    """Twin of ``curation.snapshot_versions`` + the narrow digest
+    projections of ``curation.snapshot_diff``."""
+    add_t = _threshold_hex(add_frac)
+    rem_t = _threshold_hex(rem_frac)
+    chg_t = _threshold_hex(chg_frac)
+    return f"""
+old AS (
+  SELECT doc_id, source, md5(text) AS h, len({TOKS})::BIGINT AS n
+  FROM documents
+  WHERE substring(md5('add|' || doc_id), 1, 6) >= '{add_t}'
+),
+new AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN substring(md5('chg|' || doc_id), 1, 6) < '{chg_t}'
+                  THEN text || ' [rev2]' ELSE text END) AS h,
+         len(string_split_regex(trim(lower(
+           CASE WHEN substring(md5('chg|' || doc_id), 1, 6) < '{chg_t}'
+                THEN text || ' [rev2]' ELSE text END)), '\\s+'))::BIGINT AS n
+  FROM documents
+  WHERE substring(md5('rem|' || doc_id), 1, 6) >= '{rem_t}'
+),
+diff AS (
+  SELECT coalesce(o.doc_id, nw.doc_id) AS doc_id,
+         coalesce(nw.source, o.source) AS source,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN nw.doc_id IS NULL THEN 'removed'
+              WHEN o.h <> nw.h THEN 'changed' END AS change,
+         (coalesce(nw.n, 0) - coalesce(o.n, 0))::BIGINT AS token_delta
+  FROM old o FULL OUTER JOIN new nw ON o.doc_id = nw.doc_id
+)"""
+
+
+def snapshot_diff_sql() -> str:
+    return f"""
+WITH {_snapshot_cte()}
+SELECT doc_id, source, change, token_delta
+FROM diff WHERE change IS NOT NULL
+"""
+
+
+def snapshot_diff_summary_sql() -> str:
+    return f"""
+WITH {_snapshot_cte()}
+SELECT source, change, count(*)::BIGINT AS n_docs,
+       sum(token_delta)::BIGINT AS token_delta
+FROM diff WHERE change IS NOT NULL
+GROUP BY source, change
+"""
