@@ -324,3 +324,88 @@ def test_compression_signals_orders_repetition(spark):
         assert got[i].n_bytes == len(text.encode())
         assert got[i].n_zlib_bytes == len(zlib.compress(text.encode(), 6))
     assert got[3].compression_ratio is None
+
+
+def test_heavy_hitters_match_exact_topk(spark):
+    """Two-pass MG candidates + exact count == the direct groupBy
+    top-k, row for row (deterministic (cnt DESC, token ASC) cut)."""
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        heavy_hitters_topk,
+        token_frequencies,
+    )
+
+    exact = [tuple(r) for r in token_frequencies(spark, SF_SMALL, top_n=25).collect()]
+    got = [tuple(r) for r in heavy_hitters_topk(spark, SF_SMALL, k=25).collect()]
+    assert got == exact
+
+
+def test_mg_eviction_keeps_superset_and_bound(spark):
+    """Exercise the decrement path with a capacity far below the
+    vocabulary: a token with global count > N/(capacity+1) must
+    survive, and every kept estimate undershoots its true count by at
+    most N/(capacity+1) (the merged-summary MG guarantee)."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators.textual import mg_candidates
+
+    # skewed stream: 'hot' 400x, 'warm' 120x, 80 singletons, 2 partitions
+    rows = (
+        [("hot",)] * 400 + [("warm",)] * 120 + [(f"cold{i}",) for i in range(80)]
+    )
+    tok = spark.createDataFrame(rows, ["token"]).repartition(2)
+    n_total = len(rows)
+    capacity = 8
+    got: dict[str, int] = {}
+    for r in mg_candidates(tok, capacity=capacity).collect():
+        got[r.token] = got.get(r.token, 0) + r.est  # sum partition summaries
+    true = {"hot": 400, "warm": 120, **{f"cold{i}": 1 for i in range(80)}}
+    bound = n_total / (capacity + 1)
+    assert "hot" in got and "warm" in got  # both clear the N/(c+1) bar
+    for token, est in got.items():
+        assert est <= true[token]
+        assert true[token] - est <= bound
+    # per-partition summaries: at most capacity entries per partition
+    assert len(got) <= 2 * capacity
+
+
+def test_kneser_ney_scores_negative_and_complete(spark):
+    """Every multi-token doc gets a negative mean log-prob, same doc
+    coverage as the raw bigram MLE table."""
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        bigram_logprob,
+        kneser_ney_logprob,
+    )
+
+    kn = {r.doc_id: r.mean_kn_logprob for r in kneser_ney_logprob(spark, SF_SMALL).collect()}
+    mle = {r.doc_id for r in bigram_logprob(spark, SF_SMALL).collect()}
+    assert set(kn) == mle
+    assert all(v < 0 for v in kn.values())
+
+
+def test_kneser_ney_continuation_effect(spark, tmp_path):
+    """The KN signature: a word seen only after ONE context
+    ('francisco' after 'san') earns a lower continuation probability
+    than a word following many contexts ('okay'), even at equal
+    token frequency — raw MLE cannot tell the probe docs apart."""
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        bigram_logprob,
+        kneser_ney_logprob,
+    )
+
+    rows = [(i, "san francisco") for i in range(10)]
+    rows += [(100 + i, f"ctx{i} okay") for i in range(10)]
+    # probe docs: one fresh context each, bigram count 1, c1(prev)=1
+    rows += [(900, "proa francisco"), (901, "prob okay")]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    kn = {
+        r.doc_id: r.mean_kn_logprob
+        for r in kneser_ney_logprob(spark, str(tmp_path)).collect()
+    }
+    mle = {
+        r.doc_id: r.mean_bigram_logprob
+        for r in bigram_logprob(spark, str(tmp_path)).collect()
+    }
+    assert mle[900] == mle[901]  # MLE blind: both are 1/1 bigrams
+    assert kn[901] > kn[900]  # KN: 'okay' follows 10 contexts

@@ -71,6 +71,80 @@ def token_frequencies(spark: SparkSession, sf_dir: str, top_n: int = 25) -> Data
     )
 
 
+def mg_candidates(tok_df: DataFrame, capacity: int = 4096) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries (Misra & Gries
+    1982; mergeable-summaries form of Agarwal et al., PODS 2012).
+
+    Each partition keeps at most ``capacity`` counters: Arrow batches
+    are pre-aggregated vectorized (``value_counts``), merged into the
+    running summary, and on overflow the (capacity+1)-th largest count
+    is subtracted from every counter and non-positive counters pruned
+    — the classic decrement step, batched. Guarantee per partition of
+    N_i tokens: every token with local count > N_i/(capacity+1)
+    survives, and the kept estimate undershoots the true local count
+    by at most N_i/(capacity+1). By pigeonhole, any token with GLOBAL
+    count > N/(capacity+1) is local-heavy in at least one partition,
+    so the union of partition summaries is a candidate SUPERSET of the
+    global heavy hitters. Output (token, est) rows, ≤ capacity per
+    partition; ``est`` is the (under-)estimate, useful for bounds."""
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        counters = pd.Series(dtype="float64")
+        for pdf in batches:
+            counters = counters.add(pdf["token"].value_counts(), fill_value=0)
+            if len(counters) > capacity:
+                vals = counters.to_numpy()
+                thresh = np.partition(vals, len(vals) - capacity - 1)[
+                    len(vals) - capacity - 1
+                ]
+                counters = counters[counters > thresh] - thresh
+        if len(counters):
+            yield pd.DataFrame(
+                {
+                    "token": counters.index.astype(str),
+                    "est": counters.to_numpy().astype("int64"),
+                }
+            )
+
+    return tok_df.mapInPandas(part, "token string, est bigint")
+
+
+def heavy_hitters_topk(
+    spark: SparkSession, sf_dir: str, k: int = 25, capacity: int = 4096
+) -> DataFrame:
+    """Top-k token frequencies through the two-pass heavy-hitter
+    scheme: Misra-Gries candidate generation per partition, then an
+    exact count restricted to the (broadcast) candidate union.
+
+    Identical output to :func:`token_frequencies` whenever the k-th
+    true count exceeds N/(capacity+1) — always true for Zipf-shaped
+    token mass at sane capacities — so it carries the exact oracle.
+
+    Why this beats the plain groupBy at 100 TB: with a billion-key
+    vocabulary (word n-grams), the direct groupBy shuffles every
+    distinct key per partition; here the shuffle carries at most
+    ``capacity`` keys per partition (the candidate semi-join filters
+    map-side against a broadcast set), independent of vocabulary
+    size."""
+    from . import dedup
+
+    d = load_documents(spark, sf_dir)
+    toks = dedup._ensure_parallelism(
+        d.select(F.explode(TXT.tokens("text")).alias("token"))
+    )
+    cands = mg_candidates(toks, capacity).select("token").distinct()
+    return (
+        toks.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID per document (stopword-profile argmax)."""
     d = load_documents(spark, sf_dir)
@@ -869,6 +943,85 @@ def top_tokens_per_lang(
         counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= top_n)
         .select("lang", "token", "cnt", "rk")
+    )
+
+
+def kneser_ney_logprob(
+    spark: SparkSession, sf_dir: str, discount: float = 0.75
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated
+    Kneser-Ney bigram model (Kneser & Ney 1995; Chen & Goodman 1998)
+    trained on the corpus's own statistics — the standard smoothed LM
+    the raw-MLE :func:`bigram_logprob` approximates:
+
+        P(cur|prev) = max(c(prev,cur) - D, 0)/c(prev)
+                      + D * N1+(prev,*)/c(prev) * Pcont(cur)
+        Pcont(cur)  = N1+(*,cur) / N1+(*,*)
+
+    with fixed discount D. The continuation probability scores how
+    many CONTEXTS a word follows, not how often it occurs — the
+    "San Francisco" correction that makes KN the default n-gram
+    smoother. Every statistic is an exact integer aggregate; the
+    probability is evaluated in double with a fixed association
+    order, per-bigram log rounded to 9, summed as decimal — the same
+    cross-engine float-parity contract as bigram_logprob.
+
+    Scale shape: identical to bigram_logprob (one doc-bigram
+    aggregate behind a checkpoint barrier; count tables broadcast
+    while they fit) plus two vocabulary-sized type-count tables and
+    one scalar — all derived from the SAME cnt2 aggregate, no extra
+    corpus pass."""
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    t = TXT.tokens("text")
+    pairs_arr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("prev"), F.element_at(t, i + 1).alias("cur")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = d.select("doc_id", F.explode(pairs_arr).alias("p")).select(
+        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    docpair = (
+        pairs.groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    cnt2 = docpair.groupBy("prev", "cur").agg(F.sum("n").alias("c2"))
+    cnt1 = cnt2.groupBy("prev").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p_prev")
+    )
+    ncur = cnt2.groupBy("cur").agg(F.count(F.lit(1)).alias("n1p_cur"))
+    total = cnt2.agg(F.count(F.lit(1)).alias("n1p_total"))
+    # fixed association order, mirrored verbatim in the SQL oracle:
+    # (c2 - D)/c1 + ((D * n1p_prev)/c1) * (n1p_cur/n1p_total)
+    prob = (F.col("c2").cast("double") - F.lit(discount)) / F.col("c1").cast(
+        "double"
+    ) + ((F.lit(discount) * F.col("n1p_prev")) / F.col("c1").cast("double")) * (
+        F.col("n1p_cur").cast("double") / F.col("n1p_total").cast("double")
+    )
+    logp = F.round(F.log(prob), 9).cast("decimal(20,9)")
+    return (
+        docpair.join(F.broadcast(cnt2), ["prev", "cur"])
+        .join(F.broadcast(cnt1), "prev")
+        .join(F.broadcast(ncur), "cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n").cast("decimal(12,0)") * logp).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6)
+                + F.lit(0.0)
+            ).alias("mean_kn_logprob"),
+        )
     )
 
 

@@ -1478,3 +1478,42 @@ SELECT doc_id, {cols},
             ELSE ({best}).s END AS dominant_script
 FROM documents ORDER BY doc_id
 """
+
+
+def kneser_ney_sql(discount: float = 0.75) -> str:
+    """Twin of textual.kneser_ney_logprob — same exact-integer
+    statistics, same double association order, ROUND(ln,9) decimal
+    sum."""
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_slice(toks, 1, len(toks) - 1)) AS prev,
+         unnest(list_slice(toks, 2, len(toks))) AS cur
+  FROM t WHERE len(toks) >= 2
+),
+docpair AS (SELECT doc_id, prev, cur, count(*) AS n FROM pairs GROUP BY 1, 2, 3),
+c2 AS (SELECT prev, cur, sum(n)::BIGINT AS c2 FROM docpair GROUP BY prev, cur),
+c1 AS (SELECT prev, sum(c2)::BIGINT AS c1, count(*)::BIGINT AS n1p_prev FROM c2 GROUP BY prev),
+nc AS (SELECT cur, count(*)::BIGINT AS n1p_cur FROM c2 GROUP BY cur),
+tot AS (SELECT count(*)::BIGINT AS n1p_total FROM c2),
+scored AS (
+  SELECT doc_id, n,
+         ROUND(ln(
+           (c2.c2::DOUBLE - {discount}) / c1.c1::DOUBLE
+           + (({discount} * c1.n1p_prev) / c1.c1::DOUBLE)
+             * (nc.n1p_cur::DOUBLE / tot.n1p_total::DOUBLE)
+         ), 9) AS lp
+  FROM docpair
+  JOIN c2 USING (prev, cur) JOIN c1 USING (prev) JOIN nc USING (cur)
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       sum(n)::BIGINT AS n_bigrams,
+       ROUND(
+         CAST(sum(CAST(n AS DECIMAL(12,0)) * CAST(lp AS DECIMAL(20,9))) AS DOUBLE)
+         / sum(n), 6
+       ) + 0.0 AS mean_kn_logprob
+FROM scored
+GROUP BY doc_id
+"""
