@@ -40,6 +40,7 @@ from ydb_vector_search_simple_api_spark.operators import dsir as dsir_mod
 from ydb_vector_search_simple_api_spark.operators import embstats as embstats_mod
 from ydb_vector_search_simple_api_spark.operators import clustering as clustering_mod
 from ydb_vector_search_simple_api_spark.operators import enrich as enrich_mod
+from ydb_vector_search_simple_api_spark.operators import expectations as expectations_mod
 from ydb_vector_search_simple_api_spark.operators import graph as graph_mod
 from ydb_vector_search_simple_api_spark.operators import graphann as gann_mod
 from ydb_vector_search_simple_api_spark.operators import ranking as ranking_mod
@@ -689,6 +690,32 @@ def _mk_tree_filtered(strategy: str, k: int, filter: dict, width: int | None = N
     return run
 
 
+def _mk_gann_filtered(strategy: str, k: int, filter: dict, beam: int | None = None):
+    """Filtered serving through the graph-ANN shape (same non-strict
+    contract as _mk_ivf_filtered/_mk_tree_filtered: the filter
+    semi-joins the traversal's candidates before the exact re-rank);
+    beam=None -> whole-graph traversal == exact filtered search."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ydb_vector_search_simple_api_spark.operators.search import (
+            filtered_doc_ids,
+        )
+
+        idx = _gann_index(spark, sf_dir)
+        src = load_embeddings(spark, sf_dir).select(
+            F.col("vec_id").alias("id"), "embedding"
+        )
+        return gann_mod.graphann_search(
+            spark, idx, src, _query_vec(spark, sf_dir), k=k,
+            strategy=strategy, beam=beam, round_digits=ROUND,
+            filter_ids=filtered_doc_ids(spark, sf_dir, filter),
+        )
+
+    return run
+
+
 def _mk_topk(strategy: str, k: int, filter: dict | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return exact_search(
@@ -979,7 +1006,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kmeans_tree_full"] = _mk_tree("CosineSimilarity", k=10, width=None)
 
     # ---- north-star extensions: text analysis over documents
-    q["text_stats"] = textual.text_stats
+    # round-6 rotation: unicode-script triage (per-script char counts
+    # + dominant-script router) in place of text_stats (driver-green
+    # r1-r5; per-doc profile family stays in-cap via quality_filter)
+    q["script_profile"] = textual.script_profile
     q["quality_filter"] = textual.quality_filter
     # round-5 rotation: served-from-postings BM25 (the persisted
     # lexical index path) promoted in-cap in place of hybrid_rrf
@@ -995,22 +1025,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # document_splits (driver-green r1-r4; split family stays covered
     # in-cap by leakage_safe_splits)
     q["split_leakage_audit"] = curation.split_leakage_audit
-    # context-length chunking (training-sequence packing prep)
-    q["chunk_documents"] = textual.chunk_documents
+    # round-6 rotation: Misra-Gries heavy-hitter top-k (mergeable
+    # per-partition summaries -> broadcast candidate semi-join ->
+    # exact count; vocabulary-size-independent shuffle) in place of
+    # chunk_documents (driver-green r1-r5; the chunk grid stays
+    # covered by pack_chunks + sql_chunk_documents in overflow)
+    q["heavy_hitters_topk"] = lambda s, d: textual.heavy_hitters_topk(s, d, k=25)
     # round-5 rotation: CCNet-style perplexity tiles (bigram LM + NLL
     # tertiles) in place of winnowing_fingerprints (driver-green
     # r1-r4; fingerprint family covered by duplicate_spans in-cap)
-    q["perplexity_buckets"] = textual.perplexity_buckets
+    # round-6 rotation: interpolated Kneser-Ney bigram scoring
+    # (continuation-count smoothing, hash-exact float parity) in
+    # place of perplexity_buckets (driver-green r5; the LM-scoring
+    # family stays in-cap via this entry, tiles ride overflow)
+    q["kneser_ney_logprob"] = textual.kneser_ney_logprob
 
     # ---- dedup family (exact forms)
-    q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(load_documents(s, d))
-    # SCD-1 CDC MERGE snapshot — rotated in-cap round 4 in place of
-    # dedup_ngram_jaccard (whose banding family stays covered in-cap
-    # by dedup_minhash_md5; the exact n-gram form rides overflow)
-    q["cdc_merge"] = lambda s, d: curation.cdc_merge_snapshot(s, d)
-    q["neardup_cosine"] = lambda s, d: dedup.neardup_cosine_pairs(
-        load_embeddings(s, d), threshold=0.4
+    # round-6 rotation: prefix-filtering similarity self-join
+    # (SSJoin/PPJoin; LOSSLESS, carries the exact n-gram Jaccard
+    # oracle) in place of dedup_exact_groups (driver-green r1-r5;
+    # content-hash family stays in-cap via incremental_dedup)
+    q["dedup_ngram_prefix"] = lambda s, d: dedup.ngram_jaccard_prefix_pairs(
+        load_documents(s, d), n=3, threshold=0.8
     )
+    # round-6 rotation: corpus snapshot diff (added/removed/changed
+    # via narrow digest projections + one full-outer join) in place
+    # of cdc_merge (driver-green r4/r5; the versioning family stays
+    # in-cap via this direct sibling)
+    q["snapshot_diff"] = curation.snapshot_diff_documents
+    # round-6 rotation: embedding-level semantic decontamination
+    # (cosine vs the broadcast benchmark slice — the paraphrase leak
+    # the 8-gram probe misses) in place of neardup_cosine
+    # (driver-green r1-r5; the cosine-pair family stays in-cap via
+    # semantic_dedup_blocked)
+    q["semantic_decontaminate"] = curation.semantic_decontaminate
     # md5-hashed MinHash+LSH: bit-portable hashing makes the banding
     # itself (not just the verified output) oracle-checkable
     q["dedup_minhash_md5"] = lambda s, d: dedup.minhash_lsh_pairs(
@@ -1042,10 +1090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["export_curated"] = lambda s, d: curation.export_curated(s, d)
     # Gopher-style repetition quality signals
     q["repetition_signals"] = curation.repetition_signals
-    # product quantization: ADC shortlist = whole corpus -> exact
-    # re-rank == exact top-k (strong oracle); the pruned-ADC variant
-    # is in the rows-only tail (operators/pq.py)
-    q["pq_rerank_full"] = _mk_pq_rerank("CosineSimilarity", k=10, shortlist=None)
+    # round-6 rotation: OPQ learned-rotation PQ (Ge et al. 2013) at
+    # full shortlist == exact, in place of pq_rerank_full
+    # (driver-green r1-r5; the stock-PQ twin rides overflow)
+    q["opq_rerank_full"] = _opq_rerank_full
     # stream-stream interval join (purchases x trailing clicks, both
     # sides watermarked => evictable join state)
     q["stream_interval_join"] = lambda s, d: streaming_events.purchase_click_interval_join_stream(
@@ -1062,17 +1110,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # parts_ordered_by_brand (join+agg family stays covered by
     # revenue_by_nation / orders_rollup)
     q["graph_stats"] = lambda s, d: graph_mod.graph_stats(s, d)
-    # per-source token budget enforcement (corpus mixing control)
-    q["source_token_budget"] = curation.source_token_budget
-    # PII scrubbing (ordered regex passes over PII-augmented docs)
-    q["pii_redaction"] = curation.pii_redaction
+    # round-6 rotation: Deequ-style data-quality expectations (one
+    # fused aggregation pass; bounds declared once, imported by
+    # operator AND oracle) in place of source_token_budget
+    # (driver-green r1-r5; the mixing family stays in-cap via
+    # dsir_select)
+    q["expectations_report"] = expectations_mod.expectations_report
+    # round-6 rotation: per-document curation PROVENANCE (every
+    # gate's verdict + admission reason) in place of pii_redaction
+    # (driver-green r2-r5; the regex-pass family stays covered by
+    # normalize_markup/extract_urls in overflow, and the curation
+    # stages by curate_corpus in-cap)
+    q["curation_reasons"] = curation.curation_reasons
 
     # ---- multimodal payload metadata (the byte-hist digest twin rides
     # the overflow window — same attach_payload + Arrow-batch family)
     q["multimodal_meta"] = multimodal.multimodal_meta
 
-    # ---- structured streaming rollup (complete mode == batch result)
-    q["events_hourly_stream"] = streaming_events.hourly_event_counts_stream
+    # round-6 rotation: streaming decontamination on arrival (per-
+    # batch containment vs the static benchmark; drained == batch
+    # bit-for-bit) in place of events_hourly_stream (driver-green
+    # r1-r5; the streaming family keeps stream_interval_join,
+    # events_distinct_pairs, session_rollup, user_running_totals
+    # in-cap)
+    q["stream_decontaminate"] = lambda s, d: streaming_curing.stream_decontaminate_ingest(
+        s, d
+    )
     # streaming stateful dedup (set-equal to batch DISTINCT)
     q["events_distinct_pairs"] = streaming_events.distinct_user_event_pairs_stream
     # ---- sessionization (built-in session_window; lag/cumsum oracle)
@@ -1103,13 +1166,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (partition pruning AND int8 codes in one layout; == exact) in
     # place of customer_revenue_deciles (driver-green r3/r4; window
     # family stays covered by user_running_totals in-cap)
-    q["ivfsq_rerank_full"] = _mk_ivfsq(
-        "CosineSimilarity", k=10, width=IVF_CLUSTERS, shortlist=None
-    )
+    # round-6 rotation: IVF x OPQ (directory pruning x rotated-ADC
+    # codes) at full width+rerank == exact, in place of
+    # ivfsq_rerank_full (driver-green r5; the IVF x SQ twin rides
+    # overflow)
+    q["ivfopq_rerank_full"] = _ivfopq_rerank_full
     # SQ8 exact-at-full-shortlist (the int8 compression rung) —
     # promoted in-cap late round 4; user_event_pivot (driver-green
     # r3/r4) rotated to overflow beside its unpivot twin
-    q["sq_rerank_full"] = _mk_sq_rerank("CosineSimilarity", k=10, shortlist=None)
+    # round-6 rotation: Matryoshka-style prefix-dim shortlist ->
+    # exact rerank (zero-maintenance adaptive retrieval) at full
+    # shortlist == exact, in place of sq_rerank_full (driver-green
+    # r4/r5; the SQ8 twin rides overflow)
+    q["prefixdim_rerank_full"] = _prefixdim_rerank_full
     # the SQL-string query surface: the reference's YQL template twin
     # (app.py:165-227) through Spark 4 SQL scalar UDFs (knn_* namespace)
     # + parameterized spark.sql binding — result-identical to the
@@ -1126,7 +1195,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graph traversal asserted + exact rerank) in place of
     # surge_windows (driver-green r2-r4; temporal family keeps
     # hourly_locf in-cap)
-    q["graphann_rerank_full"] = _mk_gann("CosineSimilarity", k=10, beam=None)
+    # round-6 rotation: FILTERED serving through the graph-ANN shape
+    # (non-strict filter lift; full beam == exact filtered) in place
+    # of graphann_rerank_full (driver-green r5; the unfiltered
+    # full-beam twin rides overflow)
+    q["topk_cosine_filtered_gann"] = _mk_gann_filtered(
+        "CosineSimilarity", k=10, filter={"vendor": "fr"}, beam=None
+    )
     # round-5 rotation: Bloom-sketch decontamination admission
     # (vectorized bitset probe; bit-identical => shared oracle) in
     # place of events_in_surges (driver-green r2-r4; range-join family
@@ -1431,12 +1506,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_curation_ingest"] = lambda s, d: streaming_curing.stream_curation_ingest(
         s, d
     )
-    # contamination flagging ON ARRIVAL (round 5): static benchmark,
-    # per-batch containment join, stateless by construction; drained
-    # == batch decontaminate bit-for-bit (shares its exact oracle)
-    q["stream_decontaminate"] = lambda s, d: streaming_curing.stream_decontaminate_ingest(
-        s, d
-    )
     # sibling: user_running_totals (the second applyInPandasWithState
     # operator — session NUMBERING whose (last_ts, n_sessions) state
     # genuinely spans micro-batches via one-shard-per-trigger arrival;
@@ -1497,6 +1566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: lang_profile (the dataset card: the one-row corpus
     # summary a pipeline publishes with a training set)
     q["dataset_card"] = curation.dataset_card
+    # sibling: snapshot_diff (the release-notes rollup per source)
+    q["snapshot_diff_summary"] = curation.snapshot_diff_summary
     # sibling: lang_profile (corpus-mix cross-tab: language x quality
     # bucket with per-language shares)
     q["lang_quality_matrix"] = textual.lang_quality_matrix
@@ -1739,33 +1810,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DSIR per-doc weights (overflow; the Gumbel top-k selection twin
     # is in-cap): decimal-exact folds over a broadcast λ table
     q["dsir_weights"] = dsir_mod.dsir_weights
-    # OPQ (round 5): learned orthogonal rotation (PCA + eigenvalue
-    # allocation, Ge et al. 2013) ahead of the stock PQ coder; full
-    # shortlist -> exact rerank on the ORIGINAL vectors == exact top-k
-    q["opq_rerank_full"] = _opq_rerank_full
     # displaced by the round-5 in-cap promotions (driver-green r2-r4;
     # families still in-cap via bm25_topk_indexed / decontaminate_bloom)
     q["bm25_topk"] = lambda s, d: ranking_mod.bm25_topk(s, d)
     q["decontaminate"] = curation.decontaminate_documents
-    # embedding-level contamination (round 5): cosine vs the broadcast
-    # benchmark vectors — catches paraphrase leakage the 8-gram
-    # shingle probe is blind to; run alongside it, not instead
-    q["semantic_decontaminate"] = curation.semantic_decontaminate
-    # IVF×OPQ composition (round 5): directory pruning × rotated-ADC
-    # compression; full width + full rerank == exact top-k
-    q["ivfopq_rerank_full"] = _ivfopq_rerank_full
-    # unicode-script triage (round 5): per-script char counts + fixed
-    # argmax dominant script — the pre-language-ID ingest router
-    q["script_profile"] = textual.script_profile
     # rows-only: zlib compression-ratio quality proxy (no SQL twin —
     # DuckDB has no zlib; monotone-repetition behavior pytest-pinned)
     q["compression_signals"] = textual.compression_signals
-    # curation PROVENANCE (round 5): every gate's verdict per doc —
-    # the "why was this dropped" audit over the same stage operators
-    q["curation_reasons"] = curation.curation_reasons
-    # Matryoshka-style prefix-dim shortlist -> exact rerank (round 5):
-    # zero-maintenance shortlist family member; full shortlist == exact
-    q["prefixdim_rerank_full"] = _prefixdim_rerank_full
+    # displaced by the round-6 in-cap promotions (all driver-green
+    # r5 or earlier; each family keeps an in-cap representative —
+    # see the rotation comments above):
+    q["text_stats"] = textual.text_stats
+    q["chunk_documents"] = textual.chunk_documents
+    q["perplexity_buckets"] = textual.perplexity_buckets
+    q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(load_documents(s, d))
+    q["cdc_merge"] = lambda s, d: curation.cdc_merge_snapshot(s, d)
+    q["neardup_cosine"] = lambda s, d: dedup.neardup_cosine_pairs(
+        load_embeddings(s, d), threshold=0.4
+    )
+    q["source_token_budget"] = curation.source_token_budget
+    q["pii_redaction"] = curation.pii_redaction
+    q["events_hourly_stream"] = streaming_events.hourly_event_counts_stream
+    q["pq_rerank_full"] = _mk_pq_rerank("CosineSimilarity", k=10, shortlist=None)
+    q["ivfsq_rerank_full"] = _mk_ivfsq(
+        "CosineSimilarity", k=10, width=IVF_CLUSTERS, shortlist=None
+    )
+    q["sq_rerank_full"] = _mk_sq_rerank("CosineSimilarity", k=10, shortlist=None)
+    q["graphann_rerank_full"] = _mk_gann("CosineSimilarity", k=10, beam=None)
     return q
 
 
@@ -1792,6 +1863,9 @@ def oracle_sql() -> dict[str, str]:
         "CosineSimilarity", k=10, filter_sql="lang = 'fr'"
     )
     o["topk_cosine_filtered_tree"] = oracles.topk_ids_sql(
+        "CosineSimilarity", k=10, filter_sql="lang = 'fr'"
+    )
+    o["topk_cosine_filtered_gann"] = oracles.topk_ids_sql(
         "CosineSimilarity", k=10, filter_sql="lang = 'fr'"
     )
     # BQ full shortlist == exact (id, score) top-k / exact kNN join
@@ -1827,6 +1901,8 @@ def oracle_sql() -> dict[str, str]:
     o["text_stats"] = oracles_text.TEXT_STATS
     o["lang_profile"] = oracles_text.LANG_PROFILE
     o["token_frequencies"] = oracles_text.token_frequencies_sql(25)
+    # MG candidates cover the top-25 at any test scale -> exact twin
+    o["heavy_hitters_topk"] = oracles_text.token_frequencies_sql(25)
     o["lang_id"] = oracles_text.LANG_ID
     o["fingerprints"] = oracles_text.FINGERPRINTS
     o["quality_filter"] = oracles_text.quality_filter_sql(0.8, 16)
@@ -1846,9 +1922,12 @@ def oracle_sql() -> dict[str, str]:
     o["remove_duplicate_spans"] = oracles_text.remove_duplicate_spans_sql(8)
     o["unigram_logprob"] = oracles_text.UNIGRAM_LOGPROB
     o["bigram_logprob"] = oracles_text.BIGRAM_LOGPROB
+    o["kneser_ney_logprob"] = oracles_text.kneser_ney_sql(0.75)
     o["perplexity_buckets"] = oracles_text.perplexity_buckets_sql(3)
     o["source_divergence"] = oracles_text.SOURCE_DIVERGENCE
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)
+    # prefix filtering is lossless -> shares the exact-join oracle
+    o["dedup_ngram_prefix"] = oracles_text.ngram_jaccard_sql(3, 0.8)
     o["neardup_cosine"] = oracles_text.neardup_cosine_sql(0.4)
     o["dedup_minhash_md5"] = oracles_text.minhash_lsh_md5_sql(3, 16, 8, 0.8)
     o["tfidf_top_terms"] = oracles_text.tfidf_sql(3)
@@ -2016,6 +2095,10 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["entity_cooccurrence"] = oracles_text.entity_cooccurrence_sql()
     o["type_correlations"] = oracles_temporal.TYPE_CORRELATIONS
     o["dataset_card"] = oracles_curation.dataset_card_sql()
+    # bounds come from the same DOCUMENT_CHECKS declaration table
+    o["expectations_report"] = oracles_curation.expectations_sql()
+    o["snapshot_diff"] = oracles_curation.snapshot_diff_sql()
+    o["snapshot_diff_summary"] = oracles_curation.snapshot_diff_summary_sql()
     o["lang_quality_matrix"] = oracles_text.lang_quality_matrix_sql()
     o["dau_wau"] = oracles_temporal.DAU_WAU
     o["hour_of_day_profile"] = oracles_temporal.HOUR_OF_DAY_PROFILE

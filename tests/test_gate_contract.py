@@ -28,24 +28,38 @@ import __spark_entry__ as E
 # (banded Levenshtein near-dup) promoted; bm25_topk and decontaminate
 # (driver-green r2-r4; families in-cap via bm25_topk_indexed /
 # decontaminate_bloom) rotated to overflow.
+# Round-6 rotation (13 swaps; every promoted entry is oracle-backed,
+# every displaced entry is driver-green r5 or earlier with its family
+# still represented in-cap): script_profile<-text_stats,
+# heavy_hitters_topk<-chunk_documents,
+# kneser_ney_logprob<-perplexity_buckets,
+# dedup_ngram_prefix<-dedup_exact_groups, snapshot_diff<-cdc_merge,
+# semantic_decontaminate<-neardup_cosine,
+# expectations_report<-source_token_budget,
+# curation_reasons<-pii_redaction,
+# stream_decontaminate<-events_hourly_stream,
+# opq_rerank_full<-pq_rerank_full, ivfopq_rerank_full<-ivfsq_rerank_full,
+# prefixdim_rerank_full<-sq_rerank_full,
+# topk_cosine_filtered_gann<-graphann_rerank_full.
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
-    "text_stats", "quality_filter", "bm25_topk_indexed",
-    "incremental_dedup", "split_leakage_audit", "chunk_documents",
-    "perplexity_buckets", "dedup_exact_groups", "cdc_merge",
-    "neardup_cosine", "dedup_minhash_md5", "dsir_select",
+    "script_profile", "quality_filter", "bm25_topk_indexed",
+    "incremental_dedup", "split_leakage_audit", "heavy_hitters_topk",
+    "kneser_ney_logprob", "dedup_ngram_prefix", "snapshot_diff",
+    "semantic_decontaminate", "dedup_minhash_md5", "dsir_select",
     "neardup_edit_distance",
     "curate_corpus", "export_curated", "repetition_signals",
-    "pq_rerank_full", "stream_interval_join", "dedup_components",
+    "opq_rerank_full", "stream_interval_join", "dedup_components",
     "leakage_safe_splits",
-    "graph_stats", "source_token_budget", "pii_redaction",
-    "multimodal_meta", "events_hourly_stream", "events_distinct_pairs",
+    "graph_stats", "expectations_report", "curation_reasons",
+    "multimodal_meta", "stream_decontaminate", "events_distinct_pairs",
     "session_rollup", "user_running_totals", "pricing_summary",
     "revenue_by_nation", "top_customers_per_nation",
     "local_supplier_revenue", "excess_supply_suppliers",
-    "duplicate_spans", "ivfsq_rerank_full", "sq_rerank_full",
-    "sql_topk_cosine", "semantic_dedup_blocked", "graphann_rerank_full",
+    "duplicate_spans", "ivfopq_rerank_full", "prefixdim_rerank_full",
+    "sql_topk_cosine", "semantic_dedup_blocked",
+    "topk_cosine_filtered_gann",
     "decontaminate_bloom", "hourly_locf", "histogram_quantiles",
     "ab_test_report", "source_divergence",
 ]
