@@ -444,3 +444,37 @@ def test_ann_recall_report_contract(spark):
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0
     assert all(0.0 <= x <= 1.0 for x in recalls)
+
+
+def test_ivf_range_search_lossless_and_prunes(spark, built, qvec):
+    """Cell pruning by the angular triangle bound: identical output
+    to the unpruned range search at several thresholds, AND at the
+    tightest threshold some cells are actually pruned (the bound is
+    not vacuous on this layout)."""
+    import numpy as np
+
+    from ydb_vector_search_simple_api_spark.operators.search import range_search
+
+    for thr in (0.1, 0.3, 0.5):
+        exact = [
+            (r.id, r.score)
+            for r in range_search(spark, SF_SMALL, qvec, threshold=thr).collect()
+        ]
+        got = [
+            (r.id, r.score)
+            for r in ivf.ivf_range_search(
+                spark, built, qvec, threshold=thr, round_digits=6
+            ).collect()
+        ]
+        assert got == exact, thr
+
+    # the pruning decision itself: at thr=0.5 the upper bounds must
+    # rule out at least one cell (replay the driver arithmetic)
+    angles = ivf._cell_max_angles(spark, built)
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    cn = built.centroids / np.maximum(
+        np.linalg.norm(built.centroids, axis=1, keepdims=True), 1e-12
+    )
+    ub = np.cos(np.maximum(0.0, np.arccos(np.clip(cn @ qn, -1, 1)) - angles))
+    assert (ub < 0.5 - 5e-7 - 1e-9).any()

@@ -193,6 +193,106 @@ def ivf_search(
     )
 
 
+_CELL_ANGLE_CACHE: dict[str, np.ndarray] = {}
+
+
+def _cell_max_angles(spark: SparkSession, index: IvfIndex) -> np.ndarray:
+    """Per-cell angular radius ``max_x theta(x, centroid)`` from the
+    stored layout: one scan, Arrow-batched numpy cosine per row,
+    cluster-keyed MIN-cosine aggregate, cluster-count-sized collect.
+    A pure function of the index files — session-cached (the
+    ``_SCAN_CACHE`` contract). Zero-norm rows count as angle pi (never
+    prunable past them)."""
+    if index.path in _CELL_ANGLE_CACHE:
+        return _CELL_ANGLE_CACHE[index.path]
+    cents = index.centroids
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(V, axis=1)
+            cids = pdf["cluster_id"].to_numpy()
+            cos = np.einsum("ij,ij->i", V, cn[cids]) / np.where(
+                norms > 0, norms, 1.0
+            )
+            cos = np.where(norms > 0, np.clip(cos, -1.0, 1.0), -1.0)
+            yield pd.DataFrame({"cluster_id": cids, "min_cos": cos})
+
+    rows = (
+        spark.read.parquet(index.path)
+        .select("cluster_id", "embedding")
+        .mapInPandas(part, "cluster_id int, min_cos double")
+        .groupBy("cluster_id")
+        .agg(F.min("min_cos").alias("min_cos"))
+        .collect()
+    )
+    angles = np.full(index.n_clusters, np.pi)
+    for r in rows:
+        angles[r.cluster_id] = float(np.arccos(np.clip(r.min_cos, -1.0, 1.0)))
+    _CELL_ANGLE_CACHE[index.path] = angles
+    return angles
+
+
+def ivf_range_search(
+    spark: SparkSession,
+    index: IvfIndex,
+    query_vec: Sequence[float],
+    threshold: float,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Cosine RANGE search with LOSSLESS cell pruning — the IVF twin
+    of :func:`search.range_search` for the "all near-duplicates of
+    this item" lookup where k is unknown.
+
+    Pruning bound (angular triangle inequality): for any x in cell i,
+    ``theta(q, x) >= theta(q, c_i) - theta_max_i``, so
+    ``cos(q, x) <= cos(max(0, theta(q, c_i) - theta_max_i))``. A cell
+    whose upper bound cannot clear the threshold cannot hold a
+    qualifying row — skipping it never changes the answer, so this
+    shares the exact range search's oracle. The comparison carries a
+    ``5e-7 + 1e-9`` slack: the gate's scores are ROUND(6), so a raw
+    score up to half an ulp-of-round below the threshold still rounds
+    into the result set, and the arccos/cos round trip is float. Both
+    slacks only ever ADMIT extra cells (pruning stays lossless).
+
+    Scale shape: per-cell radii are one cached corpus scan
+    (cluster-keyed min-cosine, cluster-count-sized collect); the
+    query-time decision is pure driver arithmetic on the
+    (n_clusters,) radius vector; surviving cells resolve to partition
+    directories at planning time (the ivf_search pruning path); the
+    threshold is a codegen predicate on the pruned scan — no shuffle.
+    """
+    if not np.isfinite(threshold):
+        raise ValueError("threshold must be finite")
+    angles = _cell_max_angles(spark, index)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    cents = index.centroids
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    theta_qc = np.arccos(np.clip(cn @ qn, -1.0, 1.0))
+    ubound = np.cos(np.maximum(0.0, theta_qc - angles))
+    keep = [int(i) for i in np.nonzero(ubound >= threshold - 5e-7 - 1e-9)[0]]
+
+    pruned = spark.read.parquet(index.path).filter(F.col("cluster_id").isin(keep))
+    pruned = tombstones.apply_tombstones(spark, index.path, pruned)
+    from .search import _order_cols
+
+    score = score_expr("CosineSimilarity", F.col("embedding"), list(query_vec))
+    if round_digits is not None:
+        score = F.round(score, round_digits) + F.lit(0.0)
+    return (
+        pruned.withColumn("score", score)
+        .select("id", "score")
+        .filter(F.col("score") >= F.lit(float(threshold)))
+        .orderBy(*_order_cols("CosineSimilarity"))
+    )
+
+
 def ivf_knn_join_distributed(
     spark: SparkSession,
     index: IvfIndex,
