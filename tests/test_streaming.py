@@ -199,3 +199,30 @@ def test_stream_decontaminate_equals_batch(spark):
         for r in decontaminate_documents(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_stream_heavy_hitters_drained_equals_batch(spark):
+    """MG summary folded across micro-batches == the batch two-pass
+    heavy hitters == the direct top-k (mergeable-summaries property),
+    and the per-batch snapshots respect the capacity bound."""
+    import glob
+    import os
+
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        token_frequencies,
+    )
+    from ydb_vector_search_simple_api_spark.streaming.sketch_ingest import (
+        stream_heavy_hitters,
+    )
+
+    got = [
+        tuple(r)
+        for r in stream_heavy_hitters(
+            spark, SF_SMALL, k=25, capacity=64, n_shards=3
+        ).collect()
+    ]
+    exact = [tuple(r) for r in token_frequencies(spark, SF_SMALL, top_n=25).collect()]
+    assert got == exact
+    # snapshots: every state file holds <= capacity rows
+    for d in glob.glob(os.path.join("/tmp", "svs_hh_*", "state", "batch=*")):
+        assert spark.read.parquet(d).count() <= 64
