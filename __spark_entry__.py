@@ -54,6 +54,7 @@ from ydb_vector_search_simple_api_spark.streaming import events as streaming_eve
 from ydb_vector_search_simple_api_spark.streaming import curation_ingest as streaming_curing
 from ydb_vector_search_simple_api_spark.streaming import index_ingest as streaming_ingest
 from ydb_vector_search_simple_api_spark.streaming import serve as streaming_serve
+from ydb_vector_search_simple_api_spark.streaming import sketch_ingest as streaming_sketch
 from ydb_vector_search_simple_api_spark.streaming import sessions as streaming_sessions
 
 ROUND = oracles.ROUND_DIGITS
@@ -1506,6 +1507,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_curation_ingest"] = lambda s, d: streaming_curing.stream_curation_ingest(
         s, d
     )
+    # sibling: heavy_hitters_topk (the STREAMING fold of the MG
+    # summary: per-batch snapshot state, replay-idempotent; drained
+    # candidates are a superset by the mergeable-summaries property,
+    # and the exact serving pass reproduces the batch top-k bit for
+    # bit -> shares the token-frequency oracle)
+    q["stream_heavy_hitters"] = lambda s, d: streaming_sketch.stream_heavy_hitters(
+        s, d, k=25
+    )
     # sibling: user_running_totals (the second applyInPandasWithState
     # operator — session NUMBERING whose (last_ts, n_sessions) state
     # genuinely spans micro-batches via one-shard-per-trigger arrival;
@@ -1616,6 +1625,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # where k is unknown; codegen predicate, no heap unless bounded)
     q["range_search_cosine"] = lambda s, d: search_mod.range_search(
         s, d, _query_vec(s, d), threshold=0.2
+    )
+    # sibling: range_search_cosine (LOSSLESS IVF cell pruning via the
+    # angular triangle bound cos(theta_qc - theta_max); skipping a
+    # cell whose upper bound misses the threshold cannot change the
+    # answer, so it carries the exact range search's oracle verbatim;
+    # pruning + equality pinned in tests/test_index.py)
+    q["range_search_ivf"] = lambda s, d: ivf.ivf_range_search(
+        s, _ivf_index(s, d), _query_vec(s, d), threshold=0.2, round_digits=ROUND
     )
     # siblings: dedup_exact_groups + quality_filter (quality-aware
     # canonical election: keep the BEST duplicate, not the first —
@@ -1903,6 +1920,8 @@ def oracle_sql() -> dict[str, str]:
     o["token_frequencies"] = oracles_text.token_frequencies_sql(25)
     # MG candidates cover the top-25 at any test scale -> exact twin
     o["heavy_hitters_topk"] = oracles_text.token_frequencies_sql(25)
+    # drained MG fold == batch two-pass == direct top-k
+    o["stream_heavy_hitters"] = oracles_text.token_frequencies_sql(25)
     o["lang_id"] = oracles_text.LANG_ID
     o["fingerprints"] = oracles_text.FINGERPRINTS
     o["quality_filter"] = oracles_text.quality_filter_sql(0.8, 16)
@@ -2117,6 +2136,8 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["rag_context"] = oracles.rag_context_sql()
     o["dedup_best_quality"] = oracles_text.best_quality_election_sql()
     o["range_search_cosine"] = oracles.range_search_sql(0.2)
+    # lossless cell pruning -> the exact range search's oracle
+    o["range_search_ivf"] = oracles.range_search_sql(0.2)
     o["stream_curation_ingest"] = oracles_text.curation_ingest_sql()
     # drained == batch decontaminate by construction (stateless
     # per-batch containment against the static benchmark)
