@@ -182,7 +182,8 @@ def main() -> None:
         "of the corpus files, same contract as the scan cache), so "
         "their best-of times reflect the shared-pass serving shape; "
         "the once-per-session cold pass is recorded per query in "
-        "cold_s (the warmup wall). incremental_dedup_arrow r3->r4 "
+        "cold_s (the warmup wall). kneser_ney_logprob shares the "
+        "underlying doc-bigram aggregate with them (textual.docpair_cached, round 6). incremental_dedup_arrow r3->r4 "
         "drift (1.43 -> ~1.75 s) investigated round 5: isolated "
         "fresh-JVM best (1.75 s) equals the in-suite time, no r4 "
         "commit touched the operator, and it holds 2x over its md5 "

@@ -461,7 +461,9 @@ def extract_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bigram_logprob(
+    spark: SparkSession, sf_dir: str, docpair: DataFrame | None = None
+) -> DataFrame:
     """Sequence-aware quality signal: each document's mean bigram
     conditional log-probability ``ln(c(prev,cur)/c(prev,*))`` under
     the corpus's own statistics — one step up from
@@ -478,38 +480,17 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     — broadcast while they fit (vocabulary², usually MBs after
     combine), AQE picks a shuffled join past that. Docs with < 2
     tokens emit no bigrams and are absent from the output (same in
-    the oracle)."""
-    d = load_documents(spark, sf_dir).select("doc_id", "text")
-    t = TXT.tokens("text")
-    pairs_arr = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("prev"), F.element_at(t, i + 1).alias("cur")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
-    pairs = d.select("doc_id", F.explode(pairs_arr).alias("p")).select(
-        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
-    )
-    # pre-aggregate to (doc, prev, cur, n) FIRST: the raw exploded
-    # stream (≈ token count of the corpus) is then scanned exactly
-    # once — cnt2/cnt1 derive from the aggregate, and the log-prob
-    # join ships n-weighted group rows instead of re-materializing
-    # every bigram occurrence (was 3 passes over the explode;
-    # measured 11.7 s → ~2 s at sf0.1). n * round(log,9) is exact
-    # decimal arithmetic, so results are bit-identical to the
-    # per-occurrence sum.
-    docpair = (
-        pairs.groupBy("doc_id", "prev", "cur")
-        .agg(F.count(F.lit(1)).alias("n"))
-        # materialize once: both the count tables and the final join
-        # read this ~|distinct doc-bigram| table, and exchange reuse
-        # does not cover the broadcast-probe branch — without this the
-        # tokenize+explode runs twice
-        .localCheckpoint(eager=True)
-    )
+    the oracle).
+
+    The (doc, prev, cur, n) pre-aggregate comes from
+    :func:`doc_bigram_pairs` (one corpus pass, materialized; was 3
+    passes over the explode — measured 11.7 s → ~2 s at sf0.1);
+    n * round(log,9) is exact decimal arithmetic, so results are
+    bit-identical to the per-occurrence sum. Pass ``docpair`` to
+    share the aggregate across scorers (the cache-layer contract —
+    see :func:`docpair_cached`)."""
+    if docpair is None:
+        docpair = doc_bigram_pairs(spark, sf_dir)
     cnt2 = docpair.groupBy("prev", "cur").agg(F.sum("n").alias("c2"))
     cnt1 = cnt2.groupBy("prev").agg(F.sum("c2").alias("c1"))
     # decimal(20,9) × decimal(12,0) → decimal(33,9): stays under the
@@ -946,8 +927,51 @@ def top_tokens_per_lang(
     )
 
 
+def doc_bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, prev, cur, n) bigram aggregate both LM scorers
+    start from — one corpus tokenize+explode behind one keyed shuffle,
+    materialized (eager localCheckpoint) so every downstream consumer
+    reads the aggregate instead of re-running the explode."""
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    t = TXT.tokens("text")
+    pairs_arr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("prev"), F.element_at(t, i + 1).alias("cur")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = d.select("doc_id", F.explode(pairs_arr).alias("p")).select(
+        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    return (
+        pairs.groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+
+
+_DOCPAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def docpair_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped cache of :func:`doc_bigram_pairs` — a pure
+    function of the corpus files (the bigram_scores_cached contract).
+    Lives at the cache layer: the library operators stay lazy and
+    take the aggregate as an optional argument instead."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DOCPAIR_CACHE:
+        _DOCPAIR_CACHE[key] = doc_bigram_pairs(spark, sf_dir)
+    return _DOCPAIR_CACHE[key]
+
+
 def kneser_ney_logprob(
-    spark: SparkSession, sf_dir: str, discount: float = 0.75
+    spark: SparkSession,
+    sf_dir: str,
+    discount: float = 0.75,
+    docpair: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean log-probability under an interpolated
     Kneser-Ney bigram model (Kneser & Ney 1995; Chen & Goodman 1998)
@@ -971,25 +995,8 @@ def kneser_ney_logprob(
     while they fit) plus two vocabulary-sized type-count tables and
     one scalar — all derived from the SAME cnt2 aggregate, no extra
     corpus pass."""
-    d = load_documents(spark, sf_dir).select("doc_id", "text")
-    t = TXT.tokens("text")
-    pairs_arr = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("prev"), F.element_at(t, i + 1).alias("cur")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
-    pairs = d.select("doc_id", F.explode(pairs_arr).alias("p")).select(
-        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
-    )
-    docpair = (
-        pairs.groupBy("doc_id", "prev", "cur")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
+    if docpair is None:
+        docpair = doc_bigram_pairs(spark, sf_dir)
     cnt2 = docpair.groupBy("prev", "cur").agg(F.sum("n").alias("c2"))
     cnt1 = cnt2.groupBy("prev").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p_prev")
@@ -1141,9 +1148,9 @@ def bigram_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BIGRAM_SCORE_CACHE:
-        _BIGRAM_SCORE_CACHE[key] = bigram_logprob(spark, sf_dir).localCheckpoint(
-            eager=True
-        )
+        _BIGRAM_SCORE_CACHE[key] = bigram_logprob(
+            spark, sf_dir, docpair=docpair_cached(spark, sf_dir)
+        ).localCheckpoint(eager=True)
     return _BIGRAM_SCORE_CACHE[key]
 
 
