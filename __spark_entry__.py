@@ -35,6 +35,7 @@ from ydb_vector_search_simple_api_spark.operators import (
     textual,
 )
 from ydb_vector_search_simple_api_spark.operators import bpe as bpe_mod
+from ydb_vector_search_simple_api_spark.operators import sp_unigram as sp_unigram_mod
 from ydb_vector_search_simple_api_spark.operators import classify as classify_mod
 from ydb_vector_search_simple_api_spark.operators import dsir as dsir_mod
 from ydb_vector_search_simple_api_spark.operators import embstats as embstats_mod
@@ -203,6 +204,19 @@ def _lex_index(spark: SparkSession, sf_dir: str):
 
 
 _BPE_MERGES_CACHE: dict[str, list] = {}
+
+
+_UNIGRAM_VOCAB_CACHE: dict[str, DataFrame] = {}
+
+
+def _unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session cache of the trained unigram-LM vocab (the _bpe_merges
+    contract: the encode entry times the ENCODE, not a re-train)."""
+    if sf_dir not in _UNIGRAM_VOCAB_CACHE:
+        _UNIGRAM_VOCAB_CACHE[sf_dir] = sp_unigram_mod.unigram_lm_train(
+            spark, sf_dir
+        ).localCheckpoint(eager=True)
+    return _UNIGRAM_VOCAB_CACHE[sf_dir]
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 10) -> list:
@@ -1039,7 +1053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (continuation-count smoothing, hash-exact float parity) in
     # place of perplexity_buckets (driver-green r5; the LM-scoring
     # family stays in-cap via this entry, tiles ride overflow)
-    q["kneser_ney_logprob"] = textual.kneser_ney_logprob
+    q["kneser_ney_logprob"] = lambda s, d: textual.kneser_ney_logprob(
+        s, d, docpair=textual.docpair_cached(s, d)
+    )
 
     # ---- dedup family (exact forms)
     # round-6 rotation: prefix-filtering similarity self-join
@@ -1788,6 +1804,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # not a re-train (the _lex_index pattern).
     q["bpe_encode"] = lambda s, d: bpe_mod.bpe_encode_digest(
         s, d, merges=_bpe_merges(s, d)
+    )
+    # SentencePiece-style unigram-LM trainer (Kudo 2018, hard-EM):
+    # EM iterates over the WORD-FREQUENCY table, not the corpus;
+    # E-step segments Arrow batches against the broadcast vocab,
+    # counts are exact integers (deterministic under any
+    # partitioning). Iterative + Python Viterbi, so rows-only —
+    # closure / loss-non-increase / determinism pinned in
+    # tests/test_bpe.py. Sibling of bpe_train (the second tokenizer-
+    # training family).
+    q["unigram_lm_vocab"] = lambda s, d: sp_unigram_mod.unigram_lm_train(s, d)
+    # encode digest with the trained vocab (the bpe_encode contract:
+    # scalar row per doc, whole piece stream pinned by the md5);
+    # vocab cached per sf_dir so this entry times the ENCODE
+    q["unigram_lm_encode"] = lambda s, d: sp_unigram_mod.unigram_lm_encode_digest(
+        s, d, vocab=_unigram_vocab(s, d)
     )
     # the ANN width-knob contract as a machine-checked surface:
     # recall@10 of pruned IVF widths vs exact, 8 stored queries

@@ -83,6 +83,22 @@ HEADLINERS = {
     "whole-stage codegen (no Python eval nodes), "
     "TakeOrderedAndProject for the shortlist, BroadcastExchange "
     "BUILD side = the shortlist ids (not the vector table)",
+    "dedup_ngram_prefix": "prefix filtering: ONE shuffle keys the shingle "
+    "df attach, one per-doc window ranks rarity, the self-join touches "
+    "PREFIX rows only (size + positional predicates in the join "
+    "condition), and the verify joins touch candidate pairs only",
+    "expectations_report": "every metric in ONE HashAggregate over ONE "
+    "parquet scan (partial+final); the constraint bounds arrive as a "
+    "BroadcastExchange of a local relation",
+    "snapshot_diff": "each snapshot collapses to a narrow digest "
+    "projection in its own scan; ONE join on doc_id classifies every "
+    "key; no text column survives past the scans",
+    "heavy_hitters_topk": "MG summaries behind ArrowEvalPython (one pass), "
+    "candidate set broadcast into a left-semi BEFORE the count "
+    "aggregation, TakeOrderedAndProject for the final cut",
+    "range_search_ivf": "cluster_id IN-list partition pruning at planning "
+    "time + the threshold as a codegen Filter on the pruned scan — no "
+    "heap, no shuffle before the ordered output",
 }
 
 
