@@ -535,3 +535,28 @@ def test_hour_of_day_profile_covers_all_events(spark):
     rows = S.hour_of_day_profile(spark, SF_SMALL).collect()
     assert sum(r.n_events for r in rows) == load_events(spark, SF_SMALL).count()
     assert all(0 <= r.hod <= 23 for r in rows)
+
+
+def test_psi_drift_detects_planted_shift(spark, tmp_path):
+    """PSI ~ 0 on a stationary stream; large when the second half's
+    value distribution shifts — and the categorical PSI stays flat
+    when only the numeric marginal moves."""
+    import datetime as dt
+
+    from ydb_vector_search_simple_api_spark.operators.stats import psi_drift
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(2000):
+        ts = t0 + dt.timedelta(minutes=i)
+        # stationary categorical; numeric shifts +10 in the 2nd half
+        shift = 10.0 if i >= 1000 else 0.0
+        rows.append(
+            (i, ts, i % 50, ["click", "view"][i % 2], (i % 7) + shift, "{}")
+        )
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.feature: r.psi for r in psi_drift(spark, str(tmp_path)).collect()}
+    assert got["event_type"] < 0.01
+    assert got["value_hist"] > 1.0

@@ -814,3 +814,80 @@ def hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value"),
         )
     )
+
+
+def psi_drift(spark: SparkSession, sf_dir: str, n_bins: int = 10) -> DataFrame:
+    """Population Stability Index between the first and second halves
+    of the event stream — the standard production drift score (PSI =
+    sum (p2-p1)*ln(p2/p1)) over (a) the fixed-width value histogram
+    and (b) the event_type frequency distribution. The
+    null_rate_drift sibling watches SCHEMA health; this watches the
+    DISTRIBUTIONS a trained model assumed.
+
+    Float-parity contract: counts are exact integers, shares are
+    Laplace-smoothed (c+1)/(n+B) so empty cells never hit ln(0), each
+    cell term is rounded to 9 and decimal-summed (order-invariant),
+    final ROUND(6). Bin edges come from the WHOLE range's min/max —
+    the same mergeable fixed-width scheme as histogram_quantiles.
+
+    Scale shape: one scan computes the half tag + cell key; one keyed
+    count aggregate per feature; the cell tables are bins- or
+    domain-sized, so the PSI fold is a broadcast-scale operation.
+    Output (feature, n_cells, psi)."""
+    ev = load_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2
+        ).alias("mid"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "half", (F.col("ts").cast("timestamp") >= F.col("mid")).cast("int")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    vbin = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col("value") - F.col("vmin")) / width).cast("int"),
+    )
+    cells = {
+        "value_hist": tagged.filter(F.col("value").isNotNull()).select(
+            "half", vbin.cast("string").alias("cell")
+        ),
+        "event_type": tagged.select("half", F.col("event_type").alias("cell")),
+    }
+    outs = []
+    for feature, cf in cells.items():
+        cnt = cf.groupBy("cell", "half").agg(F.count(F.lit(1)).alias("c"))
+        piv = (
+            cnt.groupBy("cell")
+            .agg(
+                F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0)).alias("c1"),
+                F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)).alias("c2"),
+            )
+        )
+        tot = piv.agg(
+            F.sum("c1").alias("n1"),
+            F.sum("c2").alias("n2"),
+            F.count(F.lit(1)).alias("b"),
+        )
+        # identical double association order in the SQL twin:
+        # p = (c+1)/(n+B); term = (p2 - p1) * ln(p2 / p1)
+        j = piv.crossJoin(F.broadcast(tot))
+        p1 = (F.col("c1") + F.lit(1)).cast("double") / (
+            F.col("n1") + F.col("b")
+        ).cast("double")
+        p2 = (F.col("c2") + F.lit(1)).cast("double") / (
+            F.col("n2") + F.col("b")
+        ).cast("double")
+        term = F.round((p2 - p1) * F.log(p2 / p1), 9).cast("decimal(20,9)")
+        outs.append(
+            j.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                (F.round(F.sum(term).cast("double"), 6) + F.lit(0.0)).alias("psi"),
+            ).select(F.lit(feature).alias("feature"), "n_cells", "psi")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

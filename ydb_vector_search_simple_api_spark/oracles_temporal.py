@@ -596,3 +596,54 @@ SELECT event_type, hour(ts::TIMESTAMP)::INT AS hod,
        ROUND(CAST(sum(value::DECIMAL(18,6)) AS DOUBLE) / count(*)::DOUBLE, 6) + 0.0 AS avg_value
 FROM events GROUP BY event_type, hod
 """
+
+
+def psi_drift_sql(n_bins: int = 10) -> str:
+    """Twin of stats.psi_drift: same half tag, same fixed-width bins
+    from the whole range, same Laplace-smoothed double association
+    order, ROUND(term,9) decimal sum, final ROUND(6)."""
+
+    def one(feature: str, cell_src: str) -> str:
+        return f"""
+SELECT '{feature}' AS feature,
+       count(*)::BIGINT AS n_cells,
+       ROUND(CAST(sum(CAST(ROUND(
+         ((c2 + 1)::DOUBLE / (n2 + b)::DOUBLE - (c1 + 1)::DOUBLE / (n1 + b)::DOUBLE)
+         * ln(((c2 + 1)::DOUBLE / (n2 + b)::DOUBLE) / ((c1 + 1)::DOUBLE / (n1 + b)::DOUBLE))
+       , 9) AS DECIMAL(20,9))) AS DOUBLE), 6) + 0.0 AS psi
+FROM (
+  SELECT cell,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c2
+  FROM ({cell_src}) GROUP BY cell
+) piv CROSS JOIN (
+  SELECT sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n2,
+         count(DISTINCT cell)::BIGINT AS b
+  FROM ({cell_src})
+) tot"""
+
+    base = f"""
+WITH bounds AS (
+  SELECT to_timestamp((floor(epoch(min(ts::TIMESTAMP)))::BIGINT
+                       + floor(epoch(max(ts::TIMESTAMP)))::BIGINT) / 2) AS mid,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events
+),
+tagged AS (
+  SELECT *, CASE WHEN ts::TIMESTAMP >= mid THEN 1 ELSE 0 END AS half
+  FROM events CROSS JOIN bounds
+)"""
+    vcells = f"""
+  SELECT half,
+         CAST(least({n_bins - 1},
+              floor((value - vmin) / ((vmax - vmin) / {float(n_bins)})))::INT AS VARCHAR) AS cell
+  FROM tagged WHERE value IS NOT NULL"""
+    tcells = "SELECT half, event_type AS cell FROM tagged"
+    return (
+        base
+        + "\n"
+        + one("value_hist", vcells)
+        + "\nUNION ALL\n"
+        + one("event_type", tcells)
+    )
