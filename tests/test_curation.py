@@ -788,3 +788,14 @@ def test_snapshot_versions_deterministic_fracs(spark):
     assert 20 <= by_change["added"] <= 90
     assert 10 <= by_change["removed"] <= 60
     assert 50 <= by_change["changed"] <= 160
+
+
+def test_expectations_events_all_pass(spark):
+    from ydb_vector_search_simple_api_spark.operators.expectations import (
+        EVENT_CHECKS,
+        expectations_report_events,
+    )
+
+    rows = expectations_report_events(spark, SF_SMALL).collect()
+    assert len(rows) == len(EVENT_CHECKS)
+    assert all(r.passed for r in rows)

@@ -98,3 +98,81 @@ def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+EVENT_TYPE_DOMAIN = ("click", "error", "purchase", "signup", "view")
+
+# the events-table suite: same declaration-once contract, stream-shaped
+# invariants (monotone ids are NOT assumed — only key health, domains,
+# and value sanity a feature pipeline depends on).
+EVENT_CHECKS: tuple[tuple[str, float, float], ...] = (
+    ("size_min", 100.0, float("inf")),
+    ("complete_event_id", 1.0, 1.0),
+    ("complete_ts", 1.0, 1.0),
+    ("complete_user_id", 1.0, 1.0),
+    ("complete_event_type", 1.0, 1.0),
+    ("unique_event_id", 1.0, 1.0),
+    ("type_in_domain", 0.999, 1.0),
+    ("value_non_negative", 1.0, 1.0),
+    ("mean_value_range", 0.0, 100000.0),
+)
+
+
+def expectations_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events-table constraint suite — same single fused
+    aggregation + broadcast-bounds plan as the documents suite.
+    Output (check_name, metric, passed)."""
+    from ..sources.store import load_events
+
+    d = load_events(spark, sf_dir)
+    n = F.count(F.lit(1))
+    metrics = d.agg(
+        n.cast("double").alias("size_min"),
+        _frac(F.col("event_id").isNotNull(), n).alias("complete_event_id"),
+        _frac(F.col("ts").isNotNull(), n).alias("complete_ts"),
+        _frac(F.col("user_id").isNotNull(), n).alias("complete_user_id"),
+        _frac(F.col("event_type").isNotNull(), n).alias("complete_event_type"),
+        (
+            F.round(
+                F.count_distinct("event_id").cast("double") / n.cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("unique_event_id"),
+        _frac(F.col("event_type").isin(*EVENT_TYPE_DOMAIN), n).alias(
+            "type_in_domain"
+        ),
+        _frac(F.col("value").isNull() | (F.col("value") >= 0), n).alias(
+            "value_non_negative"
+        ),
+        (
+            # per-row ROUND(9) -> decimal sum: order-invariant and
+            # engine-portable (the bigram_logprob float contract)
+            F.round(
+                F.sum(
+                    F.round(F.coalesce(F.col("value"), F.lit(0.0)), 9).cast(
+                        "decimal(28,9)"
+                    )
+                ).cast("double")
+                / n.cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_value_range"),
+    )
+    stack_args: list = []
+    for name, _, _ in EVENT_CHECKS:
+        stack_args += [F.lit(name), F.col(name)]
+    long = metrics.select(
+        F.stack(F.lit(len(EVENT_CHECKS)), *stack_args).alias("check_name", "metric")
+    )
+    bounds = spark.createDataFrame(
+        [(name, lo, hi) for name, lo, hi in EVENT_CHECKS],
+        "check_name string, lo double, hi double",
+    )
+    return long.join(F.broadcast(bounds), "check_name").select(
+        "check_name",
+        "metric",
+        ((F.col("metric") >= F.col("lo")) & (F.col("metric") <= F.col("hi"))).alias(
+            "passed"
+        ),
+    )

@@ -783,3 +783,57 @@ SELECT source, change, count(*)::BIGINT AS n_docs,
 FROM diff WHERE change IS NOT NULL
 GROUP BY source, change
 """
+
+
+def expectations_events_sql() -> str:
+    """Twin of ``operators.expectations.expectations_report_events``
+    (same declaration-table import contract)."""
+    from .operators.expectations import EVENT_CHECKS, EVENT_TYPE_DOMAIN
+
+    types = ", ".join(f"'{v}'" for v in EVENT_TYPE_DOMAIN)
+
+    def frac(cond: str) -> str:
+        return (
+            f"ROUND(sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::DOUBLE"
+            " / count(*)::DOUBLE, 6) + 0.0"
+        )
+
+    metric_exprs = {
+        "size_min": "count(*)::DOUBLE",
+        "complete_event_id": frac("event_id IS NOT NULL"),
+        "complete_ts": frac("ts IS NOT NULL"),
+        "complete_user_id": frac("user_id IS NOT NULL"),
+        "complete_event_type": frac("event_type IS NOT NULL"),
+        "unique_event_id": (
+            "ROUND(count(DISTINCT event_id)::DOUBLE / count(*)::DOUBLE, 6) + 0.0"
+        ),
+        "type_in_domain": frac(f"event_type IN ({types})"),
+        "value_non_negative": frac("value IS NULL OR value >= 0"),
+        "mean_value_range": (
+            "ROUND(CAST(sum(CAST(ROUND(coalesce(value, 0.0), 9) AS DECIMAL(28,9)))"
+            " AS DOUBLE) / count(*)::DOUBLE, 6) + 0.0"
+        ),
+    }
+    cols = ",\n       ".join(
+        f"{expr} AS {name}" for name, expr in metric_exprs.items()
+    )
+
+    def bound(v: float) -> str:
+        return "'infinity'::DOUBLE" if v == float("inf") else repr(v)
+
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT '{name}' AS check_name, {name} AS metric,"
+        f" {bound(lo)} AS lo, {bound(hi)} AS hi FROM m"
+        for name, lo, hi in EVENT_CHECKS
+    )
+    return f"""
+WITH m AS (
+  SELECT {cols}
+  FROM events
+),
+long AS (
+  {arms}
+)
+SELECT check_name, metric, (metric >= lo AND metric <= hi) AS passed
+FROM long
+"""
