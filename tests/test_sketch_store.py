@@ -1,0 +1,74 @@
+"""Persisted HLL sketch store: mergeability algebra + accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.operators import sketch_store as HS
+from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+from conftest import SF_SMALL
+
+
+def _events(spark):
+    return load_events(spark, SF_SMALL).select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+
+
+def test_fold_equals_rebuild_and_is_idempotent(spark, tmp_path):
+    """Union is register-wise max: building from half the data then
+    folding the other half in == building from everything; folding the
+    SAME batch twice changes nothing."""
+    ev = _events(spark)
+    first = ev.filter(F.col("user_id") % 2 == 0)
+    second = ev.filter(F.col("user_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    HS.build_hll_store(first, inc, ["day", "event_type"], "user_id")
+    HS.hll_store_upsert(spark, inc, second, ["day", "event_type"], "user_id")
+    HS.build_hll_store(ev, full, ["day", "event_type"], "user_id")
+
+    a = sorted(
+        tuple(r)
+        for r in HS.hll_store_estimate(spark, inc, ["day", "event_type"]).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in HS.hll_store_estimate(spark, full, ["day", "event_type"]).collect()
+    )
+    assert a == b
+
+    HS.hll_store_upsert(spark, inc, second, ["day", "event_type"], "user_id")
+    c = sorted(
+        tuple(r)
+        for r in HS.hll_store_estimate(spark, inc, ["day", "event_type"]).collect()
+    )
+    assert c == a  # replay no-op
+
+
+def test_rollup_union_equals_direct_sketch(spark, tmp_path):
+    """Per-day estimates from unioned (day, type) registers equal
+    sketching the raw per-day stream — identical, not approximate."""
+    ev = _events(spark)
+    fine = str(tmp_path / "fine")
+    coarse = str(tmp_path / "coarse")
+    HS.build_hll_store(ev, fine, ["day", "event_type"], "user_id")
+    HS.build_hll_store(ev, coarse, ["day"], "user_id")
+    a = sorted(
+        tuple(r) for r in HS.hll_rollup_estimate(spark, fine, ["day"]).collect()
+    )
+    b = sorted(
+        tuple(r) for r in HS.hll_store_estimate(spark, coarse, ["day"]).collect()
+    )
+    assert a == b
+
+
+def test_daily_estimates_within_bound(spark):
+    rows = HS.daily_user_sketches(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.n_distinct_est - r.n_users_exact) <= max(
+            2, 0.05 * r.n_users_exact
+        )
