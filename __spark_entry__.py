@@ -46,6 +46,7 @@ from ydb_vector_search_simple_api_spark.operators import graph as graph_mod
 from ydb_vector_search_simple_api_spark.operators import graphann as gann_mod
 from ydb_vector_search_simple_api_spark.operators import ranking as ranking_mod
 from ydb_vector_search_simple_api_spark.operators import skew as skew_mod
+from ydb_vector_search_simple_api_spark.operators import sketch_store as sketchstore_mod
 from ydb_vector_search_simple_api_spark.operators import index as ivf
 from ydb_vector_search_simple_api_spark.operators import tree as kmt
 from ydb_vector_search_simple_api_spark.operators import search as search_mod
@@ -1477,6 +1478,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: table_profile (temporal data-quality drift: null rates
     # first half vs second half per probed column)
     q["null_rate_drift"] = stats.null_rate_drift
+    # sibling: null_rate_drift (DISTRIBUTION drift over the same
+    # first/second-half tag: Population Stability Index on the value
+    # histogram + event_type shares; Laplace-smoothed exact-integer
+    # shares, decimal-summed terms)
+    q["psi_drift"] = stats.psi_drift
     # sibling: funnel_conversion (ordered event-sequence analytics:
     # first-order Markov transition probabilities per event type)
     q["event_transitions"] = temporal.event_transitions
@@ -1593,6 +1599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_card"] = curation.dataset_card
     # sibling: snapshot_diff (the release-notes rollup per source)
     q["snapshot_diff_summary"] = curation.snapshot_diff_summary
+    # sibling: expectations_report (the same declaration-once
+    # constraint framework instantiated on the EVENTS table —
+    # stream-shaped invariants: key health, domains, value sanity)
+    q["expectations_events"] = expectations_mod.expectations_report_events
     # sibling: lang_profile (corpus-mix cross-tab: language x quality
     # bucket with per-language shares)
     q["lang_quality_matrix"] = textual.lang_quality_matrix
@@ -1721,6 +1731,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the exact forms in tests/test_temporal_stats.py)
     q["approx_value_percentiles"] = stats.approx_value_percentiles
     q["approx_distinct_users"] = stats.approx_distinct_users
+    # sibling: approx_distinct_users (the MAINTAINED form: persisted
+    # per-(day, type) DataSketches HLL registers, folded on arrival
+    # (union = register-wise max: associative, idempotent), per-day
+    # answers served by UNIONING stored registers — register equality
+    # with the direct sketch, fold==rebuild, and the <=5% accuracy
+    # bound all pinned in tests/test_sketch_store.py. Rows-only:
+    # binary sketches are engine-specific.
+    q["hll_daily_users"] = sketchstore_mod.daily_user_sketches
     # count-min sketch: fixed-memory token frequencies at a tight
     # width vs exact counts (upper-bound + depth-tightens properties
     # pinned in tests/test_temporal_stats.py)
@@ -2095,6 +2113,7 @@ FROM events GROUP BY user_id, event_type
     o["join_cardinality_report"] = oracles_rel.JOIN_CARDINALITY_REPORT
     o["revenue_wow_change"] = oracles_rel.REVENUE_WOW_CHANGE
     o["null_rate_drift"] = oracles_temporal.NULL_RATE_DRIFT
+    o["psi_drift"] = oracles_temporal.psi_drift_sql(10)
     o["purchase_attribution"] = oracles_text.PURCHASE_ATTRIBUTION
 
     o["surge_windows"] = oracles_temporal.SURGE_WINDOWS
@@ -2149,6 +2168,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["expectations_report"] = oracles_curation.expectations_sql()
     o["snapshot_diff"] = oracles_curation.snapshot_diff_sql()
     o["snapshot_diff_summary"] = oracles_curation.snapshot_diff_summary_sql()
+    o["expectations_events"] = oracles_curation.expectations_events_sql()
     o["lang_quality_matrix"] = oracles_text.lang_quality_matrix_sql()
     o["dau_wau"] = oracles_temporal.DAU_WAU
     o["hour_of_day_profile"] = oracles_temporal.HOUR_OF_DAY_PROFILE
