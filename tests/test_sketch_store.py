@@ -72,3 +72,37 @@ def test_daily_estimates_within_bound(spark):
         assert abs(r.n_distinct_est - r.n_users_exact) <= max(
             2, 0.05 * r.n_users_exact
         )
+
+
+def test_hist_store_fold_equals_rebuild_exactly(spark, tmp_path):
+    """Integer bucket counts: build-on-half + fold == build-on-all,
+    bit for bit, under FIXED bin geometry; quantile serving equals the
+    one-shot computation when bounds match."""
+    from ydb_vector_search_simple_api_spark.operators import hist_store as H
+    from ydb_vector_search_simple_api_spark.operators.stats import (
+        histogram_quantiles,
+    )
+
+    ev = load_events(spark, SF_SMALL).select("event_type", "value")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).head()
+    lo, hi = float(b.lo), float(b.hi)
+
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    first = ev.filter(F.col("value") < (lo + hi) / 2)
+    second = ev.filter(~(F.col("value") < (lo + hi) / 2))
+    H.build_hist_store(first, inc, ["event_type"], "value", lo, hi, 1000)
+    H.hist_store_upsert(spark, inc, second)
+    H.build_hist_store(ev, full, ["event_type"], "value", lo, hi, 1000)
+
+    a = sorted(tuple(r) for r in spark.read.parquet(inc).collect())
+    c = sorted(tuple(r) for r in spark.read.parquet(full).collect())
+    assert a == c  # exact fold, raw counts
+
+    served = sorted(
+        tuple(r) for r in H.hist_store_quantiles(spark, full).collect()
+    )
+    oneshot = sorted(
+        tuple(r) for r in histogram_quantiles(spark, SF_SMALL).collect()
+    )
+    assert served == oneshot
