@@ -226,3 +226,59 @@ def test_stream_heavy_hitters_drained_equals_batch(spark):
     # snapshots: every state file holds <= capacity rows
     for d in glob.glob(os.path.join("/tmp", "svs_hh_*", "state", "batch=*")):
         assert spark.read.parquet(d).count() <= 64
+
+
+def test_stream_drift_monitor_drained_equals_batch(spark):
+    """Per-batch PSI scored on arrival == the same per-shard PSI
+    computed in batch mode over statically-derived shards; the
+    stationary driver testdata stays under a loose drift bar."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.sources.store import load_events
+    from ydb_vector_search_simple_api_spark.streaming import sketch_ingest as SK
+
+    got = SK.stream_drift_monitor(spark, SF_SMALL, n_shards=3).collect()
+    assert len(got) == 3
+    assert sum(r.n_events for r in got) > 0
+
+    # batch replay: same reference window, same bins, same shard cuts
+    ev = load_events(spark, SF_SMALL)
+    mid = ev.agg(
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2
+        ).alias("mid")
+    ).head()
+    ref = ev.filter(F.col("ts") < F.lit(mid.mid)).select("event_id", "value")
+    arr = ev.filter(F.col("ts") >= F.lit(mid.mid)).select("event_id", "value")
+    rb = ref.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).head()
+    lo, hi = float(rb.lo), float(rb.hi)
+    width = (hi - lo) / 10.0
+    ref_counts = {
+        r.cell: r.c
+        for r in SK._batch_cell_counts(ref, lo, width, 10)
+        .filter(F.col("cell") >= 0)
+        .collect()
+    }
+    cuts = list(
+        arr.select(F.percentile_approx("event_id", [1 / 3, 2 / 3], 10_000).alias("c"))
+        .head()
+        .c
+    )
+    shards = [
+        arr.filter(F.col("event_id") <= F.lit(cuts[0])),
+        arr.filter(
+            (F.col("event_id") > F.lit(cuts[0])) & (F.col("event_id") <= F.lit(cuts[1]))
+        ),
+        arr.filter(F.col("event_id") > F.lit(cuts[1])),
+    ]
+    for row, shard in zip(sorted(got, key=lambda r: r.batch_id), shards):
+        cnt = {
+            r.cell: r.c
+            for r in SK._batch_cell_counts(shard, lo, width, 10).collect()
+        }
+        expect = SK._psi_from_counts(
+            ref_counts, {k: v for k, v in cnt.items() if k >= 0}
+        )
+        assert row.psi == expect
+        assert row.n_events == shard.count()
+        assert row.psi < 0.5  # stationary stream: no alarm

@@ -1,6 +1,6 @@
-"""Streaming heavy hitters: a Misra-Gries summary maintained across
-micro-batches, with the exact-count serving pass of the batch
-operator.
+"""Streaming sketch/monitor operators: a Misra-Gries heavy-hitter
+summary maintained across micro-batches, and PSI drift scored per
+batch against a static reference window.
 
 The batch :func:`operators.textual.heavy_hitters_topk` assumes the
 corpus is at rest; here shards arrive as a stream and the MG summary
@@ -125,3 +125,154 @@ def stream_heavy_hitters(
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def _batch_cell_counts(
+    batch_df: DataFrame, lo: float, width: float, n_bins: int
+) -> DataFrame:
+    """(cell, c) for one batch under the reference's FIXED bin
+    geometry; null values ride the -1 sentinel cell so the row count
+    comes out of the same aggregate."""
+    return batch_df.groupBy(
+        F.when(
+            F.col("value").isNotNull(),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(-1))
+        .alias("cell")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def _round9(x: float) -> float:
+    """Spark's ROUND (half away from zero) at 9 places — NOT Python's
+    banker's round; keeps the driver fold bit-compatible with the
+    oracle-backed psi_drift arithmetic."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e9 + 0.5) / 1e9, x)
+
+
+def _psi_from_counts(ref: dict[int, int], batch: dict[int, int]) -> float:
+    """PSI fold over the bins-sized cell tables — plain driver
+    arithmetic (the tables are CONSTANT-sized: this is the
+    centroid-collect contract, and it is what keeps the per-trigger
+    cost at ONE Spark job; the same join expressed in Spark cost
+    ~4.7 s/trigger of micro-batch scheduling for 11 rows). Identical
+    formula and association order as stats.psi_drift."""
+    cells = sorted(set(ref) | set(batch))
+    n1 = sum(ref.values())
+    n2 = sum(batch.values())
+    b = len(cells)
+    import math
+
+    total = 0.0
+    for cell in cells:
+        p1 = (ref.get(cell, 0) + 1) / (n1 + b)
+        p2 = (batch.get(cell, 0) + 1) / (n2 + b)
+        total += _round9((p2 - p1) * math.log(p2 / p1))
+    return round(total, 6) + 0.0
+
+
+def stream_drift_monitor(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = 4,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Drift ON ARRIVAL: the first half of the event stream (by time)
+    is the static reference window; the second half arrives in
+    ``n_shards`` micro-batches, and each batch's value-histogram PSI
+    vs the reference is scored as it lands — the monitor that pages
+    BEFORE a drifted day contaminates a training snapshot.
+
+    Stateless per batch (reference counts are a materialized
+    bins-sized table; each trigger touches only its batch), with the
+    batch-id-keyed overwrite sink, so replays rewrite identical rows.
+    Drained == the same per-shard PSI computed in batch mode
+    (pytest-pinned; shard cuts are percentile sketches, so rows-only).
+    Output (batch_id, n_events, psi)."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..sources.store import load_events
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"svs_drift_{run}")
+    landing = os.path.join(base, "landing")
+    out_dir = os.path.join(base, "scores")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    ev = load_events(spark, sf_dir)
+    mid = ev.agg(
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2
+        ).alias("mid")
+    ).head()
+    ref = ev.filter(F.col("ts") < F.lit(mid.mid)).select("event_id", "value")
+    arriving = (
+        ev.filter(F.col("ts") >= F.lit(mid.mid))
+        .select("event_id", "value")
+        # one materialization: the percentile cut and every shard
+        # write otherwise re-run the scan+filter
+        .localCheckpoint(eager=True)
+    )
+    rb = ref.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).head()
+    lo, hi = float(rb.lo), float(rb.hi)
+    width = (hi - lo) / float(n_bins)
+    # bins-sized (constant) reference table -> driver dict, once
+    ref_counts = {
+        r.cell: r.c
+        for r in _batch_cell_counts(ref, lo, width, n_bins)
+        .filter(F.col("cell") >= 0)
+        .collect()
+    }
+
+    write_shard_landing(arriving, landing, n_shards, order_col="event_id")
+    schema = arriving.schema
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        cnt = {
+            r.cell: r.c
+            for r in _batch_cell_counts(batch_df, lo, width, n_bins).collect()
+        }
+        n = sum(cnt.values())
+        psi = _psi_from_counts(ref_counts, {k: v for k, v in cnt.items() if k >= 0})
+        # the score is ONE row — write it with pyarrow, not a Spark
+        # job (a 1-row createDataFrame().write inside foreachBatch
+        # measured 4-5 s of micro-batch session overhead, 3x the
+        # whole trigger's real work); fixed filename => replays
+        # rewrite the same bytes.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = os.path.join(out_dir, f"batch={batch_id}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "batch_id": pa.array([int(batch_id)], pa.int64()),
+                    "n_events": pa.array([int(n)], pa.int64()),
+                    "psi": pa.array([float(psi)], pa.float64()),
+                }
+            ),
+            os.path.join(d, "part-0.parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "shard=*"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(os.path.join(out_dir, "batch=*")).orderBy("batch_id")
