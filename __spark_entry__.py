@@ -47,6 +47,7 @@ from ydb_vector_search_simple_api_spark.operators import graphann as gann_mod
 from ydb_vector_search_simple_api_spark.operators import ranking as ranking_mod
 from ydb_vector_search_simple_api_spark.operators import skew as skew_mod
 from ydb_vector_search_simple_api_spark.operators import sketch_store as sketchstore_mod
+from ydb_vector_search_simple_api_spark.operators import hist_store as histstore_mod
 from ydb_vector_search_simple_api_spark.operators import index as ivf
 from ydb_vector_search_simple_api_spark.operators import tree as kmt
 from ydb_vector_search_simple_api_spark.operators import search as search_mod
@@ -1537,6 +1538,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_heavy_hitters"] = lambda s, d: streaming_sketch.stream_heavy_hitters(
         s, d, k=25
     )
+    # sibling: psi_drift (drift ON ARRIVAL: per-micro-batch PSI vs the
+    # static first-half reference window; stateless per batch,
+    # batch-id-keyed idempotent sink; drained == per-shard batch
+    # recompute pytest-pinned. Rows-only: shard cuts come from a
+    # percentile sketch, no SQL twin.)
+    q["stream_drift_monitor"] = lambda s, d: streaming_sketch.stream_drift_monitor(
+        s, d, n_shards=3
+    )
     # sibling: user_running_totals (the second applyInPandasWithState
     # operator — session NUMBERING whose (last_ts, n_sessions) state
     # genuinely spans micro-batches via one-shard-per-trigger arrival;
@@ -1617,6 +1626,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # readout; rotated out round 4 for the deterministic mergeable
     # histogram path)
     q["value_percentiles"] = stats.value_percentiles
+    # sibling: histogram_quantiles (the MAINTAINED form: persisted
+    # fixed-width bucket counts, integer-additive folds — quantiles
+    # served from the stored table with NO fact rescan; identical
+    # output => the same full SQL oracle; fold==rebuild pinned in
+    # tests/test_sketch_store.py)
+    q["histogram_store_quantiles"] = histstore_mod.histogram_store_quantiles
     # sibling: events_distinct_pairs / ab_test_report (in-cap;
     # count-distinct per type; rotated out round 4)
     q["distinct_users_by_type"] = stats.distinct_users_by_type
@@ -2174,6 +2189,8 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["hour_of_day_profile"] = oracles_temporal.HOUR_OF_DAY_PROFILE
     o["top_tokens_per_lang"] = oracles_text.top_tokens_per_lang_sql()
     o["histogram_quantiles"] = oracles_temporal.histogram_quantiles_sql()
+    # store serving == the one-shot computation -> same oracle
+    o["histogram_store_quantiles"] = oracles_temporal.histogram_quantiles_sql()
     o["ab_test_report"] = oracles_temporal.ab_test_report_sql()
     o["ab_test_cuped"] = oracles_temporal.ab_test_cuped_sql()
     o["incremental_dedup_store"] = oracles_text.incremental_dedup_sql()
