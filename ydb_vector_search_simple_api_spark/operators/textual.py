@@ -123,12 +123,16 @@ def heavy_hitters_topk(
     true count exceeds N/(capacity+1) — always true for Zipf-shaped
     token mass at sane capacities — so it carries the exact oracle.
 
-    Why this beats the plain groupBy at 100 TB: with a billion-key
-    vocabulary (word n-grams), the direct groupBy shuffles every
-    distinct key per partition; here the shuffle carries at most
-    ``capacity`` keys per partition (the candidate semi-join filters
-    map-side against a broadcast set), independent of vocabulary
-    size."""
+    The trade, MEASURED at 1M docs / 16M vocab (SCALING.md,
+    tools/hh_scale_probe.py): the direct groupBy exchanges every
+    per-partition distinct key (15.98M rows); this path exchanges at
+    most ``capacity`` keys per partition per pass (196k rows — 81x
+    fewer, independent of vocabulary size) but pays Arrow
+    serialization on the token stream, so on a single-JVM RAM-speed
+    shuffle the direct form is 4x FASTER in wall clock. Use this form
+    when the exchange is network+disk and the vocabulary is the
+    bottleneck (billion-key n-gram regimes); use the direct groupBy
+    otherwise."""
     from . import dedup
 
     d = load_documents(spark, sf_dir)
