@@ -179,3 +179,53 @@ def test_pool_chunk_embeddings_matches_numpy_replay(spark):
         for r in enrich.pool_chunk_embeddings(spark, SF_SMALL, dim=16).collect()
     }
     assert {d: r.pooled_md5 for d, r in out.items()} == again
+
+
+def test_prefix_join_plan_has_no_cartesian(spark):
+    """Every stage of the prefix-filter join is keyed: no cartesian /
+    nested-loop joins anywhere in the physical plan, and no
+    row-at-a-time Python."""
+    from ydb_vector_search_simple_api_spark.operators import dedup
+    from ydb_vector_search_simple_api_spark.plans.checks import formatted_plan
+
+    df = dedup.ngram_jaccard_prefix_pairs(
+        load_documents(spark, SF_SMALL), n=3, threshold=0.8
+    )
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_range_search_ivf_plan_prunes_partitions(spark, ivf_idx):
+    """At a tight threshold the angular bound rules out cells, and the
+    pruned IN-list reaches the scan's PartitionFilters (planning-time
+    directory pruning, the ivf_search contract)."""
+    from ydb_vector_search_simple_api_spark.operators import index as ivf
+    from ydb_vector_search_simple_api_spark.plans.checks import formatted_plan
+
+    row = load_embeddings(spark, SF_SMALL).filter(F.col("vec_id") == 7).head()
+    qvec = [float(x) for x in row.embedding]
+    df = ivf.ivf_range_search(spark, ivf_idx, qvec, threshold=0.5, round_digits=6)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    # the IN list is strictly smaller than the full cluster set
+    import re
+
+    m = re.search(r"cluster_id#\d+ IN \(([^)]*)\)", plan)
+    assert m and len(m.group(1).split(",")) < ivf_idx.n_clusters
+
+
+def test_expectations_single_fused_aggregate(spark):
+    """The events suite keeps the one-scan shape too."""
+    from ydb_vector_search_simple_api_spark.operators.expectations import (
+        expectations_report_events,
+    )
+
+    plan = (
+        expectations_report_events(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
