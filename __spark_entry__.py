@@ -1493,6 +1493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: text_stats (same tokenize+classify family; rotated out
     # of the cap round 3 for hybrid_rrf)
     q["lang_id"] = textual.lang_id_pred
+    # sibling: lang_id (the router's evaluation artifact: confusion
+    # matrix vs the labeled lang column, exact-integer recall shares)
+    q["lang_id_confusion"] = textual.lang_id_confusion
     # sibling: source_token_budget (rotated out of the cap round 3
     # for incremental_dedup)
     q["token_budget"] = textual.token_budget
@@ -1987,6 +1990,7 @@ def oracle_sql() -> dict[str, str]:
     # drained MG fold == batch two-pass == direct top-k
     o["stream_heavy_hitters"] = oracles_text.token_frequencies_sql(25)
     o["lang_id"] = oracles_text.LANG_ID
+    o["lang_id_confusion"] = oracles_text.LANG_ID_CONFUSION
     o["fingerprints"] = oracles_text.FINGERPRINTS
     o["quality_filter"] = oracles_text.quality_filter_sql(0.8, 16)
     o["token_budget"] = oracles_text.TOKEN_BUDGET

@@ -409,3 +409,21 @@ def test_kneser_ney_continuation_effect(spark, tmp_path):
     }
     assert mle[900] == mle[901]  # MLE blind: both are 1/1 bigrams
     assert kn[901] > kn[900]  # KN: 'okay' follows 10 contexts
+
+
+def test_lang_id_confusion_shares_sum_to_one(spark):
+    from collections import defaultdict
+
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        lang_id_confusion,
+    )
+
+    rows = lang_id_confusion(spark, SF_SMALL).collect()
+    per = defaultdict(float)
+    n_docs = 0
+    for r in rows:
+        per[r.lang] += r.recall
+        n_docs += r.n
+    assert n_docs == 500
+    for lang, tot in per.items():
+        assert abs(tot - 1.0) < 1e-4, lang

@@ -155,6 +155,32 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TXT.lang_id("text").alias("predicted_lang"))
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language ID against the
+    table's labeled ``lang`` — the evaluation artifact a pipeline
+    publishes before trusting a router (which languages leak into
+    which, and how much mass 'und' swallows).
+
+    One narrow projection + one keyed count; the recall share divides
+    exact integers once. Output (lang, predicted_lang, n, recall),
+    recall = n / total docs of the true lang, ROUND(6)."""
+    d = load_documents(spark, sf_dir)
+    pred = d.select("doc_id", "lang", TXT.lang_id("text").alias("predicted_lang"))
+    cnt = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("n").alias("tot"))
+    return cnt.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "predicted_lang",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("recall"),
+    )
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup keys per document: normalized-content md5 and
     order-insensitive token-set md5."""

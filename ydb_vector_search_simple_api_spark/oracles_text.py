@@ -102,6 +102,17 @@ SELECT doc_id, {_lang_id_case()} AS predicted_lang FROM toks
 """
 
 
+LANG_ID_CONFUSION = f"""
+WITH toks AS (SELECT doc_id, lang, {TOKS} AS t FROM documents),
+pred AS (SELECT doc_id, lang, {_lang_id_case()} AS predicted_lang FROM toks),
+cnt AS (SELECT lang, predicted_lang, count(*)::BIGINT AS n FROM pred GROUP BY 1, 2),
+tot AS (SELECT lang, sum(n)::BIGINT AS tot FROM cnt GROUP BY lang)
+SELECT lang, predicted_lang, n,
+       ROUND(n::DOUBLE / tot::DOUBLE, 6) + 0.0 AS recall
+FROM cnt JOIN tot USING (lang)
+"""
+
+
 FINGERPRINTS = f"""
 WITH toks AS (SELECT doc_id, text, {TOKS} AS t FROM documents)
 SELECT doc_id,
