@@ -162,3 +162,29 @@ def test_unigram_lm_encode_roundtrip(spark):
     assert sorted(map(tuple, d1)) == sorted(map(tuple, d2))
     for r in d1:
         assert r.n_pieces >= r.n_words
+
+
+def test_unigram_encode_closure_with_zero_count_chars(spark, tmp_path):
+    """Regression: zero-count single chars (null logprob, kept in the
+    vocab for closure) must be scorable at encode time at the M-step
+    floor. A vocab trained where 'ab' absorbs every occurrence leaves
+    'a'/'b' at count 0; encoding the UNSEEN word 'ba' must emit the
+    in-vocab pieces ['b','a'], never the out-of-vocab whole word."""
+    import hashlib
+    import math
+
+    from ydb_vector_search_simple_api_spark.operators import sp_unigram as U
+
+    vocab = spark.createDataFrame(
+        [("ab", math.log(0.9), 9), ("a", None, 0), ("b", None, 0)],
+        "piece string, logprob double, cnt bigint",
+    )
+    spark.createDataFrame(
+        [(1, "ab ba", "en", "s", 5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    row = U.unigram_lm_encode_digest(spark, str(tmp_path), vocab=vocab).head()
+    assert row.n_words == 2
+    assert row.n_pieces == 3  # 'ab' + 'b' + 'a'
+    assert row.pieces_md5 == hashlib.md5(b"ab b a").hexdigest()

@@ -477,3 +477,35 @@ def test_neardup_edit_distance_planted_pairs(spark, docs, exact_pairs):
     ).collect()
     assert [(r.id_a, r.id_b, r.dist) for r in got] == [(1, 2, 1)]
     assert got[0].rel_dist == round(1 / 24, 6)
+
+
+def test_prefix_filter_lossless_at_roundup_threshold(spark, docs):
+    """Regression: thresholds whose double product rounds UP past an
+    exact integer (0.56 * 25 = 14.000000000000002 in IEEE doubles, so
+    an unslacked ceil gives 15, shortening the prefix by one and
+    risking dropped true pairs). With the 1e-9 round-DOWN slack the
+    prefix bound stays at the mathematical value and the join remains
+    lossless at arbitrary thresholds, not just the pinned 0.8."""
+    # expression-level pin of the hazard: ceil must yield 14, not 15
+    bound = (
+        spark.range(1)
+        .select(
+            F.ceil(F.lit(0.56) * F.lit(25) - F.lit(1e-9)).alias("a"),
+            F.ceil(F.lit(0.56) * F.lit(25)).alias("raw"),
+        )
+        .head()
+    )
+    assert bound.raw == 15  # the unslacked hazard is real on this host
+    assert bound.a == 14  # slacked bound = mathematical ceil
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.56).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_prefix_pairs(
+            docs, n=3, threshold=0.56
+        ).collect()
+    }
+    assert got == exact

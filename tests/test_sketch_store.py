@@ -106,3 +106,31 @@ def test_hist_store_fold_equals_rebuild_exactly(spark, tmp_path):
         tuple(r) for r in histogram_quantiles(spark, SF_SMALL).collect()
     )
     assert served == oneshot
+
+
+def test_hist_store_upsert_clamps_out_of_range_batches(spark, tmp_path):
+    """Regression: a fold batch containing values BELOW the stored lo
+    must clamp to bucket 0 (not a negative index), mirroring the
+    upper-edge clamp — the documented fixed-histogram contract. The
+    served quantile edges therefore stay within [lo, hi]."""
+    from ydb_vector_search_simple_api_spark.operators import hist_store as H
+
+    base = spark.createDataFrame(
+        [("a", float(v)) for v in range(10, 110)], ["event_type", "value"]
+    )
+    store = str(tmp_path / "clamp")
+    H.build_hist_store(base, store, ["event_type"], "value", lo=10.0, hi=110.0,
+                       n_buckets=100)
+    # batch entirely out of range on BOTH sides
+    wide = spark.createDataFrame(
+        [("a", -500.0), ("a", -1.0), ("a", 9.999), ("a", 500.0)],
+        ["event_type", "value"],
+    )
+    H.hist_store_upsert(spark, store, wide)
+    buckets = [r.b for r in spark.read.parquet(store).collect()]
+    assert min(buckets) == 0 and max(buckets) <= 99
+    # below-lo mass landed in bucket 0: count there is 1 (base) + 3 (clamped)
+    b0 = [r.c for r in spark.read.parquet(store).filter(F.col("b") == 0).collect()]
+    assert b0 == [4]
+    served = H.hist_store_quantiles(spark, store).head()
+    assert 10.0 <= served.p50 <= 110.0 and 10.0 <= served.p99 <= 110.0

@@ -560,3 +560,36 @@ def test_psi_drift_detects_planted_shift(spark, tmp_path):
     got = {r.feature: r.psi for r in psi_drift(spark, str(tmp_path)).collect()}
     assert got["event_type"] < 0.01
     assert got["value_hist"] > 1.0
+
+
+def test_psi_drift_constant_value_column(spark, tmp_path):
+    """Regression: a constant value column (vmax == vmin) must not
+    divide by a zero bin width — both twins short-circuit to a single
+    bin-0 cell via greatest(range, eps). PSI is finite and 0.0 for the
+    degenerate histogram; the DuckDB twin agrees hash-exactly."""
+    import datetime as dt
+
+    import duckdb
+
+    from ydb_vector_search_simple_api_spark.operators.stats import psi_drift
+    from ydb_vector_search_simple_api_spark.oracles_temporal import psi_drift_sql
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), i % 50, ["click", "view"][i % 2],
+         7.5, "{}")
+        for i in range(400)
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = sorted(tuple(r) for r in psi_drift(spark, str(tmp_path)).collect())
+    vh = dict((r[0], r) for r in got)["value_hist"]
+    assert vh[1] == 1 and vh[2] == 0.0  # one cell, zero drift, no NaN/inf
+
+    con = duckdb.connect()
+    glob = str(tmp_path / "events.parquet" / "*.parquet").replace("'", "''")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{glob}')")
+    want = sorted(tuple(r) for r in con.execute(psi_drift_sql()).fetchall())
+    assert got == want

@@ -241,10 +241,16 @@ def ngram_jaccard_prefix_pairs(
         .withColumn("pos", F.row_number().over(w))
         .join(counts, "id")
     )
-    # prefix length |A| - ceil(t*|A|) + 1 (>=1 always)
+    # prefix length |A| - ceil(t*|A|) + 1 (>=1 always). The 1e-9 slack
+    # (same as alpha below) keeps ceil from rounding UP a double product
+    # t*|A| that is mathematically an exact integer — an over-rounded
+    # ceil would SHORTEN the prefix and silently drop true pairs; the
+    # slack only ever lengthens it (admits extra candidates, lossless).
     prefix = ranked.filter(
         F.col("pos")
-        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+        <= F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + F.lit(1)
     ).select("id", "shingle", "n_sh", "pos")
 
     # PPJoin positional filter (Xiao et al. 2008): a match at prefix
@@ -266,9 +272,11 @@ def ngram_jaccard_prefix_pairs(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id"))
-            # size filter: J >= t forces t*max <= min
-            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
-            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+            # size filter: J >= t forces t*max <= min; the same 1e-9
+            # slack so a double product that rounds UP past an exact
+            # integer bound can only ever ADMIT extra candidates
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh") - F.lit(1e-9))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh") - F.lit(1e-9))
             & (ubound >= alpha),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

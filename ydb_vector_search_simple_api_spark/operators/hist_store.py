@@ -32,9 +32,16 @@ META = "_hist_meta.json"
 
 
 def _bucket(value, lo: float, width: float, n_buckets: int):
-    return F.least(
-        F.floor((value - F.lit(lo)) / F.lit(width)).cast("int"),
-        F.lit(n_buckets - 1),
+    # Clamp BOTH edges: values below the stored lo must land in bucket 0
+    # (not a negative index), just as values >= hi land in the last bucket
+    # — otherwise an upsert batch wider than the build range breaks the
+    # fixed-histogram contract documented above.
+    return F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor((value - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(n_buckets - 1),
+        ),
     )
 
 

@@ -198,8 +198,19 @@ def unigram_lm_encode_digest(
         vocab = unigram_lm_train(
             spark, sf_dir, vocab_size=vocab_size, em_iters=em_iters, max_len=max_len
         )
-    vrows = vocab.filter(F.col("logprob").isNotNull()).collect()
-    pieces = {r.piece: r.logprob for r in vrows}
+    # Closure must hold at ENCODE time too: zero-count single chars are
+    # kept in the vocab (null logprob) precisely so every word is
+    # segmentable — score them at the M-step's _FLOOR instead of
+    # dropping them, else a word containing one hits best[L] = -inf and
+    # the default back-pointers emit the whole word as one out-of-vocab
+    # "piece" not in the trained vocab. Null-logprob multi-char pieces
+    # (zero Viterbi count) stay excluded: single chars already close.
+    vrows = vocab.collect()
+    pieces = {
+        r.piece: (r.logprob if r.logprob is not None else _FLOOR)
+        for r in vrows
+        if r.logprob is not None or len(r.piece) == 1
+    }
     from ..functions import text as TXT
     from ..sources.store import load_documents
 

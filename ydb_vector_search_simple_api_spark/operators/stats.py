@@ -845,7 +845,13 @@ def psi_drift(spark: SparkSession, sf_dir: str, n_bins: int = 10) -> DataFrame:
     tagged = ev.crossJoin(F.broadcast(bounds)).withColumn(
         "half", (F.col("ts").cast("timestamp") >= F.col("mid")).cast("int")
     )
-    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    # degenerate-range guard: a constant value column gives vmax == vmin;
+    # an unguarded width of 0 turns every bin expression into inf/NaN
+    # (and the SQL twin's floor(inf)::INT errors). greatest(.., eps)
+    # short-circuits that to a single bin-0 cell in BOTH twins.
+    width = F.greatest(F.col("vmax") - F.col("vmin"), F.lit(1e-12)) / F.lit(
+        float(n_bins)
+    )
     vbin = F.least(
         F.lit(n_bins - 1),
         F.floor((F.col("value") - F.col("vmin")) / width).cast("int"),

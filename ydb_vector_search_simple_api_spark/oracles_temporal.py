@@ -637,7 +637,7 @@ tagged AS (
     vcells = f"""
   SELECT half,
          CAST(least({n_bins - 1},
-              floor((value - vmin) / ((vmax - vmin) / {float(n_bins)})))::INT AS VARCHAR) AS cell
+              floor((value - vmin) / (greatest(vmax - vmin, 1e-12) / {float(n_bins)})))::INT AS VARCHAR) AS cell
   FROM tagged WHERE value IS NOT NULL"""
     tcells = "SELECT half, event_type AS cell FROM tagged"
     return (
