@@ -1155,17 +1155,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_decontaminate"] = lambda s, d: streaming_curing.stream_decontaminate_ingest(
         s, d
     )
-    # streaming stateful dedup (set-equal to batch DISTINCT)
-    q["events_distinct_pairs"] = streaming_events.distinct_user_event_pairs_stream
-    # ---- sessionization (built-in session_window; lag/cumsum oracle)
-    q["session_rollup"] = streaming_sessions.session_rollup_batch
+    # round-7 rotation: corpus snapshot release-notes rollup (per-
+    # source added/removed/changed via the salted anti-join draw) in
+    # place of events_distinct_pairs (driver-green r1-r6; streaming
+    # stateful dedup family stays in-cap via stream_decontaminate +
+    # user_running_totals)
+    q["snapshot_diff_summary"] = curation.snapshot_diff_summary
+    # round-7 rotation: language-ID confusion matrix vs the labeled
+    # lang column (exact-integer recall shares — the router's
+    # evaluation artifact) in place of session_rollup (driver-green
+    # r1-r6; sessionization stays covered by stream_interval_join +
+    # user_sessions overflow)
+    q["lang_id_confusion"] = textual.lang_id_confusion
     # ---- custom stateful op (applyInPandasWithState, exact-int oracle)
     q["user_running_totals"] = streaming_sessions.user_running_totals_stream
 
     # ---- relational coverage (joins/agg/window/rollup/anti/semi)
-    q["pricing_summary"] = relational.pricing_summary
-    q["revenue_by_nation"] = relational.revenue_by_nation
-    q["top_customers_per_nation"] = relational.top_customers_per_nation
+    # round-7 rotation: LOSSLESS IVF cell pruning for cosine range
+    # search (angular triangle bound; carries the exact range search's
+    # oracle verbatim) in place of pricing_summary (driver-green
+    # r1-r6; TPC-H family keeps local_supplier_revenue +
+    # excess_supply_suppliers in-cap)
+    q["range_search_ivf"] = lambda s, d: ivf.ivf_range_search(
+        s, _ivf_index(s, d), _query_vec(s, d), threshold=0.2, round_digits=ROUND
+    )
+    # round-7 rotation: PSI distribution-drift score (Laplace-smoothed
+    # exact-integer shares, decimal-summed terms) in place of
+    # revenue_by_nation (driver-green r1-r6; star-join family keeps
+    # local_supplier_revenue + top-k window via heavy_hitters_topk)
+    q["psi_drift"] = stats.psi_drift
+    # round-7 rotation: the expectations framework instantiated on the
+    # EVENTS table (stream-shaped invariants) in place of
+    # top_customers_per_nation (driver-green r1-r6; window-top-k
+    # family covered in overflow)
+    q["expectations_events"] = expectations_mod.expectations_report_events
     # TPC-H Q5 (the full cyclic local-supplier chain) — promoted
     # in-cap late round 4; orders_rollup (driver-green r3/r4) rotated
     # to overflow, rollup/cube family still covered there
@@ -1229,10 +1252,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- temporal: gap-fill + LOCF
     q["hourly_locf"] = temporal.hourly_locf
     # ---- distribution stats + set-op cohorts
-    # deterministic mergeable-quantile path (fixed-width histogram +
-    # cumulative readout) — rotated in-cap round 4 in place of
-    # value_percentiles (same quantile family, now overflow)
-    q["histogram_quantiles"] = stats.histogram_quantiles
+    # round-7 rotation: the MAINTAINED quantile form (persisted
+    # fixed-width bucket counts, integer-additive folds; quantiles
+    # served from the stored table with NO fact rescan — identical
+    # output => the same full SQL oracle) in place of
+    # histogram_quantiles (driver-green r4-r6; the one-shot twin rides
+    # overflow)
+    q["histogram_store_quantiles"] = histstore_mod.histogram_store_quantiles
     # experimentation flagship (md5-arm split + Welch's t from exact
     # sums) — rotated in-cap round 4 in place of distinct_users_by_type
     # (distinct-key family stays covered by events_distinct_pairs)
@@ -1248,6 +1274,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repeat_customers"] = relational.repeat_customers
     q["user_event_pivot"] = relational.user_event_pivot
     q["props_k_stats"] = stats.props_k_stats
+    # rotated out of cap round 7 (driver-green r1-r6 records; each
+    # family keeps an in-cap sibling, see the round-7 swap comments):
+    q["events_distinct_pairs"] = streaming_events.distinct_user_event_pairs_stream
+    q["session_rollup"] = streaming_sessions.session_rollup_batch
+    q["pricing_summary"] = relational.pricing_summary
+    q["revenue_by_nation"] = relational.revenue_by_nation
+    q["top_customers_per_nation"] = relational.top_customers_per_nation
+    q["histogram_quantiles"] = stats.histogram_quantiles
 
     # ======== oracle-backed overflow (past the driver's 50-entry cap;
     # each has an in-cap sibling exercising the same operator, and all
@@ -1479,11 +1513,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: table_profile (temporal data-quality drift: null rates
     # first half vs second half per probed column)
     q["null_rate_drift"] = stats.null_rate_drift
-    # sibling: null_rate_drift (DISTRIBUTION drift over the same
-    # first/second-half tag: Population Stability Index on the value
-    # histogram + event_type shares; Laplace-smoothed exact-integer
-    # shares, decimal-summed terms)
-    q["psi_drift"] = stats.psi_drift
     # sibling: funnel_conversion (ordered event-sequence analytics:
     # first-order Markov transition probabilities per event type)
     q["event_transitions"] = temporal.event_transitions
@@ -1493,9 +1522,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: text_stats (same tokenize+classify family; rotated out
     # of the cap round 3 for hybrid_rrf)
     q["lang_id"] = textual.lang_id_pred
-    # sibling: lang_id (the router's evaluation artifact: confusion
-    # matrix vs the labeled lang column, exact-integer recall shares)
-    q["lang_id_confusion"] = textual.lang_id_confusion
     # sibling: source_token_budget (rotated out of the cap round 3
     # for incremental_dedup)
     q["token_budget"] = textual.token_budget
@@ -1609,12 +1635,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: lang_profile (the dataset card: the one-row corpus
     # summary a pipeline publishes with a training set)
     q["dataset_card"] = curation.dataset_card
-    # sibling: snapshot_diff (the release-notes rollup per source)
-    q["snapshot_diff_summary"] = curation.snapshot_diff_summary
-    # sibling: expectations_report (the same declaration-once
-    # constraint framework instantiated on the EVENTS table —
-    # stream-shaped invariants: key health, domains, value sanity)
-    q["expectations_events"] = expectations_mod.expectations_report_events
     # sibling: lang_profile (corpus-mix cross-tab: language x quality
     # bucket with per-language shares)
     q["lang_quality_matrix"] = textual.lang_quality_matrix
@@ -1629,12 +1649,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # readout; rotated out round 4 for the deterministic mergeable
     # histogram path)
     q["value_percentiles"] = stats.value_percentiles
-    # sibling: histogram_quantiles (the MAINTAINED form: persisted
-    # fixed-width bucket counts, integer-additive folds — quantiles
-    # served from the stored table with NO fact rescan; identical
-    # output => the same full SQL oracle; fold==rebuild pinned in
-    # tests/test_sketch_store.py)
-    q["histogram_store_quantiles"] = histstore_mod.histogram_store_quantiles
     # sibling: events_distinct_pairs / ab_test_report (in-cap;
     # count-distinct per type; rotated out round 4)
     q["distinct_users_by_type"] = stats.distinct_users_by_type
@@ -1669,14 +1683,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # where k is unknown; codegen predicate, no heap unless bounded)
     q["range_search_cosine"] = lambda s, d: search_mod.range_search(
         s, d, _query_vec(s, d), threshold=0.2
-    )
-    # sibling: range_search_cosine (LOSSLESS IVF cell pruning via the
-    # angular triangle bound cos(theta_qc - theta_max); skipping a
-    # cell whose upper bound misses the threshold cannot change the
-    # answer, so it carries the exact range search's oracle verbatim;
-    # pruning + equality pinned in tests/test_index.py)
-    q["range_search_ivf"] = lambda s, d: ivf.ivf_range_search(
-        s, _ivf_index(s, d), _query_vec(s, d), threshold=0.2, round_digits=ROUND
     )
     # siblings: dedup_exact_groups + quality_filter (quality-aware
     # canonical election: keep the BEST duplicate, not the first —

@@ -41,6 +41,14 @@ import __spark_entry__ as E
 # opq_rerank_full<-pq_rerank_full, ivfopq_rerank_full<-ivfsq_rerank_full,
 # prefixdim_rerank_full<-sq_rerank_full,
 # topk_cosine_filtered_gann<-graphann_rerank_full.
+# Round-7 rotation (6 swaps; promoted entries are round-6 additions,
+# oracle-backed, never driver-checked; displaced entries are
+# driver-green r1-r6 with their family still in-cap):
+# snapshot_diff_summary<-events_distinct_pairs,
+# lang_id_confusion<-session_rollup, range_search_ivf<-pricing_summary,
+# psi_drift<-revenue_by_nation,
+# expectations_events<-top_customers_per_nation,
+# histogram_store_quantiles<-histogram_quantiles.
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
@@ -53,14 +61,14 @@ EXPECTED_IN_CAP = [
     "opq_rerank_full", "stream_interval_join", "dedup_components",
     "leakage_safe_splits",
     "graph_stats", "expectations_report", "curation_reasons",
-    "multimodal_meta", "stream_decontaminate", "events_distinct_pairs",
-    "session_rollup", "user_running_totals", "pricing_summary",
-    "revenue_by_nation", "top_customers_per_nation",
+    "multimodal_meta", "stream_decontaminate", "snapshot_diff_summary",
+    "lang_id_confusion", "user_running_totals", "range_search_ivf",
+    "psi_drift", "expectations_events",
     "local_supplier_revenue", "excess_supply_suppliers",
     "duplicate_spans", "ivfopq_rerank_full", "prefixdim_rerank_full",
     "sql_topk_cosine", "semantic_dedup_blocked",
     "topk_cosine_filtered_gann",
-    "decontaminate_bloom", "hourly_locf", "histogram_quantiles",
+    "decontaminate_bloom", "hourly_locf", "histogram_store_quantiles",
     "ab_test_report", "source_divergence",
 ]
 
