@@ -47,6 +47,8 @@ from ydb_vector_search_simple_api_spark.operators import graphann as gann_mod
 from ydb_vector_search_simple_api_spark.operators import ranking as ranking_mod
 from ydb_vector_search_simple_api_spark.operators import skew as skew_mod
 from ydb_vector_search_simple_api_spark.operators import sketch_store as sketchstore_mod
+from ydb_vector_search_simple_api_spark.operators import sparse_sim as sparse_sim_mod
+from ydb_vector_search_simple_api_spark.operators import blocking as blocking_mod
 from ydb_vector_search_simple_api_spark.operators import hist_store as histstore_mod
 from ydb_vector_search_simple_api_spark.operators import index as ivf
 from ydb_vector_search_simple_api_spark.operators import tree as kmt
@@ -1595,6 +1597,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         load_documents(s, d), n=3, threshold=0.8
     )
+    # sibling: dedup_ngram_jaccard (WEIGHTED near-dup scoring: same
+    # word-3-gram features, tf*idf weights + cosine — boilerplate
+    # shingles stop dominating; the AllPairs family, Bayardo et al.
+    # WWW 2007)
+    q["tfidf_cosine_pairs"] = lambda s, d: sparse_sim_mod.tfidf_cosine_pairs(
+        load_documents(s, d), n=3, threshold=0.6
+    )
+    # sibling: tfidf_cosine_pairs (the LOSSLESS prefix-indexed scale
+    # path at the near-dup threshold: unit-suffix-norm index cut,
+    # index-vs-full candidate join, exact verify on candidates only —
+    # identical output, shares the exact oracle; the dedup_ngram_prefix
+    # pattern for the weighted score)
+    q["tfidf_cosine_prefix"] = lambda s, d: sparse_sim_mod.tfidf_cosine_prefix_pairs(
+        load_documents(s, d), n=3, threshold=0.9
+    )
+    # sibling: neardup_edit_distance (in-cap; same exact-Levenshtein
+    # verify contract, THIRD blocking family — deterministic
+    # sorted-neighborhood windows, Hernandez & Stolfo 1995; global
+    # rank decomposed into parallel per-bucket windows + offsets)
+    q["sorted_neighborhood"] = lambda s, d: blocking_mod.sorted_neighborhood_pairs(
+        load_documents(s, d)
+    )
+    # sibling: sorted_neighborhood (the standard recall fix: second
+    # pass on the reversed-text key, distinct-union of passes)
+    q["sorted_neighborhood_2key"] = lambda s, d: blocking_mod.sorted_neighborhood_multi_key(
+        load_documents(s, d)
+    )
     # sibling: user_running_totals (two-phase salted groupBy == direct
     # groupBy — the skewed-aggregation rewrite, gate-proven safe)
     q["salted_user_rollup"] = lambda s, d: skew_mod.salted_user_rollup(s, d)
@@ -2021,6 +2050,14 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)
     # prefix filtering is lossless -> shares the exact-join oracle
     o["dedup_ngram_prefix"] = oracles_text.ngram_jaccard_sql(3, 0.8)
+    o["tfidf_cosine_pairs"] = oracles_text.tfidf_cosine_sql(3, 0.6)
+    # the AllPairs prefix index is lossless -> the exact twin's SQL
+    # at the pruned entry's threshold
+    o["tfidf_cosine_prefix"] = oracles_text.tfidf_cosine_sql(3, 0.9)
+    o["sorted_neighborhood"] = oracles_text.sorted_neighborhood_sql(24, 8, 0.2)
+    o["sorted_neighborhood_2key"] = oracles_text.sorted_neighborhood_multi_key_sql(
+        24, 8, 0.2
+    )
     o["neardup_cosine"] = oracles_text.neardup_cosine_sql(0.4)
     o["dedup_minhash_md5"] = oracles_text.minhash_lsh_md5_sql(3, 16, 8, 0.8)
     o["tfidf_top_terms"] = oracles_text.tfidf_sql(3)

@@ -175,6 +175,48 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
 """
 
 
+def tfidf_cosine_sql(n: int = 3, threshold: float = 0.6) -> str:
+    """Twin of ``sparse_sim.tfidf_cosine_pairs`` (and, verbatim, of
+    the lossless ``tfidf_cosine_prefix_pairs`` at the same threshold):
+    word n-gram occurrence counts (NOT distinct — multiplicity is the
+    tf), weight quantized once at ROUND(tf*ln(N/df),6)+0.0 so every
+    downstream product is IEEE-deterministic, per-term products and
+    squares ROUND(.,9) -> DECIMAL(28,9) summed (order-invariant),
+    final cosine ROUND(.,6)+0.0. Features in every doc (idf 0) are
+    dropped in both engines."""
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_shingles(n)}) AS feat FROM toks),
+tf AS (SELECT doc_id, feat, count(*)::BIGINT AS tf FROM sh GROUP BY doc_id, feat),
+dfreq AS (SELECT feat, count(*)::BIGINT AS dfreq FROM tf GROUP BY feat),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+w AS (
+  SELECT doc_id, feat,
+         ROUND(tf::DOUBLE * ln(n_docs / dfreq::DOUBLE), 6) + 0.0 AS w
+  FROM tf JOIN dfreq USING (feat) CROSS JOIN n
+  WHERE dfreq < n_docs
+),
+norms AS (
+  SELECT doc_id,
+         sqrt(CAST(sum(CAST(ROUND(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+  FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(CAST(ROUND(a.w * b.w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON a.feat = b.feat AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 6) + 0.0 AS cosine
+  FROM dots
+  JOIN norms na ON na.doc_id = id_a
+  JOIN norms nb ON nb.doc_id = id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
 def minhash_lsh_md5_sql(
     n: int = 3,
     num_hashes: int = 16,
@@ -1461,6 +1503,64 @@ SELECT id_a, id_b, dist,
             ELSE ROUND(dist::DOUBLE / longer::DOUBLE, 6) + 0.0
        END AS rel_dist
 FROM kept ORDER BY id_a, id_b
+"""
+
+
+def _snm_pass_sql(
+    text_expr: str, key_len: int, window: int, max_rel_dist: float
+) -> str:
+    """One sorted-neighborhood pass over ``text_expr``: global
+    row_number over (normalized-prefix key, doc_id), pairs within
+    window-1 ranks, exact-integer Levenshtein cut."""
+    key = (
+        f"substr(regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g'),"
+        f" 1, {key_len})"
+    )
+    return f"""
+  SELECT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b,
+         levenshtein(a.t, b.t)::BIGINT AS dist,
+         greatest(len(a.t), len(b.t)) AS longer
+  FROM (SELECT doc_id, {text_expr} AS t,
+               row_number() OVER (ORDER BY {key}, doc_id) AS rnk
+        FROM documents) a
+  JOIN (SELECT doc_id, {text_expr} AS t,
+               row_number() OVER (ORDER BY {key}, doc_id) AS rnk
+        FROM documents) b
+    ON b.rnk > a.rnk AND b.rnk <= a.rnk + {window - 1}
+  WHERE levenshtein(a.t, b.t)::DOUBLE <= {max_rel_dist} * greatest(len(a.t), len(b.t))::DOUBLE
+"""
+
+
+def sorted_neighborhood_sql(
+    key_len: int = 24, window: int = 8, max_rel_dist: float = 0.2
+) -> str:
+    """Twin of ``blocking.sorted_neighborhood_pairs``."""
+    return f"""
+WITH kept AS ({_snm_pass_sql("text", key_len, window, max_rel_dist)})
+SELECT id_a, id_b, dist,
+       CASE WHEN longer = 0 THEN 0.0
+            ELSE ROUND(dist::DOUBLE / longer::DOUBLE, 6) + 0.0
+       END AS rel_dist
+FROM kept
+"""
+
+
+def sorted_neighborhood_multi_key_sql(
+    key_len: int = 24, window: int = 8, max_rel_dist: float = 0.2
+) -> str:
+    """Twin of ``blocking.sorted_neighborhood_multi_key``: pass 1 on
+    the text, pass 2 on the reversed text (Levenshtein and lengths
+    are reverse-invariant, so the union deduplicates exactly)."""
+    p1 = _snm_pass_sql("text", key_len, window, max_rel_dist)
+    p2 = _snm_pass_sql("reverse(text)", key_len, window, max_rel_dist)
+    return f"""
+WITH kept AS (SELECT * FROM ({p1}) UNION ALL SELECT * FROM ({p2}))
+SELECT DISTINCT id_a, id_b, dist,
+       CASE WHEN longer = 0 THEN 0.0
+            ELSE ROUND(dist::DOUBLE / longer::DOUBLE, 6) + 0.0
+       END AS rel_dist
+FROM kept
 """
 
 
