@@ -49,6 +49,7 @@ from ydb_vector_search_simple_api_spark.operators import skew as skew_mod
 from ydb_vector_search_simple_api_spark.operators import sketch_store as sketchstore_mod
 from ydb_vector_search_simple_api_spark.operators import sparse_sim as sparse_sim_mod
 from ydb_vector_search_simple_api_spark.operators import blocking as blocking_mod
+from ydb_vector_search_simple_api_spark.operators import wordpiece as wordpiece_mod
 from ydb_vector_search_simple_api_spark.operators import hist_store as histstore_mod
 from ydb_vector_search_simple_api_spark.operators import index as ivf
 from ydb_vector_search_simple_api_spark.operators import tree as kmt
@@ -221,6 +222,19 @@ def _unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir
         ).localCheckpoint(eager=True)
     return _UNIGRAM_VOCAB_CACHE[sf_dir]
+
+
+_WORDPIECE_VOCAB_CACHE: dict[str, DataFrame] = {}
+
+
+def _wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session cache of the trained WordPiece vocab (the
+    _unigram_vocab contract: the encode entry times the ENCODE)."""
+    if sf_dir not in _WORDPIECE_VOCAB_CACHE:
+        _WORDPIECE_VOCAB_CACHE[sf_dir] = wordpiece_mod.wordpiece_vocab(
+            spark, sf_dir, n_merges=10
+        ).localCheckpoint(eager=True)
+    return _WORDPIECE_VOCAB_CACHE[sf_dir]
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 10) -> list:
@@ -1890,6 +1904,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vocab cached per sf_dir so this entry times the ENCODE
     q["unigram_lm_encode"] = lambda s, d: sp_unigram_mod.unigram_lm_encode_digest(
         s, d, vocab=_unigram_vocab(s, d)
+    )
+    # WordPiece (Schuster & Nakajima 2012 / the BERT tokenizer) —
+    # the THIRD tokenizer-training family: likelihood-gain merge
+    # choice count(pair)/(count(l)*count(r)) instead of BPE's raw
+    # count (the difference is pinned in tests/test_wordpiece.py),
+    # greedy longest-match encode with whole-word [UNK]. Iterative,
+    # so rows-only like its two siblings; pure-Python replay pinned.
+    q["wordpiece_train"] = lambda s, d: wordpiece_mod.wordpiece_train(
+        s, d, n_merges=10
+    )
+    # encode digest with the trained vocab (the bpe_encode contract
+    # + n_unk, the coverage signal a vocab size is tuned against);
+    # vocab cached per sf_dir so this entry times the ENCODE
+    q["wordpiece_encode"] = lambda s, d: wordpiece_mod.wordpiece_encode_digest(
+        s, d, vocab=_wordpiece_vocab(s, d)
     )
     # the ANN width-knob contract as a machine-checked surface:
     # recall@10 of pruned IVF widths vs exact, 8 stored queries

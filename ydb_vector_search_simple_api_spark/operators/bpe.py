@@ -57,11 +57,12 @@ def _word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _merge_pair_expr(syms, left: str, right: str):
+def _merge_pair_expr(syms, left: str, right: str, merged_sym: str | None = None):
     """Codegen fold replacing every non-overlapping (left, right)
-    adjacent pair in a symbol array with the concatenated symbol,
-    leftmost-first — exactly one BPE merge step applied to one word."""
-    merged = F.lit(left + right)
+    adjacent pair in a symbol array with the merged symbol (default:
+    plain concatenation — the BPE rule; WordPiece passes the
+    ##-stripped form), leftmost-first — one merge step on one word."""
+    merged = F.lit(left + right if merged_sym is None else merged_sym)
     init = F.struct(
         F.array().cast("array<string>").alias("out"),
         F.lit(None).cast("string").alias("pend"),
