@@ -50,6 +50,7 @@ from ydb_vector_search_simple_api_spark.operators import sketch_store as sketchs
 from ydb_vector_search_simple_api_spark.operators import sparse_sim as sparse_sim_mod
 from ydb_vector_search_simple_api_spark.operators import blocking as blocking_mod
 from ydb_vector_search_simple_api_spark.operators import wordpiece as wordpiece_mod
+from ydb_vector_search_simple_api_spark.operators import tdigest as tdigest_mod
 from ydb_vector_search_simple_api_spark.operators import hist_store as histstore_mod
 from ydb_vector_search_simple_api_spark.operators import index as ivf
 from ydb_vector_search_simple_api_spark.operators import tree as kmt
@@ -1806,6 +1807,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bound all pinned in tests/test_sketch_store.py. Rows-only:
     # binary sketches are engine-specific.
     q["hll_daily_users"] = sketchstore_mod.daily_user_sketches
+    # sibling: histogram_store_quantiles (in-cap) — the UNKNOWN-range
+    # mergeable quantile rung: persisted t-digest centroid state per
+    # event type (Dunning & Ertl merging digest, k1 scale), folds
+    # need no bin geometry fixed at build time. Deterministic via
+    # hash-mod shards + sorted-concat merges (pure function of the
+    # data, pinned across partitionings); rank error <3% and n
+    # conservation pinned in tests/test_tdigest.py. Rows-only: no
+    # engine replays a t-digest.
+    q["tdigest_quantiles"] = lambda s, d: tdigest_mod.tdigest_quantiles(s, d)
     # count-min sketch: fixed-memory token frequencies at a tight
     # width vs exact counts (upper-bound + depth-tightens properties
     # pinned in tests/test_temporal_stats.py)

@@ -1,0 +1,90 @@
+"""t-digest quantile store: kernel invariants, rank-error bounds vs
+exact quantiles (build AND after folds), and the determinism
+contract (pure function of the data, not the partitioning)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.operators import tdigest as TD
+from ydb_vector_search_simple_api_spark.sources.store import load_events
+
+from conftest import SF_SMALL
+
+
+def test_compress_kernel_invariants():
+    vals = [math.sin(i * 12.9898) * 1000 for i in range(20_000)]
+    m, w = TD.compress(vals, [1.0] * len(vals), delta=100)
+    # weight conserved exactly; centroid count ~delta; means sorted
+    assert sum(w) == len(vals)
+    assert len(m) <= 2 * 100
+    assert m == sorted(m)
+    # deterministic: same multiset, shuffled input order
+    m2, w2 = TD.compress(list(reversed(vals)), [1.0] * len(vals), 100)
+    assert (m, w) == (m2, w2)
+
+
+def test_quantile_rank_error_bound():
+    """Rank error of p50/p90/p99/p999 within 1% on a skewed
+    distribution (the t-digest design point: tails tighter)."""
+    vals = sorted((i / 10_000.0) ** 3 * 500 for i in range(10_000))
+    m, w = TD.compress(list(vals), [1.0] * len(vals), delta=100)
+    n = len(vals)
+    for q in (0.5, 0.9, 0.99, 0.999):
+        est = TD.quantile(m, w, q)
+        # rank of the estimate in the true data
+        rank = sum(1 for v in vals if v <= est) / n
+        assert abs(rank - q) < 0.01, (q, est, rank)
+
+
+def test_store_build_fold_accuracy_and_determinism(spark, tmp_path):
+    ev = load_events(spark, SF_SMALL).select("event_type", "value", "event_id")
+
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "inc")
+    TD.build_tdigest_store(ev, full, "event_type", "value", "event_id")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    TD.build_tdigest_store(first, inc, "event_type", "value", "event_id")
+    TD.tdigest_store_upsert(spark, inc, second)
+
+    served_full = {
+        r.key: r for r in TD.tdigest_store_quantiles(spark, full).collect()
+    }
+    served_inc = {
+        r.key: r for r in TD.tdigest_store_quantiles(spark, inc).collect()
+    }
+    # rank-error check (the t-digest guarantee: the VALUE at a sparse
+    # tail can differ a lot between neighboring ranks, so value error
+    # is the wrong metric): the estimate's rank in the true per-key
+    # data must sit within 3% of the requested quantile
+    values = {}
+    for r in ev.collect():
+        values.setdefault(r.event_type, []).append(float(r.value))
+    assert set(served_full) == set(values)
+    for key, vals in values.items():
+        n = len(vals)
+        for served in (served_full[key], served_inc[key]):
+            assert served.n == n  # weight conserved through folds
+            for p, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+                est = getattr(served, p)
+                rank = sum(1 for v in vals if v <= est) / n
+                assert abs(rank - q) < 0.03, (key, p, est, rank)
+
+    # determinism: rebuild under a different partitioning -> same state
+    full2 = str(tmp_path / "full2")
+    TD.build_tdigest_store(
+        ev.repartition(7), full2, "event_type", "value", "event_id"
+    )
+    a = sorted(tuple(r) for r in TD.tdigest_store_quantiles(spark, full).collect())
+    b = sorted(tuple(r) for r in TD.tdigest_store_quantiles(spark, full2).collect())
+    assert a == b
+
+
+def test_gate_entry_shape_and_repeatability(spark):
+    d1 = sorted(tuple(r) for r in TD.tdigest_quantiles(spark, SF_SMALL).collect())
+    d2 = sorted(tuple(r) for r in TD.tdigest_quantiles(spark, SF_SMALL).collect())
+    assert d1 == d2
+    assert all(r[2] <= r[3] <= r[4] for r in d1)  # p50 <= p90 <= p99
