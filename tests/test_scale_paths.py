@@ -229,3 +229,36 @@ def test_expectations_single_fused_aggregate(spark):
         .toString()
     )
     assert plan.count("Scan parquet") == 1
+
+
+def test_tfidf_cosine_plans_are_keyed_and_broadcast(spark):
+    """Both weighted-cosine twins: no cartesian stage anywhere, the
+    feature-table df/N attachments ride broadcasts, and no
+    row-at-a-time Python (the kernel is pure Column expressions)."""
+    from ydb_vector_search_simple_api_spark.operators import sparse_sim
+    from ydb_vector_search_simple_api_spark.plans.checks import formatted_plan
+
+    docs = load_documents(spark, SF_SMALL)
+    for df in (
+        sparse_sim.tfidf_cosine_pairs(docs, n=3, threshold=0.6),
+        sparse_sim.tfidf_cosine_prefix_pairs(docs, n=3, threshold=0.9),
+    ):
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastExchange" in plan  # dfreq + n_docs attachments
+
+
+def test_sorted_neighborhood_has_no_global_window(spark):
+    """The point of the rank decomposition: NO single-partition
+    exchange in the plan (a naive row_number over the whole corpus
+    would show Exchange SinglePartition), and no cartesian stage —
+    the candidate join is keyed on rank blocks."""
+    from ydb_vector_search_simple_api_spark.operators import blocking
+    from ydb_vector_search_simple_api_spark.plans.checks import formatted_plan
+
+    df = blocking.sorted_neighborhood_pairs(load_documents(spark, SF_SMALL))
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

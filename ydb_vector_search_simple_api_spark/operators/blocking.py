@@ -83,6 +83,24 @@ def snm_ranks(
     )
 
 
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def _char_counts(text_col):
+    """Fixed-alphabet character histogram (codegen: one replace +
+    length per symbol). Lossless counting-filter basis: one edit
+    moves the histogram's L1 by at most 2, so dist >= L1/2 — and
+    restricting to a fixed alphabet only LOWERS the L1, keeping the
+    bound sound for any input."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.array(
+        *[
+            (F.length(c) - F.length(F.replace(c, F.lit(ch)))).cast("int")
+            for ch in _ALPHABET
+        ]
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -96,11 +114,21 @@ def sorted_neighborhood_pairs(
     order, verified by exact Levenshtein at ``max_rel_dist`` of the
     longer text (the ``neardup_edit_distance`` verify contract).
     Output (id_a, id_b, dist, rel_dist), id_a < id_b."""
-    r = snm_ranks(df, id_col, text_col, key_len)
+    # both join sides and the verify stage read the ranked table —
+    # materialize it once (it already paid a driver-synchronous
+    # bucket-count pass inside snm_ranks, so the plan is not lazy
+    # anyway; the checkpoint stops the window+join lineage re-running
+    # per consumer)
+    r = (
+        snm_ranks(df, id_col, text_col, key_len)
+        .withColumn("cc", _char_counts("text"))
+        .localCheckpoint(eager=True)
+    )
     blk_size = max(1, window - 1)
     a = r.select(
         F.col("id").alias("ida"),
         F.col("text").alias("ta"),
+        F.col("cc").alias("ca"),
         F.col("rank").alias("ra"),
         F.floor((F.col("rank") - 1) / blk_size).alias("blk"),
     )
@@ -110,11 +138,12 @@ def sorted_neighborhood_pairs(
         r.select(
             F.col("id").alias("idb"),
             F.col("text").alias("tb"),
+            F.col("cc").alias("cb"),
             F.col("rank").alias("rb"),
             F.floor((F.col("rank") - 1) / blk_size).alias("b_blk"),
         )
         .select(
-            "idb", "tb", "rb",
+            "idb", "tb", "cb", "rb",
             F.explode(
                 F.array(F.col("b_blk"), F.col("b_blk") - 1)
             ).alias("blk"),
@@ -123,14 +152,62 @@ def sorted_neighborhood_pairs(
     cand = a.join(b, "blk").filter(
         (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + (window - 1))
     )
-    scored = cand.select(
-        F.least("ida", "idb").alias("id_a"),
-        F.greatest("ida", "idb").alias("id_b"),
-        F.levenshtein(F.col("ta"), F.col("tb")).cast("bigint").alias("dist"),
-        F.greatest(F.length("ta"), F.length("tb")).alias("longer"),
-    ).filter(
-        F.col("dist").cast("double")
-        <= F.lit(float(max_rel_dist)) * F.col("longer").cast("double")
+    # Unlike LSH candidates (already similarity-screened), SNM window
+    # pairs are mostly NON-duplicates — the exact DP must not run
+    # unbounded on all of them. Three output-identical cuts:
+    # (a) |len_a − len_b| > cut ⇒ dist ≥ |len_a − len_b| > cut — drop
+    #     before any DP;
+    # (b) the counting filter: dist ≥ L1(char histograms)/2 (one edit
+    #     moves the L1 by ≤ 2) — a ~40-op codegen fold per pair that
+    #     kills the typical sorted-but-unrelated neighbor before the
+    #     O(len²) DP ever runs;
+    # (c) the banded early-exit form levenshtein(a, b, B) with the
+    #     GLOBAL bound B = floor(max_rel·max_len): a surviving pair
+    #     needs dist ≤ max_rel·longer ≤ B, and the bounded form is
+    #     exact whenever dist ≤ B, so kept pairs carry the exact
+    #     integer distance and -1 rows are exactly the over-cut ones.
+    max_len = int(
+        df.agg(F.max(F.length(F.col(text_col))).alias("m")).head().m or 0
+    )
+    bound = max(1, int(max_rel_dist * max_len))
+    len_gap_ok = (
+        F.abs(F.length("ta") - F.length("tb")).cast("double")
+        <= F.lit(float(max_rel_dist))
+        * F.greatest(F.length("ta"), F.length("tb")).cast("double")
+    )
+    l1 = F.aggregate(
+        F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    counting_ok = l1.cast("double") <= F.lit(2.0 * float(max_rel_dist)) * F.greatest(
+        F.length("ta"), F.length("tb")
+    ).cast("double")
+    # The DP must run ONCE per candidate: Catalyst has no let-binding
+    # and pushes the dist filter INTO the join condition, where the
+    # levenshtein expression is re-inlined per reference (observed:
+    # 3 evaluations per pair). The eager checkpoint is a physical
+    # barrier between "compute dist" and "filter on dist" — its size
+    # is the candidate count x a few ints, never corpus-scale.
+    scored = (
+        cand.filter(len_gap_ok)
+        .filter(counting_ok)
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            F.levenshtein(F.col("ta"), F.col("tb"), bound)
+            .cast("bigint")
+            .alias("dist"),
+            F.greatest(F.length("ta"), F.length("tb")).alias("longer"),
+        )
+        .localCheckpoint(eager=True)
+        .filter(
+            (F.col("dist") >= 0)
+            & (
+                F.col("dist").cast("double")
+                <= F.lit(float(max_rel_dist)) * F.col("longer").cast("double")
+            )
+        )
     )
     rel = F.when(F.col("longer") == 0, F.lit(0.0)).otherwise(
         F.col("dist").cast("double") / F.col("longer").cast("double")
