@@ -51,44 +51,58 @@ def _merged_sym(left: str, right: str) -> str:
     return left + (right[2:] if right.startswith("##") else right)
 
 
-def wordpiece_train(
-    spark: SparkSession, sf_dir: str, n_merges: int = 10
-) -> DataFrame:
-    """Learn ``n_merges`` WordPiece merges. Output (rank, left, right,
-    piece, score) — score is the likelihood gain
-    count(pair) / (count(left)·count(right)) at merge time, rounded
-    to 9 so the report row is engine-stable; the ARGMAX itself is
-    taken on the raw double with (left, right) tie-break, so the
-    merge table is deterministic under any partitioning."""
+def _train_impl(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> tuple[list[tuple[int, str, str, str, float]], DataFrame]:
+    """The merge loop. Returns (merges, final segmented word table).
+
+    Per-iteration cost is TWO jobs (the bpe_train budget): unigram
+    symbol counts and adjacent-pair counts come from ONE combined
+    explode→groupBy whose exchange Catalyst reuses on both sides of
+    the score join (pairs rows r IS NOT NULL, symbol rows r IS NULL),
+    so the argmax is a single job; applying the winner + the lineage
+    cut (localCheckpoint) is the second."""
     words = _word_table(spark, sf_dir).select("n", _init_syms().alias("syms"))
     words = words.localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, str, float]] = []
     for rank in range(1, n_merges + 1):
-        sym_counts = (
-            words.select("n", F.explode("syms").alias("s"))
-            .groupBy("s")
-            .agg(F.sum("n").alias("c"))
-        )
-        pairs = (
-            words.filter(F.size("syms") >= 2)
-            .select(
+        units = (
+            words.select(
                 "n",
                 F.explode(
                     F.expr(
+                        "concat("
+                        "transform(syms, s -> struct(s AS l, "
+                        "CAST(NULL AS STRING) AS r)), "
+                        "CASE WHEN size(syms) >= 2 THEN "
                         "transform(slice(syms, 1, size(syms) - 1), "
-                        "(s, i) -> struct(s AS l, syms[i + 1] AS r))"
+                        "(s, i) -> struct(s AS l, syms[i + 1] AS r)) "
+                        "ELSE array() END)"
                     )
                 ).alias("p"),
             )
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("n").alias("cnt"))
+            # vocabulary-sized; materialized once because THREE
+            # consumers read it (pair rows + two broadcast symbol
+            # sides) and broadcast exchanges do not reuse each
+            # other's upstream computation
+            .localCheckpoint(eager=True)
         )
-        cl = sym_counts.select(F.col("s").alias("l"), F.col("c").alias("c_l"))
-        cr = sym_counts.select(F.col("s").alias("r"), F.col("c").alias("c_r"))
+        pairs = units.filter(F.col("r").isNotNull())
+        cl = units.filter(F.col("r").isNull()).select(
+            F.col("l").alias("sym"), F.col("cnt").alias("c")
+        )
         scored = (
-            pairs.join(F.broadcast(cl), "l")
-            .join(F.broadcast(cr), "r")
+            pairs.join(
+                F.broadcast(cl.select(F.col("sym").alias("l"), F.col("c").alias("c_l"))),
+                "l",
+            )
+            .join(
+                F.broadcast(cl.select(F.col("sym").alias("r"), F.col("c").alias("c_r"))),
+                "r",
+            )
             .withColumn(
                 "score",
                 F.col("cnt").cast("double")
@@ -110,7 +124,19 @@ def wordpiece_train(
         words = words.select(
             "n", _merge_pair_expr(F.col("syms"), l, r, piece).alias("syms")
         ).localCheckpoint(eager=True)
+    return merges, words
 
+
+def wordpiece_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 10
+) -> DataFrame:
+    """Learn ``n_merges`` WordPiece merges. Output (rank, left, right,
+    piece, score) — score is the likelihood gain
+    count(pair) / (count(left)·count(right)) at merge time, rounded
+    to 9 so the report row is engine-stable; the ARGMAX itself is
+    taken on the raw double with (left, right) tie-break, so the
+    merge table is deterministic under any partitioning."""
+    merges, _ = _train_impl(spark, sf_dir, n_merges)
     return spark.createDataFrame(
         merges, "rank bigint, left string, right string, piece string, score double"
     )
@@ -121,13 +147,9 @@ def wordpiece_vocab(
 ) -> DataFrame:
     """The encoder's vocabulary: every symbol surviving in the final
     word segmentations (alphabet + learned pieces), with its weighted
-    occurrence count. Output (piece, cnt)."""
-    merges = wordpiece_train(spark, sf_dir, n_merges=n_merges).collect()
-    words = _word_table(spark, sf_dir).select("n", _init_syms().alias("syms"))
-    for m in sorted(merges, key=lambda x: x.rank):
-        words = words.select(
-            "n", _merge_pair_expr(F.col("syms"), m.left, m.right, m.piece).alias("syms")
-        )
+    occurrence count — read straight off the trainer's final word
+    table (no re-train, no merge replay). Output (piece, cnt)."""
+    _, words = _train_impl(spark, sf_dir, n_merges)
     return (
         words.select("n", F.explode("syms").alias("piece"))
         .groupBy("piece")
