@@ -1627,6 +1627,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tfidf_cosine_prefix"] = lambda s, d: sparse_sim_mod.tfidf_cosine_prefix_pairs(
         load_documents(s, d), n=3, threshold=0.9
     )
+    # sibling: tfidf_cosine_pairs + knn_join_cosine (in-cap; the
+    # SPARSE lexical kNN join — per-doc top-k weighted-cosine
+    # neighbors, the "related documents" surface)
+    q["tfidf_related_docs"] = lambda s, d: sparse_sim_mod.tfidf_related_docs(
+        load_documents(s, d), n=3, k=3
+    )
     # sibling: neardup_edit_distance (in-cap; same exact-Levenshtein
     # verify contract, THIRD blocking family — deterministic
     # sorted-neighborhood windows, Hernandez & Stolfo 1995; global
@@ -2093,6 +2099,7 @@ def oracle_sql() -> dict[str, str]:
     # the AllPairs prefix index is lossless -> the exact twin's SQL
     # at the pruned entry's threshold
     o["tfidf_cosine_prefix"] = oracles_text.tfidf_cosine_sql(3, 0.9)
+    o["tfidf_related_docs"] = oracles_text.tfidf_related_docs_sql(3, 3)
     o["sorted_neighborhood"] = oracles_text.sorted_neighborhood_sql(24, 8, 0.2)
     o["sorted_neighborhood_2key"] = oracles_text.sorted_neighborhood_multi_key_sql(
         24, 8, 0.2

@@ -118,3 +118,23 @@ def test_prefix_index_is_selective_at_high_threshold(docs):
         .count()
     )
     assert 0 < n_idx < n_all
+
+
+def test_related_docs_near_dup_partner_is_rank_one(spark, docs):
+    """Every planted near-dup partner must appear in its mate's top-k
+    related docs, in BOTH directions (a doc can have several planted
+    partners, so top-1 alone is not guaranteed), and rk is dense
+    1..k per doc."""
+    pairs = sparse_sim.tfidf_cosine_pairs(docs, n=3, threshold=0.9).collect()
+    rel = sparse_sim.tfidf_related_docs(docs, n=3, k=3)
+    topk: dict[int, set[int]] = {}
+    for r in rel.collect():
+        topk.setdefault(r.doc_id, set()).add(r.neighbor_id)
+    for p in pairs:
+        assert p.id_b in topk[p.id_a]
+        assert p.id_a in topk[p.id_b]
+    per_doc = rel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("c"), F.max("rk").alias("mx")
+    )
+    bad = per_doc.filter(F.col("c") != F.col("mx")).count()
+    assert bad == 0  # dense ranks, no gaps

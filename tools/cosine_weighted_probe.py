@@ -15,13 +15,21 @@ every hot-key pair.
 
 Regimes (same salting as the Jaccard probe):
 - default: per-replica salt — base corpus df distribution preserved.
-- --header: corpus-wide boilerplate sentence prefixed to every doc
-  (hot keys; the exact join's quadratic blow-up case).
+- --header: corpus-wide boilerplate sentence prefixed to every doc.
+  NOTE: for the WEIGHTED join this regime is degenerate — df == N
+  features carry idf 0 and BOTH twins drop them, so use
+  --header-frac instead.
+- --header-frac F: the boilerplate lands on fraction F of the docs
+  (df = F·N < N): the header shingles stay in the feature set as
+  HOT, LOW-WEIGHT keys — the exact inverted join pays ~(F·N)²/2 rows
+  per header shingle while the prefix index never admits them at
+  near-dup thresholds (low unit weight ⇒ deep in the suffix). The
+  weighted join's genuine blow-up case.
 - --rare-tail: per-doc-group salt under the header — the bimodal df
   distribution of real web text.
 
 Usage: python tools/cosine_weighted_probe.py [--header] [--rare-tail]
-       [--exact-max N] [--threshold T] [n_docs ...]
+       [--header-frac F] [--exact-max N] [--threshold T] [n_docs ...]
 """
 
 from __future__ import annotations
@@ -52,6 +60,11 @@ def main():
     if "--threshold" in args:
         i = args.index("--threshold")
         threshold = float(args[i + 1])
+        del args[i : i + 2]
+    header_frac = None
+    if "--header-frac" in args:
+        i = args.index("--header-frac")
+        header_frac = float(args[i + 1])
         del args[i : i + 2]
     sizes = [int(a) for a in args] or [50_000, 200_000]
 
@@ -95,9 +108,15 @@ def main():
             ),
             " ",
         )
-        text = (
-            F.concat_ws(" ", F.lit(HEADER), body) if header_mode else body
-        )
+        if header_frac is not None:
+            text = F.when(
+                new_id % 100 < int(header_frac * 100),
+                F.concat_ws(" ", F.lit(HEADER), body),
+            ).otherwise(body)
+        elif header_mode:
+            text = F.concat_ws(" ", F.lit(HEADER), body)
+        else:
+            text = body
         (
             base.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))
             .select(
@@ -112,7 +131,9 @@ def main():
         corpus = spark.read.parquet(f"{tmp}/documents.parquet")
         n_actual = corpus.count()
 
-        def timed(fn, runs: int = 2) -> tuple[float, int]:
+        def timed(fn, runs: int = 1) -> tuple[float, int]:
+            # one warm pass (scan cache) + `runs` timed; the big
+            # regimes are minutes per pass, so default to best-of-1
             out = fn()
             best = float("inf")
             for _ in range(runs):

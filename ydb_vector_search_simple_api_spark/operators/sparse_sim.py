@@ -152,11 +152,59 @@ def tfidf_cosine_pairs(
     """Exact TF-IDF cosine pairs at or above ``threshold`` — the
     inverted-index baseline and oracle carrier. Output
     (id_a, id_b, cosine), id_a < id_b."""
-    w = tfidf_features(df, id_col, text_col, n)
+    # THREE consumers read the feature table (both join sides + the
+    # norms aggregate) and Catalyst re-runs the whole shingle pipeline
+    # per reference — materialize it once (probe: the 50k-doc exact
+    # join spent most of its 546 s re-tokenizing; the checkpoint is
+    # feature-table-sized, linear in the corpus)
+    w = tfidf_features(df, id_col, text_col, n).localCheckpoint(eager=True)
     a = w.select(F.col("id").alias("id_a"), "feat", F.col("w").alias("wa"))
     b = w.select(F.col("id").alias("id_b"), "feat", F.col("w").alias("wb"))
     edges = a.join(b, ["feat"]).filter(F.col("id_a") < F.col("id_b"))
     return _score_pairs(edges, w, threshold)
+
+
+def tfidf_related_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k most similar documents by TF-IDF cosine —
+    the "related documents" surface on the same feature machinery
+    (lexical kNN join, the sparse twin of ``knn_join_cosine``).
+
+    Both orientations of every scored pair feed the per-doc window
+    (similarity is symmetric, the ranking is per SOURCE doc), rank
+    ties break on neighbor id ascending after the ROUND(6) score —
+    deterministic in any engine. Docs whose every feature is idf-0
+    produce no rows (nothing to score against — the exact-pairs
+    contract). Output (doc_id, neighbor_id, cosine, rk)."""
+    w = tfidf_features(df, id_col, text_col, n).localCheckpoint(eager=True)
+    a = w.select(F.col("id").alias("id_a"), "feat", F.col("w").alias("wa"))
+    b = w.select(F.col("id").alias("id_b"), "feat", F.col("w").alias("wb"))
+    edges = a.join(b, ["feat"]).filter(F.col("id_a") < F.col("id_b"))
+    scored = _score_pairs(edges, w, threshold=float("-inf"))
+    both = scored.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("neighbor_id"),
+        "cosine",
+    ).unionByName(
+        scored.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        both.withColumn("rk", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "neighbor_id", "cosine", "rk")
+    )
 
 
 def tfidf_cosine_prefix_pairs(
@@ -182,7 +230,9 @@ def tfidf_cosine_prefix_pairs(
     1e-6 covers the final ROUND(6) admission (a pair at true cosine
     t - 5e-7 still rounds in); the 1e-9 is the usual float slack —
     both only ever ADMIT extra candidates, never drop a true pair."""
-    w = tfidf_features(df, id_col, text_col, n)
+    # six consumers (index window, norms, both candidate sides, both
+    # verify sides) — same materialization argument as the exact twin
+    w = tfidf_features(df, id_col, text_col, n).localCheckpoint(eager=True)
     norms = _norms(w)
     u = w.join(norms, "id").withColumn("usq", F.pow(F.col("w") / F.col("nrm"), 2))
     order = Window.partitionBy("id").orderBy(

@@ -1506,6 +1506,55 @@ FROM kept ORDER BY id_a, id_b
 """
 
 
+def tfidf_related_docs_sql(n: int = 3, k: int = 3) -> str:
+    """Twin of ``sparse_sim.tfidf_related_docs``: same weighted dots
+    as tfidf_cosine_sql (no threshold), both pair orientations, per-
+    source row_number over (cosine DESC, neighbor ASC) after ROUND(6)."""
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_shingles(n)}) AS feat FROM toks),
+tf AS (SELECT doc_id, feat, count(*)::BIGINT AS tf FROM sh GROUP BY doc_id, feat),
+dfreq AS (SELECT feat, count(*)::BIGINT AS dfreq FROM tf GROUP BY feat),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+w AS (
+  SELECT doc_id, feat,
+         ROUND(tf::DOUBLE * ln(n_docs / dfreq::DOUBLE), 6) + 0.0 AS w
+  FROM tf JOIN dfreq USING (feat) CROSS JOIN n
+  WHERE dfreq < n_docs
+),
+norms AS (
+  SELECT doc_id,
+         sqrt(CAST(sum(CAST(ROUND(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+  FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(CAST(ROUND(a.w * b.w, 9) AS DECIMAL(28,9))) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON a.feat = b.feat AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 6) + 0.0 AS cosine
+  FROM dots
+  JOIN norms na ON na.doc_id = id_a
+  JOIN norms nb ON nb.doc_id = id_b
+),
+oriented AS (
+  SELECT id_a AS doc_id, id_b AS neighbor_id, cosine FROM scored
+  UNION ALL
+  SELECT id_b AS doc_id, id_a AS neighbor_id, cosine FROM scored
+),
+ranked AS (
+  SELECT doc_id, neighbor_id, cosine,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY cosine DESC, neighbor_id ASC
+         )::BIGINT AS rk
+  FROM oriented
+)
+SELECT doc_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {k}
+"""
+
+
 def _snm_pass_sql(
     text_expr: str, key_len: int, window: int, max_rel_dist: float
 ) -> str:
