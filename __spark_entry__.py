@@ -1095,10 +1095,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (driver-green r1-r5; the cosine-pair family stays in-cap via
     # semantic_dedup_blocked)
     q["semantic_decontaminate"] = curation.semantic_decontaminate
-    # md5-hashed MinHash+LSH: bit-portable hashing makes the banding
-    # itself (not just the verified output) oracle-checkable
-    q["dedup_minhash_md5"] = lambda s, d: dedup.minhash_lsh_pairs(
-        load_documents(s, d), n=3, threshold=0.8, hasher="md5"
+    # late round-7 rotation: WEIGHTED TF-IDF cosine near-dup pairs
+    # (idf crushes boilerplate shingles — the score set Jaccard can't
+    # express) in place of dedup_minhash_md5 (driver-green r1-r6; the
+    # md5 banding family stays in-cap via neardup_edit_distance,
+    # which runs on the same banding)
+    q["tfidf_cosine_pairs"] = lambda s, d: sparse_sim_mod.tfidf_cosine_pairs(
+        load_documents(s, d), n=3, threshold=0.6
     )
     # DSIR flagship (round 5, promoted in-cap): hashed-n-gram
     # importance weights vs the English target slice + Gumbel top-k
@@ -1119,11 +1122,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # + decontamination + splits), oracle-checked as ONE query — the
     # flagship composition, promoted in-cap in round 3
     q["curate_corpus"] = curation.curate_corpus
-    # the curated SINK: (split, source)-partitioned parquet write with
-    # the manifest read BACK from the written files — rotated in-cap
-    # round 4 in place of curated_pack (driver-green in round 3; its
-    # packing family stays covered via curate_corpus + pack_chunks)
-    q["export_curated"] = lambda s, d: curation.export_curated(s, d)
+    # late round-7 rotation: the LOSSLESS AllPairs prefix-indexed
+    # weighted-cosine twin at the near-dup threshold (shares the exact
+    # form's oracle) in place of export_curated (driver-green r4-r6;
+    # the sink family stays covered via curate_corpus in-cap and
+    # export_curated in overflow)
+    q["tfidf_cosine_prefix"] = lambda s, d: sparse_sim_mod.tfidf_cosine_prefix_pairs(
+        load_documents(s, d), n=3, threshold=0.9
+    )
     # Gopher-style repetition quality signals
     q["repetition_signals"] = curation.repetition_signals
     # round-6 rotation: OPQ learned-rotation PQ (Ge et al. 2013) at
@@ -1141,11 +1147,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash of the near-dup COMPONENT, so near-duplicates can never
     # straddle the train/test fence)
     q["leakage_safe_splits"] = curation.leakage_safe_splits
-    # structural audit of the near-dup graph (wedge-close triangles +
-    # clustering coefficient) — rotated in-cap round 4 in place of
-    # parts_ordered_by_brand (join+agg family stays covered by
-    # revenue_by_nation / orders_rollup)
-    q["graph_stats"] = lambda s, d: graph_mod.graph_stats(s, d)
+    # late round-7 rotation: sorted-neighborhood blocking (the third
+    # blocking family; parallel rank decomposition, lossless verify
+    # screens) in place of graph_stats (driver-green r4-r6; the graph
+    # family stays in-cap via dedup_components + semantic_dedup_blocked)
+    q["sorted_neighborhood"] = lambda s, d: blocking_mod.sorted_neighborhood_pairs(
+        load_documents(s, d)
+    )
     # round-6 rotation: Deequ-style data-quality expectations (one
     # fused aggregation pass; bounds declared once, imported by
     # operator AND oracle) in place of source_token_budget
@@ -1266,8 +1274,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # place of events_in_surges (driver-green r2-r4; range-join family
     # covered in overflow)
     q["decontaminate_bloom"] = curation.decontaminate_bloom_documents
-    # ---- temporal: gap-fill + LOCF
-    q["hourly_locf"] = temporal.hourly_locf
+    # late round-7 rotation: per-doc top-k weighted-cosine neighbors
+    # (the sparse lexical kNN join) in place of hourly_locf
+    # (driver-green r1-r6; the gap-fill family rides overflow, the
+    # temporal family keeps psi_drift + ab_test_report in-cap)
+    q["tfidf_related_docs"] = lambda s, d: sparse_sim_mod.tfidf_related_docs(
+        load_documents(s, d), n=3, k=3
+    )
     # ---- distribution stats + set-op cohorts
     # round-7 rotation: the MAINTAINED quantile form (persisted
     # fixed-width bucket counts, integer-additive folds; quantiles
@@ -1612,39 +1625,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         load_documents(s, d), n=3, threshold=0.8
     )
-    # sibling: dedup_ngram_jaccard (WEIGHTED near-dup scoring: same
-    # word-3-gram features, tf*idf weights + cosine — boilerplate
-    # shingles stop dominating; the AllPairs family, Bayardo et al.
-    # WWW 2007)
-    q["tfidf_cosine_pairs"] = lambda s, d: sparse_sim_mod.tfidf_cosine_pairs(
-        load_documents(s, d), n=3, threshold=0.6
-    )
-    # sibling: tfidf_cosine_pairs (the LOSSLESS prefix-indexed scale
-    # path at the near-dup threshold: unit-suffix-norm index cut,
-    # index-vs-full candidate join, exact verify on candidates only —
-    # identical output, shares the exact oracle; the dedup_ngram_prefix
-    # pattern for the weighted score)
-    q["tfidf_cosine_prefix"] = lambda s, d: sparse_sim_mod.tfidf_cosine_prefix_pairs(
-        load_documents(s, d), n=3, threshold=0.9
-    )
-    # sibling: tfidf_cosine_pairs + knn_join_cosine (in-cap; the
-    # SPARSE lexical kNN join — per-doc top-k weighted-cosine
-    # neighbors, the "related documents" surface)
-    q["tfidf_related_docs"] = lambda s, d: sparse_sim_mod.tfidf_related_docs(
-        load_documents(s, d), n=3, k=3
-    )
-    # sibling: neardup_edit_distance (in-cap; same exact-Levenshtein
-    # verify contract, THIRD blocking family — deterministic
-    # sorted-neighborhood windows, Hernandez & Stolfo 1995; global
-    # rank decomposed into parallel per-bucket windows + offsets)
-    q["sorted_neighborhood"] = lambda s, d: blocking_mod.sorted_neighborhood_pairs(
-        load_documents(s, d)
-    )
-    # sibling: sorted_neighborhood (the standard recall fix: second
-    # pass on the reversed-text key, distinct-union of passes)
+    # sibling: sorted_neighborhood (in-cap; the standard recall fix:
+    # second pass on the reversed-text key, distinct-union of passes)
     q["sorted_neighborhood_2key"] = lambda s, d: blocking_mod.sorted_neighborhood_multi_key(
         load_documents(s, d)
     )
+    # rotated out of cap late round 7 (driver-green r1-r6 records;
+    # families keep in-cap siblings, see the rotation comments):
+    q["dedup_minhash_md5"] = lambda s, d: dedup.minhash_lsh_pairs(
+        load_documents(s, d), n=3, threshold=0.8, hasher="md5"
+    )
+    q["export_curated"] = lambda s, d: curation.export_curated(s, d)
+    q["graph_stats"] = lambda s, d: graph_mod.graph_stats(s, d)
+    q["hourly_locf"] = temporal.hourly_locf
     # sibling: user_running_totals (two-phase salted groupBy == direct
     # groupBy — the skewed-aggregation rewrite, gate-proven safe)
     q["salted_user_rollup"] = lambda s, d: skew_mod.salted_user_rollup(s, d)

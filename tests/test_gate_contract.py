@@ -49,18 +49,23 @@ import __spark_entry__ as E
 # psi_drift<-revenue_by_nation,
 # expectations_events<-top_customers_per_nation,
 # histogram_store_quantiles<-histogram_quantiles.
+# Late round-7 rotation (4 swaps; promoted entries are the round-7
+# operator families, oracle-backed): tfidf_cosine_pairs<-
+# dedup_minhash_md5 (md5 banding stays in-cap via
+# neardup_edit_distance), tfidf_cosine_prefix<-export_curated,
+# sorted_neighborhood<-graph_stats, tfidf_related_docs<-hourly_locf.
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
     "script_profile", "quality_filter", "bm25_topk_indexed",
     "incremental_dedup", "split_leakage_audit", "heavy_hitters_topk",
     "kneser_ney_logprob", "dedup_ngram_prefix", "snapshot_diff",
-    "semantic_decontaminate", "dedup_minhash_md5", "dsir_select",
+    "semantic_decontaminate", "tfidf_cosine_pairs", "dsir_select",
     "neardup_edit_distance",
-    "curate_corpus", "export_curated", "repetition_signals",
+    "curate_corpus", "tfidf_cosine_prefix", "repetition_signals",
     "opq_rerank_full", "stream_interval_join", "dedup_components",
     "leakage_safe_splits",
-    "graph_stats", "expectations_report", "curation_reasons",
+    "sorted_neighborhood", "expectations_report", "curation_reasons",
     "multimodal_meta", "stream_decontaminate", "snapshot_diff_summary",
     "lang_id_confusion", "user_running_totals", "range_search_ivf",
     "psi_drift", "expectations_events",
@@ -68,7 +73,7 @@ EXPECTED_IN_CAP = [
     "duplicate_spans", "ivfopq_rerank_full", "prefixdim_rerank_full",
     "sql_topk_cosine", "semantic_dedup_blocked",
     "topk_cosine_filtered_gann",
-    "decontaminate_bloom", "hourly_locf", "histogram_store_quantiles",
+    "decontaminate_bloom", "tfidf_related_docs", "histogram_store_quantiles",
     "ab_test_report", "source_divergence",
 ]
 
