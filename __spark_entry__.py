@@ -1605,6 +1605,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_drift_monitor"] = lambda s, d: streaming_sketch.stream_drift_monitor(
         s, d, n_shards=3
     )
+    # sibling: tdigest_quantiles (the MAINTAINED-on-arrival form:
+    # first shard builds the store, later shards fold via
+    # tdigest_store_upsert — the ivf_upsert ingest pattern; weight
+    # conservation + rank accuracy after the drain pinned in
+    # tests/test_tdigest.py; rows-only like its batch twin)
+    q["stream_tdigest_ingest"] = lambda s, d: streaming_sketch.stream_tdigest_ingest(
+        s, d, n_shards=3
+    )
     # sibling: user_running_totals (the second applyInPandasWithState
     # operator — session NUMBERING whose (last_ts, n_sessions) state
     # genuinely spans micro-batches via one-shard-per-trigger arrival;

@@ -88,3 +88,28 @@ def test_gate_entry_shape_and_repeatability(spark):
     d2 = sorted(tuple(r) for r in TD.tdigest_quantiles(spark, SF_SMALL).collect())
     assert d1 == d2
     assert all(r[2] <= r[3] <= r[4] for r in d1)  # p50 <= p90 <= p99
+
+
+def test_stream_ingest_conserves_weight_and_rank_accuracy(spark):
+    """Drain the events table through the streaming ingest twin:
+    per-key weight equals the batch count exactly, and the drained
+    quantiles hit the same <3% rank-error bound as the batch store
+    (bit-equality is NOT the contract — t-digest folds are lossy by
+    design)."""
+    from ydb_vector_search_simple_api_spark.streaming.sketch_ingest import (
+        stream_tdigest_ingest,
+    )
+
+    ev = load_events(spark, SF_SMALL).select("event_type", "value")
+    served = {r.key: r for r in stream_tdigest_ingest(spark, SF_SMALL).collect()}
+    values = {}
+    for r in ev.collect():
+        values.setdefault(r.event_type, []).append(float(r.value))
+    assert set(served) == set(values)
+    for key, vals in values.items():
+        n = len(vals)
+        assert served[key].n == n
+        for p, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            est = getattr(served[key], p)
+            rank = sum(1 for v in vals if v <= est) / n
+            assert abs(rank - q) < 0.03, (key, p, est, rank)

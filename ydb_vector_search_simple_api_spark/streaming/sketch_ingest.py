@@ -276,3 +276,62 @@ def stream_drift_monitor(
     )
     query.awaitTermination()
     return spark.read.parquet(os.path.join(out_dir, "batch=*")).orderBy("batch_id")
+
+
+def stream_tdigest_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = 4,
+    delta: int = 100,
+) -> DataFrame:
+    """Maintain the t-digest quantile store ON ARRIVAL: the events
+    table drains in ``n_shards`` checkpointed batches, the first
+    builds the store, every later one folds in via
+    ``tdigest_store_upsert`` (the ivf_upsert ingest pattern — the
+    store is the same one the batch path builds, exercised under
+    streaming freshness). Serving reads only the drained centroid
+    state.
+
+    What is pinned (tests/test_tdigest.py): weight conservation
+    through the drain (total n equals the batch count per key) and
+    rank accuracy of the drained quantiles vs the exact per-key
+    values. Bit-equality with the batch-built store is NOT the
+    contract — t-digest folds are lossy by design (module docstring
+    of operators/tdigest.py); exactly-once per shard comes from the
+    checkpoint, as in every other ingest twin."""
+    from ..operators import tdigest as TD
+    from ..sources.store import load_events
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"svs_tdstream_{run}")
+    landing = os.path.join(base, "landing")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    write_shard_landing(ev, landing, n_shards, order_col="event_id")
+    schema = ev.schema
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select("event_type", "value", "event_id")
+        if not os.path.exists(os.path.join(store, TD.META)):
+            TD.build_tdigest_store(
+                b, store, "event_type", "value", "event_id", delta=delta
+            )
+        else:
+            TD.tdigest_store_upsert(batch_df.sparkSession, store, b)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "shard=*"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return TD.tdigest_store_quantiles(spark, store)
