@@ -1780,6 +1780,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
         load_documents(s, d), n=3, threshold=0.8
     )
+    # sibling: dedup_minhash_lsh (ONE-permutation signature, Li/Owen/
+    # Zhang 2012 + Shrivastava/Li densification: one string hash per
+    # shingle instead of num_hashes — the signature-stage scale path;
+    # same banding, same exact verify; recall/densification pinned in
+    # tests/test_dedup.py; xxhash64 => rows-only like its k-hash twin)
+    q["dedup_minhash_oph"] = lambda s, d: dedup.oph_lsh_pairs(
+        load_documents(s, d), n=3, threshold=0.8
+    )
     q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
         load_documents(s, d), max_hamming=3
     )

@@ -509,3 +509,37 @@ def test_prefix_filter_lossless_at_roundup_threshold(spark, docs):
         ).collect()
     }
     assert got == exact
+
+
+def test_oph_lsh_matches_exact_on_planted_pairs(docs, exact_pairs):
+    """One-permutation signature, same banding + exact verify: on the
+    planted near-dups (J ~ 0.98) recall is 1.0 like the k-hash form,
+    precision 1.0 by construction, scores identical to the exact
+    join's."""
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.oph_lsh_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert set(got) == set(exact_pairs)
+    for pair, j in got.items():
+        assert j == pytest.approx(exact_pairs[pair])
+
+
+def test_oph_signature_densification(spark):
+    """Signatures are fully densified (no nulls) even when a doc has
+    fewer shingles than bins; identical docs get identical signatures;
+    a one-shingle doc fills every bin via rotation."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y z")],
+        ["doc_id", "text"],
+    )
+    sh = dedup.shingled_table(df, n=3)
+    sig = {r.id: r.sig for r in dedup.oph_signatures(sh, 16).collect()}
+    assert all(v is not None for s in sig.values() for v in s)
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+
+
+def test_oph_divisibility_guard(docs):
+    with pytest.raises(ValueError):
+        dedup.oph_lsh_pairs(docs, num_bins=16, bands=7)

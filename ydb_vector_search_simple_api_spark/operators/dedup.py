@@ -509,6 +509,157 @@ def minhash_lsh_pairs(
     )
 
 
+def _oph_bins_expr(hs, num_bins: int):
+    """Per-bin minima (nulls for empty bins) from a MATERIALIZED
+    hash-array attribute: k cheap integer passes, no re-hashing."""
+    k = num_bins
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.array_min(F.filter(hs, lambda h: F.pmod(h, F.lit(k)) == j)),
+    )
+
+
+def _oph_densify_expr(doubled, num_bins: int, dens_c: int):
+    """Rotation densification over a MATERIALIZED doubled-bins
+    attribute (concat(bins, bins) is its own projection stage — in
+    here it would be re-built per element_at reference, k² array
+    copies per row): empty bin j borrows from the first non-empty
+    bin at cyclic distance t, offset t·C — aggregate's coalesce
+    keeps the FIRST hit, so the scan is deterministic."""
+    k = num_bins
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(None).cast("bigint"),
+            lambda acc, t: F.coalesce(
+                acc,
+                F.element_at(doubled, (j + t + F.lit(1)).cast("int"))
+                + t.cast("bigint") * F.lit(dens_c),
+            ),
+        ),
+    )
+
+
+def oph_signatures(
+    shingled: DataFrame, num_bins: int = 16, dens_c: int = 1_000_003
+) -> DataFrame:
+    """One-permutation-hashing MinHash signatures (Li, Owen & Zhang
+    NIPS 2012; densification per Shrivastava & Li ICML 2014 — public
+    algorithms): ONE xxhash64 per shingle, binned by pmod(h, k), min
+    per bin, then empty bins borrow cyclically from the next
+    non-empty bin to the right at offset t·C per borrow distance t
+    (so borrowed values stay distinct across bins and the collision
+    probability stays ~Jaccard). Docs with no shingles are dropped
+    (an all-null signature would band every short doc together).
+
+    Why it exists: classic k-hash MinHash pays k string hashes PER
+    SHINGLE — the dominant map-side cost of the signature stage at
+    corpus scale. OPH pays ONE string hash per shingle plus k integer
+    folds. Built as THREE projections behind repartition barriers
+    (the winnowing precedent): Catalyst has no let-binding, so in one
+    projection the densification's ~2k² references to the bins array
+    would re-inline the whole hash fold per reference — measured 21x
+    SLOWER than k-hash before the barriers. Each stage reads the
+    previous one as an attribute, so the hash runs once per shingle.
+    Output (id, sig array<bigint>)."""
+    target = shingled.sparkSession.sparkContext.defaultParallelism
+    hs_t = (
+        shingled.filter(F.size("sh") > 0)
+        .select(
+            "id",
+            F.transform(
+                F.col("sh"), lambda s: F.xxhash64(F.concat(F.lit("oph:"), s))
+            ).alias("hs"),
+        )
+        .repartition(target, "id")
+    )
+    bins_t = hs_t.select(
+        "id",
+        F.concat(
+            _oph_bins_expr(F.col("hs"), num_bins),
+            _oph_bins_expr(F.col("hs"), num_bins),
+        ).alias("dbl"),
+    ).repartition(target, "id")
+    return bins_t.select(
+        "id", _oph_densify_expr(F.col("dbl"), num_bins, dens_c).alias("sig")
+    )
+
+
+def oph_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_bins: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with the ONE-PERMUTATION signature:
+    same banding shape and the same exact-Jaccard verification as
+    :func:`minhash_lsh_pairs` (precision 1.0 by construction; the
+    signature affects recall only), at one string hash per shingle
+    instead of ``num_hashes``. Docs with no shingles are dropped
+    up front — they cannot reach any threshold > 0, and an all-null
+    signature would band every short doc together. Output
+    (id_a, id_b, jaccard)."""
+    if num_bins % bands:
+        raise ValueError("num_bins must be divisible by bands")
+    rows = num_bins // bands
+    shingled = shingled_table(df, id_col, text_col, n)
+    sig = oph_signatures(shingled, num_bins)
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows + r + 1).cast(
+                                        "string"
+                                    )
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    if round_digits is not None:
+        jac = F.round(jac, round_digits) + F.lit(0.0)
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ------------------------------------------------------------ SimHash
 
 
