@@ -304,3 +304,67 @@ def test_bpe_encode_invariants(word, n_ranks, seed):
     assert "".join(toks) == word
     assert 1 <= len(toks) <= len(word)
     assert encode_word(word, ranks) == toks
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=3000,
+    ),
+    st.integers(min_value=10, max_value=200),
+)
+@settings(max_examples=30, deadline=None)
+def test_tdigest_compress_invariants(vals, delta):
+    """Weight conservation (exact), sorted means, size bound, and
+    input-order invariance of the merging compression."""
+    from ydb_vector_search_simple_api_spark.operators import tdigest as TD
+
+    m, w = TD.compress(list(vals), [1.0] * len(vals), delta)
+    assert sum(w) == len(vals)
+    assert m == sorted(m)
+    assert min(vals) <= m[0] and m[-1] <= max(vals)
+    m2, w2 = TD.compress(list(reversed(vals)), [1.0] * len(vals), delta)
+    assert (m, w) == (m2, w2)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=2,
+        max_size=2000,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_tdigest_quantile_monotone_and_bounded(vals):
+    """quantile(q) is nondecreasing in q and clamped to the data
+    range — for ANY input multiset."""
+    from ydb_vector_search_simple_api_spark.operators import tdigest as TD
+
+    m, w = TD.compress(list(vals), [1.0] * len(vals), 100)
+    qs = [0.0, 0.01, 0.1, 0.5, 0.9, 0.99, 1.0]
+    ests = [TD.quantile(m, w, q) for q in qs]
+    assert ests == sorted(ests)
+    assert min(vals) <= ests[0] and ests[-1] <= max(vals)
+
+
+@given(st.text(alphabet="ab ", min_size=0, max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_wordpiece_encode_word_covers_or_unks(word):
+    """Greedy longest-match either concatenates back to the word
+    (## stripped) or yields exactly [UNK] — never a partial cover."""
+    from ydb_vector_search_simple_api_spark.operators import wordpiece as W
+
+    vocab = {"a", "b", "##a", "##b", "ab", "##ab", "aa"}
+    for w in word.split():
+        enc = W.encode_word(w, vocab)
+        if enc == [W.UNK]:
+            continue
+        rebuilt = enc[0] + "".join(p[2:] for p in enc[1:])
+        assert rebuilt == w
+        assert all(p.startswith("##") for p in enc[1:])
+        assert not enc[0].startswith("##")
