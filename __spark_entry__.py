@@ -1143,6 +1143,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # near-dup pair graph -> canonical components (hash-min rounds)
     q["dedup_components"] = curation.dedup_components
+    # sibling: dedup_components (in-cap) — the SAME near-dup graph
+    # resolved by large-star/small-star alternation (Kiveris et al.
+    # SoCC 2014): O(log² n) rounds regardless of DIAMETER, the path
+    # the hash-min resolver cannot take on chain-shaped graphs
+    # (pinned: a 300-edge path converges within 12 rounds). Identical
+    # output => shares the dedup_components oracle verbatim.
+    q["dedup_components_twostar"] = lambda s, d: graph_mod.connected_components_twostar(
+        dedup.ngram_jaccard_pairs(load_documents(s, d), n=3, threshold=0.8)
+    )
     # sibling: dedup_components + document_splits (leakage-safe split:
     # hash of the near-dup COMPONENT, so near-duplicates can never
     # straddle the train/test fence)
@@ -2133,6 +2142,10 @@ def oracle_sql() -> dict[str, str]:
     o["knn_classify"] = oracles_curation.knn_classify_sql(10, 8)
     o["hard_negatives"] = oracles_curation.hard_negatives_sql(5, 8)
     o["dedup_components"] = oracles_curation.dedup_components_sql(
+        oracles_text.ngram_jaccard_sql(3, 0.8)
+    )
+    # two-star resolution is output-identical -> the same oracle
+    o["dedup_components_twostar"] = oracles_curation.dedup_components_sql(
         oracles_text.ngram_jaccard_sql(3, 0.8)
     )
     o["leakage_safe_splits"] = oracles_curation.leakage_safe_splits_sql(

@@ -124,3 +124,62 @@ def test_pagerank_driver_path_matches_distributed(spark):
         for r in pagerank(spark, pairs, small_graph_max=0).collect()
     }
     assert fast == dist
+
+
+def test_twostar_components_equal_hashmin_on_neardup_graph(spark):
+    """Identical (doc_id, component_id) output to the union-find/
+    hash-min resolver on the real near-dup pair graph."""
+    from ydb_vector_search_simple_api_spark.operators import dedup
+    from ydb_vector_search_simple_api_spark.operators.curation import (
+        connected_components,
+    )
+    from ydb_vector_search_simple_api_spark.operators.graph import (
+        connected_components_twostar,
+    )
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    pairs = dedup.ngram_jaccard_pairs(
+        load_documents(spark, SF_SMALL), n=3, threshold=0.8
+    ).localCheckpoint(eager=True)
+    a = sorted(tuple(r) for r in connected_components(pairs).collect())
+    b = sorted(tuple(r) for r in connected_components_twostar(pairs).collect())
+    assert a == b and len(a) > 0
+
+
+def test_twostar_converges_on_long_path_in_logsquared_rounds(spark):
+    """The case two-star exists for: a 300-edge PATH graph has
+    diameter 300 — hash-min label propagation needs 300 rounds (it
+    would blow its max_iter), the two-star alternation finishes
+    within 12 and still labels every vertex with the path minimum."""
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    from ydb_vector_search_simple_api_spark.operators.graph import (
+        connected_components_twostar,
+    )
+
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components_twostar(pairs, max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_twostar_multiple_components_and_empty(spark):
+    from ydb_vector_search_simple_api_spark.operators.graph import (
+        connected_components_twostar,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (40, 40)], ["id_a", "id_b"]
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components_twostar(pairs).collect()
+    }
+    # self-loop (40,40) is dropped; isolated vertices carry no label
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components_twostar(empty).count() == 0

@@ -281,3 +281,97 @@ def graph_stats(
             ).alias("clustering"),
         )
     )
+
+
+def connected_components_twostar(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC 2014 — public algorithm). Output (doc_id, component_id) with
+    component_id = min id of the component — identical to
+    ``curation.connected_components`` (shared oracle; equality
+    pytest-pinned, including on graphs where hash-min cannot finish).
+
+    Why it exists next to hash-min: hash-min needs DIAMETER rounds —
+    fine for near-dup graphs (cliques/stars, diameter ~2), hopeless
+    for chain-shaped graphs (reply threads, citation paths, linked
+    page sequences) where the diameter is the data size. The two-star
+    alternation contracts the graph toward stars and converges in
+    O(log² n) rounds REGARDLESS of diameter: each round is two keyed
+    aggregations + a join, every round's edge set is checkpointed
+    (the PageRank lineage hygiene), and the only driver values are
+    the per-round change counter and edge count.
+
+    large-star: every neighbor v > u links to m(u) = min(N(u) ∪ u).
+    small-star: every neighbor v <= u (plus u) links to
+    m⁻(u) = min(N≤(u) ∪ u). Both steps preserve connectivity and
+    never raise any node's reachable min; the fixpoint is a forest
+    of depth-1 stars rooted at component minima.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    for _ in range(max_iter):
+        # large-star over the symmetric neighborhood
+        nbr = _sym(edges)
+        m = nbr.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            nbr.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the to-smaller orientation (self included)
+        small_nbr = large.union(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).filter(F.col("v") <= F.col("u"))
+        m2 = small_nbr.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            small_nbr.join(m2, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: the edge SET is unchanged (scalar counts + one
+        # anti-join count reach the driver, never the edges)
+        n_new = small.count()
+        if n_new == edges.count():
+            changed = small.exceptAll(edges).count()
+            if changed == 0:
+                edges = small
+                break
+        edges = small
+    else:
+        raise RuntimeError(f"no fixpoint after {max_iter} two-star rounds")
+
+    # stars: every edge points (member -> component min); add roots
+    labels = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("component_id")
+    )
+    roots = edges.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "component_id", F.col("doc_id")
+    )
+    return labels.unionByName(roots).distinct()
