@@ -1143,15 +1143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # near-dup pair graph -> canonical components (hash-min rounds)
     q["dedup_components"] = curation.dedup_components
-    # sibling: dedup_components (in-cap) — the SAME near-dup graph
-    # resolved by large-star/small-star alternation (Kiveris et al.
-    # SoCC 2014): O(log² n) rounds regardless of DIAMETER, the path
-    # the hash-min resolver cannot take on chain-shaped graphs
-    # (pinned: a 300-edge path converges within 12 rounds). Identical
-    # output => shares the dedup_components oracle verbatim.
-    q["dedup_components_twostar"] = lambda s, d: graph_mod.connected_components_twostar(
-        dedup.ngram_jaccard_pairs(load_documents(s, d), n=3, threshold=0.8)
-    )
     # sibling: dedup_components + document_splits (leakage-safe split:
     # hash of the near-dup COMPONENT, so near-duplicates can never
     # straddle the train/test fence)
@@ -1646,6 +1637,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # second pass on the reversed-text key, distinct-union of passes)
     q["sorted_neighborhood_2key"] = lambda s, d: blocking_mod.sorted_neighborhood_multi_key(
         load_documents(s, d)
+    )
+    # sibling: dedup_components (in-cap) — the SAME near-dup graph
+    # resolved by large-star/small-star alternation (Kiveris et al.
+    # SoCC 2014): O(log² n) rounds regardless of DIAMETER, the path
+    # the hash-min resolver cannot take on chain-shaped graphs
+    # (pinned: a 300-edge path converges within 12 rounds). Identical
+    # output => shares the dedup_components oracle verbatim.
+    q["dedup_components_twostar"] = lambda s, d: graph_mod.connected_components_twostar(
+        dedup.ngram_jaccard_pairs(load_documents(s, d), n=3, threshold=0.8)
     )
     # rotated out of cap late round 7 (driver-green r1-r6 records;
     # families keep in-cap siblings, see the rotation comments):
