@@ -51,6 +51,7 @@ from ydb_vector_search_simple_api_spark.operators import sparse_sim as sparse_si
 from ydb_vector_search_simple_api_spark.operators import blocking as blocking_mod
 from ydb_vector_search_simple_api_spark.operators import wordpiece as wordpiece_mod
 from ydb_vector_search_simple_api_spark.operators import tdigest as tdigest_mod
+from ydb_vector_search_simple_api_spark.operators import tokenizers as tokenizers_mod
 from ydb_vector_search_simple_api_spark.operators import hist_store as histstore_mod
 from ydb_vector_search_simple_api_spark.operators import index as ivf
 from ydb_vector_search_simple_api_spark.operators import tree as kmt
@@ -1953,6 +1954,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vocab cached per sf_dir so this entry times the ENCODE
     q["wordpiece_encode"] = lambda s, d: wordpiece_mod.wordpiece_encode_digest(
         s, d, vocab=_wordpiece_vocab(s, d)
+    )
+    # the tokenizer-selection artifact: fertility (pieces per word)
+    # and whole-word UNK rate per trained tokenizer, aggregated from
+    # the three encode digests (session-cached assets => this times
+    # the encodes). Rows-only like its three inputs; ratio math is
+    # exact-integer + ROUND(6).
+    q["tokenizer_report"] = lambda s, d: tokenizers_mod.tokenizer_report(
+        s,
+        d,
+        bpe_merges=_bpe_merges(s, d),
+        unigram_vocab=_unigram_vocab(s, d),
+        wordpiece_vocab=_wordpiece_vocab(s, d),
     )
     # the ANN width-knob contract as a machine-checked surface:
     # recall@10 of pruned IVF widths vs exact, 8 stored queries

@@ -137,3 +137,41 @@ def test_corpus_roundtrip_is_deterministic(spark):
     assert d1 == d2
     enc = W.wordpiece_encode_digest(spark, SF_SMALL, n_merges=8).collect()
     assert all(r.n_pieces >= r.n_words for r in enc)
+
+
+def test_tokenizer_report_consistency(spark):
+    """One row per tokenizer; fertility >= 1 everywhere (every word
+    emits at least one piece); BPE and unigram are UNK-free by
+    construction; the ratios replay from the digests exactly."""
+    from ydb_vector_search_simple_api_spark.operators import (
+        bpe,
+        sp_unigram,
+        tokenizers,
+    )
+
+    merges = [
+        (r.left, r.right)
+        for r in bpe.bpe_train(spark, SF_SMALL, n_merges=10).orderBy("rank").collect()
+    ]
+    uni = sp_unigram.unigram_lm_train(spark, SF_SMALL)
+    wp = W.wordpiece_vocab(spark, SF_SMALL, n_merges=10)
+    rep = {
+        r.tokenizer: r
+        for r in tokenizers.tokenizer_report(
+            spark, SF_SMALL, bpe_merges=merges, unigram_vocab=uni, wordpiece_vocab=wp
+        ).collect()
+    }
+    assert set(rep) == {"bpe", "unigram_lm", "wordpiece"}
+    for r in rep.values():
+        assert r.n_pieces >= r.n_words > 0
+        assert r.pieces_per_word >= 1.0
+    assert rep["bpe"].unk_rate == 0.0
+    assert rep["unigram_lm"].unk_rate == 0.0
+    # replay the wordpiece row from its own digest
+    d = W.wordpiece_encode_digest(spark, SF_SMALL, vocab=wp)
+    tot = d.agg(
+        F.sum("n_words").alias("w"), F.sum("n_pieces").alias("p"), F.sum("n_unk").alias("u")
+    ).head()
+    assert rep["wordpiece"].n_words == tot.w
+    assert rep["wordpiece"].n_pieces == tot.p
+    assert rep["wordpiece"].unk_rate == round(tot.u / tot.w, 6)
