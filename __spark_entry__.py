@@ -1891,6 +1891,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_png_stats"] = multimodal.png_stats
     # audio twin: PCM decode -> RMS/zero-crossing -> clip digest
     q["multimodal_pcm_stats"] = multimodal.pcm_stats
+    # sibling: multimodal_pcm_stats (the SPECTRAL stage: Hann/rfft
+    # band energies, dominant band, spectral flatness — the
+    # silence/noise filter's features; numpy kernel replay pinned)
+    q["multimodal_pcm_spectral"] = lambda s, d: multimodal.pcm_spectral(s, d)
     # energy-based audio segmentation (islands over frame RMS; numpy
     # replay + well-formedness in tests/test_multimodal.py)
     q["multimodal_pcm_segments"] = lambda s, d: multimodal.pcm_segments(s, d)

@@ -449,3 +449,61 @@ def test_png_stats_real_decode_pipeline(spark):
     assert {d: r.thumb_md5 for d, r in again.items()} == {
         d: r.thumb_md5 for d, r in png_rows.items()
     }
+
+
+def test_stft_band_energies_kernel_properties():
+    """Parseval-ish sanity: a pure low-frequency tone concentrates its
+    energy in band 0, a Nyquist-rate alternation in the top band;
+    energy is nonnegative and the frame count follows the hop math."""
+    import numpy as np
+
+    from ydb_vector_search_simple_api_spark.operators.multimodal import (
+        stft_band_energies,
+    )
+
+    n = 256
+    t = np.arange(n)
+    low = np.sin(2 * np.pi * t / 32.0) * 1000  # one cycle per frame
+    be = stft_band_energies(low, frame=32, hop=16, n_bands=4)
+    assert be.shape == (1 + (n - 32) // 16, 4)
+    assert (be >= 0).all()
+    m = be.mean(axis=0)
+    assert m[0] == max(m)
+
+    hi = (-1.0) ** t * 1000  # Nyquist alternation
+    mh = stft_band_energies(hi, frame=32, hop=16, n_bands=4).mean(axis=0)
+    assert mh[3] == max(mh)
+
+    # short input -> zero frames, stable shape
+    assert stft_band_energies(np.ones(5), frame=32).shape == (0, 4)
+
+
+def test_pcm_spectral_replay_and_determinism(spark):
+    """The Spark column equals a direct numpy replay of the kernel for
+    every doc, and repeated runs are identical."""
+    import numpy as np
+
+    from ydb_vector_search_simple_api_spark.operators import multimodal as M
+
+    got = {r.doc_id: r for r in M.pcm_spectral(spark, SF_SMALL).collect()}
+    again = {r.doc_id: r for r in M.pcm_spectral(spark, SF_SMALL).collect()}
+    assert got.keys() == again.keys()
+    for k in got:
+        assert tuple(got[k]) == tuple(again[k])
+    some = sorted(got)[:10]
+    # replay: regenerate the payload exactly as the operator does
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    meta = {
+        r.doc_id: r.n_chars
+        for r in load_documents(spark, SF_SMALL).select("doc_id", "n_chars").collect()
+    }
+    for doc_id in some:
+        x = M.decode_pcm(M._fake_pcm(doc_id, meta[doc_id])).astype(np.float64)
+        be = M.stft_band_energies(x, 32, 16, 4)
+        r = got[doc_id]
+        assert r.n_frames == len(be)
+        if len(be):
+            m = be.mean(axis=0)
+            assert r.band0 == round(float(m[0]), 6)
+            assert r.dominant_band == int(np.argmax(m))

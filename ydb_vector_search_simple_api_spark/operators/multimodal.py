@@ -591,3 +591,95 @@ def png_stats(spark: SparkSession, sf_dir: str, thumb: int = 8) -> DataFrame:
 
     d = load_documents(spark, sf_dir).select("doc_id", "n_chars")
     return d.mapInPandas(extract, schema=_RASTER_STATS_SCHEMA)
+
+
+def stft_band_energies(
+    x: "np.ndarray", frame: int = 32, hop: int = 16, n_bands: int = 4
+) -> "np.ndarray":
+    """Per-frame band energies: Hann-windowed frames -> rfft ->
+    |X|² grouped into ``n_bands`` contiguous frequency bands
+    (frame//2+1 bins split evenly, remainder to the top band).
+    Pure-numpy kernel, importable for replay tests AND called from
+    the Arrow batches — the png/jpeg vendored-codec pattern for
+    audio. Returns (n_frames, n_bands) float64; empty input ->
+    (0, n_bands)."""
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) < frame:
+        return np.zeros((0, n_bands))
+    n_frames = 1 + (len(x) - frame) // hop
+    win = np.hanning(frame)
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    spec = np.abs(np.fft.rfft(x[idx] * win[None, :], axis=1)) ** 2
+    n_bins = frame // 2 + 1
+    per = n_bins // n_bands
+    out = np.empty((n_frames, n_bands))
+    for b in range(n_bands):
+        lo = b * per
+        hi = (b + 1) * per if b < n_bands - 1 else n_bins
+        out[:, b] = spec[:, lo:hi].sum(axis=1)
+    return out
+
+
+_PCM_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("band0", T.DoubleType()),
+        T.StructField("band1", T.DoubleType()),
+        T.StructField("band2", T.DoubleType()),
+        T.StructField("band3", T.DoubleType()),
+        T.StructField("dominant_band", T.IntegerType()),
+        T.StructField("flatness", T.DoubleType()),
+    ]
+)
+
+
+def pcm_spectral(
+    spark: SparkSession, sf_dir: str, frame: int = 32, hop: int = 16
+) -> DataFrame:
+    """Spectral feature extraction over the synthetic PCM pipeline:
+    decode -> STFT band energies -> per-doc mean energy per band,
+    dominant band (argmin-index tie-break), and spectral flatness
+    (geometric/arithmetic mean ratio over band means — the
+    noise-vs-tone discriminator). The audio-feature stage a training
+    pipeline runs before filtering silence/noise clips; rows-only by
+    nature (md5-keystream samples), kernel replay pinned in
+    tests/test_multimodal.py."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                payload = _fake_pcm(int(doc_id), int(n_chars))
+                x = decode_pcm(payload).astype(np.float64)
+                be = stft_band_energies(x, frame=frame, hop=hop, n_bands=4)
+                if len(be) == 0:
+                    rows.append((int(doc_id), 0, 0.0, 0.0, 0.0, 0.0, -1, 0.0))
+                    continue
+                m = be.mean(axis=0)
+                dom = int(np.argmax(m))
+                gm = float(np.exp(np.log(np.maximum(m, 1e-12)).mean()))
+                am = float(m.mean())
+                flat = round(gm / am, 6) if am > 0 else 0.0
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(len(be)),
+                        round(float(m[0]), 6),
+                        round(float(m[1]), 6),
+                        round(float(m[2]), 6),
+                        round(float(m[3]), 6),
+                        dom,
+                        flat,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "band0", "band1", "band2", "band3",
+                    "dominant_band", "flatness",
+                ],
+            )
+
+    d = load_documents(spark, sf_dir).select("doc_id", "n_chars")
+    return d.mapInPandas(extract, schema=_PCM_SPECTRAL_SCHEMA)
