@@ -193,7 +193,14 @@ def main() -> None:
         "run-to-run variance (2.71-3.62 s across four same-code "
         "runs this round); the suggested survivor pushdown was "
         "measured and REJECTED (4.04 vs 2.74 s isolated — see the "
-        "curated_pack docstring).",
+        "curated_pack docstring). Round 7: wordpiece_encode and "
+        "tokenizer_report time the ENCODES against session-cached "
+        "vocab assets (__spark_entry__._wordpiece_vocab / _bpe_merges "
+        "/ _unigram_vocab — pure functions of the corpus, the "
+        "established cache contract; their cold_s carries the "
+        "train+build pass). tdigest_quantiles serves from the "
+        "/tmp/svs_td_* store built on first call (cold_s shows the "
+        "build).",
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
