@@ -1634,6 +1634,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         load_documents(s, d), n=3, threshold=0.8
     )
+    # sibling: dedup_ngram_jaccard (the ASYMMETRIC-duplicate twin:
+    # overlap coefficient |A∩B|/min(|A|,|B|) — a short doc embedded
+    # in a long one scores 1.0 where Jaccard tends to 0; quote/
+    # wrapper/concatenation dups)
+    q["dedup_ngram_containment"] = lambda s, d: dedup.ngram_containment_pairs(
+        load_documents(s, d), n=3, threshold=0.8
+    )
     # sibling: sorted_neighborhood (in-cap; the standard recall fix:
     # second pass on the reversed-text key, distinct-union of passes)
     q["sorted_neighborhood_2key"] = lambda s, d: blocking_mod.sorted_neighborhood_multi_key(
@@ -2130,6 +2137,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)
     # prefix filtering is lossless -> shares the exact-join oracle
     o["dedup_ngram_prefix"] = oracles_text.ngram_jaccard_sql(3, 0.8)
+    o["dedup_ngram_containment"] = oracles_text.ngram_containment_sql(3, 0.8)
     o["tfidf_cosine_pairs"] = oracles_text.tfidf_cosine_sql(3, 0.6)
     # the AllPairs prefix index is lossless -> the exact twin's SQL
     # at the pruned entry's threshold

@@ -543,3 +543,31 @@ def test_oph_signature_densification(spark):
 def test_oph_divisibility_guard(docs):
     with pytest.raises(ValueError):
         dedup.oph_lsh_pairs(docs, num_bins=16, bands=7)
+
+
+def test_containment_catches_subset_duplicate_jaccard_misses(spark):
+    """A 6-token quote embedded verbatim in a 60-token page:
+    containment 1.0, Jaccard ~0.07 — the asymmetric-dup case."""
+    quote = "to be or not to be"
+    page = quote + " " + " ".join(f"filler{i}" for i in range(54))
+    df = spark.createDataFrame(
+        [(1, quote), (2, page), (3, "an unrelated third document entirely")],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.ngram_containment_pairs(df, n=3, threshold=0.8).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    jac = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.8).count()
+    assert jac == 0  # invisible to the symmetric score
+
+
+def test_containment_superset_of_jaccard_at_same_threshold(docs, exact_pairs):
+    """c(A,B) >= J(A,B) always (min <= union), so the containment
+    pair set at threshold t contains the Jaccard pair set at t."""
+    cont = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_containment_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert set(exact_pairs) <= cont

@@ -197,6 +197,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Near-dup pairs by the OVERLAP COEFFICIENT (Szymkiewicz-Simpson)
+    c(A,B) = |A∩B| / min(|A|,|B|) over distinct word n-grams — the
+    ASYMMETRIC-duplicate detector. A short document embedded verbatim
+    inside a much longer one scores c = 1.0 but Jaccard ≈ |A|/|B| → 0,
+    so quote farms, wrapper pages, and concatenation dups are
+    invisible to :func:`ngram_jaccard_pairs` and caught here (the
+    pytest-pinned case). Same inverted-index join shape and the same
+    100 TB posture as the Jaccard twin; output
+    (id_a, id_b, containment), id_a < id_b."""
+    sh = shingle_table(df, id_col, text_col, n)
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    cont = F.col("n_common").cast("double") / F.least("n_a", "n_b").cast("double")
+    if round_digits is not None:
+        cont = F.round(cont, round_digits) + F.lit(0.0)
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def ngram_jaccard_prefix_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

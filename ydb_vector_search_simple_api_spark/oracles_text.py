@@ -175,6 +175,29 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
 """
 
 
+def ngram_containment_sql(n: int = 3, threshold: float = 0.8) -> str:
+    """Twin of ``dedup.ngram_containment_pairs``: overlap coefficient
+    |A∩B| / min(|A|,|B|) over distinct word n-grams."""
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct({_shingles(n)})) AS shingle FROM toks),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b,
+         ROUND(n_common::DOUBLE / least(ca.n_sh, cb.n_sh)::DOUBLE, 6) + 0.0 AS containment
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+)
+SELECT id_a, id_b, containment FROM j WHERE containment >= {threshold}
+"""
+
+
 def tfidf_cosine_sql(n: int = 3, threshold: float = 0.6) -> str:
     """Twin of ``sparse_sim.tfidf_cosine_pairs`` (and, verbatim, of
     the lossless ``tfidf_cosine_prefix_pairs`` at the same threshold):
