@@ -1655,6 +1655,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_components_twostar"] = lambda s, d: graph_mod.connected_components_twostar(
         dedup.ngram_jaccard_pairs(load_documents(s, d), n=3, threshold=0.8)
     )
+    # composition of BOTH new round-7 families: sorted-neighborhood
+    # candidate pairs -> two-star components -> the canonical-doc
+    # assignment (the full SNM dedup a record-linkage pipeline runs);
+    # recursive-CTE oracle over the SNM pair SQL
+    q["snm_dedup_groups"] = lambda s, d: graph_mod.connected_components_twostar(
+        blocking_mod.sorted_neighborhood_pairs(load_documents(s, d))
+    )
     # rotated out of cap late round 7 (driver-green r1-r6 records;
     # families keep in-cap siblings, see the rotation comments):
     q["dedup_minhash_md5"] = lambda s, d: dedup.minhash_lsh_pairs(
@@ -2172,6 +2179,9 @@ def oracle_sql() -> dict[str, str]:
     # two-star resolution is output-identical -> the same oracle
     o["dedup_components_twostar"] = oracles_curation.dedup_components_sql(
         oracles_text.ngram_jaccard_sql(3, 0.8)
+    )
+    o["snm_dedup_groups"] = oracles_curation.dedup_components_sql(
+        oracles_text.sorted_neighborhood_sql(24, 8, 0.2)
     )
     o["leakage_safe_splits"] = oracles_curation.leakage_safe_splits_sql(
         oracles_text.ngram_jaccard_sql(3, 0.8)
