@@ -114,7 +114,13 @@ def quantile(
         pos_j = acc + weights[i + 1] / 2.0
         if target <= pos_j:
             frac = (target - pos_i) / (pos_j - pos_i)
-            return means[i] + frac * (means[i + 1] - means[i])
+            # Convex combination, NOT means[i] + frac*(delta): the latter
+            # overshoots means[i+1] by one ulp when frac == 1.0 and the
+            # means differ in magnitude, breaking monotonicity and the
+            # min/max clamp contract. Clamp into the segment for safety.
+            est = means[i] * (1.0 - frac) + means[i + 1] * frac
+            lo, hi = min(means[i], means[i + 1]), max(means[i], means[i + 1])
+            return min(max(est, lo), hi)
     return means[-1]
 
 
