@@ -49,6 +49,8 @@ from ydb_vector_search_simple_api_spark.operators import skew as skew_mod
 from ydb_vector_search_simple_api_spark.operators import sketch_store as sketchstore_mod
 from ydb_vector_search_simple_api_spark.operators import sparse_sim as sparse_sim_mod
 from ydb_vector_search_simple_api_spark.operators import blocking as blocking_mod
+from ydb_vector_search_simple_api_spark.operators import web as web_mod
+from ydb_vector_search_simple_api_spark.operators import imagededup as imagededup_mod
 from ydb_vector_search_simple_api_spark.operators import wordpiece as wordpiece_mod
 from ydb_vector_search_simple_api_spark.operators import tdigest as tdigest_mod
 from ydb_vector_search_simple_api_spark.operators import tokenizers as tokenizers_mod
@@ -2050,6 +2052,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["sq_rerank_full"] = _mk_sq_rerank("CosineSimilarity", k=10, shortlist=None)
     q["graphann_rerank_full"] = _mk_gann("CosineSimilarity", k=10, beam=None)
+    # sibling: source_token_budget (the HOST-grain cap — per-domain
+    # doc + token admission over the URL extraction, the first step
+    # of web-corpus curation; deterministic md5 draw, salted local
+    # top-cap pre-filter bounds every window partition)
+    q["domain_caps"] = lambda s, d: web_mod.domain_caps(s, d)
+    # sibling: domain_caps (the per-domain summary rollup)
+    q["domain_profile"] = lambda s, d: web_mod.domain_profile(s, d)
+    # sibling: dedup_exact_groups / remove_duplicate_spans (the Lee
+    # et al. 2022 removal unit at PARAGRAPH grain: corpus-wide
+    # keep-first election on the paragraph md5, docs reassembled from
+    # survivors; cleaned-stream md5 verified by the oracle)
+    q["paragraph_dedup"] = dedup.paragraph_dedup_docs
+    # sibling: psi_drift (the rank-based, binning-free second opinion:
+    # two-sample KS with exact integer cumulative counts decomposed
+    # over value buckets — no single-partition sort)
+    q["ks_drift"] = lambda s, d: stats.ks_drift(s, d)
+    # sibling: dedup_minhash_md5 / simhash_pairs (dedup extended to
+    # the IMAGE modality: dHash over the vendored decoders, banded
+    # 16-bit Hamming blocking — pigeonhole-lossless for radius ≤ 3 —
+    # exact bit_count verify on candidates. Rows-only: md5-keystream
+    # pixels have no SQL twin; planted recall + blocked==exact parity
+    # pinned in tests/test_imagededup.py)
+    q["image_phash_dedup"] = lambda s, d: imagededup_mod.image_phash_dedup(s, d)
     return q
 
 
@@ -2384,4 +2409,8 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["script_profile"] = oracles_text.script_profile_sql()
     o["curation_reasons"] = oracles_curation.curation_reasons_sql()
     o["prefixdim_rerank_full"] = oracles.topk_ids_sql("CosineSimilarity", k=10)
+    o["domain_caps"] = oracles_curation.domain_caps_sql()
+    o["domain_profile"] = oracles_curation.domain_profile_sql()
+    o["paragraph_dedup"] = oracles_text.paragraph_dedup_sql()
+    o["ks_drift"] = oracles_temporal.ks_drift_sql()
     return o

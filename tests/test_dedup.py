@@ -571,3 +571,62 @@ def test_containment_superset_of_jaccard_at_same_threshold(docs, exact_pairs):
         for r in dedup.ngram_containment_pairs(docs, n=3, threshold=0.8).collect()
     }
     assert set(exact_pairs) <= cont
+
+
+def test_paragraph_dedup_keep_first(spark):
+    """Corpus-wide keep-first at paragraph grain: a paragraph survives
+    only at its lowest (doc_id, idx) occurrence; docs reassemble from
+    survivors in original order."""
+    import hashlib
+
+    from ydb_vector_search_simple_api_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = {
+        1: ["boiler", "unique one", "boiler"],   # intra-doc repeat too
+        2: ["boiler", "unique two"],
+        3: ["unique three", "boiler", "unique two"],
+    }
+    df = spark.createDataFrame(
+        [(i, "\n\n".join(ps)) for i, ps in docs.items()], ["doc_id", "ptext"]
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+
+    seen: set[str] = set()
+    for i in sorted(docs):
+        kept = []
+        for p in docs[i]:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        want_md5 = hashlib.md5("\n\n".join(kept).encode()).hexdigest()
+        r = got[i]
+        assert r.n_paras == len(docs[i])
+        assert r.n_kept == len(kept)
+        assert r.clean_md5 == want_md5
+
+
+def test_paragraph_dedup_docs_headers_footers_deduped(spark):
+    """Over the augmented corpus: exactly 5 headers + 3 footers
+    survive corpus-wide; every doc keeps its own (unique) body."""
+    from conftest import SF_SMALL
+
+    from ydb_vector_search_simple_api_spark.operators.dedup import (
+        paragraph_dedup_docs,
+    )
+
+    rows = paragraph_dedup_docs(spark, SF_SMALL).collect()
+    assert all(r.n_paras == 3 for r in rows)
+    total_kept = sum(r.n_kept for r in rows)
+    n_unique_bodies = len(
+        {r.clean_md5 for r in rows}
+    )  # md5 over distinct survivor sets
+    assert n_unique_bodies == len(rows)  # bodies unique -> all differ
+    # kept = one per distinct paragraph: 5 headers + 3 footers + bodies
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    n_distinct_bodies = (
+        load_documents(spark, SF_SMALL).select("text").distinct().count()
+    )
+    assert total_kept == n_distinct_bodies + 5 + 3

@@ -1,0 +1,83 @@
+"""Image perceptual-hash dedup (operators/imagededup.py): planted
+near-duplicate recall, banded-blocking losslessness, determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+from conftest import SF_SMALL
+from pyspark.sql import functions as F
+
+from ydb_vector_search_simple_api_spark.operators import imagededup as IM
+
+
+def test_dhash64_deterministic_and_structured():
+    img = np.arange(8 * 9 * 3, dtype=np.uint8).reshape(8, 9, 3)
+    h1, h2 = IM.dhash64(img), IM.dhash64(img)
+    assert h1 == h2
+    assert 0 <= h1 < (1 << 64)
+    # monotone rows -> every horizontal gradient positive -> all ones
+    assert h1 == (1 << 64) - 1
+    # reversed columns -> all zeros
+    assert IM.dhash64(img[:, ::-1, :]) == 0
+
+
+def test_perturb_changes_bytes_not_hash():
+    from ydb_vector_search_simple_api_spark.operators.multimodal import (
+        _fake_raster,
+        decode_raster,
+    )
+
+    payload = _fake_raster(42, 200)
+    pert = IM.perturb_raster(payload, 51)
+    assert pert != payload  # byte-level different (md5 dedup blind)
+    d = bin(
+        IM.dhash64(decode_raster(payload)) ^ IM.dhash64(decode_raster(pert))
+    ).count("1")
+    assert d <= 10  # perceptually near
+
+
+def test_planted_recall_and_blocking_parity(spark):
+    h = IM.image_dhashes(spark, SF_SMALL).cache()
+    planted = h.filter(F.col("base_id") != F.col("doc_id")).collect()
+    assert planted, "augmentation planted no duplicates"
+    want = {
+        (min(r.base_id, r.doc_id), max(r.base_id, r.doc_id)) for r in planted
+    }
+    hashes = h.select("doc_id", "dhash")
+    got = {
+        (r.id_a, r.id_b)
+        for r in IM.dhash_pairs(hashes, max_hamming=10).collect()
+    }
+    assert want <= got, "planted near-dup missed"
+    # blocked candidates + exact verify == brute-force all-pairs
+    exact = {
+        (r.id_a, r.id_b)
+        for r in IM.dhash_pairs_exact(hashes, max_hamming=10).collect()
+    }
+    assert got == exact
+    h.unpersist()
+
+
+def test_banding_pigeonhole_lossless_within_radius(spark):
+    """Any pair within Hamming radius n_bands - 1 = 3 shares an exact
+    16-bit band, so blocking finds it — pinned on adversarial bit
+    patterns that spread the differing bits across bands."""
+    base = 0x0123456789ABCDEF
+    rows = [(0, base)]
+    flips = [0, 17, 34]  # three different bands
+    v = base
+    for i, bit in enumerate(flips, start=1):
+        v ^= 1 << bit
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["doc_id", "dhash"]).withColumn(
+        "dhash", F.col("dhash").cast("long")
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in IM.dhash_pairs(df, max_hamming=3).collect()
+    }
+    # all 6 pairs are within radius 3 and must be found
+    assert {(a, b) for a, b, _ in got} == {
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)
+    }
+    assert all(hm <= 3 for _, _, hm in got)

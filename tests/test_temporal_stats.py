@@ -593,3 +593,74 @@ def test_psi_drift_constant_value_column(spark, tmp_path):
     con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{glob}')")
     want = sorted(tuple(r) for r in con.execute(psi_drift_sql()).fetchall())
     assert got == want
+
+
+def test_ks_drift_detects_planted_shift(spark, tmp_path):
+    """KS ~ 0 on a stationary stream, large under a planted mean
+    shift — the rank-based twin of the PSI test."""
+    import datetime as dt
+
+    from ydb_vector_search_simple_api_spark.operators.stats import ks_drift
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(2000):
+        ts = t0 + dt.timedelta(minutes=i)
+        shift = 10.0 if i >= 1000 else 0.0
+        rows.append(
+            (i, ts, i % 50, ["click", "view"][i % 2], (i % 7) + shift, "{}")
+        )
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = ks_drift(spark, str(tmp_path)).collect()[0]
+    assert r.n1 + r.n2 == 2000
+    # halves share only values {3..6} ∪ {10..13}: true D is large
+    assert r.ks_d > 0.5
+
+    # stationary control: same marginal in both halves
+    rows2 = [
+        (i, t0 + dt.timedelta(minutes=i), i % 50, "click", float(i % 7), "{}")
+        for i in range(2000)
+    ]
+    spark.createDataFrame(
+        rows2, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(str(tmp_path / "ev2" / "events.parquet"))
+    r2 = ks_drift(spark, str(tmp_path / "ev2")).collect()[0]
+    assert r2.ks_d < 0.01
+
+
+def test_ks_drift_matches_oracle_and_bucket_decomposition(spark, tmp_path):
+    """The per-bucket cumsum decomposition must equal the single
+    global cumsum the DuckDB twin runs — including on a constant
+    value column (degenerate bucket width)."""
+    import datetime as dt
+
+    import duckdb
+
+    from ydb_vector_search_simple_api_spark.operators.stats import ks_drift
+    from ydb_vector_search_simple_api_spark.oracles_temporal import ks_drift_sql
+
+    t0 = dt.datetime(2024, 1, 1)
+    for sub, valfn in [
+        ("mixed", lambda i: float((i * 37) % 101) / 7.0),
+        ("const", lambda i: 42.0),
+    ]:
+        rows = [
+            (i, t0 + dt.timedelta(minutes=i), i % 50,
+             ["click", "view"][i % 2], valfn(i), "{}")
+            for i in range(500)
+        ]
+        spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).write.parquet(str(tmp_path / sub / "events.parquet"))
+        got = tuple(ks_drift(spark, str(tmp_path / sub)).collect()[0])
+        con = duckdb.connect()
+        glob = str(tmp_path / sub / "events.parquet" / "*.parquet").replace(
+            "'", "''"
+        )
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{glob}')"
+        )
+        want = tuple(con.execute(ks_drift_sql()).fetchall()[0])
+        assert got == want, sub

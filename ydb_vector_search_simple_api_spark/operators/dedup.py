@@ -2008,3 +2008,102 @@ def source_overlap_matrix(
             F.countDistinct("text_hash").cast("bigint").alias("n_groups"),
         )
     )
+
+
+# ----------------------------------------------- paragraph-grain dedup
+
+
+def attach_paragraphs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic multi-paragraph augmentation: the synthetic corpus
+    has no blank-line structure, so (same pattern as
+    ``curation.attach_pii``) each doc becomes three ``\\n\\n``-separated
+    paragraphs — a shared header (5 variants across the corpus), the
+    doc's own text, and a shared footer (3 variants). Headers/footers
+    are the cross-document duplicates paragraph dedup must remove;
+    both engines build the identical string."""
+    i = F.col("doc_id")
+    return df.withColumn(
+        "ptext",
+        F.concat(
+            F.lit("shared header "), (i % 5).cast("string"),
+            F.lit("\n\n"), F.col(text_col),
+            F.lit("\n\n"), F.lit("shared footer "), (i % 3).cast("string"),
+        ),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "ptext"
+) -> DataFrame:
+    """Paragraph-grain exact dedup (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" removal unit, at the
+    blank-line paragraph grain): corpus-wide, each distinct paragraph
+    is kept ONLY at its first occurrence — ordered by (doc_id,
+    position) — and removed everywhere else; documents are then
+    reassembled from their surviving paragraphs.
+
+    Election is a groupBy-min on the paragraph's md5 (map-side
+    partial min over ``struct(doc_id, idx)``), NOT a window: hot
+    boilerplate paragraphs are exactly the skewed keys, and a partial
+    aggregate collapses them to one row per partition before the
+    shuffle, where a window would sort every occurrence of the hot
+    key in one task. The winner table then joins back on the md5 —
+    shuffled hash join; AQE's skew split handles residual imbalance.
+
+    Output: (doc_id, n_paras, n_kept, clean_md5) where ``clean_md5``
+    fingerprints the surviving paragraphs joined by the original
+    blank-line separator — a cleaned-stream md5 twin in the oracle
+    verifies the reconstruction byte-for-byte.
+
+    100 TB shape: one shuffle on the 32-byte paragraph hash (partial
+    agg), one shuffle back on doc_id for reassembly. No self-join;
+    memory is bounded by a single document's paragraph list.
+    """
+    ex = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), r"\n\n")).alias(
+                "idx", "para"
+            ),
+        )
+        .withColumn("pmd5", F.md5(F.col("para")))
+    )
+    winners = ex.groupBy("pmd5").agg(
+        F.min(F.struct("doc_id", "idx")).alias("w")
+    )
+    kept = ex.join(winners, "pmd5").withColumn(
+        "is_first",
+        (F.col("doc_id") == F.col("w.doc_id")) & (F.col("idx") == F.col("w.idx")),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("is_first").cast("bigint")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("is_first"),
+                                    F.struct("idx", "para"),
+                                )
+                            )
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    "\n\n",
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def paragraph_dedup_docs(spark, sf_dir: str) -> DataFrame:
+    """Gate shape: paragraph dedup over the paragraph-augmented
+    documents table. (doc_id, n_paras, n_kept, clean_md5)."""
+    from ..sources.store import load_documents
+
+    return paragraph_dedup(attach_paragraphs(load_documents(spark, sf_dir)))

@@ -897,3 +897,109 @@ def psi_drift(spark: SparkSession, sf_dir: str, n_bins: int = 10) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def ks_drift(spark: SparkSession, sf_dir: str, n_buckets: int = 32) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the first
+    and second halves of the event stream — the rank-based second
+    opinion beside :func:`psi_drift` (PSI needs binning; KS is
+    binning-free and catches shape drift PSI's fixed-width histogram
+    smears out). Same half tag as psi_drift (timestamp midpoint).
+
+    ``D = max_x |F1(x) - F2(x)|`` evaluated at every distinct value.
+    Exact integer arithmetic end-to-end: per-value counts, cumulative
+    counts, and the cross-multiplied numerator
+    ``|cum1*n2 - cum2*n1|`` are all BIGINT — one double division +
+    ROUND(6) at the very end, so the DuckDB twin is hash-exact.
+
+    Scale shape: KS is an order statistic, so SOME global ordering is
+    unavoidable — but not a single-partition sort. The cumulative sum
+    decomposes over fixed-width value buckets (the blocking.py global
+    -rank trick): per-bucket window cumsums run in parallel, and the
+    bucket-level offsets are a ``n_buckets``-row aggregate (broadcast
+    back). The plan has NO Exchange SinglePartition over event-scale
+    data; the only tiny serial step is the n_buckets-row offset
+    window. Output one row: (n1, n2, n_points, ks_d)."""
+    ev = load_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2
+        ).alias("mid"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    tagged = (
+        ev.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "half", (F.col("ts").cast("timestamp") >= F.col("mid")).cast("int")
+        )
+    )
+    width = F.greatest(F.col("vmax") - F.col("vmin"), F.lit(1e-12)) / F.lit(
+        float(n_buckets)
+    )
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("value") - F.col("vmin")) / width).cast("int"),
+    )
+    # per-value counts (map-side combine collapses hot values pre-shuffle)
+    v = tagged.groupBy(bucket.alias("bucket"), F.col("value")).agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    # three consumers (local cumsums, bucket offsets, totals) — without
+    # a barrier each re-scans events and re-aggregates; Catalyst does
+    # not reuse the exchange across them (distinct grouping-expr ids)
+    v = v.localCheckpoint(eager=False)
+    # parallel per-bucket cumulative sums
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = v.select(
+        "bucket",
+        "value",
+        F.sum("c1").over(wb).alias("l1"),
+        F.sum("c2").over(wb).alias("l2"),
+    )
+    # bucket offsets: n_buckets rows — the only serial window
+    per_bucket = v.groupBy("bucket").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    wo = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = per_bucket.select(
+        "bucket",
+        (F.sum("b1").over(wo) - F.col("b1")).alias("o1"),
+        (F.sum("b2").over(wo) - F.col("b2")).alias("o2"),
+    )
+    tot = v.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    cum = local.join(F.broadcast(offsets), "bucket").select(
+        (F.col("o1") + F.col("l1")).alias("cum1"),
+        (F.col("o2") + F.col("l2")).alias("cum2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            F.first("n_points").alias("n_points"),
+            (
+                F.round(
+                    F.max(
+                        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+                    ).cast("double")
+                    / (F.first("n1") * F.first("n2")).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("ks_d"),
+        )
+    )

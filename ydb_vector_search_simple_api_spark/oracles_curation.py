@@ -837,3 +837,80 @@ long AS (
 SELECT check_name, metric, (metric >= lo AND metric <= hi) AS passed
 FROM long
 """
+
+
+# ------------------------------------------------- domain curation
+
+#: the attach_pii footer (same string pii_redaction_sql builds) — the
+#: domain oracle extracts the URL host from it with the same regexp
+#: the Spark operator uses, so the URL machinery itself is on trial.
+_PII_FOOTER = (
+    "' Contact user' || CAST(doc_id AS VARCHAR) || '@example.org via "
+    "http://ex' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p' || "
+    "CAST(doc_id AS VARCHAR) || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) "
+    "|| '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || "
+    "CAST((doc_id * 13) % 256 AS VARCHAR) || CASE WHEN doc_id % 3 = 0 THEN "
+    "' or +1 555 ' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0') "
+    "ELSE '' END"
+)
+
+_DOMAIN_CTE = rf"""
+aug AS (SELECT doc_id, text, text || {_PII_FOOTER} AS pii_text FROM documents),
+d AS (
+  SELECT doc_id,
+         regexp_extract(pii_text, 'https?://([^/ \t\r\n]+)', 1) AS domain,
+         len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS draw
+  FROM aug
+)"""
+
+
+def _domain_ledger_cte(doc_cap: int, token_budget: int) -> str:
+    """Shared admission-ledger CTE: rank by (md5 draw, doc_id) within
+    domain, admit the first ``doc_cap``, running token total."""
+    return f"""{_DOMAIN_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY draw, doc_id)
+            AS draw_rank
+  FROM d
+),
+adm AS (SELECT * FROM ranked WHERE draw_rank <= {doc_cap}),
+led AS (
+  SELECT domain, doc_id, draw_rank::BIGINT AS draw_rank, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY domain ORDER BY draw_rank))::BIGINT
+           AS cum_tokens
+  FROM adm
+)"""
+
+
+def domain_caps_sql(doc_cap: int = 40, token_budget: int = 4000) -> str:
+    """Twin of :func:`operators.web.domain_caps`."""
+    return f"""
+WITH {_domain_ledger_cte(doc_cap, token_budget)}
+SELECT domain, doc_id, draw_rank, n_tokens, cum_tokens,
+       cum_tokens <= {token_budget} AS kept
+FROM led ORDER BY domain, draw_rank
+"""
+
+
+def domain_profile_sql(doc_cap: int = 40, token_budget: int = 4000) -> str:
+    """Twin of :func:`operators.web.domain_profile`."""
+    return f"""
+WITH {_domain_ledger_cte(doc_cap, token_budget)},
+totals AS (
+  SELECT domain, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+  FROM d GROUP BY domain
+),
+caps AS (
+  SELECT domain, count(*)::BIGINT AS n_admitted,
+         sum(CASE WHEN cum_tokens <= {token_budget} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         sum(CASE WHEN cum_tokens <= {token_budget} THEN n_tokens ELSE 0 END)::BIGINT AS kept_tokens
+  FROM led GROUP BY domain
+)
+SELECT totals.domain AS domain, n_docs, total_tokens,
+       coalesce(n_admitted, 0) AS n_admitted,
+       coalesce(n_kept, 0) AS n_kept,
+       coalesce(kept_tokens, 0) AS kept_tokens
+FROM totals LEFT JOIN caps ON totals.domain = caps.domain
+ORDER BY domain
+"""

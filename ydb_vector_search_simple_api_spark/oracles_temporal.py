@@ -647,3 +647,42 @@ tagged AS (
         + "\nUNION ALL\n"
         + one("event_type", tcells)
     )
+
+
+def ks_drift_sql() -> str:
+    """Twin of stats.ks_drift: same half tag as psi_drift_sql, exact
+    integer per-value counts and cumulative counts, the cross-
+    multiplied BIGINT numerator, one double division + ROUND(6)."""
+    return """
+WITH bounds AS (
+  SELECT to_timestamp((floor(epoch(min(ts::TIMESTAMP)))::BIGINT
+                       + floor(epoch(max(ts::TIMESTAMP)))::BIGINT) / 2) AS mid
+  FROM events
+),
+tagged AS (
+  SELECT value, CASE WHEN ts::TIMESTAMP >= mid THEN 1 ELSE 0 END AS half
+  FROM events CROSS JOIN bounds
+  WHERE value IS NOT NULL
+),
+v AS (
+  SELECT value,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c2
+  FROM tagged GROUP BY value
+),
+tot AS (
+  SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+         count(*)::BIGINT AS n_points
+  FROM v
+),
+c AS (
+  SELECT (sum(c1) OVER (ORDER BY value))::BIGINT AS cum1,
+         (sum(c2) OVER (ORDER BY value))::BIGINT AS cum2
+  FROM v
+)
+SELECT n1, n2, n_points,
+       ROUND(max(abs(cum1 * n2 - cum2 * n1))::DOUBLE
+             / (n1 * n2)::DOUBLE, 6) + 0.0 AS ks_d
+FROM c CROSS JOIN tot
+GROUP BY n1, n2, n_points
+"""

@@ -1700,3 +1700,41 @@ SELECT doc_id,
 FROM scored
 GROUP BY doc_id
 """
+
+
+def paragraph_dedup_sql() -> str:
+    """Twin of :func:`operators.dedup.paragraph_dedup_docs`: identical
+    paragraph augmentation (shared header/footer variants), blank-line
+    split with positions (two unnests zip positionally in DuckDB),
+    corpus-wide keep-first election by (doc_id, idx), and the
+    cleaned-stream md5 over the surviving paragraphs in order."""
+    sep = "chr(10) || chr(10)"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         'shared header ' || CAST(doc_id % 5 AS VARCHAR) || {sep} ||
+         text || {sep} || 'shared footer ' || CAST(doc_id % 3 AS VARCHAR)
+           AS ptext
+  FROM documents
+),
+ps AS (SELECT doc_id, string_split(ptext, {sep}) AS paras FROM aug),
+ex AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(paras) - 1)) AS idx,
+         unnest(paras) AS para
+  FROM ps
+),
+h AS (SELECT doc_id, idx, para, md5(para) AS pmd5 FROM ex),
+k AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY pmd5 ORDER BY doc_id, idx) AS rn
+  FROM h
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       md5(coalesce(
+         string_agg(CASE WHEN rn = 1 THEN para END, {sep} ORDER BY idx), ''
+       )) AS clean_md5
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
