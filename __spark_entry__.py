@@ -51,6 +51,7 @@ from ydb_vector_search_simple_api_spark.operators import sparse_sim as sparse_si
 from ydb_vector_search_simple_api_spark.operators import blocking as blocking_mod
 from ydb_vector_search_simple_api_spark.operators import web as web_mod
 from ydb_vector_search_simple_api_spark.operators import imagededup as imagededup_mod
+from ydb_vector_search_simple_api_spark.operators import audiofp as audiofp_mod
 from ydb_vector_search_simple_api_spark.operators import wordpiece as wordpiece_mod
 from ydb_vector_search_simple_api_spark.operators import tdigest as tdigest_mod
 from ydb_vector_search_simple_api_spark.operators import tokenizers as tokenizers_mod
@@ -2075,6 +2076,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pixels have no SQL twin; planted recall + blocked==exact parity
     # pinned in tests/test_imagededup.py)
     q["image_phash_dedup"] = lambda s, d: imagededup_mod.image_phash_dedup(s, d)
+    # sibling: multimodal_pcm_spectral (the MATCH/dedup operator the
+    # spectral stage feeds: Shazam-style peak-pair constellation
+    # hashes, inverted-index key join, offset-histogram verify with a
+    # vote floor. Rows-only: md5-keystream audio has no SQL twin;
+    # planted track+offset recovery pinned in tests/test_audiofp.py)
+    q["audio_fingerprint_match"] = lambda s, d: audiofp_mod.audio_fingerprint_match(s, d)
     return q
 
 

@@ -168,7 +168,7 @@ def probe_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.float64
                     )
                     - 128.0
-                ) / 2.0
+                ) * 24.0  # ~±3k on an ~int16-RMS signal: flips SOME peaks
                 y = np.clip(excerpt * 0.9 + noise, -32768, 32767)
                 for key, t in constellation(spectral_peaks(y)):
                     rows.append(
