@@ -1145,8 +1145,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_interval_join"] = lambda s, d: streaming_events.purchase_click_interval_join_stream(
         s, d, lookback_sql="INTERVAL 6 HOUR"
     )
-    # near-dup pair graph -> canonical components (hash-min rounds)
-    q["dedup_components"] = curation.dedup_components
+    # round-8 rotation: the full SNM record-linkage composition
+    # (sorted-neighborhood pairs -> two-star components -> canonical
+    # assignment; recursive-CTE oracle) in place of dedup_components
+    # (driver-green r4-r7; the components family stays in-cap via
+    # dedup_components_twostar below — same graph, same oracle)
+    q["snm_dedup_groups"] = lambda s, d: graph_mod.connected_components_twostar(
+        blocking_mod.sorted_neighborhood_pairs(load_documents(s, d))
+    )
     # sibling: dedup_components + document_splits (leakage-safe split:
     # hash of the near-dup COMPONENT, so near-duplicates can never
     # straddle the train/test fence)
@@ -1189,13 +1195,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # place of events_distinct_pairs (driver-green r1-r6; streaming
     # stateful dedup family stays in-cap via stream_decontaminate +
     # user_running_totals)
-    q["snapshot_diff_summary"] = curation.snapshot_diff_summary
+    # round-8 rotation: large-star/small-star components (Kiveris et
+    # al. — O(log² n) rounds regardless of graph diameter; identical
+    # output => shares the dedup_components oracle verbatim) in place
+    # of snapshot_diff_summary (driver-green r7; the snapshot family
+    # stays in-cap via snapshot_diff)
+    q["dedup_components_twostar"] = lambda s, d: graph_mod.connected_components_twostar(
+        dedup.ngram_jaccard_pairs(load_documents(s, d), n=3, threshold=0.8)
+    )
     # round-7 rotation: language-ID confusion matrix vs the labeled
     # lang column (exact-integer recall shares — the router's
     # evaluation artifact) in place of session_rollup (driver-green
     # r1-r6; sessionization stays covered by stream_interval_join +
     # user_sessions overflow)
-    q["lang_id_confusion"] = textual.lang_id_confusion
+    # round-8 rotation: n-gram CONTAINMENT pairs (overlap coefficient
+    # — the asymmetric-duplicate twin of Jaccard; a short doc embedded
+    # in a long one scores 1.0) in place of lang_id_confusion
+    # (driver-green r7; text-analysis family stays in-cap via
+    # script_profile + quality_filter)
+    q["dedup_ngram_containment"] = lambda s, d: dedup.ngram_containment_pairs(
+        load_documents(s, d), n=3, threshold=0.8
+    )
     # ---- custom stateful op (applyInPandasWithState, exact-int oracle)
     q["user_running_totals"] = streaming_sessions.user_running_totals_stream
 
@@ -1218,10 +1238,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # top_customers_per_nation (driver-green r1-r6; window-top-k
     # family covered in overflow)
     q["expectations_events"] = expectations_mod.expectations_report_events
-    # TPC-H Q5 (the full cyclic local-supplier chain) — promoted
-    # in-cap late round 4; orders_rollup (driver-green r3/r4) rotated
-    # to overflow, rollup/cube family still covered there
-    q["local_supplier_revenue"] = relational.local_supplier_revenue
+    # round-8 rotation: paragraph-grain exact dedup (Lee et al. 2022
+    # removal unit — corpus-wide keep-first election on the paragraph
+    # md5, cleaned-stream md5 oracle) in place of
+    # local_supplier_revenue (driver-green r4-r7; TPC-H family stays
+    # in-cap via excess_supply_suppliers)
+    q["paragraph_dedup"] = dedup.paragraph_dedup_docs
     # round-5 rotation: TPC-H Q20 (the last missing TPC-H shape;
     # observed bridge + deterministic availqty, TESTDATA.md) in place
     # of customers_without_orders (driver-green r1-r4; anti-join
@@ -1293,14 +1315,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # histogram_quantiles (driver-green r4-r6; the one-shot twin rides
     # overflow)
     q["histogram_store_quantiles"] = histstore_mod.histogram_store_quantiles
-    # experimentation flagship (md5-arm split + Welch's t from exact
-    # sums) — rotated in-cap round 4 in place of distinct_users_by_type
-    # (distinct-key family stays covered by events_distinct_pairs)
-    q["ab_test_report"] = stats.ab_test_report
-    # source-pair JS divergence (mixture-design matrix) — promoted
-    # in-cap late round 4; props_k_stats (driver-green r3/r4) rotated
-    # to overflow, JSON-payload family still covered there
-    q["source_divergence"] = textual.source_divergence
+    # round-8 rotation: per-domain doc/token caps (deterministic md5
+    # admission over the URL host — the first web-corpus curation
+    # step; salted local top-cap pre-filter) in place of
+    # ab_test_report (driver-green r4-r7; experimentation family
+    # stays covered by ab_test_cuped in overflow)
+    q["domain_caps"] = lambda s, d: web_mod.domain_caps(s, d)
+    # round-8 rotation: two-sample KS drift (rank-based, binning-free
+    # second opinion beside psi_drift; exact-integer cumulative counts
+    # decomposed over value buckets — no single-partition sort) in
+    # place of source_divergence (driver-green r4-r7; source-mixture
+    # family stays covered in overflow)
+    q["ks_drift"] = lambda s, d: stats.ks_drift(s, d)
     # vector aggregation: per-label centroid (decimal-exact mean)
     q["label_centroids"] = curation.label_centroids
     # rotated out of cap late round 4 (driver-green r3/r4 records):
@@ -1637,33 +1663,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         load_documents(s, d), n=3, threshold=0.8
     )
-    # sibling: dedup_ngram_jaccard (the ASYMMETRIC-duplicate twin:
-    # overlap coefficient |A∩B|/min(|A|,|B|) — a short doc embedded
-    # in a long one scores 1.0 where Jaccard tends to 0; quote/
-    # wrapper/concatenation dups)
-    q["dedup_ngram_containment"] = lambda s, d: dedup.ngram_containment_pairs(
-        load_documents(s, d), n=3, threshold=0.8
-    )
     # sibling: sorted_neighborhood (in-cap; the standard recall fix:
     # second pass on the reversed-text key, distinct-union of passes)
     q["sorted_neighborhood_2key"] = lambda s, d: blocking_mod.sorted_neighborhood_multi_key(
         load_documents(s, d)
-    )
-    # sibling: dedup_components (in-cap) — the SAME near-dup graph
-    # resolved by large-star/small-star alternation (Kiveris et al.
-    # SoCC 2014): O(log² n) rounds regardless of DIAMETER, the path
-    # the hash-min resolver cannot take on chain-shaped graphs
-    # (pinned: a 300-edge path converges within 12 rounds). Identical
-    # output => shares the dedup_components oracle verbatim.
-    q["dedup_components_twostar"] = lambda s, d: graph_mod.connected_components_twostar(
-        dedup.ngram_jaccard_pairs(load_documents(s, d), n=3, threshold=0.8)
-    )
-    # composition of BOTH new round-7 families: sorted-neighborhood
-    # candidate pairs -> two-star components -> the canonical-doc
-    # assignment (the full SNM dedup a record-linkage pipeline runs);
-    # recursive-CTE oracle over the SNM pair SQL
-    q["snm_dedup_groups"] = lambda s, d: graph_mod.connected_components_twostar(
-        blocking_mod.sorted_neighborhood_pairs(load_documents(s, d))
     )
     # rotated out of cap late round 7 (driver-green r1-r6 records;
     # families keep in-cap siblings, see the rotation comments):
@@ -2053,22 +2056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["sq_rerank_full"] = _mk_sq_rerank("CosineSimilarity", k=10, shortlist=None)
     q["graphann_rerank_full"] = _mk_gann("CosineSimilarity", k=10, beam=None)
-    # sibling: source_token_budget (the HOST-grain cap — per-domain
-    # doc + token admission over the URL extraction, the first step
-    # of web-corpus curation; deterministic md5 draw, salted local
-    # top-cap pre-filter bounds every window partition)
-    q["domain_caps"] = lambda s, d: web_mod.domain_caps(s, d)
-    # sibling: domain_caps (the per-domain summary rollup)
+    # sibling: domain_caps (in-cap; the per-domain summary rollup)
     q["domain_profile"] = lambda s, d: web_mod.domain_profile(s, d)
-    # sibling: dedup_exact_groups / remove_duplicate_spans (the Lee
-    # et al. 2022 removal unit at PARAGRAPH grain: corpus-wide
-    # keep-first election on the paragraph md5, docs reassembled from
-    # survivors; cleaned-stream md5 verified by the oracle)
-    q["paragraph_dedup"] = dedup.paragraph_dedup_docs
-    # sibling: psi_drift (the rank-based, binning-free second opinion:
-    # two-sample KS with exact integer cumulative counts decomposed
-    # over value buckets — no single-partition sort)
-    q["ks_drift"] = lambda s, d: stats.ks_drift(s, d)
     # sibling: dedup_minhash_md5 / simhash_pairs (dedup extended to
     # the IMAGE modality: dHash over the vendored decoders, banded
     # 16-bit Hamming blocking — pigeonhole-lossless for radius ≤ 3 —
@@ -2082,6 +2071,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vote floor. Rows-only: md5-keystream audio has no SQL twin;
     # planted track+offset recovery pinned in tests/test_audiofp.py)
     q["audio_fingerprint_match"] = lambda s, d: audiofp_mod.audio_fingerprint_match(s, d)
+    # rotated out of cap round 8 (driver-green r4-r7 records; every
+    # family keeps an in-cap sibling, see the rotation comments):
+    q["dedup_components"] = curation.dedup_components
+    q["snapshot_diff_summary"] = curation.snapshot_diff_summary
+    q["lang_id_confusion"] = textual.lang_id_confusion
+    q["local_supplier_revenue"] = relational.local_supplier_revenue
+    q["ab_test_report"] = stats.ab_test_report
+    q["source_divergence"] = textual.source_divergence
     return q
 
 

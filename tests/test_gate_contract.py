@@ -54,6 +54,17 @@ import __spark_entry__ as E
 # dedup_minhash_md5 (md5 banding stays in-cap via
 # neardup_edit_distance), tfidf_cosine_prefix<-export_curated,
 # sorted_neighborhood<-graph_stats, tfidf_related_docs<-hourly_locf.
+# Round-8 rotation (6 swaps; promoted entries are the VERDICT r7 #8
+# asks plus the round-8 additions, all oracle-backed; displaced
+# entries are driver-green r4-r7 with their family still in-cap):
+# snm_dedup_groups<-dedup_components (components family stays via
+# dedup_components_twostar — same oracle),
+# dedup_components_twostar<-snapshot_diff_summary (snapshot_diff
+# stays), dedup_ngram_containment<-lang_id_confusion (text analysis
+# stays via script_profile/quality_filter),
+# paragraph_dedup<-local_supplier_revenue (TPC-H stays via
+# excess_supply_suppliers), domain_caps<-ab_test_report (experiment
+# family in overflow via ab_test_cuped), ks_drift<-source_divergence.
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
@@ -63,18 +74,18 @@ EXPECTED_IN_CAP = [
     "semantic_decontaminate", "tfidf_cosine_pairs", "dsir_select",
     "neardup_edit_distance",
     "curate_corpus", "tfidf_cosine_prefix", "repetition_signals",
-    "opq_rerank_full", "stream_interval_join", "dedup_components",
+    "opq_rerank_full", "stream_interval_join", "snm_dedup_groups",
     "leakage_safe_splits",
     "sorted_neighborhood", "expectations_report", "curation_reasons",
-    "multimodal_meta", "stream_decontaminate", "snapshot_diff_summary",
-    "lang_id_confusion", "user_running_totals", "range_search_ivf",
+    "multimodal_meta", "stream_decontaminate", "dedup_components_twostar",
+    "dedup_ngram_containment", "user_running_totals", "range_search_ivf",
     "psi_drift", "expectations_events",
-    "local_supplier_revenue", "excess_supply_suppliers",
+    "paragraph_dedup", "excess_supply_suppliers",
     "duplicate_spans", "ivfopq_rerank_full", "prefixdim_rerank_full",
     "sql_topk_cosine", "semantic_dedup_blocked",
     "topk_cosine_filtered_gann",
     "decontaminate_bloom", "tfidf_related_docs", "histogram_store_quantiles",
-    "ab_test_report", "source_divergence",
+    "domain_caps", "ks_drift",
 ]
 
 
