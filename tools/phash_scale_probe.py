@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ydb_vector_search_simple_api_spark.operators import imagededup as IM
 
-EXACT_FEASIBLE = 30_000
+EXACT_FEASIBLE = 120_000
 
 
 def build_hashes(spark, n: int):
@@ -73,8 +73,14 @@ def main():
                 t0 = time.time()
                 ne = IM.dhash_pairs_exact(hashes, max_hamming=10).count()
                 te.append(time.time() - t0)
-            assert ne == nb, (ne, nb)
-            line += f"  exact: {min(te):6.2f}s  speedup={min(te)/min(tb):.1f}x  (identical output)"
+            # pigeonhole guarantees recall only to radius n_bands-1=3:
+            # planted dups (HD 3) are always found; random pairs at
+            # HD 4-10 with bits spread across all 4 bands can be missed
+            line += (
+                f"  exact: {min(te):6.2f}s  speedup={min(te)/min(tb):.1f}x"
+                f"  exact_pairs={ne} (blocked recall "
+                f"{nb / ne:.4f}; planted HD<=3 recall is 1.0 by pigeonhole)"
+            )
         else:
             line += "  exact: skipped (all-pairs infeasible at this n)"
         print(line, flush=True)
