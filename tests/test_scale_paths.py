@@ -262,3 +262,55 @@ def test_sorted_neighborhood_has_no_global_window(spark):
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_drift_value_window_is_bucket_partitioned(spark):
+    """The value-grain cumulative window must carry the bucket
+    partition key — an unpartitioned window over `value` would render
+    as windowspecdefinition(value# ... with no partition column and
+    serialize every distinct value into one task."""
+    from ydb_vector_search_simple_api_spark.operators import stats
+    from ydb_vector_search_simple_api_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(stats.ks_drift(spark, SF_SMALL))
+    assert "windowspecdefinition(value#" not in plan
+    assert "windowspecdefinition(bucket#" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_caps_has_no_single_partition_exchange(spark):
+    """Both rank windows are keyed (domain+salt, then domain over the
+    cap-bounded survivors): no SinglePartition exchange in the plan."""
+    from ydb_vector_search_simple_api_spark.operators import web
+    from ydb_vector_search_simple_api_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(web.domain_caps(spark, SF_SMALL))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_elects_without_window(spark):
+    """Keep-first election must be a hash aggregation (partial
+    map-side min), not a window over paragraph occurrences — hot
+    boilerplate paragraphs are the skewed keys."""
+    from ydb_vector_search_simple_api_spark.operators import dedup
+    from ydb_vector_search_simple_api_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(dedup.paragraph_dedup_docs(spark, SF_SMALL))
+    assert "windowspecdefinition(pmd5#" not in plan
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_image_phash_join_path_is_jvm_only(spark):
+    """After the Arrow hash stage the pair path is pure codegen: no
+    Python eval inside the join/verify, no cartesian."""
+    from ydb_vector_search_simple_api_spark.operators import imagededup
+    from ydb_vector_search_simple_api_spark.plans.checks import formatted_plan
+
+    hashes = imagededup.image_dhashes(spark, SF_SMALL).select("doc_id", "dhash")
+    plan = formatted_plan(imagededup.dhash_pairs(hashes))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only Python nodes are the two scans' hash stages
+    assert plan.count("MapInPandas") <= 2

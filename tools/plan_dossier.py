@@ -99,6 +99,27 @@ HEADLINERS = {
     "range_search_ivf": "cluster_id IN-list partition pruning at planning "
     "time + the threshold as a codegen Filter on the pruned scan — no "
     "heap, no shuffle before the ordered output",
+    "tfidf_cosine_prefix": "keyed joins only (no cartesian), broadcast "
+    "df/N attachments, the index side is the suffix-norm-cut window "
+    "output and the verify stage touches candidates only",
+    "sorted_neighborhood": "NO Exchange SinglePartition anywhere (the "
+    "global rank is per-bucket windows + offsets); the candidate join "
+    "is keyed on rank blocks; the Levenshtein DP sits behind the "
+    "checkpoint barrier, evaluated once per candidate",
+    "ks_drift": "the value-grain cumulative sum windows over "
+    "(bucket, value) — NO unpartitioned window over the big table; "
+    "the only SinglePartition exchanges feed 1-row/bins-sized "
+    "aggregates (bounds, offsets, totals)",
+    "domain_caps": "both rank windows carry a partition key (domain + "
+    "salt, then domain over the cap-bounded survivors) — no "
+    "SinglePartition exchange anywhere",
+    "paragraph_dedup": "keep-first election is a hash aggregation "
+    "(min struct with partial_ map-side combine) joined back on the "
+    "paragraph hash — NO window over paragraph occurrences, so hot "
+    "boilerplate never serializes into one task",
+    "image_phash_dedup": "after the Arrow hash stage everything is "
+    "codegen: band explode, keyed self-join on (band, val), "
+    "bit_count(xor) verify — no cartesian, no Python in the join path",
 }
 
 

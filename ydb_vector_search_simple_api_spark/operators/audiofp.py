@@ -192,6 +192,9 @@ def match_fingerprints(
     the frame offsets, elect the best (track, offset) per probe by
     max-struct (votes, then track_id, then offset — deterministic).
     Output (probe_id, track_id, offset, n_votes), ordered."""
+    # barrier: the track fingerprint stage feeds the df-cap count AND
+    # the join side — checkpoint so the Arrow stage runs once
+    tracks = tracks.localCheckpoint(eager=False)
     df_cap = (
         tracks.groupBy("key")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -156,6 +156,10 @@ def dhash_pairs(
     larger radii degrade gracefully like LSH banding. ``max_band_df``
     drops degenerate hot buckets (flat images all hash alike) — the
     df-cap skew fix from the n-gram join."""
+    # the hash stage is consumed by the df-cap count AND both join
+    # sides — without a barrier the Arrow decode/hash re-runs per
+    # consumer (8 MapInPandas nodes in the unshared DAG, measured)
+    hashes = hashes.localCheckpoint(eager=False)
     width = HASH_BITS // n_bands
     mask = (1 << width) - 1
     bands = F.array(
