@@ -2071,6 +2071,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vote floor. Rows-only: md5-keystream audio has no SQL twin;
     # planted track+offset recovery pinned in tests/test_audiofp.py)
     q["audio_fingerprint_match"] = lambda s, d: audiofp_mod.audio_fingerprint_match(s, d)
+    # sibling: psi_drift / ks_drift (the classical Pearson statistic —
+    # third drift lens over the same cells as PSI; exact integer
+    # counts, fixed double association order, decimal-summed terms)
+    q["chi2_drift"] = lambda s, d: stats.chi2_drift(s, d)
+    # sibling: domain_caps / dedup_exact_groups (URL-level dedup after
+    # canonicalization — tracking params/fragments/default ports/case
+    # noise collapse; keep-first via groupBy-min, no window)
+    q["url_canonical_dedup"] = lambda s, d: web_mod.url_canonical_dedup(s, d)
     # rotated out of cap round 8 (driver-green r4-r7 records; every
     # family keeps an in-cap sibling, see the rotation comments):
     q["dedup_components"] = curation.dedup_components
@@ -2417,4 +2425,6 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["domain_profile"] = oracles_curation.domain_profile_sql()
     o["paragraph_dedup"] = oracles_text.paragraph_dedup_sql()
     o["ks_drift"] = oracles_temporal.ks_drift_sql()
+    o["chi2_drift"] = oracles_temporal.chi2_drift_sql(10)
+    o["url_canonical_dedup"] = oracles_curation.url_canonical_dedup_sql()
     return o

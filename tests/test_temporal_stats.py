@@ -664,3 +664,37 @@ def test_ks_drift_matches_oracle_and_bucket_decomposition(spark, tmp_path):
         )
         want = tuple(con.execute(ks_drift_sql()).fetchall()[0])
         assert got == want, sub
+
+
+def test_chi2_drift_detects_planted_shift(spark, tmp_path):
+    """chi² ~ 0 on a stationary stream, large under a planted numeric
+    shift while the categorical feature stays flat — and both twins
+    agree hash-exactly on the same data."""
+    import datetime as dt
+
+    import duckdb
+
+    from ydb_vector_search_simple_api_spark.operators.stats import chi2_drift
+    from ydb_vector_search_simple_api_spark.oracles_temporal import chi2_drift_sql
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(2000):
+        shift = 10.0 if i >= 1000 else 0.0
+        rows.append(
+            (i, t0 + dt.timedelta(minutes=i), i % 50,
+             ["click", "view"][i % 2], (i % 7) + shift, "{}")
+        )
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.feature: r for r in chi2_drift(spark, str(tmp_path)).collect()}
+    assert got["event_type"].chi2 < 1.0
+    assert got["value_hist"].chi2 > 100.0
+    assert got["value_hist"].dof == got["value_hist"].n_cells - 1
+
+    con = duckdb.connect()
+    glob = str(tmp_path / "events.parquet" / "*.parquet").replace("'", "''")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{glob}')")
+    want = sorted(tuple(r) for r in con.execute(chi2_drift_sql()).fetchall())
+    assert sorted(tuple(r) for r in chi2_drift(spark, str(tmp_path)).collect()) == want

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F, types as T
 
 from ..sources.store import load_documents
+from .dedup import _ensure_parallelism
 from .multimodal import decode_pcm
 
 FRAME = 64
@@ -103,8 +104,13 @@ _FP_SCHEMA = T.StructType(
 
 
 def track_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, key, t) constellation rows for every document's track."""
-    d = load_documents(spark, sf_dir).select("doc_id", "n_chars")
+    """(doc_id, key, t) constellation rows for every document's track.
+    The input is fanned out to cluster parallelism first — a small
+    parquet scans as ONE split, serializing the whole Arrow stage
+    (measured 10.6 s single-task vs ~1 s fanned at sf0.1)."""
+    d = _ensure_parallelism(
+        load_documents(spark, sf_dir).select("doc_id", "n_chars")
+    )
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -141,7 +147,7 @@ def probe_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         F.col("doc_id").alias("base_id"), F.col("n_chars").alias("base_chars")
     )
-    probes = (
+    probes = _ensure_parallelism(
         d.filter(F.col("doc_id") % 10 == 9)
         .select("doc_id", (F.col("doc_id") - 9).alias("base_id"))
         .join(base, "base_id")

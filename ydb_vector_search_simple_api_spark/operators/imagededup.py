@@ -120,7 +120,11 @@ def image_dhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(base, "base_id")
         .select("doc_id", "base_id", "base_chars")
     )
-    src = orig.unionByName(dups)
+    from .dedup import _ensure_parallelism
+
+    # fan out before the Arrow stage: a small parquet scans as ONE
+    # split, serializing the decode/hash work (same fix as audiofp)
+    src = _ensure_parallelism(orig.unionByName(dups))
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

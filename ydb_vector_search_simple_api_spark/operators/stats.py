@@ -1003,3 +1003,81 @@ def ks_drift(spark: SparkSession, sf_dir: str, n_buckets: int = 32) -> DataFrame
             ).alias("ks_d"),
         )
     )
+
+
+def chi2_drift(spark: SparkSession, sf_dir: str, n_bins: int = 10) -> DataFrame:
+    """Pearson two-sample chi-square drift score over the SAME cells
+    as :func:`psi_drift` (fixed-width value histogram + event_type
+    shares, first vs second stream half) — the classical test
+    statistic beside PSI's information-theoretic score and
+    :func:`ks_drift`'s rank statistic. chi² = Σ_k (c1k·n2 − c2k·n1)²
+    / (n1·n2·(c1k+c2k)).
+
+    Float-parity contract: counts exact integers; the per-cell term
+    is one double expression with a fixed association order, rounded
+    to 9 and decimal-summed (order-invariant), final ROUND(6). Cells
+    with c1+c2 = 0 cannot occur (cells come FROM the counts).
+
+    Scale shape: identical to psi_drift — one scan computes the half
+    tag + cell key, one keyed count per feature, the fold is
+    bins-/domain-sized. Output (feature, n_cells, dof, chi2)."""
+    ev = load_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2
+        ).alias("mid"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "half", (F.col("ts").cast("timestamp") >= F.col("mid")).cast("int")
+    )
+    width = F.greatest(F.col("vmax") - F.col("vmin"), F.lit(1e-12)) / F.lit(
+        float(n_bins)
+    )
+    vbin = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col("value") - F.col("vmin")) / width).cast("int"),
+    )
+    cells = {
+        "value_hist": tagged.filter(F.col("value").isNotNull()).select(
+            "half", vbin.cast("string").alias("cell")
+        ),
+        "event_type": tagged.select("half", F.col("event_type").alias("cell")),
+    }
+    outs = []
+    for feature, cf in cells.items():
+        piv = (
+            cf.groupBy("cell", "half")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("cell")
+            .agg(
+                F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0)).alias("c1"),
+                F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)).alias("c2"),
+            )
+        )
+        tot = piv.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+        j = piv.crossJoin(F.broadcast(tot))
+        num = (
+            F.col("c1").cast("double") * F.col("n2").cast("double")
+            - F.col("c2").cast("double") * F.col("n1").cast("double")
+        )
+        den = (
+            F.col("n1").cast("double")
+            * F.col("n2").cast("double")
+            * (F.col("c1") + F.col("c2")).cast("double")
+        )
+        term = F.round(num * num / den, 9).cast("decimal(20,9)")
+        outs.append(
+            j.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
+                (F.round(F.sum(term).cast("double"), 6) + F.lit(0.0)).alias(
+                    "chi2"
+                ),
+            ).select(F.lit(feature).alias("feature"), "n_cells", "dof", "chi2")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -147,3 +147,82 @@ def domain_profile(
         )
         .orderBy("domain")
     )
+
+
+# --------------------------------------------- URL canonicalization
+
+#: ordered, engine-portable canonicalization passes (Java regex and
+#: RE2 read these identically — no lookaround, explicit classes):
+#: drop the fragment, drop tracking params (utm_*/fbclid) with their
+#: separator, clean a dangling '?'/'&', drop a default :80 port,
+#: drop one trailing slash on a non-root path.
+_CANON_PASSES: tuple[tuple[str, str], ...] = (
+    (r"#.*$", ""),
+    (r"(utm_[a-z]+|fbclid)=[^&]*&", ""),
+    (r"[?&](utm_[a-z]+|fbclid)=[^&]*$", ""),
+    (r"\?$", ""),
+    (r":80/", "/"),
+    (r"/$", ""),
+)
+
+
+def canonical_url_expr(col) -> "F.Column":
+    """Canonical form of a URL: lowercase scheme://host, strip
+    fragment / tracking params / default port / trailing slash. One
+    codegen expression chain (narrow map)."""
+    u = F.col(col) if isinstance(col, str) else col
+    # lowercase ONLY the scheme://host[:port] prefix; path and query
+    # stay case-sensitive (RFC 3986 §6.2.2.1)
+    prefix = F.regexp_extract(u, r"^([a-zA-Z]+://[^/]*)", 1)
+    rest = F.substr(u, F.length(prefix) + F.lit(1))
+    c = F.concat(F.lower(prefix), rest)
+    for pat, repl in _CANON_PASSES:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def attach_urls(df: DataFrame) -> DataFrame:
+    """Deterministic messy-URL augmentation: mixed-case scheme/host,
+    a default :80 port, a 50-bucket path (so distinct docs COLLIDE
+    after canonicalization — the planted ground truth), a kept `id`
+    param, tracking params on even docs, a fragment on every third,
+    a trailing slash on every fifth. Both engines build the identical
+    string."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return df.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTP://Ex"), s(i % 7), F.lit(".Example.COM:80/p"),
+            s(i % 50), F.lit("/item"),
+            F.lit("?id="), s(i % 50),
+            F.when(i % 2 == 0, F.lit("&utm_source=feed&utm_campaign=x"))
+            .otherwise(F.lit("")),
+            F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(i % 3 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+        ),
+    )
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup after canonicalization — the crawl-frontier /
+    re-crawl dedup step (tracking params, fragments, default ports
+    and case noise must not count as distinct pages). Keep-first
+    election per canonical URL (min doc_id — groupBy-min, no window).
+    Output (canon_url, n_docs, first_doc), ordered.
+
+    100 TB shape: canonicalization is a narrow codegen map; the
+    election is one keyed aggregate with map-side combine on the
+    canonical-URL hash. No window, no self-join."""
+    d = attach_urls(load_documents(spark, sf_dir))
+    return (
+        d.select(
+            canonical_url_expr("url").alias("canon_url"), F.col("doc_id")
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("canon_url")
+    )

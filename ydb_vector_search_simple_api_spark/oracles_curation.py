@@ -914,3 +914,37 @@ SELECT totals.domain AS domain, n_docs, total_tokens,
 FROM totals LEFT JOIN caps ON totals.domain = caps.domain
 ORDER BY domain
 """
+
+
+def url_canonical_dedup_sql() -> str:
+    """Twin of :func:`operators.web.url_canonical_dedup`: identical
+    messy-URL augmentation and the same ordered canonicalization
+    passes (DuckDB regexp_replace with the 'g' flag where Spark
+    replaces all)."""
+    url = (
+        "'HTTP://Ex' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM:80/p' || "
+        "CAST(doc_id % 50 AS VARCHAR) || '/item' || '?id=' || "
+        "CAST(doc_id % 50 AS VARCHAR) || "
+        "CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&utm_campaign=x' ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || "
+        "CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END"
+    )
+    canon = (
+        "lower(regexp_extract(url, '^([a-zA-Z]+://[^/]*)', 1)) || "
+        "url[length(regexp_extract(url, '^([a-zA-Z]+://[^/]*)', 1)) + 1:]"
+    )
+    for pat, repl in (
+        (r"#.*$", ""),
+        (r"(utm_[a-z]+|fbclid)=[^&]*&", ""),
+        (r"[?&](utm_[a-z]+|fbclid)=[^&]*$", ""),
+        (r"\?$", ""),
+        (r":80/", "/"),
+        (r"/$", ""),
+    ):
+        canon = f"regexp_replace({canon}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH aug AS (SELECT doc_id, {url} AS url FROM documents),
+c AS (SELECT doc_id, {canon} AS canon_url FROM aug)
+SELECT canon_url, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc
+FROM c GROUP BY canon_url ORDER BY canon_url
+"""

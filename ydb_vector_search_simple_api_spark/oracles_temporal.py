@@ -686,3 +686,54 @@ SELECT n1, n2, n_points,
 FROM c CROSS JOIN tot
 GROUP BY n1, n2, n_points
 """
+
+
+def chi2_drift_sql(n_bins: int = 10) -> str:
+    """Twin of stats.chi2_drift: same cells as psi_drift_sql, the
+    per-cell term in one double expression with the identical
+    association order, ROUND(term,9) decimal sum, final ROUND(6)."""
+
+    def one(feature: str, cell_src: str) -> str:
+        num = "(c1::DOUBLE * n2::DOUBLE - c2::DOUBLE * n1::DOUBLE)"
+        den = "(n1::DOUBLE * n2::DOUBLE * (c1 + c2)::DOUBLE)"
+        return f"""
+SELECT '{feature}' AS feature,
+       count(*)::BIGINT AS n_cells,
+       (count(*) - 1)::BIGINT AS dof,
+       ROUND(CAST(sum(CAST(ROUND({num} * {num} / {den}, 9)
+                      AS DECIMAL(20,9))) AS DOUBLE), 6) + 0.0 AS chi2
+FROM (
+  SELECT cell,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c2
+  FROM ({cell_src}) GROUP BY cell
+) piv CROSS JOIN (
+  SELECT sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n2
+  FROM ({cell_src})
+) tot"""
+
+    base = f"""
+WITH bounds AS (
+  SELECT to_timestamp((floor(epoch(min(ts::TIMESTAMP)))::BIGINT
+                       + floor(epoch(max(ts::TIMESTAMP)))::BIGINT) / 2) AS mid,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events
+),
+tagged AS (
+  SELECT *, CASE WHEN ts::TIMESTAMP >= mid THEN 1 ELSE 0 END AS half
+  FROM events CROSS JOIN bounds
+)"""
+    vcells = f"""
+  SELECT half,
+         CAST(least({n_bins - 1},
+              floor((value - vmin) / (greatest(vmax - vmin, 1e-12) / {float(n_bins)})))::INT AS VARCHAR) AS cell
+  FROM tagged WHERE value IS NOT NULL"""
+    tcells = "SELECT half, event_type AS cell FROM tagged"
+    return (
+        base
+        + "\n"
+        + one("value_hist", vcells)
+        + "\nUNION ALL\n"
+        + one("event_type", tcells)
+    )
