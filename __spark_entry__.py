@@ -52,6 +52,7 @@ from ydb_vector_search_simple_api_spark.operators import blocking as blocking_mo
 from ydb_vector_search_simple_api_spark.operators import web as web_mod
 from ydb_vector_search_simple_api_spark.operators import imagededup as imagededup_mod
 from ydb_vector_search_simple_api_spark.operators import audiofp as audiofp_mod
+from ydb_vector_search_simple_api_spark.operators import videodedup as videodedup_mod
 from ydb_vector_search_simple_api_spark.operators import wordpiece as wordpiece_mod
 from ydb_vector_search_simple_api_spark.operators import tdigest as tdigest_mod
 from ydb_vector_search_simple_api_spark.operators import tokenizers as tokenizers_mod
@@ -2071,6 +2072,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vote floor. Rows-only: md5-keystream audio has no SQL twin;
     # planted track+offset recovery pinned in tests/test_audiofp.py)
     q["audio_fingerprint_match"] = lambda s, d: audiofp_mod.audio_fingerprint_match(s, d)
+    # sibling: image_phash_dedup / audio_fingerprint_match (the VIDEO
+    # modality: per-frame dHash -> k=4 frame-hash shingles ->
+    # inverted-index self-join -> offset-consistency votes. Rows-only;
+    # planted subsequence pair+offset recovery pinned in
+    # tests/test_videodedup.py)
+    q["video_sequence_dedup"] = lambda s, d: videodedup_mod.video_sequence_dedup(s, d)
+    # sibling: snm_dedup_groups (same composition shape, image
+    # modality: banded pHash pairs -> two-star components -> canonical
+    # image groups. Rows-only like its pair stage)
+    q["image_dedup_groups"] = lambda s, d: graph_mod.connected_components_twostar(
+        imagededup_mod.image_phash_dedup(s, d)
+    )
     # sibling: psi_drift / ks_drift (the classical Pearson statistic —
     # third drift lens over the same cells as PSI; exact integer
     # counts, fixed double association order, decimal-summed terms)

@@ -81,3 +81,25 @@ def test_banding_pigeonhole_lossless_within_radius(spark):
         (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)
     }
     assert all(hm <= 3 for _, _, hm in got)
+
+
+def test_image_dedup_groups_are_planted_pairs(spark):
+    """pairs -> two-star components: every planted (base, dup) pair
+    becomes one 2-member component labeled by the base id."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators.graph import (
+        connected_components_twostar,
+    )
+
+    pairs = IM.image_phash_dedup(spark, SF_SMALL)
+    comp = connected_components_twostar(pairs).collect()
+    by_comp: dict[int, set[int]] = {}
+    for r in comp:
+        by_comp.setdefault(r.component_id, set()).add(r.doc_id)
+    h = IM.image_dhashes(spark, SF_SMALL)
+    planted = {
+        (r.base_id, r.doc_id)
+        for r in h.filter(F.col("base_id") != F.col("doc_id")).collect()
+    }
+    assert by_comp == {a: {a, b} for a, b in planted}
