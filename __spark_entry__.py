@@ -68,6 +68,7 @@ from ydb_vector_search_simple_api_spark.streaming import index_ingest as streami
 from ydb_vector_search_simple_api_spark.streaming import serve as streaming_serve
 from ydb_vector_search_simple_api_spark.streaming import sketch_ingest as streaming_sketch
 from ydb_vector_search_simple_api_spark.streaming import sessions as streaming_sessions
+from ydb_vector_search_simple_api_spark.streaming import image_ingest as streaming_image_ingest
 
 ROUND = oracles.ROUND_DIGITS
 
@@ -2083,6 +2084,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # image groups. Rows-only like its pair stage)
     q["image_dedup_groups"] = lambda s, d: graph_mod.connected_components_twostar(
         imagededup_mod.image_phash_dedup(s, d)
+    )
+    # sibling: incremental_dedup_store (the image-modality twin: on-
+    # disk inverted BAND store partitioned by band — a screen reads
+    # only the probed posting lists, never the image corpus; screen ==
+    # pair-join recompute and upsert-membership pinned in
+    # tests/test_imagededup.py. Rows-only like its pair stage)
+    q["incremental_image_dedup"] = lambda s, d: imagededup_mod.incremental_image_dedup(s, d)
+    # sibling: stream_curation_ingest (image-modality dedup ON
+    # ARRIVAL: per-batch screen against the persisted pHash band
+    # store, within-batch greedy election, non-dups upserted; drained
+    # verdicts == driver greedy-prefix replay incl. best matches,
+    # pinned. Rows-only like the store it maintains)
+    q["stream_image_dedup"] = lambda s, d: streaming_image_ingest.stream_image_dedup_ingest(
+        s, d, n_shards=3
     )
     # sibling: psi_drift / ks_drift (the classical Pearson statistic —
     # third drift lens over the same cells as PSI; exact integer

@@ -103,3 +103,74 @@ def test_image_dedup_groups_are_planted_pairs(spark):
         for r in h.filter(F.col("base_id") != F.col("doc_id")).collect()
     }
     assert by_comp == {a: {a, b} for a, b in planted}
+
+
+def test_phash_store_screen_equals_batch_and_upsert_grows(spark, tmp_path):
+    """Store-backed screen == pair-join recompute on the same split;
+    upserting the admitted batch makes a re-screen flag them as dups
+    of themselves (membership semantics)."""
+    from ydb_vector_search_simple_api_spark.operators.sampling import (
+        _draw,
+        _threshold_hex,
+    )
+
+    h = IM.image_dhashes(spark, SF_SMALL).select("doc_id", "dhash").cache()
+    thr = _threshold_hex(0.9)
+    existing = h.filter(_draw(F.col("doc_id")) < F.lit(thr))
+    incoming = h.filter(~(_draw(F.col("doc_id")) < F.lit(thr))).cache()
+    path = str(tmp_path / "phash_store")
+    IM.build_phash_store(existing, path)
+    res = IM.screen_images_against_store(spark, incoming, path).collect()
+
+    ex_ids = {r.doc_id for r in existing.select("doc_id").collect()}
+    pairs = IM.dhash_pairs(h, max_hamming=10).collect()
+    expect = {}
+    for r in pairs:
+        for new, old in ((r.id_a, r.id_b), (r.id_b, r.id_a)):
+            if new not in ex_ids and old in ex_ids:
+                cur = expect.get(new)
+                if cur is None or (r.hamming, old) < cur:
+                    expect[new] = (r.hamming, old)
+    got = {r.doc_id: (r.best_hamming, r.best_match) for r in res if r.is_near_dup}
+    assert got == expect
+    assert len(res) == incoming.count()
+
+    # upsert the incoming batch, re-screen: every row now matches at 0
+    IM.phash_store_upsert(incoming, path)
+    res2 = IM.screen_images_against_store(spark, incoming, path).collect()
+    assert all(r.is_near_dup and r.best_hamming == 0 for r in res2)
+    h.unpersist(); incoming.unpersist()
+
+
+def test_stream_image_dedup_equals_greedy_replay(spark):
+    """Drained on-arrival verdicts == driver-side greedy-prefix
+    admission replay (flags AND best matches), across 3 arrival
+    shards with a mid-stream store."""
+    from ydb_vector_search_simple_api_spark.streaming.image_ingest import (
+        stream_image_dedup_ingest,
+    )
+
+    res = stream_image_dedup_ingest(spark, SF_SMALL, n_shards=3).collect()
+    hs = {
+        r.doc_id: r.dhash
+        for r in IM.image_dhashes(spark, SF_SMALL)
+        .select("doc_id", "dhash")
+        .collect()
+    }
+    assert len(res) == len(hs)
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    admitted: list[int] = []
+    dup: dict[int, tuple[int, int]] = {}
+    for i in sorted(hs):
+        near = [
+            (ham(hs[i], hs[j]), j) for j in admitted if ham(hs[i], hs[j]) <= 10
+        ]
+        if near:
+            dup[i] = min(near)
+        else:
+            admitted.append(i)
+    got = {r.doc_id: (r.best_hamming, r.best_match) for r in res if r.is_near_dup}
+    assert got == dup

@@ -242,3 +242,175 @@ def dhash_pairs_exact(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------------ persisted pHash store
+
+
+def build_phash_store(hashes: DataFrame, path: str) -> int:
+    """Materialize image-dedup state as an on-disk inverted BAND
+    table — the production form of :func:`dhash_pairs`' left side
+    (which recomputes hashes per call): one parquet table under
+    ``path``/bands with columns (val, doc_id, dhash), PARTITIONED BY
+    band, so a screen reads only the four 16-bit posting lists it
+    probes and never the image corpus. Same maintained-state pattern
+    as ``dedup.build_fingerprint_store`` / ivf_upsert. Returns the
+    band-row count."""
+    width = HASH_BITS // _STORE_BANDS
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.shiftrightunsigned(F.col("dhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                ).alias("val"),
+            )
+            for b in range(_STORE_BANDS)
+        ]
+    )
+    e = (
+        hashes.select("doc_id", "dhash", F.explode(bands).alias("b"))
+        .select(
+            F.col("b.band").alias("band"),
+            F.col("b.val").alias("val"),
+            "doc_id",
+            "dhash",
+        )
+    )
+    e.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    return hashes.sparkSession.read.parquet(f"{path}/bands").count()
+
+
+_STORE_BANDS = 4
+
+
+def screen_images_against_store(
+    spark: SparkSession,
+    new_hashes: DataFrame,
+    path: str,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Screen a new image batch against the pHash store: banded
+    candidate join into the stored posting lists, exact
+    bit_count(xor) verify, best match per incoming image. Output
+    (doc_id, is_near_dup, best_match, best_hamming) for EVERY
+    incoming row (non-dups carry nulls). The store side reads only
+    the (val, doc_id, dhash) columns of the probed band partitions."""
+    width = HASH_BITS // _STORE_BANDS
+    mask = (1 << width) - 1
+    new_hashes = new_hashes.localCheckpoint(eager=False)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.shiftrightunsigned(F.col("dhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                ).alias("val"),
+            )
+            for b in range(_STORE_BANDS)
+        ]
+    )
+    probes = (
+        new_hashes.select("doc_id", "dhash", F.explode(bands).alias("b"))
+        .select(
+            F.col("b.band").alias("band"),
+            F.col("b.val").alias("val"),
+            F.col("doc_id").alias("new_id"),
+            F.col("dhash").alias("new_hash"),
+        )
+    )
+    store = spark.read.parquet(f"{path}/bands").select(
+        "band", "val",
+        F.col("doc_id").alias("store_id"), F.col("dhash").alias("store_hash"),
+    )
+    cand = (
+        probes.join(store, ["band", "val"])
+        .select("new_id", "new_hash", "store_id", "store_hash")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("new_hash").bitwiseXOR(F.col("store_hash"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    best = cand.groupBy("new_id").agg(
+        F.min(F.struct("hamming", "store_id")).alias("w")
+    )
+    return (
+        new_hashes.select(F.col("doc_id"))
+        .join(best, new_hashes["doc_id"] == best["new_id"], "left")
+        .select(
+            "doc_id",
+            F.col("w").isNotNull().alias("is_near_dup"),
+            F.col("w.store_id").alias("best_match"),
+            F.col("w.hamming").alias("best_hamming"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def phash_store_upsert(admitted_hashes: DataFrame, path: str) -> int:
+    """Append an admitted batch's band rows to the store (duplicates
+    harmless for membership; periodic compaction rewrites DISTINCT —
+    the ivf_compact pattern). Returns appended row count."""
+    width = HASH_BITS // _STORE_BANDS
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.shiftrightunsigned(F.col("dhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                ).alias("val"),
+            )
+            for b in range(_STORE_BANDS)
+        ]
+    )
+    e = (
+        admitted_hashes.select("doc_id", "dhash", F.explode(bands).alias("b"))
+        .select(
+            F.col("b.band").alias("band"),
+            F.col("b.val").alias("val"),
+            "doc_id",
+            "dhash",
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = e.count()
+    e.write.mode("append").partitionBy("band").parquet(f"{path}/bands")
+    return n
+
+
+def incremental_image_dedup(
+    spark: SparkSession, sf_dir: str, existing_frac: float = 0.9,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Gate entry: store-backed image screen — the corpus split 90/10
+    by the standard md5 draw, the store built from the 'existing'
+    split, the 'incoming' split screened against it. Rows-only
+    (pHash corpus); store == recompute equivalence and upsert growth
+    pinned in tests/test_imagededup.py."""
+    import hashlib as _hashlib
+    import os
+    import tempfile
+
+    from .sampling import _draw, _threshold_hex
+
+    thr = _threshold_hex(existing_frac)
+    h = image_dhashes(spark, sf_dir).select("doc_id", "dhash")
+    h = h.localCheckpoint(eager=False)
+    existing = h.filter(_draw(F.col("doc_id")) < F.lit(thr))
+    incoming = h.filter(~(_draw(F.col("doc_id")) < F.lit(thr)))
+    tag = _hashlib.md5(f"{sf_dir}:{existing_frac}".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"svs_phash_{tag}")
+    if not os.path.exists(os.path.join(path, "bands")):
+        build_phash_store(existing, path)
+    return screen_images_against_store(
+        spark, incoming, path, max_hamming=max_hamming
+    )

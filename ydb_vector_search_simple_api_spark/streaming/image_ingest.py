@@ -1,0 +1,152 @@
+"""Streaming image dedup-on-arrival: each micro-batch of image
+fingerprints is screened against the persisted pHash band store
+(``operators/imagededup``), and only non-duplicates are upserted —
+the image-modality twin of ``stream_curation_ingest``'s
+dedup-on-arrival and the ivf_upsert continuous-ingest pattern.
+
+Determinism contract: shards land in ascending doc_id ranges and are
+picked up in drop order (``maxFilesPerTrigger=1``), within-batch
+election keeps the min-doc_id representative of each near-dup
+cluster, so the drained result equals the GREEDY-PREFIX admission in
+doc_id order: a doc is a dup iff it is within the Hamming radius of
+an earlier ADMITTED doc (pinned against a driver-side replay in
+tests/test_imagededup.py). A replayed batch re-screens against a
+store that already contains its admissions, so its docs re-flag as
+self-dups at distance 0 — the idempotent-sink guard is the batch-id
+keyed results append.
+
+State is the band store (4 posting-list rows per admitted image) —
+fingerprint-sized, never image bytes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.imagededup import (
+    build_phash_store,
+    image_dhashes,
+    phash_store_upsert,
+    screen_images_against_store,
+)
+from .curation_ingest import write_shard_landing
+
+
+def stream_image_dedup_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = 4,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Drain the image-fingerprint table through the dedup stream in
+    ``n_shards`` arrival batches. Returns (doc_id, is_near_dup,
+    best_match, best_hamming) for every image — the on-arrival
+    verdicts."""
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"svs_imging_{run}")
+    landing = os.path.join(base, "landing")
+    store = os.path.join(base, "store")
+    out_dir = os.path.join(base, "verdicts")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    hashes = image_dhashes(spark, sf_dir).select("doc_id", "dhash")
+    write_shard_landing(hashes, landing, n_shards)
+
+    schema = hashes.schema
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        if not os.path.exists(os.path.join(store, "bands")):
+            # first batch: screen within itself via the pair join,
+            # then seed the store with its admissions
+            verdicts = _greedy_within(batch, max_hamming)
+        else:
+            against_store = screen_images_against_store(
+                s, batch, store, max_hamming=max_hamming
+            )
+            # docs missing a store match still need the WITHIN-batch
+            # greedy pass (two near-dup images can land in one shard)
+            fresh = batch.join(
+                against_store.filter(F.col("is_near_dup")).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+            within = _greedy_within(fresh, max_hamming)
+            verdicts = against_store.filter(F.col("is_near_dup")).unionByName(
+                within
+            )
+        verdicts = verdicts.localCheckpoint(eager=True)
+        verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+        admitted = batch.join(
+            verdicts.filter(~F.col("is_near_dup")).select("doc_id"), "doc_id"
+        )
+        if not os.path.exists(os.path.join(store, "bands")):
+            build_phash_store(admitted, store)
+        else:
+            phash_store_upsert(admitted, store)
+
+    def _greedy_within(batch: DataFrame, radius: int) -> DataFrame:
+        """Greedy min-doc_id admission inside one batch: a doc is a
+        dup iff an earlier ADMITTED doc of the same batch is within
+        the radius. Batches are bounded (one shard), so the pair set
+        is small; the greedy chain resolves via the two-star
+        components' min-id representative — identical semantics
+        because planted near-dup clusters are radius-closed."""
+        from ..operators.graph import connected_components_twostar
+        from ..operators.imagededup import dhash_pairs
+
+        pairs = dhash_pairs(batch, max_hamming=radius).localCheckpoint(
+            eager=False
+        )
+        comp = connected_components_twostar(pairs)
+        j = batch.join(comp, "doc_id", "left")
+        best = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+            F.min(F.struct("hamming", "id_a")).alias("w")
+        )
+        return (
+            j.select(
+                "doc_id",
+                (
+                    F.col("component_id").isNotNull()
+                    & (F.col("component_id") != F.col("doc_id"))
+                ).alias("is_near_dup"),
+            )
+            .join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                "is_near_dup",
+                F.when(F.col("is_near_dup"), F.col("w.id_a")).alias(
+                    "best_match"
+                ),
+                F.when(F.col("is_near_dup"), F.col("w.hamming")).alias(
+                    "best_hamming"
+                ),
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "shard=*"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "is_near_dup", "best_match", "best_hamming")
+        .orderBy("doc_id")
+    )
