@@ -2097,7 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdicts == driver greedy-prefix replay incl. best matches,
     # pinned. Rows-only like the store it maintains)
     q["stream_image_dedup"] = lambda s, d: streaming_image_ingest.stream_image_dedup_ingest(
-        s, d, n_shards=3
+        s, d, n_shards=2
     )
     # sibling: psi_drift / ks_drift (the classical Pearson statistic —
     # third drift lens over the same cells as PSI; exact integer

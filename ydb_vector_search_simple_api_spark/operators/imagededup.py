@@ -279,8 +279,10 @@ def build_phash_store(hashes: DataFrame, path: str) -> int:
             "dhash",
         )
     )
+    e = e.localCheckpoint(eager=True)  # one eval: count + write
+    n = e.count()
     e.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
-    return hashes.sparkSession.read.parquet(f"{path}/bands").count()
+    return n
 
 
 _STORE_BANDS = 4
