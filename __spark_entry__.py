@@ -2099,6 +2099,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_image_dedup"] = lambda s, d: streaming_image_ingest.stream_image_dedup_ingest(
         s, d, n_shards=2
     )
+    # sibling: expectations_report / expectations_events (the THIRD
+    # table: the invariants an ANN index build assumes — fixed dim,
+    # finite components, non-zero norms; same fused single-scan plan)
+    q["expectations_embeddings"] = expectations_mod.expectations_report_embeddings
     # sibling: psi_drift / ks_drift (the classical Pearson statistic —
     # third drift lens over the same cells as PSI; exact integer
     # counts, fixed double association order, decimal-summed terms)
@@ -2454,5 +2458,6 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["paragraph_dedup"] = oracles_text.paragraph_dedup_sql()
     o["ks_drift"] = oracles_temporal.ks_drift_sql()
     o["chi2_drift"] = oracles_temporal.chi2_drift_sql(10)
+    o["expectations_embeddings"] = oracles_curation.expectations_embeddings_sql()
     o["url_canonical_dedup"] = oracles_curation.url_canonical_dedup_sql()
     return o

@@ -799,3 +799,34 @@ def test_expectations_events_all_pass(spark):
     rows = expectations_report_events(spark, SF_SMALL).collect()
     assert len(rows) == len(EVENT_CHECKS)
     assert all(r.passed for r in rows)
+
+
+def test_expectations_embeddings_all_pass_and_catch_planted(spark, tmp_path):
+    """The shipped suite passes on the real table; a planted bad table
+    (wrong dim, NaN component, zero vector, dup id) fails exactly the
+    matching checks."""
+    from ydb_vector_search_simple_api_spark.operators.expectations import (
+        expectations_report_embeddings,
+    )
+
+    rows = expectations_report_embeddings(spark, SF_SMALL).collect()
+    assert rows and all(r.passed for r in rows)
+
+    bad = [(i, [0.1] * 64) for i in range(120)]
+    bad[0] = (0, [0.1] * 63)                     # wrong dim
+    bad[1] = (1, [float("nan")] + [0.1] * 63)    # NaN component
+    bad[2] = (2, [0.0] * 64)                     # zero vector
+    bad[3] = (3, [0.1] * 64)
+    bad.append((3, [0.2] * 64))                  # duplicate vec_id
+    spark.createDataFrame(bad, ["vec_id", "embedding"]).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = {
+        r.check_name: r.passed
+        for r in expectations_report_embeddings(spark, str(tmp_path)).collect()
+    }
+    assert not got["dim_consistent"]
+    assert not got["finite_components"]
+    assert not got["norm_nonzero"]
+    assert not got["unique_vec_id"]
+    assert got["complete_vec_id"]

@@ -176,3 +176,84 @@ def expectations_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "passed"
         ),
     )
+
+
+EMBEDDING_DIM = 64
+
+EMBEDDING_CHECKS: tuple[tuple[str, float, float], ...] = (
+    ("size_min", 100.0, float("inf")),
+    ("complete_vec_id", 1.0, 1.0),
+    ("complete_embedding", 1.0, 1.0),
+    ("unique_vec_id", 1.0, 1.0),
+    ("dim_consistent", 1.0, 1.0),
+    ("finite_components", 1.0, 1.0),
+    ("norm_nonzero", 1.0, 1.0),
+    ("mean_norm_range", 0.01, 100.0),
+)
+
+
+def expectations_report_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The embeddings-table constraint suite — the invariants an ANN
+    index build assumes (fixed dimension, finite components, non-zero
+    norms for cosine). Same single fused aggregation + broadcast
+    bounds plan as the documents/events suites. Output (check_name,
+    metric, passed)."""
+    from ..functions.distance import l2_norm
+    from ..sources.store import load_embeddings
+
+    d = load_embeddings(spark, sf_dir)
+    n = F.count(F.lit(1))
+    emb = F.col("embedding")
+    bad_component = F.exists(
+        emb,
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    metrics = d.agg(
+        n.cast("double").alias("size_min"),
+        _frac(F.col("vec_id").isNotNull(), n).alias("complete_vec_id"),
+        _frac(emb.isNotNull(), n).alias("complete_embedding"),
+        (
+            F.round(
+                F.count_distinct("vec_id").cast("double") / n.cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("unique_vec_id"),
+        _frac(F.size(emb) == EMBEDDING_DIM, n).alias("dim_consistent"),
+        _frac(emb.isNotNull() & ~bad_component, n).alias("finite_components"),
+        _frac(
+            F.exists(emb, lambda x: x.cast("double") != 0.0), n
+        ).alias("norm_nonzero"),
+        (
+            # per-row ROUND(9) norm -> decimal sum (the float contract)
+            F.round(
+                F.sum(F.round(l2_norm(emb), 9).cast("decimal(28,9)")).cast(
+                    "double"
+                )
+                / n.cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_norm_range"),
+    )
+    stack_args: list = []
+    for name, _, _ in EMBEDDING_CHECKS:
+        stack_args += [F.lit(name), F.col(name)]
+    long = metrics.select(
+        F.stack(F.lit(len(EMBEDDING_CHECKS)), *stack_args).alias(
+            "check_name", "metric"
+        )
+    )
+    bounds = spark.createDataFrame(
+        [(name, lo, hi) for name, lo, hi in EMBEDDING_CHECKS],
+        "check_name string, lo double, hi double",
+    )
+    return long.join(F.broadcast(bounds), "check_name").select(
+        "check_name",
+        "metric",
+        (
+            (F.col("metric") >= F.col("lo")) & (F.col("metric") <= F.col("hi"))
+        ).alias("passed"),
+    )

@@ -948,3 +948,65 @@ c AS (SELECT doc_id, {canon} AS canon_url FROM aug)
 SELECT canon_url, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc
 FROM c GROUP BY canon_url ORDER BY canon_url
 """
+
+
+def expectations_embeddings_sql() -> str:
+    """Twin of expectations.expectations_report_embeddings: bounds
+    imported from the same EMBEDDING_CHECKS declaration, double-fold
+    norms (list_sum/list_transform — the oracles.py convention),
+    per-row ROUND(9) decimal-summed mean."""
+    from .operators.expectations import EMBEDDING_CHECKS, EMBEDDING_DIM
+
+    def frac(cond: str) -> str:
+        return (
+            f"ROUND(sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::DOUBLE"
+            " / count(*)::DOUBLE, 6) + 0.0"
+        )
+
+    norm = (
+        "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    )
+    bad = (
+        "len(list_filter(embedding, x -> isnan(x::DOUBLE)"
+        " OR isinf(x::DOUBLE))) > 0"
+    )
+    metric_exprs = {
+        "size_min": "count(*)::DOUBLE",
+        "complete_vec_id": frac("vec_id IS NOT NULL"),
+        "complete_embedding": frac("embedding IS NOT NULL"),
+        "unique_vec_id": (
+            "ROUND(count(DISTINCT vec_id)::DOUBLE / count(*)::DOUBLE, 6) + 0.0"
+        ),
+        "dim_consistent": frac(f"len(embedding) = {EMBEDDING_DIM}"),
+        "finite_components": frac(f"embedding IS NOT NULL AND NOT ({bad})"),
+        "norm_nonzero": frac(
+            "len(list_filter(embedding, x -> x::DOUBLE != 0.0)) > 0"
+        ),
+        "mean_norm_range": (
+            f"ROUND(CAST(sum(CAST(ROUND({norm}, 9) AS DECIMAL(28,9)))"
+            " AS DOUBLE) / count(*)::DOUBLE, 6) + 0.0"
+        ),
+    }
+    cols = ",\n       ".join(
+        f"{expr} AS {name}" for name, expr in metric_exprs.items()
+    )
+
+    def bound(v: float) -> str:
+        return "'infinity'::DOUBLE" if v == float("inf") else repr(v)
+
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT '{name}' AS check_name, {name} AS metric,"
+        f" {bound(lo)} AS lo, {bound(hi)} AS hi FROM m"
+        for name, lo, hi in EMBEDDING_CHECKS
+    )
+    return f"""
+WITH m AS (
+  SELECT {cols}
+  FROM embeddings
+),
+long AS (
+  {arms}
+)
+SELECT check_name, metric, (metric >= lo AND metric <= hi) AS passed
+FROM long
+"""
