@@ -2099,6 +2099,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_image_dedup"] = lambda s, d: streaming_image_ingest.stream_image_dedup_ingest(
         s, d, n_shards=2
     )
+    # sibling: audio_fingerprint_match (the STORE-BACKED serving path:
+    # corpus fingerprinted once into the persisted posting index,
+    # probes screened against it — store == direct-match equivalence
+    # pinned incl. votes. Rows-only like its direct twin)
+    q["audio_match_store"] = lambda s, d: audiofp_mod.audio_match_store(s, d)
     # sibling: expectations_report / expectations_events (the THIRD
     # table: the invariants an ANN index build assumes — fixed dim,
     # finite components, non-zero norms; same fused single-scan plan)

@@ -56,3 +56,40 @@ def test_vote_floor_rejects_everything_when_capped(spark):
     p = AFP.probe_fingerprints(spark, SF_SMALL).select("probe_id", "key", "t")
     t = AFP.track_fingerprints(spark, SF_SMALL)
     assert AFP.match_fingerprints(p, t, max_key_df=0).count() == 0
+
+
+def test_store_serving_equals_direct_match(spark, tmp_path):
+    """Posting-store screen == recompute-everything match on the
+    planted probes (track, offset AND votes), plus upsert membership:
+    a screened clip upserted into the store re-matches itself at
+    offset 0 with every fingerprint voting."""
+    tracks = AFP.track_fingerprints(spark, SF_SMALL)
+    path = str(tmp_path / "afp_store")
+    AFP.build_audiofp_store(tracks, path)
+    probes = AFP.probe_fingerprints(spark, SF_SMALL).select(
+        F.col("probe_id").alias("doc_id"), "key", "t"
+    )
+    store_res = {
+        r.doc_id: (r.track_id, r.offset, r.n_votes)
+        for r in AFP.screen_audio_against_store(spark, probes, path).collect()
+        if r.is_match
+    }
+    direct = {
+        r.probe_id: (r.track_id, r.offset, r.n_votes)
+        for r in AFP.audio_fingerprint_match(spark, SF_SMALL).collect()
+    }
+    assert store_res == direct
+
+    # upsert the probes' own fingerprints; re-screen: self-match at 0
+    AFP.audiofp_store_upsert(probes, path)
+    res2 = AFP.screen_audio_against_store(spark, probes, path).collect()
+    n_fps = {
+        r.doc_id: r.n
+        for r in probes.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    for r in res2:
+        assert r.is_match and r.track_id == r.doc_id and r.offset == 0
+        # >=: the store also holds doc_id's ORIGINAL track postings
+        # (probe ids collide with track ids by construction), so a
+        # coincidental shared key can add votes beyond the clip's own
+        assert r.n_votes >= n_fps[r.doc_id]

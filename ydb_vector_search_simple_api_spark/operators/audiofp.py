@@ -242,3 +242,96 @@ def audio_fingerprint_match(
         track_fingerprints(spark, sf_dir),
         min_votes=min_votes,
     )
+
+
+# -------------------------------------------- persisted fingerprint store
+
+
+def build_audiofp_store(fps: DataFrame, path: str) -> int:
+    """Materialize audio-dedup state as the on-disk inverted
+    constellation index: one parquet table of (key, doc_id, t)
+    posting rows — the production form of the match's track side
+    (which refingerprinted the corpus per call). Same maintained-
+    state pattern as the pHash band store. Returns the row count."""
+    e = fps.select("key", "doc_id", "t").localCheckpoint(eager=True)
+    n = e.count()
+    e.write.mode("overwrite").parquet(f"{path}/postings")
+    return n
+
+
+def screen_audio_against_store(
+    spark: SparkSession,
+    new_fps: DataFrame,
+    path: str,
+    min_votes: int = 4,
+) -> DataFrame:
+    """Screen new clips' fingerprints against the store: inverted-
+    index join on the constellation key, offset histogram, vote
+    floor, max-struct election. Output (doc_id, is_match, track_id,
+    offset, n_votes) for EVERY distinct incoming clip (non-matches
+    carry nulls)."""
+    new_fps = new_fps.localCheckpoint(eager=False)
+    store = spark.read.parquet(f"{path}/postings").select(
+        "key", F.col("doc_id").alias("track_id"), F.col("t").alias("tt")
+    )
+    votes = (
+        new_fps.select(F.col("doc_id").alias("probe_id"), "key", F.col("t").alias("pt"))
+        .join(store, "key")
+        .groupBy(
+            "probe_id", "track_id", (F.col("tt") - F.col("pt")).alias("offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .filter(F.col("n_votes") >= min_votes)
+    )
+    best = votes.groupBy("probe_id").agg(
+        F.max(F.struct("n_votes", "track_id", "offset")).alias("w")
+    )
+    return (
+        new_fps.select("doc_id")
+        .distinct()
+        .join(best, F.col("doc_id") == F.col("probe_id"), "left")
+        .select(
+            "doc_id",
+            F.col("w").isNotNull().alias("is_match"),
+            F.col("w.track_id").alias("track_id"),
+            F.col("w.offset").alias("offset"),
+            F.col("w.n_votes").alias("n_votes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def audiofp_store_upsert(admitted_fps: DataFrame, path: str) -> int:
+    """Append an admitted batch's posting rows (duplicates harmless
+    for vote semantics only if not re-appended — callers append each
+    clip once; periodic compaction rewrites DISTINCT)."""
+    e = admitted_fps.select("key", "doc_id", "t").localCheckpoint(eager=True)
+    n = e.count()
+    e.write.mode("append").parquet(f"{path}/postings")
+    return n
+
+
+def audio_match_store(
+    spark: SparkSession, sf_dir: str, min_votes: int = 4
+) -> DataFrame:
+    """Gate entry: the store-backed serving path — the track corpus
+    fingerprinted ONCE into the persisted posting index, the planted
+    probe clips screened against it. Must recover exactly what the
+    recompute-everything :func:`audio_fingerprint_match` recovers
+    (equivalence pinned in tests/test_audiofp.py) while never
+    re-reading the audio corpus. Rows-only like its direct twin."""
+    import hashlib as _hashlib
+    import os
+    import tempfile
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"svs_afpstore_{tag}")
+    if not os.path.exists(os.path.join(path, "postings")):
+        build_audiofp_store(track_fingerprints(spark, sf_dir), path)
+    probes = probe_fingerprints(spark, sf_dir).select("probe_id", "key", "t")
+    return screen_audio_against_store(
+        spark,
+        probes.withColumnRenamed("probe_id", "doc_id"),
+        path,
+        min_votes=min_votes,
+    )
