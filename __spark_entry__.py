@@ -53,6 +53,7 @@ from ydb_vector_search_simple_api_spark.operators import web as web_mod
 from ydb_vector_search_simple_api_spark.operators import imagededup as imagededup_mod
 from ydb_vector_search_simple_api_spark.operators import audiofp as audiofp_mod
 from ydb_vector_search_simple_api_spark.operators import videodedup as videodedup_mod
+from ydb_vector_search_simple_api_spark.operators import mmcuration as mmcuration_mod
 from ydb_vector_search_simple_api_spark.operators import wordpiece as wordpiece_mod
 from ydb_vector_search_simple_api_spark.operators import tdigest as tdigest_mod
 from ydb_vector_search_simple_api_spark.operators import tokenizers as tokenizers_mod
@@ -2104,6 +2105,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # probes screened against it — store == direct-match equivalence
     # pinned incl. votes. Rows-only like its direct twin)
     q["audio_match_store"] = lambda s, d: audiofp_mod.audio_match_store(s, d)
+    # sibling: curation_reasons (the provenance report extended ACROSS
+    # MODALITIES: one admission verdict per doc from text quality +
+    # text/image/audio/video near-dup stages — keep-first convention
+    # throughout; flag-by-flag equality vs the individual operators
+    # pinned. Rows-only: the media stages have no SQL twins)
+    q["multimodal_curation"] = lambda s, d: mmcuration_mod.multimodal_curation_report(s, d)
     # sibling: expectations_report / expectations_events (the THIRD
     # table: the invariants an ANN index build assumes — fixed dim,
     # finite components, non-zero norms; same fused single-scan plan)
