@@ -2111,6 +2111,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # throughout; flag-by-flag equality vs the individual operators
     # pinned. Rows-only: the media stages have no SQL twins)
     q["multimodal_curation"] = lambda s, d: mmcuration_mod.multimodal_curation_report(s, d)
+    # sibling: dedup_components / quality_vs_dup_rate (the cluster-
+    # SIZE diagnostic: pair vs template-family tail — decides whether
+    # keep-first suffices; recursive-CTE oracle rolled up)
+    q["dedup_cluster_sizes"] = lambda s, d: curation.dedup_cluster_sizes(s, d)
+    # sibling: token_frequencies / lang_profile (the corpus-health
+    # diagnostic: least-squares Zipf slope over the top-N token
+    # frequencies — natural text ≈ −1, boilerplate flattens; exact
+    # integer ranks, decimal-summed regression terms)
+    q["zipf_fit"] = lambda s, d: textual.zipf_fit(s, d)
     # sibling: expectations_report / expectations_events (the THIRD
     # table: the invariants an ANN index build assumes — fixed dim,
     # finite components, non-zero norms; same fused single-scan plan)
@@ -2471,5 +2480,9 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["ks_drift"] = oracles_temporal.ks_drift_sql()
     o["chi2_drift"] = oracles_temporal.chi2_drift_sql(10)
     o["expectations_embeddings"] = oracles_curation.expectations_embeddings_sql()
+    o["dedup_cluster_sizes"] = oracles_curation.dedup_cluster_sizes_sql(
+        oracles_text.ngram_jaccard_sql(3, 0.8)
+    )
+    o["zipf_fit"] = oracles_text.zipf_fit_sql(500)
     o["url_canonical_dedup"] = oracles_curation.url_canonical_dedup_sql()
     return o

@@ -830,3 +830,22 @@ def test_expectations_embeddings_all_pass_and_catch_planted(spark, tmp_path):
     assert not got["norm_nonzero"]
     assert not got["unique_vec_id"]
     assert got["complete_vec_id"]
+
+
+def test_dedup_cluster_sizes_consistency(spark):
+    """Histogram folds back to the component table exactly."""
+    from ydb_vector_search_simple_api_spark.operators.curation import (
+        dedup_cluster_sizes,
+        dedup_components,
+    )
+
+    comp = dedup_components(spark, SF_SMALL).collect()
+    from collections import Counter
+
+    sizes = Counter(Counter(r.component_id for r in comp).values())
+    got = {
+        r.cluster_size: (r.n_clusters, r.n_docs)
+        for r in dedup_cluster_sizes(spark, SF_SMALL).collect()
+    }
+    assert got == {s: (n, n * s) for s, n in sizes.items()}
+    assert all(s >= 2 for s in got)  # singletons never enter the graph

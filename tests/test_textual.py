@@ -427,3 +427,26 @@ def test_lang_id_confusion_shares_sum_to_one(spark):
     assert n_docs == 500
     for lang, tot in per.items():
         assert abs(tot - 1.0) < 1e-4, lang
+
+
+def test_zipf_fit_slope_negative_and_planted_power_law(spark, tmp_path):
+    """Corpus slope is negative; a synthetic exact power-law corpus
+    recovers slope ≈ -1."""
+    from ydb_vector_search_simple_api_spark.operators.textual import zipf_fit
+
+    # the synthetic corpus has a ~31-word vocabulary and a nearly flat
+    # frequency profile — the diagnostic should SAY so (slope near 0,
+    # far from a natural-text -1)
+    r = zipf_fit(spark, SF_SMALL).collect()[0]
+    assert r.n_fit > 10 and -0.5 < r.slope < 0
+
+    # tokens w1..w60 with freq ~ round(1000/rank): ln-ln slope ~ -1
+    words = []
+    for rank in range(1, 61):
+        words += [f"w{rank:03d}"] * max(1, round(1000 / rank))
+    docs = [(i, " ".join(words[i::50]), "en", "synth", 10) for i in range(50)]
+    spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r2 = zipf_fit(spark, str(tmp_path), top_n=60).collect()[0]
+    assert -1.1 < r2.slope < -0.9

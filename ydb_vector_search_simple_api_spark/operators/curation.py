@@ -1751,3 +1751,31 @@ def curation_reasons(
         admitted.alias("admitted"),
         F.when(admitted == 1, F.col("split")).alias("split"),
     ).orderBy("doc_id")
+
+
+def dedup_cluster_sizes(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup cluster-size histogram: how big the duplicate groups
+    are (size 2 = simple pairs; a heavy tail means template families
+    — the diagnostic that decides whether keep-first dedup suffices
+    or template mining is needed). Output (cluster_size, n_clusters,
+    n_docs), ordered by size.
+
+    Scale shape: rides :func:`dedup_components` (keyed joins only),
+    then two tiny keyed counts — component count is bounded by the
+    duplicate population, the histogram by its distinct sizes."""
+    comp = dedup_components(spark, sf_dir, n=n, threshold=threshold)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("cluster_size")).cast("bigint").alias(
+                "n_docs"
+            ),
+        )
+        .orderBy("cluster_size")
+    )

@@ -1291,3 +1291,56 @@ def compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.0)
     )
     return out.withColumn("compression_ratio", ratio).orderBy("doc_id")
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str, top_n: int = 500) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies: least-squares
+    slope/intercept of ln(freq) on ln(rank) for the top ``top_n``
+    tokens — the classic corpus-health diagnostic (natural text slopes
+    ≈ −1; generated/boilerplate corpora flatten or step).
+
+    Float-parity contract: ranks and counts are exact integers
+    (row_number over (count DESC, token ASC) — fully deterministic);
+    each regression term is ROUND(·,9) and decimal-summed
+    (order-invariant); the closed-form slope/intercept are single
+    double expressions with a fixed association order, ROUND(6).
+
+    Scale shape: the frequency table is one keyed count with map-side
+    combine; the top-N cut is TakeOrderedAndProject (per-partition
+    heaps, no global sort); only the N surviving rows see a window —
+    a bounded single-partition stage by construction."""
+    d = load_documents(spark, sf_dir)
+    tf = (
+        d.select(F.explode(TXT.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = tf.orderBy(F.col("cnt").desc(), F.col("token")).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = top.withColumn("rnk", F.row_number().over(w))
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 9).cast("decimal(28,9)")).cast("double")
+
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fit"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+    )
+    n = F.col("n_fit").cast("double")
+    slope_raw = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "n_fit",
+        (F.round(slope_raw, 6) + F.lit(0.0)).alias("slope"),
+        (
+            F.round((F.col("sy") - slope_raw * F.col("sx")) / n, 6)
+            + F.lit(0.0)
+        ).alias("intercept"),
+    )

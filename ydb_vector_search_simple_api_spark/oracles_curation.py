@@ -1010,3 +1010,20 @@ long AS (
 SELECT check_name, metric, (metric >= lo AND metric <= hi) AS passed
 FROM long
 """
+
+
+def dedup_cluster_sizes_sql(jaccard_pairs_sql: str) -> str:
+    """Twin of :func:`operators.curation.dedup_cluster_sizes`: the
+    components CTE rolled up to a size histogram."""
+    comp = dedup_components_sql(jaccard_pairs_sql)
+    return f"""
+WITH comp AS ({comp}),
+sizes AS (
+  SELECT component_id, count(*)::BIGINT AS cluster_size
+  FROM comp GROUP BY component_id
+)
+SELECT cluster_size,
+       count(*)::BIGINT AS n_clusters,
+       (count(*) * cluster_size)::BIGINT AS n_docs
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""

@@ -1738,3 +1738,35 @@ SELECT doc_id,
        )) AS clean_md5
 FROM k GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def zipf_fit_sql(top_n: int = 500) -> str:
+    """Twin of :func:`operators.textual.zipf_fit`: identical rank
+    order, ROUND(term,9) decimal sums, the same double association
+    order for the closed-form slope/intercept."""
+    return f"""
+WITH toks AS (
+  SELECT unnest({TOKS}) AS token FROM documents
+),
+tf AS (
+  SELECT token, count(*)::BIGINT AS cnt FROM toks
+  WHERE token != '' GROUP BY token
+),
+top AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+  FROM tf QUALIFY rnk <= {top_n}
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_fit,
+         CAST(sum(CAST(ROUND(ln(rnk::DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ROUND(ln(cnt::DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(ROUND(ln(rnk::DOUBLE) * ln(cnt::DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(ROUND(ln(rnk::DOUBLE) * ln(rnk::DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+  FROM top
+)
+SELECT n_fit,
+       ROUND((n_fit::DOUBLE * sxy - sx * sy) / (n_fit::DOUBLE * sxx - sx * sx), 6) + 0.0 AS slope,
+       ROUND((sy - ((n_fit::DOUBLE * sxy - sx * sy) / (n_fit::DOUBLE * sxx - sx * sx)) * sx) / n_fit::DOUBLE, 6) + 0.0 AS intercept
+FROM agg
+"""
