@@ -2120,6 +2120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # frequencies — natural text ≈ −1, boilerplate flattens; exact
     # integer ranks, decimal-summed regression terms)
     q["zipf_fit"] = lambda s, d: textual.zipf_fit(s, d)
+    # sibling: zipf_fit (the vocabulary-GROWTH diagnostic: Heaps' law
+    # V ~ K·N^β from first-doc/token-mass integers — NO per-prefix
+    # rescans, two keyed aggregates + an n_points-row regression)
+    q["heaps_fit"] = lambda s, d: textual.heaps_fit(s, d)
     # sibling: expectations_report / expectations_events (the THIRD
     # table: the invariants an ANN index build assumes — fixed dim,
     # finite components, non-zero norms; same fused single-scan plan)
@@ -2484,5 +2488,6 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
         oracles_text.ngram_jaccard_sql(3, 0.8)
     )
     o["zipf_fit"] = oracles_text.zipf_fit_sql(500)
+    o["heaps_fit"] = oracles_text.heaps_fit_sql(10)
     o["url_canonical_dedup"] = oracles_curation.url_canonical_dedup_sql()
     return o

@@ -450,3 +450,25 @@ def test_zipf_fit_slope_negative_and_planted_power_law(spark, tmp_path):
     ).write.parquet(str(tmp_path / "documents.parquet"))
     r2 = zipf_fit(spark, str(tmp_path), top_n=60).collect()[0]
     assert -1.1 < r2.slope < -0.9
+
+
+def test_heaps_fit_beta_in_range_and_saturating_vocab_reads_low(spark, tmp_path):
+    from ydb_vector_search_simple_api_spark.operators.textual import heaps_fit
+
+    r = heaps_fit(spark, SF_SMALL).collect()[0]
+    assert r.n_points == 10
+    # the synthetic corpus has a tiny fixed vocabulary: beta near 0
+    # (vocab saturates immediately) — the diagnostic should say so
+    assert 0.0 <= r.beta < 0.3
+
+    # growing-vocabulary corpus: each doc introduces fresh tokens ->
+    # beta well above the saturating case
+    docs = [
+        (i, " ".join(f"t{i}_{j}" for j in range(20)), "en", "synth", 10)
+        for i in range(100)
+    ]
+    spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r2 = heaps_fit(spark, str(tmp_path)).collect()[0]
+    assert r2.beta > 0.9  # V == N exactly -> beta ~ 1

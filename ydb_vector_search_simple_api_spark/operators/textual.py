@@ -1344,3 +1344,70 @@ def zipf_fit(spark: SparkSession, sf_dir: str, top_n: int = 500) -> DataFrame:
             + F.lit(0.0)
         ).alias("intercept"),
     )
+
+
+def heaps_fit(spark: SparkSession, sf_dir: str, n_points: int = 10) -> DataFrame:
+    """Heaps'-law fit: vocabulary size V as a power of corpus token
+    mass N (V ≈ K·N^β, natural text β ≈ 0.4-0.6) — the companion
+    diagnostic to :func:`zipf_fit` (a saturating vocabulary means
+    template/boilerplate text; β near 1 means id-like noise tokens).
+
+    Computed WITHOUT rescanning per prefix: the corpus is cut at
+    ``n_points`` doc_id deciles; V at a cutoff is the number of
+    tokens whose FIRST carrying doc (min doc_id — one keyed agg)
+    precedes it, N is the prefix token mass (one keyed agg over the
+    per-doc counts). Both are exact integers; the ln-ln regression
+    reuses the zipf decimal contract. Output (n_points, beta, ln_k).
+
+    Scale shape: two keyed aggregates over the scan + an n_points-row
+    regression — no per-prefix passes."""
+    d = load_documents(spark, sf_dir)
+    max_id = d.agg(F.max("doc_id").alias("m")).head().m
+    # integer floor division — the SQL twin's // must see identical cuts
+    cutoffs = [
+        ((i + 1) * (max_id + 1)) // n_points for i in range(n_points)
+    ]
+    tok = d.select("doc_id", F.explode(TXT.tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    first = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    cuts = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(cutoffs)], "pt int, cutoff bigint"
+    )
+    v = (
+        cuts.join(first, F.col("first_doc") < F.col("cutoff"))
+        .groupBy("pt", "cutoff")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    nmass = (
+        cuts.join(per_doc, F.col("doc_id") < F.col("cutoff"))
+        .groupBy("pt")
+        .agg(F.sum("n_toks").alias("n_mass"))
+    )
+    pts = v.join(nmass, "pt").filter((F.col("v") > 0) & (F.col("n_mass") > 0))
+    x = F.log(F.col("n_mass").cast("double"))
+    y = F.log(F.col("v").cast("double"))
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 9).cast("decimal(28,9)")).cast("double")
+
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+    )
+    n = F.col("n_points").cast("double")
+    beta_raw = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "n_points",
+        (F.round(beta_raw, 6) + F.lit(0.0)).alias("beta"),
+        (
+            F.round((F.col("sy") - beta_raw * F.col("sx")) / n, 6)
+            + F.lit(0.0)
+        ).alias("ln_k"),
+    )

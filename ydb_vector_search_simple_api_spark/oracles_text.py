@@ -1770,3 +1770,46 @@ SELECT n_fit,
        ROUND((sy - ((n_fit::DOUBLE * sxy - sx * sy) / (n_fit::DOUBLE * sxx - sx * sx)) * sx) / n_fit::DOUBLE, 6) + 0.0 AS intercept
 FROM agg
 """
+
+
+def heaps_fit_sql(n_points: int = 10) -> str:
+    """Twin of :func:`operators.textual.heaps_fit`: identical integer
+    cutoffs (floor division), exact first-doc / token-mass integers,
+    the zipf decimal regression contract."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token != ''),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+cuts AS (
+  SELECT pt, (pt * (m + 1)) // {n_points} AS cutoff
+  FROM generate_series(1, {n_points}) AS g(pt) CROSS JOIN mx
+),
+first AS (SELECT token, min(doc_id) AS first_doc FROM tok2 GROUP BY token),
+per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_toks FROM tok2 GROUP BY doc_id),
+v AS (
+  SELECT pt, count(*)::BIGINT AS v
+  FROM cuts JOIN first ON first_doc < cutoff GROUP BY pt
+),
+nmass AS (
+  SELECT pt, sum(n_toks)::BIGINT AS n_mass
+  FROM cuts JOIN per_doc ON doc_id < cutoff GROUP BY pt
+),
+pts AS (
+  SELECT v.pt, v.v, nmass.n_mass FROM v JOIN nmass ON v.pt = nmass.pt
+  WHERE v.v > 0 AND nmass.n_mass > 0
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_points,
+         CAST(sum(CAST(ROUND(ln(n_mass::DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ROUND(ln(v::DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(ROUND(ln(n_mass::DOUBLE) * ln(v::DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(ROUND(ln(n_mass::DOUBLE) * ln(n_mass::DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT n_points,
+       ROUND((n_points::DOUBLE * sxy - sx * sy) / (n_points::DOUBLE * sxx - sx * sx), 6) + 0.0 AS beta,
+       ROUND((sy - ((n_points::DOUBLE * sxy - sx * sy) / (n_points::DOUBLE * sxx - sx * sx)) * sx) / n_points::DOUBLE, 6) + 0.0 AS ln_k
+FROM agg
+"""
