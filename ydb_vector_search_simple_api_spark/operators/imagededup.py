@@ -101,7 +101,29 @@ def image_dhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate copies (it equals ``doc_id`` for originals) — the
     ground-truth column the recall pin uses; the dedup operator never
     reads it. One Arrow stage; the base-image lookup is a self-join
-    on ``doc_id - 9`` (narrow key join, only for the planted 10%)."""
+    on ``doc_id - 9`` (narrow key join, only for the planted 10%).
+
+    Session-cached to parquet per ``sf_dir`` (the ``_ivf_index``
+    build-once pattern): the table is a pure function of the corpus,
+    and four consumers (pairs, groups, store, stream landing) would
+    otherwise re-decode the images per call. ``rm -rf
+    /tmp/svs_imgh_*`` after changing the hash or augmentation code."""
+    import hashlib as _hashlib
+    import os
+    import tempfile
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"svs_imgh_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    if os.path.exists(cache):
+        return spark.read.parquet(cache)
+    df = _image_dhashes_uncached(spark, sf_dir)
+    df.write.mode("overwrite").parquet(cache)
+    return spark.read.parquet(cache)
+
+
+def _image_dhashes_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_documents(spark, sf_dir).select("doc_id", "n_chars")
     base = d.select(
         F.col("doc_id").alias("base_id"), F.col("n_chars").alias("base_chars")

@@ -107,7 +107,25 @@ _SHINGLE_SCHEMA = T.StructType(
 
 def video_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, key, t) sequence landmarks for every document's
-    synthetic clip."""
+    synthetic clip. Session-cached to parquet per sf_dir (pure
+    function of the corpus; rm -rf /tmp/svs_vshg_* after changing
+    the frame-hash or shingle code)."""
+    import hashlib as _hashlib
+    import os
+    import tempfile
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"svs_vshg_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    if os.path.exists(cache):
+        return spark.read.parquet(cache)
+    df = _video_shingles_uncached(spark, sf_dir)
+    df.write.mode("overwrite").parquet(cache)
+    return spark.read.parquet(cache)
+
+
+def _video_shingles_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _ensure_parallelism(
         load_documents(spark, sf_dir).select("doc_id", "n_chars")
     )
