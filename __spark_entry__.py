@@ -2124,6 +2124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # V ~ K·N^β from first-doc/token-mass integers — NO per-prefix
     # rescans, two keyed aggregates + an n_points-row regression)
     q["heaps_fit"] = lambda s, d: textual.heaps_fit(s, d)
+    # sibling: leakage_safe_splits (the fence extended across EVERY
+    # modality: split keyed on the component of the UNION of all four
+    # near-dup graphs — a shared image/audio/video asset can no longer
+    # walk through the text-only fence; two-star resolution for the
+    # chained cross-modality components. Rows-only: media edges)
+    q["multimodal_safe_splits"] = lambda s, d: mmcuration_mod.multimodal_safe_splits(s, d)
     # sibling: expectations_report / expectations_events (the THIRD
     # table: the invariants an ANN index build assumes — fixed dim,
     # finite components, non-zero norms; same fused single-scan plan)

@@ -95,3 +95,59 @@ def multimodal_curation_report(
             & ~F.col("video_dup")
         ).alias("admitted"),
     ).orderBy("doc_id")
+
+
+def multimodal_safe_splits(
+    spark: SparkSession,
+    sf_dir: str,
+    train: float = 0.8,
+    valid: float = 0.1,
+) -> DataFrame:
+    """Leakage-safe splits across EVERY modality: the split is keyed
+    on the connected component of the UNION of all four near-dup
+    graphs (text n-gram Jaccard ∪ image pHash ∪ audio constellation
+    ∪ video sequence), so two documents sharing a near-duplicate in
+    ANY modality can never straddle the train/test fence — the
+    multimodal extension of ``curation.leakage_safe_splits`` (whose
+    text-only fence a shared image/audio/video asset walks straight
+    through).
+
+    Union graph resolved by two-star alternation (diameter-robust —
+    cross-modality unions chain: A↔B by image, B↔C by audio);
+    singleton docs are their own component; the md5 split draw is the
+    corpus-wide ``sampling.split_assign`` convention. Output (doc_id,
+    component_id, split). Rows-only (the media edges have no SQL
+    twin); the never-straddle property is pinned per modality in
+    tests/test_mmcuration.py."""
+    from . import audiofp, dedup, imagededup, videodedup
+    from .graph import connected_components_twostar
+    from .sampling import split_assign
+
+    docs = load_documents(spark, sf_dir)
+    text = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    image = imagededup.image_phash_dedup(spark, sf_dir).select("id_a", "id_b")
+    video = videodedup.video_sequence_dedup(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    audio = audiofp.audio_fingerprint_match(spark, sf_dir).select(
+        F.least("probe_id", "track_id").alias("id_a"),
+        F.greatest("probe_id", "track_id").alias("id_b"),
+    )
+    edges = text.unionByName(image).unionByName(video).unionByName(audio)
+    comp = connected_components_twostar(edges).select(
+        F.col("doc_id").alias("c_doc_id"), "component_id"
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("c_doc_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+        )
+        .withColumn("split", split_assign(F.col("component_id"), train, valid))
+        .orderBy("doc_id")
+    )
