@@ -2130,6 +2130,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # walk through the text-only fence; two-star resolution for the
     # chained cross-modality components. Rows-only: media edges)
     q["multimodal_safe_splits"] = lambda s, d: mmcuration_mod.multimodal_safe_splits(s, d)
+    # sibling: image_phash_dedup (its ORACLE surface: the identical
+    # dhash_pairs banding/hot-cap/verify machinery run over md5-prefix
+    # fingerprints both engines construct — the pixels stay rows-only,
+    # the blocking MATH goes under the hash-exact gate)
+    q["hamming_banded_pairs"] = lambda s, d: imagededup_mod.hamming_banded_pairs(s, d)
     # sibling: expectations_report / expectations_events (the THIRD
     # table: the invariants an ANN index build assumes — fixed dim,
     # finite components, non-zero norms; same fused single-scan plan)
@@ -2495,5 +2500,6 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     )
     o["zipf_fit"] = oracles_text.zipf_fit_sql(500)
     o["heaps_fit"] = oracles_text.heaps_fit_sql(10)
+    o["hamming_banded_pairs"] = oracles_curation.hamming_banded_pairs_sql(10)
     o["url_canonical_dedup"] = oracles_curation.url_canonical_dedup_sql()
     return o

@@ -438,3 +438,34 @@ def incremental_image_dedup(
     return screen_images_against_store(
         spark, incoming, path, max_hamming=max_hamming
     )
+
+
+def hamming_banded_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 10
+) -> DataFrame:
+    """ORACLE surface for the banded-Hamming machinery: the same
+    :func:`dhash_pairs` blocking + verify, run over a fingerprint
+    table BOTH engines can construct exactly — 60-bit integers from
+    each doc's md5 hex prefix, with planted near-dups (XOR 7 of the
+    base doc's hash — Hamming 3, inside the pigeonhole-lossless
+    radius, so blocked == specified output deterministically). The
+    image entries stay rows-only because their PIXELS have no SQL
+    twin; this entry puts the band-explode / hot-cap / keyed-join /
+    bit_count-verify math itself under the hash-exact gate."""
+    d = load_documents(spark, sf_dir).select("doc_id")
+
+    def h_of(col) -> "F.Column":
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+
+    hashes = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 9,
+            h_of(F.col("doc_id") - 9).bitwiseXOR(F.lit(7)),
+        )
+        .otherwise(h_of(F.col("doc_id")))
+        .alias("dhash"),
+    )
+    return dhash_pairs(hashes, max_hamming=max_hamming)

@@ -1027,3 +1027,51 @@ SELECT cluster_size,
        (count(*) * cluster_size)::BIGINT AS n_docs
 FROM sizes GROUP BY cluster_size ORDER BY cluster_size
 """
+
+
+def hamming_banded_pairs_sql(
+    max_hamming: int = 10, n_bands: int = 4, max_band_df: int = 2000
+) -> str:
+    """Twin of :func:`operators.imagededup.hamming_banded_pairs`: the
+    SAME banded algorithm in SQL — 60-bit md5-prefix hashes, XOR-7
+    planted dups, band explode, hot-bucket anti-join, keyed self-join,
+    bit_count(xor) verify."""
+
+    def hex15(expr: str) -> str:
+        return (
+            "list_reduce(list_transform(generate_series(1, 15), "
+            f"i -> strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1), "
+            "(acc, dig) -> acc * 16 + dig)::BIGINT"
+        )
+
+    own = hex15("CAST(doc_id AS VARCHAR)")
+    base = hex15("CAST(doc_id - 9 AS VARCHAR)")
+    width = 64 // n_bands
+    return f"""
+WITH hashes AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 9 THEN xor({base}, 7) ELSE {own} END AS dhash
+  FROM documents
+),
+bands AS (SELECT unnest(generate_series(0, {n_bands - 1})) AS band),
+e AS (
+  SELECT doc_id, dhash, band,
+         (dhash >> (band * {width})) & {(1 << width) - 1} AS val
+  FROM hashes CROSS JOIN bands
+),
+hot AS (
+  SELECT band, val FROM (
+    SELECT band, val, count(*) AS c FROM e GROUP BY band, val
+  ) WHERE c > {max_band_df}
+),
+e2 AS (SELECT e.* FROM e ANTI JOIN hot USING (band, val)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                  l.dhash AS h_a, r.dhash AS h_b
+  FROM e2 l JOIN e2 r ON l.band = r.band AND l.val = r.val
+                      AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(h_a, h_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
