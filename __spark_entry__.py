@@ -55,6 +55,9 @@ from ydb_vector_search_simple_api_spark.operators import audiofp as audiofp_mod
 from ydb_vector_search_simple_api_spark.operators import videodedup as videodedup_mod
 from ydb_vector_search_simple_api_spark.operators import mmcuration as mmcuration_mod
 from ydb_vector_search_simple_api_spark.operators import wordpiece as wordpiece_mod
+from ydb_vector_search_simple_api_spark.operators import (
+    retrieval_metrics as retmetrics_mod,
+)
 from ydb_vector_search_simple_api_spark.operators import tdigest as tdigest_mod
 from ydb_vector_search_simple_api_spark.operators import tokenizers as tokenizers_mod
 from ydb_vector_search_simple_api_spark.operators import hist_store as histstore_mod
@@ -2155,6 +2158,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["local_supplier_revenue"] = relational.local_supplier_revenue
     q["ab_test_report"] = stats.ab_test_report
     q["source_divergence"] = textual.source_divergence
+    # sibling: ann_recall_report (the EXTERNAL-truth evaluation twin:
+    # per-query precision/recall/MRR/nDCG@k of exact top-k retrieval
+    # judged by shared-label relevance — rank weights are inlined
+    # 9-digit literals, so no transcendental crosses the gate)
+    q["retrieval_quality"] = lambda s, d: retmetrics_mod.retrieval_quality(
+        s, d, k=10, n_queries=16
+    )
+    # sibling: retrieval_quality (macro-averaged side-by-side of the
+    # cosine vs inner-product scorers — the report read before
+    # switching serving strategies)
+    q["retrieval_report"] = lambda s, d: retmetrics_mod.retrieval_quality_report(
+        s, d, k=10, n_queries=16
+    )
     return q
 
 
@@ -2502,4 +2518,8 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["heaps_fit"] = oracles_text.heaps_fit_sql(10)
     o["hamming_banded_pairs"] = oracles_curation.hamming_banded_pairs_sql(10)
     o["url_canonical_dedup"] = oracles_curation.url_canonical_dedup_sql()
+    o["retrieval_quality"] = oracles.retrieval_quality_sql(10, 16)
+    o["retrieval_report"] = oracles.retrieval_quality_report_sql(
+        10, 16, ("CosineSimilarity", "InnerProductSimilarity")
+    )
     return o

@@ -383,3 +383,130 @@ SELECT source_a, source_b,
        n_a::BIGINT AS n_a, n_b::BIGINT AS n_b
 FROM agg
 """
+
+
+# ------------------------------------------- retrieval-quality metrics
+
+def _retrieval_kept_cte(k: int, n_queries: int, strategy: str) -> str:
+    """Shared CTEs: exact top-k retrieval (leave-self-out with rank-gap
+    closing) judged by shared-label relevance — mirrors
+    ``operators/retrieval_metrics.retrieval_quality``. Rank weights are
+    the SAME Python-precomputed literals the Spark plan inlines."""
+    from .operators.retrieval_metrics import rank_weights, reciprocal_ranks
+
+    dcg_w = rank_weights(k)
+    rr_w = reciprocal_ranks(k)
+    dcg_cases = " ".join(
+        f"WHEN {r + 1} THEN CAST('{w}' AS DECIMAL(28,9))"
+        for r, w in enumerate(dcg_w)
+    )
+    rr_cases = " ".join(
+        f"WHEN {r + 1} THEN CAST('{w}' AS DECIMAL(28,9))"
+        for r, w in enumerate(rr_w)
+    )
+    prefix, acc = [], 0
+    for w in dcg_w:
+        acc += int(w.replace(".", ""))
+        prefix.append(f"{acc // 10**9}.{acc % 10**9:09d}")
+    idcg_cases = " ".join(
+        f"WHEN {r + 1} THEN CAST('{p}' AS DECIMAL(28,9))"
+        for r, p in enumerate(prefix)
+    )
+    return f"""
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, q.qlabel, e.vec_id AS id, e.label AS clabel,
+         ROUND({score_sql(strategy)}, {ROUND_DIGITS}) + 0.0 AS score
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, qlabel, id, clabel,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY score {_direction(strategy)} NULLS LAST, id ASC
+         ) AS rank
+  FROM scored
+),
+topk1 AS (SELECT * FROM ranked WHERE rank <= {k + 1}),
+kept AS (
+  SELECT r.query_id, r.qlabel, r.clabel,
+         CASE WHEN s.self_rank IS NOT NULL AND r.rank > s.self_rank
+              THEN r.rank - 1 ELSE r.rank END AS rank
+  FROM (SELECT * FROM topk1 WHERE query_id <> id) r
+  LEFT JOIN (
+    SELECT query_id, rank AS self_rank FROM topk1 WHERE query_id = id
+  ) s USING (query_id)
+),
+flagged AS (
+  SELECT query_id, qlabel, rank,
+         CASE WHEN clabel = qlabel THEN 1 ELSE 0 END AS rel
+  FROM kept WHERE rank <= {k}
+),
+label_counts AS (
+  SELECT label AS qlabel, count(*)::BIGINT AS label_n
+  FROM embeddings GROUP BY 1
+),
+per_q AS (
+  SELECT f.query_id, f.qlabel,
+         SUM(f.rel)::BIGINT AS hits,
+         SUM(CASE WHEN f.rel = 1
+                  THEN CASE f.rank {dcg_cases} END
+                  ELSE CAST('0' AS DECIMAL(28,9)) END) AS dcg,
+         MAX(CASE WHEN f.rel = 1
+                  THEN CASE f.rank {rr_cases} END END) AS best_rr
+  FROM flagged f GROUP BY 1, 2
+),
+metrics AS (
+  SELECT p.query_id, p.qlabel AS label,
+         COALESCE(lc.label_n, 0) - 1 AS n_rel, p.hits,
+         ROUND(p.hits / {k}.0, 6) + 0.0 AS precision_at_k,
+         CASE WHEN COALESCE(lc.label_n, 0) - 1 >= 1 THEN
+           ROUND(p.hits::DOUBLE
+                 / LEAST({k}, COALESCE(lc.label_n, 0) - 1), 6)
+         END + 0.0 AS recall_at_k,
+         ROUND(COALESCE(p.best_rr::DOUBLE, 0.0), 6) + 0.0 AS mrr,
+         CASE WHEN LEAST({k}, COALESCE(lc.label_n, 0) - 1) >= 1 THEN
+           ROUND(p.dcg::DOUBLE /
+                 (CASE LEAST({k}, COALESCE(lc.label_n, 0) - 1)
+                  {idcg_cases} END)::DOUBLE, 6)
+         END + 0.0 AS ndcg_at_k
+  FROM per_q p LEFT JOIN label_counts lc USING (qlabel)
+)"""
+
+
+def retrieval_quality_sql(
+    k: int, n_queries: int, strategy: str = "CosineSimilarity"
+) -> str:
+    return f"""
+WITH {_retrieval_kept_cte(k, n_queries, strategy)}
+SELECT query_id, label, n_rel::BIGINT AS n_rel, hits,
+       precision_at_k, recall_at_k, mrr, ndcg_at_k
+FROM metrics
+"""
+
+
+def retrieval_quality_report_sql(
+    k: int, n_queries: int, strategies: tuple[str, ...]
+) -> str:
+    """Macro-average per strategy; AVG excludes NULL per-metric rows,
+    matching the Spark SUM(decimal)/COUNT(col) fold."""
+    parts = []
+    for s in strategies:
+        parts.append(
+            f"""
+SELECT '{s}' AS system, count(*)::BIGINT AS n_queries,
+       ROUND(SUM(CAST(precision_at_k AS DECIMAL(28,9)))::DOUBLE
+             / count(precision_at_k), 6) + 0.0 AS mean_precision_at_k,
+       ROUND(SUM(CAST(recall_at_k AS DECIMAL(28,9)))::DOUBLE
+             / count(recall_at_k), 6) + 0.0 AS mean_recall_at_k,
+       ROUND(SUM(CAST(mrr AS DECIMAL(28,9)))::DOUBLE
+             / count(mrr), 6) + 0.0 AS mean_mrr,
+       ROUND(SUM(CAST(ndcg_at_k AS DECIMAL(28,9)))::DOUBLE
+             / count(ndcg_at_k), 6) + 0.0 AS mean_ndcg_at_k
+FROM (WITH {_retrieval_kept_cte(k, n_queries, s)}
+      SELECT * FROM metrics)"""
+        )
+    return " UNION ALL ".join(parts)
