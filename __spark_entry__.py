@@ -58,6 +58,7 @@ from ydb_vector_search_simple_api_spark.operators import wordpiece as wordpiece_
 from ydb_vector_search_simple_api_spark.operators import (
     retrieval_metrics as retmetrics_mod,
 )
+from ydb_vector_search_simple_api_spark.operators import logreg as logreg_mod
 from ydb_vector_search_simple_api_spark.operators import tdigest as tdigest_mod
 from ydb_vector_search_simple_api_spark.operators import tokenizers as tokenizers_mod
 from ydb_vector_search_simple_api_spark.operators import hist_store as histstore_mod
@@ -2171,6 +2172,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["retrieval_report"] = lambda s, d: retmetrics_mod.retrieval_quality_report(
         s, d, k=10, n_queries=16
     )
+    # sibling: nb_classify_docs (the DISCRIMINATIVE model-based filter:
+    # fastText-style hashed-BoW logistic regression, trained
+    # DISTRIBUTED by full-batch GD — one keyed aggregation per
+    # iteration — under a softsign link so even the training loop is
+    # engine-exact and oracle-backed end to end)
+    q["logreg_score"] = lambda s, d: logreg_mod.logreg_score(s, d)
+    # sibling: logreg_score (per-split confusion + accuracy — the
+    # go/no-go before enabling the trained filter)
+    q["logreg_report"] = lambda s, d: logreg_mod.logreg_report(s, d)
     return q
 
 
@@ -2521,5 +2531,11 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["retrieval_quality"] = oracles.retrieval_quality_sql(10, 16)
     o["retrieval_report"] = oracles.retrieval_quality_report_sql(
         10, 16, ("CosineSimilarity", "InnerProductSimilarity")
+    )
+    o["logreg_score"] = oracles_curation.logreg_score_sql(
+        logreg_mod.N_BUCKETS, logreg_mod.N_ITER, logreg_mod.LR
+    )
+    o["logreg_report"] = oracles_curation.logreg_report_sql(
+        logreg_mod.N_BUCKETS, logreg_mod.N_ITER, logreg_mod.LR
     )
     return o

@@ -1075,3 +1075,113 @@ SELECT id_a, id_b, bit_count(xor(h_a, h_b))::INT AS hamming
 FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
 ORDER BY id_a, id_b
 """
+
+
+# ------------------------------------ logistic-regression classifier
+
+def _logreg_cte(n_buckets: int, n_iter: int, lr: int) -> str:
+    """Shared CTE chain for the logreg twins: hashed-unigram features,
+    then the full-batch GD loop UNROLLED (one margins/probs/grads/w
+    CTE quartet per iteration) — mirrors
+    ``operators/logreg.train_weights`` exactly. Weights live as BIGINT
+    nano-units; the only decimal→float crossing is the explicit
+    ``u::DOUBLE / 1e9`` division, the same correctly-rounded quotient
+    the Spark side computes. The link is the softsign sigmoid — every
+    float op in the loop is an exactly-rounded IEEE primitive."""
+    softsign = "0.5 + 0.5 * m / (1 + abs(m))"
+    parts = [
+        f"""
+t AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             doc_id % 5 <> 0 AS is_train,
+             {TOKS} AS toks
+      FROM documents),
+toku AS (SELECT doc_id, y, is_train, unnest(toks) AS tok FROM t),
+tf AS (
+  SELECT doc_id, y, is_train, {_hexint('tok')} % {n_buckets} AS b,
+         count(*) AS tf
+  FROM toku GROUP BY 1, 2, 3, 4
+),
+nn AS (SELECT doc_id, sum(tf) AS n FROM tf GROUP BY 1),
+fx AS (
+  SELECT tf.doc_id, tf.y, tf.is_train, tf.b,
+         tf.tf::DOUBLE / nn.n::DOUBLE AS x
+  FROM tf JOIN nn USING (doc_id)
+),
+fxt AS (SELECT * FROM fx WHERE is_train),
+w0 AS (SELECT DISTINCT b, 0::BIGINT AS u FROM fxt)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""
+m{i} AS (
+  SELECT fx.doc_id, fx.y,
+         CAST(SUM(CAST(ROUND((w.u::DOUBLE / 1000000000.0) * fx.x, 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS m
+  FROM fxt fx JOIN w{i - 1} w USING (b) GROUP BY 1, 2
+),
+p{i} AS (SELECT doc_id, y, {softsign} AS p FROM m{i}),
+g{i} AS (
+  SELECT fx.b,
+         SUM(CAST(ROUND((p.p - p.y) * fx.x, 9) AS DECIMAL(28,9))) AS g
+  FROM fxt fx JOIN p{i} p USING (doc_id, y) GROUP BY 1
+),
+w{i} AS (
+  -- |g| < #docs, so the DECIMAL(28,9) narrowing is exact (int128
+  -- internally, so the ×10^9 shift cannot overflow); the BIGINT cast
+  -- is of an integral value — the whole step is exact integer math
+  SELECT w.b,
+         w.u - {int(lr)} * COALESCE(
+             CAST(CAST(g.g AS DECIMAL(28,9)) * 1000000000 AS BIGINT),
+             0) AS u
+  FROM w{i - 1} w LEFT JOIN g{i} g USING (b)
+)"""
+        )
+    parts.append(
+        f"""
+sm AS (
+  SELECT fx.doc_id, fx.y,
+         CAST(SUM(CAST(ROUND(COALESCE(
+                 (w.u::DOUBLE / 1000000000.0) * fx.x, 0.0), 9)
+               AS DECIMAL(28,9))) AS DOUBLE) AS m
+  FROM fx LEFT JOIN w{n_iter} w USING (b) GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 5 <> 0 THEN 'train' ELSE 'holdout' END
+           AS split,
+         sm.y::BIGINT AS y,
+         ROUND({softsign}, 6) + 0.0 AS score,
+         CASE WHEN {softsign} >= 0.5 THEN 1 ELSE 0 END::BIGINT AS y_pred
+  FROM documents d JOIN sm ON sm.doc_id = d.doc_id
+)"""
+    )
+    return ",".join(parts)
+
+
+def logreg_score_sql(
+    n_buckets: int = 512, n_iter: int = 4, lr: int = 2
+) -> str:
+    """Twin of :func:`operators.logreg.logreg_score`."""
+    return f"""
+WITH {_logreg_cte(n_buckets, n_iter, lr)}
+SELECT doc_id, split, y, score, y_pred FROM scored
+"""
+
+
+def logreg_report_sql(
+    n_buckets: int = 512, n_iter: int = 4, lr: int = 2
+) -> str:
+    """Twin of :func:`operators.logreg.logreg_report`."""
+    return f"""
+WITH {_logreg_cte(n_buckets, n_iter, lr)}
+SELECT split, count(*)::BIGINT AS n,
+       SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       SUM(CASE WHEN y = 1 AND y_pred = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+       SUM(CASE WHEN y = 0 AND y_pred = 1 THEN 1 ELSE 0 END)::BIGINT AS fp,
+       SUM(CASE WHEN y = 1 AND y_pred = 0 THEN 1 ELSE 0 END)::BIGINT AS fn,
+       SUM(CASE WHEN y = 0 AND y_pred = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+       ROUND(SUM(CASE WHEN y = y_pred THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) + 0.0 AS accuracy
+FROM scored GROUP BY 1
+"""
