@@ -59,6 +59,7 @@ from ydb_vector_search_simple_api_spark.operators import (
     retrieval_metrics as retmetrics_mod,
 )
 from ydb_vector_search_simple_api_spark.operators import logreg as logreg_mod
+from ydb_vector_search_simple_api_spark.operators import kmv as kmv_mod
 from ydb_vector_search_simple_api_spark.operators import tdigest as tdigest_mod
 from ydb_vector_search_simple_api_spark.operators import tokenizers as tokenizers_mod
 from ydb_vector_search_simple_api_spark.operators import hist_store as histstore_mod
@@ -2181,6 +2182,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: logreg_score (per-split confusion + accuracy — the
     # go/no-go before enabling the trained filter)
     q["logreg_report"] = lambda s, d: logreg_mod.logreg_report(s, d)
+    # sibling: hll_daily_users / approx_distinct_users (the KMV /
+    # bottom-k sketch — the distinct synopsis that also supports
+    # INTERSECTION; unsaturated at the gate SFs, so the estimate is
+    # provably exact against COUNT(DISTINCT))
+    q["kmv_distinct_by_type"] = lambda s, d: kmv_mod.kmv_distinct_by_type(s, d)
+    # sibling: kmv_distinct_by_type (pairwise audience overlap —
+    # union/intersection/Jaccard from sketches alone, the set algebra
+    # HLL cannot do)
+    q["kmv_user_overlap"] = lambda s, d: kmv_mod.kmv_user_overlap(s, d)
     return q
 
 
@@ -2538,4 +2548,6 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["logreg_report"] = oracles_curation.logreg_report_sql(
         logreg_mod.N_BUCKETS, logreg_mod.N_ITER, logreg_mod.LR
     )
+    o["kmv_distinct_by_type"] = oracles_temporal.kmv_distinct_by_type_sql()
+    o["kmv_user_overlap"] = oracles_temporal.kmv_user_overlap_sql()
     return o

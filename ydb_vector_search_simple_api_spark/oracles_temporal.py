@@ -737,3 +737,48 @@ tagged AS (
         + "\nUNION ALL\n"
         + one("event_type", tcells)
     )
+
+
+# ----------------------------------------------------- KMV sketches
+
+def kmv_distinct_by_type_sql() -> str:
+    """Twin of :func:`operators.kmv.kmv_distinct_by_type` in the
+    oracle-pinned UNSATURATED regime (distinct users per type < k):
+    the sketch saw every distinct hash, so n_min and est_distinct must
+    equal COUNT(DISTINCT user_id) exactly (48-bit collisions would
+    surface here as a deterministic mismatch, not a flake)."""
+    return """
+WITH d AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT event_type, n AS n_min, n AS est_distinct, TRUE AS exact FROM d
+"""
+
+
+def kmv_user_overlap_sql() -> str:
+    """Twin of :func:`operators.kmv.kmv_user_overlap` (unsaturated
+    regime): union/intersection/Jaccard from sketches must equal the
+    exact pairwise audience overlap."""
+    return """
+WITH t AS (SELECT DISTINCT event_type, user_id FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a, types b WHERE a.event_type < b.event_type
+),
+m AS (
+  SELECT p.type_a, p.type_b, t.user_id,
+         MAX(CASE WHEN t.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN t.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+  FROM p JOIN t ON t.event_type IN (p.type_a, p.type_b)
+  GROUP BY 1, 2, 3
+)
+SELECT type_a, type_b,
+       count(*)::BIGINT AS n_union_sketch,
+       SUM(in_a * in_b)::BIGINT AS n_common,
+       count(*)::BIGINT AS union_est,
+       SUM(in_a * in_b)::BIGINT AS inter_est,
+       ROUND(SUM(in_a * in_b)::DOUBLE / count(*), 6) + 0.0 AS jaccard
+FROM m GROUP BY 1, 2
+"""
