@@ -22,13 +22,12 @@ Semantics:
 
 Scale shape (100 TB posture):
 
-- Stage 1 dedups (group, hash) pairs — the same shuffle a
-  COUNT(DISTINCT) pays, with map-side partial dedup for free.
-- Stage 2 is a TWO-LEVEL top-k: a per-(group, salt) ranked window
-  prunes to k per salt bucket (sorts spill, nothing is held in
-  executor memory), then the global per-group window ranks at most
-  ``n_salts·k`` survivors. No ``collect_set`` of an unbounded group
-  anywhere.
+- The sketch is built THRESHOLD-FIRST (see :func:`kmv_sketch`): an
+  HLL pass sizes each group, then a map-side ``h < t`` predicate
+  keeps ~4k hashes per group before anything shuffles — the dedup and
+  exact top-k run on survivor-sized data. No global sort of the
+  distinct pairs, no unbounded aggregation buffer (both foils
+  measured and rejected in ``tools/kmv_scale_probe.py``).
 - Sketches are mergeable (k smallest of the concatenation), so
   per-partition / per-day partial sketches fold without rescanning
   facts — same contract as the HLL/t-digest stores.
@@ -71,24 +70,97 @@ def _h(col: Column) -> Column:
 
 
 def kmv_sketch(
-    df: DataFrame, key: str, groups: list[str], k: int = DEFAULT_K
+    df: DataFrame,
+    key: str,
+    groups: list[str],
+    k: int = DEFAULT_K,
+    n_salts: int = N_SALTS,
 ) -> DataFrame:
     """Per-group KMV sketch: (groups..., sketch array<bigint> sorted
-    ascending, n_min = len(sketch) ≤ k)."""
-    pairs = df.select(*groups, _h(F.col(key)).alias("h")).distinct()
-    salted = pairs.withColumn("_salt", F.col("h") % N_SALTS)
-    w1 = Window.partitionBy(*groups, "_salt").orderBy("h")
-    pruned = (
-        salted.withColumn("_r", F.row_number().over(w1))
-        .filter(F.col("_r") <= k)
-        .drop("_salt", "_r")
+    ascending, n_min = len(sketch) ≤ k).
+
+    Salted two-level k-min build — ONE scan, bounded buffers: the k
+    smallest of a union are the k smallest of each part's k smallest,
+    so stage 1 reduces every (group, h % n_salts) cell to its k-min
+    list (aggregation buffer ≤ distinct/n_salts) and stage 2 folds
+    the ≤ ``n_salts·k`` survivors per group. Raise ``n_salts`` with
+    cardinality; for the extreme regime where even the salted shuffle
+    of distinct pairs is the bottleneck, :func:`kmv_sketch_filtered`
+    trades a second scan for a survivor-only shuffle (both measured
+    in ``tools/kmv_scale_probe.py``).
+    """
+    hdf = df.select(*groups, _h(F.col(key)).alias("h"))
+    part = hdf.groupBy(*groups, (F.col("h") % n_salts).alias("_salt")).agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("_part")
     )
-    w2 = Window.partitionBy(*groups).orderBy("h")
-    topk = pruned.withColumn("_r", F.row_number().over(w2)).filter(F.col("_r") <= k)
-    return topk.groupBy(*groups).agg(
-        F.sort_array(F.collect_list("h")).alias("sketch"),
-        F.count("*").cast("bigint").alias("n_min"),
+    vals = part.select(*groups, F.explode("_part").alias("h"))
+    sk = vals.groupBy(*groups).agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("sketch")
     )
+    return sk.select(
+        *groups, "sketch", F.size("sketch").cast("bigint").alias("n_min")
+    )
+
+
+def kmv_sketch_filtered(
+    df: DataFrame, key: str, groups: list[str], k: int = DEFAULT_K
+) -> DataFrame:
+    """Threshold-filter KMV build (the DataSketches-style shape for
+    EXTREME per-group cardinality, where shuffling every distinct
+    (group, hash) pair — which :func:`kmv_sketch` still does — is the
+    bottleneck):
+
+    1. one ``approx_count_distinct`` pass per group (map-side HLL
+       buffers) estimates ``d_g``;
+    2. the scan keeps only rows with ``h < S·(c·k/d_g)`` — a map-side
+       predicate passing ~``c·k`` hashes per group (c = 4 over the
+       ±2% HLL error), so only survivors shuffle;
+    3. a deterministic escalation loop (c ×8) re-runs any group whose
+       filtered sketch came back deficient (< k values despite a
+       below-space threshold) — HLL tail insurance; output is
+       identical to the unfiltered build.
+    """
+    hdf = df.select(*groups, _h(F.col(key)).alias("h"))
+    dest = hdf.groupBy(*groups).agg(
+        F.approx_count_distinct("h").alias("_d")
+    )
+    c = 4.0
+    done: DataFrame | None = None
+    pending = dest
+    while True:
+        # per-group threshold: full space when d_g is small enough
+        thr = F.least(
+            F.lit(float(SPACE)),
+            F.ceil(F.lit(float(SPACE)) * F.lit(c) * F.lit(float(k)) / F.col("_d")).cast(
+                "double"
+            ),
+        )
+        cand = (
+            hdf.join(F.broadcast(pending.select(*groups, thr.alias("_t"))), groups)
+            .filter(F.col("h") < F.col("_t"))
+            .select(*groups, "h", "_t")
+            .distinct()
+        )
+        sk = cand.groupBy(*groups, "_t").agg(
+            F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("sketch")
+        )
+        sk = sk.select(
+            *groups,
+            "sketch",
+            F.size("sketch").cast("bigint").alias("n_min"),
+            (
+                (F.size("sketch") < k) & (F.col("_t") < F.lit(float(SPACE)))
+            ).alias("_deficient"),
+        ).persist()  # group-count rows; keeps the isEmpty() probe from
+        # recomputing the candidate pass when the result is consumed
+        ok = sk.filter(~F.col("_deficient")).drop("_deficient")
+        done = ok if done is None else done.unionByName(ok)
+        bad = sk.filter(F.col("_deficient")).select(*groups)
+        if bad.isEmpty():
+            break
+        pending = dest.join(F.broadcast(bad), groups, "left_semi")
+        c *= 8.0
+    return done
 
 
 def kmv_merge(sketches: DataFrame, groups: list[str], k: int = DEFAULT_K) -> DataFrame:
