@@ -1224,8 +1224,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_containment"] = lambda s, d: dedup.ngram_containment_pairs(
         load_documents(s, d), n=3, threshold=0.8
     )
-    # ---- custom stateful op (applyInPandasWithState, exact-int oracle)
-    q["user_running_totals"] = streaming_sessions.user_running_totals_stream
+    # round-8 session-2 rotation: retrieval-quality metrics (per-query
+    # precision/recall/MRR/nDCG@k under shared-label relevance; rank
+    # weights inlined as identical 9-digit literals on both engines)
+    # in place of user_running_totals (driver-green r2-r7; the
+    # stateful-streaming family stays in-cap via stream_decontaminate
+    # + stream_interval_join)
+    q["retrieval_quality"] = lambda s, d: retmetrics_mod.retrieval_quality(
+        s, d, k=10, n_queries=16
+    )
 
     # ---- relational coverage (joins/agg/window/rollup/anti/semi)
     # round-7 rotation: LOSSLESS IVF cell pruning for cosine range
@@ -1233,9 +1240,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle verbatim) in place of pricing_summary (driver-green
     # r1-r6; TPC-H family keeps local_supplier_revenue +
     # excess_supply_suppliers in-cap)
-    q["range_search_ivf"] = lambda s, d: ivf.ivf_range_search(
-        s, _ivf_index(s, d), _query_vec(s, d), threshold=0.2, round_digits=ROUND
-    )
+    # round-8 session-2 rotation: KMV pairwise audience overlap (the
+    # set algebra HLL cannot do; unsaturated regime provably exact)
+    # in place of range_search_ivf (driver-green r7; the range family
+    # stays covered by range_search_cosine in overflow, which carries
+    # the same oracle the pruned form shares)
+    q["kmv_user_overlap"] = lambda s, d: kmv_mod.kmv_user_overlap(s, d)
     # round-7 rotation: PSI distribution-drift score (Laplace-smoothed
     # exact-integer shares, decimal-summed terms) in place of
     # revenue_by_nation (driver-green r1-r6; star-join family keeps
@@ -1322,7 +1332,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # output => the same full SQL oracle) in place of
     # histogram_quantiles (driver-green r4-r6; the one-shot twin rides
     # overflow)
-    q["histogram_store_quantiles"] = histstore_mod.histogram_store_quantiles
+    # round-8 session-2 rotation: the trained model-based filter
+    # (hashed-BoW logistic regression; the whole GD loop engine-exact
+    # and oracle-unrolled) in place of histogram_store_quantiles
+    # (driver-green r7; the quantile-store family stays covered by
+    # histogram_quantiles + tdigest_quantiles in overflow)
+    q["logreg_report"] = lambda s, d: logreg_mod.logreg_report(s, d)
     # round-8 rotation: per-domain doc/token caps (deterministic md5
     # admission over the URL host — the first web-corpus curation
     # step; salted local top-cap pre-filter) in place of
@@ -2160,37 +2175,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["local_supplier_revenue"] = relational.local_supplier_revenue
     q["ab_test_report"] = stats.ab_test_report
     q["source_divergence"] = textual.source_divergence
-    # sibling: ann_recall_report (the EXTERNAL-truth evaluation twin:
-    # per-query precision/recall/MRR/nDCG@k of exact top-k retrieval
-    # judged by shared-label relevance — rank weights are inlined
-    # 9-digit literals, so no transcendental crosses the gate)
-    q["retrieval_quality"] = lambda s, d: retmetrics_mod.retrieval_quality(
-        s, d, k=10, n_queries=16
-    )
-    # sibling: retrieval_quality (macro-averaged side-by-side of the
-    # cosine vs inner-product scorers — the report read before
+    # sibling: retrieval_quality IN-CAP (macro-averaged side-by-side
+    # of the cosine vs inner-product scorers — the report read before
     # switching serving strategies)
     q["retrieval_report"] = lambda s, d: retmetrics_mod.retrieval_quality_report(
         s, d, k=10, n_queries=16
     )
-    # sibling: nb_classify_docs (the DISCRIMINATIVE model-based filter:
-    # fastText-style hashed-BoW logistic regression, trained
-    # DISTRIBUTED by full-batch GD — one keyed aggregation per
-    # iteration — under a softsign link so even the training loop is
-    # engine-exact and oracle-backed end to end)
+    # sibling: logreg_report IN-CAP (per-doc scores of the
+    # DISCRIMINATIVE model-based filter — fastText-style hashed-BoW
+    # logistic regression beside nb_classify_docs, trained DISTRIBUTED
+    # by full-batch GD, engine-exact end to end)
     q["logreg_score"] = lambda s, d: logreg_mod.logreg_score(s, d)
-    # sibling: logreg_score (per-split confusion + accuracy — the
-    # go/no-go before enabling the trained filter)
-    q["logreg_report"] = lambda s, d: logreg_mod.logreg_report(s, d)
-    # sibling: hll_daily_users / approx_distinct_users (the KMV /
-    # bottom-k sketch — the distinct synopsis that also supports
-    # INTERSECTION; unsaturated at the gate SFs, so the estimate is
-    # provably exact against COUNT(DISTINCT))
+    # sibling: kmv_user_overlap IN-CAP (the KMV / bottom-k sketch —
+    # the distinct synopsis that also supports INTERSECTION;
+    # unsaturated at the gate SFs => provably exact vs COUNT(DISTINCT))
     q["kmv_distinct_by_type"] = lambda s, d: kmv_mod.kmv_distinct_by_type(s, d)
-    # sibling: kmv_distinct_by_type (pairwise audience overlap —
-    # union/intersection/Jaccard from sketches alone, the set algebra
-    # HLL cannot do)
-    q["kmv_user_overlap"] = lambda s, d: kmv_mod.kmv_user_overlap(s, d)
+    # rotated out of cap round-8 session 2 (driver-green records;
+    # every family keeps an in-cap sibling, see rotation comments):
+    q["user_running_totals"] = streaming_sessions.user_running_totals_stream
+    q["range_search_ivf"] = lambda s, d: ivf.ivf_range_search(
+        s, _ivf_index(s, d), _query_vec(s, d), threshold=0.2, round_digits=ROUND
+    )
+    q["histogram_store_quantiles"] = histstore_mod.histogram_store_quantiles
     return q
 
 

@@ -65,6 +65,15 @@ import __spark_entry__ as E
 # paragraph_dedup<-local_supplier_revenue (TPC-H stays via
 # excess_supply_suppliers), domain_caps<-ab_test_report (experiment
 # family in overflow via ab_test_cuped), ks_drift<-source_divergence.
+# Round-8 session-2 rotation (3 swaps; promoted entries are the new
+# session-2 operator families, oracle-backed; displaced entries are
+# driver-green with their family still in-cap):
+# retrieval_quality<-user_running_totals (stateful streaming stays via
+# stream_decontaminate + stream_interval_join),
+# kmv_user_overlap<-range_search_ivf (range family stays via
+# range_search_cosine in overflow — same shared oracle),
+# logreg_report<-histogram_store_quantiles (quantile stores stay via
+# histogram_quantiles + tdigest_quantiles in overflow).
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
@@ -78,13 +87,13 @@ EXPECTED_IN_CAP = [
     "leakage_safe_splits",
     "sorted_neighborhood", "expectations_report", "curation_reasons",
     "multimodal_meta", "stream_decontaminate", "dedup_components_twostar",
-    "dedup_ngram_containment", "user_running_totals", "range_search_ivf",
+    "dedup_ngram_containment", "retrieval_quality", "kmv_user_overlap",
     "psi_drift", "expectations_events",
     "paragraph_dedup", "excess_supply_suppliers",
     "duplicate_spans", "ivfopq_rerank_full", "prefixdim_rerank_full",
     "sql_topk_cosine", "semantic_dedup_blocked",
     "topk_cosine_filtered_gann",
-    "decontaminate_bloom", "tfidf_related_docs", "histogram_store_quantiles",
+    "decontaminate_bloom", "tfidf_related_docs", "logreg_report",
     "domain_caps", "ks_drift",
 ]
 
