@@ -2190,6 +2190,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the distinct synopsis that also supports INTERSECTION;
     # unsaturated at the gate SFs => provably exact vs COUNT(DISTINCT))
     q["kmv_distinct_by_type"] = lambda s, d: kmv_mod.kmv_distinct_by_type(s, d)
+    # sibling: kmv_user_overlap IN-CAP (the persisted-store path:
+    # build from the first half, kmv_store_upsert the second, serve
+    # from stored sketches — the k-min merge is LOSSLESS so the store
+    # shares the recompute oracle verbatim)
+    q["kmv_store_overlap"] = lambda s, d: kmv_mod.kmv_store_overlap(s, d)
+    # sibling: kmv_store_overlap (the same store maintained ON ARRIVAL
+    # via checkpointed foreachBatch folds — drained == batch by exact
+    # array equality, shared oracle)
+    q["stream_kmv_ingest"] = lambda s, d: streaming_sketch.stream_kmv_ingest(s, d)
     # rotated out of cap round-8 session 2 (driver-green records;
     # every family keeps an in-cap sibling, see rotation comments):
     q["user_running_totals"] = streaming_sessions.user_running_totals_stream
@@ -2556,4 +2565,8 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     )
     o["kmv_distinct_by_type"] = oracles_temporal.kmv_distinct_by_type_sql()
     o["kmv_user_overlap"] = oracles_temporal.kmv_user_overlap_sql()
+    # lossless k-min merge => the store and streaming paths answer
+    # identically to the recompute path
+    o["kmv_store_overlap"] = oracles_temporal.kmv_user_overlap_sql()
+    o["stream_kmv_ingest"] = oracles_temporal.kmv_user_overlap_sql()
     return o

@@ -77,3 +77,28 @@ def test_gate_entries_shape(spark):
     for r in overlap:
         assert r.inter_est <= r.union_est
         assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_store_upsert_equals_whole(spark, tmp_path):
+    """Store built from half the stream + upsert of the other half ==
+    one-shot sketch of everything (exact array equality), and
+    replaying the upsert is a no-op (idempotent fold)."""
+    import pyspark.sql.functions as SF
+
+    whole = _ids(spark, 4_000).withColumn("half", SF.col("key") % 2)
+    store = str(tmp_path / "kmv_store")
+    kmv.build_kmv_store(whole.filter("half = 0"), store, "key", ["g"], k=256)
+    kmv.kmv_store_upsert(spark, store, whole.filter("half = 1"), "key", ["g"], k=256)
+    got = spark.read.parquet(store).collect()[0]
+    exp = kmv.kmv_sketch(whole, "key", ["g"], k=256).collect()[0]
+    assert got.sketch == exp.sketch and got.n_min == exp.n_min
+    kmv.kmv_store_upsert(spark, store, whole.filter("half = 1"), "key", ["g"], k=256)
+    again = spark.read.parquet(store).collect()[0]
+    assert again.sketch == exp.sketch
+
+
+def test_filtered_build_equals_salted(spark):
+    df = _ids(spark, 30_000)
+    a = kmv.kmv_sketch(df, "key", ["g"], k=128).collect()[0]
+    b = kmv.kmv_sketch_filtered(df, "key", ["g"], k=128).collect()[0]
+    assert a.sketch == b.sketch and a.n_min == b.n_min

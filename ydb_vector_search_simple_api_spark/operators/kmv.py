@@ -22,12 +22,13 @@ Semantics:
 
 Scale shape (100 TB posture):
 
-- The sketch is built THRESHOLD-FIRST (see :func:`kmv_sketch`): an
-  HLL pass sizes each group, then a map-side ``h < t`` predicate
-  keeps ~4k hashes per group before anything shuffles — the dedup and
-  exact top-k run on survivor-sized data. No global sort of the
-  distinct pairs, no unbounded aggregation buffer (both foils
-  measured and rejected in ``tools/kmv_scale_probe.py``).
+- Two builds, both with bounded buffers and no global sort:
+  :func:`kmv_sketch` (default) is a salted two-level k-min fold in
+  ONE scan; :func:`kmv_sketch_filtered` adds an HLL sizing pass so
+  only ~4k survivor hashes per group ever shuffle — the shape for
+  extreme cardinality. Foils (unbounded ``collect_set``, ranked
+  windows over every distinct pair) measured and rejected in
+  ``tools/kmv_scale_probe.py``.
 - Sketches are mergeable (k smallest of the concatenation), so
   per-partition / per-day partial sketches fold without rescanning
   facts — same contract as the HLL/t-digest stores.
@@ -57,7 +58,8 @@ _HEX = 12
 SPACE = 16**_HEX
 #: default sketch size.
 DEFAULT_K = 512
-#: salt buckets for the stage-1 pre-prune window.
+#: salt buckets for the stage-1 partial k-min fold (buffer bound =
+#: distinct-per-group / N_SALTS; raise with cardinality).
 N_SALTS = 32
 
 
@@ -286,6 +288,97 @@ def kmv_user_overlap(
     ev = load_events(spark, sf_dir)
     sk = kmv_sketch(ev, "user_id", ["event_type"], k=k)
     return kmv_pair_report(sk, "event_type", k=k).select(
+        F.col("a").alias("type_a"),
+        F.col("b").alias("type_b"),
+        "n_union_sketch",
+        "n_common",
+        "union_est",
+        "inter_est",
+        "jaccard",
+    )
+
+
+# ------------------------------------------------------ persisted store
+
+#: store marker file (parquet _SUCCESS is enough; kept for symmetry
+#: with the other stores' META probes).
+META = "_SUCCESS"
+
+
+def build_kmv_store(
+    df: DataFrame, out_dir: str, key: str, groups: list[str], k: int = DEFAULT_K
+) -> None:
+    """One pass: (groups..., sketch, n_min) parquet table — state is
+    ``k`` BIGINTs per group, never raw keys."""
+    kmv_sketch(df, key, groups, k=k).write.mode("overwrite").parquet(out_dir)
+
+
+def kmv_store_upsert(
+    spark: SparkSession,
+    store_dir: str,
+    batch_df: DataFrame,
+    key: str,
+    groups: list[str],
+    k: int = DEFAULT_K,
+) -> None:
+    """Fold a new batch in: sketch the batch, k-min-merge with the
+    stored sketches per group, rewrite. The merge is associative,
+    commutative and idempotent (k smallest of a set union), so replay
+    and arrival order are both safe — the same algebra the HLL store
+    pins, here with EXACT array equality (tests/test_kmv.py
+    merge==whole)."""
+    new = kmv_sketch(batch_df, key, groups, k=k)
+    old = spark.read.parquet(store_dir)
+    merged = kmv_merge(
+        old.select(*groups, "sketch").unionByName(new.select(*groups, "sketch")),
+        groups,
+        k=k,
+    ).localCheckpoint(eager=True)  # pin before overwriting the input
+    merged.write.mode("overwrite").parquet(store_dir)
+
+
+def kmv_store_estimates(
+    spark: SparkSession, store_dir: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """Serve distinct estimates from stored sketches — no fact rescan."""
+    return kmv_estimate(spark.read.parquet(store_dir), k=k)
+
+
+def kmv_store_pair_report(
+    spark: SparkSession, store_dir: str, group: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """Serve the pairwise union/intersection/Jaccard report from
+    stored sketches — the set-algebra rollup with no fact rescan."""
+    return kmv_pair_report(spark.read.parquet(store_dir), group, k=k)
+
+
+def kmv_store_overlap(
+    spark: SparkSession, sf_dir: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """Gate entry: build the per-type user sketch store from the FIRST
+    half of the events stream, fold the second half in via
+    ``kmv_store_upsert``, serve the pair report from the store. The
+    k-min merge is lossless, so output — and oracle — are identical
+    to ``kmv_user_overlap``: maintained state answers the same
+    question without rescanning facts."""
+    import hashlib
+    import os
+    import tempfile
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    tag = hashlib.md5(f"{sf_dir}:{k}:overlap".encode()).hexdigest()[:8]
+    store = os.path.join(tempfile.gettempdir(), f"svs_kmv_{tag}")
+    if not os.path.exists(os.path.join(store, META)):
+        half = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).head()[0]
+        build_kmv_store(
+            ev.filter(F.col("event_id") <= half), store, "user_id",
+            ["event_type"], k=k,
+        )
+        kmv_store_upsert(
+            spark, store, ev.filter(F.col("event_id") > half), "user_id",
+            ["event_type"], k=k,
+        )
+    return kmv_store_pair_report(spark, store, "event_type", k=k).select(
         F.col("a").alias("type_a"),
         F.col("b").alias("type_b"),
         "n_union_sketch",

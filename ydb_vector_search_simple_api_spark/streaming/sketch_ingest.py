@@ -335,3 +335,66 @@ def stream_tdigest_ingest(
     )
     query.awaitTermination()
     return TD.tdigest_store_quantiles(spark, store)
+
+
+def stream_kmv_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = 4,
+    k: int = 512,
+) -> DataFrame:
+    """Maintain the KMV distinct-sketch store ON ARRIVAL: events drain
+    in ``n_shards`` checkpointed batches, the first builds the
+    per-type user sketch store, every later one folds in via
+    ``kmv_store_upsert``. Serving reads only the drained sketches.
+
+    Contract (stronger than the t-digest twin's): the k-min merge is
+    LOSSLESS — k smallest of a union is a pure set function — so the
+    drained store equals the batch-built store by EXACT array
+    equality, and this entry shares ``kmv_user_overlap``'s oracle
+    verbatim. Exactly-once per shard comes from the checkpoint, as in
+    every other ingest twin."""
+    from ..operators import kmv as KMV
+    from ..sources.store import load_events
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"svs_kmvstream_{run}")
+    landing = os.path.join(base, "landing")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    write_shard_landing(ev, landing, n_shards, order_col="event_id")
+    schema = ev.schema
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select("event_type", "user_id")
+        if not os.path.exists(os.path.join(store, KMV.META)):
+            KMV.build_kmv_store(b, store, "user_id", ["event_type"], k=k)
+        else:
+            KMV.kmv_store_upsert(
+                batch_df.sparkSession, store, b, "user_id", ["event_type"], k=k
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "shard=*"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return KMV.kmv_store_pair_report(spark, store, "event_type", k=k).select(
+        F.col("a").alias("type_a"),
+        F.col("b").alias("type_b"),
+        "n_union_sketch",
+        "n_common",
+        "union_est",
+        "inter_est",
+        "jaccard",
+    )
