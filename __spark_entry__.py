@@ -2190,6 +2190,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the distinct synopsis that also supports INTERSECTION;
     # unsaturated at the gate SFs => provably exact vs COUNT(DISTINCT))
     q["kmv_distinct_by_type"] = lambda s, d: kmv_mod.kmv_distinct_by_type(s, d)
+    # sibling: cdc_merge (the HISTORY twin of the SCD-1 survivor:
+    # versioned dimension with validity intervals from the event
+    # stream — run-compression before the versions window, both keyed
+    # on user_id, no single-partition exchange)
+    q["scd2_history"] = temporal.scd2_history
     # sibling: kmv_user_overlap IN-CAP (the persisted-store path:
     # build from the first half, kmv_store_upsert the second, serve
     # from stored sketches — the k-min merge is LOSSLESS so the store
@@ -2569,4 +2574,5 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     # identically to the recompute path
     o["kmv_store_overlap"] = oracles_temporal.kmv_user_overlap_sql()
     o["stream_kmv_ingest"] = oracles_temporal.kmv_user_overlap_sql()
+    o["scd2_history"] = oracles_temporal.scd2_history_sql()
     return o

@@ -512,3 +512,39 @@ def session_labels(
         probe.groupBy("user_id", "session_start", "session_end_last", "n_events")
         .agg(F.max(F.col("p_ts").isNotNull().cast("int")).cast("int").alias("label"))
     )
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 versioned-dimension build from the event stream — the
+    history twin of ``curation.cdc_merge_snapshot`` (which keeps only
+    the SCD-1 survivor): per user, the sequence of distinct
+    ``event_type`` states with validity intervals.
+
+    Gaps-and-islands over (user, ts): a row opens a new version when
+    the previous event (ordered by ts, event_id) carried a different
+    state; ``valid_to`` is the next version's ``valid_from`` and the
+    open-ended row is ``is_current``.
+
+    Scale shape: both windows are keyed on ``user_id`` — one shuffle,
+    per-user partitions sort locally and spill; no single-partition
+    exchange. Run-compression happens BEFORE the second window, so the
+    versions window sees change rows only (bounded by state churn, not
+    event volume).
+
+    Output: (user_id, version, state, valid_from, valid_to,
+    is_current).
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_state", F.lag("event_type").over(w)).filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("event_type"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.row_number().over(wv).cast("bigint").alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wv).alias("valid_to"),
+        F.lead("ts").over(wv).isNull().alias("is_current"),
+    )

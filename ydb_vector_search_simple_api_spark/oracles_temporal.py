@@ -782,3 +782,32 @@ SELECT type_a, type_b,
        ROUND(SUM(in_a * in_b)::DOUBLE / count(*), 6) + 0.0 AS jaccard
 FROM m GROUP BY 1, 2
 """
+
+
+def scd2_history_sql() -> str:
+    """Twin of :func:`operators.temporal.scd2_history` — the same
+    gaps-and-islands run compression then versions windows, both
+    ordered (ts, event_id) for deterministic ties."""
+    return """
+WITH e AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events
+),
+ch AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+  FROM e
+),
+c2 AS (
+  SELECT * FROM ch WHERE prev_state IS NULL OR prev_state <> event_type
+)
+SELECT user_id,
+       ROW_NUMBER() OVER (
+         PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS version,
+       event_type AS state,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM c2
+"""
