@@ -120,6 +120,20 @@ HEADLINERS = {
     "image_phash_dedup": "after the Arrow hash stage everything is "
     "codegen: band explode, keyed self-join on (band, val), "
     "bit_count(xor) verify — no cartesian, no Python in the join path",
+    "retrieval_quality": "retrieval keeps the knn_join shape (broadcast "
+    "query batch, ranked window over narrow score triples); the metrics "
+    "stage touches ONLY the nq x k retrieved rows — label counts arrive "
+    "as ONE broadcast aggregate, and the DCG/IDCG gains are k-entry "
+    "literal arrays (no log2 anywhere in the plan)",
+    "kmv_user_overlap": "sketch build is two ObjectHashAggregates with "
+    "partial (map-side) collect_set bounded by the salt split, then "
+    "WindowGroupLimit (rank<=k short-circuits the sort); the pair "
+    "report runs on EXPLODED SKETCH rows only — the group-pair table "
+    "rides a BroadcastExchange, facts never reappear",
+    "logreg_score": "scoring is one BroadcastHashJoin of the 512-row "
+    "model into the feature table + one keyed DECIMAL aggregation — "
+    "whole-stage codegen, no Python eval nodes; training repeats the "
+    "same shape once per iteration over the persisted feature table",
 }
 
 
