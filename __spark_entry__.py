@@ -60,6 +60,7 @@ from ydb_vector_search_simple_api_spark.operators import (
 )
 from ydb_vector_search_simple_api_spark.operators import logreg as logreg_mod
 from ydb_vector_search_simple_api_spark.operators import kmv as kmv_mod
+from ydb_vector_search_simple_api_spark.sources import warc as warc_mod
 from ydb_vector_search_simple_api_spark.operators import tdigest as tdigest_mod
 from ydb_vector_search_simple_api_spark.operators import tokenizers as tokenizers_mod
 from ydb_vector_search_simple_api_spark.operators import hist_store as histstore_mod
@@ -2190,6 +2191,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the distinct synopsis that also supports INTERSECTION;
     # unsaturated at the gate SFs => provably exact vs COUNT(DISTINCT))
     q["kmv_distinct_by_type"] = lambda s, d: kmv_mod.kmv_distinct_by_type(s, d)
+    # sibling: export_curated (the INGESTION side of the IO story: a
+    # WET/WARC-style archive written by a codegen projection and read
+    # back through the lineSep record-split text source — records
+    # split across file-split boundaries natively, parsing is all
+    # codegen string ops; oracle = a plain documents projection, so
+    # equality proves writer and distributed parser are exact inverses)
+    q["wet_roundtrip"] = lambda s, d: warc_mod.wet_roundtrip(s, d)
     # sibling: cdc_merge (the HISTORY twin of the SCD-1 survivor:
     # versioned dimension with validity intervals from the event
     # stream — run-compression before the versions window, both keyed
@@ -2575,4 +2583,8 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["kmv_store_overlap"] = oracles_temporal.kmv_user_overlap_sql()
     o["stream_kmv_ingest"] = oracles_temporal.kmv_user_overlap_sql()
     o["scd2_history"] = oracles_temporal.scd2_history_sql()
+    o["wet_roundtrip"] = (
+        "SELECT doc_id, lang, source, length(text)::BIGINT AS n_chars_rt, "
+        "md5(text) AS text_md5 FROM documents"
+    )
     return o
