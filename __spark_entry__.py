@@ -2191,6 +2191,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the distinct synopsis that also supports INTERSECTION;
     # unsaturated at the gate SFs => provably exact vs COUNT(DISTINCT))
     q["kmv_distinct_by_type"] = lambda s, d: kmv_mod.kmv_distinct_by_type(s, d)
+    # sibling: bm25_topk_indexed (the EXACT-match lexical twin:
+    # consecutive-token phrase occurrences via one per-doc array
+    # lambda inside codegen — zero shuffle, no token explode; the
+    # serving form swaps the scan for positional posting lists)
+    q["phrase_search"] = lambda s, d: ranking_mod.phrase_search(s, d)
     # sibling: export_curated (the INGESTION side of the IO story: a
     # WET/WARC-style archive written by a codegen projection and read
     # back through the lineSep record-split text source — records
@@ -2587,4 +2592,5 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
         "SELECT doc_id, lang, source, length(text)::BIGINT AS n_chars_rt, "
         "md5(text) AS text_md5 FROM documents"
     )
+    o["phrase_search"] = oracles_text.phrase_search_sql(ranking_mod.PHRASE_TERMS)
     return o

@@ -292,3 +292,44 @@ def test_rag_context_plan_shape(spark):
     assert checks.uses_take_ordered(df), checks.simple_plan(df)
     for block in checks.broadcast_scan_blocks(df, "documents.parquet"):
         assert "source" not in block, block
+
+
+# ------------------------------------------------------ phrase search
+
+
+def test_phrase_search_known_positions(spark):
+    from ydb_vector_search_simple_api_spark.operators.ranking import (
+        phrase_match_positions,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick brown"),
+            (2, "quick brown"),
+            (3, "the quick the slow"),
+            (4, "brown quick"),
+            (5, "quick"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_match_positions(docs, ["quick", "brown"]).collect()
+    }
+    assert got == {1: (2, 2), 2: (1, 1)}
+    # m=1 degenerates to token search
+    got1 = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_match_positions(docs, ["quick"]).collect()
+    }
+    assert got1[5] == (1, 1) and got1[1] == (2, 2) and got1[3] == (1, 2)
+
+
+def test_phrase_search_plan_is_shuffle_free(spark):
+    from ydb_vector_search_simple_api_spark.operators.ranking import phrase_search
+    from tests.conftest import SF_SMALL
+
+    df = phrase_search(spark, SF_SMALL)
+    explained = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in explained
+    assert df.count() >= 0

@@ -519,3 +519,63 @@ def rag_context(
         )
         .select("rk", "doc_id", "score", "n_tokens", "cum_tokens", "included")
     )
+
+
+#: default phrase for the gate entry (two common corpus tokens).
+PHRASE_TERMS = ("table", "hash")
+
+
+def phrase_match_positions(docs: DataFrame, phrase: Sequence[str]) -> DataFrame:
+    """Exact phrase search: (doc_id, n_matches, first_pos) for docs
+    containing ``phrase`` as consecutive tokens (1-based positions).
+
+    Scale shape — ZERO shuffle: the match test is one array lambda per
+    document (``filter(sequence(1, len-m+1), i -> tok[i]=w1 AND ...)``)
+    evaluated inside whole-stage codegen during the scan; no token
+    explode, no positional self-join, nothing leaves the map side
+    until the (matching-docs-only) rows are returned. The same
+    formulation serves from a positional-postings store by replacing
+    the scan with the phrase terms' posting lists (the
+    bm25_topk_indexed pattern); at corpus scale the array form IS the
+    verify stage either way.
+    """
+    import functools
+    import operator
+
+    m = len(phrase)
+    if m < 1:
+        raise ValueError("phrase must be non-empty")
+    toks = TXT.tokens("text")
+
+    def _match_at(i):
+        return functools.reduce(
+            operator.and_,
+            [
+                F.element_at(F.col("t"), i + F.lit(j)) == F.lit(w)
+                for j, w in enumerate(phrase)
+            ],
+        )
+
+    hits = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size("t") - F.lit(m - 1), F.lit(0))),
+        _match_at,
+    )
+    out = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= m)
+        .select("doc_id", hits.alias("hits"))
+        .filter(F.size("hits") > 0)
+    )
+    return out.select(
+        "doc_id",
+        F.size("hits").cast("bigint").alias("n_matches"),
+        F.element_at("hits", 1).cast("bigint").alias("first_pos"),
+    )
+
+
+def phrase_search(
+    spark: SparkSession, sf_dir: str, phrase: Sequence[str] = PHRASE_TERMS
+) -> DataFrame:
+    """Gate entry: exact phrase occurrences of the fixed query phrase
+    over the documents table."""
+    return phrase_match_positions(load_documents(spark, sf_dir), phrase)

@@ -1813,3 +1813,23 @@ SELECT n_points,
        ROUND((sy - ((n_points::DOUBLE * sxy - sx * sy) / (n_points::DOUBLE * sxx - sx * sx)) * sx) / n_points::DOUBLE, 6) + 0.0 AS ln_k
 FROM agg
 """
+
+
+def phrase_search_sql(phrase: tuple[str, ...]) -> str:
+    """Twin of :func:`operators.ranking.phrase_search` — the same
+    per-doc match-position lambda (1-based, consecutive-token
+    equality), list_filter over range."""
+    m = len(phrase)
+    cond = " AND ".join(
+        f"t[i+{j}] = '{w}'" for j, w in enumerate(phrase)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+f AS (
+  SELECT doc_id,
+         list_filter(range(1, len(t) - {m} + 2), i -> {cond}) AS hits
+  FROM toks WHERE len(t) >= {m}
+)
+SELECT doc_id, len(hits)::BIGINT AS n_matches, hits[1]::BIGINT AS first_pos
+FROM f WHERE len(hits) > 0
+"""
