@@ -2191,6 +2191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the distinct synopsis that also supports INTERSECTION;
     # unsaturated at the gate SFs => provably exact vs COUNT(DISTINCT))
     q["kmv_distinct_by_type"] = lambda s, d: kmv_mod.kmv_distinct_by_type(s, d)
+    # sibling: dedup_minhash_md5 / ann_recall_report (the dedup
+    # family's parameter-tuning report: candidate volume, verified
+    # count, recall vs the exact-Jaccard truth and raw-candidate
+    # precision at every bands setting — the md5 signature makes the
+    # banding's approximation error itself oracle-checked)
+    q["lsh_calibration"] = lambda s, d: dedup.lsh_calibration_report(s, d)
     # sibling: bm25_topk_indexed (the EXACT-match lexical twin:
     # consecutive-token phrase occurrences via one per-doc array
     # lambda inside codegen — zero shuffle, no token explode; the
@@ -2593,4 +2599,5 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
         "md5(text) AS text_md5 FROM documents"
     )
     o["phrase_search"] = oracles_text.phrase_search_sql(ranking_mod.PHRASE_TERMS)
+    o["lsh_calibration"] = oracles_text.lsh_calibration_sql()
     return o

@@ -630,3 +630,29 @@ def test_paragraph_dedup_docs_headers_footers_deduped(spark):
         load_documents(spark, SF_SMALL).select("text").distinct().count()
     )
     assert total_kept == n_distinct_bodies + 5 + 3
+
+
+def test_lsh_calibration_report_properties(spark):
+    from tests.conftest import SF_SMALL
+    from ydb_vector_search_simple_api_spark.operators.dedup import (
+        lsh_calibration_report,
+    )
+
+    rows = sorted(
+        lsh_calibration_report(spark, SF_SMALL).collect(), key=lambda r: r.bands
+    )
+    assert [r.bands for r in rows] == [2, 4, 8, 16]
+    truth = rows[0].n_truth
+    prev_cand = 0
+    prev_rec = 0.0
+    for r in rows:
+        # more bands -> more (or equal) candidates and recall
+        assert r.n_candidates >= prev_cand
+        assert r.recall is None or r.recall >= prev_rec
+        prev_cand, prev_rec = r.n_candidates, r.recall or 0.0
+        # verification is exact: never more verified than truth,
+        # never more verified than candidates
+        assert r.n_verified <= truth and r.n_verified <= r.n_candidates
+        assert r.n_truth == truth
+    # bands == num_hashes (rows=1) is the full-recall endpoint
+    assert rows[-1].recall == 1.0

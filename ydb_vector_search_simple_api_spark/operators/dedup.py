@@ -2107,3 +2107,97 @@ def paragraph_dedup_docs(spark, sf_dir: str) -> DataFrame:
     from ..sources.store import load_documents
 
     return paragraph_dedup(attach_paragraphs(load_documents(spark, sf_dir)))
+
+
+def lsh_calibration_report(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_grid: tuple[int, ...] = (2, 4, 8, 16),
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Banding-parameter calibration for MinHash-LSH dedup — the dedup
+    family's twin of ``index.ann_recall_report``: one row per bands
+    setting with the measured candidate volume, verified-pair count,
+    recall against the EXACT Jaccard truth, and precision of the raw
+    candidate set. This is the report a pipeline reads before fixing
+    (bands, rows) for a corpus-scale dedup run: more bands → higher
+    recall and more candidates to verify; the knee is corpus-specific.
+
+    One shingle pass feeds the truth computation, the signatures, and
+    every banding config (md5 hasher — the engine-portable signature,
+    so the WHOLE report incl. the banding's approximation error is
+    oracle-checked). Counts are per-config aggregates of the same
+    bounded candidate machinery the production path uses; nothing
+    all-pairs.
+
+    Output: (num_hashes, bands, rows_per_band, n_candidates,
+    n_verified, n_truth, recall, precision).
+    """
+    from ..sources.store import load_documents
+
+    docs = load_documents(spark, sf_dir)
+    shingled = shingled_table(docs, "doc_id", "text", n)
+    # exact truth: every pair clearing the threshold (inverted-index
+    # exact join, same machinery as the oracle-backed exact entry)
+    truth = (
+        ngram_jaccard_pairs(docs, n=n, threshold=threshold)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    )
+
+    sa = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    per_config = []
+    for b in band_grid:
+        cands = lsh_band_candidates(shingled, num_hashes, b, hasher="md5")
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        jac = F.round(inter.cast("double") / union.cast("double"), 6) + F.lit(0.0)
+        flagged = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select((jac >= threshold).cast("int").alias("ok"))
+        )
+        per_config.append(
+            flagged.agg(
+                F.lit(num_hashes).cast("bigint").alias("num_hashes"),
+                F.lit(b).cast("bigint").alias("bands"),
+                F.lit(num_hashes // b).cast("bigint").alias("rows_per_band"),
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                F.sum("ok").cast("bigint").alias("n_verified"),
+            )
+        )
+    rep = per_config[0]
+    for c in per_config[1:]:
+        rep = rep.unionByName(c)
+    return rep.crossJoin(F.broadcast(truth)).select(
+        "num_hashes",
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        F.coalesce("n_verified", F.lit(0)).cast("bigint").alias("n_verified"),
+        "n_truth",
+        (
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(
+                    F.coalesce("n_verified", F.lit(0)).cast("double")
+                    / F.col("n_truth"),
+                    6,
+                ),
+            )
+            + F.lit(0.0)
+        ).alias("recall"),
+        (
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(
+                    F.coalesce("n_verified", F.lit(0)).cast("double")
+                    / F.col("n_candidates"),
+                    6,
+                ),
+            )
+            + F.lit(0.0)
+        ).alias("precision"),
+    )

@@ -1833,3 +1833,81 @@ f AS (
 SELECT doc_id, len(hits)::BIGINT AS n_matches, hits[1]::BIGINT AS first_pos
 FROM f WHERE len(hits) > 0
 """
+
+
+def lsh_calibration_sql(
+    n: int = 3,
+    num_hashes: int = 16,
+    band_grid: tuple[int, ...] = (2, 4, 8, 16),
+    threshold: float = 0.8,
+) -> str:
+    """Twin of :func:`operators.dedup.lsh_calibration_report` — the
+    md5-MinHash signature/banding CTEs of ``minhash_lsh_md5_sql``
+    evaluated at every bands setting, plus the exact-Jaccard truth
+    count; recall/precision are ratios of exact integers."""
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('mh{i}:' || s)))"
+        for i in range(num_hashes)
+    )
+    jac = (
+        "ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE, "
+        "6) + 0.0"
+    )
+    parts = [
+        f"""
+toks AS (SELECT doc_id AS id, {TOKS} AS t FROM documents),
+shs AS (SELECT id, list_distinct({_shingles(n)}) AS sh FROM toks),
+truth AS (
+  SELECT count(*)::BIGINT AS n_truth
+  FROM shs sa JOIN shs sb ON sa.id < sb.id
+  WHERE len(list_intersect(sa.sh, sb.sh)) > 0 AND {jac} >= {threshold}
+),
+sig AS (SELECT id, sh, [{sig_elems}] AS sig FROM shs)"""
+    ]
+    selects = []
+    for b in band_grid:
+        rows = num_hashes // b
+        band_structs = ", ".join(
+            "struct_pack(band := {bb}, bkey := md5({key}))".format(
+                bb=bb,
+                key=" || ',' || ".join(
+                    f"sig[{bb * rows + r + 1}]" for r in range(rows)
+                ),
+            )
+            for bb in range(b)
+        )
+        parts.append(
+            f"""
+banded{b} AS (
+  SELECT id, u.band AS band, u.bkey AS bkey
+  FROM (SELECT id, unnest([{band_structs}]) AS u FROM sig)
+),
+cand{b} AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded{b} a JOIN banded{b} b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+agg{b} AS (
+  SELECT count(*)::BIGINT AS n_candidates,
+         COALESCE(SUM(CASE WHEN {jac} >= {threshold} THEN 1 ELSE 0 END),
+                  0)::BIGINT AS n_verified
+  FROM cand{b}
+  JOIN shs sa ON sa.id = cand{b}.id_a
+  JOIN shs sb ON sb.id = cand{b}.id_b
+)"""
+        )
+        selects.append(
+            f"""
+SELECT {num_hashes}::BIGINT AS num_hashes, {b}::BIGINT AS bands,
+       {rows}::BIGINT AS rows_per_band,
+       a.n_candidates, a.n_verified, t.n_truth,
+       CASE WHEN t.n_truth > 0
+            THEN ROUND(a.n_verified::DOUBLE / t.n_truth, 6) END + 0.0
+         AS recall,
+       CASE WHEN a.n_candidates > 0
+            THEN ROUND(a.n_verified::DOUBLE / a.n_candidates, 6) END + 0.0
+         AS precision
+FROM agg{b} a, truth t"""
+        )
+    return "WITH " + ",".join(parts) + (" UNION ALL ".join(selects))
