@@ -1268,12 +1268,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of customers_without_orders (driver-green r1-r4; anti-join
     # family stays covered in overflow)
     q["excess_supply_suppliers"] = relational.excess_supply_suppliers
-    # exact-substring duplicate spans (Lee et al. style) — promoted
-    # in-cap late round 4; repeat_customers (driver-green r3/r4)
-    # rotated to overflow, set-op family still covered there
-    q["duplicate_spans"] = lambda s, d: dedup.duplicate_spans(
-        load_documents(s, d)
-    )
+    # round-8 session-2 rotation: LSH banding-calibration report (the
+    # dedup family's parameter-tuning lens — even the banding's
+    # approximation error is oracle-checked through the md5 signature)
+    # in place of duplicate_spans (driver-green r4-r7; the span family
+    # stays via dedup_ngram_prefix in-cap + remove_duplicate_spans /
+    # duplicate_spans in overflow)
+    q["lsh_calibration"] = lambda s, d: dedup.lsh_calibration_report(s, d)
     # round-5 rotation: IVF x SQ composition at full width+shortlist
     # (partition pruning AND int8 codes in one layout; == exact) in
     # place of customer_revenue_deciles (driver-green r3/r4; window
@@ -2191,17 +2192,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the distinct synopsis that also supports INTERSECTION;
     # unsaturated at the gate SFs => provably exact vs COUNT(DISTINCT))
     q["kmv_distinct_by_type"] = lambda s, d: kmv_mod.kmv_distinct_by_type(s, d)
-    # sibling: dedup_minhash_md5 / ann_recall_report (the dedup
-    # family's parameter-tuning report: candidate volume, verified
-    # count, recall vs the exact-Jaccard truth and raw-candidate
-    # precision at every bands setting — the md5 signature makes the
-    # banding's approximation error itself oracle-checked)
-    q["lsh_calibration"] = lambda s, d: dedup.lsh_calibration_report(s, d)
+    # rotated out round-8 session 2 in favor of lsh_calibration (span
+    # family stays in-cap via dedup_ngram_prefix):
+    q["duplicate_spans"] = lambda s, d: dedup.duplicate_spans(
+        load_documents(s, d)
+    )
     # sibling: bm25_topk_indexed (the EXACT-match lexical twin:
     # consecutive-token phrase occurrences via one per-doc array
     # lambda inside codegen — zero shuffle, no token explode; the
     # serving form swaps the scan for positional posting lists)
     q["phrase_search"] = lambda s, d: ranking_mod.phrase_search(s, d)
+    # sibling: phrase_search (the SERVING form: positional postings
+    # store read only at the phrase terms' row groups — store path ==
+    # scan path by the shared oracle, the bm25_topk_indexed contract)
+    q["phrase_search_store"] = lambda s, d: ranking_mod.phrase_search_store(s, d)
     # sibling: export_curated (the INGESTION side of the IO story: a
     # WET/WARC-style archive written by a codegen projection and read
     # back through the lineSep record-split text source — records
@@ -2600,4 +2604,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     )
     o["phrase_search"] = oracles_text.phrase_search_sql(ranking_mod.PHRASE_TERMS)
     o["lsh_calibration"] = oracles_text.lsh_calibration_sql()
+    o["phrase_search_store"] = oracles_text.phrase_search_sql(
+        ranking_mod.PHRASE_TERMS
+    )
     return o

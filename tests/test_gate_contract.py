@@ -73,7 +73,10 @@ import __spark_entry__ as E
 # kmv_user_overlap<-range_search_ivf (range family stays via
 # range_search_cosine in overflow — same shared oracle),
 # logreg_report<-histogram_store_quantiles (quantile stores stay via
-# histogram_quantiles + tdigest_quantiles in overflow).
+# histogram_quantiles + tdigest_quantiles in overflow). Late round-8
+# session 2: lsh_calibration<-duplicate_spans (span family stays via
+# dedup_ngram_prefix in-cap + duplicate_spans/remove_duplicate_spans
+# in overflow).
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
@@ -90,7 +93,7 @@ EXPECTED_IN_CAP = [
     "dedup_ngram_containment", "retrieval_quality", "kmv_user_overlap",
     "psi_drift", "expectations_events",
     "paragraph_dedup", "excess_supply_suppliers",
-    "duplicate_spans", "ivfopq_rerank_full", "prefixdim_rerank_full",
+    "lsh_calibration", "ivfopq_rerank_full", "prefixdim_rerank_full",
     "sql_topk_cosine", "semantic_dedup_blocked",
     "topk_cosine_filtered_gann",
     "decontaminate_bloom", "tfidf_related_docs", "logreg_report",

@@ -333,3 +333,22 @@ def test_phrase_search_plan_is_shuffle_free(spark):
     explained = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in explained
     assert df.count() >= 0
+
+
+def test_phrase_store_equals_scan(spark, tmp_path):
+    from tests.conftest import SF_SMALL
+    from ydb_vector_search_simple_api_spark.operators.ranking import (
+        build_positional_postings,
+        phrase_search,
+        phrase_search_indexed,
+    )
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    idx = build_positional_postings(
+        spark, load_documents(spark, SF_SMALL), str(tmp_path / "pos")
+    )
+    for phrase in (["table", "hash"], ["order"], ["the", "the"]):
+        scan = phrase_search(spark, SF_SMALL, phrase)
+        store = phrase_search_indexed(spark, idx, phrase)
+        assert store.exceptAll(scan).count() == 0
+        assert scan.exceptAll(store).count() == 0

@@ -2146,11 +2146,59 @@ def lsh_calibration_report(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     )
 
-    sa = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # ONE signature pass shared by every banding config: the k salted
+    # md5 folds over the shingle sets are the expensive stage (they
+    # dominate a per-config rebuild 4×); band keys then derive from
+    # the materialized sig attribute with one cheap md5 per band.
+    sig_df = shingled.select(
+        "id",
+        "sh",
+        F.array(
+            *[_sig_element(F.col("sh"), i, "md5") for i in range(num_hashes)]
+        ).alias("sig"),
+    ).persist()
+
+    def _cands(bands: int) -> DataFrame:
+        rows = num_hashes // bands
+        band_rows = sig_df.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bb).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.element_at("sig", bb * rows + r + 1)
+                                        for r in range(rows)
+                                    ],
+                                )
+                            ).alias("bkey"),
+                        )
+                        for bb in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        ba, bb2 = band_rows.alias("a"), band_rows.alias("b")
+        return (
+            ba.join(
+                bb2,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+
+    sa = sig_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sig_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     per_config = []
     for b in band_grid:
-        cands = lsh_band_candidates(shingled, num_hashes, b, hasher="md5")
+        cands = _cands(b)
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         union = F.size("sh_a") + F.size("sh_b") - inter
         jac = F.round(inter.cast("double") / union.cast("double"), 6) + F.lit(0.0)

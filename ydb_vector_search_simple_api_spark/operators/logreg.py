@@ -165,6 +165,12 @@ def train_weights(
         train.unpersist()
 
 
+#: session cache for trained weights — a pure function of the corpus
+#: files + hyperparameters (the wordpiece-vocab / scan-cache contract);
+#: logreg_report shares logreg_score's training pass through it.
+_WEIGHT_CACHE: dict[tuple, dict[int, int]] = {}
+
+
 def logreg_score(
     spark: SparkSession, sf_dir: str, n_iter: int = N_ITER, lr: int = LR
 ) -> DataFrame:
@@ -175,7 +181,11 @@ def logreg_score(
     docs = load_documents(spark, sf_dir)
     feats = _features(docs).persist()
     try:
-        w = train_weights(spark, feats, n_iter=n_iter, lr=lr)
+        key = (spark.sparkContext.applicationId, sf_dir, n_iter, int(lr))
+        w = _WEIGHT_CACHE.get(key)
+        if w is None:
+            w = train_weights(spark, feats, n_iter=n_iter, lr=lr)
+            _WEIGHT_CACHE[key] = w
         wdf = spark.createDataFrame(
             [(b, u / 1e9) for b, u in w.items()], "b bigint, w double"
         )

@@ -579,3 +579,108 @@ def phrase_search(
     """Gate entry: exact phrase occurrences of the fixed query phrase
     over the documents table."""
     return phrase_match_positions(load_documents(spark, sf_dir), phrase)
+
+
+def build_positional_postings(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Offline positional-postings build for phrase serving:
+    (token, doc_id, positions array<int>, dl) parquet, range-
+    partitioned + sorted by token (the ``build_lexical_index``
+    layout), so a phrase lookup reads ONLY its terms' row groups via
+    min/max stats + the pushed ``token IN (...)`` filter. One corpus
+    tokenize, one (doc, token) shuffle — paid once at build."""
+    toks = TXT.tokens(text_col)
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("bigint").alias("dl"),
+        F.posexplode(toks).alias("pos0", "token"),
+    )
+    postings = (
+        per_doc.groupBy("token", "doc_id", "dl")
+        .agg(
+            F.sort_array(F.collect_list((F.col("pos0") + 1).cast("int"))).alias(
+                "positions"
+            )
+        )
+        .repartitionByRange(F.col("token"))
+        .sortWithinPartitions("token", "doc_id")
+    )
+    postings.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+    return out_dir
+
+
+def phrase_search_indexed(
+    spark: SparkSession, index_dir: str, phrase: Sequence[str] = PHRASE_TERMS
+) -> DataFrame:
+    """Phrase serving from the positional store: read the phrase
+    terms' posting lists only, join them per document, and verify
+    adjacency with array predicates — output identical to
+    :func:`phrase_match_positions` over the indexed corpus (shared
+    oracle).
+
+    Plan shape: m-1 equi-joins on doc_id over term-pruned scans (the
+    rarest-term list could drive; Catalyst reorders), then ONE array
+    lambda filters the anchor positions — no explode of position
+    lists, no window."""
+    m = len(phrase)
+    if m < 1:
+        raise ValueError("phrase must be non-empty")
+    post = spark.read.parquet(os.path.join(index_dir, "postings"))
+    uniq = sorted(set(phrase))
+    post = post.filter(F.col("token").isin(uniq)).select(
+        "token", "doc_id", "positions"
+    )
+    base = post.filter(F.col("token") == phrase[0]).select(
+        "doc_id", F.col("positions").alias("p0")
+    )
+    for j, w in enumerate(phrase[1:], start=1):
+        side = post.filter(F.col("token") == w).select(
+            "doc_id", F.col("positions").alias(f"p{j}")
+        )
+        base = base.join(side, "doc_id")
+    hits = F.filter(
+        F.col("p0"),
+        lambda p: (
+            # consecutive containment in every later term's list
+            F.aggregate(
+                F.array(
+                    *[
+                        F.array_contains(F.col(f"p{j}"), p + F.lit(j)).cast("int")
+                        for j in range(1, m)
+                    ]
+                )
+                if m > 1
+                else F.array(F.lit(1)),
+                F.lit(1),
+                lambda acc, x: acc * x,
+            )
+            == F.lit(1)
+        ),
+    )
+    out = base.select("doc_id", hits.alias("hits")).filter(F.size("hits") > 0)
+    return out.select(
+        "doc_id",
+        F.size("hits").cast("bigint").alias("n_matches"),
+        F.element_at("hits", 1).cast("bigint").alias("first_pos"),
+    )
+
+
+def phrase_search_store(
+    spark: SparkSession, sf_dir: str, phrase: Sequence[str] = PHRASE_TERMS
+) -> DataFrame:
+    """Gate entry: phrase serving through the positional store built
+    once per session (the store-cache convention) — shares
+    ``phrase_search``'s oracle, proving store path == scan path."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(f"{sf_dir}:pos".encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"svs_pospost_{tag}")
+    if not os.path.exists(os.path.join(out, "postings", "_SUCCESS")):
+        build_positional_postings(spark, load_documents(spark, sf_dir), out)
+    return phrase_search_indexed(spark, out, phrase)
