@@ -2192,6 +2192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the distinct synopsis that also supports INTERSECTION;
     # unsaturated at the gate SFs => provably exact vs COUNT(DISTINCT))
     q["kmv_distinct_by_type"] = lambda s, d: kmv_mod.kmv_distinct_by_type(s, d)
+    # sibling: pack_chunks (the padding-waste report across context
+    # budgets — how a trainer fixes the sequence length; pad counts
+    # under-budget bins, overflow the bounded one-chunk overshoot)
+    q["packing_efficiency"] = lambda s, d: curation.packing_efficiency(s, d)
     # rotated out round-8 session 2 in favor of lsh_calibration (span
     # family stays in-cap via dedup_ngram_prefix):
     q["duplicate_spans"] = lambda s, d: dedup.duplicate_spans(
@@ -2606,5 +2610,8 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["lsh_calibration"] = oracles_text.lsh_calibration_sql()
     o["phrase_search_store"] = oracles_text.phrase_search_sql(
         ranking_mod.PHRASE_TERMS
+    )
+    o["packing_efficiency"] = oracles_curation.packing_efficiency_sql(
+        oracles_text.chunk_documents_sql(64, 48)
     )
     return o

@@ -1779,3 +1779,60 @@ def dedup_cluster_sizes(
         )
         .orderBy("cluster_size")
     )
+
+
+def packing_efficiency(
+    spark: SparkSession,
+    sf_dir: str,
+    budgets: tuple[int, ...] = (128, 256, 512),
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Padding-waste report across context budgets — the number a
+    trainer reads before fixing the sequence length: per budget, how
+    many bins the packed corpus yields, what fraction of each bin is
+    real tokens vs padding, and how much a bin overshoots (the
+    bounded-by-one-chunk truncation the :func:`pack_chunks` contract
+    allows).
+
+    One chunk pass per budget over the same chunk stream (the bin
+    window depends on the budget, so the window re-runs; the chunker's
+    tokenize is the shared cost and rides the scan cache). Output:
+    (budget, n_bins, total_tokens, pad_tokens, overflow_tokens,
+    fill_ratio) where ``pad`` counts only under-budget bins and
+    ``fill_ratio = total/(n_bins·budget)`` rounded to 6.
+    """
+    per_budget = []
+    for budget in budgets:
+        bins = pack_chunks(
+            spark, sf_dir, chunk_size=chunk_size, stride=stride, budget=budget
+        )
+        per_budget.append(
+            bins.agg(
+                F.lit(budget).cast("bigint").alias("budget"),
+                F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+                F.sum("n_bin_tokens").cast("bigint").alias("total_tokens"),
+                F.sum(
+                    F.greatest(F.lit(budget) - F.col("n_bin_tokens"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("pad_tokens"),
+                F.sum(
+                    F.greatest(F.col("n_bin_tokens") - F.lit(budget), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("overflow_tokens"),
+                (
+                    F.round(
+                        F.sum("n_bin_tokens").cast("double")
+                        / (F.count(F.lit(1)) * F.lit(budget)).cast("double"),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("fill_ratio"),
+            )
+        )
+    rep = per_budget[0]
+    for p in per_budget[1:]:
+        rep = rep.unionByName(p)
+    return rep

@@ -1185,3 +1185,24 @@ SELECT split, count(*)::BIGINT AS n,
              / count(*), 6) + 0.0 AS accuracy
 FROM scored GROUP BY 1
 """
+
+
+def packing_efficiency_sql(
+    chunk_sql: str, budgets: tuple[int, ...] = (128, 256, 512)
+) -> str:
+    """Twin of :func:`operators.curation.packing_efficiency` — the
+    pack_chunks CTE aggregated per budget."""
+    selects = []
+    for budget in budgets:
+        selects.append(
+            f"""
+SELECT {budget}::BIGINT AS budget,
+       count(*)::BIGINT AS n_bins,
+       sum(n_bin_tokens)::BIGINT AS total_tokens,
+       sum(GREATEST({budget} - n_bin_tokens, 0))::BIGINT AS pad_tokens,
+       sum(GREATEST(n_bin_tokens - {budget}, 0))::BIGINT AS overflow_tokens,
+       ROUND(sum(n_bin_tokens)::DOUBLE
+             / (count(*) * {budget})::DOUBLE, 6) + 0.0 AS fill_ratio
+FROM ({pack_chunks_sql(chunk_sql, budget)})"""
+        )
+    return " UNION ALL ".join(selects)
