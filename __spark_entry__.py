@@ -2192,6 +2192,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the distinct synopsis that also supports INTERSECTION;
     # unsaturated at the gate SFs => provably exact vs COUNT(DISTINCT))
     q["kmv_distinct_by_type"] = lambda s, d: kmv_mod.kmv_distinct_by_type(s, d)
+    # sibling: logreg_report IN-CAP (model-based filtering ON ARRIVAL:
+    # each micro-batch scored with the broadcast session-trained
+    # model; scoring is a pure per-doc function of the model, so
+    # drained == batch row-for-row — shared oracle)
+    q["stream_logreg_score"] = lambda s, d: streaming_curing.stream_logreg_score(
+        s, d
+    )
     # sibling: pack_chunks (the padding-waste report across context
     # budgets — how a trainer fixes the sequence length; pad counts
     # under-budget bins, overflow the bounded one-chunk overshoot)
@@ -2613,5 +2620,10 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     )
     o["packing_efficiency"] = oracles_curation.packing_efficiency_sql(
         oracles_text.chunk_documents_sql(64, 48)
+    )
+    # scoring is a pure function of the broadcast model => the
+    # streaming path answers identically to logreg_score
+    o["stream_logreg_score"] = oracles_curation.logreg_score_sql(
+        logreg_mod.N_BUCKETS, logreg_mod.N_ITER, logreg_mod.LR
     )
     return o

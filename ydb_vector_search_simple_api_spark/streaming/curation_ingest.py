@@ -213,3 +213,97 @@ def stream_decontaminate_ingest(
     return spark.read.parquet(os.path.join(out_dir, "batch=*")).select(
         "doc_id", "bench_id", "n_common", "containment"
     )
+
+
+def stream_logreg_score(
+    spark: SparkSession, sf_dir: str, n_shards: int = 4
+) -> DataFrame:
+    """Model-based filtering ON ARRIVAL: documents drain in
+    ``n_shards`` checkpointed batches and every batch is scored with
+    the session-trained logreg model (``operators/logreg`` — trained
+    once, broadcast into each micro-batch; training set = the batch
+    corpus, the standard offline-train/online-score split). Scoring is
+    a pure per-doc function of the broadcast model, so drained
+    verdicts equal the batch path row-for-row and this entry shares
+    ``logreg_score``'s oracle verbatim.
+
+    Scale shape: per batch one narrow featurize + broadcast join —
+    nothing stateful, nothing corpus-sized in state; the model is the
+    only cross-batch artifact (n_buckets rows)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators import logreg as LR
+    from ..sources.store import load_documents
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"svs_lrstream_{run}")
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "scored")
+    os.makedirs(landing, exist_ok=True)
+    os.makedirs(out, exist_ok=True)
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    # train once (session weight cache) — the offline half
+    feats = LR._features(docs)
+    key = (spark.sparkContext.applicationId, sf_dir, LR.N_ITER, int(LR.LR))
+    w = LR._WEIGHT_CACHE.get(key)
+    if w is None:
+        w = LR.train_weights(spark, feats, n_iter=LR.N_ITER, lr=LR.LR)
+        LR._WEIGHT_CACHE[key] = w
+    wdf = spark.createDataFrame(
+        [(b, u / 1e9) for b, u in w.items()], "b bigint, w double"
+    )
+
+    write_shard_landing(docs, landing, n_shards, order_col="doc_id")
+    schema = docs.schema
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        bf = LR._features(batch_df)
+        scored = LR._margins(bf, wdf).select(
+            "doc_id",
+            "y",
+            LR._softsign_p(F.col("m")).alias("p"),
+        )
+        res = (
+            batch_df.select(
+                "doc_id",
+                F.when(F.col("doc_id") % 5 != 0, F.lit("train"))
+                .otherwise(F.lit("holdout"))
+                .alias("split"),
+            )
+            .join(scored, "doc_id")
+            .select(
+                "doc_id",
+                "split",
+                F.col("y").cast("bigint").alias("y"),
+                (F.round(F.col("p"), 6) + F.lit(0.0)).alias("score"),
+                F.when(F.col("p") >= 0.5, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("y_pred"),
+            )
+        )
+        res.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "shard=*"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(os.path.join(out, "batch=*")).select(
+        "doc_id", "split", "y", "score", "y_pred"
+    )
