@@ -2192,6 +2192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the distinct synopsis that also supports INTERSECTION;
     # unsaturated at the gate SFs => provably exact vs COUNT(DISTINCT))
     q["kmv_distinct_by_type"] = lambda s, d: kmv_mod.kmv_distinct_by_type(s, d)
+    # sibling: weak_labels (the Snorkel label-model step between raw
+    # rules and a trained classifier: per-rule accuracy from majority
+    # agreement, log-odds reweighting — one ROUND(ln,9) per RULE —
+    # and a DECIMAL-folded weighted revote)
+    q["label_model"] = textual.label_model
     # sibling: logreg_report IN-CAP (model-based filtering ON ARRIVAL:
     # each micro-batch scored with the broadcast session-trained
     # model; scoring is a pure per-doc function of the model, so
@@ -2626,4 +2631,5 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["stream_logreg_score"] = oracles_curation.logreg_score_sql(
         logreg_mod.N_BUCKETS, logreg_mod.N_ITER, logreg_mod.LR
     )
+    o["label_model"] = oracles_text.label_model_sql()
     return o

@@ -1411,3 +1411,109 @@ def heaps_fit(spark: SparkSession, sf_dir: str, n_points: int = 10) -> DataFrame
             + F.lit(0.0)
         ).alias("ln_k"),
     )
+
+
+def rule_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rule_id, vote): one row per labeling-function firing —
+    the per-rule view behind :func:`weak_labels`' majority. Pure
+    codegen (|rules| regexp tests inside one array projection, explode
+    of fired votes only)."""
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    votes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("rule_id"),
+                F.when(F.lower(F.col("text")).rlike(pat), F.lit(label))
+                .otherwise(F.lit(None).cast("string"))
+                .alias("vote"),
+            )
+            for i, (_, pat, label) in enumerate(WEAK_LABEL_RULES)
+        ]
+    )
+    return (
+        d.select("doc_id", F.explode(votes).alias("v"))
+        .select("doc_id", F.col("v.rule_id").alias("rule_id"), F.col("v.vote").alias("vote"))
+        .filter(F.col("vote").isNotNull())
+    )
+
+
+def label_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snorkel-style accuracy-weighted label model — the step between
+    raw labeling functions and a trained classifier: each rule's
+    accuracy is estimated from its agreement with the majority vote,
+    rules are re-weighted by the log-odds of that accuracy, and every
+    document is relabeled by the weighted vote.
+
+    Numerics (engine parity): accuracies are Laplace-smoothed exact
+    rationals ``(agree+1)/(cast+2)``; the only transcendental is ONE
+    ``ln`` per RULE (|rules| evaluations total, ROUND(...,9) — the
+    dsir λ-table precedent), and per-doc label scores fold those
+    9-digit weights in DECIMAL(28,9). Argmax ties break label ASC via
+    the min-struct idiom (``classify.py`` contract).
+
+    Scale shape: votes are a scan-fused narrow map; the accuracy
+    table is |rules| rows (broadcast); relabeling is one
+    (doc, label)-keyed aggregation + one per-doc min-struct fold.
+
+    Output: (doc_id, label, score, n_votes) for every doc with ≥ 1
+    firing rule; ``label`` may disagree with the majority when
+    high-accuracy rules are outvoted by low-accuracy ones.
+    """
+    votes = rule_votes(spark, sf_dir)
+    majority = (
+        weak_labels(spark, sf_dir)
+        .filter(F.col("label").isNotNull())
+        .select("doc_id", F.col("label").alias("mlabel"))
+    )
+    acc = (
+        votes.join(majority, "doc_id")
+        .groupBy("rule_id")
+        .agg(
+            F.count(F.lit(1)).alias("cast"),
+            F.sum((F.col("vote") == F.col("mlabel")).cast("int")).alias("agree"),
+        )
+        .select(
+            "rule_id",
+            (
+                (F.col("agree") + F.lit(1)).cast("double")
+                / (F.col("cast") + F.lit(2)).cast("double")
+            ).alias("acc"),
+        )
+        .select(
+            "rule_id",
+            F.round(F.log(F.col("acc") / (F.lit(1.0) - F.col("acc"))), 9).alias("w"),
+        )
+    )
+    scored = (
+        votes.join(F.broadcast(acc), "rule_id")
+        .groupBy("doc_id", "vote")
+        .agg(
+            F.sum(F.col("w").cast("decimal(28,9)")).alias("s"),
+            F.count(F.lit(1)).alias("nv"),
+        )
+        .select(
+            "doc_id",
+            F.col("vote").alias("label"),
+            (F.round(F.col("s").cast("double"), 6) + F.lit(0.0)).alias("score"),
+            "nv",
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.struct(
+                (-F.col("score")).alias("neg_score"),
+                F.col("label").alias("label"),
+                F.col("score").alias("score"),
+            ).alias("cand"),
+            "nv",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cand").alias("best"), F.sum("nv").cast("bigint").alias("n_votes"))
+        .select(
+            "doc_id",
+            F.col("best.label").alias("label"),
+            F.col("best.score").alias("score"),
+            "n_votes",
+        )
+    )

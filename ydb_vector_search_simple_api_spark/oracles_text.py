@@ -1911,3 +1911,68 @@ SELECT {num_hashes}::BIGINT AS num_hashes, {b}::BIGINT AS bands,
 FROM agg{b} a, truth t"""
         )
     return "WITH " + ",".join(parts) + (" UNION ALL ".join(selects))
+
+
+def label_model_sql() -> str:
+    """Twin of :func:`operators.textual.label_model` — per-rule
+    accuracy from majority agreement (Laplace-smoothed exact
+    rational), ONE ROUND(ln, 9) per rule (the dsir λ precedent),
+    DECIMAL-folded weighted revote, (score DESC, label ASC) argmax."""
+    from .operators.textual import WEAK_LABEL_RULES
+
+    vote_structs = ", ".join(
+        "{'rule_id': %d, 'vote': CASE WHEN regexp_matches(lower(text), '%s') "
+        "THEN '%s' END}" % (i, pat, label)
+        for i, (_, pat, label) in enumerate(WEAK_LABEL_RULES)
+    )
+    vote_items = ", ".join(
+        f"CASE WHEN regexp_matches(lower(text), '{pat}') THEN '{label}' END"
+        for _, pat, label in WEAK_LABEL_RULES
+    )
+    labels = sorted({label for _, _, label in WEAK_LABEL_RULES})
+    count_structs = ", ".join(
+        "{'negc': -len(list_filter(cv, x -> x = '%s'))::BIGINT, "
+        "'lab': '%s', 'c': len(list_filter(cv, x -> x = '%s'))::BIGINT}"
+        % (lab, lab, lab)
+        for lab in labels
+    )
+    a = "((agree + 1)::DOUBLE / (n_cast + 2)::DOUBLE)"
+    return f"""
+WITH rv AS (
+  SELECT doc_id, u.rule_id AS rule_id, u.vote AS vote
+  FROM (SELECT doc_id, unnest([{vote_structs}]) AS u FROM documents)
+  WHERE u.vote IS NOT NULL
+),
+mv AS (
+  SELECT doc_id, list_filter([{vote_items}], x -> x IS NOT NULL) AS cv
+  FROM documents
+),
+maj AS (
+  SELECT doc_id, list_sort([{count_structs}])[1].lab AS mlabel
+  FROM mv WHERE len(cv) > 0
+),
+acc AS (
+  SELECT rule_id,
+         ROUND(ln({a} / (1 - {a})), 9) AS w
+  FROM (
+    SELECT rule_id, count(*) AS n_cast,
+           SUM(CASE WHEN vote = mlabel THEN 1 ELSE 0 END) AS agree
+    FROM rv JOIN maj USING (doc_id) GROUP BY 1
+  )
+),
+sc AS (
+  SELECT doc_id, vote AS label,
+         ROUND(SUM(CAST(w AS DECIMAL(28,9)))::DOUBLE, 6) + 0.0 AS score,
+         count(*)::BIGINT AS nv
+  FROM rv JOIN acc USING (rule_id) GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, SUM(nv)::BIGINT AS n_votes FROM sc GROUP BY 1),
+best AS (
+  SELECT doc_id, label, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rk
+  FROM sc
+)
+SELECT b.doc_id, b.label, b.score, t.n_votes
+FROM best b JOIN tot t USING (doc_id) WHERE b.rk = 1
+"""
