@@ -472,3 +472,42 @@ def test_heaps_fit_beta_in_range_and_saturating_vocab_reads_low(spark, tmp_path)
     ).write.parquet(str(tmp_path / "documents.parquet"))
     r2 = heaps_fit(spark, str(tmp_path)).collect()[0]
     assert r2.beta > 0.9  # V == N exactly -> beta ~ 1
+
+
+# -------------------------------------------------------- label model
+
+
+def test_label_model_reweights_by_accuracy(spark, tmp_path):
+    """Corpus where the 'query'(db) rule is reliable and the
+    'stream'(infra) rule is noise: on a doc where both fire once, the
+    weighted vote must pick the high-accuracy rule's label even
+    though the raw vote is tied (majority would tie-break
+    alphabetically to 'db' here, so plant the reverse too)."""
+    from ydb_vector_search_simple_api_spark.operators.textual import label_model
+
+    rows = []
+    did = 0
+    # 30 docs where query+join agree (db majority, both rules accurate)
+    for _ in range(30):
+        rows.append((did, "query join table", "en", "s", 1)); did += 1
+    # 30 docs where stream fires alongside a db majority -> stream
+    # rule's vote disagrees with majority, tanking its accuracy
+    for _ in range(30):
+        rows.append((did, "query join stream", "en", "s", 1)); did += 1
+    # probe doc: stream vs vector (one vote each). vector only ever
+    # fired... make vector accurate: 20 docs vector-only (majority ml)
+    for _ in range(20):
+        rows.append((did, "vector embedding", "en", "s", 1)); did += 1
+    probe = did
+    rows.append((did, "stream vector", "en", "s", 1)); did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in label_model(spark, str(tmp_path)).collect()}
+    # weighted vote on the probe: accurate 'vector'(ml) beats noisy
+    # 'stream'(infra); raw majority would have tie-broken to 'infra'
+    assert out[probe].label == "ml"
+    assert out[probe].n_votes == 2
+    # dominant pattern keeps its label
+    assert out[0].label == "db"
