@@ -2192,6 +2192,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the distinct synopsis that also supports INTERSECTION;
     # unsaturated at the gate SFs => provably exact vs COUNT(DISTINCT))
     q["kmv_distinct_by_type"] = lambda s, d: kmv_mod.kmv_distinct_by_type(s, d)
+    # sibling: logreg_report IN-CAP (reliability bins on the holdout —
+    # the calibration read before scores become admission
+    # probabilities)
+    q["logreg_calibration"] = lambda s, d: logreg_mod.logreg_calibration(s, d)
+    # sibling: logreg_calibration (uncertainty sampling: the
+    # lowest-margin holdout docs a labeling loop annotates next;
+    # TakeOrderedAndProject cut)
+    q["active_learning_batch"] = lambda s, d: logreg_mod.active_learning_batch(s, d)
     # sibling: weak_labels (the Snorkel label-model step between raw
     # rules and a trained classifier: per-rule accuracy from majority
     # agreement, log-odds reweighting — one ROUND(ln,9) per RULE —
@@ -2632,4 +2640,10 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
         logreg_mod.N_BUCKETS, logreg_mod.N_ITER, logreg_mod.LR
     )
     o["label_model"] = oracles_text.label_model_sql()
+    o["logreg_calibration"] = oracles_curation.logreg_calibration_sql(
+        logreg_mod.N_BUCKETS, logreg_mod.N_ITER, logreg_mod.LR
+    )
+    o["active_learning_batch"] = oracles_curation.active_learning_batch_sql(
+        25, logreg_mod.N_BUCKETS, logreg_mod.N_ITER, logreg_mod.LR
+    )
     return o

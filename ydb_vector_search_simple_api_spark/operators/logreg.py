@@ -43,7 +43,7 @@ surface; extension scope per SURVEY.md ("beyond the reference").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -255,4 +255,62 @@ def logreg_report(
                 + F.lit(0.0)
             ).alias("accuracy"),
         )
+    )
+
+
+def logreg_calibration(
+    spark: SparkSession, sf_dir: str, n_iter: int = N_ITER, lr: int = LR
+) -> DataFrame:
+    """Reliability report for the trained classifier: score-decile
+    bins vs the empirical positive rate on the HOLDOUT split — the
+    calibration read before using scores as admission probabilities
+    (a miscalibrated filter silently shifts the corpus mix). Bins are
+    exact integer floors of the rounded score; rates are ratios of
+    exact counts. Output: (bin, n, n_pos, frac_pos, mean_score)."""
+    scored = logreg_score(spark, sf_dir, n_iter=n_iter, lr=lr).filter(
+        F.col("split") == "holdout"
+    )
+    b = F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9))
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            (
+                F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6)
+                + F.lit(0.0)
+            ).alias("frac_pos"),
+            (
+                F.round(
+                    F.sum(F.col("score").cast("decimal(28,9)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_score"),
+        )
+        .select(F.col("bin").cast("bigint").alias("bin"), "n", "n_pos",
+                "frac_pos", "mean_score")
+    )
+
+
+def active_learning_batch(
+    spark: SparkSession, sf_dir: str, k: int = 25,
+    n_iter: int = N_ITER, lr: int = LR,
+) -> DataFrame:
+    """Uncertainty sampling: the k holdout documents the classifier is
+    LEAST sure about (|score − 0.5| smallest, ties by doc_id) — the
+    batch a labeling loop sends to annotators next. Margin is exact
+    arithmetic on the rounded score; the cut is a
+    TakeOrderedAndProject, never a global sort."""
+    scored = logreg_score(spark, sf_dir, n_iter=n_iter, lr=lr).filter(
+        F.col("split") == "holdout"
+    )
+    margin = F.round(F.abs(F.col("score") - F.lit(0.5)), 6) + F.lit(0.0)
+    w = Window.orderBy(F.col("margin").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("margin", margin)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "score", "margin", "rk")
     )

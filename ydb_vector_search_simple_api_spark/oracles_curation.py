@@ -1206,3 +1206,38 @@ SELECT {budget}::BIGINT AS budget,
 FROM ({pack_chunks_sql(chunk_sql, budget)})"""
         )
     return " UNION ALL ".join(selects)
+
+
+def logreg_calibration_sql(
+    n_buckets: int = 512, n_iter: int = 4, lr: int = 2
+) -> str:
+    """Twin of :func:`operators.logreg.logreg_calibration`."""
+    return f"""
+WITH {_logreg_cte(n_buckets, n_iter, lr)}
+SELECT LEAST(floor(score * 10), 9)::BIGINT AS bin,
+       count(*)::BIGINT AS n,
+       SUM(y)::BIGINT AS n_pos,
+       ROUND(SUM(y)::DOUBLE / count(*), 6) + 0.0 AS frac_pos,
+       ROUND(SUM(CAST(score AS DECIMAL(28,9)))::DOUBLE / count(*), 6) + 0.0
+         AS mean_score
+FROM scored WHERE split = 'holdout' GROUP BY 1
+"""
+
+
+def active_learning_batch_sql(
+    k: int = 25, n_buckets: int = 512, n_iter: int = 4, lr: int = 2
+) -> str:
+    """Twin of :func:`operators.logreg.active_learning_batch`."""
+    return f"""
+WITH {_logreg_cte(n_buckets, n_iter, lr)},
+m AS (
+  SELECT doc_id, score, ROUND(abs(score - 0.5), 6) + 0.0 AS margin
+  FROM scored WHERE split = 'holdout'
+),
+r AS (
+  SELECT doc_id, score, margin,
+         ROW_NUMBER() OVER (ORDER BY margin ASC, doc_id ASC)::BIGINT AS rk
+  FROM m
+)
+SELECT doc_id, score, margin, rk FROM r WHERE rk <= {int(k)}
+"""
