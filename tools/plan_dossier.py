@@ -134,6 +134,16 @@ HEADLINERS = {
     "model into the feature table + one keyed DECIMAL aggregation — "
     "whole-stage codegen, no Python eval nodes; training repeats the "
     "same shape once per iteration over the persisted feature table",
+    "phrase_search": "ZERO-shuffle exact phrase match: one per-document "
+    "array lambda (filter over sequence) inside the scan projection — "
+    "no Exchange anywhere in the plan, no token explode",
+    "phrase_search_store": "serving reads ONLY the phrase terms' "
+    "posting row groups (PushedFilters: In(token, ...) over the "
+    "token-range-partitioned store); adjacency verified by array "
+    "predicates on the joined position lists — no explode, no window",
+    "packing_efficiency": "each budget is ONE aggregate over the "
+    "pack window's bins; the chunker's tokenize is shared via the "
+    "scan cache — no per-budget corpus re-read below the chunk stage",
 }
 
 
