@@ -2192,6 +2192,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the distinct synopsis that also supports INTERSECTION;
     # unsaturated at the gate SFs => provably exact vs COUNT(DISTINCT))
     q["kmv_distinct_by_type"] = lambda s, d: kmv_mod.kmv_distinct_by_type(s, d)
+    # sibling: cluster_assign (the ITERATIVE twin: full Lloyd's
+    # k-means with the training loop engine-exact — sequential-fold
+    # squared-L2 assignment, DECIMAL-mean centroid updates re-quantized
+    # to 9 digits — so the DuckDB oracle unrolls the iterations and
+    # hash-matches the final assignment)
+    q["kmeans_lloyd"] = lambda s, d: clustering_mod.kmeans_lloyd(s, d)
     # sibling: logreg_report IN-CAP (reliability bins on the holdout —
     # the calibration read before scores become admission
     # probabilities)
@@ -2646,4 +2652,5 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["active_learning_batch"] = oracles_curation.active_learning_batch_sql(
         25, logreg_mod.N_BUCKETS, logreg_mod.N_ITER, logreg_mod.LR
     )
+    o["kmeans_lloyd"] = oracles.kmeans_lloyd_sql(8, 3)
     return o

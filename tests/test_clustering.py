@@ -115,3 +115,30 @@ def test_assign_plan_broadcasts_anchors_no_window(spark):
     plan = checks.simple_plan(df)
     assert checks.uses_broadcast_join(df) or "BroadcastNestedLoopJoin" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_kmeans_lloyd_inertia_decreases(spark):
+    """Lloyd's update never increases total inertia (the monotone
+    convergence guarantee) — measured across iteration counts; and the
+    assignment is a total partition of the corpus."""
+    from tests.conftest import SF_SMALL
+    import pyspark.sql.functions as SF
+    from ydb_vector_search_simple_api_spark.operators.clustering import kmeans_lloyd
+
+    inertia = []
+    for t in (0, 1, 3):
+        a = kmeans_lloyd(spark, SF_SMALL, k=8, n_iter=t)
+        row = a.agg(SF.sum("dist"), SF.count("*")).collect()[0]
+        inertia.append(row[0])
+        assert row[1] == 500
+    assert inertia[1] <= inertia[0] + 1e-6
+    assert inertia[2] <= inertia[1] + 1e-6
+
+
+def test_kmeans_lloyd_deterministic(spark):
+    from tests.conftest import SF_SMALL
+    from ydb_vector_search_simple_api_spark.operators.clustering import kmeans_lloyd
+
+    a = sorted(map(tuple, kmeans_lloyd(spark, SF_SMALL, k=4, n_iter=2).collect()))
+    b = sorted(map(tuple, kmeans_lloyd(spark, SF_SMALL, k=4, n_iter=2).collect()))
+    assert a == b

@@ -188,3 +188,131 @@ def embedding_qa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_norm"),
         )
     )
+
+
+# ---------------------------------------------- Lloyd's k-means (exact)
+
+
+def _sq_l2(emb, cent) -> F.Column:
+    """Sequential left-fold of per-dim squared differences — the same
+    double-fold contract as the cosine oracles (DuckDB's list_sum over
+    the identical list folds left-to-right), so distances are
+    bit-identical across engines."""
+    # explicit multiply, NOT **2 (pow() routes through libm; the
+    # product is a single exactly-rounded IEEE op in both engines)
+    diffs = F.zip_with(
+        emb,
+        cent,
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_lloyd(
+    spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 3
+) -> DataFrame:
+    """Lloyd's k-means with the full TRAINING LOOP engine-exact and
+    oracle-backed — the iterative twin of ``cluster_assign``'s one-shot
+    seeded anchors (and the from-first-principles version of the
+    Spark-ML build behind the IVF index, which is rows-only by
+    nature).
+
+    Determinism contract (the logreg playbook applied to clustering):
+
+    * init: centroids = the first k stored vectors (the seeded-anchor
+      convention);
+    * assignment: squared-L2 as a sequential double fold (identical in
+      both engines), ROUND(...,9), argmin ties to the smaller
+      cluster id;
+    * update: per-(cluster, dim) mean as an exact DECIMAL(28,9) fold
+      of ROUND(x, 9) members divided by the exact count, re-quantized
+      ROUND(...,9) — partition-order independent, so the next
+      iteration's centroids are bit-identical everywhere. Empty
+      clusters keep their previous centroid.
+
+    Scale shape: each iteration is one broadcast-k-centroids scoring
+    pass (codegen fold, no shuffle) + one (cluster, dim)-keyed
+    aggregation; the k×dim model round-trips the driver (the
+    documented centroid-collect domain). Output: final assignment
+    (vec_id, cluster_id, dist) with dist ROUND(...,6).
+    """
+    embs = load_embeddings(spark, sf_dir).select("vec_id", "embedding").persist()
+    try:
+        init = (
+            embs.filter(F.col("vec_id") < k)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        cents = {int(r.vec_id): [float(x) for x in r.embedding] for r in init}
+
+        def _assign(cdf):
+            scored = embs.crossJoin(F.broadcast(cdf)).select(
+                "vec_id",
+                "embedding",
+                "cluster_id",
+                (F.round(_sq_l2(F.col("embedding"), F.col("c")), 9) + F.lit(0.0)).alias(
+                    "d9"
+                ),
+            )
+            return (
+                scored.select(
+                    "vec_id",
+                    "embedding",
+                    F.struct(
+                        F.col("d9").alias("d9"), F.col("cluster_id").alias("cid")
+                    ).alias("cand"),
+                )
+                .groupBy("vec_id", "embedding")
+                .agg(F.min("cand").alias("best"))
+                .select(
+                    "vec_id",
+                    "embedding",
+                    F.col("best.cid").alias("cluster_id"),
+                    F.col("best.d9").alias("d9"),
+                )
+            )
+
+        for _ in range(n_iter):
+            cdf = spark.createDataFrame(
+                [(cid, c) for cid, c in sorted(cents.items())],
+                "cluster_id bigint, c array<double>",
+            )
+            assigned = _assign(cdf)
+            upd = (
+                assigned.select(
+                    "cluster_id", F.posexplode("embedding").alias("dim", "v")
+                )
+                .groupBy("cluster_id", "dim")
+                .agg(
+                    F.round(
+                        F.sum(
+                            F.round(F.col("v").cast("double"), 9).cast(
+                                "decimal(28,9)"
+                            )
+                        ).cast("double")
+                        / F.count(F.lit(1)),
+                        9,
+                    ).alias("m")
+                )
+                .collect()
+            )
+            new = {}
+            for r in upd:
+                new.setdefault(int(r.cluster_id), {})[int(r.dim)] = float(r.m)
+            cents = {
+                cid: (
+                    [new[cid][d] for d in range(len(old))] if cid in new else old
+                )
+                for cid, old in cents.items()
+            }
+        cdf = spark.createDataFrame(
+            [(cid, c) for cid, c in sorted(cents.items())],
+            "cluster_id bigint, c array<double>",
+        )
+        return _assign(cdf).select(
+            "vec_id",
+            "cluster_id",
+            (F.round(F.col("d9"), 6) + F.lit(0.0)).alias("dist"),
+        )
+    finally:
+        embs.unpersist()

@@ -510,3 +510,81 @@ FROM (WITH {_retrieval_kept_cte(k, n_queries, s)}
       SELECT * FROM metrics)"""
         )
     return " UNION ALL ".join(parts)
+
+
+# --------------------------------------------- Lloyd's k-means (exact)
+
+def _kmeans_cte(k: int, n_iter: int) -> str:
+    """Unrolled Lloyd iterations — mirrors
+    ``operators/clustering.kmeans_lloyd``: squared-L2 as the same
+    sequential double fold as the cosine oracles, ROUND(...,9) argmin
+    with smaller-cluster ties, per-(cluster, dim) DECIMAL(28,9) mean
+    re-quantized to 9 digits, empty clusters keeping their previous
+    centroid."""
+    sq = (
+        "list_sum(list_transform(list_zip(e.embedding, c.c), "
+        "x -> (x[1]::DOUBLE - x[2]) * (x[1]::DOUBLE - x[2])))"
+    )
+    parts = [
+        f"""
+c0 AS (
+  SELECT vec_id AS cluster_id,
+         list_transform(embedding, x -> x::DOUBLE) AS c
+  FROM embeddings WHERE vec_id < {k}
+)"""
+    ]
+    for t in range(1, n_iter + 2):
+        prev = f"c{t - 1}"
+        parts.append(
+            f"""
+s{t} AS (
+  SELECT e.vec_id, e.embedding, c.cluster_id,
+         ROUND({sq}, 9) + 0.0 AS d9
+  FROM embeddings e CROSS JOIN {prev} c
+),
+a{t} AS (
+  SELECT vec_id, embedding, cluster_id, d9
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d9 ASC, cluster_id ASC) AS rk
+    FROM s{t}
+  ) WHERE rk = 1
+)"""
+        )
+        if t <= n_iter:
+            parts.append(
+                f"""
+u{t} AS (
+  SELECT cluster_id, dim,
+         ROUND(SUM(CAST(ROUND(v, 9) AS DECIMAL(28,9)))::DOUBLE
+               / count(*), 9) AS m
+  FROM (
+    SELECT cluster_id, u.dim AS dim, u.v AS v
+    FROM (
+      SELECT cluster_id,
+             unnest(list_transform(range(0, len(embedding)),
+                    i -> {{'dim': i, 'v': embedding[i + 1]::DOUBLE}})) AS u
+      FROM a{t}
+    )
+  ) GROUP BY 1, 2
+),
+cu{t} AS (
+  SELECT cluster_id, list(m ORDER BY dim) AS c
+  FROM u{t} GROUP BY 1
+),
+c{t} AS (
+  SELECT p.cluster_id, COALESCE(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN cu{t} u USING (cluster_id)
+)"""
+            )
+    return ",".join(parts)
+
+
+def kmeans_lloyd_sql(k: int = 8, n_iter: int = 3) -> str:
+    """Twin of :func:`operators.clustering.kmeans_lloyd` — the final
+    assignment after ``n_iter`` unrolled update steps."""
+    return f"""
+WITH {_kmeans_cte(k, n_iter)}
+SELECT vec_id, cluster_id, ROUND(d9, 6) + 0.0 AS dist
+FROM a{n_iter + 1}
+"""
