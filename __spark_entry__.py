@@ -2653,4 +2653,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
         25, logreg_mod.N_BUCKETS, logreg_mod.N_ITER, logreg_mod.LR
     )
     o["kmeans_lloyd"] = oracles.kmeans_lloyd_sql(8, 3)
+    # upgraded from rows-only (round-8 session 2): the fixed-iteration
+    # loop was already decimal-deterministic; the twin unrolls it
+    o["neardup_pagerank"] = oracles_text.neardup_pagerank_sql(3, 0.8, 10, 0.85)
     return o

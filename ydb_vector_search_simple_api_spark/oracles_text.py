@@ -1976,3 +1976,56 @@ best AS (
 SELECT b.doc_id, b.label, b.score, t.n_votes
 FROM best b JOIN tot t USING (doc_id) WHERE b.rk = 1
 """
+
+
+def neardup_pagerank_sql(
+    n: int = 3,
+    threshold: float = 0.8,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> str:
+    """Twin of :func:`operators.graph.neardup_pagerank` — the
+    fixed-iteration loop UNROLLED over the same n-gram-Jaccard edge
+    graph. Parity chain: per-edge contributions ROUND(d·r/deg, 12)
+    fold in DECIMAL(28,12) (partition/join-order independent on the
+    Spark side, plain integer arithmetic here); ranks carry as the
+    identical double expression ``(1-d)/n + s`` every round; final
+    ROUND(...,6)."""
+    d = repr(float(damping))
+    parts = [
+        f"""
+p AS ({ngram_jaccard_sql(n, threshold)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+edeg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+s{i} AS (
+  SELECT e.dst AS node,
+         SUM(CAST(ROUND({d} * r.rank / e.deg, 12) AS DECIMAL(28,12))) AS s
+  FROM edeg e JOIN r{i - 1} r ON r.node = e.src GROUP BY 1
+),
+r{i} AS (
+  SELECT nd.node,
+         (1.0 - {d}) / nn.n + COALESCE(s.s::DOUBLE, 0.0) AS rank
+  FROM nodes nd LEFT JOIN s{i} s USING (node), nn
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT r.node AS doc_id, ROUND(r.rank, 6) + 0.0 AS rank,
+       d.deg::BIGINT AS degree
+FROM r{iters} r JOIN deg d ON d.src = r.node
+"""
+    )
