@@ -2656,4 +2656,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     # upgraded from rows-only (round-8 session 2): the fixed-iteration
     # loop was already decimal-deterministic; the twin unrolls it
     o["neardup_pagerank"] = oracles_text.neardup_pagerank_sql(3, 0.8, 10, 0.85)
+    # upgraded from rows-only (round-8 session 2): the greedy loop's
+    # pool sims now use the sequential fold, so the twin unrolls it
+    o["mmr_rerank"] = oracles.mmr_rerank_sql(10, 50, 0.7)
     return o

@@ -434,11 +434,29 @@ def mmr_rerank(
     # negate (the pool was already selected in the right direction)
     if not sort_descending(strategy):
         rel = np.where(np.isfinite(rel), -rel, rel)
-    V = np.array([r.embedding for r in cand], dtype=np.float64)
-    norms = np.linalg.norm(V, axis=1)
-    norms[norms == 0] = np.inf  # zero vectors: similarity 0 to everything
-    Vn = V / norms[:, None]
-    sim = Vn @ Vn.T  # pairwise cosine over the pool
+    # pairwise cosine with EXACT sequential folds (left-to-right adds,
+    # dot/(na*nb) factorization) — the same IEEE op sequence DuckDB's
+    # list_sum fold executes, so the greedy's inputs are bit-identical
+    # across engines and the whole loop is oracle-checkable (a BLAS
+    # matmul here differs in the last ulp and would make the gate
+    # flaky at the 1e-9 rounding boundaries)
+    import math
+
+    def _seq_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    V = [[float(x) for x in r.embedding] for r in cand]
+    norms = [math.sqrt(_seq_dot(v, v)) for v in V]
+    m = len(V)
+    sim = [[0.0] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1, m):
+            nn = norms[i] * norms[j]
+            c = _seq_dot(V[i], V[j]) / nn if nn != 0 else 0.0
+            sim[i][j] = sim[j][i] = c
 
     selected: list[int] = []
     remaining = list(range(len(ids)))
@@ -446,7 +464,7 @@ def mmr_rerank(
     while remaining and len(selected) < k:
         best_i, best_val = None, None
         for i in remaining:
-            penalty = max((sim[i, j] for j in selected), default=0.0)
+            penalty = max((sim[i][j] for j in selected), default=0.0)
             val = round(lam * rel[i] - (1.0 - lam) * penalty, 9)
             # deterministic: strictly-greater wins; ties keep the
             # lowest doc_id (remaining is scanned in doc_id-free pool
@@ -459,7 +477,8 @@ def mmr_rerank(
                 best_i, best_val = i, val
         selected.append(best_i)
         remaining.remove(best_i)
-        out.append((ids[best_i], float(best_val), len(selected)))
+        # +0.0 normalizes IEEE -0.0 (the oracle's `mmr + 0.0` twin)
+        out.append((ids[best_i], float(best_val) + 0.0, len(selected)))
     return spark.createDataFrame(out, "doc_id long, mmr double, rk long")
 
 

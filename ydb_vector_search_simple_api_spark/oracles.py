@@ -588,3 +588,76 @@ WITH {_kmeans_cte(k, n_iter)}
 SELECT vec_id, cluster_id, ROUND(d9, 6) + 0.0 AS dist
 FROM a{n_iter + 1}
 """
+
+
+# ------------------------------------------------------ MMR (greedy)
+
+def mmr_rerank_sql(k: int = 10, pool: int = 50, lam: float = 0.7) -> str:
+    """Twin of :func:`operators.ranking.mmr_rerank` (cosine strategy,
+    query = stored vector QUERY_VEC_ID) — the greedy selection
+    UNROLLED: step t picks argmax ROUND(λ·rel − (1−λ)·max-sim-to-
+    selected, 9), ties to the smaller doc_id. Pairwise sims use the
+    same sequential-fold dot/(na·nb) the operator now computes, so
+    every comparison sees bit-identical doubles."""
+    lam_r = repr(float(lam))
+    rel = f"ROUND({score_sql('CosineSimilarity')}, {ROUND_DIGITS}) + 0.0"
+    sim = (
+        f"CASE WHEN {_norm('a.embedding')} * {_norm('b.embedding')} = 0 "
+        f"THEN 0.0 ELSE {_dot('a.embedding', 'b.embedding')} "
+        f"/ ({_norm('a.embedding')} * {_norm('b.embedding')}) END"
+    )
+    parts = [
+        f"""
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id AS doc_id, e.embedding, {rel} AS rel
+  FROM embeddings e, q
+),
+cand AS MATERIALIZED (
+  SELECT doc_id, embedding, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      ORDER BY rel DESC NULLS LAST, doc_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {pool}
+),
+sim AS MATERIALIZED (
+  SELECT a.doc_id AS i, b.doc_id AS j, {sim} AS s
+  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+),
+v1 AS MATERIALIZED (
+  SELECT doc_id, ROUND({lam_r} * rel, 9) AS val FROM cand
+),
+sel1 AS MATERIALIZED (
+  SELECT doc_id, val AS mmr, 1::BIGINT AS rk FROM v1
+  ORDER BY val DESC NULLS LAST, doc_id ASC LIMIT 1
+)"""
+    ]
+    for t in range(2, k + 1):
+        prev = f"sel{t - 1}"
+        parts.append(
+            f"""
+p{t} AS MATERIALIZED (
+  SELECT c.doc_id, c.rel,
+         MAX(s.s) AS penalty
+  FROM cand c
+  JOIN sim s ON s.i = c.doc_id
+  JOIN {prev} pr ON pr.doc_id = s.j
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM {prev})
+  GROUP BY 1, 2
+),
+v{t} AS MATERIALIZED (
+  SELECT doc_id,
+         ROUND({lam_r} * rel - (1.0 - {lam_r}) * penalty, 9) AS val
+  FROM p{t}
+),
+sel{t} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT doc_id, val AS mmr, {t}::BIGINT AS rk
+  FROM (SELECT * FROM v{t}
+        ORDER BY val DESC NULLS LAST, doc_id ASC LIMIT 1)
+)"""
+        )
+    return "WITH " + ",".join(parts) + f"""
+SELECT doc_id, mmr + 0.0 AS mmr, rk FROM sel{k}
+"""
