@@ -1179,12 +1179,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (driver-green r1-r5; the mixing family stays in-cap via
     # dsir_select)
     q["expectations_report"] = expectations_mod.expectations_report
-    # round-6 rotation: per-document curation PROVENANCE (every
-    # gate's verdict + admission reason) in place of pii_redaction
-    # (driver-green r2-r5; the regex-pass family stays covered by
-    # normalize_markup/extract_urls in overflow, and the curation
-    # stages by curate_corpus in-cap)
-    q["curation_reasons"] = curation.curation_reasons
+    # round-8 session-2 rotation: Lloyd's k-means with the TRAINING
+    # LOOP oracle-backed (sequential-fold assignment, DECIMAL-mean
+    # centroid updates; the twin unrolls the iterations) in place of
+    # curation_reasons (driver-green r6-r7; the curation stages stay
+    # in-cap via curate_corpus — same CTE chain)
+    q["kmeans_lloyd"] = lambda s, d: clustering_mod.kmeans_lloyd(s, d)
 
     # ---- multimodal payload metadata (the byte-hist digest twin rides
     # the overflow window — same attach_payload + Arrow-batch family)
@@ -2192,12 +2192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the distinct synopsis that also supports INTERSECTION;
     # unsaturated at the gate SFs => provably exact vs COUNT(DISTINCT))
     q["kmv_distinct_by_type"] = lambda s, d: kmv_mod.kmv_distinct_by_type(s, d)
-    # sibling: cluster_assign (the ITERATIVE twin: full Lloyd's
-    # k-means with the training loop engine-exact — sequential-fold
-    # squared-L2 assignment, DECIMAL-mean centroid updates re-quantized
-    # to 9 digits — so the DuckDB oracle unrolls the iterations and
-    # hash-matches the final assignment)
-    q["kmeans_lloyd"] = lambda s, d: clustering_mod.kmeans_lloyd(s, d)
+    # rotated out round-8 session 2 in favor of kmeans_lloyd (the
+    # curation stages stay in-cap via curate_corpus):
+    q["curation_reasons"] = curation.curation_reasons
     # sibling: logreg_report IN-CAP (reliability bins on the holdout —
     # the calibration read before scores become admission
     # probabilities)

@@ -76,7 +76,9 @@ import __spark_entry__ as E
 # histogram_quantiles + tdigest_quantiles in overflow). Late round-8
 # session 2: lsh_calibration<-duplicate_spans (span family stays via
 # dedup_ngram_prefix in-cap + duplicate_spans/remove_duplicate_spans
-# in overflow).
+# in overflow). Final round-8 session-2 swap:
+# kmeans_lloyd<-curation_reasons (curation stages stay in-cap via
+# curate_corpus — same CTE chain).
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
@@ -88,7 +90,7 @@ EXPECTED_IN_CAP = [
     "curate_corpus", "tfidf_cosine_prefix", "repetition_signals",
     "opq_rerank_full", "stream_interval_join", "snm_dedup_groups",
     "leakage_safe_splits",
-    "sorted_neighborhood", "expectations_report", "curation_reasons",
+    "sorted_neighborhood", "expectations_report", "kmeans_lloyd",
     "multimodal_meta", "stream_decontaminate", "dedup_components_twostar",
     "dedup_ngram_containment", "retrieval_quality", "kmv_user_overlap",
     "psi_drift", "expectations_events",
