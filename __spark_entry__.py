@@ -2195,6 +2195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotated out round-8 session 2 in favor of kmeans_lloyd (the
     # curation stages stay in-cap via curate_corpus):
     q["curation_reasons"] = curation.curation_reasons
+    # sibling: embedding_pca / embedding_covariance (the FOURTH
+    # iterative algorithm under the gate: normalize(C·v) power
+    # iteration over the shared covariance cells — decimal matvec and
+    # norm folds, one sqrt per round, ROUND(...,9) re-quantized
+    # components; the twin unrolls all rounds)
+    q["power_iteration_pc1"] = lambda s, d: embstats_mod.power_iteration_pc1(s, d)
     # sibling: logreg_report IN-CAP (reliability bins on the holdout —
     # the calibration read before scores become admission
     # probabilities)
@@ -2656,4 +2662,5 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     # upgraded from rows-only (round-8 session 2): the greedy loop's
     # pool sims now use the sequential fold, so the twin unrolls it
     o["mmr_rerank"] = oracles.mmr_rerank_sql(10, 50, 0.7)
+    o["power_iteration_pc1"] = oracles.power_iteration_sql(8)
     return o

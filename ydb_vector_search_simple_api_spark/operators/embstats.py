@@ -324,3 +324,82 @@ def source_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
     )
+
+
+def power_iteration_pc1(
+    spark: SparkSession, sf_dir: str, n_iter: int = 8
+) -> DataFrame:
+    """Top principal direction by POWER ITERATION with the whole loop
+    engine-exact and oracle-backed — the fourth iterative algorithm
+    under the gate (after GD, Lloyd's, PageRank), and the
+    gate-checkable companion of the rows-only full eigendecomposition
+    in :func:`embedding_pca`.
+
+    The iterate is ``v ← normalize(C·v)`` over the ROUND(...,6)
+    covariance cells :func:`embedding_covariance` already
+    gate-matches. Parity chain: the matvec folds ROUND(c·v, 9) in
+    DECIMAL(28,9) per output coordinate (partition-order independent);
+    the norm folds ROUND(x², 9) the same way, takes one sqrt (an
+    exactly-rounded IEEE primitive), and re-quantizes every component
+    ROUND(x/‖x‖, 9) — so each iteration's vector is bit-identical in
+    both engines, starting from the all-ones v₀.
+
+    Scale shape: the covariance table is d² cells (keyed aggregation,
+    never corpus-sized); each matvec is one broadcast-v join + one
+    keyed decimal aggregation; only d sums cross to the driver per
+    iteration (the codebook-collect domain).
+
+    Output: (i, pc1, eigenvalue) — the unit eigenvector component per
+    dimension and the Rayleigh/norm estimate ROUND(...,6), repeated
+    per row (single-frame gate shape).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cov = embedding_covariance(spark, sf_dir)
+    sym = cov.select("i", "j", "cov").unionByName(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).persist()
+    dims = sorted(r.i for r in sym.select("i").distinct().collect())
+    q9 = Decimal("1e-9")
+    v = {int(i): 1.0 for i in dims}
+    lam = 0.0
+    for _ in range(n_iter):
+        vdf = spark.createDataFrame(
+            [(j, x) for j, x in sorted(v.items())], "j bigint, v double"
+        )
+        mv = (
+            sym.join(F.broadcast(vdf), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("cov") * F.col("v"), 9).cast("decimal(28,9)")
+                )
+                .cast("double")
+                .alias("x")
+            )
+            .collect()
+        )
+        xs = {int(r.i): float(r.x) for r in mv}
+        s = Decimal(0)
+        for x in xs.values():
+            s += Decimal(repr(x * x)).quantize(q9, rounding=ROUND_HALF_UP)
+        import math
+
+        nr = math.sqrt(float(s))
+        lam = nr
+        v = {
+            i: float(
+                Decimal(repr(x / nr)).quantize(q9, rounding=ROUND_HALF_UP)
+            )
+            for i, x in xs.items()
+        }
+    sym.unpersist()
+    eig = float(
+        Decimal(repr(lam)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+    )
+    return spark.createDataFrame(
+        [(i, x, eig + 0.0) for i, x in sorted(v.items())],
+        "i bigint, pc1 double, eigenvalue double",
+    )

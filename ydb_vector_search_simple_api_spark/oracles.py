@@ -661,3 +661,47 @@ sel{t} AS MATERIALIZED (
     return "WITH " + ",".join(parts) + f"""
 SELECT doc_id, mmr + 0.0 AS mmr, rk FROM sel{k}
 """
+
+
+# ------------------------------------------- power iteration (PC1)
+
+def power_iteration_sql(n_iter: int = 8) -> str:
+    """Twin of :func:`operators.embstats.power_iteration_pc1` — the
+    normalize(C·v) loop unrolled over the EMBEDDING_COVARIANCE cells
+    (shared ROUND(...,6) inputs), DECIMAL matvec/norm folds, one sqrt
+    per iteration, ROUND(...,9) re-quantized components."""
+    parts = [
+        f"""
+cells AS MATERIALIZED ({EMBEDDING_COVARIANCE}),
+sym AS MATERIALIZED (
+  SELECT i, j, cov FROM cells
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM cells WHERE i <> j
+),
+v0 AS (SELECT DISTINCT i, 1.0 AS v FROM sym)"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""
+mv{t} AS MATERIALIZED (
+  SELECT s.i,
+         SUM(CAST(ROUND(s.cov * v.v, 9) AS DECIMAL(28,9)))::DOUBLE AS x
+  FROM sym s JOIN v{t - 1} v ON v.i = s.j GROUP BY 1
+),
+nr{t} AS (
+  SELECT sqrt(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9)))::DOUBLE) AS nr
+  FROM mv{t}
+),
+v{t} AS MATERIALIZED (
+  SELECT i, ROUND(x / nr, 9) AS v FROM mv{t}, nr{t}
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT v.i::BIGINT AS i, v.v + 0.0 AS pc1,
+       (SELECT ROUND(nr, 6) + 0.0 FROM nr{n_iter}) AS eigenvalue
+FROM v{n_iter} v
+"""
+    )
