@@ -33,8 +33,22 @@ from pyspark.sql import functions as F
 
 from ..sources.store import load_embeddings
 
+#: session cache for the covariance cells — a pure function of the
+#: corpus files (the scan-cache contract); shared by the covariance
+#: gate entry and the power-iteration loop that reads the same cells.
+_COV_CACHE: dict[tuple, DataFrame] = {}
+
 
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COV_CACHE.get(key)
+    if cached is None:
+        cached = _embedding_covariance_build(spark, sf_dir).persist()
+        _COV_CACHE[key] = cached
+    return cached
+
+
+def _embedding_covariance_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangular covariance cells (i, j, cov), i ≤ j, of the
     stored embeddings — the gate-checkable twin of the moment math
     inside :func:`pca_project`.
