@@ -2195,6 +2195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotated out round-8 session 2 in favor of kmeans_lloyd (the
     # curation stages stay in-cap via curate_corpus):
     q["curation_reasons"] = curation.curation_reasons
+    # sibling: embedding_covariance (the maintained-state treatment
+    # for the moment math: exact DECIMAL first/second-moment cells
+    # persisted, batch folds add integers — the store answers the
+    # covariance identically, shared oracle)
+    q["covariance_store"] = lambda s, d: embstats_mod.covariance_store(s, d)
     # sibling: embedding_pca / embedding_covariance (the FOURTH
     # iterative algorithm under the gate: normalize(C·v) power
     # iteration over the shared covariance cells — decimal matvec and
@@ -2663,4 +2668,6 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     # pool sims now use the sequential fold, so the twin unrolls it
     o["mmr_rerank"] = oracles.mmr_rerank_sql(10, 50, 0.7)
     o["power_iteration_pc1"] = oracles.power_iteration_sql(8)
+    # exact decimal fold => the store path answers identically
+    o["covariance_store"] = oracles.EMBEDDING_COVARIANCE
     return o

