@@ -14,12 +14,13 @@ repo's established oracle-twin pattern (``incremental_dedup``):
   — the oracle-carrying twin, not the production path.
 - :func:`pca_project` — the production path: ONE ``mapInPandas``
   pass emits per-partition moment partials (count, Σx, ΣxᵀX — d²
-  doubles PER PARTITION, not per row), the driver folds the
-  partition-sized partials and eigendecomposes the d×d covariance
-  (d=64 ⇒ trivial), and a second Arrow pass projects every vector
-  with one BLAS matmul per batch. At 100 TB the data is read twice,
-  shuffled never; driver traffic is partitions × d² doubles — the
-  exact shape of the IVF builder's centroid statistics.
+  doubles PER PARTITION, not per row), a ``pid % 256`` keyed tree
+  fold merges them so the driver pulls ≤256 rows, the driver
+  eigendecomposes the d×d covariance (d=64 ⇒ trivial), and a second
+  Arrow pass projects every vector with one BLAS matmul per batch.
+  At 100 TB the data is read twice, shuffled once (partial rows, not
+  corpus rows); driver traffic is capped at 256 × (d²+d) doubles
+  regardless of partition count.
 
 Reference note: the reference engine (app.py) has no statistics
 surface over its vector store; extension scope (SURVEY.md "beyond
@@ -155,15 +156,22 @@ def pca_project(
 
     1. ``mapInPandas`` partials: each partition emits ONE row
        (pid, count, Σx, flattened ΣXᵀX) — d + d² doubles per
-       partition. No shuffle; the driver pulls partitions × (d²+d)
-       doubles (the same order of driver traffic as the IVF builder's
-       k·d centroids).
-    2. Driver: fold partials in pid order (deterministic float visit
-       order), eigendecompose the d×d covariance, take the top-k
+       partition. No shuffle yet; nothing corpus-sized survives this
+       stage.
+    2. Tree fold: the partials shuffle once on ``pid % 256`` and an
+       ``applyInPandas`` merge folds each bucket in pid order, so the
+       driver pulls AT MOST 256 × (d²+d) doubles no matter how many
+       input partitions exist. (The previous flat form collected one
+       partial PER PARTITION — at d=1024 over ~10⁵ partitions that is
+       a ~840 GB driver pull; the tree level caps it at ~2 GB, and a
+       second level would cap it at one row if ever needed.)
+    3. Driver: fold the ≤256 bucket rows in bucket order
+       (deterministic float visit order at both levels),
+       eigendecompose the d×d covariance, take the top-k
        eigenvectors, and fix each one's sign so its largest-|·|
        coordinate is positive (the conventional determinism fix —
        eigenvectors are otherwise sign-ambiguous).
-    3. Arrow projection pass: the d×k component matrix ships inside
+    4. Arrow projection pass: the d×k component matrix ships inside
        the UDF closure (kilobytes); each batch projects with one
        BLAS matmul. Narrow map, no shuffle.
     """
@@ -200,12 +208,32 @@ def pca_project(
                 }
             )
 
-    parts = embs.mapInPandas(
+    partials = embs.mapInPandas(
         _partials, schema="pid int, n long, s array<double>, ss array<double>"
-    ).collect()
+    )
+
+    def _merge(key, pdf):
+        pdf = pdf.sort_values("pid")  # deterministic in-bucket fold order
+        return pd.DataFrame(
+            {
+                "mk": [int(key[0])],
+                "n": [int(pdf["n"].sum())],
+                "s": [np.stack(pdf["s"].to_numpy()).sum(axis=0).tolist()],
+                "ss": [np.stack(pdf["ss"].to_numpy()).sum(axis=0).tolist()],
+            }
+        )
+
+    parts = (
+        partials.withColumn("mk", F.pmod(F.col("pid"), F.lit(256)).cast("int"))
+        .groupBy("mk")
+        .applyInPandas(
+            _merge, schema="mk int, n long, s array<double>, ss array<double>"
+        )
+        .collect()
+    )
     if not parts:
         raise ValueError("empty embedding store")
-    parts.sort(key=lambda r: r["pid"])
+    parts.sort(key=lambda r: r["mk"])
     n = sum(r["n"] for r in parts)
     d = len(parts[0]["s"])
     if n_components > d:
