@@ -1127,7 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # character-level near-dup flagship (round 5, promoted in-cap):
     # md5-banded MinHash candidates -> exact Levenshtein verify;
     # displaces decontaminate (driver-green r2-r4; the contamination
-    # family stays in-cap via decontaminate_bloom, bit-identical twin)
+    # family stays in-cap via semantic_decontaminate + wet_roundtrip's
+    # bloom twin in overflow, bit-identical oracle)
     q["neardup_edit_distance"] = lambda s, d: dedup.neardup_edit_distance(
         load_documents(s, d)
     )
@@ -1154,14 +1155,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_interval_join"] = lambda s, d: streaming_events.purchase_click_interval_join_stream(
         s, d, lookback_sql="INTERVAL 6 HOUR"
     )
-    # round-8 rotation: the full SNM record-linkage composition
-    # (sorted-neighborhood pairs -> two-star components -> canonical
-    # assignment; recursive-CTE oracle) in place of dedup_components
-    # (driver-green r4-r7; the components family stays in-cap via
-    # dedup_components_twostar below — same graph, same oracle)
-    q["snm_dedup_groups"] = lambda s, d: graph_mod.connected_components_twostar(
-        blocking_mod.sorted_neighborhood_pairs(load_documents(s, d))
-    )
+    # round-9 rotation: SCD-2 dimension history (validity intervals
+    # from the event stream; run-compression before the versions
+    # window, no single-partition exchange) in place of
+    # snm_dedup_groups (driver-green r8; the SNM composition family
+    # stays in-cap via sorted_neighborhood + dedup_components_twostar
+    # — same blocking, same two-star graph, same oracles)
+    q["scd2_history"] = temporal.scd2_history
     # sibling: dedup_components + document_splits (leakage-safe split:
     # hash of the near-dup COMPONENT, so near-duplicates can never
     # straddle the train/test fence)
@@ -1217,14 +1217,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evaluation artifact) in place of session_rollup (driver-green
     # r1-r6; sessionization stays covered by stream_interval_join +
     # user_sessions overflow)
-    # round-8 rotation: n-gram CONTAINMENT pairs (overlap coefficient
-    # — the asymmetric-duplicate twin of Jaccard; a short doc embedded
-    # in a long one scores 1.0) in place of lang_id_confusion
-    # (driver-green r7; text-analysis family stays in-cap via
-    # script_profile + quality_filter)
-    q["dedup_ngram_containment"] = lambda s, d: dedup.ngram_containment_pairs(
-        load_documents(s, d), n=3, threshold=0.8
-    )
+    # round-9 rotation: Snorkel-style label model (per-rule accuracy
+    # from majority agreement, ROUND(ln,9) log-odds per RULE, a
+    # DECIMAL-folded weighted revote) in place of
+    # dedup_ngram_containment (driver-green r8; the n-gram pair family
+    # stays in-cap via dedup_ngram_prefix — same shingle machinery,
+    # the containment twin rides overflow with its own oracle)
+    q["label_model"] = textual.label_model
     # round-8 session-2 rotation: retrieval-quality metrics (per-query
     # precision/recall/MRR/nDCG@k under shared-label relevance; rank
     # weights inlined as identical 9-digit literals on both engines)
@@ -1283,7 +1282,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # codes) at full width+rerank == exact, in place of
     # ivfsq_rerank_full (driver-green r5; the IVF x SQ twin rides
     # overflow)
-    q["ivfopq_rerank_full"] = _ivfopq_rerank_full
+    # round-9 rotation: power-iteration PC1 (normalize(C·v) over the
+    # shared DECIMAL covariance cells — the iterative-algorithm
+    # flagship, all rounds oracle-unrolled) in place of
+    # ivfopq_rerank_full (driver-green r6-r8; the PQ-family rerank
+    # rung stays in-cap via opq_rerank_full — same codebook path)
+    q["power_iteration_pc1"] = lambda s, d: embstats_mod.power_iteration_pc1(s, d)
     # SQ8 exact-at-full-shortlist (the int8 compression rung) —
     # promoted in-cap late round 4; user_event_pivot (driver-green
     # r3/r4) rotated to overflow beside its unpivot twin
@@ -1291,7 +1295,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact rerank (zero-maintenance adaptive retrieval) at full
     # shortlist == exact, in place of sq_rerank_full (driver-green
     # r4/r5; the SQ8 twin rides overflow)
-    q["prefixdim_rerank_full"] = _prefixdim_rerank_full
+    # round-9 rotation: exact-match phrase search (consecutive-token
+    # occurrences via one per-doc array lambda inside codegen — the
+    # zero-Exchange plan showcase, PLANS.md §phrase_search) in place
+    # of prefixdim_rerank_full (driver-green r6-r8; the shortlist->
+    # exact-rerank family stays in-cap via opq_rerank_full)
+    q["phrase_search"] = lambda s, d: ranking_mod.phrase_search(s, d)
     # the SQL-string query surface: the reference's YQL template twin
     # (app.py:165-227) through Spark 4 SQL scalar UDFs (knn_* namespace)
     # + parameterized spark.sql binding — result-identical to the
@@ -1319,14 +1328,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (vectorized bitset probe; bit-identical => shared oracle) in
     # place of events_in_surges (driver-green r2-r4; range-join family
     # covered in overflow)
-    q["decontaminate_bloom"] = curation.decontaminate_bloom_documents
-    # late round-7 rotation: per-doc top-k weighted-cosine neighbors
-    # (the sparse lexical kNN join) in place of hourly_locf
-    # (driver-green r1-r6; the gap-fill family rides overflow, the
-    # temporal family keeps psi_drift + ab_test_report in-cap)
-    q["tfidf_related_docs"] = lambda s, d: sparse_sim_mod.tfidf_related_docs(
-        load_documents(s, d), n=3, k=3
-    )
+    # round-9 rotation: WET/WARC archive round-trip (codegen writer ->
+    # lineSep record-split reader; equality proves writer and
+    # distributed parser are exact inverses) in place of
+    # decontaminate_bloom (driver-green r5-r8; decontamination family
+    # stays in-cap via semantic_decontaminate + stream_decontaminate,
+    # and the Bloom twin is bit-identical to the shared oracle)
+    q["wet_roundtrip"] = lambda s, d: warc_mod.wet_roundtrip(s, d)
+    # round-9 rotation: logreg reliability/calibration bins on the
+    # holdout (the read before model scores become admission
+    # probabilities; bucketed exact-integer counts, DECIMAL mean
+    # scores) in place of tfidf_related_docs (driver-green r7/r8; the
+    # sparse-lexical family stays in-cap via tfidf_cosine_pairs +
+    # tfidf_cosine_prefix)
+    q["logreg_calibration"] = lambda s, d: logreg_mod.logreg_calibration(s, d)
     # ---- distribution stats + set-op cohorts
     # round-7 rotation: the MAINTAINED quantile form (persisted
     # fixed-width bucket counts, integer-additive folds; quantiles
@@ -1484,6 +1499,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: duplicate_spans (the actionable form: strip everything
     # but the corpus-wide first occurrence, digest the cleaned stream)
     q["remove_duplicate_spans"] = lambda s, d: dedup.remove_duplicate_spans(
+        load_documents(s, d)
+    )
+    # round-9 gap item (VERDICT r8 #3): CHARACTER-grain
+    # exact-substring dedup — the Lee et al. 2022 suffix-array unit
+    # below token grain, raw text, no tokenizer; catches
+    # sub-token-boundary duplication the token form cannot see
+    q["duplicate_char_spans"] = lambda s, d: dedup.duplicate_char_spans(
+        load_documents(s, d)
+    )
+    # sibling: duplicate_char_spans (the actionable char-grain form:
+    # complement-segment fold reassembly, cleaned-stream md5 oracle)
+    q["remove_duplicate_char_spans"] = lambda s, d: dedup.remove_duplicate_char_spans(
         load_documents(s, d)
     )
     # sibling: duplicate_spans (Arrow factorize+rolling-hash shingling
@@ -2020,9 +2047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recall@10 of pruned IVF widths vs exact, 8 stored queries
     # (monotonicity + exact-at-full-width pinned in tests/test_index.py)
     q["ann_recall_report"] = _ann_recall_report
-    # siblings: decontaminate_bloom + graphann_rerank_full (in-cap
-    # round 5) — the temporal gaps-and-islands pair, rotated to
-    # overflow (driver-green r2-r4)
+    # siblings: decontaminate_bloom + graphann_rerank_full (promoted
+    # round 5, both since rotated back to overflow) — the temporal
+    # gaps-and-islands pair, rotated to overflow (driver-green r2-r4)
     q["surge_windows"] = temporal.surge_windows
     q["events_in_surges"] = temporal.events_in_surges
     # trained-filter step of the curation pipeline (round 5): weak
@@ -2055,7 +2082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is in-cap): decimal-exact folds over a broadcast λ table
     q["dsir_weights"] = dsir_mod.dsir_weights
     # displaced by the round-5 in-cap promotions (driver-green r2-r4;
-    # families still in-cap via bm25_topk_indexed / decontaminate_bloom)
+    # families still in-cap via bm25_topk_indexed /
+    # semantic_decontaminate)
     q["bm25_topk"] = lambda s, d: ranking_mod.bm25_topk(s, d)
     q["decontaminate"] = curation.decontaminate_documents
     # rows-only: zlib compression-ratio quality proxy (no SQL twin —
@@ -2200,25 +2228,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # persisted, batch folds add integers — the store answers the
     # covariance identically, shared oracle)
     q["covariance_store"] = lambda s, d: embstats_mod.covariance_store(s, d)
-    # sibling: embedding_pca / embedding_covariance (the FOURTH
-    # iterative algorithm under the gate: normalize(C·v) power
-    # iteration over the shared covariance cells — decimal matvec and
-    # norm folds, one sqrt per round, ROUND(...,9) re-quantized
-    # components; the twin unrolls all rounds)
-    q["power_iteration_pc1"] = lambda s, d: embstats_mod.power_iteration_pc1(s, d)
-    # sibling: logreg_report IN-CAP (reliability bins on the holdout —
-    # the calibration read before scores become admission
-    # probabilities)
-    q["logreg_calibration"] = lambda s, d: logreg_mod.logreg_calibration(s, d)
+    # rotated out round 9 in favor of power_iteration_pc1 (the PQ
+    # rerank rung stays in-cap via opq_rerank_full; IVF x OPQ twin
+    # keeps its own oracle here):
+    q["ivfopq_rerank_full"] = _ivfopq_rerank_full
+    # rotated out round 9 in favor of logreg_calibration (sparse
+    # lexical family stays in-cap via tfidf_cosine_pairs +
+    # tfidf_cosine_prefix):
+    q["tfidf_related_docs"] = lambda s, d: sparse_sim_mod.tfidf_related_docs(
+        load_documents(s, d), n=3, k=3
+    )
     # sibling: logreg_calibration (uncertainty sampling: the
     # lowest-margin holdout docs a labeling loop annotates next;
     # TakeOrderedAndProject cut)
     q["active_learning_batch"] = lambda s, d: logreg_mod.active_learning_batch(s, d)
-    # sibling: weak_labels (the Snorkel label-model step between raw
-    # rules and a trained classifier: per-rule accuracy from majority
-    # agreement, log-odds reweighting — one ROUND(ln,9) per RULE —
-    # and a DECIMAL-folded weighted revote)
-    q["label_model"] = textual.label_model
+    # rotated out round 9 in favor of label_model (n-gram pair family
+    # stays in-cap via dedup_ngram_prefix):
+    q["dedup_ngram_containment"] = lambda s, d: dedup.ngram_containment_pairs(
+        load_documents(s, d), n=3, threshold=0.8
+    )
     # sibling: logreg_report IN-CAP (model-based filtering ON ARRIVAL:
     # each micro-batch scored with the broadcast session-trained
     # model; scoring is a pure per-doc function of the model, so
@@ -2235,27 +2263,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["duplicate_spans"] = lambda s, d: dedup.duplicate_spans(
         load_documents(s, d)
     )
-    # sibling: bm25_topk_indexed (the EXACT-match lexical twin:
-    # consecutive-token phrase occurrences via one per-doc array
-    # lambda inside codegen — zero shuffle, no token explode; the
-    # serving form swaps the scan for positional posting lists)
-    q["phrase_search"] = lambda s, d: ranking_mod.phrase_search(s, d)
+    # rotated out round 9 in favor of phrase_search (shortlist->exact
+    # rerank family stays in-cap via opq_rerank_full; the Matryoshka
+    # twin keeps its own oracle here):
+    q["prefixdim_rerank_full"] = _prefixdim_rerank_full
     # sibling: phrase_search (the SERVING form: positional postings
     # store read only at the phrase terms' row groups — store path ==
     # scan path by the shared oracle, the bm25_topk_indexed contract)
     q["phrase_search_store"] = lambda s, d: ranking_mod.phrase_search_store(s, d)
-    # sibling: export_curated (the INGESTION side of the IO story: a
-    # WET/WARC-style archive written by a codegen projection and read
-    # back through the lineSep record-split text source — records
-    # split across file-split boundaries natively, parsing is all
-    # codegen string ops; oracle = a plain documents projection, so
-    # equality proves writer and distributed parser are exact inverses)
-    q["wet_roundtrip"] = lambda s, d: warc_mod.wet_roundtrip(s, d)
-    # sibling: cdc_merge (the HISTORY twin of the SCD-1 survivor:
-    # versioned dimension with validity intervals from the event
-    # stream — run-compression before the versions window, both keyed
-    # on user_id, no single-partition exchange)
-    q["scd2_history"] = temporal.scd2_history
+    # rotated out round 9 in favor of wet_roundtrip (decontamination
+    # family stays in-cap via semantic_decontaminate +
+    # stream_decontaminate; the Bloom twin is bit-identical to the
+    # shared oracle):
+    q["decontaminate_bloom"] = curation.decontaminate_bloom_documents
+    # rotated out round 9 in favor of scd2_history (SNM composition
+    # family stays in-cap via sorted_neighborhood +
+    # dedup_components_twostar):
+    q["snm_dedup_groups"] = lambda s, d: graph_mod.connected_components_twostar(
+        blocking_mod.sorted_neighborhood_pairs(load_documents(s, d))
+    )
     # sibling: kmv_user_overlap IN-CAP (the persisted-store path:
     # build from the first half, kmv_store_upsert the second, serve
     # from stored sketches — the k-min merge is LOSSLESS so the store
@@ -2358,6 +2384,10 @@ def oracle_sql() -> dict[str, str]:
     # tests/test_dedup.py) — so it carries the SAME oracle
     o["duplicate_spans_arrow"] = oracles_text.duplicate_spans_sql(8)
     o["remove_duplicate_spans"] = oracles_text.remove_duplicate_spans_sql(8)
+    o["duplicate_char_spans"] = oracles_text.duplicate_char_spans_sql(40)
+    o["remove_duplicate_char_spans"] = (
+        oracles_text.remove_duplicate_char_spans_sql(40)
+    )
     o["unigram_logprob"] = oracles_text.UNIGRAM_LOGPROB
     o["bigram_logprob"] = oracles_text.BIGRAM_LOGPROB
     o["kneser_ney_logprob"] = oracles_text.kneser_ney_sql(0.75)

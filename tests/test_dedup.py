@@ -416,6 +416,101 @@ def test_remove_duplicate_spans_keeps_first_occurrence(spark):
     assert r7.kept_md5 == md5(f"{passage} x1 x2 x3")
 
 
+def test_duplicate_char_spans_planted(spark):
+    """Char-grain exact-substring dedup (Lee et al. unit below token
+    grain): plant a 50-char verbatim passage that crosses token
+    boundaries mid-word; with k=40 the islands must cover exactly the
+    shared characters in both carriers and nothing in the clean doc.
+    Crucially, a duplicate that starts mid-token (invisible to the
+    token form at this k) IS caught."""
+    passage = "the_quick_brown_fox_jumps_over_the_lazy_dog_twice"  # 49 chars
+    assert len(passage) == 49
+    # frame with DIFFERING adjacent chars on each side so the shared
+    # substring is exactly the passage (a shared space would extend it)
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAA.{passage},BBB"),
+            (2, f"CCCCC-{passage}_DDDDD"),
+            (3, "a clean document with no repeated fifty char runs at all!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.duplicate_char_spans(docs, k=40).collect()}
+    # island = every k-window inside the 49-char passage; the merged
+    # span is exactly the passage (windows outside include unique
+    # framing chars, so they are not hot)
+    assert out[1].n_dup_spans == 1 and out[1].dup_chars == 49
+    assert out[2].n_dup_spans == 1 and out[2].dup_chars == 49
+    assert out[3].n_dup_spans == 0 and out[3].dup_chars == 0
+    assert out[1].total_chars == len(f"AAA.{passage},BBB")
+    assert out[1].dup_frac == round(49 / out[1].total_chars, 6)
+
+    # sub-token-boundary duplication: one long token shared between
+    # docs — zero shared TOKENS at k_tok=8, but the char form sees it
+    blob = "x" * 60
+    subtok = spark.createDataFrame(
+        [(4, f"alpha {blob}beta gamma"), (5, f"delta epsilon {blob}zeta")],
+        "doc_id long, text string",
+    )
+    tok = {r.doc_id: r for r in dedup.duplicate_spans(subtok, k=8).collect()}
+    assert tok[4].dup_tokens == 0 and tok[5].dup_tokens == 0
+    ch = {r.doc_id: r for r in dedup.duplicate_char_spans(subtok, k=40).collect()}
+    assert ch[4].dup_chars >= 60 and ch[5].dup_chars >= 60
+
+    # runs shorter than k are invisible — the documented threshold
+    short = spark.createDataFrame(
+        [(8, "pad " + "y" * 30 + " tail one"), (9, "lead " + "y" * 30 + " end two")],
+        "doc_id long, text string",
+    )
+    for r in dedup.duplicate_char_spans(short, k=40).collect():
+        assert r.n_dup_spans == 0
+
+
+def test_remove_duplicate_char_spans_keeps_first_occurrence(spark):
+    """Keep-first semantics at char grain, and the complement-segment
+    fold reassembly digest equals md5 of the expected surviving
+    string (computed in Python)."""
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    passage = "the_quick_brown_fox_jumps_over_the_lazy_dog_twice"  # 49 chars
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAA.{passage},BBB"),
+            (2, f"CCCCC-{passage}_DDDDD"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_duplicate_char_spans(docs, k=40).collect()
+    }
+    # doc 1 canonical -> untouched
+    assert out[1].removed_chars == 0
+    assert out[1].kept_md5 == md5(f"AAA.{passage},BBB")
+    # doc 2 loses exactly the passage, keeps its frame
+    assert out[2].removed_chars == 49
+    assert out[2].kept_md5 == md5("CCCCC-_DDDDD")
+
+    # within-doc repeat: second copy stripped, first kept
+    rep = spark.createDataFrame(
+        [(7, f"{passage}-MID-{passage}")],
+        "doc_id long, text string",
+    )
+    r7 = dedup.remove_duplicate_char_spans(rep, k=40).collect()[0]
+    assert r7.removed_chars == 49
+    assert r7.kept_md5 == md5(f"{passage}-MID-")
+
+    # a doc that is ENTIRELY a duplicate cleans to the empty string
+    full = spark.createDataFrame(
+        [(10, passage), (11, passage)],
+        "doc_id long, text string",
+    )
+    o = {r.doc_id: r for r in dedup.remove_duplicate_char_spans(full, k=40).collect()}
+    assert o[10].removed_chars == 0 and o[10].kept_md5 == md5(passage)
+    assert o[11].removed_chars == 49 and o[11].kept_md5 == md5("")
+
+
 def test_duplicate_spans_arrow_matches_md5_form(spark):
     """The Arrow shingling path must reproduce the md5 expression form
     row-for-row (hash collisions aside) on the real corpus and on the

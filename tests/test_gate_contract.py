@@ -79,6 +79,18 @@ import __spark_entry__ as E
 # in overflow). Final round-8 session-2 swap:
 # kmeans_lloyd<-curation_reasons (curation stages stay in-cap via
 # curate_corpus — same CTE chain).
+# Round-9 rotation (VERDICT r8 #2 — promote the round-8 flagships;
+# each retired entry is driver-green with its family still in-cap):
+# scd2_history<-snm_dedup_groups (SNM composition stays via
+# sorted_neighborhood + dedup_components_twostar),
+# label_model<-dedup_ngram_containment (n-gram pairs stay via
+# dedup_ngram_prefix), power_iteration_pc1<-ivfopq_rerank_full (PQ
+# rerank rung stays via opq_rerank_full),
+# phrase_search<-prefixdim_rerank_full (shortlist->rerank stays via
+# opq_rerank_full), wet_roundtrip<-decontaminate_bloom (decontam
+# stays via semantic_decontaminate + stream_decontaminate),
+# logreg_calibration<-tfidf_related_docs (sparse lexical stays via
+# tfidf_cosine_pairs + tfidf_cosine_prefix).
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
@@ -88,17 +100,17 @@ EXPECTED_IN_CAP = [
     "semantic_decontaminate", "tfidf_cosine_pairs", "dsir_select",
     "neardup_edit_distance",
     "curate_corpus", "tfidf_cosine_prefix", "repetition_signals",
-    "opq_rerank_full", "stream_interval_join", "snm_dedup_groups",
+    "opq_rerank_full", "stream_interval_join", "scd2_history",
     "leakage_safe_splits",
     "sorted_neighborhood", "expectations_report", "kmeans_lloyd",
     "multimodal_meta", "stream_decontaminate", "dedup_components_twostar",
-    "dedup_ngram_containment", "retrieval_quality", "kmv_user_overlap",
+    "label_model", "retrieval_quality", "kmv_user_overlap",
     "psi_drift", "expectations_events",
     "paragraph_dedup", "excess_supply_suppliers",
-    "lsh_calibration", "ivfopq_rerank_full", "prefixdim_rerank_full",
+    "lsh_calibration", "power_iteration_pc1", "phrase_search",
     "sql_topk_cosine", "semantic_dedup_blocked",
     "topk_cosine_filtered_gann",
-    "decontaminate_bloom", "tfidf_related_docs", "logreg_report",
+    "wet_roundtrip", "logreg_calibration", "logreg_report",
     "domain_caps", "ks_drift",
 ]
 

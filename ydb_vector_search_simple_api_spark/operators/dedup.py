@@ -1931,6 +1931,187 @@ def remove_duplicate_spans(
     )
 
 
+def duplicate_char_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+) -> DataFrame:
+    """CHARACTER-grain exact-substring duplicate detection — the Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") suffix-array unit, below token grain: find, per document,
+    the maximal character spans covered by some ``k``-char window that
+    appears at least twice in the corpus. Catches sub-token-boundary
+    duplication (code, markup, concatenated boilerplate) that the
+    token-grain :func:`duplicate_spans` cannot see, with NO tokenizer
+    in the loop — raw text, no normalization.
+
+    Same guarantee family as the paper's suffix array restricted to a
+    fixed threshold: every duplicated substring of length ≥ k is
+    covered exactly (its k-windows are all hot and merge into one
+    island); shorter repeats are invisible. The paper's production
+    threshold is 50 chars; default k=40 matches the token twin's
+    ~8-token footprint on this corpus.
+
+    100 TB shape — identical to the token form, deliberately: the
+    only corpus-sized structures are the (doc_id, int, 32-byte md5)
+    shingle stream (the text itself never shuffles) and its
+    hash-keyed count with map-side combine; hot windows then island-
+    merge per doc. The char stream is ~5× denser than the token
+    stream (one window per CHARACTER), which is the honest cost of
+    sub-token grain — SCALING.md records the measured ratio. No
+    self-join, no suffix-array construction (the sequential
+    O(n log n) build doesn't distribute; the hot-window form is the
+    standard scalable equivalent at fixed threshold).
+
+    Output: (doc_id, total_chars, n_dup_spans, dup_chars, dup_frac)
+    for every input document (zero-span docs included).
+    """
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("txt"),
+        F.length(text_col).cast("int").alias("total_chars"),
+    )
+    sh = d.filter(F.col("total_chars") >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("total_chars") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.md5(F.col("txt").substr(i, F.lit(k))).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.start").alias("start"), F.col("s.h").alias("h"))
+    out = _rollup_hot_spans(
+        d.select("doc_id", F.col("total_chars").alias("total_tokens")), sh, k
+    )
+    return out.select(
+        "doc_id",
+        F.col("total_tokens").alias("total_chars"),
+        "n_dup_spans",
+        F.col("dup_tokens").alias("dup_chars"),
+        "dup_frac",
+    )
+
+
+def remove_duplicate_char_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+) -> DataFrame:
+    """The actionable form of :func:`duplicate_char_spans`, sharing
+    :func:`remove_duplicate_spans`'s island/removal contract at char
+    grain: strip every duplicated k-char window EXCEPT its corpus-wide
+    first occurrence (canonical = min (doc_id, start) per window md5),
+    and digest the surviving character stream — the cleaned-stream md5
+    the oracle verifies byte-for-byte.
+
+    The reassembly differs from the token form on purpose: instead of
+    enumerating positions (one struct PER CHARACTER — fine for tokens,
+    5× heavier here), the merged removal islands are sorted per doc
+    and a single ``aggregate`` fold cuts the COMPLEMENT segments out
+    of the original string with ``substr`` — O(islands) codegen string
+    ops per doc, no per-char explode, no Python.
+
+    Output: (doc_id, total_chars, removed_chars, kept_md5).
+    """
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("txt"),
+        F.length(text_col).cast("int").alias("total_chars"),
+    )
+    sh = d.filter(F.col("total_chars") >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("total_chars") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.md5(F.col("txt").substr(i, F.lit(k))).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.start").alias("start"), F.col("s.h").alias("h"))
+    per_hash = sh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "start")).alias("canon"),
+    )
+    removable = (
+        sh.join(per_hash.filter(F.col("n_occ") >= 2), "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("canon.doc_id"))
+                & (F.col("start") == F.col("canon.start"))
+            )
+        )
+        .select("doc_id", "start", (F.col("start") + F.lit(k - 1)).alias("end"))
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        removable.withColumn("prev_max_end", F.max("end").over(w_prev))
+        .withColumn(
+            "new_island",
+            (
+                F.col("prev_max_end").isNull()
+                | (F.col("start") > F.col("prev_max_end") + 1)
+            ).cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                Window.partitionBy("doc_id").orderBy("start")
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("start").alias("s"), F.max("end").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    joined = d.join(spans, "doc_id", "left").withColumn(
+        "spans",
+        F.sort_array(
+            F.coalesce("spans", F.array().cast("array<struct<s:int,e:int>>"))
+        ),
+    )
+    # complement-segment fold: accumulator = (next uncut position,
+    # kept-so-far); each island appends the gap before it, the final
+    # lambda appends the tail after the last island
+    kept_str = F.aggregate(
+        F.col("spans"),
+        F.struct(F.lit(1).alias("pos"), F.lit("").alias("acc")),
+        lambda acc, sp: F.struct(
+            (sp["e"] + F.lit(1)).alias("pos"),
+            F.concat(
+                acc["acc"], F.col("txt").substr(acc["pos"], sp["s"] - acc["pos"])
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.col("txt").substr(
+                acc["pos"], F.col("total_chars") - acc["pos"] + F.lit(1)
+            ),
+        ),
+    )
+    removed_len = F.aggregate(
+        F.col("spans"),
+        F.lit(0),
+        lambda acc, sp: acc + (sp["e"] - sp["s"] + F.lit(1)),
+    )
+    return joined.select(
+        "doc_id",
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        removed_len.cast("bigint").alias("removed_chars"),
+        F.md5(kept_str).alias("kept_md5"),
+    )
+
+
 # ------------------------------------------- cross-source overlap
 
 

@@ -1269,6 +1269,141 @@ FROM d LEFT JOIN removed r ON d.doc_id = r.doc_id
 """
 
 
+def duplicate_char_spans_sql(k: int = 40) -> str:
+    """Twin of ``dedup.duplicate_char_spans``: raw-text k-CHAR window
+    md5s with positions (no tokenizer, no normalization), hot-hash
+    filter (total occurrences ≥ 2), per-doc gaps-and-islands merge,
+    per-doc rollup with zero-span docs kept."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, text AS txt, len(text)::BIGINT AS total_chars
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS start, md5(substr(txt, i::INT, {k})) AS h
+  FROM d, LATERAL unnest(range(1, total_chars - {k} + 2)) AS t(i)
+  WHERE total_chars >= {k}
+),
+hot AS (
+  SELECT h FROM sh GROUP BY h HAVING count(*) >= 2
+),
+dup AS (
+  SELECT doc_id, start, start + {k} - 1 AS "end"
+  FROM sh WHERE h IN (SELECT h FROM hot)
+),
+marked AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN max("end") OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR start > max("end") OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup
+),
+islands AS (
+  SELECT doc_id,
+         sum(new_island) OVER (
+           PARTITION BY doc_id ORDER BY start
+         ) AS island,
+         start, "end"
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, island, max("end") - min(start) + 1 AS span_len
+  FROM islands GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+         sum(span_len)::BIGINT AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, d.total_chars,
+       COALESCE(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       COALESCE(p.dup_chars, 0)::BIGINT AS dup_chars,
+       ROUND(COALESCE(p.dup_chars, 0)::DOUBLE / d.total_chars::DOUBLE, 6)
+         + 0.0 AS dup_frac
+FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+def remove_duplicate_char_spans_sql(k: int = 40) -> str:
+    """Twin of ``dedup.remove_duplicate_char_spans``: canonical
+    occurrence (min (doc_id, start) per hot window md5) survives;
+    islands of the remaining hot windows are stripped; kept_md5
+    digests the surviving CHARACTER stream in order (per-char
+    enumeration here — the engine cuts complement segments, the md5
+    proves both reassemblies byte-identical)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, text AS txt, len(text)::BIGINT AS total_chars
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS start, md5(substr(txt, i::INT, {k})) AS h
+  FROM d, LATERAL unnest(range(1, total_chars - {k} + 2)) AS t(i)
+  WHERE total_chars >= {k}
+),
+ranked AS (
+  SELECT doc_id, start, h,
+         count(*) OVER (PARTITION BY h) AS n_occ,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+  FROM sh
+),
+removable AS (
+  SELECT doc_id, start, start + {k} - 1 AS "end"
+  FROM ranked WHERE n_occ >= 2 AND rn > 1
+),
+marked AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN max("end") OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR start > max("end") OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM removable
+),
+spans AS (
+  SELECT doc_id,
+         min(start) AS s, max("end") AS e
+  FROM (
+    SELECT doc_id, start, "end",
+           sum(new_island) OVER (PARTITION BY doc_id ORDER BY start) AS island
+    FROM marked
+  ) GROUP BY doc_id, island
+),
+chars AS (
+  SELECT doc_id, i, substr(txt, i::INT, 1) AS ch
+  FROM d, LATERAL unnest(range(1, total_chars + 1)) AS t(i)
+),
+kept AS (
+  SELECT c.doc_id, c.i, c.ch
+  FROM chars c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans r
+    WHERE r.doc_id = c.doc_id AND c.i BETWEEN r.s AND r.e
+  )
+),
+removed AS (
+  SELECT doc_id, sum(e - s + 1)::BIGINT AS removed_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, d.total_chars,
+       COALESCE(r.removed_chars, 0)::BIGINT AS removed_chars,
+       md5(COALESCE(
+         (SELECT string_agg(ch, '' ORDER BY i)
+          FROM kept WHERE kept.doc_id = d.doc_id), '')) AS kept_md5
+FROM d LEFT JOIN removed r ON d.doc_id = r.doc_id
+"""
+
+
 def perplexity_buckets_sql(n_buckets: int = 3) -> str:
     """Twin of ``textual.perplexity_buckets`` over the shared
     BIGRAM_LOGPROB score pipeline."""
