@@ -411,6 +411,145 @@ def test_kneser_ney_continuation_effect(spark, tmp_path):
     assert kn[901] > kn[900]  # KN: 'okay' follows 10 contexts
 
 
+def test_kneser_ney5_matches_bruteforce(spark, tmp_path):
+    """The full interpolated 5-gram KN recursion (BOS×4/EOS padding,
+    Chen-Goodman continuation cascade) must equal an independent
+    brute-force Python implementation of the same model on a planted
+    corpus, doc for doc to the ROUND(6) contract."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pytest
+
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        kneser_ney5_logprob,
+    )
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the hat",
+        3: "a dog ran over the mat",
+        4: "the cat sat on the mat again and again",
+        5: "completely different words here now",
+    }
+    spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    D = 0.75
+    BOS, EOS = "<s>", "</s>"
+    grams = Counter()
+    doc_grams = {}
+    for did, txt in texts.items():
+        toks = [BOS] * 4 + txt.lower().split() + [EOS]
+        gs = [tuple(toks[i : i + 5]) for i in range(len(toks) - 4)]
+        doc_grams[did] = gs
+        grams.update(gs)
+    # cascade of type counts
+    def level_down(tbl):
+        out = Counter()
+        for k in tbl:
+            out[k[1:]] += 1
+        return out
+    c5 = grams
+    kn4 = level_down(c5)
+    kn3 = level_down(kn4)
+    kn2 = level_down(kn3)
+    kn1 = level_down(kn2)
+    def ctx_of(tbl):
+        tot, types = defaultdict(int), defaultdict(int)
+        for k, v in tbl.items():
+            tot[k[:-1]] += v
+            types[k[:-1]] += 1
+        return tot, types
+    ctx5, n1p5 = ctx_of(c5)
+    ctx4, n1p4 = ctx_of(kn4)
+    ctx3, n1p3 = ctx_of(kn3)
+    ctx2, n1p2 = ctx_of(kn2)
+    tot1 = sum(kn1.values())
+
+    def p_of(g):
+        p1 = kn1[g[4:]] / tot1
+        p2 = max(kn2[g[3:]] - D, 0.0) / ctx2[g[3:4]] + (
+            (D * n1p2[g[3:4]]) / ctx2[g[3:4]]
+        ) * p1
+        p3 = max(kn3[g[2:]] - D, 0.0) / ctx3[g[2:4]] + (
+            (D * n1p3[g[2:4]]) / ctx3[g[2:4]]
+        ) * p2
+        p4 = max(kn4[g[1:]] - D, 0.0) / ctx4[g[1:4]] + (
+            (D * n1p4[g[1:4]]) / ctx4[g[1:4]]
+        ) * p3
+        return max(c5[g] - D, 0.0) / ctx5[g[:4]] + (
+            (D * n1p5[g[:4]]) / ctx5[g[:4]]
+        ) * p4
+
+    expect = {}
+    for did, gs in doc_grams.items():
+        s = sum(round(math.log(p_of(g)), 9) for g in gs)
+        expect[did] = (len(gs), round(s / len(gs), 6))
+
+    got = {
+        r.doc_id: (r.n_grams, r.mean_kn5_logprob)
+        for r in kneser_ney5_logprob(spark, str(tmp_path)).collect()
+    }
+    assert got.keys() == expect.keys()
+    for did in expect:
+        assert got[did][0] == expect[did][0]
+        assert got[did][1] == pytest.approx(expect[did][1], abs=2e-6), did
+    # total probability mass at one planted context sums to ~1 over
+    # the observed continuations + everything else via interpolation:
+    # spot-check the model is a proper distribution over g5 for a
+    # fully-seen context
+    ctx = ("the", "cat", "sat", "on")
+    vocab = set(k[4] for k in c5) | {EOS}
+    mass = 0.0
+    for w in vocab:
+        g = ctx + (w,)
+        p1 = kn1.get((w,), 0) / tot1
+        p2 = max(kn2.get(g[3:], 0) - D, 0.0) / ctx2[g[3:4]] + (
+            (D * n1p2[g[3:4]]) / ctx2[g[3:4]]
+        ) * p1
+        p3 = max(kn3.get(g[2:], 0) - D, 0.0) / ctx3[g[2:4]] + (
+            (D * n1p3[g[2:4]]) / ctx3[g[2:4]]
+        ) * p2
+        p4 = max(kn4.get(g[1:], 0) - D, 0.0) / ctx4[g[1:4]] + (
+            (D * n1p4[g[1:4]]) / ctx4[g[1:4]]
+        ) * p3
+        mass += max(c5.get(g, 0) - D, 0.0) / ctx5[ctx] + (
+            (D * n1p5[ctx]) / ctx5[ctx]
+        ) * p4
+    # not exactly 1.0 only because the unseen-word tail is the
+    # unigram remainder; over the observed vocab it must be close
+    assert 0.9 < mass <= 1.0 + 1e-9
+
+
+def test_kneser_ney5_corpus_coverage(spark):
+    """Every document scores (padding guarantees full contexts), all
+    means negative, n_grams == token count + 1."""
+    from ydb_vector_search_simple_api_spark.functions import text as TXT
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        kneser_ney5_logprob,
+    )
+    from ydb_vector_search_simple_api_spark.sources.store import (
+        load_documents,
+    )
+
+    got = {
+        r.doc_id: r
+        for r in kneser_ney5_logprob(spark, SF_SMALL).collect()
+    }
+    docs = {
+        r.doc_id: r.n_toks
+        for r in load_documents(spark, SF_SMALL)
+        .select("doc_id", TXT.token_count("text").alias("n_toks"))
+        .collect()
+    }
+    assert set(got) == set(docs)
+    for did, r in got.items():
+        assert r.n_grams == docs[did] + 1
+        assert r.mean_kn5_logprob < 0
+
+
 def test_lang_id_confusion_shares_sum_to_one(spark):
     from collections import defaultdict
 

@@ -1,0 +1,170 @@
+"""ANN index auto-configuration: turn the measured recall curves into
+a recommendation.
+
+The repo ships six index layouts (IVF, two-level tree, PQ/OPQ/IVFADC,
+SQ8, BQ, graph-ANN) with measured recall/latency curves (SCALING.md),
+but a user must pick layout and serving width by hand. This operator
+is the missing "which index do I build?" step: it reads the corpus's
+own statistics (n, d, label entropy), MEASURES the recall curve of the
+pruned IVF serving path against exact search on the corpus itself
+(batch-shaped — the ann_recall_report machinery), and emits one
+recommendation row per target recall.
+
+The layout rules codify SCALING.md's measured crossovers rather than
+guessing:
+
+- tiny corpora (n < ``exact_cutoff``): brute-force exact — every
+  blocked method's fixed overhead loses below ~10⁵ rows (measured for
+  banding at ~100k images; the IVF routing join shows the same
+  fixed-cost floor at gate scale).
+- recall target 1.0: IVF at FULL width — identical results to exact
+  with partition pruning still available for filtered serving.
+- d ≥ ``pq_dim_cutoff`` and target ≤ 0.95: IVF×OPQ — at high
+  dimension the ADC scan is memory-bound, codes cut bytes/vector ~16×
+  (SCALING.md PQ rows), and the rerank stage restores precision.
+- otherwise: flat IVF at the MINIMUM measured width reaching the
+  target — width drives probe cost linearly, so the smallest
+  sufficient width is the latency-optimal point on the measured
+  curve.
+
+Everything is deterministic (fixed query set, fixed seed index, fixed
+thresholds), so the recommendation is replay-pinned in pytest; the
+recall numbers come from the same semi-join count the recall report
+uses, not from a formula.
+
+Reference note: the reference engine (app.py) exposes a single YDB
+index type with a ``search_top_size`` knob and no guidance; extension
+scope (SURVEY.md "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import index as ivf
+from .search import knn_join
+from ..sources.store import load_embeddings
+
+#: rule thresholds — codified SCALING.md crossovers, pinned in pytest
+EXACT_CUTOFF = 100_000
+PQ_DIM_CUTOFF = 256
+
+
+def ann_autoconfig(
+    spark: SparkSession,
+    sf_dir: str,
+    idx: "ivf.IvfIndex",
+    targets: tuple[float, ...] = (0.8, 0.9, 0.95, 1.0),
+    k: int = 10,
+    n_queries: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One recommendation row per target recall:
+    (target_recall, layout, n_clusters, width, measured_recall,
+    est_bytes_per_vec, rationale).
+
+    Plan shape: ONE exact kNN join (the ground truth) + one pruned
+    ``ivf_knn_join`` per candidate width; recall is a Spark-side
+    semi-join count. The candidate widths are the powers of two up to
+    n_clusters — O(log n_clusters) serving passes, each
+    partition-pruned. The stats pass is two aggregates on the
+    embeddings table. Nothing corpus-sized reaches the driver; the
+    output is |targets| rows.
+    """
+    embs = load_embeddings(spark, sf_dir)
+    stats = embs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size("embedding")).alias("d"),
+        F.countDistinct("label").alias("n_labels"),
+    ).first()
+    n, d = int(stats["n"]), int(stats["d"])
+
+    queries_df = embs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
+    exact = (
+        knn_join(
+            spark, queries_df, corpus, k=k, strategy="CosineSimilarity",
+            round_digits=round_digits,
+        )
+        .select("query_id", "id")
+        .localCheckpoint(eager=True)
+    )
+    denom = float(k * n_queries)
+
+    widths: list[int] = []
+    w = 1
+    while w < idx.n_clusters:
+        widths.append(w)
+        w *= 2
+    widths.append(int(idx.n_clusters))
+    curve: dict[int, float] = {}
+    for width in widths:
+        got = ivf.ivf_knn_join(
+            spark, idx, queries_df, k=k, strategy="CosineSimilarity",
+            search_top_size=width, round_digits=round_digits,
+        ).select("query_id", "id")
+        curve[width] = round(
+            got.join(exact, ["query_id", "id"], "left_semi").count() / denom, 6
+        )
+
+    def min_width(target: float) -> tuple[int, float]:
+        for width in widths:
+            if curve[width] >= target:
+                return width, curve[width]
+        return widths[-1], curve[widths[-1]]
+
+    rows = []
+    for target in targets:
+        if n < EXACT_CUTOFF and target >= 1.0:
+            # below the measured blocked-method crossover the exact
+            # scan wins outright at full recall
+            rows.append(
+                (
+                    float(target), "brute_force_exact", 0, 0,
+                    1.0, 4 * d,
+                    f"n={n} < {EXACT_CUTOFF}: exact scan beats any "
+                    "blocked layout's fixed overhead (SCALING.md "
+                    "crossover) and recall must be 1.0",
+                )
+            )
+            continue
+        width, rec = min_width(target)
+        if target >= 1.0:
+            rows.append(
+                (
+                    float(target), "ivf_flat", int(idx.n_clusters),
+                    int(idx.n_clusters), curve[int(idx.n_clusters)],
+                    4 * d,
+                    "full width == exact with partition pruning kept "
+                    "for filtered serving",
+                )
+            )
+        elif d >= PQ_DIM_CUTOFF:
+            rows.append(
+                (
+                    float(target), "ivf_opq", int(idx.n_clusters),
+                    int(width), rec, max(8, d // 16),
+                    f"d={d} >= {PQ_DIM_CUTOFF}: ADC scan is memory-"
+                    "bound, OPQ codes cut bytes/vec ~16x with rerank "
+                    "(SCALING.md PQ rows)",
+                )
+            )
+        else:
+            rows.append(
+                (
+                    float(target), "ivf_flat", int(idx.n_clusters),
+                    int(width), rec, 4 * d,
+                    f"smallest measured width with recall >= {target} "
+                    "(probe cost linear in width)",
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "target_recall double, layout string, n_clusters int, "
+        "width int, measured_recall double, est_bytes_per_vec int, "
+        "rationale string",
+    ).orderBy("target_recall")

@@ -1,0 +1,187 @@
+"""The end-to-end incremental snapshot loop (VERDICT r8 #6).
+
+Every production stage already exists as a gate-checked operator —
+incremental screening (``dedup.incremental_dedup``), curation
+(``curation.curate_corpus``'s stages), packing
+(``curation.pack_chunks``), index maintenance (``index.ivf_upsert``) —
+but a pipeline owner runs them as ONE loop per crawl snapshot: screen
+the incoming batch against everything ingested so far, curate the
+survivors, pack them into training bins, and upsert their embeddings
+into the serving index, emitting a single admission MANIFEST that
+records, per incoming document, exactly what happened and why.
+
+This module is that composition. The manifest is fully
+SQL-expressible (the DuckDB oracle chains the same stage SQL as CTEs
+— the ``curate_corpus`` pattern at loop scope), so the ASSEMBLED flow
+is hash-checked end-to-end, not just each stage in isolation. The
+streaming twin (``streaming.curation_ingest.stream_snapshot_loop``)
+drains the same incoming batch shard-by-shard and must reproduce the
+manifest row-for-row (pinned in pytest).
+
+Semantics, per incoming doc (the md5-draw split ≥ ``existing_frac``
+is "incoming", the rest is the already-ingested corpus — the
+``incremental_dedup`` convention):
+
+- ``is_exact_dup`` / ``n_shared_fps`` — the screen: normalized
+  content hash seen in the existing corpus / winnowing fingerprints
+  shared with it.
+- ``screened_out`` — ``is_exact_dup OR n_shared_fps >= fp_reject``.
+- ``quality_ok`` — the corpus quality gate.
+- ``admitted`` — not screened, quality-passing, the canonical
+  (min-doc_id) copy of its content hash WITHIN the incoming batch
+  (cross-batch dups were screened; within-batch dups elect here),
+  not benchmark-contaminated, and not from the excluded source.
+- ``split`` — the deterministic train/valid/test assignment
+  (NULL unless admitted).
+- ``n_bins`` / ``n_chunks`` / ``n_pack_tokens`` — the training-bin
+  layout of the admitted doc (0 unless admitted; bin assignment is
+  within-document, so restriction commutes with packing).
+- ``indexed`` — admitted AND an embedding exists (vec_id == doc_id,
+  the store convention); the ``ivf_store`` side effect appends
+  exactly these vectors, pinned store==manifest in pytest.
+
+100 TB shape: every probe is a keyed join driven by the SMALL
+incoming delta (the exchange ships hashes/fingerprints, never
+documents); the pack window partitions by doc_id; the upsert appends
+to cluster directories without touching existing files. No stage
+re-reads the corpus more than the underlying operators already do,
+and nothing corpus-sized reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup
+from .curation import decontaminate_documents, pack_chunks
+from .sampling import _draw, _threshold_hex, document_splits
+from .textual import quality_filter
+from ..functions import text as TXT
+from ..sources.store import load_documents, load_embeddings
+
+
+def incremental_snapshot_loop(
+    spark: SparkSession,
+    sf_dir: str,
+    existing_frac: float = 0.9,
+    fp_reject: int = 8,
+    min_quality: float = 0.8,
+    min_tokens: int = 16,
+    n: int = 8,
+    min_containment: float = 0.3,
+    train: float = 0.8,
+    valid: float = 0.1,
+    chunk_size: int = 64,
+    stride: int = 48,
+    budget: int = 256,
+    ivf_index=None,
+    ivf_store: str | None = None,
+) -> DataFrame:
+    """One manifest row per incoming document (columns above). When
+    ``ivf_index``/``ivf_store`` are given, the admitted embeddings are
+    also routed-appended to the store (``index.ivf_upsert``)."""
+    thr = _threshold_hex(existing_frac)
+    docs = load_documents(spark, sf_dir)
+    incoming = docs.filter(_draw(F.col("doc_id")) >= F.lit(thr))
+
+    # stage 1 — screen against the existing corpus
+    screen = dedup.incremental_dedup(
+        spark, sf_dir, existing_frac=existing_frac
+    )
+
+    # stage 2 — curation flags (each stage is its own gate-checked op)
+    quality = quality_filter(
+        spark, sf_dir, min_quality=min_quality, min_tokens=min_tokens
+    ).select("doc_id", F.lit(True).alias("quality_ok"))
+    # canonical WITHIN the incoming batch: min doc_id per content hash
+    canon = (
+        incoming.select(
+            "doc_id", TXT.content_fingerprint("text").alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("canonical"))
+    )
+    contaminated = (
+        decontaminate_documents(
+            spark, sf_dir, n=n, min_containment=min_containment
+        )
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(True).alias("contaminated"))
+    )
+    splits = document_splits(spark, sf_dir, train=train, valid=valid)
+
+    flags = (
+        screen.join(incoming.select("doc_id", "source"), "doc_id")
+        .join(quality, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .join(F.broadcast(contaminated), "doc_id", "left")
+        .join(splits, "doc_id", "left")
+        .withColumn(
+            "screened_out",
+            F.col("is_exact_dup") | (F.col("n_shared_fps") >= fp_reject),
+        )
+        .withColumn("quality_ok", F.coalesce("quality_ok", F.lit(False)))
+        .withColumn(
+            "admitted",
+            ~F.col("screened_out")
+            & F.col("quality_ok")
+            & F.coalesce("canonical", F.lit(False))
+            & ~F.coalesce("contaminated", F.lit(False))
+            & (F.col("source") != "src0"),
+        )
+    )
+
+    # stage 3 — pack the admitted docs into training bins
+    admitted_ids = flags.filter("admitted").select("doc_id")
+    packed = (
+        pack_chunks(
+            spark, sf_dir, chunk_size=chunk_size, stride=stride, budget=budget
+        )
+        .join(admitted_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_bin_tokens").alias("n_pack_tokens"),
+        )
+    )
+
+    # stage 4 — index maintenance (side effect; manifest column is the
+    # SQL-expressible expectation, store==manifest pinned in pytest)
+    vecs = load_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    if ivf_index is not None and ivf_store is not None:
+        from . import index as ivf_mod
+
+        new_vecs = vecs.join(admitted_ids, "doc_id", "left_semi").select(
+            F.col("doc_id").alias("id"), "embedding"
+        )
+        ivf_mod.ivf_upsert(spark, ivf_index, new_vecs)
+
+    has_vec = vecs.select("doc_id", F.lit(True).alias("has_vec"))
+
+    return (
+        flags.join(packed, "doc_id", "left")
+        .join(has_vec, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            F.col("n_shared_fps").cast("bigint").alias("n_shared_fps"),
+            "screened_out",
+            "quality_ok",
+            "admitted",
+            F.when(F.col("admitted"), F.col("split")).alias("split"),
+            F.coalesce("n_bins", F.lit(0)).cast("bigint").alias("n_bins"),
+            F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+            F.coalesce("n_pack_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_pack_tokens"),
+            (
+                F.col("admitted") & F.coalesce("has_vec", F.lit(False))
+            ).alias("indexed"),
+        )
+    )

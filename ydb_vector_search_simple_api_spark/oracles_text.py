@@ -1837,6 +1837,143 @@ GROUP BY doc_id
 """
 
 
+def _kn5_body(discount: float = 0.75) -> str:
+    """Shared CTE body for the interpolated 5-gram Kneser-Ney model
+    (twin of ``textual.kneser_ney5_logprob``): BOS×4/EOS padding, one
+    corpus 5-gram aggregate, the Chen-Goodman continuation cascade
+    (c5 → kn4 → kn3 → kn2 → kn1, each level = distinct left
+    extensions of the level above), and the per-doc decimal-weighted
+    mean with the exact Spark association order.
+
+    Every CTE is MATERIALIZED: the cascade references each level
+    multiple times (c5 feeds topctx, kn4 AND the scored join), and
+    DuckDB's default inlining re-evaluates the whole chain per
+    reference — measured minutes at 50 docs vs 0.2 s materialized."""
+    D = discount
+    return f"""
+t AS MATERIALIZED (
+  SELECT doc_id,
+         ['<s>','<s>','<s>','<s>'] || {TOKS} || ['</s>'] AS p
+  FROM documents
+),
+g AS MATERIALIZED (
+  SELECT doc_id,
+         p[i::INT] AS g1, p[(i+1)::INT] AS g2, p[(i+2)::INT] AS g3,
+         p[(i+3)::INT] AS g4, p[(i+4)::INT] AS g5
+  FROM t, LATERAL unnest(range(1, len(p) - 3)) AS r(i)
+),
+docg AS MATERIALIZED (
+  SELECT doc_id, g1, g2, g3, g4, g5, count(*)::BIGINT AS n
+  FROM g GROUP BY 1, 2, 3, 4, 5, 6
+),
+c5 AS MATERIALIZED (
+  SELECT g1, g2, g3, g4, g5, sum(n)::BIGINT AS c5
+  FROM docg GROUP BY 1, 2, 3, 4, 5
+),
+topctx AS MATERIALIZED (
+  SELECT g1, g2, g3, g4, sum(c5)::BIGINT AS ctx5,
+         count(*)::BIGINT AS n1p5
+  FROM c5 GROUP BY 1, 2, 3, 4
+),
+kn4 AS MATERIALIZED (
+  SELECT g2, g3, g4, g5, count(*)::BIGINT AS ckn4
+  FROM c5 GROUP BY 1, 2, 3, 4
+),
+kn4ctx AS MATERIALIZED (
+  SELECT g2, g3, g4, sum(ckn4)::BIGINT AS ctx4,
+         count(*)::BIGINT AS n1p4
+  FROM kn4 GROUP BY 1, 2, 3
+),
+kn3 AS MATERIALIZED (
+  SELECT g3, g4, g5, count(*)::BIGINT AS ckn3
+  FROM kn4 GROUP BY 1, 2, 3
+),
+kn3ctx AS MATERIALIZED (
+  SELECT g3, g4, sum(ckn3)::BIGINT AS ctx3,
+         count(*)::BIGINT AS n1p3
+  FROM kn3 GROUP BY 1, 2
+),
+kn2 AS MATERIALIZED (
+  SELECT g4, g5, count(*)::BIGINT AS ckn2
+  FROM kn3 GROUP BY 1, 2
+),
+kn2ctx AS MATERIALIZED (
+  SELECT g4, sum(ckn2)::BIGINT AS ctx2,
+         count(*)::BIGINT AS n1p2
+  FROM kn2 GROUP BY 1
+),
+kn1 AS MATERIALIZED (
+  SELECT g5, count(*)::BIGINT AS ckn1
+  FROM kn2 GROUP BY 1
+),
+tot AS MATERIALIZED (SELECT sum(ckn1)::BIGINT AS tot1 FROM kn1),
+scored AS MATERIALIZED (
+  SELECT docg.doc_id, docg.n,
+         ROUND(ln(
+           greatest(c5.c5::DOUBLE - {D}, 0.0) / topctx.ctx5::DOUBLE
+           + (({D} * topctx.n1p5) / topctx.ctx5::DOUBLE) * (
+             greatest(kn4.ckn4::DOUBLE - {D}, 0.0) / kn4ctx.ctx4::DOUBLE
+             + (({D} * kn4ctx.n1p4) / kn4ctx.ctx4::DOUBLE) * (
+               greatest(kn3.ckn3::DOUBLE - {D}, 0.0) / kn3ctx.ctx3::DOUBLE
+               + (({D} * kn3ctx.n1p3) / kn3ctx.ctx3::DOUBLE) * (
+                 greatest(kn2.ckn2::DOUBLE - {D}, 0.0) / kn2ctx.ctx2::DOUBLE
+                 + (({D} * kn2ctx.n1p2) / kn2ctx.ctx2::DOUBLE)
+                   * (kn1.ckn1::DOUBLE / tot.tot1::DOUBLE)
+               )
+             )
+           )
+         ), 9) AS lp
+  FROM docg
+  JOIN c5 USING (g1, g2, g3, g4, g5)
+  JOIN topctx USING (g1, g2, g3, g4)
+  JOIN kn4 USING (g2, g3, g4, g5)
+  JOIN kn4ctx USING (g2, g3, g4)
+  JOIN kn3 USING (g3, g4, g5)
+  JOIN kn3ctx USING (g3, g4)
+  JOIN kn2 USING (g4, g5)
+  JOIN kn2ctx USING (g4)
+  JOIN kn1 USING (g5)
+  CROSS JOIN tot
+),
+kn5_per_doc AS MATERIALIZED (
+  SELECT doc_id,
+         sum(n)::BIGINT AS n_grams,
+         ROUND(
+           CAST(sum(CAST(n AS DECIMAL(12,0)) * CAST(lp AS DECIMAL(20,9))) AS DOUBLE)
+           / sum(n), 6
+         ) + 0.0 AS mean_kn5_logprob
+  FROM scored GROUP BY doc_id
+)"""
+
+
+def kneser_ney5_sql(discount: float = 0.75) -> str:
+    """Twin of ``textual.kneser_ney5_logprob``."""
+    return f"""
+WITH {_kn5_body(discount)}
+SELECT doc_id, n_grams, mean_kn5_logprob FROM kn5_per_doc
+"""
+
+
+def perplexity_buckets_kn5_sql(
+    n_buckets: int = 3, discount: float = 0.75
+) -> str:
+    """Twin of ``textual.perplexity_buckets_kn5`` — the CCNet tiles
+    over the 5-gram KN score."""
+    return f"""
+WITH {_kn5_body(discount)}
+SELECT d.doc_id, d.source, lp.mean_kn5_logprob,
+       ntile({n_buckets}) OVER (
+         PARTITION BY d.source
+         ORDER BY lp.mean_kn5_logprob DESC, d.doc_id ASC
+       )::BIGINT AS bucket,
+       (ntile({n_buckets}) OVER (
+         PARTITION BY d.source
+         ORDER BY lp.mean_kn5_logprob DESC, d.doc_id ASC
+       ) < {n_buckets}) AS keep
+FROM documents d JOIN kn5_per_doc lp ON d.doc_id = lp.doc_id
+"""
+
+
 def paragraph_dedup_sql() -> str:
     """Twin of :func:`operators.dedup.paragraph_dedup_docs`: identical
     paragraph augmentation (shared header/footer variants), blank-line
