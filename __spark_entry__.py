@@ -45,6 +45,7 @@ from ydb_vector_search_simple_api_spark.operators import expectations as expecta
 from ydb_vector_search_simple_api_spark.operators import graph as graph_mod
 from ydb_vector_search_simple_api_spark.operators import graphann as gann_mod
 from ydb_vector_search_simple_api_spark.operators import autoconfig as autoconfig_mod
+from ydb_vector_search_simple_api_spark.operators import pipeline as pipeline_mod
 from ydb_vector_search_simple_api_spark.operators import ranking as ranking_mod
 from ydb_vector_search_simple_api_spark.operators import skew as skew_mod
 from ydb_vector_search_simple_api_spark.operators import sketch_store as sketchstore_mod
@@ -1991,6 +1992,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_upsert pattern for dedup state); must equal the recompute
     # form, so it shares incremental_dedup's oracle SQL
     q["incremental_dedup_store"] = lambda s, d: dedup.incremental_dedup_store(s, d)
+    # round-9 gap item (VERDICT r8 #6): the COMPOSED snapshot loop —
+    # screen the incoming md5-draw batch against the existing corpus,
+    # curate survivors (quality + within-batch canonical election +
+    # decontamination + source exclusion), pack admitted docs into
+    # training bins, and emit ONE per-doc admission manifest; the
+    # DuckDB twin chains the same stage SQL as CTEs at loop scope
+    # (the curate_corpus pattern). The ivf_upsert side of the loop is
+    # pinned store==manifest in tests/test_pipeline.py.
+    q["incremental_snapshot_loop"] = pipeline_mod.incremental_snapshot_loop
+    # sibling: incremental_snapshot_loop ON ARRIVAL — the incoming
+    # batch drains shard-by-shard against static existing-corpus
+    # hash/fp tables; drained manifest == batch manifest row-for-row
+    # (ascending-shard min election), so it carries the SAME oracle
+    q["stream_snapshot_loop"] = lambda s, d: streaming_curing.stream_snapshot_loop(
+        s, d
+    )
     # BPE tokenizer TRAINING (full Sennrich loop over the distinct-word
     # table; iterative, so rows-only — pure-Python replay pinned in
     # tests/test_bpe.py; sibling of bpe_pair_counts, its single step)
@@ -2615,6 +2632,12 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["ab_test_report"] = oracles_temporal.ab_test_report_sql()
     o["ab_test_cuped"] = oracles_temporal.ab_test_cuped_sql()
     o["incremental_dedup_store"] = oracles_text.incremental_dedup_sql()
+    o["incremental_snapshot_loop"] = (
+        oracles_curation.incremental_snapshot_loop_sql()
+    )
+    o["stream_snapshot_loop"] = (
+        oracles_curation.incremental_snapshot_loop_sql()
+    )
     o["contrastive_pairs"] = oracles_curation.contrastive_pairs_sql()
     o["export_curated"] = oracles_curation.export_manifest_sql()
     o["quality_vs_dup_rate"] = oracles_curation.quality_vs_dup_rate_sql()

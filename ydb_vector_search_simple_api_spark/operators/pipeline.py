@@ -25,7 +25,14 @@ is "incoming", the rest is the already-ingested corpus — the
 - ``is_exact_dup`` / ``n_shared_fps`` — the screen: normalized
   content hash seen in the existing corpus / winnowing fingerprints
   shared with it.
-- ``screened_out`` — ``is_exact_dup OR n_shared_fps >= fp_reject``.
+- ``n_fps`` / ``fp_containment`` — the doc's own (distinct)
+  winnowing fingerprint count and the shared fraction
+  ``n_shared_fps / n_fps`` — recorded near-dup EVIDENCE.
+- ``screened_out`` — ``is_exact_dup OR fp_containment >=
+  fp_reject_frac`` (default 1.0: reject only docs every one of whose
+  fingerprints is already present — a true near-copy, the Lee et al.
+  fully-covered criterion; absolute fp counts are useless as a screen
+  on corpora with shared boilerplate, where EVERY doc shares many).
 - ``quality_ok`` — the corpus quality gate.
 - ``admitted`` — not screened, quality-passing, the canonical
   (min-doc_id) copy of its content hash WITHIN the incoming batch
@@ -65,7 +72,7 @@ def incremental_snapshot_loop(
     spark: SparkSession,
     sf_dir: str,
     existing_frac: float = 0.9,
-    fp_reject: int = 8,
+    fp_reject_frac: float = 1.0,
     min_quality: float = 0.8,
     min_tokens: int = 16,
     n: int = 8,
@@ -85,9 +92,21 @@ def incremental_snapshot_loop(
     docs = load_documents(spark, sf_dir)
     incoming = docs.filter(_draw(F.col("doc_id")) >= F.lit(thr))
 
-    # stage 1 — screen against the existing corpus
+    # stage 1 — screen against the existing corpus; n_fps is the
+    # doc's own fingerprint count (winnow arrays are distinct per doc
+    # — the incremental_dedup contract), the containment denominator
     screen = dedup.incremental_dedup(
         spark, sf_dir, existing_frac=existing_frac
+    )
+    n_fps = incoming.select(
+        "doc_id",
+        F.greatest(
+            F.coalesce(
+                F.size(TXT.winnow_mins(TXT.char_kgram_hashes("text", 8), 4)),
+                F.lit(0),
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("n_fps"),
     )
 
     # stage 2 — curation flags (each stage is its own gate-checked op)
@@ -115,13 +134,27 @@ def incremental_snapshot_loop(
 
     flags = (
         screen.join(incoming.select("doc_id", "source"), "doc_id")
+        .join(n_fps, "doc_id")
+        .withColumn(
+            "fp_containment",
+            F.when(
+                F.col("n_fps") > 0,
+                F.round(
+                    F.col("n_shared_fps").cast("double")
+                    / F.col("n_fps").cast("double"),
+                    6,
+                )
+                + F.lit(0.0),
+            ).otherwise(F.lit(0.0)),
+        )
         .join(quality, "doc_id", "left")
         .join(canon, "doc_id", "left")
         .join(F.broadcast(contaminated), "doc_id", "left")
         .join(splits, "doc_id", "left")
         .withColumn(
             "screened_out",
-            F.col("is_exact_dup") | (F.col("n_shared_fps") >= fp_reject),
+            F.col("is_exact_dup")
+            | ((F.col("n_fps") > 0) & (F.col("fp_containment") >= fp_reject_frac)),
         )
         .withColumn("quality_ok", F.coalesce("quality_ok", F.lit(False)))
         .withColumn(
@@ -171,6 +204,8 @@ def incremental_snapshot_loop(
             "doc_id",
             "is_exact_dup",
             F.col("n_shared_fps").cast("bigint").alias("n_shared_fps"),
+            "n_fps",
+            "fp_containment",
             "screened_out",
             "quality_ok",
             "admitted",

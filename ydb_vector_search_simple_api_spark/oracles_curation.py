@@ -1241,3 +1241,104 @@ r AS (
 )
 SELECT doc_id, score, margin, rk FROM r WHERE rk <= {int(k)}
 """
+
+
+def incremental_snapshot_loop_sql(
+    existing_frac: float = 0.9,
+    fp_reject_frac: float = 1.0,
+    min_quality: float = 0.8,
+    min_tokens: int = 16,
+    n: int = 8,
+    min_containment: float = 0.3,
+    train: float = 0.8,
+    valid: float = 0.1,
+    chunk_size: int = 64,
+    stride: int = 48,
+    budget: int = 256,
+) -> str:
+    """End-to-end twin of ``pipeline.incremental_snapshot_loop``: the
+    same stage SQL the individual gate entries use (incremental
+    screen, quality, within-incoming canonical election,
+    decontamination, splits, pack rollup, embedding existence),
+    chained as CTEs at loop scope — the ``curate_corpus`` pattern for
+    the whole snapshot loop."""
+    from .oracles_text import (
+        NORM,
+        chunk_documents_sql,
+        incremental_dedup_sql,
+        quality_filter_sql,
+        winnowing_flat_sql,
+    )
+    from .operators.sampling import PREFIX_HEX, splits_sql
+
+    thr = _threshold_hex(existing_frac)
+    draw = f"substr(md5(CAST(doc_id AS VARCHAR)), 1, {PREFIX_HEX})"
+    return f"""
+WITH inc AS MATERIALIZED ({incremental_dedup_sql(existing_frac)}),
+quality AS ({quality_filter_sql(min_quality, min_tokens)}),
+canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (
+    SELECT doc_id, md5({NORM}) AS content_hash
+    FROM documents WHERE {draw} >= '{thr}'
+  ) GROUP BY content_hash
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM ({decontaminate_sql(n, min_containment)})
+),
+splits AS ({splits_sql(train, valid)}),
+pk AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bins,
+         sum(n_chunks)::BIGINT AS n_chunks,
+         sum(n_bin_tokens)::BIGINT AS n_pack_tokens
+  FROM ({pack_chunks_sql(chunk_documents_sql(chunk_size, stride), budget)})
+  GROUP BY doc_id
+),
+nfps AS (
+  SELECT w.doc_id, count(DISTINCT w.fp)::BIGINT AS n_fps
+  FROM ({winnowing_flat_sql(8, 4)}) w
+  JOIN documents d ON d.doc_id = w.doc_id
+  WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, {PREFIX_HEX}) >= '{thr}'
+  GROUP BY w.doc_id
+),
+flags AS (
+  SELECT i.doc_id, i.is_exact_dup, i.n_shared_fps,
+         COALESCE(nf.n_fps, 0)::BIGINT AS n_fps,
+         CASE WHEN COALESCE(nf.n_fps, 0) > 0
+              THEN ROUND(i.n_shared_fps::DOUBLE / nf.n_fps::DOUBLE, 6) + 0.0
+              ELSE 0.0 END AS fp_containment,
+         (i.is_exact_dup OR (COALESCE(nf.n_fps, 0) > 0
+            AND (CASE WHEN COALESCE(nf.n_fps, 0) > 0
+                 THEN ROUND(i.n_shared_fps::DOUBLE / nf.n_fps::DOUBLE, 6) + 0.0
+                 ELSE 0.0 END) >= {fp_reject_frac})) AS screened_out,
+         (q.doc_id IS NOT NULL) AS quality_ok,
+         (NOT (i.is_exact_dup OR (COALESCE(nf.n_fps, 0) > 0
+            AND (CASE WHEN COALESCE(nf.n_fps, 0) > 0
+                 THEN ROUND(i.n_shared_fps::DOUBLE / nf.n_fps::DOUBLE, 6) + 0.0
+                 ELSE 0.0 END) >= {fp_reject_frac})))
+           AND q.doc_id IS NOT NULL
+           AND c.doc_id IS NOT NULL
+           AND x.doc_id IS NULL
+           AND d.source <> 'src0' AS admitted,
+         s.split
+  FROM inc i
+  JOIN documents d ON d.doc_id = i.doc_id
+  LEFT JOIN nfps nf ON nf.doc_id = i.doc_id
+  LEFT JOIN quality q ON q.doc_id = i.doc_id
+  LEFT JOIN canon c ON c.doc_id = i.doc_id
+  LEFT JOIN contaminated x ON x.doc_id = i.doc_id
+  LEFT JOIN splits s ON s.doc_id = i.doc_id
+)
+SELECT f.doc_id, f.is_exact_dup, f.n_shared_fps, f.n_fps,
+       f.fp_containment, f.screened_out,
+       f.quality_ok, f.admitted,
+       CASE WHEN f.admitted THEN f.split END AS split,
+       COALESCE(CASE WHEN f.admitted THEN p.n_bins END, 0)::BIGINT AS n_bins,
+       COALESCE(CASE WHEN f.admitted THEN p.n_chunks END, 0)::BIGINT AS n_chunks,
+       COALESCE(CASE WHEN f.admitted THEN p.n_pack_tokens END, 0)::BIGINT
+         AS n_pack_tokens,
+       (f.admitted AND e.vec_id IS NOT NULL) AS indexed
+FROM flags f
+LEFT JOIN pk p ON p.doc_id = f.doc_id
+LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e ON e.vec_id = f.doc_id
+"""

@@ -307,3 +307,252 @@ def stream_logreg_score(
     return spark.read.parquet(os.path.join(out, "batch=*")).select(
         "doc_id", "split", "y", "score", "y_pred"
     )
+
+
+def stream_snapshot_loop(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = 4,
+    existing_frac: float = 0.9,
+    fp_reject_frac: float = 1.0,
+    min_quality: float = 0.8,
+    min_tokens: int = 16,
+    n: int = 8,
+    min_containment: float = 0.3,
+    train: float = 0.8,
+    valid: float = 0.1,
+    chunk_size: int = 64,
+    stride: int = 48,
+    budget: int = 256,
+) -> DataFrame:
+    """The snapshot loop ON ARRIVAL — the streaming twin of
+    ``operators.pipeline.incremental_snapshot_loop``: the incoming
+    batch (md5-draw >= ``existing_frac``) drains shard-by-shard, each
+    trigger screens ITS docs against the static existing-corpus
+    hash/fingerprint tables, applies the curation verdict, packs
+    admitted docs, and appends manifest rows. Drained manifest ==
+    batch manifest row-for-row (pinned in tests/test_pipeline.py).
+
+    Why equality holds: the screen and quality/decontamination/split
+    columns are pure per-doc functions of (doc, static existing
+    state); the only CROSS-INCOMING state is the canonical election
+    (min doc_id per content hash over the whole incoming batch), and
+    shards are ascending doc_id ranges processed in drop order, so
+    "first batch to carry a hash, min doc_id within it" IS the global
+    minimum — the seen-hash table makes later carriers non-canonical
+    exactly as the batch groupBy-min does. A replayed trigger rewrites
+    its own manifest directory (idempotent) but would see its own
+    hashes in the seen table — the established conservative replay
+    trade-off of ``stream_curation_ingest``.
+
+    At 100 TB: per-trigger cost tracks the BATCH (its own hashing,
+    winnowing, chunking); the static probe tables ship only
+    hashes/fingerprints; the accumulated state is one 32-byte-hash
+    parquet table.
+    """
+    from ..functions import text as TXT2
+    from ..operators.curation import decontaminate_documents, pack_chunks
+    from ..operators.sampling import _draw, _threshold_hex
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"svs_snaploop_{run}")
+    landing = os.path.join(base, "landing")
+    out_dir = os.path.join(base, "manifest")
+    seen_dir = os.path.join(base, "seen_hashes")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    thr = _threshold_hex(existing_frac)
+    t1, t2 = _threshold_hex(train), _threshold_hex(train + valid)
+    docs = load_documents(spark, sf_dir).select("doc_id", "source", "text")
+    existing = docs.filter(_draw(F.col("doc_id")) < F.lit(thr))
+    incoming = docs.filter(_draw(F.col("doc_id")) >= F.lit(thr))
+    write_shard_landing(incoming, landing, n_shards)
+
+    # static probe tables, materialized ONCE (hash/fp columns only —
+    # the existing corpus never re-scans per trigger)
+    ex_h = (
+        existing.select(TXT2.content_fingerprint("text").alias("content_hash"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ex_f = (
+        existing.select(
+            TXT2.winnow_mins(
+                TXT2.char_kgram_hashes("text", 8), 4
+            ).alias("fps")
+        )
+        .select(F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    contaminated = (
+        decontaminate_documents(
+            spark, sf_dir, n=n, min_containment=min_containment
+        )
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from ..sources.store import load_embeddings
+
+    has_vec = (
+        load_embeddings(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    schema = incoming.schema
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        b = batch_df.withColumn(
+            "content_hash", TXT2.content_fingerprint("text")
+        ).withColumn(
+            "quality_ok",
+            F.coalesce(
+                (F.round(TXT2.quality_score("text"), 6) + F.lit(0.0) >= min_quality)
+                & (TXT2.token_count("text") >= min_tokens),
+                F.lit(False),
+            ),
+        ).withColumn(
+            "split",
+            F.when(_draw(F.col("doc_id")) < F.lit(t1), F.lit("train"))
+            .when(_draw(F.col("doc_id")) < F.lit(t2), F.lit("valid"))
+            .otherwise(F.lit("test")),
+        )
+        # screen vs the static existing tables
+        exact = b.join(
+            ex_h.withColumn("seen_ex", F.lit(True)), "content_hash", "left"
+        ).select(
+            "doc_id", "source", "content_hash", "quality_ok", "split",
+            F.coalesce("seen_ex", F.lit(False)).alias("is_exact_dup"),
+        )
+        fps_b = b.select(
+            "doc_id",
+            F.explode_outer(
+                TXT2.winnow_mins(TXT2.char_kgram_hashes("text", 8), 4)
+            ).alias("fp"),
+        ).filter(F.col("fp").isNotNull())
+        nfps = fps_b.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps")
+        )
+        shared = (
+            fps_b.join(ex_f, "fp", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        )
+        # canonical: batch min per hash, minus hashes seen in earlier
+        # triggers (ascending shard ranges => global min election)
+        elected = exact.groupBy("content_hash").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        try:
+            seen = ss.read.parquet(seen_dir)
+            elected = elected.join(seen, "content_hash", "left_anti")
+        except Exception:
+            pass
+        canon = elected.select("doc_id", F.lit(True).alias("canonical"))
+        flags = (
+            exact.join(shared, "doc_id", "left")
+            .join(nfps, "doc_id", "left")
+            .withColumn("n_fps", F.coalesce("n_fps", F.lit(0)).cast("bigint"))
+            .join(canon, "doc_id", "left")
+            .join(
+                contaminated.withColumn("contaminated", F.lit(True)),
+                "doc_id", "left",
+            )
+            .withColumn(
+                "n_shared_fps",
+                F.coalesce("n_shared_fps", F.lit(0)).cast("bigint"),
+            )
+            .withColumn(
+                "fp_containment",
+                F.when(
+                    F.col("n_fps") > 0,
+                    F.round(
+                        F.col("n_shared_fps").cast("double")
+                        / F.col("n_fps").cast("double"),
+                        6,
+                    )
+                    + F.lit(0.0),
+                ).otherwise(F.lit(0.0)),
+            )
+            .withColumn(
+                "screened_out",
+                F.col("is_exact_dup")
+                | (
+                    (F.col("n_fps") > 0)
+                    & (F.col("fp_containment") >= fp_reject_frac)
+                ),
+            )
+            .withColumn(
+                "admitted",
+                ~F.col("screened_out")
+                & F.col("quality_ok")
+                & F.coalesce("canonical", F.lit(False))
+                & ~F.coalesce("contaminated", F.lit(False))
+                & (F.col("source") != "src0"),
+            )
+        )
+        admitted_ids = flags.filter("admitted").select("doc_id")
+        packed = (
+            pack_chunks(
+                ss, sf_dir, chunk_size=chunk_size, stride=stride,
+                budget=budget, doc_filter=admitted_ids,
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bins"),
+                F.sum("n_chunks").alias("n_chunks"),
+                F.sum("n_bin_tokens").alias("n_pack_tokens"),
+            )
+        )
+        manifest = (
+            flags.join(packed, "doc_id", "left")
+            .join(has_vec.withColumn("has_vec", F.lit(True)), "doc_id", "left")
+            .select(
+                "doc_id",
+                "is_exact_dup",
+                "n_shared_fps",
+                "n_fps",
+                "fp_containment",
+                "screened_out",
+                "quality_ok",
+                "admitted",
+                F.when(F.col("admitted"), F.col("split")).alias("split"),
+                F.coalesce("n_bins", F.lit(0)).cast("bigint").alias("n_bins"),
+                F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+                F.coalesce("n_pack_tokens", F.lit(0)).cast("bigint")
+                .alias("n_pack_tokens"),
+                (F.col("admitted") & F.coalesce("has_vec", F.lit(False)))
+                .alias("indexed"),
+            )
+            .localCheckpoint(eager=True)  # two writes, one eval
+        )
+        manifest.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        b.select("content_hash").distinct().write.mode("append").parquet(
+            seen_dir
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "shard=*"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(os.path.join(out_dir, "batch=*")).select(
+        "doc_id", "is_exact_dup", "n_shared_fps", "n_fps",
+        "fp_containment", "screened_out", "quality_ok", "admitted",
+        "split", "n_bins", "n_chunks", "n_pack_tokens", "indexed",
+    )
