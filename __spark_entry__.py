@@ -1067,8 +1067,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _lex_index(s, d), k=10
     )
     # incremental-ingest dedup composition — rotated in-cap round 3 in
-    # place of token_budget (sibling of in-cap source_token_budget)
-    q["incremental_dedup"] = lambda s, d: dedup.incremental_dedup(s, d)
+    # place of token_budget (sibling of in-cap source_token_budget);
+    # round-9 session-2 rotation: replaced by the COMPOSED snapshot
+    # loop below, which CONTAINS the screen (strictly stronger same-
+    # family entry; incremental_dedup rides overflow with its oracle)
+    q["incremental_snapshot_loop"] = pipeline_mod.incremental_snapshot_loop
     # round-5 rotation: the quantified leakage audit (cross-fence
     # near-dup pair counts per split policy) in place of
     # document_splits (driver-green r1-r4; split family stays covered
@@ -1085,11 +1088,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r1-r4; fingerprint family covered by duplicate_spans in-cap)
     # round-6 rotation: interpolated Kneser-Ney bigram scoring
     # (continuation-count smoothing, hash-exact float parity) in
-    # place of perplexity_buckets (driver-green r5; the LM-scoring
-    # family stays in-cap via this entry, tiles ride overflow)
-    q["kneser_ney_logprob"] = lambda s, d: textual.kneser_ney_logprob(
-        s, d, docpair=textual.docpair_cached(s, d)
-    )
+    # place of perplexity_buckets (driver-green r5)
+    # round-9 session-2 rotation: the PRODUCTION-order 5-gram KN
+    # (Chen-Goodman continuation cascade off one corpus 5-gram pass)
+    # in place of its bigram special case (driver-green r6-r8; the
+    # bigram twin rides overflow with its own oracle)
+    q["kneser_ney5_logprob"] = lambda s, d: textual.kn5_scores_cached(s, d)
 
     # ---- dedup family (exact forms)
     # round-6 rotation: prefix-filtering similarity self-join
@@ -1131,7 +1135,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # displaces decontaminate (driver-green r2-r4; the contamination
     # family stays in-cap via semantic_decontaminate + wet_roundtrip's
     # bloom twin in overflow, bit-identical oracle)
-    q["neardup_edit_distance"] = lambda s, d: dedup.neardup_edit_distance(
+    # round-9 session-2 rotation: CHARACTER-grain exact-substring
+    # dedup (Lee et al. 2022 unit below token grain, raw text, no
+    # tokenizer) in place of neardup_edit_distance (driver-green
+    # r5-r8; the banded-candidate + exact-verify family stays in-cap
+    # via dedup_ngram_prefix and the edit-distance twin rides
+    # overflow with its own oracle)
+    q["duplicate_char_spans"] = lambda s, d: dedup.duplicate_char_spans(
         load_documents(s, d)
     )
     # the assembled end-to-end curation flow (quality + dedup election
@@ -1503,11 +1513,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["remove_duplicate_spans"] = lambda s, d: dedup.remove_duplicate_spans(
         load_documents(s, d)
     )
-    # round-9 gap item (VERDICT r8 #3): CHARACTER-grain
-    # exact-substring dedup — the Lee et al. 2022 suffix-array unit
-    # below token grain, raw text, no tokenizer; catches
-    # sub-token-boundary duplication the token form cannot see
-    q["duplicate_char_spans"] = lambda s, d: dedup.duplicate_char_spans(
+    # rotated out round 9 session 2 in favor of duplicate_char_spans
+    # (banded-candidate + exact-verify family stays in-cap via
+    # dedup_ngram_prefix):
+    q["neardup_edit_distance"] = lambda s, d: dedup.neardup_edit_distance(
         load_documents(s, d)
     )
     # sibling: duplicate_char_spans (the actionable char-grain form:
@@ -1992,15 +2001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_upsert pattern for dedup state); must equal the recompute
     # form, so it shares incremental_dedup's oracle SQL
     q["incremental_dedup_store"] = lambda s, d: dedup.incremental_dedup_store(s, d)
-    # round-9 gap item (VERDICT r8 #6): the COMPOSED snapshot loop —
-    # screen the incoming md5-draw batch against the existing corpus,
-    # curate survivors (quality + within-batch canonical election +
-    # decontamination + source exclusion), pack admitted docs into
-    # training bins, and emit ONE per-doc admission manifest; the
-    # DuckDB twin chains the same stage SQL as CTEs at loop scope
-    # (the curate_corpus pattern). The ivf_upsert side of the loop is
-    # pinned store==manifest in tests/test_pipeline.py.
-    q["incremental_snapshot_loop"] = pipeline_mod.incremental_snapshot_loop
+    # rotated out round 9 session 2 in favor of the composed
+    # incremental_snapshot_loop (which contains this screen):
+    q["incremental_dedup"] = lambda s, d: dedup.incremental_dedup(s, d)
     # sibling: incremental_snapshot_loop ON ARRIVAL — the incoming
     # batch drains shard-by-shard against static existing-corpus
     # hash/fp tables; drained manifest == batch manifest row-for-row
@@ -2121,14 +2124,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_stats"] = textual.text_stats
     q["chunk_documents"] = textual.chunk_documents
     q["perplexity_buckets"] = textual.perplexity_buckets
-    # round-9 gap item (VERDICT r8 #4): the PRODUCTION-order LM —
-    # interpolated 5-gram Kneser-Ney (Chen & Goodman cascade, every
-    # statistic one exact-integer aggregate off a single corpus
-    # 5-gram pass); the bigram form above is its order-2 special case
-    q["kneser_ney5_logprob"] = lambda s, d: textual.kn5_scores_cached(s, d)
+    # rotated out round 9 session 2 in favor of kneser_ney5_logprob
+    # (its order-2 special case; same machinery, own oracle):
+    q["kneser_ney_logprob"] = lambda s, d: textual.kneser_ney_logprob(
+        s, d, docpair=textual.docpair_cached(s, d)
+    )
     # sibling: perplexity_buckets re-pointed at the 5-gram KN score —
     # the CCNet configuration (tiles per source, head+middle keep)
     q["perplexity_buckets_kn5"] = textual.perplexity_buckets_kn5
+    # sibling: kneser_ney5_logprob IN-CAP — MODIFIED KN (the KenLM
+    # default): per-level D1/D2/D3+ discounts from count-of-counts,
+    # count-class selection, matching backoff mass; discounts are
+    # in-plan one-row aggregates (no driver collect)
+    q["kneser_ney5_modified"] = textual.kneser_ney5_modified_logprob
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(load_documents(s, d))
     q["cdc_merge"] = lambda s, d: curation.cdc_merge_snapshot(s, d)
     q["neardup_cosine"] = lambda s, d: dedup.neardup_cosine_pairs(
@@ -2427,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
     o["kneser_ney_logprob"] = oracles_text.kneser_ney_sql(0.75)
     o["perplexity_buckets"] = oracles_text.perplexity_buckets_sql(3)
     o["kneser_ney5_logprob"] = oracles_text.kneser_ney5_sql(0.75)
+    o["kneser_ney5_modified"] = oracles_text.kneser_ney5_modified_sql()
     o["perplexity_buckets_kn5"] = oracles_text.perplexity_buckets_kn5_sql(3)
     o["source_divergence"] = oracles_text.SOURCE_DIVERGENCE
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)

@@ -90,15 +90,22 @@ import __spark_entry__ as E
 # opq_rerank_full), wet_roundtrip<-decontaminate_bloom (decontam
 # stays via semantic_decontaminate + stream_decontaminate),
 # logreg_calibration<-tfidf_related_docs (sparse lexical stays via
-# tfidf_cosine_pairs + tfidf_cosine_prefix).
+# tfidf_cosine_pairs + tfidf_cosine_prefix). Round-9 session 2
+# (strictly-stronger same-family swaps; each retired entry keeps its
+# own oracle in overflow): incremental_snapshot_loop<-incremental_dedup
+# (the loop CONTAINS the screen), kneser_ney5_logprob<-
+# kneser_ney_logprob (production order vs its order-2 special case),
+# duplicate_char_spans<-neardup_edit_distance (char-grain
+# exact-substring vs banded edit-distance; banding family stays via
+# dedup_ngram_prefix).
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
     "script_profile", "quality_filter", "bm25_topk_indexed",
-    "incremental_dedup", "split_leakage_audit", "heavy_hitters_topk",
-    "kneser_ney_logprob", "dedup_ngram_prefix", "snapshot_diff",
+    "incremental_snapshot_loop", "split_leakage_audit", "heavy_hitters_topk",
+    "kneser_ney5_logprob", "dedup_ngram_prefix", "snapshot_diff",
     "semantic_decontaminate", "tfidf_cosine_pairs", "dsir_select",
-    "neardup_edit_distance",
+    "duplicate_char_spans",
     "curate_corpus", "tfidf_cosine_prefix", "repetition_signals",
     "opq_rerank_full", "stream_interval_join", "scd2_history",
     "leakage_safe_splits",

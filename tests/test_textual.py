@@ -523,6 +523,113 @@ def test_kneser_ney5_matches_bruteforce(spark, tmp_path):
     assert 0.9 < mass <= 1.0 + 1e-9
 
 
+def test_kneser_ney5_modified_matches_bruteforce(spark, tmp_path):
+    """Modified KN (per-level D1/D2/D3+ from count-of-counts,
+    count-class selection, matching backoff mass) equals an
+    independent Python implementation on a planted corpus."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pytest
+
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        kneser_ney5_modified_logprob,
+    )
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the hat",
+        3: "a dog ran over the mat",
+        4: "the cat sat on the mat again and again",
+        5: "completely different words here now",
+        6: "the cat sat on the mat",  # exact repeat: creates count-2 grams
+    }
+    spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"]
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    BOS, EOS = "<s>", "</s>"
+    grams = Counter()
+    doc_grams = {}
+    for did, txt in texts.items():
+        toks = [BOS] * 4 + txt.lower().split() + [EOS]
+        gs = [tuple(toks[i : i + 5]) for i in range(len(toks) - 4)]
+        doc_grams[did] = gs
+        grams.update(gs)
+
+    def level_down(tbl):
+        out = Counter()
+        for k in tbl:
+            out[k[1:]] += 1
+        return out
+
+    c5 = grams
+    kn4 = level_down(c5)
+    kn3 = level_down(kn4)
+    kn2 = level_down(kn3)
+    kn1 = level_down(kn2)
+    tot1 = sum(kn1.values())
+
+    def ctx_of(tbl):
+        tot, nd1, nd2, nd3 = (
+            defaultdict(int), defaultdict(int), defaultdict(int),
+            defaultdict(int),
+        )
+        for k, v in tbl.items():
+            tot[k[:-1]] += v
+            if v == 1:
+                nd1[k[:-1]] += 1
+            elif v == 2:
+                nd2[k[:-1]] += 1
+            else:
+                nd3[k[:-1]] += 1
+        return tot, nd1, nd2, nd3
+
+    def discounts(tbl):
+        cc = Counter(tbl.values())
+        n1, n2, n3, n4 = cc[1], cc[2], cc[3], cc[4]
+        y = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.0
+        d1 = max(1.0 - 2.0 * y * (n2 / n1), 0.0) if n1 > 0 and (n1 + 2 * n2) > 0 else 0.5
+        d2 = max(2.0 - 3.0 * y * (n3 / n2), 0.0) if n2 > 0 and n1 > 0 else 1.0
+        d3 = max(3.0 - 4.0 * y * (n4 / n3), 0.0) if n3 > 0 and n1 > 0 else 1.5
+        return d1, d2, d3
+
+    levels = {
+        5: (c5, *ctx_of(c5), *discounts(c5)),
+        4: (kn4, *ctx_of(kn4), *discounts(kn4)),
+        3: (kn3, *ctx_of(kn3), *discounts(kn3)),
+        2: (kn2, *ctx_of(kn2), *discounts(kn2)),
+    }
+
+    def p_of(g):
+        p = kn1[g[4:]] / tot1
+        for lvl, off in ((2, 3), (3, 2), (4, 1), (5, 0)):
+            tbl, tot, nd1, nd2, nd3, d1, d2, d3 = levels[lvl]
+            key, ctx = g[off:], g[off:-1]
+            c = tbl[key]
+            dsel = d1 if c == 1 else d2 if c == 2 else d3
+            gamma = (d1 * nd1[ctx] + d2 * nd2[ctx] + d3 * nd3[ctx]) / tot[ctx]
+            p = max(c - dsel, 0.0) / tot[ctx] + gamma * p
+        return p
+
+    expect = {}
+    for did, gs in doc_grams.items():
+        s = sum(round(math.log(p_of(g)), 9) for g in gs)
+        expect[did] = (len(gs), round(s / len(gs), 6))
+
+    got = {
+        r.doc_id: (r.n_grams, r.mean_mkn5_logprob)
+        for r in kneser_ney5_modified_logprob(spark, str(tmp_path)).collect()
+    }
+    assert got.keys() == expect.keys()
+    for did in expect:
+        assert got[did][0] == expect[did][0]
+        assert got[did][1] == pytest.approx(expect[did][1], abs=2e-6), did
+    # the repeated doc pair must carry identical scores, and the
+    # count-2 grams must make this model differ from the fixed-D one
+    assert got[1] == got[6]
+
+
 def test_kneser_ney5_corpus_coverage(spark):
     """Every document scores (padding guarantees full contexts), all
     means negative, n_grams == token count + 1."""

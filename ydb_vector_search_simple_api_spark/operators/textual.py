@@ -1216,6 +1216,184 @@ def kn5_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _KN5_CACHE[key]
 
 
+def kneser_ney5_modified_logprob(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MODIFIED Kneser-Ney at order 5 (Chen & Goodman 1999's
+    refinement; the KenLM default): instead of one fixed discount,
+    each level estimates THREE discounts D1/D2/D3+ from its own
+    count-of-counts (n1..n4) via the Good-Turing-style closed form
+
+        Y  = n1 / (n1 + 2·n2)
+        D1 = 1 − 2Y·n2/n1,  D2 = 2 − 3Y·n3/n2,  D3+ = 3 − 4Y·n4/n3
+
+    applied by the gram's (KN-)count class, with the matching backoff
+    mass γ(ctx) = (D1·N1(ctx·) + D2·N2(ctx·) + D3+·N3+(ctx·)) / c(ctx·).
+    The cascade and padding are exactly :func:`kneser_ney5_logprob`'s;
+    the unigram base stays the undiscounted continuation distribution
+    (documented variant — KenLM interpolates it with uniform, which
+    adds a vocabulary constant both engines would have to share; the
+    continuation base keeps the model pure-corpus).
+
+    Degenerate count-of-count fallbacks (tiny corpora can have
+    n1/n2/n3 = 0, where the closed form divides by zero): D1→0.5,
+    D2→1.0, D3+→1.5, each then clamped to ≥0 — deterministic and
+    mirrored verbatim in the oracle.
+
+    Everything stays the exact-integer / fixed-association-order /
+    ROUND(ln,9)-decimal-sum contract; the per-level discounts are four
+    scalars computed IN-PLAN (one-row aggregate, crossJoin broadcast —
+    nothing collects to the driver). Scale shape identical to the
+    fixed-discount form plus one 1-row aggregate and three type-count
+    columns per context table.
+
+    Output: (doc_id, n_grams, mean_mkn5_logprob).
+    """
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    t = TXT.tokens("text")
+    padded = F.concat(
+        F.array(*[F.lit(KN_BOS)] * 4), t, F.array(F.lit(KN_EOS))
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(padded) - 4),
+        lambda i: F.struct(
+            F.element_at(padded, i).alias("g1"),
+            F.element_at(padded, i + 1).alias("g2"),
+            F.element_at(padded, i + 2).alias("g3"),
+            F.element_at(padded, i + 3).alias("g4"),
+            F.element_at(padded, i + 4).alias("g5"),
+        ),
+    )
+    docg = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", "g.*")
+        .groupBy("doc_id", "g1", "g2", "g3", "g4", "g5")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    G = ["g1", "g2", "g3", "g4", "g5"]
+    c5 = docg.groupBy(*G).agg(F.sum("n").alias("c5"))
+    kn4 = c5.groupBy("g2", "g3", "g4", "g5").agg(
+        F.count(F.lit(1)).alias("c4")
+    )
+    kn3 = kn4.groupBy("g3", "g4", "g5").agg(F.count(F.lit(1)).alias("c3"))
+    kn2 = kn3.groupBy("g4", "g5").agg(F.count(F.lit(1)).alias("c2"))
+    kn1 = kn2.groupBy("g5").agg(F.count(F.lit(1)).alias("ckn1"))
+    tot = kn1.agg(F.sum("ckn1").alias("tot1"))
+
+    def ctx_of(tbl, keys, cname, lvl):
+        return tbl.groupBy(*keys).agg(
+            F.sum(cname).alias(f"ctx{lvl}"),
+            F.sum((F.col(cname) == 1).cast("long")).alias(f"nd1_{lvl}"),
+            F.sum((F.col(cname) == 2).cast("long")).alias(f"nd2_{lvl}"),
+            F.sum((F.col(cname) >= 3).cast("long")).alias(f"nd3_{lvl}"),
+        )
+
+    ctx5 = ctx_of(c5, ["g1", "g2", "g3", "g4"], "c5", 5)
+    ctx4 = ctx_of(kn4, ["g2", "g3", "g4"], "c4", 4)
+    ctx3 = ctx_of(kn3, ["g3", "g4"], "c3", 3)
+    ctx2 = ctx_of(kn2, ["g4"], "c2", 2)
+
+    def discounts(tbl, cname, lvl):
+        cc = tbl.agg(
+            F.sum((F.col(cname) == 1).cast("long")).alias("n1"),
+            F.sum((F.col(cname) == 2).cast("long")).alias("n2"),
+            F.sum((F.col(cname) == 3).cast("long")).alias("n3"),
+            F.sum((F.col(cname) == 4).cast("long")).alias("n4"),
+        )
+        n1 = F.col("n1").cast("double")
+        n2 = F.col("n2").cast("double")
+        n3 = F.col("n3").cast("double")
+        n4 = F.col("n4").cast("double")
+        y = n1 / (n1 + F.lit(2.0) * n2)
+        d1 = F.when(
+            (F.col("n1") > 0) & ((F.col("n1") + 2 * F.col("n2")) > 0),
+            F.greatest(F.lit(1.0) - F.lit(2.0) * y * (n2 / n1), F.lit(0.0)),
+        ).otherwise(F.lit(0.5))
+        d2 = F.when(
+            (F.col("n2") > 0) & (F.col("n1") > 0),
+            F.greatest(F.lit(2.0) - F.lit(3.0) * y * (n3 / n2), F.lit(0.0)),
+        ).otherwise(F.lit(1.0))
+        d3 = F.when(
+            (F.col("n3") > 0) & (F.col("n1") > 0),
+            F.greatest(F.lit(3.0) - F.lit(4.0) * y * (n4 / n3), F.lit(0.0)),
+        ).otherwise(F.lit(1.5))
+        return cc.select(
+            d1.alias(f"d1_{lvl}"), d2.alias(f"d2_{lvl}"), d3.alias(f"d3_{lvl}")
+        )
+
+    disc5 = discounts(c5, "c5", 5)
+    disc4 = discounts(kn4, "c4", 4)
+    disc3 = discounts(kn3, "c3", 3)
+    disc2 = discounts(kn2, "c2", 2)
+
+    def dsel(cname, lvl):
+        return (
+            F.when(F.col(cname) == 1, F.col(f"d1_{lvl}"))
+            .when(F.col(cname) == 2, F.col(f"d2_{lvl}"))
+            .otherwise(F.col(f"d3_{lvl}"))
+        )
+
+    def gamma(lvl):
+        return (
+            F.col(f"d1_{lvl}") * F.col(f"nd1_{lvl}")
+            + F.col(f"d2_{lvl}") * F.col(f"nd2_{lvl}")
+            + F.col(f"d3_{lvl}") * F.col(f"nd3_{lvl}")
+        ) / F.col(f"ctx{lvl}").cast("double")
+
+    p1 = F.col("ckn1").cast("double") / F.col("tot1").cast("double")
+    p2 = (
+        F.greatest(F.col("c2").cast("double") - dsel("c2", 2), F.lit(0.0))
+        / F.col("ctx2").cast("double")
+        + gamma(2) * p1
+    )
+    p3 = (
+        F.greatest(F.col("c3").cast("double") - dsel("c3", 3), F.lit(0.0))
+        / F.col("ctx3").cast("double")
+        + gamma(3) * p2
+    )
+    p4 = (
+        F.greatest(F.col("c4").cast("double") - dsel("c4", 4), F.lit(0.0))
+        / F.col("ctx4").cast("double")
+        + gamma(4) * p3
+    )
+    p5 = (
+        F.greatest(F.col("c5").cast("double") - dsel("c5", 5), F.lit(0.0))
+        / F.col("ctx5").cast("double")
+        + gamma(5) * p4
+    )
+    logp = F.round(F.log(p5), 9).cast("decimal(20,9)")
+    return (
+        docg.join(c5, G)
+        .join(ctx5, ["g1", "g2", "g3", "g4"])
+        .join(kn4, ["g2", "g3", "g4", "g5"])
+        .join(ctx4, ["g2", "g3", "g4"])
+        .join(kn3, ["g3", "g4", "g5"])
+        .join(ctx3, ["g3", "g4"])
+        .join(kn2, ["g4", "g5"])
+        .join(ctx2, ["g4"])
+        .join(kn1, ["g5"])
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(disc5))
+        .crossJoin(F.broadcast(disc4))
+        .crossJoin(F.broadcast(disc3))
+        .crossJoin(F.broadcast(disc2))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.sum(F.col("n").cast("decimal(12,0)") * logp).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (
+                F.round(F.col("s").cast("double") / F.col("n_grams"), 6)
+                + F.lit(0.0)
+            ).alias("mean_mkn5_logprob"),
+        )
+    )
+
+
 def perplexity_buckets_kn5(
     spark: SparkSession, sf_dir: str, n_buckets: int = 3
 ) -> DataFrame:

@@ -1946,6 +1946,221 @@ kn5_per_doc AS MATERIALIZED (
 )"""
 
 
+def kneser_ney5_modified_sql() -> str:
+    """Twin of ``textual.kneser_ney5_modified_logprob`` — modified KN
+    (Chen & Goodman 1999): per-level D1/D2/D3+ from count-of-counts,
+    count-class discount selection, matching backoff mass; identical
+    degenerate fallbacks (D1→0.5, D2→1.0, D3+→1.5) and double
+    association order. All CTEs MATERIALIZED (the cascade lesson)."""
+    return """
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         ['<s>','<s>','<s>','<s>'] || """ + TOKS + """ || ['</s>'] AS p
+  FROM documents
+),
+g AS MATERIALIZED (
+  SELECT doc_id,
+         p[i::INT] AS g1, p[(i+1)::INT] AS g2, p[(i+2)::INT] AS g3,
+         p[(i+3)::INT] AS g4, p[(i+4)::INT] AS g5
+  FROM t, LATERAL unnest(range(1, len(p) - 3)) AS r(i)
+),
+docg AS MATERIALIZED (
+  SELECT doc_id, g1, g2, g3, g4, g5, count(*)::BIGINT AS n
+  FROM g GROUP BY 1, 2, 3, 4, 5, 6
+),
+c5 AS MATERIALIZED (
+  SELECT g1, g2, g3, g4, g5, sum(n)::BIGINT AS c5
+  FROM docg GROUP BY 1, 2, 3, 4, 5
+),
+kn4 AS MATERIALIZED (
+  SELECT g2, g3, g4, g5, count(*)::BIGINT AS c4 FROM c5 GROUP BY 1, 2, 3, 4
+),
+kn3 AS MATERIALIZED (
+  SELECT g3, g4, g5, count(*)::BIGINT AS c3 FROM kn4 GROUP BY 1, 2, 3
+),
+kn2 AS MATERIALIZED (
+  SELECT g4, g5, count(*)::BIGINT AS c2 FROM kn3 GROUP BY 1, 2
+),
+kn1 AS MATERIALIZED (
+  SELECT g5, count(*)::BIGINT AS ckn1 FROM kn2 GROUP BY 1
+),
+tot AS MATERIALIZED (SELECT sum(ckn1)::BIGINT AS tot1 FROM kn1),
+ctx5 AS MATERIALIZED (
+  SELECT g1, g2, g3, g4, sum(c5)::BIGINT AS ctx5,
+         sum(CASE WHEN c5 = 1 THEN 1 ELSE 0 END)::BIGINT AS nd1_5,
+         sum(CASE WHEN c5 = 2 THEN 1 ELSE 0 END)::BIGINT AS nd2_5,
+         sum(CASE WHEN c5 >= 3 THEN 1 ELSE 0 END)::BIGINT AS nd3_5
+  FROM c5 GROUP BY 1, 2, 3, 4
+),
+ctx4 AS MATERIALIZED (
+  SELECT g2, g3, g4, sum(c4)::BIGINT AS ctx4,
+         sum(CASE WHEN c4 = 1 THEN 1 ELSE 0 END)::BIGINT AS nd1_4,
+         sum(CASE WHEN c4 = 2 THEN 1 ELSE 0 END)::BIGINT AS nd2_4,
+         sum(CASE WHEN c4 >= 3 THEN 1 ELSE 0 END)::BIGINT AS nd3_4
+  FROM kn4 GROUP BY 1, 2, 3
+),
+ctx3 AS MATERIALIZED (
+  SELECT g3, g4, sum(c3)::BIGINT AS ctx3,
+         sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)::BIGINT AS nd1_3,
+         sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)::BIGINT AS nd2_3,
+         sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END)::BIGINT AS nd3_3
+  FROM kn3 GROUP BY 1, 2
+),
+ctx2 AS MATERIALIZED (
+  SELECT g4, sum(c2)::BIGINT AS ctx2,
+         sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END)::BIGINT AS nd1_2,
+         sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END)::BIGINT AS nd2_2,
+         sum(CASE WHEN c2 >= 3 THEN 1 ELSE 0 END)::BIGINT AS nd3_2
+  FROM kn2 GROUP BY 1
+),
+disc5 AS MATERIALIZED (
+  SELECT
+    CASE WHEN n1 > 0 AND (n1 + 2 * n2) > 0
+         THEN greatest(1.0 - 2.0 * y * (n2::DOUBLE / n1::DOUBLE), 0.0)
+         ELSE 0.5 END AS d1_5,
+    CASE WHEN n2 > 0 AND n1 > 0
+         THEN greatest(2.0 - 3.0 * y * (n3::DOUBLE / n2::DOUBLE), 0.0)
+         ELSE 1.0 END AS d2_5,
+    CASE WHEN n3 > 0 AND n1 > 0
+         THEN greatest(3.0 - 4.0 * y * (n4::DOUBLE / n3::DOUBLE), 0.0)
+         ELSE 1.5 END AS d3_5
+  FROM (
+    SELECT n1, n2, n3, n4,
+           n1::DOUBLE / (n1::DOUBLE + 2.0 * n2::DOUBLE) AS y
+    FROM (
+      SELECT sum(CASE WHEN c5 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN c5 = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+             sum(CASE WHEN c5 = 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+             sum(CASE WHEN c5 = 4 THEN 1 ELSE 0 END)::BIGINT AS n4
+      FROM c5
+    )
+  )
+),
+disc4 AS MATERIALIZED (
+  SELECT
+    CASE WHEN n1 > 0 AND (n1 + 2 * n2) > 0
+         THEN greatest(1.0 - 2.0 * y * (n2::DOUBLE / n1::DOUBLE), 0.0)
+         ELSE 0.5 END AS d1_4,
+    CASE WHEN n2 > 0 AND n1 > 0
+         THEN greatest(2.0 - 3.0 * y * (n3::DOUBLE / n2::DOUBLE), 0.0)
+         ELSE 1.0 END AS d2_4,
+    CASE WHEN n3 > 0 AND n1 > 0
+         THEN greatest(3.0 - 4.0 * y * (n4::DOUBLE / n3::DOUBLE), 0.0)
+         ELSE 1.5 END AS d3_4
+  FROM (
+    SELECT n1, n2, n3, n4,
+           n1::DOUBLE / (n1::DOUBLE + 2.0 * n2::DOUBLE) AS y
+    FROM (
+      SELECT sum(CASE WHEN c4 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN c4 = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+             sum(CASE WHEN c4 = 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+             sum(CASE WHEN c4 = 4 THEN 1 ELSE 0 END)::BIGINT AS n4
+      FROM kn4
+    )
+  )
+),
+disc3 AS MATERIALIZED (
+  SELECT
+    CASE WHEN n1 > 0 AND (n1 + 2 * n2) > 0
+         THEN greatest(1.0 - 2.0 * y * (n2::DOUBLE / n1::DOUBLE), 0.0)
+         ELSE 0.5 END AS d1_3,
+    CASE WHEN n2 > 0 AND n1 > 0
+         THEN greatest(2.0 - 3.0 * y * (n3::DOUBLE / n2::DOUBLE), 0.0)
+         ELSE 1.0 END AS d2_3,
+    CASE WHEN n3 > 0 AND n1 > 0
+         THEN greatest(3.0 - 4.0 * y * (n4::DOUBLE / n3::DOUBLE), 0.0)
+         ELSE 1.5 END AS d3_3
+  FROM (
+    SELECT n1, n2, n3, n4,
+           n1::DOUBLE / (n1::DOUBLE + 2.0 * n2::DOUBLE) AS y
+    FROM (
+      SELECT sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+             sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+             sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END)::BIGINT AS n4
+      FROM kn3
+    )
+  )
+),
+disc2 AS MATERIALIZED (
+  SELECT
+    CASE WHEN n1 > 0 AND (n1 + 2 * n2) > 0
+         THEN greatest(1.0 - 2.0 * y * (n2::DOUBLE / n1::DOUBLE), 0.0)
+         ELSE 0.5 END AS d1_2,
+    CASE WHEN n2 > 0 AND n1 > 0
+         THEN greatest(2.0 - 3.0 * y * (n3::DOUBLE / n2::DOUBLE), 0.0)
+         ELSE 1.0 END AS d2_2,
+    CASE WHEN n3 > 0 AND n1 > 0
+         THEN greatest(3.0 - 4.0 * y * (n4::DOUBLE / n3::DOUBLE), 0.0)
+         ELSE 1.5 END AS d3_2
+  FROM (
+    SELECT n1, n2, n3, n4,
+           n1::DOUBLE / (n1::DOUBLE + 2.0 * n2::DOUBLE) AS y
+    FROM (
+      SELECT sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+             sum(CASE WHEN c2 = 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+             sum(CASE WHEN c2 = 4 THEN 1 ELSE 0 END)::BIGINT AS n4
+      FROM kn2
+    )
+  )
+),
+scored AS MATERIALIZED (
+  SELECT docg.doc_id, docg.n,
+         ROUND(ln(
+           greatest(c5.c5::DOUBLE - (CASE WHEN c5.c5 = 1 THEN d1_5
+                                          WHEN c5.c5 = 2 THEN d2_5
+                                          ELSE d3_5 END), 0.0)
+             / ctx5.ctx5::DOUBLE
+           + ((d1_5 * nd1_5 + d2_5 * nd2_5 + d3_5 * nd3_5)
+              / ctx5.ctx5::DOUBLE) * (
+             greatest(kn4.c4::DOUBLE - (CASE WHEN kn4.c4 = 1 THEN d1_4
+                                             WHEN kn4.c4 = 2 THEN d2_4
+                                             ELSE d3_4 END), 0.0)
+               / ctx4.ctx4::DOUBLE
+             + ((d1_4 * nd1_4 + d2_4 * nd2_4 + d3_4 * nd3_4)
+                / ctx4.ctx4::DOUBLE) * (
+               greatest(kn3.c3::DOUBLE - (CASE WHEN kn3.c3 = 1 THEN d1_3
+                                               WHEN kn3.c3 = 2 THEN d2_3
+                                               ELSE d3_3 END), 0.0)
+                 / ctx3.ctx3::DOUBLE
+               + ((d1_3 * nd1_3 + d2_3 * nd2_3 + d3_3 * nd3_3)
+                  / ctx3.ctx3::DOUBLE) * (
+                 greatest(kn2.c2::DOUBLE - (CASE WHEN kn2.c2 = 1 THEN d1_2
+                                                 WHEN kn2.c2 = 2 THEN d2_2
+                                                 ELSE d3_2 END), 0.0)
+                   / ctx2.ctx2::DOUBLE
+                 + ((d1_2 * nd1_2 + d2_2 * nd2_2 + d3_2 * nd3_2)
+                    / ctx2.ctx2::DOUBLE)
+                   * (kn1.ckn1::DOUBLE / tot.tot1::DOUBLE)
+               )
+             )
+           )
+         ), 9) AS lp
+  FROM docg
+  JOIN c5 USING (g1, g2, g3, g4, g5)
+  JOIN ctx5 USING (g1, g2, g3, g4)
+  JOIN kn4 USING (g2, g3, g4, g5)
+  JOIN ctx4 USING (g2, g3, g4)
+  JOIN kn3 USING (g3, g4, g5)
+  JOIN ctx3 USING (g3, g4)
+  JOIN kn2 USING (g4, g5)
+  JOIN ctx2 USING (g4)
+  JOIN kn1 USING (g5)
+  CROSS JOIN tot
+  CROSS JOIN disc5 CROSS JOIN disc4 CROSS JOIN disc3 CROSS JOIN disc2
+)
+SELECT doc_id,
+       sum(n)::BIGINT AS n_grams,
+       ROUND(
+         CAST(sum(CAST(n AS DECIMAL(12,0)) * CAST(lp AS DECIMAL(20,9))) AS DOUBLE)
+         / sum(n), 6
+       ) + 0.0 AS mean_mkn5_logprob
+FROM scored
+GROUP BY doc_id
+"""
+
+
 def kneser_ney5_sql(discount: float = 0.75) -> str:
     """Twin of ``textual.kneser_ney5_logprob``."""
     return f"""
