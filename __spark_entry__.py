@@ -2137,6 +2137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # count-class selection, matching backoff mass; discounts are
     # in-plan one-row aggregates (no driver collect)
     q["kneser_ney5_modified"] = textual.kneser_ney5_modified_logprob
+    # named production filters (round 9): the Gopher rule panel
+    # (Rae et al. 2021 A1) beside the generic quality_filter, and the
+    # C4 line rules (Raffel et al. 2020) over the deterministic line
+    # augmentation with a cleaned-stream md5
+    q["gopher_quality"] = textual.gopher_quality_report
+    q["c4_line_filter"] = textual.c4_line_filter
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(load_documents(s, d))
     q["cdc_merge"] = lambda s, d: curation.cdc_merge_snapshot(s, d)
     q["neardup_cosine"] = lambda s, d: dedup.neardup_cosine_pairs(
@@ -2436,6 +2442,8 @@ def oracle_sql() -> dict[str, str]:
     o["perplexity_buckets"] = oracles_text.perplexity_buckets_sql(3)
     o["kneser_ney5_logprob"] = oracles_text.kneser_ney5_sql(0.75)
     o["kneser_ney5_modified"] = oracles_text.kneser_ney5_modified_sql()
+    o["gopher_quality"] = oracles_text.gopher_quality_sql()
+    o["c4_line_filter"] = oracles_text.c4_line_filter_sql()
     o["perplexity_buckets_kn5"] = oracles_text.perplexity_buckets_kn5_sql(3)
     o["source_divergence"] = oracles_text.SOURCE_DIVERGENCE
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)

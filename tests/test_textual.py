@@ -757,3 +757,76 @@ def test_label_model_reweights_by_accuracy(spark, tmp_path):
     assert out[probe].n_votes == 2
     # dominant pattern keeps its label
     assert out[0].label == "db"
+
+
+def test_gopher_quality_rules(spark, tmp_path):
+    """Each Gopher rule flips the keep flag on a planted doc."""
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + ["word"] * 60
+    )  # 65 words, mwl in range, all alpha, 5 req stopwords
+    docs = {
+        1: good,
+        2: "the be " + " ".join(["word"] * 10),  # too few words
+        3: " ".join(["the", "be"] + ["#"] * 63),  # symbol ratio + alpha
+        4: " ".join(["supercalifragilistic"] * 60),  # mwl > 10, 0 stopwords
+    }
+    spark.createDataFrame(list(docs.items()), ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        gopher_quality_report,
+    )
+
+    r = {x.doc_id: x for x in gopher_quality_report(spark, str(tmp_path)).collect()}
+    assert r[1].gopher_keep
+    assert r[1].n_req_stopwords == 5
+    assert not r[2].gopher_keep and r[2].n_words == 12
+    assert not r[3].gopher_keep and r[3].symbol_ratio > 0.1
+    assert not r[4].gopher_keep and r[4].mean_word_len > 10
+
+
+def test_c4_line_filter_rules(spark):
+    """The C4 rules over the deterministic augmentation: lorem pages
+    rejected, policy lines never in the kept stream, unpunctuated or
+    short lines dropped, kept_md5 reconstructs exactly."""
+    import hashlib
+
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        attach_lines,
+        c4_line_filter,
+    )
+    from ydb_vector_search_simple_api_spark.sources.store import (
+        load_documents,
+    )
+
+    out = {r.doc_id: r for r in c4_line_filter(spark, SF_SMALL).collect()}
+    aug = {
+        r.doc_id: r.ltext
+        for r in attach_lines(load_documents(spark, SF_SMALL))
+        .select("doc_id", "ltext")
+        .collect()
+    }
+    assert set(out) == set(aug)
+    n_keep = 0
+    for did, r in out.items():
+        lines = aug[did].split("\n")
+        assert r.n_lines == len(lines)
+        kept = [
+            l
+            for l in lines
+            if len(l.split(" ")) >= 5
+            and l[-1:] in ('.', '!', '?', '"')
+            and "privacy policy" not in l
+            and "terms of use" not in l
+            and "cookie policy" not in l
+        ]
+        assert r.n_kept == len(kept)
+        assert r.kept_md5 == hashlib.md5("\n".join(kept).encode()).hexdigest()
+        assert r.has_lorem_ipsum == (did % 17 == 0)
+        assert r.has_brace == (did % 23 == 0)
+        assert r.n_policy_lines == (1 if did % 13 == 0 else 0)
+        assert r.c4_keep == (
+            not r.has_lorem_ipsum and not r.has_brace and r.n_kept >= 3
+        )
+        n_keep += int(r.c4_keep)
+    assert 0 < n_keep < len(out)  # rules have real variance here

@@ -1875,3 +1875,167 @@ def label_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
         )
     )
+
+
+# --------------------------------------------- named production filters
+
+
+def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, table A1) as a
+    per-doc report — the NAMED production filter beside the generic
+    :func:`quality_filter`:
+
+    - 50 ≤ word count ≤ 100,000
+    - 3 ≤ mean word length ≤ 10
+    - symbol-word ratio (``#`` or ``...`` tokens) ≤ 0.1
+    - ≥ 80% of words contain at least one alphabetic character
+    - at least 2 distinct of the 8 required stopwords
+      {the, be, to, of, and, that, have, with}
+
+    (The paper's bullet/ellipsis LINE rules are omitted: this corpus
+    has no line structure — the C4 twin :func:`c4_line_filter` covers
+    line-grain rules over the deterministic line augmentation.)
+
+    Pure per-doc codegen — one projection, no shuffle, no UDF; ratios
+    ROUND(6)+0.0 for the cross-engine contract. Honest corpus note:
+    the synthetic token pool contains only 'the'/'a' from the required
+    list, so req_stopwords_ok is constant-false here — the oracle
+    checks the COMPUTATION; the variance lives in the count/length
+    columns.
+
+    Output: (doc_id, n_words, mean_word_len, symbol_ratio,
+    frac_alpha_words, n_req_stopwords, gopher_keep).
+    """
+    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    t = TXT.tokens("text")
+    n = F.size(t)
+    total_len = F.aggregate(
+        t, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mwl = F.round(
+        total_len.cast("double") / n.cast("double"), 6
+    ) + F.lit(0.0)
+    n_sym = F.size(
+        F.filter(t, lambda w: (w == "#") | (w == "..."))
+    )
+    sym_ratio = F.round(
+        n_sym.cast("double") / n.cast("double"), 6
+    ) + F.lit(0.0)
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
+    frac_alpha = F.round(
+        n_alpha.cast("double") / n.cast("double"), 6
+    ) + F.lit(0.0)
+    req = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+    def _has(word):
+        return F.exists(t, lambda w: w == F.lit(word)).cast("int")
+
+    n_req = sum(_has(word) for word in req)
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        frac_alpha.alias("frac_alpha_words"),
+        n_req.cast("bigint").alias("n_req_stopwords"),
+        (
+            (n >= 50) & (n <= 100000)
+            & (mwl >= 3.0) & (mwl <= 10.0)
+            & (sym_ratio <= 0.1)
+            & (frac_alpha >= 0.8)
+            & (n_req >= 2)
+        ).alias("gopher_keep"),
+    )
+
+
+def attach_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic line augmentation for the C4 rules (the
+    ``attach_paragraphs`` pattern — the synthetic corpus is a flat
+    word stream, so line-grain filters need constructed lines; both
+    engines build the IDENTICAL string):
+
+    - tokens grouped 8 per line;
+    - terminal punctuation by ``(doc_id + line_idx) % 3``: 0 → '.',
+      1 → '!', 2 → none (the C4-droppable case);
+    - ``doc_id % 17 == 0`` appends a 'lorem ipsum …' line;
+    - ``doc_id % 23 == 0`` appends a code line containing '{';
+    - ``doc_id % 13 == 0`` appends a 'privacy policy' line.
+    """
+    t = TXT.tokens(text_col)
+    n_lines = F.ceil(F.size(t) / F.lit(8)).cast("int")
+    base = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(t, (i - F.lit(1)) * 8 + 1, 8)),
+            F.when((F.col("doc_id") + i) % 3 == 0, F.lit("."))
+            .when((F.col("doc_id") + i) % 3 == 1, F.lit("!"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    extras = F.array_compact(
+        F.array(
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.lit("lorem ipsum dolor sit amet consectetur adipiscing elit."),
+            ),
+            F.when(
+                F.col("doc_id") % 23 == 0,
+                F.lit("function f() { return 0; }"),
+            ),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit("all rights reserved read our privacy policy here."),
+            ),
+        )
+    )
+    return df.withColumn(
+        "ltext", F.concat_ws("\n", F.concat(base, extras))
+    )
+
+
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) over the
+    deterministic line augmentation: keep only lines with ≥ 5 words
+    that end in terminal punctuation ('.', '!', '?', '"') and contain
+    no policy phrase; flag pages containing 'lorem ipsum' or '{'
+    (C4 drops those pages outright) and require ≥ 3 surviving lines.
+
+    Line ops are one per-doc array pipeline in codegen (split →
+    filter lambdas → concat) — no explode, no shuffle; the surviving
+    text is digested (``kept_md5``) so the oracle verifies the
+    RECONSTRUCTION byte-for-byte, the cleaned-stream pattern.
+
+    Output: (doc_id, n_lines, n_kept, has_lorem_ipsum, has_brace,
+    n_policy_lines, c4_keep, kept_md5).
+    """
+    d = attach_lines(load_documents(spark, sf_dir)).select(
+        "doc_id", "ltext"
+    )
+    lines = F.split(F.col("ltext"), "\n")
+    is_policy = lambda l: (
+        l.contains("privacy policy")
+        | l.contains("terms of use")
+        | l.contains("cookie policy")
+    )
+    ends_term = lambda l: l.rlike('[.!?"]$')
+    n_words = lambda l: F.size(F.split(l, " "))
+    kept = F.filter(
+        lines,
+        lambda l: (n_words(l) >= 5) & ends_term(l) & ~is_policy(l),
+    )
+    has_lorem = F.col("ltext").contains("lorem ipsum")
+    has_brace = F.col("ltext").contains("{")
+    n_policy = F.size(F.filter(lines, is_policy))
+    n_kept = F.size(kept)
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        n_kept.cast("bigint").alias("n_kept"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        n_policy.cast("bigint").alias("n_policy_lines"),
+        (
+            ~has_lorem & ~has_brace & (n_kept >= 3)
+        ).alias("c4_keep"),
+        F.md5(F.concat_ws("\n", kept)).alias("kept_md5"),
+    )

@@ -2516,3 +2516,98 @@ SELECT r.node AS doc_id, ROUND(r.rank, 6) + 0.0 AS rank,
 FROM r{iters} r JOIN deg d ON d.src = r.node
 """
     )
+
+
+def gopher_quality_sql() -> str:
+    """Twin of ``textual.gopher_quality_report`` (Rae et al. 2021
+    rules, ROUND(6) ratios, identical keep conjunction)."""
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         ROUND(list_sum(list_transform(toks, w -> len(w)))::DOUBLE
+               / len(toks)::DOUBLE, 6) + 0.0 AS mean_word_len,
+         ROUND(len(list_filter(toks, w -> w = '#' OR w = '...'))::DOUBLE
+               / len(toks)::DOUBLE, 6) + 0.0 AS symbol_ratio,
+         ROUND(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+               / len(toks)::DOUBLE, 6) + 0.0 AS frac_alpha_words,
+         (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END
+         )::BIGINT AS n_req_stopwords
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_alpha_words,
+       n_req_stopwords,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1
+        AND frac_alpha_words >= 0.8
+        AND n_req_stopwords >= 2) AS gopher_keep
+FROM m
+"""
+
+
+def c4_line_filter_sql() -> str:
+    """Twin of ``textual.c4_line_filter`` — rebuilds the IDENTICAL
+    line augmentation (8-token lines, (doc_id+i)%3 punctuation,
+    deterministic lorem/brace/policy injections), applies the same
+    line rules, digests the same surviving stream."""
+    nl = "chr(10)"
+    return f"""
+WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+built AS (
+  SELECT doc_id,
+         array_to_string(
+           list_concat(
+             list_transform(
+               range(1, CAST(ceil(len(toks) / 8.0) AS BIGINT) + 1),
+               i -> array_to_string(
+                      toks[((i-1)*8+1)::INT : ((i-1)*8+8)::INT], ' ')
+                    || CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+                            WHEN (doc_id + i) % 3 = 1 THEN '!'
+                            ELSE '' END
+             ),
+             list_filter([
+               CASE WHEN doc_id % 17 = 0
+                 THEN 'lorem ipsum dolor sit amet consectetur adipiscing elit.' END,
+               CASE WHEN doc_id % 23 = 0
+                 THEN 'function f() {{ return 0; }}' END,
+               CASE WHEN doc_id % 13 = 0
+                 THEN 'all rights reserved read our privacy policy here.' END
+             ], x -> x IS NOT NULL)
+           ), {nl}) AS ltext
+  FROM d
+),
+r AS (
+  SELECT doc_id, ltext,
+         string_split(ltext, {nl}) AS lines,
+         list_filter(string_split(ltext, {nl}),
+           l -> len(string_split(l, ' ')) >= 5
+                AND regexp_matches(l, '[.!?"]$')
+                AND NOT (contains(l, 'privacy policy')
+                         OR contains(l, 'terms of use')
+                         OR contains(l, 'cookie policy'))) AS kept
+  FROM built
+)
+SELECT doc_id,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept,
+       contains(ltext, 'lorem ipsum') AS has_lorem_ipsum,
+       contains(ltext, '{{') AS has_brace,
+       len(list_filter(lines,
+         l -> contains(l, 'privacy policy')
+              OR contains(l, 'terms of use')
+              OR contains(l, 'cookie policy')))::BIGINT AS n_policy_lines,
+       (NOT contains(ltext, 'lorem ipsum')
+        AND NOT contains(ltext, '{{')
+        AND len(kept) >= 3) AS c4_keep,
+       md5(COALESCE(array_to_string(kept, {nl}), '')) AS kept_md5
+FROM r
+"""
