@@ -1239,6 +1239,7 @@ def incremental_dedup(
     existing_frac: float = 0.9,
     k: int = 8,
     window: int = 4,
+    include_n_fps: bool = False,
 ) -> "DataFrame":
     """Incremental-ingest dedup: screen an INCOMING batch of documents
     against an EXISTING corpus without comparing incoming docs to each
@@ -1316,14 +1317,26 @@ def incremental_dedup(
         # count == count_distinct without the extra dedup pass
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
     )
-    return (
-        exact.join(shared, "doc_id", "left")
-        .select(
-            "doc_id",
-            "is_exact_dup",
-            F.coalesce(F.col("n_shared_fps"), F.lit(0)).cast("bigint").alias("n_shared_fps"),
-        )
+    out = exact.join(shared, "doc_id", "left").select(
+        "doc_id",
+        "is_exact_dup",
+        F.coalesce(F.col("n_shared_fps"), F.lit(0)).cast("bigint").alias("n_shared_fps"),
     )
+    if include_n_fps:
+        # the doc's own fingerprint count, read from the PINNED fps
+        # table (size of the already-distinct winnow array) — callers
+        # computing containment must NOT re-derive the winnowing
+        # expression: without the let-binding barrier the hash array
+        # re-inlines into every window minimum (~window-count×
+        # blowup; measured 72 s vs 1 s at sf0.1 in the snapshot loop)
+        own = fps.filter(F.col("side") == "incoming").select(
+            "doc_id",
+            F.greatest(
+                F.coalesce(F.size("fps"), F.lit(0)), F.lit(0)
+            ).cast("bigint").alias("n_fps"),
+        )
+        out = out.join(own, "doc_id")
+    return out
 
 
 def incremental_dedup_arrow(

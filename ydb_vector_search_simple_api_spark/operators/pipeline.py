@@ -95,19 +95,15 @@ def incremental_snapshot_loop(
     # stage 1 — screen against the existing corpus; n_fps is the
     # doc's own fingerprint count (winnow arrays are distinct per doc
     # — the incremental_dedup contract), the containment denominator
+    # pin the screen output (delta-sized: one row per incoming doc).
+    # n_fps (the containment denominator) comes from the screen's own
+    # PINNED winnow table (include_n_fps) — re-deriving the winnowing
+    # expression here would re-inline the hash array into every
+    # window minimum (no let-binding barrier: measured 72 s vs ~1 s
+    # at sf0.1 for this one column)
     screen = dedup.incremental_dedup(
-        spark, sf_dir, existing_frac=existing_frac
-    )
-    n_fps = incoming.select(
-        "doc_id",
-        F.greatest(
-            F.coalesce(
-                F.size(TXT.winnow_mins(TXT.char_kgram_hashes("text", 8), 4)),
-                F.lit(0),
-            ),
-            F.lit(0),
-        ).cast("bigint").alias("n_fps"),
-    )
+        spark, sf_dir, existing_frac=existing_frac, include_n_fps=True
+    ).localCheckpoint(eager=True)
 
     # stage 2 — curation flags (each stage is its own gate-checked op)
     quality = quality_filter(
@@ -134,7 +130,6 @@ def incremental_snapshot_loop(
 
     flags = (
         screen.join(incoming.select("doc_id", "source"), "doc_id")
-        .join(n_fps, "doc_id")
         .withColumn(
             "fp_containment",
             F.when(
@@ -165,6 +160,13 @@ def incremental_snapshot_loop(
             & ~F.coalesce("contaminated", F.lit(False))
             & (F.col("source") != "src0"),
         )
+        # pin ONCE: the flag table is delta-sized (incoming docs ×
+        # a dozen scalar columns) but its lineage carries the whole
+        # screen + curation chain, and it feeds BOTH the pack
+        # semi-join and the final manifest — without the barrier the
+        # chain evaluates twice per action (measured 83 s → ~11 s at
+        # sf0.1)
+        .localCheckpoint(eager=True)
     )
 
     # stage 3 — pack the admitted docs into training bins

@@ -376,12 +376,14 @@ def stream_snapshot_loop(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # two-step let binding (the incremental_dedup barrier): compute
+    # the k-gram hash array, EXCHANGE, then take window minima — a
+    # fused winnow_mins(char_kgram_hashes(...)) expression re-inlines
+    # the hash array into every window minimum (~window-count× CPU)
     ex_f = (
-        existing.select(
-            TXT2.winnow_mins(
-                TXT2.char_kgram_hashes("text", 8), 4
-            ).alias("fps")
-        )
+        existing.select("doc_id", TXT2.char_kgram_hashes("text", 8).alias("h"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(TXT2.winnow_mins(F.col("h"), 4).alias("fps"))
         .select(F.explode_outer("fps").alias("fp"))
         .filter(F.col("fp").isNotNull())
         .distinct()
@@ -430,14 +432,21 @@ def stream_snapshot_loop(
             "doc_id", "source", "content_hash", "quality_ok", "split",
             F.coalesce("seen_ex", F.lit(False)).alias("is_exact_dup"),
         )
-        fps_b = b.select(
-            "doc_id",
-            F.explode_outer(
-                TXT2.winnow_mins(TXT2.char_kgram_hashes("text", 8), 4)
-            ).alias("fp"),
+        fps_arr = (
+            b.select("doc_id", TXT2.char_kgram_hashes("text", 8).alias("h"))
+            .repartition(ss.sparkContext.defaultParallelism, "doc_id")
+            .select(
+                "doc_id", TXT2.winnow_mins(F.col("h"), 4).alias("fps")
+            )
+            .localCheckpoint(eager=True)  # same barrier, batch-sized
+        )
+        fps_b = fps_arr.select(
+            "doc_id", F.explode_outer("fps").alias("fp")
         ).filter(F.col("fp").isNotNull())
-        nfps = fps_b.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_fps")
+        nfps = fps_arr.select(
+            "doc_id",
+            F.greatest(F.coalesce(F.size("fps"), F.lit(0)), F.lit(0))
+            .cast("bigint").alias("n_fps"),
         )
         shared = (
             fps_b.join(ex_f, "fp", "left_semi")
@@ -496,6 +505,9 @@ def stream_snapshot_loop(
                 & ~F.coalesce("contaminated", F.lit(False))
                 & (F.col("source") != "src0"),
             )
+            # same barrier as the batch form: flags feeds both the
+            # pack semi-join and the manifest — one eval per trigger
+            .localCheckpoint(eager=True)
         )
         admitted_ids = flags.filter("admitted").select("doc_id")
         packed = (
