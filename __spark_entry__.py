@@ -2136,7 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # default): per-level D1/D2/D3+ discounts from count-of-counts,
     # count-class selection, matching backoff mass; discounts are
     # in-plan one-row aggregates (no driver collect)
-    q["kneser_ney5_modified"] = textual.kneser_ney5_modified_logprob
+    q["kneser_ney5_modified"] = textual.mkn5_scores_cached
     # named production filters (round 9): the Gopher rule panel
     # (Rae et al. 2021 A1) beside the generic quality_filter, and the
     # C4 line rules (Raffel et al. 2020) over the deterministic line

@@ -1394,6 +1394,20 @@ def kneser_ney5_modified_logprob(
     )
 
 
+_MKN5_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def mkn5_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped cache of the per-doc MODIFIED-KN scores — the
+    kn5_scores_cached contract (pure function of the corpus files)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MKN5_CACHE:
+        _MKN5_CACHE[key] = kneser_ney5_modified_logprob(
+            spark, sf_dir
+        ).localCheckpoint(eager=True)
+    return _MKN5_CACHE[key]
+
+
 def perplexity_buckets_kn5(
     spark: SparkSession, sf_dir: str, n_buckets: int = 3
 ) -> DataFrame:
