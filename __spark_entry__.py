@@ -2143,6 +2143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # augmentation with a cleaned-stream md5
     q["gopher_quality"] = textual.gopher_quality_report
     q["c4_line_filter"] = textual.c4_line_filter
+    # the FineWeb-style production curation config composed from the
+    # named filters above (C4 + KN5 tiles enforced, Gopher reported,
+    # exact canonical + decontam + splits) — the modern-recipe
+    # sibling of curate_corpus; CTE-chained oracle
+    q["curate_corpus_production"] = pipeline_mod.curate_corpus_production
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(load_documents(s, d))
     q["cdc_merge"] = lambda s, d: curation.cdc_merge_snapshot(s, d)
     q["neardup_cosine"] = lambda s, d: dedup.neardup_cosine_pairs(
@@ -2444,6 +2449,9 @@ def oracle_sql() -> dict[str, str]:
     o["kneser_ney5_modified"] = oracles_text.kneser_ney5_modified_sql()
     o["gopher_quality"] = oracles_text.gopher_quality_sql()
     o["c4_line_filter"] = oracles_text.c4_line_filter_sql()
+    o["curate_corpus_production"] = (
+        oracles_curation.curate_corpus_production_sql()
+    )
     o["perplexity_buckets_kn5"] = oracles_text.perplexity_buckets_kn5_sql(3)
     o["source_divergence"] = oracles_text.SOURCE_DIVERGENCE
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)

