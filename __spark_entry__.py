@@ -1099,7 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-6 rotation: prefix-filtering similarity self-join
     # (SSJoin/PPJoin; LOSSLESS, carries the exact n-gram Jaccard
     # oracle) in place of dedup_exact_groups (driver-green r1-r5;
-    # content-hash family stays in-cap via incremental_dedup)
+    # content-hash family stays in-cap via the snapshot loop's
+    # screen — incremental_snapshot_loop contains it)
     q["dedup_ngram_prefix"] = lambda s, d: dedup.ngram_jaccard_prefix_pairs(
         load_documents(s, d), n=3, threshold=0.8
     )
@@ -1117,7 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # late round-7 rotation: WEIGHTED TF-IDF cosine near-dup pairs
     # (idf crushes boilerplate shingles — the score set Jaccard can't
     # express) in place of dedup_minhash_md5 (driver-green r1-r6; the
-    # md5 banding family stays in-cap via neardup_edit_distance,
+    # md5 banding family stays covered via neardup_edit_distance
+    # in overflow (rotated r9 s2),
     # which runs on the same banding)
     q["tfidf_cosine_pairs"] = lambda s, d: sparse_sim_mod.tfidf_cosine_pairs(
         load_documents(s, d), n=3, threshold=0.6
