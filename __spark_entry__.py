@@ -2078,6 +2078,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_autoconfig"] = lambda s, d: autoconfig_mod.ann_autoconfig(
         s, d, _ivf_index(s, d)
     )
+    # sibling: ann_autoconfig (the measured-curve artifact it reads,
+    # as data: (layout, width, recall) over both batch-served
+    # partition-pruned layouts, full width provably 1.0)
+    q["ann_layout_curves"] = lambda s, d: autoconfig_mod.ann_layout_curves(
+        s, d, _ivf_index(s, d), _kmt_index(s, d)
+    )
     # siblings: decontaminate_bloom + graphann_rerank_full (promoted
     # round 5, both since rotated back to overflow) — the temporal
     # gaps-and-islands pair, rotated to overflow (driver-green r2-r4)

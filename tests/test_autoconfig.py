@@ -73,3 +73,23 @@ def test_pq_rule_fires_at_high_dim(spark, recs):
     assert autoconfig.EXACT_CUTOFF == 100_000
     # the est_bytes_per_vec the OPQ branch would emit at d=1024
     assert max(8, 1024 // 16) == 64 < 4 * 1024
+
+
+def test_layout_curves_monotone_and_exact_at_full(spark):
+    """Both batch-served layouts: recall is non-decreasing in width
+    and provably 1.0 at full width (== exact)."""
+    import __spark_entry__ as E
+
+    rows = autoconfig.ann_layout_curves(
+        spark, SF_SMALL, E._ivf_index(spark, SF_SMALL),
+        E._kmt_index(spark, SF_SMALL),
+    ).collect()
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r.layout, []).append((r.width, r.recall))
+    assert set(by_layout) == {"ivf_flat", "kmeans_tree"}
+    for layout, pts in by_layout.items():
+        pts.sort()
+        recalls = [rc for _, rc in pts]
+        assert recalls == sorted(recalls), layout
+        assert recalls[-1] == 1.0, layout

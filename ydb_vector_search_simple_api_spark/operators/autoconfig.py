@@ -168,3 +168,84 @@ def ann_autoconfig(
         "width int, measured_recall double, est_bytes_per_vec int, "
         "rationale string",
     ).orderBy("target_recall")
+
+
+def ann_layout_curves(
+    spark: SparkSession,
+    sf_dir: str,
+    ivf_idx,
+    tree_idx,
+    k: int = 10,
+    n_queries: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The measured recall-curve artifact :func:`ann_autoconfig` reads,
+    as data: one row per (layout, width) over BOTH batch-served
+    partition-pruned layouts — flat IVF and the two-level k-means
+    tree — against the same exact ground truth. Widths are powers of
+    two up to each layout's full fan-out (full width == exact for
+    both, so each curve provably ends at 1.0 — pinned).
+
+    Plan shape: ONE exact kNN join + one batch pruned join per
+    (layout, width) — every serving pass is the distributed join form
+    (no per-query driver loops); recall is a semi-join count. The
+    BQ-shortlist and graph-ANN-beam curves are knob-monotone by the
+    shared O3 contract and recall-pinned in their own test files;
+    their serving forms are per-query, so they stay out of this
+    batch-shaped report.
+
+    Output: (layout, width, recall), sorted.
+    """
+    from .tree import tree_knn_join_distributed
+
+    embs = load_embeddings(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
+    exact = (
+        knn_join(
+            spark, queries_df, corpus, k=k, strategy="CosineSimilarity",
+            round_digits=round_digits,
+        )
+        .select("query_id", "id")
+        .localCheckpoint(eager=True)
+    )
+    denom = float(k * n_queries)
+
+    def widths_up_to(full: int) -> list[int]:
+        ws, w = [], 1
+        while w < full:
+            ws.append(w)
+            w *= 2
+        ws.append(int(full))
+        return ws
+
+    rows = []
+    for width in widths_up_to(ivf_idx.n_clusters):
+        got = ivf.ivf_knn_join(
+            spark, ivf_idx, queries_df, k=k, strategy="CosineSimilarity",
+            search_top_size=width, round_digits=round_digits,
+        ).select("query_id", "id")
+        rows.append(
+            ("ivf_flat", int(width),
+             round(got.join(exact, ["query_id", "id"], "left_semi").count()
+                   / denom, 6))
+        )
+    # the tree's width knob caps BOTH levels; level 2 counts leaves
+    # GLOBALLY (the route contract), so the exact endpoint is
+    # n_leaves, not the per-cell fanout
+    for width in widths_up_to(max(tree_idx.n_l1, tree_idx.n_leaves)):
+        got = tree_knn_join_distributed(
+            spark, tree_idx, queries_df, k=k, strategy="CosineSimilarity",
+            search_top_size=width, round_digits=round_digits,
+        ).select("query_id", "id")
+        rows.append(
+            ("kmeans_tree", int(width),
+             round(got.join(exact, ["query_id", "id"], "left_semi").count()
+                   / denom, 6))
+        )
+    return spark.createDataFrame(
+        rows, "layout string, width int, recall double"
+    ).orderBy("layout", "width")
