@@ -2082,7 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # as data: (layout, width, recall) over both batch-served
     # partition-pruned layouts, full width provably 1.0)
     q["ann_layout_curves"] = lambda s, d: autoconfig_mod.ann_layout_curves(
-        s, d, _ivf_index(s, d), _kmt_index(s, d)
+        s, d, _ivf_index(s, d), _kmt_index(s, d), _bq_index(s, d)
     )
     # siblings: decontaminate_bloom + graphann_rerank_full (promoted
     # round 5, both since rotated back to overflow) — the temporal

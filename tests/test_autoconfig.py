@@ -82,12 +82,12 @@ def test_layout_curves_monotone_and_exact_at_full(spark):
 
     rows = autoconfig.ann_layout_curves(
         spark, SF_SMALL, E._ivf_index(spark, SF_SMALL),
-        E._kmt_index(spark, SF_SMALL),
+        E._kmt_index(spark, SF_SMALL), E._bq_index(spark, SF_SMALL),
     ).collect()
     by_layout = {}
     for r in rows:
         by_layout.setdefault(r.layout, []).append((r.width, r.recall))
-    assert set(by_layout) == {"ivf_flat", "kmeans_tree"}
+    assert set(by_layout) == {"ivf_flat", "kmeans_tree", "bq_hamming"}
     for layout, pts in by_layout.items():
         pts.sort()
         recalls = [rc for _, rc in pts]

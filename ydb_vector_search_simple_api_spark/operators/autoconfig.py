@@ -175,16 +175,20 @@ def ann_layout_curves(
     sf_dir: str,
     ivf_idx,
     tree_idx,
+    bq_idx=None,
     k: int = 10,
     n_queries: int = 8,
     round_digits: int = 6,
 ) -> DataFrame:
     """The measured recall-curve artifact :func:`ann_autoconfig` reads,
-    as data: one row per (layout, width) over BOTH batch-served
-    partition-pruned layouts — flat IVF and the two-level k-means
-    tree — against the same exact ground truth. Widths are powers of
-    two up to each layout's full fan-out (full width == exact for
-    both, so each curve provably ends at 1.0 — pinned).
+    as data: one row per (layout, knob) over the batch-served
+    layouts — flat IVF and the two-level k-means tree (width knob),
+    plus the sign-bit BQ layout (Hamming-shortlist knob, served
+    through the batch ``bq_knn_join``) when its index is supplied —
+    against the same exact ground truth. Knob values are powers of
+    two up to each layout's exact endpoint (full width / corpus-sized
+    shortlist == exact, so every curve provably ends at 1.0 —
+    pinned). The ``width`` column carries each layout's serving knob.
 
     Plan shape: ONE exact kNN join + one batch pruned join per
     (layout, width) — every serving pass is the distributed join form
@@ -246,6 +250,25 @@ def ann_layout_curves(
              round(got.join(exact, ["query_id", "id"], "left_semi").count()
                    / denom, 6))
         )
+    if bq_idx is not None:
+        from .bq import bq_knn_join
+
+        shorts, v = [], k
+        while v < bq_idx.n_rows:
+            shorts.append(v)
+            v *= 4
+        shorts.append(int(bq_idx.n_rows))
+        for shortlist in shorts:
+            got = bq_knn_join(
+                spark, bq_idx, corpus, queries_df, k=k,
+                strategy="CosineSimilarity", shortlist=shortlist,
+                round_digits=round_digits,
+            ).select("query_id", "id")
+            rows.append(
+                ("bq_hamming", int(shortlist),
+                 round(got.join(exact, ["query_id", "id"], "left_semi")
+                       .count() / denom, 6))
+            )
     return spark.createDataFrame(
         rows, "layout string, width int, recall double"
     ).orderBy("layout", "width")
