@@ -2076,7 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per target recall, codifying SCALING.md's measured crossovers;
     # recommendation logic replay-pinned in tests/test_autoconfig.py
     q["ann_autoconfig"] = lambda s, d: autoconfig_mod.ann_autoconfig(
-        s, d, _ivf_index(s, d)
+        s, d, _ivf_index(s, d), _kmt_index(s, d), _bq_index(s, d)
     )
     # sibling: ann_autoconfig (the measured-curve artifact it reads,
     # as data: (layout, width, recall) over both batch-served

@@ -15,8 +15,10 @@ from ydb_vector_search_simple_api_spark.operators import autoconfig
 def recs(spark):
     import __spark_entry__ as E
 
-    idx = E._ivf_index(spark, SF_SMALL)
-    rows = autoconfig.ann_autoconfig(spark, SF_SMALL, idx).collect()
+    rows = autoconfig.ann_autoconfig(
+        spark, SF_SMALL, E._ivf_index(spark, SF_SMALL),
+        E._kmt_index(spark, SF_SMALL), E._bq_index(spark, SF_SMALL),
+    ).collect()
     return {r.target_recall: r for r in rows}
 
 
@@ -33,32 +35,48 @@ def test_full_recall_at_gate_scale_is_exact_scan(recs):
     assert r.width == 0 and r.n_clusters == 0
 
 
-def test_partial_targets_recommend_min_sufficient_width(recs, spark):
-    """Each partial target gets the SMALLEST measured width whose
-    recall clears it, widths are monotone in the target, and the
-    reported measured_recall actually clears the target."""
+def test_partial_targets_pick_min_probe_fraction(recs, spark):
+    """Each partial target's recommendation replays from the measured
+    curves: per layout take the smallest knob clearing the target,
+    then the layout with the smallest probe fraction wins (ties to
+    ivf_flat); the reported measured_recall actually clears the
+    target."""
     import __spark_entry__ as E
 
-    idx = E._ivf_index(spark, SF_SMALL)
-    prev_w = 0
+    ivf_idx = E._ivf_index(spark, SF_SMALL)
+    tree_idx = E._kmt_index(spark, SF_SMALL)
+    bq_idx = E._bq_index(spark, SF_SMALL)
+    full = {
+        "ivf_flat": ivf_idx.n_clusters,
+        "kmeans_tree": max(tree_idx.n_l1, tree_idx.n_leaves),
+        "bq_hamming": bq_idx.n_rows,
+    }
+    curves = autoconfig.ann_layout_curves(
+        spark, SF_SMALL, ivf_idx, tree_idx, bq_idx
+    ).collect()
     for t in (0.8, 0.9, 0.95):
         r = recs[t]
-        assert r.layout == "ivf_flat"  # d=32 < PQ_DIM_CUTOFF
-        assert r.n_clusters == idx.n_clusters
         assert r.measured_recall >= t
-        assert 1 <= r.width <= idx.n_clusters
-        assert r.width >= prev_w  # wider target never narrows width
-        prev_w = r.width
+        per = {}
+        for c in sorted(curves, key=lambda c: c.width):
+            if c.recall >= t and c.layout not in per:
+                per[c.layout] = (c.width, c.recall, c.width / full[c.layout])
+        want = min(per, key=lambda lo: (per[lo][2], lo != "ivf_flat"))
+        assert r.layout == want, t
+        assert r.width == per[want][0]
+        assert r.measured_recall == per[want][1]
 
 
 def test_replay_deterministic(recs, spark):
     """Same corpus, same index, same thresholds -> identical rows."""
     import __spark_entry__ as E
 
-    idx = E._ivf_index(spark, SF_SMALL)
     again = {
         r.target_recall: r
-        for r in autoconfig.ann_autoconfig(spark, SF_SMALL, idx).collect()
+        for r in autoconfig.ann_autoconfig(
+            spark, SF_SMALL, E._ivf_index(spark, SF_SMALL),
+            E._kmt_index(spark, SF_SMALL), E._bq_index(spark, SF_SMALL),
+        ).collect()
     }
     assert again.keys() == recs.keys()
     for t in recs:

@@ -22,10 +22,12 @@ guessing:
 - d ≥ ``pq_dim_cutoff`` and target ≤ 0.95: IVF×OPQ — at high
   dimension the ADC scan is memory-bound, codes cut bytes/vector ~16×
   (SCALING.md PQ rows), and the rerank stage restores precision.
-- otherwise: flat IVF at the MINIMUM measured width reaching the
-  target — width drives probe cost linearly, so the smallest
-  sufficient width is the latency-optimal point on the measured
-  curve.
+- otherwise: the measured layout curves compete — each layout's
+  MINIMUM sufficient knob is scored by probe fraction (knob /
+  exact-endpoint knob, the share of the corpus the pass touches) and
+  the smallest fraction wins, ties to flat IVF. Knob cost is linear
+  in probe fraction for every layout here, so the smallest sufficient
+  fraction is the latency-optimal point on the measured curves.
 
 Everything is deterministic (fixed query set, fixed seed index, fixed
 thresholds), so the recommendation is replay-pinned in pytest; the
@@ -55,6 +57,8 @@ def ann_autoconfig(
     spark: SparkSession,
     sf_dir: str,
     idx: "ivf.IvfIndex",
+    tree_idx=None,
+    bq_idx=None,
     targets: tuple[float, ...] = (0.8, 0.9, 0.95, 1.0),
     k: int = 10,
     n_queries: int = 8,
@@ -64,13 +68,19 @@ def ann_autoconfig(
     (target_recall, layout, n_clusters, width, measured_recall,
     est_bytes_per_vec, rationale).
 
-    Plan shape: ONE exact kNN join (the ground truth) + one pruned
-    ``ivf_knn_join`` per candidate width; recall is a Spark-side
-    semi-join count. The candidate widths are the powers of two up to
-    n_clusters — O(log n_clusters) serving passes, each
-    partition-pruned. The stats pass is two aggregates on the
-    embeddings table. Nothing corpus-sized reaches the driver; the
-    output is |targets| rows.
+    When the tree/BQ indexes are supplied, the recommendation selects
+    ACROSS the measured layout curves (:func:`ann_layout_curves`): for
+    each partial target, every (layout, knob) point that clears it
+    competes on PROBE FRACTION — knob / exact-endpoint-knob, the
+    fraction of the corpus the serving pass touches (width/n_clusters
+    for the partitioned layouts, shortlist/n_rows for the sign-bit
+    scan) — and the smallest fraction wins (ties prefer ivf_flat, the
+    simplest layout). With only the IVF index, the selection reduces
+    to the original min-sufficient-width rule.
+
+    Plan shape: ONE exact kNN join + one batch pruned join per
+    measured (layout, knob) point; the stats pass is two aggregates.
+    Nothing corpus-sized reaches the driver; output is |targets| rows.
     """
     embs = load_embeddings(spark, sf_dir)
     stats = embs.agg(
@@ -80,42 +90,30 @@ def ann_autoconfig(
     ).first()
     n, d = int(stats["n"]), int(stats["d"])
 
-    queries_df = embs.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("query_vec"),
-    )
-    corpus = embs.select(F.col("vec_id").alias("id"), "embedding")
-    exact = (
-        knn_join(
-            spark, queries_df, corpus, k=k, strategy="CosineSimilarity",
-            round_digits=round_digits,
-        )
-        .select("query_id", "id")
-        .localCheckpoint(eager=True)
-    )
-    denom = float(k * n_queries)
+    if tree_idx is not None or bq_idx is not None:
+        curve_rows = ann_layout_curves(
+            spark, sf_dir, idx, tree_idx, bq_idx,
+            k=k, n_queries=n_queries, round_digits=round_digits,
+        ).collect()
+    else:
+        curve_rows = ann_layout_curves(
+            spark, sf_dir, idx, None, None,
+            k=k, n_queries=n_queries, round_digits=round_digits,
+        ).collect()
+    full_knob = {"ivf_flat": int(idx.n_clusters)}
+    if tree_idx is not None:
+        full_knob["kmeans_tree"] = max(tree_idx.n_l1, tree_idx.n_leaves)
+    if bq_idx is not None:
+        full_knob["bq_hamming"] = int(bq_idx.n_rows)
+    #: candidate points with their probe fraction
+    points = [
+        (r.layout, int(r.width), float(r.recall),
+         int(r.width) / float(full_knob[r.layout]))
+        for r in curve_rows
+    ]
 
-    widths: list[int] = []
-    w = 1
-    while w < idx.n_clusters:
-        widths.append(w)
-        w *= 2
-    widths.append(int(idx.n_clusters))
-    curve: dict[int, float] = {}
-    for width in widths:
-        got = ivf.ivf_knn_join(
-            spark, idx, queries_df, k=k, strategy="CosineSimilarity",
-            search_top_size=width, round_digits=round_digits,
-        ).select("query_id", "id")
-        curve[width] = round(
-            got.join(exact, ["query_id", "id"], "left_semi").count() / denom, 6
-        )
-
-    def min_width(target: float) -> tuple[int, float]:
-        for width in widths:
-            if curve[width] >= target:
-                return width, curve[width]
-        return widths[-1], curve[widths[-1]]
+    def full_for(layout: str) -> int:
+        return full_knob[layout]
 
     rows = []
     for target in targets:
@@ -132,22 +130,38 @@ def ann_autoconfig(
                 )
             )
             continue
-        width, rec = min_width(target)
         if target >= 1.0:
             rows.append(
                 (
                     float(target), "ivf_flat", int(idx.n_clusters),
-                    int(idx.n_clusters), curve[int(idx.n_clusters)],
+                    int(idx.n_clusters),
+                    max(rc for lo, w, rc, f in points if lo == "ivf_flat"),
                     4 * d,
                     "full width == exact with partition pruning kept "
                     "for filtered serving",
                 )
             )
-        elif d >= PQ_DIM_CUTOFF:
+            continue
+        # smallest sufficient knob per layout, then min probe fraction
+        per_layout = {}
+        for lo, w, rc, frac in sorted(points, key=lambda p: p[1]):
+            if rc >= target and lo not in per_layout:
+                per_layout[lo] = (w, rc, frac)
+        if not per_layout:
+            lo, w, rc, frac = max(points, key=lambda p: p[2])
+            per_layout = {lo: (w, rc, frac)}
+        best_layout = min(
+            per_layout,
+            key=lambda lo: (per_layout[lo][2], lo != "ivf_flat"),
+        )
+        w, rc, frac = per_layout[best_layout]
+        if d >= PQ_DIM_CUTOFF:
             rows.append(
                 (
                     float(target), "ivf_opq", int(idx.n_clusters),
-                    int(width), rec, max(8, d // 16),
+                    int(per_layout.get("ivf_flat", (w, rc, frac))[0]),
+                    per_layout.get("ivf_flat", (w, rc, frac))[1],
+                    max(8, d // 16),
                     f"d={d} >= {PQ_DIM_CUTOFF}: ADC scan is memory-"
                     "bound, OPQ codes cut bytes/vec ~16x with rerank "
                     "(SCALING.md PQ rows)",
@@ -156,10 +170,11 @@ def ann_autoconfig(
         else:
             rows.append(
                 (
-                    float(target), "ivf_flat", int(idx.n_clusters),
-                    int(width), rec, 4 * d,
-                    f"smallest measured width with recall >= {target} "
-                    "(probe cost linear in width)",
+                    float(target), best_layout, full_for(best_layout),
+                    int(w), rc,
+                    8 if best_layout == "bq_hamming" else 4 * d,
+                    f"min probe fraction {round(frac, 4)} among layouts "
+                    f"clearing recall >= {target} (measured curves)",
                 )
             )
     return spark.createDataFrame(
@@ -240,7 +255,8 @@ def ann_layout_curves(
     # the tree's width knob caps BOTH levels; level 2 counts leaves
     # GLOBALLY (the route contract), so the exact endpoint is
     # n_leaves, not the per-cell fanout
-    for width in widths_up_to(max(tree_idx.n_l1, tree_idx.n_leaves)):
+    for width in ([] if tree_idx is None
+                  else widths_up_to(max(tree_idx.n_l1, tree_idx.n_leaves))):
         got = tree_knn_join_distributed(
             spark, tree_idx, queries_df, k=k, strategy="CosineSimilarity",
             search_top_size=width, round_digits=round_digits,
