@@ -2156,6 +2156,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact canonical + decontam + splits) — the modern-recipe
     # sibling of curate_corpus; CTE-chained oracle
     q["curate_corpus_production"] = pipeline_mod.curate_corpus_production
+    # sibling: curate_corpus_production (the training-mix manifest a
+    # trainer consumes: per (split, source) doc/token mass + shares
+    # over the admitted set)
+    q["production_mix_report"] = pipeline_mod.production_mix_report
+    # sibling: decontaminate (the GPT-3 appendix-C configuration:
+    # 13-gram collision decontamination — the historically named
+    # config beside the default 8-gram probe; same machinery)
+    q["decontaminate_13gram"] = lambda s, d: curation.decontaminate_documents(
+        s, d, n=13, min_containment=0.1
+    )
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(load_documents(s, d))
     q["cdc_merge"] = lambda s, d: curation.cdc_merge_snapshot(s, d)
     q["neardup_cosine"] = lambda s, d: dedup.neardup_cosine_pairs(
@@ -2460,6 +2470,8 @@ def oracle_sql() -> dict[str, str]:
     o["curate_corpus_production"] = (
         oracles_curation.curate_corpus_production_sql()
     )
+    o["production_mix_report"] = oracles_curation.production_mix_report_sql()
+    o["decontaminate_13gram"] = oracles_curation.decontaminate_sql(13, 0.1)
     o["perplexity_buckets_kn5"] = oracles_text.perplexity_buckets_kn5_sql(3)
     o["source_divergence"] = oracles_text.SOURCE_DIVERGENCE
     o["dedup_ngram_jaccard"] = oracles_text.ngram_jaccard_sql(3, 0.8)

@@ -178,3 +178,20 @@ def test_curate_corpus_production_flags(spark):
         assert vals == {True, False} or vals == {True}, col
     # gopher reported-only and constant-false here (documented)
     assert all(not r.gopher_keep for r in rows.values())
+
+
+def test_production_mix_report_shares(spark):
+    """Mix-manifest invariants: shares sum to 1 (to rounding), every
+    cell's split is a real split, tokens and docs positive, and the
+    doc total equals the admitted count."""
+    rows = pipeline.production_mix_report(spark, SF_SMALL).collect()
+    assert rows
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    assert all(r.split in ("train", "valid", "test") for r in rows)
+    assert all(r.n_docs > 0 and r.n_tokens > 0 for r in rows)
+    admitted = (
+        pipeline.curate_corpus_production(spark, SF_SMALL)
+        .filter("admitted")
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == admitted

@@ -306,3 +306,50 @@ def curate_corpus_production(
             F.when(F.col("admitted"), F.col("split")).alias("split"),
         )
     )
+
+
+def production_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-mix manifest a trainer actually consumes: for the
+    :func:`curate_corpus_production` survivors, per (split, source) —
+    document count, whitespace-token mass, and each cell's share of
+    the total admitted token mass (ROUND 6). The per-release artifact
+    that makes the curated corpus's composition auditable (split
+    balance, source mixture) without re-running any filter.
+
+    Scale shape: the production manifest join is delta-flag-sized per
+    doc; the token count is one per-doc codegen expression; the
+    rollup is a (split, source)-keyed aggregation with one broadcast
+    1-row total. Output: (split, source, n_docs, n_tokens,
+    token_share), sorted.
+    """
+    from ..functions import text as TXT
+
+    adm = curate_corpus_production(spark, sf_dir).filter("admitted").select(
+        "doc_id", "split"
+    )
+    toks = load_documents(spark, sf_dir).select(
+        "doc_id", "source", TXT.token_count("text").alias("n_tok")
+    )
+    cells = (
+        adm.join(toks, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    total = cells.agg(F.sum("n_tokens").alias("tot"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "split", "source", "n_docs", "n_tokens",
+            (
+                F.round(
+                    F.col("n_tokens").cast("double") / F.col("tot").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("token_share"),
+        )
+        .orderBy("split", "source")
+    )

@@ -1394,3 +1394,28 @@ SELECT doc_id, gopher_keep, c4_keep, ppl_keep, canonical, contaminated,
        CASE WHEN admitted THEN split END AS split
 FROM flags
 """
+
+
+def production_mix_report_sql() -> str:
+    """Twin of ``pipeline.production_mix_report`` — the production
+    curation chain + per-(split, source) token rollup and shares."""
+    from .oracles_text import TOKS
+
+    return f"""
+WITH prod AS MATERIALIZED ({curate_corpus_production_sql()}),
+adm AS (SELECT doc_id, split FROM prod WHERE admitted),
+toks AS (
+  SELECT doc_id, source, len({TOKS})::BIGINT AS n_tok FROM documents
+),
+cells AS (
+  SELECT a.split, t.source,
+         count(*)::BIGINT AS n_docs,
+         sum(t.n_tok)::BIGINT AS n_tokens
+  FROM adm a JOIN toks t ON t.doc_id = a.doc_id
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_tokens)::BIGINT AS tot FROM cells)
+SELECT split, source, n_docs, n_tokens,
+       ROUND(n_tokens::DOUBLE / tot.tot::DOUBLE, 6) + 0.0 AS token_share
+FROM cells CROSS JOIN tot
+"""
