@@ -13,10 +13,13 @@ recommendation row per target recall.
 The layout rules codify SCALING.md's measured crossovers rather than
 guessing:
 
-- tiny corpora (n < ``exact_cutoff``): brute-force exact — every
-  blocked method's fixed overhead loses below ~10⁵ rows (measured for
-  banding at ~100k images; the IVF routing join shows the same
-  fixed-cost floor at gate scale).
+- tiny corpora (n < ``exact_cutoff``) at FULL recall target:
+  brute-force exact — every blocked method's fixed overhead loses
+  below ~10⁵ rows (measured for banding at ~100k images; the IVF
+  routing join shows the same fixed-cost floor at gate scale). At
+  partial targets even a tiny corpus gets the measured-curve
+  selection: the caller asked for a pruned serving path, and the
+  curves are what justify one.
 - recall target 1.0: IVF at FULL width — identical results to exact
   with partition pruning still available for filtered serving.
 - d ≥ ``pq_dim_cutoff`` and target ≤ 0.95: IVF×OPQ — at high
@@ -90,16 +93,10 @@ def ann_autoconfig(
     ).first()
     n, d = int(stats["n"]), int(stats["d"])
 
-    if tree_idx is not None or bq_idx is not None:
-        curve_rows = ann_layout_curves(
-            spark, sf_dir, idx, tree_idx, bq_idx,
-            k=k, n_queries=n_queries, round_digits=round_digits,
-        ).collect()
-    else:
-        curve_rows = ann_layout_curves(
-            spark, sf_dir, idx, None, None,
-            k=k, n_queries=n_queries, round_digits=round_digits,
-        ).collect()
+    curve_rows = ann_layout_curves(
+        spark, sf_dir, idx, tree_idx, bq_idx,
+        k=k, n_queries=n_queries, round_digits=round_digits,
+    ).collect()
     full_knob = {"ivf_flat": int(idx.n_clusters)}
     if tree_idx is not None:
         full_knob["kmeans_tree"] = max(tree_idx.n_l1, tree_idx.n_leaves)
@@ -155,12 +152,15 @@ def ann_autoconfig(
             key=lambda lo: (per_layout[lo][2], lo != "ivf_flat"),
         )
         w, rc, frac = per_layout[best_layout]
-        if d >= PQ_DIM_CUTOFF:
+        # the OPQ rewrite rides the IVF routing path, so it only
+        # applies when ivf_flat itself cleared the target — never
+        # borrow another layout's width/recall under the opq label
+        if d >= PQ_DIM_CUTOFF and target <= 0.95 and "ivf_flat" in per_layout:
+            w_f, rc_f, _ = per_layout["ivf_flat"]
             rows.append(
                 (
                     float(target), "ivf_opq", int(idx.n_clusters),
-                    int(per_layout.get("ivf_flat", (w, rc, frac))[0]),
-                    per_layout.get("ivf_flat", (w, rc, frac))[1],
+                    int(w_f), rc_f,
                     max(8, d // 16),
                     f"d={d} >= {PQ_DIM_CUTOFF}: ADC scan is memory-"
                     "bound, OPQ codes cut bytes/vec ~16x with rerank "

@@ -148,8 +148,22 @@ def incremental_snapshot_loop(
         .join(splits, "doc_id", "left")
         .withColumn(
             "screened_out",
+            # at the full-coverage threshold, test n_shared_fps >=
+            # n_fps in INTEGERS — the ROUND(6)ed ratio would reject a
+            # doc at containment 0.9999996 that is not fully covered
+            # (needs n_fps in the millions, but the semantics should
+            # not depend on the rounding width). Partial thresholds
+            # compare the recorded (rounded) evidence column, which is
+            # what the manifest reader would filter on.
             F.col("is_exact_dup")
-            | ((F.col("n_fps") > 0) & (F.col("fp_containment") >= fp_reject_frac)),
+            | (
+                (F.col("n_fps") > 0)
+                & (
+                    (F.col("n_shared_fps") >= F.col("n_fps"))
+                    if fp_reject_frac >= 1.0
+                    else (F.col("fp_containment") >= fp_reject_frac)
+                )
+            ),
         )
         .withColumn("quality_ok", F.coalesce("quality_ok", F.lit(False)))
         .withColumn(

@@ -1273,6 +1273,20 @@ def incremental_snapshot_loop_sql(
 
     thr = _threshold_hex(existing_frac)
     draw = f"substr(md5(CAST(doc_id AS VARCHAR)), 1, {PREFIX_HEX})"
+    # full-coverage threshold compares fp counts in INTEGERS (the
+    # ROUND(6)ed ratio would misfire at containment 0.9999996+) —
+    # mirrors pipeline.incremental_snapshot_loop exactly
+    if fp_reject_frac >= 1.0:
+        cover = "i.n_shared_fps >= COALESCE(nf.n_fps, 0)"
+    else:
+        cover = (
+            "(CASE WHEN COALESCE(nf.n_fps, 0) > 0"
+            " THEN ROUND(i.n_shared_fps::DOUBLE / nf.n_fps::DOUBLE, 6) + 0.0"
+            f" ELSE 0.0 END) >= {fp_reject_frac}"
+        )
+    screened = (
+        f"(i.is_exact_dup OR (COALESCE(nf.n_fps, 0) > 0 AND {cover}))"
+    )
     return f"""
 WITH inc AS MATERIALIZED ({incremental_dedup_sql(existing_frac)}),
 quality AS ({quality_filter_sql(min_quality, min_tokens)}),
@@ -1307,15 +1321,9 @@ flags AS (
          CASE WHEN COALESCE(nf.n_fps, 0) > 0
               THEN ROUND(i.n_shared_fps::DOUBLE / nf.n_fps::DOUBLE, 6) + 0.0
               ELSE 0.0 END AS fp_containment,
-         (i.is_exact_dup OR (COALESCE(nf.n_fps, 0) > 0
-            AND (CASE WHEN COALESCE(nf.n_fps, 0) > 0
-                 THEN ROUND(i.n_shared_fps::DOUBLE / nf.n_fps::DOUBLE, 6) + 0.0
-                 ELSE 0.0 END) >= {fp_reject_frac})) AS screened_out,
+         {screened} AS screened_out,
          (q.doc_id IS NOT NULL) AS quality_ok,
-         (NOT (i.is_exact_dup OR (COALESCE(nf.n_fps, 0) > 0
-            AND (CASE WHEN COALESCE(nf.n_fps, 0) > 0
-                 THEN ROUND(i.n_shared_fps::DOUBLE / nf.n_fps::DOUBLE, 6) + 0.0
-                 ELSE 0.0 END) >= {fp_reject_frac})))
+         (NOT {screened})
            AND q.doc_id IS NOT NULL
            AND c.doc_id IS NOT NULL
            AND x.doc_id IS NULL

@@ -107,10 +107,14 @@ def stream_curation_ingest(
             .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id", "content_hash")
         )
-        try:
+        # first trigger: no prior batches => nothing to anti-join.
+        # Only the MISSING-path case falls back — a corrupt or
+        # unreadable store must propagate, silently re-electing
+        # canonicals would break drained==batch without a trace
+        if os.path.exists(seen_dir):
             seen = batch_df.sparkSession.read.parquet(seen_dir)
             fresh = q.join(seen, "content_hash", "left_anti")
-        except Exception:
+        else:
             fresh = q
         fresh = fresh.localCheckpoint(eager=True)  # two appends, one eval
         fresh.select("doc_id", "content_hash").write.mode("append").parquet(out_dir)
@@ -458,11 +462,13 @@ def stream_snapshot_loop(
         elected = exact.groupBy("content_hash").agg(
             F.min("doc_id").alias("doc_id")
         )
-        try:
+        # first trigger: no prior batches => nothing to anti-join.
+        # Missing path is the ONLY legitimate fallback; a corrupt or
+        # unreadable seen-store must propagate (silently re-electing
+        # canonicals would break drained==batch without a trace)
+        if os.path.exists(seen_dir):
             seen = ss.read.parquet(seen_dir)
             elected = elected.join(seen, "content_hash", "left_anti")
-        except Exception:
-            pass
         canon = elected.select("doc_id", F.lit(True).alias("canonical"))
         flags = (
             exact.join(shared, "doc_id", "left")
@@ -491,10 +497,16 @@ def stream_snapshot_loop(
             )
             .withColumn(
                 "screened_out",
+                # integer coverage test at the full threshold — the
+                # batch form's rule (pipeline.incremental_snapshot_loop)
                 F.col("is_exact_dup")
                 | (
                     (F.col("n_fps") > 0)
-                    & (F.col("fp_containment") >= fp_reject_frac)
+                    & (
+                        (F.col("n_shared_fps") >= F.col("n_fps"))
+                        if fp_reject_frac >= 1.0
+                        else (F.col("fp_containment") >= fp_reject_frac)
+                    )
                 ),
             )
             .withColumn(
