@@ -1093,7 +1093,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (Chen-Goodman continuation cascade off one corpus 5-gram pass)
     # in place of its bigram special case (driver-green r6-r8; the
     # bigram twin rides overflow with its own oracle)
-    q["kneser_ney5_logprob"] = lambda s, d: textual.kn5_scores_cached(s, d)
+    # round-10 rotation (VERDICT r9 #4): MODIFIED KN — the KenLM
+    # default (per-level D1/D2/D3+ from count-of-counts, count-class
+    # discount selection) — in place of the fixed-discount KN5
+    # (driver-green r9; it keeps its own oracle in overflow)
+    q["kneser_ney5_modified"] = textual.mkn5_scores_cached
 
     # ---- dedup family (exact forms)
     # round-6 rotation: prefix-filtering similarity self-join
@@ -1114,7 +1118,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 8-gram probe misses) in place of neardup_cosine
     # (driver-green r1-r5; the cosine-pair family stays in-cap via
     # semantic_dedup_blocked)
-    q["semantic_decontaminate"] = curation.semantic_decontaminate
+    # round-10 rotation (VERDICT r9 #4): the GPT-3 appendix-C 13-gram
+    # collision decontamination config in place of
+    # semantic_decontaminate (driver-green r6-r9; the embedding-side
+    # probe keeps its own oracle in overflow and the snapshot loop's
+    # semantic screen exercises the same cosine machinery)
+    q["decontaminate_13gram"] = lambda s, d: curation.decontaminate_documents(
+        s, d, n=13, min_containment=0.1
+    )
     # late round-7 rotation: WEIGHTED TF-IDF cosine near-dup pairs
     # (idf crushes boilerplate shingles — the score set Jaccard can't
     # express) in place of dedup_minhash_md5 (driver-green r1-r6; the
@@ -1149,7 +1160,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the assembled end-to-end curation flow (quality + dedup election
     # + decontamination + splits), oracle-checked as ONE query — the
     # flagship composition, promoted in-cap in round 3
-    q["curate_corpus"] = curation.curate_corpus
+    # round-10 rotation (VERDICT r9 #4): the FineWeb/RefinedWeb-style
+    # PRODUCTION config (C4 line rules + KN5 perplexity tiles
+    # enforced, Gopher reported, canonical election + decontam fence +
+    # splits) in place of the generic-quality-score chain
+    # (driver-green r3-r9; curate_corpus keeps its oracle in overflow)
+    q["curate_corpus_production"] = pipeline_mod.curate_corpus_production
     # late round-7 rotation: the LOSSLESS AllPairs prefix-indexed
     # weighted-cosine twin at the near-dup threshold (shares the exact
     # form's oracle) in place of export_curated (driver-green r4-r6;
@@ -1192,7 +1208,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operator AND oracle) in place of source_token_budget
     # (driver-green r1-r5; the mixing family stays in-cap via
     # dsir_select)
-    q["expectations_report"] = expectations_mod.expectations_report
+    # round-10 rotation (VERDICT r9 #4): the training-mix manifest
+    # (per-(split, source) doc/token mass + shares over the
+    # production-admitted set) in place of expectations_report
+    # (driver-green r6-r9; the expectations family stays in-cap via
+    # expectations_events, the report keeps its oracle in overflow)
+    q["production_mix_report"] = pipeline_mod.production_mix_report
     # round-8 session-2 rotation: Lloyd's k-means with the TRAINING
     # LOOP oracle-backed (sequential-fold assignment, DECIMAL-mean
     # centroid updates; the twin unrolls the iterations) in place of
@@ -2140,32 +2161,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: perplexity_buckets re-pointed at the 5-gram KN score —
     # the CCNet configuration (tiles per source, head+middle keep)
     q["perplexity_buckets_kn5"] = textual.perplexity_buckets_kn5
-    # sibling: kneser_ney5_logprob IN-CAP — MODIFIED KN (the KenLM
-    # default): per-level D1/D2/D3+ discounts from count-of-counts,
-    # count-class selection, matching backoff mass; discounts are
-    # in-plan one-row aggregates (no driver collect)
-    q["kneser_ney5_modified"] = textual.mkn5_scores_cached
+    # sibling: kneser_ney5_modified IN-CAP (round-10 rotation) — the
+    # fixed-discount production-order 5-gram KN it generalizes;
+    # retired driver-green r9, keeps its own oracle here
+    q["kneser_ney5_logprob"] = lambda s, d: textual.kn5_scores_cached(s, d)
     # named production filters (round 9): the Gopher rule panel
     # (Rae et al. 2021 A1) beside the generic quality_filter, and the
     # C4 line rules (Raffel et al. 2020) over the deterministic line
     # augmentation with a cleaned-stream md5
     q["gopher_quality"] = textual.gopher_quality_report
     q["c4_line_filter"] = textual.c4_line_filter
-    # the FineWeb-style production curation config composed from the
-    # named filters above (C4 + KN5 tiles enforced, Gopher reported,
-    # exact canonical + decontam + splits) — the modern-recipe
-    # sibling of curate_corpus; CTE-chained oracle
-    q["curate_corpus_production"] = pipeline_mod.curate_corpus_production
-    # sibling: curate_corpus_production (the training-mix manifest a
-    # trainer consumes: per (split, source) doc/token mass + shares
-    # over the admitted set)
-    q["production_mix_report"] = pipeline_mod.production_mix_report
-    # sibling: decontaminate (the GPT-3 appendix-C configuration:
-    # 13-gram collision decontamination — the historically named
-    # config beside the default 8-gram probe; same machinery)
-    q["decontaminate_13gram"] = lambda s, d: curation.decontaminate_documents(
-        s, d, n=13, min_containment=0.1
-    )
+    # sibling: curate_corpus_production IN-CAP (round-10 rotation) —
+    # the generic-quality-score curation chain it modernizes; retired
+    # driver-green r3-r9, keeps its own oracle here
+    q["curate_corpus"] = curation.curate_corpus
+    # sibling: production_mix_report IN-CAP (round-10 rotation) —
+    # Deequ-style expectations; retired driver-green r6-r9, keeps its
+    # own oracle here (family in-cap via expectations_events)
+    q["expectations_report"] = expectations_mod.expectations_report
+    # sibling: decontaminate_13gram IN-CAP (round-10 rotation) — the
+    # embedding-level semantic decontamination probe; retired
+    # driver-green r6-r9, keeps its own oracle here
+    q["semantic_decontaminate"] = curation.semantic_decontaminate
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_dup_groups(load_documents(s, d))
     q["cdc_merge"] = lambda s, d: curation.cdc_merge_snapshot(s, d)
     q["neardup_cosine"] = lambda s, d: dedup.neardup_cosine_pairs(

@@ -98,18 +98,29 @@ import __spark_entry__ as E
 # duplicate_char_spans<-neardup_edit_distance (char-grain
 # exact-substring vs banded edit-distance; banding family stays via
 # dedup_ngram_prefix).
+# Round-10 rotation (VERDICT r9 #4 — promote the round-9 flagships;
+# each retired entry is driver-green with its family still in-cap and
+# keeps its own oracle in overflow):
+# kneser_ney5_modified<-kneser_ney5_logprob (modified KN is the
+# production/KenLM default; fixed-discount twin to overflow),
+# curate_corpus_production<-curate_corpus (the FineWeb-recipe config
+# vs the generic-quality chain it modernizes),
+# production_mix_report<-expectations_report (expectations family
+# stays via expectations_events),
+# decontaminate_13gram<-semantic_decontaminate (decontam family stays
+# via decontaminate_13gram + stream_decontaminate in-cap).
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
     "script_profile", "quality_filter", "bm25_topk_indexed",
     "incremental_snapshot_loop", "split_leakage_audit", "heavy_hitters_topk",
-    "kneser_ney5_logprob", "dedup_ngram_prefix", "snapshot_diff",
-    "semantic_decontaminate", "tfidf_cosine_pairs", "dsir_select",
+    "kneser_ney5_modified", "dedup_ngram_prefix", "snapshot_diff",
+    "decontaminate_13gram", "tfidf_cosine_pairs", "dsir_select",
     "duplicate_char_spans",
-    "curate_corpus", "tfidf_cosine_prefix", "repetition_signals",
+    "curate_corpus_production", "tfidf_cosine_prefix", "repetition_signals",
     "opq_rerank_full", "stream_interval_join", "scd2_history",
     "leakage_safe_splits",
-    "sorted_neighborhood", "expectations_report", "kmeans_lloyd",
+    "sorted_neighborhood", "production_mix_report", "kmeans_lloyd",
     "multimodal_meta", "stream_decontaminate", "dedup_components_twostar",
     "label_model", "retrieval_quality", "kmv_user_overlap",
     "psi_drift", "expectations_events",
