@@ -1547,6 +1547,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["remove_duplicate_char_spans"] = lambda s, d: dedup.remove_duplicate_char_spans(
         load_documents(s, d)
     )
+    # sibling: duplicate_char_spans (in-cap) — the xxhash64 cheap-hash
+    # scale twin (VERDICT r9 #3): 8-byte longs instead of 32-char md5
+    # hex in the densest exchange in the repo (~4-5× fewer shuffle
+    # bytes, measured in SCALING.md round 10); output hash-free and
+    # collision-free at gate scale, so it carries the SAME DuckDB
+    # twin as the md5 form (the duplicate_spans_arrow precedent);
+    # equality vs the md5 form also pinned in tests/test_dedup.py
+    q["duplicate_char_spans_xx"] = lambda s, d: dedup.duplicate_char_spans(
+        load_documents(s, d), hasher="xxhash64"
+    )
     # sibling: duplicate_spans (Arrow factorize+rolling-hash shingling
     # — same winnowing-style fast/oracle split; rows-only because the
     # 64-bit hash differs from the md5 twin by design, equality with
@@ -2473,6 +2483,9 @@ def oracle_sql() -> dict[str, str]:
     o["duplicate_spans_arrow"] = oracles_text.duplicate_spans_sql(8)
     o["remove_duplicate_spans"] = oracles_text.remove_duplicate_spans_sql(8)
     o["duplicate_char_spans"] = oracles_text.duplicate_char_spans_sql(40)
+    # the xxhash64 twin's output carries no hash column and 64-bit
+    # collisions are absent at gate scale => shares the md5 twin
+    o["duplicate_char_spans_xx"] = oracles_text.duplicate_char_spans_sql(40)
     o["remove_duplicate_char_spans"] = (
         oracles_text.remove_duplicate_char_spans_sql(40)
     )

@@ -466,6 +466,27 @@ def test_duplicate_char_spans_planted(spark):
         assert r.n_dup_spans == 0
 
 
+def test_duplicate_char_spans_xx_equals_md5(spark):
+    """The xxhash64 cheap-hash twin (8-byte longs in the densest
+    exchange in the repo instead of 32-char md5 hex) must reproduce
+    the md5 form row-for-row at sf0.01 — the output carries no hash
+    column and 64-bit collisions are absent at this scale, which is
+    what lets it share the md5 DuckDB twin in the gate."""
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.01")
+    a = sorted(
+        dedup.duplicate_char_spans(docs, k=40).collect(),
+        key=lambda r: r.doc_id,
+    )
+    b = sorted(
+        dedup.duplicate_char_spans(docs, k=40, hasher="xxhash64").collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert any(r.n_dup_spans > 0 for r in a)  # non-degenerate corpus
+
+
 def test_remove_duplicate_char_spans_keeps_first_occurrence(spark):
     """Keep-first semantics at char grain, and the complement-segment
     fold reassembly digest equals md5 of the expected surviving

@@ -1949,6 +1949,7 @@ def duplicate_char_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 40,
+    hasher: str = "md5",
 ) -> DataFrame:
     """CHARACTER-grain exact-substring duplicate detection — the Lee
     et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -1967,19 +1968,30 @@ def duplicate_char_spans(
     ~8-token footprint on this corpus.
 
     100 TB shape — identical to the token form, deliberately: the
-    only corpus-sized structures are the (doc_id, int, 32-byte md5)
-    shingle stream (the text itself never shuffles) and its
-    hash-keyed count with map-side combine; hot windows then island-
-    merge per doc. The char stream is ~5× denser than the token
-    stream (one window per CHARACTER), which is the honest cost of
-    sub-token grain — SCALING.md records the measured ratio. No
-    self-join, no suffix-array construction (the sequential
-    O(n log n) build doesn't distribute; the hot-window form is the
-    standard scalable equivalent at fixed threshold).
+    only corpus-sized structures are the (doc_id, int, hash) shingle
+    stream (the text itself never shuffles) and its hash-keyed count
+    with map-side combine; hot windows then island-merge per doc. The
+    char stream is ~5× denser than the token stream (one window per
+    CHARACTER), which is the honest cost of sub-token grain —
+    SCALING.md records the measured ratio. No self-join, no
+    suffix-array construction (the sequential O(n log n) build
+    doesn't distribute; the hot-window form is the standard scalable
+    equivalent at fixed threshold).
+
+    ``hasher``: ``"md5"`` (default — the DuckDB-twin form: 32-char
+    hex, the densest exchange in the repo) or ``"xxhash64"`` (the
+    cheap-hash scale twin, ``incremental_dedup_arrow`` precedent: an
+    8-byte long per window cuts the shingle-stream shuffle bytes
+    ~4-5×; identical output while collision-free — equality-pinned
+    vs the md5 form in pytest, measured deltas in SCALING.md round
+    10). At 64 bits a corpus needs ~10⁹⁺ distinct windows before
+    birthday collisions bite; a collision can only MERGE two cold
+    windows into a false-hot one, never lose a true duplicate.
 
     Output: (doc_id, total_chars, n_dup_spans, dup_chars, dup_frac)
     for every input document (zero-span docs included).
     """
+    hfn = F.xxhash64 if hasher == "xxhash64" else F.md5
     d = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("txt"),
@@ -1992,7 +2004,7 @@ def duplicate_char_spans(
                 F.sequence(F.lit(1), F.col("total_chars") - (k - 1)),
                 lambda i: F.struct(
                     i.alias("start"),
-                    F.md5(F.col("txt").substr(i, F.lit(k))).alias("h"),
+                    hfn(F.col("txt").substr(i, F.lit(k))).alias("h"),
                 ),
             )
         ).alias("s"),
