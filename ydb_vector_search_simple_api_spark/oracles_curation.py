@@ -1255,13 +1255,18 @@ def incremental_snapshot_loop_sql(
     chunk_size: int = 64,
     stride: int = 48,
     budget: int = 256,
+    semantic_threshold: float | None = None,
 ) -> str:
     """End-to-end twin of ``pipeline.incremental_snapshot_loop``: the
     same stage SQL the individual gate entries use (incremental
     screen, quality, within-incoming canonical election,
     decontamination, splits, pack rollup, embedding existence),
     chained as CTEs at loop scope — the ``curate_corpus`` pattern for
-    the whole snapshot loop."""
+    the whole snapshot loop. ``semantic_threshold`` mirrors the
+    opt-in embedding-cosine screen stage (round 10): per-pair
+    ROUND(6)ed cosine vs the existing corpus, max per incoming doc,
+    reject at >= threshold (the ``semantic_decontaminate`` double-math
+    and norm-factorization semantics)."""
     from .oracles_text import (
         NORM,
         chunk_documents_sql,
@@ -1287,6 +1292,42 @@ def incremental_snapshot_loop_sql(
     screened = (
         f"(i.is_exact_dup OR (COALESCE(nf.n_fps, 0) > 0 AND {cover}))"
     )
+    sem_cte = sem_join = ""
+    sem_cols = sem_out = ""
+    if semantic_threshold is not None:
+        from .oracles import _dot, _norm
+
+        cos = (
+            f"CASE WHEN {_norm('iv.vi')} * {_norm('xv.vx')} = 0 THEN NULL "
+            f"ELSE {_dot('iv.vi', 'xv.vx')} / ({_norm('iv.vi')} * {_norm('xv.vx')}) END"
+        )
+        sem_cte = f"""
+sem AS (
+  SELECT iv.doc_id,
+         max(ROUND({cos}, 6) + 0.0) AS max_cos_existing
+  FROM (
+    SELECT e.vec_id AS doc_id, e.embedding AS vi
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, {PREFIX_HEX}) >= '{thr}'
+  ) iv
+  CROSS JOIN (
+    SELECT e.embedding AS vx
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, {PREFIX_HEX}) < '{thr}'
+  ) xv
+  GROUP BY 1
+),"""
+        sem_join = "  LEFT JOIN sem sm ON sm.doc_id = i.doc_id\n"
+        sem_cols = (
+            "         sm.max_cos_existing,\n"
+            "         COALESCE(sm.max_cos_existing >= "
+            f"{semantic_threshold}, FALSE) AS semantic_dup,\n"
+        )
+        sem_out = "       f.max_cos_existing, f.semantic_dup,\n"
+        screened = (
+            f"({screened} OR COALESCE(sm.max_cos_existing >= "
+            f"{semantic_threshold}, FALSE))"
+        )
     return f"""
 WITH inc AS MATERIALIZED ({incremental_dedup_sql(existing_frac)}),
 quality AS ({quality_filter_sql(min_quality, min_tokens)}),
@@ -1314,14 +1355,14 @@ nfps AS (
   JOIN documents d ON d.doc_id = w.doc_id
   WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, {PREFIX_HEX}) >= '{thr}'
   GROUP BY w.doc_id
-),
+),{sem_cte}
 flags AS (
   SELECT i.doc_id, i.is_exact_dup, i.n_shared_fps,
          COALESCE(nf.n_fps, 0)::BIGINT AS n_fps,
          CASE WHEN COALESCE(nf.n_fps, 0) > 0
               THEN ROUND(i.n_shared_fps::DOUBLE / nf.n_fps::DOUBLE, 6) + 0.0
               ELSE 0.0 END AS fp_containment,
-         {screened} AS screened_out,
+{sem_cols}         {screened} AS screened_out,
          (q.doc_id IS NOT NULL) AS quality_ok,
          (NOT {screened})
            AND q.doc_id IS NOT NULL
@@ -1332,13 +1373,14 @@ flags AS (
   FROM inc i
   JOIN documents d ON d.doc_id = i.doc_id
   LEFT JOIN nfps nf ON nf.doc_id = i.doc_id
-  LEFT JOIN quality q ON q.doc_id = i.doc_id
+{sem_join}  LEFT JOIN quality q ON q.doc_id = i.doc_id
   LEFT JOIN canon c ON c.doc_id = i.doc_id
   LEFT JOIN contaminated x ON x.doc_id = i.doc_id
   LEFT JOIN splits s ON s.doc_id = i.doc_id
 )
 SELECT f.doc_id, f.is_exact_dup, f.n_shared_fps, f.n_fps,
-       f.fp_containment, f.screened_out,
+       f.fp_containment,
+{sem_out}       f.screened_out,
        f.quality_ok, f.admitted,
        CASE WHEN f.admitted THEN f.split END AS split,
        COALESCE(CASE WHEN f.admitted THEN p.n_bins END, 0)::BIGINT AS n_bins,

@@ -328,6 +328,7 @@ def stream_snapshot_loop(
     chunk_size: int = 64,
     stride: int = 48,
     budget: int = 256,
+    semantic_threshold: float | None = None,
 ) -> DataFrame:
     """The snapshot loop ON ARRIVAL — the streaming twin of
     ``operators.pipeline.incremental_snapshot_loop``: the incoming
@@ -353,6 +354,12 @@ def stream_snapshot_loop(
     winnowing, chunking); the static probe tables ship only
     hashes/fingerprints; the accumulated state is one 32-byte-hash
     parquet table.
+
+    ``semantic_threshold`` enables the batch form's opt-in embedding
+    cosine screen: the existing corpus's (vector, norm) table pins
+    once, each trigger semi-joins the vector lookup down to ITS docs,
+    broadcasts that delta, and streams the existing side through one
+    keyed max — per-trigger cost stays batch-sized.
     """
     from ..functions import text as TXT2
     from ..operators.curation import decontaminate_documents, pack_chunks
@@ -409,8 +416,45 @@ def stream_snapshot_loop(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    ex_vec = in_vec_all = None
+    if semantic_threshold is not None:
+        # semantic screen statics (the batch form's stage 1b): the
+        # existing corpus's vectors+norms pinned once; the vector
+        # lookup table for incoming docs pinned once (per trigger it
+        # is semi-joined down to the delta and BROADCAST — the
+        # existing side streams through one keyed max per trigger)
+        from ..functions.distance import l2_norm
+
+        embs_all = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+        ex_vec = (
+            embs_all.join(
+                existing.select("doc_id"),
+                embs_all["vec_id"] == F.col("doc_id"),
+            )
+            .select(
+                F.col("embedding").alias("vx"),
+                l2_norm(F.col("embedding")).alias("nx"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        in_vec_all = (
+            embs_all.join(
+                incoming.select("doc_id"),
+                embs_all["vec_id"] == F.col("doc_id"),
+            )
+            .select(
+                "doc_id",
+                F.col("embedding").alias("vi"),
+                l2_norm(F.col("embedding")).alias("ni"),
+            )
+            .localCheckpoint(eager=True)
+        )
 
     schema = incoming.schema
+    sem_cols = (
+        [] if semantic_threshold is None
+        else ["max_cos_existing", "semantic_dup"]
+    )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
@@ -470,7 +514,7 @@ def stream_snapshot_loop(
             seen = ss.read.parquet(seen_dir)
             elected = elected.join(seen, "content_hash", "left_anti")
         canon = elected.select("doc_id", F.lit(True).alias("canonical"))
-        flags = (
+        base = (
             exact.join(shared, "doc_id", "left")
             .join(nfps, "doc_id", "left")
             .withColumn("n_fps", F.coalesce("n_fps", F.lit(0)).cast("bigint"))
@@ -495,6 +539,35 @@ def stream_snapshot_loop(
                     + F.lit(0.0),
                 ).otherwise(F.lit(0.0)),
             )
+        )
+        if semantic_threshold is not None:
+            from ..functions.distance import dot
+
+            in_vec_b = in_vec_all.join(
+                b.select("doc_id"), "doc_id", "left_semi"
+            )
+            den = F.col("ni") * F.col("nx")
+            cs = F.round(
+                F.when(den == 0.0, F.lit(None).cast("double")).otherwise(
+                    dot(F.col("vi"), F.col("vx")) / den
+                ),
+                6,
+            ) + F.lit(0.0)
+            sem_b = (
+                ex_vec.join(F.broadcast(in_vec_b))
+                .withColumn("cs", cs)
+                .groupBy("doc_id")
+                .agg(F.max("cs").alias("max_cos_existing"))
+            )
+            base = base.join(sem_b, "doc_id", "left").withColumn(
+                "semantic_dup",
+                F.coalesce(
+                    F.col("max_cos_existing") >= F.lit(semantic_threshold),
+                    F.lit(False),
+                ),
+            )
+        flags = (
+            base
             .withColumn(
                 "screened_out",
                 # integer coverage test at the full threshold — the
@@ -507,6 +580,11 @@ def stream_snapshot_loop(
                         if fp_reject_frac >= 1.0
                         else (F.col("fp_containment") >= fp_reject_frac)
                     )
+                )
+                | (
+                    F.col("semantic_dup")
+                    if semantic_threshold is not None
+                    else F.lit(False)
                 ),
             )
             .withColumn(
@@ -543,6 +621,7 @@ def stream_snapshot_loop(
                 "n_shared_fps",
                 "n_fps",
                 "fp_containment",
+                *sem_cols,
                 "screened_out",
                 "quality_ok",
                 "admitted",
@@ -577,6 +656,7 @@ def stream_snapshot_loop(
     query.awaitTermination()
     return spark.read.parquet(os.path.join(out_dir, "batch=*")).select(
         "doc_id", "is_exact_dup", "n_shared_fps", "n_fps",
-        "fp_containment", "screened_out", "quality_ok", "admitted",
-        "split", "n_bins", "n_chunks", "n_pack_tokens", "indexed",
+        "fp_containment", *sem_cols, "screened_out", "quality_ok",
+        "admitted", "split", "n_bins", "n_chunks", "n_pack_tokens",
+        "indexed",
     )
