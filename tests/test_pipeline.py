@@ -245,6 +245,124 @@ def test_semantic_screen_catches_paraphrase(spark, tmp_path):
     assert sem[Q].max_cos_existing < 0.5
 
 
+def test_compaction_trigger_on_planted_drift(spark, tmp_path):
+    """Generation hygiene (VERDICT r9 #5): a planted incoming vector
+    far from every build-time centroid trips the drift rule
+    (max_assign_l2 > factor × baseline), the loop folds the store
+    into a fresh generation, records the decision in the maintenance
+    manifest, and the compacted generation serves IDENTICAL results
+    to the append-churned store; with a huge baseline the trigger
+    stays quiet and no generation is written."""
+    import hashlib
+    import json
+    import os
+
+    from ydb_vector_search_simple_api_spark.operators import index as ivf
+    from ydb_vector_search_simple_api_spark.operators.sampling import (
+        PREFIX_HEX,
+        _threshold_hex,
+    )
+
+    thr = _threshold_hex(0.9)
+
+    def is_incoming(i: int) -> bool:
+        return hashlib.md5(str(i).encode()).hexdigest()[:PREFIX_HEX] >= thr
+
+    ex_ids = [i for i in range(1000) if not is_incoming(i)][:3]
+    in_ids = [i for i in range(1000) if is_incoming(i)][:2]
+    E1, E2, E3 = ex_ids
+    P, Q = in_ids
+    texts = {
+        E1: "existing alpha document about harbour cranes and morning fog rolling in",
+        E2: "existing beta document covering railway timetables and signal maintenance",
+        E3: "existing gamma document on orchard irrigation and seasonal pruning notes",
+        P: "incoming delta document describing satellite telemetry and antenna drift",
+        Q: "incoming epsilon document summarizing library acquisitions and catalogues",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src1", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    vecs = {
+        E1: [1.0, 0.0, 0.0, 0.0],
+        E2: [0.9, 0.1, 0.0, 0.0],
+        E3: [0.0, 1.0, 0.0, 0.0],
+        P: [50.0, 50.0, 0.0, 0.0],  # far from every centroid -> drift
+        Q: [0.95, 0.05, 0.0, 0.0],
+    }
+    embs = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    embs.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    ex_vec_df = spark.createDataFrame(
+        [(i, vecs[i]) for i in (E1, E2, E3)],
+        "id long, embedding array<float>",
+    )
+    store = str(tmp_path / "ivf")
+    idx = ivf.build_ivf_index(spark, ex_vec_df, store, n_clusters=2)
+    gen_dir = str(tmp_path / "gen1")
+
+    pipeline.incremental_snapshot_loop(
+        spark, str(tmp_path), min_quality=0.0, min_tokens=1,
+        ivf_index=idx, ivf_store=store,
+        compact_baseline_l2=1.0, compact_factor=2.0,
+        compact_generation_dir=gen_dir,
+    ).collect()
+
+    decision = json.load(open(os.path.join(store, "_loop_maintenance.json")))
+    assert decision["compact_triggered"] and decision["rebuild_recommended"]
+    assert decision["generation_dir"] == gen_dir
+    assert decision["max_assign_l2"] > 2.0
+    assert decision["n_appended"] == 2  # P and Q both admitted
+
+    # generation fold: identical row set, identical serving results
+    old_rows = {
+        (r.id, tuple(r.embedding))
+        for r in spark.read.parquet(store).collect()
+    }
+    new_rows = {
+        (r.id, tuple(r.embedding))
+        for r in spark.read.parquet(gen_dir).collect()
+    }
+    assert new_rows == old_rows
+    gen_idx = ivf.load_ivf_index(gen_dir)
+    pre = [
+        tuple(r)
+        for r in ivf.ivf_search(
+            spark, idx, [1.0, 0.0, 0.0, 0.0], k=5,
+            strategy="CosineSimilarity", search_top_size=2,
+        ).collect()
+    ]
+    post = [
+        tuple(r)
+        for r in ivf.ivf_search(
+            spark, gen_idx, [1.0, 0.0, 0.0, 0.0], k=5,
+            strategy="CosineSimilarity", search_top_size=2,
+        ).collect()
+    ]
+    assert pre == post
+
+    # quiet case: same loop, baseline large enough that nothing drifts
+    store2 = str(tmp_path / "ivf_quiet")
+    idx2 = ivf.build_ivf_index(
+        spark, ex_vec_df, store2, n_clusters=2
+    )
+    gen2 = str(tmp_path / "gen2")
+    pipeline.incremental_snapshot_loop(
+        spark, str(tmp_path), min_quality=0.0, min_tokens=1,
+        ivf_index=idx2, ivf_store=store2,
+        compact_baseline_l2=1000.0, compact_factor=2.0,
+        compact_generation_dir=gen2,
+    ).collect()
+    quiet = json.load(open(os.path.join(store2, "_loop_maintenance.json")))
+    assert not quiet["compact_triggered"]
+    assert quiet["generation_dir"] is None
+    assert not os.path.exists(gen2)
+
+
 def test_curate_corpus_production_flags(spark):
     """The named-filter production config: admission is exactly the
     documented conjunction, splits only on admitted docs, and every

