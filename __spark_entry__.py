@@ -2206,6 +2206,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the generic-quality-score curation chain it modernizes; retired
     # driver-green r3-r9, keeps its own oracle here
     q["curate_corpus"] = curation.curate_corpus
+    # sibling: curate_corpus_production with the FULL Gopher
+    # conjunction ENFORCED (VERDICT r9 #7): the required-stopword rule
+    # binds via the corpus's own glue-word list at K=7 (the paper's
+    # rule SHAPE with the vocabulary this corpus actually has —
+    # ~55% stopword-pass at sf0.01, measured, so admission keeps real
+    # variance instead of rejecting everything)
+    q["curate_corpus_gopher_enforced"] = (
+        lambda s, d: pipeline_mod.curate_corpus_production(
+            s, d, enforce_gopher=True,
+            gopher_stopwords=textual.CORPUS_GLUE_STOPWORDS,
+            gopher_min_stopwords=7,
+        )
+    )
     # sibling: production_mix_report IN-CAP (round-10 rotation) —
     # Deequ-style expectations; retired driver-green r6-r9, keeps its
     # own oracle here (family in-cap via expectations_events)
@@ -2520,6 +2533,13 @@ def oracle_sql() -> dict[str, str]:
     o["c4_line_filter"] = oracles_text.c4_line_filter_sql()
     o["curate_corpus_production"] = (
         oracles_curation.curate_corpus_production_sql()
+    )
+    o["curate_corpus_gopher_enforced"] = (
+        oracles_curation.curate_corpus_production_sql(
+            enforce_gopher=True,
+            gopher_stopwords=textual.CORPUS_GLUE_STOPWORDS,
+            gopher_min_stopwords=7,
+        )
     )
     o["production_mix_report"] = oracles_curation.production_mix_report_sql()
     o["decontaminate_13gram"] = oracles_curation.decontaminate_sql(13, 0.1)

@@ -394,6 +394,41 @@ def test_curate_corpus_production_flags(spark):
     assert all(not r.gopher_keep for r in rows.values())
 
 
+def test_gopher_enforced_binds_with_variance(spark):
+    """The enforced Gopher variant (VERDICT r9 #7): with the corpus's
+    glue-word list at K=7 the stopword rule has real variance, the
+    full conjunction joins the admission AND (admitted ⊆ default
+    admitted ∩ gopher_keep), and admission is non-degenerate on both
+    sides."""
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        CORPUS_GLUE_STOPWORDS,
+    )
+
+    default = {
+        r.doc_id: r
+        for r in pipeline.curate_corpus_production(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    enforced = {
+        r.doc_id: r
+        for r in pipeline.curate_corpus_production(
+            spark, "/root/testdata/sf0.01", enforce_gopher=True,
+            gopher_stopwords=CORPUS_GLUE_STOPWORDS,
+            gopher_min_stopwords=7,
+        ).collect()
+    }
+    assert set(enforced) == set(default)
+    n_keep = sum(1 for r in enforced.values() if r.gopher_keep)
+    assert 0 < n_keep < len(enforced)  # the rule BINDS with variance
+    for did, r in enforced.items():
+        assert r.admitted == (default[did].admitted and r.gopher_keep)
+    n_adm = sum(1 for r in enforced.values() if r.admitted)
+    assert 0 < n_adm < sum(1 for r in default.values() if r.admitted)
+    # the paper's English list stays constant-false here (documented)
+    assert all(not r.gopher_keep for r in default.values())
+
+
 def test_production_mix_report_shares(spark):
     """Mix-manifest invariants: shares sum to 1 (to rounding), every
     cell's split is a real split, tokens and docs positive, and the

@@ -367,6 +367,9 @@ def curate_corpus_production(
     min_containment: float = 0.3,
     train: float = 0.8,
     valid: float = 0.1,
+    enforce_gopher: bool = False,
+    gopher_stopwords: tuple | None = None,
+    gopher_min_stopwords: int = 2,
 ) -> DataFrame:
     """The FineWeb/RefinedWeb-style production curation config, wired
     from the NAMED filters (round 9): C4 line rules + 5-gram-KN
@@ -376,13 +379,19 @@ def curate_corpus_production(
     :func:`operators.curation.curate_corpus` (which uses the generic
     quality score).
 
-    Per-doc columns: the Gopher conjunction is REPORTED but not
-    enforced (``gopher_keep``) — its required-stopword rule is
-    constant-false on this synthetic corpus (documented in
-    ``gopher_quality_report``), so binding it would make admission
-    degenerate; the enforced gates are ``c4_keep`` (the augmented line
-    rules), ``ppl_keep`` (head+middle KN5 tiles per source),
-    ``canonical``, NOT ``contaminated``, and source != 'src0'.
+    Per-doc columns: by default the Gopher conjunction is REPORTED but
+    not enforced (``gopher_keep``) — its required-stopword rule with
+    the paper's English list is constant-false on this synthetic
+    corpus (documented in ``gopher_quality_report``), so binding it
+    would make admission degenerate; the enforced gates are
+    ``c4_keep`` (the augmented line rules), ``ppl_keep`` (head+middle
+    KN5 tiles per source), ``canonical``, NOT ``contaminated``, and
+    source != 'src0'. With ``enforce_gopher=True`` (round 10, VERDICT
+    r9 #7) the FULL Gopher conjunction joins the admission AND —
+    pass ``gopher_stopwords``/``gopher_min_stopwords`` (e.g. the
+    corpus's own glue-word list, ``textual.CORPUS_GLUE_STOPWORDS`` at
+    K=7) so the stopword rule binds with real variance instead of
+    rejecting everything.
 
     Scale shape: every stage is the already-audited operator; the
     composition is doc_id-keyed joins over per-doc flag tables, the
@@ -393,7 +402,12 @@ def curate_corpus_production(
     from . import textual
     from .curation import decontaminate_documents
 
-    gopher = textual.gopher_quality_report(spark, sf_dir).select(
+    gopher_kw = {}
+    if gopher_stopwords is not None:
+        gopher_kw = dict(
+            stopwords=gopher_stopwords, min_stopwords=gopher_min_stopwords
+        )
+    gopher = textual.gopher_quality_report(spark, sf_dir, **gopher_kw).select(
         "doc_id", "gopher_keep"
     )
     c4 = textual.c4_line_filter(spark, sf_dir).select("doc_id", "c4_keep")
@@ -434,7 +448,8 @@ def curate_corpus_production(
             & F.col("ppl_keep")
             & F.col("canonical")
             & ~F.col("contaminated")
-            & (F.col("source") != "src0"),
+            & (F.col("source") != "src0")
+            & (F.col("gopher_keep") if enforce_gopher else F.lit(True)),
         )
         .select(
             "doc_id", "gopher_keep", "c4_keep", "ppl_keep", "canonical",

@@ -1399,11 +1399,15 @@ def curate_corpus_production_sql(
     min_containment: float = 0.3,
     train: float = 0.8,
     valid: float = 0.1,
+    enforce_gopher: bool = False,
+    gopher_stopwords: tuple | None = None,
+    gopher_min_stopwords: int = 2,
 ) -> str:
     """End-to-end twin of ``pipeline.curate_corpus_production`` — the
     named-filter curation config chained as CTEs: Gopher report, C4
     line filter, KN5 perplexity tiles, exact-dedup canonical,
-    decontamination, splits."""
+    decontamination, splits. ``enforce_gopher`` and the stopword
+    knobs mirror the operator's round-10 enforced variant."""
     from .oracles_text import (
         DEDUP_EXACT,
         c4_line_filter_sql,
@@ -1412,8 +1416,14 @@ def curate_corpus_production_sql(
     )
     from .operators.sampling import splits_sql
 
+    gq = (
+        gopher_quality_sql()
+        if gopher_stopwords is None
+        else gopher_quality_sql(gopher_stopwords, gopher_min_stopwords)
+    )
+    gopher_and = "AND g.gopher_keep" if enforce_gopher else ""
     return f"""
-WITH gopher AS ({gopher_quality_sql()}),
+WITH gopher AS ({gq}),
 c4 AS ({c4_line_filter_sql()}),
 ppl AS MATERIALIZED ({perplexity_buckets_kn5_sql()}),
 canon AS ({DEDUP_EXACT}),
@@ -1429,7 +1439,7 @@ flags AS (
          c.c4_keep AND COALESCE(p.keep, FALSE)
            AND k.keep_id IS NOT NULL
            AND x.doc_id IS NULL
-           AND d.source <> 'src0' AS admitted,
+           AND d.source <> 'src0' {gopher_and} AS admitted,
          s.split
   FROM documents d
   JOIN gopher g ON g.doc_id = d.doc_id

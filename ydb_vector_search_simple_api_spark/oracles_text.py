@@ -2518,9 +2518,20 @@ FROM r{iters} r JOIN deg d ON d.src = r.node
     )
 
 
-def gopher_quality_sql() -> str:
+def gopher_quality_sql(
+    stopwords: tuple = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+    min_stopwords: int = 2,
+) -> str:
     """Twin of ``textual.gopher_quality_report`` (Rae et al. 2021
-    rules, ROUND(6) ratios, identical keep conjunction)."""
+    rules, ROUND(6) ratios, identical keep conjunction; the
+    stopword list/threshold mirror the operator's round-10
+    parameterization)."""
+    req_sum = "\n          + ".join(
+        f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+        for w in stopwords
+    )
     return f"""
 WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 m AS (
@@ -2532,14 +2543,7 @@ m AS (
                / len(toks)::DOUBLE, 6) + 0.0 AS symbol_ratio,
          ROUND(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::DOUBLE
                / len(toks)::DOUBLE, 6) + 0.0 AS frac_alpha_words,
-         (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
-          + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
-          + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
-          + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
-          + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
-          + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
-          + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
-          + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END
+         ({req_sum}
          )::BIGINT AS n_req_stopwords
   FROM t
 )
@@ -2549,7 +2553,7 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_alpha_words,
         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
         AND symbol_ratio <= 0.1
         AND frac_alpha_words >= 0.8
-        AND n_req_stopwords >= 2) AS gopher_keep
+        AND n_req_stopwords >= {min_stopwords}) AS gopher_keep
 FROM m
 """
 
