@@ -2039,6 +2039,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["snapshot_loop_semantic"] = lambda s, d: pipeline_mod.incremental_snapshot_loop(
         s, d, semantic_threshold=0.42
     )
+    # sibling: snapshot_loop_semantic — the IVF-ROUTED candidate
+    # exchange form of the same stage (the 100 TB swap the broadcast
+    # docstring promises): existing vectors route once to a home
+    # cluster, the delta probes 2 of 8 centroids, only same-cluster
+    # pairs verify. Rows-only: the blocked max is a documented LOWER
+    # BOUND of the exact max (admission-only); the provable endpoint
+    # (probes == n_clusters ⇒ identical manifest) is pinned in
+    # tests/test_pipeline.py
+    q["snapshot_loop_semantic_blocked"] = (
+        lambda s, d: pipeline_mod.incremental_snapshot_loop(
+            s, d, semantic_threshold=0.42, semantic_probes=2,
+        )
+    )
     # the MAINTAINED-STATE path: screen against the on-disk
     # fingerprint store (built once, upserted per batch — the
     # ivf_upsert pattern for dedup state); must equal the recompute

@@ -245,6 +245,79 @@ def test_semantic_screen_catches_paraphrase(spark, tmp_path):
     assert sem[Q].max_cos_existing < 0.5
 
 
+def test_semantic_blocked_endpoint_equals_broadcast(spark):
+    """The IVF-routed semantic screen at probes == n_clusters probes
+    EVERY cluster, so its candidate set is complete and the manifest
+    must equal the broadcast (exact) form row-for-row — the provable
+    endpoint that licenses the blocked form as the 100 TB swap."""
+    exact = {
+        r.doc_id: r
+        for r in pipeline.incremental_snapshot_loop(
+            spark, SF_SMALL, semantic_threshold=0.42
+        ).collect()
+    }
+    blocked = {
+        r.doc_id: r
+        for r in pipeline.incremental_snapshot_loop(
+            spark, SF_SMALL, semantic_threshold=0.42,
+            semantic_probes=8, semantic_n_clusters=8,
+        ).collect()
+    }
+    assert set(blocked) == set(exact)
+    for did, r in exact.items():
+        assert tuple(blocked[did]) == tuple(r), did
+
+
+def test_semantic_blocked_catches_paraphrase(spark, tmp_path):
+    """Partial probes: the planted paraphrase embeds next to its
+    source, so they share a home cluster and the blocked screen
+    still rejects it."""
+    import hashlib
+
+    from ydb_vector_search_simple_api_spark.operators.sampling import (
+        PREFIX_HEX,
+        _threshold_hex,
+    )
+
+    thr = _threshold_hex(0.9)
+
+    def is_incoming(i: int) -> bool:
+        return hashlib.md5(str(i).encode()).hexdigest()[:PREFIX_HEX] >= thr
+
+    ex_ids = [i for i in range(1000) if not is_incoming(i)][:2]
+    in_ids = [i for i in range(1000) if is_incoming(i)][:1]
+    E1, E2 = ex_ids
+    P = in_ids[0]
+    docs = spark.createDataFrame(
+        [
+            (E1, "original passage on owls hauling copper lanterns at dusk", "en", "src1", 1),
+            (E2, "unrelated existing text about warehouse grain inventory", "en", "src1", 1),
+            (P, "reworded tale of night birds carrying metal lamps in twilight", "en", "src1", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    embs = spark.createDataFrame(
+        [
+            (E1, [1.0, 0.0, 0.0, 0.0], 0),
+            (E2, [0.0, 1.0, 0.0, 0.0], 1),
+            (P, [0.999, 0.04, 0.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    embs.write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r.doc_id: r
+        for r in pipeline.incremental_snapshot_loop(
+            spark, str(tmp_path), min_quality=0.0, min_tokens=1,
+            semantic_threshold=0.95, semantic_probes=1,
+            semantic_n_clusters=2,
+        ).collect()
+    }
+    assert out[P].semantic_dup and out[P].screened_out
+    assert out[P].max_cos_existing >= 0.95
+
+
 def test_compaction_trigger_on_planted_drift(spark, tmp_path):
     """Generation hygiene (VERDICT r9 #5): a planted incoming vector
     far from every build-time centroid trips the drift rule

@@ -85,6 +85,77 @@ from ..functions import text as TXT
 from ..sources.store import load_documents, load_embeddings
 
 
+def _route_pairs(
+    spark: SparkSession,
+    ex_vec: DataFrame,
+    in_vec: DataFrame,
+    n_clusters: int,
+    probes: int,
+    seed: int,
+) -> DataFrame:
+    """IVF-routed candidate pairs for the semantic screen: existing
+    rows (vx, nx) route ONCE to their home cluster, incoming rows
+    (doc_id, vi, ni) probe their ``probes`` nearest centroids, and
+    the join on cluster_id yields exactly the same-cluster pairs —
+    each (incoming doc, existing row) pair at most once, because an
+    existing row has ONE home cluster. Centroids come from a
+    deterministic KMeans fit over the existing side (the
+    ``semantic_dedup_blocked`` convention). The exchange ships the
+    existing side cluster-keyed once and broadcasts the delta-sized
+    exploded probe table; no cross product anywhere."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as T
+
+    feats = ex_vec.select(
+        array_to_vector(F.col("vx").cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="features"
+    ).fit(feats)
+    C = np.asarray(
+        [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+    )
+    k, dim = C.shape
+    p = min(int(probes), k)
+    c_sq = (C * C).sum(axis=1)
+
+    def _probe_fn(vecs):
+        out = []
+        for v in vecs:
+            if v is None or len(v) != dim:
+                out.append([])
+                continue
+            e = np.asarray(v, dtype=np.float64)
+            d2 = c_sq - 2.0 * (C @ e)
+            out.append(np.argpartition(d2, p - 1)[:p].tolist())
+        return pd.Series(out)
+
+    _probe = F.pandas_udf(_probe_fn, T.ArrayType(T.IntegerType()))
+
+    def _home_fn(vecs):
+        out = []
+        for v in vecs:
+            if v is None or len(v) != dim:
+                out.append(None)
+                continue
+            e = np.asarray(v, dtype=np.float64)
+            out.append(int((c_sq - 2.0 * (C @ e)).argmin()))
+        return pd.Series(out)
+
+    _home = F.pandas_udf(_home_fn, T.IntegerType())
+
+    ex_routed = ex_vec.withColumn("c", _home(F.col("vx"))).filter(
+        F.col("c").isNotNull()
+    )
+    in_routed = in_vec.select(
+        "doc_id", "vi", "ni", F.explode(_probe(F.col("vi"))).alias("c")
+    )
+    return ex_routed.join(F.broadcast(in_routed), "c").drop("c")
+
+
 def incremental_snapshot_loop(
     spark: SparkSession,
     sf_dir: str,
@@ -102,6 +173,9 @@ def incremental_snapshot_loop(
     ivf_index=None,
     ivf_store: str | None = None,
     semantic_threshold: float | None = None,
+    semantic_probes: int | None = None,
+    semantic_n_clusters: int = 8,
+    semantic_seed: int = 42,
     compact_baseline_l2: float | None = None,
     compact_factor: float = 2.0,
     compact_generation_dir: str | None = None,
@@ -112,6 +186,20 @@ def incremental_snapshot_loop(
     ``semantic_threshold`` is given, the embedding-cosine screen stage
     is enabled (adds ``max_cos_existing`` / ``semantic_dup`` evidence
     columns and ORs the reject into ``screened_out``).
+
+    ``semantic_probes`` switches the semantic stage from the
+    broadcast nested-loop (exact max, delta × corpus pairs) to the
+    IVF-ROUTED candidate exchange — the 100 TB form the broadcast
+    docstring promises, made real: existing vectors route once to
+    their home cluster (KMeans over the existing corpus,
+    ``semantic_n_clusters``/``semantic_seed`` deterministic), each
+    incoming vector probes its ``semantic_probes`` nearest centroids,
+    and only same-cluster pairs are cosine-verified. The blocked max
+    is a LOWER BOUND of the exact max (admission-only: a paraphrase
+    can only be missed, never invented), reaches the exact form at
+    ``semantic_probes == semantic_n_clusters`` (every cluster probed
+    ⇒ candidate set complete — pinned in pytest), and ships only
+    cluster-keyed rows: no corpus-wide cross product anywhere.
 
     Generation hygiene (round 10, VERDICT r9 #5): with
     ``compact_baseline_l2`` set, the upsert's drift stats feed the
@@ -215,12 +303,24 @@ def incremental_snapshot_loop(
             ),
             6,
         ) + F.lit(0.0)
-        sem = (
-            ex_vec.join(F.broadcast(in_vec))
-            .withColumn("cs", cs)
-            .groupBy("doc_id")
-            .agg(F.max("cs").alias("max_cos_existing"))
-        )
+        if semantic_probes is None:
+            sem = (
+                ex_vec.join(F.broadcast(in_vec))
+                .withColumn("cs", cs)
+                .groupBy("doc_id")
+                .agg(F.max("cs").alias("max_cos_existing"))
+            )
+        else:
+            sem = (
+                _route_pairs(
+                    spark, ex_vec, in_vec,
+                    n_clusters=semantic_n_clusters,
+                    probes=semantic_probes, seed=semantic_seed,
+                )
+                .withColumn("cs", cs)
+                .groupBy("doc_id")
+                .agg(F.max("cs").alias("max_cos_existing"))
+            )
         scr = scr.join(sem, "doc_id", "left").withColumn(
             "semantic_dup",
             F.coalesce(
