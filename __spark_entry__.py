@@ -1557,6 +1557,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["duplicate_char_spans_xx"] = lambda s, d: dedup.duplicate_char_spans(
         load_documents(s, d), hasher="xxhash64"
     )
+    # same twin for the actionable removal form (the canonical
+    # election and cleaned-stream digest are hash-type-independent
+    # while collision-free — shares the md5 oracle)
+    q["remove_duplicate_char_spans_xx"] = (
+        lambda s, d: dedup.remove_duplicate_char_spans(
+            load_documents(s, d), hasher="xxhash64"
+        )
+    )
     # sibling: duplicate_spans (Arrow factorize+rolling-hash shingling
     # — same winnowing-style fast/oracle split; rows-only because the
     # 64-bit hash differs from the md5 twin by design, equality with
@@ -2533,6 +2541,9 @@ def oracle_sql() -> dict[str, str]:
     # the xxhash64 twin's output carries no hash column and 64-bit
     # collisions are absent at gate scale => shares the md5 twin
     o["duplicate_char_spans_xx"] = oracles_text.duplicate_char_spans_sql(40)
+    o["remove_duplicate_char_spans_xx"] = (
+        oracles_text.remove_duplicate_char_spans_sql(40)
+    )
     o["remove_duplicate_char_spans"] = (
         oracles_text.remove_duplicate_char_spans_sql(40)
     )

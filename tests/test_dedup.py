@@ -486,6 +486,19 @@ def test_duplicate_char_spans_xx_equals_md5(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert any(r.n_dup_spans > 0 for r in a)  # non-degenerate corpus
 
+    ra = sorted(
+        dedup.remove_duplicate_char_spans(docs, k=40).collect(),
+        key=lambda r: r.doc_id,
+    )
+    rb = sorted(
+        dedup.remove_duplicate_char_spans(
+            docs, k=40, hasher="xxhash64"
+        ).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [tuple(r) for r in ra] == [tuple(r) for r in rb]
+    assert any(r.removed_chars > 0 for r in ra)
+
 
 def test_remove_duplicate_char_spans_keeps_first_occurrence(spark):
     """Keep-first semantics at char grain, and the complement-segment

@@ -2026,6 +2026,7 @@ def remove_duplicate_char_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 40,
+    hasher: str = "md5",
 ) -> DataFrame:
     """The actionable form of :func:`duplicate_char_spans`, sharing
     :func:`remove_duplicate_spans`'s island/removal contract at char
@@ -2041,8 +2042,16 @@ def remove_duplicate_char_spans(
     of the original string with ``substr`` — O(islands) codegen string
     ops per doc, no per-char explode, no Python.
 
+    ``hasher``: the :func:`duplicate_char_spans` contract — the
+    window hash only names equality classes (the canonical election
+    and the output digest are hash-type-independent while
+    collision-free), so the ``"xxhash64"`` twin cuts the same
+    shingle-exchange bytes and shares the md5 oracle (equality pinned
+    in pytest).
+
     Output: (doc_id, total_chars, removed_chars, kept_md5).
     """
+    hfn = F.xxhash64 if hasher == "xxhash64" else F.md5
     d = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("txt"),
@@ -2055,7 +2064,7 @@ def remove_duplicate_char_spans(
                 F.sequence(F.lit(1), F.col("total_chars") - (k - 1)),
                 lambda i: F.struct(
                     i.alias("start"),
-                    F.md5(F.col("txt").substr(i, F.lit(k))).alias("h"),
+                    hfn(F.col("txt").substr(i, F.lit(k))).alias("h"),
                 ),
             )
         ).alias("s"),
