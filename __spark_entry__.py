@@ -2223,6 +2223,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # augmentation with a cleaned-stream md5
     q["gopher_quality"] = textual.gopher_quality_report
     q["c4_line_filter"] = textual.c4_line_filter
+    # sibling: c4_line_filter (round 10) — CCNet-style corpus-wide
+    # duplicated-line removal (Wenzek et al. 2020: line dedup IS the
+    # boilerplate filter); the line-grain op that needs the
+    # corpus-wide aggregate the per-doc C4 rules don't have. Cleaned
+    # stream digested, oracle verifies the reconstruction
+    q["line_dedup"] = textual.line_dedup
     # sibling: curate_corpus_production IN-CAP (round-10 rotation) —
     # the generic-quality-score curation chain it modernizes; retired
     # driver-green r3-r9, keeps its own oracle here
@@ -2555,6 +2561,7 @@ def oracle_sql() -> dict[str, str]:
     o["kneser_ney5_modified"] = oracles_text.kneser_ney5_modified_sql()
     o["gopher_quality"] = oracles_text.gopher_quality_sql()
     o["c4_line_filter"] = oracles_text.c4_line_filter_sql()
+    o["line_dedup"] = oracles_text.line_dedup_sql()
     o["curate_corpus_production"] = (
         oracles_curation.curate_corpus_production_sql()
     )

@@ -785,6 +785,48 @@ def test_gopher_quality_rules(spark, tmp_path):
     assert not r[4].gopher_keep and r[4].mean_word_len > 10
 
 
+def test_line_dedup_brute_force(spark):
+    """CCNet-style corpus-wide line dedup: equality with a driver-side
+    brute-force recompute over the same augmentation (corpus line
+    counts -> drop EVERY occurrence of a >=2-count line -> digest),
+    plus the planted-boilerplate property: every lorem-carrying doc
+    (doc_id % 17 == 0) loses that injected line because other docs
+    carry the identical string."""
+    import hashlib
+    from collections import Counter
+
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        attach_lines,
+        line_dedup,
+    )
+    from ydb_vector_search_simple_api_spark.sources.store import (
+        load_documents,
+    )
+
+    out = {r.doc_id: r for r in line_dedup(spark, SF_SMALL).collect()}
+    aug = {
+        r.doc_id: r.ltext.split("\n")
+        for r in attach_lines(load_documents(spark, SF_SMALL))
+        .select("doc_id", "ltext")
+        .collect()
+    }
+    counts = Counter(l for lines in aug.values() for l in lines)
+    lorem = "lorem ipsum dolor sit amet consectetur adipiscing elit."
+    assert counts[lorem] >= 2  # the planted boilerplate IS corpus-hot
+    n_removed_docs = 0
+    for did, r in out.items():
+        lines = aug[did]
+        kept = [l for l in lines if counts[l] < 2]
+        assert r.n_lines == len(lines)
+        assert r.n_dup_lines == len(lines) - len(kept)
+        assert r.kept_md5 == hashlib.md5("\n".join(kept).encode()).hexdigest()
+        if did % 17 == 0:
+            assert r.n_dup_lines >= 1  # the lorem line is gone
+        n_removed_docs += r.n_dup_lines > 0
+    assert 0 < n_removed_docs  # non-degenerate
+    assert any(r.n_dup_lines == 0 for r in out.values())
+
+
 def test_c4_line_filter_rules(spark):
     """The C4 rules over the deterministic augmentation: lorem pages
     rejected, policy lines never in the kept stream, unpunctuated or

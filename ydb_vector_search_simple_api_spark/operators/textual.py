@@ -2032,6 +2032,69 @@ def attach_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def line_dedup(
+    spark: SparkSession, sf_dir: str, min_occ: int = 2
+) -> DataFrame:
+    """CCNet-style corpus-wide duplicated-LINE removal (Wenzek et al.
+    2020 §3.1 — "deduplicating lines removes boilerplate": headers,
+    footers, navigation, cookie banners dominate crawl bytes and
+    repeat VERBATIM across pages). Over the deterministic line
+    augmentation (:func:`attach_lines` — shared with the C4 rules):
+    a line whose exact content occurs ≥ ``min_occ`` times in the
+    CORPUS is boilerplate and every occurrence is dropped — no
+    keep-first election, deliberately unlike :func:`dedup.paragraph_
+    dedup` (which elects a canonical copy of content-bearing text):
+    boilerplate has no canonical carrier, the signal IS the
+    repetition. Complements :func:`c4_line_filter`, whose rules are
+    purely per-doc — this is the line-grain op that needs the
+    corpus-wide aggregate.
+
+    Plan shape: the line TEXT never shuffles — the corpus-sized
+    exchanges carry (doc_id, md5) line-hash rows (hash-keyed count
+    with map-side combine), the hot set joins back hash-keyed, and
+    each doc's removal set returns as one collect_set row joined on
+    doc_id; reassembly is a per-doc array filter in codegen against
+    the doc's own hot-hash array. The cleaned stream is digested
+    (``kept_md5``) so the oracle verifies the reconstruction
+    byte-for-byte.
+
+    Output: (doc_id, n_lines, n_dup_lines, kept_md5) for every doc
+    (zero-removal docs included; ``n_dup_lines`` counts occurrences).
+    """
+    d = attach_lines(load_documents(spark, sf_dir)).select(
+        "doc_id", F.split(F.col("ltext"), "\n").alias("lines")
+    )
+    hs = d.select(
+        "doc_id",
+        F.explode(F.transform("lines", lambda l: F.md5(l))).alias("h"),
+    )
+    hot = (
+        hs.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occ)
+        .select("h")
+    )
+    doc_hot = (
+        hs.join(hot, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hot_hs"))
+    )
+    joined = d.join(doc_hot, "doc_id", "left").withColumn(
+        "hot_hs",
+        F.coalesce("hot_hs", F.array().cast("array<string>")),
+    )
+    kept = F.filter(
+        F.col("lines"),
+        lambda l: ~F.array_contains(F.col("hot_hs"), F.md5(l)),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        (F.size("lines") - F.size(kept)).cast("bigint").alias("n_dup_lines"),
+        F.md5(F.concat_ws("\n", kept)).alias("kept_md5"),
+    )
+
+
 def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4 cleaning rules (Raffel et al. 2020 §2.2) over the
     deterministic line augmentation: keep only lines with ≥ 5 words

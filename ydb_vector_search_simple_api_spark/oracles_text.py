@@ -2558,15 +2558,12 @@ FROM m
 """
 
 
-def c4_line_filter_sql() -> str:
-    """Twin of ``textual.c4_line_filter`` — rebuilds the IDENTICAL
-    line augmentation (8-token lines, (doc_id+i)%3 punctuation,
-    deterministic lorem/brace/policy injections), applies the same
-    line rules, digests the same surviving stream."""
+def built_lines_sql() -> str:
+    """The deterministic line augmentation (``textual.attach_lines``)
+    as a standalone SELECT — (doc_id, ltext) — shared by every
+    line-grain oracle (C4 rules, corpus-wide line dedup)."""
     nl = "chr(10)"
     return f"""
-WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-built AS (
   SELECT doc_id,
          array_to_string(
            list_concat(
@@ -2587,8 +2584,45 @@ built AS (
                  THEN 'all rights reserved read our privacy policy here.' END
              ], x -> x IS NOT NULL)
            ), {nl}) AS ltext
-  FROM d
+  FROM (SELECT doc_id, {TOKS} AS toks FROM documents)"""
+
+
+def line_dedup_sql(min_occ: int = 2) -> str:
+    """Twin of ``textual.line_dedup`` — same line augmentation, same
+    corpus-wide md5 line count, same drop-every-occurrence rule, same
+    cleaned-stream digest."""
+    nl = "chr(10)"
+    keep = (
+        "list_filter(l.lines, x -> NOT "
+        "list_contains(COALESCE(dh.hot_hs, []::VARCHAR[]), md5(x)))"
+    )
+    return f"""
+WITH built AS ({built_lines_sql()}),
+l AS (SELECT doc_id, string_split(ltext, {nl}) AS lines FROM built),
+hx AS (
+  SELECT doc_id, unnest(list_transform(lines, x -> md5(x))) AS h FROM l
 ),
+hot AS (SELECT h FROM hx GROUP BY h HAVING count(*) >= {min_occ}),
+dh AS (
+  SELECT hx.doc_id, list(DISTINCT hx.h) AS hot_hs
+  FROM hx JOIN hot USING (h) GROUP BY hx.doc_id
+)
+SELECT l.doc_id,
+       len(l.lines)::BIGINT AS n_lines,
+       (len(l.lines) - len({keep}))::BIGINT AS n_dup_lines,
+       md5(COALESCE(array_to_string({keep}, {nl}), '')) AS kept_md5
+FROM l LEFT JOIN dh ON dh.doc_id = l.doc_id
+"""
+
+
+def c4_line_filter_sql() -> str:
+    """Twin of ``textual.c4_line_filter`` — rebuilds the IDENTICAL
+    line augmentation (8-token lines, (doc_id+i)%3 punctuation,
+    deterministic lorem/brace/policy injections), applies the same
+    line rules, digests the same surviving stream."""
+    nl = "chr(10)"
+    return f"""
+WITH built AS ({built_lines_sql()}),
 r AS (
   SELECT doc_id, ltext,
          string_split(ltext, {nl}) AS lines,
