@@ -2060,6 +2060,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, semantic_threshold=0.42, semantic_probes=2,
         )
     )
+    # sibling: incremental_snapshot_loop at the PRODUCTION quality
+    # gate (round 10): the FineWeb-recipe conjunction (C4 line rules
+    # AND KN5 perplexity tiles — curate_corpus_production's enforced
+    # gates) swapped in for the generic quality score, same manifest
+    # schema, same CTE-chain oracle with the quality CTE swapped —
+    # the whole modern curation recipe running as ONE incremental
+    # loop per crawl snapshot
+    q["snapshot_loop_production"] = (
+        lambda s, d: pipeline_mod.incremental_snapshot_loop(
+            s, d, quality_gate="production"
+        )
+    )
     # the MAINTAINED-STATE path: screen against the on-disk
     # fingerprint store (built once, upserted per batch — the
     # ivf_upsert pattern for dedup state); must equal the recompute
@@ -2790,6 +2802,11 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     o["snapshot_loop_semantic"] = (
         oracles_curation.incremental_snapshot_loop_sql(
             semantic_threshold=0.42
+        )
+    )
+    o["snapshot_loop_production"] = (
+        oracles_curation.incremental_snapshot_loop_sql(
+            quality_gate="production"
         )
     )
     o["contrastive_pairs"] = oracles_curation.contrastive_pairs_sql()

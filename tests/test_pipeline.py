@@ -467,6 +467,44 @@ def test_curate_corpus_production_flags(spark):
     assert all(not r.gopher_keep for r in rows.values())
 
 
+def test_snapshot_loop_production_gate(spark):
+    """The loop at the production quality gate: quality_ok must equal
+    the C4 AND KN5-tile conjunction from the standalone named filters,
+    the manifest schema is identical to the generic loop, and
+    admission is non-degenerate."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators import textual
+
+    sf = "/root/testdata/sf0.01"
+    prod = {
+        r.doc_id: r
+        for r in pipeline.incremental_snapshot_loop(
+            spark, sf, quality_gate="production"
+        ).collect()
+    }
+    generic = pipeline.incremental_snapshot_loop(spark, sf)
+    assert [f.name for f in generic.schema.fields] == list(
+        next(iter(prod.values())).asDict().keys()
+    )
+    c4 = {
+        r.doc_id: r.c4_keep
+        for r in textual.c4_line_filter(spark, sf)
+        .select("doc_id", "c4_keep")
+        .collect()
+    }
+    ppl = {
+        r.doc_id: r.keep
+        for r in textual.perplexity_buckets_kn5(spark, sf)
+        .select("doc_id", "keep")
+        .collect()
+    }
+    for did, r in prod.items():
+        assert r.quality_ok == (c4[did] and ppl.get(did, False)), did
+    n_adm = sum(1 for r in prod.values() if r.admitted)
+    assert 0 < n_adm < len(prod)
+
+
 def test_gopher_enforced_binds_with_variance(spark):
     """The enforced Gopher variant (VERDICT r9 #7): with the corpus's
     glue-word list at K=7 the stopword rule has real variance, the

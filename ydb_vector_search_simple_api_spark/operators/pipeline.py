@@ -179,6 +179,7 @@ def incremental_snapshot_loop(
     compact_baseline_l2: float | None = None,
     compact_factor: float = 2.0,
     compact_generation_dir: str | None = None,
+    quality_gate: str = "generic",
 ) -> DataFrame:
     """One manifest row per incoming document (columns above). When
     ``ivf_index``/``ivf_store`` are given, the admitted embeddings are
@@ -237,10 +238,33 @@ def incremental_snapshot_loop(
         spark, sf_dir, existing_frac=existing_frac, include_n_fps=True
     ).localCheckpoint(eager=True)
 
-    # stage 2 — curation flags (each stage is its own gate-checked op)
-    quality = quality_filter(
-        spark, sf_dir, min_quality=min_quality, min_tokens=min_tokens
-    ).select("doc_id", F.lit(True).alias("quality_ok"))
+    # stage 2 — curation flags (each stage is its own gate-checked op).
+    # quality_gate="production" swaps the generic score for the
+    # FineWeb-recipe gate (C4 line rules AND KN5 perplexity tiles —
+    # the curate_corpus_production conjunction) while keeping the
+    # manifest schema IDENTICAL: quality_ok is the gate verdict
+    # whichever gate computed it, so the loop-at-production-config is
+    # the same hash-checked composition, not a schema fork
+    if quality_gate == "production":
+        from . import textual as textual_mod
+
+        quality = (
+            textual_mod.c4_line_filter(spark, sf_dir)
+            .select("doc_id", "c4_keep")
+            .join(
+                textual_mod.perplexity_buckets_kn5(spark, sf_dir).select(
+                    "doc_id", F.col("keep").alias("ppl_keep")
+                ),
+                "doc_id",
+                "left",
+            )
+            .filter(F.col("c4_keep") & F.coalesce("ppl_keep", F.lit(False)))
+            .select("doc_id", F.lit(True).alias("quality_ok"))
+        )
+    else:
+        quality = quality_filter(
+            spark, sf_dir, min_quality=min_quality, min_tokens=min_tokens
+        ).select("doc_id", F.lit(True).alias("quality_ok"))
     # canonical WITHIN the incoming batch: min doc_id per content hash
     canon = (
         incoming.select(

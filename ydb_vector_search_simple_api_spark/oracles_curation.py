@@ -1256,6 +1256,7 @@ def incremental_snapshot_loop_sql(
     stride: int = 48,
     budget: int = 256,
     semantic_threshold: float | None = None,
+    quality_gate: str = "generic",
 ) -> str:
     """End-to-end twin of ``pipeline.incremental_snapshot_loop``: the
     same stage SQL the individual gate entries use (incremental
@@ -1328,9 +1329,26 @@ sem AS (
             f"({screened} OR COALESCE(sm.max_cos_existing >= "
             f"{semantic_threshold}, FALSE))"
         )
+    if quality_gate == "production":
+        from .oracles_text import (
+            c4_line_filter_sql,
+            perplexity_buckets_kn5_sql,
+        )
+
+        # the production gate: C4 line rules AND KN5 perplexity tiles
+        # (MATERIALIZED — the KN5 chain re-inlines catastrophically
+        # otherwise, the kneser_ney5 twin's documented DuckDB rule)
+        quality_cte = f"""quality AS MATERIALIZED (
+  SELECT c.doc_id
+  FROM ({c4_line_filter_sql()}) c
+  LEFT JOIN ({perplexity_buckets_kn5_sql()}) p ON p.doc_id = c.doc_id
+  WHERE c.c4_keep AND COALESCE(p.keep, FALSE)
+)"""
+    else:
+        quality_cte = f"quality AS ({quality_filter_sql(min_quality, min_tokens)})"
     return f"""
 WITH inc AS MATERIALIZED ({incremental_dedup_sql(existing_frac)}),
-quality AS ({quality_filter_sql(min_quality, min_tokens)}),
+{quality_cte},
 canon AS (
   SELECT min(doc_id) AS doc_id
   FROM (
