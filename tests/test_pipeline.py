@@ -505,6 +505,30 @@ def test_snapshot_loop_production_gate(spark):
     assert 0 < n_adm < len(prod)
 
 
+def test_production_gate_streaming_twin_equals_batch(spark):
+    """Drained == batch also at the production quality gate (the
+    static C4∧KN5 verdict table pins once, per-trigger joins only)."""
+    from ydb_vector_search_simple_api_spark.streaming.curation_ingest import (
+        stream_snapshot_loop,
+    )
+
+    batch = {
+        r.doc_id: r
+        for r in pipeline.incremental_snapshot_loop(
+            spark, SF_SMALL, quality_gate="production"
+        ).collect()
+    }
+    drained = {
+        r.doc_id: r
+        for r in stream_snapshot_loop(
+            spark, SF_SMALL, quality_gate="production"
+        ).collect()
+    }
+    assert set(drained) == set(batch)
+    for did, r in batch.items():
+        assert tuple(drained[did]) == tuple(r), did
+
+
 def test_gopher_enforced_binds_with_variance(spark):
     """The enforced Gopher variant (VERDICT r9 #7): with the corpus's
     glue-word list at K=7 the stopword rule has real variance, the

@@ -329,6 +329,7 @@ def stream_snapshot_loop(
     stride: int = 48,
     budget: int = 256,
     semantic_threshold: float | None = None,
+    quality_gate: str = "generic",
 ) -> DataFrame:
     """The snapshot loop ON ARRIVAL — the streaming twin of
     ``operators.pipeline.incremental_snapshot_loop``: the incoming
@@ -360,6 +361,12 @@ def stream_snapshot_loop(
     once, each trigger semi-joins the vector lookup down to ITS docs,
     broadcasts that delta, and streams the existing side through one
     keyed max — per-trigger cost stays batch-sized.
+
+    ``quality_gate="production"`` mirrors the batch form's FineWeb
+    gate (C4 line rules AND KN5 perplexity tiles): both are static
+    per-doc functions of the corpus, so the verdict table pins ONCE
+    beside the other probe tables and each trigger joins its docs
+    against it — the KN5 pass never re-runs per trigger.
     """
     from ..functions import text as TXT2
     from ..operators.curation import decontaminate_documents, pack_chunks
@@ -455,19 +462,47 @@ def stream_snapshot_loop(
         [] if semantic_threshold is None
         else ["max_cos_existing", "semantic_dup"]
     )
+    quality_static = None
+    if quality_gate == "production":
+        # the production gate's verdicts are static per-doc functions
+        # of the corpus — pin the conjunction once, join per trigger
+        # (the KN5 scoring pass runs exactly once, not per batch)
+        from ..operators import textual as textual_mod
+
+        quality_static = (
+            textual_mod.c4_line_filter(spark, sf_dir)
+            .select("doc_id", "c4_keep")
+            .join(
+                textual_mod.perplexity_buckets_kn5(spark, sf_dir).select(
+                    "doc_id", F.col("keep").alias("ppl_keep")
+                ),
+                "doc_id",
+                "left",
+            )
+            .filter(F.col("c4_keep") & F.coalesce("ppl_keep", F.lit(False)))
+            .select("doc_id", F.lit(True).alias("q_static"))
+            .localCheckpoint(eager=True)
+        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
         b = batch_df.withColumn(
             "content_hash", TXT2.content_fingerprint("text")
-        ).withColumn(
-            "quality_ok",
-            F.coalesce(
-                (F.round(TXT2.quality_score("text"), 6) + F.lit(0.0) >= min_quality)
-                & (TXT2.token_count("text") >= min_tokens),
-                F.lit(False),
-            ),
-        ).withColumn(
+        )
+        if quality_static is not None:
+            b = b.join(quality_static, "doc_id", "left").withColumn(
+                "quality_ok", F.coalesce("q_static", F.lit(False))
+            ).drop("q_static")
+        else:
+            b = b.withColumn(
+                "quality_ok",
+                F.coalesce(
+                    (F.round(TXT2.quality_score("text"), 6) + F.lit(0.0) >= min_quality)
+                    & (TXT2.token_count("text") >= min_tokens),
+                    F.lit(False),
+                ),
+            )
+        b = b.withColumn(
             "split",
             F.when(_draw(F.col("doc_id")) < F.lit(t1), F.lit("train"))
             .when(_draw(F.col("doc_id")) < F.lit(t2), F.lit("valid"))
