@@ -82,7 +82,7 @@ def test_partial_targets_pick_min_est_bytes(recs, curves, spark):
         if layout == "graph_beam":
             return knob * (4 * d + 8 * kw["gann_idx"].m)
         bpv = {
-            "bq_hamming": 8,
+            "bq_hamming": 8 * kw["bq_idx"].n_words,
             "pq_adc": kw["pq_idx"].m,
             "opq_adc": kw["opq_idx"].pq.m,
             "sq8": d,

@@ -59,13 +59,37 @@ from ..sources.store import load_embeddings
 EXACT_CUTOFF = 100_000
 PQ_DIM_CUTOFF = 256
 
-#: session memo of measured curve rows keyed by (sf_dir, index paths,
-#: knob config) — the corpus and every index are immutable per key, so
-#: the measurement is a pure function of it (the kn5_scores_cached
-#: contract); ann_autoconfig and the ann_layout_curves gate entry
-#: share ONE measurement pass per session instead of re-serving every
-#: (layout, knob) point twice
+#: session memo of measured curve rows keyed by (sf_dir, per-index
+#: on-disk fingerprints, knob config) — the measurement is a pure
+#: function of that key (the kn5_scores_cached contract; the
+#: fingerprint component invalidates the memo when maintenance ops
+#: mutate a store in place); ann_autoconfig and the ann_layout_curves
+#: gate entry share ONE measurement pass per session instead of
+#: re-serving every (layout, knob) point twice
 _CURVES_CACHE: dict[tuple, list] = {}
+
+
+def _index_sig(idx) -> tuple:
+    """Cache-key component for one index: its path plus a cheap
+    on-disk fingerprint (file count + total bytes). Index DIRECTORIES
+    are mutable in place (ivf_upsert appends, tombstones delete,
+    compaction rewrites), so path identity alone would replay stale
+    curves after maintenance — the fingerprint invalidates the memo
+    whenever the store's file set changes."""
+    import os
+
+    path = getattr(idx, "path", None)
+    if path is None or not os.path.isdir(path):
+        return (path, None, None)
+    n_files = total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            n_files += 1
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return (path, n_files, total)
 
 
 def ann_autoconfig(
@@ -138,8 +162,14 @@ def ann_autoconfig(
         if sup is not None:
             full_knob[lo] = n
     #: per-layout scan footprint per stored vector (bytes)
-    scan_bpv = {"ivf_flat": 4 * d, "kmeans_tree": 4 * d, "bq_hamming": 8,
-                "sq8": d}
+    scan_bpv = {"ivf_flat": 4 * d, "kmeans_tree": 4 * d, "sq8": d}
+    if bq_idx is not None:
+        # ceil(d/64) packed int64 words per row — 8 bytes only at
+        # d <= 64; understating this at higher dim would wrongly
+        # favor the sign-bit scan in the competition
+        scan_bpv["bq_hamming"] = 8 * int(bq_idx.n_words)
+    else:
+        scan_bpv["bq_hamming"] = 8 * ((d + 63) // 64)
     if pq_idx is not None:
         scan_bpv["pq_adc"] = int(pq_idx.m)
     if opq_idx is not None:
@@ -277,13 +307,13 @@ def ann_layout_curves(
 
     cache_key = (
         sf_dir,
-        getattr(ivf_idx, "path", None),
-        getattr(tree_idx, "path", None),
-        getattr(bq_idx, "path", None),
-        getattr(pq_idx, "path", None),
-        getattr(opq_idx, "path", None),
-        getattr(sq_idx, "path", None),
-        getattr(gann_idx, "path", None),
+        _index_sig(ivf_idx),
+        _index_sig(tree_idx),
+        _index_sig(bq_idx),
+        _index_sig(pq_idx),
+        _index_sig(opq_idx),
+        _index_sig(sq_idx),
+        _index_sig(gann_idx),
         k, n_queries, round_digits,
     )
     if cache_key in _CURVES_CACHE:

@@ -85,6 +85,45 @@ from ..functions import text as TXT
 from ..sources.store import load_documents, load_embeddings
 
 
+def production_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production quality gate's verdict table — (doc_id,
+    quality_ok=True) for docs clearing the FineWeb-recipe conjunction
+    (C4 line rules AND KN5 perplexity tiles). ONE definition shared by
+    the batch loop and the streaming twin: the drained==batch pin
+    holds because both sides call this, not two hand-synced copies."""
+    from . import textual as textual_mod
+
+    return (
+        textual_mod.c4_line_filter(spark, sf_dir)
+        .select("doc_id", "c4_keep")
+        .join(
+            textual_mod.perplexity_buckets_kn5(spark, sf_dir).select(
+                "doc_id", F.col("keep").alias("ppl_keep")
+            ),
+            "doc_id",
+            "left",
+        )
+        .filter(F.col("c4_keep") & F.coalesce("ppl_keep", F.lit(False)))
+        .select("doc_id", F.lit(True).alias("quality_ok"))
+    )
+
+
+def pair_cosine_col():
+    """The semantic screen's per-pair score — ROUND(6)+0.0 cosine over
+    pre-factorized norms (columns vi/ni × vx/nx), NULL at zero norm.
+    Shared by the batch loop and the streaming twin so the pinned
+    parity can't drift."""
+    from ..functions.distance import dot
+
+    den = F.col("ni") * F.col("nx")
+    return F.round(
+        F.when(den == 0.0, F.lit(None).cast("double")).otherwise(
+            dot(F.col("vi"), F.col("vx")) / den
+        ),
+        6,
+    ) + F.lit(0.0)
+
+
 def _route_pairs(
     spark: SparkSession,
     ex_vec: DataFrame,
@@ -246,21 +285,7 @@ def incremental_snapshot_loop(
     # whichever gate computed it, so the loop-at-production-config is
     # the same hash-checked composition, not a schema fork
     if quality_gate == "production":
-        from . import textual as textual_mod
-
-        quality = (
-            textual_mod.c4_line_filter(spark, sf_dir)
-            .select("doc_id", "c4_keep")
-            .join(
-                textual_mod.perplexity_buckets_kn5(spark, sf_dir).select(
-                    "doc_id", F.col("keep").alias("ppl_keep")
-                ),
-                "doc_id",
-                "left",
-            )
-            .filter(F.col("c4_keep") & F.coalesce("ppl_keep", F.lit(False)))
-            .select("doc_id", F.lit(True).alias("quality_ok"))
-        )
+        quality = production_quality_flags(spark, sf_dir)
     else:
         quality = quality_filter(
             spark, sf_dir, min_quality=min_quality, min_tokens=min_tokens
@@ -303,7 +328,7 @@ def incremental_snapshot_loop(
         # broadcast; the existing side streams through one keyed max —
         # no shuffle of the corpus, nothing corpus-sized collected.
         # Per-pair ROUND(6) before the max (order-free, oracle-exact).
-        from ..functions.distance import dot, l2_norm
+        from ..functions.distance import l2_norm
 
         embs_all = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
         ex_vec = embs_all.join(
@@ -320,13 +345,7 @@ def incremental_snapshot_loop(
             F.col("embedding").alias("vi"),
             l2_norm(F.col("embedding")).alias("ni"),
         )
-        denom = F.col("ni") * F.col("nx")
-        cs = F.round(
-            F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(
-                dot(F.col("vi"), F.col("vx")) / denom
-            ),
-            6,
-        ) + F.lit(0.0)
+        cs = pair_cosine_col()
         if semantic_probes is None:
             sem = (
                 ex_vec.join(F.broadcast(in_vec))
@@ -373,7 +392,7 @@ def incremental_snapshot_loop(
                 (F.col("n_fps") > 0)
                 & (
                     (F.col("n_shared_fps") >= F.col("n_fps"))
-                    if fp_reject_frac >= 1.0
+                    if fp_reject_frac == 1.0
                     else (F.col("fp_containment") >= fp_reject_frac)
                 )
             )

@@ -1282,7 +1282,7 @@ def incremental_snapshot_loop_sql(
     # full-coverage threshold compares fp counts in INTEGERS (the
     # ROUND(6)ed ratio would misfire at containment 0.9999996+) —
     # mirrors pipeline.incremental_snapshot_loop exactly
-    if fp_reject_frac >= 1.0:
+    if fp_reject_frac == 1.0:
         cover = "i.n_shared_fps >= COALESCE(nf.n_fps, 0)"
     else:
         cover = (

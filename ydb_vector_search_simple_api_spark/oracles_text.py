@@ -2529,7 +2529,10 @@ def gopher_quality_sql(
     stopword list/threshold mirror the operator's round-10
     parameterization)."""
     req_sum = "\n          + ".join(
-        f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+        "CASE WHEN list_contains(toks, '{0}') THEN 1 ELSE 0 END".format(
+            w.replace("'", "''")  # SQL-literal escape (engine parity
+            # with the operator side, which takes any token via F.lit)
+        )
         for w in stopwords
     )
     return f"""
@@ -2598,8 +2601,8 @@ def line_dedup_sql(min_occ: int = 2) -> str:
     )
     return f"""
 WITH built AS ({built_lines_sql()}),
-l AS (SELECT doc_id, string_split(ltext, {nl}) AS lines FROM built),
-hx AS (
+l AS MATERIALIZED (SELECT doc_id, string_split(ltext, {nl}) AS lines FROM built),
+hx AS MATERIALIZED (
   SELECT doc_id, unnest(list_transform(lines, x -> md5(x))) AS h FROM l
 ),
 hot AS (SELECT h FROM hx GROUP BY h HAVING count(*) >= {min_occ}),

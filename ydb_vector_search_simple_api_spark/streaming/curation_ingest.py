@@ -466,21 +466,14 @@ def stream_snapshot_loop(
     if quality_gate == "production":
         # the production gate's verdicts are static per-doc functions
         # of the corpus — pin the conjunction once, join per trigger
-        # (the KN5 scoring pass runs exactly once, not per batch)
-        from ..operators import textual as textual_mod
+        # (the KN5 scoring pass runs exactly once, not per batch).
+        # ONE shared definition with the batch loop: drained==batch
+        # can't drift through a hand-synced copy
+        from ..operators.pipeline import production_quality_flags
 
         quality_static = (
-            textual_mod.c4_line_filter(spark, sf_dir)
-            .select("doc_id", "c4_keep")
-            .join(
-                textual_mod.perplexity_buckets_kn5(spark, sf_dir).select(
-                    "doc_id", F.col("keep").alias("ppl_keep")
-                ),
-                "doc_id",
-                "left",
-            )
-            .filter(F.col("c4_keep") & F.coalesce("ppl_keep", F.lit(False)))
-            .select("doc_id", F.lit(True).alias("q_static"))
+            production_quality_flags(spark, sf_dir)
+            .select("doc_id", F.col("quality_ok").alias("q_static"))
             .localCheckpoint(eager=True)
         )
 
@@ -576,18 +569,14 @@ def stream_snapshot_loop(
             )
         )
         if semantic_threshold is not None:
-            from ..functions.distance import dot
+            # the batch loop's per-pair score, shared (parity by
+            # construction, not by hand-sync)
+            from ..operators.pipeline import pair_cosine_col
 
             in_vec_b = in_vec_all.join(
                 b.select("doc_id"), "doc_id", "left_semi"
             )
-            den = F.col("ni") * F.col("nx")
-            cs = F.round(
-                F.when(den == 0.0, F.lit(None).cast("double")).otherwise(
-                    dot(F.col("vi"), F.col("vx")) / den
-                ),
-                6,
-            ) + F.lit(0.0)
+            cs = pair_cosine_col()
             sem_b = (
                 ex_vec.join(F.broadcast(in_vec_b))
                 .withColumn("cs", cs)
@@ -612,7 +601,7 @@ def stream_snapshot_loop(
                     (F.col("n_fps") > 0)
                     & (
                         (F.col("n_shared_fps") >= F.col("n_fps"))
-                        if fp_reject_frac >= 1.0
+                        if fp_reject_frac == 1.0
                         else (F.col("fp_containment") >= fp_reject_frac)
                     )
                 )
