@@ -2245,6 +2245,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the generic-quality-score curation chain it modernizes; retired
     # driver-green r3-r9, keeps its own oracle here
     q["curate_corpus"] = curation.curate_corpus
+    # sibling: curate_corpus (round 10) — the ablation FUNNEL: per
+    # cumulative stage of the same chain, surviving doc/token mass and
+    # retention fractions (the per-step removal table dedup papers
+    # publish); one flags pass + one conditional-sum aggregate
+    q["curation_funnel"] = curation.curation_funnel
     # sibling: curate_corpus_production with the FULL Gopher
     # conjunction ENFORCED (VERDICT r9 #7): the required-stopword rule
     # binds via the corpus's own glue-word list at K=7 (the paper's
@@ -2577,6 +2582,7 @@ def oracle_sql() -> dict[str, str]:
     o["curate_corpus_production"] = (
         oracles_curation.curate_corpus_production_sql()
     )
+    o["curation_funnel"] = oracles_curation.curation_funnel_sql()
     o["curate_corpus_gopher_enforced"] = (
         oracles_curation.curate_corpus_production_sql(
             enforce_gopher=True,

@@ -849,3 +849,30 @@ def test_dedup_cluster_sizes_consistency(spark):
     }
     assert got == {s: (n, n * s) for s, n in sizes.items()}
     assert all(s >= 2 for s in got)  # singletons never enter the graph
+
+
+def test_curation_funnel_matches_curate_corpus(spark):
+    """The funnel's final stage IS curate_corpus's admitted set:
+    stage-4 doc count == curate_corpus row count; counts are
+    monotonically non-increasing; retention fractions reconstruct
+    from the counts."""
+    rows = {
+        r.stage_idx: r
+        for r in curation.curation_funnel(spark, SF_SMALL).collect()
+    }
+    assert [rows[i].stage for i in range(5)] == [
+        "raw", "non_benchmark", "quality", "exact_dedup", "decontaminated",
+    ]
+    admitted = curation.curate_corpus(spark, SF_SMALL).count()
+    assert rows[4].n_docs == admitted
+    for i in range(1, 5):
+        assert rows[i].n_docs <= rows[i - 1].n_docs
+        assert rows[i].n_tokens <= rows[i - 1].n_tokens
+    for i in range(5):
+        assert rows[i].doc_retention == round(
+            rows[i].n_docs / rows[0].n_docs, 6
+        )
+        assert rows[i].token_retention == round(
+            rows[i].n_tokens / rows[0].n_tokens, 6
+        )
+    assert rows[0].n_docs > rows[4].n_docs  # the funnel actually funnels

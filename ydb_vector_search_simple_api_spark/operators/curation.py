@@ -1394,6 +1394,128 @@ def export_curated(
     )
 
 
+def curation_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = 0.8,
+    min_tokens: int = 16,
+    n: int = 8,
+    min_containment: float = 0.3,
+) -> DataFrame:
+    """The curation ABLATION FUNNEL: per cumulative stage of the
+    :func:`curate_corpus` chain, how many documents and whitespace
+    tokens survive — the retention table every dedup/curation paper
+    publishes (e.g. Lee et al. 2022 table 1; Penedo et al. FineWeb's
+    per-step removal rates) and the first artifact a pipeline owner
+    checks before training: which gate is eating the corpus.
+
+    Stages are cumulative and end exactly at ``curate_corpus``'s
+    admitted set: raw → non_benchmark (drop the src0 eval slice) →
+    quality (the generic gate) → exact_dedup (canonical copies only)
+    → decontaminated (shingle-containment fence).
+
+    Plan shape: the per-doc flag table is built once from the audited
+    stage operators (doc_id-keyed joins, contaminated broadcast), then
+    ONE aggregation computes every stage's doc and token mass as
+    conditional sums — the funnel costs one pass over the flags, not
+    one filtered scan per stage — and the 5-row output explodes from
+    that single aggregate row (fractions computed against the raw
+    stage in the same row; nothing corpus-sized reaches the driver).
+
+    Output: (stage_idx, stage, n_docs, n_tokens, doc_retention,
+    token_retention), ordered by stage_idx.
+    """
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id",
+        (F.col("source") == "src0").alias("bench"),
+        TXT.token_count("text").alias("n_tok"),
+    )
+    from .textual import quality_filter
+
+    q = quality_filter(
+        spark, sf_dir, min_quality=min_quality, min_tokens=min_tokens
+    ).select("doc_id", F.lit(True).alias("q_ok"))
+    canon = dedup.exact_dup_groups(
+        load_documents(spark, sf_dir)
+    ).select(F.col("keep_id").alias("doc_id"), F.lit(True).alias("canon"))
+    cont = (
+        decontaminate_documents(
+            spark, sf_dir, n=n, min_containment=min_containment
+        )
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(True).alias("cont"))
+    )
+    flags = (
+        docs.join(q, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .join(F.broadcast(cont), "doc_id", "left")
+    )
+    s = [
+        F.lit(True),
+        ~F.col("bench"),
+        ~F.col("bench") & F.coalesce("q_ok", F.lit(False)),
+        ~F.col("bench")
+        & F.coalesce("q_ok", F.lit(False))
+        & F.coalesce("canon", F.lit(False)),
+        ~F.col("bench")
+        & F.coalesce("q_ok", F.lit(False))
+        & F.coalesce("canon", F.lit(False))
+        & ~F.coalesce("cont", F.lit(False)),
+    ]
+    names = ["raw", "non_benchmark", "quality", "exact_dedup",
+             "decontaminated"]
+    one = flags.agg(
+        *[
+            F.sum(F.when(si, 1).otherwise(0)).cast("bigint").alias(f"d{i}")
+            for i, si in enumerate(s)
+        ],
+        *[
+            F.sum(F.when(si, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias(f"t{i}")
+            for i, si in enumerate(s)
+        ],
+    )
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("stage_idx"),
+                        F.lit(nm).alias("stage"),
+                        F.col(f"d{i}").alias("n_docs"),
+                        F.col(f"t{i}").alias("n_tokens"),
+                    )
+                    for i, nm in enumerate(names)
+                ]
+            )
+        ).alias("r"),
+        F.col("d0"),
+        F.col("t0"),
+    )
+    return rows.select(
+        F.col("r.stage_idx").alias("stage_idx"),
+        F.col("r.stage").alias("stage"),
+        F.col("r.n_docs").alias("n_docs"),
+        F.col("r.n_tokens").alias("n_tokens"),
+        (
+            F.round(
+                F.col("r.n_docs").cast("double") / F.col("d0").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("doc_retention"),
+        (
+            F.round(
+                F.col("r.n_tokens").cast("double") / F.col("t0").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("token_retention"),
+    ).orderBy("stage_idx")
+
+
 def quality_vs_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signal-calibration diagnostic: does the quality score actually
     anticorrelate with duplication? Docs bucket by floor(quality·10)

@@ -1412,6 +1412,66 @@ LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e ON e.vec_id = f.doc_id
 """
 
 
+def curation_funnel_sql(
+    min_quality: float = 0.8,
+    min_tokens: int = 16,
+    n: int = 8,
+    min_containment: float = 0.3,
+) -> str:
+    """Twin of ``operators.curation.curation_funnel`` — one flags CTE
+    (MATERIALIZED: referenced by every stage aggregate), conditional
+    sums per cumulative stage, 5-row UNION with ROUND(6) retention."""
+    from .oracles_text import DEDUP_EXACT, TOKS, quality_filter_sql
+
+    stage_conds = [
+        "TRUE",
+        "NOT bench",
+        "NOT bench AND q_ok",
+        "NOT bench AND q_ok AND canon",
+        "NOT bench AND q_ok AND canon AND NOT cont",
+    ]
+    names = ["raw", "non_benchmark", "quality", "exact_dedup",
+             "decontaminated"]
+    aggs = ",\n         ".join(
+        f"sum(CASE WHEN {c} THEN 1 ELSE 0 END)::BIGINT AS d{i},\n"
+        f"         sum(CASE WHEN {c} THEN n_tok ELSE 0 END)::BIGINT AS t{i}"
+        for i, c in enumerate(stage_conds)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS stage_idx, '{nm}' AS stage, d{i} AS n_docs,"
+        f" t{i} AS n_tokens,"
+        f" ROUND(d{i}::DOUBLE / d0::DOUBLE, 6) + 0.0 AS doc_retention,"
+        f" ROUND(t{i}::DOUBLE / t0::DOUBLE, 6) + 0.0 AS token_retention"
+        f" FROM tot"
+        for i, nm in enumerate(names)
+    )
+    return f"""
+WITH quality AS ({quality_filter_sql(min_quality, min_tokens)}),
+canon AS ({DEDUP_EXACT}),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM ({decontaminate_sql(n, min_containment)})
+),
+flags AS MATERIALIZED (
+  SELECT d.doc_id,
+         (d.source = 'src0') AS bench,
+         len({TOKS})::BIGINT AS n_tok,
+         (q.doc_id IS NOT NULL) AS q_ok,
+         (k.keep_id IS NOT NULL) AS canon,
+         (x.doc_id IS NOT NULL) AS cont
+  FROM documents d
+  LEFT JOIN quality q ON q.doc_id = d.doc_id
+  LEFT JOIN canon k ON k.keep_id = d.doc_id
+  LEFT JOIN contaminated x ON x.doc_id = d.doc_id
+),
+tot AS (
+  SELECT {aggs}
+  FROM flags
+)
+SELECT * FROM ({rows})
+ORDER BY stage_idx
+"""
+
+
 def curate_corpus_production_sql(
     n: int = 8,
     min_containment: float = 0.3,
