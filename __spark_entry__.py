@@ -2250,6 +2250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # retention fractions (the per-step removal table dedup papers
     # publish); one flags pass + one conditional-sum aggregate
     q["curation_funnel"] = curation.curation_funnel
+    # sibling: decontaminate_13gram (in-cap) — the fence-calibration
+    # SWEEP: flagged pair/doc counts per (n-gram order, containment
+    # threshold) config (GPT-3's 13-gram, the repo default 8-gram,
+    # the aggressive corners) — how the fence constant gets chosen
+    q["decontamination_sweep"] = curation.decontamination_sweep
     # sibling: curate_corpus_production with the FULL Gopher
     # conjunction ENFORCED (VERDICT r9 #7): the required-stopword rule
     # binds via the corpus's own glue-word list at K=7 (the paper's
@@ -2583,6 +2588,9 @@ def oracle_sql() -> dict[str, str]:
         oracles_curation.curate_corpus_production_sql()
     )
     o["curation_funnel"] = oracles_curation.curation_funnel_sql()
+    o["decontamination_sweep"] = (
+        oracles_curation.decontamination_sweep_sql()
+    )
     o["curate_corpus_gopher_enforced"] = (
         oracles_curation.curate_corpus_production_sql(
             enforce_gopher=True,

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from ydb_vector_search_simple_api_spark.operators import curation
 
 SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="module")
@@ -876,3 +877,23 @@ def test_curation_funnel_matches_curate_corpus(spark):
             rows[i].n_tokens / rows[0].n_tokens, 6
         )
     assert rows[0].n_docs > rows[4].n_docs  # the funnel actually funnels
+
+
+def test_decontamination_sweep_monotone(spark):
+    """Sweep sanity: at fixed n, lowering the containment threshold
+    can only flag MORE pairs; at fixed threshold, raising n can only
+    flag FEWER (an n+1-gram match implies n-gram matches); every row
+    agrees with a direct decontaminate run."""
+    rows = {
+        (r.n, r.min_containment): r
+        for r in curation.decontamination_sweep(spark, SF_MED).collect()
+    }
+    assert (8, 0.1) in rows and (8, 0.3) in rows
+    assert rows[(8, 0.1)].n_flagged_pairs >= rows[(8, 0.3)].n_flagged_pairs
+    assert rows[(5, 0.3)].n_flagged_pairs >= rows[(8, 0.3)].n_flagged_pairs
+    direct = curation.decontaminate_documents(spark, SF_MED, n=8,
+                                              min_containment=0.3)
+    assert rows[(8, 0.3)].n_flagged_pairs == direct.count()
+    assert rows[(8, 0.3)].n_flagged_docs == (
+        direct.select("doc_id").distinct().count()
+    )

@@ -1394,6 +1394,52 @@ def export_curated(
     )
 
 
+def decontamination_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    configs: tuple = ((5, 0.3), (8, 0.1), (8, 0.3), (13, 0.1)),
+) -> DataFrame:
+    """Fence-calibration report for the shingle decontamination probe:
+    one row per (n-gram order, containment threshold) configuration —
+    flagged pair count and flagged distinct-doc count. This is how the
+    fence gets CHOSEN in practice (GPT-3 used 13-grams, the Pile
+    13-grams, Llama-era reports 8–10: shorter n over-flags on common
+    phrases, longer n misses paraphrased leakage); the sweep makes the
+    sensitivity visible on the corpus's own data instead of borrowing
+    another corpus's constant. Default grid: the repo's probe default
+    (8, 0.3), the GPT-3 appendix-C config (13, 0.1), plus the
+    aggressive-short and loose-default corners.
+
+    Cost shape: each configuration is its own shingle pass (different
+    n ⇒ different shingle sets — nothing to share between orders, the
+    honest cost of a sweep); the grid is a constant literal, each pass
+    is the already-audited ``decontaminate`` join, and each config
+    contributes one aggregate row.
+
+    Output: (n, min_containment, n_flagged_pairs, n_flagged_docs),
+    ordered by (n, min_containment).
+    """
+    parts = []
+    for ng, thr in configs:
+        flagged = decontaminate_documents(
+            spark, sf_dir, n=ng, min_containment=thr
+        )
+        parts.append(
+            flagged.agg(
+                F.lit(int(ng)).alias("n"),
+                (F.lit(float(thr)) + F.lit(0.0)).alias("min_containment"),
+                F.count(F.lit(1)).cast("bigint").alias("n_flagged_pairs"),
+                F.countDistinct("doc_id").cast("bigint").alias(
+                    "n_flagged_docs"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("n", "min_containment")
+
+
 def curation_funnel(
     spark: SparkSession,
     sf_dir: str,

@@ -1412,6 +1412,22 @@ LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e ON e.vec_id = f.doc_id
 """
 
 
+def decontamination_sweep_sql(
+    configs: tuple = ((5, 0.3), (8, 0.1), (8, 0.3), (13, 0.1)),
+) -> str:
+    """Twin of ``operators.curation.decontamination_sweep`` — one
+    aggregate per (n, threshold) config over the shared decontaminate
+    SQL, unioned."""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {int(ng)} AS n, {float(thr)} + 0.0 AS min_containment,"
+        f" count(*)::BIGINT AS n_flagged_pairs,"
+        f" count(DISTINCT doc_id)::BIGINT AS n_flagged_docs"
+        f" FROM ({decontaminate_sql(ng, thr)})"
+        for ng, thr in configs
+    )
+    return f"SELECT * FROM ({rows}) ORDER BY n, min_containment"
+
+
 def curation_funnel_sql(
     min_quality: float = 0.8,
     min_tokens: int = 16,
