@@ -2255,6 +2255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # threshold) config (GPT-3's 13-gram, the repo default 8-gram,
     # the aggressive corners) — how the fence constant gets chosen
     q["decontamination_sweep"] = curation.decontamination_sweep
+    # sibling: curation_funnel at the PRODUCTION config — the quality
+    # cut split into its named filters (c4, then KN5 tiles) so the
+    # funnel shows WHICH gate eats the corpus; final stage == the
+    # production admitted set (pinned)
+    q["production_funnel"] = curation.production_funnel
     # sibling: curate_corpus_production with the FULL Gopher
     # conjunction ENFORCED (VERDICT r9 #7): the required-stopword rule
     # binds via the corpus's own glue-word list at K=7 (the paper's
@@ -2591,6 +2596,7 @@ def oracle_sql() -> dict[str, str]:
     o["decontamination_sweep"] = (
         oracles_curation.decontamination_sweep_sql()
     )
+    o["production_funnel"] = oracles_curation.production_funnel_sql()
     o["curate_corpus_gopher_enforced"] = (
         oracles_curation.curate_corpus_production_sql(
             enforce_gopher=True,

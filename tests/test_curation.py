@@ -897,3 +897,29 @@ def test_decontamination_sweep_monotone(spark):
     assert rows[(8, 0.3)].n_flagged_docs == (
         direct.select("doc_id").distinct().count()
     )
+
+
+def test_production_funnel_matches_production_admitted(spark):
+    """The production funnel's final stage IS
+    curate_corpus_production's admitted set (counts equal), stages
+    are monotone, and the two quality filters are separately visible
+    (the c4 and perplexity stages differ on this corpus)."""
+    from ydb_vector_search_simple_api_spark.operators import pipeline
+
+    rows = {
+        r.stage_idx: r
+        for r in curation.production_funnel(spark, SF_MED).collect()
+    }
+    assert [rows[i].stage for i in range(6)] == [
+        "raw", "non_benchmark", "c4", "perplexity", "exact_dedup",
+        "decontaminated",
+    ]
+    admitted = (
+        pipeline.curate_corpus_production(spark, SF_MED)
+        .filter("admitted")
+        .count()
+    )
+    assert rows[5].n_docs == admitted
+    for i in range(1, 6):
+        assert rows[i].n_docs <= rows[i - 1].n_docs
+    assert rows[3].n_docs < rows[2].n_docs  # KN5 tiles genuinely cut

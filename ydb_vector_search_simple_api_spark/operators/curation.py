@@ -1562,6 +1562,116 @@ def curation_funnel(
     ).orderBy("stage_idx")
 
 
+def production_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 8,
+    min_containment: float = 0.3,
+) -> DataFrame:
+    """:func:`curation_funnel`'s sibling for the PRODUCTION config
+    (``pipeline.curate_corpus_production``'s enforced gates): per
+    cumulative stage — raw → non_benchmark → c4 (line rules) →
+    perplexity (KN5 tiles) → exact_dedup → decontaminated — surviving
+    doc/token mass and retention. The production recipe splits the
+    quality cut into its two named filters, so this funnel shows WHICH
+    of them eats the corpus (the number FineWeb's ablation tables
+    report per step). Final stage == the production admitted set
+    (pinned in pytest).
+
+    Same one-pass shape as the generic funnel: per-doc flags from the
+    audited named filters, one conditional-sum aggregate, 6 rows
+    exploded from the single aggregate row.
+
+    Output: (stage_idx, stage, n_docs, n_tokens, doc_retention,
+    token_retention), ordered by stage_idx.
+    """
+    from . import textual
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id",
+        (F.col("source") == "src0").alias("bench"),
+        TXT.token_count("text").alias("n_tok"),
+    )
+    c4 = textual.c4_line_filter(spark, sf_dir).select("doc_id", "c4_keep")
+    ppl = textual.perplexity_buckets_kn5(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ppl_keep")
+    )
+    canon = dedup.exact_dup_groups(
+        load_documents(spark, sf_dir)
+    ).select(F.col("keep_id").alias("doc_id"), F.lit(True).alias("canon"))
+    cont = (
+        decontaminate_documents(
+            spark, sf_dir, n=n, min_containment=min_containment
+        )
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(True).alias("cont"))
+    )
+    flags = (
+        docs.join(c4, "doc_id", "left")
+        .join(ppl, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .join(F.broadcast(cont), "doc_id", "left")
+    )
+    nb = ~F.col("bench")
+    s_c4 = nb & F.coalesce("c4_keep", F.lit(False))
+    s_ppl = s_c4 & F.coalesce("ppl_keep", F.lit(False))
+    s_dedup = s_ppl & F.coalesce("canon", F.lit(False))
+    s_dec = s_dedup & ~F.coalesce("cont", F.lit(False))
+    s = [F.lit(True), nb, s_c4, s_ppl, s_dedup, s_dec]
+    names = ["raw", "non_benchmark", "c4", "perplexity", "exact_dedup",
+             "decontaminated"]
+    one = flags.agg(
+        *[
+            F.sum(F.when(si, 1).otherwise(0)).cast("bigint").alias(f"d{i}")
+            for i, si in enumerate(s)
+        ],
+        *[
+            F.sum(F.when(si, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias(f"t{i}")
+            for i, si in enumerate(s)
+        ],
+    )
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("stage_idx"),
+                        F.lit(nm).alias("stage"),
+                        F.col(f"d{i}").alias("n_docs"),
+                        F.col(f"t{i}").alias("n_tokens"),
+                    )
+                    for i, nm in enumerate(names)
+                ]
+            )
+        ).alias("r"),
+        F.col("d0"),
+        F.col("t0"),
+    )
+    return rows.select(
+        F.col("r.stage_idx").alias("stage_idx"),
+        F.col("r.stage").alias("stage"),
+        F.col("r.n_docs").alias("n_docs"),
+        F.col("r.n_tokens").alias("n_tokens"),
+        (
+            F.round(
+                F.col("r.n_docs").cast("double") / F.col("d0").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("doc_retention"),
+        (
+            F.round(
+                F.col("r.n_tokens").cast("double") / F.col("t0").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("token_retention"),
+    ).orderBy("stage_idx")
+
+
 def quality_vs_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signal-calibration diagnostic: does the quality score actually
     anticorrelate with duplication? Docs bucket by floor(quality·10)

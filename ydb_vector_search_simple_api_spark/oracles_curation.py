@@ -1488,6 +1488,74 @@ ORDER BY stage_idx
 """
 
 
+def production_funnel_sql(
+    n: int = 8,
+    min_containment: float = 0.3,
+) -> str:
+    """Twin of ``operators.curation.production_funnel`` — the named
+    production filters as flags, conditional sums per cumulative
+    stage, 6-row UNION with ROUND(6) retention."""
+    from .oracles_text import (
+        TOKS,
+        c4_line_filter_sql,
+        perplexity_buckets_kn5_sql,
+    )
+
+    stage_conds = [
+        "TRUE",
+        "NOT bench",
+        "NOT bench AND c4k",
+        "NOT bench AND c4k AND pplk",
+        "NOT bench AND c4k AND pplk AND canon",
+        "NOT bench AND c4k AND pplk AND canon AND NOT cont",
+    ]
+    names = ["raw", "non_benchmark", "c4", "perplexity", "exact_dedup",
+             "decontaminated"]
+    aggs = ",\n         ".join(
+        f"sum(CASE WHEN {c} THEN 1 ELSE 0 END)::BIGINT AS d{i},\n"
+        f"         sum(CASE WHEN {c} THEN n_tok ELSE 0 END)::BIGINT AS t{i}"
+        for i, c in enumerate(stage_conds)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS stage_idx, '{nm}' AS stage, d{i} AS n_docs,"
+        f" t{i} AS n_tokens,"
+        f" ROUND(d{i}::DOUBLE / d0::DOUBLE, 6) + 0.0 AS doc_retention,"
+        f" ROUND(t{i}::DOUBLE / t0::DOUBLE, 6) + 0.0 AS token_retention"
+        f" FROM tot"
+        for i, nm in enumerate(names)
+    )
+    from .oracles_text import DEDUP_EXACT
+
+    return f"""
+WITH c4 AS ({c4_line_filter_sql()}),
+ppl AS MATERIALIZED ({perplexity_buckets_kn5_sql()}),
+canon AS ({DEDUP_EXACT}),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM ({decontaminate_sql(n, min_containment)})
+),
+flags AS MATERIALIZED (
+  SELECT d.doc_id,
+         (d.source = 'src0') AS bench,
+         len({TOKS})::BIGINT AS n_tok,
+         COALESCE(c.c4_keep, FALSE) AS c4k,
+         COALESCE(p.keep, FALSE) AS pplk,
+         (k.keep_id IS NOT NULL) AS canon,
+         (x.doc_id IS NOT NULL) AS cont
+  FROM documents d
+  LEFT JOIN c4 c ON c.doc_id = d.doc_id
+  LEFT JOIN ppl p ON p.doc_id = d.doc_id
+  LEFT JOIN canon k ON k.keep_id = d.doc_id
+  LEFT JOIN contaminated x ON x.doc_id = d.doc_id
+),
+tot AS (
+  SELECT {aggs}
+  FROM flags
+)
+SELECT * FROM ({rows})
+ORDER BY stage_idx
+"""
+
+
 def curate_corpus_production_sql(
     n: int = 8,
     min_containment: float = 0.3,
