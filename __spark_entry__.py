@@ -1071,7 +1071,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-9 session-2 rotation: replaced by the COMPOSED snapshot
     # loop below, which CONTAINS the screen (strictly stronger same-
     # family entry; incremental_dedup rides overflow with its oracle)
-    q["incremental_snapshot_loop"] = pipeline_mod.incremental_snapshot_loop
+    # round-10 session-2 rotation: the SEMANTIC-screen loop, which
+    # CONTAINS the default loop (same stages + the embedding-cosine
+    # third screen; threshold 0.42 sits between the corpus's p90 and
+    # p99 max-cosines — 5/54 rejected, 11 admitted at sf0.01, never
+    # degenerate); the default loop rides overflow with its oracle
+    q["snapshot_loop_semantic"] = lambda s, d: pipeline_mod.incremental_snapshot_loop(
+        s, d, semantic_threshold=0.42
+    )
     # round-5 rotation: the quantified leakage audit (cross-fence
     # near-dup pair counts per split policy) in place of
     # document_splits (driver-green r1-r4; split family stays covered
@@ -1292,11 +1299,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family covered in overflow)
     q["expectations_events"] = expectations_mod.expectations_report_events
     # round-8 rotation: paragraph-grain exact dedup (Lee et al. 2022
-    # removal unit — corpus-wide keep-first election on the paragraph
-    # md5, cleaned-stream md5 oracle) in place of
-    # local_supplier_revenue (driver-green r4-r7; TPC-H family stays
-    # in-cap via excess_supply_suppliers)
-    q["paragraph_dedup"] = dedup.paragraph_dedup_docs
+    # removal unit) in place of local_supplier_revenue (driver-green
+    # r4-r7; TPC-H family stays in-cap via excess_supply_suppliers).
+    # round-10 session-2 rotation: CCNet-style corpus-wide
+    # duplicated-LINE removal (the boilerplate filter — the line-grain
+    # op needing the corpus-wide aggregate) in place of
+    # paragraph_dedup (driver-green r8/r9; paragraph keeps its oracle
+    # in overflow and the sub-doc-grain family stays in-cap via
+    # duplicate_char_spans)
+    q["line_dedup"] = textual.line_dedup
     # round-5 rotation: TPC-H Q20 (the last missing TPC-H shape;
     # observed bridge + deterministic availqty, TESTDATA.md) in place
     # of customers_without_orders (driver-green r1-r4; anti-join
@@ -2037,16 +2048,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Arrow-fingerprint incremental dedup (production twin of the
     # in-cap md5 form; cross-variant agreement in tests/test_dedup.py)
     q["incremental_dedup_arrow"] = lambda s, d: dedup.incremental_dedup_arrow(s, d)
-    # sibling: incremental_snapshot_loop (in-cap) with the OPT-IN
-    # semantic screen stage enabled (round 10 / VERDICT r9 #2): max
-    # embedding cosine vs the existing corpus as evidence columns, a
-    # third reject rule beside the hash + fp-containment screens —
-    # the paraphrased-near-copy blind spot closed. Threshold 0.42 sits
-    # between the corpus's p90 (0.408) and p99 (0.492) max-cosines, so
-    # the stage rejects a handful of docs without degenerating.
-    q["snapshot_loop_semantic"] = lambda s, d: pipeline_mod.incremental_snapshot_loop(
-        s, d, semantic_threshold=0.42
-    )
+    # sibling: snapshot_loop_semantic IN-CAP (round-10 session-2
+    # rotation) — the default loop it contains; retired driver-green
+    # r9/r10, keeps its own oracle here
+    q["incremental_snapshot_loop"] = pipeline_mod.incremental_snapshot_loop
     # sibling: snapshot_loop_semantic — the IVF-ROUTED candidate
     # exchange form of the same stage (the 100 TB swap the broadcast
     # docstring promises): existing vectors route once to a home
@@ -2235,12 +2240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # augmentation with a cleaned-stream md5
     q["gopher_quality"] = textual.gopher_quality_report
     q["c4_line_filter"] = textual.c4_line_filter
-    # sibling: c4_line_filter (round 10) — CCNet-style corpus-wide
-    # duplicated-line removal (Wenzek et al. 2020: line dedup IS the
-    # boilerplate filter); the line-grain op that needs the
-    # corpus-wide aggregate the per-doc C4 rules don't have. Cleaned
-    # stream digested, oracle verifies the reconstruction
-    q["line_dedup"] = textual.line_dedup
+    # sibling: line_dedup IN-CAP (round-10 session-2 rotation) —
+    # paragraph-grain keep-first exact dedup; retired driver-green
+    # r8/r9, keeps its own oracle here
+    q["paragraph_dedup"] = dedup.paragraph_dedup_docs
     # sibling: curate_corpus_production IN-CAP (round-10 rotation) —
     # the generic-quality-score curation chain it modernizes; retired
     # driver-green r3-r9, keeps its own oracle here

@@ -109,11 +109,18 @@ import __spark_entry__ as E
 # stays via expectations_events),
 # decontaminate_13gram<-semantic_decontaminate (decontam family stays
 # via decontaminate_13gram + stream_decontaminate in-cap).
+# Round-10 session 2 (strictly-stronger / new-family swaps; each
+# retired entry keeps its own oracle in overflow):
+# snapshot_loop_semantic<-incremental_snapshot_loop (the semantic loop
+# CONTAINS the default loop — same stages plus the embedding-cosine
+# third screen), line_dedup<-paragraph_dedup (CCNet boilerplate-line
+# strip, the corpus-wide line-grain aggregate; sub-doc grain stays
+# in-cap via duplicate_char_spans).
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
     "script_profile", "quality_filter", "bm25_topk_indexed",
-    "incremental_snapshot_loop", "split_leakage_audit", "heavy_hitters_topk",
+    "snapshot_loop_semantic", "split_leakage_audit", "heavy_hitters_topk",
     "kneser_ney5_modified", "dedup_ngram_prefix", "snapshot_diff",
     "decontaminate_13gram", "tfidf_cosine_pairs", "dsir_select",
     "duplicate_char_spans",
@@ -124,7 +131,7 @@ EXPECTED_IN_CAP = [
     "multimodal_meta", "stream_decontaminate", "dedup_components_twostar",
     "label_model", "retrieval_quality", "kmv_user_overlap",
     "psi_drift", "expectations_events",
-    "paragraph_dedup", "excess_supply_suppliers",
+    "line_dedup", "excess_supply_suppliers",
     "lsh_calibration", "power_iteration_pc1", "phrase_search",
     "sql_topk_cosine", "semantic_dedup_blocked",
     "topk_cosine_filtered_gann",
