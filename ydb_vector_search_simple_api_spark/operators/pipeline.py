@@ -240,6 +240,10 @@ def incremental_snapshot_loop(
     ``semantic_probes == semantic_n_clusters`` (every cluster probed
     ⇒ candidate set complete — pinned in pytest), and ships only
     cluster-keyed rows: no corpus-wide cross product anywhere.
+    Measured crossover (SCALING.md round 10): flat at sf0.1, 2.4×
+    faster at ×10 amplification with IDENTICAL semantic_dup counts at
+    probes=2 — prefer the blocked form once the delta × corpus pair
+    count reaches the ~10⁸ range.
 
     Generation hygiene (round 10, VERDICT r9 #5): with
     ``compact_baseline_l2`` set, the upsert's drift stats feed the
