@@ -869,12 +869,22 @@ def test_curation_funnel_matches_curate_corpus(spark):
     for i in range(1, 5):
         assert rows[i].n_docs <= rows[i - 1].n_docs
         assert rows[i].n_tokens <= rows[i - 1].n_tokens
-    for i in range(5):
-        assert rows[i].doc_retention == round(
-            rows[i].n_docs / rows[0].n_docs, 6
+    # Spark's F.round is HALF_UP over the shortest decimal repr —
+    # Python's round is half-even over the exact binary double, so
+    # reconstruct with Decimal to stay robust at half-boundary ratios
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def spark_round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
         )
-        assert rows[i].token_retention == round(
-            rows[i].n_tokens / rows[0].n_tokens, 6
+
+    for i in range(5):
+        assert rows[i].doc_retention == spark_round6(
+            rows[i].n_docs / rows[0].n_docs
+        )
+        assert rows[i].token_retention == spark_round6(
+            rows[i].n_tokens / rows[0].n_tokens
         )
     assert rows[0].n_docs > rows[4].n_docs  # the funnel actually funnels
 

@@ -1410,34 +1410,120 @@ def decontamination_sweep(
     (8, 0.3), the GPT-3 appendix-C config (13, 0.1), plus the
     aggressive-short and loose-default corners.
 
-    Cost shape: each configuration is its own shingle pass (different
-    n ⇒ different shingle sets — nothing to share between orders, the
-    honest cost of a sweep); the grid is a constant literal, each pass
-    is the already-audited ``decontaminate`` join, and each config
-    contributes one aggregate row.
+    Cost shape: ONE shingle pass per distinct n-gram ORDER (different
+    n ⇒ different shingle sets — nothing to share between orders),
+    run at the group's loosest threshold; the tighter thresholds of
+    the same order are conditional aggregates over that pass's
+    rounded ``containment`` column — the identical rounded value the
+    direct run filters on, so each row equals its standalone run
+    (pinned in pytest). The grid is a constant literal.
 
     Output: (n, min_containment, n_flagged_pairs, n_flagged_docs),
     ordered by (n, min_containment).
     """
-    parts = []
+    by_n: dict[int, list[float]] = {}
     for ng, thr in configs:
+        by_n.setdefault(int(ng), []).append(float(thr))
+    parts = []
+    for ng, thrs in by_n.items():
         flagged = decontaminate_documents(
-            spark, sf_dir, n=ng, min_containment=thr
+            spark, sf_dir, n=ng, min_containment=min(thrs)
         )
         parts.append(
             flagged.agg(
-                F.lit(int(ng)).alias("n"),
-                (F.lit(float(thr)) + F.lit(0.0)).alias("min_containment"),
-                F.count(F.lit(1)).cast("bigint").alias("n_flagged_pairs"),
-                F.countDistinct("doc_id").cast("bigint").alias(
-                    "n_flagged_docs"
-                ),
-            )
+                *[
+                    agg
+                    for j, thr in enumerate(sorted(thrs))
+                    for agg in (
+                        F.count(
+                            F.when(F.col("containment") >= thr, 1)
+                        ).cast("bigint").alias(f"p_{j}"),
+                        F.count_distinct(
+                            F.when(
+                                F.col("containment") >= thr,
+                                F.col("doc_id"),
+                            )
+                        ).cast("bigint").alias(f"d_{j}"),
+                    )
+                ]
+            ).select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(ng).alias("n"),
+                                (F.lit(thr) + F.lit(0.0)).alias(
+                                    "min_containment"
+                                ),
+                                F.col(f"p_{j}").alias("n_flagged_pairs"),
+                                F.col(f"d_{j}").alias("n_flagged_docs"),
+                            )
+                            for j, thr in enumerate(sorted(thrs))
+                        ]
+                    )
+                ).alias("r")
+            ).select("r.*")
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("n", "min_containment")
+
+
+def _funnel_from_flags(flags: DataFrame, stages, names) -> DataFrame:
+    """Shared tail of the ablation funnels: ONE conditional-sum
+    aggregate over the per-doc flag table (requires an ``n_tok``
+    column), then the per-stage rows explode from the single
+    aggregate row with ROUND(6) retentions against stage 0."""
+    one = flags.agg(
+        *[
+            F.sum(F.when(si, 1).otherwise(0)).cast("bigint").alias(f"d{i}")
+            for i, si in enumerate(stages)
+        ],
+        *[
+            F.sum(F.when(si, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias(f"t{i}")
+            for i, si in enumerate(stages)
+        ],
+    )
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("stage_idx"),
+                        F.lit(nm).alias("stage"),
+                        F.col(f"d{i}").alias("n_docs"),
+                        F.col(f"t{i}").alias("n_tokens"),
+                    )
+                    for i, nm in enumerate(names)
+                ]
+            )
+        ).alias("r"),
+        F.col("d0"),
+        F.col("t0"),
+    )
+    return rows.select(
+        F.col("r.stage_idx").alias("stage_idx"),
+        F.col("r.stage").alias("stage"),
+        F.col("r.n_docs").alias("n_docs"),
+        F.col("r.n_tokens").alias("n_tokens"),
+        (
+            F.round(
+                F.col("r.n_docs").cast("double") / F.col("d0").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("doc_retention"),
+        (
+            F.round(
+                F.col("r.n_tokens").cast("double") / F.col("t0").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("token_retention"),
+    ).orderBy("stage_idx")
 
 
 def curation_funnel(
@@ -1511,55 +1597,7 @@ def curation_funnel(
     ]
     names = ["raw", "non_benchmark", "quality", "exact_dedup",
              "decontaminated"]
-    one = flags.agg(
-        *[
-            F.sum(F.when(si, 1).otherwise(0)).cast("bigint").alias(f"d{i}")
-            for i, si in enumerate(s)
-        ],
-        *[
-            F.sum(F.when(si, F.col("n_tok")).otherwise(0))
-            .cast("bigint")
-            .alias(f"t{i}")
-            for i, si in enumerate(s)
-        ],
-    )
-    rows = one.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).cast("int").alias("stage_idx"),
-                        F.lit(nm).alias("stage"),
-                        F.col(f"d{i}").alias("n_docs"),
-                        F.col(f"t{i}").alias("n_tokens"),
-                    )
-                    for i, nm in enumerate(names)
-                ]
-            )
-        ).alias("r"),
-        F.col("d0"),
-        F.col("t0"),
-    )
-    return rows.select(
-        F.col("r.stage_idx").alias("stage_idx"),
-        F.col("r.stage").alias("stage"),
-        F.col("r.n_docs").alias("n_docs"),
-        F.col("r.n_tokens").alias("n_tokens"),
-        (
-            F.round(
-                F.col("r.n_docs").cast("double") / F.col("d0").cast("double"),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("doc_retention"),
-        (
-            F.round(
-                F.col("r.n_tokens").cast("double") / F.col("t0").cast("double"),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("token_retention"),
-    ).orderBy("stage_idx")
+    return _funnel_from_flags(flags, s, names)
 
 
 def production_funnel(
@@ -1575,101 +1613,39 @@ def production_funnel(
     doc/token mass and retention. The production recipe splits the
     quality cut into its two named filters, so this funnel shows WHICH
     of them eats the corpus (the number FineWeb's ablation tables
-    report per step). Final stage == the production admitted set
-    (pinned in pytest).
+    report per step).
 
-    Same one-pass shape as the generic funnel: per-doc flags from the
-    audited named filters, one conditional-sum aggregate, 6 rows
-    exploded from the single aggregate row.
+    The per-doc flags come FROM ``curate_corpus_production``'s own
+    output columns (not a re-derivation), so the funnel tracks the
+    production recipe BY CONSTRUCTION — if the enforced gates change,
+    the funnel changes with them; the final stage equals its admitted
+    set (pinned in pytest). Same one-pass shape as the generic
+    funnel: one conditional-sum aggregate, 6 rows exploded from the
+    single aggregate row.
 
     Output: (stage_idx, stage, n_docs, n_tokens, doc_retention,
     token_retention), ordered by stage_idx.
     """
-    from . import textual
+    from .pipeline import curate_corpus_production
 
+    prod = curate_corpus_production(
+        spark, sf_dir, n=n, min_containment=min_containment
+    ).select("doc_id", "c4_keep", "ppl_keep", "canonical", "contaminated")
     docs = load_documents(spark, sf_dir).select(
         "doc_id",
         (F.col("source") == "src0").alias("bench"),
         TXT.token_count("text").alias("n_tok"),
     )
-    c4 = textual.c4_line_filter(spark, sf_dir).select("doc_id", "c4_keep")
-    ppl = textual.perplexity_buckets_kn5(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("ppl_keep")
-    )
-    canon = dedup.exact_dup_groups(
-        load_documents(spark, sf_dir)
-    ).select(F.col("keep_id").alias("doc_id"), F.lit(True).alias("canon"))
-    cont = (
-        decontaminate_documents(
-            spark, sf_dir, n=n, min_containment=min_containment
-        )
-        .select("doc_id")
-        .distinct()
-        .select("doc_id", F.lit(True).alias("cont"))
-    )
-    flags = (
-        docs.join(c4, "doc_id", "left")
-        .join(ppl, "doc_id", "left")
-        .join(canon, "doc_id", "left")
-        .join(F.broadcast(cont), "doc_id", "left")
-    )
+    flags = docs.join(prod, "doc_id")
     nb = ~F.col("bench")
-    s_c4 = nb & F.coalesce("c4_keep", F.lit(False))
-    s_ppl = s_c4 & F.coalesce("ppl_keep", F.lit(False))
-    s_dedup = s_ppl & F.coalesce("canon", F.lit(False))
-    s_dec = s_dedup & ~F.coalesce("cont", F.lit(False))
+    s_c4 = nb & F.col("c4_keep")
+    s_ppl = s_c4 & F.col("ppl_keep")
+    s_dedup = s_ppl & F.col("canonical")
+    s_dec = s_dedup & ~F.col("contaminated")
     s = [F.lit(True), nb, s_c4, s_ppl, s_dedup, s_dec]
     names = ["raw", "non_benchmark", "c4", "perplexity", "exact_dedup",
              "decontaminated"]
-    one = flags.agg(
-        *[
-            F.sum(F.when(si, 1).otherwise(0)).cast("bigint").alias(f"d{i}")
-            for i, si in enumerate(s)
-        ],
-        *[
-            F.sum(F.when(si, F.col("n_tok")).otherwise(0))
-            .cast("bigint")
-            .alias(f"t{i}")
-            for i, si in enumerate(s)
-        ],
-    )
-    rows = one.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).cast("int").alias("stage_idx"),
-                        F.lit(nm).alias("stage"),
-                        F.col(f"d{i}").alias("n_docs"),
-                        F.col(f"t{i}").alias("n_tokens"),
-                    )
-                    for i, nm in enumerate(names)
-                ]
-            )
-        ).alias("r"),
-        F.col("d0"),
-        F.col("t0"),
-    )
-    return rows.select(
-        F.col("r.stage_idx").alias("stage_idx"),
-        F.col("r.stage").alias("stage"),
-        F.col("r.n_docs").alias("n_docs"),
-        F.col("r.n_tokens").alias("n_tokens"),
-        (
-            F.round(
-                F.col("r.n_docs").cast("double") / F.col("d0").cast("double"),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("doc_retention"),
-        (
-            F.round(
-                F.col("r.n_tokens").cast("double") / F.col("t0").cast("double"),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("token_retention"),
-    ).orderBy("stage_idx")
+    return _funnel_from_flags(flags, s, names)
 
 
 def quality_vs_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1416,16 +1416,30 @@ def decontamination_sweep_sql(
     configs: tuple = ((5, 0.3), (8, 0.1), (8, 0.3), (13, 0.1)),
 ) -> str:
     """Twin of ``operators.curation.decontamination_sweep`` — one
-    aggregate per (n, threshold) config over the shared decontaminate
-    SQL, unioned."""
+    decontaminate pass per distinct n-gram order (at the group's
+    loosest threshold), conditional aggregates per threshold over its
+    rounded containment column, unioned."""
+    by_n: dict[int, list[float]] = {}
+    for ng, thr in configs:
+        by_n.setdefault(int(ng), []).append(float(thr))
     rows = "\nUNION ALL\n".join(
-        f"SELECT {int(ng)} AS n, {float(thr)} + 0.0 AS min_containment,"
-        f" count(*)::BIGINT AS n_flagged_pairs,"
-        f" count(DISTINCT doc_id)::BIGINT AS n_flagged_docs"
-        f" FROM ({decontaminate_sql(ng, thr)})"
-        for ng, thr in configs
+        f"SELECT {ng} AS n, {thr} + 0.0 AS min_containment,"
+        f" count(CASE WHEN containment >= {thr} THEN 1 END)::BIGINT"
+        f" AS n_flagged_pairs,"
+        f" count(DISTINCT CASE WHEN containment >= {thr} THEN doc_id END)"
+        f"::BIGINT AS n_flagged_docs"
+        f" FROM d{ng}"
+        for ng, thrs in by_n.items()
+        for thr in sorted(thrs)
     )
-    return f"SELECT * FROM ({rows}) ORDER BY n, min_containment"
+    ctes = ",\n".join(
+        f"d{ng} AS MATERIALIZED ({decontaminate_sql(ng, min(thrs))})"
+        for ng, thrs in by_n.items()
+    )
+    return (
+        f"WITH {ctes}\nSELECT * FROM ({rows}) "
+        "ORDER BY n, min_containment"
+    )
 
 
 def curation_funnel_sql(
@@ -1448,19 +1462,7 @@ def curation_funnel_sql(
     ]
     names = ["raw", "non_benchmark", "quality", "exact_dedup",
              "decontaminated"]
-    aggs = ",\n         ".join(
-        f"sum(CASE WHEN {c} THEN 1 ELSE 0 END)::BIGINT AS d{i},\n"
-        f"         sum(CASE WHEN {c} THEN n_tok ELSE 0 END)::BIGINT AS t{i}"
-        for i, c in enumerate(stage_conds)
-    )
-    rows = "\nUNION ALL\n".join(
-        f"SELECT {i} AS stage_idx, '{nm}' AS stage, d{i} AS n_docs,"
-        f" t{i} AS n_tokens,"
-        f" ROUND(d{i}::DOUBLE / d0::DOUBLE, 6) + 0.0 AS doc_retention,"
-        f" ROUND(t{i}::DOUBLE / t0::DOUBLE, 6) + 0.0 AS token_retention"
-        f" FROM tot"
-        for i, nm in enumerate(names)
-    )
+    aggs, rows = _funnel_rows_sql(stage_conds, names)
     return f"""
 WITH quality AS ({quality_filter_sql(min_quality, min_tokens)}),
 canon AS ({DEDUP_EXACT}),
@@ -1488,29 +1490,11 @@ ORDER BY stage_idx
 """
 
 
-def production_funnel_sql(
-    n: int = 8,
-    min_containment: float = 0.3,
-) -> str:
-    """Twin of ``operators.curation.production_funnel`` — the named
-    production filters as flags, conditional sums per cumulative
-    stage, 6-row UNION with ROUND(6) retention."""
-    from .oracles_text import (
-        TOKS,
-        c4_line_filter_sql,
-        perplexity_buckets_kn5_sql,
-    )
-
-    stage_conds = [
-        "TRUE",
-        "NOT bench",
-        "NOT bench AND c4k",
-        "NOT bench AND c4k AND pplk",
-        "NOT bench AND c4k AND pplk AND canon",
-        "NOT bench AND c4k AND pplk AND canon AND NOT cont",
-    ]
-    names = ["raw", "non_benchmark", "c4", "perplexity", "exact_dedup",
-             "decontaminated"]
+def _funnel_rows_sql(stage_conds, names) -> tuple:
+    """Shared SQL builders for the ablation-funnel twins: the
+    conditional-sum aggregate list and the per-stage UNION rows with
+    ROUND(6) retention (flags CTE must expose n_tok + the condition
+    columns)."""
     aggs = ",\n         ".join(
         f"sum(CASE WHEN {c} THEN 1 ELSE 0 END)::BIGINT AS d{i},\n"
         f"         sum(CASE WHEN {c} THEN n_tok ELSE 0 END)::BIGINT AS t{i}"
@@ -1524,28 +1508,44 @@ def production_funnel_sql(
         f" FROM tot"
         for i, nm in enumerate(names)
     )
-    from .oracles_text import DEDUP_EXACT
+    return aggs, rows
 
+
+def production_funnel_sql(
+    n: int = 8,
+    min_containment: float = 0.3,
+) -> str:
+    """Twin of ``operators.curation.production_funnel`` — the flags
+    come from the curate_corpus_production twin's own output (one
+    MATERIALIZED CTE), mirroring the operator-side by-construction
+    coupling; shared funnel-row builders."""
+    from .oracles_text import TOKS
+
+    stage_conds = [
+        "TRUE",
+        "NOT bench",
+        "NOT bench AND c4k",
+        "NOT bench AND c4k AND pplk",
+        "NOT bench AND c4k AND pplk AND canon",
+        "NOT bench AND c4k AND pplk AND canon AND NOT cont",
+    ]
+    names = ["raw", "non_benchmark", "c4", "perplexity", "exact_dedup",
+             "decontaminated"]
+    aggs, rows = _funnel_rows_sql(stage_conds, names)
     return f"""
-WITH c4 AS ({c4_line_filter_sql()}),
-ppl AS MATERIALIZED ({perplexity_buckets_kn5_sql()}),
-canon AS ({DEDUP_EXACT}),
-contaminated AS (
-  SELECT DISTINCT doc_id FROM ({decontaminate_sql(n, min_containment)})
+WITH prod AS MATERIALIZED (
+  {curate_corpus_production_sql(n=n, min_containment=min_containment)}
 ),
 flags AS MATERIALIZED (
-  SELECT d.doc_id,
+  SELECT p.doc_id,
          (d.source = 'src0') AS bench,
          len({TOKS})::BIGINT AS n_tok,
-         COALESCE(c.c4_keep, FALSE) AS c4k,
-         COALESCE(p.keep, FALSE) AS pplk,
-         (k.keep_id IS NOT NULL) AS canon,
-         (x.doc_id IS NOT NULL) AS cont
-  FROM documents d
-  LEFT JOIN c4 c ON c.doc_id = d.doc_id
-  LEFT JOIN ppl p ON p.doc_id = d.doc_id
-  LEFT JOIN canon k ON k.keep_id = d.doc_id
-  LEFT JOIN contaminated x ON x.doc_id = d.doc_id
+         p.c4_keep AS c4k,
+         p.ppl_keep AS pplk,
+         p.canonical AS canon,
+         p.contaminated AS cont
+  FROM prod p
+  JOIN documents d ON d.doc_id = p.doc_id
 ),
 tot AS (
   SELECT {aggs}
