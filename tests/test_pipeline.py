@@ -318,6 +318,77 @@ def test_semantic_blocked_catches_paraphrase(spark, tmp_path):
     assert out[P].max_cos_existing >= 0.95
 
 
+def test_semantic_blocked_routes_off_supplied_index(spark, monkeypatch):
+    """VERDICT r10 #1: with ``semantic_index`` given, the blocked
+    screen routes off the index's persisted centroids and performs NO
+    KMeans fit (pinned by poisoning KMeans.fit); at probes ==
+    n_clusters the manifest still equals the broadcast exact form
+    row-for-row — completeness is codebook-independent."""
+    from pyspark.ml.clustering import KMeans
+
+    import __spark_entry__ as E
+
+    idx = E._ivf_index(spark, SF_SMALL)
+
+    def _no_fit(self, *a, **k):  # pragma: no cover - must not run
+        raise AssertionError("KMeans.fit must not run with a supplied index")
+
+    monkeypatch.setattr(KMeans, "fit", _no_fit)
+    exact = {
+        r.doc_id: r
+        for r in pipeline.incremental_snapshot_loop(
+            spark, SF_SMALL, semantic_threshold=0.42
+        ).collect()
+    }
+    blocked = {
+        r.doc_id: r
+        for r in pipeline.incremental_snapshot_loop(
+            spark, SF_SMALL, semantic_threshold=0.42,
+            semantic_probes=idx.n_clusters, semantic_index=idx,
+        ).collect()
+    }
+    assert set(blocked) == set(exact)
+    for did, r in exact.items():
+        assert tuple(blocked[did]) == tuple(r), did
+
+
+def test_semantic_blocked_defaults_to_serving_index(spark, monkeypatch, tmp_path):
+    """The loop's own ``ivf_index`` doubles as the routing codebook
+    when ``semantic_index`` is omitted — no refit happens and the
+    store side effect still matches the manifest."""
+    import shutil
+
+    from pyspark.ml.clustering import KMeans
+
+    import __spark_entry__ as E
+    from ydb_vector_search_simple_api_spark.operators import index as ivf
+
+    src = E._ivf_index(spark, SF_SMALL)
+    store = str(tmp_path / "ivf_store")
+    shutil.copytree(src.path, store)
+    idx = ivf.IvfIndex(
+        path=store, n_clusters=src.n_clusters, centroids=src.centroids
+    )
+
+    def _no_fit(self, *a, **k):  # pragma: no cover - must not run
+        raise AssertionError("KMeans.fit must not run: serving index given")
+
+    monkeypatch.setattr(KMeans, "fit", _no_fit)
+    out = pipeline.incremental_snapshot_loop(
+        spark, SF_SMALL, ivf_index=idx, ivf_store=store,
+        semantic_threshold=0.42, semantic_probes=idx.n_clusters,
+    ).collect()
+    exact = pipeline.incremental_snapshot_loop(
+        spark, SF_SMALL, semantic_threshold=0.42
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    for r in exact:
+        got = by_id[r.doc_id]
+        assert (got.semantic_dup, got.max_cos_existing, got.screened_out) == (
+            r.semantic_dup, r.max_cos_existing, r.screened_out
+        ), r.doc_id
+
+
 def test_compaction_trigger_on_planted_drift(spark, tmp_path):
     """Generation hygiene (VERDICT r9 #5): a planted incoming vector
     far from every build-time centroid trips the drift rule
