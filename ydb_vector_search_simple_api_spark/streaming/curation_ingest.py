@@ -330,6 +330,7 @@ def stream_snapshot_loop(
     budget: int = 256,
     semantic_threshold: float | None = None,
     quality_gate: str = "generic",
+    quality_verdict_store: str | None = None,
 ) -> DataFrame:
     """The snapshot loop ON ARRIVAL — the streaming twin of
     ``operators.pipeline.incremental_snapshot_loop``: the incoming
@@ -367,6 +368,10 @@ def stream_snapshot_loop(
     per-doc functions of the corpus, so the verdict table pins ONCE
     beside the other probe tables and each trigger joins its docs
     against it — the KN5 pass never re-runs per trigger.
+    ``quality_verdict_store`` (round 11) replaces even that
+    once-per-drain scoring pass with the persisted verdict parquet
+    (``pipeline.production_verdict_store_build``) — identical
+    verdicts, so drained == batch holds across both paths.
     """
     from ..functions import text as TXT2
     from ..operators.curation import decontaminate_documents, pack_chunks
@@ -468,14 +473,21 @@ def stream_snapshot_loop(
         # of the corpus — pin the conjunction once, join per trigger
         # (the KN5 scoring pass runs exactly once, not per batch).
         # ONE shared definition with the batch loop: drained==batch
-        # can't drift through a hand-synced copy
-        from ..operators.pipeline import production_quality_flags
+        # can't drift through a hand-synced copy. With a persisted
+        # verdict store (round 11), even the once-per-drain scoring
+        # pass disappears — the parquet IS the pinned table
+        if quality_verdict_store is not None:
+            quality_static = spark.read.parquet(
+                quality_verdict_store
+            ).select("doc_id", F.col("quality_ok").alias("q_static"))
+        else:
+            from ..operators.pipeline import production_quality_flags
 
-        quality_static = (
-            production_quality_flags(spark, sf_dir)
-            .select("doc_id", F.col("quality_ok").alias("q_static"))
-            .localCheckpoint(eager=True)
-        )
+            quality_static = (
+                production_quality_flags(spark, sf_dir)
+                .select("doc_id", F.col("quality_ok").alias("q_static"))
+                .localCheckpoint(eager=True)
+            )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
