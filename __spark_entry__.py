@@ -2097,6 +2097,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_upsert pattern for dedup state); must equal the recompute
     # form, so it shares incremental_dedup's oracle SQL
     q["incremental_dedup_store"] = lambda s, d: dedup.incremental_dedup_store(s, d)
+    # sibling: line_dedup IN-CAP — the MAINTAINED-STATE path at LINE
+    # grain (round 11, VERDICT r10 #4): hot-line counts persist as a
+    # parquet store, built incrementally (existing build + incoming
+    # upsert — an associative exact count fold), the corpus screens
+    # against it; == batch recompute, so it shares line_dedup's oracle
+    q["line_dedup_store"] = textual.line_dedup_store
+    # sibling: line_dedup with the xxhash64 line hash (round 11,
+    # VERDICT r10 #7 — the char-span cheap-hash-twin argument at line
+    # grain): 8-byte bigints through the densest exchange instead of
+    # 32-char hex. Rows-only (no SQL twin for xxhash64); equality vs
+    # the md5 form pinned in pytest, shuffle delta in SCALING.md
+    q["line_dedup_xx"] = lambda s, d: textual.line_dedup(
+        s, d, hasher="xxhash64"
+    )
+    # sibling: line_dedup ON ARRIVAL — shards fold their line-hash
+    # counts into the store per trigger; the drained screen equals
+    # batch (threshold-at-read over the folded counts), same oracle
+    q["stream_line_dedup"] = lambda s, d: streaming_curing.stream_line_hash_ingest(
+        s, d
+    )
     # rotated out round 9 session 2 in favor of the composed
     # incremental_snapshot_loop (which contains this screen):
     q["incremental_dedup"] = lambda s, d: dedup.incremental_dedup(s, d)
@@ -2615,6 +2635,10 @@ def oracle_sql() -> dict[str, str]:
     o["gopher_quality"] = oracles_text.gopher_quality_sql()
     o["c4_line_filter"] = oracles_text.c4_line_filter_sql()
     o["line_dedup"] = oracles_text.line_dedup_sql()
+    # store-served / drained line screens == batch recompute -> same
+    # oracle (line_dedup_xx is rows-only: xxhash64 has no SQL twin)
+    o["line_dedup_store"] = oracles_text.line_dedup_sql()
+    o["stream_line_dedup"] = oracles_text.line_dedup_sql()
     o["curate_corpus_production"] = (
         oracles_curation.curate_corpus_production_sql()
     )

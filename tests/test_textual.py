@@ -827,6 +827,79 @@ def test_line_dedup_brute_force(spark):
     assert any(r.n_dup_lines == 0 for r in out.values())
 
 
+def test_line_dedup_xx_twin_equals_md5(spark):
+    """The xxhash64 line-hash twin (round 11): identical output table
+    to the md5 form — equality classes are all the algorithm consumes,
+    so any collision-sparse hash yields the same removal set (and the
+    kept_md5 digest stays md5 on both, so rows compare exactly)."""
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        line_dedup,
+    )
+
+    md = {r.doc_id: tuple(r) for r in line_dedup(spark, SF_SMALL).collect()}
+    xx = {
+        r.doc_id: tuple(r)
+        for r in line_dedup(spark, SF_SMALL, hasher="xxhash64").collect()
+    }
+    assert md == xx and len(md) > 0
+
+
+def test_line_dedup_store_equals_batch(spark, tmp_path):
+    """VERDICT r10 #4: build(existing) + upsert(incoming) then screen
+    the corpus against the store == batch line_dedup — the count fold
+    is associative and hotness is threshold-at-read; cross-split hot
+    lines (once in each split) must come out hot."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators.sampling import (
+        _draw,
+        _threshold_hex,
+    )
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        line_dedup,
+        line_dedup_from_store,
+        line_hash_store_build,
+        line_hash_store_upsert,
+    )
+    from ydb_vector_search_simple_api_spark.sources.store import (
+        load_documents,
+    )
+
+    docs = load_documents(spark, SF_SMALL).select("doc_id", "text")
+    thr = _threshold_hex(0.9)
+    path = str(tmp_path / "linestore")
+    line_hash_store_build(
+        spark, docs.filter(_draw(F.col("doc_id")) < F.lit(thr)), path
+    )
+    line_hash_store_upsert(
+        spark, docs.filter(_draw(F.col("doc_id")) >= F.lit(thr)), path
+    )
+    got = {
+        r.doc_id: tuple(r)
+        for r in line_dedup_from_store(spark, docs, path).collect()
+    }
+    want = {r.doc_id: tuple(r) for r in line_dedup(spark, SF_SMALL).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_stream_line_dedup_drained_equals_batch(spark):
+    """The on-arrival twin: per-shard count folds into the store, the
+    drained screen equals batch line_dedup row-for-row."""
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        line_dedup,
+    )
+    from ydb_vector_search_simple_api_spark.streaming.curation_ingest import (
+        stream_line_hash_ingest,
+    )
+
+    got = {
+        r.doc_id: tuple(r)
+        for r in stream_line_hash_ingest(spark, SF_SMALL).collect()
+    }
+    want = {r.doc_id: tuple(r) for r in line_dedup(spark, SF_SMALL).collect()}
+    assert got == want
+
+
 def test_c4_line_filter_rules(spark):
     """The C4 rules over the deterministic augmentation: lorem pages
     rejected, policy lines never in the kept stream, unpunctuated or

@@ -2065,8 +2065,27 @@ def attach_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _line_hash_expr(l, hasher: str):
+    """Per-line hash for the CCNet line-dedup family. ``md5``: hex
+    string, byte-identical cross-engine (the oracle form).
+    ``xxhash64``: JVM-native 8-byte bigint — the cheap production twin
+    (the ``dedup._sig_element`` hasher-knob precedent): equality
+    classes are what the algorithm consumes, so any collision-sparse
+    hash yields the same removal set; rows-only, equality vs the md5
+    form pinned in pytest, shuffle-byte delta measured in SCALING.md."""
+    if hasher == "md5":
+        return F.md5(l)
+    if hasher == "xxhash64":
+        return F.xxhash64(l)
+    raise ValueError(f"unknown hasher {hasher!r}; use 'md5' or 'xxhash64'")
+
+
+def _line_hash_type(hasher: str) -> str:
+    return "array<string>" if hasher == "md5" else "array<bigint>"
+
+
 def line_dedup(
-    spark: SparkSession, sf_dir: str, min_occ: int = 2
+    spark: SparkSession, sf_dir: str, min_occ: int = 2, hasher: str = "md5"
 ) -> DataFrame:
     """CCNet-style corpus-wide duplicated-LINE removal (Wenzek et al.
     2020 §3.1 — "deduplicating lines removes boilerplate": headers,
@@ -2083,30 +2102,47 @@ def line_dedup(
     corpus-wide aggregate.
 
     Plan shape: the line TEXT never shuffles — the corpus-sized
-    exchanges carry (doc_id, md5) line-hash rows (hash-keyed count
+    exchanges carry (doc_id, hash) line-hash rows (hash-keyed count
     with map-side combine), the hot set joins back hash-keyed, and
     each doc's removal set returns as one collect_set row joined on
     doc_id; reassembly is a per-doc array filter in codegen against
-    the doc's own hot-hash array. The cleaned stream is digested
-    (``kept_md5``) so the oracle verifies the reconstruction
-    byte-for-byte.
+    the doc's own hot-hash array. The exploded hash stream is
+    checkpointed ONCE (round 11 — it feeds BOTH the hot count and the
+    per-doc hot-set join; without the barrier the explode ran per
+    consumer): a hash-only stream, ~40 bytes/line on executor-local
+    disk. The cleaned stream is digested (``kept_md5``) so the oracle
+    verifies the reconstruction byte-for-byte. ``hasher`` picks the
+    line-hash function (see :func:`_line_hash_expr` — xxhash64 ships
+    8-byte bigints through the densest exchange instead of 32-char
+    hex, the char-span-twin argument).
 
     Output: (doc_id, n_lines, n_dup_lines, kept_md5) for every doc
     (zero-removal docs included; ``n_dup_lines`` counts occurrences).
     """
+    hfn = lambda l: _line_hash_expr(l, hasher)
     d = attach_lines(load_documents(spark, sf_dir)).select(
         "doc_id", F.split(F.col("ltext"), "\n").alias("lines")
     )
     hs = d.select(
         "doc_id",
-        F.explode(F.transform("lines", lambda l: F.md5(l))).alias("h"),
-    )
+        F.explode(F.transform("lines", hfn)).alias("h"),
+    ).localCheckpoint(eager=True)
     hot = (
         hs.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") >= min_occ)
         .select("h")
     )
+    return _line_dedup_assemble(d, hs, hot, hasher)
+
+
+def _line_dedup_assemble(
+    d: DataFrame, hs: DataFrame, hot: DataFrame, hasher: str
+) -> DataFrame:
+    """Shared reassembly for the recompute and store-served forms:
+    per-doc hot-hash sets join back on doc_id; the kept-line filter
+    and digest run in per-doc codegen — no text ever shuffles."""
+    hfn = lambda l: _line_hash_expr(l, hasher)
     doc_hot = (
         hs.join(hot, "h", "left_semi")
         .groupBy("doc_id")
@@ -2114,11 +2150,11 @@ def line_dedup(
     )
     joined = d.join(doc_hot, "doc_id", "left").withColumn(
         "hot_hs",
-        F.coalesce("hot_hs", F.array().cast("array<string>")),
+        F.coalesce("hot_hs", F.array().cast(_line_hash_type(hasher))),
     )
     kept = F.filter(
         F.col("lines"),
-        lambda l: ~F.array_contains(F.col("hot_hs"), F.md5(l)),
+        lambda l: ~F.array_contains(F.col("hot_hs"), hfn(l)),
     )
     return joined.select(
         "doc_id",
@@ -2126,6 +2162,129 @@ def line_dedup(
         (F.size("lines") - F.size(kept)).cast("bigint").alias("n_dup_lines"),
         F.md5(F.concat_ws("\n", kept)).alias("kept_md5"),
     )
+
+
+def _line_hash_counts(docs_df: DataFrame, hasher: str) -> DataFrame:
+    """(h, n_occ) line-hash occurrence counts over ``docs_df`` (raw
+    documents; the deterministic line augmentation is applied here) —
+    the mergeable statistic the hot-line store persists."""
+    hfn = lambda l: _line_hash_expr(l, hasher)
+    return (
+        attach_lines(docs_df)
+        .select(
+            F.explode(
+                F.transform(F.split(F.col("ltext"), "\n"), hfn)
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+
+
+def line_hash_store_build(
+    spark: SparkSession, docs_df: DataFrame, path: str, hasher: str = "md5"
+) -> dict:
+    """Persist the corpus line-hash counts (VERDICT r10 #4 — the
+    fingerprint-store pattern at LINE grain): one parquet of
+    (h, n_occ) plus meta. Occurrence counts (not just the hot set)
+    persist because hotness is threshold-at-read and counts must keep
+    folding: a line that occurs once in each of two snapshots is hot
+    only after BOTH have been ingested. Returns the row count."""
+    import json as _json
+    import os as _os
+
+    counts = _line_hash_counts(docs_df, hasher)
+    counts.write.mode("overwrite").parquet(_os.path.join(path, "counts"))
+    with open(_os.path.join(path, "_line_meta.json"), "w") as f:
+        _json.dump({"hasher": hasher}, f)
+    return {
+        "n_hashes": spark.read.parquet(_os.path.join(path, "counts")).count()
+    }
+
+
+def line_hash_store_upsert(
+    spark: SparkSession, docs_df: DataFrame, path: str
+) -> dict:
+    """Fold a new snapshot's line-hash counts into the store — an
+    associative exact count fold (the KN5-store/KMV argument), so
+    build(existing) + upsert(delta) == build(union) byte-for-byte."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_line_meta.json")) as f:
+        hasher = _json.load(f)["hasher"]
+    delta = _line_hash_counts(docs_df, hasher)
+    merged = (
+        spark.read.parquet(_os.path.join(path, "counts"))
+        .unionByName(delta)
+        .groupBy("h")
+        .agg(F.sum("n_occ").alias("n_occ"))
+        .localCheckpoint(eager=True)
+    )
+    n = merged.count()
+    merged.write.mode("overwrite").parquet(_os.path.join(path, "counts"))
+    return {"n_hashes": n}
+
+
+def line_dedup_from_store(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    path: str,
+    min_occ: int = 2,
+) -> DataFrame:
+    """Screen a doc batch against the PERSISTED hot-line store — the
+    incremental form of :func:`line_dedup`: hotness comes from the
+    store's accumulated counts (threshold applied at read), so after
+    upserting every snapshot the screen over the full corpus equals
+    the batch recompute exactly (shared oracle). Per-call cost is the
+    batch's own line pass + one hash-keyed join against the store
+    scan; the corpus never re-hashes. Same output contract."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_line_meta.json")) as f:
+        hasher = _json.load(f)["hasher"]
+    hfn = lambda l: _line_hash_expr(l, hasher)
+    hot = (
+        spark.read.parquet(_os.path.join(path, "counts"))
+        .filter(F.col("n_occ") >= min_occ)
+        .select("h")
+    )
+    d = attach_lines(docs_df).select(
+        "doc_id", F.split(F.col("ltext"), "\n").alias("lines")
+    )
+    hs = d.select(
+        "doc_id", F.explode(F.transform("lines", hfn)).alias("h")
+    )
+    return _line_dedup_assemble(d, hs, hot, hasher)
+
+
+def line_dedup_store(
+    spark: SparkSession, sf_dir: str, min_occ: int = 2
+) -> DataFrame:
+    """Gate entry: the store-served line screen must equal
+    :func:`line_dedup` exactly (same oracle SQL) — built
+    INCREMENTALLY (existing split build + incoming split upsert, the
+    ``incremental_dedup_store`` convention) into a deterministic temp
+    dir, then the full corpus screens against it."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from .sampling import _draw, _threshold_hex
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _os.path.join(_tempfile.gettempdir(), f"svs_linestore_{tag}")
+    if not _os.path.exists(_os.path.join(path, "_line_meta.json")):
+        thr = _threshold_hex(0.9)
+        line_hash_store_build(
+            spark, docs.filter(_draw(F.col("doc_id")) < F.lit(thr)), path
+        )
+        line_hash_store_upsert(
+            spark, docs.filter(_draw(F.col("doc_id")) >= F.lit(thr)), path
+        )
+    return line_dedup_from_store(spark, docs, path, min_occ=min_occ)
 
 
 def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

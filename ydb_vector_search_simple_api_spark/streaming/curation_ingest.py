@@ -696,3 +696,67 @@ def stream_snapshot_loop(
         "admitted", "split", "n_bins", "n_chunks", "n_pack_tokens",
         "indexed",
     )
+
+
+def stream_line_hash_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = 4,
+    min_occ: int = 2,
+    hasher: str = "md5",
+) -> DataFrame:
+    """CCNet line-dedup ON ARRIVAL (round 11, VERDICT r10 #4): the
+    corpus arrives as shard drops; each trigger folds ITS shard's
+    line-hash occurrence counts into the persisted hot-line store
+    (``textual.line_hash_store_build``/``_upsert`` — an associative
+    exact count fold), and after the drain the full corpus screens
+    against the accumulated store. Drained == batch ``line_dedup``
+    row-for-row (shared oracle): hotness is threshold-at-read over
+    the FINAL counts, which equal the batch counts because the fold
+    is associative — a line occurring once in each of two shards is
+    hot exactly as in batch. (Screening mid-drain would use partial
+    counts — the ingest/query split every sketch store in this repo
+    uses: state folds on arrival, queries read the folded state.)
+
+    Per-trigger cost is one shard-sized line pass + one
+    vocabulary-sized count merge; a replayed trigger would double-fold
+    its counts — the file-source checkpoint prevents replay in this
+    harness, and an idempotent ledger (per-shard count parquet +
+    fold-at-read) is the documented production hardening, exactly as
+    ``stream_kmv_ingest`` notes for its fold."""
+    from ..operators.textual import (
+        line_dedup_from_store,
+        line_hash_store_build,
+        line_hash_store_upsert,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"svs_lineing_{run}")
+    landing = os.path.join(base, "landing")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    write_shard_landing(docs, landing, n_shards)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        if os.path.exists(os.path.join(store, "_line_meta.json")):
+            line_hash_store_upsert(ss, batch_df, store)
+        else:
+            line_hash_store_build(ss, batch_df, store, hasher=hasher)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "shard=*"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return line_dedup_from_store(spark, docs, store, min_occ=min_occ)
