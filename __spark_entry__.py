@@ -1131,9 +1131,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # semantic_decontaminate (driver-green r6-r9; the embedding-side
     # probe keeps its own oracle in overflow and the snapshot loop's
     # semantic screen exercises the same cosine machinery)
-    q["decontaminate_13gram"] = lambda s, d: curation.decontaminate_documents(
-        s, d, n=13, min_containment=0.1
-    )
+    # round-11 rotation (VERDICT r10 #6): the fence-calibration SWEEP
+    # — flagged pair/doc counts per (n-gram order, containment
+    # threshold) config, the artifact the fence constant is CHOSEN
+    # from — in place of decontaminate_13gram (driver-green r10; its
+    # config is one row of this grid, it keeps its own oracle in
+    # overflow, and the decontam family stays in-cap here plus
+    # stream_decontaminate)
+    q["decontamination_sweep"] = curation.decontamination_sweep
     # late round-7 rotation: WEIGHTED TF-IDF cosine near-dup pairs
     # (idf crushes boilerplate shingles — the score set Jaccard can't
     # express) in place of dedup_minhash_md5 (driver-green r1-r6; the
@@ -1173,7 +1178,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # enforced, Gopher reported, canonical election + decontam fence +
     # splits) in place of the generic-quality-score chain
     # (driver-green r3-r9; curate_corpus keeps its oracle in overflow)
-    q["curate_corpus_production"] = pipeline_mod.curate_corpus_production
+    # round-11 rotation (VERDICT r10 #6): the production ABLATION
+    # FUNNEL — per-stage doc/token retention through the named
+    # production gates (c4, KN5 tiles, dedup election, decontam), the
+    # per-release artifact a pipeline owner publishes — in place of
+    # curate_corpus_production (driver-green r10; same flags chain,
+    # the per-doc grain keeps its own oracle in overflow and the
+    # production-config family stays in-cap here plus
+    # production_mix_report)
+    q["production_funnel"] = curation.production_funnel
     # late round-7 rotation: the LOSSLESS AllPairs prefix-indexed
     # weighted-cosine twin at the near-dup threshold (shares the exact
     # form's oracle) in place of export_curated (driver-green r4-r6;
@@ -2296,16 +2309,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # retention fractions (the per-step removal table dedup papers
     # publish); one flags pass + one conditional-sum aggregate
     q["curation_funnel"] = curation.curation_funnel
-    # sibling: decontaminate_13gram (in-cap) — the fence-calibration
-    # SWEEP: flagged pair/doc counts per (n-gram order, containment
-    # threshold) config (GPT-3's 13-gram, the repo default 8-gram,
-    # the aggressive corners) — how the fence constant gets chosen
-    q["decontamination_sweep"] = curation.decontamination_sweep
-    # sibling: curation_funnel at the PRODUCTION config — the quality
-    # cut split into its named filters (c4, then KN5 tiles) so the
-    # funnel shows WHICH gate eats the corpus; final stage == the
-    # production admitted set (pinned)
-    q["production_funnel"] = curation.production_funnel
+    # sibling: decontamination_sweep IN-CAP (round-11 rotation) — the
+    # GPT-3 appendix-C 13-gram config, one row of the sweep's grid;
+    # retired driver-green r10, keeps its own oracle here
+    q["decontaminate_13gram"] = lambda s, d: curation.decontaminate_documents(
+        s, d, n=13, min_containment=0.1
+    )
+    # sibling: production_funnel IN-CAP (round-11 rotation) — the
+    # per-doc production flags the funnel aggregates; retired
+    # driver-green r10, keeps its own oracle here
+    q["curate_corpus_production"] = pipeline_mod.curate_corpus_production
     # sibling: curate_corpus_production with the FULL Gopher
     # conjunction ENFORCED (VERDICT r9 #7): the required-stopword rule
     # binds via the corpus's own glue-word list at K=7 (the paper's

@@ -116,15 +116,23 @@ import __spark_entry__ as E
 # third screen), line_dedup<-paragraph_dedup (CCNet boilerplate-line
 # strip, the corpus-wide line-grain aggregate; sub-doc grain stays
 # in-cap via duplicate_char_spans).
+# Round-11 rotation (VERDICT r10 #6 — promote the round-10 release
+# artifacts; each retired entry is driver-green r10 with its family
+# still in-cap and keeps its own oracle in overflow):
+# decontamination_sweep<-decontaminate_13gram (the 13-gram config is
+# one row of the sweep's grid; decontam family stays via the sweep +
+# stream_decontaminate), production_funnel<-curate_corpus_production
+# (same production flags chain, aggregated to the per-stage retention
+# artifact; production-config family stays via production_mix_report).
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
     "script_profile", "quality_filter", "bm25_topk_indexed",
     "snapshot_loop_semantic", "split_leakage_audit", "heavy_hitters_topk",
     "kneser_ney5_modified", "dedup_ngram_prefix", "snapshot_diff",
-    "decontaminate_13gram", "tfidf_cosine_pairs", "dsir_select",
+    "decontamination_sweep", "tfidf_cosine_pairs", "dsir_select",
     "duplicate_char_spans",
-    "curate_corpus_production", "tfidf_cosine_prefix", "repetition_signals",
+    "production_funnel", "tfidf_cosine_prefix", "repetition_signals",
     "opq_rerank_full", "stream_interval_join", "scd2_history",
     "leakage_safe_splits",
     "sorted_neighborhood", "production_mix_report", "kmeans_lloyd",
