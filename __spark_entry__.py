@@ -2110,6 +2110,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ivf_upsert pattern for dedup state); must equal the recompute
     # form, so it shares incremental_dedup's oracle SQL
     q["incremental_dedup_store"] = lambda s, d: dedup.incremental_dedup_store(s, d)
+    # sibling: the snapshot loop with the CCNet boilerplate-LINE stage
+    # enabled (round 11): per incoming doc, corpus-hot-line occurrence
+    # count + boilerplate-stripped digest join the manifest as
+    # evidence/transform columns (admission untouched — CCNet strips
+    # lines, keeps docs); oracle = the loop CTE chain + the line_dedup
+    # CTEs restricted to incoming
+    q["snapshot_loop_line"] = lambda s, d: pipeline_mod.incremental_snapshot_loop(
+        s, d, line_screen=True
+    )
     # sibling: line_dedup IN-CAP — the MAINTAINED-STATE path at LINE
     # grain (round 11, VERDICT r10 #4): hot-line counts persist as a
     # parquet store, built incrementally (existing build + incoming
@@ -2901,6 +2910,10 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     )
     # store-served LM scores == recompute -> same oracle
     o["kn5_store_scores"] = oracles_text.kneser_ney5_sql(0.75)
+    # the loop + the CCNet line stage (evidence/transform columns)
+    o["snapshot_loop_line"] = (
+        oracles_curation.incremental_snapshot_loop_sql(line_screen=True)
+    )
     o["contrastive_pairs"] = oracles_curation.contrastive_pairs_sql()
     o["export_curated"] = oracles_curation.export_manifest_sql()
     o["quality_vs_dup_rate"] = oracles_curation.quality_vs_dup_rate_sql()

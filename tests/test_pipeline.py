@@ -389,6 +389,65 @@ def test_semantic_blocked_defaults_to_serving_index(spark, monkeypatch, tmp_path
         ), r.doc_id
 
 
+def test_line_screen_store_equals_recompute(spark, tmp_path):
+    """The loop's CCNet line stage (round 11): with ``line_store``
+    holding the EXISTING corpus's counts, the loop folds the incoming
+    snapshot's counts in and reads hotness from the store — manifest
+    identical to the corpus-recompute form, and the evidence columns
+    match batch line_dedup restricted to the incoming split. Admission
+    is untouched vs the default loop."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_simple_api_spark.operators.sampling import (
+        _draw,
+        _threshold_hex,
+    )
+    from ydb_vector_search_simple_api_spark.operators.textual import (
+        line_dedup,
+        line_hash_store_build,
+    )
+    from ydb_vector_search_simple_api_spark.sources.store import (
+        load_documents,
+    )
+
+    recompute = {
+        r.doc_id: r
+        for r in pipeline.incremental_snapshot_loop(
+            spark, SF_SMALL, line_screen=True
+        ).collect()
+    }
+    docs = load_documents(spark, SF_SMALL).select("doc_id", "text")
+    thr = _threshold_hex(0.9)
+    store = str(tmp_path / "linestore")
+    line_hash_store_build(
+        spark, docs.filter(_draw(F.col("doc_id")) < F.lit(thr)), store
+    )
+    stored = {
+        r.doc_id: r
+        for r in pipeline.incremental_snapshot_loop(
+            spark, SF_SMALL, line_screen=True, line_store=store
+        ).collect()
+    }
+    assert set(stored) == set(recompute)
+    for did, r in recompute.items():
+        assert tuple(stored[did]) == tuple(r), did
+
+    batch = {
+        r.doc_id: r for r in line_dedup(spark, SF_SMALL).collect()
+    }
+    base = {
+        r.doc_id: r
+        for r in pipeline.incremental_snapshot_loop(spark, SF_SMALL).collect()
+    }
+    n_hot = 0
+    for did, r in recompute.items():
+        assert r.n_hot_lines == batch[did].n_dup_lines
+        assert r.line_kept_md5 == batch[did].kept_md5
+        assert r.admitted == base[did].admitted  # evidence-only stage
+        n_hot += r.n_hot_lines > 0
+    assert n_hot > 0  # the planted boilerplate reaches the manifest
+
+
 def test_compaction_trigger_on_planted_drift(spark, tmp_path):
     """Generation hygiene (VERDICT r9 #5): a planted incoming vector
     far from every build-time centroid trips the drift rule

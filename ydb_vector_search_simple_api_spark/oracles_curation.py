@@ -1257,6 +1257,8 @@ def incremental_snapshot_loop_sql(
     budget: int = 256,
     semantic_threshold: float | None = None,
     quality_gate: str = "generic",
+    line_screen: bool = False,
+    line_min_occ: int = 2,
 ) -> str:
     """End-to-end twin of ``pipeline.incremental_snapshot_loop``: the
     same stage SQL the individual gate entries use (incremental
@@ -1267,7 +1269,11 @@ def incremental_snapshot_loop_sql(
     opt-in embedding-cosine screen stage (round 10): per-pair
     ROUND(6)ed cosine vs the existing corpus, max per incoming doc,
     reject at >= threshold (the ``semantic_decontaminate`` double-math
-    and norm-factorization semantics)."""
+    and norm-factorization semantics). ``line_screen`` mirrors the
+    opt-in CCNet boilerplate-line stage (round 11): corpus-wide md5
+    line counts (the ``line_dedup`` CTEs), per-incoming-doc hot-line
+    occurrence count + boilerplate-stripped digest — evidence +
+    transform columns, admission untouched."""
     from .oracles_text import (
         NORM,
         chunk_documents_sql,
@@ -1329,6 +1335,41 @@ sem AS (
             f"({screened} OR COALESCE(sm.max_cos_existing >= "
             f"{semantic_threshold}, FALSE))"
         )
+    line_cte = line_join = ""
+    line_cols = line_out = ""
+    if line_screen:
+        from .oracles_text import built_lines_sql
+
+        nl = "chr(10)"
+        keep = (
+            "list_filter(l.lines, x -> NOT "
+            "list_contains(COALESCE(dh.hot_hs, []::VARCHAR[]), md5(x)))"
+        )
+        line_cte = f"""
+lln AS MATERIALIZED (
+  SELECT doc_id, string_split(ltext, {nl}) AS lines
+  FROM ({built_lines_sql()})
+),
+lhx AS MATERIALIZED (
+  SELECT doc_id, unnest(list_transform(lines, x -> md5(x))) AS h FROM lln
+),
+lhot AS (SELECT h FROM lhx GROUP BY h HAVING count(*) >= {line_min_occ}),
+ldh AS (
+  SELECT lhx.doc_id, list(DISTINCT lhx.h) AS hot_hs
+  FROM lhx JOIN lhot USING (h) GROUP BY lhx.doc_id
+),
+lev AS (
+  SELECT l.doc_id,
+         (len(l.lines) - len({keep}))::BIGINT AS n_hot_lines,
+         md5(COALESCE(array_to_string({keep}, {nl}), ''))
+           AS line_kept_md5
+  FROM lln l LEFT JOIN ldh dh ON dh.doc_id = l.doc_id
+),"""
+        line_join = "  LEFT JOIN lev lv ON lv.doc_id = i.doc_id\n"
+        line_cols = (
+            "         lv.n_hot_lines,\n         lv.line_kept_md5,\n"
+        )
+        line_out = "       f.n_hot_lines, f.line_kept_md5,\n"
     if quality_gate == "production":
         from .oracles_text import (
             c4_line_filter_sql,
@@ -1373,14 +1414,14 @@ nfps AS (
   JOIN documents d ON d.doc_id = w.doc_id
   WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, {PREFIX_HEX}) >= '{thr}'
   GROUP BY w.doc_id
-),{sem_cte}
+),{sem_cte}{line_cte}
 flags AS (
   SELECT i.doc_id, i.is_exact_dup, i.n_shared_fps,
          COALESCE(nf.n_fps, 0)::BIGINT AS n_fps,
          CASE WHEN COALESCE(nf.n_fps, 0) > 0
               THEN ROUND(i.n_shared_fps::DOUBLE / nf.n_fps::DOUBLE, 6) + 0.0
               ELSE 0.0 END AS fp_containment,
-{sem_cols}         {screened} AS screened_out,
+{sem_cols}{line_cols}         {screened} AS screened_out,
          (q.doc_id IS NOT NULL) AS quality_ok,
          (NOT {screened})
            AND q.doc_id IS NOT NULL
@@ -1391,14 +1432,14 @@ flags AS (
   FROM inc i
   JOIN documents d ON d.doc_id = i.doc_id
   LEFT JOIN nfps nf ON nf.doc_id = i.doc_id
-{sem_join}  LEFT JOIN quality q ON q.doc_id = i.doc_id
+{sem_join}{line_join}  LEFT JOIN quality q ON q.doc_id = i.doc_id
   LEFT JOIN canon c ON c.doc_id = i.doc_id
   LEFT JOIN contaminated x ON x.doc_id = i.doc_id
   LEFT JOIN splits s ON s.doc_id = i.doc_id
 )
 SELECT f.doc_id, f.is_exact_dup, f.n_shared_fps, f.n_fps,
        f.fp_containment,
-{sem_out}       f.screened_out,
+{sem_out}{line_out}       f.screened_out,
        f.quality_ok, f.admitted,
        CASE WHEN f.admitted THEN f.split END AS split,
        COALESCE(CASE WHEN f.admitted THEN p.n_bins END, 0)::BIGINT AS n_bins,
