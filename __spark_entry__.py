@@ -2295,6 +2295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # corpus FROM the store. Store == recompute, so it shares the
     # recompute's oracle; upsert-fold equality pinned in pytest
     q["kn5_store_scores"] = lm_store_mod.kn5_store_corpus_scores
+    # sibling: kneser_ney5_modified (in-cap) served from the SAME
+    # persisted c5 store — the per-level D1/D2/D3+ discounts are
+    # count-of-counts functions of c5, so one model store serves both
+    # scorers; == recompute, same oracle
+    q["mkn5_store_scores"] = lm_store_mod.mkn5_store_corpus_scores
     # sibling: kneser_ney5_modified IN-CAP (round-10 rotation) — the
     # fixed-discount production-order 5-gram KN it generalizes;
     # retired driver-green r9, keeps its own oracle here
@@ -2910,6 +2915,7 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     )
     # store-served LM scores == recompute -> same oracle
     o["kn5_store_scores"] = oracles_text.kneser_ney5_sql(0.75)
+    o["mkn5_store_scores"] = oracles_text.kneser_ney5_modified_sql()
     # the loop + the CCNet line stage (evidence/transform columns)
     o["snapshot_loop_line"] = (
         oracles_curation.incremental_snapshot_loop_sql(line_screen=True)

@@ -71,6 +71,26 @@ def test_upsert_fold_equals_build_on_union(spark, tmp_path):
     assert got == want
 
 
+def test_mkn5_store_scores_equal_recompute(spark, tmp_path):
+    """One persisted c5 store serves BOTH scorers: the modified-KN
+    path (discounts derived from the stored counts) equals the
+    in-session kneser_ney5_modified_logprob byte-for-byte."""
+    docs = load_documents(spark, SF_SMALL).select("doc_id", "text")
+    path = str(tmp_path / "kn5")
+    lm_store.kn5_store_build(spark, docs, path)
+    got = {
+        r.doc_id: (r.n_grams, r.mean_mkn5_logprob)
+        for r in lm_store.mkn5_store_score(spark, docs, path).collect()
+    }
+    want = {
+        r.doc_id: (r.n_grams, r.mean_mkn5_logprob)
+        for r in textual.kneser_ney5_modified_logprob(
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_store_served_tiles_equal_session_tiles(spark, tmp_path):
     """perplexity_buckets_kn5 fed store-served scores produces the
     identical tile table (the production gate's KN5 leg)."""

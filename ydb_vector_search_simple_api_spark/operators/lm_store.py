@@ -45,7 +45,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .textual import _kn5_docg, _kn5_score
+from .textual import _kn5_docg, _kn5_score, _mkn5_score
 
 _META_FILE = "_kn5_meta.json"
 _C5_DIR = "c5"
@@ -110,6 +110,37 @@ def kn5_store_score(
     c5 = spark.read.parquet(os.path.join(path, _C5_DIR))
     docg = _kn5_docg(docs_df.select("doc_id", "text"))
     return _kn5_score(docg, c5, float(meta["discount"]))
+
+
+def mkn5_store_score(
+    spark: SparkSession, docs_df: DataFrame, path: str
+) -> DataFrame:
+    """MODIFIED-KN scoring off the SAME persisted c5 store: the
+    per-level D1/D2/D3+ discounts are count-of-counts functions of c5
+    (``textual._mkn5_score``), so one persisted model serves both
+    scorers — no separate store, no extra build pass. Output:
+    (doc_id, n_grams, mean_mkn5_logprob), identical to
+    ``kneser_ney5_modified_logprob`` under upsert-then-score."""
+    c5 = spark.read.parquet(os.path.join(path, _C5_DIR))
+    docg = _kn5_docg(docs_df.select("doc_id", "text"))
+    return _mkn5_score(docg, c5)
+
+
+def mkn5_store_corpus_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: the modified-KN scores served from the shared
+    per-corpus store (same temp-dir memo as
+    :func:`kn5_store_corpus_scores`); == the recompute, same oracle."""
+    import hashlib
+    import tempfile
+
+    from ..sources.store import load_documents
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"svs_kn5store_{tag}")
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    if not os.path.exists(os.path.join(path, _META_FILE)):
+        kn5_store_build(spark, docs, path)
+    return mkn5_store_score(spark, docs, path)
 
 
 def kn5_store_corpus_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1273,30 +1273,21 @@ def kneser_ney5_modified_logprob(
 
     Output: (doc_id, n_grams, mean_mkn5_logprob).
     """
-    d = load_documents(spark, sf_dir).select("doc_id", "text")
-    t = TXT.tokens("text")
-    padded = F.concat(
-        F.array(*[F.lit(KN_BOS)] * 4), t, F.array(F.lit(KN_EOS))
+    docg = _kn5_docg(load_documents(spark, sf_dir).select("doc_id", "text"))
+    c5 = docg.groupBy("g1", "g2", "g3", "g4", "g5").agg(
+        F.sum("n").alias("c5")
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(padded) - 4),
-        lambda i: F.struct(
-            F.element_at(padded, i).alias("g1"),
-            F.element_at(padded, i + 1).alias("g2"),
-            F.element_at(padded, i + 2).alias("g3"),
-            F.element_at(padded, i + 3).alias("g4"),
-            F.element_at(padded, i + 4).alias("g5"),
-        ),
-    )
-    docg = (
-        d.select("doc_id", F.explode(grams).alias("g"))
-        .select("doc_id", "g.*")
-        .groupBy("doc_id", "g1", "g2", "g3", "g4", "g5")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
+    return _mkn5_score(docg, c5)
+
+
+def _mkn5_score(docg: DataFrame, c5: DataFrame) -> DataFrame:
+    """Modified-KN sibling of :func:`_kn5_score`: score per-doc gram
+    counts against a model given only its top-order count table —
+    the continuation cascade, every context total, AND the per-level
+    D1/D2/D3+ discounts (count-of-counts closed form) all derive from
+    c5 by exact integer aggregates, so the SAME persisted c5 store
+    serves both the fixed-discount and modified scorers."""
     G = ["g1", "g2", "g3", "g4", "g5"]
-    c5 = docg.groupBy(*G).agg(F.sum("n").alias("c5"))
     kn4 = c5.groupBy("g2", "g3", "g4", "g5").agg(
         F.count(F.lit(1)).alias("c4")
     )
