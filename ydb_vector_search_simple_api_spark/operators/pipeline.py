@@ -381,6 +381,13 @@ def incremental_snapshot_loop(
     codebook — retraining centroids is the offline follow-up, exactly
     as ``streaming/index_ingest.py`` documents for the on-arrival
     path."""
+    if quality_verdict_store is not None and quality_gate != "production":
+        raise ValueError(
+            "quality_verdict_store requires quality_gate='production' "
+            "(the store holds the production gate's verdicts)"
+        )
+    if line_store is not None and not line_screen:
+        raise ValueError("line_store requires line_screen=True")
     thr = _threshold_hex(existing_frac)
     docs = load_documents(spark, sf_dir)
     incoming = docs.filter(_draw(F.col("doc_id")) >= F.lit(thr))

@@ -377,6 +377,11 @@ def stream_snapshot_loop(
     from ..operators.curation import decontaminate_documents, pack_chunks
     from ..operators.sampling import _draw, _threshold_hex
 
+    if quality_verdict_store is not None and quality_gate != "production":
+        raise ValueError(
+            "quality_verdict_store requires quality_gate='production' "
+            "(the store holds the production gate's verdicts)"
+        )
     run = uuid.uuid4().hex[:8]
     base = os.path.join(tempfile.gettempdir(), f"svs_snaploop_{run}")
     landing = os.path.join(base, "landing")
