@@ -2119,6 +2119,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["snapshot_loop_line"] = lambda s, d: pipeline_mod.incremental_snapshot_loop(
         s, d, line_screen=True
     )
+    # sibling: the loop at FULL production shape (round 11) — every
+    # opt-in stage at once: exact+fp screen, embedding-cosine third
+    # screen, CCNet line evidence, FineWeb production gate, canonical
+    # election, decontam fence, splits, pack — the whole modern
+    # curation recipe as ONE hash-checked CTE chain
+    q["snapshot_loop_full"] = lambda s, d: pipeline_mod.incremental_snapshot_loop(
+        s, d, semantic_threshold=0.42, line_screen=True,
+        quality_gate="production",
+    )
     # sibling: line_dedup IN-CAP — the MAINTAINED-STATE path at LINE
     # grain (round 11, VERDICT r10 #4): hot-line counts persist as a
     # parquet store, built incrementally (existing build + incoming
@@ -2919,6 +2928,13 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     # the loop + the CCNet line stage (evidence/transform columns)
     o["snapshot_loop_line"] = (
         oracles_curation.incremental_snapshot_loop_sql(line_screen=True)
+    )
+    # every opt-in stage composed in one CTE chain
+    o["snapshot_loop_full"] = (
+        oracles_curation.incremental_snapshot_loop_sql(
+            semantic_threshold=0.42, line_screen=True,
+            quality_gate="production",
+        )
     )
     o["contrastive_pairs"] = oracles_curation.contrastive_pairs_sql()
     o["export_curated"] = oracles_curation.export_manifest_sql()
