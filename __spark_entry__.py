@@ -2484,6 +2484,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # logistic regression beside nb_classify_docs, trained DISTRIBUTED
     # by full-batch GD, engine-exact end to end)
     q["logreg_score"] = lambda s, d: logreg_mod.logreg_score(s, d)
+    # sibling: the trained classifier PERSISTED (round 11 — the
+    # lm_store discipline for the model-based filter family): exact
+    # integer nano-unit weights on disk, scoring reads <= N_BUCKETS
+    # rows instead of re-training per session; == recompute, same
+    # oracle. No upsert by design: GD folds aren't associative —
+    # refresh is retrain (the ivf rebuild analogy)
+    q["logreg_score_store"] = logreg_mod.logreg_score_store
     # sibling: kmv_user_overlap IN-CAP (the KMV / bottom-k sketch —
     # the distinct synopsis that also supports INTERSECTION;
     # unsaturated at the gate SFs => provably exact vs COUNT(DISTINCT))
@@ -2994,6 +3001,10 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
         10, 16, ("CosineSimilarity", "InnerProductSimilarity")
     )
     o["logreg_score"] = oracles_curation.logreg_score_sql(
+        logreg_mod.N_BUCKETS, logreg_mod.N_ITER, logreg_mod.LR
+    )
+    # store-served weights == recompute -> same oracle
+    o["logreg_score_store"] = oracles_curation.logreg_score_sql(
         logreg_mod.N_BUCKETS, logreg_mod.N_ITER, logreg_mod.LR
     )
     o["logreg_report"] = oracles_curation.logreg_report_sql(

@@ -155,3 +155,23 @@ def test_nb_label_report_cells(spark):
     got = {(r.rule_label, r.predicted_label): r.n_docs for r in report}
     assert got == dict(want)
     assert sum(got.values()) == len(preds)
+
+
+def test_logreg_store_scores_equal_recompute(spark, tmp_path):
+    """Round 11: the persisted-weights path == the in-session trained
+    path byte-for-byte (exact integer nano-unit weights reconstruct
+    the identical double weight table)."""
+    from ydb_vector_search_simple_api_spark.operators import logreg
+
+    path = str(tmp_path / "logreg")
+    stats = logreg.logreg_store_build(spark, SF_SMALL, path)
+    assert stats["n_buckets"] > 0
+    got = {
+        r.doc_id: tuple(r)
+        for r in logreg.logreg_store_score(spark, SF_SMALL, path).collect()
+    }
+    want = {
+        r.doc_id: tuple(r)
+        for r in logreg.logreg_score(spark, SF_SMALL).collect()
+    }
+    assert got == want and len(want) > 0

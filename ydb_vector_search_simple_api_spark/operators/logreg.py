@@ -222,6 +222,92 @@ def logreg_score(
         feats.unpersist()
 
 
+def logreg_store_build(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    n_iter: int = N_ITER,
+    lr: int = LR,
+) -> dict:
+    """Persist the trained classifier (round 11 — the lm_store/KMV
+    discipline for the model-based filter family): one parquet of
+    (b, w_nano) EXACT integer nano-unit weights plus meta. Scoring a
+    new snapshot then reads ≤ N_BUCKETS rows instead of re-running the
+    training iterations per session. No upsert on purpose: GD folds
+    are not associative (unlike the KMV/KN5 count stores), so
+    refreshing the model IS a retrain — the ivf rebuild analogy, not
+    the count-fold one. Returns {n_buckets}."""
+    import json as _json
+    import os as _os
+
+    docs = load_documents(spark, sf_dir)
+    feats = _features(docs).persist()
+    try:
+        w = train_weights(spark, feats, n_iter=n_iter, lr=lr)
+    finally:
+        feats.unpersist()
+    spark.createDataFrame(
+        [(int(b), int(u)) for b, u in w.items()], "b bigint, w_nano bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "weights")
+    )
+    with open(_os.path.join(path, "_logreg_meta.json"), "w") as f:
+        _json.dump({"n_iter": n_iter, "lr": int(lr)}, f)
+    return {"n_buckets": len(w)}
+
+
+def logreg_store_score(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
+    """Score every document against the PERSISTED weights — the exact
+    integer nano-units reconstruct the identical double weight table,
+    so store-served scores == :func:`logreg_score` byte-for-byte
+    (shared oracle). Same output contract (doc_id, split, y, score,
+    y_pred)."""
+    docs = load_documents(spark, sf_dir)
+    feats = _features(docs)
+    wdf = (
+        spark.read.parquet(f"{path}/weights")
+        .select("b", (F.col("w_nano").cast("double") / F.lit(1e9)).alias("w"))
+    )
+    scored = _margins(feats, wdf).select(
+        "doc_id", "y", _softsign_p(F.col("m")).alias("p")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 != 0, F.lit("train"))
+            .otherwise(F.lit("holdout"))
+            .alias("split"),
+        )
+        .join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "split",
+            F.col("y").cast("bigint").alias("y"),
+            (F.round(F.col("p"), 6) + F.lit(0.0)).alias("score"),
+            F.when(F.col("p") >= 0.5, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("y_pred"),
+        )
+    )
+
+
+def logreg_score_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: build-once into the deterministic temp dir, score
+    from the store; == logreg_score (same oracle SQL)."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _os.path.join(_tempfile.gettempdir(), f"svs_logregstore_{tag}")
+    if not _os.path.exists(_os.path.join(path, "_logreg_meta.json")):
+        logreg_store_build(spark, sf_dir, path)
+    return logreg_store_score(spark, sf_dir, path)
+
+
 def logreg_report(
     spark: SparkSession, sf_dir: str, n_iter: int = N_ITER, lr: int = LR
 ) -> DataFrame:
