@@ -2148,6 +2148,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_line_dedup"] = lambda s, d: streaming_curing.stream_line_hash_ingest(
         s, d
     )
+    # sibling: KN5 model TRAINING on arrival — shards fold their
+    # 5-gram counts into the persisted model store per trigger
+    # (associative exact fold ⇒ drained model == batch-built model);
+    # the corpus scores from the drained store, same oracle as the
+    # recompute scorer
+    q["stream_kn5_ingest"] = lambda s, d: streaming_curing.stream_kn5_ingest(
+        s, d
+    )
     # rotated out round 9 session 2 in favor of the composed
     # incremental_snapshot_loop (which contains this screen):
     q["incremental_dedup"] = lambda s, d: dedup.incremental_dedup(s, d)
@@ -2932,6 +2940,8 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events FROM (
     # store-served LM scores == recompute -> same oracle
     o["kn5_store_scores"] = oracles_text.kneser_ney5_sql(0.75)
     o["mkn5_store_scores"] = oracles_text.kneser_ney5_modified_sql()
+    # drained model == batch-built model -> the recompute's oracle
+    o["stream_kn5_ingest"] = oracles_text.kneser_ney5_sql(0.75)
     # the loop + the CCNet line stage (evidence/transform columns)
     o["snapshot_loop_line"] = (
         oracles_curation.incremental_snapshot_loop_sql(line_screen=True)

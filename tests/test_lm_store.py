@@ -173,3 +173,15 @@ def test_streaming_twin_with_verdict_store(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_kn5_ingest_drained_equals_batch(spark):
+    """The on-arrival model build: per-shard count folds, drained
+    store serves scores identical to the in-session recompute."""
+    from ydb_vector_search_simple_api_spark.streaming.curation_ingest import (
+        stream_kn5_ingest,
+    )
+
+    got = _score_map(stream_kn5_ingest(spark, SF_SMALL))
+    want = _score_map(textual.kneser_ney5_logprob(spark, SF_SMALL))
+    assert got == want and len(want) > 0

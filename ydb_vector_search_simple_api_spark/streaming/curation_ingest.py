@@ -765,3 +765,53 @@ def stream_line_hash_ingest(
     )
     query.awaitTermination()
     return line_dedup_from_store(spark, docs, store, min_occ=min_occ)
+
+
+def stream_kn5_ingest(
+    spark: SparkSession, sf_dir: str, n_shards: int = 4
+) -> DataFrame:
+    """KN5 model TRAINING on arrival (round 11): corpus shards drain
+    one per trigger, each folding its 5-gram counts into the persisted
+    model store (``lm_store.kn5_store_build``/``_upsert``); after the
+    drain, the corpus scores FROM the drained store. The count fold is
+    associative and exact, so the drained model == the batch-built
+    model byte-for-byte and the scores share the recompute's oracle
+    (`kneser_ney5_sql`) — the stream_line_hash_ingest contract at LM
+    scope. Per-trigger cost: one shard-sized gram pass + one
+    distinct-5-gram-sized count merge."""
+    from ..operators.lm_store import (
+        kn5_store_build,
+        kn5_store_score,
+        kn5_store_upsert,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"svs_kn5ing_{run}")
+    landing = os.path.join(base, "landing")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    write_shard_landing(docs, landing, n_shards)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        if os.path.exists(os.path.join(store, "_kn5_meta.json")):
+            kn5_store_upsert(ss, batch_df, store)
+        else:
+            kn5_store_build(ss, batch_df, store)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "shard=*"))
+    )
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return kn5_store_score(spark, docs, store)
