@@ -319,6 +319,38 @@ def test_fingerprint_store_upsert_extends_membership(spark, tmp_path):
     assert all(r.n_shared_fps > 0 for r in post.values() if r.n_shared_fps is not None)
 
 
+def test_fingerprint_store_compact_preserves_screens(spark, tmp_path):
+    """Round 11: upserting the SAME batch twice plants duplicate rows;
+    compaction rewrites DISTINCT and shrinks the store, and a screen
+    returns the identical table before and after (membership
+    semantics)."""
+    from pyspark.sql import functions as F
+    from ydb_vector_search_simple_api_spark.operators import dedup as D
+    from ydb_vector_search_simple_api_spark.sources.store import load_documents
+
+    d = load_documents(spark, SF_SMALL).select("doc_id", "text")
+    first = d.filter(F.col("doc_id") < 300)
+    batch = d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+    probe = d.filter(F.col("doc_id") >= 350)
+    store = str(tmp_path / "store")
+    D.build_fingerprint_store(spark, first, store)
+    D.fingerprint_store_upsert(spark, batch, store)
+    D.fingerprint_store_upsert(spark, batch, store)  # plant duplicates
+
+    n_fps_churned = spark.read.parquet(f"{store}/fps").count()
+    pre = {
+        r.doc_id: tuple(r)
+        for r in D.screen_against_store(spark, probe, store).collect()
+    }
+    stats = D.fingerprint_store_compact(spark, store)
+    assert stats["n_fps"] < n_fps_churned  # duplicates actually removed
+    post = {
+        r.doc_id: tuple(r)
+        for r in D.screen_against_store(spark, probe, store).collect()
+    }
+    assert post == pre and len(pre) > 0
+
+
 def test_best_quality_election(spark):
     """Per exact-content group: the survivor has max quality (tie min
     doc_id), counts cover the corpus, and the election is a hash

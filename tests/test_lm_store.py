@@ -126,9 +126,17 @@ def test_verdict_store_loop_equals_recompute_loop(spark, tmp_path):
         spark, SF_SMALL, v_stored, kn5_store=kn5_path
     )
     assert n1 == n2 > 0
-    d1 = {r.doc_id for r in spark.read.parquet(v_direct).collect()}
-    d2 = {r.doc_id for r in spark.read.parquet(v_stored).collect()}
+    d1 = {
+        r.doc_id: r.quality_ok
+        for r in spark.read.parquet(v_direct).collect()
+    }
+    d2 = {
+        r.doc_id: r.quality_ok
+        for r in spark.read.parquet(v_stored).collect()
+    }
     assert d1 == d2
+    # keep_all: the store holds BOTH outcomes (staleness detectability)
+    assert any(v for v in d1.values()) and any(not v for v in d1.values())
 
     want = {
         r.doc_id: tuple(r)

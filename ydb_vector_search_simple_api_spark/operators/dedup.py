@@ -1550,6 +1550,27 @@ def fingerprint_store_upsert(
     return n
 
 
+def fingerprint_store_compact(spark: "SparkSession", path: str) -> dict:
+    """The compaction :func:`fingerprint_store_upsert` promises
+    (round 11): appends tolerate duplicate hash/fp rows (membership
+    semantics), but an append-churned store scans and shuffles those
+    duplicates on every screen — periodically rewrite both tables
+    DISTINCT (checkpointed before the overwrite, the kn5_store_upsert
+    read-rewrite rule). Screen results are identical before and after
+    by the membership argument (pinned in pytest). Returns the
+    post-compaction row counts."""
+    out = {}
+    for sub in ("hashes", "fps"):
+        t = (
+            spark.read.parquet(f"{path}/{sub}")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        out[f"n_{sub}"] = t.count()
+        t.write.mode("overwrite").parquet(f"{path}/{sub}")
+    return out
+
+
 def incremental_dedup_store(
     spark: "SparkSession", sf_dir: str, existing_frac: float = 0.9
 ) -> DataFrame:

@@ -104,7 +104,10 @@ def _write_json_record(spark: SparkSession, path: str, record: dict) -> None:
 
 
 def production_quality_flags(
-    spark: SparkSession, sf_dir: str, kn5_store: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    kn5_store: str | None = None,
+    keep_all: bool = False,
 ) -> DataFrame:
     """The production quality gate's verdict table — (doc_id,
     quality_ok=True) for docs clearing the FineWeb-recipe conjunction
@@ -119,7 +122,14 @@ def production_quality_flags(
     corpus-level statistic — CCNet cuts per-source score tertiles —
     so the verdict table is inherently corpus-defined; the
     per-snapshot-loop cost fix is to persist THIS table once and
-    probe it per loop run: :func:`production_verdict_store_build`.)"""
+    probe it per loop run: :func:`production_verdict_store_build`.)
+
+    ``keep_all`` returns EVERY doc with its boolean verdict instead of
+    only the passing rows — the store-build form (round 11): a store
+    holding both outcomes lets a consumer distinguish "failed the
+    gate" from "not scored" (a doc absent from the store was never
+    seen by the build — the staleness signal; only-True rows would
+    make the two indistinguishable)."""
     from . import textual as textual_mod
 
     scores = None
@@ -131,7 +141,7 @@ def production_quality_flags(
             load_documents(spark, sf_dir).select("doc_id", "text"),
             kn5_store,
         )
-    return (
+    full = (
         textual_mod.c4_line_filter(spark, sf_dir)
         .select("doc_id", "c4_keep")
         .join(
@@ -141,9 +151,16 @@ def production_quality_flags(
             "doc_id",
             "left",
         )
-        .filter(F.col("c4_keep") & F.coalesce("ppl_keep", F.lit(False)))
-        .select("doc_id", F.lit(True).alias("quality_ok"))
+        .select(
+            "doc_id",
+            (
+                F.col("c4_keep") & F.coalesce("ppl_keep", F.lit(False))
+            ).alias("quality_ok"),
+        )
     )
+    if keep_all:
+        return full
+    return full.filter("quality_ok")
 
 
 def production_verdict_store_build(
@@ -160,10 +177,16 @@ def production_verdict_store_build(
     what it can do is compute the table ONCE, persist it, and have
     every snapshot loop PROBE it instead of re-scoring the corpus per
     run. With ``kn5_store`` the build itself reads the persisted LM
-    instead of re-training. Returns the row count."""
-    df = production_quality_flags(spark, sf_dir, kn5_store=kn5_store)
+    instead of re-training. The store holds EVERY doc's boolean
+    verdict (keep_all), so consumers can tell "failed the gate" from
+    "never scored" — the staleness signal for a corpus that grew
+    since the build (the tiles are corpus-defined, so a grown corpus
+    needs a REBUILD, not an upsert). Returns the passing-row count."""
+    df = production_quality_flags(
+        spark, sf_dir, kn5_store=kn5_store, keep_all=True
+    )
     df.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path).count()
+    return spark.read.parquet(path).filter("quality_ok").count()
 
 
 def pair_cosine_col():
@@ -419,8 +442,10 @@ def incremental_snapshot_loop(
         # 2-column parquet scan + a delta-keyed join instead of a
         # corpus-wide C4+KN5 scoring pass per snapshot
         if quality_verdict_store is not None:
-            quality = spark.read.parquet(quality_verdict_store).select(
-                "doc_id", "quality_ok"
+            quality = (
+                spark.read.parquet(quality_verdict_store)
+                .filter("quality_ok")
+                .select("doc_id", "quality_ok")
             )
         else:
             quality = production_quality_flags(spark, sf_dir)

@@ -482,9 +482,11 @@ def stream_snapshot_loop(
         # verdict store (round 11), even the once-per-drain scoring
         # pass disappears — the parquet IS the pinned table
         if quality_verdict_store is not None:
-            quality_static = spark.read.parquet(
-                quality_verdict_store
-            ).select("doc_id", F.col("quality_ok").alias("q_static"))
+            quality_static = (
+                spark.read.parquet(quality_verdict_store)
+                .filter("quality_ok")
+                .select("doc_id", F.col("quality_ok").alias("q_static"))
+            )
         else:
             from ..operators.pipeline import production_quality_flags
 
