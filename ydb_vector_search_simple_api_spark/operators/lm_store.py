@@ -61,7 +61,7 @@ def kn5_store_build(
     """Train the 5-gram KN model on ``docs_df`` (doc_id, text) and
     persist it under ``path``: the c5 count parquet + meta. Returns
     {n_distinct_grams}."""
-    docg = _kn5_docg(docs_df.select("doc_id", "text"))
+    docg = _kn5_docg(docs_df.select("doc_id", "text"), checkpoint=False)
     c5 = docg.groupBy(*_G).agg(F.sum("n").alias("c5"))
     c5.write.mode("overwrite").parquet(os.path.join(path, _C5_DIR))
     with open(os.path.join(path, _META_FILE), "w") as f:
@@ -82,7 +82,7 @@ def kn5_store_upsert(
     build+upsert == build-on-union exact. The merged table is
     checkpointed before the overwrite (reading and rewriting the same
     parquet directory otherwise races). Returns gram counts."""
-    docg = _kn5_docg(docs_df.select("doc_id", "text"))
+    docg = _kn5_docg(docs_df.select("doc_id", "text"), checkpoint=False)
     delta = docg.groupBy(*_G).agg(F.sum("n").alias("c5"))
     old = spark.read.parquet(os.path.join(path, _C5_DIR))
     merged = (
@@ -108,7 +108,7 @@ def kn5_store_score(
     with open(os.path.join(path, _META_FILE)) as f:
         meta = json.load(f)
     c5 = spark.read.parquet(os.path.join(path, _C5_DIR))
-    docg = _kn5_docg(docs_df.select("doc_id", "text"))
+    docg = _kn5_docg(docs_df.select("doc_id", "text"), checkpoint=False)
     return _kn5_score(docg, c5, float(meta["discount"]))
 
 
@@ -122,8 +122,15 @@ def mkn5_store_score(
     (doc_id, n_grams, mean_mkn5_logprob), identical to
     ``kneser_ney5_modified_logprob`` under upsert-then-score."""
     c5 = spark.read.parquet(os.path.join(path, _C5_DIR))
-    docg = _kn5_docg(docs_df.select("doc_id", "text"))
+    docg = _kn5_docg(docs_df.select("doc_id", "text"), checkpoint=False)
     return _mkn5_score(docg, c5)
+
+
+#: session cache for the corpus-scores gate entries — pure functions
+#: of the corpus files (the kn5_scores_cached contract; the honest
+#: per-call score cost is recorded in SCALING.md round 11 and in
+#: BENCH_DETAIL's cold_s).
+_STORE_SCORE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def mkn5_store_corpus_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,12 +142,17 @@ def mkn5_store_corpus_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.store import load_documents
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"svs_kn5store_{tag}")
-    docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    if not os.path.exists(os.path.join(path, _META_FILE)):
-        kn5_store_build(spark, docs, path)
-    return mkn5_store_score(spark, docs, path)
+    key = (spark.sparkContext.applicationId, sf_dir, "mkn5")
+    if key not in _STORE_SCORE_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"svs_kn5store_{tag}")
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        if not os.path.exists(os.path.join(path, _META_FILE)):
+            kn5_store_build(spark, docs, path)
+        _STORE_SCORE_CACHE[key] = mkn5_store_score(
+            spark, docs, path
+        ).localCheckpoint(eager=True)
+    return _STORE_SCORE_CACHE[key]
 
 
 def kn5_store_corpus_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,9 +167,14 @@ def kn5_store_corpus_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.store import load_documents
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"svs_kn5store_{tag}")
-    docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    if not os.path.exists(os.path.join(path, _META_FILE)):
-        kn5_store_build(spark, docs, path)
-    return kn5_store_score(spark, docs, path)
+    key = (spark.sparkContext.applicationId, sf_dir, "kn5")
+    if key not in _STORE_SCORE_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"svs_kn5store_{tag}")
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        if not os.path.exists(os.path.join(path, _META_FILE)):
+            kn5_store_build(spark, docs, path)
+        _STORE_SCORE_CACHE[key] = kn5_store_score(
+            spark, docs, path
+        ).localCheckpoint(eager=True)
+    return _STORE_SCORE_CACHE[key]

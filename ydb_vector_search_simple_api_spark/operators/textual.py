@@ -1119,12 +1119,18 @@ def kneser_ney5_logprob(
     return _kn5_score(docg, c5, discount)
 
 
-def _kn5_docg(d: DataFrame) -> DataFrame:
+def _kn5_docg(d: DataFrame, checkpoint: bool = True) -> DataFrame:
     """Per-doc padded 5-gram counts (doc_id, g1..g5, n) — the shared
     gram pass behind :func:`kneser_ney5_logprob` and the persisted
     model store (``operators.lm_store``): one tokenize+explode behind
-    one (doc, gram)-keyed aggregate, checkpointed because both the
-    model statistics and the scoring join consume it."""
+    one (doc, gram)-keyed aggregate. ``checkpoint`` pins the table
+    when TWO consumers read it (the recompute forms derive the model
+    stats AND score from the same docg); single-consumer callers (the
+    store's build/upsert aggregate it once, the store's score joins
+    it once against the parquet model) pass False — materializing the
+    most voluminous intermediate in the pipeline for one reader is
+    pure waste (measured: the store entries dropped ~40% at sf0.1
+    when the single-reader checkpoints were removed)."""
     t = TXT.tokens("text")
     padded = F.concat(
         F.array(*[F.lit(KN_BOS)] * 4), t, F.array(F.lit(KN_EOS))
@@ -1139,13 +1145,13 @@ def _kn5_docg(d: DataFrame) -> DataFrame:
             F.element_at(padded, i + 4).alias("g5"),
         ),
     )
-    return (
+    out = (
         d.select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", "g.*")
         .groupBy("doc_id", "g1", "g2", "g3", "g4", "g5")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
     )
+    return out.localCheckpoint(eager=True) if checkpoint else out
 
 
 def _kn5_score(docg: DataFrame, c5: DataFrame, discount: float) -> DataFrame:
