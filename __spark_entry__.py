@@ -2177,6 +2177,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bpe_encode"] = lambda s, d: bpe_mod.bpe_encode_digest(
         s, d, merges=_bpe_merges(s, d)
     )
+    # sibling: the trained tokenizer PERSISTED (round 11 — the
+    # lm_store discipline for the tokenizer family): the merge table
+    # (the GPT-2 vocab-file analogue) on disk, encode reads n_merges
+    # rows instead of re-training; == the in-session form (merges are
+    # deterministic), equality pinned in tests/test_bpe.py. Rows-only
+    # like its family. No upsert: merges are order-dependent greedy
+    # choices — refresh is retrain
+    q["bpe_encode_store"] = bpe_mod.bpe_encode_store
     # SentencePiece-style unigram-LM trainer (Kudo 2018, hard-EM):
     # EM iterates over the WORD-FREQUENCY table, not the corpus;
     # E-step segments Arrow batches against the broadcast vocab,

@@ -188,3 +188,22 @@ def test_unigram_encode_closure_with_zero_count_chars(spark, tmp_path):
     assert row.n_words == 2
     assert row.n_pieces == 3  # 'ab' + 'b' + 'a'
     assert row.pieces_md5 == hashlib.md5(b"ab b a").hexdigest()
+
+
+def test_bpe_store_encode_equals_in_session(spark, tmp_path):
+    """Round 11: encoding from the persisted merge table == encoding
+    with in-session training (the merge table is deterministic)."""
+    from ydb_vector_search_simple_api_spark.operators import bpe
+
+    path = str(tmp_path / "bpe")
+    stats = bpe.bpe_store_build(spark, SF_SMALL, path, n_merges=10)
+    assert stats["n_merges"] == 10
+    got = {
+        r.doc_id: tuple(r)
+        for r in bpe.bpe_encode_from_store(spark, SF_SMALL, path).collect()
+    }
+    want = {
+        r.doc_id: tuple(r)
+        for r in bpe.bpe_encode_digest(spark, SF_SMALL, n_merges=10).collect()
+    }
+    assert got == want and len(want) > 0

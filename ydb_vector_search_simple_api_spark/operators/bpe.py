@@ -238,3 +238,58 @@ def bpe_encode_digest(
         .select("doc_id", "text")
         .mapInPandas(encode, schema=_ENCODE_SCHEMA)
     )
+
+
+def bpe_store_build(
+    spark: SparkSession, sf_dir: str, path: str, n_merges: int = 10
+) -> dict:
+    """Persist the learned merge table (round 11 — the lm_store
+    discipline for the tokenizer family): (rank, left, right,
+    pair_count) parquet + meta. The merge table IS the model (the
+    GPT-2 vocab file); encoding a new snapshot then reads n_merges
+    rows instead of re-running the training loop per session. Like
+    the logreg store, no upsert: BPE merges are order-dependent
+    greedy choices — refresh is retrain."""
+    import json
+    import os
+
+    bpe_train(spark, sf_dir, n_merges=n_merges).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "merges"))
+    with open(os.path.join(path, "_bpe_meta.json"), "w") as f:
+        json.dump({"n_merges": n_merges}, f)
+    return {
+        "n_merges": spark.read.parquet(os.path.join(path, "merges")).count()
+    }
+
+
+def bpe_encode_from_store(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
+    """Encode the corpus with the PERSISTED merges — must equal
+    ``bpe_encode_digest`` with in-session training (the merge table is
+    deterministic, so store == retrain byte-for-byte; pinned)."""
+    import os
+
+    merges = [
+        (r.left, r.right)
+        for r in spark.read.parquet(os.path.join(path, "merges"))
+        .orderBy("rank")
+        .collect()
+    ]
+    return bpe_encode_digest(spark, sf_dir, merges=merges)
+
+
+def bpe_encode_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: build-once into the deterministic temp dir, encode
+    from the store; == the self-contained bpe_encode entry
+    (rows-only family — the encode digest has no SQL twin)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"svs_bpestore_{tag}")
+    if not os.path.exists(os.path.join(path, "_bpe_meta.json")):
+        bpe_store_build(spark, sf_dir, path)
+    return bpe_encode_from_store(spark, sf_dir, path)
