@@ -1095,8 +1095,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # third screen; threshold 0.42 sits between the corpus's p90 and
     # p99 max-cosines — 5/54 rejected, 11 admitted at sf0.01, never
     # degenerate); the default loop rides overflow with its oracle
-    q["snapshot_loop_semantic"] = lambda s, d: pipeline_mod.incremental_snapshot_loop(
-        s, d, semantic_threshold=0.42
+    # round-11 session-2 rotation: the FULL-shape loop, which CONTAINS
+    # the semantic loop (same stages + the CCNet line evidence + the
+    # FineWeb production gate — every opt-in stage in ONE hash-checked
+    # CTE chain); the semantic loop rides overflow with its oracle
+    q["snapshot_loop_full"] = lambda s, d: pipeline_mod.incremental_snapshot_loop(
+        s, d, semantic_threshold=0.42, line_screen=True,
+        quality_gate="production",
     )
     # round-5 rotation: the quantified leakage audit (cross-fence
     # near-dup pair counts per split policy) in place of
@@ -2137,14 +2142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["snapshot_loop_line"] = lambda s, d: pipeline_mod.incremental_snapshot_loop(
         s, d, line_screen=True
     )
-    # sibling: the loop at FULL production shape (round 11) — every
-    # opt-in stage at once: exact+fp screen, embedding-cosine third
-    # screen, CCNet line evidence, FineWeb production gate, canonical
-    # election, decontam fence, splits, pack — the whole modern
-    # curation recipe as ONE hash-checked CTE chain
-    q["snapshot_loop_full"] = lambda s, d: pipeline_mod.incremental_snapshot_loop(
-        s, d, semantic_threshold=0.42, line_screen=True,
-        quality_gate="production",
+    # sibling: snapshot_loop_full IN-CAP (round-11 session-2
+    # rotation) — the SEMANTIC-screen loop the full shape contains;
+    # retired driver-green r10/r11, keeps its own oracle here
+    q["snapshot_loop_semantic"] = lambda s, d: pipeline_mod.incremental_snapshot_loop(
+        s, d, semantic_threshold=0.42
     )
     # sibling: line_dedup IN-CAP — the MAINTAINED-STATE path at LINE
     # grain (round 11, VERDICT r10 #4): hot-line counts persist as a

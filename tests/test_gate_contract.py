@@ -124,11 +124,16 @@ import __spark_entry__ as E
 # stream_decontaminate), production_funnel<-curate_corpus_production
 # (same production flags chain, aggregated to the per-stage retention
 # artifact; production-config family stays via production_mix_report).
+# Round-11 session 2 (strictly-stronger same-family swap, the r10-s2
+# precedent): snapshot_loop_full<-snapshot_loop_semantic (the full
+# shape CONTAINS the semantic loop — same stages + the CCNet line
+# evidence + the FineWeb production gate, one hash-checked CTE chain;
+# the semantic loop keeps its own oracle in overflow).
 EXPECTED_IN_CAP = [
     "topk_cosine", "topk_cosine_filtered", "topk_cosine_filtered_ivf",
     "knn_join_cosine", "ivf_knn_join_dist", "kmeans_tree_full",
     "script_profile", "quality_filter", "bm25_topk_indexed",
-    "snapshot_loop_semantic", "split_leakage_audit", "heavy_hitters_topk",
+    "snapshot_loop_full", "split_leakage_audit", "heavy_hitters_topk",
     "kneser_ney5_modified", "dedup_ngram_prefix", "snapshot_diff",
     "decontamination_sweep", "tfidf_cosine_pairs", "dsir_select",
     "duplicate_char_spans",
