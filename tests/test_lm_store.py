@@ -183,6 +183,47 @@ def test_streaming_twin_with_verdict_store(spark, tmp_path):
     assert got == want
 
 
+def test_strict_verdict_store_rejects_stale_store(spark, tmp_path):
+    """quality_store_strict (round 11): a store missing some delta
+    docs raises with the staleness message; a covering store passes
+    and matches the non-strict path."""
+    import pytest as _pytest
+
+    full = str(tmp_path / "verdict_full")
+    pipeline.production_verdict_store_build(spark, SF_SMALL, full)
+
+    # a store that never saw half the corpus
+    stale = str(tmp_path / "verdict_stale")
+    spark.read.parquet(full).filter("doc_id % 2 = 0").write.parquet(stale)
+
+    with _pytest.raises(ValueError, match="STALE"):
+        pipeline.incremental_snapshot_loop(
+            spark,
+            SF_SMALL,
+            quality_gate="production",
+            quality_verdict_store=stale,
+            quality_store_strict=True,
+        ).count()
+
+    ok = {
+        r.doc_id: tuple(r)
+        for r in pipeline.incremental_snapshot_loop(
+            spark,
+            SF_SMALL,
+            quality_gate="production",
+            quality_verdict_store=full,
+            quality_store_strict=True,
+        ).collect()
+    }
+    want = {
+        r.doc_id: tuple(r)
+        for r in pipeline.incremental_snapshot_loop(
+            spark, SF_SMALL, quality_gate="production"
+        ).collect()
+    }
+    assert ok == want
+
+
 def test_stream_kn5_ingest_drained_equals_batch(spark):
     """The on-arrival model build: per-shard count folds, drained
     store serves scores identical to the in-session recompute."""

@@ -322,6 +322,7 @@ def incremental_snapshot_loop(
     compact_generation_dir: str | None = None,
     quality_gate: str = "generic",
     quality_verdict_store: str | None = None,
+    quality_store_strict: bool = False,
     line_screen: bool = False,
     line_min_occ: int = 2,
     line_store: str | None = None,
@@ -442,10 +443,28 @@ def incremental_snapshot_loop(
         # 2-column parquet scan + a delta-keyed join instead of a
         # corpus-wide C4+KN5 scoring pass per snapshot
         if quality_verdict_store is not None:
-            quality = (
-                spark.read.parquet(quality_verdict_store)
-                .filter("quality_ok")
-                .select("doc_id", "quality_ok")
+            verdicts = spark.read.parquet(quality_verdict_store)
+            if quality_store_strict:
+                # staleness fence (round 11): a delta doc ABSENT from
+                # the store was never scored by the build — without
+                # this check it silently lands quality_ok=False. The
+                # store holds both outcomes (keep_all) precisely so
+                # missing is distinguishable from failed; the check is
+                # one delta-sized anti-join count.
+                n_missing = (
+                    incoming.select("doc_id")
+                    .join(verdicts.select("doc_id"), "doc_id", "left_anti")
+                    .count()
+                )
+                if n_missing:
+                    raise ValueError(
+                        f"quality_verdict_store is STALE: {n_missing} "
+                        "incoming doc(s) were never scored by the store "
+                        "build — rebuild it (the gate tiles are corpus-"
+                        "defined; growth means rebuild, not upsert)"
+                    )
+            quality = verdicts.filter("quality_ok").select(
+                "doc_id", "quality_ok"
             )
         else:
             quality = production_quality_flags(spark, sf_dir)
