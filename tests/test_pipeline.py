@@ -432,6 +432,18 @@ def test_line_screen_store_equals_recompute(spark, tmp_path):
     for did, r in recompute.items():
         assert tuple(stored[did]) == tuple(r), did
 
+    # replay idempotence (round-11 review): a RETRY of the same
+    # snapshot must not double-fold its counts into the store — the
+    # second run's manifest is identical, not hot-drifted
+    retry = {
+        r.doc_id: r
+        for r in pipeline.incremental_snapshot_loop(
+            spark, SF_SMALL, line_screen=True, line_store=store
+        ).collect()
+    }
+    for did, r in recompute.items():
+        assert tuple(retry[did]) == tuple(r), did
+
     batch = {
         r.doc_id: r for r in line_dedup(spark, SF_SMALL).collect()
     }

@@ -171,6 +171,35 @@ def train_weights(
 _WEIGHT_CACHE: dict[tuple, dict[int, int]] = {}
 
 
+def _score_output(docs: DataFrame, feats: DataFrame, wdf: DataFrame) -> DataFrame:
+    """The engine-exact scoring output contract shared by the
+    in-session and store-served paths (round-11 review: ONE home for
+    the ROUND(p,6)+0.0 / >=0.5-tie / doc_id%5-split rules the shared
+    oracle relies on): (doc_id, split, y, score, y_pred)."""
+    scored = _margins(feats, wdf).select(
+        "doc_id", "y", _softsign_p(F.col("m")).alias("p")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 != 0, F.lit("train"))
+            .otherwise(F.lit("holdout"))
+            .alias("split"),
+        )
+        .join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "split",
+            F.col("y").cast("bigint").alias("y"),
+            (F.round(F.col("p"), 6) + F.lit(0.0)).alias("score"),
+            F.when(F.col("p") >= 0.5, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("y_pred"),
+        )
+    )
+
+
 def logreg_score(
     spark: SparkSession, sf_dir: str, n_iter: int = N_ITER, lr: int = LR
 ) -> DataFrame:
@@ -189,33 +218,9 @@ def logreg_score(
         wdf = spark.createDataFrame(
             [(b, u / 1e9) for b, u in w.items()], "b bigint, w double"
         )
-        scored = _margins(feats, wdf).select(
-            "doc_id",
-            "y",
-            _softsign_p(F.col("m")).alias("p"),
-        )
-        out = (
-            docs.select(
-                "doc_id",
-                F.when(F.col("doc_id") % 5 != 0, F.lit("train"))
-                .otherwise(F.lit("holdout"))
-                .alias("split"),
-            )
-            .join(scored, "doc_id")
-            .select(
-                "doc_id",
-                "split",
-                F.col("y").cast("bigint").alias("y"),
-                (F.round(F.col("p"), 6) + F.lit(0.0)).alias("score"),
-                F.when(F.col("p") >= 0.5, F.lit(1))
-                .otherwise(F.lit(0))
-                .cast("bigint")
-                .alias("y_pred"),
-            )
-        )
         # materialization happens at the driver's collect; the persisted
         # features back both the training jobs and this final plan
-        return out
+        return _score_output(docs, feats, wdf)
     finally:
         # the returned plan re-derives features if the cache is gone;
         # unpersisting here keeps the session footprint bounded
@@ -241,11 +246,15 @@ def logreg_store_build(
     import os as _os
 
     docs = load_documents(spark, sf_dir)
-    feats = _features(docs).persist()
-    try:
-        w = train_weights(spark, feats, n_iter=n_iter, lr=lr)
-    finally:
-        feats.unpersist()
+    key = (spark.sparkContext.applicationId, sf_dir, n_iter, int(lr))
+    w = _WEIGHT_CACHE.get(key)
+    if w is None:
+        feats = _features(docs).persist()
+        try:
+            w = train_weights(spark, feats, n_iter=n_iter, lr=lr)
+        finally:
+            feats.unpersist()
+        _WEIGHT_CACHE[key] = w
     spark.createDataFrame(
         [(int(b), int(u)) for b, u in w.items()], "b bigint, w_nano bigint"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -270,28 +279,7 @@ def logreg_store_score(
         spark.read.parquet(f"{path}/weights")
         .select("b", (F.col("w_nano").cast("double") / F.lit(1e9)).alias("w"))
     )
-    scored = _margins(feats, wdf).select(
-        "doc_id", "y", _softsign_p(F.col("m")).alias("p")
-    )
-    return (
-        docs.select(
-            "doc_id",
-            F.when(F.col("doc_id") % 5 != 0, F.lit("train"))
-            .otherwise(F.lit("holdout"))
-            .alias("split"),
-        )
-        .join(scored, "doc_id")
-        .select(
-            "doc_id",
-            "split",
-            F.col("y").cast("bigint").alias("y"),
-            (F.round(F.col("p"), 6) + F.lit(0.0)).alias("score"),
-            F.when(F.col("p") >= 0.5, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("y_pred"),
-        )
-    )
+    return _score_output(docs, feats, wdf)
 
 
 def logreg_score_store(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -182,10 +182,18 @@ def production_verdict_store_build(
     "never scored" — the staleness signal for a corpus that grew
     since the build (the tiles are corpus-defined, so a grown corpus
     needs a REBUILD, not an upsert). Returns the passing-row count."""
+    import json as _json
+    import os as _os
+
     df = production_quality_flags(
         spark, sf_dir, kn5_store=kn5_store, keep_all=True
     )
     df.write.mode("overwrite").parquet(path)
+    # format marker: build-once consumers check THIS (not _SUCCESS) so
+    # a store from the pre-keep_all layout rebuilds instead of
+    # tripping the staleness fence on its missing failed-rows
+    with open(_os.path.join(path, "_verdict_meta.json"), "w") as f:
+        _json.dump({"keep_all": True}, f)
     return spark.read.parquet(path).filter("quality_ok").count()
 
 
@@ -582,9 +590,40 @@ def incremental_snapshot_loop(
             import json as _json
             import os as _os
 
-            textual_mod.line_hash_store_upsert(
-                spark, incoming.select("doc_id", "text"), line_store
-            )
+            # replay idempotence (round 11 review): fold each
+            # snapshot's counts ONCE — a retry that re-runs the loop
+            # must not double-fold, or a line occurring once in the
+            # delta would reach n_occ=2 and flip hot, silently
+            # changing the manifest vs the recompute form. Snapshot
+            # identity = a deterministic content key of the delta
+            # (count + id sum + xxhash64 fold: one delta-sized
+            # aggregate), recorded in a ledger beside the counts —
+            # the streaming twin gets this for free from its
+            # file-source checkpoint; the batch entry point needs it
+            # explicitly.
+            kr = incoming.select(
+                F.count(F.lit(1)).alias("n"),
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+                # XOR fold: order-free and overflow-free (a SUM of
+                # full-range xxhash64 values trips ANSI long overflow)
+                F.expr(
+                    "bit_xor(xxhash64(cast(doc_id as string)))"
+                ).alias("h"),
+            ).head()
+            snap_key = f"{kr.n}:{kr.lo}:{kr.hi}:{kr.h}"
+            ledger = _os.path.join(line_store, "_folded_snapshots.json")
+            folded: list[str] = []
+            if _os.path.exists(ledger):
+                with open(ledger) as f:
+                    folded = _json.load(f)
+            if snap_key not in folded:
+                textual_mod.line_hash_store_upsert(
+                    spark, incoming.select("doc_id", "text"), line_store
+                )
+                folded.append(snap_key)
+                with open(ledger, "w") as f:
+                    _json.dump(folded, f)
             with open(_os.path.join(line_store, "_line_meta.json")) as f:
                 line_hasher = _json.load(f)["hasher"]
             hot = (
@@ -779,7 +818,7 @@ def snapshot_loop_production_store(
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
     if not os.path.exists(os.path.join(kn5_path, "_kn5_meta.json")):
         lm_store.kn5_store_build(spark, docs, kn5_path)
-    if not os.path.exists(os.path.join(verdict_path, "_SUCCESS")):
+    if not os.path.exists(os.path.join(verdict_path, "_verdict_meta.json")):
         production_verdict_store_build(
             spark, sf_dir, verdict_path, kn5_store=kn5_path
         )
@@ -788,6 +827,10 @@ def snapshot_loop_production_store(
         sf_dir,
         quality_gate="production",
         quality_verdict_store=verdict_path,
+        # the staleness fence is on for the memoized entry: a corpus
+        # regenerated at the same path with new doc_ids trips it
+        # instead of silently failing the new docs (round-11 review)
+        quality_store_strict=True,
     )
 
 

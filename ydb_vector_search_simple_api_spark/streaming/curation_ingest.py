@@ -705,6 +705,49 @@ def stream_snapshot_loop(
     )
 
 
+def _stream_store_drain(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_shards: int,
+    scratch_tag: str,
+    marker: str,
+    build,
+    upsert,
+) -> str:
+    """Shared on-arrival store-fold scaffold (round-11 review: one
+    home for the landing/checkpoint/availableNow drain the line-hash
+    and KN5 ingests both use): shard ``docs``, drain one file per
+    trigger, first trigger ``build(ss, batch_df, store)``, later
+    triggers ``upsert(ss, batch_df, store)`` (``marker`` names the
+    store's build-marker file). Returns the drained store path."""
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"{scratch_tag}_{run}")
+    landing = os.path.join(base, "landing")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+    write_shard_landing(docs, landing, n_shards)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        if os.path.exists(os.path.join(store, marker)):
+            upsert(ss, batch_df, store)
+        else:
+            build(ss, batch_df, store)
+
+    query = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "shard=*"))
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return store
+
+
 def stream_line_hash_ingest(
     spark: SparkSession,
     sf_dir: str,
@@ -737,35 +780,16 @@ def stream_line_hash_ingest(
         line_hash_store_upsert,
     )
 
-    run = uuid.uuid4().hex[:8]
-    base = os.path.join(tempfile.gettempdir(), f"svs_lineing_{run}")
-    landing = os.path.join(base, "landing")
-    store = os.path.join(base, "store")
-    ckpt = os.path.join(base, "ckpt")
-    os.makedirs(landing, exist_ok=True)
-
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    write_shard_landing(docs, landing, n_shards)
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        ss = batch_df.sparkSession
-        if os.path.exists(os.path.join(store, "_line_meta.json")):
-            line_hash_store_upsert(ss, batch_df, store)
-        else:
-            line_hash_store_build(ss, batch_df, store, hasher=hasher)
-
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(landing, "shard=*"))
+    store = _stream_store_drain(
+        spark,
+        docs,
+        n_shards,
+        "svs_lineing",
+        "_line_meta.json",
+        lambda ss, b, st: line_hash_store_build(ss, b, st, hasher=hasher),
+        line_hash_store_upsert,
     )
-    query = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
     return line_dedup_from_store(spark, docs, store, min_occ=min_occ)
 
 
@@ -787,33 +811,14 @@ def stream_kn5_ingest(
         kn5_store_upsert,
     )
 
-    run = uuid.uuid4().hex[:8]
-    base = os.path.join(tempfile.gettempdir(), f"svs_kn5ing_{run}")
-    landing = os.path.join(base, "landing")
-    store = os.path.join(base, "store")
-    ckpt = os.path.join(base, "ckpt")
-    os.makedirs(landing, exist_ok=True)
-
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    write_shard_landing(docs, landing, n_shards)
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        ss = batch_df.sparkSession
-        if os.path.exists(os.path.join(store, "_kn5_meta.json")):
-            kn5_store_upsert(ss, batch_df, store)
-        else:
-            kn5_store_build(ss, batch_df, store)
-
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(landing, "shard=*"))
+    store = _stream_store_drain(
+        spark,
+        docs,
+        n_shards,
+        "svs_kn5ing",
+        "_kn5_meta.json",
+        kn5_store_build,
+        kn5_store_upsert,
     )
-    query = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
     return kn5_store_score(spark, docs, store)
