@@ -144,6 +144,15 @@ def test_twostar_components_equal_hashmin_on_neardup_graph(spark):
     a = sorted(tuple(r) for r in connected_components(pairs).collect())
     b = sorted(tuple(r) for r in connected_components_twostar(pairs).collect())
     assert a == b and len(a) > 0
+    # the round-12 small-graph driver path must equal the distributed
+    # alternation exactly (same contract as pagerank's fast path)
+    c = sorted(
+        tuple(r)
+        for r in connected_components_twostar(
+            pairs, small_graph_max=0
+        ).collect()
+    )
+    assert a == c
 
 
 def test_twostar_converges_on_long_path_in_logsquared_rounds(spark):
@@ -161,7 +170,12 @@ def test_twostar_converges_on_long_path_in_logsquared_rounds(spark):
 
     got = {
         r.doc_id: r.component_id
-        for r in connected_components_twostar(pairs, max_iter=12).collect()
+        # small_graph_max=0 forces the DISTRIBUTED alternation — this
+        # test exists to prove the O(log² n)-round convergence, which
+        # the small-graph driver path would bypass
+        for r in connected_components_twostar(
+            pairs, max_iter=12, small_graph_max=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(n + 1)}
 
@@ -180,6 +194,16 @@ def test_twostar_multiple_components_and_empty(spark):
     }
     # self-loop (40,40) is dropped; isolated vertices carry no label
     assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+    got_dist = {
+        r.doc_id: r.component_id
+        for r in connected_components_twostar(
+            pairs, small_graph_max=0
+        ).collect()
+    }
+    assert got_dist == got
 
     empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert connected_components_twostar(empty).count() == 0
+    assert (
+        connected_components_twostar(empty, small_graph_max=0).count() == 0
+    )

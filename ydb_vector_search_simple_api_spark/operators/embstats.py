@@ -395,40 +395,41 @@ def power_iteration_pc1(
     dimension and the Rayleigh/norm estimate ROUND(...,6), repeated
     per row (single-frame gate shape).
     """
+    import math
     from decimal import ROUND_HALF_UP, Decimal
 
     cov = embedding_covariance(spark, sf_dir)
-    sym = cov.select("i", "j", "cov").unionByName(
-        cov.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
-        )
-    ).persist()
-    dims = sorted(r.i for r in sym.select("i").distinct().collect())
+    # the symmetric covariance table is d² cells — the codebook-collect
+    # domain (d=64 ⇒ ~8k rows), NOT data-sized. Round 12: pull it ONCE
+    # and run the n_iter matvecs driver-side instead of one
+    # createDataFrame + broadcast join + keyed aggregation + collect
+    # PER ITERATION (8 iterations ≈ 17 small Spark jobs of pure
+    # scheduling overhead on a d²-cell table; isolated best-of-3
+    # 7.85 s → 2.63 s at sf0.1). Bit-identical by the same argument as
+    # pagerank's small-graph path: the distributed fold summed
+    # ROUND(cov·v, 9) terms in DECIMAL(28,9) — Spark's ROUND is
+    # HALF_UP over the shortest-repr BigDecimal, which is exactly
+    # Decimal(repr(x)).quantize(1e-9, HALF_UP) — so the driver fold
+    # reproduces the cluster's doubles bit-for-bit (the oracle pins
+    # it).
+    cells = [(int(r.i), int(r.j), float(r.cov)) for r in cov.collect()]
+    sym_cells = cells + [(j, i, c) for (i, j, c) in cells if i != j]
+    dims = sorted({i for (i, _, _) in sym_cells})
     q9 = Decimal("1e-9")
     v = {int(i): 1.0 for i in dims}
     lam = 0.0
     for _ in range(n_iter):
-        vdf = spark.createDataFrame(
-            [(j, x) for j, x in sorted(v.items())], "j bigint, v double"
-        )
-        mv = (
-            sym.join(F.broadcast(vdf), "j")
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    F.round(F.col("cov") * F.col("v"), 9).cast("decimal(28,9)")
-                )
-                .cast("double")
-                .alias("x")
+        sums: dict[int, Decimal] = {i: Decimal(0) for i in dims}
+        for (i, j, c) in sym_cells:
+            sums[i] += Decimal(repr(c * v[j])).quantize(
+                q9, rounding=ROUND_HALF_UP
             )
-            .collect()
-        )
-        xs = {int(r.i): float(r.x) for r in mv}
+        # DECIMAL(28,9) -> double is the correctly-rounded conversion
+        # on both engines (BigDecimal.doubleValue == float(Decimal))
+        xs = {i: float(s) for i, s in sums.items()}
         s = Decimal(0)
         for x in xs.values():
             s += Decimal(repr(x * x)).quantize(q9, rounding=ROUND_HALF_UP)
-        import math
-
         nr = math.sqrt(float(s))
         lam = nr
         v = {
@@ -437,7 +438,6 @@ def power_iteration_pc1(
             )
             for i, x in xs.items()
         }
-    sym.unpersist()
     eig = float(
         Decimal(repr(lam)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
     )

@@ -45,7 +45,26 @@ def write_shard_landing(
     sketch's approximation error only moves shard SIZES, never rows —
     any ascending-range partition processed in drop order yields the
     same drained result for order-insensitive sinks and the batch
-    min-key election for first-occurrence sinks."""
+    min-key election for first-occurrence sinks.
+
+    Round 12 (guide §2.4/§6 — remove passes): the shards are written
+    in ONE job (shard id from the cut scalars, hash-repartitioned so
+    each shard is one task, ``partitionBy`` into the same
+    ``shard=N/`` layout) instead of n_shards sequential
+    filter+coalesce(1) jobs each re-scanning the input. Within-shard
+    row order is pinned to ascending ``order_col`` — identical to the
+    old filtered-scan order (the testdata tables are key-ascending at
+    rest), so every shard file carries the SAME rows in the SAME
+    order as before. Drop-order pickup no longer rides on sequential
+    write timing: the file source orders files by modification time,
+    and each shard's file mtimes are STAMPED in ascending shard order
+    after the write — deterministic regardless of write-task
+    scheduling. (The mtime stamp is a local-fs test-harness affordance
+    — this helper fabricates the landing a real pipeline's producer
+    would write; production producers control arrival order at the
+    source.)"""
+    import time as _time
+
     probs = [i / n_shards for i in range(1, n_shards)]
     cuts = (
         list(
@@ -56,20 +75,23 @@ def write_shard_landing(
         if probs
         else []
     )
-    # ascending key ranges, one file per shard, written in order so
-    # the file source's drop-order pickup is deterministic
-    for i, (lo, hi) in enumerate(zip([None, *cuts], [*cuts, None])):
-        cond = F.lit(True)
-        if lo is not None:
-            cond = cond & (F.col(order_col) > F.lit(lo))
-        if hi is not None:
-            cond = cond & (F.col(order_col) <= F.lit(hi))
-        (
-            df.filter(cond)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(landing, f"shard={i}"))
-        )
+    shard = F.lit(0)
+    for c in cuts:
+        shard = shard + (F.col(order_col) > F.lit(c)).cast("int")
+    (
+        df.withColumn("shard", shard)
+        .repartition(max(n_shards, 1), "shard")
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(landing)
+    )
+    base_t = int(_time.time())
+    for i in range(n_shards):
+        d = os.path.join(landing, f"shard={i}")
+        if os.path.isdir(d):
+            for fn in os.listdir(d):
+                os.utime(os.path.join(d, fn), (base_t + i, base_t + i))
 
 
 def stream_curation_ingest(
@@ -395,46 +417,65 @@ def stream_snapshot_loop(
     docs = load_documents(spark, sf_dir).select("doc_id", "source", "text")
     existing = docs.filter(_draw(F.col("doc_id")) < F.lit(thr))
     incoming = docs.filter(_draw(F.col("doc_id")) >= F.lit(thr))
-    write_shard_landing(incoming, landing, n_shards)
 
     # static probe tables, materialized ONCE (hash/fp columns only —
-    # the existing corpus never re-scans per trigger)
-    ex_h = (
-        existing.select(TXT2.content_fingerprint("text").alias("content_hash"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # the existing corpus never re-scans per trigger). The builds are
+    # INDEPENDENT jobs over small data, so they run CONCURRENTLY from
+    # a thread pool together with the landing write (optimization
+    # guide §2.6 — back-fill idle executor slots with the next job's
+    # tasks); each build's result is byte-identical to the sequential
+    # form, only the job schedule changes. The landing write keeps
+    # its internal shard order (one pool task, sequential inside).
+    def _b_landing():
+        write_shard_landing(incoming, landing, n_shards)
+
+    def _b_ex_h():
+        return (
+            existing.select(
+                TXT2.content_fingerprint("text").alias("content_hash")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
     # two-step let binding (the incremental_dedup barrier): compute
     # the k-gram hash array, EXCHANGE, then take window minima — a
     # fused winnow_mins(char_kgram_hashes(...)) expression re-inlines
     # the hash array into every window minimum (~window-count× CPU)
-    ex_f = (
-        existing.select("doc_id", TXT2.char_kgram_hashes("text", 8).alias("h"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select(TXT2.winnow_mins(F.col("h"), 4).alias("fps"))
-        .select(F.explode_outer("fps").alias("fp"))
-        .filter(F.col("fp").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    contaminated = (
-        decontaminate_documents(
-            spark, sf_dir, n=n, min_containment=min_containment
+    def _b_ex_f():
+        return (
+            existing.select(
+                "doc_id", TXT2.char_kgram_hashes("text", 8).alias("h")
+            )
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .select(TXT2.winnow_mins(F.col("h"), 4).alias("fps"))
+            .select(F.explode_outer("fps").alias("fp"))
+            .filter(F.col("fp").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .select("doc_id")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+
+    def _b_contaminated():
+        return (
+            decontaminate_documents(
+                spark, sf_dir, n=n, min_containment=min_containment
+            )
+            .select("doc_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
     from ..sources.store import load_embeddings
 
-    has_vec = (
-        load_embeddings(spark, sf_dir)
-        .select(F.col("vec_id").alias("doc_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    ex_vec = in_vec_all = None
-    if semantic_threshold is not None:
+    def _b_has_vec():
+        return (
+            load_embeddings(spark, sf_dir)
+            .select(F.col("vec_id").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    def _b_sem():
         # semantic screen statics (the batch form's stage 1b): the
         # existing corpus's vectors+norms pinned once; the vector
         # lookup table for incoming docs pinned once (per trigger it
@@ -442,8 +483,10 @@ def stream_snapshot_loop(
         # existing side streams through one keyed max per trigger)
         from ..functions.distance import l2_norm
 
-        embs_all = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
-        ex_vec = (
+        embs_all = load_embeddings(spark, sf_dir).select(
+            "vec_id", "embedding"
+        )
+        ev = (
             embs_all.join(
                 existing.select("doc_id"),
                 embs_all["vec_id"] == F.col("doc_id"),
@@ -454,7 +497,7 @@ def stream_snapshot_loop(
             )
             .localCheckpoint(eager=True)
         )
-        in_vec_all = (
+        iv = (
             embs_all.join(
                 incoming.select("doc_id"),
                 embs_all["vec_id"] == F.col("doc_id"),
@@ -466,14 +509,9 @@ def stream_snapshot_loop(
             )
             .localCheckpoint(eager=True)
         )
+        return ev, iv
 
-    schema = incoming.schema
-    sem_cols = (
-        [] if semantic_threshold is None
-        else ["max_cos_existing", "semantic_dup"]
-    )
-    quality_static = None
-    if quality_gate == "production":
+    def _b_quality():
         # the production gate's verdicts are static per-doc functions
         # of the corpus — pin the conjunction once, join per trigger
         # (the KN5 scoring pass runs exactly once, not per batch).
@@ -482,19 +520,48 @@ def stream_snapshot_loop(
         # verdict store (round 11), even the once-per-drain scoring
         # pass disappears — the parquet IS the pinned table
         if quality_verdict_store is not None:
-            quality_static = (
+            return (
                 spark.read.parquet(quality_verdict_store)
                 .filter("quality_ok")
                 .select("doc_id", F.col("quality_ok").alias("q_static"))
             )
-        else:
-            from ..operators.pipeline import production_quality_flags
+        from ..operators.pipeline import production_quality_flags
 
-            quality_static = (
-                production_quality_flags(spark, sf_dir)
-                .select("doc_id", F.col("quality_ok").alias("q_static"))
-                .localCheckpoint(eager=True)
-            )
+        return (
+            production_quality_flags(spark, sf_dir)
+            .select("doc_id", F.col("quality_ok").alias("q_static"))
+            .localCheckpoint(eager=True)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        landing_f = _pool.submit(_b_landing)
+        ex_h_f = _pool.submit(_b_ex_h)
+        ex_f_f = _pool.submit(_b_ex_f)
+        contaminated_f = _pool.submit(_b_contaminated)
+        has_vec_f = _pool.submit(_b_has_vec)
+        sem_f = (
+            _pool.submit(_b_sem) if semantic_threshold is not None else None
+        )
+        quality_f = (
+            _pool.submit(_b_quality) if quality_gate == "production" else None
+        )
+        landing_f.result()
+        ex_h = ex_h_f.result()
+        ex_f = ex_f_f.result()
+        contaminated = contaminated_f.result()
+        has_vec = has_vec_f.result()
+        ex_vec = in_vec_all = None
+        if sem_f is not None:
+            ex_vec, in_vec_all = sem_f.result()
+        quality_static = quality_f.result() if quality_f is not None else None
+
+    schema = incoming.schema
+    sem_cols = (
+        [] if semantic_threshold is None
+        else ["max_cos_existing", "semantic_dup"]
+    )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
