@@ -166,9 +166,11 @@ def sorted_neighborhood_pairs(
     #     needs dist ≤ max_rel·longer ≤ B, and the bounded form is
     #     exact whenever dist ≤ B, so kept pairs carry the exact
     #     integer distance and -1 rows are exactly the over-cut ones.
-    max_len = int(
-        df.agg(F.max(F.length(F.col(text_col))).alias("m")).head().m or 0
-    )
+    # max text length read off the ALREADY-materialized ranked
+    # checkpoint (round 12, guide §2.4 — remove passes: the previous
+    # form re-scanned the source parquet + re-ran the normalization
+    # projection just for one scalar)
+    max_len = int(r.agg(F.max(F.length("text")).alias("m")).head().m or 0)
     bound = max(1, int(max_rel_dist * max_len))
     len_gap_ok = (
         F.abs(F.length("ta") - F.length("tb")).cast("double")
@@ -230,16 +232,29 @@ def sorted_neighborhood_multi_key(
     duplicates that escape pass 1 sort together when the text is
     read from the tail) unioned and deduplicated. Output as
     :func:`sorted_neighborhood_pairs`."""
-    p1 = sorted_neighborhood_pairs(
-        df, id_col, text_col, key_len, window, max_rel_dist
-    )
+    # The two passes are INDEPENDENT and each is driver-blocking
+    # (snm_ranks' bucket-count collect + the two eager checkpoints),
+    # so run sequentially they serialize five small jobs each. Round
+    # 12 (guide §2.6 — overlap independent jobs): submit both passes
+    # from a 2-thread pool so each pass's tasks back-fill the
+    # executor slots the other leaves idle. Results byte-identical —
+    # only the job schedule changes.
+    from concurrent.futures import ThreadPoolExecutor
+
     rev = df.select(
         F.col(id_col).alias(id_col),
         F.reverse(F.col(text_col)).alias(text_col),
     )
-    p2 = sorted_neighborhood_pairs(
-        rev, id_col, text_col, key_len, window, max_rel_dist
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(
+            sorted_neighborhood_pairs,
+            df, id_col, text_col, key_len, window, max_rel_dist,
+        )
+        f2 = pool.submit(
+            sorted_neighborhood_pairs,
+            rev, id_col, text_col, key_len, window, max_rel_dist,
+        )
+        p1, p2 = f1.result(), f2.result()
     # scores are key-independent (exact Levenshtein is reverse-
     # invariant), so a plain distinct-union merges the passes
     return p1.unionByName(p2).distinct()

@@ -1698,15 +1698,24 @@ def _rollup_hot_spans(d: DataFrame, sh: DataFrame, k: int) -> DataFrame:
     the hot-row stream. The tempting groupBy + collect_list +
     sort_array + codegen-fold alternative was measured 40% SLOWER on
     a worst-case corpus (every shingle hot) — the per-group list
-    materialization costs more than the second window pass saves."""
-    hot = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+    materialization costs more than the second window pass saves.
+
+    Round 12 (guide §2.4 — remove shuffles/duplicated subtrees): the
+    hot filter is a COUNT WINDOW over the hash partition instead of
+    groupBy + semi-join-back. The join form planned the shingle
+    subtree TWICE (once under the aggregate, once as the probe side —
+    the per-window hashing, the heaviest per-task work in this family,
+    ran twice per query); the window form computes the stream once and
+    exchanges it once by ``h``. Rows identical: every (doc_id, start,
+    h) whose hash has total count >= 2 survives, exactly the semi-join
+    set."""
+    dup = (
+        sh.withColumn(
+            "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .filter(F.col("n_occ") >= 2)
-        .select("h")
-    )
-    dup = sh.join(hot, "h", "left_semi").withColumn(
-        "end", F.col("start") + F.lit(k - 1)
+        .drop("n_occ")
+        .withColumn("end", F.col("start") + F.lit(k - 1))
     )
     w = (
         Window.partitionBy("doc_id")
@@ -1888,18 +1897,19 @@ def remove_duplicate_spans(
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.start").alias("start"), F.col("s.h").alias("h"))
-    # canonical occurrence per hot hash = min (doc_id, start)
-    per_hash = sh.groupBy("h").agg(
-        F.count(F.lit(1)).alias("n_occ"),
-        F.min(F.struct("doc_id", "start")).alias("canon"),
-    )
-    # no broadcast hint: the hot-hash table is O(duplicated shingles)
-    # — tiny on clean corpora, corpus-sized on pathological ones — so
-    # AQE's runtime size check picks the strategy
+    # canonical occurrence per hot hash = min (doc_id, start).
+    # Round 12: count + canonical election as WINDOWS over the hash
+    # partition instead of groupBy + join-back — the join form planned
+    # the shingle subtree twice (tokenize + per-window md5 ran twice)
+    # and shuffled it twice; one window pass computes and exchanges it
+    # once (the _rollup_hot_spans rewrite, rows identical).
+    w_h = Window.partitionBy("h")
     removable = (
-        sh.join(per_hash.filter(F.col("n_occ") >= 2), "h")
+        sh.withColumn("n_occ", F.count(F.lit(1)).over(w_h))
+        .withColumn("canon", F.min(F.struct("doc_id", "start")).over(w_h))
         .filter(
-            ~(
+            (F.col("n_occ") >= 2)
+            & ~(
                 (F.col("doc_id") == F.col("canon.doc_id"))
                 & (F.col("start") == F.col("canon.start"))
             )
@@ -2090,14 +2100,18 @@ def remove_duplicate_char_spans(
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.start").alias("start"), F.col("s.h").alias("h"))
-    per_hash = sh.groupBy("h").agg(
-        F.count(F.lit(1)).alias("n_occ"),
-        F.min(F.struct("doc_id", "start")).alias("canon"),
-    )
+    # round 12: count + canonical election as WINDOWS over the hash
+    # partition instead of groupBy + join-back — the join form planned
+    # the per-char shingle subtree twice (hashing ran twice) and
+    # shuffled it twice; one window pass computes and exchanges it
+    # once (same rewrite as _rollup_hot_spans, rows identical)
+    w_h = Window.partitionBy("h")
     removable = (
-        sh.join(per_hash.filter(F.col("n_occ") >= 2), "h")
+        sh.withColumn("n_occ", F.count(F.lit(1)).over(w_h))
+        .withColumn("canon", F.min(F.struct("doc_id", "start")).over(w_h))
         .filter(
-            ~(
+            (F.col("n_occ") >= 2)
+            & ~(
                 (F.col("doc_id") == F.col("canon.doc_id"))
                 & (F.col("start") == F.col("canon.start"))
             )

@@ -221,12 +221,25 @@ def user_session_numbers_stream(
     grain (the oracle runs exactly that), provided arrival is
     time-ordered — which the ascending-ts sharding guarantees. Output
     (user_id, event_id, session_no), session_no counting per user
-    from 1."""
+    from 1.
+
+    Round 12 (guide §2.4 — remove passes; §2.5 — no single-reducer
+    global window): the landing used to be fabricated with a global
+    ``row_number() OVER (ORDER BY ts, event_id)`` (one-reducer sort of
+    every event) + an eager checkpoint + ``n_shards`` sequential
+    filter + coalesce(1) write jobs. It now rides the shared
+    :func:`write_shard_landing` one-job writer with ascending-``ts``
+    quantile cuts. Shard BOUNDARIES move (quantile cuts vs exact
+    row-count quartiles), but the drained result is invariant to any
+    time-ordered split — the (last_ts, n_sessions) state carries the
+    session rule across every boundary, and ``_sessno_update`` sorts
+    each batch by (ts, event_id) itself — so the output row set is
+    unchanged (shared oracle re-verified)."""
     import os
     import tempfile
 
-    from pyspark.sql import Window
     from ..sources.store import load_events
+    from .curation_ingest import write_shard_landing
 
     run = uuid.uuid4().hex[:8]
     base = os.path.join(tempfile.gettempdir(), f"svs_sessno_{run}")
@@ -236,19 +249,7 @@ def user_session_numbers_stream(
     ev = load_events(spark, sf_dir).select(
         "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
     )
-    n_rows = ev.count()
-    per = (n_rows + n_shards - 1) // n_shards
-    w = Window.orderBy("ts", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w)).localCheckpoint(eager=True)
-    for i in range(n_shards):
-        shard = ranked.filter(
-            (F.col("rn") > i * per) & (F.col("rn") <= (i + 1) * per)
-        ).drop("rn")
-        if not shard.head(1):
-            break
-        shard.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(landing, f"shard={i}")
-        )
+    write_shard_landing(ev, landing, n_shards, order_col="ts")
 
     schema = ev.schema
     stream = (
