@@ -100,22 +100,32 @@ def _log_ratio_table(
     """λ table: (b, lam) with lam = ROUND(ln p̂_b − ln q̂_b, 9) as
     DECIMAL(18,9). Built from two bucket-count aggregations (map-side
     combine) over the SAME feature stream; n_buckets rows total."""
-    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        feats.filter(F.col("lang") == TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # Round 12 (guide §2.4 — remove passes): the raw and target bucket
+    # counts fuse into ONE conditional aggregate over ONE feature-
+    # stream pass (the target stream is a lang-filtered subset of the
+    # same stream, so count(when(lang = target)) == the filtered
+    # count, and buckets with no target rows get 0 — exactly what the
+    # old left join + coalesce produced), and the two totals are
+    # GLOBAL WINDOWS over the n_buckets-row aggregate instead of
+    # agg + crossJoin-back. The previous form planned the corpus
+    # tokenize+explode subtree FOUR times (raw, tgt, and each total);
+    # this form plans it once. λ values identical: same counts, same
+    # double casts, same expression.
+    from pyspark.sql import Window
+
+    joined = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == TARGET_LANG, 1)).alias("ct"),
     )
-    tot_r = raw.agg(F.sum("cr").cast("double").alias("tr"))
-    tot_t = tgt.agg(F.sum("ct").cast("double").alias("tt"))
+    w_all = Window.partitionBy()
     a = float(alpha)
     ab = a * n_buckets
-    # raw covers every bucket any pool doc can produce (target ⊆ pool),
-    # so a left join + coalesce(ct, 0) is total over doc features.
     return (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot_r))
-        .crossJoin(F.broadcast(tot_t))
+        joined.withColumn("tr", F.sum("cr").over(w_all).cast("double"))
+        .withColumn(
+            "tt",
+            F.sum(F.coalesce(F.col("ct"), F.lit(0))).over(w_all).cast("double"),
+        )
         .select(
             "b",
             F.round(

@@ -1007,9 +1007,18 @@ def production_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
-    total = cells.agg(F.sum("n_tokens").alias("tot"))
+    # round 12 (guide §2.4 — remove duplicated subtrees): the total is
+    # a GLOBAL WINDOW over the (split, source) cells instead of
+    # agg + crossJoin-back, which planned the whole
+    # curate_corpus_production gate subtree TWICE (once under the
+    # 1-row total, once under the joined side). The window's single
+    # partition holds only the cell grid (|splits| × |sources| rows),
+    # never document rows.
+    from pyspark.sql import Window
+
+    total = F.sum("n_tokens").over(Window.partitionBy())
     return (
-        cells.crossJoin(F.broadcast(total))
+        cells.withColumn("tot", total)
         .select(
             "split", "source", "n_docs", "n_tokens",
             (
