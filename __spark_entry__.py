@@ -1024,14 +1024,23 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "id")
         .localCheckpoint(eager=True)
     )
-    out = []
-    for width in (1, 2, 4, idx.n_clusters):
+    # round 12 (guide §2.6 — overlap independent jobs): the four width
+    # probes are independent reads of the exact checkpoint + the
+    # session-cached index, so they run concurrently from a thread
+    # pool instead of four sequential count jobs; pool.map preserves
+    # the width order, values unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(width: int) -> tuple[int, float]:
         got = ivf.ivf_knn_join(
             spark, idx, queries_df, k=k, strategy="CosineSimilarity",
             search_top_size=width, round_digits=ROUND,
         ).select("query_id", "id")
         hits = got.join(exact, ["query_id", "id"], "left_semi").count()
-        out.append((int(width), round(hits / float(k * n_q), 6)))
+        return (int(width), round(hits / float(k * n_q), 6))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        out = list(pool.map(_one, (1, 2, 4, idx.n_clusters)))
     return spark.createDataFrame(out, "width int, recall double")
 
 
