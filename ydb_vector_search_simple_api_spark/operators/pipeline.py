@@ -518,50 +518,25 @@ def incremental_snapshot_loop(
             .localCheckpoint(eager=True)
         )
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        screen_f = pool.submit(_screen_branch)
-        quality_f = pool.submit(_quality_branch)
-        contaminated_f = pool.submit(_contaminated_branch)
-        screen = screen_f.result()
-        quality = quality_f.result()
-        contaminated = contaminated_f.result()
-    # canonical WITHIN the incoming batch: min doc_id per content hash
-    canon = (
-        incoming.select(
-            "doc_id", TXT.content_fingerprint("text").alias("content_hash")
-        )
-        .groupBy("content_hash")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", F.lit(True).alias("canonical"))
-    )
-    splits = document_splits(spark, sf_dir, train=train, valid=valid)
-
-    scr = screen.join(incoming.select("doc_id", "source"), "doc_id").withColumn(
-        "fp_containment",
-        F.when(
-            F.col("n_fps") > 0,
-            F.round(
-                F.col("n_shared_fps").cast("double")
-                / F.col("n_fps").cast("double"),
-                6,
-            )
-            + F.lit(0.0),
-        ).otherwise(F.lit(0.0)),
-    )
-    semantic_cols: list[str] = []
-    if semantic_threshold is not None:
+    def _sem_branch():
         # stage 1b — the semantic screen: max embedding cosine of each
         # incoming doc vs the existing corpus. The DELTA's vectors are
         # broadcast; the existing side streams through one keyed max —
         # no shuffle of the corpus, nothing corpus-sized collected.
         # Per-pair ROUND(6) before the max (order-free, oracle-exact).
+        # Round 12: a fourth POOLED branch (it depends only on the
+        # corpus tables + the loop's persisted centroids, independent
+        # of the other three), eagerly pinned at delta size instead of
+        # serialized into the screened-checkpoint job.
         from ..functions.distance import l2_norm
 
-        embs_all = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+        embs_all = load_embeddings(spark, sf_dir).select(
+            "vec_id", "embedding"
+        )
         ex_vec = embs_all.join(
-            docs.filter(_draw(F.col("doc_id")) < F.lit(thr)).select("doc_id"),
+            docs.filter(_draw(F.col("doc_id")) < F.lit(thr)).select(
+                "doc_id"
+            ),
             embs_all["vec_id"] == F.col("doc_id"),
         ).select(
             F.col("embedding").alias("vx"),
@@ -588,7 +563,9 @@ def incremental_snapshot_loop(
             # serving ivf_index the loop maintains — so no KMeans refit
             # over the existing corpus happens per snapshot; fall back
             # to the deterministic fit only when the loop owns no index
-            sem_idx = semantic_index if semantic_index is not None else ivf_index
+            sem_idx = (
+                semantic_index if semantic_index is not None else ivf_index
+            )
             cents = None if sem_idx is None else sem_idx.centroids
             sem = (
                 _route_pairs(
@@ -601,6 +578,50 @@ def incremental_snapshot_loop(
                 .groupBy("doc_id")
                 .agg(F.max("cs").alias("max_cos_existing"))
             )
+        return sem.localCheckpoint(eager=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        screen_f = pool.submit(_screen_branch)
+        quality_f = pool.submit(_quality_branch)
+        contaminated_f = pool.submit(_contaminated_branch)
+        sem_f = (
+            pool.submit(_sem_branch)
+            if semantic_threshold is not None
+            else None
+        )
+        screen = screen_f.result()
+        quality = quality_f.result()
+        contaminated = contaminated_f.result()
+        sem = sem_f.result() if sem_f is not None else None
+    # canonical WITHIN the incoming batch: min doc_id per content hash
+    canon = (
+        incoming.select(
+            "doc_id", TXT.content_fingerprint("text").alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("canonical"))
+    )
+    splits = document_splits(spark, sf_dir, train=train, valid=valid)
+
+    scr = screen.join(incoming.select("doc_id", "source"), "doc_id").withColumn(
+        "fp_containment",
+        F.when(
+            F.col("n_fps") > 0,
+            F.round(
+                F.col("n_shared_fps").cast("double")
+                / F.col("n_fps").cast("double"),
+                6,
+            )
+            + F.lit(0.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    semantic_cols: list[str] = []
+    if semantic_threshold is not None:
+        # stage 1b join — ``sem`` was materialized by the pooled
+        # branch above (delta-sized checkpoint)
         scr = scr.join(sem, "doc_id", "left").withColumn(
             "semantic_dup",
             F.coalesce(
