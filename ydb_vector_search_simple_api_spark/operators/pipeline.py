@@ -580,58 +580,7 @@ def incremental_snapshot_loop(
             )
         return sem.localCheckpoint(eager=True)
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        screen_f = pool.submit(_screen_branch)
-        quality_f = pool.submit(_quality_branch)
-        contaminated_f = pool.submit(_contaminated_branch)
-        sem_f = (
-            pool.submit(_sem_branch)
-            if semantic_threshold is not None
-            else None
-        )
-        screen = screen_f.result()
-        quality = quality_f.result()
-        contaminated = contaminated_f.result()
-        sem = sem_f.result() if sem_f is not None else None
-    # canonical WITHIN the incoming batch: min doc_id per content hash
-    canon = (
-        incoming.select(
-            "doc_id", TXT.content_fingerprint("text").alias("content_hash")
-        )
-        .groupBy("content_hash")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", F.lit(True).alias("canonical"))
-    )
-    splits = document_splits(spark, sf_dir, train=train, valid=valid)
-
-    scr = screen.join(incoming.select("doc_id", "source"), "doc_id").withColumn(
-        "fp_containment",
-        F.when(
-            F.col("n_fps") > 0,
-            F.round(
-                F.col("n_shared_fps").cast("double")
-                / F.col("n_fps").cast("double"),
-                6,
-            )
-            + F.lit(0.0),
-        ).otherwise(F.lit(0.0)),
-    )
-    semantic_cols: list[str] = []
-    if semantic_threshold is not None:
-        # stage 1b join — ``sem`` was materialized by the pooled
-        # branch above (delta-sized checkpoint)
-        scr = scr.join(sem, "doc_id", "left").withColumn(
-            "semantic_dup",
-            F.coalesce(
-                F.col("max_cos_existing") >= F.lit(semantic_threshold),
-                F.lit(False),
-            ),
-        )
-        semantic_cols = ["max_cos_existing", "semantic_dup"]
-    line_cols: list[str] = []
-    if line_screen:
+    def _line_branch():
         # stage 1c — the CCNet boilerplate-LINE screen (round 11,
         # VERDICT r10 #4's motivation made a loop stage): per incoming
         # doc, how many of its lines are corpus-hot (boilerplate) and
@@ -644,6 +593,10 @@ def incremental_snapshot_loop(
         # counts FOLD into the persisted store (ivf_upsert-style side
         # effect) and hotness reads the folded counts — equal to the
         # recompute when the store held the existing corpus (pinned).
+        # Round 12: a pooled branch — it depends only on the corpus
+        # tables / the line store, independent of the other branches;
+        # the result is pinned at delta size (one evidence row per
+        # incoming doc).
         from . import textual as textual_mod
 
         if line_store is not None:
@@ -705,17 +658,77 @@ def incremental_snapshot_loop(
             "doc_id",
             F.explode(
                 F.transform(
-                    "lines", lambda l: textual_mod._line_hash_expr(l, line_hasher)
+                    "lines",
+                    lambda l: textual_mod._line_hash_expr(l, line_hasher),
                 )
             ).alias("h"),
         )
-        line_ev = textual_mod._line_dedup_assemble(
-            d_in, hs_in, hot, line_hasher
-        ).select(
-            "doc_id",
-            F.col("n_dup_lines").alias("n_hot_lines"),
-            F.col("kept_md5").alias("line_kept_md5"),
+        return (
+            textual_mod._line_dedup_assemble(d_in, hs_in, hot, line_hasher)
+            .select(
+                "doc_id",
+                F.col("n_dup_lines").alias("n_hot_lines"),
+                F.col("kept_md5").alias("line_kept_md5"),
+            )
+            .localCheckpoint(eager=True)
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        screen_f = pool.submit(_screen_branch)
+        quality_f = pool.submit(_quality_branch)
+        contaminated_f = pool.submit(_contaminated_branch)
+        sem_f = (
+            pool.submit(_sem_branch)
+            if semantic_threshold is not None
+            else None
+        )
+        line_f = pool.submit(_line_branch) if line_screen else None
+        screen = screen_f.result()
+        quality = quality_f.result()
+        contaminated = contaminated_f.result()
+        sem = sem_f.result() if sem_f is not None else None
+        line_ev = line_f.result() if line_f is not None else None
+    # canonical WITHIN the incoming batch: min doc_id per content hash
+    canon = (
+        incoming.select(
+            "doc_id", TXT.content_fingerprint("text").alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("canonical"))
+    )
+    splits = document_splits(spark, sf_dir, train=train, valid=valid)
+
+    scr = screen.join(incoming.select("doc_id", "source"), "doc_id").withColumn(
+        "fp_containment",
+        F.when(
+            F.col("n_fps") > 0,
+            F.round(
+                F.col("n_shared_fps").cast("double")
+                / F.col("n_fps").cast("double"),
+                6,
+            )
+            + F.lit(0.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    semantic_cols: list[str] = []
+    if semantic_threshold is not None:
+        # stage 1b join — ``sem`` was materialized by the pooled
+        # branch above (delta-sized checkpoint)
+        scr = scr.join(sem, "doc_id", "left").withColumn(
+            "semantic_dup",
+            F.coalesce(
+                F.col("max_cos_existing") >= F.lit(semantic_threshold),
+                F.lit(False),
+            ),
+        )
+        semantic_cols = ["max_cos_existing", "semantic_dup"]
+    line_cols: list[str] = []
+    if line_screen:
+        # stage 1c join — ``line_ev`` was materialized by the pooled
+        # branch above (delta-sized checkpoint)
         scr = scr.join(line_ev, "doc_id", "left")
         line_cols = ["n_hot_lines", "line_kept_md5"]
     flags = (
