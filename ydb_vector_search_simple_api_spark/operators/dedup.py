@@ -1700,22 +1700,33 @@ def _rollup_hot_spans(d: DataFrame, sh: DataFrame, k: int) -> DataFrame:
     a worst-case corpus (every shingle hot) — the per-group list
     materialization costs more than the second window pass saves.
 
-    Round 12 (guide §2.4 — remove shuffles/duplicated subtrees): the
-    hot filter is a COUNT WINDOW over the hash partition instead of
-    groupBy + semi-join-back. The join form planned the shingle
-    subtree TWICE (once under the aggregate, once as the probe side —
-    the per-window hashing, the heaviest per-task work in this family,
-    ran twice per query); the window form computes the stream once and
-    exchanges it once by ``h``. Rows identical: every (doc_id, start,
-    h) whose hash has total count >= 2 survives, exactly the semi-join
-    set."""
-    dup = (
-        sh.withColumn(
-            "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
-        )
+    Round 13 (guide §2.5 — skew): the round-12 form computed the
+    count as a WINDOW over ``Window.partitionBy("h")``, which shuffles
+    the FULL shingle stream by ``h`` and buffers each hash group in
+    ONE task's sort buffer — a boilerplate shingle repeated across
+    millions of docs (exactly what this operator hunts) serializes
+    into one straggler task at corpus scale, and windows get no AQE
+    skew handling. This form keeps round 12's
+    single-shingle-computation win a different way: the stream is
+    PINNED once (lazy localCheckpoint — one materialization of the
+    narrow (doc_id, start, h) rows, the same bytes one exchange of it
+    would spill), then the hot set comes from a hash AGGREGATE (map-
+    side partial combine: each map task emits one row per distinct
+    ``h``, so hot hashes never pile into one task) and is attached
+    back with a semi-join — broadcast when small, AQE-skew-split SMJ
+    on pathological corpora (no hint: the hot table is O(duplicated
+    shingles), tiny on clean corpora, corpus-sized on degenerate
+    ones). Rows identical: every (doc_id, start, h) whose hash has
+    total count >= 2 survives, exactly the window-filter set."""
+    sh = sh.localCheckpoint(eager=False)
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") >= 2)
-        .drop("n_occ")
-        .withColumn("end", F.col("start") + F.lit(k - 1))
+        .select("h")
+    )
+    dup = sh.join(hot, "h", "left_semi").withColumn(
+        "end", F.col("start") + F.lit(k - 1)
     )
     w = (
         Window.partitionBy("doc_id")
@@ -1898,18 +1909,21 @@ def remove_duplicate_spans(
         ).alias("s"),
     ).select("doc_id", F.col("s.start").alias("start"), F.col("s.h").alias("h"))
     # canonical occurrence per hot hash = min (doc_id, start).
-    # Round 12: count + canonical election as WINDOWS over the hash
-    # partition instead of groupBy + join-back — the join form planned
-    # the shingle subtree twice (tokenize + per-window md5 ran twice)
-    # and shuffled it twice; one window pass computes and exchanges it
-    # once (the _rollup_hot_spans rewrite, rows identical).
-    w_h = Window.partitionBy("h")
+    # Round 13 (guide §2.5): the round-12 window-by-h form serialized
+    # every occurrence of a hot hash into one task; keep its
+    # single-shingle-computation win via a PINNED stream + hash
+    # aggregate (map-side combine, skew-free) + join-back (no
+    # broadcast hint: AQE picks, and skew-splits pathological hashes
+    # — see _rollup_hot_spans).
+    sh = sh.localCheckpoint(eager=False)
+    per_hash = sh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "start")).alias("canon"),
+    )
     removable = (
-        sh.withColumn("n_occ", F.count(F.lit(1)).over(w_h))
-        .withColumn("canon", F.min(F.struct("doc_id", "start")).over(w_h))
+        sh.join(per_hash.filter(F.col("n_occ") >= 2), "h")
         .filter(
-            (F.col("n_occ") >= 2)
-            & ~(
+            ~(
                 (F.col("doc_id") == F.col("canon.doc_id"))
                 & (F.col("start") == F.col("canon.start"))
             )
@@ -2100,18 +2114,20 @@ def remove_duplicate_char_spans(
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.start").alias("start"), F.col("s.h").alias("h"))
-    # round 12: count + canonical election as WINDOWS over the hash
-    # partition instead of groupBy + join-back — the join form planned
-    # the per-char shingle subtree twice (hashing ran twice) and
-    # shuffled it twice; one window pass computes and exchanges it
-    # once (same rewrite as _rollup_hot_spans, rows identical)
-    w_h = Window.partitionBy("h")
+    # round 13 (guide §2.5): pinned stream + hash aggregate +
+    # join-back instead of the round-12 window-by-h (which serialized
+    # hot hashes into one task) — same rewrite as _rollup_hot_spans /
+    # remove_duplicate_spans, rows identical, per-char hashing still
+    # runs exactly once
+    sh = sh.localCheckpoint(eager=False)
+    per_hash = sh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "start")).alias("canon"),
+    )
     removable = (
-        sh.withColumn("n_occ", F.count(F.lit(1)).over(w_h))
-        .withColumn("canon", F.min(F.struct("doc_id", "start")).over(w_h))
+        sh.join(per_hash.filter(F.col("n_occ") >= 2), "h")
         .filter(
-            (F.col("n_occ") >= 2)
-            & ~(
+            ~(
                 (F.col("doc_id") == F.col("canon.doc_id"))
                 & (F.col("start") == F.col("canon.start"))
             )
